@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: runs each oracle SQL in
+DuckDB against the testdata parquet and compares (after sorting columns by
+name) with the parquet that graft.Verify dumped for the same query name.
+
+Usage: python3 scripts/check.py <sfDir> <outDir>
+"""
+import glob
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    failures = []
+    for name, sql in sorted(oracle.items()):
+        try:
+            exp = con.execute(sql).fetch_arrow_table()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            failures.append(name); n_fail += 1
+            continue
+        files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            failures.append(name); n_fail += 1
+            continue
+        got = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").fetch_arrow_table()
+        ecols, gcols = sorted(exp.column_names), sorted(got.column_names)
+        if ecols != gcols:
+            print(f"FAIL {name}: columns exp={ecols} got={gcols}")
+            failures.append(name); n_fail += 1
+            continue
+        if exp.num_rows != got.num_rows:
+            print(f"FAIL {name}: rows exp={exp.num_rows} got={got.num_rows}")
+            failures.append(name); n_fail += 1
+            continue
+        bad = None
+        for c in ecols:
+            ev = [norm(x) for x in exp.column(c).to_pylist()]
+            gv = [norm(x) for x in got.column(c).to_pylist()]
+            for i, (a, b) in enumerate(zip(ev, gv)):
+                if a != b:
+                    bad = (c, i, a, b)
+                    break
+            if bad:
+                break
+        if bad:
+            c, i, a, b = bad
+            print(f"FAIL {name}: col={c} row={i} exp={a!r} got={b!r}")
+            failures.append(name); n_fail += 1
+        else:
+            print(f"PASS {name} ({exp.num_rows} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    if failures:
+        print("failing:", " ".join(failures))
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])

@@ -1,0 +1,265 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import QHelpers._
+
+/** SURVEY.md §2b rows 45–53: scalar function surface (string / regexp /
+  * datetime / math / conditional / cast / array / map / json).
+  *
+  * Cross-engine gotchas handled here (verified against DuckDB locally):
+  *  - DuckDB `regexp_replace` is first-match unless the 'g' flag is given;
+  *    Spark replaces all — oracle SQL always passes 'g'.
+  *  - DuckDB `ceil/floor(double)` return DOUBLE, Spark return LONG — both
+  *    sides cast to BIGINT explicitly.
+  *  - DuckDB `CAST(double AS INT)` rounds, Spark truncates — never cast
+  *    double→int directly; go through floor().
+  *  - DuckDB EXTRACT/year/len return BIGINT, Spark INT — cast explicitly.
+  *  - transcendentals (ln/exp/pow) may differ in the last ulp between
+  *    libms — rounded to 6 decimals on both sides.
+  */
+object Funcs {
+
+  val defs: Map[String, Q] = Map(
+    // 45. string functions.
+    "fn_string" -> ((s, d) =>
+      t(s, d, "customer").select(
+          col("c_custkey"),
+          upper(col("c_name")).as("up_name"),
+          lower(col("c_mktsegment")).as("lo_seg"),
+          length(col("c_name")).as("name_len"),
+          substring(col("c_name"), 10, 5).as("name_mid"),
+          trim(concat(lit("  "), col("c_mktsegment"), lit("  "))).as("trimmed"),
+          regexp_replace(col("c_name"), lit("Customer"), lit("C")).as("replaced"),
+          concat(col("c_name"), lit("-"), col("c_mktsegment")).as("joined"),
+          instr(col("c_name"), "5").as("pos5"),
+          reverse(col("c_mktsegment")).as("rev_seg"),
+          lpad(col("c_custkey").cast("string"), 10, "0").as("padded"))
+        .orderBy(col("c_custkey"))),
+
+    // 46. regexp family.
+    "fn_regexp" -> ((s, d) =>
+      t(s, d, "customer")
+        .filter(col("c_name").rlike("00+[1-4]$"))
+        .select(
+          col("c_custkey"),
+          regexp_extract(col("c_name"), "#(\\d+)", 1).as("digits"),
+          regexp_replace(col("c_name"), "\\d", "#").as("masked"))
+        .orderBy(col("c_custkey"))),
+
+    // 47. datetime functions on o_orderdate (timestamp).
+    "fn_datetime" -> ((s, d) =>
+      t(s, d, "orders").select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          quarter(col("o_orderdate")).as("qtr"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+          datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date"))
+            .as("days_to_2002"),
+          (col("o_orderdate") + expr("INTERVAL 1 DAY")).as("next_day"))
+        .orderBy(col("o_orderkey"))),
+
+    // 48. math functions.
+    "fn_math" -> ((s, d) =>
+      t(s, d, "part").select(
+          col("p_partkey"),
+          abs(col("p_retailprice") - 1000.0).as("abs_diff"),
+          round(col("p_retailprice") / 7.0, 2).as("div7"),
+          ceil(col("p_retailprice")).as("ceiled"),
+          floor(col("p_retailprice")).as("floored"),
+          sqrt(col("p_retailprice")).as("rooted"),
+          pow(col("p_size").cast("double"), 2.0).as("size_sq"),
+          (col("p_size") % 7).as("mod7"),
+          round(log(col("p_retailprice")), 6).as("ln_price"),
+          round(exp(col("p_size").cast("double") / 100.0), 6).as("exp_size"),
+          signum(col("p_retailprice") - 1000.0).cast("int").as("sgn"))
+        .orderBy(col("p_partkey"))),
+
+    // 49. conditional expressions.
+    "fn_conditional" -> ((s, d) =>
+      t(s, d, "orders").select(
+          col("o_orderkey"),
+          when(col("o_totalprice") > 300000.0, "big")
+            .when(col("o_totalprice") > 100000.0, "mid")
+            .otherwise("small").as("bucket"),
+          when(col("o_orderstatus") === "O", "open")
+            .when(col("o_orderstatus") === "F", "finished")
+            .otherwise("other").as("status_word"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("none")).as("coal"),
+          expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("prio_num"),
+          expr("try_cast(o_orderpriority AS DOUBLE)").as("prio_as_num"))
+        .orderBy(col("o_orderkey"))),
+
+    // 50. CAST lattice (int↔bigint↔double↔decimal↔varchar↔date/timestamp).
+    "fn_cast_types" -> ((s, d) =>
+      t(s, d, "customer").select(
+          col("c_custkey"),
+          col("c_custkey").cast("int").as("as_int"),
+          col("c_nationkey").cast("bigint").as("as_big"),
+          col("c_nationkey").cast("double").as("as_dbl"),
+          col("c_acctbal").cast("decimal(12,2)").as("as_dec"),
+          col("c_acctbal").cast("decimal(12,2)").cast("string").as("dec_str"),
+          floor(col("c_acctbal")).cast("int").as("bal_floor"),
+          regexp_extract(col("c_name"), "(\\d+)", 1).cast("bigint").as("name_num"),
+          lit("2024-03-15").cast("date").as("lit_date"),
+          lit("2024-03-15").cast("date").cast("timestamp").as("lit_ts"))
+        .orderBy(col("c_custkey"))),
+
+    // 51. array functions over tokenized text.
+    "fn_array" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      t(s, d, "documents").select(
+          col("doc_id"),
+          size(toks).as("n_toks"),
+          element_at(toks, 1).as("first_tok"),
+          array_contains(toks, "spark").as("has_spark"),
+          concat_ws(" ", slice(toks, 1, 3)).as("first3"),
+          concat_ws(",", sort_array(array(element_at(toks, 1),
+            element_at(toks, 2), element_at(toks, 3)))).as("sorted3"),
+          array_join(slice(toks, 2, 2), "|").as("mid2"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // 51b. UNNEST / explode (Generator path) — token frequencies.
+    "fn_unnest" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(col("tok"))),
+
+    // 52. map functions.
+    "fn_map" -> ((s, d) => {
+      val m = map_from_arrays(
+        array(lit("seg"), lit("name")),
+        array(col("c_mktsegment"), col("c_name")))
+      t(s, d, "customer").select(
+          col("c_custkey"),
+          concat_ws(",", map_keys(m)).as("mkeys"),
+          element_at(m, "seg").as("seg_val"),
+          size(m).as("m_size"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // 53. json functions on events.props.
+    "fn_json" -> ((s, d) =>
+      t(s, d, "events").select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("k_num"),
+          json_array_length(
+            concat(lit("[1,2,"), get_json_object(col("props"), "$.k"), lit("]")))
+            .as("arr_len"))
+        .orderBy(col("event_id")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT c_custkey,
+        |  upper(c_name) AS up_name,
+        |  lower(c_mktsegment) AS lo_seg,
+        |  CAST(length(c_name) AS INT) AS name_len,
+        |  substr(c_name, 10, 5) AS name_mid,
+        |  trim('  ' || c_mktsegment || '  ') AS trimmed,
+        |  replace(c_name, 'Customer', 'C') AS replaced,
+        |  c_name || '-' || c_mktsegment AS joined,
+        |  CAST(strpos(c_name, '5') AS INT) AS pos5,
+        |  reverse(c_mktsegment) AS rev_seg,
+        |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "fn_regexp" ->
+      """SELECT c_custkey,
+        |  regexp_extract(c_name, '#(\d+)', 1) AS digits,
+        |  regexp_replace(c_name, '\d', '#', 'g') AS masked
+        |FROM customer
+        |WHERE regexp_matches(c_name, '00+[1-4]$')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "fn_datetime" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(month(o_orderdate) AS INT) AS mo,
+        |  CAST(day(o_orderdate) AS INT) AS dom,
+        |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT)
+        |    AS days_to_2002,
+        |  o_orderdate + INTERVAL 1 DAY AS next_day
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_math" ->
+      """SELECT p_partkey,
+        |  abs(p_retailprice - 1000.0) AS abs_diff,
+        |  round(p_retailprice / 7.0, 2) AS div7,
+        |  CAST(ceil(p_retailprice) AS BIGINT) AS ceiled,
+        |  CAST(floor(p_retailprice) AS BIGINT) AS floored,
+        |  sqrt(p_retailprice) AS rooted,
+        |  pow(CAST(p_size AS DOUBLE), 2.0) AS size_sq,
+        |  p_size % 7 AS mod7,
+        |  round(ln(p_retailprice), 6) AS ln_price,
+        |  round(exp(CAST(p_size AS DOUBLE) / 100.0), 6) AS exp_size,
+        |  CAST(sign(p_retailprice - 1000.0) AS INT) AS sgn
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "fn_conditional" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 300000.0 THEN 'big'
+        |       WHEN o_totalprice > 100000.0 THEN 'mid'
+        |       ELSE 'small' END AS bucket,
+        |  CASE o_orderstatus WHEN 'O' THEN 'open'
+        |                     WHEN 'F' THEN 'finished'
+        |                     ELSE 'other' END AS status_word,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'none') AS coal,
+        |  TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_num,
+        |  TRY_CAST(o_orderpriority AS DOUBLE) AS prio_as_num
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_cast_types" ->
+      """SELECT c_custkey,
+        |  CAST(c_custkey AS INT) AS as_int,
+        |  CAST(c_nationkey AS BIGINT) AS as_big,
+        |  CAST(c_nationkey AS DOUBLE) AS as_dbl,
+        |  CAST(c_acctbal AS DECIMAL(12,2)) AS as_dec,
+        |  CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS dec_str,
+        |  CAST(floor(c_acctbal) AS INT) AS bal_floor,
+        |  CAST(regexp_extract(c_name, '(\d+)', 1) AS BIGINT) AS name_num,
+        |  CAST('2024-03-15' AS DATE) AS lit_date,
+        |  CAST(CAST('2024-03-15' AS DATE) AS TIMESTAMP) AS lit_ts
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "fn_array" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS INT) AS n_toks,
+        |  toks[1] AS first_tok,
+        |  list_contains(toks, 'spark') AS has_spark,
+        |  array_to_string(list_slice(toks, 1, 3), ' ') AS first3,
+        |  array_to_string(list_sort([toks[1], toks[2], toks[3]]), ',') AS sorted3,
+        |  array_to_string(list_slice(toks, 2, 3), '|') AS mid2
+        |FROM tok ORDER BY doc_id""".stripMargin,
+
+    "fn_unnest" ->
+      """SELECT tok, COUNT(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY tok ORDER BY tok""".stripMargin,
+
+    "fn_map" ->
+      """SELECT c_custkey,
+        |  array_to_string(map_keys(MAP(['seg','name'], [c_mktsegment, c_name])), ',') AS mkeys,
+        |  MAP(['seg','name'], [c_mktsegment, c_name])['seg'][1] AS seg_val,
+        |  CAST(cardinality(MAP(['seg','name'], [c_mktsegment, c_name])) AS INT) AS m_size
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "fn_json" ->
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+        |  CAST(json_array_length('[1,2,' || json_extract_string(props, '$.k') || ']') AS INT)
+        |    AS arr_len
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+}

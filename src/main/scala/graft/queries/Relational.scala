@@ -1,0 +1,452 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import QHelpers._
+
+/** SURVEY.md §2b rows 1–28: scan / filter / limit / sort / join / agg.
+  *
+  * Authority: the reference passes these statement classes straight to
+  * Trino (reference internal/trino/client.go:284-290, handlers.go:290);
+  * here each is expressed with the DataFrame API so Catalyst plans the
+  * physical operators (pushdown, broadcast, partial aggregation).
+  */
+object Relational {
+
+  val defs: Map[String, Q] = Map(
+    // 1. parquet scan + projection + expression; Catalyst prunes to the
+    // 4 referenced columns (verify via ReadSchema in explain).
+    "scan_project" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price"))
+        // (l_orderkey, l_linenumber) is NOT unique in the testdata —
+        // sort over every output column for a total order.
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("net_price"))),
+
+    // 2. WHERE with AND/OR — pushed to the parquet scan (PushedFilters).
+    "filter_basic" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_quantity") > 30 &&
+          (col("l_returnflag") === "R" || col("l_discount") <= 0.02))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"), col("l_discount"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"), col("l_discount"))),
+
+    // 3. IN / BETWEEN / LIKE / IS NOT NULL.
+    "filter_in_between_like" -> ((s, d) =>
+      t(s, d, "customer")
+        .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE") &&
+          col("c_acctbal").between(0.0, 5000.0) &&
+          col("c_name").like("%5%") &&
+          col("c_name").isNotNull)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))),
+
+    // 4. LIMIT (deterministic via total ORDER BY first).
+    "limit_plain" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+        .limit(100)),
+
+    // 5. top-k — Catalyst plans TakeOrderedAndProject (no full sort).
+    "topk_orderby_limit" -> ((s, d) =>
+      t(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        .limit(5)),
+
+    // 6. multi-key sort with explicit NULLS FIRST/LAST (nulls synthesized
+    // via NULLIF; Trino/Spark/DuckDB default null ordering differs).
+    "sort_multikey_nulls" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          nullif(col("o_orderstatus"), lit("O")).as("st"),
+          col("o_totalprice"))
+        .orderBy(col("st").desc_nulls_first, col("o_totalprice").asc_nulls_last,
+          col("o_orderkey").asc)),
+
+    // 7. equi inner join; sized so AQE broadcasts the customer side.
+    "join_inner_equi" -> ((s, d) =>
+      t(s, d, "orders").join(t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"), "inner")
+        .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))),
+
+    // 8. 5-way star join + agg (TPC-H-like revenue per region/nation).
+    // Dim tables broadcast; only the lineitem⋈orders edge shuffles.
+    "join_multiway_star" -> ((s, d) => {
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      val c = t(s, d, "customer"); val n = t(s, d, "nation")
+      val r = t(s, d, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // 9. LEFT OUTER: customers without orders survive null-extended.
+    "join_left_outer" -> ((s, d) =>
+      t(s, d, "customer").join(t(s, d, "orders"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)),
+
+    // 10. RIGHT OUTER (mirror of 9).
+    "join_right_outer" -> ((s, d) =>
+      t(s, d, "orders").join(t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"), "right")
+        .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)),
+
+    // 11. FULL OUTER with unmatched rows on both sides (even-key customers
+    // only, so odd-key orders dangle).
+    "join_full_outer" -> ((s, d) =>
+      t(s, d, "customer").filter(col("c_custkey") % 2 === 0)
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "full")
+        .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("c_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)),
+
+    // 12. EXISTS → left semi join.
+    "join_semi_exists" -> ((s, d) =>
+      t(s, d, "customer").join(
+          t(s, d, "orders").filter(col("o_totalprice") > 200000.0),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    // 13. NOT EXISTS → left anti join (NOT-IN-with-NULLs trap avoided,
+    // SURVEY.md §7.6).
+    "join_anti_not_exists" -> ((s, d) =>
+      t(s, d, "customer").join(t(s, d, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    // 14. explicit CROSS JOIN (bounded: 5 × 25 rows).
+    "join_cross" -> ((s, d) =>
+      t(s, d, "region").crossJoin(t(s, d, "nation"))
+        .select(col("r_name"), col("n_name"))
+        .orderBy(col("r_name"), col("n_name"))),
+
+    // 15. theta/band join (non-equi) → BroadcastNestedLoopJoin; kept
+    // bounded (supplier is tiny). At 100 TB this needs a range-bucket
+    // pre-join — documented in ops notes, not needed at this size.
+    "join_theta_range" -> ((s, d) => {
+      val sup = t(s, d, "supplier"); val c = t(s, d, "customer")
+      c.join(broadcast(sup),
+          col("c_acctbal") >= col("s_acctbal") - 50.0 &&
+          col("c_acctbal") <= col("s_acctbal") + 50.0)
+        .select(col("s_suppkey"), col("c_custkey"), col("c_acctbal"), col("s_acctbal"))
+        .orderBy(col("s_suppkey"), col("c_custkey"))
+    }),
+
+    // 16. same semantics as 7 with an explicit broadcast hint.
+    "join_broadcast_hint" -> ((s, d) =>
+      t(s, d, "orders").join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"), "inner")
+        .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))),
+
+    // 17. global aggregate — two-phase HashAggregate (partial+final).
+    "agg_global" -> ((s, d) =>
+      t(s, d, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        davg(col("l_discount")).as("avg_disc"))),
+
+    // 18. GROUP BY + multiple aggregates (docs/tools.md:15 shape; TPC-H Q1).
+    "agg_groupby" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // 19. HAVING → post-aggregation filter.
+    "agg_having" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_spent"))
+        .filter(col("n_orders") >= 12)
+        .orderBy(col("o_custkey"))),
+
+    // 20. COUNT(DISTINCT) — RewriteDistinctAggregates / Expand.
+    "agg_count_distinct" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"))
+        .orderBy(col("l_returnflag"))),
+
+    // 21. two different DISTINCT aggregates in one query (Expand with two
+    // grouping branches). DISTINCT sum on decimal-cast quantity keeps the
+    // double-sum order-independent.
+    "agg_multi_distinct" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          sum_distinct(col("l_quantity").cast(DecimalType(18, 4)))
+            .cast("double").as("sum_dist_qty"))
+        .orderBy(col("l_linestatus"))),
+
+    // 22. FILTER clause on aggregates (Trino & DuckDB syntax; Spark via
+    // conditional aggregation — same semantics).
+    "agg_filter_clause" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_all"),
+          count(when(col("o_totalprice") > 150000.0, 1)).as("n_big"),
+          dsum(when(col("o_orderpriority") === "1-URGENT", col("o_totalprice"))
+            .otherwise(lit(0.0))).as("urgent_total"))
+        .orderBy(col("o_orderstatus"))),
+
+    // 23. ROLLUP + grouping() marker.
+    "agg_rollup" -> ((s, d) =>
+      t(s, d, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"),
+          grouping(col("o_orderstatus")).as("g_status"),
+          grouping(col("o_orderpriority")).as("g_prio"))
+        .orderBy(col("g_status"), col("g_prio"),
+          col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
+
+    // 24. CUBE.
+    "agg_cube" -> ((s, d) =>
+      t(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("o_orderstatus")).as("g_status"),
+          grouping(col("o_orderpriority")).as("g_prio"))
+        .orderBy(col("g_status"), col("g_prio"),
+          col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
+
+    // 25. explicit GROUPING SETS (SQL surface — Expand operator).
+    "agg_grouping_sets" -> ((s, d) =>
+      graft.engine.Tables.sql(s, d,
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+          |       GROUPING(o_orderstatus) AS g_status,
+          |       GROUPING(o_orderpriority) AS g_prio
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY g_status, g_prio,
+          |         o_orderstatus ASC NULLS FIRST,
+          |         o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
+    // 26. approx_distinct (Trino name) → HyperLogLog++; oracle omitted
+    // (nondeterministic vs exact) — bounds asserted in ApproxSpec.
+    "agg_approx_distinct" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy(col("l_returnflag"))),
+
+    // 27. approx_percentile — oracle omitted; bounds asserted in ApproxSpec.
+    "agg_approx_percentile" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("p50_price"))
+        .orderBy(col("l_returnflag"))),
+
+    // 28. array_agg(x ORDER BY x) → sorted list per group, emitted as a
+    // joined string (stable to hash; avoids engine list-encoding drift).
+    "agg_collect_sorted" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(concat_ws(",", sort_array(collect_list(col("o_orderpriority"))))
+          .as("prios"))
+        .orderBy(col("o_custkey")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "scan_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       l_extendedprice * (1.0 - l_discount) AS net_price
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, net_price""".stripMargin,
+
+    "filter_basic" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_discount
+        |FROM lineitem
+        |WHERE l_quantity > 30 AND (l_returnflag = 'R' OR l_discount <= 0.02)
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag, l_discount""".stripMargin,
+
+    "filter_in_between_like" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        |FROM customer
+        |WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE')
+        |  AND c_acctbal BETWEEN 0.0 AND 5000.0
+        |  AND c_name LIKE '%5%' AND c_name IS NOT NULL
+        |ORDER BY c_custkey""".stripMargin,
+
+    "limit_plain" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin,
+
+    "topk_orderby_limit" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 5""".stripMargin,
+
+    "sort_multikey_nulls" ->
+      """SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS st, o_totalprice
+        |FROM orders
+        |ORDER BY st DESC NULLS FIRST, o_totalprice ASC NULLS LAST, o_orderkey ASC""".stripMargin,
+
+    "join_inner_equi" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "join_multiway_star" ->
+      s"""SELECT r_name, n_name,
+         |       ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |       COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation   ON c_nationkey = n_nationkey
+         |JOIN region   ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name
+         |ORDER BY r_name, n_name""".stripMargin,
+
+    "join_left_outer" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "join_right_outer" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "join_full_outer" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM (SELECT * FROM customer WHERE c_custkey % 2 = 0) c
+        |FULL JOIN orders ON c_custkey = o_custkey
+        |ORDER BY c_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "join_semi_exists" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_anti_not_exists" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "join_theta_range" ->
+      """SELECT s_suppkey, c_custkey, c_acctbal, s_acctbal
+        |FROM customer JOIN supplier
+        |  ON c_acctbal >= s_acctbal - 50.0 AND c_acctbal <= s_acctbal + 50.0
+        |ORDER BY s_suppkey, c_custkey""".stripMargin,
+
+    "join_broadcast_hint" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "agg_global" ->
+      s"""SELECT COUNT(*) AS n_rows,
+         |       ${sqlDsum("l_quantity")} AS sum_qty,
+         |       ${sqlDsum("l_extendedprice")} AS sum_price,
+         |       MIN(l_quantity) AS min_qty,
+         |       MAX(l_quantity) AS max_qty,
+         |       ${sqlDavg("l_discount")} AS avg_disc
+         |FROM lineitem""".stripMargin,
+
+    "agg_groupby" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |       ${sqlDsum("l_quantity")} AS sum_qty,
+         |       ${sqlDsum("l_extendedprice")} AS sum_base_price,
+         |       ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         |       ${sqlDavg("l_quantity")} AS avg_qty,
+         |       COUNT(*) AS count_order
+         |FROM lineitem
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_having" ->
+      s"""SELECT o_custkey, COUNT(*) AS n_orders,
+         |       ${sqlDsum("o_totalprice")} AS total_spent
+         |FROM orders GROUP BY o_custkey
+         |HAVING COUNT(*) >= 12
+         |ORDER BY o_custkey""".stripMargin,
+
+    "agg_count_distinct" ->
+      """SELECT l_returnflag,
+        |       COUNT(DISTINCT l_suppkey) AS n_supp,
+        |       COUNT(DISTINCT l_partkey) AS n_part
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_multi_distinct" ->
+      """SELECT l_linestatus,
+        |       COUNT(DISTINCT l_suppkey) AS n_supp,
+        |       CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_dist_qty
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "agg_filter_clause" ->
+      """SELECT o_orderstatus,
+        |       COUNT(*) AS n_all,
+        |       COUNT(*) FILTER (WHERE o_totalprice > 150000.0) AS n_big,
+        |       CAST(SUM(CAST(CASE WHEN o_orderpriority = '1-URGENT'
+        |                          THEN o_totalprice ELSE 0.0 END
+        |                     AS DECIMAL(18,4))) AS DOUBLE) AS urgent_total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "agg_rollup" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         |       ${sqlDsum("o_totalprice")} AS total,
+         |       GROUPING(o_orderstatus) AS g_status,
+         |       GROUPING(o_orderpriority) AS g_prio
+         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         |ORDER BY g_status, g_prio,
+         |         o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |       GROUPING(o_orderstatus) AS g_status,
+        |       GROUPING(o_orderpriority) AS g_prio
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_prio,
+        |         o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |       GROUPING(o_orderstatus) AS g_status,
+        |       GROUPING(o_orderpriority) AS g_prio
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_prio,
+        |         o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "agg_collect_sorted" ->
+      """SELECT o_custkey,
+        |       string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS prios
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+  )
+}
