@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * per-document statistics, quality scoring, token counting, language
+  * identification, and fingerprinting.
+  *
+  * Design for 100 TB: every operator is a narrow per-row projection
+  * (whole-stage-codegen'd, no shuffle, no UDF) — they scan, compute, and
+  * keep the pipeline columnar. Aggregations happen only where the
+  * semantics require them (corpus stats), and those are partial+final
+  * hash aggregates on low-cardinality keys.
+  */
+object TextAnalysis {
+
+  /** Tokens = maximal runs of non-whitespace. */
+  def tokens(text: Column): Column = {
+    val raw = split(text, "\\s+")
+    filter(raw, t => t =!= "")
+  }
+
+  /** Whitespace word count. */
+  def wordCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword token count: alpha runs, digit runs, and isolated
+    * symbols — the classic pre-tokenizer regex shape. A real BPE merge
+    * table would follow this split; counting pre-tokens is the standard
+    * cheap proxy for LLM token budgeting. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Quality features: lengths, ratios — all per-row integer/double math
+    * (deterministic across engines). */
+  def qualityColumns(text: Column): Seq[Column] = {
+    val nChars = length(text)
+    val nWords = wordCount(text)
+    val nAlpha = length(regexp_replace(text, "[^a-zA-Z]", ""))
+    val nSpace = length(regexp_replace(text, "[^ ]", ""))
+    val stop = stopwordCount(text)
+    Seq(
+      nChars.as("n_chars_calc"),
+      nWords.as("n_words"),
+      (nAlpha.cast("double") / nChars.cast("double")).as("alpha_ratio"),
+      (nSpace.cast("double") / nChars.cast("double")).as("space_ratio"),
+      (stop.cast("double") / nWords.cast("double")).as("stopword_ratio"),
+      (nChars.cast("double") / nWords.cast("double")).as("avg_word_len"))
+  }
+
+  /** English stopword hits (fixed tiny list — the heuristic, not NLP). */
+  val stopwords: Seq[String] = Seq("the", "a", "or", "and", "of", "to", "in")
+
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(lower(text)), t => t.isin(stopwords.map(lit(_)): _*)))
+
+  /** Language-ID heuristic: score each language by marker-token hits,
+    * pick the argmax (ties broken by fixed language order). Markers are
+    * high-frequency function words per language. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "la", "de", "et", "les"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "zh" -> Seq("的", "了", "是", "我", "不"))
+
+  def langScore(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(lower(text)), t => t.isin(markers.map(lit(_)): _*)))
+
+  /** Predicted language + its score. Deterministic: first max wins in
+    * the declared order. */
+  def langId(text: Column): (Column, Column) = {
+    val scores = langMarkers.map { case (l, m) => (l, langScore(text, m)) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val lang = scores.reverse.foldLeft(lit("und")) { case (acc, (l, sc)) =>
+      when(sc === best && best > 0, l).otherwise(acc)
+    }
+    // reverse fold ⇒ earlier languages override later ones on ties
+    (lang, best)
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text.
+    * md5 emits identical lowercase hex in Spark, DuckDB and Trino, so it
+    * doubles as the oracle-checkable fingerprint. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Rolling-hash (winnowing-style) fingerprint set: xxhash64 of each
+    * k-token shingle — the document signature used for near-dup work. */
+  def shingleHashes(text: Column, k: Int): Column = {
+    val toks = tokens(lower(text))
+    val n = size(toks)
+    val idx = sequence(lit(1), greatest(n - (k - 1), lit(1)))
+    array_distinct(transform(idx, i => xxhash64(concat_ws(" ", slice(toks, i, k)))))
+  }
+}
