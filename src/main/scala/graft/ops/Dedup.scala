@@ -50,7 +50,7 @@ object Dedup {
     // explode to (band, band_hash, id): the shuffle key is the bucket.
     val banded = sigs.select(col("id"), col("shingles"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), b))))
+          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
 

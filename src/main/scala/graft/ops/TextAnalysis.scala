@@ -91,6 +91,6 @@ object TextAnalysis {
     val toks = tokens(lower(text))
     val n = size(toks)
     val idx = sequence(lit(1), greatest(n - (k - 1), lit(1)))
-    array_distinct(transform(idx, i => xxhash64(concat_ws(" ", slice(toks, i, k)))))
+    array_distinct(transform(idx, i => xxhash64(concat_ws(" ", slice(toks, i, lit(k))))))
   }
 }
