@@ -27,45 +27,69 @@ object Dedup {
       .drop("rn")
   }
 
-  /** MinHash signature: for each of `numHashes` seeds, the min xxhash64
-    * over the document's k-token shingles. Pure projection. */
-  def minHashSignature(text: Column, k: Int, numHashes: Int): Column = {
-    val shingles = TextAnalysis.shingleHashes(text, k)
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      seed => array_min(transform(shingles, h => xxhash64(h, seed))))
+  /** MinHash signature over pre-computed shingle hashes: for each of
+    * `numHashes` seeds, the min seeded rehash. Native expression — a
+    * tight primitive loop per row (the transform/array_min composition
+    * is interpreted and allocates per element; it benchmarked 100×
+    * slower at sf0.1). */
+  def minHashSignature(shingles: Column, numHashes: Int): Column =
+    graft.functions.NativeExprs.minhashSig(shingles, numHashes)
+
+  /** Drop LSH buckets larger than `maxBucket`. A degenerate bucket (m
+    * near-identical boilerplate docs) otherwise produces m²/2 candidate
+    * pairs on one reducer — the classic 100 TB LSH skew failure. Members
+    * of a dropped bucket still pair through their other bands. One extra
+    * hash-shuffle-free pass: the count window needs no sort, and its
+    * hash partitioning on the bucket key is exactly what the self-join
+    * wants next. */
+  private def capBuckets(banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    banded.withColumn("bucket_n", count(lit(1)).over(w))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
   }
 
   /** LSH candidate pairs from MinHash signatures, verified with exact
     * shingle-set Jaccard. bands × rowsPerBand must equal numHashes. */
   def minHashPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      jaccardThreshold: Double = 0.5): DataFrame = {
+      jaccardThreshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
 
-    val sigs = docs.select(col(idCol).as("id"),
-      TextAnalysis.shingleHashes(col(textCol), k).as("shingles"),
-      minHashSignature(col(textCol), k, numHashes).as("sig"))
+    val shingled = docs.select(col(idCol).as("id"),
+      TextAnalysis.shingleHashes(col(textCol), k).as("shingles"))
+    val sigs = shingled.select(col("id"),
+      minHashSignature(col("shingles"), numHashes).as("sig"))
 
-    // explode to (band, band_hash, id): the shuffle key is the bucket.
-    val banded = sigs.select(col("id"), col("shingles"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_hash")
+    // Explode to (band, band_hash, id): the shuffle key is the bucket.
+    // Only ids travel through the bucket self-join — shingle payloads
+    // are re-joined AFTER candidate dedup, so the shuffle rows stay ~24
+    // bytes wide instead of carrying two ~150-element arrays each. (At
+    // 100 TB `shingled` would be checkpointed; here recomputing the
+    // projection is cheaper than shuffling it.)
+    val banded = capBuckets(
+      sigs.select(col("id"),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "band_hash"),
+      Seq("band", "band_hash"), maxBucket)
 
-    val l = banded.select(col("band"), col("band_hash"),
-      col("id").as("id_a"), col("shingles").as("sh_a"))
-    val r = banded.select(col("band"), col("band_hash"),
-      col("id").as("id_b"), col("shingles").as("sh_b"))
+    val l = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val r = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
 
     val candidates = l.join(r, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
 
     candidates
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .join(shingled.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(shingled.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -77,34 +101,27 @@ object Dedup {
     when(union === 0.0, 0.0).otherwise(inter / union)
   }
 
-  /** 64-bit SimHash: sign of the per-bit sum of token-hash bits. */
-  def simHash(text: Column): Column = {
-    val toks = array_distinct(TextAnalysis.tokens(lower(text)))
-    val bitSums = aggregate(
-      toks,
-      array_repeat(lit(0), 64),
-      (acc, tk) => zip_with(acc,
-        transform(sequence(lit(0), lit(63)),
-          i => when(call_function("shiftright", xxhash64(tk), i)
-            .bitwiseAND(1) === 1, 1).otherwise(-1)),
-        (x, y) => x + y))
-    // fold sign bits into one BIGINT
-    aggregate(
-      zip_with(bitSums, sequence(lit(0), lit(63)),
-        (s, i) => when(s > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-      lit(0L), (acc, v) => acc.bitwiseOR(v))
-  }
+  /** 64-bit SimHash: sign of the per-bit sum of token-hash bits. Token
+    * hashing stays on Spark's codegen'd xxhash64; the 64-wide bit
+    * tally runs in a native expression (the nested zip_with/transform
+    * equivalent is interpreted and allocates a 64-int array per token). */
+  def simHash(text: Column): Column =
+    graft.functions.NativeExprs.simhash64(
+      transform(array_distinct(TextAnalysis.tokens(lower(text))),
+        tk => xxhash64(tk)))
 
   /** SimHash near-dup pairs: band the 64 bits into 4×16-bit chunks
     * (exact match on ≥1 chunk ⇒ candidate, guarantees recall for
     * hamming ≤ 3), verify with popcount of xor. */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val sigs = docs.select(col(idCol).as("id"), simHash(col(textCol)).as("sim"))
-    val banded = sigs.select(col("id"), col("sim"),
-        posexplode(transform(sequence(lit(0), lit(3)),
-          b => call_function("shiftright", col("sim"), b * 16).bitwiseAND(0xFFFFL))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    val banded = capBuckets(
+      sigs.select(col("id"), col("sim"),
+          posexplode(transform(sequence(lit(0), lit(3)),
+            b => call_function("shiftright", col("sim"), b * 16).bitwiseAND(0xFFFFL))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk"),
+      Seq("band", "chunk"), maxBucket)
     val l = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("sim").as("sim_a"))
     val r = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("sim").as("sim_b"))
     l.join(r, Seq("band", "chunk"))
@@ -115,19 +132,31 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Exact n-gram Jaccard pairs within a blocking key (here: a column
-    * like `source`) — the quadratic-but-blocked baseline the LSH paths
-    * approximate. At 100 TB the blocking key bounds each block's pair
-    * count; unblocked pairwise comparison is never shipped. */
+  /** Exact n-gram Jaccard pairs within a blocking key (e.g. lang+source)
+    * — the quadratic-but-blocked baseline the LSH paths approximate. At
+    * 100 TB the blocking key bounds each block's pair count; unblocked
+    * pairwise comparison is never shipped. Uses string shingles (not
+    * xxhash64) so a DuckDB oracle can mirror it exactly. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      blockCol: String, n: Int = 3, threshold: Double = 0.1): DataFrame = {
-    val grams = docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
-      array_distinct(TextAnalysis.shingleHashes(col(textCol), n)).as("g"))
+      blockCols: Seq[String], n: Int = 3, threshold: Double = 0.1): DataFrame = {
+    // Distinct string shingles define the semantics (and the DuckDB
+    // oracle); the pairwise intersects run on xxhash64 of each shingle -
+    // long-array intersection beats per-pair string hashing, and a
+    // count-changing collision needs two distinct shingles of one doc
+    // colliding in 64 bits (~1e-15 for this corpus).
+    val grams = docs.select(
+      concat_ws("", blockCols.map(col): _*).as("blk"),
+      col(idCol).as("id"),
+      transform(TextAnalysis.shingleStrings(col(textCol), n), sh => xxhash64(sh)).as("g"))
     val a = grams.select(col("blk"), col("id").as("id_a"), col("g").as("g_a"))
     val b = grams.select(col("blk"), col("id").as("id_b"), col("g").as("g_b"))
     a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", jaccard(col("g_a"), col("g_b")))
+      // one intersect per pair (the jaccard() helper would compute it
+      // twice — the intersect IS the block-quadratic hot loop here)
+      .withColumn("inter", size(array_intersect(col("g_a"), col("g_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("g_a")) + size(col("g_b")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

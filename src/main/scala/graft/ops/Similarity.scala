@@ -21,10 +21,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Exact dot product in double — sequential fold in index order. */
+  /** Exact dot product in double — index-order accumulation. Native
+    * expression (tight float loop); the zip_with/aggregate composition
+    * computes the same value interpreted at ~100× the cost. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.NativeExprs.dotf(a, b)
 
   /** Order-independent dot product: per-element products rounded to
     * DECIMAL(28,14) and summed exactly. Matches the DuckDB oracle
@@ -55,45 +56,52 @@ object Similarity {
       .limit(k)
   }
 
-  /** Deterministic pseudo-random unit-ish hyperplane component:
-    * hash(plane, dim) mapped to [-1, 1). Shared by signature and probe
-    * sides, so it needs no broadcast state — it's recomputed in codegen. */
-  private def planeComponent(plane: Column, dim: Column): Column =
-    (xxhash64(plane, dim).cast("double") / lit(Long.MaxValue.toDouble))
-
-  /** SRP signature: `bits` sign bits of dot(v, plane_i), packed to BIGINT. */
+  /** SRP signature: `bits` sign bits of dot(v, plane_b) packed to
+    * BIGINT; plane components are hashes of (b, i) mapped to [-1, 1),
+    * recomputed on the fly — no broadcast state. Native expression. */
   def srpSignature(vec: Column, bits: Int): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(bits - 1)), p => {
-        val s = aggregate(
-          zip_with(vec, sequence(lit(0), size(vec) - 1),
-            (x, i) => x.cast("double") * planeComponent(p, i)),
-          lit(0.0), (acc, v) => acc + v)
-        when(s > 0.0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
-      }),
-      lit(0L), (acc, v) => acc.bitwiseOR(v))
+    graft.functions.NativeExprs.srpSig(vec, bits)
 
-  /** Embedding near-dup pairs via SRP-LSH: band the signature, bucket-join,
-    * verify candidates with exact cosine. */
-  def srpNearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
-      bits: Int = 32, bands: Int = 4, cosThreshold: Double = 0.9): DataFrame = {
+  /** SRP-LSH candidate pairs with exact cosine attached (no threshold):
+    * band the signature, bucket-join, score candidates. Buckets larger
+    * than `maxBucket` are dropped — same skew guard as Dedup.capBuckets;
+    * members still pair via their other bands. */
+  def srpCandidatePairs(embeddings: DataFrame, idCol: String, vecCol: String,
+      bits: Int = 32, bands: Int = 4, maxBucket: Int = 1000): DataFrame = {
     val chunk = bits / bands
-    val sigs = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"),
-      srpSignature(col(vecCol), bits).as("sig"))
-    val banded = sigs.select(col("id"), col("v"),
+    val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val sigs = vecs.select(col("id"), srpSignature(col("v"), bits).as("sig"))
+    val bucketW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("chunk_val"))
+    // ids only through the bucket join; vectors re-joined after dedup
+    val banded = sigs.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => call_function("shiftright", col("sig"), b * chunk)
             .bitwiseAND(lit((1L << chunk) - 1)))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk_val")
-    val l = banded.select(col("band"), col("chunk_val"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = banded.select(col("band"), col("chunk_val"), col("id").as("id_b"), col("v").as("v_b"))
+      .withColumn("bucket_n", count(lit(1)).over(bucketW))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val l = banded.select(col("band"), col("chunk_val"), col("id").as("id_a"))
+    val r = banded.select(col("band"), col("chunk_val"), col("id").as("id_b"))
     l.join(r, Seq("band", "chunk_val"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("cos_sim", cosineDecimal(col("v_a"), col("v_b")))
-      .filter(col("cos_sim") >= cosThreshold)
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      // double cosine: candidate scoring has no cross-engine oracle, and
+      // Spark's index-order fold is deterministic run-to-run
+      .withColumn("cos_sim",
+        dot(col("v_a"), col("v_b")) /
+          sqrt(dot(col("v_a"), col("v_a")) * dot(col("v_b"), col("v_b"))))
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
+
+  /** Embedding near-dup pairs via SRP-LSH: candidates ≥ threshold. */
+  def srpNearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
+      bits: Int = 32, bands: Int = 4, cosThreshold: Double = 0.9): DataFrame =
+    srpCandidatePairs(embeddings, idCol, vecCol, bits, bands)
+      .filter(col("cos_sim") >= cosThreshold)
 
   /** IVF-style ANN: centroids = deterministic sample of the corpus
     * (every `stride`-th id). Every vector is assigned to its nearest
@@ -105,23 +113,30 @@ object Similarity {
     val centroids = embeddings.filter(col(idCol) % stride === 0)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
 
-    // cell assignment: nearest centroid by cosine (broadcast the centroids)
+    // Cell assignment: nearest centroid by cosine (broadcast the
+    // centroids). argmax via max_by — a partial+final hash aggregate, no
+    // window sort over the N×C expansion. Tie-break: highest cos, then
+    // lowest cent_id (negated inside the ordering struct). Plain double
+    // cosine here: the assignment is internal and Spark's fold order is
+    // deterministic, so the cross-engine decimal trick isn't needed.
+    val cos = (a: Column, b: Column) => dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+    // Only (id, cent_cos, cent_id) pass through the argmax shuffle —
+    // carrying the vector via first() multiplied shuffle volume by the
+    // centroid count; vectors re-join after the aggregate instead.
     val assigned = embeddings.join(broadcast(centroids))
-      .select(col(idCol), col(vecCol),
-        col("cent_id"),
-        cosineDecimal(col(vecCol), col("cent_vec")).as("cent_cos"))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col(idCol)).orderBy(col("cent_cos").desc, col("cent_id").asc)))
-      .filter(col("rk") === 1)
-      .select(col(idCol), col(vecCol), col("cent_id").as("cell_id"))
+      .select(col(idCol), col("cent_id"),
+        cos(col(vecCol), col("cent_vec")).as("cent_cos"))
+      .groupBy(col(idCol))
+      .agg(max_by(col("cent_id"),
+        struct(col("cent_cos"), (-col("cent_id")).as("neg_id"))).as("cell_id"))
+      .join(embeddings.select(col(idCol), col(vecCol)), Seq(idCol))
 
     // the anchor's nProbe nearest cells
     val anchor = embeddings.filter(col(idCol) === anchorId)
       .select(col(vecCol).as("anchor_vec"))
     val probeCells = centroids.join(broadcast(anchor))
       .select(col("cent_id"),
-        cosineDecimal(col("cent_vec"), col("anchor_vec")).as("c"))
+        cos(col("cent_vec"), col("anchor_vec")).as("c"))
       .orderBy(col("c").desc, col("cent_id").asc)
       .limit(nProbe)
       .select(col("cent_id").as("cell_id"))
@@ -129,7 +144,7 @@ object Similarity {
     assigned.join(broadcast(probeCells), Seq("cell_id"))
       .join(broadcast(anchor))
       .select(col(idCol),
-        cosineDecimal(col(vecCol), col("anchor_vec")).as("cos_sim"))
+        cos(col(vecCol), col("anchor_vec")).as("cos_sim"))
       .filter(col(idCol) =!= anchorId)
       .orderBy(col("cos_sim").desc, col(idCol).asc)
       .limit(k)

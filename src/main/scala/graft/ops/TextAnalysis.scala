@@ -32,18 +32,23 @@ object TextAnalysis {
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 
   /** Quality features: lengths, ratios — all per-row integer/double math
-    * (deterministic across engines). */
-  def qualityColumns(text: Column): Seq[Column] = {
-    val nChars = length(text)
-    val nWords = wordCount(text)
-    val nAlpha = length(regexp_replace(text, "[^a-zA-Z]", ""))
-    val nSpace = length(regexp_replace(text, "[^ ]", ""))
-    val stop = stopwordCount(text)
-    Seq(
-      nChars.as("n_chars_calc"),
+    * (deterministic across engines). Staged as two projections so the
+    * tokenization runs once per row: CollapseProject keeps a multiply-
+    * referenced non-trivial alias in its own projection, where the
+    * column-level composition re-split the text for every ratio. */
+  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val staged = df.select(col(idCol), col(textCol).as("__text"),
+      tokens(col(textCol)).as("__toks"))
+    val nChars = length(col("__text"))
+    val nWords = size(col("__toks"))
+    val stop = size(filter(transform(col("__toks"), t => lower(t)),
+      t => t.isin(stopwords.map(lit(_)): _*)))
+    staged.select(col(idCol),
       nWords.as("n_words"),
-      (nAlpha.cast("double") / nChars.cast("double")).as("alpha_ratio"),
-      (nSpace.cast("double") / nChars.cast("double")).as("space_ratio"),
+      (length(regexp_replace(col("__text"), "[^a-zA-Z]", "")).cast("double") /
+        nChars.cast("double")).as("alpha_ratio"),
+      (length(regexp_replace(col("__text"), "[^ ]", "")).cast("double") /
+        nChars.cast("double")).as("space_ratio"),
       (stop.cast("double") / nWords.cast("double")).as("stopword_ratio"),
       (nChars.cast("double") / nWords.cast("double")).as("avg_word_len"))
   }
@@ -92,5 +97,15 @@ object TextAnalysis {
     val n = size(toks)
     val idx = sequence(lit(1), greatest(n - (k - 1), lit(1)))
     array_distinct(transform(idx, i => xxhash64(concat_ws(" ", slice(toks, i, lit(k))))))
+  }
+
+  /** Distinct k-token shingles as strings (un-hashed variant of
+    * [[shingleHashes]]): oracle-friendly — DuckDB can mirror it with a
+    * list comprehension, where xxhash64 has no cross-engine twin. */
+  def shingleStrings(text: Column, k: Int): Column = {
+    val toks = tokens(lower(trim(text)))
+    val n = size(toks)
+    val idx = sequence(lit(1), greatest(n - (k - 1), lit(1)))
+    array_distinct(transform(idx, i => concat_ws(" ", slice(toks, i, lit(k)))))
   }
 }

@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import QHelpers._
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+/** SURVEY.md §2b rows 56–59 + the LLM-data-pipeline extension suite:
+  * dedup (exact / MinHash-LSH / SimHash / blocked n-gram), text analysis
+  * (stats, quality, lang-id, fingerprint, token count), and similarity
+  * search over embeddings (brute-force kNN, SRP-LSH, IVF).
+  *
+  * Oracle-checked where DuckDB can express the same computation
+  * hash-stably (string shingles, integer ratios, decimal-routed dot
+  * products); the xxhash64/LSH-dependent queries are rows-only but fully
+  * deterministic (fixed seeds, total ORDER BY).
+  */
+object PipelineOps {
+
+  val defs: Map[String, Q] = Map(
+    // 56. exact dedup: keep min doc_id per normalized text. One
+    // hash-shuffle on the key; no driver materialization.
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    // 59. MinHash LSH near-dup pairs, Jaccard-verified. Deterministic
+    // (xxhash64, fixed band layout) but not DuckDB-expressible.
+    "dedup_minhash" -> ((s, d) =>
+      Dedup.minHashPairs(t(s, d, "documents"), "doc_id", "text",
+          k = 3, numHashes = 32, bands = 8, jaccardThreshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // SimHash near-dup pairs (hamming ≤ 3 of 64 bits).
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simHashPairs(t(s, d, "documents"), "doc_id", "text",
+          maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Blocked exact n-gram Jaccard (string shingles → oracle-checkable).
+    "dedup_ngram" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+          blockCols = Seq("lang", "source"), n = 3, threshold = 0.3)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // 57. per-language corpus stats — partial+final hash agg on lang.
+    "text_stats" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("total_chars"),
+          sum(TextAnalysis.wordCount(col("text")).cast("long")).as("total_words"))
+        .withColumn("avg_words",
+          col("total_words").cast("double") / col("n_docs").cast("double"))
+        .orderBy(col("lang"))),
+
+    // Per-doc quality features: pure per-row projections (codegen'd).
+    "text_quality" -> ((s, d) =>
+      TextAnalysis.quality(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // Language-ID heuristic: argmax of marker-token hits.
+    "text_langid" -> ((s, d) => {
+      val (lang, best) = TextAnalysis.langId(col("text"))
+      t(s, d, "documents")
+        .select(col("doc_id"), lang.as("lang_pred"), best.as("score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Content fingerprint: md5 of whitespace-normalized lowercase text.
+    "text_fingerprint" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    // BPE-ish pre-tokenizer count (the cheap LLM token-budget proxy).
+    "text_token_count" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.bpeishTokenCount(col("text")).as("n_tokens"))
+        .orderBy(col("doc_id"))),
+
+    // 58. brute-force cosine top-k vs anchor vec_id=0 — broadcast anchor,
+    // one corpus pass, TakeOrderedAndProject.
+    "embed_knn_cosine" -> ((s, d) =>
+      Similarity.cosineTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        anchorId = 0L, k = 10)),
+
+    // SRP-LSH candidate pairs, top-20 by exact cosine. Rows-only
+    // (hash-seeded hyperplanes) but deterministic.
+    "embed_srp_topdups" -> ((s, d) =>
+      Similarity.srpCandidatePairs(t(s, d, "embeddings"), "vec_id", "embedding",
+          bits = 32, bands = 4)
+        .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
+        .limit(20)),
+
+    // IVF ANN top-k: deterministic stride-sampled centroids (a stand-in
+    // for k-means), max_by cell assignment, probe nProbe cells.
+    "embed_ivf_topk" -> ((s, d) =>
+      Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        anchorId = 0L, k = 10, stride = 50, nProbe = 2))
+  )
+
+  private val sqlToks =
+    "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+  private val stopList = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |         row_number() OVER (PARTITION BY lower(trim(text)) ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "dedup_ngram" ->
+      """WITH g AS (
+        |  SELECT doc_id, lang, source,
+        |    list_distinct([array_to_string(lst[i:i+2], ' ')
+        |                   for i in range(1, greatest(len(lst)-2, 1)+1)]) AS sh
+        |  FROM (SELECT doc_id, lang, source,
+        |          list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS lst
+        |        FROM documents)
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |  FROM g a JOIN g b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "text_stats" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+         |  CAST(SUM(len($sqlToks)) AS BIGINT) AS total_words,
+         |  CAST(SUM(len($sqlToks)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_words
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    length(text) AS nc,
+         |    CAST(len($sqlToks) AS INT) AS nw,
+         |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS na,
+         |    length(regexp_replace(text, '[^ ]', '', 'g')) AS ns,
+         |    len(list_filter($sqlToks, t -> t IN ($stopList))) AS stop
+         |  FROM documents)
+         |SELECT doc_id, nw AS n_words,
+         |  CAST(na AS DOUBLE) / CAST(nc AS DOUBLE) AS alpha_ratio,
+         |  CAST(ns AS DOUBLE) / CAST(nc AS DOUBLE) AS space_ratio,
+         |  CAST(stop AS DOUBLE) / CAST(nw AS DOUBLE) AS stopword_ratio,
+         |  CAST(nc AS DOUBLE) / CAST(nw AS DOUBLE) AS avg_word_len
+         |FROM q ORDER BY doc_id""".stripMargin,
+
+    "text_langid" -> {
+      val scores = TextAnalysis.langMarkers.map { case (l, ms) =>
+        val in = ms.map(m => s"'$m'").mkString(", ")
+        s"CAST(len(list_filter(tk, t -> t IN ($in))) AS INT) AS s_$l"
+      }.mkString(",\n  ")
+      val langs = TextAnalysis.langMarkers.map(_._1)
+      val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+      val cases = langs.map(l => s"WHEN s_$l = best THEN '$l'").mkString(" ")
+      s"""WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+         |s AS (SELECT doc_id,
+         |  $scores
+         |FROM toks),
+         |b AS (SELECT *, $best AS best FROM s)
+         |SELECT doc_id,
+         |  CASE WHEN best = 0 THEN 'und' $cases ELSE 'und' END AS lang_pred,
+         |  best AS score
+         |FROM b ORDER BY doc_id""".stripMargin
+    },
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "embed_knn_cosine" ->
+      """WITH a AS (SELECT embedding AS av FROM embeddings WHERE vec_id = 0),
+        |d AS (
+        |  SELECT e.vec_id,
+        |    CAST(SUM(CAST(CAST(e.embedding[s.i] AS DOUBLE)*CAST(a.av[s.i] AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS dab,
+        |    CAST(SUM(CAST(CAST(e.embedding[s.i] AS DOUBLE)*CAST(e.embedding[s.i] AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS daa,
+        |    CAST(SUM(CAST(CAST(a.av[s.i] AS DOUBLE)*CAST(a.av[s.i] AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS dbb
+        |  FROM embeddings e, a, generate_series(1, 64) AS s(i)
+        |  GROUP BY e.vec_id)
+        |SELECT vec_id, dab / sqrt(daa * dbb) AS cos_sim FROM d
+        |WHERE vec_id <> 0
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin
+  )
+}

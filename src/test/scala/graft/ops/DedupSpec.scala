@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Property checks for the dedup operators (SURVEY.md §2b rows 56/59):
+  * exact duplicates must always pair under MinHash LSH (identical
+  * shingle sets ⇒ identical signatures ⇒ same bucket in every band),
+  * SimHash of identical text has hamming 0, and exact dedup keeps the
+  * minimum id per key.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog today"),
+    (2L, "the quick brown fox jumps over the lazy dog today"), // exact dup of 1
+    (3L, "The Quick Brown Fox jumps over the lazy dog today"), // case-dup of 1
+    (4L, "completely different content about distributed query engines and shuffles"),
+    (5L, "another unrelated document mentioning embeddings vectors and cosine metrics")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps the minimum doc_id per normalized text") {
+    val kept = Dedup.exact(docs).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 4L, 5L)) // 2 and 3 normalize to doc 1's key
+  }
+
+  test("exact duplicates always pair under MinHash LSH") {
+    val pairs = Dedup.minHashPairs(docs, "doc_id", "text",
+        k = 3, numHashes = 32, bands = 8, jaccardThreshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L))) // lowercase-normalized shingles
+    assert(pairs.contains((2L, 3L)))
+    assert(!pairs.exists { case (a, b) => a >= 4L || b >= 4L })
+  }
+
+  test("MinHash pair jaccard is 1.0 for exact duplicates") {
+    val j = Dedup.minHashPairs(docs, "doc_id", "text",
+        k = 3, numHashes = 32, bands = 8, jaccardThreshold = 0.5)
+      .filter(col("id_a") === 1L && col("id_b") === 2L)
+      .select("jaccard").as[Double].collect()
+    assert(j.length == 1 && j.head == 1.0)
+  }
+
+  test("SimHash of identical (normalized) text is identical; pairs have hamming 0") {
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(pairs((1L, 3L)) == 0)
+  }
+
+  test("blocked n-gram jaccard finds the dup pair inside its block") {
+    val blocked = docs.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+    val pairs = Dedup.ngramJaccardPairs(blocked, "doc_id", "text",
+        blockCols = Seq("lang", "source"), n = 3, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((1L, 2L)) == 1.0)
+    assert(!m.contains((4L, 5L)))
+  }
+
+  test("LSH bucket cap drops degenerate buckets but keeps small ones") {
+    // 30 identical docs → every band-bucket holds all 30; cap of 10 drops
+    // them all (no pairs); the cap must not fire for the 5-doc corpus.
+    val boiler = (1L to 30L).map(i => (i, "same boilerplate text repeated forever and ever amen"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.minHashPairs(boiler, "doc_id", "text",
+      k = 3, numHashes = 32, bands = 8, jaccardThreshold = 0.5, maxBucket = 10)
+    assert(capped.count() == 0)
+    val uncapped = Dedup.minHashPairs(boiler, "doc_id", "text",
+      k = 3, numHashes = 32, bands = 8, jaccardThreshold = 0.5, maxBucket = 1000)
+    assert(uncapped.count() == 30L * 29L / 2L)
+  }
+}
