@@ -34,7 +34,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.defs ++ Windows.defs ++ Shapes.defs ++ Funcs.defs ++
-      TimeOps.defs ++ PipelineOps.defs
+      TimeOps.defs ++ PipelineOps.defs ++ MetaOps.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

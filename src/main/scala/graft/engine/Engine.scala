@@ -1,0 +1,46 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+import graft.config.EngineConfig
+import graft.security.Allowlists
+
+/** The embedded engine: owns a lazily-created SparkSession (mirroring
+  * the reference's lazy ensureConnected, reference
+  * internal/trino/client.go:187-233) plus the parsed config and
+  * allowlists. Where the reference crosses a process boundary at
+  * db.QueryContext, our boundary is Spark driver→executor task
+  * scheduling inside collect().
+  *
+  * Session-level settings are applied ONCE at build (shuffle
+  * partitions, UTC, ANSI double-quoted identifiers for Trino dialect
+  * fidelity) — never mutated per query (safe for the concurrent tool
+  * calls the MCP server takes).
+  */
+class Engine(
+    val config: EngineConfig,
+    val dataDir: Option[String] = None,
+    existing: Option[SparkSession] = None) {
+
+  val allowlists: Allowlists =
+    Allowlists(config.allowedCatalogs, config.allowedSchemas, config.allowedTables)
+
+  lazy val spark: SparkSession = {
+    val s = existing.getOrElse {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+        Runtime.getRuntime.availableProcessors().toString)
+      SparkSession.builder()
+        .master(s"local[$cpus]")
+        .appName(config.source)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    }
+    // Trino quotes identifiers with "double quotes" (the sanitizer pins
+    // that, reference client.go:445); Spark defaults to backticks.
+    s.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
+    dataDir.foreach(Tables.registerAll(s, _))
+    s
+  }
+}

@@ -1,0 +1,75 @@
+package graft.service
+
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+import graft.engine.Engine
+import graft.security.ReadOnlyGuard
+
+/** explain_query: the reference forwards EXPLAIN (TYPE
+  * LOGICAL|DISTRIBUTED|VALIDATE|IO) to Trino and rejects other formats
+  * (reference internal/trino/client.go:772-791). Spark mapping
+  * (SURVEY.md §4.2):
+  *   - default / DISTRIBUTED → formatted physical plan (stages +
+  *     exchanges are the distributed structure)
+  *   - LOGICAL → optimized logical plan
+  *   - VALIDATE → analyze only; one row {"Valid": true}
+  *   - IO → walk the physical plan's FileSourceScanExec leaves: files,
+  *     pushed filters, read schema (what Trino's IO plan reports as
+  *     table/column access)
+  * Output shape mirrors Trino's EXPLAIN result: rows with a single
+  * "Query Plan" column (docs/tools.md:176-197 renders that text).
+  */
+class ExplainService(engine: Engine) {
+
+  def explain(query: String, format: String): Either[String, Seq[Map[String, Any]]] = {
+    val f = format.trim.toUpperCase
+    if (f.nonEmpty && !Set("LOGICAL", "DISTRIBUTED", "VALIDATE", "IO")(f))
+      return Left(s"""invalid EXPLAIN format: "$format" (allowed: LOGICAL, DISTRIBUTED, VALIDATE, IO)""")
+
+    val stripped = ReadOnlyGuard.stripTrailingSemicolon(query)
+    // EXPLAIN goes through the guard too ("explain" is an allowed
+    // prefix, client.go:288) — the target query must itself be read-only.
+    if (!engine.config.allowWriteQueries && !ReadOnlyGuard.isReadOnly(stripped))
+      return Left("security restriction: only SELECT, SHOW, DESCRIBE, and EXPLAIN " +
+        "queries are allowed. Set TRINO_ALLOW_WRITE_QUERIES=true to enable write " +
+        "operations (at your own risk)")
+
+    try {
+      val qe = engine.spark.sql(stripped).queryExecution
+      val text = f match {
+        case "VALIDATE" =>
+          qe.assertAnalyzed()
+          return Right(Seq(Map("Valid" -> true)))
+        case "LOGICAL" => qe.optimizedPlan.treeString
+        case "IO" =>
+          qe.assertAnalyzed()
+          val scans = collectScans(qe.executedPlan)
+          if (scans.isEmpty) "no file sources"
+          else scans.map { s =>
+            val md = s.metadata
+            s"Scan ${s.tableIdentifier.map(_.toString).getOrElse(s.nodeName)}\n" +
+              s"  Location: ${md.getOrElse("Location", "?")}\n" +
+              s"  ReadSchema: ${md.getOrElse("ReadSchema", "?")}\n" +
+              s"  PushedFilters: ${md.getOrElse("PushedFilters", "[]")}\n" +
+              s"  PartitionFilters: ${md.getOrElse("PartitionFilters", "[]")}"
+          }.mkString("\n")
+        case _ => // "" or DISTRIBUTED
+          qe.explainString(org.apache.spark.sql.execution.FormattedMode)
+      }
+      Right(Seq(Map("Query Plan" -> text)))
+    } catch {
+      case e: Throwable =>
+        Left(s"query explanation failed: ${Option(e.getMessage).getOrElse(e.toString).linesIterator.take(3).mkString(" ")}")
+    }
+  }
+
+  /** File scans in the physical plan, descending into
+    * AdaptiveSparkPlanExec (whose inner plan is not a TreeNode child —
+    * a plain collect sees no scans once AQE wraps the query). */
+  private def collectScans(plan: SparkPlan): Seq[FileSourceScanExec] =
+    plan.collect {
+      case a: AdaptiveSparkPlanExec => collectScans(a.inputPlan)
+      case f: FileSourceScanExec => Seq(f)
+    }.flatten
+}

@@ -1,0 +1,85 @@
+package graft.service
+
+import java.util.UUID
+import java.util.concurrent.{CompletableFuture, TimeUnit, TimeoutException}
+
+import org.apache.spark.sql.DataFrame
+
+import graft.engine.Engine
+import graft.security.ReadOnlyGuard
+
+/** execute_query: guard → spark.sql → bounded collect → rows, mirroring
+  * the reference's hot path (reference internal/trino/client.go:501-630):
+  * trailing-semicolon strip, read-only guard (unless
+  * TRINO_ALLOW_WRITE_QUERIES), per-query timeout — realized here as a
+  * Spark job group that is CANCELLED on deadline (abandoning the future
+  * would leave tasks poisoning later queries), and a row cap bounding
+  * driver memory (embedded-engine addition, SURVEY.md §4).
+  */
+class QueryService(engine: Engine) {
+
+  /** Columns in schema order + rows; `truncated` set when the row cap
+    * clipped the result. */
+  final case class QueryResult(columns: Seq[String], rows: Seq[Seq[Any]],
+      truncated: Boolean) {
+    def toMaps: Seq[Map[String, Any]] =
+      rows.map(r => columns.zip(r).toMap)
+    /** JSON array of objects in schema column order. */
+    def toJson: String =
+      Json.write(rows.map(r => scala.collection.immutable.ListMap(columns.zip(r): _*)), indent = 2)
+  }
+
+  def execute(query: String): Either[String, QueryResult] = {
+    val stripped = ReadOnlyGuard.stripTrailingSemicolon(query)
+    if (!engine.config.allowWriteQueries && !ReadOnlyGuard.isReadOnly(stripped))
+      return Left("security restriction: only SELECT, SHOW, DESCRIBE, and EXPLAIN " +
+        "queries are allowed. Set TRINO_ALLOW_WRITE_QUERIES=true to enable write " +
+        "operations (at your own risk)")
+
+    val df =
+      try engine.spark.sql(stripped)
+      catch { case e: Throwable => return Left(s"query execution failed: ${clip(e)}") }
+    collectBounded(df)
+  }
+
+  /** Run an already-built DataFrame through the same timeout/cap path. */
+  def collectBounded(df: DataFrame): Either[String, QueryResult] = {
+    val cap = engine.config.maxResultRows
+    withTimeoutAndCancel {
+      val taken = df.take(cap + 1)
+      val truncated = taken.length > cap
+      val rows = taken.take(cap).toSeq.map(_.toSeq)
+      QueryResult(df.schema.fieldNames.toSeq, rows, truncated)
+    }
+  }
+
+  /** Deadline enforcement with job-group cancel (client.go:525 moved to
+    * Spark's cancellation model; SURVEY.md §7 gotcha 8). */
+  private def withTimeoutAndCancel[T](body: => T): Either[String, T] = {
+    val spark = engine.spark
+    val group = s"graft-query-${UUID.randomUUID()}"
+    val fut = new CompletableFuture[T]()
+    val runner = new Thread(() => {
+      spark.sparkContext.setJobGroup(group, "graft query", interruptOnCancel = true)
+      try fut.complete(body)
+      catch { case e: Throwable => fut.completeExceptionally(e) }
+      finally spark.sparkContext.clearJobGroup()
+    }, group)
+    runner.setDaemon(true)
+    runner.start()
+    try Right(fut.get(engine.config.queryTimeoutSeconds.toLong, TimeUnit.SECONDS))
+    catch {
+      case _: TimeoutException =>
+        spark.sparkContext.cancelJobGroup(group)
+        Left(s"query execution failed: query timed out after " +
+          s"${engine.config.queryTimeoutSeconds}s")
+      case e: java.util.concurrent.ExecutionException =>
+        Left(s"query execution failed: ${clip(e.getCause)}")
+    }
+  }
+
+  private def clip(e: Throwable): String = {
+    val m = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+    if (m.length > 800) m.take(800) + "…" else m
+  }
+}

@@ -1,0 +1,194 @@
+package graft.service
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.config.EngineConfig
+import graft.engine.Engine
+
+/** End-to-end service behavior over the sf0.001 testdata: the
+  * execute_query lifecycle (guard → sql → bounded collect), metadata
+  * listings with allowlist filtering and Trino type names, and the four
+  * EXPLAIN modes (reference behaviors: internal/trino/client.go:501-791).
+  */
+class ServicesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def engine(env: Map[String, String] = Map.empty): Engine = {
+    val cfg = EngineConfig.fromEnv(env).toOption.get
+    new Engine(cfg, Some(dir), existing = Some(spark))
+  }
+
+  // --- QueryService ---
+
+  test("execute: flagship aggregation runs and returns rows") {
+    val qs = new QueryService(engine())
+    val r = qs.execute(
+      """SELECT r_name, COUNT(*) AS customer_count
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY customer_count DESC, r_name""".stripMargin).toOption.get
+    assert(r.columns == Seq("r_name", "customer_count"))
+    assert(r.rows.length == 5 && !r.truncated)
+  }
+
+  test("execute: trailing semicolon stripped") {
+    assert(new QueryService(engine()).execute("SELECT 1 AS x;").toOption.get.rows ==
+      Seq(Seq(1)))
+  }
+
+  test("execute: write statements rejected with the reference error text") {
+    val r = new QueryService(engine()).execute("DROP TABLE region")
+    assert(r == Left("security restriction: only SELECT, SHOW, DESCRIBE, and EXPLAIN " +
+      "queries are allowed. Set TRINO_ALLOW_WRITE_QUERIES=true to enable write " +
+      "operations (at your own risk)"))
+  }
+
+  test("execute: multi-statement rejected") {
+    assert(new QueryService(engine()).execute("SELECT 1; DROP TABLE region").isLeft)
+  }
+
+  test("execute: write keyword in literal is fine") {
+    assert(new QueryService(engine())
+      .execute("SELECT 'INSERT INTO x' AS s").toOption.get.rows == Seq(Seq("INSERT INTO x")))
+  }
+
+  test("execute: row cap truncates and flags") {
+    val e = engine(Map("GRAFT_MAX_RESULT_ROWS" -> "7"))
+    val r = new QueryService(e).execute("SELECT c_custkey FROM customer ORDER BY c_custkey")
+      .toOption.get
+    assert(r.rows.length == 7 && r.truncated)
+  }
+
+  test("execute: timeout cancels the job group") {
+    val e = engine(Map("TRINO_QUERY_TIMEOUT" -> "2"))
+    val r = new QueryService(e).execute(
+      "SELECT COUNT(*) FROM (SELECT a.id FROM range(100000000) a CROSS JOIN range(10000) b)")
+    assert(r.isLeft && r.swap.toOption.get.contains("timed out after 2s"))
+  }
+
+  test("execute: JSON output is objects in schema column order") {
+    val r = new QueryService(engine()).execute(
+      "SELECT 1 AS b_first, 2 AS a_second").toOption.get
+    assert(r.toJson.replaceAll("\\s", "") == """[{"b_first":1,"a_second":2}]""")
+  }
+
+  // --- MetadataService ---
+
+  test("listCatalogs: spark session catalog visible") {
+    assert(new MetadataService(engine()).listCatalogs() == Seq("spark_catalog"))
+  }
+
+  test("listCatalogs: allowlist filters everything else") {
+    val e = engine(Map("TRINO_ALLOWED_CATALOGS" -> "nonexistent"))
+    assert(new MetadataService(e).listCatalogs().isEmpty)
+  }
+
+  test("listSchemas: default catalog contains default schema") {
+    assert(new MetadataService(engine()).listSchemas("").contains("default"))
+  }
+
+  test("listSchemas: allowlist filtering") {
+    val e = engine(Map("TRINO_ALLOWED_SCHEMAS" -> "spark_catalog.other"))
+    assert(new MetadataService(e).listSchemas("").isEmpty)
+  }
+
+  test("listTables: registered testdata views visible in default namespace") {
+    val tables = new MetadataService(engine()).listTables("", "")
+    assert(Seq("region", "nation", "customer", "orders", "lineitem",
+      "events", "documents", "embeddings").forall(tables.contains))
+  }
+
+  test("listTables: table allowlist filters") {
+    val e = engine(Map("TRINO_ALLOWED_TABLES" -> "spark_catalog.default.region"))
+    assert(new MetadataService(e).listTables("", "") == Seq("region"))
+  }
+
+  test("getTableSchema: Trino-style type names for the star schema") {
+    val cols = new MetadataService(engine()).getTableSchema("", "", "customer").toOption.get
+    val byName = cols.map(m => m("Column") -> m("Type")).toMap
+    assert(byName("c_custkey") == "bigint")
+    assert(byName("c_name") == "varchar")
+    assert(byName("c_acctbal") == "double")
+  }
+
+  test("getTableSchema: nested types (embeddings) map to Trino names") {
+    val cols = new MetadataService(engine()).getTableSchema("", "", "embeddings").toOption.get
+    val byName = cols.map(m => m("Column") -> m("Type")).toMap
+    assert(byName("embedding") == "array(real)")
+    assert(byName("label") == "integer")
+  }
+
+  test("getTableSchema: schema.table and catalog.schema.table resolution") {
+    val m = new MetadataService(engine())
+    assert(m.getTableSchema("", "", "default.region").isRight ||
+      m.getTableSchema("", "", "region").isRight) // 2-part resolves to default ns
+    assert(m.getTableSchema("", "", "region").toOption.get.nonEmpty)
+  }
+
+  test("getTableSchema: allowlist denial uses the reference error text") {
+    val e = engine(Map("TRINO_ALLOWED_TABLES" -> "spark_catalog.default.region"))
+    assert(new MetadataService(e).getTableSchema("", "", "customer") ==
+      Left("table access denied: spark_catalog.default.customer not in allowlist"))
+  }
+
+  // --- ExplainService ---
+
+  test("explain: default (distributed) mode has a formatted physical plan") {
+    val r = new ExplainService(engine()).explain(
+      "SELECT r_name, COUNT(*) FROM region GROUP BY r_name", "").toOption.get
+    val text = r.head("Query Plan").toString
+    assert(text.contains("HashAggregate") || text.contains("Physical Plan"))
+  }
+
+  test("explain: LOGICAL mode shows the optimized logical plan") {
+    val r = new ExplainService(engine()).explain(
+      "SELECT r_name FROM region WHERE r_regionkey = 1", "LOGICAL").toOption.get
+    val text = r.head("Query Plan").toString
+    assert(text.contains("Relation") || text.contains("Filter"))
+  }
+
+  test("explain: VALIDATE mode returns Valid=true for good SQL") {
+    assert(new ExplainService(engine()).explain("SELECT 1", "VALIDATE") ==
+      Right(Seq(Map("Valid" -> true))))
+  }
+
+  test("explain: VALIDATE mode fails for bad SQL") {
+    assert(new ExplainService(engine()).explain("SELECT missing_col FROM region", "VALIDATE").isLeft)
+  }
+
+  test("explain: IO mode reports file scans with pushed filters") {
+    val r = new ExplainService(engine()).explain(
+      "SELECT r_name FROM region WHERE r_regionkey = 1", "IO").toOption.get
+    val text = r.head("Query Plan").toString
+    assert(text.contains("Location") && text.contains("ReadSchema"))
+  }
+
+  test("explain: IO mode sees scans through the AQE wrapper") {
+    val r = new ExplainService(engine()).explain(
+      "SELECT o_orderstatus, COUNT(*) FROM orders GROUP BY o_orderstatus", "IO").toOption.get
+    val text = r.head("Query Plan").toString
+    assert(text.contains("Location"), s"got: $text")
+  }
+
+  test("explain: invalid format rejected with the reference error text") {
+    assert(new ExplainService(engine()).explain("SELECT 1", "FANCY") ==
+      Left("""invalid EXPLAIN format: "FANCY" (allowed: LOGICAL, DISTRIBUTED, VALIDATE, IO)"""))
+  }
+
+  test("explain: target query still passes the guard") {
+    assert(new ExplainService(engine()).explain("DROP TABLE region", "LOGICAL").isLeft)
+  }
+
+  // --- Json round-trip ---
+
+  test("Json: writer/parser round-trip") {
+    val v = Map("a" -> Seq(1L, 2L, 3L), "b" -> "x\"y\n", "c" -> null, "d" -> true)
+    val parsed = Json.parse(Json.write(v)).asInstanceOf[collection.Map[String, Any]]
+    assert(parsed("a") == Vector(1L, 2L, 3L))
+    assert(parsed("b") == "x\"y\n")
+    assert(parsed("c") == null)
+    assert(parsed("d") == true)
+  }
+}
