@@ -1,0 +1,169 @@
+package graft.dialect
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.HyperLogLogPlusPlus
+import org.apache.spark.sql.types.DoubleType
+
+/** Trino SQL dialect shims (SURVEY.md §4 custom piece 1): function
+  * names and argument orders the reference's promised surface uses that
+  * Spark spells differently. Registered per-session in the engine's
+  * FunctionRegistry as thin adapters over existing Catalyst
+  * expressions — no custom evaluation, no Rule, full codegen.
+  *
+  * | Trino                      | Spark mapping                     |
+  * |----------------------------|-----------------------------------|
+  * | approx_distinct(x[,e])     | HyperLogLogPlusPlus               |
+  * | strpos(s, sub)             | instr (1-based, 0 when absent)    |
+  * | date_diff('u', a, b)       | timestampdiff(u, a, b)            |
+  * | date_add('u', n, ts)       | timestampadd(u, n, ts)            |
+  * | json_extract_scalar(j, p)  | get_json_object                   |
+  * | json_array_length exists; cardinality/element_at/chr exist       |
+  * | contains(arr, x)           | array_contains (Trino's contains  |
+  * |                            | is array-only; string search is   |
+  * |                            | strpos in Trino)                  |
+  * | try(x)                     | TryEval (null on runtime error)   |
+  * | codepoint(s)               | ascii                             |
+  * | to_unixtime(ts)            | unix seconds as DOUBLE            |
+  * | from_unixtime(d)           | timestamp from epoch seconds      |
+  * |                            | (Spark's own returns a STRING)    |
+  */
+object TrinoFunctions {
+
+  private def lit(e: Expression, what: String): String = e match {
+    case Literal(v, _) if v != null => v.toString
+    case _ => throw new IllegalArgumentException(s"$what must be a literal string")
+  }
+
+  /** Trino unit names → Spark timestampadd/diff units. */
+  private def unit(e: Expression): String = lit(e, "unit").toUpperCase
+
+  val shims: Map[String, Seq[Expression] => Expression] = Map(
+    "approx_distinct" -> {
+      case Seq(x) => new HyperLogLogPlusPlus(x)
+      case Seq(x, sd) =>
+        new HyperLogLogPlusPlus(x, lit(sd, "max standard error").toDouble)
+      case args => throw new IllegalArgumentException(
+        s"approx_distinct expects 1-2 args, got ${args.length}")
+    },
+    "strpos" -> {
+      case Seq(s, sub) => StringInstr(s, sub)
+      case args => throw new IllegalArgumentException(
+        s"strpos expects 2 args, got ${args.length}")
+    },
+    // date_add('unit', n, ts) / date_diff('unit', a, b): Spark's parser
+    // special-cases these names before the registry is consulted and
+    // rejects quoted units — handled by preprocess() below, which
+    // unquotes the unit so Spark's native timestampadd/diff path runs
+    // (same direction semantics as Trino: diff = to - from).
+    "json_extract_scalar" -> {
+      case Seq(j, p) => GetJsonObject(j, p)
+      case args => throw new IllegalArgumentException(
+        s"json_extract_scalar expects 2 args, got ${args.length}")
+    },
+    "contains" -> {
+      case Seq(arr, x) => ArrayContains(arr, x)
+      case args => throw new IllegalArgumentException(
+        s"contains expects 2 args, got ${args.length}")
+    },
+    "try" -> {
+      case Seq(x) => TryEval(x)
+      case args => throw new IllegalArgumentException(
+        s"try expects 1 arg, got ${args.length}")
+    },
+    "codepoint" -> {
+      case Seq(s) => Ascii(s)
+      case args => throw new IllegalArgumentException(
+        s"codepoint expects 1 arg, got ${args.length}")
+    },
+    "to_unixtime" -> {
+      // Trino returns DOUBLE seconds
+      case Seq(ts) => Cast(UnixTimestamp(ts, Literal("yyyy-MM-dd HH:mm:ss")), DoubleType)
+      case args => throw new IllegalArgumentException(
+        s"to_unixtime expects 1 arg, got ${args.length}")
+    },
+    "from_unixtime" -> {
+      // Trino returns TIMESTAMP; Spark's from_unixtime returns a string
+      case Seq(d) => SecondsToTimestamp(d)
+      case args => throw new IllegalArgumentException(
+        s"from_unixtime expects 1 arg, got ${args.length}")
+    })
+
+  private val unitNames = Set("year", "quarter", "month", "week", "day",
+    "hour", "minute", "second", "millisecond", "microsecond")
+  private val dateFnPattern = java.util.regex.Pattern.compile(
+    "(?i)\\b(date_add|date_diff|dateadd|datediff|timestampadd|timestampdiff)(\\s*\\(\\s*)'([a-zA-Z_]+)'")
+
+  /** Pre-parse rewrite for Trino's quoted datetime units:
+    * `date_add('day', 1, ts)` → `date_add(day, 1, ts)`. Spark's parser
+    * claims these function names before FunctionRegistry lookup and
+    * only accepts identifier units. Positions inside string literals,
+    * quoted identifiers, or comments are left untouched (re-uses the
+    * guard's masking state machine to find them). */
+  def preprocess(sql: String): String = {
+    val masked = maskedRegions(sql)
+    val m = dateFnPattern.matcher(sql)
+    val sb = new StringBuilder
+    var last = 0
+    while (m.find()) {
+      val u = m.group(3).toLowerCase
+      if (!masked(m.start) && unitNames(u)) {
+        sb.append(sql.substring(last, m.start))
+        sb.append(m.group(1)).append(m.group(2)).append(m.group(3))
+        last = m.end
+      }
+    }
+    if (last == 0) sql else { sb.append(sql.substring(last)); sb.toString }
+  }
+
+  /** Bitmask of positions inside 'literals', "identifiers" or comments. */
+  private def maskedRegions(q: String): Array[Boolean] = {
+    val mask = new Array[Boolean](q.length)
+    var i = 0
+    val n = q.length
+    def fill(from: Int, until: Int): Unit = {
+      var j = from
+      while (j < until && j < n) { mask(j) = true; j += 1 }
+    }
+    while (i < n) {
+      if (i + 1 < n && q(i) == '-' && q(i + 1) == '-') {
+        val start = i
+        while (i < n && q(i) != '\n' && q(i) != '\r') i += 1
+        fill(start, i)
+      } else if (i + 1 < n && q(i) == '/' && q(i + 1) == '*') {
+        val start = i
+        i += 2
+        while (i + 1 < n && !(q(i) == '*' && q(i + 1) == '/')) i += 1
+        i = math.min(i + 2, n)
+        fill(start, i)
+      } else if (q(i) == '\'' || q(i) == '"') {
+        val quote = q(i)
+        val start = i
+        i += 1
+        var done = false
+        while (i < n && !done) {
+          if (q(i) == quote) {
+            i += 1
+            if (i < n && q(i) == quote) i += 1 else done = true
+          } else i += 1
+        }
+        fill(start, i)
+      } else i += 1
+    }
+    mask
+  }
+
+  /** Install the shims into the session's function registry (idempotent;
+    * createOrReplace). */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    shims.foreach { case (name, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+  }
+
+  def registeredNames(spark: SparkSession): Seq[String] =
+    shims.keys.toSeq.filter(n =>
+      spark.sessionState.functionRegistry.functionExists(FunctionIdentifier(n)))
+}

@@ -40,6 +40,7 @@ class Engine(
     // Trino quotes identifiers with "double quotes" (the sanitizer pins
     // that, reference client.go:445); Spark defaults to backticks.
     s.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
+    graft.dialect.TrinoFunctions.register(s)
     dataDir.foreach(Tables.registerAll(s, _))
     s
   }

@@ -36,7 +36,8 @@ class ExplainService(engine: Engine) {
         "operations (at your own risk)")
 
     try {
-      val qe = engine.spark.sql(stripped).queryExecution
+      val qe = engine.spark.sql(
+        graft.dialect.TrinoFunctions.preprocess(stripped)).queryExecution
       val text = f match {
         case "VALIDATE" =>
           qe.assertAnalyzed()

@@ -36,8 +36,9 @@ class QueryService(engine: Engine) {
         "queries are allowed. Set TRINO_ALLOW_WRITE_QUERIES=true to enable write " +
         "operations (at your own risk)")
 
+    val dialectSql = graft.dialect.TrinoFunctions.preprocess(stripped)
     val df =
-      try engine.spark.sql(stripped)
+      try engine.spark.sql(dialectSql)
       catch { case e: Throwable => return Left(s"query execution failed: ${clip(e)}") }
     collectBounded(df)
   }

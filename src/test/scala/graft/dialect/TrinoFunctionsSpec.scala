@@ -1,0 +1,93 @@
+package graft.dialect
+
+import graft.SparkSpec
+import graft.config.EngineConfig
+import graft.engine.Engine
+import graft.service.QueryService
+
+/** Each dialect shim callable through execute_query SQL text — the
+  * exact surface a reference user types (SURVEY.md §4 custom piece 1). */
+class TrinoFunctionsSpec extends SparkSpec {
+
+  private lazy val qs = {
+    val cfg = EngineConfig.fromEnv(Map.empty).toOption.get
+    new QueryService(new Engine(cfg, Some("/root/testdata/sf0.001"), Some(spark)))
+  }
+
+  private def one(sql: String): Any =
+    qs.execute(sql).fold(err => throw new AssertionError(s"$sql -> $err"), _.rows.head.head)
+
+  test("approx_distinct over lineitem is within 5% of exact") {
+    val approx = one("SELECT approx_distinct(l_partkey) FROM lineitem").asInstanceOf[Long]
+    val exact = one("SELECT COUNT(DISTINCT l_partkey) FROM lineitem").asInstanceOf[Long]
+    assert(math.abs(approx - exact).toDouble / exact <= 0.05)
+  }
+
+  test("approx_distinct accepts the max-standard-error arg") {
+    assert(one("SELECT approx_distinct(o_custkey, 0.01) FROM orders").asInstanceOf[Long] > 0)
+  }
+
+  test("strpos is 1-based and 0 when absent") {
+    assert(one("SELECT strpos('hello world', 'world')") == 7)
+    assert(one("SELECT strpos('hello', 'xyz')") == 0)
+  }
+
+  test("date_diff('day', from, to) = to - from") {
+    assert(one("SELECT date_diff('day', TIMESTAMP '1995-01-01 00:00:00', TIMESTAMP '1995-01-11 00:00:00')") == 10L)
+    assert(one("SELECT date_diff('hour', TIMESTAMP '1995-01-01 00:00:00', TIMESTAMP '1995-01-01 06:00:00')") == 6L)
+  }
+
+  test("date_add('unit', n, ts) adds n units") {
+    assert(one("SELECT CAST(date_add('day', 3, TIMESTAMP '1995-01-01 00:00:00') AS STRING)")
+      == "1995-01-04 00:00:00")
+  }
+
+  test("json_extract_scalar pulls scalars via JSONPath") {
+    assert(one("""SELECT json_extract_scalar('{"a": {"b": "deep"}}', '$.a.b')""") == "deep")
+  }
+
+  test("cardinality works on arrays (Spark built-in retained)") {
+    assert(one("SELECT cardinality(array(1,2,3))") == 3)
+  }
+
+  test("contains is Trino array containment") {
+    assert(one("SELECT contains(array(1,2,3), 2)") == true)
+    assert(one("SELECT contains(array(1,2,3), 9)") == false)
+  }
+
+  test("try returns NULL on runtime error") {
+    assert(one("SELECT try(CAST('abc' AS INT))") == null)
+    assert(one("SELECT try(1+1)") == 2)
+  }
+
+  test("codepoint returns the code point") {
+    assert(one("SELECT codepoint('A')") == 65)
+  }
+
+  test("to_unixtime returns DOUBLE seconds; from_unixtime returns TIMESTAMP") {
+    assert(one("SELECT to_unixtime(TIMESTAMP '1970-01-01 00:01:00')") == 60.0)
+    assert(one("SELECT CAST(from_unixtime(60) AS STRING)") == "1970-01-01 00:01:00")
+  }
+
+  test("round-trip: from_unixtime(to_unixtime(ts)) = ts") {
+    assert(one("SELECT from_unixtime(to_unixtime(TIMESTAMP '1995-06-17 12:30:00')) = TIMESTAMP '1995-06-17 12:30:00'") == true)
+  }
+
+  test("preprocess leaves date_add patterns inside string literals alone") {
+    val sql = "SELECT 'date_add(''day'', 1, x)' AS s"
+    assert(TrinoFunctions.preprocess(sql) == sql)
+    assert(qs.execute(sql).toOption.get.rows.head.head == "date_add('day', 1, x)")
+  }
+
+  test("preprocess rewrites only known units") {
+    assert(TrinoFunctions.preprocess("SELECT date_add('banana', 1, ts)") ==
+      "SELECT date_add('banana', 1, ts)")
+    assert(TrinoFunctions.preprocess("SELECT date_add('week', 1, ts)") ==
+      "SELECT date_add(week, 1, ts)")
+  }
+
+  test("shims compose with the guard (still read-only surface)") {
+    assert(qs.execute("SELECT strpos(o_orderpriority, 'URGENT') FROM orders LIMIT 1").isRight)
+    assert(qs.execute("CREATE TABLE x AS SELECT strpos('a','a')").isLeft)
+  }
+}
