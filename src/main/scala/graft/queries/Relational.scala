@@ -138,13 +138,21 @@ object Relational {
         .select(col("r_name"), col("n_name"))
         .orderBy(col("r_name"), col("n_name"))),
 
-    // 15. theta/band join (non-equi) → BroadcastNestedLoopJoin; kept
-    // bounded (supplier is tiny). At 100 TB this needs a range-bucket
-    // pre-join — documented in ops notes, not needed at this size.
+    // 15. theta/band join (non-equi): |c_acctbal - s_acctbal| <= 50,
+    // realized as an EQUI-join on width-100 acctbal bands (supplier
+    // exploded to its ±1 neighbor bands) + exact re-filter. A naive
+    // non-equi condition plans as BroadcastNestedLoopJoin — O(n·m)
+    // compares that dies at scale; the band pre-join turns it into a
+    // hash join whose per-band fanout is bounded by the band width.
     "join_theta_range" -> ((s, d) => {
       val sup = t(s, d, "supplier"); val c = t(s, d, "customer")
-      c.join(broadcast(sup),
-          col("c_acctbal") >= col("s_acctbal") - 50.0 &&
+      val sb = sup.select(col("s_suppkey"), col("s_acctbal"),
+        explode(array((-1 to 1).map(i =>
+          floor(col("s_acctbal") / 100.0) + i): _*)).as("band"))
+      val cb = c.select(col("c_custkey"), col("c_acctbal"),
+        floor(col("c_acctbal") / 100.0).as("band"))
+      cb.join(broadcast(sb), Seq("band"))
+        .filter(col("c_acctbal") >= col("s_acctbal") - 50.0 &&
           col("c_acctbal") <= col("s_acctbal") + 50.0)
         .select(col("s_suppkey"), col("c_custkey"), col("c_acctbal"), col("s_acctbal"))
         .orderBy(col("s_suppkey"), col("c_custkey"))
