@@ -144,6 +144,129 @@ object NativeExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Distinct xxhash64 values of the k-token shingles of a token array:
+    * hash of "tok_i tok_i+1 … tok_i+k-1" (space-joined, Spark xxhash64
+    * seed 42 — identical to xxhash64(concat_ws(" ", slice(toks,i,k))))
+    * for i in [1, max(n-k+1, 1)]. One native pass replaces the
+    * interpreted transform+slice+concat_ws window walk. */
+  case class ShingleHash(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "shingle_hash"
+
+    protected override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val windows = math.max(n - (k - 1), 1)
+      val seen = new java.util.LinkedHashSet[java.lang.Long](windows * 2)
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i < windows) {
+        sb.setLength(0)
+        var j = i
+        val end = math.min(i + k, n)
+        while (j < end) {
+          if (j > i) sb.append(' ')
+          sb.append(arr.getUTF8String(j).toString)
+          j += 1
+        }
+        seen.add(XXH64.hashUTF8String(
+          org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString), 42L))
+        i += 1
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      var m = 0
+      while (it.hasNext) { out(m) = it.next(); m += 1 }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): ShingleHash =
+      copy(child = newChild)
+  }
+
+  /** Count of common elements of two SORTED long arrays (merge scan —
+    * no per-pair hash set). The pairwise intersection inside blocked
+    * n-gram dedup is the block-quadratic hot loop; Spark's
+    * array_intersect builds a hash set per evaluation. Inputs must be
+    * sorted ascending and distinct (array_sort(array_distinct(...))). */
+  case class SortedIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "sorted_intersect_count"
+
+    protected override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val nx = x.numElements()
+      val ny = y.numElements()
+      var i = 0
+      var j = 0
+      var c = 0
+      while (i < nx && j < ny) {
+        val xv = x.getLong(i)
+        val yv = y.getLong(j)
+        if (xv == yv) { c += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
+      c
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): SortedIntersectCount =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** One-pass text statistics: struct(n_chars, n_words, n_alpha,
+    * n_space, n_stop) where words are maximal non-whitespace runs,
+    * alpha counts ASCII letters, space counts ' ' and stopword hits
+    * compare lowercased tokens against a fixed list — the same values
+    * the regex/split/filter composition computes in five passes. */
+  case class TextStats(child: Expression, stopwords: Seq[String])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_chars", IntegerType, nullable = false),
+      StructField("n_words", IntegerType, nullable = false),
+      StructField("n_alpha", IntegerType, nullable = false),
+      StructField("n_space", IntegerType, nullable = false),
+      StructField("n_stop", IntegerType, nullable = false)))
+    override def prettyName: String = "text_stats"
+
+    private val stopSet = stopwords.toSet
+
+    protected override def nullSafeEval(input: Any): Any = {
+      val s = input.toString
+      val n = s.length
+      var alpha = 0
+      var space = 0
+      var words = 0
+      var stop = 0
+      var i = 0
+      val tok = new java.lang.StringBuilder(16)
+      def flush(): Unit = if (tok.length > 0) {
+        words += 1
+        if (stopSet.contains(tok.toString.toLowerCase(java.util.Locale.ROOT))) stop += 1
+        tok.setLength(0)
+      }
+      // whitespace = Java regex \s (the split the oracle mirrors)
+      def isWs(c: Char): Boolean =
+        c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+      while (i < n) {
+        val c = s.charAt(i)
+        if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) alpha += 1
+        if (c == ' ') space += 1
+        if (isWs(c)) flush() else tok.append(c)
+        i += 1
+      }
+      flush()
+      org.apache.spark.sql.catalyst.InternalRow(n, words, alpha, space, stop)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): TextStats =
+      copy(child = newChild)
+  }
+
   // ---- Column API ----
 
   def minhashSig(shingleHashes: Column, numHashes: Int): Column =
@@ -157,4 +280,14 @@ object NativeExprs {
 
   def dotf(a: Column, b: Column): Column =
     ColumnBridge.column(DotF(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def shingleHash(tokens: Column, k: Int): Column =
+    ColumnBridge.column(ShingleHash(ColumnBridge.expression(tokens), k))
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def textStats(text: Column, stopwords: Seq[String]): Column =
+    ColumnBridge.column(TextStats(ColumnBridge.expression(text), stopwords))
 }

@@ -37,19 +37,17 @@ object TextAnalysis {
     * referenced non-trivial alias in its own projection, where the
     * column-level composition re-split the text for every ratio. */
   def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val staged = df.select(col(idCol), col(textCol).as("__text"),
-      tokens(col(textCol)).as("__toks"))
-    val nChars = length(col("__text"))
-    val nWords = size(col("__toks"))
-    val stop = size(filter(transform(col("__toks"), t => lower(t)),
-      t => t.isin(stopwords.map(lit(_)): _*)))
+    // One native pass computes all five counters (the regex/split
+    // composition scanned the text five times, allocating token arrays).
+    val staged = df.select(col(idCol),
+      graft.functions.NativeExprs.textStats(col(textCol), stopwords).as("__st"))
+    val nChars = col("__st.n_chars")
+    val nWords = col("__st.n_words")
     staged.select(col(idCol),
       nWords.as("n_words"),
-      (length(regexp_replace(col("__text"), "[^a-zA-Z]", "")).cast("double") /
-        nChars.cast("double")).as("alpha_ratio"),
-      (length(regexp_replace(col("__text"), "[^ ]", "")).cast("double") /
-        nChars.cast("double")).as("space_ratio"),
-      (stop.cast("double") / nWords.cast("double")).as("stopword_ratio"),
+      (col("__st.n_alpha").cast("double") / nChars.cast("double")).as("alpha_ratio"),
+      (col("__st.n_space").cast("double") / nChars.cast("double")).as("space_ratio"),
+      (col("__st.n_stop").cast("double") / nWords.cast("double")).as("stopword_ratio"),
       (nChars.cast("double") / nWords.cast("double")).as("avg_word_len"))
   }
 
@@ -91,13 +89,12 @@ object TextAnalysis {
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
   /** Rolling-hash (winnowing-style) fingerprint set: xxhash64 of each
-    * k-token shingle — the document signature used for near-dup work. */
-  def shingleHashes(text: Column, k: Int): Column = {
-    val toks = tokens(lower(text))
-    val n = size(toks)
-    val idx = sequence(lit(1), greatest(n - (k - 1), lit(1)))
-    array_distinct(transform(idx, i => xxhash64(concat_ws(" ", slice(toks, i, lit(k))))))
-  }
+    * k-token shingle — the document signature used for near-dup work.
+    * Native window walk (same hashes as the former
+    * array_distinct(transform(idx, xxhash64(concat_ws(" ", slice))))
+    * composition, minus the per-window allocations). */
+  def shingleHashes(text: Column, k: Int): Column =
+    graft.functions.NativeExprs.shingleHash(tokens(lower(text)), k)
 
   /** Distinct k-token shingles as strings (un-hashed variant of
     * [[shingleHashes]]): oracle-friendly — DuckDB can mirror it with a
