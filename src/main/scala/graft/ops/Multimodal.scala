@@ -63,10 +63,11 @@ object Multimodal {
     val schema = StructType(docs.schema.fields :+
       StructField("decoded_checksum", LongType, nullable = true))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    // resolved on the driver: the closure must not capture the DataFrame
+    val payloadIdx = docs.schema.fieldIndex("payload")
     docs.mapPartitions { rows =>
       // REAL CODEC GOES HERE: init once per partition (native handles,
       // thread pools), then stream the batch through it.
-      val payloadIdx = docs.schema.fieldIndex("payload")
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](payloadIdx)
         // STUB: checksum instead of pixels; deterministic.

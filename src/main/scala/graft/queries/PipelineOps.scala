@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import QHelpers._
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** SURVEY.md §2b rows 56–59 + the LLM-data-pipeline extension suite:
   * dedup (exact / MinHash-LSH / SimHash / blocked n-gram), text analysis
@@ -99,7 +99,31 @@ object PipelineOps {
     // for k-means), max_by cell assignment, probe nProbe cells.
     "embed_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding",
-        anchorId = 0L, k = 10, stride = 50, nProbe = 2))
+        anchorId = 0L, k = 10, stride = 50, nProbe = 2)),
+
+    // Multimodal plumbing: opaque binary payload + typed metadata struct
+    // (decode is the declared stub; the metadata math is deterministic,
+    // so the schema/projection path IS oracle-checkable).
+    "mm_blob_meta" -> ((s, d) =>
+      Multimodal.withBlobAndMeta(t(s, d, "documents"))
+        .select(col("doc_id"), col("meta.format").as("format"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.n_bytes").as("n_bytes"))
+        .orderBy(col("doc_id"))),
+
+    // Frame sampling over the payload: count per doc is oracle-checkable.
+    "mm_frame_sample" -> ((s, d) =>
+      Multimodal.frameSample(Multimodal.withBlobAndMeta(t(s, d, "documents")))
+        .select(col("doc_id"), size(col("frames")).as("n_frames"))
+        .orderBy(col("doc_id"))),
+
+    // Partition-batched decode slot (stub checksum): rows-only.
+    "mm_decode_batch" -> ((s, d) =>
+      Multimodal.decodeBatch(
+          Multimodal.withBlobAndMeta(t(s, d, "documents"))
+            .select(col("doc_id"), col("payload")))
+        .select(col("doc_id"), col("decoded_checksum"))
+        .orderBy(col("doc_id")))
   )
 
   private val sqlToks =
@@ -181,6 +205,21 @@ object PipelineOps {
     "text_token_count" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_blob_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN strlen(text) % 3 = 0 THEN 'png'
+        |       WHEN strlen(text) % 3 = 1 THEN 'jpeg'
+        |       ELSE 'webp' END AS format,
+        |  CAST(strlen(text) % 640 + 32 AS INT) AS width,
+        |  CAST(strlen(text) % 480 + 32 AS INT) AS height,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_frame_sample" ->
+      """SELECT doc_id,
+        |  CAST(greatest(strlen(text) // 64, 1) AS INT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "embed_knn_cosine" ->

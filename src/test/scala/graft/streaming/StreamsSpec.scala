@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.streaming.Streams.Event
+
+/** Streaming results must converge to the batch semantics the oracle
+  * checks (time_tumbling_agg / time_sessionize_gaps): feed the same
+  * rows through MemoryStream micro-batches and compare. */
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
+
+  private val rows = Seq(
+    Event(1, ts(0), 1, "view", 1.0),
+    Event(2, ts(5), 1, "view", 2.0),
+    Event(3, ts(10), 2, "click", 3.0),
+    Event(4, ts(65), 1, "view", 4.0), // next hour, > 30 min gap for user 1
+    Event(5, ts(70), 2, "click", 5.0), // > 30 min gap for user 2
+    Event(6, ts(80), 1, "view", 6.0)) // same session as event 4
+
+  test("streaming tumbling agg equals the batch window aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.tumblingAgg(mem.toDF(), watermark = "10 seconds")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(3): _*)
+      q.processAllAvailable()
+      val streaming = spark.table("tumbling")
+        .orderBy("hour_start", "event_type")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      val batch = rows.toDF()
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+        .select(col("window.start"), col("event_type"), col("n"), col("total_value"))
+        .orderBy("start", "event_type")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(streaming.toSeq == batch.toSeq)
+      assert(streaming.length == 4) // (10:00, view), (10:00, click), (11:00, view), (11:00, click)
+    } finally q.stop()
+  }
+
+  test("streaming session_window agg closes 30-min-gap sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.sessionWindowAgg(mem.toDF(), gap = "30 minutes", watermark = "1 second")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val out = spark.table("sessions")
+        .orderBy("user_id", "session_start")
+        .collect().map(r => (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      // user 1: [e1,e2] then [e4,e6]; user 2: [e3] then [e5]
+      assert(out.toSeq == Seq((1L, 2L, 3.0), (1L, 2L, 10.0), (2L, 1L, 3.0), (2L, 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionizer emits closed sessions with batch-equal boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.sessionizeWithState(mem.toDS())
+      .writeStream.format("memory").queryName("stateful_sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(3): _*) // jump past the gap closes the first sessions
+      q.processAllAvailable()
+      val out = spark.table("stateful_sessions")
+        .orderBy("user_id", "session_start")
+        .collect().map(r => (r.getLong(0), r.getLong(3), r.getDouble(4)))
+      // the first session per user closes once later events arrive
+      assert(out.toSeq == Seq((1L, 2L, 3.0), (2L, 1L, 3.0)))
+    } finally q.stop()
+  }
+}
