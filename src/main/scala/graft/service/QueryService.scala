@@ -6,7 +6,7 @@ import java.util.concurrent.{CompletableFuture, TimeUnit, TimeoutException}
 import org.apache.spark.sql.DataFrame
 
 import graft.engine.Engine
-import graft.security.ReadOnlyGuard
+import graft.security.{Attribution, ReadOnlyGuard}
 
 /** execute_query: guard → spark.sql → bounded collect → rows, mirroring
   * the reference's hot path (reference internal/trino/client.go:501-630):
@@ -29,7 +29,17 @@ class QueryService(engine: Engine) {
       Json.write(rows.map(r => scala.collection.immutable.ListMap(columns.zip(r): _*)), indent = 2)
   }
 
-  def execute(query: String): Either[String, QueryResult] = {
+  def execute(query: String,
+      user: Option[Attribution.User] = None): Either[String, QueryResult] = {
+    // Attribution/impersonation → thread-local job tags (the embedded
+    // analogue of X-Trino-User / Client-Tags headers; reference
+    // client.go:531-540, handlers.go:31-52).
+    val principal =
+      if (engine.config.enableImpersonation)
+        Attribution.impersonationPrincipal(user, engine.config.impersonationField)
+      else Attribution.queryUsername(user)
+    actingUser.set(principal)
+
     val stripped = ReadOnlyGuard.stripTrailingSemicolon(query)
     if (!engine.config.allowWriteQueries && !ReadOnlyGuard.isReadOnly(stripped))
       return Left("security restriction: only SELECT, SHOW, DESCRIBE, and EXPLAIN " +
@@ -60,11 +70,16 @@ class QueryService(engine: Engine) {
     val spark = engine.spark
     val group = s"graft-query-${UUID.randomUUID()}"
     val fut = new CompletableFuture[T]()
+    val user = Option(actingUser.get).getOrElse("")
     val runner = new Thread(() => {
       spark.sparkContext.setJobGroup(group, "graft query", interruptOnCancel = true)
+      Attribution.tagThread(spark, user)
       try fut.complete(body)
       catch { case e: Throwable => fut.completeExceptionally(e) }
-      finally spark.sparkContext.clearJobGroup()
+      finally {
+        Attribution.clearThread(spark)
+        spark.sparkContext.clearJobGroup()
+      }
     }, group)
     runner.setDaemon(true)
     runner.start()
@@ -78,6 +93,10 @@ class QueryService(engine: Engine) {
         Left(s"query execution failed: ${clip(e.getCause)}")
     }
   }
+
+  /** Acting user for the next execute() on this thread (request-scoped,
+    * like the reference's context values). */
+  private val actingUser = new ThreadLocal[String] { override def initialValue = "" }
 
   private def clip(e: Throwable): String = {
     val m = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)

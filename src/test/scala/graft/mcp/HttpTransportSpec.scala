@@ -1,0 +1,73 @@
+package graft.mcp
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import graft.SparkSpec
+import graft.config.EngineConfig
+import graft.engine.Engine
+import graft.service.Json
+
+/** HTTP transport: POST /mcp JSON-RPC frames, GET /status, CORS
+  * preflight (reference internal/mcp/server.go:71-167 behaviors). */
+class HttpTransportSpec extends SparkSpec {
+
+  private lazy val transport = {
+    val cfg = EngineConfig.fromEnv(Map.empty).toOption.get
+    val t = new HttpTransport(
+      new StdioServer(new Engine(cfg, Some("/root/testdata/sf0.001"), Some(spark))),
+      port = 0)
+    t.start()
+    t
+  }
+  private lazy val base = s"http://127.0.0.1:${transport.boundPort}"
+  private val client = HttpClient.newHttpClient()
+
+  override def afterAll(): Unit = {
+    transport.stop(0)
+    super.afterAll()
+  }
+
+  private def post(body: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(s"$base/mcp"))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("POST /mcp executes a tool call") {
+    val resp = post("""{"jsonrpc":"2.0","id":1,"method":"tools/call","params":{"name":"execute_query","arguments":{"query":"SELECT COUNT(*) AS n FROM region"}}}""")
+    assert(resp.statusCode() == 200)
+    val r = Json.parse(resp.body()).asInstanceOf[collection.Map[String, Any]]
+    val result = r("result").asInstanceOf[collection.Map[String, Any]]
+    assert(result("isError") == false)
+    assert(result("content").asInstanceOf[Vector[Any]].head
+      .asInstanceOf[collection.Map[String, Any]]("text").toString.contains("\"n\": 5"))
+  }
+
+  test("POST /mcp notification returns 202 with no body") {
+    val resp = post("""{"jsonrpc":"2.0","method":"notifications/initialized"}""")
+    assert(resp.statusCode() == 202 && resp.body().isEmpty)
+  }
+
+  test("GET /status reports ok") {
+    val resp = client.send(HttpRequest.newBuilder(URI.create(s"$base/status")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(resp.statusCode() == 200)
+    val r = Json.parse(resp.body()).asInstanceOf[collection.Map[String, Any]]
+    assert(r("status") == "ok" && r("name") == "mcp-graft-spark")
+  }
+
+  test("OPTIONS preflight carries CORS headers") {
+    val resp = client.send(HttpRequest.newBuilder(URI.create(s"$base/mcp"))
+      .method("OPTIONS", HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(resp.statusCode() == 204)
+    assert(resp.headers().firstValue("Access-Control-Allow-Origin").orElse("") == "*")
+  }
+
+  test("GET /mcp is rejected") {
+    val resp = client.send(HttpRequest.newBuilder(URI.create(s"$base/mcp")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(resp.statusCode() == 405)
+  }
+}

@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.SparkSpec
+import graft.SparkEntry
+
+/** Physical-plan audits: the shapes that must hold for the 100 TB
+  * posture, asserted mechanically so a regression (lost pushdown, a
+  * surprise nested-loop join, a shuffle where a broadcast belongs)
+  * fails CI rather than a future cluster run.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+
+  test("scan_project: column pruning reaches the parquet scan") {
+    val p = plan("scan_project")
+    assert(p.contains("ReadSchema"), p.take(400))
+    // only the projected columns are read, not lineitem's 16
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("l_orderkey") && !read.contains("l_comment"), read)
+  }
+
+  test("filter_basic: predicates push down to the scan") {
+    val p = plan("filter_basic")
+    assert(p.contains("PushedFilters") &&
+      p.linesIterator.exists(l => l.contains("PushedFilters") && !l.contains("PushedFilters: []")), p.take(600))
+  }
+
+  test("topk_orderby_limit: top-k plans as TakeOrderedAndProject") {
+    assert(plan("topk_orderby_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("join_broadcast_hint: broadcast honored") {
+    assert(plan("join_broadcast_hint").contains("BroadcastHashJoin"))
+  }
+
+  test("join_multiway_star: dimensions broadcast (no SMJ on dims at this size)") {
+    assert(plan("join_multiway_star").contains("BroadcastHashJoin"))
+  }
+
+  test("join_theta_range: banded rewrite leaves no nested-loop join") {
+    val p = plan("join_theta_range")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(600))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+  }
+
+  test("whole inventory: no CartesianProduct; nested-loop only where semantic") {
+    // join_cross IS a cross join; the embed anchor joins broadcast a
+    // 1-row (or nProbe-row) side — a BNLJ against a bounded-tiny build
+    // side is the standard way to attach a constant vector and is safe
+    // at any corpus scale. Everything else must plan without
+    // cartesian/nested-loop execution.
+    val bnljAllowed = Set("join_cross", "embed_knn_cosine", "embed_ivf_topk")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val p =
+        try plan(name)
+        catch { case e: Throwable => s"PLANNING FAILED: ${e.getMessage}" }
+      val bad = p.contains("CartesianProduct") ||
+        (!bnljAllowed(name) && p.contains("BroadcastNestedLoopJoin")) ||
+        p.startsWith("PLANNING FAILED")
+      if (bad) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"plan offenders: ${offenders.mkString(", ")}")
+  }
+
+  test("whole inventory: whole-stage codegen present in scan-shaped queries") {
+    // AQE finalizes codegen at runtime — execute, then read the final plan
+    Seq("scan_project", "filter_basic", "agg_groupby", "text_fingerprint").foreach { name =>
+      val df: DataFrame = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val finalPlan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case p => p.toString
+      }
+      // whole-stage codegen spans render as "*(n)" in plan toString
+      assert(finalPlan.contains("*("), s"$name lost codegen:\n$finalPlan")
+    }
+  }
+
+  test("dedup_exact: exactly one hash-shuffle on the dedup key before the output sort") {
+    val p = plan("dedup_exact")
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    // one hashpartitioning (window key) + one rangepartitioning (ORDER BY)
+    assert(exchanges <= 2, s"unexpected shuffles:\n$p")
+  }
+
+  test("embed_knn_cosine: anchor broadcast + top-k, no corpus shuffle") {
+    val p = plan("embed_knn_cosine")
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+    assert(!p.contains("SortMergeJoin"), "corpus should not shuffle for the anchor join")
+  }
+}
