@@ -147,17 +147,26 @@ object Dedup {
     val grams = docs.select(
       concat_ws("", blockCols.map(col): _*).as("blk"),
       col(idCol).as("id"),
-      transform(TextAnalysis.shingleStrings(col(textCol), n), sh => xxhash64(sh)).as("g"))
-    val a = grams.select(col("blk"), col("id").as("id_a"), col("g").as("g_a"))
-    val b = grams.select(col("blk"), col("id").as("id_b"), col("g").as("g_b"))
-    a.join(b, Seq("blk"))
-      .filter(col("id_a") < col("id_b"))
-      // one intersect per pair (the jaccard() helper would compute it
-      // twice — the intersect IS the block-quadratic hot loop here)
-      .withColumn("inter", size(array_intersect(col("g_a"), col("g_b"))))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("g_a")) + size(col("g_b")) - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      // same hashes as transform(shingleStrings, xxhash64), pre-sorted
+      // so each pairwise intersect is a single merge scan
+      array_sort(TextAnalysis.shingleHashes(col(textCol), n)).as("g"))
+    val a = grams.select(col("blk").as("blk_a"), col("id").as("id_a"), col("g").as("g_a"))
+    val b = grams.select(col("blk").as("blk_b"), col("id").as("id_b"), col("g").as("g_b"))
+    def jac = {
+      val inter = graft.functions.NativeExprs
+        .sortedIntersectCount(col("g_a"), col("g_b"))
+      inter.cast("double") /
+        (size(col("g_a")) + size(col("g_b")) - inter).cast("double")
+    }
+    // The jaccard threshold lives IN the join condition: the join
+    // operator evaluates it on the streamed pair without materializing
+    // an output row per candidate - at ~N^2/blocks candidate pairs, the
+    // per-pair output-row copy (two ~150-element arrays) costs more
+    // than the intersects themselves.
+    a.join(b,
+        col("blk_a") === col("blk_b") && col("id_a") < col("id_b") &&
+          jac >= threshold,
+        "inner")
+      .select(col("id_a"), col("id_b"), jac.as("jaccard"))
   }
 }
