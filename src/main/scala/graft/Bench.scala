@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm-up (untimed): JIT + codegen + parquet footers + view
+    // registration, so the timed loop measures query work, not JVM
+    // cold-start on whichever query happens to run first.
+    Seq("scan_project", "agg_groupby", "join_inner_equi").foreach { q =>
+      try SparkEntry.queries(q)(spark, sfDir).count()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -1,0 +1,50 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.engine.Tables
+
+/** The IVF scale path spelled out: persist the cell assignment
+  * partitioned BY cell_id, and a probe of nProbe cells prunes to those
+  * partitions at scan time (PartitionFilters in the plan; the other
+  * cells' files are never opened). This is what Similarity.ivfTopK's
+  * doc comment promises for the 100 TB layout.
+  */
+class IvfPartitionSpec extends SparkSpec {
+
+  test("probing persisted IVF cells prunes partitions at the parquet scan") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Files.createTempDirectory("graft-ivf").toFile
+    out.deleteOnExit()
+
+    val emb = Tables.load(spark, dir, "embeddings")
+    val centroids = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+    val cos = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      Similarity.dot(a, b) / sqrt(Similarity.dot(a, a) * Similarity.dot(b, b))
+
+    // cell assignment, persisted partitioned by cell
+    emb.join(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        cos(col("embedding"), col("cent_vec")).as("c"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"), struct(col("c"), (-col("cent_id")).as("n"))).as("cell_id"))
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .write.partitionBy("cell_id").mode("overwrite")
+      .parquet(out.getAbsolutePath)
+
+    val assigned = spark.read.parquet(out.getAbsolutePath)
+    val probed = assigned.filter(col("cell_id").isin(0L, 50L))
+    assert(probed.count() > 0)
+
+    val plan = probed.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("FileScan")).getOrElse(plan)
+    assert(scanLine.contains("PartitionFilters") && scanLine.contains("cell_id"),
+      s"partition pruning missing:\n$scanLine")
+    // the partition filter is not a post-scan data filter
+    assert(!scanLine.contains("PushedFilters: [In(cell_id"), scanLine)
+  }
+}
