@@ -120,9 +120,11 @@ object NativeExprs {
 
   /** Dot product of two float arrays in double (elementwise upcast,
     * index-order accumulation — same math as the zip_with/aggregate
-    * composition, minus the per-element allocation). */
+    * composition, minus the per-element allocation). Implements
+    * doGenCode, so it fuses into whole-stage codegen instead of
+    * breaking the span like a fallback expression would. */
   case class DotF(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "dotf"
 
@@ -138,6 +140,24 @@ object NativeExprs {
       }
       s
     }
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val s = ctx.freshName("s")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
 
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): DotF =
@@ -191,7 +211,7 @@ object NativeExprs {
     * array_intersect builds a hash set per evaluation. Inputs must be
     * sorted ascending and distinct (array_sort(array_distinct(...))). */
   case class SortedIntersectCount(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = IntegerType
     override def prettyName: String = "sorted_intersect_count"
 
@@ -212,6 +232,33 @@ object NativeExprs {
       }
       c
     }
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val nx = ctx.freshName("nx")
+        val ny = ctx.freshName("ny")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val c = ctx.freshName("c")
+        val xv = ctx.freshName("xv")
+        val yv = ctx.freshName("yv")
+        s"""
+           |int $nx = $a.numElements();
+           |int $ny = $b.numElements();
+           |int $i = 0; int $j = 0; int $c = 0;
+           |while ($i < $nx && $j < $ny) {
+           |  long $xv = $a.getLong($i);
+           |  long $yv = $b.getLong($j);
+           |  if ($xv == $yv) { $c++; $i++; $j++; }
+           |  else if ($xv < $yv) { $i++; }
+           |  else { $j++; }
+           |}
+           |${ev.value} = $c;
+         """.stripMargin
+      })
 
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): SortedIntersectCount =
