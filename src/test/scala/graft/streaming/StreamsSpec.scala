@@ -67,6 +67,36 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source streaming over the events parquet equals the batch aggregation") {
+    // readStream over a directory of parquet files — the deployment
+    // shape for a landing zone at scale (files arrive, micro-batches
+    // pick them up); semantics must equal the batch run over same files.
+    val src = java.nio.file.Files.createTempDirectory("graft-stream-src")
+    val batchDf = graft.engine.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    batchDf.write.mode("overwrite").parquet(src.toString)
+
+    val streamDf = spark.readStream
+      .schema(batchDf.schema)
+      .parquet(src.toString)
+    val q = Streams.tumblingAgg(streamDf, watermark = "10 seconds")
+      .writeStream.format("memory").queryName("file_tumbling")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streaming = spark.table("file_tumbling")
+        .orderBy("hour_start", "event_type").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      val batch = spark.read.parquet(src.toString)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+        .select(col("window.start"), col("event_type"), col("n"), col("total_value"))
+        .orderBy("start", "event_type").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(streaming.toSeq == batch.toSeq && streaming.nonEmpty)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer emits closed sessions with batch-equal boundaries") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
