@@ -154,11 +154,54 @@ object TrinoFunctions {
     mask
   }
 
-  /** Install the shims into the session's function registry (idempotent;
-    * createOrReplace). */
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v, _) if v != null => v.toString.toDouble.toInt
+    case _ => throw new IllegalArgumentException(s"$what must be an integer literal")
+  }
+
+  /** The engine's own native expressions, exposed to SQL users of
+    * execute_query (graft.functions.NativeExprs) — the extension
+    * function surface a pipeline author scripts against. */
+  val graftNatives: Map[String, Seq[Expression] => Expression] = {
+    import graft.functions.NativeExprs._
+    Map(
+      "minhash_sig" -> {
+        case Seq(arr, n) => MinHashSig(arr, litInt(n, "numHashes"))
+        case args => throw new IllegalArgumentException(
+          s"minhash_sig expects (array<bigint>, numHashes), got ${args.length} args")
+      },
+      "simhash64" -> {
+        case Seq(arr) => SimHash64(arr)
+        case args => throw new IllegalArgumentException(
+          s"simhash64 expects 1 arg, got ${args.length}")
+      },
+      "srp_sig" -> {
+        case Seq(vec, bits) => SRPSig(vec, litInt(bits, "bits"))
+        case args => throw new IllegalArgumentException(
+          s"srp_sig expects (array<float>, bits), got ${args.length} args")
+      },
+      "shingle_hash" -> {
+        case Seq(toks, k) => ShingleHash(toks, litInt(k, "k"))
+        case args => throw new IllegalArgumentException(
+          s"shingle_hash expects (array<string>, k), got ${args.length} args")
+      },
+      "sorted_intersect_count" -> {
+        case Seq(a, b) => SortedIntersectCount(a, b)
+        case args => throw new IllegalArgumentException(
+          s"sorted_intersect_count expects 2 args, got ${args.length}")
+      },
+      "dotf" -> {
+        case Seq(a, b) => DotF(a, b)
+        case args => throw new IllegalArgumentException(
+          s"dotf expects 2 args, got ${args.length}")
+      })
+  }
+
+  /** Install the shims + native extensions into the session's function
+    * registry (idempotent; createOrReplace). */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    shims.foreach { case (name, builder) =>
+    (shims ++ graftNatives).foreach { case (name, builder) =>
       registry.createOrReplaceTempFunction(name, builder, "scala_udf")
     }
   }

@@ -86,6 +86,23 @@ class TrinoFunctionsSpec extends SparkSpec {
       "SELECT date_add(week, 1, ts)")
   }
 
+  test("native extension functions callable from SQL") {
+    assert(one("SELECT size(minhash_sig(array(CAST(1 AS BIGINT), CAST(2 AS BIGINT)), 16))") == 16)
+    assert(one("SELECT simhash64(array(xxhash64('a'), xxhash64('b')))").isInstanceOf[Long])
+    assert(one("SELECT sorted_intersect_count(array(1L, 2L, 5L), array(2L, 3L, 5L))") == 2)
+    assert(one("SELECT dotf(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+      "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))") == 11.0)
+    assert(one("SELECT size(shingle_hash(array('a','b','c','d'), 3))") == 2)
+  }
+
+  test("near-dup SQL sketch: shingle+minhash over documents via execute_query") {
+    val r = qs.execute(
+      """SELECT doc_id, minhash_sig(shingle_hash(split(lower(text), '\\s+'), 3), 32) AS sig
+        |FROM documents ORDER BY doc_id LIMIT 5""".stripMargin)
+    assert(r.isRight, r)
+    assert(r.toOption.get.rows.length == 5)
+  }
+
   test("shims compose with the guard (still read-only surface)") {
     assert(qs.execute("SELECT strpos(o_orderpriority, 'URGENT') FROM orders LIMIT 1").isRight)
     assert(qs.execute("CREATE TABLE x AS SELECT strpos('a','a')").isLeft)

@@ -74,6 +74,23 @@ class ServicesSpec extends SparkSpec {
     assert(r.toJson.replaceAll("\\s", "") == """[{"b_first":1,"a_second":2}]""")
   }
 
+  test("execute: concurrent queries run in isolated job groups") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val qs = new QueryService(engine())
+    val futures = (1 to 4).map { i =>
+      Future(qs.execute(s"SELECT COUNT(*) + $i AS n FROM lineitem"))
+    }
+    val results = Await.result(Future.sequence(futures), 120.seconds)
+    results.zipWithIndex.foreach { case (r, idx) =>
+      assert(r.isRight, r)
+      val base = r.toOption.get.rows.head.head.asInstanceOf[Long] - (idx + 1)
+      assert(base > 0)
+    }
+    assert(results.map(_.toOption.get.rows.head.head).distinct.size == 4)
+  }
+
   // --- MetadataService ---
 
   test("listCatalogs: spark session catalog visible") {
