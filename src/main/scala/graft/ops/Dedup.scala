@@ -49,6 +49,26 @@ object Dedup {
       .drop("bucket_n")
   }
 
+  /** Candidate pairs from exploded (bucketKeys…, id) rows: ONE shuffle
+    * groups each bucket onto a reducer, the size cap filters degenerate
+    * buckets (members still pair via other bands), and pairs are
+    * enumerated on the reducer from the in-bucket id list — replacing
+    * the count-window + self-join layout (two extra shuffles of the
+    * same data). Bucket lists are bounded by `maxBucket`, so the
+    * enumeration expression is bounded too. */
+  def bucketPairs(banded: DataFrame, bucketKeys: Seq[String], maxBucket: Int): DataFrame = {
+    val ids = col("ids")
+    val pairExpr = flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + 2, size(ids)), y =>
+        struct(least(x, y).as("a"), greatest(x, y).as("b")))))
+    banded.groupBy(bucketKeys.map(col): _*)
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(ids).between(2, maxBucket))
+      .select(explode(pairExpr).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** LSH candidate pairs from MinHash signatures, verified with exact
     * shingle-set Jaccard. bands × rowsPerBand must equal numHashes. */
   def minHashPairs(docs: DataFrame, idCol: String, textCol: String,
@@ -63,26 +83,18 @@ object Dedup {
       minHashSignature(col("shingles"), numHashes).as("sig"))
 
     // Explode to (band, band_hash, id): the shuffle key is the bucket.
-    // Only ids travel through the bucket self-join — shingle payloads
+    // Only ids travel into the bucket aggregation — shingle payloads
     // are re-joined AFTER candidate dedup, so the shuffle rows stay ~24
     // bytes wide instead of carrying two ~150-element arrays each. (At
     // 100 TB `shingled` would be checkpointed; here recomputing the
     // projection is cheaper than shuffling it.)
-    val banded = capBuckets(
-      sigs.select(col("id"),
-          posexplode(transform(sequence(lit(0), lit(bands - 1)),
-            b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
-        .withColumnRenamed("pos", "band")
-        .withColumnRenamed("col", "band_hash"),
-      Seq("band", "band_hash"), maxBucket)
+    val banded = sigs.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
 
-    val l = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
-    val r = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
-
-    val candidates = l.join(r, Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val candidates = bucketPairs(banded, Seq("band", "band_hash"), maxBucket)
 
     candidates
       .join(shingled.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
@@ -116,19 +128,15 @@ object Dedup {
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val sigs = docs.select(col(idCol).as("id"), simHash(col(textCol)).as("sim"))
-    val banded = capBuckets(
-      sigs.select(col("id"), col("sim"),
-          posexplode(transform(sequence(lit(0), lit(3)),
-            b => call_function("shiftright", col("sim"), b * 16).bitwiseAND(0xFFFFL))))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk"),
-      Seq("band", "chunk"), maxBucket)
-    val l = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("sim").as("sim_a"))
-    val r = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("sim").as("sim_b"))
-    l.join(r, Seq("band", "chunk"))
-      .filter(col("id_a") < col("id_b"))
+    val banded = sigs.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          b => call_function("shiftright", col("sim"), b * 16).bitwiseAND(0xFFFFL))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    bucketPairs(banded, Seq("band", "chunk"), maxBucket)
+      .join(sigs.select(col("id").as("id_a"), col("sim").as("sim_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sim").as("sim_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
   }
 

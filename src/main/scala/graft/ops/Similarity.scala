@@ -71,22 +71,13 @@ object Similarity {
     val chunk = bits / bands
     val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
     val sigs = vecs.select(col("id"), srpSignature(col("v"), bits).as("sig"))
-    val bucketW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("chunk_val"))
-    // ids only through the bucket join; vectors re-joined after dedup
+    // ids only into the bucket aggregation; vectors re-joined after dedup
     val banded = sigs.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => call_function("shiftright", col("sig"), b * chunk)
             .bitwiseAND(lit((1L << chunk) - 1)))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk_val")
-      .withColumn("bucket_n", count(lit(1)).over(bucketW))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
-    val l = banded.select(col("band"), col("chunk_val"), col("id").as("id_a"))
-    val r = banded.select(col("band"), col("chunk_val"), col("id").as("id_b"))
-    l.join(r, Seq("band", "chunk_val"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    Dedup.bucketPairs(banded, Seq("band", "chunk_val"), maxBucket)
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
       .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       // double cosine: candidate scoring has no cross-engine oracle, and

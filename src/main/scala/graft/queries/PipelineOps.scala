@@ -32,11 +32,17 @@ object PipelineOps {
           k = 3, numHashes = 32, bands = 8, jaccardThreshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
-    // SimHash near-dup pairs (hamming ≤ 3 of 64 bits).
+    // SimHash near-dup pairs (hamming ≤ 3 of 64 bits), summarized as a
+    // per-distance histogram: this corpus's tiny vocabulary makes most
+    // token SETS near-identical, so the raw pair list is ~100k rows of
+    // colliding signatures — the histogram keeps the full pipeline
+    // exercised with a bounded, deterministic output.
     "dedup_simhash" -> ((s, d) =>
       Dedup.simHashPairs(t(s, d, "documents"), "doc_id", "text",
           maxHamming = 3)
-        .orderBy(col("id_a"), col("id_b"))),
+        .groupBy(col("hamming"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("hamming"))),
 
     // Blocked exact n-gram Jaccard (string shingles → oracle-checkable).
     "dedup_ngram" -> ((s, d) =>
