@@ -42,13 +42,6 @@ object Dedup {
     * hash-shuffle-free pass: the count window needs no sort, and its
     * hash partitioning on the bucket key is exactly what the self-join
     * wants next. */
-  private def capBuckets(banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*)
-    banded.withColumn("bucket_n", count(lit(1)).over(w))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
-  }
-
   /** Candidate pairs from exploded (bucketKeys…, id) rows: ONE shuffle
     * groups each bucket onto a reducer, the size cap filters degenerate
     * buckets (members still pair via other bands), and pairs are

@@ -176,6 +176,40 @@ class ReadOnlyGuardSpec extends AnyFunSuite {
       assert(!ReadOnlyGuard.isReadOnly(s"$w INTO $junk VALUES (1)"))
   }
 
+  // --- randomized ScalaCheck properties ---
+
+  private def checkProp(prop: org.scalacheck.Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("scalacheck: sanitize never throws and is idempotent on arbitrary input") {
+    import org.scalacheck.Prop
+    checkProp(Prop.forAll { (s: String) =>
+      val once = ReadOnlyGuard.sanitize(s)
+      ReadOnlyGuard.sanitize(once) == once
+    })
+  }
+
+  test("scalacheck: sanitized output never contains comment bodies or literal content") {
+    import org.scalacheck.{Gen, Prop}
+    val payload = Gen.oneOf("DROPZONE", "insertish", "xyzzy123")
+    checkProp(Prop.forAll(payload) { p =>
+      ReadOnlyGuard.sanitize(s"SELECT 1 -- $p") == "SELECT 1" &&
+        ReadOnlyGuard.sanitize(s"SELECT 1 /* $p */") == "SELECT 1" &&
+        !ReadOnlyGuard.sanitize(s"SELECT '$p'").contains(p)
+    })
+  }
+
+  test("scalacheck: classifier never accepts a query with a top-level semicolon") {
+    import org.scalacheck.{Gen, Prop}
+    val frag = Gen.oneOf("SELECT 1", "SHOW TABLES", "SELECT * FROM t")
+    checkProp(Prop.forAll(frag, frag) { (a, b) =>
+      !ReadOnlyGuard.isReadOnly(s"$a; $b")
+    })
+  }
+
   test("stripTrailingSemicolon removes exactly one trailing semicolon") {
     assert(ReadOnlyGuard.stripTrailingSemicolon("SELECT 1;") == "SELECT 1")
     assert(ReadOnlyGuard.stripTrailingSemicolon("SELECT 1") == "SELECT 1")
