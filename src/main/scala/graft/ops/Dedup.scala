@@ -99,13 +99,6 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Exact Jaccard of two pre-deduplicated arrays. */
-  def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    val union = (size(a) + size(b)).cast("double") - size(array_intersect(a, b))
-    when(union === 0.0, 0.0).otherwise(inter / union)
-  }
-
   /** 64-bit SimHash: sign of the per-bit sum of token-hash bits. Token
     * hashing stays on Spark's codegen'd xxhash64; the 64-wide bit
     * tally runs in a native expression (the nested zip_with/transform

@@ -74,6 +74,20 @@ object PipelineOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Lang-ID accuracy vs the labeled lang column — the curation
+    // telemetry a pipeline tracks per ingest batch.
+    "text_langid_accuracy" -> ((s, d) => {
+      val (lang, _) = TextAnalysis.langId(col("text"))
+      t(s, d, "documents")
+        .select(col("lang"), (lang === col("lang")).cast("int").as("hit"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("hit").cast("long")).as("n_correct"),
+          (sum(col("hit").cast("long")).cast("double") /
+            count(lit(1)).cast("double")).as("accuracy"))
+        .orderBy(col("lang"))
+    }),
+
     // Content fingerprint: md5 of whitespace-normalized lowercase text.
     "text_fingerprint" -> ((s, d) =>
       t(s, d, "documents")
@@ -201,6 +215,29 @@ object PipelineOps {
          |  CASE WHEN best = 0 THEN 'und' $cases ELSE 'und' END AS lang_pred,
          |  best AS score
          |FROM b ORDER BY doc_id""".stripMargin
+    },
+
+    "text_langid_accuracy" -> {
+      val scores = TextAnalysis.langMarkers.map { case (l, ms) =>
+        val in = ms.map(m => s"'$m'").mkString(", ")
+        s"CAST(len(list_filter(tk, t -> t IN ($in))) AS INT) AS s_$l"
+      }.mkString(",\n  ")
+      val langs = TextAnalysis.langMarkers.map(_._1)
+      val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+      val cases = langs.map(l => s"WHEN s_$l = best THEN '$l'").mkString(" ")
+      s"""WITH toks AS (SELECT doc_id, lang, $sqlToks AS tk FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |  $scores
+         |FROM toks),
+         |b AS (SELECT *, $best AS best FROM s),
+         |p AS (SELECT lang,
+         |  CASE WHEN (CASE WHEN best = 0 THEN 'und' $cases ELSE 'und' END) = lang
+         |       THEN 1 ELSE 0 END AS hit
+         |FROM b)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(hit) AS BIGINT) AS n_correct,
+         |  CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS accuracy
+         |FROM p GROUP BY lang ORDER BY lang""".stripMargin
     },
 
     "text_fingerprint" ->
