@@ -94,15 +94,61 @@ object Similarity {
     srpCandidatePairs(embeddings, idCol, vecCol, bits, bands)
       .filter(col("cos_sim") >= cosThreshold)
 
-  /** IVF-style ANN: centroids = deterministic sample of the corpus
-    * (every `stride`-th id). Every vector is assigned to its nearest
-    * centroid (cell); a query probes only its `nProbe` nearest cells.
-    * At scale, `assigned` is written partitioned by cell_id so probes
-    * prune partitions instead of scanning. */
-  def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
-      anchorId: Long, k: Int, stride: Long = 50, nProbe: Int = 2): DataFrame = {
-    val centroids = embeddings.filter(col(idCol) % stride === 0)
+  private def cosD(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+
+  /** Nearest-centroid assignment: (id, vec, cell_id). argmax via max_by
+    * (partial+final hash aggregate); ids only through the shuffle. */
+  def assignCells(embeddings: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    embeddings.join(broadcast(centroids))
+      .select(col(idCol), col("cent_id"),
+        cosD(col(vecCol), col("cent_vec")).as("cent_cos"))
+      .groupBy(col(idCol))
+      .agg(max_by(col("cent_id"),
+        struct(col("cent_cos"), (-col("cent_id")).as("neg_id"))).as("cell_id"))
+      .join(embeddings.select(col(idCol), col(vecCol)), Seq(idCol))
+
+  /** Lloyd-iteration k-means over the embedding corpus, fully
+    * distributed and RUN-TO-RUN DETERMINISTIC: init = every `stride`-th
+    * id (no RNG), assignment = broadcast argmax, update = per-dimension
+    * mean computed as an exact DECIMAL sum (a double sum's value depends
+    * on partition merge order; decimal addition is associative, so the
+    * centroids are bit-stable however the cluster schedules tasks).
+    * Empty cells drop out — standard Lloyd behavior. */
+  def kmeansCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
+      stride: Long = 50, iters: Int = 2): DataFrame = {
+    var centroids = embeddings.filter(col(idCol) % stride === 0)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
+    (1 to iters).foreach { _ =>
+      val assigned = assignCells(embeddings, centroids, idCol, vecCol)
+      centroids = assigned
+        .select(col("cell_id"), posexplode(col(vecCol)))
+        .groupBy(col("cell_id"), col("pos"))
+        .agg((sum(col("col").cast(org.apache.spark.sql.types.DecimalType(28, 14)))
+          .cast("double") / count(lit(1)).cast("double")).cast("float").as("m"))
+        .groupBy(col("cell_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cent_vec"))
+        .select(col("cell_id").as("cent_id"), col("cent_vec"))
+    }
+    centroids
+  }
+
+  /** IVF-style ANN: centroids from [[kmeansCentroids]] when `kmeansIters`
+    * > 0, else the deterministic stride sample. Every vector is assigned
+    * to its nearest centroid (cell); a query probes only its `nProbe`
+    * nearest cells. At scale, `assigned` is written partitioned by
+    * cell_id so probes prune partitions instead of scanning
+    * (IvfPartitionSpec proves the pruning). */
+  def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      anchorId: Long, k: Int, stride: Long = 50, nProbe: Int = 2,
+      kmeansIters: Int = 0): DataFrame = {
+    val centroids =
+      if (kmeansIters > 0)
+        kmeansCentroids(embeddings, idCol, vecCol, stride, kmeansIters)
+      else embeddings.filter(col(idCol) % stride === 0)
+        .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
 
     // Cell assignment: nearest centroid by cosine (broadcast the
     // centroids). argmax via max_by — a partial+final hash aggregate, no
@@ -110,17 +156,8 @@ object Similarity {
     // lowest cent_id (negated inside the ordering struct). Plain double
     // cosine here: the assignment is internal and Spark's fold order is
     // deterministic, so the cross-engine decimal trick isn't needed.
-    val cos = (a: Column, b: Column) => dot(a, b) / sqrt(dot(a, a) * dot(b, b))
-    // Only (id, cent_cos, cent_id) pass through the argmax shuffle —
-    // carrying the vector via first() multiplied shuffle volume by the
-    // centroid count; vectors re-join after the aggregate instead.
-    val assigned = embeddings.join(broadcast(centroids))
-      .select(col(idCol), col("cent_id"),
-        cos(col(vecCol), col("cent_vec")).as("cent_cos"))
-      .groupBy(col(idCol))
-      .agg(max_by(col("cent_id"),
-        struct(col("cent_cos"), (-col("cent_id")).as("neg_id"))).as("cell_id"))
-      .join(embeddings.select(col(idCol), col(vecCol)), Seq(idCol))
+    val cos = cosD _
+    val assigned = assignCells(embeddings, centroids, idCol, vecCol)
 
     // the anchor's nProbe nearest cells
     val anchor = embeddings.filter(col(idCol) === anchorId)

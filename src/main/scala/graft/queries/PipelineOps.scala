@@ -115,11 +115,18 @@ object PipelineOps {
         .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
         .limit(20)),
 
-    // IVF ANN top-k: deterministic stride-sampled centroids (a stand-in
-    // for k-means), max_by cell assignment, probe nProbe cells.
+    // IVF ANN top-k: deterministic stride-sampled centroids, max_by cell
+    // assignment, probe nProbe cells.
     "embed_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding",
         anchorId = 0L, k = 10, stride = 50, nProbe = 2)),
+
+    // Same probe path over 2 Lloyd iterations of deterministic
+    // distributed k-means (decimal means — bit-stable under any task
+    // scheduling; see Similarity.kmeansCentroids).
+    "embed_ivf_kmeans" -> ((s, d) =>
+      Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        anchorId = 0L, k = 10, stride = 50, nProbe = 2, kmeansIters = 2)),
 
     // Multimodal plumbing: opaque binary payload + typed metadata struct
     // (decode is the declared stub; the metadata math is deterministic,

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.engine.Tables
+
+/** Similarity-search behaviors: k-means determinism and convergence
+  * direction, IVF recall against brute force, SRP candidate sanity. */
+class SimilaritySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+  private def emb = Tables.load(spark, dir, "embeddings")
+
+  test("kmeans centroids are bit-identical across runs (decimal means)") {
+    def run() = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+        stride = 50, iters = 2)
+      .orderBy("cent_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toVector))
+    val a = run()
+    val b = run()
+    assert(a.toSeq == b.toSeq)
+    assert(a.nonEmpty && a.forall(_._2.length == 64))
+  }
+
+  test("kmeans does not increase mean distance to assigned centroid") {
+    def meanCos(centroids: org.apache.spark.sql.DataFrame): Double = {
+      val assigned = Similarity.assignCells(emb, centroids, "vec_id", "embedding")
+      assigned.join(broadcast(centroids),
+          assigned("cell_id") === centroids("cent_id"))
+        .select((Similarity.dot(col("embedding"), col("cent_vec")) /
+          sqrt(Similarity.dot(col("embedding"), col("embedding")) *
+            Similarity.dot(col("cent_vec"), col("cent_vec")))).as("c"))
+        .agg(avg("c")).collect().head.getDouble(0)
+    }
+    val strideInit = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+    val before = meanCos(strideInit)
+    val after = meanCos(Similarity.kmeansCentroids(emb, "vec_id", "embedding", 50, 2))
+    assert(after >= before - 1e-9, s"kmeans regressed assignment: $before -> $after")
+  }
+
+  test("IVF top-k (kmeans cells) overlaps the brute-force top-k") {
+    val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10,
+        stride = 50, nProbe = 3, kmeansIters = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ivf.size == 10)
+    assert((brute & ivf).nonEmpty, s"no overlap: brute=$brute ivf=$ivf")
+  }
+
+  test("SRP candidates carry correct exact cosines") {
+    val pairs = Similarity.srpCandidatePairs(emb, "vec_id", "embedding",
+        bits = 32, bands = 4)
+      .orderBy(desc("cos_sim")).limit(5).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9)
+    }
+  }
+}

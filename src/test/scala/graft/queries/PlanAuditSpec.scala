@@ -57,7 +57,8 @@ class PlanAuditSpec extends SparkSpec {
     // side is the standard way to attach a constant vector and is safe
     // at any corpus scale. Everything else must plan without
     // cartesian/nested-loop execution.
-    val bnljAllowed = Set("join_cross", "embed_knn_cosine", "embed_ivf_topk")
+    val bnljAllowed = Set("join_cross", "embed_knn_cosine", "embed_ivf_topk",
+      "embed_ivf_kmeans")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p =
         try plan(name)
