@@ -96,6 +96,26 @@ object TextAnalysis {
   def shingleHashes(text: Column, k: Int): Column =
     graft.functions.NativeExprs.shingleHash(tokens(lower(text)), k)
 
+  /** Benchmark-contamination screen: fraction of each document's
+    * k-token shingles that appear in the (broadcast-small) eval set's
+    * shingle vocabulary. Standard pre-training hygiene — documents with
+    * high overlap against held-out benchmarks are quarantined. The eval
+    * vocabulary is aggregated to one row and broadcast; the per-doc
+    * check is a projection over the corpus (no corpus shuffle). */
+  def contamination(docs: DataFrame, evalDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", k: Int = 3): DataFrame = {
+    val evalVocab = evalDocs
+      .select(explode(shingleStrings(col(textCol), k)).as("sh"))
+      .agg(collect_set(col("sh")).as("eval_shingles"))
+    docs.crossJoin(broadcast(evalVocab))
+      .select(col(idCol),
+        shingleStrings(col(textCol), k).as("sh"),
+        col("eval_shingles"))
+      .select(col(idCol),
+        (size(array_intersect(col("sh"), col("eval_shingles"))).cast("double") /
+          size(col("sh")).cast("double")).as("contamination"))
+  }
+
   /** Distinct k-token shingles as strings (un-hashed variant of
     * [[shingleHashes]]): oracle-friendly — DuckDB can mirror it with a
     * list comprehension, where xxhash64 has no cross-engine twin. */

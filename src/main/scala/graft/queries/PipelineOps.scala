@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import QHelpers._
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** SURVEY.md §2b rows 56–59 + the LLM-data-pipeline extension suite:
   * dedup (exact / MinHash-LSH / SimHash / blocked n-gram), text analysis
@@ -127,6 +127,31 @@ object PipelineOps {
     "embed_ivf_kmeans" -> ((s, d) =>
       Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding",
         anchorId = 0L, k = 10, stride = 50, nProbe = 2, kmeansIters = 2)),
+
+    // Benchmark-contamination screen: per-doc shingle overlap against
+    // the (stand-in) eval set doc_id < 10, broadcast as one vocabulary.
+    "text_contamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.contamination(
+          docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic stratified sampling: rebalance the language mix
+    // (keep all zh/de, 30% of en). Hash-keyed — reproducible across
+    // runs/retries; rows-only (no xxhash64 in DuckDB).
+    "sample_stratified" -> ((s, d) =>
+      Sampling.stratified(t(s, d, "documents"), "doc_id", "lang",
+          Map("zh" -> 1.0, "de" -> 1.0, "en" -> 0.3))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
+    // Train/val/test split assignment, summarized per split.
+    "sample_split_counts" -> ((s, d) =>
+      Sampling.split(t(s, d, "documents"), "doc_id", valFrac = 0.1, testFrac = 0.1)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("split"))),
 
     // Multimodal plumbing: opaque binary payload + typed metadata struct
     // (decode is the declared stub; the metadata math is deterministic,
@@ -256,6 +281,24 @@ object PipelineOps {
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_contamination" ->
+      """WITH lst AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(l[i:i+2], ' ')
+        |                   for i in range(1, greatest(len(l)-2, 1)+1)]) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS l
+        |        FROM documents)
+        |), ev AS (
+        |  SELECT list_distinct(flatten(list(sh))) AS evs FROM lst WHERE doc_id < 10
+        |)
+        |SELECT l.doc_id,
+        |  CAST(len(list_intersect(l.sh, ev.evs)) AS DOUBLE)
+        |    / CAST(len(l.sh) AS DOUBLE) AS contamination
+        |FROM lst l, ev
+        |WHERE l.doc_id >= 10
+        |ORDER BY l.doc_id""".stripMargin,
 
     "mm_blob_meta" ->
       """SELECT doc_id,

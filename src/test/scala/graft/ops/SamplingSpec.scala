@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Deterministic sampling/splitting: reproducibility, rate accuracy,
+  * stratum handling, and split disjointness/coverage. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def keys = spark.range(20000).select(col("id"))
+
+  test("bernoulli is reproducible and hits the rate within 2%") {
+    val a = Sampling.bernoulli(keys.toDF(), "id", 0.3).collect().map(_.getLong(0)).toSet
+    val b = Sampling.bernoulli(keys.toDF(), "id", 0.3).collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    assert(math.abs(a.size / 20000.0 - 0.3) < 0.02)
+  }
+
+  test("different salts draw independent samples") {
+    val a = Sampling.bernoulli(keys.toDF(), "id", 0.3, salt = "s1")
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.bernoulli(keys.toDF(), "id", 0.3, salt = "s2")
+      .collect().map(_.getLong(0)).toSet
+    val overlap = (a & b).size.toDouble / a.size
+    assert(math.abs(overlap - 0.3) < 0.05) // independent ⇒ overlap ≈ rate
+  }
+
+  test("stratified applies per-stratum rates and drops unknown strata") {
+    val df = spark.range(30000)
+      .select(col("id"),
+        when(col("id") % 3 === 0, "en").when(col("id") % 3 === 1, "de")
+          .otherwise("xx").as("lang"))
+    val out = Sampling.stratified(df, "id", "lang", Map("en" -> 1.0, "de" -> 0.2))
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("en") == 10000L)
+    assert(math.abs(out("de") / 10000.0 - 0.2) < 0.03)
+    assert(!out.contains("xx"))
+  }
+
+  test("split is disjoint, covering, and close to the requested fractions") {
+    val out = Sampling.split(keys.toDF(), "id", valFrac = 0.1, testFrac = 0.2)
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 20000L)
+    assert(math.abs(counts("val") / 20000.0 - 0.1) < 0.02)
+    assert(math.abs(counts("test") / 20000.0 - 0.2) < 0.02)
+    assert(counts("train") == 20000L - counts("val") - counts("test"))
+  }
+
+  test("contamination is 1.0 for eval members' duplicates and low for unrelated text") {
+    val docs = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"), // dup of eval 1
+      (101L, "completely different words about query engines and columnar scans"))
+      .toDF("doc_id", "text")
+    val eval = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.contamination(docs, eval)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(100L) == 1.0)
+    assert(out(101L) == 0.0)
+  }
+}

@@ -57,8 +57,10 @@ class PlanAuditSpec extends SparkSpec {
     // side is the standard way to attach a constant vector and is safe
     // at any corpus scale. Everything else must plan without
     // cartesian/nested-loop execution.
+    // 1-row broadcast sides (anchor vectors, aggregated vocabularies)
+    // legitimately plan as BNLJ — safe at any corpus scale
     val bnljAllowed = Set("join_cross", "embed_knn_cosine", "embed_ivf_topk",
-      "embed_ivf_kmeans")
+      "embed_ivf_kmeans", "text_contamination")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p =
         try plan(name)
