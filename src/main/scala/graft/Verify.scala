@@ -11,6 +11,13 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Deliberately KEEP the default INT96 timestamp encoding: arrow reads
+      // INT96 as tz-NAIVE ns, matching DuckDB's naive timestamp[us] values.
+      // TIMESTAMP_MICROS would stamp isAdjustedToUTC=true and every
+      // timestamp column would come back tz-aware ≠ the naive oracle
+      // (verified: it flips fn_datetime/time_* red). The round-2
+      // fn_cast_types hash gap was the literals' NOT-NULL marking, fixed
+      // at the query (see Funcs "fn_cast_types").
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

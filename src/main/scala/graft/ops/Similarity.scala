@@ -97,32 +97,79 @@ object Similarity {
   private def cosD(a: Column, b: Column): Column =
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
 
-  /** Nearest-centroid assignment: (id, vec, cell_id). argmax via max_by
-    * (partial+final hash aggregate); ids only through the shuffle. */
-  def assignCells(embeddings: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String): DataFrame =
-    embeddings.join(broadcast(centroids))
-      .select(col(idCol), col("cent_id"),
-        cosD(col(vecCol), col("cent_vec")).as("cent_cos"))
-      .groupBy(col(idCol))
-      .agg(max_by(col("cent_id"),
-        struct(col("cent_cos"), (-col("cent_id")).as("neg_id"))).as("cell_id"))
-      .join(embeddings.select(col(idCol), col(vecCol)), Seq(idCol))
+  // ---------------------------------------------------------------------
+  // IVF: the coarse quantizer lives on the DRIVER (k centroids ≈ a few KB
+  // — the same layout as Spark MLlib's KMeans, whose cluster centers are
+  // driver state broadcast into a map-side assignment). Consequences:
+  //  - centroid cardinality is a fixed parameter, independent of corpus
+  //    size — broadcasting never outgrows an executor at 100×;
+  //  - cell assignment is a pure per-row PROJECTION over a literal
+  //    centroid array: no join, no shuffle, vectors never leave their
+  //    input partition;
+  //  - each Lloyd iteration scans the corpus exactly once, and collecting
+  //    the k updated centroids cuts the lineage between iterations (no
+  //    recursive recompute of prior assignments).
+  // ---------------------------------------------------------------------
 
-  /** Lloyd-iteration k-means over the embedding corpus, fully
-    * distributed and RUN-TO-RUN DETERMINISTIC: init = every `stride`-th
-    * id (no RNG), assignment = broadcast argmax, update = per-dimension
-    * mean computed as an exact DECIMAL sum (a double sum's value depends
-    * on partition merge order; decimal addition is associative, so the
-    * centroids are bit-stable however the cluster schedules tasks).
-    * Empty cells drop out — standard Lloyd behavior. */
-  def kmeansCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
-      stride: Long = 50, iters: Int = 2): DataFrame = {
-    var centroids = embeddings.filter(col(idCol) % stride === 0)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
+  /** Driver-side centroid: (cent_id, vector, L2 norm). The norm is
+    * precomputed in index order (matching NativeExprs.dotf) so assignment
+    * does one dot product per centroid, not three. */
+  private type Cent = (Long, Seq[Float], Double)
+
+  private def l2(v: Seq[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+    math.sqrt(s)
+  }
+
+  private def driverCos(a: Seq[Float], b: Seq[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s / (l2(a) * l2(b))
+  }
+
+  /** Deterministic, corpus-size-independent seeds: the `k` vectors whose
+    * xxhash64(id) sorts first — a uniform hash-ordered sample (no RNG, so
+    * reproducible under retries). TakeOrderedAndProject: one corpus pass,
+    * k rows to the driver, no full shuffle. */
+  private def seedCents(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int): Array[Cent] =
+    embeddings.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(k)
+      .collect()
+      .map(r => { val v = r.getSeq[Float](1); (r.getLong(0), v, l2(v)) })
+      .sortBy(_._1)
+
+  /** Nearest-centroid cell id as a pure projection: score every centroid
+    * in a `transform` over one array literal, argmax via `array_max` on
+    * struct(cos, -cent_id) (lexicographic — highest cos, then lowest id).
+    * Zero shuffles; the corpus never moves. */
+  private def cellExpr(cents: Array[Cent], vec: Column): Column = {
+    val centLit = typedLit(cents.toSeq)        // array<struct<id,vec,norm>>
+    val vnorm = sqrt(dot(vec, vec))
+    val scored = transform(centLit, c => struct(
+      (dot(vec, c.getField("_2")) / (vnorm * c.getField("_3"))).as("c"),
+      (-c.getField("_1")).as("neg_id")))
+    -array_max(scored).getField("neg_id")
+  }
+
+  /** (id, cell_id, vec) with cells from a driver-side centroid table. */
+  private def assignedDf(embeddings: DataFrame, cents: Array[Cent],
+      idCol: String, vecCol: String): DataFrame =
+    embeddings.select(col(idCol),
+      cellExpr(cents, col(vecCol)).as("cell_id"), col(vecCol))
+
+  /** One corpus scan per Lloyd iteration. Update = per-dimension mean as
+    * an exact DECIMAL sum (double sums depend on partition merge order;
+    * decimal addition is associative, so centroids are bit-stable however
+    * tasks are scheduled). The k results are collected — tiny — which is
+    * the lineage cut between iterations. Empty cells drop out. */
+  private def lloyd(embeddings: DataFrame, idCol: String, vecCol: String,
+      seeds: Array[Cent], iters: Int): Array[Cent] = {
+    var cur = seeds
     (1 to iters).foreach { _ =>
-      val assigned = assignCells(embeddings, centroids, idCol, vecCol)
-      centroids = assigned
+      cur = assignedDf(embeddings, cur, idCol, vecCol)
         .select(col("cell_id"), posexplode(col(vecCol)))
         .groupBy(col("cell_id"), col("pos"))
         .agg((sum(col("col").cast(org.apache.spark.sql.types.DecimalType(28, 14)))
@@ -130,49 +177,72 @@ object Similarity {
         .groupBy(col("cell_id"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("cent_vec"))
-        .select(col("cell_id").as("cent_id"), col("cent_vec"))
+        .collect()
+        .map(r => { val v = r.getSeq[Float](1); (r.getLong(0), v, l2(v)) })
+        .sortBy(_._1)
     }
-    centroids
+    cur
   }
 
-  /** IVF-style ANN: centroids from [[kmeansCentroids]] when `kmeansIters`
-    * > 0, else the deterministic stride sample. Every vector is assigned
-    * to its nearest centroid (cell); a query probes only its `nProbe`
-    * nearest cells. At scale, `assigned` is written partitioned by
-    * cell_id so probes prune partitions instead of scanning
-    * (IvfPartitionSpec proves the pruning). */
+  private def centsToDf(embeddings: DataFrame, cents: Array[Cent]): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    cents.toSeq.map { case (id, v, _) => (id, v) }.toDF("cent_id", "cent_vec")
+  }
+
+  /** Hash-ordered seed sample as a (cent_id, cent_vec) DataFrame —
+    * the iters=0 quantizer, exposed for tests/inspection. */
+  def seedCentroidsDf(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame =
+    centsToDf(embeddings, seedCents(embeddings, idCol, vecCol, k))
+
+  /** Nearest-centroid assignment (id, cell_id, vec). `centroids` is
+    * materialized to the driver (it must be quantizer-sized) and applied
+    * as a shuffle-free projection. */
+  def assignCells(embeddings: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val cents = centroids.select(col("cent_id").cast("long"), col("cent_vec"))
+      .collect()
+      .map(r => { val v = r.getSeq[Float](1); (r.getLong(0), v, l2(v)) })
+      .sortBy(_._1)
+    assignedDf(embeddings, cents, idCol, vecCol)
+  }
+
+  /** Lloyd-iteration k-means over the embedding corpus, distributed and
+    * RUN-TO-RUN DETERMINISTIC (hash-ordered seeds, decimal means). `k` is
+    * a fixed parameter — centroid count never scales with the corpus. */
+  def kmeansCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int = 64, iters: Int = 2): DataFrame =
+    centsToDf(embeddings,
+      lloyd(embeddings, idCol, vecCol, seedCents(embeddings, idCol, vecCol, k), iters))
+
+  /** IVF-style ANN: a fixed-`nCells` quantizer (k-means when `kmeansIters`
+    * > 0, else the hash-ordered seed sample); the query probes only its
+    * `nProbe` nearest cells, selected on the driver against the
+    * driver-held centroids. The whole query is ONE corpus scan — a
+    * shuffle-free projection + cell filter + TakeOrderedAndProject. At
+    * persisted scale, write the assignment partitioned by cell_id and the
+    * probe filter prunes partitions (IvfPartitionSpec proves it). */
   def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
-      anchorId: Long, k: Int, stride: Long = 50, nProbe: Int = 2,
+      anchorId: Long, k: Int, nCells: Int = 64, nProbe: Int = 2,
       kmeansIters: Int = 0): DataFrame = {
-    val centroids =
-      if (kmeansIters > 0)
-        kmeansCentroids(embeddings, idCol, vecCol, stride, kmeansIters)
-      else embeddings.filter(col(idCol) % stride === 0)
-        .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
+    val seeds = seedCents(embeddings, idCol, vecCol, nCells)
+    val cents =
+      if (kmeansIters > 0) lloyd(embeddings, idCol, vecCol, seeds, kmeansIters)
+      else seeds
 
-    // Cell assignment: nearest centroid by cosine (broadcast the
-    // centroids). argmax via max_by — a partial+final hash aggregate, no
-    // window sort over the N×C expansion. Tie-break: highest cos, then
-    // lowest cent_id (negated inside the ordering struct). Plain double
-    // cosine here: the assignment is internal and Spark's fold order is
-    // deterministic, so the cross-engine decimal trick isn't needed.
-    val cos = cosD _
-    val assigned = assignCells(embeddings, centroids, idCol, vecCol)
+    // the query vector: a single-row point lookup, then a literal
+    val anchorVec = embeddings.filter(col(idCol) === anchorId)
+      .select(col(vecCol)).head().getSeq[Float](0)
+    val probeIds = cents
+      .map { case (cid, v, _) => (driverCos(anchorVec, v), cid) }
+      .sortBy { case (c, cid) => (-c, cid) }
+      .take(nProbe).map(_._2)
+    val anchorLit = typedLit(anchorVec)
 
-    // the anchor's nProbe nearest cells
-    val anchor = embeddings.filter(col(idCol) === anchorId)
-      .select(col(vecCol).as("anchor_vec"))
-    val probeCells = centroids.join(broadcast(anchor))
-      .select(col("cent_id"),
-        cos(col("cent_vec"), col("anchor_vec")).as("c"))
-      .orderBy(col("c").desc, col("cent_id").asc)
-      .limit(nProbe)
-      .select(col("cent_id").as("cell_id"))
-
-    assigned.join(broadcast(probeCells), Seq("cell_id"))
-      .join(broadcast(anchor))
-      .select(col(idCol),
-        cos(col(vecCol), col("anchor_vec")).as("cos_sim"))
+    assignedDf(embeddings, cents, idCol, vecCol)
+      .filter(col("cell_id").isInCollection(probeIds))
+      .select(col(idCol), cosD(col(vecCol), anchorLit).as("cos_sim"))
       .filter(col(idCol) =!= anchorId)
       .orderBy(col("cos_sim").desc, col(idCol).asc)
       .limit(k)

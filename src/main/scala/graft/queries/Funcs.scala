@@ -104,8 +104,13 @@ object Funcs {
           col("c_acctbal").cast("decimal(12,2)").cast("string").as("dec_str"),
           floor(col("c_acctbal")).cast("int").as("bal_floor"),
           regexp_extract(col("c_name"), "(\\d+)", 1).cast("bigint").as("name_num"),
-          lit("2024-03-15").cast("date").as("lit_date"),
-          lit("2024-03-15").cast("date").cast("timestamp").as("lit_ts"))
+          // Routed through a data-derived `when` so the columns are nullable,
+          // matching the oracle side's parquet nullability (pure literals
+          // would be written required/not-null and hash-diverge).
+          when(col("c_custkey").isNotNull, lit("2024-03-15").cast("date"))
+            .as("lit_date"),
+          when(col("c_custkey").isNotNull,
+            lit("2024-03-15").cast("date").cast("timestamp")).as("lit_ts"))
         .orderBy(col("c_custkey"))),
 
     // 51. array functions over tokenized text.

@@ -115,18 +115,19 @@ object PipelineOps {
         .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
         .limit(20)),
 
-    // IVF ANN top-k: deterministic stride-sampled centroids, max_by cell
-    // assignment, probe nProbe cells.
+    // IVF ANN top-k: fixed-cardinality hash-sampled quantizer (k never
+    // scales with the corpus), shuffle-free projection assignment, probe
+    // nProbe cells selected on the driver.
     "embed_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding",
-        anchorId = 0L, k = 10, stride = 50, nProbe = 2)),
+        anchorId = 0L, k = 10, nCells = 40, nProbe = 2)),
 
     // Same probe path over 2 Lloyd iterations of deterministic
     // distributed k-means (decimal means — bit-stable under any task
     // scheduling; see Similarity.kmeansCentroids).
     "embed_ivf_kmeans" -> ((s, d) =>
       Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding",
-        anchorId = 0L, k = 10, stride = 50, nProbe = 2, kmeansIters = 2)),
+        anchorId = 0L, k = 10, nCells = 40, nProbe = 2, kmeansIters = 2)),
 
     // Benchmark-contamination screen: per-doc shingle overlap against
     // the (stand-in) eval set doc_id < 10, broadcast as one vocabulary.

@@ -14,7 +14,7 @@ class SimilaritySpec extends SparkSpec {
 
   test("kmeans centroids are bit-identical across runs (decimal means)") {
     def run() = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
-        stride = 50, iters = 2)
+        k = 40, iters = 2)
       .orderBy("cent_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toVector))
     val a = run()
@@ -33,10 +33,9 @@ class SimilaritySpec extends SparkSpec {
             Similarity.dot(col("cent_vec"), col("cent_vec")))).as("c"))
         .agg(avg("c")).collect().head.getDouble(0)
     }
-    val strideInit = emb.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
-    val before = meanCos(strideInit)
-    val after = meanCos(Similarity.kmeansCentroids(emb, "vec_id", "embedding", 50, 2))
+    val seedInit = Similarity.seedCentroidsDf(emb, "vec_id", "embedding", 40)
+    val before = meanCos(seedInit)
+    val after = meanCos(Similarity.kmeansCentroids(emb, "vec_id", "embedding", 40, 2))
     assert(after >= before - 1e-9, s"kmeans regressed assignment: $before -> $after")
   }
 
@@ -44,10 +43,18 @@ class SimilaritySpec extends SparkSpec {
     val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10,
-        stride = 50, nProbe = 3, kmeansIters = 2)
+        nCells = 40, nProbe = 3, kmeansIters = 2)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(ivf.size == 10)
     assert((brute & ivf).nonEmpty, s"no overlap: brute=$brute ivf=$ivf")
+  }
+
+  test("IVF assignment is a shuffle-free projection (no Exchange)") {
+    val assigned = Similarity.assignCells(emb,
+      Similarity.seedCentroidsDf(emb, "vec_id", "embedding", 8),
+      "vec_id", "embedding")
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
 
   test("SRP candidates carry correct exact cosines") {
