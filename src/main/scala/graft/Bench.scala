@@ -10,11 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm-up (untimed): JIT + codegen + parquet footers + view
-    // registration, so the timed loop measures query work, not JVM
-    // cold-start on whichever query happens to run first.
-    Seq("scan_project", "agg_groupby", "join_inner_equi").foreach { q =>
-      try SparkEntry.queries(q)(spark, sfDir).count()
+    // Warm-up (untimed): run EVERY query once first. A single first run
+    // is dominated by planning, codegen compilation and JIT — measured
+    // ~3× steady state on this VM — so the timed pass below is the
+    // second (steady-state) execution of each query.
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>

@@ -28,7 +28,11 @@ final case class EngineConfig(
     source: String,
     externalAuth: Boolean,
     externalAuthTimeout: Int,
-    maxResultRows: Int)
+    maxResultRows: Int,
+    oauthEnabled: Boolean = false,
+    oauthMode: String = "native",
+    oauthProvider: String = "hmac",
+    oauthHmacSecret: String = "")
 
 object EngineConfig {
 
@@ -100,7 +104,15 @@ object EngineConfig {
       source = source,
       externalAuth = get("TRINO_EXTERNAL_AUTH", "false").toBooleanOption.getOrElse(false),
       externalAuthTimeout = extAuthTimeout,
-      maxResultRows = maxRows)
+      maxResultRows = maxRows,
+      // OAUTH_ENABLED is the single source of truth (config.go:70-73);
+      // mode/provider lowercased, detailed validation delegated to the
+      // transport layer exactly like the reference delegates to its
+      // oauth middleware (invalid values parse fine — oauth_test.go).
+      oauthEnabled = get("OAUTH_ENABLED", "false").toBooleanOption.getOrElse(false),
+      oauthMode = get("OAUTH_MODE", "native").toLowerCase,
+      oauthProvider = get("OAUTH_PROVIDER", "hmac").toLowerCase,
+      oauthHmacSecret = get("OAUTH_HMAC_SECRET", ""))
   }
 
   /** Comma-split, trim, drop empties (config.go:231-246). */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.HyperLogLogPlusPlus
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, TimestampType}
 
 /** Trino SQL dialect shims (SURVEY.md §4 custom piece 1): function
   * names and argument orders the reference's promised surface uses that
@@ -25,9 +25,21 @@ import org.apache.spark.sql.types.DoubleType
   * |                            | strpos in Trino)                  |
   * | try(x)                     | TryEval (null on runtime error)   |
   * | codepoint(s)               | ascii                             |
-  * | to_unixtime(ts)            | unix seconds as DOUBLE            |
+  * | to_unixtime(ts)            | fractional unix seconds as DOUBLE |
+  * |                            | (unix_micros / 1e6)               |
   * | from_unixtime(d)           | timestamp from epoch seconds      |
   * |                            | (Spark's own returns a STRING)    |
+  * | any_match/all_match/       | exists / forall / NOT exists      |
+  * |   none_match(arr, x -> …)  |                                   |
+  * | format_datetime(ts, fmt)   | date_format (Joda ≈ JVM tokens)   |
+  * | date_format(ts, '%Y…')     | MySQL %-tokens translated to JVM  |
+  * |                            | pattern; letter patterns pass     |
+  * |                            | through unchanged                 |
+  *
+  * Already name- and semantics-compatible in Spark (no shim, see
+  * DIALECT.md): split_part, regexp_count, arrays_overlap, array_max,
+  * array_min, element_at (incl. negative indexing), slice, filter,
+  * transform, reduce.
   */
 object TrinoFunctions {
 
@@ -41,7 +53,9 @@ object TrinoFunctions {
 
   val shims: Map[String, Seq[Expression] => Expression] = Map(
     "approx_distinct" -> {
-      case Seq(x) => new HyperLogLogPlusPlus(x)
+      // Trino's documented default max standard error is 2.3% — Spark's
+      // HLL++ default is 5%, noticeably coarser than the dialect emulated
+      case Seq(x) => new HyperLogLogPlusPlus(x, 0.0230)
       case Seq(x, sd) =>
         new HyperLogLogPlusPlus(x, lit(sd, "max standard error").toDouble)
       case args => throw new IllegalArgumentException(
@@ -78,8 +92,11 @@ object TrinoFunctions {
         s"codepoint expects 1 arg, got ${args.length}")
     },
     "to_unixtime" -> {
-      // Trino returns DOUBLE seconds
-      case Seq(ts) => Cast(UnixTimestamp(ts, Literal("yyyy-MM-dd HH:mm:ss")), DoubleType)
+      // Trino returns DOUBLE seconds WITH fractional precision — go
+      // through unix_micros/1e6, not unix_timestamp (whole seconds only)
+      case Seq(ts) => Divide(
+        Cast(UnixMicros(Cast(ts, TimestampType)), DoubleType),
+        Literal(1000000.0))
       case args => throw new IllegalArgumentException(
         s"to_unixtime expects 1 arg, got ${args.length}")
     },
@@ -88,7 +105,85 @@ object TrinoFunctions {
       case Seq(d) => SecondsToTimestamp(d)
       case args => throw new IllegalArgumentException(
         s"from_unixtime expects 1 arg, got ${args.length}")
+    },
+    // Trino's lambda-predicate trio over arrays; Spark spells them
+    // exists / forall / (negated exists). The parser hands the builder
+    // the already-parsed LambdaFunction.
+    "any_match" -> {
+      case Seq(arr, f) => ArrayExists(arr, f)
+      case args => throw new IllegalArgumentException(
+        s"any_match expects (array, lambda), got ${args.length} args")
+    },
+    "all_match" -> {
+      case Seq(arr, f) => ArrayForAll(arr, f)
+      case args => throw new IllegalArgumentException(
+        s"all_match expects (array, lambda), got ${args.length} args")
+    },
+    // none_match(arr, f) ≡ all_match(arr, !f): the negation must live
+    // INSIDE the lambda — the analyzer only resolves lambdas whose
+    // direct parent is the higher-order function, so Not(exists(...))
+    // would fail resolution.
+    "none_match" -> {
+      case Seq(arr, LambdaFunction(fn, lamArgs, hidden)) =>
+        ArrayForAll(arr, LambdaFunction(Not(fn), lamArgs, hidden))
+      case args => throw new IllegalArgumentException(
+        s"none_match expects (array, lambda), got ${args.length} args")
+    },
+    // Trino format_datetime(ts, fmt) uses Joda patterns, which coincide
+    // with the JVM DateTimeFormatter patterns Spark uses for the common
+    // tokens (yyyy MM dd HH mm ss etc.) — pass through.
+    "format_datetime" -> {
+      case Seq(ts, fmt) => DateFormatClass(Cast(ts, TimestampType), fmt)
+      case args => throw new IllegalArgumentException(
+        s"format_datetime expects 2 args, got ${args.length}")
+    },
+    // Trino date_format(ts, '%Y-%m-%d') is the MySQL %-token form, NOT
+    // Spark's letter patterns. A literal format containing '%' is
+    // translated token-by-token; otherwise the Spark pattern semantics
+    // apply unchanged (so native Spark SQL keeps working).
+    "date_format" -> {
+      case Seq(ts, f @ Literal(v, _)) if v != null && v.toString.contains("%") =>
+        DateFormatClass(Cast(ts, TimestampType),
+          Literal(mysqlToJavaPattern(v.toString)))
+      case Seq(ts, fmt) => DateFormatClass(Cast(ts, TimestampType), fmt)
+      case args => throw new IllegalArgumentException(
+        s"date_format expects 2 args, got ${args.length}")
     })
+
+  /** MySQL/Trino `%`-token date format → JVM DateTimeFormatter pattern.
+    * Literal runs are quoted (JVM patterns reserve all letters). */
+  private[dialect] def mysqlToJavaPattern(fmt: String): String = {
+    val tokens = Map(
+      'a' -> "EEE", 'b' -> "MMM", 'c' -> "M", 'd' -> "dd", 'e' -> "d",
+      'f' -> "SSSSSS", 'H' -> "HH", 'h' -> "hh", 'I' -> "hh", 'i' -> "mm",
+      'j' -> "DDD", 'k' -> "H", 'l' -> "h", 'M' -> "MMMM", 'm' -> "MM",
+      'p' -> "a", 'r' -> "hh:mm:ss a", 'S' -> "ss", 's' -> "ss",
+      'T' -> "HH:mm:ss", 'v' -> "ww", 'W' -> "EEEE", 'Y' -> "yyyy",
+      'y' -> "yy")
+    val out = new StringBuilder
+    val litRun = new StringBuilder
+    def flushLit(): Unit = if (litRun.nonEmpty) {
+      val s = litRun.toString
+      if (s.exists(c => c.isLetter || c == '\''))
+        out.append('\'').append(s.replace("'", "''")).append('\'')
+      else out.append(s)
+      litRun.setLength(0)
+    }
+    var i = 0
+    while (i < fmt.length) {
+      if (fmt(i) == '%' && i + 1 < fmt.length) {
+        val c = fmt(i + 1)
+        if (c == '%') litRun.append('%')
+        else tokens.get(c) match {
+          case Some(p) => flushLit(); out.append(p)
+          case None => litRun.append(c)   // MySQL: unknown %x → literal x
+        }
+        i += 2
+      } else { litRun.append(fmt(i)); i += 1 }
+    }
+    flushLit()
+    out.toString
+  }
 
   private val unitNames = Set("year", "quarter", "month", "week", "day",
     "hour", "minute", "second", "millisecond", "microsecond")

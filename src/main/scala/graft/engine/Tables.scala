@@ -1,7 +1,5 @@
 package graft.engine
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Test-data table access (repo:TESTDATA.md). The reference resolves
@@ -23,34 +21,55 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  private val prepared = ConcurrentHashMap.newKeySet[SparkSession]()
-  private val loaded = new ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
-  private val registeredDir = new ConcurrentHashMap[SparkSession, String]()
+  // No static caches: every piece of per-session state lives IN the
+  // session — internal temp views (session catalog) hold the resolved
+  // parquet relations, and a session-conf marker records the registered
+  // directory. A stopped/dropped SparkSession and all its analyzed plans
+  // are therefore collectable; long-lived session-per-tenant processes
+  // retain nothing. (A static Map[SparkSession, DataFrame] — even a
+  // WeakHashMap — would pin sessions forever, because a cached DataFrame
+  // strongly references its session, i.e. the value resurrects the key.)
 
-  /** One-time per-session settings. events.ts is parquet
-    * TIMESTAMP(NANOS), which Spark 4 refuses to read natively
-    * (PARQUET_TYPE_ILLEGAL); read nanos as raw longs and convert to µs
-    * timestamps (truncating, matching DuckDB's ns→µs cast). */
+  private val RegisteredDirKey = "graft.internal.registeredDir"
+
+  private def internalView(dir: String, name: String): String =
+    s"graft_src_${Integer.toHexString(dir.hashCode)}_$name"
+
+  /** One-time per-session setting, mutation-free when already set:
+    * events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
+    * read natively (PARQUET_TYPE_ILLEGAL); read nanos as raw longs and
+    * convert to µs timestamps (truncating, matching DuckDB's ns→µs
+    * cast). */
   private def prepare(spark: SparkSession): Unit =
-    if (prepared.add(spark))
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    loaded.computeIfAbsent((spark, dir, name), { _ =>
+  /** Cached-by-view load: the first call reads the parquet footers and
+    * registers an internal temp view holding the resolved relation;
+    * later calls return `spark.table(view)` — no footer re-read, no
+    * session conf mutation. Registration races are benign
+    * (createOrReplaceTempView of an identical plan is idempotent). */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val view = internalView(dir, name)
+    if (!spark.catalog.tableExists(view)) {
       prepare(spark)
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      else df
-    })
+      val fixed =
+        if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        else df
+      fixed.createOrReplaceTempView(view)
+    }
+    spark.table(view)
+  }
 
-  /** Register every table as a temp view — once per (session, dir);
-    * re-registers only when the directory changes. */
+  /** Register every table as a temp view under its public name — once
+    * per (session, dir); re-registers only when the directory changes. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    registeredDir.compute(spark, { (_, prev) =>
-      if (prev != dir) names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
-      dir
-    })
+    if (!spark.conf.getOption(RegisteredDirKey).contains(dir)) {
+      names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+      spark.conf.set(RegisteredDirKey, dir)
+    }
 
   /** Run SQL against the testdata views. */
   def sql(spark: SparkSession, dir: String, query: String): DataFrame = {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.graft.{ColumnBridge, DeclaredInputTypes}
 import org.apache.spark.sql.types._
 
 /** Native Catalyst expressions for the hot per-row loops of the
@@ -26,8 +26,11 @@ object NativeExprs {
   /** MinHash signature: out(s) = min over elements e of
     * xxh64(xxh64(e, 42), seed=s), for s in [0, numHashes). */
   case class MinHashSig(child: Expression, numHashes: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with DeclaredInputTypes {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    // declared types matter: these are SQL-reachable via execute_query, and
+    // an undeclared array<double> would be misread via getLong on unsafe rows
+    override def declaredInputTypes: Seq[DataType] = Seq(ArrayType(LongType))
     override def prettyName: String = "minhash_sig"
 
     protected override def nullSafeEval(input: Any): Any = {
@@ -56,8 +59,9 @@ object NativeExprs {
   /** 64-bit SimHash over an array of 64-bit token hashes: per bit, sum
     * +1/-1 by the token's bit value; emit the sign bits packed. */
   case class SimHash64(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with DeclaredInputTypes {
     override def dataType: DataType = LongType
+    override def declaredInputTypes: Seq[DataType] = Seq(ArrayType(LongType))
     override def prettyName: String = "simhash64"
 
     protected override def nullSafeEval(input: Any): Any = {
@@ -91,8 +95,9 @@ object NativeExprs {
     * packed into a BIGINT, where plane component p_b[i] is a
     * deterministic hash of (b, i) mapped to [-1, 1). */
   case class SRPSig(child: Expression, bits: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with DeclaredInputTypes {
     override def dataType: DataType = LongType
+    override def declaredInputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
     override def prettyName: String = "srp_sig"
 
     protected override def nullSafeEval(input: Any): Any = {
@@ -124,8 +129,10 @@ object NativeExprs {
     * doGenCode, so it fuses into whole-stage codegen instead of
     * breaking the span like a fallback expression would. */
   case class DotF(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression with DeclaredInputTypes {
     override def dataType: DataType = DoubleType
+    override def declaredInputTypes: Seq[DataType] =
+      Seq(ArrayType(FloatType), ArrayType(FloatType))
     override def prettyName: String = "dotf"
 
     protected override def nullSafeEval(a: Any, b: Any): Any = {
@@ -170,8 +177,9 @@ object NativeExprs {
     * for i in [1, max(n-k+1, 1)]. One native pass replaces the
     * interpreted transform+slice+concat_ws window walk. */
   case class ShingleHash(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with DeclaredInputTypes {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def declaredInputTypes: Seq[DataType] = Seq(ArrayType(StringType))
     override def prettyName: String = "shingle_hash"
 
     protected override def nullSafeEval(input: Any): Any = {
@@ -211,8 +219,10 @@ object NativeExprs {
     * array_intersect builds a hash set per evaluation. Inputs must be
     * sorted ascending and distinct (array_sort(array_distinct(...))). */
   case class SortedIntersectCount(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression with DeclaredInputTypes {
     override def dataType: DataType = IntegerType
+    override def declaredInputTypes: Seq[DataType] =
+      Seq(ArrayType(LongType), ArrayType(LongType))
     override def prettyName: String = "sorted_intersect_count"
 
     protected override def nullSafeEval(a: Any, b: Any): Any = {
@@ -271,7 +281,8 @@ object NativeExprs {
     * compare lowercased tokens against a fixed list — the same values
     * the regex/split/filter composition computes in five passes. */
   case class TextStats(child: Expression, stopwords: Seq[String])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with DeclaredInputTypes {
+    override def declaredInputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = StructType(Seq(
       StructField("n_chars", IntegerType, nullable = false),
       StructField("n_words", IntegerType, nullable = false),

@@ -18,7 +18,8 @@ import graft.service.Json
   * server-sent streaming needs no analogue when every tool result is a
   * single frame.)
   */
-class HttpTransport(server: StdioServer, port: Int, version: String = "dev") {
+class HttpTransport(server: StdioServer, port: Int, version: String = "dev",
+    auth: Option[graft.security.BearerAuth] = None) {
 
   private val http = HttpServer.create(new InetSocketAddress(port), 0)
   @volatile private var started = false
@@ -48,10 +49,22 @@ class HttpTransport(server: StdioServer, port: Int, version: String = "dev") {
     ex.getRequestMethod match {
       case "OPTIONS" => ex.sendResponseHeaders(204, -1)
       case "POST" =>
-        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-        server.handle(body) match {
-          case Some(resp) => respond(ex, 200, resp)
-          case None => ex.sendResponseHeaders(202, -1) // notification
+        // Bearer validation when OAuth is enabled (reference wires its
+        // oauth middleware over every tool handler, server.go:45-53)
+        val denied = auth.flatMap { a =>
+          a.validate(Option(ex.getRequestHeaders.getFirst("Authorization")))
+            .left.toOption
+        }
+        denied match {
+          case Some(reason) =>
+            ex.getResponseHeaders.add("WWW-Authenticate", "Bearer")
+            respond(ex, 401, Json.write(ListMap("error" -> reason)))
+          case None =>
+            val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+            server.handle(body) match {
+              case Some(resp) => respond(ex, 200, resp)
+              case None => ex.sendResponseHeaders(202, -1) // notification
+            }
         }
       case _ => respond(ex, 405, """{"error":"method not allowed"}""")
     }
@@ -90,7 +103,11 @@ object HttpMain {
         System.err.println(s"config error: $err"); sys.exit(1)
       case Right(cfg) =>
         val engine = new graft.engine.Engine(cfg, Some(dataDir))
-        val transport = new HttpTransport(new StdioServer(engine), port)
+        val transport = new HttpTransport(new StdioServer(engine), port,
+          auth = graft.security.BearerAuth.fromConfig(cfg))
+        if (cfg.oauthEnabled)
+          System.err.println(s"[graft-mcp] OAuth enabled (mode: ${cfg.oauthMode}, " +
+            s"provider: ${cfg.oauthProvider})")
         transport.start()
         System.err.println(s"[graft-mcp] http listening on :${transport.boundPort}")
         Thread.currentThread().join()

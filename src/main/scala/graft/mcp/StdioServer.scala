@@ -123,14 +123,27 @@ class StdioServer(engine: Engine, version: String = "dev") {
     }
   }
 
-  /** Dispatch mirroring the reference handlers (handlers.go:55-285). */
-  def callTool(name: String, args: collection.Map[String, Any]): Either[String, String] = {
+  /** Dispatch mirroring the reference handlers (handlers.go:55-285).
+    * Every handler failure — including AnalysisException from a bogus
+    * catalog/schema name in the metadata tools — becomes an
+    * isError=true tool result rather than escaping and killing the
+    * serve() loop (reference: NewToolResultErrorFromErr wraps all
+    * handler errors, handlers.go). */
+  def callTool(name: String, args: collection.Map[String, Any]): Either[String, String] =
+    try dispatch(name, args)
+    catch {
+      case e: Throwable =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+        Left(s"tool $name failed: ${msg.linesIterator.take(3).mkString(" ").take(500)}")
+    }
+
+  private def dispatch(name: String, args: collection.Map[String, Any]): Either[String, String] = {
     def strArg(k: String): Option[String] = args.get(k).collect { case s: String => s }
     name match {
       case "execute_query" =>
         strArg("query") match {
           case None => Left("query parameter must be a string")
-          case Some(q) => queries.execute(q).map(_.toJson)
+          case Some(q) => queries.execute(q).map(_.toJsonWithStats)
         }
       case "list_catalogs" =>
         Right(Json.write(metadata.listCatalogs(), indent = 2))

@@ -19,14 +19,29 @@ import graft.security.{Attribution, ReadOnlyGuard}
 class QueryService(engine: Engine) {
 
   /** Columns in schema order + rows; `truncated` set when the row cap
-    * clipped the result. */
+    * clipped the result. `queryId` is the Spark job-group id the query
+    * ran under (the embedded analogue of Trino's query id — usable to
+    * correlate with the Spark UI / event log), `wallMillis` its
+    * end-to-end wall time. */
   final case class QueryResult(columns: Seq[String], rows: Seq[Seq[Any]],
-      truncated: Boolean) {
+      truncated: Boolean, queryId: String = "", wallMillis: Long = 0L) {
     def toMaps: Seq[Map[String, Any]] =
       rows.map(r => columns.zip(r).toMap)
-    /** JSON array of objects in schema column order. */
+    /** JSON array of objects in schema column order (the reference's
+      * exact result shape, handlers.go:83). */
     def toJson: String =
       Json.write(rows.map(r => scala.collection.immutable.ListMap(columns.zip(r): _*)), indent = 2)
+    /** Rows plus the query-feedback envelope Trino users expect (query
+      * id + basic stats; Trino's REST shape has id/stats/data). */
+    def toJsonWithStats: String =
+      Json.write(scala.collection.immutable.ListMap(
+        "queryId" -> queryId,
+        "stats" -> scala.collection.immutable.ListMap(
+          "wallMillis" -> wallMillis,
+          "rows" -> rows.length.toLong,
+          "truncated" -> truncated),
+        "data" -> rows.map(r => scala.collection.immutable.ListMap(columns.zip(r): _*))),
+        indent = 2)
   }
 
   def execute(query: String,
@@ -56,19 +71,21 @@ class QueryService(engine: Engine) {
   /** Run an already-built DataFrame through the same timeout/cap path. */
   def collectBounded(df: DataFrame): Either[String, QueryResult] = {
     val cap = engine.config.maxResultRows
-    withTimeoutAndCancel {
+    val group = s"graft-query-${UUID.randomUUID()}"
+    val start = System.nanoTime()
+    withTimeoutAndCancel(group) {
       val taken = df.take(cap + 1)
       val truncated = taken.length > cap
       val rows = taken.take(cap).toSeq.map(_.toSeq)
-      QueryResult(df.schema.fieldNames.toSeq, rows, truncated)
+      QueryResult(df.schema.fieldNames.toSeq, rows, truncated,
+        queryId = group, wallMillis = (System.nanoTime() - start) / 1000000L)
     }
   }
 
   /** Deadline enforcement with job-group cancel (client.go:525 moved to
     * Spark's cancellation model; SURVEY.md §7 gotcha 8). */
-  private def withTimeoutAndCancel[T](body: => T): Either[String, T] = {
+  private def withTimeoutAndCancel[T](group: String)(body: => T): Either[String, T] = {
     val spark = engine.spark
-    val group = s"graft-query-${UUID.randomUUID()}"
     val fut = new CompletableFuture[T]()
     val user = Option(actingUser.get).getOrElse("")
     val runner = new Thread(() => {

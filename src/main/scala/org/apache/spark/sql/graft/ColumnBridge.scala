@@ -1,8 +1,9 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, DataType}
 
 /** Classic-mode bridge between Catalyst [[Expression]]s and the public
   * [[Column]] API (Spark 4 hides the constructor behind private[sql]
@@ -11,4 +12,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
+
+/** [[ImplicitCastInputTypes]] re-exposed to expressions outside the sql
+  * package ([[AbstractDataType]] in its signature is private[sql]):
+  * declare the expected concrete types and mismatched SQL inputs are
+  * implicitly cast or rejected at analysis time. */
+trait DeclaredInputTypes extends ImplicitCastInputTypes {
+  def declaredInputTypes: Seq[DataType]
+  override def inputTypes: Seq[AbstractDataType] = declaredInputTypes
 }

@@ -139,4 +139,23 @@ class EngineConfigSpec extends AnyFunSuite {
     assert(EngineConfig.fromEnv(Map("TRINO_SOURCE" -> "my-app")).toOption.get.source == "my-app")
     assert(EngineConfig.fromEnv(Map.empty, version = "1.2.3").toOption.get.source == "mcp-trino/1.2.3")
   }
+
+  // --- OAuth mode configuration (config.go:70-73; oauth_test.go table) ---
+  test("fromEnv: OAuth defaults — disabled, native mode, hmac provider") {
+    val cfg = EngineConfig.fromEnv(Map.empty).toOption.get
+    assert(!cfg.oauthEnabled && cfg.oauthMode == "native" && cfg.oauthProvider == "hmac")
+  }
+  test("fromEnv: OAuth enabled with mode/provider lowercased") {
+    val cfg = EngineConfig.fromEnv(Map("OAUTH_ENABLED" -> "true",
+      "OAUTH_MODE" -> "PROXY", "OAUTH_PROVIDER" -> "HMAC")).toOption.get
+    assert(cfg.oauthEnabled && cfg.oauthMode == "proxy" && cfg.oauthProvider == "hmac")
+  }
+  test("fromEnv: invalid OAuth mode accepted (validation delegated)") {
+    val cfg = EngineConfig.fromEnv(Map("OAUTH_MODE" -> "invalid")).toOption.get
+    assert(cfg.oauthMode == "invalid" && !cfg.oauthEnabled)
+  }
+  test("fromEnv: OAUTH_HMAC_SECRET parsed") {
+    assert(EngineConfig.fromEnv(Map("OAUTH_HMAC_SECRET" -> "abc"))
+      .toOption.get.oauthHmacSecret == "abc")
+  }
 }

@@ -69,8 +69,43 @@ class TrinoFunctionsSpec extends SparkSpec {
     assert(one("SELECT CAST(from_unixtime(60) AS STRING)") == "1970-01-01 00:01:00")
   }
 
+  test("to_unixtime preserves fractional seconds (Trino DOUBLE semantics)") {
+    assert(one("SELECT to_unixtime(TIMESTAMP '1970-01-01 00:01:00.250')") == 60.25)
+  }
+
   test("round-trip: from_unixtime(to_unixtime(ts)) = ts") {
     assert(one("SELECT from_unixtime(to_unixtime(TIMESTAMP '1995-06-17 12:30:00')) = TIMESTAMP '1995-06-17 12:30:00'") == true)
+    assert(one("SELECT from_unixtime(to_unixtime(TIMESTAMP '1995-06-17 12:30:00.5')) = TIMESTAMP '1995-06-17 12:30:00.5'") == true)
+  }
+
+  test("any_match / all_match / none_match lambda predicates") {
+    assert(one("SELECT any_match(array(1, 2, 3), x -> x > 2)") == true)
+    assert(one("SELECT any_match(array(1, 2, 3), x -> x > 5)") == false)
+    assert(one("SELECT all_match(array(1, 2, 3), x -> x > 0)") == true)
+    assert(one("SELECT all_match(array(1, 2, 3), x -> x > 1)") == false)
+    assert(one("SELECT none_match(array(1, 2, 3), x -> x > 5)") == true)
+    assert(one("SELECT none_match(array(1, 2, 3), x -> x > 2)") == false)
+  }
+
+  test("format_datetime uses Joda-compatible letter patterns") {
+    assert(one("SELECT format_datetime(TIMESTAMP '2001-08-22 03:04:05', 'yyyy-MM-dd HH:mm:ss')")
+      == "2001-08-22 03:04:05")
+  }
+
+  test("date_format translates MySQL %-tokens like Trino") {
+    assert(one("SELECT date_format(TIMESTAMP '2001-08-22 03:04:05', '%Y-%m-%d %H:%i:%s')")
+      == "2001-08-22 03:04:05")
+    assert(one("SELECT date_format(TIMESTAMP '2001-08-22 03:04:05', '%d at %T')")
+      == "22 at 03:04:05")
+    // Spark letter patterns still pass through the same name
+    assert(one("SELECT date_format(TIMESTAMP '2001-08-22 03:04:05', 'yyyy/MM')")
+      == "2001/08")
+  }
+
+  test("split_part / regexp_count / arrays_overlap are name-compatible natives") {
+    assert(one("SELECT split_part('a,b,c', ',', 2)") == "b")
+    assert(one("SELECT regexp_count('1a 2b 14m', '\\\\d+')") == 3)
+    assert(one("SELECT arrays_overlap(array(1,2), array(2,3))") == true)
   }
 
   test("preprocess leaves date_add patterns inside string literals alone") {
@@ -93,6 +128,16 @@ class TrinoFunctionsSpec extends SparkSpec {
     assert(one("SELECT dotf(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
       "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))") == 11.0)
     assert(one("SELECT size(shingle_hash(array('a','b','c','d'), 3))") == 2)
+  }
+
+  test("native extensions reject or cast mismatched SQL input types") {
+    // array(1.0, 2.0) is array<double>: must be implicitly cast to
+    // array<float>, never misread via 4-of-8-byte getFloat
+    assert(one("SELECT dotf(array(1.0D, 2.0D), array(3.0D, 4.0D))") == 11.0)
+    assert(one("SELECT srp_sig(array(1.0D, -2.0D), 16)").isInstanceOf[Long])
+    // an un-castable input fails analysis instead of corrupting
+    assert(qs.execute("SELECT dotf('not an array', array(1.0D))").isLeft)
+    assert(qs.execute("SELECT simhash64(array(struct(1), struct(2)))").isLeft)
   }
 
   test("near-dup SQL sketch: shingle+minhash over documents via execute_query") {

@@ -70,4 +70,32 @@ class HttpTransportSpec extends SparkSpec {
       HttpResponse.BodyHandlers.ofString())
     assert(resp.statusCode() == 405)
   }
+
+  test("OAuth-enabled transport enforces bearer tokens on /mcp") {
+    val cfg = EngineConfig.fromEnv(Map(
+      "OAUTH_ENABLED" -> "true", "OAUTH_HMAC_SECRET" -> "s3cret")).toOption.get
+    val t = new HttpTransport(
+      new StdioServer(new Engine(cfg, Some("/root/testdata/sf0.001"), Some(spark))),
+      port = 0, auth = graft.security.BearerAuth.fromConfig(cfg))
+    t.start()
+    try {
+      val url = s"http://127.0.0.1:${t.boundPort}/mcp"
+      def call(headers: Seq[(String, String)]): HttpResponse[String] = {
+        val b = HttpRequest.newBuilder(URI.create(url))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(
+            """{"jsonrpc":"2.0","id":1,"method":"ping"}"""))
+        headers.foreach { case (k, v) => b.header(k, v) }
+        client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+      }
+      val noToken = call(Nil)
+      assert(noToken.statusCode() == 401)
+      assert(noToken.headers().firstValue("WWW-Authenticate").orElse("") == "Bearer")
+      val badToken = call(Seq("Authorization" -> "Bearer bogus.token"))
+      assert(badToken.statusCode() == 401)
+      val good = graft.security.BearerAuth.mint("s3cret", "alice")
+      val ok = call(Seq("Authorization" -> s"Bearer $good"))
+      assert(ok.statusCode() == 200)
+    } finally t.stop(0)
+  }
 }

@@ -54,11 +54,15 @@ class StdioServerSpec extends SparkSpec {
       "list_tables", "get_table_schema", "explain_query"))
   }
 
-  test("execute_query tool returns JSON rows") {
+  test("execute_query tool returns JSON rows with a query id and stats") {
     val (isErr, text) = callTool("execute_query",
       ListMap("query" -> "SELECT r_name FROM region ORDER BY r_name LIMIT 2"), 3)
     assert(!isErr)
-    val rows = Json.parse(text).asInstanceOf[Vector[Any]]
+    val env = Json.parse(text).asInstanceOf[collection.Map[String, Any]]
+    assert(env("queryId").toString.startsWith("graft-query-"))
+    val stats = env("stats").asInstanceOf[collection.Map[String, Any]]
+    assert(stats("rows") == 2L && stats("truncated") == false)
+    val rows = env("data").asInstanceOf[Vector[Any]]
       .map(_.asInstanceOf[collection.Map[String, Any]]("r_name"))
     assert(rows == Vector("AFRICA", "AMERICA"))
   }
@@ -113,6 +117,18 @@ class StdioServerSpec extends SparkSpec {
     val (isErr, text) = callTool("explain_query",
       ListMap("query" -> "SELECT 1", "format" -> "NOPE"), 12)
     assert(isErr && text.contains("invalid EXPLAIN format"))
+  }
+
+  test("metadata tool failure surfaces as isError, not a thrown exception") {
+    // a bogus catalog makes Spark throw AnalysisException inside the
+    // handler; the dispatch must wrap it so the serve() loop survives
+    val (isErr, text) = callTool("list_schemas",
+      ListMap("catalog" -> "no_such_catalog"), 14)
+    assert(isErr, s"expected isError=true, got: $text")
+    assert(text.startsWith("tool list_schemas failed:"), text)
+    // and the server still answers afterwards
+    val (stillOk, _) = callTool("list_catalogs", ListMap(), 15)
+    assert(!stillOk)
   }
 
   test("unknown method yields JSON-RPC error") {

@@ -1,0 +1,62 @@
+package graft.security
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** HMAC bearer validation for the OAuth-enabled HTTP transport
+  * (embedded disposition of reference internal/mcp/server.go:45-53). */
+class BearerAuthSpec extends AnyFunSuite {
+
+  private val auth = new BearerAuth("hmac", "s3cret", () => 1_000_000L)
+
+  test("valid token yields the subject") {
+    assert(auth.validate(Some(s"Bearer ${BearerAuth.mint("s3cret", "alice")}"))
+      == Right("alice"))
+  }
+
+  test("missing / malformed headers rejected") {
+    assert(auth.validate(None) == Left("missing bearer token"))
+    assert(auth.validate(Some("Basic Zm9v")) == Left("malformed Authorization header"))
+    assert(auth.validate(Some("Bearer notdotted")) == Left("invalid token format"))
+    assert(auth.validate(Some("Bearer a.b.c")) == Left("invalid token format"))
+    assert(auth.validate(Some("Bearer %%%.%%%")) == Left("invalid token encoding"))
+  }
+
+  test("wrong secret rejected") {
+    assert(auth.validate(Some(s"Bearer ${BearerAuth.mint("other", "alice")}"))
+      == Left("invalid token signature"))
+  }
+
+  test("tampered payload rejected") {
+    val good = BearerAuth.mint("s3cret", "alice")
+    val Array(_, sig) = good.split('.')
+    val forged = java.util.Base64.getUrlEncoder.withoutPadding()
+      .encodeToString("mallory".getBytes) + "." + sig
+    assert(auth.validate(Some(s"Bearer $forged")) == Left("invalid token signature"))
+  }
+
+  test("expiry honored when present") {
+    val live = BearerAuth.mint("s3cret", "alice", Some(2_000_000L))
+    val dead = BearerAuth.mint("s3cret", "alice", Some(999L))
+    assert(auth.validate(Some(s"Bearer $live")) == Right("alice"))
+    assert(auth.validate(Some(s"Bearer $dead")) == Left("token expired"))
+  }
+
+  test("empty secret fails closed") {
+    val noSecret = new BearerAuth("hmac", "")
+    assert(noSecret.validate(Some(s"Bearer ${BearerAuth.mint("s3cret", "alice")}"))
+      == Left("OAUTH_HMAC_SECRET is not configured"))
+  }
+
+  test("OIDC providers are rejected (no issuer egress embedded)") {
+    val okta = new BearerAuth("okta", "ignored")
+    assert(okta.validate(Some("Bearer whatever")).isLeft)
+  }
+
+  test("fromConfig gates on OAUTH_ENABLED") {
+    import graft.config.EngineConfig
+    assert(BearerAuth.fromConfig(
+      EngineConfig.fromEnv(Map.empty).toOption.get).isEmpty)
+    assert(BearerAuth.fromConfig(
+      EngineConfig.fromEnv(Map("OAUTH_ENABLED" -> "true")).toOption.get).isDefined)
+  }
+}
