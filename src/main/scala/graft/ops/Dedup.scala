@@ -126,6 +126,40 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Seed-free 60-bit SimHash over md5 token hashes — the cross-engine
+    * verification variant of [[simHash]]: the token hash is md5 (first
+    * 15 hex chars = 60 bits), which any SQL engine computes
+    * bit-identically, so a DuckDB oracle can replay the full
+    * majority-vote signature (xxhash64 seeds are Spark-only). Same
+    * plan shape as the production path: per-row projection → one
+    * per-doc aggregation; the native SimHash64 tally runs the bit
+    * counting (bits 60-63 are zero for every token, so they majority
+    * to 0 — a 60-bit signature in a 64-bit frame). */
+  def simHashMd5(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+        explode(split(lower(col(textCol)), " ")).as("tok"))
+      .select(col(idCol),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("bigint").as("th"))
+      .groupBy(col(idCol))
+      .agg(graft.functions.NativeExprs.simhash64(collect_list(col("th"))).as("sig"))
+
+  /** Seed-free MinHash over md5: per seed s in [0, numHashes), the
+    * minimum of md5(s + ":" + token) hex prefixes. Min of fixed-length
+    * lowercase hex = numeric min, so the signature needs no hex→int
+    * conversion anywhere and a DuckDB oracle replays it exactly.
+    * Output: (id, seed, minhash) — numHashes rows per doc. */
+  def minHashMd5(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16): DataFrame =
+    docs.select(col(idCol),
+        explode(split(lower(col(textCol)), " ")).as("tok"))
+      .select(col(idCol),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("seed"),
+        col("tok"))
+      .select(col(idCol), col("seed").cast("int").as("seed"),
+        substring(md5(concat_ws(":", col("seed"), col("tok"))), 1, 15).as("hv"))
+      .groupBy(col(idCol), col("seed"))
+      .agg(min(col("hv")).as("minhash"))
+
   /** Exact n-gram Jaccard pairs within a blocking key (e.g. lang+source)
     * — the quadratic-but-blocked baseline the LSH paths approximate. At
     * 100 TB the blocking key bounds each block's pair count; unblocked

@@ -8,38 +8,54 @@ import org.apache.spark.sql.functions._
   * runs, retries and cluster layouts (a task retry re-hashing the same
   * row gets the same verdict — rand() would not), and it needs no
   * shuffle — every operator here is a pure per-row projection.
+  *
+  * The draw is the 13-hex-char md5 prefix of `salt:key`, compared
+  * lexicographically against a precomputed hex threshold. Fixed-length
+  * lowercase hex orders identically to its numeric value, and md5 is
+  * bit-identical across engines, so the exact same sample is
+  * reproducible in any SQL engine (the DuckDB oracle checks it
+  * end-to-end — an xxhash64-keyed draw would be Spark-only).
   */
 object Sampling {
 
-  /** Stable uniform [0,1) derived from a key column (+ salt so
-    * different stages draw independent samples from the same keys). */
-  def hashUnit(key: Column, salt: String): Column =
-    (pmod(xxhash64(key, lit(salt)), lit(1000000000L)).cast("double") / 1e9)
+  /** Stable uniform draw: first 13 hex chars (52 bits) of
+    * md5("salt:key"). */
+  def hashHex(key: Column, salt: String): Column =
+    substring(md5(concat_ws(":", lit(salt), key.cast("string"))), 1, 13)
+
+  /** Threshold such that hashHex < threshold keeps ~`rate` of keys.
+    * 13 hex chars = 52 bits, exact in a Double; rate ≥ 1 returns "g",
+    * which is lexicographically above every hex string. */
+  def hexThreshold(rate: Double): String = {
+    val max = 1L << 52
+    val v = math.round(rate * max.toDouble)
+    if (v >= max) "g" else if (v <= 0L) "" else f"$v%013x"
+  }
 
   /** Keep ~`rate` of rows, deterministically by key. */
   def bernoulli(df: DataFrame, keyCol: String, rate: Double,
       salt: String = "sample"): DataFrame =
-    df.filter(hashUnit(col(keyCol), salt) < rate)
+    df.filter(hashHex(col(keyCol), salt) < lit(hexThreshold(rate)))
 
   /** Per-stratum rates, e.g. Map("en" -> 1.0, "de" -> 0.1): the
     * up/down-sampling mix every corpus rebalance runs. Strata missing
-    * from the map are dropped. */
+    * from the map are dropped (empty threshold — below every hash). */
   def stratified(df: DataFrame, keyCol: String, stratumCol: String,
       rates: Map[String, Double], salt: String = "stratified"): DataFrame = {
-    val rate = rates.foldLeft(lit(-1.0)) { case (acc, (stratum, r)) =>
-      when(col(stratumCol) === stratum, lit(r)).otherwise(acc)
+    val threshold = rates.foldLeft(lit("")) { case (acc, (stratum, r)) =>
+      when(col(stratumCol) === stratum, lit(hexThreshold(r))).otherwise(acc)
     }
-    df.filter(hashUnit(col(keyCol), salt) < rate)
+    df.filter(hashHex(col(keyCol), salt) < threshold)
   }
 
   /** Disjoint train/val/test assignment by key hash; fractions must sum
     * to ≤ 1 (remainder → "train" absorbs the rounding). */
   def split(df: DataFrame, keyCol: String, valFrac: Double, testFrac: Double,
       salt: String = "split"): DataFrame = {
-    val u = hashUnit(col(keyCol), salt)
+    val u = hashHex(col(keyCol), salt)
     df.withColumn("split",
-      when(u < valFrac, "val")
-        .when(u < valFrac + testFrac, "test")
+      when(u < lit(hexThreshold(valFrac)), "val")
+        .when(u < lit(hexThreshold(valFrac + testFrac)), "test")
         .otherwise("train"))
   }
 }

@@ -44,6 +44,19 @@ object PipelineOps {
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("hamming"))),
 
+    // Cross-engine SimHash: md5 token hashes (60-bit signature), every
+    // doc's full majority-vote signature checked against DuckDB.
+    "dedup_simhash_md5" -> ((s, d) =>
+      Dedup.simHashMd5(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // Cross-engine MinHash: per-seed md5 minima as hex strings (min of
+    // fixed-length hex = numeric min) — the signature algebra verified
+    // end-to-end against DuckDB.
+    "dedup_minhash_md5" -> ((s, d) =>
+      Dedup.minHashMd5(t(s, d, "documents"), "doc_id", "text", numHashes = 16)
+        .orderBy(col("doc_id"), col("seed"))),
+
     // Blocked exact n-gram Jaccard (string shingles → oracle-checkable).
     "dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
@@ -139,8 +152,9 @@ object PipelineOps {
     }),
 
     // Deterministic stratified sampling: rebalance the language mix
-    // (keep all zh/de, 30% of en). Hash-keyed — reproducible across
-    // runs/retries; rows-only (no xxhash64 in DuckDB).
+    // (keep all zh/de, 30% of en). md5-threshold keyed — reproducible
+    // across runs/retries AND oracle-checked (DuckDB replays the exact
+    // same sample).
     "sample_stratified" -> ((s, d) =>
       Sampling.stratified(t(s, d, "documents"), "doc_id", "lang",
           Map("zh" -> 1.0, "de" -> 1.0, "en" -> 0.3))
@@ -207,6 +221,52 @@ object PipelineOps {
         |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // 60-bit md5 SimHash replayed bit-by-bit: LSB-indexed bit j of the
+    // 15-hex-digit value lives in digit 15-(j div 4) (1-based from the
+    // left) at in-digit bit j%4 — mirrors SimHash64's (h >>> j) & 1.
+    "dedup_simhash_md5" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+        |th AS (SELECT doc_id, md5(tok) AS h FROM tok),
+        |bits AS (
+        |  SELECT doc_id, js.j AS j,
+        |    CASE WHEN ((strpos('0123456789abcdef', substr(h, 15 - CAST(js.j // 4 AS INT), 1)) - 1)
+        |               >> CAST(js.j % 4 AS INT)) & 1 = 1 THEN 1 ELSE -1 END AS v
+        |  FROM th, (SELECT unnest(generate_series(0, 59)) AS j) js),
+        |maj AS (
+        |  SELECT doc_id, j, CASE WHEN SUM(v) > 0 THEN 1 ELSE 0 END AS bit
+        |  FROM bits GROUP BY doc_id, j)
+        |SELECT doc_id, CAST(SUM(CAST(bit AS BIGINT) << CAST(j AS INT)) AS BIGINT) AS sig
+        |FROM maj GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_minhash_md5" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+        |SELECT doc_id, CAST(ss.s AS INT) AS seed,
+        |  MIN(substr(md5(CAST(ss.s AS VARCHAR) || ':' || tok), 1, 15)) AS minhash
+        |FROM tok, (SELECT unnest(generate_series(0, 15)) AS s) ss
+        |GROUP BY doc_id, ss.s
+        |ORDER BY doc_id, seed""".stripMargin,
+
+    "sample_stratified" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE substr(md5('stratified:' || CAST(doc_id AS VARCHAR)), 1, 13) <
+         |  CASE lang WHEN 'zh' THEN '${graft.ops.Sampling.hexThreshold(1.0)}'
+         |            WHEN 'de' THEN '${graft.ops.Sampling.hexThreshold(1.0)}'
+         |            WHEN 'en' THEN '${graft.ops.Sampling.hexThreshold(0.3)}'
+         |            ELSE '' END
+         |ORDER BY doc_id""".stripMargin,
+
+    "sample_split_counts" ->
+      s"""WITH s AS (SELECT CASE
+         |    WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 13)
+         |      < '${graft.ops.Sampling.hexThreshold(0.1)}' THEN 'val'
+         |    WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 13)
+         |      < '${graft.ops.Sampling.hexThreshold(0.2)}' THEN 'test'
+         |    ELSE 'train' END AS split
+         |  FROM documents)
+         |SELECT split, COUNT(*) AS n FROM s GROUP BY split ORDER BY split""".stripMargin,
 
     "text_stats" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
