@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.HyperLogLogPlusPlus
-import org.apache.spark.sql.types.{DoubleType, TimestampType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, TimestampType}
 
 /** Trino SQL dialect shims (SURVEY.md §4 custom piece 1): function
   * names and argument orders the reference's promised surface uses that
@@ -128,6 +128,91 @@ object TrinoFunctions {
         ArrayForAll(arr, LambdaFunction(Not(fn), lamArgs, hidden))
       case args => throw new IllegalArgumentException(
         s"none_match expects (array, lambda), got ${args.length} args")
+    },
+    // Trino ISO day-of-week (Monday=1..Sunday=7). Spark's dayofweek is
+    // Sunday=1; weekday is Monday=0 — ISO dow = weekday + 1.
+    "day_of_week" -> {
+      case Seq(x) => Add(WeekDay(x), Literal(1))
+      case args => throw new IllegalArgumentException(
+        s"day_of_week expects 1 arg, got ${args.length}")
+    },
+    "dow" -> {
+      case Seq(x) => Add(WeekDay(x), Literal(1))
+      case args => throw new IllegalArgumentException(
+        s"dow expects 1 arg, got ${args.length}")
+    },
+    "day_of_year" -> {
+      case Seq(x) => DayOfYear(x)
+      case args => throw new IllegalArgumentException(
+        s"day_of_year expects 1 arg, got ${args.length}")
+    },
+    "doy" -> {
+      case Seq(x) => DayOfYear(x)
+      case args => throw new IllegalArgumentException(
+        s"doy expects 1 arg, got ${args.length}")
+    },
+    "week" -> {
+      case Seq(x) => WeekOfYear(x)
+      case args => throw new IllegalArgumentException(
+        s"week expects 1 arg, got ${args.length}")
+    },
+    "week_of_year" -> {
+      case Seq(x) => WeekOfYear(x)
+      case args => throw new IllegalArgumentException(
+        s"week_of_year expects 1 arg, got ${args.length}")
+    },
+    "year_of_week" -> {
+      case Seq(x) => YearOfWeek(x)
+      case args => throw new IllegalArgumentException(
+        s"year_of_week expects 1 arg, got ${args.length}")
+    },
+    "yow" -> {
+      case Seq(x) => YearOfWeek(x)
+      case args => throw new IllegalArgumentException(
+        s"yow expects 1 arg, got ${args.length}")
+    },
+    "last_day_of_month" -> {
+      case Seq(x) => LastDay(x)
+      case args => throw new IllegalArgumentException(
+        s"last_day_of_month expects 1 arg, got ${args.length}")
+    },
+    // arbitrary(x): Trino's pick-any aggregate → Spark any_value
+    "arbitrary" -> {
+      case Seq(x) => new org.apache.spark.sql.catalyst.expressions.aggregate.AnyValue(x)
+      case args => throw new IllegalArgumentException(
+        s"arbitrary expects 1 arg, got ${args.length}")
+    },
+    "levenshtein_distance" -> {
+      case Seq(a, b) => Levenshtein(a, b)
+      case args => throw new IllegalArgumentException(
+        s"levenshtein_distance expects 2 args, got ${args.length}")
+    },
+    // to_base/from_base ↔ conv (Spark emits uppercase digits; Trino
+    // lowercase — wrapped in lower())
+    "to_base" -> {
+      case Seq(x, radix) => Lower(Conv(Cast(x, StringType), Literal(10), radix))
+      case args => throw new IllegalArgumentException(
+        s"to_base expects 2 args, got ${args.length}")
+    },
+    "from_base" -> {
+      case Seq(s, radix) => Cast(Conv(s, radix, Literal(10)), LongType)
+      case args => throw new IllegalArgumentException(
+        s"from_base expects 2 args, got ${args.length}")
+    },
+    "infinity" -> {
+      case Seq() => Literal(Double.PositiveInfinity)
+      case args => throw new IllegalArgumentException(
+        s"infinity expects 0 args, got ${args.length}")
+    },
+    "nan" -> {
+      case Seq() => Literal(Double.NaN)
+      case args => throw new IllegalArgumentException(
+        s"nan expects 0 args, got ${args.length}")
+    },
+    "is_nan" -> {
+      case Seq(x) => IsNaN(x)
+      case args => throw new IllegalArgumentException(
+        s"is_nan expects 1 arg, got ${args.length}")
     },
     // Trino format_datetime(ts, fmt) uses Joda patterns, which coincide
     // with the JVM DateTimeFormatter patterns Spark uses for the common

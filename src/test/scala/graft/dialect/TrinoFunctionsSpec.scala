@@ -102,6 +102,30 @@ class TrinoFunctionsSpec extends SparkSpec {
       == "2001/08")
   }
 
+  test("ISO date-part functions match Trino numbering") {
+    // 2001-08-22 was a Wednesday: ISO dow = 3 (Spark's dayofweek says 4)
+    assert(one("SELECT day_of_week(DATE '2001-08-22')") == 3)
+    assert(one("SELECT dow(DATE '2001-08-26')") == 7)       // Sunday
+    assert(one("SELECT day_of_year(DATE '2001-02-01')") == 32)
+    assert(one("SELECT doy(DATE '2001-01-01')") == 1)
+    assert(one("SELECT week(DATE '2001-01-04')") == 1)
+    assert(one("SELECT week_of_year(DATE '2001-12-31')") == 1) // ISO: wk 1 of 2002
+    assert(one("SELECT year_of_week(DATE '2001-12-31')") == 2002)
+    assert(one("SELECT yow(DATE '2005-01-02')") == 2004)
+    assert(one("SELECT CAST(last_day_of_month(DATE '2001-02-03') AS STRING)")
+      == "2001-02-28")
+  }
+
+  test("arbitrary / levenshtein_distance / to_base / from_base / nan family") {
+    assert(one("SELECT arbitrary(r_name) FROM region WHERE r_name = 'AFRICA'")
+      == "AFRICA")
+    assert(one("SELECT levenshtein_distance('kitten', 'sitting')") == 3)
+    assert(one("SELECT to_base(255, 16)") == "ff")
+    assert(one("SELECT from_base('ff', 16)") == 255L)
+    assert(one("SELECT is_nan(nan())") == true)
+    assert(one("SELECT infinity() > 1e308") == true)
+  }
+
   test("split_part / regexp_count / arrays_overlap are name-compatible natives") {
     assert(one("SELECT split_part('a,b,c', ',', 2)") == "b")
     assert(one("SELECT regexp_count('1a 2b 14m', '\\\\d+')") == 3)
