@@ -51,6 +51,12 @@ object TrinoFunctions {
   /** Trino unit names → Spark timestampadd/diff units. */
   private def unit(e: Expression): String = lit(e, "unit").toUpperCase
 
+  private def urlPart(part: String, name: String): Seq[Expression] => Expression = {
+    case Seq(u) => ParseUrl(Seq(u, Literal(part)))
+    case args => throw new IllegalArgumentException(
+      s"$name expects 1 arg, got ${args.length}")
+  }
+
   val shims: Map[String, Seq[Expression] => Expression] = Map(
     "approx_distinct" -> {
       // Trino's documented default max standard error is 2.3% — Spark's
@@ -213,6 +219,27 @@ object TrinoFunctions {
       case Seq(x) => IsNaN(x)
       case args => throw new IllegalArgumentException(
         s"is_nan expects 1 arg, got ${args.length}")
+    },
+    // Trino URL accessors → Spark parse_url parts (url_encode/url_decode
+    // are name-identical Spark natives, no shim)
+    "url_extract_protocol" -> urlPart("PROTOCOL", "url_extract_protocol"),
+    "url_extract_host" -> urlPart("HOST", "url_extract_host"),
+    "url_extract_path" -> urlPart("PATH", "url_extract_path"),
+    "url_extract_query" -> urlPart("QUERY", "url_extract_query"),
+    "url_extract_fragment" -> urlPart("REF", "url_extract_fragment"),
+    // no PORT part in parse_url — take the :port suffix of AUTHORITY;
+    // NullIf keeps the empty-match cast null-safe under ANSI mode
+    "url_extract_port" -> {
+      case Seq(u) => Cast(new NullIf(RegExpExtract(
+        ParseUrl(Seq(u, Literal("AUTHORITY"))), Literal(":(\\d+)$"), Literal(1)),
+        Literal("")), LongType)
+      case args => throw new IllegalArgumentException(
+        s"url_extract_port expects 1 arg, got ${args.length}")
+    },
+    "url_extract_parameter" -> {
+      case Seq(u, p) => ParseUrl(Seq(u, Literal("QUERY"), p))
+      case args => throw new IllegalArgumentException(
+        s"url_extract_parameter expects 2 args, got ${args.length}")
     },
     // Trino format_datetime(ts, fmt) uses Joda patterns, which coincide
     // with the JVM DateTimeFormatter patterns Spark uses for the common

@@ -126,6 +126,21 @@ class TrinoFunctionsSpec extends SparkSpec {
     assert(one("SELECT infinity() > 1e308") == true)
   }
 
+  test("url_extract family maps to parse_url parts") {
+    val u = "'https://example.com:8443/docs/page?lang=en&x=1#frag'"
+    assert(one(s"SELECT url_extract_protocol($u)") == "https")
+    assert(one(s"SELECT url_extract_host($u)") == "example.com")
+    assert(one(s"SELECT url_extract_path($u)") == "/docs/page")
+    assert(one(s"SELECT url_extract_query($u)") == "lang=en&x=1")
+    assert(one(s"SELECT url_extract_fragment($u)") == "frag")
+    assert(one(s"SELECT url_extract_port($u)") == 8443L)
+    assert(one("SELECT url_extract_port('https://example.com/x')") == null)
+    assert(one(s"SELECT url_extract_parameter($u, 'lang')") == "en")
+    // url_encode / url_decode are name-identical Spark natives
+    assert(one("SELECT url_encode('a b&c')") == "a+b%26c")
+    assert(one("SELECT url_decode('a+b%26c')") == "a b&c")
+  }
+
   test("split_part / regexp_count / arrays_overlap are name-compatible natives") {
     assert(one("SELECT split_part('a,b,c', ',', 2)") == "b")
     assert(one("SELECT regexp_count('1a 2b 14m', '\\\\d+')") == 3)

@@ -71,6 +71,29 @@ class HttpTransportSpec extends SparkSpec {
     assert(resp.statusCode() == 405)
   }
 
+  test("MCP session lifecycle: issue on initialize, 404 unknown, DELETE ends") {
+    val init = post("""{"jsonrpc":"2.0","id":1,"method":"initialize","params":{}}""")
+    assert(init.statusCode() == 200)
+    val sid = init.headers().firstValue("Mcp-Session-Id").orElse("")
+    assert(sid.nonEmpty, "initialize must issue Mcp-Session-Id")
+
+    def withSid(s: String) = client.send(HttpRequest.newBuilder(URI.create(s"$base/mcp"))
+      .header("Content-Type", "application/json").header("Mcp-Session-Id", s)
+      .POST(HttpRequest.BodyPublishers.ofString(
+        """{"jsonrpc":"2.0","id":2,"method":"ping"}""")).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+    assert(withSid(sid).statusCode() == 200)
+    assert(withSid("not-a-session").statusCode() == 404)
+
+    def del(s: String) = client.send(HttpRequest.newBuilder(URI.create(s"$base/mcp"))
+      .header("Mcp-Session-Id", s).DELETE().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(del(sid).statusCode() == 204)
+    assert(del(sid).statusCode() == 404)        // already terminated
+    assert(withSid(sid).statusCode() == 404)    // and requests now rejected
+  }
+
   test("OAuth-enabled transport enforces bearer tokens on /mcp") {
     val cfg = EngineConfig.fromEnv(Map(
       "OAUTH_ENABLED" -> "true", "OAUTH_HMAC_SECRET" -> "s3cret")).toOption.get
