@@ -97,6 +97,31 @@ object Similarity {
   private def cosD(a: Column, b: Column): Column =
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
 
+  /** Seed-free SRP signature — the cross-engine verification variant of
+    * [[srpSignature]]: plane component (b, i) derives from md5("b:i")
+    * (first 13 hex chars / 2^52, mapped to [-1, 1) — every step exact
+    * in IEEE double, so any engine with md5 computes bit-identical
+    * planes), and each plane dot is an order-independent DECIMAL sum
+    * (like dotDecimal), so the sign bits — and therefore the packed
+    * signature — hash-match a DuckDB replay exactly. */
+  def srpSigMd5(vec: Column, bits: Int, dims: Int): Column = {
+    def planeWeight(b: Int, i: Int): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$b:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hex = d.map("%02x".format(_)).mkString.substring(0, 13)
+      (java.lang.Long.parseLong(hex, 16).toDouble / (1L << 52).toDouble) * 2.0 - 1.0
+    }
+    (0 until bits).map { b =>
+      val plane = typedLit((1 to dims).map(i => planeWeight(b, i)))
+      val s = aggregate(
+        zip_with(vec, plane, (x, w) =>
+          (x.cast("double") * w).cast("decimal(28,14)")),
+        lit(0).cast("decimal(28,14)"),
+        (acc, v) => (acc + v).cast("decimal(28,14)"))
+      when(s > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
   // ---------------------------------------------------------------------
   // IVF: the coarse quantizer lives on the DRIVER (k centroids ≈ a few KB
   // — the same layout as Spark MLlib's KMeans, whose cluster centers are

@@ -128,6 +128,16 @@ object PipelineOps {
         .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
         .limit(20)),
 
+    // Cross-engine SRP: md5-derived hyperplanes + decimal dot signs —
+    // the sign-bit signature algebra verified against DuckDB. Bounded
+    // to a fixed id range so bench cost is sf-independent.
+    "embed_srp_md5" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .filter(col("vec_id") < 2000)
+        .select(col("vec_id"),
+          Similarity.srpSigMd5(col("embedding"), bits = 16, dims = 64).as("sig"))
+        .orderBy(col("vec_id"))),
+
     // IVF ANN top-k: fixed-cardinality hash-sampled quantizer (k never
     // scales with the corpus), shuffle-free projection assignment, probe
     // nProbe cells selected on the driver.
@@ -248,6 +258,29 @@ object PipelineOps {
         |FROM tok, (SELECT unnest(generate_series(0, 15)) AS s) ss
         |GROUP BY doc_id, ss.s
         |ORDER BY doc_id, seed""".stripMargin,
+
+    // md5-plane SRP replay: rebuild each plane weight from 13 hex digits
+    // (integer shifts — a double-pow sum would lose exactness past 2^53),
+    // decimal-sum the dots, pack the sign bits.
+    "embed_srp_md5" ->
+      """WITH planes AS (
+        |  SELECT bs.b AS b, isq.i AS i,
+        |    (CAST(SUM(CAST(strpos('0123456789abcdef',
+        |        substr(md5(CAST(bs.b AS VARCHAR) || ':' || CAST(isq.i AS VARCHAR)), ps.p, 1)) - 1
+        |        AS BIGINT) << (4 * (13 - ps.p))) AS DOUBLE) / 4503599627370496.0) * 2 - 1 AS w
+        |  FROM (SELECT unnest(generate_series(0, 15)) AS b) bs,
+        |       (SELECT unnest(generate_series(1, 64)) AS i) isq,
+        |       (SELECT unnest(generate_series(1, 13)) AS p) ps
+        |  GROUP BY bs.b, isq.i),
+        |d AS (
+        |  SELECT e.vec_id, pl.b,
+        |    SUM(CAST(CAST(e.embedding[pl.i] AS DOUBLE) * pl.w AS DECIMAL(28,14))) AS s
+        |  FROM embeddings e, planes pl
+        |  WHERE e.vec_id < 2000
+        |  GROUP BY e.vec_id, pl.b)
+        |SELECT vec_id,
+        |  CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(b AS INT) ELSE 0 END) AS BIGINT) AS sig
+        |FROM d GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "sample_stratified" ->
       s"""SELECT doc_id, lang FROM documents
