@@ -57,6 +57,19 @@ object Streams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("session_value"))
 
+  /** Streaming exact dedup — the streaming face of Dedup.exact: the
+    * first arrival per key is kept, later duplicates are dropped, and
+    * dropDuplicatesWithinWatermark bounds the key state to the
+    * watermark horizon (a plain dropDuplicates would grow state
+    * forever on an unbounded stream — the classic streaming-dedup
+    * failure at scale). Exactly-once per key holds for duplicates
+    * arriving within the watermark of the first occurrence — the
+    * guarantee an at-least-once ingest pipeline needs. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Custom sessionization with explicit keyed state
     * (flatMapGroupsWithState): per-user open-session state, event-time
     * timeout at `gapSeconds` past the watermark, emitting one closed

@@ -50,6 +50,28 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps first arrival per key, equals batch dropDuplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.dedupStream(mem.toDF(), Seq("event_id"), watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      // duplicates both inside one micro-batch and across micro-batches
+      mem.addData(rows.take(3): _*)
+      mem.addData(rows(1), rows(2))            // cross-batch duplicates
+      q.processAllAvailable()
+      mem.addData(rows(2), rows(3), rows(3))   // in-batch duplicate
+      q.processAllAvailable()
+      val streaming = spark.table("dedup_stream")
+        .orderBy("event_id").collect().map(_.getLong(0))
+      val batch = rows.take(4).toDF().dropDuplicates("event_id")
+        .orderBy("event_id").collect().map(_.getLong(0))
+      assert(streaming.toSeq == batch.toSeq)
+      assert(streaming.length == 4) // ids 1-4 exactly once each
+    } finally q.stop()
+  }
+
   test("streaming session_window agg closes 30-min-gap sessions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
