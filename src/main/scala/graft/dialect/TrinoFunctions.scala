@@ -188,6 +188,33 @@ object TrinoFunctions {
       case args => throw new IllegalArgumentException(
         s"arbitrary expects 1 arg, got ${args.length}")
     },
+    // map_agg(k, v) → map built from the collected (k, v) pairs
+    "map_agg" -> {
+      case Seq(k, v) => MapFromEntries(
+        new org.apache.spark.sql.catalyst.expressions.aggregate.CollectList(
+          CreateStruct(Seq(k, v))).toAggregateExpression())
+      case args => throw new IllegalArgumentException(
+        s"map_agg expects 2 args, got ${args.length}")
+    },
+    // Trino bitwise_*_agg names → Spark bit_and/bit_or
+    "bitwise_and_agg" -> {
+      case Seq(x) => org.apache.spark.sql.catalyst.expressions.aggregate.BitAndAgg(x)
+      case args => throw new IllegalArgumentException(
+        s"bitwise_and_agg expects 1 arg, got ${args.length}")
+    },
+    "bitwise_or_agg" -> {
+      case Seq(x) => org.apache.spark.sql.catalyst.expressions.aggregate.BitOrAgg(x)
+      case args => throw new IllegalArgumentException(
+        s"bitwise_or_agg expects 1 arg, got ${args.length}")
+    },
+    // geometric_mean(x) = exp(avg(ln(x)))
+    "geometric_mean" -> {
+      case Seq(x) => Exp(
+        new org.apache.spark.sql.catalyst.expressions.aggregate.Average(
+          Log(Cast(x, DoubleType))).toAggregateExpression())
+      case args => throw new IllegalArgumentException(
+        s"geometric_mean expects 1 arg, got ${args.length}")
+    },
     "levenshtein_distance" -> {
       case Seq(a, b) => Levenshtein(a, b)
       case args => throw new IllegalArgumentException(

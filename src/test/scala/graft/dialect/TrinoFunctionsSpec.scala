@@ -126,6 +126,17 @@ class TrinoFunctionsSpec extends SparkSpec {
     assert(one("SELECT infinity() > 1e308") == true)
   }
 
+  test("aggregate shims: map_agg / bitwise aggs / geometric_mean") {
+    assert(one("SELECT map_agg(r_regionkey, r_name)['2'] FROM " +
+      "(SELECT CAST(r_regionkey AS STRING) AS r_regionkey, r_name FROM region)")
+      == "ASIA")
+    assert(one("SELECT bitwise_and_agg(x) FROM (VALUES (7), (3), (11)) AS t(x)") == 3)
+    assert(one("SELECT bitwise_or_agg(x) FROM (VALUES (1), (2), (4)) AS t(x)") == 7)
+    val gm = one("SELECT geometric_mean(x) FROM (VALUES (2.0), (8.0)) AS t(x)")
+      .asInstanceOf[Double]
+    assert(math.abs(gm - 4.0) < 1e-9)
+  }
+
   test("url_extract family maps to parse_url parts") {
     val u = "'https://example.com:8443/docs/page?lang=en&x=1#frag'"
     assert(one(s"SELECT url_extract_protocol($u)") == "https")
