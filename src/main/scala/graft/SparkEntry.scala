@@ -34,11 +34,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.defs ++ Windows.defs ++ Shapes.defs ++ Funcs.defs ++
-      TimeOps.defs ++ PipelineOps.defs ++ MetaOps.defs
+      TimeOps.defs ++ PipelineOps.defs ++ MetaOps.defs ++ TpchSql.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Windows.oracles ++ Shapes.oracles ++
-      Funcs.oracles ++ TimeOps.oracles ++ PipelineOps.oracles
+      Funcs.oracles ++ TimeOps.oracles ++ PipelineOps.oracles ++
+      TpchSql.oracles
 }

@@ -1,0 +1,84 @@
+package graft.queries
+
+import graft.engine.Tables
+
+import QHelpers._
+
+/** Classic TPC-H pricing/revenue queries run as SQL TEXT through the
+  * engine (Tables.sql → spark.sql) — the reference's actual usage mode
+  * is SQL strings over execute_query, so the inventory should exercise
+  * the parser/analyzer path end-to-end, not only the DataFrame API.
+  * (Adapted to the testdata schema: no o_shippriority column, so Q3
+  * carries o_orderpriority.)
+  *
+  * Money aggregates follow the decimal-routing rule (QHelpers): the
+  * double product is cast to DECIMAL(18,4) before SUM on both engines,
+  * making the aggregation order-independent and hash-stable. The
+  * 3-factor charge goes further: with 2-decimal discounts/taxes the
+  * product has exactly 6 decimals, so a double→DECIMAL(18,4) cast lands
+  * exactly halfway and the engines split (Spark HALF_UP, DuckDB
+  * HALF_EVEN). Each factor is therefore cast to decimal FIRST —
+  * (12,2)×(8,6)×(8,6) stays within precision 38 un-reduced on both
+  * engines, every step is exact, and the decimal sum is emitted without
+  * any double conversion.
+  */
+object TpchSql {
+
+  private val q1 =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |  SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+      |           * CAST(1 - l_discount AS DECIMAL(8,6)) AS DECIMAL(28,8))
+      |      * CAST(1 + l_tax AS DECIMAL(8,6))) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  private val q3 =
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  o_orderdate, o_orderpriority
+      |FROM customer
+      |  JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  private val q5 =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM customer
+      |  JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "tpch_q1" -> ((s, d) => Tables.sql(s, d, q1)),
+    "tpch_q3" -> ((s, d) => Tables.sql(s, d, q3)),
+    "tpch_q5" -> ((s, d) => Tables.sql(s, d, q5)))
+
+  // The oracle SQL is the SAME text (both dialects accept it) — the
+  // strongest possible parity statement for the SQL surface.
+  val oracles: Map[String, String] = Map(
+    "tpch_q1" -> q1,
+    "tpch_q3" -> q3,
+    "tpch_q5" -> q5)
+}
