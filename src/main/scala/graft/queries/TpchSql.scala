@@ -70,15 +70,40 @@ object TpchSql {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  private val q6 =
+    """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.04 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  private val q18 =
+    """SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM customer
+      |  JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 250)
+      |GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 20""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "tpch_q1" -> ((s, d) => Tables.sql(s, d, q1)),
     "tpch_q3" -> ((s, d) => Tables.sql(s, d, q3)),
-    "tpch_q5" -> ((s, d) => Tables.sql(s, d, q5)))
+    "tpch_q5" -> ((s, d) => Tables.sql(s, d, q5)),
+    "tpch_q6" -> ((s, d) => Tables.sql(s, d, q6)),
+    "tpch_q18" -> ((s, d) => Tables.sql(s, d, q18)))
 
   // The oracle SQL is the SAME text (both dialects accept it) — the
   // strongest possible parity statement for the SQL surface.
   val oracles: Map[String, String] = Map(
     "tpch_q1" -> q1,
     "tpch_q3" -> q3,
-    "tpch_q5" -> q5)
+    "tpch_q5" -> q5,
+    "tpch_q6" -> q6,
+    "tpch_q18" -> q18)
 }
