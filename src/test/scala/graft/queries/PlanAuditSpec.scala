@@ -51,6 +51,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
   }
 
+  test("tpch_q1: shipdate predicate pushes down to the lineitem scan") {
+    val p = plan("tpch_q1")
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("l_shipdate")), p.take(800))
+  }
+
+  test("tpch_q5: star joins broadcast the dimension sides") {
+    val p = plan("tpch_q5")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("tpch_q18: top-n plans as TakeOrderedAndProject") {
+    assert(plan("tpch_q18").contains("TakeOrderedAndProject"))
+  }
+
   test("whole inventory: no CartesianProduct; nested-loop only where semantic") {
     // join_cross IS a cross join; the embed anchor joins broadcast a
     // 1-row (or nProbe-row) side — a BNLJ against a bounded-tiny build
