@@ -48,6 +48,22 @@ object Sampling {
     df.filter(hashHex(col(keyCol), salt) < threshold)
   }
 
+  /** Fixed-budget contiguous sequence packing: within each `shardCol`
+    * partition, rows in `orderCol` order are assigned to consecutive
+    * packs of ~`budget` tokens (pack id = exclusive running token total
+    * div budget). The window is PARTITIONED by shard — no global sort;
+    * at 100 TB the shard column (language, source, date bucket) is the
+    * unit of parallelism, exactly how a packing job shards. Integer
+    * division keeps the assignment engine-exact. */
+  def packSequences(df: DataFrame, shardCol: String, orderCol: String,
+      tokensCol: String, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol)).orderBy(col(orderCol))
+      .rowsBetween(Long.MinValue, -1)
+    val prior = coalesce(sum(col(tokensCol).cast("long")).over(w), lit(0L))
+    df.withColumn("pack_id", (prior / lit(budget)).cast("long"))
+  }
+
   /** Disjoint train/val/test assignment by key hash; fractions must sum
     * to ≤ 1 (remainder → "train" absorbs the rounding). */
   def split(df: DataFrame, keyCol: String, valFrac: Double, testFrac: Double,

@@ -125,4 +125,14 @@ object TextAnalysis {
     val idx = sequence(lit(1), greatest(n - (k - 1), lit(1)))
     array_distinct(transform(idx, i => concat_ws(" ", slice(toks, i, lit(k)))))
   }
+
+  /** Repetition ratio: 1 − distinct/total k-token shingles — the
+    * boilerplate/spam signal CommonCrawl-style curation filters on
+    * (high ratio = the same phrases loop). Integer-count ratio over a
+    * double division — hash-stable cross-engine. */
+  def repetitionRatio(text: Column, k: Int = 3): Column = {
+    val total = greatest(size(tokens(lower(trim(text)))) - (k - 1), lit(1))
+    val dist = size(shingleStrings(text, k))
+    lit(1.0) - dist.cast("double") / total.cast("double")
+  }
 }

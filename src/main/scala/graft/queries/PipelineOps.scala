@@ -178,6 +178,23 @@ object PipelineOps {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("split"))),
 
+    // Repetition-ratio quality signal (1 − distinct/total 3-gram
+    // shingles) — the boilerplate/spam filter axis.
+    "text_repetition" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.repetitionRatio(col("text"), 3).as("repetition"))
+        .orderBy(col("doc_id"))),
+
+    // Fixed-budget sequence packing per language shard: the batch
+    // assignment step before training-data serialization.
+    "pack_sequences" -> ((s, d) =>
+      Sampling.packSequences(
+          t(s, d, "documents").select(col("doc_id"), col("lang"),
+            TextAnalysis.bpeishTokenCount(col("text")).as("n_tokens")),
+          "lang", "doc_id", "n_tokens", budget = 2048L)
+        .orderBy(col("doc_id"))),
+
     // Multimodal plumbing: opaque binary payload + typed metadata struct
     // (decode is the declared stub; the metadata math is deterministic,
     // so the schema/projection path IS oracle-checkable).
@@ -393,6 +410,28 @@ object PipelineOps {
         |FROM lst l, ev
         |WHERE l.doc_id >= 10
         |ORDER BY l.doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH l AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS lst
+        |  FROM documents)
+        |SELECT doc_id,
+        |  1.0 - CAST(len(list_distinct([array_to_string(lst[i:i+2], ' ')
+        |                                for i in range(1, greatest(len(lst)-2, 1)+1)])) AS DOUBLE)
+        |      / CAST(greatest(len(lst)-2, 1) AS DOUBLE) AS repetition
+        |FROM l ORDER BY doc_id""".stripMargin,
+
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, lang, n_tokens,
+        |  COALESCE(SUM(CAST(n_tokens AS BIGINT)) OVER (
+        |    PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS pack_id
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "mm_blob_meta" ->
       """SELECT doc_id,

@@ -28,9 +28,9 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented counts") {
-    assert(SparkEntry.queries.size == 89,
+    assert(SparkEntry.queries.size == 91,
       s"queries=${SparkEntry.queries.size} — update README/ContractSpec together")
-    assert(SparkEntry.oracleSql.size == 76,
+    assert(SparkEntry.oracleSql.size == 78,
       s"oracles=${SparkEntry.oracleSql.size} — update README/ContractSpec together")
   }
 }
