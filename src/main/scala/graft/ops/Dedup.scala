@@ -160,6 +160,67 @@ object Dedup {
       .groupBy(col(idCol), col("seed"))
       .agg(min(col("hv")).as("minhash"))
 
+  /** Near-dup edges from [[minHashMd5]] signatures: two docs are joined
+    * when ≥ `minShared` of their `numHashes` per-seed minima coincide —
+    * a seed-band LSH join expressed in cross-engine-verifiable md5
+    * terms. One shuffle on (seed, minhash); only bucket-mates pair, and
+    * buckets larger than `maxBucket` are dropped BEFORE the self-join
+    * (the standard LSH skew guard — a degenerate bucket of B docs would
+    * otherwise emit B²/2 pairs on one reducer; measured: uncapped, this
+    * corpus's tiny vocabulary makes sf0.1 blow past 10 minutes). The
+    * cap is part of the operator semantics and the oracle mirrors it. */
+  def minHashMd5Edges(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, minShared: Int = 8, maxBucket: Int = 100): DataFrame = {
+    val mh = minHashMd5(docs, idCol, textCol, numHashes)
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("seed"), col("minhash"))))
+      .filter(col("bucket_n") <= maxBucket)
+    val a = mh.select(col(idCol).as("id_a"), col("seed"), col("minhash"))
+    val b = mh.select(col(idCol).as("id_b"), col("seed"), col("minhash"))
+    a.join(b, Seq("seed", "minhash"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** Connected components over near-dup edges — the step that turns
+    * pairwise matches into dedup CLUSTERS (keep one canonical doc per
+    * component; pairs alone cannot resolve transitive chains A~B~C).
+    *
+    * Iterative min-label propagation: each node adopts the minimum
+    * label in its neighborhood until fixpoint (≤ graph diameter
+    * rounds). Each round is one shuffle-join + aggregate, and the
+    * label table is localCheckpoint'ed so lineage does not deepen with
+    * iterations — the same bounded-round layout GraphX/Pregel CC uses,
+    * built from plain DataFrame ops. The driver sees only the
+    * converged/changed COUNT per round, never the labels. */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = nodes.select(col("id"), col("id").as("comp"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("comp")).as("nbr_min"))
+      val next = labels.as("l")
+        .join(nbrMin, col("l.id") === nbrMin("src"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.comp"), coalesce(col("nbr_min"), col("l.comp"))).as("comp"))
+        .localCheckpoint(true)
+      changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.comp") < col("o.comp")).count()
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   /** Exact n-gram Jaccard pairs within a blocking key (e.g. lang+source)
     * — the quadratic-but-blocked baseline the LSH paths approximate. At
     * 100 TB the blocking key bounds each block's pair count; unblocked

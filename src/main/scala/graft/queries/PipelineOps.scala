@@ -57,6 +57,19 @@ object PipelineOps {
       Dedup.minHashMd5(t(s, d, "documents"), "doc_id", "text", numHashes = 16)
         .orderBy(col("doc_id"), col("seed"))),
 
+    // Near-dup CLUSTERS: md5-minhash band edges (≥8/16 shared seeds) →
+    // connected components → (doc, component) assignment. The
+    // pairs→clusters step every global dedup needs; fully
+    // oracle-checked (DuckDB replays the edges and the reachability
+    // min-label via a recursive CTE).
+    "dedup_components" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.connectedComponents(
+          docs.select(col("doc_id").as("id")),
+          Dedup.minHashMd5Edges(docs, "doc_id", "text", 16, 8))
+        .orderBy(col("id"))
+    }),
+
     // Blocked exact n-gram Jaccard (string shingles → oracle-checkable).
     "dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
@@ -298,6 +311,38 @@ object PipelineOps {
         |SELECT vec_id,
         |  CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(b AS INT) ELSE 0 END) AS BIGINT) AS sig
         |FROM d GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // Component = min reachable doc_id. The recursive CTE enumerates
+    // (node, reachable-label) pairs — bounded by Σ|component|² on this
+    // corpus — and min-label per node must equal Spark's converged
+    // propagation exactly.
+    "dedup_components" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+        |mh0 AS (
+        |  SELECT doc_id, CAST(ss.s AS INT) AS seed,
+        |    MIN(substr(md5(CAST(ss.s AS VARCHAR) || ':' || tok), 1, 15)) AS minhash
+        |  FROM tok, (SELECT unnest(generate_series(0, 15)) AS s) ss
+        |  GROUP BY doc_id, ss.s),
+        |mh AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id, seed, minhash,
+        |      COUNT(*) OVER (PARTITION BY seed, minhash) AS bucket_n
+        |    FROM mh0)
+        |  WHERE bucket_n <= 100),
+        |edges AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM mh a JOIN mh b
+        |    ON a.seed = b.seed AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 8),
+        |sym AS (
+        |  SELECT id_a AS src, id_b AS dst FROM edges
+        |  UNION ALL SELECT id_b AS src, id_a AS dst FROM edges),
+        |reach(id, lab) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT s.src, r.lab FROM reach r JOIN sym s ON r.id = s.dst)
+        |SELECT id, MIN(lab) AS comp FROM reach GROUP BY id ORDER BY id""".stripMargin,
 
     "sample_stratified" ->
       s"""SELECT doc_id, lang FROM documents

@@ -28,9 +28,9 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented counts") {
-    assert(SparkEntry.queries.size == 91,
+    assert(SparkEntry.queries.size == 92,
       s"queries=${SparkEntry.queries.size} — update README/ContractSpec together")
-    assert(SparkEntry.oracleSql.size == 78,
+    assert(SparkEntry.oracleSql.size == 79,
       s"oracles=${SparkEntry.oracleSql.size} — update README/ContractSpec together")
   }
 }
