@@ -74,4 +74,14 @@ class DedupSpec extends SparkSpec {
       k = 3, numHashes = 32, bands = 8, jaccardThreshold = 0.5, maxBucket = 1000)
     assert(uncapped.count() == 30L * 29L / 2L)
   }
+
+  test("connected components resolve transitive chains and leave singletons") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    // chain 1-2-3 (1~2, 2~3 but NOT 1~3 directly), pair 4-5, singleton 6
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(nodes, edges)
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
 }
