@@ -199,13 +199,24 @@ object Dedup {
     * converged/changed COUNT per round, never the labels. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIters: Int = 20): DataFrame = {
+    // materialize the (usually expensive) edge derivation ONCE — the
+    // loop must not re-run LSH/self-join lineage every round
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
     var labels = nodes.select(col("id"), col("id").as("comp"))
       .localCheckpoint(true)
-    var changed = 1L
+    // convergence via the label-sum: monotonically non-increasing, and
+    // strictly decreasing while any label still moves — one cheap
+    // aggregate per round instead of a self-join diff count. Decimal
+    // sum: id sums can exceed Long at large node counts.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head()
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
     var i = 0
-    while (changed > 0 && i < maxIters) {
+    var converged = false
+    while (!converged && i < maxIters) {
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("comp")).as("nbr_min"))
       val next = labels.as("l")
@@ -213,8 +224,9 @@ object Dedup {
         .select(col("l.id").as("id"),
           least(col("l.comp"), coalesce(col("nbr_min"), col("l.comp"))).as("comp"))
         .localCheckpoint(true)
-      changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.comp") < col("o.comp")).count()
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
       i += 1
     }
