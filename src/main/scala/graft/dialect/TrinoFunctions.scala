@@ -428,6 +428,16 @@ object TrinoFunctions {
         case Seq(a, b) => DotF(a, b)
         case args => throw new IllegalArgumentException(
           s"dotf expects 2 args, got ${args.length}")
+      },
+      // dense-array cosine over the codegen'd native dot product (Trino
+      // spells cosine_similarity over sparse maps; the embedding
+      // pipelines here carry dense array<float> columns)
+      "cosine_similarity" -> {
+        case Seq(a, b) =>
+          Divide(DotF(a, b),
+            Sqrt(Multiply(DotF(a, a), DotF(b, b))))
+        case args => throw new IllegalArgumentException(
+          s"cosine_similarity expects 2 args, got ${args.length}")
       })
   }
 

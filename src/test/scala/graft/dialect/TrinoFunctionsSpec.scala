@@ -190,6 +190,18 @@ class TrinoFunctionsSpec extends SparkSpec {
     assert(qs.execute("SELECT simhash64(array(struct(1), struct(2)))").isLeft)
   }
 
+  test("cosine_similarity over dense float arrays") {
+    val c = one("SELECT cosine_similarity(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+      "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)))").asInstanceOf[Double]
+    assert(math.abs(c - 1.0) < 1e-12)
+    val o = one("SELECT cosine_similarity(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+      "array(CAST(0.0 AS FLOAT), CAST(1.0 AS FLOAT)))").asInstanceOf[Double]
+    assert(math.abs(o) < 1e-12)
+    // real embeddings through the full SQL path
+    assert(one("SELECT cosine_similarity(a.embedding, a.embedding) FROM embeddings a WHERE a.vec_id = 0")
+      .asInstanceOf[Double] > 0.999999)
+  }
+
   test("near-dup SQL sketch: shingle+minhash over documents via execute_query") {
     val r = qs.execute(
       """SELECT doc_id, minhash_sig(shingle_hash(split(lower(text), '\\s+'), 3), 32) AS sig
