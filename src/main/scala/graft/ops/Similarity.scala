@@ -248,6 +248,44 @@ object Similarity {
     * shuffle-free projection + cell filter + TakeOrderedAndProject. At
     * persisted scale, write the assignment partitioned by cell_id and the
     * probe filter prunes partitions (IvfPartitionSpec proves it). */
+  /** Materialize the IVF index: cell assignment written PARTITIONED BY
+    * cell_id (plus the centroid table alongside). Build once, probe
+    * many — the on-disk layout where a probe's cell filter becomes
+    * partition PRUNING at the scan (files of unprobed cells are never
+    * opened; IvfPartitionSpec pins the plan). Returns the centroids. */
+  def buildIvfIndex(embeddings: DataFrame, idCol: String, vecCol: String,
+      path: String, nCells: Int = 64, kmeansIters: Int = 0): DataFrame = {
+    val seeds = seedCents(embeddings, idCol, vecCol, nCells)
+    val cents =
+      if (kmeansIters > 0) lloyd(embeddings, idCol, vecCol, seeds, kmeansIters)
+      else seeds
+    assignedDf(embeddings, cents, idCol, vecCol)
+      .write.partitionBy("cell_id").mode("overwrite").parquet(s"$path/cells")
+    val centDf = centsToDf(embeddings, cents)
+    centDf.write.mode("overwrite").parquet(s"$path/centroids")
+    centDf
+  }
+
+  /** Probe a persisted IVF index: nProbe nearest cells chosen against
+    * the (tiny) centroid table, then ONE pruned scan of those cells'
+    * partitions ending in TakeOrderedAndProject. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String, anchorVec: Seq[Float], k: Int,
+      nProbe: Int = 2): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val probeIds = cents
+      .map { case (cid, v) => (driverCos(anchorVec, v), cid) }
+      .sortBy { case (c, cid) => (-c, cid) }
+      .take(nProbe).map(_._2)
+    val anchorLit = typedLit(anchorVec)
+    spark.read.parquet(s"$path/cells")
+      .filter(col("cell_id").isInCollection(probeIds))
+      .select(col(idCol), cosD(col(vecCol), anchorLit).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
       anchorId: Long, k: Int, nCells: Int = 64, nProbe: Int = 2,
       kmeansIters: Int = 0): DataFrame = {

@@ -47,4 +47,30 @@ class IvfPartitionSpec extends SparkSpec {
     // the partition filter is not a post-scan data filter
     assert(!scanLine.contains("PushedFilters: [In(cell_id"), scanLine)
   }
+
+  test("buildIvfIndex + ivfTopKIndexed: probe prunes and matches the ad-hoc path") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Files.createTempDirectory("graft-ivfidx").toFile
+    out.deleteOnExit()
+    val emb = Tables.load(spark, dir, "embeddings")
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding",
+      out.getAbsolutePath, nCells = 8)
+    val anchor = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0)
+
+    val probe = Similarity.ivfTopKIndexed(spark, out.getAbsolutePath,
+      "vec_id", "embedding", anchor, k = 11, nProbe = 3)
+    val plan = probe.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("FileScan")).getOrElse(plan)
+    assert(scanLine.contains("PartitionFilters") && scanLine.contains("cell_id"),
+      s"indexed probe does not prune:\n$scanLine")
+
+    val adhoc = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        anchorId = 0L, k = 10, nCells = 8, nProbe = 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // indexed probe includes the anchor itself (no id filter) — drop it
+    val indexed = probe.select("vec_id").collect().map(_.getLong(0))
+      .filterNot(_ == 0L).take(10).toSet
+    assert(indexed == adhoc, s"indexed=$indexed adhoc=$adhoc")
+  }
 }
