@@ -191,6 +191,16 @@ object PipelineOps {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("split"))),
 
+    // Exact length quantiles per language — the distribution summary a
+    // curation dashboard tracks. Spark's exact `percentile` and
+    // DuckDB's quantile_cont share the linear-interpolation definition.
+    "text_length_quantiles" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(expr("percentile(length(text), array(0.25D, 0.5D, 0.75D, 0.9D, 0.99D))")
+          .as("qs"))
+        .orderBy(col("lang"))),
+
     // Repetition-ratio quality signal (1 − distinct/total 3-gram
     // shingles) — the boilerplate/spam filter axis.
     "text_repetition" -> ((s, d) =>
@@ -455,6 +465,11 @@ object PipelineOps {
         |FROM lst l, ev
         |WHERE l.doc_id >= 10
         |ORDER BY l.doc_id""".stripMargin,
+
+    "text_length_quantiles" ->
+      """SELECT lang,
+        |  quantile_cont(CAST(length(text) AS DOUBLE), [0.25, 0.5, 0.75, 0.9, 0.99]) AS qs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "text_repetition" ->
       """WITH l AS (
