@@ -50,6 +50,37 @@ object TimeOps {
           max(col("ts")).as("session_end"),
           dsum(col("value")).as("session_value"))
         .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // Conversion funnel: first view → first click within 1 h of it →
+    // first purchase within 1 h of that click. Per-stage user counts —
+    // the product-analytics staple. Stage boundaries compared in exact
+    // integer microseconds (unix_micros / epoch_us) like the
+    // sessionizer, so no float/truncation drift across engines. Each
+    // stage is one aggregate + one broadcast-joinable user table.
+    "time_funnel" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val us = unix_micros _
+      val hour = 3600L * 1000000L
+      val fv = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_view"))
+      val fc = ev.filter(col("event_type") === "click").as("c")
+        .join(fv.as("f"), "user_id")
+        .filter(us(col("c.ts")) > us(col("first_view")) &&
+          us(col("c.ts")) <= us(col("first_view")) + hour)
+        .groupBy(col("user_id")).agg(min(col("c.ts")).as("first_click"))
+      val fp = ev.filter(col("event_type") === "purchase").as("p")
+        .join(fc.as("g"), "user_id")
+        .filter(us(col("p.ts")) > us(col("first_click")) &&
+          us(col("p.ts")) <= us(col("first_click")) + hour)
+        .select(col("user_id")).distinct()
+      fv.agg(count(lit(1)).as("n_users"))
+        .select(lit("1_viewed").as("stage"), col("n_users"))
+        .unionAll(fc.agg(count(lit(1)).as("n_users"))
+          .select(lit("2_clicked").as("stage"), col("n_users")))
+        .unionAll(fp.agg(count(lit(1)).as("n_users"))
+          .select(lit("3_purchased").as("stage"), col("n_users")))
+        .orderBy(col("stage"))
     })
   )
 
@@ -79,6 +110,29 @@ object TimeOps {
          |       ${sqlDsum("value")} AS session_value
          |FROM sessions
          |GROUP BY user_id, session_id
-         |ORDER BY user_id, session_id""".stripMargin
+         |ORDER BY user_id, session_id""".stripMargin,
+
+    "time_funnel" ->
+      """WITH fv AS (
+        |  SELECT user_id, MIN(ts) AS first_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |fc AS (
+        |  SELECT e.user_id, MIN(e.ts) AS first_click
+        |  FROM events e JOIN fv ON e.user_id = fv.user_id
+        |  WHERE e.event_type = 'click'
+        |    AND epoch_us(e.ts) > epoch_us(fv.first_view)
+        |    AND epoch_us(e.ts) <= epoch_us(fv.first_view) + CAST(3600 AS BIGINT) * 1000000
+        |  GROUP BY e.user_id),
+        |fp AS (
+        |  SELECT DISTINCT e.user_id
+        |  FROM events e JOIN fc ON e.user_id = fc.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND epoch_us(e.ts) > epoch_us(fc.first_click)
+        |    AND epoch_us(e.ts) <= epoch_us(fc.first_click) + CAST(3600 AS BIGINT) * 1000000)
+        |SELECT stage, n_users FROM (
+        |  SELECT '1_viewed' AS stage, COUNT(*) AS n_users FROM fv
+        |  UNION ALL SELECT '2_clicked', COUNT(*) FROM fc
+        |  UNION ALL SELECT '3_purchased', COUNT(*) FROM fp)
+        |ORDER BY stage""".stripMargin
   )
 }
