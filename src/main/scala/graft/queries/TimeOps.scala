@@ -81,6 +81,25 @@ object TimeOps {
         .unionAll(fp.agg(count(lit(1)).as("n_users"))
           .select(lit("3_purchased").as("stage"), col("n_users")))
         .orderBy(col("stage"))
+    }),
+
+    // Retention cohorts: users bucketed by first-seen hour, activity
+    // counted per whole-hour offset from it — the cohort matrix every
+    // growth dashboard draws. Offsets are exact integer hour deltas of
+    // hour-truncated timestamps (no float time math). Two shuffles:
+    // the per-user min and the cohort-cell distinct count.
+    "time_retention" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val first = ev.groupBy(col("user_id")).agg(min(col("ts")).as("first_ts"))
+      ev.join(first, "user_id")
+        .select(col("user_id"),
+          date_trunc("hour", col("first_ts")).as("cohort_hour"),
+          ((unix_micros(date_trunc("hour", col("ts"))) -
+            unix_micros(date_trunc("hour", col("first_ts")))) /
+            lit(3600L * 1000000L)).cast("long").as("offset_h"))
+        .groupBy(col("cohort_hour"), col("offset_h"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_hour"), col("offset_h"))
     })
   )
 
@@ -133,6 +152,16 @@ object TimeOps {
         |  SELECT '1_viewed' AS stage, COUNT(*) AS n_users FROM fv
         |  UNION ALL SELECT '2_clicked', COUNT(*) FROM fc
         |  UNION ALL SELECT '3_purchased', COUNT(*) FROM fp)
-        |ORDER BY stage""".stripMargin
+        |ORDER BY stage""".stripMargin,
+
+    "time_retention" ->
+      """WITH first AS (
+        |  SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id)
+        |SELECT date_trunc('hour', f.first_ts) AS cohort_hour,
+        |  (epoch_us(date_trunc('hour', e.ts)) - epoch_us(date_trunc('hour', f.first_ts)))
+        |    // (CAST(3600 AS BIGINT) * 1000000) AS offset_h,
+        |  COUNT(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN first f ON e.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
