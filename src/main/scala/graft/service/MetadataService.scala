@@ -45,7 +45,10 @@ class MetadataService(engine: Engine) {
     val names = rows.flatMap { r =>
       val name = r.getString(1)
       val isTemp = r.getBoolean(2)
-      if (!isTemp || (c.equalsIgnoreCase(cfg.catalog) && s.equalsIgnoreCase(cfg.schema)))
+      // graft_src_* are the engine's internal per-directory relation
+      // caches (Tables.load) — implementation detail, not user tables
+      if (name.startsWith("graft_src_")) None
+      else if (!isTemp || (c.equalsIgnoreCase(cfg.catalog) && s.equalsIgnoreCase(cfg.schema)))
         Some(name)
       else None
     }.distinct.sorted.toSeq

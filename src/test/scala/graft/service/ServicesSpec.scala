@@ -117,6 +117,11 @@ class ServicesSpec extends SparkSpec {
       "events", "documents", "embeddings").forall(tables.contains))
   }
 
+  test("listTables: engine-internal relation caches are not exposed") {
+    val tables = new MetadataService(engine()).listTables("", "")
+    assert(!tables.exists(_.startsWith("graft_src_")), tables.mkString(","))
+  }
+
   test("listTables: table allowlist filters") {
     val e = engine(Map("TRINO_ALLOWED_TABLES" -> "spark_catalog.default.region"))
     assert(new MetadataService(e).listTables("", "") == Seq("region"))
