@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import QHelpers._
+import graft.engine.Tables
 
 /** SURVEY.md §2b rows 54–55: batch time-window semantics over `events`.
   * The streaming variants (Structured Streaming window()/session_window()
@@ -100,8 +101,29 @@ object TimeOps {
         .groupBy(col("cohort_hour"), col("offset_h"))
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("cohort_hour"), col("offset_h"))
-    })
+    }),
+
+    // Hourly-volume anomaly z-scores per event type. The moments are
+    // exact BIGINT sums (counts are integers — no float accumulation at
+    // all), and the final mean/std/z formula is the same double
+    // expression text on both engines, so the scores are bit-identical.
+    // Runs as SQL TEXT through the engine (same string as the oracle).
+    "time_zscore_hourly" -> ((s, d) => Tables.sql(s, d, zscoreSql))
   )
+
+  private val zscoreSql =
+    """WITH h AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS n
+      |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+      |s AS (
+      |  SELECT event_type, SUM(n) AS sn, SUM(n * n) AS snn, COUNT(*) AS c
+      |  FROM h GROUP BY event_type)
+      |SELECT h.event_type, h.hr, h.n,
+      |  (CAST(h.n AS DOUBLE) - CAST(s.sn AS DOUBLE) / s.c) /
+      |    sqrt((CAST(s.snn AS DOUBLE) - CAST(s.sn AS DOUBLE) * s.sn / s.c)
+      |         / (s.c - 1)) AS z
+      |FROM h JOIN s ON h.event_type = s.event_type
+      |ORDER BY h.event_type, h.hr""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "time_tumbling_agg" ->
@@ -162,6 +184,8 @@ object TimeOps {
         |    // (CAST(3600 AS BIGINT) * 1000000) AS offset_h,
         |  COUNT(DISTINCT e.user_id) AS n_users
         |FROM events e JOIN first f ON e.user_id = f.user_id
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "time_zscore_hourly" -> zscoreSql
   )
 }

@@ -28,9 +28,9 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented counts") {
-    assert(SparkEntry.queries.size == 95,
+    assert(SparkEntry.queries.size == 96,
       s"queries=${SparkEntry.queries.size} — update README/ContractSpec together")
-    assert(SparkEntry.oracleSql.size == 82,
+    assert(SparkEntry.oracleSql.size == 83,
       s"oracles=${SparkEntry.oracleSql.size} — update README/ContractSpec together")
   }
 }
