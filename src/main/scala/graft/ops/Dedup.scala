@@ -195,8 +195,8 @@ object Dedup {
     * rounds). Each round is one shuffle-join + aggregate, and the
     * label table is localCheckpoint'ed so lineage does not deepen with
     * iterations — the same bounded-round layout GraphX/Pregel CC uses,
-    * built from plain DataFrame ops. The driver sees only the
-    * converged/changed COUNT per round, never the labels. */
+    * built from plain DataFrame ops. The driver sees only one aggregate
+    * value per round (the label sum), never the labels. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIters: Int = 20): DataFrame = {
     // materialize the (usually expensive) edge derivation ONCE — the
@@ -210,9 +210,10 @@ object Dedup {
     // strictly decreasing while any label still moves — one cheap
     // aggregate per round instead of a self-join diff count. Decimal
     // sum: id sums can exceed Long at large node counts.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).head()
-        .getDecimal(0)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val d = df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d   // empty node set
+    }
     var prevSum = labelSum(labels)
     var i = 0
     var converged = false
