@@ -218,6 +218,28 @@ object PipelineOps {
           "lang", "doc_id", "n_tokens", budget = 2048L)
         .orderBy(col("doc_id"))),
 
+    // The composed curation pipeline as ONE declarative plan: exact-dedup
+    // canonical ∧ repetition below threshold ∧ not benchmark-contaminated,
+    // emitting the kept corpus. Each stage is an oracle-verified operator;
+    // this query proves they COMPOSE (Catalyst fuses the semi/anti joins
+    // and projections into one pipeline — no materialization between
+    // stages, which is the point at 100 TB).
+    "curation_keep" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val canon = Dedup.exact(docs).select(col("doc_id"))
+      val contaminated = TextAnalysis.contamination(
+          docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10))
+        .filter(col("contamination") >= 0.08)
+        .select(col("doc_id"))
+      docs
+        .join(canon, Seq("doc_id"), "left_semi")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .filter(col("doc_id") >= 10)
+        .filter(TextAnalysis.repetitionRatio(col("text"), 3) < 0.05)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Multimodal plumbing: opaque binary payload + typed metadata struct
     // (decode is the declared stub; the metadata math is deterministic,
     // so the schema/projection path IS oracle-checkable).
@@ -492,6 +514,40 @@ object PipelineOps {
         |    PARTITION BY lang ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS pack_id
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "curation_keep" ->
+      """WITH canon AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      row_number() OVER (PARTITION BY lower(trim(text)) ORDER BY doc_id) AS rn
+        |    FROM documents) WHERE rn = 1),
+        |lst AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(l[i:i+2], ' ')
+        |                   for i in range(1, greatest(len(l)-2, 1)+1)]) AS sh,
+        |    greatest(len(l)-2, 1) AS total
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS l
+        |        FROM documents)),
+        |ev AS (
+        |  SELECT list_distinct(flatten(list(sh))) AS evs FROM lst WHERE doc_id < 10),
+        |contaminated AS (
+        |  SELECT l.doc_id
+        |  FROM lst l, ev
+        |  WHERE l.doc_id >= 10
+        |    AND CAST(len(list_intersect(l.sh, ev.evs)) AS DOUBLE)
+        |        / CAST(len(l.sh) AS DOUBLE) >= 0.08),
+        |rep AS (
+        |  SELECT doc_id,
+        |    1.0 - CAST(len(sh) AS DOUBLE) / CAST(total AS DOUBLE) AS r
+        |  FROM lst)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d
+        |JOIN canon ON d.doc_id = canon.doc_id
+        |LEFT JOIN contaminated ON d.doc_id = contaminated.doc_id
+        |JOIN rep ON d.doc_id = rep.doc_id
+        |WHERE contaminated.doc_id IS NULL AND d.doc_id >= 10 AND rep.r < 0.05
+        |ORDER BY d.doc_id""".stripMargin,
 
     "mm_blob_meta" ->
       """SELECT doc_id,

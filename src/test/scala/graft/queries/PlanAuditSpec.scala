@@ -76,7 +76,10 @@ class PlanAuditSpec extends SparkSpec {
     // 1-row broadcast sides (anchor vectors, aggregated vocabularies)
     // legitimately plan as BNLJ — safe at any corpus scale
     val bnljAllowed = Set("join_cross", "embed_knn_cosine", "embed_ivf_topk",
-      "embed_ivf_kmeans", "text_contamination")
+      "embed_ivf_kmeans", "text_contamination",
+      // curation_keep embeds the contamination stage: same 1-row
+      // aggregated-vocabulary broadcast
+      "curation_keep")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p =
         try plan(name)
