@@ -91,11 +91,38 @@ object TpchSql {
       |ORDER BY o_totalprice DESC, o_orderkey
       |LIMIT 20""".stripMargin
 
+  private val q10 =
+    """SELECT c_custkey, c_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  c_acctbal, n_name
+      |FROM customer
+      |  JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  private val q14 =
+    """SELECT CAST(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+      |    THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+      |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+      |  / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+      |  AS promo_revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "tpch_q1" -> ((s, d) => Tables.sql(s, d, q1)),
     "tpch_q3" -> ((s, d) => Tables.sql(s, d, q3)),
     "tpch_q5" -> ((s, d) => Tables.sql(s, d, q5)),
     "tpch_q6" -> ((s, d) => Tables.sql(s, d, q6)),
+    "tpch_q10" -> ((s, d) => Tables.sql(s, d, q10)),
+    "tpch_q14" -> ((s, d) => Tables.sql(s, d, q14)),
     "tpch_q18" -> ((s, d) => Tables.sql(s, d, q18)))
 
   // The oracle SQL is the SAME text (both dialects accept it) — the
@@ -105,5 +132,7 @@ object TpchSql {
     "tpch_q3" -> q3,
     "tpch_q5" -> q5,
     "tpch_q6" -> q6,
+    "tpch_q10" -> q10,
+    "tpch_q14" -> q14,
     "tpch_q18" -> q18)
 }
