@@ -91,6 +91,21 @@ object TpchSql {
       |ORDER BY o_totalprice DESC, o_orderkey
       |LIMIT 20""".stripMargin
 
+  // Q4 adapted: the testdata lineitem has no commit/receipt dates, so
+  // "late" = shipped more than 60 days after the order date — the same
+  // correlated-EXISTS → semi-join plan shape as the official Q4.
+  private val q4 =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   private val q10 =
     """SELECT c_custkey, c_name,
       |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
@@ -120,6 +135,7 @@ object TpchSql {
     "tpch_q1" -> ((s, d) => Tables.sql(s, d, q1)),
     "tpch_q3" -> ((s, d) => Tables.sql(s, d, q3)),
     "tpch_q5" -> ((s, d) => Tables.sql(s, d, q5)),
+    "tpch_q4" -> ((s, d) => Tables.sql(s, d, q4)),
     "tpch_q6" -> ((s, d) => Tables.sql(s, d, q6)),
     "tpch_q10" -> ((s, d) => Tables.sql(s, d, q10)),
     "tpch_q14" -> ((s, d) => Tables.sql(s, d, q14)),
@@ -131,6 +147,7 @@ object TpchSql {
     "tpch_q1" -> q1,
     "tpch_q3" -> q3,
     "tpch_q5" -> q5,
+    "tpch_q4" -> q4,
     "tpch_q6" -> q6,
     "tpch_q10" -> q10,
     "tpch_q14" -> q14,

@@ -28,9 +28,9 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented counts") {
-    assert(SparkEntry.queries.size == 99,
+    assert(SparkEntry.queries.size == 100,
       s"queries=${SparkEntry.queries.size} — update README/ContractSpec together")
-    assert(SparkEntry.oracleSql.size == 86,
+    assert(SparkEntry.oracleSql.size == 87,
       s"oracles=${SparkEntry.oracleSql.size} — update README/ContractSpec together")
   }
 }
