@@ -227,15 +227,28 @@ object PipelineOps {
     "curation_keep" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val canon = Dedup.exact(docs).select(col("doc_id"))
-      val contaminated = TextAnalysis.contamination(
-          docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10))
-        .filter(col("contamination") >= 0.08)
-        .select(col("doc_id"))
-      docs
+      // Shingle HASHES stand in for the strings on the Spark side (the
+      // native expression is the fast path; a ratio-changing collision
+      // needs two distinct shingles colliding in 64 bits, ~1e-15 — same
+      // argument dedup_ngram documents). The oracle computes the same
+      // ratios from the strings; the kept set is identical.
+      val eval = docs.filter(col("doc_id") < 10)
+        .select(explode(TextAnalysis.shingleHashes(col("text"), 3)).as("h"))
+        .agg(sort_array(collect_set(col("h"))).as("ev"))
+      val sh = array_sort(TextAnalysis.shingleHashes(col("text"), 3))
+      val total =
+        greatest(size(TextAnalysis.tokens(lower(trim(col("text"))))) - 2, lit(1))
+      val contamOk =
+        graft.functions.NativeExprs.sortedIntersectCount(col("sh"), col("ev"))
+          .cast("double") / size(col("sh")).cast("double") < 0.08
+      val repOk =
+        lit(1.0) - size(col("sh")).cast("double") / col("total").cast("double") < 0.05
+      docs.filter(col("doc_id") >= 10)
         .join(canon, Seq("doc_id"), "left_semi")
-        .join(contaminated, Seq("doc_id"), "left_anti")
-        .filter(col("doc_id") >= 10)
-        .filter(TextAnalysis.repetitionRatio(col("text"), 3) < 0.05)
+        .select(col("doc_id"), col("lang"), col("source"),
+          sh.as("sh"), total.as("total"))
+        .join(broadcast(eval))
+        .filter(contamOk && repOk)
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))
     }),
