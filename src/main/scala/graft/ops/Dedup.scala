@@ -220,11 +220,13 @@ object Dedup {
     while (!converged && i < maxIters) {
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("comp")).as("nbr_min"))
+      // lazy checkpoint: the convergence aggregate right below is the
+      // action that materializes it — one job per round, not two
       val next = labels.as("l")
         .join(nbrMin, col("l.id") === nbrMin("src"), "left")
         .select(col("l.id").as("id"),
           least(col("l.comp"), coalesce(col("nbr_min"), col("l.comp"))).as("comp"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
