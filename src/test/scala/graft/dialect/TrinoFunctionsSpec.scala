@@ -100,6 +100,9 @@ class TrinoFunctionsSpec extends SparkSpec {
     // Spark letter patterns still pass through the same name
     assert(one("SELECT date_format(TIMESTAMP '2001-08-22 03:04:05', 'yyyy/MM')")
       == "2001/08")
+    // %% escapes to a literal percent; unknown %x falls back to the char
+    assert(one("SELECT date_format(TIMESTAMP '2001-08-22 03:04:05', '%Y is 100%% done')")
+      == "2001 is 100% done")
   }
 
   test("ISO date-part functions match Trino numbering") {
