@@ -72,6 +72,34 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation filter over the documents source equals batch") {
+    // stateless curation (quality filter + projection) applied to a
+    // document STREAM — the online-ingest face of the batch pipeline
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.engine.Tables.load(spark, dir, "documents")
+    // the file stream source wants a DIRECTORY it can watch
+    val watched = java.nio.file.Files.createTempDirectory("graft-docs-stream")
+    watched.toFile.deleteOnExit()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      watched.resolve("documents.parquet"))
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(watched.toString)
+      .filter(graft.ops.TextAnalysis.repetitionRatio(col("text"), 3) < 0.05)
+      .select(col("doc_id"))
+    val q = stream.writeStream.format("memory").queryName("stream_curation")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streaming = spark.table("stream_curation")
+        .collect().map(_.getLong(0)).toSet
+      val batch = docs
+        .filter(graft.ops.TextAnalysis.repetitionRatio(col("text"), 3) < 0.05)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      assert(streaming == batch && streaming.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming session_window agg closes 30-min-gap sessions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
