@@ -91,6 +91,29 @@ object TpchSql {
       |ORDER BY o_totalprice DESC, o_orderkey
       |LIMIT 20""".stripMargin
 
+  // Q7 adapted to the synthetic nation names: bilateral shipping volume
+  // between NATION_1 and NATION_2 per ship year — the double-nation-join
+  // + OR-pair predicate plan shape of the official Q7.
+  private val q7 =
+    """SELECT supp_nation, cust_nation, yr,
+      |  CAST(SUM(vol) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(year(l_shipdate) AS INT) AS yr,
+      |    CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) AS vol
+      |  FROM supplier
+      |    JOIN lineitem ON s_suppkey = l_suppkey
+      |    JOIN orders ON o_orderkey = l_orderkey
+      |    JOIN customer ON c_custkey = o_custkey
+      |    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') x
+      |GROUP BY supp_nation, cust_nation, yr
+      |ORDER BY supp_nation, cust_nation, yr""".stripMargin
+
   // Q4 adapted: the testdata lineitem has no commit/receipt dates, so
   // "late" = shipped more than 60 days after the order date — the same
   // correlated-EXISTS → semi-join plan shape as the official Q4.
@@ -137,6 +160,7 @@ object TpchSql {
     "tpch_q5" -> ((s, d) => Tables.sql(s, d, q5)),
     "tpch_q4" -> ((s, d) => Tables.sql(s, d, q4)),
     "tpch_q6" -> ((s, d) => Tables.sql(s, d, q6)),
+    "tpch_q7" -> ((s, d) => Tables.sql(s, d, q7)),
     "tpch_q10" -> ((s, d) => Tables.sql(s, d, q10)),
     "tpch_q14" -> ((s, d) => Tables.sql(s, d, q14)),
     "tpch_q18" -> ((s, d) => Tables.sql(s, d, q18)))
@@ -149,6 +173,7 @@ object TpchSql {
     "tpch_q5" -> q5,
     "tpch_q4" -> q4,
     "tpch_q6" -> q6,
+    "tpch_q7" -> q7,
     "tpch_q10" -> q10,
     "tpch_q14" -> q14,
     "tpch_q18" -> q18)
