@@ -11,6 +11,7 @@ import math
 import sys
 
 import duckdb
+import pandas
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -68,6 +69,37 @@ def main(sf_dir, out_dir):
         if bad:
             c, i, a, b = bad
             print(f"FAIL {name}: col={c} row={i} exp={a!r} got={b!r}")
+            failures.append(name); n_fail += 1
+            continue
+        # The driver compares at the PANDAS layer: it reads the Spark
+        # parquet via pyarrow (DECIMAL->Decimal objects, DATE->date) and
+        # the oracle via duckdb .df() (DECIMAL->float64, DATE->Timestamp),
+        # so dtype divergence hash-fails even with identical values, and
+        # list columns crash its lexsort. Replicate both failure modes.
+        typed = None
+        for side, tbl in (("oracle", exp), ("spark", got)):
+            for f in tbl.schema:
+                if str(f.type).startswith("list"):
+                    typed = f"{side} col={f.name} is list-typed (crashes driver lexsort)"
+        if typed is None:
+            # Compare dtype FAMILIES: the driver's hash tolerates width
+            # (int32 vs int64) and datetime unit (ns vs us) but not
+            # int-vs-float or object(Decimal/date)-vs-native.
+            def family(dt):
+                s = str(dt)
+                if s.startswith(("int", "uint")): return "int"
+                if s.startswith("float"): return "float"
+                if s.startswith("datetime64"): return "datetime"
+                return s
+            exp_df = con.execute(sql).df()
+            got_df = pandas.read_parquet(files)
+            for c in ecols:
+                de, dg = family(exp_df[c].dtype), family(got_df[c].dtype)
+                if de != dg:
+                    typed = f"col={c} pandas dtype family oracle={de} spark={dg}"
+                    break
+        if typed:
+            print(f"FAIL {name}: driver-layer typing: {typed}")
             failures.append(name); n_fail += 1
         else:
             print(f"PASS {name} ({exp.num_rows} rows)")

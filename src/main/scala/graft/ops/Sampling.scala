@@ -61,7 +61,11 @@ object Sampling {
       .partitionBy(col(shardCol)).orderBy(col(orderCol))
       .rowsBetween(Long.MinValue, -1)
     val prior = coalesce(sum(col(tokensCol).cast("long")).over(w), lit(0L))
-    df.withColumn("pack_id", (prior / lit(budget)).cast("long"))
+    // Integral `div`, not `/`+cast: double division loses exactness once the
+    // running token total passes 2^53 — reachable in a 100 TB corpus shard.
+    df.withColumn("graft_prior_tokens", prior)
+      .withColumn("pack_id", expr(s"graft_prior_tokens div ${budget}L"))
+      .drop("graft_prior_tokens")
   }
 
   /** Disjoint train/val/test assignment by key hash; fractions must sum

