@@ -151,7 +151,11 @@ object Relational {
           floor(col("s_acctbal") / 100.0) + i): _*)).as("band"))
       val cb = c.select(col("c_custkey"), col("c_acctbal"),
         floor(col("c_acctbal") / 100.0).as("band"))
-      cb.join(broadcast(sb), Seq("band"))
+      // No broadcast hint: the exploded supplier side scales with SF (×3
+      // rows), so a hard broadcast would OD the driver at cluster scale.
+      // AQE picks broadcast when the build side is actually small; the
+      // equi-join on `band` shuffles fine otherwise.
+      cb.join(sb, Seq("band"))
         .filter(col("c_acctbal") >= col("s_acctbal") - 50.0 &&
           col("c_acctbal") <= col("s_acctbal") + 50.0)
         .select(col("s_suppkey"), col("c_custkey"), col("c_acctbal"), col("s_acctbal"))

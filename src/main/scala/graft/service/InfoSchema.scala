@@ -1,0 +1,121 @@
+package graft.service
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.engine.Engine
+
+/** `information_schema` shim: Trino clients introspect
+  * `information_schema.tables` / `information_schema.columns` through
+  * the unrestricted query pass-through (reference
+  * internal/trino/client.go:284-290 — the remote Trino serves these
+  * natively). Spark's session catalog has no such schema, so the
+  * execute path rewrites those references (outside string literals) to
+  * two session temp views rebuilt from `spark.catalog` listings at
+  * query time, allowlist-filtered exactly like the metadata tools.
+  *
+  * The listings are driver-side metadata (bounded by table count, never
+  * by data volume), so refresh-per-query is safe at any corpus scale.
+  * Supported spellings: `information_schema.tables`, an optional
+  * catalog qualifier (`memory.information_schema.columns`), any case.
+  * Double-quoted spellings (`"information_schema"."tables"`) are not
+  * rewritten — the sanitizer-visible unquoted form is what the
+  * reference's own clients emit.
+  */
+object InfoSchema {
+
+  val TablesView = "graft_info_schema_tables"
+  val ColumnsView = "graft_info_schema_columns"
+
+  private val Ref =
+    """(?i)(?:[A-Za-z_][A-Za-z0-9_]*\s*\.\s*)?information_schema\s*\.\s*(tables|columns)""".r
+
+  /** True when the query references information_schema outside quotes. */
+  def references(sql: String): Boolean = findSpans(sql).nonEmpty
+
+  /** Replace information_schema references (outside string literals and
+    * quoted identifiers) with the shim view names. */
+  def rewrite(sql: String): String = {
+    val spans = findSpans(sql)
+    if (spans.isEmpty) sql
+    else {
+      val sb = new StringBuilder
+      var pos = 0
+      spans.foreach { case (start, end, target) =>
+        sb.append(sql.substring(pos, start)).append(target)
+        pos = end
+      }
+      sb.append(sql.substring(pos)).toString
+    }
+  }
+
+  /** (start, end, replacement) for each match outside '…' / "…" runs. */
+  private def findSpans(sql: String): Seq[(Int, Int, String)] =
+    Ref.findAllMatchIn(sql).collect {
+      case m if !inQuotes(sql, m.start) =>
+        val target =
+          if (m.group(1).equalsIgnoreCase("tables")) TablesView else ColumnsView
+        (m.start, m.end, target)
+    }.toSeq
+
+  /** Whether position `at` falls inside a single-quoted string or
+    * double-quoted identifier ('' and "" escapes respected). */
+  private def inQuotes(sql: String, at: Int): Boolean = {
+    var i = 0
+    var quote: Char = 0
+    while (i < at) {
+      val c = sql.charAt(i)
+      if (quote == 0) { if (c == '\'' || c == '"') quote = c }
+      else if (c == quote) {
+        // doubled quote = escape inside the run; consume both
+        if (i + 1 < sql.length && sql.charAt(i + 1) == quote) i += 1
+        else quote = 0
+      }
+      i += 1
+    }
+    quote != 0
+  }
+
+  private val tablesSchema = StructType(Seq(
+    StructField("table_catalog", StringType, nullable = false),
+    StructField("table_schema", StringType, nullable = false),
+    StructField("table_name", StringType, nullable = false),
+    StructField("table_type", StringType, nullable = false)))
+
+  private val columnsSchema = StructType(Seq(
+    StructField("table_catalog", StringType, nullable = false),
+    StructField("table_schema", StringType, nullable = false),
+    StructField("table_name", StringType, nullable = false),
+    StructField("column_name", StringType, nullable = false),
+    StructField("ordinal_position", LongType, nullable = false),
+    StructField("column_default", StringType, nullable = true),
+    StructField("is_nullable", StringType, nullable = false),
+    StructField("data_type", StringType, nullable = false)))
+
+  /** Rebuild both views from the current catalog state (allowlist-
+    * filtered via MetadataService — the same trust boundary as
+    * list_tables / get_table_schema). */
+  def refresh(engine: Engine): Unit = {
+    val spark = engine.spark
+    val meta = new MetadataService(engine)
+    val cat = engine.config.catalog
+    val sch = engine.config.schema
+    val tables = meta.listTables(cat, sch)
+
+    val tRows = tables.map(t => Row(cat, sch, t, "BASE TABLE"))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(tRows, 1), tablesSchema)
+      .createOrReplaceTempView(TablesView)
+
+    val cRows = tables.flatMap { t =>
+      meta.getTableSchema(cat, sch, t).toOption.toSeq.flatten.zipWithIndex.map {
+        case (col, i) =>
+          Row(cat, sch, t, col("Column").toString, (i + 1).toLong,
+            null, "YES", col("Type").toString)
+      }
+    }
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(cRows, 1), columnsSchema)
+      .createOrReplaceTempView(ColumnsView)
+  }
+}

@@ -62,8 +62,18 @@ class QueryService(engine: Engine) {
         "operations (at your own risk)")
 
     val dialectSql = graft.dialect.TrinoFunctions.preprocess(stripped)
+    // information_schema introspection (Trino serves it natively behind
+    // the reference's pass-through): rebuild the shim views from the
+    // current catalog and route the reference to them.
+    val finalSql =
+      if (InfoSchema.references(dialectSql)) {
+        try InfoSchema.refresh(engine)
+        catch { case e: Throwable =>
+          return Left(s"query execution failed: ${clip(e)}") }
+        InfoSchema.rewrite(dialectSql)
+      } else dialectSql
     val df =
-      try engine.spark.sql(dialectSql)
+      try engine.spark.sql(finalSql)
       catch { case e: Throwable => return Left(s"query execution failed: ${clip(e)}") }
     collectBounded(df)
   }

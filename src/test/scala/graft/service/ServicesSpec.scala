@@ -38,6 +38,39 @@ class ServicesSpec extends SparkSpec {
       Seq(Seq(1)))
   }
 
+  test("execute: information_schema.tables lists the registered tables") {
+    val r = new QueryService(engine())
+      .execute("SELECT table_name FROM information_schema.tables ORDER BY table_name")
+      .toOption.get
+    val names = r.rows.map(_.head.toString)
+    assert(names.contains("customer") && names.contains("lineitem"), names)
+    assert(!names.exists(_.startsWith("graft_")), names)
+  }
+
+  test("execute: information_schema.columns carries Trino type names") {
+    val r = new QueryService(engine())
+      .execute("""SELECT column_name, data_type FROM information_schema.columns
+                 |WHERE table_name = 'region' ORDER BY ordinal_position""".stripMargin)
+      .toOption.get
+    val byName = r.rows.map(row => row(0).toString -> row(1).toString).toMap
+    assert(byName("r_regionkey") == "integer" && byName("r_name") == "varchar", byName)
+  }
+
+  test("execute: information_schema respects the table allowlist") {
+    val qs = new QueryService(engine(Map("TRINO_ALLOWED_TABLES" ->
+      "spark_catalog.default.region,spark_catalog.default.nation")))
+    val r = qs.execute(
+      "SELECT DISTINCT table_name FROM information_schema.tables ORDER BY table_name")
+      .toOption.get
+    assert(r.rows.map(_.head.toString) == Seq("nation", "region"), r.rows)
+  }
+
+  test("execute: information_schema inside a string literal is untouched") {
+    val r = new QueryService(engine())
+      .execute("SELECT 'information_schema.tables' AS s").toOption.get
+    assert(r.rows == Seq(Seq("information_schema.tables")))
+  }
+
   test("execute: write statements rejected with the reference error text") {
     val r = new QueryService(engine()).execute("DROP TABLE region")
     assert(r == Left("security restriction: only SELECT, SHOW, DESCRIBE, and EXPLAIN " +
