@@ -190,22 +190,45 @@ object Dedup {
     * pairwise matches into dedup CLUSTERS (keep one canonical doc per
     * component; pairs alone cannot resolve transitive chains A~B~C).
     *
-    * Iterative min-label propagation: each node adopts the minimum
-    * label in its neighborhood until fixpoint (≤ graph diameter
-    * rounds). Each round is one shuffle-join + aggregate, and the
-    * label table is localCheckpoint'ed so lineage does not deepen with
-    * iterations — the same bounded-round layout GraphX/Pregel CC uses,
-    * built from plain DataFrame ops. The driver sees only one aggregate
-    * value per round (the label sum), never the labels. */
+    * Iterative min-label propagation WITH pointer doubling: each round
+    * a node adopts the minimum of its own label, its neighbors' labels
+    * (one shuffle-join + aggregate), and — from round 3 — its label's
+    * label (one more shuffle-join of the label table through itself,
+    * the Shiloach-Vishkin shortcut). The shortcut doubles label reach
+    * every round, so convergence is O(log diameter) rounds instead of
+    * O(diameter) on chain-shaped graphs. It is deferred two rounds
+    * because near-dup graphs in practice are forests of tiny cliques
+    * that converge in round 1 (round 2 confirms) — those runs never pay
+    * the extra join, while anything still moving by round 3 is
+    * chain-shaped and gets the doubling. Each label table is
+    * checkpoint'ed so lineage does not deepen with iterations — the
+    * bounded-round layout GraphX/Pregel CC uses, built from plain
+    * DataFrame ops. The driver sees only one aggregate value per round
+    * (the label sum), never the labels.
+    *
+    * `checkpointDir`: when set, per-round label tables go through
+    * reliable `checkpoint()` into that directory instead of
+    * `localCheckpoint()`. localCheckpoint stores blocks on executors —
+    * an executor loss mid-run kills the job; the reliable form is the
+    * hardened choice on a real cluster (HDFS/object-store dir), the
+    * default the fast choice locally. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20, checkpointDir: Option[String] = None): DataFrame =
+    ccWithRounds(nodes, edges, maxIters, checkpointDir)._1
+
+  /** As connectedComponents, also returning the rounds taken (the
+    * convergence round included) — pinned by DedupSpec's chain test. */
+  private[graft] def ccWithRounds(nodes: DataFrame, edges: DataFrame,
+      maxIters: Int = 20, checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    val sc = nodes.sparkSession.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
+    def save(df: DataFrame, eager: Boolean): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager) else df.localCheckpoint(eager)
     // materialize the (usually expensive) edge derivation ONCE — the
     // loop must not re-run LSH/self-join lineage every round
-    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
-    var labels = nodes.select(col("id"), col("id").as("comp"))
-      .localCheckpoint(true)
+    val sym = save(edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst"))), true)
+    var labels = save(nodes.select(col("id"), col("id").as("comp")), true)
     // convergence via the label-sum: monotonically non-increasing, and
     // strictly decreasing while any label still moves — one cheap
     // aggregate per round instead of a self-join diff count. Decimal
@@ -220,20 +243,33 @@ object Dedup {
     while (!converged && i < maxIters) {
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("comp")).as("nbr_min"))
+      val withNbr = labels.as("l")
+        .join(nbrMin, col("l.id") === nbrMin("src"), "left")
+      // the shortcut side: comp values are always node ids, so joining
+      // l.comp against the (checkpointed) label table reads each
+      // label's label — every term derives from the SAME materialized
+      // `labels`, nothing recomputes
+      val stepped =
+        if (i < 2) withNbr.select(col("l.id").as("id"),
+          least(col("l.comp"), coalesce(col("nbr_min"), col("l.comp"))).as("comp"))
+        else {
+          val thru = labels.select(col("id").as("p_id"), col("comp").as("p_comp"))
+          withNbr.join(thru, col("l.comp") === col("p_id"), "left")
+            .select(col("l.id").as("id"),
+              least(col("l.comp"),
+                coalesce(col("nbr_min"), col("l.comp")),
+                coalesce(col("p_comp"), col("l.comp"))).as("comp"))
+        }
       // lazy checkpoint: the convergence aggregate right below is the
       // action that materializes it — one job per round, not two
-      val next = labels.as("l")
-        .join(nbrMin, col("l.id") === nbrMin("src"), "left")
-        .select(col("l.id").as("id"),
-          least(col("l.comp"), coalesce(col("nbr_min"), col("l.comp"))).as("comp"))
-        .localCheckpoint(false)
+      val next = save(stepped, false)
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels = next
       i += 1
     }
-    labels
+    (labels, i)
   }
 
   /** Exact n-gram Jaccard pairs within a blocking key (e.g. lang+source)

@@ -84,4 +84,28 @@ class DedupSpec extends SparkSpec {
       .orderBy("id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
   }
+
+  test("connected components: pointer doubling converges a long chain in O(log d) rounds") {
+    import spark.implicits._
+    // a 64-node chain has diameter 63 — plain one-hop min propagation
+    // needs 63 rounds (over the default maxIters); with the shortcut
+    // the label reaches everyone in ~log2(63) + slack
+    val n = 64
+    val nodes = (1L to n.toLong).toDF("id")
+    val edges = (1L until n.toLong).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.ccWithRounds(nodes, edges)
+    val comps = labels.select("comp").distinct().collect().map(_.getLong(0)).toSeq
+    assert(comps == Seq(1L), comps)
+    assert(rounds <= 10, s"expected O(log d) convergence, took $rounds rounds")
+  }
+
+  test("connected components: reliable-checkpoint mode gives identical labels") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(nodes, edges, checkpointDir = Some(dir))
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
 }
