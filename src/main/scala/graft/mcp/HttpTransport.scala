@@ -16,15 +16,24 @@ import graft.service.Json
   * HTTP spec the reference's WithStateLess(false) server provides),
   * GET /status reports liveness/version, CORS headers are permissive
   * like the reference's, and shutdown is graceful. Built on the JDK's
-  * HttpServer — the zero-dependency build has no HTTP framework. (The
-  * reference's legacy /sse endpoint is not ported: server-sent
-  * streaming has no analogue when every tool result is a single frame;
-  * see DIALECT.md "Transport & auth".)
+  * HttpServer — the zero-dependency build has no HTTP framework.
+  *
+  * The reference's legacy HTTP+SSE transport (server.go:100-102) is
+  * served too, for clients pinned to the deprecated 2024-11-05 spec:
+  * GET /sse opens a text/event-stream and announces the POST endpoint
+  * (`event: endpoint`, data `/messages?sessionId=…`); POST /messages
+  * returns 202 Accepted and pushes each JSON-RPC response over the
+  * session's stream as a `message` event.
   */
 class HttpTransport(server: StdioServer, port: Int, version: String = "dev",
     auth: Option[graft.security.BearerAuth] = None) {
 
   private val http = HttpServer.create(new InetSocketAddress(port), 0)
+  // A real pool: the default (single dispatcher thread) would let one
+  // open /sse stream starve every other request.
+  http.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(r => {
+    val t = new Thread(r, "graft-http"); t.setDaemon(true); t
+  }))
   @volatile private var started = false
 
   /** Live session ids (bounded; oldest evicted past `maxSessions` —
@@ -104,6 +113,79 @@ class HttpTransport(server: StdioServer, port: Int, version: String = "dev",
     ex.close()
   })
 
+  /** Open SSE streams by legacy session id (same bound as `sessions`). */
+  private val sseStreams =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, java.io.OutputStream](64, 0.75f, false) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, java.io.OutputStream]): Boolean =
+          size() > maxSessions
+      })
+
+  /** One SSE frame; data is split per line as the spec requires (the
+    * JSON-RPC frames are single-line, but stay correct regardless). */
+  private def sseEvent(event: String, data: String): Array[Byte] = {
+    val dataLines = data.split("\n", -1).map(l => s"data: $l").mkString("\n")
+    s"event: $event\n$dataLines\n\n".getBytes(StandardCharsets.UTF_8)
+  }
+
+  http.createContext("/sse", (ex: HttpExchange) => {
+    cors(ex)
+    ex.getRequestMethod match {
+      case "OPTIONS" => ex.sendResponseHeaders(204, -1); ex.close()
+      case "GET" =>
+        val denied = auth.flatMap(a => a.validate(
+          Option(ex.getRequestHeaders.getFirst("Authorization"))).left.toOption)
+        denied match {
+          case Some(reason) =>
+            ex.getResponseHeaders.add("WWW-Authenticate", "Bearer")
+            respond(ex, 401, Json.write(ListMap("error" -> reason)))
+            ex.close()
+          case None =>
+            val h = ex.getResponseHeaders
+            h.add("Content-Type", "text/event-stream")
+            h.add("Cache-Control", "no-cache")
+            ex.sendResponseHeaders(200, 0) // chunked; stream stays open
+            val sid = java.util.UUID.randomUUID().toString
+            val os = ex.getResponseBody
+            sseStreams.put(sid, os)
+            os.write(sseEvent("endpoint", s"/messages?sessionId=$sid"))
+            os.flush()
+            // the exchange is deliberately NOT closed — /messages pushes
+            // responses through this stream until the client disconnects
+        }
+      case _ => respond(ex, 405, """{"error":"method not allowed"}"""); ex.close()
+    }
+  })
+
+  http.createContext("/messages", (ex: HttpExchange) => {
+    cors(ex)
+    ex.getRequestMethod match {
+      case "OPTIONS" => ex.sendResponseHeaders(204, -1)
+      case "POST" =>
+        val sid = Option(ex.getRequestURI.getQuery).toSeq
+          .flatMap(_.split('&')).collectFirst {
+            case kv if kv.startsWith("sessionId=") => kv.drop("sessionId=".length)
+          }
+        sid.map(s => Option(sseStreams.get(s))) match {
+          case Some(Some(stream)) =>
+            val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+            server.handle(body).foreach { resp =>
+              try {
+                stream.write(sseEvent("message", resp))
+                stream.flush()
+              } catch { case _: java.io.IOException =>
+                sseStreams.remove(sid.get) // client went away
+              }
+            }
+            respond(ex, 202, "Accepted", contentType = "text/plain")
+          case _ => respond(ex, 404, """{"error":"unknown or expired session"}""")
+        }
+      case _ => respond(ex, 405, """{"error":"method not allowed"}""")
+    }
+    ex.close()
+  })
+
   http.createContext("/status", (ex: HttpExchange) => {
     cors(ex)
     respond(ex, 200, Json.write(ListMap(
@@ -118,6 +200,8 @@ class HttpTransport(server: StdioServer, port: Int, version: String = "dev",
 
   /** Graceful shutdown (bounded, like server.go:153-166's 30 s drain). */
   def stop(drainSeconds: Int = 2): Unit = if (started) {
+    sseStreams.values.forEach(os => try os.close() catch { case _: Throwable => })
+    sseStreams.clear()
     http.stop(drainSeconds)
     started = false
   }

@@ -94,6 +94,43 @@ class HttpTransportSpec extends SparkSpec {
     assert(withSid(sid).statusCode() == 404)    // and requests now rejected
   }
 
+  test("legacy /sse transport: endpoint event, POST /messages, response over stream") {
+    val conn = new java.net.URI(s"$base/sse").toURL
+      .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("GET")
+    conn.setReadTimeout(30000)
+    assert(conn.getResponseCode == 200)
+    assert(conn.getContentType.startsWith("text/event-stream"))
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(conn.getInputStream, "UTF-8"))
+    // frame 1: the endpoint announcement
+    assert(reader.readLine() == "event: endpoint")
+    val endpoint = reader.readLine()
+    assert(endpoint.startsWith("data: /messages?sessionId="), endpoint)
+    assert(reader.readLine() == "")
+    val postUrl = s"$base${endpoint.drop("data: ".length)}"
+    // tool call POSTed to the announced endpoint → 202, result on stream
+    val resp = client.send(HttpRequest.newBuilder(URI.create(postUrl))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(
+        """{"jsonrpc":"2.0","id":7,"method":"tools/call","params":{"name":"execute_query","arguments":{"query":"SELECT COUNT(*) AS n FROM region"}}}"""))
+      .build(), HttpResponse.BodyHandlers.ofString())
+    assert(resp.statusCode() == 202)
+    assert(reader.readLine() == "event: message")
+    val data = reader.readLine()
+    assert(data.startsWith("data: ") && data.contains("\\\"n\\\": 5"), data)
+    conn.disconnect()
+  }
+
+  test("legacy /messages with unknown session returns 404") {
+    val resp = client.send(HttpRequest.newBuilder(
+        URI.create(s"$base/messages?sessionId=nope"))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString("""{"jsonrpc":"2.0","id":1,"method":"ping"}"""))
+      .build(), HttpResponse.BodyHandlers.ofString())
+    assert(resp.statusCode() == 404)
+  }
+
   test("OAuth-enabled transport enforces bearer tokens on /mcp") {
     val cfg = EngineConfig.fromEnv(Map(
       "OAUTH_ENABLED" -> "true", "OAUTH_HMAC_SECRET" -> "s3cret")).toOption.get
