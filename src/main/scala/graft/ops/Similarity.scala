@@ -122,6 +122,29 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** Cross-engine SRP candidate pairs: the [[srpCandidatePairs]] band→
+    * bucket→score pipeline with md5-derived planes ([[srpSigMd5]]) and
+    * decimal cosine scoring, so EVERY stage — signature bits, banding,
+    * bucket cap, pair set, scores — replays bit-identically in any SQL
+    * engine with md5. The oracle-verification twin of the xxhash64
+    * production path (same algebra, same plan shape). */
+  def srpCandidatePairsMd5(embeddings: DataFrame, idCol: String, vecCol: String,
+      bits: Int, dims: Int, bands: Int, maxBucket: Int = 1000): DataFrame = {
+    val chunk = bits / bands
+    val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val sigs = vecs.select(col("id"), srpSigMd5(col("v"), bits, dims).as("sig"))
+    val banded = sigs.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => call_function("shiftright", col("sig"), b * chunk)
+            .bitwiseAND(lit((1L << chunk) - 1)))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk_val")
+    Dedup.bucketPairs(banded, Seq("band", "chunk_val"), maxBucket)
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .withColumn("cos_sim", cosineDecimal(col("v_a"), col("v_b")))
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+
   // ---------------------------------------------------------------------
   // IVF: the coarse quantizer lives on the DRIVER (k centroids ≈ a few KB
   // — the same layout as Spark MLlib's KMeans, whose cluster centers are

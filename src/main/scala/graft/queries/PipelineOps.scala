@@ -141,6 +141,16 @@ object PipelineOps {
         .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
         .limit(20)),
 
+    // The full SRP near-dup pipeline (band → bucket → pairs → cosine →
+    // top-20) in its cross-engine form: md5 planes + decimal dots, so
+    // the ENTIRE pipeline — not just the signature — is oracle-checked.
+    "embed_srp_topdups_md5" -> ((s, d) =>
+      Similarity.srpCandidatePairsMd5(
+          t(s, d, "embeddings").filter(col("vec_id") < 2000),
+          "vec_id", "embedding", bits = 16, dims = 64, bands = 4)
+        .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
+        .limit(20)),
+
     // Cross-engine SRP: md5-derived hyperplanes + decimal dot signs —
     // the sign-bit signature algebra verified against DuckDB. Bounded
     // to a fixed id range so bench cost is sf-independent.
@@ -342,6 +352,57 @@ object PipelineOps {
         |FROM tok, (SELECT unnest(generate_series(0, 15)) AS s) ss
         |GROUP BY doc_id, ss.s
         |ORDER BY doc_id, seed""".stripMargin,
+
+    // Full SRP pipeline replay: signatures (as embed_srp_md5), 4×4-bit
+    // banding, bucket-capped pair generation, decimal cosine, top-20.
+    "embed_srp_topdups_md5" ->
+      """WITH planes AS (
+        |  SELECT bs.b AS b, isq.i AS i,
+        |    (CAST(SUM(CAST(strpos('0123456789abcdef',
+        |        substr(md5(CAST(bs.b AS VARCHAR) || ':' || CAST(isq.i AS VARCHAR)), ps.p, 1)) - 1
+        |        AS BIGINT) << (4 * (13 - ps.p))) AS DOUBLE) / 4503599627370496.0) * 2 - 1 AS w
+        |  FROM (SELECT unnest(generate_series(0, 15)) AS b) bs,
+        |       (SELECT unnest(generate_series(1, 64)) AS i) isq,
+        |       (SELECT unnest(generate_series(1, 13)) AS p) ps
+        |  GROUP BY bs.b, isq.i),
+        |sd AS (
+        |  SELECT e.vec_id, pl.b,
+        |    SUM(CAST(CAST(e.embedding[pl.i] AS DOUBLE) * pl.w AS DECIMAL(28,14))) AS s
+        |  FROM embeddings e, planes pl
+        |  WHERE e.vec_id < 2000
+        |  GROUP BY e.vec_id, pl.b),
+        |sig AS (
+        |  SELECT vec_id,
+        |    CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(b AS INT) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM sd GROUP BY vec_id),
+        |banded AS (
+        |  SELECT vec_id, bd.band AS band,
+        |    (sig >> (4 * bd.band)) & 15 AS chunk_val
+        |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) bd),
+        |sized AS (
+        |  SELECT vec_id, band, chunk_val,
+        |    COUNT(*) OVER (PARTITION BY band, chunk_val) AS bucket_n
+        |  FROM banded),
+        |pairs AS (
+        |  SELECT DISTINCT least(a.vec_id, b.vec_id) AS id_a,
+        |    greatest(a.vec_id, b.vec_id) AS id_b
+        |  FROM sized a JOIN sized b
+        |    ON a.band = b.band AND a.chunk_val = b.chunk_val
+        |      AND a.vec_id < b.vec_id
+        |  WHERE a.bucket_n BETWEEN 2 AND 1000),
+        |scored AS (
+        |  SELECT p.id_a, p.id_b,
+        |    CAST(SUM(CAST(CAST(ea.embedding[s.i] AS DOUBLE)*CAST(eb.embedding[s.i] AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS dab,
+        |    CAST(SUM(CAST(CAST(ea.embedding[s.i] AS DOUBLE)*CAST(ea.embedding[s.i] AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS daa,
+        |    CAST(SUM(CAST(CAST(eb.embedding[s.i] AS DOUBLE)*CAST(eb.embedding[s.i] AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS dbb
+        |  FROM pairs p
+        |    JOIN embeddings ea ON ea.vec_id = p.id_a
+        |    JOIN embeddings eb ON eb.vec_id = p.id_b,
+        |    generate_series(1, 64) AS s(i)
+        |  GROUP BY p.id_a, p.id_b)
+        |SELECT id_a, id_b, dab / sqrt(daa * dbb) AS cos_sim
+        |FROM scored
+        |ORDER BY cos_sim DESC, id_a, id_b LIMIT 20""".stripMargin,
 
     // md5-plane SRP replay: rebuild each plane weight from 13 hex digits
     // (integer shifts — a double-pow sum would lose exactness past 2^53),
