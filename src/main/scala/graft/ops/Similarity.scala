@@ -42,15 +42,21 @@ object Similarity {
   def cosineDecimal(a: Column, b: Column): Column =
     dotDecimal(a, b) / sqrt(dotDecimal(a, a) * dotDecimal(b, b))
 
-  /** Brute-force top-k by cosine against one anchor vector. */
+  /** Brute-force top-k by cosine against one anchor vector. The anchor's
+    * self-dot is computed once on the (single-row) broadcast side, not
+    * re-derived per corpus row — same doubles, one less 64-element
+    * decimal fold per row. */
   def cosineTopK(embeddings: DataFrame, idCol: String, vecCol: String,
       anchorId: Long, k: Int): DataFrame = {
     val anchor = embeddings.filter(col(idCol) === anchorId)
-      .select(col(vecCol).as("anchor_vec"))
+      .select(col(vecCol).as("anchor_vec"),
+        dotDecimal(col(vecCol), col(vecCol)).as("anchor_dd"))
     embeddings
       .join(broadcast(anchor))
       .select(col(idCol),
-        cosineDecimal(col(vecCol), col("anchor_vec")).as("cos_sim"))
+        (dotDecimal(col(vecCol), col("anchor_vec")) /
+          sqrt(dotDecimal(col(vecCol), col(vecCol)) * col("anchor_dd")))
+          .as("cos_sim"))
       .filter(col(idCol) =!= anchorId)
       .orderBy(col("cos_sim").desc, col(idCol).asc)
       .limit(k)
@@ -69,7 +75,10 @@ object Similarity {
   def srpCandidatePairs(embeddings: DataFrame, idCol: String, vecCol: String,
       bits: Int = 32, bands: Int = 4, maxBucket: Int = 1000): DataFrame = {
     val chunk = bits / bands
-    val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // per-vector self-dot computed ONCE here (not per candidate pair —
+    // pairs outnumber vectors quadratically within a bucket)
+    val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"),
+      dot(col(vecCol), col(vecCol)).as("dd"))
     val sigs = vecs.select(col("id"), srpSignature(col("v"), bits).as("sig"))
     // ids only into the bucket aggregation; vectors re-joined after dedup
     val banded = sigs.select(col("id"),
@@ -78,13 +87,14 @@ object Similarity {
             .bitwiseAND(lit((1L << chunk) - 1)))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk_val")
     Dedup.bucketPairs(banded, Seq("band", "chunk_val"), maxBucket)
-      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
-      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a"),
+        col("dd").as("dd_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b"),
+        col("dd").as("dd_b")), Seq("id_b"))
       // double cosine: candidate scoring has no cross-engine oracle, and
       // Spark's index-order fold is deterministic run-to-run
       .withColumn("cos_sim",
-        dot(col("v_a"), col("v_b")) /
-          sqrt(dot(col("v_a"), col("v_a")) * dot(col("v_b"), col("v_b"))))
+        dot(col("v_a"), col("v_b")) / sqrt(col("dd_a") * col("dd_b")))
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
 
@@ -131,7 +141,13 @@ object Similarity {
   def srpCandidatePairsMd5(embeddings: DataFrame, idCol: String, vecCol: String,
       bits: Int, dims: Int, bands: Int, maxBucket: Int = 1000): DataFrame = {
     val chunk = bits / bands
-    val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // per-vector decimal self-dot joined in once; the per-pair combine
+    // dab / sqrt(daa * dbb) is the SAME double arithmetic the inline
+    // cosineDecimal performs (dotDecimal already returns double), so the
+    // oracle hash is unchanged — but candidate scoring drops from three
+    // interpreted 64-element decimal folds per pair to one.
+    val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"),
+      dotDecimal(col(vecCol), col(vecCol)).as("dd"))
     val sigs = vecs.select(col("id"), srpSigMd5(col("v"), bits, dims).as("sig"))
     val banded = sigs.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -139,9 +155,12 @@ object Similarity {
             .bitwiseAND(lit((1L << chunk) - 1)))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk_val")
     Dedup.bucketPairs(banded, Seq("band", "chunk_val"), maxBucket)
-      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
-      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
-      .withColumn("cos_sim", cosineDecimal(col("v_a"), col("v_b")))
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a"),
+        col("dd").as("dd_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b"),
+        col("dd").as("dd_b")), Seq("id_b"))
+      .withColumn("cos_sim",
+        dotDecimal(col("v_a"), col("v_b")) / sqrt(col("dd_a") * col("dd_b")))
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
 

@@ -144,10 +144,13 @@ object PipelineOps {
     // The full SRP near-dup pipeline (band → bucket → pairs → cosine →
     // top-20) in its cross-engine form: md5 planes + decimal dots, so
     // the ENTIRE pipeline — not just the signature — is oracle-checked.
+    // bands=2 → 8-bit chunks → 256 buckets/band: within-bucket pair
+    // generation is quadratic in bucket size, so finer buckets are the
+    // difference between ~14k and ~500k scored candidates here.
     "embed_srp_topdups_md5" -> ((s, d) =>
       Similarity.srpCandidatePairsMd5(
           t(s, d, "embeddings").filter(col("vec_id") < 2000),
-          "vec_id", "embedding", bits = 16, dims = 64, bands = 4)
+          "vec_id", "embedding", bits = 16, dims = 64, bands = 2)
         .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
         .limit(20)),
 
@@ -353,7 +356,7 @@ object PipelineOps {
         |GROUP BY doc_id, ss.s
         |ORDER BY doc_id, seed""".stripMargin,
 
-    // Full SRP pipeline replay: signatures (as embed_srp_md5), 4×4-bit
+    // Full SRP pipeline replay: signatures (as embed_srp_md5), 2×8-bit
     // banding, bucket-capped pair generation, decimal cosine, top-20.
     "embed_srp_topdups_md5" ->
       """WITH planes AS (
@@ -377,8 +380,8 @@ object PipelineOps {
         |  FROM sd GROUP BY vec_id),
         |banded AS (
         |  SELECT vec_id, bd.band AS band,
-        |    (sig >> (4 * bd.band)) & 15 AS chunk_val
-        |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) bd),
+        |    (sig >> (8 * bd.band)) & 255 AS chunk_val
+        |  FROM sig, (SELECT unnest(generate_series(0, 1)) AS band) bd),
         |sized AS (
         |  SELECT vec_id, band, chunk_val,
         |    COUNT(*) OVER (PARTITION BY band, chunk_val) AS bucket_n
