@@ -159,27 +159,289 @@ object TpchSql {
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       |  AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'""".stripMargin
 
+  // Q2 adapted (no partsupp in the testdata): "supply cost" is the
+  // unit price a supplier actually shipped at (l_extendedprice /
+  // l_quantity) — the correlated-MIN-over-a-multi-join shape of the
+  // official Q2 is preserved exactly. The double division is the same
+  // IEEE operation on identical parquet operands in both engines, so
+  // the MIN-equality predicate is hash-stable.
+  private val q2 =
+    """SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name
+      |FROM part
+      |  JOIN lineitem ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |WHERE p_size = 15 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+      |  AND l_extendedprice / l_quantity = (
+      |    SELECT MIN(l2.l_extendedprice / l2.l_quantity)
+      |    FROM lineitem l2
+      |      JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+      |      JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+      |      JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      |    WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin
+
+  private val q8 =
+    """SELECT o_year,
+      |  CAST(SUM(CASE WHEN nation = 'NATION_1' THEN volume
+      |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+      |    / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+      |FROM (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      |    CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) AS volume,
+      |    n2.n_name AS nation
+      |  FROM part
+      |    JOIN lineitem ON p_partkey = l_partkey
+      |    JOIN supplier ON s_suppkey = l_suppkey
+      |    JOIN orders ON l_orderkey = o_orderkey
+      |    JOIN customer ON o_custkey = c_custkey
+      |    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |    JOIN region ON n1.n_regionkey = r_regionkey
+      |    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00') allnations
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
+  // Q9 adapted: no ps_supplycost, so cost = 10% of retail price per
+  // unit. Every factor is cast to decimal FIRST (see the header note on
+  // sum_charge) so the two-term amount is exact on both engines.
+  private val q9 =
+    """SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+      |FROM (
+      |  SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+      |    CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,6))
+      |      - CAST(0.1 AS DECIMAL(4,2)) * CAST(p_retailprice AS DECIMAL(12,2))
+      |        * CAST(l_quantity AS DECIMAL(12,2)) AS amount
+      |  FROM part
+      |    JOIN lineitem ON p_partkey = l_partkey
+      |    JOIN supplier ON s_suppkey = l_suppkey
+      |    JOIN orders ON l_orderkey = o_orderkey
+      |    JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE p_name LIKE '%red%') profit
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  // Q11 adapted: "stock value" is shipped value (price × quantity) per
+  // part from one nation's suppliers; the global-fraction threshold in
+  // HAVING keeps the official scalar-subquery shape.
+  private val q11 =
+    """SELECT l_partkey AS ps_partkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |           * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS part_value
+      |FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name = 'NATION_3'
+      |GROUP BY l_partkey
+      |HAVING SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |           * CAST(l_quantity AS DECIMAL(12,2))) > (
+      |  SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |             * CAST(l_quantity AS DECIMAL(12,2))) * 0.001
+      |  FROM lineitem
+      |    JOIN supplier ON l_suppkey = s_suppkey
+      |    JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_name = 'NATION_3')
+      |ORDER BY part_value DESC, ps_partkey""".stripMargin
+
+  // Q12 adapted: no l_shipmode/commitdate — the "mode" is a lateness
+  // band (shipped >60 days after ordering), the priority CASE-counts
+  // use FILTER so both engines emit BIGINT.
+  private val q12 =
+    """SELECT shipmode,
+      |  COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_line_count,
+      |  COUNT(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_line_count
+      |FROM (
+      |  SELECT o_orderpriority,
+      |    CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |      THEN 'LATE' ELSE 'ONTIME' END AS shipmode
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00') x
+      |GROUP BY shipmode
+      |ORDER BY shipmode""".stripMargin
+
+  // Q13 adapted: the o_comment NOT LIKE exclusion becomes an
+  // o_orderpriority exclusion inside the LEFT JOIN condition.
+  private val q13 =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |    AND o_orderpriority <> '4-NOT SPECIFIED'
+      |  GROUP BY c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  private val q15 =
+    """WITH revenue0 AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // Q16 adapted: lineitem is the part↔supplier relation (no partsupp);
+  // the s_comment NOT-IN exclusion becomes a negative-balance one.
+  private val q16 =
+    """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  // Q17: correlated per-part average-quantity threshold. l_quantity is
+  // integer-valued, so AVG is exact under any accumulation order.
+  private val q17 =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#3' AND p_size < 10
+      |  AND l_quantity < (
+      |    SELECT 0.5 * AVG(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  // Q19: the OR-of-ANDs join predicate shape, on brand/size/quantity
+  // (testdata has no container/shipmode/shipinstruct).
+  private val q19 =
+    """SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+      |       AND l_quantity >= 1 AND l_quantity <= 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+      |       AND l_quantity >= 10 AND l_quantity <= 20)
+      |   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin
+
+  // Q20 adapted: "excess stock" = a supplier shipped >30% of a part's
+  // total shipped quantity in the year — nested IN + correlated scalar,
+  // the official Q20 shape with lineitem standing in for partsupp.
+  private val q20 =
+    """SELECT s_name, s_acctbal
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name = 'NATION_4'
+      |  AND s_suppkey IN (
+      |    SELECT l_suppkey FROM (
+      |      SELECT l_suppkey, l_partkey,
+      |        SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+      |      FROM lineitem
+      |      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      |        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |      GROUP BY l_suppkey, l_partkey) sp
+      |    WHERE qty > (
+      |      SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,4))) * 0.3
+      |      FROM lineitem l2
+      |      WHERE l2.l_partkey = sp.l_partkey
+      |        AND l2.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |        AND l2.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'))
+      |ORDER BY s_name""".stripMargin
+
+  // Q21 adapted: "late" = shipped >60 days after ordering (no
+  // commit/receipt dates). Lateness is pre-aggregated per (order,
+  // supplier) in a CTE; the EXISTS/NOT-EXISTS pair over other suppliers
+  // of the same order is the official Q21 shape.
+  private val q21 =
+    """WITH ol AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |    MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |        THEN 1 ELSE 0 END) AS late
+      |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |  WHERE o_orderstatus = 'F'
+      |  GROUP BY l_orderkey, l_suppkey)
+      |SELECT s_name, COUNT(*) AS numwait
+      |FROM supplier
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN ol l1 ON s_suppkey = l1.l_suppkey
+      |WHERE n_name = 'NATION_2' AND l1.late = 1
+      |  AND EXISTS (SELECT 1 FROM ol l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM ol l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.late = 1)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin
+
+  // Q22 adapted: no c_phone, so the "country code" is c_custkey % 7,
+  // and "no recent orders" replaces "no orders" (every testdata
+  // customer has at least one). The exact-decimal SUM/COUNT quotient
+  // replaces AVG so the scalar threshold is bit-identical across
+  // engines (DuckDB AVG(DECIMAL) returns DOUBLE, Spark returns
+  // DECIMAL — the explicit quotient sidesteps the divergence).
+  private val q22 =
+    """SELECT cntrycode, COUNT(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+      |FROM (
+      |  SELECT CAST(c_custkey % 7 AS INT) AS cntrycode, c_acctbal
+      |  FROM customer
+      |  WHERE CAST(c_custkey % 7 AS INT) IN (1, 2, 3, 4, 5)
+      |    AND c_acctbal > (
+      |      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+      |      FROM customer
+      |      WHERE c_acctbal > 0.0 AND CAST(c_custkey % 7 AS INT) IN (1, 2, 3, 4, 5))
+      |    AND NOT EXISTS (
+      |      SELECT 1 FROM orders
+      |      WHERE o_custkey = c_custkey
+      |        AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')) custsale
+      |GROUP BY cntrycode
+      |ORDER BY cntrycode""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "tpch_q1" -> ((s, d) => Tables.sql(s, d, q1)),
+    "tpch_q2" -> ((s, d) => Tables.sql(s, d, q2)),
     "tpch_q3" -> ((s, d) => Tables.sql(s, d, q3)),
-    "tpch_q5" -> ((s, d) => Tables.sql(s, d, q5)),
     "tpch_q4" -> ((s, d) => Tables.sql(s, d, q4)),
+    "tpch_q5" -> ((s, d) => Tables.sql(s, d, q5)),
     "tpch_q6" -> ((s, d) => Tables.sql(s, d, q6)),
     "tpch_q7" -> ((s, d) => Tables.sql(s, d, q7)),
+    "tpch_q8" -> ((s, d) => Tables.sql(s, d, q8)),
+    "tpch_q9" -> ((s, d) => Tables.sql(s, d, q9)),
     "tpch_q10" -> ((s, d) => Tables.sql(s, d, q10)),
+    "tpch_q11" -> ((s, d) => Tables.sql(s, d, q11)),
+    "tpch_q12" -> ((s, d) => Tables.sql(s, d, q12)),
+    "tpch_q13" -> ((s, d) => Tables.sql(s, d, q13)),
     "tpch_q14" -> ((s, d) => Tables.sql(s, d, q14)),
-    "tpch_q18" -> ((s, d) => Tables.sql(s, d, q18)))
+    "tpch_q15" -> ((s, d) => Tables.sql(s, d, q15)),
+    "tpch_q16" -> ((s, d) => Tables.sql(s, d, q16)),
+    "tpch_q17" -> ((s, d) => Tables.sql(s, d, q17)),
+    "tpch_q18" -> ((s, d) => Tables.sql(s, d, q18)),
+    "tpch_q19" -> ((s, d) => Tables.sql(s, d, q19)),
+    "tpch_q20" -> ((s, d) => Tables.sql(s, d, q20)),
+    "tpch_q21" -> ((s, d) => Tables.sql(s, d, q21)),
+    "tpch_q22" -> ((s, d) => Tables.sql(s, d, q22)))
 
   // The oracle SQL is the SAME text (both dialects accept it) — the
   // strongest possible parity statement for the SQL surface.
   val oracles: Map[String, String] = Map(
     "tpch_q1" -> q1,
+    "tpch_q2" -> q2,
     "tpch_q3" -> q3,
-    "tpch_q5" -> q5,
     "tpch_q4" -> q4,
+    "tpch_q5" -> q5,
     "tpch_q6" -> q6,
     "tpch_q7" -> q7,
+    "tpch_q8" -> q8,
+    "tpch_q9" -> q9,
     "tpch_q10" -> q10,
+    "tpch_q11" -> q11,
+    "tpch_q12" -> q12,
+    "tpch_q13" -> q13,
     "tpch_q14" -> q14,
-    "tpch_q18" -> q18)
+    "tpch_q15" -> q15,
+    "tpch_q16" -> q16,
+    "tpch_q17" -> q17,
+    "tpch_q18" -> q18,
+    "tpch_q19" -> q19,
+    "tpch_q20" -> q20,
+    "tpch_q21" -> q21,
+    "tpch_q22" -> q22)
 }
