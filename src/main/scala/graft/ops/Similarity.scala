@@ -62,6 +62,38 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch kNN: top-k by cosine for EVERY anchor in one corpus pass —
+    * the serving-path shape (N queries amortize one scan). The anchor
+    * set broadcasts; per-anchor top-k is computed in TWO window phases:
+    * phase 1 ranks within (anchor, salt) so no single window partition
+    * ever holds more than corpus/salts rows (a plain
+    * partitionBy(anchor) window would concentrate the whole corpus
+    * into nAnchors partitions at scale), phase 2 ranks the salts×k
+    * survivors — exact, and skew-proof at 1000 executors. Decimal dots
+    * + per-vector self-dots: same algebra as cosineTopK, oracle-exact. */
+  def cosineTopKBatch(embeddings: DataFrame, idCol: String, vecCol: String,
+      nAnchors: Int, k: Int, salts: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"),
+      dotDecimal(col(vecCol), col(vecCol)).as("dd"))
+    val anchors = corpus.filter(col("id") < nAnchors)
+      .select(col("id").as("anchor_id"), col("v").as("av"), col("dd").as("add"))
+    val scored = corpus.join(broadcast(anchors))
+      .filter(col("id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("id"),
+        (dotDecimal(col("v"), col("av")) / sqrt(col("dd") * col("add")))
+          .as("cos_sim"),
+        (col("id") % salts).as("salt"))
+    val w1 = Window.partitionBy(col("anchor_id"), col("salt"))
+      .orderBy(col("cos_sim").desc, col("id"))
+    val w2 = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos_sim").desc, col("id"))
+    scored.withColumn("r", row_number().over(w1)).filter(col("r") <= k)
+      .withColumn("r2", row_number().over(w2)).filter(col("r2") <= k)
+      .select(col("anchor_id"), col("id"), col("cos_sim"))
+      .orderBy(col("anchor_id"), col("cos_sim").desc, col("id"))
+  }
+
   /** SRP signature: `bits` sign bits of dot(v, plane_b) packed to
     * BIGINT; plane components are hashes of (b, i) mapped to [-1, 1),
     * recomputed on the fly — no broadcast state. Native expression. */

@@ -82,6 +82,23 @@ object TextAnalysis {
     (lang, best)
   }
 
+  /** PII scrub: masks emails, IPv4 addresses, and US-style phone
+    * numbers with typed placeholders — the standard redaction pass
+    * before training-data release. Pure chained regexp_replace
+    * projections (codegen'd, no shuffle, no UDF); the patterns are
+    * deliberately limited to syntax Java regex and RE2 interpret
+    * identically (character classes, bounded repetition, \b, \d), so a
+    * DuckDB oracle replays the scrub byte-for-byte. Email runs first:
+    * its local part may contain digits that the phone/IP patterns
+    * would otherwise split. */
+  def scrubPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>")
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text.
     * md5 emits identical lowercase hex in Spark, DuckDB and Trino, so it
     * doubles as the oracle-checkable fingerprint. */

@@ -231,6 +231,42 @@ object PipelineOps {
           TextAnalysis.repetitionRatio(col("text"), 3).as("repetition"))
         .orderBy(col("doc_id"))),
 
+    // PII redaction pass: the corpus has no real PII (synthetic word
+    // soup), so each doc gets a deterministic contact block appended
+    // (email + IP + phone derived from doc_id) and the scrubber must
+    // mask all three — the oracle replays the synthesis AND the scrub.
+    "text_pii_scrub" -> ((s, d) => {
+      val contact = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com"),
+        lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"),
+        lit(" call 555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.scrubPii(contact).as("clean"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Corpus vocabulary heavy-hitters: document frequency + collection
+    // frequency, top-50. The stopword/tokenizer-vocab feedback loop of
+    // a curation pipeline — one token shuffle, partial aggs upstream.
+    "text_vocab_topk" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok"))
+        .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("cf"))
+        .orderBy(col("df").desc, col("cf").desc, col("tok"))
+        .limit(50)),
+
+    // Batch kNN: all 5 anchors answered in ONE corpus pass with
+    // two-phase salted top-k (see Similarity.cosineTopKBatch) — the
+    // embedding-serving shape, oracle-checked end to end.
+    "embed_knn_batch" -> ((s, d) =>
+      Similarity.cosineTopKBatch(t(s, d, "embeddings"), "vec_id", "embedding",
+        nAnchors = 5, k = 10)),
+
     // Fixed-budget sequence packing per language shard: the batch
     // assignment step before training-data serialization.
     "pack_sequences" -> ((s, d) =>
@@ -305,6 +341,54 @@ object PipelineOps {
   private val stopList = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    // Same synthesis, same three regexes (Java regex and RE2 agree on
+    // this restricted syntax), same placeholder order.
+    "text_pii_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+        |         || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+        |         || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        |         || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_vocab_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents)
+        |SELECT tok, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS cf
+        |FROM tok WHERE tok <> ''
+        |GROUP BY tok
+        |ORDER BY df DESC, cf DESC, tok
+        |LIMIT 50""".stripMargin,
+
+    "embed_knn_batch" ->
+      """WITH dd AS (
+        |  SELECT vec_id,
+        |    CAST(SUM(CAST(CAST(embedding[s.i] AS DOUBLE)*CAST(embedding[s.i] AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS dd
+        |  FROM embeddings, generate_series(1, 64) AS s(i)
+        |  GROUP BY vec_id),
+        |pairs AS (
+        |  SELECT a.vec_id AS anchor_id, e.vec_id AS id,
+        |    CAST(SUM(CAST(CAST(e.embedding[s.i] AS DOUBLE)*CAST(a.embedding[s.i] AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS dab
+        |  FROM embeddings e, embeddings a, generate_series(1, 64) AS s(i)
+        |  WHERE a.vec_id < 5 AND e.vec_id <> a.vec_id
+        |  GROUP BY a.vec_id, e.vec_id),
+        |scored AS (
+        |  SELECT p.anchor_id, p.id, p.dab / sqrt(de.dd * da.dd) AS cos_sim
+        |  FROM pairs p
+        |    JOIN dd de ON de.vec_id = p.id
+        |    JOIN dd da ON da.vec_id = p.anchor_id),
+        |ranked AS (
+        |  SELECT anchor_id, id, cos_sim,
+        |    ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY cos_sim DESC, id) AS r
+        |  FROM scored)
+        |SELECT anchor_id, id, cos_sim FROM ranked WHERE r <= 10
+        |ORDER BY anchor_id, cos_sim DESC, id""".stripMargin,
+
     "dedup_exact" ->
       """SELECT doc_id, lang, source, n_chars FROM (
         |  SELECT doc_id, lang, source, n_chars,

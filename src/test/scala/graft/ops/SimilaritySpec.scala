@@ -49,6 +49,19 @@ class SimilaritySpec extends SparkSpec {
     assert((brute & ivf).nonEmpty, s"no overlap: brute=$brute ivf=$ivf")
   }
 
+  test("batch kNN equals the single-anchor path for every anchor") {
+    val batch = Similarity.cosineTopKBatch(emb, "vec_id", "embedding",
+        nAnchors = 3, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(batch.length == 15)
+    (0L until 3L).foreach { a =>
+      val single = Similarity.cosineTopK(emb, "vec_id", "embedding", a, 5)
+        .collect().map(r => (a, r.getLong(0), r.getDouble(1)))
+      assert(batch.filter(_._1 == a).toSeq == single.toSeq,
+        s"anchor $a: two-phase salted top-k diverged from single-anchor")
+    }
+  }
+
   test("IVF assignment is a shuffle-free projection (no Exchange)") {
     val assigned = Similarity.assignCells(emb,
       Similarity.seedCentroidsDf(emb, "vec_id", "embedding", 8),

@@ -79,7 +79,10 @@ class PlanAuditSpec extends SparkSpec {
       "embed_ivf_kmeans", "text_contamination",
       // curation_keep embeds the contamination stage: same 1-row
       // aggregated-vocabulary broadcast
-      "curation_keep")
+      "curation_keep",
+      // batch kNN scores every vector against the fixed nAnchors-row
+      // broadcast anchor set — the cross product IS the semantics
+      "embed_knn_batch")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p =
         try plan(name)
