@@ -147,18 +147,34 @@ object Dedup {
     * minimum of md5(s + ":" + token) hex prefixes. Min of fixed-length
     * lowercase hex = numeric min, so the signature needs no hex→int
     * conversion anywhere and a DuckDB oracle replays it exactly.
-    * Output: (id, seed, minhash) — numHashes rows per doc. */
+    * Output: (id, seed, minhash) — numHashes rows per doc.
+    *
+    * Layout: md5 is computed once per DISTINCT token (the vocabulary),
+    * not once per occurrence×seed — a per-seed minimum over occurrences
+    * equals the minimum over the doc's distinct token set, so hashing
+    * the vocabulary and joining it back on `tok` is value-identical
+    * while cutting the hash work from |occurrences|×seeds to
+    * |vocab|×seeds. The join is left to AQE: a small vocabulary
+    * broadcasts, a web-scale one shuffle-joins co-partitioned on the
+    * token — both correct, neither re-hashes. The per-doc aggregate is
+    * an element-wise min over the seed array (partial map-side). */
   def minHashMd5(docs: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 16): DataFrame =
-    docs.select(col(idCol),
-        explode(split(lower(col(textCol)), " ")).as("tok"))
+      numHashes: Int = 16): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(array_distinct(split(lower(col(textCol)), " "))).as("tok"))
+    val vocab = toks.select(col("tok")).distinct()
+      .select(col("tok"), transform(sequence(lit(0), lit(numHashes - 1)),
+        s => substring(md5(concat_ws(":", s, col("tok"))), 1, 15)).as("hvs"))
+    val mins = (0 until numHashes).map(i =>
+      min(element_at(col("hvs"), i + 1)).as(s"m$i"))
+    toks.join(vocab, Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
       .select(col(idCol),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("seed"),
-        col("tok"))
-      .select(col(idCol), col("seed").cast("int").as("seed"),
-        substring(md5(concat_ws(":", col("seed"), col("tok"))), 1, 15).as("hv"))
-      .groupBy(col(idCol), col("seed"))
-      .agg(min(col("hv")).as("minhash"))
+        posexplode(array((0 until numHashes).map(i => col(s"m$i")): _*)))
+      .select(col(idCol), col("pos").cast("int").as("seed"),
+        col("col").as("minhash"))
+  }
 
   /** Near-dup edges from [[minHashMd5]] signatures: two docs are joined
     * when ≥ `minShared` of their `numHashes` per-seed minima coincide —
