@@ -260,6 +260,27 @@ object PipelineOps {
         .orderBy(col("df").desc, col("cf").desc, col("tok"))
         .limit(50)),
 
+    // BPE-training prep: adjacent character-pair frequencies weighted
+    // by word frequency — iteration 1 of byte-pair-encoding tokenizer
+    // training. The corpus collapses to the (tiny) vocabulary FIRST
+    // (one token shuffle with map-side partial counts); all pair
+    // explosion happens on vocab rows, never on the corpus — the only
+    // layout that survives 100 TB.
+    "text_bpe_pairs" -> ((s, d) => {
+      val words = t(s, d, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .filter(length(col("w")) >= 2)
+      words
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("pair"))
+        .limit(20)
+    }),
+
     // Batch kNN: all 5 anchors answered in ONE corpus pass with
     // two-phase salted top-k (see Similarity.cosineTopKBatch) — the
     // embedding-serving shape, oracle-checked end to end.
@@ -364,6 +385,21 @@ object PipelineOps {
         |GROUP BY tok
         |ORDER BY df DESC, cf DESC, tok
         |LIMIT 50""".stripMargin,
+
+    "text_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT tok AS w, COUNT(*) AS freq FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+        |  WHERE tok <> '' GROUP BY tok),
+        |p AS (
+        |  SELECT substr(w, CAST(s.i AS INT), 2) AS pair, freq
+        |  FROM w, (SELECT unnest(generate_series(1,
+        |      (SELECT MAX(len(w)) FROM w) - 1)) AS i) s
+        |  WHERE len(w) >= 2 AND s.i <= len(w) - 1)
+        |SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+        |FROM p GROUP BY pair
+        |ORDER BY pair_count DESC, pair
+        |LIMIT 20""".stripMargin,
 
     "embed_knn_batch" ->
       """WITH dd AS (

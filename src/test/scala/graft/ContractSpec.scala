@@ -28,9 +28,9 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented counts") {
-    assert(SparkEntry.queries.size == 118,
+    assert(SparkEntry.queries.size == 119,
       s"queries=${SparkEntry.queries.size} — update README/ContractSpec together")
-    assert(SparkEntry.oracleSql.size == 105,
+    assert(SparkEntry.oracleSql.size == 106,
       s"oracles=${SparkEntry.oracleSql.size} — update README/ContractSpec together")
   }
 }

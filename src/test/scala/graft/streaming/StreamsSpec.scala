@@ -100,6 +100,35 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming PII scrub equals batch (stateless projection)") {
+    // redaction on the ingest stream — same scrubPii column expression,
+    // no state, so streaming output must equal the batch projection
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.engine.Tables.load(spark, dir, "documents")
+    val watched = java.nio.file.Files.createTempDirectory("graft-pii-stream")
+    watched.toFile.deleteOnExit()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      watched.resolve("documents.parquet"))
+    def scrub(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        graft.ops.TextAnalysis.scrubPii(
+          concat(col("text"), lit(" mail "), col("doc_id").cast("string"),
+            lit("@x.example.org"))).as("clean"))
+    val q = scrub(spark.readStream.schema(docs.schema).parquet(watched.toString))
+      .writeStream.format("memory").queryName("stream_pii")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streaming = spark.table("stream_pii")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      val batch = scrub(docs)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(streaming == batch && streaming.nonEmpty)
+      assert(streaming.values.forall(_.contains("<EMAIL>")))
+    } finally q.stop()
+  }
+
   test("streaming session_window agg closes 30-min-gap sessions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
