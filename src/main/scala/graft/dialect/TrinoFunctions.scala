@@ -268,10 +268,19 @@ object TrinoFunctions {
       case args => throw new IllegalArgumentException(
         s"url_extract_parameter expects 2 args, got ${args.length}")
     },
-    // Trino format_datetime(ts, fmt) uses Joda patterns, which coincide
-    // with the JVM DateTimeFormatter patterns Spark uses for the common
-    // tokens (yyyy MM dd HH mm ss etc.) — pass through.
+    // Trino format_datetime(ts, fmt) uses Joda patterns. Most tokens
+    // coincide with the JVM DateTimeFormatter patterns Spark uses, but
+    // NOT all: Joda 'Y' is year-of-era while JVM 'Y' is WEEK-BASED year
+    // (silently wrong around New Year if passed through), and Joda 'x'
+    // is the weekyear that JVM spells 'Y'. Literal formats are
+    // translated (jodaToJavaPattern); tokens with no Spark-legal
+    // equivalent ('e' ISO day-of-week number, 'C' century) are rejected
+    // with a clear error instead of misformatting. Non-literal formats
+    // pass through (common tokens coincide).
     "format_datetime" -> {
+      case Seq(ts, f @ Literal(v, _)) if v != null =>
+        DateFormatClass(Cast(ts, TimestampType),
+          Literal(jodaToJavaPattern(v.toString)))
       case Seq(ts, fmt) => DateFormatClass(Cast(ts, TimestampType), fmt)
       case args => throw new IllegalArgumentException(
         s"format_datetime expects 2 args, got ${args.length}")
@@ -288,6 +297,38 @@ object TrinoFunctions {
       case args => throw new IllegalArgumentException(
         s"date_format expects 2 args, got ${args.length}")
     })
+
+  /** Joda-Time pattern (Trino format_datetime) → JVM DateTimeFormatter
+    * pattern. Quoted literal sections ('...' with '' escapes) copy
+    * verbatim; 'Y' is remapped to 'y' (Joda 'Y' is year-of-era; the JVM
+    * letter means week-based year, which passed through would silently
+    * shift dates around New Year). 'x' (weekyear), 'e' (ISO day-of-week
+    * number) and 'C' (century) have no Spark-legal pattern letter —
+    * Spark's formatter forbids week-based fields — and are rejected
+    * with a clear error instead of Spark's opaque upgrade error. All
+    * other letters coincide (yMdHmsSaEGKkhDwz...). */
+  private[dialect] def jodaToJavaPattern(fmt: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    var inQuote = false
+    while (i < fmt.length) {
+      val c = fmt(i)
+      if (c == '\'') {
+        if (i + 1 < fmt.length && fmt(i + 1) == '\'') {
+          out.append("''"); i += 2        // escaped literal quote
+        } else { inQuote = !inQuote; out.append(c); i += 1 }
+      } else if (inQuote) { out.append(c); i += 1 }
+      else c match {
+        case 'Y' => out.append('y'); i += 1
+        case 'x' | 'e' | 'C' => throw new IllegalArgumentException(
+          s"format_datetime: Joda pattern token '$c' has no Spark equivalent " +
+            "(Spark's formatter forbids week-based-year and numeric " +
+            "day-of-week letters; see DIALECT.md)")
+        case other => out.append(other); i += 1
+      }
+    }
+    out.toString
+  }
 
   /** MySQL/Trino `%`-token date format → JVM DateTimeFormatter pattern.
     * Literal runs are quoted (JVM patterns reserve all letters). */

@@ -92,6 +92,26 @@ class TrinoFunctionsSpec extends SparkSpec {
       == "2001-08-22 03:04:05")
   }
 
+  test("format_datetime translates Joda Y and rejects week-based tokens") {
+    // 2025-12-29 is in ISO week 1 of weekyear 2026: Joda 'Y' means the
+    // calendar year 2025 — the JVM letter passed through would be the
+    // week-based year (and Spark forbids it outright).
+    assert(one("SELECT format_datetime(TIMESTAMP '2025-12-29 00:00:00', 'Y-MM-dd')")
+      == "2025-12-29")
+    // letters inside quoted literals are NOT pattern tokens
+    assert(one("SELECT format_datetime(TIMESTAMP '2001-08-22 03:04:05', '''Year'' yyyy')")
+      == "Year 2001")
+    // tokens with no Spark equivalent fail with a clear message
+    Seq("x", "e", "C").foreach { tok =>
+      val e = intercept[Throwable](
+        one(s"SELECT format_datetime(TIMESTAMP '2001-08-22 03:04:05', '$tok')"))
+      def msg(t: Throwable): String =
+        Option(t.getMessage).getOrElse("") +
+          Option(t.getCause).map(c => Option(c.getMessage).getOrElse("")).getOrElse("")
+      assert(msg(e).contains("no Spark equivalent"), s"token $tok: ${msg(e)}")
+    }
+  }
+
   test("date_format translates MySQL %-tokens like Trino") {
     assert(one("SELECT date_format(TIMESTAMP '2001-08-22 03:04:05', '%Y-%m-%d %H:%i:%s')")
       == "2001-08-22 03:04:05")
