@@ -260,6 +260,22 @@ object PipelineOps {
         .orderBy(col("df").desc, col("cf").desc, col("tok"))
         .limit(50)),
 
+    // Embedding near-dup CLUSTERS: the full story end to end — SRP-LSH
+    // candidates (md5 planes), decimal cosine >= 0.35 as edges, then
+    // connected components. Pairs alone can't resolve transitive chains
+    // (A~B~C must dedup as one group); this composes the two
+    // oracle-checked halves and the oracle replays BOTH (srp pipeline +
+    // recursive-CTE min-label propagation).
+    "embed_dedup_clusters" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").filter(col("vec_id") < 2000)
+      val edges = Similarity.srpCandidatePairsMd5(emb, "vec_id", "embedding",
+          bits = 16, dims = 64, bands = 2)
+        .filter(col("cos_sim") >= 0.35)
+        .select(col("id_a"), col("id_b"))
+      Dedup.connectedComponents(emb.select(col("vec_id").as("id")), edges)
+        .orderBy(col("id"))
+    }),
+
     // BPE-training prep: adjacent character-pair frequencies weighted
     // by word frequency — iteration 1 of byte-pair-encoding tokenizer
     // training. The corpus collapses to the (tiny) vocabulary FIRST
@@ -385,6 +401,66 @@ object PipelineOps {
         |GROUP BY tok
         |ORDER BY df DESC, cf DESC, tok
         |LIMIT 50""".stripMargin,
+
+    // The srp-md5 pipeline (as embed_srp_topdups_md5) down to scored
+    // pairs, thresholded into edges, then recursive min-label reach —
+    // the same propagation oracle dedup_components uses.
+    "embed_dedup_clusters" ->
+      """WITH RECURSIVE planes AS (
+        |  SELECT bs.b AS b, isq.i AS i,
+        |    (CAST(SUM(CAST(strpos('0123456789abcdef',
+        |        substr(md5(CAST(bs.b AS VARCHAR) || ':' || CAST(isq.i AS VARCHAR)), ps.p, 1)) - 1
+        |        AS BIGINT) << (4 * (13 - ps.p))) AS DOUBLE) / 4503599627370496.0) * 2 - 1 AS w
+        |  FROM (SELECT unnest(generate_series(0, 15)) AS b) bs,
+        |       (SELECT unnest(generate_series(1, 64)) AS i) isq,
+        |       (SELECT unnest(generate_series(1, 13)) AS p) ps
+        |  GROUP BY bs.b, isq.i),
+        |sd AS (
+        |  SELECT e.vec_id, pl.b,
+        |    SUM(CAST(CAST(e.embedding[pl.i] AS DOUBLE) * pl.w AS DECIMAL(28,14))) AS s
+        |  FROM embeddings e, planes pl
+        |  WHERE e.vec_id < 2000
+        |  GROUP BY e.vec_id, pl.b),
+        |sig AS (
+        |  SELECT vec_id,
+        |    CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(b AS INT) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM sd GROUP BY vec_id),
+        |banded AS (
+        |  SELECT vec_id, bd.band AS band,
+        |    (sig >> (8 * bd.band)) & 255 AS chunk_val
+        |  FROM sig, (SELECT unnest(generate_series(0, 1)) AS band) bd),
+        |sized AS (
+        |  SELECT vec_id, band, chunk_val,
+        |    COUNT(*) OVER (PARTITION BY band, chunk_val) AS bucket_n
+        |  FROM banded),
+        |prs AS (
+        |  SELECT DISTINCT least(a.vec_id, b.vec_id) AS id_a,
+        |    greatest(a.vec_id, b.vec_id) AS id_b
+        |  FROM sized a JOIN sized b
+        |    ON a.band = b.band AND a.chunk_val = b.chunk_val
+        |      AND a.vec_id < b.vec_id
+        |  WHERE a.bucket_n BETWEEN 2 AND 1000),
+        |scored AS (
+        |  SELECT p.id_a, p.id_b,
+        |    CAST(SUM(CAST(CAST(ea.embedding[s.i] AS DOUBLE)*CAST(eb.embedding[s.i] AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS dab,
+        |    CAST(SUM(CAST(CAST(ea.embedding[s.i] AS DOUBLE)*CAST(ea.embedding[s.i] AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS daa,
+        |    CAST(SUM(CAST(CAST(eb.embedding[s.i] AS DOUBLE)*CAST(eb.embedding[s.i] AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS dbb
+        |  FROM prs p
+        |    JOIN embeddings ea ON ea.vec_id = p.id_a
+        |    JOIN embeddings eb ON eb.vec_id = p.id_b,
+        |    generate_series(1, 64) AS s(i)
+        |  GROUP BY p.id_a, p.id_b),
+        |edges AS (
+        |  SELECT id_a, id_b FROM scored
+        |  WHERE dab / sqrt(daa * dbb) >= 0.35),
+        |sym AS (
+        |  SELECT id_a AS src, id_b AS dst FROM edges
+        |  UNION ALL SELECT id_b AS src, id_a AS dst FROM edges),
+        |reach(id, lab) AS (
+        |  SELECT vec_id, vec_id FROM embeddings WHERE vec_id < 2000
+        |  UNION
+        |  SELECT s.src, r.lab FROM reach r JOIN sym s ON r.id = s.dst)
+        |SELECT id, MIN(lab) AS comp FROM reach GROUP BY id ORDER BY id""".stripMargin,
 
     "text_bpe_pairs" ->
       """WITH w AS (

@@ -28,9 +28,9 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented counts") {
-    assert(SparkEntry.queries.size == 119,
+    assert(SparkEntry.queries.size == 120,
       s"queries=${SparkEntry.queries.size} — update README/ContractSpec together")
-    assert(SparkEntry.oracleSql.size == 106,
+    assert(SparkEntry.oracleSql.size == 107,
       s"oracles=${SparkEntry.oracleSql.size} — update README/ContractSpec together")
   }
 }
