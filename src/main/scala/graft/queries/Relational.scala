@@ -272,6 +272,24 @@ object Relational {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
         .orderBy(col("l_returnflag"))),
 
+    // Mergeable distinct-count sketches (DataSketches HLL): per-group
+    // sketches built once, then UNIONED for any rollup without
+    // re-scanning the base data — at 100 TB the sketch tier is how
+    // distinct counts are actually served (pre-aggregate per partition/
+    // day, merge at query time). Register-max construction makes the
+    // estimate deterministic under any row order; oracle omitted
+    // (DuckDB has no DataSketches-compatible HLL) — equivalence to the
+    // merge-free estimate and error bounds pinned in ApproxSpec.
+    "agg_hll_mergeable" -> ((s, d) => {
+      val perGroup = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("hll_sketch_agg(l_partkey)").as("sk"),
+          countDistinct(col("l_partkey")).as("exact_nd"))
+      perGroup.agg(
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_union"),
+        sum(col("exact_nd")).as("sum_group_exact"))
+    }),
+
     // 27. approx_percentile — oracle omitted; bounds asserted in ApproxSpec.
     "agg_approx_percentile" -> ((s, d) =>
       t(s, d, "lineitem")

@@ -30,6 +30,28 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("merged HLL sketches track the single-pass sketch and exact count") {
+    val li = Tables.load(spark, dir, "lineitem")
+    // the union of per-group sketches and one sketch over the whole
+    // column may use different estimator paths (DataSketches union
+    // gadget), so they need not be bit-equal — but both must land
+    // within 5% of exact and within 2% of each other
+    val merged = li.groupBy(col("l_returnflag"))
+      .agg(expr("hll_sketch_agg(l_partkey)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .collect().head.getLong(0)
+    val single = li
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))").as("est"))
+      .collect().head.getLong(0)
+    val exact = li.select(countDistinct(col("l_partkey"))).collect().head.getLong(0)
+    assert(math.abs(merged - single).toDouble / exact <= 0.02,
+      s"merged $merged vs single-pass $single diverge > 2%")
+    assert(math.abs(merged - exact).toDouble / exact <= 0.05,
+      s"merged estimate $merged vs exact $exact drifts > 5%")
+    assert(math.abs(single - exact).toDouble / exact <= 0.05,
+      s"single-pass estimate $single vs exact $exact drifts > 5%")
+  }
+
   test("percentile_approx within 5% of exact median per returnflag") {
     val li = Tables.load(spark, dir, "lineitem")
     val approx = li.groupBy(col("l_returnflag"))
