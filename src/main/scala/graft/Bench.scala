@@ -33,7 +33,10 @@ object Bench {
     // must stay well under 2000 chars: report the total over ALL queries
     // (the operative BASELINE.md metric) plus per-query seconds for the
     // slowest 24, rounded to 3 decimals.
-    def r3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator uses the default locale, and a
+    // comma-decimal locale would corrupt the JSON
+    def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f",
+      Double.box(v))
     val slowest = results.toSeq.sortBy(-_._2).take(24)
     val qs = slowest.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")

@@ -302,11 +302,12 @@ object TrinoFunctions {
     * pattern. Quoted literal sections ('...' with '' escapes) copy
     * verbatim; 'Y' is remapped to 'y' (Joda 'Y' is year-of-era; the JVM
     * letter means week-based year, which passed through would silently
-    * shift dates around New Year). 'x' (weekyear), 'e' (ISO day-of-week
-    * number) and 'C' (century) have no Spark-legal pattern letter —
-    * Spark's formatter forbids week-based fields — and are rejected
-    * with a clear error instead of Spark's opaque upgrade error. All
-    * other letters coincide (yMdHmsSaEGKkhDwz...). */
+    * shift dates around New Year). 'x' (weekyear), 'w' (week of
+    * weekyear), 'e' (ISO day-of-week number) and 'C' (century) have no
+    * Spark-legal pattern letter — Spark's formatter forbids every
+    * week-based field ({Y,W,w,u,e,c}) — and are rejected with a clear
+    * error instead of Spark's opaque upgrade error. All other letters
+    * coincide (yMdHmsSaEGKkhDz...). */
   private[dialect] def jodaToJavaPattern(fmt: String): String = {
     val out = new StringBuilder
     var i = 0
@@ -320,10 +321,10 @@ object TrinoFunctions {
       } else if (inQuote) { out.append(c); i += 1 }
       else c match {
         case 'Y' => out.append('y'); i += 1
-        case 'x' | 'e' | 'C' => throw new IllegalArgumentException(
+        case 'x' | 'w' | 'e' | 'C' => throw new IllegalArgumentException(
           s"format_datetime: Joda pattern token '$c' has no Spark equivalent " +
-            "(Spark's formatter forbids week-based-year and numeric " +
-            "day-of-week letters; see DIALECT.md)")
+            "(Spark's formatter forbids week-based and numeric day-of-week " +
+            "letters; see DIALECT.md)")
         case other => out.append(other); i += 1
       }
     }

@@ -123,6 +123,165 @@ object NativeExprs {
       copy(child = newChild)
   }
 
+  /** Cross-engine SRP signature, native form of Similarity.srpSigMd5's
+    * Catalyst composition (bits × aggregate(zip_with(...)) decimal
+    * folds — ~2M interpreted closure calls per 2000 rows at bits=32).
+    * BIT-EXACT replication of the Catalyst/ DuckDB semantics, verified
+    * by the embed_srp_* oracles:
+    *  - plane weight (b, i) = md5("b:i") first 13 hex digits / 2^52,
+    *    mapped to [-1, 1) — identical constants, precomputed once;
+    *  - per element: double product, then Spark's double→DECIMAL(28,14)
+    *    cast, which is BigDecimal.valueOf (shortest decimal repr) +
+    *    setScale(14, HALF_UP) — NOT new BigDecimal(double);
+    *  - exact decimal summation (scale-14 adds are exact; the
+    *    re-cast in the Catalyst fold only checks precision);
+    *  - sign bit b set iff the decimal sum > 0. */
+  case class SrpSigMd5D(child: Expression, bits: Int, dims: Int)
+      extends UnaryExpression with CodegenFallback with DeclaredInputTypes {
+    override def dataType: DataType = LongType
+    override def declaredInputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+    override def prettyName: String = "srp_sig_md5d"
+
+    @transient private lazy val planes: Array[Array[Double]] =
+      SrpSigMd5D.planesFor(bits, dims)
+
+    protected override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = math.min(arr.numElements(), dims)
+      var sig = 0L
+      var b = 0
+      while (b < bits) {
+        val w = planes(b)
+        // Fast path: only the SIGN of the decimal sum is consumed, and
+        // a plain double sum determines it whenever |sum| clears the
+        // worst-case divergence bound: per-term double→DECIMAL(28,14)
+        // rounding contributes ≤ 5e-15 each, and the double
+        // accumulation itself ≤ (n-1)·ulp(Σ|p|). Outside that margin
+        // the double and decimal signs provably agree; inside it (a
+        // measure-~1e-11 sliver) the exact BigDecimal fold runs — so
+        // the emitted signature is BIT-IDENTICAL to the all-decimal
+        // definition the DuckDB oracles replay, at double speed.
+        var ds = 0.0
+        var sumAbs = 0.0
+        var i = 0
+        while (i < n) {
+          val p = arr.getFloat(i).toDouble * w(i)
+          ds += p
+          sumAbs += math.abs(p)
+          i += 1
+        }
+        val margin = n * 5e-15 + n * math.ulp(sumAbs)
+        val positive =
+          if (ds > margin) true
+          else if (ds < -margin) false
+          else {
+            var acc = java.math.BigDecimal.ZERO
+            var j = 0
+            while (j < n) {
+              val p = arr.getFloat(j).toDouble * w(j)
+              acc = acc.add(java.math.BigDecimal.valueOf(p)
+                .setScale(14, java.math.RoundingMode.HALF_UP))
+              j += 1
+            }
+            acc.signum() > 0
+          }
+        if (positive) sig |= (1L << b)
+        b += 1
+      }
+      sig
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): SrpSigMd5D =
+      copy(child = newChild)
+  }
+
+  object SrpSigMd5D {
+    // The plane matrix is a pure function of (bits, dims); expressions
+    // are copied per plan branch and re-materialized per task, so a
+    // per-instance lazy val would redo the 2048-md5 derivation each
+    // time — cache once per JVM.
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+    private[NativeExprs] def planesFor(bits: Int, dims: Int): Array[Array[Double]] =
+      cache.computeIfAbsent((bits, dims), { case (nb, nd) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        Array.tabulate(nb, nd) { (b, i0) =>
+          val i = i0 + 1
+          md.reset()
+          val d = md.digest(s"$b:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val sb = new StringBuilder(32)
+          d.foreach(x => sb.append(f"${x & 0xff}%02x"))
+          val hex = sb.substring(0, 13)
+          (java.lang.Long.parseLong(hex, 16).toDouble / (1L << 52).toDouble) * 2.0 - 1.0
+        }
+      })
+  }
+
+  /** Split a packed signature into its LSH band chunks:
+    * out(b) = (sig >> b*chunkBits) & (2^chunkBits - 1), b in [0, bands).
+    * Exists so `posexplode(ChunkSplit(ExpensiveSig(v)))` evaluates the
+    * signature ONCE per row inside the generator input — the
+    * `transform(sequence(...), b => shiftright(sig, ...))` composition
+    * it replaces gets project-collapsed with the signature projection,
+    * and the lambda then re-evaluates the full signature expression per
+    * band (measured: banding at 4 bands cost ~10× the signatures). */
+  case class ChunkSplit(child: Expression, bands: Int, chunkBits: Int)
+      extends UnaryExpression with CodegenFallback with DeclaredInputTypes {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def declaredInputTypes: Seq[DataType] = Seq(LongType)
+    override def prettyName: String = "chunk_split"
+
+    protected override def nullSafeEval(input: Any): Any = {
+      val sig = input.asInstanceOf[Long]
+      val mask = (1L << chunkBits) - 1
+      val out = new Array[Any](bands)
+      var b = 0
+      while (b < bands) {
+        out(b) = (sig >> (b * chunkBits)) & mask
+        b += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): ChunkSplit =
+      copy(child = newChild)
+  }
+
+  /** Order-independent decimal dot product, native form of
+    * Similarity.dotDecimal's aggregate(zip_with(...)) fold: per element
+    * the double product goes through Spark's double→DECIMAL(28,14) cast
+    * (BigDecimal.valueOf + setScale(14, HALF_UP)), the scale-14 values
+    * sum exactly, and the final value is emitted as double
+    * (BigDecimal.doubleValue, Spark's Decimal.toDouble) — bit-identical
+    * to the Catalyst composition and the DuckDB SUM(CAST(...)) oracles,
+    * at a fraction of the interpreted-closure cost. */
+  case class DotDecimalD(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback with DeclaredInputTypes {
+    override def dataType: DataType = DoubleType
+    override def declaredInputTypes: Seq[DataType] =
+      Seq(ArrayType(FloatType), ArrayType(FloatType))
+    override def prettyName: String = "dot_decimal_d"
+
+    protected override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = java.math.BigDecimal.ZERO
+      var i = 0
+      while (i < n) {
+        val p = x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        acc = acc.add(java.math.BigDecimal.valueOf(p)
+          .setScale(14, java.math.RoundingMode.HALF_UP))
+        i += 1
+      }
+      acc.doubleValue()
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): DotDecimalD =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Dot product of two float arrays in double (elementwise upcast,
     * index-order accumulation — same math as the zip_with/aggregate
     * composition, minus the per-element allocation). Implements
@@ -336,8 +495,18 @@ object NativeExprs {
   def srpSig(vec: Column, bits: Int): Column =
     ColumnBridge.column(SRPSig(ColumnBridge.expression(vec), bits))
 
+  def srpSigMd5D(vec: Column, bits: Int, dims: Int): Column =
+    ColumnBridge.column(SrpSigMd5D(ColumnBridge.expression(vec), bits, dims))
+
   def dotf(a: Column, b: Column): Column =
     ColumnBridge.column(DotF(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def dotDecimalD(a: Column, b: Column): Column =
+    ColumnBridge.column(DotDecimalD(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def chunkSplit(sig: Column, bands: Int, chunkBits: Int): Column =
+    ColumnBridge.column(ChunkSplit(ColumnBridge.expression(sig), bands, chunkBits))
 
   def shingleHash(tokens: Column, k: Int): Column =
     ColumnBridge.column(ShingleHash(ColumnBridge.expression(tokens), k))

@@ -35,30 +35,36 @@ object Dedup {
   def minHashSignature(shingles: Column, numHashes: Int): Column =
     graft.functions.NativeExprs.minhashSig(shingles, numHashes)
 
-  /** Drop LSH buckets larger than `maxBucket`. A degenerate bucket (m
-    * near-identical boilerplate docs) otherwise produces m²/2 candidate
-    * pairs on one reducer — the classic 100 TB LSH skew failure. Members
-    * of a dropped bucket still pair through their other bands. One extra
-    * hash-shuffle-free pass: the count window needs no sort, and its
-    * hash partitioning on the bucket key is exactly what the self-join
-    * wants next. */
-  /** Candidate pairs from exploded (bucketKeys…, id) rows: ONE shuffle
-    * groups each bucket onto a reducer, the size cap filters degenerate
-    * buckets (members still pair via other bands), and pairs are
-    * enumerated on the reducer from the in-bucket id list — replacing
-    * the count-window + self-join layout (two extra shuffles of the
-    * same data). Bucket lists are bounded by `maxBucket`, so the
-    * enumeration expression is bounded too. */
+  /** Candidate pairs from exploded (bucketKeys…, id) rows: the bucket
+    * SELF-JOIN layout (the one every at-scale LSH implementation and
+    * the DuckDB oracles use). Bucket sizes are counted first and
+    * degenerate buckets (> maxBucket — m near-identical boilerplate
+    * docs would otherwise emit m²/2 pairs on one reducer, the classic
+    * 100 TB LSH skew failure) are dropped BEFORE the join; members of a
+    * dropped bucket still pair through their other bands. The join
+    * streams its quadratic output and AQE can split a skewed bucket
+    * across reducers — unlike the previous collect_list + pair-array
+    * enumeration, which materialized up to maxBucket²/2 structs inside
+    * ONE row (measured 2.5 s of a 2.8 s pipeline on skew-collapsed
+    * sign-bit buckets, and an OOM risk at a larger cap). */
   def bucketPairs(banded: DataFrame, bucketKeys: Seq[String], maxBucket: Int): DataFrame = {
-    val ids = col("ids")
-    val pairExpr = flatten(transform(ids, (x, i) =>
-      transform(slice(ids, i + 2, size(ids)), y =>
-        struct(least(x, y).as("a"), greatest(x, y).as("b")))))
-    banded.groupBy(bucketKeys.map(col): _*)
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(ids).between(2, maxBucket))
-      .select(explode(pairExpr).as("p"))
-      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+    val keyCols = bucketKeys.map(col)
+    // Materialize the (ids + bucket keys only — corpus-linear, skinny)
+    // banded table ONCE: the count branch and both self-join sides
+    // would otherwise each re-derive it, re-running the upstream
+    // signature computation 3× (measured as 3× the whole sig cost).
+    // Same executor-storage layout the CC loop uses for its edge set.
+    val saved = banded.localCheckpoint(true)
+    val kept = saved.join(
+      saved.groupBy(keyCols: _*).agg(count(lit(1)).as("bucket_n"))
+        .filter(col("bucket_n").between(2, maxBucket))
+        .select(keyCols: _*),
+      bucketKeys)
+    val a = kept.select(keyCols :+ col("id").as("id_a"): _*)
+    val b = kept.select(keyCols :+ col("id").as("id_b"): _*)
+    a.join(b, bucketKeys)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
   }
 
@@ -115,8 +121,7 @@ object Dedup {
       maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val sigs = docs.select(col(idCol).as("id"), simHash(col(textCol)).as("sim"))
     val banded = sigs.select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(3)),
-          b => call_function("shiftright", col("sim"), b * 16).bitwiseAND(0xFFFFL))))
+        posexplode(graft.functions.NativeExprs.chunkSplit(col("sim"), 4, 16)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
     bucketPairs(banded, Seq("band", "chunk"), maxBucket)
       .join(sigs.select(col("id").as("id_a"), col("sim").as("sim_a")), Seq("id_a"))

@@ -29,8 +29,14 @@ object Similarity {
 
   /** Order-independent dot product: per-element products rounded to
     * DECIMAL(28,14) and summed exactly. Matches the DuckDB oracle
-    * SUM(CAST(x*y AS DECIMAL(28,14))) regardless of evaluation order. */
+    * SUM(CAST(x*y AS DECIMAL(28,14))) regardless of evaluation order.
+    * Native expression; [[dotDecimalHof]] is the executable spec. */
   def dotDecimal(a: Column, b: Column): Column =
+    graft.functions.NativeExprs.dotDecimalD(a, b)
+
+  /** The higher-order-function composition DotDecimalD replicates —
+    * kept as the executable specification for the equality test. */
+  private[ops] def dotDecimalHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) =>
         (x.cast("double") * y.cast("double")).cast("decimal(28,14)")),
@@ -112,11 +118,11 @@ object Similarity {
     val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"),
       dot(col(vecCol), col(vecCol)).as("dd"))
     val sigs = vecs.select(col("id"), srpSignature(col("v"), bits).as("sig"))
-    // ids only into the bucket aggregation; vectors re-joined after dedup
+    // ids only into the bucket aggregation; vectors re-joined after
+    // dedup. ChunkSplit keeps the signature a once-per-row generator
+    // input (see NativeExprs.ChunkSplit on the project-collapse trap).
     val banded = sigs.select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => call_function("shiftright", col("sig"), b * chunk)
-            .bitwiseAND(lit((1L << chunk) - 1)))))
+        posexplode(graft.functions.NativeExprs.chunkSplit(col("sig"), bands, chunk)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk_val")
     Dedup.bucketPairs(banded, Seq("band", "chunk_val"), maxBucket)
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a"),
@@ -146,7 +152,13 @@ object Similarity {
     * planes), and each plane dot is an order-independent DECIMAL sum
     * (like dotDecimal), so the sign bits — and therefore the packed
     * signature — hash-match a DuckDB replay exactly. */
-  def srpSigMd5(vec: Column, bits: Int, dims: Int): Column = {
+  def srpSigMd5(vec: Column, bits: Int, dims: Int): Column =
+    graft.functions.NativeExprs.srpSigMd5D(vec, bits, dims)
+
+  /** The higher-order-function composition SrpSigMd5D replicates —
+    * kept (package-private) as the executable specification the
+    * NativeExprsSpec equality test runs both forms against. */
+  private[ops] def srpSigMd5Hof(vec: Column, bits: Int, dims: Int): Column = {
     def planeWeight(b: Int, i: Int): Double = {
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(s"$b:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -182,9 +194,7 @@ object Similarity {
       dotDecimal(col(vecCol), col(vecCol)).as("dd"))
     val sigs = vecs.select(col("id"), srpSigMd5(col("v"), bits, dims).as("sig"))
     val banded = sigs.select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => call_function("shiftright", col("sig"), b * chunk)
-            .bitwiseAND(lit((1L << chunk) - 1)))))
+        posexplode(graft.functions.NativeExprs.chunkSplit(col("sig"), bands, chunk)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk_val")
     Dedup.bucketPairs(banded, Seq("band", "chunk_val"), maxBucket)
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a"),

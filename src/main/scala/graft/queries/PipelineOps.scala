@@ -144,13 +144,16 @@ object PipelineOps {
     // The full SRP near-dup pipeline (band → bucket → pairs → cosine →
     // top-20) in its cross-engine form: md5 planes + decimal dots, so
     // the ENTIRE pipeline — not just the signature — is oracle-checked.
-    // bands=2 → 8-bit chunks → 256 buckets/band: within-bucket pair
-    // generation is quadratic in bucket size, so finer buckets are the
-    // difference between ~14k and ~500k scored candidates here.
+    // 32 bits in 4×8-bit bands: the SAME banding geometry as the
+    // production xxhash64 path (srpCandidatePairs defaults), so this
+    // twin has production's recall, and 256 buckets/band keeps the
+    // within-bucket quadratic pair generation bounded (8-bit chunks vs
+    // the round-5 4-bit chunks whose 16 buckets produced ~500k scored
+    // candidates).
     "embed_srp_topdups_md5" -> ((s, d) =>
       Similarity.srpCandidatePairsMd5(
           t(s, d, "embeddings").filter(col("vec_id") < 2000),
-          "vec_id", "embedding", bits = 16, dims = 64, bands = 2)
+          "vec_id", "embedding", bits = 32, dims = 64, bands = 4)
         .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
         .limit(20)),
 
@@ -261,15 +264,16 @@ object PipelineOps {
         .limit(50)),
 
     // Embedding near-dup CLUSTERS: the full story end to end — SRP-LSH
-    // candidates (md5 planes), decimal cosine >= 0.35 as edges, then
-    // connected components. Pairs alone can't resolve transitive chains
-    // (A~B~C must dedup as one group); this composes the two
-    // oracle-checked halves and the oracle replays BOTH (srp pipeline +
-    // recursive-CTE min-label propagation).
+    // candidates (md5 planes, production 4×8-bit banding geometry),
+    // decimal cosine >= 0.35 as edges, then connected components. Pairs
+    // alone can't resolve transitive chains (A~B~C must dedup as one
+    // group); this composes the two oracle-checked halves and the
+    // oracle replays BOTH (srp pipeline + recursive-CTE min-label
+    // propagation).
     "embed_dedup_clusters" -> ((s, d) => {
       val emb = t(s, d, "embeddings").filter(col("vec_id") < 2000)
       val edges = Similarity.srpCandidatePairsMd5(emb, "vec_id", "embedding",
-          bits = 16, dims = 64, bands = 2)
+          bits = 32, dims = 64, bands = 4)
         .filter(col("cos_sim") >= 0.35)
         .select(col("id_a"), col("id_b"))
       Dedup.connectedComponents(emb.select(col("vec_id").as("id")), edges)
@@ -411,7 +415,7 @@ object PipelineOps {
         |    (CAST(SUM(CAST(strpos('0123456789abcdef',
         |        substr(md5(CAST(bs.b AS VARCHAR) || ':' || CAST(isq.i AS VARCHAR)), ps.p, 1)) - 1
         |        AS BIGINT) << (4 * (13 - ps.p))) AS DOUBLE) / 4503599627370496.0) * 2 - 1 AS w
-        |  FROM (SELECT unnest(generate_series(0, 15)) AS b) bs,
+        |  FROM (SELECT unnest(generate_series(0, 31)) AS b) bs,
         |       (SELECT unnest(generate_series(1, 64)) AS i) isq,
         |       (SELECT unnest(generate_series(1, 13)) AS p) ps
         |  GROUP BY bs.b, isq.i),
@@ -428,7 +432,7 @@ object PipelineOps {
         |banded AS (
         |  SELECT vec_id, bd.band AS band,
         |    (sig >> (8 * bd.band)) & 255 AS chunk_val
-        |  FROM sig, (SELECT unnest(generate_series(0, 1)) AS band) bd),
+        |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) bd),
         |sized AS (
         |  SELECT vec_id, band, chunk_val,
         |    COUNT(*) OVER (PARTITION BY band, chunk_val) AS bucket_n
@@ -552,7 +556,7 @@ object PipelineOps {
         |GROUP BY doc_id, ss.s
         |ORDER BY doc_id, seed""".stripMargin,
 
-    // Full SRP pipeline replay: signatures (as embed_srp_md5), 2×8-bit
+    // Full SRP pipeline replay: 32-bit signatures, production 4×8-bit
     // banding, bucket-capped pair generation, decimal cosine, top-20.
     "embed_srp_topdups_md5" ->
       """WITH planes AS (
@@ -560,7 +564,7 @@ object PipelineOps {
         |    (CAST(SUM(CAST(strpos('0123456789abcdef',
         |        substr(md5(CAST(bs.b AS VARCHAR) || ':' || CAST(isq.i AS VARCHAR)), ps.p, 1)) - 1
         |        AS BIGINT) << (4 * (13 - ps.p))) AS DOUBLE) / 4503599627370496.0) * 2 - 1 AS w
-        |  FROM (SELECT unnest(generate_series(0, 15)) AS b) bs,
+        |  FROM (SELECT unnest(generate_series(0, 31)) AS b) bs,
         |       (SELECT unnest(generate_series(1, 64)) AS i) isq,
         |       (SELECT unnest(generate_series(1, 13)) AS p) ps
         |  GROUP BY bs.b, isq.i),
@@ -577,7 +581,7 @@ object PipelineOps {
         |banded AS (
         |  SELECT vec_id, bd.band AS band,
         |    (sig >> (8 * bd.band)) & 255 AS chunk_val
-        |  FROM sig, (SELECT unnest(generate_series(0, 1)) AS band) bd),
+        |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) bd),
         |sized AS (
         |  SELECT vec_id, band, chunk_val,
         |    COUNT(*) OVER (PARTITION BY band, chunk_val) AS bucket_n

@@ -102,7 +102,7 @@ class TrinoFunctionsSpec extends SparkSpec {
     assert(one("SELECT format_datetime(TIMESTAMP '2001-08-22 03:04:05', '''Year'' yyyy')")
       == "Year 2001")
     // tokens with no Spark equivalent fail with a clear message
-    Seq("x", "e", "C").foreach { tok =>
+    Seq("x", "w", "e", "C").foreach { tok =>
       val e = intercept[Throwable](
         one(s"SELECT format_datetime(TIMESTAMP '2001-08-22 03:04:05', '$tok')"))
       def msg(t: Throwable): String =
