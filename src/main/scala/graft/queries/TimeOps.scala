@@ -103,6 +103,22 @@ object TimeOps {
         .orderBy(col("cohort_hour"), col("offset_h"))
     }),
 
+    // As-of join: each purchase joins the LATEST same-user view at or
+    // before it (trade↔quote semantics). The operator is the
+    // union–tag–carry plan in ops/AsofJoin.scala — one shuffle on
+    // user_id, zero range-join candidate explosion; DuckDB's native
+    // ASOF JOIN is the oracle.
+    "time_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val trades = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      val quotes = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      graft.ops.AsofJoin.asofJoin(trades, quotes, Seq("user_id"),
+          "ts", "ts", Seq("ts" -> "q_ts", "value" -> "q_value"), "event_id")
+        .orderBy(col("event_id"))
+    }),
+
     // Hourly-volume anomaly z-scores per event type. The moments are
     // exact BIGINT sums (counts are integers — no float accumulation at
     // all), and the final mean/std/z formula is the same double
@@ -185,6 +201,16 @@ object TimeOps {
         |  COUNT(DISTINCT e.user_id) AS n_users
         |FROM events e JOIN first f ON e.user_id = f.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "time_asof_join" ->
+      """SELECT t.user_id, t.event_id, t.ts, t.value,
+        |       q.ts AS q_ts, q.value AS q_value
+        |FROM (SELECT user_id, event_id, ts, value FROM events
+        |      WHERE event_type = 'purchase') t
+        |ASOF LEFT JOIN (SELECT user_id, event_id, ts, value FROM events
+        |      WHERE event_type = 'view') q
+        |  ON t.user_id = q.user_id AND t.ts >= q.ts
+        |ORDER BY t.event_id""".stripMargin,
 
     "time_zscore_hourly" -> zscoreSql
   )

@@ -28,9 +28,9 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented counts") {
-    assert(SparkEntry.queries.size == 121,
+    assert(SparkEntry.queries.size == 122,
       s"queries=${SparkEntry.queries.size} — update README/ContractSpec together")
-    assert(SparkEntry.oracleSql.size == 107,
+    assert(SparkEntry.oracleSql.size == 108,
       s"oracles=${SparkEntry.oracleSql.size} — update README/ContractSpec together")
   }
 }
