@@ -1,0 +1,145 @@
+package graft.functions
+
+import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.datasketches.memory.Memory
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.graft.{ColumnBridge, DeclaredInputTypes}
+import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType}
+
+/** Mergeable KLL quantile sketches (DataSketches), the Spark-native
+  * analog of the reference engine's qdigest_agg / tdigest_agg surface
+  * (Trino docs: qdigest functions; reference delegates them to the
+  * remote engine).
+  *
+  * Why a sketch COLUMN instead of `percentile_approx`: the sketch is a
+  * first-class, persistable value. A 100 TB pipeline computes one
+  * sketch per partition/day/source ONCE, stores the ~KB binary, and
+  * answers later quantile queries — including across re-groupings — by
+  * merging stored sketches, never rescanning the data.
+  * `percentile_approx` merges only inside a single query's partial
+  * aggregation and leaves nothing reusable behind.
+  *
+  * Both aggregates are TypedImperativeAggregates over a heap
+  * KllDoublesSketch buffer — the same layout Spark's own
+  * hll_sketch_agg uses: per-partition partial sketches, merged in the
+  * final aggregation, so the driver never sees row data. Rank error is
+  * ~1.65% at the default k=200, independent of input size.
+  *
+  * KLL compaction draws random offsets, so two runs over the same data
+  * may emit different (all within-bounds) estimates — these surfaces
+  * are bounds-tested (ApproxSpec), not hash-compared.
+  */
+object KllExprs {
+
+  /** `kll_sketch_agg(x[, k])`: sketch of a DOUBLE column → binary. */
+  case class KllSketchAgg(child: Expression, k: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[KllDoublesSketch]
+      with UnaryLike[Expression] {
+    override def prettyName: String = "kll_sketch_agg"
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = false
+
+    override def createAggregationBuffer(): KllDoublesSketch =
+      KllDoublesSketch.newHeapInstance(k)
+
+    override def update(buf: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+      val v = child.eval(input)
+      if (v != null) buf.update(v.asInstanceOf[Double])
+      buf
+    }
+
+    override def merge(buf: KllDoublesSketch, other: KllDoublesSketch): KllDoublesSketch = {
+      buf.merge(other)
+      buf
+    }
+
+    override def eval(buf: KllDoublesSketch): Any = buf.toByteArray
+
+    override def serialize(buf: KllDoublesSketch): Array[Byte] = buf.toByteArray
+    override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+      KllDoublesSketch.heapify(Memory.wrap(bytes))
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): KllSketchAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): KllSketchAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildInternal(newChild: Expression): KllSketchAgg =
+      copy(child = newChild)
+  }
+
+  /** `kll_union_agg(sk)`: merge stored binary sketches → binary. */
+  case class KllUnionAgg(child: Expression, k: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[KllDoublesSketch]
+      with UnaryLike[Expression] {
+    override def prettyName: String = "kll_union_agg"
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = false
+
+    override def createAggregationBuffer(): KllDoublesSketch =
+      KllDoublesSketch.newHeapInstance(k)
+
+    override def update(buf: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+      val v = child.eval(input)
+      if (v != null)
+        buf.merge(KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+      buf
+    }
+
+    override def merge(buf: KllDoublesSketch, other: KllDoublesSketch): KllDoublesSketch = {
+      buf.merge(other)
+      buf
+    }
+
+    override def eval(buf: KllDoublesSketch): Any = buf.toByteArray
+
+    override def serialize(buf: KllDoublesSketch): Array[Byte] = buf.toByteArray
+    override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+      KllDoublesSketch.heapify(Memory.wrap(bytes))
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): KllUnionAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): KllUnionAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildInternal(newChild: Expression): KllUnionAgg =
+      copy(child = newChild)
+  }
+
+  /** `kll_quantile(sk, q)`: estimated quantile from a binary sketch.
+    * CodegenFallback is fine here: it runs once per OUTPUT group row
+    * after aggregation, never in the per-input hot path. */
+  case class KllQuantile(left: Expression, right: Expression)
+      extends BinaryExpression with DeclaredInputTypes with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def declaredInputTypes: Seq[DataType] = Seq(BinaryType, DoubleType)
+    override def prettyName: String = "kll_quantile"
+
+    protected override def nullSafeEval(sk: Any, q: Any): Any = {
+      val sketch = KllDoublesSketch.heapify(Memory.wrap(sk.asInstanceOf[Array[Byte]]))
+      if (sketch.isEmpty) null else sketch.getQuantile(q.asInstanceOf[Double])
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): KllQuantile =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def kllSketchAgg(x: Column, k: Int = 200): Column =
+    ColumnBridge.column(
+      KllSketchAgg(ColumnBridge.expression(x), k).toAggregateExpression())
+
+  def kllUnionAgg(sk: Column, k: Int = 200): Column =
+    ColumnBridge.column(
+      KllUnionAgg(ColumnBridge.expression(sk), k).toAggregateExpression())
+
+  def kllQuantile(sk: Column, q: Column): Column =
+    ColumnBridge.column(
+      KllQuantile(ColumnBridge.expression(sk), ColumnBridge.expression(q)))
+}

@@ -68,6 +68,36 @@ object Sampling {
       .drop("graft_prior_tokens")
   }
 
+  /** Per-group quota: the top `n` rows of each group by `orderCols`
+    * (with a total tie-break included by the caller) — the per-domain
+    * cap every web-corpus curation run applies ("keep the 1000 best
+    * documents per registered domain").
+    *
+    * Two-phase salted window, NOT one `row_number` over the group: a
+    * single window concentrates each group's entire row set into one
+    * task, and web domains are exactly the skewed key (one domain can
+    * be 1% of a 100 TB corpus). Phase 1 splits each group into `salts`
+    * deterministic sub-partitions (id-hash) and takes a local top-n, so
+    * no task ever sees more than group/salts rows; phase 2 ranks the
+    * surviving salts×n rows per group — bounded, tiny. Output rank is
+    * phase 2's row_number: identical to the unsalted ranking because
+    * every global top-n row is necessarily in its salt's local top-n. */
+  def topNPerGroup(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[Column], n: Int, saltKeyCol: String,
+      salts: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val salted = df.withColumn("graft_salt",
+      pmod(xxhash64(col(saltKeyCol)), lit(salts)))
+    val w1 = Window.partitionBy((groupCols.map(col) :+ col("graft_salt")): _*)
+      .orderBy(orderCols: _*)
+    val w2 = Window.partitionBy(groupCols.map(col): _*).orderBy(orderCols: _*)
+    salted.withColumn("graft_r1", row_number().over(w1))
+      .filter(col("graft_r1") <= n)
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= n)
+      .drop("graft_salt", "graft_r1")
+  }
+
   /** Disjoint train/val/test assignment by key hash; fractions must sum
     * to ≤ 1 (remainder → "train" absorbs the rounding). */
   def split(df: DataFrame, keyCol: String, valFrac: Double, testFrac: Double,

@@ -152,4 +152,21 @@ object TextAnalysis {
     val dist = size(shingleStrings(text, k))
     lit(1.0) - dist.cast("double") / total.cast("double")
   }
+
+  /** Fixed-window document chunking with overlap: windows of `win`
+    * chars every `step` chars (overlap = win − step), the
+    * pretraining/RAG slicing step. One generator projection — no
+    * shuffle, no UDF; rows with empty text produce no chunks. The chunk
+    * count is 1 + (len−1) div step, so the final (possibly short) tail
+    * window always lands and chunks never start past the text. */
+  def chunkFixed(df: DataFrame, idCol: String, textCol: String,
+      step: Int, win: Int): DataFrame = {
+    require(step > 0 && win >= step, "need win >= step > 0 (overlap = win - step)")
+    df.filter(length(col(textCol)) > 0)
+      .select(col(idCol),
+        posexplode(expr(
+          s"transform(sequence(0, cast((length($textCol) - 1) div $step as int))," +
+            s" i -> substring($textCol, i * $step + 1, $win))")))
+      .select(col(idCol), col("pos").as("chunk_idx"), col("col").as("chunk"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import QHelpers._
-import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Layout, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** SURVEY.md §2b rows 56–59 + the LLM-data-pipeline extension suite:
   * dedup (exact / MinHash-LSH / SimHash / blocked n-gram), text analysis
@@ -200,6 +200,38 @@ object PipelineOps {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // Fixed-window chunking with overlap (256-char windows every 200):
+    // the pretraining/RAG document slicer, as one generator projection.
+    "text_chunk_overlap" -> ((s, d) =>
+      TextAnalysis.chunkFixed(
+          t(s, d, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", step = 200, win = 256)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // Per-group uniform sample without replacement: each source's 5
+    // docs ranked by the md5 draw — the deterministic "random N per
+    // domain" sampler; same salted two-phase window as the quota.
+    "sample_group_uniform" -> ((s, d) =>
+      Sampling.topNPerGroup(
+          t(s, d, "documents").select(col("source"), col("doc_id")),
+          Seq("source"),
+          Seq(Sampling.hashHex(col("doc_id"), "grpsample").asc, col("doc_id").asc),
+          n = 5, saltKeyCol = "doc_id")
+        .orderBy(col("source"), col("rank"))),
+
+    // Per-domain quota: keep each source's top-5 documents by length
+    // (doc_id tie-break) — the per-domain cap of web-corpus curation.
+    // Salted two-phase top-N (ops/Sampling.topNPerGroup) so one hot
+    // domain never concentrates into a single task; the result and rank
+    // are identical to the plain one-window ranking, which is the
+    // oracle.
+    "sample_domain_quota" -> ((s, d) =>
+      Sampling.topNPerGroup(
+          t(s, d, "documents").select(col("source"), col("doc_id"), col("n_chars")),
+          Seq("source"), Seq(col("n_chars").desc, col("doc_id").asc),
+          n = 5, saltKeyCol = "doc_id")
+        .orderBy(col("source"), col("rank"))),
+
     // Train/val/test split assignment, summarized per split.
     "sample_split_counts" -> ((s, d) =>
       Sampling.split(t(s, d, "documents"), "doc_id", valFrac = 0.1, testFrac = 0.1)
@@ -316,6 +348,18 @@ object PipelineOps {
             TextAnalysis.bpeishTokenCount(col("text")).as("n_tokens")),
           "lang", "doc_id", "n_tokens", budget = 2048L)
         .orderBy(col("doc_id"))),
+
+    // Z-order curve values (ops/Layout.zorderValue): the clustering key
+    // behind multi-dimensional data skipping (Delta/Iceberg ZORDER BY).
+    // The curve itself is oracle-checked — zorderSql emits the identical
+    // bit arithmetic in DuckDB SQL; zorderLayout's skipping effect is
+    // pinned in LayoutSpec.
+    "layout_zorder" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          Layout.zorderValue(
+            Seq(col("n_chars") % 4096, col("doc_id") % 4096), 12).as("z"))
+        .orderBy(col("z"), col("doc_id"))),
 
     // The composed curation pipeline as ONE declarative plan: exact-dedup
     // canonical ∧ repetition below threshold ∧ not benchmark-contaminated,
@@ -671,6 +715,34 @@ object PipelineOps {
          |            ELSE '' END
          |ORDER BY doc_id""".stripMargin,
 
+    "text_chunk_overlap" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0, CAST(floor((length(text) - 1) / 200) AS BIGINT))) AS i
+        |  FROM documents WHERE length(text) > 0)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |       substr(text, CAST(i*200 + 1 AS INT), 256) AS chunk
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "sample_group_uniform" ->
+      """SELECT source, doc_id, CAST(rk AS INT) AS rank FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY substr(md5('grpsample:' || CAST(doc_id AS VARCHAR)), 1, 13) ASC,
+        |               doc_id ASC) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5
+        |ORDER BY source, rank""".stripMargin,
+
+    "sample_domain_quota" ->
+      """SELECT source, doc_id, n_chars, CAST(rk AS INT) AS rank FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id ASC) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5
+        |ORDER BY source, rank""".stripMargin,
+
     "sample_split_counts" ->
       s"""WITH s AS (SELECT CASE
          |    WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 13)
@@ -805,6 +877,12 @@ object PipelineOps {
         |    PARTITION BY lang ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS pack_id
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "layout_zorder" ->
+      s"""SELECT doc_id,
+         |  ${Layout.zorderSql(Seq("(n_chars % 4096)", "(doc_id % 4096)"), 12)} AS z
+         |FROM documents
+         |ORDER BY z, doc_id""".stripMargin,
 
     "curation_keep" ->
       """WITH canon AS (

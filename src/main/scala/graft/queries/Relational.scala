@@ -169,6 +169,22 @@ object Relational {
         .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
         .orderBy(col("o_orderkey"))),
 
+    // 16b. bloom-pruned semi join (ops/Prune.scala): the fact scan drops
+    // non-matching rows via a codegen'd bloom probe BEFORE the exchange;
+    // the exact semi join after it removes false positives, so the
+    // result equals the plain IN-subquery at any fpp — which is the
+    // oracle.
+    "join_bloom_prune" -> ((s, d) => {
+      val dim = t(s, d, "supplier")
+        .join(t(s, d, "nation").filter(col("n_name") === "NATION_7"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      graft.ops.Prune.bloomSemiJoin(t(s, d, "lineitem"), "l_suppkey", dim, "s_suppkey")
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("l_suppkey"))
+    }),
+
     // 17. global aggregate — two-phase HashAggregate (partial+final).
     "agg_global" -> ((s, d) =>
       t(s, d, "lineitem").agg(
@@ -290,6 +306,36 @@ object Relational {
         sum(col("exact_nd")).as("sum_group_exact"))
     }),
 
+    // Mergeable KLL quantile sketches (functions/KllExprs.scala): build
+    // per-group, persistable binary sketches, merge them, query the
+    // merged quantile — the reference's qdigest_agg surface. KLL
+    // compaction is randomized (within guaranteed rank error), so like
+    // the other sketch rows this is bounds-pinned in ApproxSpec, not
+    // oracle-hashed.
+    "agg_kll_mergeable" -> ((s, d) => {
+      val perGroup = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(graft.functions.KllExprs.kllSketchAgg(col("l_extendedprice")).as("sk"))
+      perGroup.agg(
+        graft.functions.KllExprs
+          .kllQuantile(graft.functions.KllExprs.kllUnionAgg(col("sk")), lit(0.5))
+          .as("est_p50"))
+    }),
+
+    // Frequent-items sketch via Spark 4's native approx_top_k
+    // (DataSketches ItemsSketch underneath — the reference's
+    // approx_most_frequent). With maxItemsTracked far above the true
+    // cardinality the sketch provably never evicts, so the counts are
+    // EXACT and the query oracle-checks against plain GROUP BY counts
+    // — the same guarantee a 100 TB run has for any heavy hitter above
+    // the eviction floor.
+    "agg_topk_sketch" -> ((s, d) =>
+      t(s, d, "events")
+        .agg(expr("approx_top_k(event_type, 3, 64)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("item"), col("e.count").as("n"))
+        .orderBy(col("n").desc, col("item"))),
+
     // 27. approx_percentile — oracle omitted; bounds asserted in ApproxSpec.
     "agg_approx_percentile" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -400,6 +446,17 @@ object Relational {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
 
+    "join_bloom_prune" ->
+      s"""SELECT l_suppkey, COUNT(*) AS n_items,
+         |       ${sqlDsum("l_extendedprice")} AS revenue
+         |FROM lineitem
+         |WHERE l_suppkey IN (
+         |  SELECT s_suppkey FROM supplier
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  WHERE n_name = 'NATION_7')
+         |GROUP BY l_suppkey
+         |ORDER BY l_suppkey""".stripMargin,
+
     "agg_global" ->
       s"""SELECT COUNT(*) AS n_rows,
          |       ${sqlDsum("l_quantity")} AS sum_qty,
@@ -432,6 +489,13 @@ object Relational {
         |       COUNT(DISTINCT l_suppkey) AS n_supp,
         |       COUNT(DISTINCT l_partkey) AS n_part
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // The sketch provably never evicts at this cardinality (5 distinct
+    // event types << 64 tracked), so its counts are exact — see the
+    // query comment.
+    "agg_topk_sketch" ->
+      """SELECT event_type AS item, COUNT(*) AS n FROM events
+        |GROUP BY event_type ORDER BY n DESC, item LIMIT 3""".stripMargin,
 
     "agg_multi_distinct" ->
       """SELECT l_linestatus,

@@ -58,6 +58,41 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("zorderValue interleaves bits (worked 2-D examples)") {
+    import spark.implicits._
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (4095L, 4095L))
+      .toDF("x", "y")
+      .select(Layout.zorderValue(Seq(col("x"), col("y")), 12).as("z"))
+    val zs = df.collect().map(_.getLong(0))
+    // x bits land at even positions, y bits at odd: z(3,5)=interleave(
+    // x=011, y=101) = y2 x2 y1 x1 y0 x0 = 1 0 0 1 1 1 = 39
+    assert(zs.toSeq === Seq(0L, 1L, 2L, 39L, (1L << 24) - 1))
+  }
+
+  test("z-order layout clusters BOTH dimensions (data-skipping spans)") {
+    // uniform 2-D grid; after z-layout each partition should cover a
+    // small sub-rectangle of BOTH x and y — a plain sort by x would
+    // leave y spans at full width in every partition
+    val n = 1 << 14
+    val grid = spark.range(n).select(
+      (col("id") % 128).as("x"), (col("id") / 128).cast("long").as("y"))
+    val parts = 16
+    val laid = Layout.zorderLayout(grid, Seq("x", "y"), bitsPer = 7, parts)
+    val spans = laid
+      .select(col("x"), col("y"), spark_partition_id().as("pid"))
+      .groupBy(col("pid"))
+      .agg((max(col("x")) - min(col("x"))).as("xspan"),
+        (max(col("y")) - min(col("y"))).as("yspan"))
+      .collect()
+    val avgX = spans.map(_.getAs[Long]("xspan")).sum.toDouble / spans.length
+    val avgY = spans.map(_.getAs[Long]("yspan")).sum.toDouble / spans.length
+    // full spans are 127; a 16-way z-layout of a 128×128 grid gives
+    // 32×64-ish tiles — both dims well under half the full span
+    assert(avgX < 64, s"avg x span $avgX — x not clustered")
+    assert(avgY < 80, s"avg y span $avgY — y not clustered")
+    assert(laid.count() === n)
+  }
+
   test("a non-bucketed copy of the same join DOES shuffle (the baseline)") {
     withColocationConf {
       val c = Tables.load(spark, dir, "customer")

@@ -49,6 +49,25 @@ class SamplingSpec extends SparkSpec {
     assert(counts("train") == 20000L - counts("val") - counts("test"))
   }
 
+  test("salted topNPerGroup equals the plain one-window ranking on a skewed group") {
+    // group "hot" holds 95% of rows — the web-domain skew case the
+    // salted two-phase layout exists for
+    val df = spark.range(10000).select(
+      when(col("id") < 9500, "hot").otherwise(concat(lit("g"), col("id") % 7)).as("grp"),
+      col("id").as("doc"), (col("id") * 37 % 1000).as("score"))
+    val salted = Sampling.topNPerGroup(df, Seq("grp"),
+        Seq(col("score").desc, col("doc").asc), n = 10, saltKeyCol = "doc")
+      .select("grp", "doc", "rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("score").desc, col("doc").asc)
+    val plain = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10).select("grp", "doc", "rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(salted === plain)
+    assert(salted.size === 8 * 10) // hot + 7 cold groups, 10 each
+  }
+
   test("contamination is 1.0 for eval members' duplicates and low for unrelated text") {
     val docs = Seq(
       (100L, "the quick brown fox jumps over the lazy dog"), // dup of eval 1

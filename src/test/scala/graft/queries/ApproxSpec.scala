@@ -66,4 +66,54 @@ class ApproxSpec extends SparkSpec {
         s"flag $k: approx p50 $a vs exact $e drifts > 5%")
     }
   }
+
+  test("merged KLL sketches land within rank-error bounds of the exact median") {
+    import graft.functions.KllExprs
+    val li = Tables.load(spark, dir, "lineitem")
+    // per-group sketches → union → quantile (the agg_kll_mergeable path)
+    val merged = li.groupBy(col("l_returnflag"))
+      .agg(KllExprs.kllSketchAgg(col("l_extendedprice")).as("sk"))
+      .agg(KllExprs.kllQuantile(KllExprs.kllUnionAgg(col("sk")), lit(0.5)).as("q"))
+      .collect().head.getDouble(0)
+    // KLL guarantees RANK error (~1.65% at k=200, ~2.2% merged): the
+    // estimate's true rank must be within eps of 0.5 — assert via the
+    // exact CDF, not the value axis
+    val total = li.count().toDouble
+    val below = li.filter(col("l_extendedprice") <= merged).count().toDouble
+    val rank = below / total
+    assert(math.abs(rank - 0.5) <= 0.03,
+      s"KLL p50 estimate $merged sits at true rank $rank — outside bounds")
+  }
+
+  test("KLL sketch column round-trips through parquet and still merges") {
+    import graft.functions.KllExprs
+    val li = Tables.load(spark, dir, "lineitem")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-kll").toFile
+    tmp.deleteOnExit()
+    val path = s"${tmp.getAbsolutePath}/sketches"
+    // store per-group sketches (the build-once artifact)...
+    li.groupBy(col("l_returnflag"))
+      .agg(KllExprs.kllSketchAgg(col("l_extendedprice")).as("sk"))
+      .write.mode("overwrite").parquet(path)
+    // ...and answer a quantile later purely from the stored sketches
+    val q = spark.read.parquet(path)
+      .agg(KllExprs.kllQuantile(KllExprs.kllUnionAgg(col("sk")), lit(0.9)).as("q"))
+      .collect().head.getDouble(0)
+    val total = li.count().toDouble
+    val rank = li.filter(col("l_extendedprice") <= q).count().toDouble / total
+    assert(math.abs(rank - 0.9) <= 0.03,
+      s"stored-sketch p90 $q sits at true rank $rank — outside bounds")
+  }
+
+  test("approx_top_k counts are exact below the eviction floor (agg_topk_sketch's guarantee)") {
+    val ev = Tables.load(spark, dir, "events")
+    val sketched = ev.agg(expr("approx_top_k(event_type, 3, 64)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("item"), col("e.count").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc).limit(3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sketched === exact)
+  }
 }
