@@ -200,6 +200,29 @@ object PipelineOps {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // Exact substring-duplication profile (the suffix-array dedup of
+    // "Deduplicating Training Data Makes Language Models Better",
+    // re-expressed Spark-shaped): 50-char windows every 10 chars; a
+    // window whose text recurs in ≥2 distinct docs marks a duplicated
+    // span. Stride-10 windows guarantee any shared substring of ≥59
+    // chars is caught. Per doc: total windows, duplicated windows. At
+    // corpus scale the windows group on xxhash64(chunk) (8-byte
+    // shuffle keys); here they group on the chunk text itself so DuckDB
+    // replays the exact computation — same algebra, oracle-checkable.
+    "dedup_substring" -> ((s, d) => {
+      val w = TextAnalysis.chunkFixed(
+          t(s, d, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", step = 10, win = 50)
+        .filter(length(col("chunk")) === 50)
+      val nd = w.groupBy(col("chunk"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      w.join(nd, "chunk")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Fixed-window chunking with overlap (256-char windows every 200):
     // the pretraining/RAG document slicer, as one generator projection.
     "text_chunk_overlap" -> ((s, d) =>
@@ -714,6 +737,20 @@ object PipelineOps {
          |            WHEN 'en' THEN '${graft.ops.Sampling.hexThreshold(0.3)}'
          |            ELSE '' END
          |ORDER BY doc_id""".stripMargin,
+
+    "dedup_substring" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0, CAST(floor((length(text) - 1) / 10) AS BIGINT))) AS i
+        |  FROM documents WHERE length(text) > 0),
+        |w AS (
+        |  SELECT doc_id, substr(text, CAST(i*10 + 1 AS INT), 50) AS chunk FROM c
+        |  WHERE length(substr(text, CAST(i*10 + 1 AS INT), 50)) = 50),
+        |d AS (SELECT chunk, COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY chunk)
+        |SELECT doc_id, COUNT(*) AS n_windows,
+        |       CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        |FROM w JOIN d USING (chunk)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_chunk_overlap" ->
       """WITH c AS (

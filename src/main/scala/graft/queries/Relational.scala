@@ -322,6 +322,28 @@ object Relational {
           .as("est_p50"))
     }),
 
+    // Theta sketches (functions/ThetaExprs.scala): mergeable distinct
+    // counts WITH set algebra — the audience-overlap query ("distinct
+    // parts shipped under BOTH flags") answered from per-group
+    // sketches, never rescanning rows. Deterministic (fixed-seed KMV)
+    // but not DuckDB-reproducible → rows-only; estimate-vs-exact pinned
+    // in ApproxSpec.
+    "agg_theta_intersect" -> ((s, d) => {
+      import graft.functions.ThetaExprs._
+      val li = t(s, d, "lineitem")
+      val sk = li.filter(col("l_returnflag").isin("A", "R"))
+        .groupBy(col("l_returnflag"))
+        .agg(thetaSketchAgg(col("l_partkey")).as("sk"))
+      val wide = sk.agg(
+        first(when(col("l_returnflag") === "A", col("sk")), ignoreNulls = true).as("sk_a"),
+        first(when(col("l_returnflag") === "R", col("sk")), ignoreNulls = true).as("sk_r"))
+      wide.select(
+        round(thetaEstimate(col("sk_a"))).cast("long").as("est_a"),
+        round(thetaEstimate(col("sk_r"))).cast("long").as("est_r"),
+        round(thetaIntersectEstimate(col("sk_a"), col("sk_r")))
+          .cast("long").as("est_both"))
+    }),
+
     // Frequent-items sketch via Spark 4's native approx_top_k
     // (DataSketches ItemsSketch underneath — the reference's
     // approx_most_frequent). With maxItemsTracked far above the true

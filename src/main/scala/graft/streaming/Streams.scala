@@ -36,6 +36,13 @@ object Streams {
   final case class SessionState(start: Timestamp, last: Timestamp,
       nEvents: Long, total: Double)
 
+  /** A joined trade row emitted by [[asofJoinStream]]. */
+  final case class AsofRow(user_id: Long, event_id: Long, ts: Timestamp,
+      value: Double, q_ts: Option[Timestamp], q_value: Option[Double])
+
+  /** Latest-quote state carried between micro-batches. */
+  final case class QuoteState(tsMillis: Long, eventId: Long, value: Double)
+
   /** Streaming tumbling 1-hour aggregation — the same
     * window()/count/sum plan the batch query uses, plus a watermark so
     * state expires (late rows beyond `watermark` are dropped). */
@@ -113,6 +120,50 @@ object Streams {
             }
             closed.iterator
           }
+      }
+  }
+
+  /** Streaming as-of (temporal) join — the incremental face of
+    * ops/AsofJoin: each `leftType` event joins the latest same-user
+    * `rightType` event at-or-before it (inclusive, larger event_id wins
+    * a timestamp tie — the exact batch semantics).
+    *
+    * Keyed state is ONE latest-quote record per user (O(1) per key,
+    * watermark-independent), updated and probed in (ts, side) order
+    * within each micro-batch. This is the low-latency temporal-join
+    * contract: results match the batch operator whenever each key's
+    * events arrive in event-time order ACROSS micro-batches (in-batch
+    * disorder is sorted out); a right row arriving after a later left
+    * row was already emitted cannot retro-join it — buffering left rows
+    * until the watermark would buy that at a latency cost, which is the
+    * same trade Flink's temporal join makes. */
+  def asofJoinStream(events: Dataset[Event], leftType: String,
+      rightType: String): Dataset[AsofRow] = {
+    import events.sparkSession.implicits._
+
+    events.withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[QuoteState, AsofRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[QuoteState]) =>
+          // quotes sort before trades at an equal ts → inclusive join
+          val ordered = rows.toSeq.sortBy(e =>
+            (e.ts.getTime, if (e.event_type == rightType) 0 else 1, e.event_id))
+          var st = state.getOption
+          val out = Seq.newBuilder[AsofRow]
+          ordered.foreach { e =>
+            if (e.event_type == rightType) {
+              if (st.forall(s => e.ts.getTime > s.tsMillis ||
+                  (e.ts.getTime == s.tsMillis && e.event_id > s.eventId)))
+                st = Some(QuoteState(e.ts.getTime, e.event_id, e.value))
+            } else if (e.event_type == leftType) {
+              val q = st.filter(_.tsMillis <= e.ts.getTime)
+              out += AsofRow(user, e.event_id, e.ts, e.value,
+                q.map(s => new Timestamp(s.tsMillis)), q.map(_.value))
+            }
+          }
+          st.foreach(state.update)
+          out.result().iterator
       }
   }
 }

@@ -105,6 +105,34 @@ class ApproxSpec extends SparkSpec {
       s"stored-sketch p90 $q sits at true rank $rank — outside bounds")
   }
 
+  test("theta intersection estimate tracks the exact overlap (and is run-to-run stable)") {
+    import graft.functions.ThetaExprs._
+    val li = Tables.load(spark, dir, "lineitem")
+    def runOnce(): (Long, Long, Long) = {
+      val sk = li.filter(col("l_returnflag").isin("A", "R"))
+        .groupBy(col("l_returnflag"))
+        .agg(thetaSketchAgg(col("l_partkey")).as("sk"))
+      val r = sk.agg(
+        first(when(col("l_returnflag") === "A", col("sk")), ignoreNulls = true).as("a"),
+        first(when(col("l_returnflag") === "R", col("sk")), ignoreNulls = true).as("r"))
+        .select(round(thetaEstimate(col("a"))).cast("long"),
+          round(thetaEstimate(col("r"))).cast("long"),
+          round(thetaIntersectEstimate(col("a"), col("r"))).cast("long"))
+        .collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val (estA, estR, estBoth) = runOnce()
+    assert(runOnce() === ((estA, estR, estBoth)), "theta estimates not deterministic")
+    val a = li.filter(col("l_returnflag") === "A").select("l_partkey").distinct()
+    val r = li.filter(col("l_returnflag") === "R").select("l_partkey").distinct()
+    val exactA = a.count(); val exactR = r.count()
+    val exactBoth = a.intersect(r).count()
+    assert(math.abs(estA - exactA).toDouble / exactA <= 0.05, s"A: $estA vs $exactA")
+    assert(math.abs(estR - exactR).toDouble / exactR <= 0.05, s"R: $estR vs $exactR")
+    assert(math.abs(estBoth - exactBoth).toDouble / exactBoth <= 0.05,
+      s"A∩R: $estBoth vs $exactBoth")
+  }
+
   test("approx_top_k counts are exact below the eviction floor (agg_topk_sketch's guarantee)") {
     val ev = Tables.load(spark, dir, "events")
     val sketched = ev.agg(expr("approx_top_k(event_type, 3, 64)").as("tk"))

@@ -194,4 +194,51 @@ class StreamsSpec extends SparkSpec {
       assert(out.toSeq == Seq((1L, 2L, 3.0), (2L, 1L, 3.0)))
     } finally q.stop()
   }
+
+  test("streaming as-of join equals the batch operator on in-order arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    // purchases join the latest at-or-before view per user; includes an
+    // exact timestamp tie (event 23 at ts(20) vs view 22 at ts(20)) and
+    // a purchase before any view (event 20)
+    val ev = Seq(
+      Event(20, ts(1), 1, "purchase", 9.0),  // before any view → null pad
+      Event(21, ts(2), 1, "view", 1.0),
+      Event(22, ts(20), 1, "view", 2.0),
+      Event(23, ts(20), 1, "purchase", 10.0), // tie → inclusive: joins view 22
+      Event(24, ts(30), 2, "view", 3.0),
+      Event(25, ts(40), 1, "purchase", 11.0), // joins view 22
+      Event(26, ts(45), 2, "purchase", 12.0), // joins view 24 (other key)
+      Event(27, ts(50), 1, "view", 4.0),
+      Event(28, ts(60), 1, "purchase", 13.0)) // joins view 27, later batch
+    val mem = MemoryStream[Event]
+    val q = Streams.asofJoinStream(mem.toDS(), "purchase", "view")
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(ev.take(6): _*)
+      q.processAllAvailable()
+      mem.addData(ev.drop(6): _*) // state (view 22, view 24) carries over
+      q.processAllAvailable()
+      val streaming = spark.table("asof_stream")
+        .orderBy("event_id")
+        .collect()
+        .map(r => (r.getLong(1), Option(r.getTimestamp(4)),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+      val df = ev.toDF()
+      val batch = graft.ops.AsofJoin.asofJoin(
+          df.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("event_id"), col("ts"), col("value")),
+          df.filter(col("event_type") === "view")
+            .select(col("user_id"), col("event_id"), col("ts"), col("value")),
+          Seq("user_id"), "ts", "ts",
+          Seq("ts" -> "q_ts", "value" -> "q_value"), "event_id")
+        .orderBy("event_id")
+        .collect()
+        .map(r => (r.getLong(1),
+          Option(r.getTimestamp(4)),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+      assert(streaming.toSeq == batch.toSeq)
+      assert(streaming.length == 5)
+    } finally q.stop()
+  }
 }
