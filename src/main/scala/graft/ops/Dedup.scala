@@ -330,4 +330,29 @@ object Dedup {
         "inner")
       .select(col("id_a"), col("id_b"), jac.as("jaccard"))
   }
+
+  /** Directed near-CONTAINMENT pairs within a blocking key:
+    * |A ∩ B| / |A| ≥ threshold means doc A's shingles mostly appear in
+    * doc B — the quote-inclusion / page-wrapping case symmetric Jaccard
+    * misses (a short doc embedded in a long one has low Jaccard but
+    * containment ≈ 1). Same blocked layout, grams prep and in-join
+    * predicate as [[ngramJaccardPairs]]; pairs are DIRECTED
+    * (id_a contained in id_b, both orientations evaluated). */
+  def ngramContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val grams = docs.select(
+      concat_ws("", blockCols.map(col): _*).as("blk"),
+      col(idCol).as("id"),
+      array_sort(TextAnalysis.shingleHashes(col(textCol), n)).as("g"))
+    val a = grams.select(col("blk").as("blk_a"), col("id").as("id_a"), col("g").as("g_a"))
+    val b = grams.select(col("blk").as("blk_b"), col("id").as("id_b"), col("g").as("g_b"))
+    def containment = graft.functions.NativeExprs
+      .sortedIntersectCount(col("g_a"), col("g_b"))
+      .cast("double") / size(col("g_a")).cast("double")
+    a.join(b,
+        col("blk_a") === col("blk_b") && col("id_a") =!= col("id_b") &&
+          containment >= threshold,
+        "inner")
+      .select(col("id_a"), col("id_b"), containment.as("containment"))
+  }
 }

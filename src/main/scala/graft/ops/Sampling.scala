@@ -68,6 +68,21 @@ object Sampling {
       .drop("graft_prior_tokens")
   }
 
+  /** The hash draw as a uniform double in [0, 1): the 52-bit integer
+    * value of [[hashHex]] over 2^52. Both the integer (≤ 2^52) and the
+    * division are exact in a double, so any engine computing the same
+    * md5 prefix gets the bit-identical u — DuckDB:
+    * `(('0x' || substr(md5(...), 1, 13))::UBIGINT) / 4503599627370496.0`. */
+  def uniform01(key: Column, salt: String): Column =
+    conv(hashHex(key, salt), 16, 10).cast("double") / lit(4503599627370496.0)
+
+  /** Per-row weighted keep: row survives iff u < weight (weights ≤ 0
+    * drop, ≥ 1 keep) — quality-proportional downsampling, deterministic
+    * by key like every sampler here. Pure projection, no shuffle. */
+  def weighted(df: DataFrame, keyCol: String, weight: Column,
+      salt: String = "weighted"): DataFrame =
+    df.filter(uniform01(col(keyCol), salt) < weight)
+
   /** Per-group quota: the top `n` rows of each group by `orderCols`
     * (with a total tie-break included by the caller) — the per-domain
     * cap every web-corpus curation run applies ("keep the 1000 best

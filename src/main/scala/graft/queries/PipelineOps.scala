@@ -76,6 +76,14 @@ object PipelineOps {
           blockCols = Seq("lang", "source"), n = 3, threshold = 0.3)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Directed near-containment pairs (|A∩B|/|A|): the quote-inclusion
+    // dedup case symmetric Jaccard misses; same blocked exact layout as
+    // dedup_ngram.
+    "dedup_containment" -> ((s, d) =>
+      Dedup.ngramContainmentPairs(t(s, d, "documents"), "doc_id", "text",
+          blockCols = Seq("lang", "source"), n = 3, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // 57. per-language corpus stats — partial+final hash agg on lang.
     "text_stats" -> ((s, d) =>
       t(s, d, "documents")
@@ -230,6 +238,17 @@ object PipelineOps {
           t(s, d, "documents").select(col("doc_id"), col("text")),
           "doc_id", "text", step = 200, win = 256)
         .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // Quality-weighted sampling: keep probability proportional to
+    // document length (capped at 1) — the soft curation filter that
+    // keeps long docs and thins short ones. The 52-bit md5 draw and the
+    // weight comparison are exact doubles on both engines, so DuckDB
+    // replays the exact sample.
+    "sample_weighted" -> ((s, d) =>
+      Sampling.weighted(
+          t(s, d, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", least(lit(1.0), col("n_chars") / lit(800.0)))
+        .orderBy(col("doc_id"))),
 
     // Per-group uniform sample without replacement: each source's 5
     // docs ranked by the md5 draw — the deterministic "random N per
@@ -596,6 +615,22 @@ object PipelineOps {
         |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
 
+    "dedup_containment" ->
+      """WITH g AS (
+        |  SELECT doc_id, lang, source,
+        |    list_distinct([array_to_string(lst[i:i+2], ' ')
+        |                   for i in range(1, greatest(len(lst)-2, 1)+1)]) AS sh
+        |  FROM (SELECT doc_id, lang, source,
+        |          list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS lst
+        |        FROM documents)
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) AS containment
+        |  FROM g a JOIN g b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id <> b.doc_id)
+        |SELECT id_a, id_b, containment FROM p WHERE containment >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // 60-bit md5 SimHash replayed bit-by-bit: LSB-indexed bit j of the
     // 15-hex-digit value lives in digit 15-(j div 4) (1-based from the
     // left) at in-digit bit j%4 — mirrors SimHash64's (h >>> j) & 1.
@@ -760,6 +795,13 @@ object PipelineOps {
         |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
         |       substr(text, CAST(i*200 + 1 AS INT), 256) AS chunk
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "sample_weighted" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE (('0x' || substr(md5('weighted:' || CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT)
+        |        / 4503599627370496.0
+        |      < LEAST(1.0, n_chars / 800.0)
+        |ORDER BY doc_id""".stripMargin,
 
     "sample_group_uniform" ->
       """SELECT source, doc_id, CAST(rk AS INT) AS rank FROM (

@@ -28,9 +28,9 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented counts") {
-    assert(SparkEntry.queries.size == 131,
+    assert(SparkEntry.queries.size == 133,
       s"queries=${SparkEntry.queries.size} — update README/ContractSpec together")
-    assert(SparkEntry.oracleSql.size == 115,
+    assert(SparkEntry.oracleSql.size == 117,
       s"oracles=${SparkEntry.oracleSql.size} — update README/ContractSpec together")
   }
 }

@@ -99,6 +99,22 @@ class DedupSpec extends SparkSpec {
     assert(rounds <= 10, s"expected O(log d) convergence, took $rounds rounds")
   }
 
+  test("containment flags a short doc embedded in a long one; jaccard does not") {
+    import spark.implicits._
+    val small = "alpha beta gamma delta epsilon zeta"
+    val big = small + " " + (1 to 40).map(i => s"filler$i word$i more$i").mkString(" ")
+    val docs = Seq((1L, small, "en", "s"), (2L, big, "en", "s"),
+      (3L, "unrelated totally different text entirely", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val cont = Dedup.ngramContainmentPairs(docs, "doc_id", "text",
+        Seq("lang", "source"), n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cont.toSeq == Seq((1L, 2L))) // directed: 1 inside 2, never 2 inside 1
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        Seq("lang", "source"), n = 3, threshold = 0.3).count()
+    assert(jac == 0, "symmetric jaccard should miss the embedded doc")
+  }
+
   test("connected components: reliable-checkpoint mode gives identical labels") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString

@@ -49,6 +49,17 @@ class SamplingSpec extends SparkSpec {
     assert(counts("train") == 20000L - counts("val") - counts("test"))
   }
 
+  test("weighted sampling keeps ≈ the mean weight and is reproducible") {
+    val df = spark.range(20000).select(col("id"),
+      (col("id") % 100).cast("double") / 100.0 as "w") // mean weight 0.495
+    val a = Sampling.weighted(df.toDF(), "id", col("w")).collect().map(_.getLong(0)).toSet
+    val b = Sampling.weighted(df.toDF(), "id", col("w")).collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    assert(math.abs(a.size / 20000.0 - 0.495) < 0.02)
+    // weight 0 rows can never survive; weight→1 rows almost always do
+    assert(!a.exists(_ % 100 == 0))
+  }
+
   test("salted topNPerGroup equals the plain one-window ranking on a skewed group") {
     // group "hot" holds 95% of rows — the web-domain skew case the
     // salted two-phase layout exists for
