@@ -105,6 +105,69 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Shingle sets + banded MinHash bucket keys for `docs` — the shared
+    * prep of [[minHashPairs]] and the persisted-index path. */
+  private def shinglesAndBands(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int, bands: Int): (DataFrame, DataFrame) = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    val shingled = docs.select(col(idCol).as("id"),
+      TextAnalysis.shingleHashes(col(textCol), k).as("shingles"))
+    val banded = shingled
+      .select(col("id"), minHashSignature(col("shingles"), numHashes).as("sig"))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+    (shingled, banded)
+  }
+
+  /** Build a PERSISTED MinHash LSH index: band-bucket keys (written
+    * `partitionBy(band)`) plus the shingle sets needed for exact
+    * verification at probe time. Build once over the standing corpus;
+    * every later ingest batch probes it without touching corpus text —
+    * the daily operation of a production pipeline (the dedup analog of
+    * the persisted IVF index, `Similarity.buildIvfIndex`). */
+  def buildMinhashIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String, k: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit = {
+    val (shingled, banded) = shinglesAndBands(docs, idCol, textCol, k, numHashes, bands)
+    banded.write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+    shingled.write.mode("overwrite").parquet(s"$path/shingles")
+  }
+
+  /** Probe an ingest batch against a persisted index: ONLY cross pairs
+    * (new doc × indexed doc), exact-Jaccard verified. The probe side
+    * computes signatures for the batch alone; the join shuffles on the
+    * bucket key, so cost scales with the BATCH size and bucket
+    * collisions, never with the standing corpus (whose banded table
+    * streams from parquet, pre-partitioned by band). */
+  def probeMinhashIndex(newDocs: DataFrame, idCol: String, textCol: String,
+      path: String, k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      jaccardThreshold: Double = 0.5): DataFrame = {
+    val spark = newDocs.sparkSession
+    val (newShingled, newBanded) =
+      shinglesAndBands(newDocs, idCol, textCol, k, numHashes, bands)
+    val idxBanded = spark.read.parquet(s"$path/bands")
+    val idxShingled = spark.read.parquet(s"$path/shingles")
+    val candidates = newBanded
+      .select(col("band"), col("band_hash"), col("id").as("new_id"))
+      .join(idxBanded.select(col("band"), col("band_hash"), col("id").as("index_id")),
+        Seq("band", "band_hash"))
+      .select(col("new_id"), col("index_id"))
+      .dropDuplicates("new_id", "index_id")
+    candidates
+      .join(newShingled.select(col("id").as("new_id"), col("shingles").as("sh_a")),
+        Seq("new_id"))
+      .join(idxShingled.select(col("id").as("index_id"), col("shingles").as("sh_b")),
+        Seq("index_id"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("new_id"), col("index_id"), col("jaccard"))
+  }
+
   /** 64-bit SimHash: sign of the per-bit sum of token-hash bits. Token
     * hashing stays on Spark's codegen'd xxhash64; the 64-wide bit
     * tally runs in a native expression (the nested zip_with/transform

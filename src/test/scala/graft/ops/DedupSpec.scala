@@ -115,6 +115,25 @@ class DedupSpec extends SparkSpec {
     assert(jac == 0, "symmetric jaccard should miss the embedded doc")
   }
 
+  test("persisted minhash index: probe finds cross dups only, never batch-internal pairs") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (2L, "completely different standing corpus document about engines and scans"),
+      (3L, "a third unrelated document mentioning streams windows and watermarks"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again tonight"), // dup of 1
+      (101L, "fresh novel content that matches nothing in the standing corpus at all"),
+      (102L, "fresh novel content that matches nothing in the standing corpus at all")) // dup of 101 — batch-internal
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mh-idx").toString
+    Dedup.buildMinhashIndex(corpus, "doc_id", "text", dir)
+    val hits = Dedup.probeMinhashIndex(batch, "doc_id", "text", dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hits.toSeq == Seq((100L, 1L, 1.0)))
+  }
+
   test("connected components: reliable-checkpoint mode gives identical labels") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
