@@ -306,6 +306,16 @@ object Relational {
         sum(col("exact_nd")).as("sum_group_exact"))
     }),
 
+    // Fixed-width histogram: bucket = floor(x / width) — the exact
+    // distribution summary behind every dashboard histogram. One
+    // partial+final aggregate; floor-of-double-division is the same
+    // arithmetic on both engines.
+    "agg_histogram" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(floor(col("l_extendedprice") / 10000.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))),
+
     // Mergeable KLL quantile sketches (functions/KllExprs.scala): build
     // per-group, persistable binary sketches, merge them, query the
     // merged quantile — the reference's qdigest_agg surface. KLL
@@ -511,6 +521,11 @@ object Relational {
         |       COUNT(DISTINCT l_suppkey) AS n_supp,
         |       COUNT(DISTINCT l_partkey) AS n_part
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 10000.0) AS BIGINT) AS bucket,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     // The sketch provably never evicts at this cardinality (5 distinct
     // event types << 64 tracked), so its counts are exact — see the

@@ -119,6 +119,28 @@ object TimeOps {
         .orderBy(col("event_id"))
     }),
 
+    // Hourly OHLC bars per event type — the time-series downsampling
+    // every monitoring/finance dashboard draws. Open/close come from a
+    // full-frame ordered window (deterministic (ts, event_id) order),
+    // high/low/n from the grouped aggregate; values pass through as
+    // exact doubles. One shuffle on (event_type, hour); both the window
+    // and the aggregate reuse it.
+    "time_ohlc" -> ((s, d) => {
+      val hour = date_trunc("hour", col("ts"))
+      val wf = Window.partitionBy(col("event_type"), hour)
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "events")
+        .select(col("event_type"), hour.as("hr"), col("value"),
+          first(col("value")).over(wf).as("o"),
+          last(col("value")).over(wf).as("c"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(max(col("o")).as("open"), max(col("value")).as("high"),
+          min(col("value")).as("low"), max(col("c")).as("close"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("hr"))
+    }),
+
     // Hourly-volume anomaly z-scores per event type. The moments are
     // exact BIGINT sums (counts are integers — no float accumulation at
     // all), and the final mean/std/z formula is the same double
@@ -211,6 +233,19 @@ object TimeOps {
         |      WHERE event_type = 'view') q
         |  ON t.user_id = q.user_id AND t.ts >= q.ts
         |ORDER BY t.event_id""".stripMargin,
+
+    "time_ohlc" ->
+      """WITH v AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr, value,
+        |    first_value(value) OVER w AS o, last_value(value) OVER w AS c
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type, date_trunc('hour', ts)
+        |               ORDER BY ts ASC, event_id ASC
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, hr, MAX(o) AS open, MAX(value) AS high,
+        |       MIN(value) AS low, MAX(c) AS close, COUNT(*) AS n
+        |FROM v GROUP BY event_type, hr
+        |ORDER BY event_type, hr""".stripMargin,
 
     "time_zscore_hourly" -> zscoreSql
   )

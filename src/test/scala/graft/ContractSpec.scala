@@ -28,9 +28,9 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented counts") {
-    assert(SparkEntry.queries.size == 133,
+    assert(SparkEntry.queries.size == 135,
       s"queries=${SparkEntry.queries.size} — update README/ContractSpec together")
-    assert(SparkEntry.oracleSql.size == 117,
+    assert(SparkEntry.oracleSql.size == 119,
       s"oracles=${SparkEntry.oracleSql.size} — update README/ContractSpec together")
   }
 }
