@@ -394,4 +394,24 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Symmetric per-vector int8 quantization: scale = max|x|/127,
+    * q_i = floor(x_i/scale + 0.5) ∈ [-127, 127] — the 4×
+    * storage/bandwidth cut (float32 → int8) every billion-vector ANN
+    * corpus applies before indexing. floor(u + 0.5) instead of round():
+    * identical in every engine (round() half-rule conventions differ),
+    * so the quantized values are bit-reproducible anywhere — the DuckDB
+    * oracle replays them exactly. Pure projection, no shuffle; the
+    * 1e-30 floor makes all-zero vectors quantize to zeros instead of
+    * NaN on any engine. */
+  def quantizeInt8(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val xd = transform(col(vecCol), x => x.cast("double"))
+    val scale = greatest(
+      array_max(transform(xd, x => abs(x))) / lit(127.0), lit(1e-30))
+    embeddings
+      .select(col(idCol), xd.as("xd"), scale.as("scale"))
+      .select(col(idCol), col("scale"),
+        transform(col("xd"),
+          x => floor(x / col("scale") + lit(0.5)).cast("int")).as("q"))
+  }
 }

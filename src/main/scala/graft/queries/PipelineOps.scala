@@ -76,6 +76,21 @@ object PipelineOps {
           blockCols = Seq("lang", "source"), n = 3, threshold = 0.3)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Per-vector int8 quantization (ops/Similarity.quantizeInt8),
+    // verified through exact integer checksums of the quantized array
+    // (Σq_i and Σq_i·i — ARRAY columns cannot cross the checker) plus
+    // the double scale. floor(x/scale + 0.5) quantization is
+    // bit-reproducible across engines, so this is fully oracle-checked.
+    "embed_quantize_int8" -> ((s, d) => {
+      val q = Similarity.quantizeInt8(t(s, d, "embeddings"), "vec_id", "embedding")
+      q.select(col("vec_id"), col("scale"),
+          aggregate(col("q"), lit(0L), (acc, x) => acc + x.cast("long")).as("qsum"),
+          aggregate(zip_with(col("q"), sequence(lit(1), size(col("q"))),
+              (a, b) => a.cast("long") * b.cast("long")),
+            lit(0L), (acc, x) => acc + x).as("qdot"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Directed near-containment pairs (|A∩B|/|A|): the quote-inclusion
     // dedup case symmetric Jaccard misses; same blocked exact layout as
     // dedup_ngram.
@@ -614,6 +629,20 @@ object PipelineOps {
         |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "embed_quantize_int8" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    greatest(list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) / 127.0, 1e-30) AS scale
+        |  FROM embeddings),
+        |s AS (SELECT unnest(generate_series(1, 64)) AS i)
+        |SELECT vec_id, scale,
+        |  CAST(SUM(CAST(floor(CAST(embedding[s.i] AS DOUBLE) / scale + 0.5) AS BIGINT)) AS BIGINT) AS qsum,
+        |  CAST(SUM(CAST(floor(CAST(embedding[s.i] AS DOUBLE) / scale + 0.5) AS BIGINT) * s.i) AS BIGINT) AS qdot
+        |FROM e, s
+        |GROUP BY vec_id, scale
+        |ORDER BY vec_id""".stripMargin,
 
     "dedup_containment" ->
       """WITH g AS (

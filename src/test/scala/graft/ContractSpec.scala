@@ -28,9 +28,9 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented counts") {
-    assert(SparkEntry.queries.size == 135,
+    assert(SparkEntry.queries.size == 136,
       s"queries=${SparkEntry.queries.size} — update README/ContractSpec together")
-    assert(SparkEntry.oracleSql.size == 119,
+    assert(SparkEntry.oracleSql.size == 120,
       s"oracles=${SparkEntry.oracleSql.size} — update README/ContractSpec together")
   }
 }

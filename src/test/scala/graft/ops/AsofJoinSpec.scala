@@ -62,6 +62,39 @@ class AsofJoinSpec extends SparkSpec {
     assert(m.size === 4)            // every trade survives exactly once
   }
 
+  test("randomized: matches a brute-force reference on 500 rows with heavy ties") {
+    // small key/timestamp domains force equal-ts collisions on both
+    // sides; seeded, so failures reproduce
+    val rnd = new scala.util.Random(42)
+    val base = ts("2024-01-01 00:00:00").getTime
+    def t0(i: Int) = new Timestamp(base + i * 1000L)
+    val tradeRows = (0 until 300).map { i =>
+      (rnd.nextInt(15).toLong, 1000L + i, t0(rnd.nextInt(40)), rnd.nextInt(100).toDouble)
+    }
+    val quoteRows = (0 until 200).map { i =>
+      (rnd.nextInt(15).toLong, 2000L + i, t0(rnd.nextInt(40)), rnd.nextInt(100).toDouble)
+    }
+    val tDf = tradeRows.toDF("user_id", "event_id", "ts", "value")
+    val qDf = quoteRows.toDF("user_id", "event_id", "ts", "value")
+    for (inclusive <- Seq(true, false)) {
+      val got = AsofJoin.asofJoin(tDf, qDf, Seq("user_id"), "ts", "ts",
+          Seq("value" -> "q_value"), "event_id", inclusive)
+        .collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          (if (r.isNullAt(r.fieldIndex("q_value"))) None
+           else Some(r.getAs[Double]("q_value"))))
+        .toMap
+      val want = tradeRows.map { case (k, id, tts, _) =>
+        val eligible = quoteRows.filter { case (qk, _, qts, _) =>
+          qk == k && (if (inclusive) !qts.after(tts) else qts.before(tts))
+        }
+        // latest ts wins; ties broken by LARGEST quote event_id
+        id -> eligible.sortBy(q => (q._3.getTime, q._2)).lastOption.map(_._4)
+      }.toMap
+      assert(got === want, s"inclusive=$inclusive")
+    }
+  }
+
   test("plan shape: no range-join explosion — no cartesian/BNLJ operator") {
     val plan = AsofJoin.asofJoin(trades, quotes, Seq("user_id"), "ts", "ts",
       Seq("value" -> "q_value"), "event_id").queryExecution.executedPlan.toString
