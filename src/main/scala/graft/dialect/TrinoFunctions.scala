@@ -480,6 +480,46 @@ object TrinoFunctions {
             Sqrt(Multiply(DotF(a, a), DotF(b, b))))
         case args => throw new IllegalArgumentException(
           s"cosine_similarity expects 2 args, got ${args.length}")
+      },
+      // Trino quantile-digest surface over the KLL sketches
+      // (functions/KllExprs.scala). qdigest_agg's optional weight /
+      // accuracy args are not supported — KLL fixes accuracy via k.
+      // `merge` here merges KLL sketch binaries (Trino's merge() is
+      // generic over digest types; this engine's stored sketches are
+      // KLL, see DIALECT.md).
+      "qdigest_agg" -> {
+        case Seq(x) => graft.functions.KllExprs.KllSketchAgg(x, 200)
+        case args => throw new IllegalArgumentException(
+          s"qdigest_agg expects 1 arg (weights/accuracy unsupported), got ${args.length}")
+      },
+      "merge" -> {
+        case Seq(sk) => graft.functions.KllExprs.KllUnionAgg(sk, 200)
+        case args => throw new IllegalArgumentException(
+          s"merge expects 1 arg, got ${args.length}")
+      },
+      "value_at_quantile" -> {
+        case Seq(sk, q) => graft.functions.KllExprs.KllQuantile(sk, q)
+        case args => throw new IllegalArgumentException(
+          s"value_at_quantile expects (qdigest, quantile), got ${args.length} args")
+      },
+      // Trino setdigest surface over theta sketches
+      // (functions/ThetaExprs.scala): distinct counts with set algebra.
+      "make_set_digest" -> {
+        case Seq(x) => graft.functions.ThetaExprs.ThetaSketchAgg(x)
+        case args => throw new IllegalArgumentException(
+          s"make_set_digest expects 1 arg, got ${args.length}")
+      },
+      "merge_set_digest" -> {
+        case Seq(sk) => graft.functions.ThetaExprs.ThetaUnionAgg(sk)
+        case args => throw new IllegalArgumentException(
+          s"merge_set_digest expects 1 arg, got ${args.length}")
+      },
+      "intersection_cardinality" -> {
+        case Seq(a, b) => Cast(Round(
+          graft.functions.ThetaExprs.ThetaIntersectEstimate(a, b),
+          Literal(0)), LongType)
+        case args => throw new IllegalArgumentException(
+          s"intersection_cardinality expects 2 args, got ${args.length}")
       })
   }
 

@@ -41,9 +41,10 @@ object KllExprs {
   case class KllSketchAgg(child: Expression, k: Int,
       mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
       extends TypedImperativeAggregate[KllDoublesSketch]
-      with UnaryLike[Expression] {
+      with UnaryLike[Expression] with DeclaredInputTypes {
     override def prettyName: String = "kll_sketch_agg"
     override def dataType: DataType = BinaryType
+    override def declaredInputTypes: Seq[DataType] = Seq(DoubleType)
     override def nullable: Boolean = false
 
     override def createAggregationBuffer(): KllDoublesSketch =
@@ -78,9 +79,10 @@ object KllExprs {
   case class KllUnionAgg(child: Expression, k: Int,
       mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
       extends TypedImperativeAggregate[KllDoublesSketch]
-      with UnaryLike[Expression] {
+      with UnaryLike[Expression] with DeclaredInputTypes {
     override def prettyName: String = "kll_union_agg"
     override def dataType: DataType = BinaryType
+    override def declaredInputTypes: Seq[DataType] = Seq(BinaryType)
     override def nullable: Boolean = false
 
     override def createAggregationBuffer(): KllDoublesSketch =

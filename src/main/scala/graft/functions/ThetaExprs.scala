@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.graft.{ColumnBridge, DeclaredInputTypes}
-import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType}
+import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, LongType}
 
 /** Theta sketches (DataSketches): mergeable distinct-count sketches
   * that ALSO support set algebra — intersection and difference
@@ -37,9 +37,11 @@ object ThetaExprs {
     * compact sketch. */
   case class ThetaSketchAgg(child: Expression,
       mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-      extends TypedImperativeAggregate[Union] with UnaryLike[Expression] {
+      extends TypedImperativeAggregate[Union] with UnaryLike[Expression]
+      with DeclaredInputTypes {
     override def prettyName: String = "theta_sketch_agg"
     override def dataType: DataType = BinaryType
+    override def declaredInputTypes: Seq[DataType] = Seq(LongType)
     override def nullable: Boolean = false
 
     override def createAggregationBuffer(): Union = newUnion()
@@ -75,9 +77,11 @@ object ThetaExprs {
   /** `theta_union_agg(sk)`: merge stored binary sketches → binary. */
   case class ThetaUnionAgg(child: Expression,
       mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-      extends TypedImperativeAggregate[Union] with UnaryLike[Expression] {
+      extends TypedImperativeAggregate[Union] with UnaryLike[Expression]
+      with DeclaredInputTypes {
     override def prettyName: String = "theta_union_agg"
     override def dataType: DataType = BinaryType
+    override def declaredInputTypes: Seq[DataType] = Seq(BinaryType)
     override def nullable: Boolean = false
 
     override def createAggregationBuffer(): Union = newUnion()

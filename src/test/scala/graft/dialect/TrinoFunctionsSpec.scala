@@ -237,4 +237,59 @@ class TrinoFunctionsSpec extends SparkSpec {
     assert(qs.execute("SELECT strpos(o_orderpriority, 'URGENT') FROM orders LIMIT 1").isRight)
     assert(qs.execute("CREATE TABLE x AS SELECT strpos('a','a')").isLeft)
   }
+
+  test("qdigest surface: qdigest_agg / merge / value_at_quantile end to end") {
+    // qdigest_agg itself runs through the guarded surface…
+    assert(qs.execute(
+      """SELECT l_returnflag, length(qdigest_agg(l_extendedprice)) AS sk_bytes
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+      .toOption.exists(_.rows.length == 3))
+    // …while the merge(...) step runs at the library level: the
+    // read-only classifier flags the MERGE keyword (the reference's
+    // guard pins the same word list — a Trino user hits the identical
+    // false positive through its MCP server).
+    graft.engine.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .createOrReplaceTempView("li_qdigest_test")
+    val p50 = spark.sql(
+      """SELECT value_at_quantile(merge(sk), 0.5)
+        |FROM (SELECT qdigest_agg(l_extendedprice) AS sk
+        |      FROM li_qdigest_test GROUP BY l_returnflag) t""".stripMargin)
+      .collect().head.getDouble(0)
+    // KLL rank error ~2%: assert via the exact CDF around the estimate
+    val below = one(
+      s"SELECT COUNT(*) FROM lineitem WHERE l_extendedprice <= $p50")
+      .asInstanceOf[Long]
+    val total = one("SELECT COUNT(*) FROM lineitem").asInstanceOf[Long]
+    assert(math.abs(below.toDouble / total - 0.5) <= 0.05,
+      s"merged p50 $p50 at rank ${below.toDouble / total}")
+  }
+
+  test("sketch aggs implicitly cast narrow inputs (INTEGER column, not just BIGINT)") {
+    // regression: without declared input types an INTEGER column threw
+    // ClassCastException inside the aggregate's update
+    assert(one(
+      "SELECT intersection_cardinality(make_set_digest(n_nationkey), " +
+        "make_set_digest(n_regionkey)) FROM nation").asInstanceOf[Long] == 5L)
+    assert(one(
+      "SELECT value_at_quantile(qdigest_agg(n_nationkey), 0.5) FROM nation")
+      .asInstanceOf[Double] == 12.0)
+  }
+
+  test("setdigest surface: make_set_digest / merge_set_digest / intersection_cardinality") {
+    val both = one(
+      """SELECT intersection_cardinality(
+        |  (SELECT merge_set_digest(sk) FROM
+        |    (SELECT make_set_digest(l_partkey) AS sk FROM lineitem
+        |     WHERE l_returnflag = 'A' GROUP BY l_linestatus) a),
+        |  (SELECT make_set_digest(l_partkey) FROM lineitem WHERE l_returnflag = 'R'))
+        |""".stripMargin).asInstanceOf[Long]
+    val exact = one(
+      """SELECT COUNT(*) FROM (
+        |  SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+        |  INTERSECT
+        |  SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'R') t""".stripMargin)
+      .asInstanceOf[Long]
+    assert(exact > 0)
+    assert(math.abs(both - exact).toDouble / exact <= 0.05, s"$both vs $exact")
+  }
 }
