@@ -56,6 +56,29 @@ object Multimodal {
           greatest((octet_length(col("payload")) / lit(stride)).cast("int"), lit(1))),
         i => col("payload").substr((i - 1) * stride + 1, lit(1))))
 
+  /** Audio-frame windowing plan: treat the payload as 16-bit PCM and
+    * emit one row per (win-sample window every hop samples) — the
+    * offsets a spectrogram/feature extractor consumes. All integer
+    * arithmetic over the blob LENGTH: the plan is computed and
+    * shuffled/filtered without ever touching payload bytes, so a
+    * 100 TB audio corpus plans its windows from metadata alone. Blobs
+    * shorter than one window emit nothing. */
+  def audioWindows(docs: DataFrame, idCol: String,
+      win: Int = 64, hop: Int = 32): DataFrame = {
+    val nSamples = (octet_length(col("payload")) / 2).cast("long")
+    docs
+      .withColumn("graft_ns", nSamples)
+      .filter(col("graft_ns") >= win)
+      .select(col(idCol), col("graft_ns").as("n_samples"),
+        // `div`, not `/`: integral window count (double division would
+        // lose exactness past 2^53 samples)
+        posexplode(sequence(lit(0L),
+          expr(s"(graft_ns - ${win}L) div ${hop}L"))))
+      .select(col(idCol), col("n_samples"),
+        col("pos").cast("int").as("window_idx"),
+        (col("col") * hop).as("start_sample"))
+  }
+
   /** Batch decode over partitions — the slot where a real codec runs.
     * Iterates rows per partition so native-library init happens once per
     * partition, not once per row (the Scala analogue of mapInPandas). */

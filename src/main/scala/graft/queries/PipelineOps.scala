@@ -463,6 +463,14 @@ object PipelineOps {
           col("meta.n_bytes").as("n_bytes"))
         .orderBy(col("doc_id"))),
 
+    // Audio-frame windowing plan (ops/Multimodal.audioWindows): window
+    // offsets computed from blob length alone — payload bytes never
+    // move. Pure integer arithmetic, fully oracle-checked.
+    "mm_audio_windows" -> ((s, d) =>
+      Multimodal.audioWindows(
+          Multimodal.withBlobAndMeta(t(s, d, "documents")), "doc_id")
+        .orderBy(col("doc_id"), col("window_idx"))),
+
     // Frame sampling over the payload: count per doc is oracle-checkable.
     "mm_frame_sample" -> ((s, d) =>
       Multimodal.frameSample(Multimodal.withBlobAndMeta(t(s, d, "documents")))
@@ -1035,6 +1043,18 @@ object PipelineOps {
         |  CAST(strlen(text) % 480 + 32 AS INT) AS height,
         |  CAST(strlen(text) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_audio_windows" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(strlen(text) // 2 AS BIGINT) AS n_samples
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, n_samples,
+        |    unnest(generate_series(0, (n_samples - 64) // 32)) AS i
+        |  FROM m WHERE n_samples >= 64)
+        |SELECT doc_id, n_samples, CAST(i AS INT) AS window_idx,
+        |       CAST(i * 32 AS BIGINT) AS start_sample
+        |FROM w ORDER BY doc_id, window_idx""".stripMargin,
 
     "mm_frame_sample" ->
       """SELECT doc_id,
