@@ -122,4 +122,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(400))
     assert(!p.contains("SortMergeJoin"), "corpus should not shuffle for the anchor join")
   }
+
+  test("time_asof_join: window-based — zero join operators, one key shuffle") {
+    val p = plan("time_asof_join")
+    // union-tag-carry: no join operator of any kind in the plan
+    assert(!p.contains("Join"), s"as-of should be join-free:\n${p.take(600)}")
+    assert(p.contains("Window"), p.take(400))
+    // one hashpartitioning (the key) + one rangepartitioning (ORDER BY)
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, s"unexpected shuffles:\n$p")
+  }
+
+  test("join_bloom_prune: the bloom probe evaluates inside the fact scan stage") {
+    // sf0.01: at sf0.001 the filtered dim is EMPTY and the operator
+    // short-circuits to an empty relation (its own PruneSpec case) —
+    // the live plan needs a non-empty dim. toString keeps expression
+    // names the formatted details elide.
+    val p = SparkEntry.queries("join_bloom_prune")(spark, "/root/testdata/sf0.01")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("bloom_might_contain"), p.take(600))
+    // the probe is a Filter BELOW the semi join (printed deeper =
+    // later), pruning before the join, not validating after it
+    val joinAt = p.indexOf("LeftSemi")
+    val probeAt = p.indexOf("bloom_might_contain")
+    assert(joinAt >= 0 && probeAt > joinAt,
+      s"probe not below the semi join (join@$joinAt, probe@$probeAt)")
+  }
+
+  test("sample_domain_quota: both ranking phases run as WindowGroupLimit top-k pushdown") {
+    val p = plan("sample_domain_quota")
+    // Spark rewrites rank-then-filter into WindowGroupLimit: the per-
+    // partition top-n prunes BEFORE each window materializes a rank —
+    // the salted phase and the final phase each get one
+    val limits = p.linesIterator.count(_.trim.matches("""\+?-? ?WindowGroupLimit.*|.*\bWindowGroupLimit \(\d+\)"""))
+    assert(limits >= 2, s"expected two WindowGroupLimit phases:\n${p.take(800)}")
+  }
 }
