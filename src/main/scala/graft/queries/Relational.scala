@@ -316,6 +316,17 @@ object Relational {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("bucket"))),
 
+    // Exact corr / covar_samp / regr_slope from decimal moment sums
+    // (the time_zscore_hourly recipe): the five moments accumulate as
+    // exact DECIMAL sums — order-independent — and only the final
+    // closed-form formula runs in doubles, as the SAME expression text
+    // on both engines, so the statistics are bit-identical. (Plain
+    // corr() on doubles is order-dependent and engine-divergent.)
+    // Products of the (28,8)-cast inputs carry ≤4 fractional digits, so
+    // Spark's (38,6) multiply result and DuckDB's (38,16) are both
+    // exact. Runs as SQL TEXT through the engine = its own oracle.
+    "agg_corr_regr" -> ((s, d) => graft.engine.Tables.sql(s, d, corrRegrSql)),
+
     // Mergeable KLL quantile sketches (functions/KllExprs.scala): build
     // per-group, persistable binary sketches, merge them, query the
     // merged quantile — the reference's qdigest_agg surface. KLL
@@ -386,7 +397,41 @@ object Relational {
         .orderBy(col("o_custkey")))
   )
 
+  /** The moments accumulate as EXACT INTEGERS: quantity is integral in
+    * this data and price is a true 2-decimal value, so qty units ×
+    * price cents are exact per row and their sums are exact on any
+    * engine in any order. (Summing decimal-cast doubles instead
+    * diverges: rounding a ~17-sig-digit double product to 8 fractional
+    * digits at 1e10 magnitude asks for ~18 significant digits — beyond
+    * the double — and the two engines break the ambiguity differently.)
+    * syy goes through DECIMAL(38,0): cents² sums pass 2^63 at sf ≥ 0.1.
+    * The closed-form formula then runs on identical doubles with
+    * identical expression text; the /100.0 un-scales the cents. */
+  private val corrRegrSql =
+    """WITH m AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    SUM(CAST(l_quantity AS BIGINT)) AS sx,
+      |    SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+      |    SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+      |    SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))
+      |        * CAST(round(l_extendedprice * 100) AS BIGINT)) AS syy,
+      |    SUM(CAST(l_quantity AS BIGINT)
+      |        * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+      |    / (n - 1) / 100.0 AS covar_samp,
+      |  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+      |    / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+      |         * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)) AS corr,
+      |  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+      |    / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+      |    / 100.0 AS regr_slope
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "agg_corr_regr" -> corrRegrSql,
+
     "scan_project" ->
       """SELECT l_orderkey, l_linenumber,
         |       l_extendedprice * (1.0 - l_discount) AS net_price

@@ -28,9 +28,9 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented counts") {
-    assert(SparkEntry.queries.size == 137,
+    assert(SparkEntry.queries.size == 138,
       s"queries=${SparkEntry.queries.size} — update README/ContractSpec together")
-    assert(SparkEntry.oracleSql.size == 121,
+    assert(SparkEntry.oracleSql.size == 122,
       s"oracles=${SparkEntry.oracleSql.size} — update README/ContractSpec together")
   }
 }
