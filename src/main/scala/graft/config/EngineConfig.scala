@@ -32,7 +32,14 @@ final case class EngineConfig(
     oauthEnabled: Boolean = false,
     oauthMode: String = "native",
     oauthProvider: String = "hmac",
-    oauthHmacSecret: String = "")
+    oauthHmacSecret: String = "",
+    oidcIssuer: String = "",
+    oidcAudience: String = "",
+    oidcClientId: String = "",
+    oidcClientSecret: String = "",
+    oauthRedirectUris: Seq[String] = Nil,
+    oidcJwks: String = "",
+    oidcJwksFile: String = "")
 
 object EngineConfig {
 
@@ -112,7 +119,24 @@ object EngineConfig {
       oauthEnabled = get("OAUTH_ENABLED", "false").toBooleanOption.getOrElse(false),
       oauthMode = get("OAUTH_MODE", "native").toLowerCase,
       oauthProvider = get("OAUTH_PROVIDER", "hmac").toLowerCase,
-      oauthHmacSecret = get("OAUTH_HMAC_SECRET", ""))
+      // JWT_SECRET is the reference name (config.go:74); the pre-r8
+      // OAUTH_HMAC_SECRET alias is kept for compatibility.
+      oauthHmacSecret = get("JWT_SECRET", get("OAUTH_HMAC_SECRET", "")),
+      // OIDC provider configuration (config.go:75-80). OIDC_AUDIENCE
+      // deliberately has no default — must be explicit (config.go:79).
+      oidcIssuer = get("OIDC_ISSUER", ""),
+      oidcAudience = get("OIDC_AUDIENCE", ""),
+      oidcClientId = get("OIDC_CLIENT_ID", ""),
+      oidcClientSecret = get("OIDC_CLIENT_SECRET", ""),
+      // OAUTH_ALLOWED_REDIRECT_URIS, with the deprecated singular
+      // OAUTH_REDIRECT_URI as fallback (config.go:160-168).
+      oauthRedirectUris = parseAllowlist(
+        get("OAUTH_ALLOWED_REDIRECT_URIS", get("OAUTH_REDIRECT_URI", ""))),
+      // Embedded-engine extension: fixed JWKS for zero-egress
+      // deployments (inline JSON wins over file; empty = issuer
+      // discovery over HTTP like the reference's middleware).
+      oidcJwks = get("OIDC_JWKS", ""),
+      oidcJwksFile = get("OIDC_JWKS_FILE", ""))
   }
 
   /** Comma-split, trim, drop empties (config.go:231-246). */

@@ -26,7 +26,8 @@ import graft.service.Json
   * session's stream as a `message` event.
   */
 class HttpTransport(server: StdioServer, port: Int, version: String = "dev",
-    auth: Option[graft.security.BearerAuth] = None) {
+    auth: Option[graft.security.BearerAuth] = None,
+    oauth: Option[OAuthEndpoints] = None) {
 
   private val http = HttpServer.create(new InetSocketAddress(port), 0)
   // A real pool: the default (single dispatcher thread) would let one
@@ -81,7 +82,7 @@ class HttpTransport(server: StdioServer, port: Int, version: String = "dev",
         }
         denied match {
           case Some(reason) =>
-            ex.getResponseHeaders.add("WWW-Authenticate", "Bearer")
+            deniedHeaders(ex)
             respond(ex, 401, Json.write(ListMap("error" -> reason)))
           case None =>
             val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
@@ -138,7 +139,7 @@ class HttpTransport(server: StdioServer, port: Int, version: String = "dev",
           Option(ex.getRequestHeaders.getFirst("Authorization"))).left.toOption)
         denied match {
           case Some(reason) =>
-            ex.getResponseHeaders.add("WWW-Authenticate", "Bearer")
+            deniedHeaders(ex)
             respond(ex, 401, Json.write(ListMap("error" -> reason)))
             ex.close()
           case None =>
@@ -193,6 +194,86 @@ class HttpTransport(server: StdioServer, port: Int, version: String = "dev",
     ex.close()
   })
 
+  /** 401 headers with discovery pointers (server.go:185-196). */
+  private def deniedHeaders(ex: HttpExchange): Unit = {
+    val h = ex.getResponseHeaders
+    h.add("WWW-Authenticate",
+      """Bearer realm="OAuth", error="invalid_token", error_description="Missing or invalid access token"""")
+    if (oauth.isDefined)
+      h.add("WWW-Authenticate",
+        s"""resource_metadata="${selfUrlFor(ex)}/.well-known/oauth-protected-resource"""")
+  }
+
+  private def selfUrlFor(ex: HttpExchange): String =
+    Option(ex.getRequestHeaders.getFirst("Host"))
+      .map(host => s"http://$host").getOrElse(s"http://localhost:$boundPort")
+
+  // ---- OAuth discovery + proxy endpoints (server.go:95-97,124-128:
+  // well-known metadata, /oauth/callback, /callback alias) ----
+  oauth.foreach { oa =>
+    def metadataCtx(path: String, body: () => String): Unit =
+      http.createContext(path, (ex: HttpExchange) => {
+        cors(ex)
+        ex.getRequestMethod match {
+          case "OPTIONS" => ex.sendResponseHeaders(204, -1)
+          case "GET" => respond(ex, 200, body())
+          case _ => respond(ex, 405, """{"error":"method not allowed"}""")
+        }
+        ex.close()
+      })
+    metadataCtx("/.well-known/oauth-authorization-server", () => oa.authorizationServerMetadata)
+    // legacy alias (server.go:125)
+    metadataCtx("/.well-known/oauth-metadata", () => oa.authorizationServerMetadata)
+    metadataCtx("/.well-known/oauth-protected-resource", () => oa.protectedResourceMetadata)
+
+    def redirectOrError(ex: HttpExchange, result: Either[String, String]): Unit = {
+      result match {
+        case Right(location) =>
+          ex.getResponseHeaders.add("Location", location)
+          ex.sendResponseHeaders(302, -1)
+        case Left(err) =>
+          respond(ex, 400, Json.write(ListMap("error" -> err)))
+      }
+      ex.close()
+    }
+
+    http.createContext("/oauth/authorize", (ex: HttpExchange) => {
+      cors(ex)
+      redirectOrError(ex, oa.authorize(OAuthEndpoints.parseParams(ex.getRequestURI.getRawQuery)))
+    })
+
+    http.createContext("/oauth/callback", (ex: HttpExchange) => {
+      cors(ex)
+      redirectOrError(ex, oa.callback(OAuthEndpoints.parseParams(ex.getRequestURI.getRawQuery)))
+    })
+
+    // Claude Code hits /callback; redirect preserving the query
+    // (server.go:128)
+    http.createContext("/callback", (ex: HttpExchange) => {
+      cors(ex)
+      val q = Option(ex.getRequestURI.getRawQuery).map("?" + _).getOrElse("")
+      ex.getResponseHeaders.add("Location", s"/oauth/callback$q")
+      ex.sendResponseHeaders(302, -1)
+      ex.close()
+    })
+
+    http.createContext("/oauth/token", (ex: HttpExchange) => {
+      cors(ex)
+      ex.getRequestMethod match {
+        case "OPTIONS" => ex.sendResponseHeaders(204, -1)
+        case "POST" =>
+          val form = OAuthEndpoints.parseParams(
+            new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+          oa.token(form) match {
+            case Right(json) => respond(ex, 200, json)
+            case Left(err) => respond(ex, 400, Json.write(ListMap("error" -> err)))
+          }
+        case _ => respond(ex, 405, """{"error":"method not allowed"}""")
+      }
+      ex.close()
+    })
+  }
+
   def start(): Unit = {
     http.start()
     started = true
@@ -221,7 +302,9 @@ object HttpMain {
       case Right(cfg) =>
         val engine = new graft.engine.Engine(cfg, Some(dataDir))
         val transport = new HttpTransport(new StdioServer(engine), port,
-          auth = graft.security.BearerAuth.fromConfig(cfg))
+          auth = graft.security.BearerAuth.fromConfig(cfg),
+          oauth = if (cfg.oauthEnabled)
+            Some(new OAuthEndpoints(cfg, s"http://localhost:$port")) else None)
         if (cfg.oauthEnabled)
           System.err.println(s"[graft-mcp] OAuth enabled (mode: ${cfg.oauthMode}, " +
             s"provider: ${cfg.oauthProvider})")

@@ -150,12 +150,67 @@ class HttpTransportSpec extends SparkSpec {
       }
       val noToken = call(Nil)
       assert(noToken.statusCode() == 401)
-      assert(noToken.headers().firstValue("WWW-Authenticate").orElse("") == "Bearer")
+      // 401 carries the discovery-shaped challenge (server.go:193-196)
+      assert(noToken.headers().firstValue("WWW-Authenticate").orElse("")
+        .startsWith("""Bearer realm="OAuth""""))
       val badToken = call(Seq("Authorization" -> "Bearer bogus.token"))
       assert(badToken.statusCode() == 401)
       val good = graft.security.BearerAuth.mint("s3cret", "alice")
       val ok = call(Seq("Authorization" -> s"Bearer $good"))
       assert(ok.statusCode() == 200)
+    } finally t.stop(0)
+  }
+
+  test("OAuth discovery + proxy endpoints served over HTTP") {
+    val cfg = EngineConfig.fromEnv(Map(
+      "OAUTH_ENABLED" -> "true", "OAUTH_MODE" -> "proxy",
+      "OAUTH_PROVIDER" -> "okta", "JWT_SECRET" -> "s3cret",
+      "OIDC_ISSUER" -> "https://issuer.test", "OIDC_AUDIENCE" -> "api",
+      "OIDC_CLIENT_ID" -> "cid")).toOption.get
+    val stub = new OAuthEndpoints.Upstream {
+      override def resolve(issuer: String) = Right(
+        OAuthEndpoints.UpstreamEndpoints(s"$issuer/authorize", s"$issuer/token"))
+      override def postToken(url: String, form: Map[String, String]) =
+        Right("""{"access_token":"t"}""")
+    }
+    val t = new HttpTransport(
+      new StdioServer(new Engine(EngineConfig.fromEnv(Map.empty).toOption.get,
+        Some("/root/testdata/sf0.001"), Some(spark))),
+      port = 0, auth = graft.security.BearerAuth.fromConfig(cfg),
+      oauth = Some(new OAuthEndpoints(cfg, "http://localhost:0", stub)))
+    t.start()
+    try {
+      val b = s"http://127.0.0.1:${t.boundPort}"
+      def get(path: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(URI.create(s"$b$path")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+      val meta = get("/.well-known/oauth-authorization-server")
+      assert(meta.statusCode() == 200 && meta.body().contains("authorization_endpoint"))
+      assert(get("/.well-known/oauth-metadata").statusCode() == 200)
+      val prm = get("/.well-known/oauth-protected-resource")
+      assert(prm.statusCode() == 200 && prm.body().contains("authorization_servers"))
+      // /callback preserves the query and bounces to /oauth/callback
+      val noRedirect = HttpClient.newBuilder()
+        .followRedirects(HttpClient.Redirect.NEVER).build()
+      val cb = noRedirect.send(HttpRequest.newBuilder(
+        URI.create(s"$b/callback?code=c&state=s")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(cb.statusCode() == 302)
+      assert(cb.headers().firstValue("Location").orElse("") == "/oauth/callback?code=c&state=s")
+      // authorize 302s to the (stubbed) upstream
+      val az = noRedirect.send(HttpRequest.newBuilder(URI.create(
+        s"$b/oauth/authorize?redirect_uri=http%3A%2F%2Flocalhost%3A3000%2Fcb")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(az.statusCode() == 302)
+      assert(az.headers().firstValue("Location").orElse("")
+        .startsWith("https://issuer.test/authorize?"))
+      // 401 advertises the protected-resource metadata
+      val denied = client.send(HttpRequest.newBuilder(URI.create(s"$b/mcp"))
+        .POST(HttpRequest.BodyPublishers.ofString("{}")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(denied.statusCode() == 401)
+      val challenges = denied.headers().allValues("WWW-Authenticate")
+      assert(challenges.stream().anyMatch(_.contains("oauth-protected-resource")))
     } finally t.stop(0)
   }
 }

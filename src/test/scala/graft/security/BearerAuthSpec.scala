@@ -17,7 +17,8 @@ class BearerAuthSpec extends AnyFunSuite {
     assert(auth.validate(None) == Left("missing bearer token"))
     assert(auth.validate(Some("Basic Zm9v")) == Left("malformed Authorization header"))
     assert(auth.validate(Some("Bearer notdotted")) == Left("invalid token format"))
-    assert(auth.validate(Some("Bearer a.b.c")) == Left("invalid token format"))
+    // three segments route to the JWT path now; 'a' is not valid base64url
+    assert(auth.validate(Some("Bearer a.b.c")) == Left("invalid token encoding"))
     assert(auth.validate(Some("Bearer %%%.%%%")) == Left("invalid token encoding"))
   }
 
@@ -44,10 +45,37 @@ class BearerAuthSpec extends AnyFunSuite {
   test("empty secret fails closed") {
     val noSecret = new BearerAuth("hmac", "")
     assert(noSecret.validate(Some(s"Bearer ${BearerAuth.mint("s3cret", "alice")}"))
-      == Left("OAUTH_HMAC_SECRET is not configured"))
+      == Left("JWT_SECRET is not configured"))
   }
 
-  test("OIDC providers are rejected (no issuer egress embedded)") {
+  test("reference-native HS256 JWT validates (docs/jwt.md claims)") {
+    val jwt = BearerAuth.mintJwt("s3cret", "bob", expiry = 2_000_000L,
+      extraClaims = Map("preferred_username" -> "bobby", "email" -> "bob@x.com"))
+    assert(auth.validate(Some(s"Bearer $jwt")) == Right("bobby"))
+    assert(auth.validateUser(Some(s"Bearer $jwt")) ==
+      Right(Attribution.User(username = "bobby", email = "bob@x.com", subject = "bob")))
+    // exp is required and enforced (60s leeway)
+    val dead = BearerAuth.mintJwt("s3cret", "bob", expiry = 100L)
+    assert(auth.validate(Some(s"Bearer $dead")) == Left("token expired"))
+    // sub is required
+    val noSub = Jwt.mintHs256("s3cret", Map("exp" -> 2_000_000L))
+    assert(auth.validate(Some(s"Bearer $noSub")) == Left("token has no sub claim"))
+    // wrong secret
+    val forged = BearerAuth.mintJwt("other", "bob", expiry = 2_000_000L)
+    assert(auth.validate(Some(s"Bearer $forged")) == Left("invalid token signature"))
+    // RS256 token against the hmac provider is rejected, not waved through
+    assert(auth.validate(Some(s"Bearer ${Jwt.mintHs256("s3cret", Map("sub" -> "x", "exp" -> 2_000_000L), extraHeader = Map("alg" -> "HS256"))}")).isRight)
+  }
+
+  test("alg=none is rejected by the hmac JWT path") {
+    val enc = java.util.Base64.getUrlEncoder.withoutPadding()
+    val tok = enc.encodeToString("""{"alg":"none","typ":"JWT"}""".getBytes) + "." +
+      enc.encodeToString("""{"sub":"x","exp":2000000}""".getBytes) + "."
+    assert(auth.validate(Some(s"Bearer $tok")) ==
+      Left("unsupported algorithm 'none' for hmac provider"))
+  }
+
+  test("OIDC providers without issuer config fail closed") {
     val okta = new BearerAuth("okta", "ignored")
     assert(okta.validate(Some("Bearer whatever")).isLeft)
   }
