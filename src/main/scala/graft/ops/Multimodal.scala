@@ -1,103 +1,184 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Multimodal column plumbing: image/audio/video payloads ride as opaque
-  * `binary` columns with typed metadata structs next to them.
+import graft.ops.codecs.{MediaSniff, Png, Wav}
+
+/** Multimodal column plumbing: image/audio payloads ride as opaque
+  * `binary` columns with a typed metadata struct next to them, decoded
+  * ONCE at ingest by a real byte-level codec ([[graft.ops.codecs]]:
+  * full PNG encode/decode incl. zlib + scanline filters, RIFF/WAVE PCM
+  * parse, JPEG/GIF/BMP header dims). Nothing here is stubbed.
   *
-  * The decode/feature-extract kernels are STUBS (this container ships no
-  * image/audio codecs): `fakeDecode` derives deterministic pseudo-metadata
-  * from the bytes, and `decodeBatch` marks where a real codec slots in.
-  * The Spark-side plumbing — schema, batch iteration, partition shape —
-  * is real and tested.
+  * The testdata ships no media files, so [[synthesizePayload]] renders
+  * each document into a REAL blob first (PNG for even text lengths,
+  * WAV for odd) whose dimensions and content are deterministic in
+  * (doc_id, length) — which keeps every downstream decode
+  * oracle-checkable in DuckDB by pure arithmetic: if the encoder or
+  * the decoder drifted by one byte, the hash compare would fail.
   *
   * Design for 100 TB: payload bytes never leave the executor (no
-  * collect); decode runs per-partition so a codec can amortize native
-  * init across a batch (the Scala analogue of a Pandas-UDF batch); the
-  * metadata struct is columnar so filters on width/duration prune without
-  * touching bytes.
+  * collect); codecs run per-partition via `mapPartitions` so a native
+  * library could amortize init across a batch; decode happens once and
+  * the resulting metadata struct is columnar, so window planning /
+  * filtering / pruning run on metadata alone without re-touching
+  * bytes.
   */
 object Multimodal {
 
-  /** Metadata schema that rides next to every blob column. */
+  /** Metadata schema that rides next to every blob column. Image
+    * fields are null for audio and vice versa. */
   val metaSchema: StructType = StructType(Seq(
-    StructField("format", StringType, nullable = false),
-    StructField("width", IntegerType, nullable = false),
-    StructField("height", IntegerType, nullable = false),
+    StructField("format", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("n_samples", LongType, nullable = true),
     StructField("n_bytes", LongType, nullable = false)))
 
-  /** Attach a binary payload column (here synthesized from text — the
-    * testdata has no real blobs) plus deterministic fake decode metadata.
-    * Pure projection: codegen'd, no shuffle, oracle-checkable. */
-  def withBlobAndMeta(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val blob = encode(col(textCol), "UTF-8")
-    val nBytes = octet_length(blob).cast("long")
-    docs
-      .withColumn("payload", blob)
-      .withColumn("meta", struct(
-        // STUB decode: deterministic pseudo-dimensions derived from size.
-        // A real codec replaces these three expressions.
-        when(pmod(nBytes, lit(3)) === 0, "png")
-          .when(pmod(nBytes, lit(3)) === 1, "jpeg")
-          .otherwise("webp").as("format"),
-        (pmod(nBytes, lit(640)) + 32).cast("int").as("width"),
-        (pmod(nBytes, lit(480)) + 32).cast("int").as("height"),
-        nBytes.as("n_bytes")))
+  val SampleRate = 16000
+
+  /** Deterministic content value `v(i)` for document `docId` — the
+    * shared generator both the PNG pixel stream and the PCM sample
+    * stream draw from (and the DuckDB oracle replicates). */
+  @inline private def value(docId: Long, i: Int): Int =
+    ((docId * 31 + 7L * i) % 256).toInt
+
+  /** Image dims / sample counts as functions of text length (chars —
+    * the corpus is ASCII so char = byte). */
+  @inline private def imgWidth(len: Int): Int = len % 64 + 8
+  @inline private def imgHeight(len: Int): Int = len % 48 + 8
+  @inline private def sampleCount(len: Int): Int = len % 512 + 64
+
+  /** Render a document into a real media blob. Even text length →
+    * 8-bit grayscale PNG; odd → 16-bit PCM mono WAV. */
+  def synthesizePayload(docId: Long, text: String): Array[Byte] = {
+    val len = if (text == null) 0 else text.length
+    if (len % 2 == 0) {
+      val w = imgWidth(len); val h = imgHeight(len)
+      Png.encodeGray(w, h, i => value(docId, i))
+    } else {
+      val n = sampleCount(len)
+      val samples = new Array[Short](n)
+      var i = 0
+      while (i < n) { samples(i) = ((value(docId, i) - 128) * 128).toShort; i += 1 }
+      Wav.encodePcm16(SampleRate, samples)
+    }
   }
 
-  /** Frame-sample: take every `stride`-th byte of the payload as a stand-in
-    * for frame extraction — exercises binary slicing + array plumbing. */
-  def frameSample(docs: DataFrame, stride: Int = 64): DataFrame =
-    docs.withColumn("frames",
-      transform(
-        sequence(lit(1),
-          greatest((octet_length(col("payload")) / lit(stride)).cast("int"), lit(1))),
-        i => col("payload").substr((i - 1) * stride + 1, lit(1))))
-
-  /** Audio-frame windowing plan: treat the payload as 16-bit PCM and
-    * emit one row per (win-sample window every hop samples) — the
-    * offsets a spectrogram/feature extractor consumes. All integer
-    * arithmetic over the blob LENGTH: the plan is computed and
-    * shuffled/filtered without ever touching payload bytes, so a
-    * 100 TB audio corpus plans its windows from metadata alone. Blobs
-    * shorter than one window emit nothing. */
-  def audioWindows(docs: DataFrame, idCol: String,
-      win: Int = 64, hop: Int = 32): DataFrame = {
-    val nSamples = (octet_length(col("payload")) / 2).cast("long")
-    docs
-      .withColumn("graft_ns", nSamples)
-      .filter(col("graft_ns") >= win)
-      .select(col(idCol), col("graft_ns").as("n_samples"),
-        // `div`, not `/`: integral window count (double division would
-        // lose exactness past 2^53 samples)
-        posexplode(sequence(lit(0L),
-          expr(s"(graft_ns - ${win}L) div ${hop}L"))))
-      .select(col(idCol), col("n_samples"),
-        col("pos").cast("int").as("window_idx"),
-        (col("col") * hop).as("start_sample"))
-  }
-
-  /** Batch decode over partitions — the slot where a real codec runs.
-    * Iterates rows per partition so native-library init happens once per
-    * partition, not once per row (the Scala analogue of mapInPandas). */
-  def decodeBatch(docs: DataFrame): DataFrame = {
-    val schema = StructType(docs.schema.fields :+
-      StructField("decoded_checksum", LongType, nullable = true))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    // resolved on the driver: the closure must not capture the DataFrame
-    val payloadIdx = docs.schema.fieldIndex("payload")
+  /** Attach a real payload blob plus its decoded metadata struct.
+    * Metadata comes from parsing the bytes just encoded (PNG IHDR walk
+    * / WAV fmt+data chunks) — encode and decode cross-check each other
+    * row by row. */
+  def withBlobAndMeta(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val schema = StructType(docs.schema.fields ++ Seq(
+      StructField("payload", BinaryType, nullable = false),
+      StructField("meta", metaSchema, nullable = false)))
+    val enc = RowEncoder.encoderFor(schema)
+    val textIdx = docs.schema.fieldIndex(textCol)
+    val idIdx = docs.schema.fieldIndex(idCol)
     docs.mapPartitions { rows =>
-      // REAL CODEC GOES HERE: init once per partition (native handles,
-      // thread pools), then stream the batch through it.
       rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](payloadIdx)
-        // STUB: checksum instead of pixels; deterministic.
-        val checksum: Long = if (bytes == null) 0L
-          else bytes.foldLeft(1469598103934665603L)((h, b) => (h ^ b) * 1099511628211L)
-        Row.fromSeq(r.toSeq :+ checksum)
+        val docId = r.getAs[Number](idIdx).longValue()
+        val payload = synthesizePayload(docId, r.getAs[String](textIdx))
+        Row.fromSeq(r.toSeq ++ Seq(payload, decodeMeta(payload)))
       }
     }(enc)
   }
+
+  /** Header-only decode → metadata row (cheap: no inflate for PNG). */
+  def decodeMeta(payload: Array[Byte]): Row = {
+    val nBytes = if (payload == null) 0L else payload.length.toLong
+    MediaSniff.sniff(payload) match {
+      case f @ ("png" | "jpeg" | "gif" | "bmp") =>
+        MediaSniff.imageDims(payload) match {
+          case Some((w, h)) => Row(f, w, h, null, null, nBytes)
+          case None => Row("unknown", null, null, null, null, nBytes)
+        }
+      case "wav" => Wav.decode(payload) match {
+        case Right(d) => Row("wav", null, null, d.sampleRate, d.samples.length.toLong, nBytes)
+        case Left(_) => Row("unknown", null, null, null, null, nBytes)
+      }
+      case _ => Row("unknown", null, null, null, null, nBytes)
+    }
+  }
+
+  /** Full-frame batch decode — inflate + unfilter every PNG, PCM-parse
+    * every WAV — emitting the value count and a content checksum
+    * (sum of decoded 0..255 values; PCM maps back through the inverse
+    * of the synth transform). Runs per partition so a native codec
+    * could init once per batch. */
+  def decodeBatch(docs: DataFrame): DataFrame = {
+    val schema = StructType(docs.schema.fields ++ Seq(
+      StructField("format", StringType, nullable = true),
+      StructField("n_values", LongType, nullable = true),
+      StructField("decoded_checksum", LongType, nullable = true)))
+    val enc = RowEncoder.encoderFor(schema)
+    val payloadIdx = docs.schema.fieldIndex("payload")
+    docs.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val (fmt, n, sum) = decodeValues(bytes) match {
+          case Some((f, vals)) =>
+            var s = 0L; var i = 0
+            while (i < vals.length) { s += vals(i); i += 1 }
+            (f, vals.length.toLong, s)
+          case None => (MediaSniff.sniff(bytes), null, null)
+        }
+        Row.fromSeq(r.toSeq ++ Seq(fmt, n, sum))
+      }
+    }(enc)
+  }
+
+  /** Decode a payload to its 0..255 value stream: PNG → pixel bytes,
+    * WAV → PCM samples mapped back to the generator domain. */
+  private def decodeValues(bytes: Array[Byte]): Option[(String, Array[Int])] =
+    MediaSniff.sniff(bytes) match {
+      case "png" => Png.decode(bytes).toOption.map { d =>
+        ("png", d.pixels.map(b => b & 0xff))
+      }
+      case "wav" => Wav.decode(bytes).toOption.map { d =>
+        ("wav", d.samples.map(s => s / 128 + 128))
+      }
+      case _ => None
+    }
+
+  /** Frame-sample: every `stride`-th decoded value (pixel subsample /
+    * PCM decimation) as the feature-extractor input. */
+  def frameSample(docs: DataFrame, stride: Int = 256): DataFrame = {
+    val schema = StructType(docs.schema.fields :+
+      StructField("frames", ArrayType(IntegerType, containsNull = false), nullable = true))
+    val enc = RowEncoder.encoderFor(schema)
+    val payloadIdx = docs.schema.fieldIndex("payload")
+    docs.mapPartitions { rows =>
+      rows.map { r =>
+        val frames = decodeValues(r.getAs[Array[Byte]](payloadIdx)).map {
+          case (_, vals) => (0 until vals.length by stride).map(vals(_)).toArray
+        }.orNull
+        Row.fromSeq(r.toSeq :+ frames)
+      }
+    }(enc)
+  }
+
+  /** Audio-frame windowing plan: one row per (`win`-sample window
+    * every `hop` samples), computed ENTIRELY from the decoded metadata
+    * column — payload bytes are not touched, so a 100 TB audio corpus
+    * plans its windows from columnar metadata alone. Non-audio rows
+    * and blobs shorter than one window emit nothing. */
+  def audioWindows(docs: DataFrame, idCol: String,
+      win: Int = 64, hop: Int = 32): DataFrame =
+    docs
+      .filter(col("meta.format") === "wav" && col("meta.n_samples") >= win)
+      .select(col(idCol), col("meta.n_samples").as("n_samples"),
+        // `div`, not `/`: integral window count (double division would
+        // lose exactness past 2^53 samples)
+        posexplode(sequence(lit(0L),
+          expr(s"(meta.n_samples - ${win}L) div ${hop}L"))))
+      .select(col(idCol), col("n_samples"),
+        col("pos").cast("int").as("window_idx"),
+        (col("col") * hop).as("start_sample"))
 }

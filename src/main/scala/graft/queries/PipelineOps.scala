@@ -453,36 +453,45 @@ object PipelineOps {
         .orderBy(col("doc_id"))
     }),
 
-    // Multimodal plumbing: opaque binary payload + typed metadata struct
-    // (decode is the declared stub; the metadata math is deterministic,
-    // so the schema/projection path IS oracle-checkable).
+    // Multimodal: each document rendered into a REAL blob (PNG for
+    // even text lengths, WAV for odd — ops/codecs), then the metadata
+    // is decoded back OUT of the bytes (PNG IHDR walk / WAV fmt+data
+    // parse). Dims are deterministic in (doc_id, length), so the
+    // decode is oracle-checked by arithmetic: a one-byte encoder or
+    // parser drift fails the hash compare.
     "mm_blob_meta" -> ((s, d) =>
       Multimodal.withBlobAndMeta(t(s, d, "documents"))
         .select(col("doc_id"), col("meta.format").as("format"),
           col("meta.width").as("width"), col("meta.height").as("height"),
-          col("meta.n_bytes").as("n_bytes"))
+          col("meta.sample_rate").as("sample_rate"),
+          col("meta.n_samples").as("n_samples"))
         .orderBy(col("doc_id"))),
 
     // Audio-frame windowing plan (ops/Multimodal.audioWindows): window
-    // offsets computed from blob length alone — payload bytes never
-    // move. Pure integer arithmetic, fully oracle-checked.
+    // offsets computed from the DECODED metadata column alone —
+    // payload bytes are parsed once at ingest and never re-touched.
     "mm_audio_windows" -> ((s, d) =>
       Multimodal.audioWindows(
           Multimodal.withBlobAndMeta(t(s, d, "documents")), "doc_id")
         .orderBy(col("doc_id"), col("window_idx"))),
 
-    // Frame sampling over the payload: count per doc is oracle-checkable.
+    // Frame sampling: every 256th decoded value (pixel subsample / PCM
+    // decimation); the count per doc is oracle-checked.
     "mm_frame_sample" -> ((s, d) =>
       Multimodal.frameSample(Multimodal.withBlobAndMeta(t(s, d, "documents")))
         .select(col("doc_id"), size(col("frames")).as("n_frames"))
         .orderBy(col("doc_id"))),
 
-    // Partition-batched decode slot (stub checksum): rows-only.
+    // Partition-batched FULL decode — zlib inflate + unfilter every
+    // PNG, PCM-parse every WAV — checksummed against the arithmetic
+    // oracle. The strongest codec check: every decoded value feeds the
+    // hash-compared sum.
     "mm_decode_batch" -> ((s, d) =>
       Multimodal.decodeBatch(
           Multimodal.withBlobAndMeta(t(s, d, "documents"))
             .select(col("doc_id"), col("payload")))
-        .select(col("doc_id"), col("decoded_checksum"))
+        .select(col("doc_id"), col("format"), col("n_values"),
+          col("decoded_checksum"))
         .orderBy(col("doc_id")))
   )
 
@@ -1036,18 +1045,20 @@ object PipelineOps {
 
     "mm_blob_meta" ->
       """SELECT doc_id,
-        |  CASE WHEN strlen(text) % 3 = 0 THEN 'png'
-        |       WHEN strlen(text) % 3 = 1 THEN 'jpeg'
-        |       ELSE 'webp' END AS format,
-        |  CAST(strlen(text) % 640 + 32 AS INT) AS width,
-        |  CAST(strlen(text) % 480 + 32 AS INT) AS height,
-        |  CAST(strlen(text) AS BIGINT) AS n_bytes
+        |  CASE WHEN length(text) % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
+        |  CASE WHEN length(text) % 2 = 0
+        |       THEN CAST(length(text) % 64 + 8 AS INT) END AS width,
+        |  CASE WHEN length(text) % 2 = 0
+        |       THEN CAST(length(text) % 48 + 8 AS INT) END AS height,
+        |  CASE WHEN length(text) % 2 = 1 THEN CAST(16000 AS INT) END AS sample_rate,
+        |  CASE WHEN length(text) % 2 = 1
+        |       THEN CAST(length(text) % 512 + 64 AS BIGINT) END AS n_samples
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "mm_audio_windows" ->
       """WITH m AS (
-        |  SELECT doc_id, CAST(strlen(text) // 2 AS BIGINT) AS n_samples
-        |  FROM documents),
+        |  SELECT doc_id, CAST(length(text) % 512 + 64 AS BIGINT) AS n_samples
+        |  FROM documents WHERE length(text) % 2 = 1),
         |w AS (
         |  SELECT doc_id, n_samples,
         |    unnest(generate_series(0, (n_samples - 64) // 32)) AS i
@@ -1057,9 +1068,31 @@ object PipelineOps {
         |FROM w ORDER BY doc_id, window_idx""".stripMargin,
 
     "mm_frame_sample" ->
-      """SELECT doc_id,
-        |  CAST(greatest(strlen(text) // 64, 1) AS INT) AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) % 2 = 0
+        |         THEN (length(text) % 64 + 8) * (length(text) % 48 + 8)
+        |         ELSE length(text) % 512 + 64 END AS n
+        |  FROM documents)
+        |SELECT doc_id, CAST((n + 255) // 256 AS INT) AS n_frames
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    "mm_decode_batch" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
+        |    CASE WHEN length(text) % 2 = 0
+        |         THEN (length(text) % 64 + 8) * (length(text) % 48 + 8)
+        |         ELSE length(text) % 512 + 64 END AS n
+        |  FROM documents),
+        |e AS (SELECT doc_id, format, n,
+        |        unnest(generate_series(0, n - 1)) AS i FROM n),
+        |s AS (SELECT doc_id, format, n,
+        |        SUM((doc_id * 31 + 7 * i) % 256) AS checksum
+        |      FROM e GROUP BY doc_id, format, n)
+        |SELECT doc_id, format, CAST(n AS BIGINT) AS n_values,
+        |       CAST(checksum AS BIGINT) AS decoded_checksum
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "embed_knn_cosine" ->
       """WITH a AS (SELECT embedding AS av FROM embeddings WHERE vec_id = 0),

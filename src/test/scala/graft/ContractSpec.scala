@@ -30,7 +30,7 @@ class ContractSpec extends AnyFunSuite {
   test("inventory size matches the documented counts") {
     assert(SparkEntry.queries.size == 138,
       s"queries=${SparkEntry.queries.size} — update README/ContractSpec together")
-    assert(SparkEntry.oracleSql.size == 122,
+    assert(SparkEntry.oracleSql.size == 123,
       s"oracles=${SparkEntry.oracleSql.size} — update README/ContractSpec together")
   }
 }

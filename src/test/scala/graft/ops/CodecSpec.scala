@@ -1,0 +1,164 @@
+package graft.ops
+
+import java.io.ByteArrayInputStream
+
+import org.scalacheck.{Gen, Prop}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.codecs.{MediaSniff, Png, Wav}
+
+/** Byte-level codec correctness. PNG and WAV round-trip exactly;
+  * cross-checks run against the JDK's independent implementations
+  * (ImageIO, AudioSystem) so encoder and decoder cannot share a bug;
+  * JPEG/GIF/BMP header parsing is exercised on ImageIO-encoded and
+  * hand-built files. */
+class CodecSpec extends AnyFunSuite {
+
+  private def checkProp(prop: Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(100), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("PNG gray round-trip is pixel-exact") {
+    val w = 37; val h = 23
+    def pix(i: Int): Int = (i * 31 + 7) % 256
+    val bytes = Png.encodeGray(w, h, pix)
+    val d = Png.decode(bytes).toOption.get
+    assert(d.width == w && d.height == h && d.bitDepth == 8 && d.colorType == 0)
+    assert(d.pixels.length == w * h)
+    assert(d.pixels.zipWithIndex.forall { case (b, i) => (b & 0xff) == pix(i) })
+  }
+
+  test("PNG round-trip property: random dims and content") {
+    checkProp(Prop.forAll(Gen.choose(1, 80), Gen.choose(1, 60), Gen.choose(0, 255)) {
+      (w: Int, h: Int, seed: Int) =>
+        def pix(i: Int): Int = (seed + i * 13) % 256
+        val d = Png.decode(Png.encodeGray(w, h, pix)).toOption.get
+        d.width == w && d.height == h &&
+          d.pixels.zipWithIndex.forall { case (b, i) => (b & 0xff) == pix(i) }
+    })
+  }
+
+  test("our PNG decodes identically under ImageIO (independent reader)") {
+    val w = 41; val h = 17
+    def pix(i: Int): Int = (i * 7 + 3) % 256
+    val bytes = Png.encodeGray(w, h, pix)
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+    assert(img.getWidth == w && img.getHeight == h)
+    // raw raster samples (getRGB would apply a gray->sRGB transform)
+    for (y <- 0 until h; x <- 0 until w) {
+      val expected = pix(y * w + x)
+      assert(img.getRaster.getSample(x, y, 0) == expected, s"pixel ($x,$y)")
+    }
+  }
+
+  test("ImageIO-encoded PNGs (RGB, filtered scanlines) decode correctly") {
+    val w = 33; val h = 29
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 37) % 256 << 16) | ((y * 91) % 256 << 8) | ((x + y) % 256))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val d = Png.decode(out.toByteArray).toOption.get
+    assert(d.width == w && d.height == h && d.channelsPerPixel == 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val base = (y * w + x) * 3
+      assert((d.pixels(base) & 0xff) == (x * 37) % 256, s"R ($x,$y)")
+      assert((d.pixels(base + 1) & 0xff) == (y * 91) % 256, s"G ($x,$y)")
+      assert((d.pixels(base + 2) & 0xff) == (x + y) % 256, s"B ($x,$y)")
+    }
+  }
+
+  test("WAV PCM16 round-trip is sample-exact") {
+    val samples = Array.tabulate(333)(i => ((i * 257) % 65536 - 32768).toShort)
+    val bytes = Wav.encodePcm16(16000, samples)
+    val d = Wav.decode(bytes).toOption.get
+    assert(d.channels == 1 && d.sampleRate == 16000 && d.bitsPerSample == 16)
+    assert(d.samples.sameElements(samples))
+  }
+
+  test("our WAV parses identically under AudioSystem (independent reader)") {
+    val samples = Array.tabulate(100)(i => (i * 300 - 15000).toShort)
+    val bytes = Wav.encodePcm16(8000, samples)
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(bytes))
+    val fmt = in.getFormat
+    assert(fmt.getChannels == 1 && fmt.getSampleRate == 8000f &&
+      fmt.getSampleSizeInBits == 16)
+    assert(in.getFrameLength == 100L)
+    val raw = in.readAllBytes()
+    val decoded = Array.tabulate(100)(i =>
+      ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort)
+    assert(decoded.sameElements(samples))
+  }
+
+  test("WAV decoder tolerates extra RIFF chunks") {
+    val samples = Array.tabulate(10)(i => (i * 100).toShort)
+    val base = Wav.encodePcm16(16000, samples)
+    // splice a LIST chunk between fmt and data
+    val list = "LIST".getBytes ++ Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes
+    val spliced = base.take(36) ++ list ++ base.drop(36)
+    // fix RIFF size
+    val total = spliced.length - 8
+    spliced(4) = total.toByte; spliced(5) = (total >> 8).toByte
+    spliced(6) = (total >> 16).toByte; spliced(7) = (total >> 24).toByte
+    val d = Wav.decode(spliced).toOption.get
+    assert(d.samples.sameElements(samples))
+  }
+
+  test("JPEG dimensions parsed from SOF marker (ImageIO-encoded)") {
+    val img = new java.awt.image.BufferedImage(57, 43,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    val bytes = out.toByteArray
+    assert(MediaSniff.sniff(bytes) == "jpeg")
+    assert(MediaSniff.imageDims(bytes).contains((57, 43)))
+  }
+
+  test("GIF and BMP dimensions parsed from headers (ImageIO-encoded)") {
+    for ((fmt, expected) <- Seq("gif" -> ((21, 13)), "bmp" -> ((19, 11)))) {
+      val (w, h) = expected
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out)
+      assert(MediaSniff.sniff(out.toByteArray) == fmt)
+      assert(MediaSniff.imageDims(out.toByteArray).contains((w, h)), fmt)
+    }
+  }
+
+  test("corrupt and truncated inputs fail gracefully") {
+    assert(Png.decode(null).isLeft)
+    assert(Png.decode(Array[Byte](1, 2, 3)).isLeft)
+    val good = Png.encodeGray(10, 10, _ => 5)
+    assert(Png.decode(good.take(30)).isLeft) // truncated mid-chunk
+    val flipped = good.clone(); flipped(40) = (flipped(40) ^ 0x55).toByte
+    // flipping an IDAT byte corrupts the zlib stream or the pixels —
+    // either a Left or a decode that differs; it must not throw
+    Png.decode(flipped)
+    assert(Wav.decode(Array[Byte](1, 2, 3)).isLeft)
+    assert(Wav.decode("RIFFxxxxWAVE".getBytes ++ Array.fill[Byte](40)(0)).isLeft)
+    assert(MediaSniff.sniff(Array[Byte](9, 9, 9, 9, 9, 9, 9, 9, 9, 9, 9, 9)) == "unknown")
+  }
+
+  test("synthesized payloads decode to the oracle arithmetic") {
+    // even length -> png with dims (len%64+8, len%48+8)
+    val png = Multimodal.synthesizePayload(42L, "x" * 100)
+    assert(MediaSniff.sniff(png) == "png")
+    assert(MediaSniff.imageDims(png).contains((100 % 64 + 8, 100 % 48 + 8)))
+    val d = Png.decode(png).toOption.get
+    val expectedSum = (0 until d.pixels.length).map(i => (42L * 31 + 7L * i) % 256).sum
+    assert(d.pixels.map(_ & 0xff).map(_.toLong).sum == expectedSum)
+    // odd length -> wav with len%512+64 samples at 16 kHz
+    val wav = Multimodal.synthesizePayload(7L, "y" * 101)
+    assert(MediaSniff.sniff(wav) == "wav")
+    val w = Wav.decode(wav).toOption.get
+    assert(w.sampleRate == 16000 && w.samples.length == 101 % 512 + 64)
+    assert(w.samples.map(s => s / 128 + 128).zipWithIndex.forall {
+      case (v, i) => v == ((7L * 31 + 7L * i) % 256).toInt
+    })
+  }
+}
