@@ -8,6 +8,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.timeType.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up (untimed): run EVERY query once first. A single first run

@@ -19,6 +19,7 @@ object Verify {
       // fn_cast_types hash gap was the literals' NOT-NULL marking, fixed
       // at the query (see Funcs "fn_cast_types").
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.timeType.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

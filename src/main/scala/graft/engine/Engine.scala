@@ -40,6 +40,11 @@ class Engine(
     // Trino quotes identifiers with "double quotes" (the sanitizer pins
     // that, reference client.go:445); Spark defaults to backticks.
     s.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
+    // Trino has a first-class TIME type (unrestricted SELECT
+    // pass-through, reference client.go:284-290); Spark 4.1 ships
+    // TimeType behind a flag — enable it so TIME literals, make_time,
+    // EXTRACT, comparisons and parquet round-trips all work.
+    s.conf.set("spark.sql.timeType.enabled", "true")
     graft.dialect.TrinoFunctions.register(s)
     dataDir.foreach(Tables.registerAll(s, _))
     s

@@ -62,6 +62,24 @@ object Funcs {
           (col("o_orderdate") + expr("INTERVAL 1 DAY")).as("next_day"))
         .orderBy(col("o_orderkey"))),
 
+    // 47b. TIME type (Trino time-of-day; Spark 4.1 TimeType behind
+    // spark.sql.timeType.enabled — set by every graft session).
+    // Time values flow end-to-end: construction (make_time), field
+    // extraction, comparison, string rendering, and the TIME column
+    // itself written to parquet and hash-compared against DuckDB's
+    // native TIME.
+    "fn_time" -> ((s, d) =>
+      t(s, d, "events").select(
+          col("event_id"),
+          expr("make_time(hour(ts), minute(ts), second(ts))").as("t"),
+          expr("CAST(make_time(hour(ts), minute(ts), second(ts)) AS STRING)").as("t_str"),
+          hour(col("ts")).as("h"),
+          minute(col("ts")).as("m"),
+          second(col("ts")).as("sec"),
+          expr("make_time(hour(ts), minute(ts), second(ts)) < TIME'12:00:00'")
+            .as("before_noon"))
+        .orderBy(col("event_id"))),
+
     // 48. math functions.
     "fn_math" -> ((s, d) =>
       t(s, d, "part").select(
@@ -201,6 +219,20 @@ object Funcs {
         |    AS days_to_2002,
         |  o_orderdate + INTERVAL 1 DAY AS next_day
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_time" ->
+      """SELECT event_id,
+        |  make_time(CAST(hour(ts) AS BIGINT), CAST(minute(ts) AS BIGINT),
+        |            CAST(floor(second(ts)) AS DOUBLE)) AS t,
+        |  CAST(make_time(CAST(hour(ts) AS BIGINT), CAST(minute(ts) AS BIGINT),
+        |            CAST(floor(second(ts)) AS DOUBLE)) AS VARCHAR) AS t_str,
+        |  CAST(hour(ts) AS INT) AS h,
+        |  CAST(minute(ts) AS INT) AS m,
+        |  CAST(floor(second(ts)) AS INT) AS sec,
+        |  make_time(CAST(hour(ts) AS BIGINT), CAST(minute(ts) AS BIGINT),
+        |            CAST(floor(second(ts)) AS DOUBLE)) < TIME '12:00:00'
+        |    AS before_noon
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "fn_math" ->
       """SELECT p_partkey,

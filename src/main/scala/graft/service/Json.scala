@@ -44,6 +44,7 @@ object Json {
     case i: java.time.Instant => writeString(i.toString, sb)
     case d: java.time.LocalDate => writeString(d.toString, sb)
     case d: java.time.LocalDateTime => writeString(d.toString, sb)
+    case t: java.time.LocalTime => writeString(t.toString, sb)
     case b: Array[Byte] => writeString(b.map(x => f"$x%02x").mkString, sb)
     case r: org.apache.spark.sql.Row =>
       val names = if (r.schema != null) r.schema.fieldNames else (0 until r.length).map(_.toString).toArray

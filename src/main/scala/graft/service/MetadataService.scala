@@ -103,6 +103,7 @@ object TypeNames {
     case DateType => "date"
     case TimestampType => "timestamp(6)"
     case TimestampNTZType => "timestamp(6)"
+    case t: TimeType => s"time(${t.precision})"
     case _: YearMonthIntervalType => "interval year to month"
     case _: DayTimeIntervalType => "interval day to second"
     case ArrayType(e, _) => s"array(${trino(e)})"
