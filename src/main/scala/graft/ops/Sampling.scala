@@ -123,4 +123,45 @@ object Sampling {
         .when(u < lit(hexThreshold(valFrac + testFrac)), "test")
         .otherwise("train"))
   }
+
+  /** Temperature-resampled source mixture — the standard LLM data-mix
+    * op: sample source `s` with mixture weight `N_s^α / Σ N_t^α`
+    * (α = 0.5, i.e. sqrt scaling — upweights small sources, flattens
+    * large ones), scaled so the expected keep count is `targetFrac` of
+    * the corpus. Per-row keep rate for source s:
+    * `min(1, targetFrac·N_total·√N_s / Σ√N_t / N_s)`.
+    *
+    * Cross-engine exact: `sqrt` is correctly rounded IEEE on every
+    * engine, the Σ√N accumulation is order-independent via a decimal
+    * cast, the remaining chain is fixed-order double arithmetic, and
+    * the draw is the exact md5 52-bit uniform — so DuckDB replays the
+    * exact sample.
+    *
+    * Scale: two tiny aggregations (one row per source) broadcast back
+    * onto the corpus; the corpus itself is filtered in place with no
+    * shuffle. α is pinned to 0.5 because non-half powers go through
+    * `pow`, whose rounding is libm-specific — a cross-engine trap. */
+  def temperatureMixture(df: DataFrame, keyCol: String, sourceCol: String,
+      targetFrac: Double, salt: String = "mix"): DataFrame = {
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("graft_n"))
+    // corpus-wide totals attached via an unpartitioned window over the
+    // per-source counts (tiny: one row per source) — no cross join
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val rates = counts
+      .withColumn("graft_ntot", sum(col("graft_n")).over(all))
+      .withColumn("graft_z",
+        sum(sqrt(col("graft_n").cast("double"))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 10))).over(all)
+          .cast("double"))
+      .withColumn("graft_rate",
+        least(lit(1.0),
+          lit(targetFrac) * col("graft_ntot").cast("double")
+            * sqrt(col("graft_n").cast("double"))
+            / col("graft_z") / col("graft_n").cast("double")))
+      .select(col(sourceCol), col("graft_rate"))
+    df.join(broadcast(rates), sourceCol)
+      .filter(uniform01(col(keyCol), salt) < col("graft_rate"))
+      .drop("graft_rate")
+  }
 }

@@ -169,4 +169,43 @@ object TextAnalysis {
             s" i -> substring($textCol, i * $step + 1, $win))")))
       .select(col(idCol), col("pos").as("chunk_idx"), col("col").as("chunk"))
   }
+
+  /** Model-based quality scoring: train a character-bigram LM on the
+    * corpus itself (one aggregation pass), then score every document
+    * by its average bigram probability `avg P(c_{i+1} | c_i)` — the
+    * cheap stand-in for perplexity filtering (a doc full of improbable
+    * character transitions — mojibake, base64 blobs, keyboard mash —
+    * scores low; fluent text scores high). Unsmoothed is safe because
+    * the scored corpus IS the training corpus, so every observed
+    * bigram has a count.
+    *
+    * Cross-engine exact: each probability is one long→double division
+    * (correctly rounded everywhere); the per-doc accumulation goes
+    * through DECIMAL(18,12) so it is order-independent; the final
+    * divide by the pair count is a single double op. Avoiding `log`
+    * is deliberate — libm log rounding differs across engines.
+    *
+    * Scale: the model is ≤ alphabet² rows — broadcast both ways; the
+    * only corpus-sized shuffle is the per-doc partial aggregation.
+    * Chars explode linearly (same cost family as shingling). */
+  def charLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pairs = docs
+      .filter(length(col(textCol)) >= 2)
+      .select(col(idCol), col(textCol),
+        explode(sequence(lit(1), length(col(textCol)) - 1)).as("graft_i"))
+      .select(col(idCol),
+        expr(s"substring($textCol, graft_i, 1)").as("graft_a"),
+        expr(s"substring($textCol, graft_i, 2)").as("graft_ab"))
+    val ctx = pairs.groupBy(col("graft_a")).agg(count(lit(1)).as("graft_cnt_a"))
+    val bi = pairs.groupBy(col("graft_ab")).agg(count(lit(1)).as("graft_cnt_ab"))
+    pairs
+      .join(broadcast(bi), "graft_ab")
+      .join(broadcast(ctx), "graft_a")
+      .withColumn("graft_p",
+        col("graft_cnt_ab").cast("double") / col("graft_cnt_a").cast("double"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        (sum(col("graft_p").cast(org.apache.spark.sql.types.DecimalType(18, 12)))
+          .cast("double") / count(lit(1))).as("avg_p"))
+  }
 }

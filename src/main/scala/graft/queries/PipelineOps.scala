@@ -289,6 +289,17 @@ object PipelineOps {
           n = 5, saltKeyCol = "doc_id")
         .orderBy(col("source"), col("rank"))),
 
+    // Temperature-resampled source mixture (α = 0.5): the LLM
+    // data-mix op — sqrt-scaled source weights upweight small sources,
+    // expected keep = 25% of the corpus. Rates broadcast; the exact
+    // md5 draw makes DuckDB replay the exact sample.
+    "sample_temperature" -> ((s, d) =>
+      Sampling.temperatureMixture(
+          t(s, d, "documents").select(col("doc_id"), col("source")),
+          "doc_id", "source", targetFrac = 0.25)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
+
     // Train/val/test split assignment, summarized per split.
     "sample_split_counts" -> ((s, d) =>
       Sampling.split(t(s, d, "documents"), "doc_id", valFrac = 0.1, testFrac = 0.1)
@@ -317,6 +328,14 @@ object PipelineOps {
 
     // Repetition-ratio quality signal (1 − distinct/total 3-gram
     // shingles) — the boilerplate/spam filter axis.
+    // Corpus-trained character-bigram LM score (ops/TextAnalysis
+    // .charLmScore): the model-based quality signal next to the
+    // heuristic text_quality — avg P(next char | char), no log (libm
+    // rounding trap), decimal-exact accumulation.
+    "text_charlm_score" -> ((s, d) =>
+      TextAnalysis.charLmScore(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     "text_repetition" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"),
@@ -848,6 +867,35 @@ object PipelineOps {
         |        / 4503599627370496.0
         |      < LEAST(1.0, n_chars / 800.0)
         |ORDER BY doc_id""".stripMargin,
+
+    "sample_temperature" ->
+      """WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+        |tot AS (SELECT SUM(n) AS ntot,
+        |  CAST(SUM(CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(28,10))) AS DOUBLE) AS z
+        |  FROM counts),
+        |rates AS (SELECT source,
+        |  LEAST(CAST(1.0 AS DOUBLE),
+        |    0.25 * CAST(ntot AS DOUBLE) * sqrt(CAST(n AS DOUBLE)) / z
+        |      / CAST(n AS DOUBLE)) AS rate
+        |  FROM counts, tot)
+        |SELECT d.doc_id, d.source FROM documents d JOIN rates USING (source)
+        |WHERE (('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 13))::UBIGINT)
+        |        / 4503599627370496.0 < rate
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "text_charlm_score" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text, unnest(generate_series(1, length(text) - 1)) AS i
+        |  FROM documents WHERE length(text) >= 2),
+        |pairs AS (SELECT doc_id, substr(text, i, 1) AS a, substr(text, i, 2) AS ab
+        |          FROM pos),
+        |ctx AS (SELECT a, COUNT(*) AS cnt_a FROM pairs GROUP BY a),
+        |bi AS (SELECT ab, COUNT(*) AS cnt_ab FROM pairs GROUP BY ab)
+        |SELECT p.doc_id, COUNT(*) AS n_pairs,
+        |  CAST(SUM(CAST(CAST(cnt_ab AS DOUBLE) / CAST(cnt_a AS DOUBLE)
+        |                AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*) AS avg_p
+        |FROM pairs p JOIN bi USING (ab) JOIN ctx USING (a)
+        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
 
     "sample_group_uniform" ->
       """SELECT source, doc_id, CAST(rk AS INT) AS rank FROM (

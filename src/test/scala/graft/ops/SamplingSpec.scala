@@ -60,6 +60,40 @@ class SamplingSpec extends SparkSpec {
     assert(!a.exists(_ % 100 == 0))
   }
 
+  test("temperature mixture upweights small sources, hits the target total") {
+    // 10k docs from 'big', 400 from 'small' — α=0.5 should keep a far
+    // larger FRACTION of 'small' than of 'big'
+    val docs = spark.range(10400).select(col("id"),
+      when(col("id") < 10000, "big").otherwise("small").as("src"))
+    val kept = Sampling.temperatureMixture(docs.toDF(), "id", "src", targetFrac = 0.25)
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fracBig = kept.getOrElse("big", 0L) / 10000.0
+    val fracSmall = kept.getOrElse("small", 0L) / 400.0
+    assert(fracSmall > 2 * fracBig, s"small=$fracSmall big=$fracBig")
+    // expected totals: rate_s = 0.25 * 10400 * sqrt(N_s) / (sqrt(1e4)+sqrt(400)) / N_s
+    val z = math.sqrt(10000.0) + math.sqrt(400.0)
+    val expBig = 0.25 * 10400 * math.sqrt(10000.0) / z
+    val expSmall = math.min(400.0, 0.25 * 10400 * math.sqrt(400.0) / z)
+    assert(math.abs(kept("big") - expBig) / expBig < 0.05)
+    assert(math.abs(kept("small") - expSmall) / expSmall < 0.1)
+    // deterministic replay
+    val again = Sampling.temperatureMixture(docs.toDF(), "id", "src", targetFrac = 0.25)
+      .agg(count(lit(1))).collect()(0).getLong(0)
+    assert(again == kept.values.sum)
+  }
+
+  test("charLmScore ranks fluent text above character mash") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then the dog sleeps"),
+      (2L, "the cat and the dog and the fox ran over the hill to the barn door"),
+      (3L, "zq xj qz jx zx qj xq jz zq xj qz jx zx qj xq jz zq xj qz jx zx qj"))
+      .toDF("doc_id", "text")
+    val scores = TextAnalysis.charLmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(1) > scores(3) && scores(2) > scores(3),
+      s"fluent docs must outscore mash: $scores")
+  }
+
   test("salted topNPerGroup equals the plain one-window ranking on a skewed group") {
     // group "hot" holds 95% of rows — the web-domain skew case the
     // salted two-phase layout exists for
