@@ -484,7 +484,57 @@ object NativeExprs {
       copy(child = newChild)
   }
 
+  /** All adjacent character bigrams of a string as an array — the
+    * char-LM tokenization. One tight byte loop per ROW; the
+    * higher-order `transform(sequence(...), i -> substring(...))`
+    * composition evaluates an interpreted closure per CHARACTER
+    * (measured ~2.5 s per pass at sf0.1 vs milliseconds here).
+    * UTF-8 aware: bigrams are pairs of code points, sliced at byte
+    * offsets without re-walking the string per position. */
+  case class CharBigrams(child: Expression)
+      extends UnaryExpression with CodegenFallback with DeclaredInputTypes {
+    override def declaredInputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "char_bigrams"
+
+    protected override def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+      val n = bytes.length
+      // one pass to index code-point start offsets
+      var chars = 0
+      var i = 0
+      while (i < n) { chars += 1; i += utf8Len(bytes(i)) }
+      if (chars < 2) return new GenericArrayData(Array.empty[Any])
+      val starts = new Array[Int](chars + 1)
+      var c = 0
+      i = 0
+      while (i < n) { starts(c) = i; c += 1; i += utf8Len(bytes(i)) }
+      starts(chars) = n
+      val out = new Array[Any](chars - 1)
+      var k = 0
+      while (k < chars - 1) {
+        out(k) = org.apache.spark.unsafe.types.UTF8String
+          .fromBytes(bytes, starts(k), starts(k + 2) - starts(k))
+        k += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    @inline private def utf8Len(b: Byte): Int =
+      if ((b & 0x80) == 0) 1
+      else if ((b & 0xe0) == 0xc0) 2
+      else if ((b & 0xf0) == 0xe0) 3
+      else if ((b & 0xf8) == 0xf0) 4
+      else 1 // continuation/invalid byte: advance one (lenient)
+
+    override protected def withNewChildInternal(newChild: Expression): CharBigrams =
+      copy(child = newChild)
+  }
+
   // ---- Column API ----
+
+  def charBigrams(text: Column): Column =
+    ColumnBridge.column(CharBigrams(ColumnBridge.expression(text)))
 
   def minhashSig(shingleHashes: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingleHashes), numHashes))

@@ -189,20 +189,33 @@ object TextAnalysis {
     * only corpus-sized shuffle is the per-doc partial aggregation.
     * Chars explode linearly (same cost family as shingling). */
   def charLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val pairs = docs
+    // Bigrams come from the native CharBigrams expression (one byte
+    // loop per row) and materialize as an ARRAY in the projection
+    // BEFORE the explode, so Generate emits thin (id, 2-char) rows.
+    // The two rejected shapes both measured seconds at sf0.1: explode
+    // positions then substring (copies the whole document into every
+    // generated row), and transform+lambda (interpreted closure per
+    // character).
+    def pairs = docs
       .filter(length(col(textCol)) >= 2)
-      .select(col(idCol), col(textCol),
-        explode(sequence(lit(1), length(col(textCol)) - 1)).as("graft_i"))
       .select(col(idCol),
-        expr(s"substring($textCol, graft_i, 1)").as("graft_a"),
-        expr(s"substring($textCol, graft_i, 2)").as("graft_ab"))
-    val ctx = pairs.groupBy(col("graft_a")).agg(count(lit(1)).as("graft_cnt_a"))
-    val bi = pairs.groupBy(col("graft_ab")).agg(count(lit(1)).as("graft_cnt_ab"))
-    pairs
-      .join(broadcast(bi), "graft_ab")
-      .join(broadcast(ctx), "graft_a")
+        explode(graft.functions.NativeExprs.charBigrams(col(textCol))).as("graft_ab"))
+    // Train: ONE aggregation pass over the bigram stream (map-side
+    // combine shrinks it to ≤ alphabet² rows). The context count
+    // cnt(a) = Σ_b cnt(ab) falls out of the bigram counts themselves —
+    // a window over the tiny aggregate, not a second corpus pass.
+    val byA = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("graft_a"))
+    val model = pairs
+      .groupBy(col("graft_ab")).agg(count(lit(1)).as("graft_cnt_ab"))
+      .withColumn("graft_a", substring(col("graft_ab"), 1, 1))
+      .withColumn("graft_cnt_a", sum(col("graft_cnt_ab")).over(byA))
       .withColumn("graft_p",
         col("graft_cnt_ab").cast("double") / col("graft_cnt_a").cast("double"))
+      .select(col("graft_ab"), col("graft_p"))
+    // Score: second pass, broadcast-join the model, per-doc partial agg.
+    pairs
+      .join(broadcast(model), "graft_ab")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_pairs"),
         (sum(col("graft_p").cast(org.apache.spark.sql.types.DecimalType(18, 12)))

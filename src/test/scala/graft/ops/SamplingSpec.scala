@@ -82,6 +82,17 @@ class SamplingSpec extends SparkSpec {
     assert(again == kept.values.sum)
   }
 
+  test("CharBigrams native expression matches substring semantics incl. UTF-8") {
+    val df = Seq((1L, "abcd"), (2L, "añb"), (3L, "x"), (4L, ""))
+      .toDF("id", "s")
+      .select(col("id"),
+        graft.functions.NativeExprs.charBigrams(col("s")).as("bg"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(m(1L) == Seq("ab", "bc", "cd"))
+    assert(m(2L) == Seq("añ", "ñb")) // 2-byte code point sliced whole
+    assert(m(3L) == Seq.empty && m(4L) == Seq.empty)
+  }
+
   test("charLmScore ranks fluent text above character mash") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog and then the dog sleeps"),
