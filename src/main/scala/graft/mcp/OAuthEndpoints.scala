@@ -86,6 +86,7 @@ final class OAuthEndpoints(cfg: EngineConfig, selfUrl: String,
   def authorize(params: Map[String, String]): Either[String, String] = {
     val redirectUri = params.getOrElse("redirect_uri", "")
     for {
+      _ <- requireStateSecret()
       _ <- redirects.validate(redirectUri)
       up <- upstream.resolve(cfg.oidcIssuer)
       _ <- if (cfg.oidcClientId.nonEmpty) Right(())
@@ -114,6 +115,7 @@ final class OAuthEndpoints(cfg: EngineConfig, selfUrl: String,
     * the allowlist (defense-in-depth, docs/oauth.md). */
   def callback(params: Map[String, String]): Either[String, String] =
     for {
+      _ <- requireStateSecret()
       code <- params.get("code").filter(_.nonEmpty).toRight("missing code")
       state <- params.get("state").toRight("missing state")
       fields <- verifyState(state)
@@ -150,6 +152,12 @@ final class OAuthEndpoints(cfg: EngineConfig, selfUrl: String,
             else cfg.oidcClientSecret
     s.getBytes(StandardCharsets.UTF_8)
   }
+
+  /** Fail closed (400, not a 500 from an empty-key Mac) when no state
+    * secret is configured at all. */
+  private def requireStateSecret(): Either[String, Unit] =
+    if (stateSecret.nonEmpty) Right(())
+    else Left("proxy mode requires JWT_SECRET (or OIDC_CLIENT_SECRET) to sign state")
 
   private def signState(fields: ListMap[String, String]): String = {
     val payload = Json.write(fields).getBytes(StandardCharsets.UTF_8)

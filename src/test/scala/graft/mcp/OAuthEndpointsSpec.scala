@@ -99,6 +99,17 @@ class OAuthEndpointsSpec extends AnyFunSuite {
     assert(stubUpstream.lastTokenForm("grant_type") == "authorization_code")
   }
 
+  test("no state secret configured fails closed, not with a 500") {
+    val noSecret = EngineConfig.fromEnv(Map(
+      "OAUTH_ENABLED" -> "true", "OAUTH_MODE" -> "proxy",
+      "OAUTH_PROVIDER" -> "okta", "OIDC_ISSUER" -> "https://issuer.test",
+      "OIDC_CLIENT_ID" -> "cid")).toOption.get
+    val e = new OAuthEndpoints(noSecret, "http://localhost:8080", stubUpstream, () => NOW)
+    assert(e.authorize(Map("redirect_uri" -> "http://localhost:3000/cb")) ==
+      Left("proxy mode requires JWT_SECRET (or OIDC_CLIENT_SECRET) to sign state"))
+    assert(e.callback(Map("code" -> "c", "state" -> "x.y")).isLeft)
+  }
+
   test("metadata: proxy mode advertises self, native mode the issuer") {
     val proxyMeta = endpoints().authorizationServerMetadata
     assert(proxyMeta.contains(""""issuer":"http://localhost:8080""""))

@@ -123,6 +123,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "corpus should not shuffle for the anchor join")
   }
 
+  test("text_charlm_score: model joins broadcast, no corpus-sized SMJ") {
+    val p = plan("text_charlm_score")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("SortMergeJoin"),
+      "the bigram model must broadcast — a sort-merge join shuffles the whole pair stream")
+  }
+
+  test("sample_temperature: rates broadcast back, corpus filtered in place") {
+    val p = plan("sample_temperature")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("SortMergeJoin"),
+      "per-source rates are tiny — the corpus must not shuffle for the rate join")
+  }
+
   test("time_asof_join: window-based — zero join operators, one key shuffle") {
     val p = plan("time_asof_join")
     // union-tag-carry: no join operator of any kind in the plan
