@@ -497,44 +497,105 @@ object NativeExprs {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def prettyName: String = "char_bigrams"
 
-    protected override def nullSafeEval(input: Any): Any = {
-      val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
-      val n = bytes.length
-      // one pass to index code-point start offsets
-      var chars = 0
-      var i = 0
-      while (i < n) { chars += 1; i += utf8Len(bytes(i)) }
-      if (chars < 2) return new GenericArrayData(Array.empty[Any])
-      val starts = new Array[Int](chars + 1)
-      var c = 0
-      i = 0
-      while (i < n) { starts(c) = i; c += 1; i += utf8Len(bytes(i)) }
-      starts(chars) = n
-      val out = new Array[Any](chars - 1)
-      var k = 0
-      while (k < chars - 1) {
-        out(k) = org.apache.spark.unsafe.types.UTF8String
-          .fromBytes(bytes, starts(k), starts(k + 2) - starts(k))
-        k += 1
-      }
-      new GenericArrayData(out)
-    }
-
-    @inline private def utf8Len(b: Byte): Int =
-      if ((b & 0x80) == 0) 1
-      else if ((b & 0xe0) == 0xc0) 2
-      else if ((b & 0xf0) == 0xe0) 3
-      else if ((b & 0xf8) == 0xf0) 4
-      else 1 // continuation/invalid byte: advance one (lenient)
+    protected override def nullSafeEval(input: Any): Any =
+      new GenericArrayData(NativeExprs.bigramSlices(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+        .asInstanceOf[Array[Any]])
 
     override protected def withNewChildInternal(newChild: Expression): CharBigrams =
       copy(child = newChild)
   }
 
+  /** Apply a trained char-bigram LM to a document in one pass: struct
+    * (n_pairs, avg_p) where avg_p replays the batch scorer's exact
+    * arithmetic — each probability rounded to DECIMAL-12 before an
+    * exact (BigDecimal) accumulation, then one double division — so a
+    * stream scored with this expression equals the batch
+    * `TextAnalysis.charLmScore` bit for bit. Bigrams absent from the
+    * model are skipped (the batch path's inner join). The model is a
+    * small trained artifact (≤ alphabet² entries) baked into the
+    * expression/task closure — the train-offline / score-online
+    * split of a production quality filter. */
+  case class BigramAvgScore(child: Expression, model: Map[String, Double])
+      extends UnaryExpression with CodegenFallback with DeclaredInputTypes {
+    override def declaredInputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_pairs", LongType, nullable = false),
+      StructField("avg_p", DoubleType, nullable = true)))
+    override def prettyName: String = "bigram_avg_score"
+
+    @transient private lazy val lut: java.util.HashMap[String, java.lang.Double] = {
+      val m = new java.util.HashMap[String, java.lang.Double](model.size * 2)
+      model.foreach { case (k, v) => m.put(k, java.lang.Double.valueOf(v)) }
+      m
+    }
+
+    protected override def nullSafeEval(input: Any): Any = {
+      val bigrams = NativeExprs.bigramSlices(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+      var sum = java.math.BigDecimal.ZERO
+      var n = 0L
+      var i = 0
+      while (i < bigrams.length) {
+        val p = lut.get(bigrams(i).toString)
+        if (p != null) {
+          // mirror Spark's cast(double as decimal(18,12)): HALF_UP at
+          // scale 12 (ties are unreachable from doubles — see ops docs)
+          sum = sum.add(new java.math.BigDecimal(p.doubleValue)
+            .setScale(12, java.math.RoundingMode.HALF_UP))
+          n += 1L
+        }
+        i += 1
+      }
+      if (n == 0L) org.apache.spark.sql.catalyst.InternalRow(0L, null)
+      else org.apache.spark.sql.catalyst.InternalRow(n, sum.doubleValue() / n)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): BigramAvgScore =
+      copy(child = newChild)
+  }
+
+  /** Shared byte loop: all adjacent code-point bigrams as UTF8String
+    * slices, byte offsets indexed once (no per-position re-walk). */
+  private[functions] def bigramSlices(
+      s: org.apache.spark.unsafe.types.UTF8String)
+      : Array[org.apache.spark.unsafe.types.UTF8String] = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var chars = 0
+    var i = 0
+    while (i < n) { chars += 1; i += utf8Len(bytes(i)) }
+    if (chars < 2)
+      return Array.empty[org.apache.spark.unsafe.types.UTF8String]
+    val starts = new Array[Int](chars + 1)
+    var c = 0
+    i = 0
+    while (i < n) { starts(c) = i; c += 1; i += utf8Len(bytes(i)) }
+    starts(chars) = n
+    val out = new Array[org.apache.spark.unsafe.types.UTF8String](chars - 1)
+    var k = 0
+    while (k < chars - 1) {
+      out(k) = org.apache.spark.unsafe.types.UTF8String
+        .fromBytes(bytes, starts(k), starts(k + 2) - starts(k))
+      k += 1
+    }
+    out
+  }
+
+  @inline private def utf8Len(b: Byte): Int =
+    if ((b & 0x80) == 0) 1
+    else if ((b & 0xe0) == 0xc0) 2
+    else if ((b & 0xf0) == 0xe0) 3
+    else if ((b & 0xf8) == 0xf0) 4
+    else 1 // continuation/invalid byte: advance one (lenient)
+
   // ---- Column API ----
 
   def charBigrams(text: Column): Column =
     ColumnBridge.column(CharBigrams(ColumnBridge.expression(text)))
+
+  def bigramAvgScore(text: Column, model: Map[String, Double]): Column =
+    ColumnBridge.column(BigramAvgScore(ColumnBridge.expression(text), model))
 
   def minhashSig(shingleHashes: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingleHashes), numHashes))

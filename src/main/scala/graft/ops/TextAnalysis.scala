@@ -188,37 +188,44 @@ object TextAnalysis {
     * Scale: the model is ≤ alphabet² rows — broadcast both ways; the
     * only corpus-sized shuffle is the per-doc partial aggregation.
     * Chars explode linearly (same cost family as shingling). */
-  def charLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // Bigrams come from the native CharBigrams expression (one byte
-    // loop per row) and materialize as an ARRAY in the projection
-    // BEFORE the explode, so Generate emits thin (id, 2-char) rows.
-    // The two rejected shapes both measured seconds at sf0.1: explode
-    // positions then substring (copies the whole document into every
-    // generated row), and transform+lambda (interpreted closure per
-    // character).
-    def pairs = docs
+  /** The bigram stream: thin (id, 2-char) rows. Bigrams come from the
+    * native CharBigrams expression (one byte loop per row) and
+    * materialize as an ARRAY in the projection BEFORE the explode.
+    * The two rejected shapes both measured seconds at sf0.1: explode
+    * positions then substring (copies the whole document into every
+    * generated row), and transform+lambda (interpreted closure per
+    * character). */
+  private def bigramPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
       .filter(length(col(textCol)) >= 2)
       .select(col(idCol),
         explode(graft.functions.NativeExprs.charBigrams(col(textCol))).as("graft_ab"))
-    // Train: ONE aggregation pass over the bigram stream (map-side
-    // combine shrinks it to ≤ alphabet² rows). The context count
-    // cnt(a) = Σ_b cnt(ab) falls out of the bigram counts themselves —
-    // a window over the tiny aggregate, not a second corpus pass.
+
+  /** Train the character-bigram LM: ONE aggregation pass over the
+    * bigram stream (map-side combine shrinks it to ≤ alphabet² rows).
+    * The context count cnt(a) = Σ_b cnt(ab) falls out of the bigram
+    * counts themselves — a window over the tiny aggregate, not a
+    * second corpus pass. Output: (graft_ab, graft_p) — the trained
+    * artifact, small enough to broadcast or collect. */
+  def charLmModel(docs: DataFrame, textCol: String,
+      idCol: String = "doc_id"): DataFrame = {
     val byA = org.apache.spark.sql.expressions.Window
       .partitionBy(col("graft_a"))
-    val model = pairs
+    bigramPairs(docs, idCol, textCol)
       .groupBy(col("graft_ab")).agg(count(lit(1)).as("graft_cnt_ab"))
       .withColumn("graft_a", substring(col("graft_ab"), 1, 1))
       .withColumn("graft_cnt_a", sum(col("graft_cnt_ab")).over(byA))
       .withColumn("graft_p",
         col("graft_cnt_ab").cast("double") / col("graft_cnt_a").cast("double"))
       .select(col("graft_ab"), col("graft_p"))
+  }
+
+  def charLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     // Score: second pass, broadcast-join the model, per-doc partial agg.
-    pairs
-      .join(broadcast(model), "graft_ab")
+    bigramPairs(docs, idCol, textCol)
+      .join(broadcast(charLmModel(docs, textCol, idCol)), "graft_ab")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_pairs"),
         (sum(col("graft_p").cast(org.apache.spark.sql.types.DecimalType(18, 12)))
           .cast("double") / count(lit(1))).as("avg_p"))
-  }
 }

@@ -77,6 +77,24 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Score a document stream with a batch-trained char-bigram LM —
+    * the train-offline / score-online split of a production quality
+    * filter: the model (≤ alphabet² entries, from
+    * `TextAnalysis.charLmModel(...).collect()`) is baked into a native
+    * expression, so scoring is a stateless per-row projection (append
+    * mode, no streaming aggregation state) that replays the batch
+    * scorer's exact arithmetic — streaming output equals
+    * `TextAnalysis.charLmScore` bit for bit on the same documents. */
+  def charLmScoreStream(docs: DataFrame, model: Map[String, Double],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .filter(length(col(textCol)) >= 2)
+      .select(col(idCol),
+        graft.functions.NativeExprs.bigramAvgScore(col(textCol), model).as("graft_s"))
+      .filter(col("graft_s.n_pairs") > 0)
+      .select(col(idCol), col("graft_s.n_pairs").as("n_pairs"),
+        col("graft_s.avg_p").as("avg_p"))
+
   /** Custom sessionization with explicit keyed state
     * (flatMapGroupsWithState): per-user open-session state, event-time
     * timeout at `gapSeconds` past the watermark, emitting one closed

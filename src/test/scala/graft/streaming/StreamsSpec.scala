@@ -100,6 +100,32 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming char-LM scoring with a batch-trained model equals batch bit for bit") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.engine.Tables.load(spark, dir, "documents")
+    // offline: train the model in batch, collect the small artifact
+    val model = graft.ops.TextAnalysis.charLmModel(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val watched = java.nio.file.Files.createTempDirectory("graft-lm-stream")
+    watched.toFile.deleteOnExit()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      watched.resolve("documents.parquet"))
+    // online: stateless scoring of the stream with the trained model
+    val q = graft.streaming.Streams.charLmScoreStream(
+        spark.readStream.schema(docs.schema).parquet(watched.toString), model)
+      .writeStream.format("memory").queryName("stream_lm")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streaming = spark.table("stream_lm").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      val batch = graft.ops.TextAnalysis.charLmScore(docs, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(streaming.nonEmpty && streaming == batch) // exact, incl. doubles
+    } finally q.stop()
+  }
+
   test("streaming PII scrub equals batch (stateless projection)") {
     // redaction on the ingest stream — same scrubPii column expression,
     // no state, so streaming output must equal the batch projection
