@@ -524,8 +524,16 @@ object TrinoFunctions {
   }
 
   /** Install the shims + native extensions into the session's function
-    * registry (idempotent; createOrReplace). */
+    * registry (idempotent; createOrReplace). The replace-warning logger
+    * is lowered to ERROR first: overriding built-in names (strpos,
+    * date_format, …) with the Trino-semantics versions is the POINT of
+    * the dialect layer, and ~60 WARN lines per session would drown real
+    * signal in the bench/driver logs. */
   def register(spark: SparkSession): Unit = {
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => } // logging impl absent: warnings are harmless
     val registry = spark.sessionState.functionRegistry
     (shims ++ graftNatives).foreach { case (name, builder) =>
       registry.createOrReplaceTempFunction(name, builder, "scala_udf")
