@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.HyperLogLogPlusPlus
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType, TimestampType}
+import org.apache.spark.sql.types.{DateType, DoubleType, LongType, StringType, TimestampType}
 
 /** Trino SQL dialect shims (SURVEY.md §4 custom piece 1): function
   * names and argument orders the reference's promised surface uses that
@@ -296,6 +296,41 @@ object TrinoFunctions {
       case Seq(ts, fmt) => DateFormatClass(Cast(ts, TimestampType), fmt)
       case args => throw new IllegalArgumentException(
         s"date_format expects 2 args, got ${args.length}")
+    },
+
+    // date_parse(s, '%Y-%m-%d …') — the inverse of date_format, same
+    // MySQL %-token translation feeding to_timestamp
+    "date_parse" -> {
+      case Seq(s, Literal(v, _)) if v != null && v.toString.contains("%") =>
+        new ParseToTimestamp(s, Literal(mysqlToJavaPattern(v.toString)))
+      case Seq(s, fmt) => new ParseToTimestamp(s, fmt)
+      case args => throw new IllegalArgumentException(
+        s"date_parse expects 2 args, got ${args.length}")
+    },
+
+    // ISO-8601 bridge functions (public Trino docs, datetime functions):
+    // from_iso8601_timestamp/date parse the standard wire format;
+    // to_iso8601 renders it. Spark's casts already speak ISO-8601 for
+    // dates and space-separated timestamps; normalize the 'T'.
+    "from_iso8601_timestamp" -> {
+      case Seq(s) =>
+        Cast(StringReplace(s, Literal("T"), Literal(" ")), TimestampType)
+      case args => throw new IllegalArgumentException(
+        s"from_iso8601_timestamp expects 1 arg, got ${args.length}")
+    },
+    "from_iso8601_date" -> {
+      case Seq(s) => Cast(s, DateType)
+      case args => throw new IllegalArgumentException(
+        s"from_iso8601_date expects 1 arg, got ${args.length}")
+    },
+    "to_iso8601" -> {
+      case Seq(x) => x match {
+        case d if d.dataType == DateType => Cast(d, StringType)
+        case ts => DateFormatClass(Cast(ts, TimestampType),
+          Literal("yyyy-MM-dd'T'HH:mm:ss.SSS"))
+      }
+      case args => throw new IllegalArgumentException(
+        s"to_iso8601 expects 1 arg, got ${args.length}")
     })
 
   /** Joda-Time pattern (Trino format_datetime) → JVM DateTimeFormatter

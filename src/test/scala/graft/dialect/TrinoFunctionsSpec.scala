@@ -125,6 +125,27 @@ class TrinoFunctionsSpec extends SparkSpec {
       == "2001 is 100% done")
   }
 
+  test("date_parse inverts date_format via the same %-token translation") {
+    assert(one("SELECT date_parse('2001-08-22 03:04:05', '%Y-%m-%d %H:%i:%s')")
+      .toString == "2001-08-22 03:04:05.0")
+    assert(one("SELECT date_parse('22/08/2001', '%d/%m/%Y')")
+      .toString == "2001-08-22 00:00:00.0")
+    // round trip
+    assert(one("SELECT date_format(date_parse('2001-08-22', '%Y-%m-%d'), '%Y-%m-%d')")
+      == "2001-08-22")
+  }
+
+  test("ISO-8601 bridge: from_iso8601_timestamp/date and to_iso8601") {
+    assert(one("SELECT from_iso8601_timestamp('2001-08-22T03:04:05')")
+      .toString == "2001-08-22 03:04:05.0")
+    assert(one("SELECT from_iso8601_timestamp('2001-08-22 03:04:05')")
+      .toString == "2001-08-22 03:04:05.0")
+    assert(one("SELECT from_iso8601_date('2001-08-22')").toString == "2001-08-22")
+    assert(one("SELECT to_iso8601(TIMESTAMP '2001-08-22 03:04:05.120')")
+      == "2001-08-22T03:04:05.120")
+    assert(one("SELECT to_iso8601(DATE '2001-08-22')") == "2001-08-22")
+  }
+
   test("ISO date-part functions match Trino numbering") {
     // 2001-08-22 was a Wednesday: ISO dow = 3 (Spark's dayofweek says 4)
     assert(one("SELECT day_of_week(DATE '2001-08-22')") == 3)
