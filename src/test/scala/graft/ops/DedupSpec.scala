@@ -36,6 +36,23 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a >= 4L || b >= 4L })
   }
 
+  test("MinHash LSH recalls every exact-Jaccard pair of the real corpus") {
+    // ground truth: the blocked-quadratic exact operator, unblocked
+    // (single block) so no pair escapes the comparison
+    val corpus = graft.engine.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("one", org.apache.spark.sql.functions.lit(1))
+    val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        blockCols = Seq("one"), n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minHashPairs(corpus, "doc_id", "text",
+        k = 3, numHashes = 32, bands = 8, jaccardThreshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "corpus should contain near-dup pairs")
+    val missed = exact -- lsh
+    assert(missed.isEmpty,
+      s"LSH missed ${missed.size}/${exact.size} true pairs: ${missed.take(5)}")
+  }
+
   test("MinHash pair jaccard is 1.0 for exact duplicates") {
     val j = Dedup.minHashPairs(docs, "doc_id", "text",
         k = 3, numHashes = 32, bands = 8, jaccardThreshold = 0.5)
