@@ -33,6 +33,16 @@ class ServicesSpec extends SparkSpec {
     assert(r.rows.length == 5 && !r.truncated)
   }
 
+  test("execute: TIME values flow through the tool surface to JSON") {
+    val r = new QueryService(engine())
+      .execute("SELECT TIME'12:34:56' AS t, make_time(1, 2, 3.5) AS mk")
+      .toOption.get
+    assert(r.rows == Seq(Seq(java.time.LocalTime.of(12, 34, 56),
+      java.time.LocalTime.parse("01:02:03.500"))))
+    val json = graft.service.Json.write(Map("t" -> r.rows.head.head))
+    assert(json.contains("\"12:34:56\""))
+  }
+
   test("execute: trailing semicolon stripped") {
     assert(new QueryService(engine()).execute("SELECT 1 AS x;").toOption.get.rows ==
       Seq(Seq(1)))
