@@ -189,8 +189,16 @@ class HttpTransport(server: StdioServer, port: Int, version: String = "dev",
 
   http.createContext("/status", (ex: HttpExchange) => {
     cors(ex)
-    respond(ex, 200, Json.write(ListMap(
-      "status" -> "ok", "name" -> "mcp-graft-spark", "version" -> version)))
+    // oauth status mirrors the reference's getOAuthStatus log line
+    // (server.go:119-121: enabled + mode + provider)
+    val oauthStatus: ListMap[String, Any] = oauth match {
+      case Some(oa) => ListMap("oauth" -> ListMap(
+        "enabled" -> true, "mode" -> oa.mode, "provider" -> oa.provider))
+      case None => ListMap("oauth" -> ListMap("enabled" -> false))
+    }
+    respond(ex, 200, Json.write(ListMap[String, Any](
+      "status" -> "ok", "name" -> "mcp-graft-spark", "version" -> version)
+      ++ oauthStatus))
     ex.close()
   })
 

@@ -41,6 +41,13 @@ final class OAuthEndpoints(cfg: EngineConfig, selfUrl: String,
   private val redirects = new RedirectUris(cfg.oauthRedirectUris)
   private val stateTtlMillis = 10 * 60 * 1000L
 
+  /** Upstream endpoints resolved once per server (the metadata
+    * endpoint must not re-run issuer discovery per request). */
+  private lazy val resolvedUpstream = upstream.resolve(cfg.oidcIssuer).toOption
+
+  def mode: String = cfg.oauthMode
+  def provider: String = cfg.oauthProvider
+
   // ---------- discovery metadata ----------
 
   /** RFC 8414-shaped authorization-server metadata. Proxy mode points
@@ -56,7 +63,7 @@ final class OAuthEndpoints(cfg: EngineConfig, selfUrl: String,
           "authorization_endpoint" -> s"$selfUrl/oauth/authorize",
           "token_endpoint" -> s"$selfUrl/oauth/token")
       else if (cfg.oidcIssuer.nonEmpty)
-        upstream.resolve(cfg.oidcIssuer).map(u => ListMap(
+        resolvedUpstream.map(u => ListMap(
           "authorization_endpoint" -> u.authorizeUrl,
           "token_endpoint" -> u.tokenUrl)).getOrElse(ListMap.empty)
       else ListMap.empty

@@ -186,6 +186,10 @@ class HttpTransportSpec extends SparkSpec {
           HttpResponse.BodyHandlers.ofString())
       val meta = get("/.well-known/oauth-authorization-server")
       assert(meta.statusCode() == 200 && meta.body().contains("authorization_endpoint"))
+      // /status reports oauth state (server.go:119-121)
+      val st = get("/status")
+      assert(st.body().contains("\"mode\":\"proxy\"") &&
+        st.body().contains("\"provider\":\"okta\""), st.body())
       assert(get("/.well-known/oauth-metadata").statusCode() == 200)
       val prm = get("/.well-known/oauth-protected-resource")
       assert(prm.statusCode() == 200 && prm.body().contains("authorization_servers"))
