@@ -27,7 +27,8 @@ import graft.service.Json
   */
 class HttpTransport(server: StdioServer, port: Int, version: String = "dev",
     auth: Option[graft.security.BearerAuth] = None,
-    oauth: Option[OAuthEndpoints] = None) {
+    oauth: Option[OAuthEndpoints] = None,
+    publicUrl: Option[String] = None) {
 
   private val http = HttpServer.create(new InetSocketAddress(port), 0)
   // A real pool: the default (single dispatcher thread) would let one
@@ -202,19 +203,28 @@ class HttpTransport(server: StdioServer, port: Int, version: String = "dev",
     ex.close()
   })
 
-  /** 401 headers with discovery pointers (server.go:185-196). */
+  /** 401 challenge with the discovery pointer (server.go:185-196).
+    * ONE Bearer challenge: RFC 9728 makes resource_metadata a
+    * PARAMETER of the Bearer scheme — a second bare header would not
+    * parse as an RFC 7235 challenge (every value must start with a
+    * scheme) and clients would never find the metadata URL. */
   private def deniedHeaders(ex: HttpExchange): Unit = {
-    val h = ex.getResponseHeaders
-    h.add("WWW-Authenticate",
-      """Bearer realm="OAuth", error="invalid_token", error_description="Missing or invalid access token"""")
-    if (oauth.isDefined)
-      h.add("WWW-Authenticate",
-        s"""resource_metadata="${selfUrlFor(ex)}/.well-known/oauth-protected-resource"""")
+    val base =
+      """Bearer realm="OAuth", error="invalid_token", error_description="Missing or invalid access token""""
+    val challenge =
+      if (oauth.isDefined)
+        base + s""", resource_metadata="${selfUrlFor(ex)}/.well-known/oauth-protected-resource""""
+      else base
+    ex.getResponseHeaders.add("WWW-Authenticate", challenge)
   }
 
+  /** Public base URL: MCP_URL override first (the reference's env,
+    * server.go:116 — required behind TLS terminators / non-local
+    * deployments), then the request Host, then the bound port. */
   private def selfUrlFor(ex: HttpExchange): String =
-    Option(ex.getRequestHeaders.getFirst("Host"))
-      .map(host => s"http://$host").getOrElse(s"http://localhost:$boundPort")
+    publicUrl
+      .orElse(Option(ex.getRequestHeaders.getFirst("Host")).map(h => s"http://$h"))
+      .getOrElse(s"http://localhost:$boundPort")
 
   // ---- OAuth discovery + proxy endpoints (server.go:95-97,124-128:
   // well-known metadata, /oauth/callback, /callback alias) ----
@@ -309,10 +319,14 @@ object HttpMain {
         System.err.println(s"config error: $err"); sys.exit(1)
       case Right(cfg) =>
         val engine = new graft.engine.Engine(cfg, Some(dataDir))
+        // MCP_URL is the reference's public-URL override (server.go:116)
+        val publicUrl = sys.env.get("MCP_URL").filter(_.nonEmpty)
+        val selfUrl = publicUrl.getOrElse(s"http://localhost:$port")
         val transport = new HttpTransport(new StdioServer(engine), port,
           auth = graft.security.BearerAuth.fromConfig(cfg),
           oauth = if (cfg.oauthEnabled)
-            Some(new OAuthEndpoints(cfg, s"http://localhost:$port")) else None)
+            Some(new OAuthEndpoints(cfg, selfUrl)) else None,
+          publicUrl = publicUrl)
         if (cfg.oauthEnabled)
           System.err.println(s"[graft-mcp] OAuth enabled (mode: ${cfg.oauthMode}, " +
             s"provider: ${cfg.oauthProvider})")

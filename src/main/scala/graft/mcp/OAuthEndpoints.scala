@@ -41,9 +41,19 @@ final class OAuthEndpoints(cfg: EngineConfig, selfUrl: String,
   private val redirects = new RedirectUris(cfg.oauthRedirectUris)
   private val stateTtlMillis = 10 * 60 * 1000L
 
-  /** Upstream endpoints resolved once per server (the metadata
-    * endpoint must not re-run issuer discovery per request). */
-  private lazy val resolvedUpstream = upstream.resolve(cfg.oidcIssuer).toOption
+  /** Upstream endpoints, memoized on SUCCESS only: a transient
+    * discovery failure must not be cached for the life of the server
+    * (it would permanently cripple metadata/authorize/token), and a
+    * success must not be re-fetched per request. */
+  @volatile private var upstreamCache: Option[OAuthEndpoints.UpstreamEndpoints] = None
+  private def resolveUpstream(): Either[String, OAuthEndpoints.UpstreamEndpoints] =
+    upstreamCache match {
+      case Some(u) => Right(u)
+      case None =>
+        val r = upstream.resolve(cfg.oidcIssuer)
+        r.foreach(u => upstreamCache = Some(u))
+        r
+    }
 
   def mode: String = cfg.oauthMode
   def provider: String = cfg.oauthProvider
@@ -63,7 +73,7 @@ final class OAuthEndpoints(cfg: EngineConfig, selfUrl: String,
           "authorization_endpoint" -> s"$selfUrl/oauth/authorize",
           "token_endpoint" -> s"$selfUrl/oauth/token")
       else if (cfg.oidcIssuer.nonEmpty)
-        resolvedUpstream.map(u => ListMap(
+        resolveUpstream().toOption.map(u => ListMap(
           "authorization_endpoint" -> u.authorizeUrl,
           "token_endpoint" -> u.tokenUrl)).getOrElse(ListMap.empty)
       else ListMap.empty
@@ -95,7 +105,7 @@ final class OAuthEndpoints(cfg: EngineConfig, selfUrl: String,
     for {
       _ <- requireStateSecret()
       _ <- redirects.validate(redirectUri)
-      up <- upstream.resolve(cfg.oidcIssuer)
+      up <- resolveUpstream()
       _ <- if (cfg.oidcClientId.nonEmpty) Right(())
            else Left("OIDC_CLIENT_ID is not configured for proxy mode")
     } yield {
@@ -143,7 +153,7 @@ final class OAuthEndpoints(cfg: EngineConfig, selfUrl: String,
     * mode: the client never sees them, docs/oauth.md). */
   def token(form: Map[String, String]): Either[String, String] =
     for {
-      up <- upstream.resolve(cfg.oidcIssuer)
+      up <- resolveUpstream()
       resp <- upstream.postToken(up.tokenUrl, form ++ ListMap(
         "client_id" -> cfg.oidcClientId,
         "client_secret" -> cfg.oidcClientSecret,
@@ -245,13 +255,20 @@ object OAuthEndpoints {
     }
   }
 
-  /** Parse a query/form string into a map (last value wins). */
-  def parseParams(s: String): Map[String, String] =
+  /** Parse a query/form string into a map (last value wins). Total:
+    * malformed percent-encoding (`%zz`) drops the pair instead of
+    * letting URLDecoder's IllegalArgumentException escape the HTTP
+    * handler (which would reset the connection with no response). */
+  def parseParams(s: String): Map[String, String] = {
+    def dec(x: String): Option[String] =
+      try Some(URLDecoder.decode(x, "UTF-8"))
+      catch { case _: IllegalArgumentException => None }
     Option(s).filter(_.nonEmpty).toSeq.flatMap(_.split('&')).flatMap { kv =>
       kv.split("=", 2) match {
-        case Array(k, v) => Some(URLDecoder.decode(k, "UTF-8") -> URLDecoder.decode(v, "UTF-8"))
-        case Array(k) if k.nonEmpty => Some(URLDecoder.decode(k, "UTF-8") -> "")
+        case Array(k, v) => for (dk <- dec(k); dv <- dec(v)) yield dk -> dv
+        case Array(k) if k.nonEmpty => dec(k).map(_ -> "")
         case _ => None
       }
     }.toMap
+  }
 }

@@ -90,8 +90,10 @@ object Multimodal {
     }(enc)
   }
 
-  /** Header-only decode → metadata row (cheap: no inflate for PNG). */
-  def decodeMeta(payload: Array[Byte]): Row = {
+  /** Header-only decode → metadata row (cheap: no inflate for PNG, no
+    * sample materialization for WAV). Total: a malformed payload
+    * yields an "unknown" row, never a task-killing exception. */
+  def decodeMeta(payload: Array[Byte]): Row = try {
     val nBytes = if (payload == null) 0L else payload.length.toLong
     MediaSniff.sniff(payload) match {
       case f @ ("png" | "jpeg" | "gif" | "bmp") =>
@@ -99,12 +101,16 @@ object Multimodal {
           case Some((w, h)) => Row(f, w, h, null, null, nBytes)
           case None => Row("unknown", null, null, null, null, nBytes)
         }
-      case "wav" => Wav.decode(payload) match {
-        case Right(d) => Row("wav", null, null, d.sampleRate, d.samples.length.toLong, nBytes)
+      case "wav" => Wav.decodeHeader(payload) match {
+        case Right(h) => Row("wav", null, null, h.sampleRate, h.nSamples, nBytes)
         case Left(_) => Row("unknown", null, null, null, null, nBytes)
       }
       case _ => Row("unknown", null, null, null, null, nBytes)
     }
+  } catch {
+    case _: Exception =>
+      Row("unknown", null, null, null, null,
+        if (payload == null) 0L else payload.length.toLong)
   }
 
   /** Full-frame batch decode — inflate + unfilter every PNG, PCM-parse
@@ -137,7 +143,7 @@ object Multimodal {
   /** Decode a payload to its 0..255 value stream: PNG → pixel bytes,
     * WAV → PCM samples mapped back to the generator domain. */
   private def decodeValues(bytes: Array[Byte]): Option[(String, Array[Int])] =
-    MediaSniff.sniff(bytes) match {
+    try MediaSniff.sniff(bytes) match {
       case "png" => Png.decode(bytes).toOption.map { d =>
         ("png", d.pixels.map(b => b & 0xff))
       }
@@ -145,7 +151,7 @@ object Multimodal {
         ("wav", d.samples.map(s => s / 128 + 128))
       }
       case _ => None
-    }
+    } catch { case _: Exception => None }
 
   /** Frame-sample: every `stride`-th decoded value (pixel subsample /
     * PCM decimation) as the feature-extractor input. */

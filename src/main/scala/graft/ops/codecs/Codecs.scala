@@ -75,7 +75,9 @@ object Png {
     var sawEnd = false
     while (pos + 8 <= bytes.length && !sawEnd) {
       val len = readInt(bytes, pos)
-      if (len < 0 || pos + 12 + len > bytes.length) return Left("corrupt PNG: bad chunk length")
+      // Long arithmetic: a crafted len near Int.MaxValue must not wrap
+      // the bound check and escape as an uncaught exception
+      if (len < 0 || pos.toLong + 12L + len > bytes.length) return Left("corrupt PNG: bad chunk length")
       val ctype = new String(bytes, pos + 4, 4, StandardCharsets.US_ASCII)
       ctype match {
         case "IHDR" =>
@@ -157,7 +159,11 @@ object Png {
       val buf = new Array[Byte](8192)
       while (!inf.finished()) {
         val n = inf.inflate(buf)
-        if (n == 0 && inf.needsInput()) throw new java.util.zip.DataFormatException("truncated")
+        // ANY zero-progress state (truncated input, FDICT preset
+        // dictionary) is corrupt — looping on finished() alone would
+        // spin forever on a crafted zlib header
+        if (n == 0 && !inf.finished()) throw new java.util.zip.DataFormatException(
+          if (inf.needsDictionary()) "preset dictionary unsupported" else "truncated")
         out.write(buf, 0, n)
       }
       inf.end()
@@ -228,9 +234,35 @@ object Wav {
   final case class Decoded(channels: Int, sampleRate: Int, bitsPerSample: Int,
       samples: Array[Short])
 
+  final case class Header(channels: Int, sampleRate: Int, bitsPerSample: Int,
+      nSamples: Long)
+
+  /** Header-only parse: fmt descriptor + data-chunk LENGTH, no sample
+    * materialization — the metadata path must not pay a full PCM
+    * decode (and its Array[Short]) per corpus row at ingest. */
+  def decodeHeader(bytes: Array[Byte]): Either[String, Header] =
+    walkChunks(bytes).map { case (ch, rate, bits, _, dataLen) =>
+      Header(ch, rate, bits, dataLen / 2L)
+    }
+
   /** Parse RIFF chunks (tolerating extras like LIST), read the fmt
     * descriptor, and decode the PCM16 payload. */
-  def decode(bytes: Array[Byte]): Either[String, Decoded] = {
+  def decode(bytes: Array[Byte]): Either[String, Decoded] =
+    walkChunks(bytes).map { case (ch, rate, bits, dataOff, dataLen) =>
+      val n = dataLen / 2
+      val samples = new Array[Short](n)
+      var i = 0
+      while (i < n) {
+        samples(i) = ((bytes(dataOff + 2 * i) & 0xff) |
+          (bytes(dataOff + 2 * i + 1) << 8)).toShort
+        i += 1
+      }
+      Decoded(ch, rate, bits, samples)
+    }
+
+  /** Shared RIFF walk → (channels, rate, bits, dataOff, dataLen). */
+  private def walkChunks(bytes: Array[Byte])
+      : Either[String, (Int, Int, Int, Int, Int)] = {
     if (bytes == null || bytes.length < 44) return Left("not a WAV: too short")
     def ascii(off: Int, n: Int) = new String(bytes, off, n, StandardCharsets.US_ASCII)
     def le32(off: Int): Int =
@@ -244,7 +276,8 @@ object Wav {
     while (pos + 8 <= bytes.length) {
       val cid = ascii(pos, 4)
       val clen = le32(pos + 4)
-      if (clen < 0 || pos + 8 + clen > bytes.length) return Left("corrupt WAV: bad chunk length")
+      // Long arithmetic: crafted ~2GB chunk lengths must not wrap
+      if (clen < 0 || pos.toLong + 8L + clen > bytes.length) return Left("corrupt WAV: bad chunk length")
       cid match {
         case "fmt " =>
           if (clen < 16) return Left("corrupt WAV: fmt chunk too short")
@@ -261,17 +294,7 @@ object Wav {
     if (channelsN <= 0 || rate <= 0) Left("corrupt WAV: no fmt chunk")
     else if (dataOff < 0) Left("corrupt WAV: no data chunk")
     else if (bits != 16) Left(s"unsupported WAV bit depth $bits (PCM16 only)")
-    else {
-      val n = dataLen / 2
-      val samples = new Array[Short](n)
-      var i = 0
-      while (i < n) {
-        samples(i) = ((bytes(dataOff + 2 * i) & 0xff) |
-          (bytes(dataOff + 2 * i + 1) << 8)).toShort
-        i += 1
-      }
-      Right(Decoded(channelsN, rate, bits, samples))
-    }
+    else Right((channelsN, rate, bits, dataOff, dataLen))
   }
 }
 

@@ -1093,20 +1093,20 @@ object PipelineOps {
 
     "mm_blob_meta" ->
       """SELECT doc_id,
-        |  CASE WHEN length(text) % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
-        |  CASE WHEN length(text) % 2 = 0
-        |       THEN CAST(length(text) % 64 + 8 AS INT) END AS width,
-        |  CASE WHEN length(text) % 2 = 0
-        |       THEN CAST(length(text) % 48 + 8 AS INT) END AS height,
-        |  CASE WHEN length(text) % 2 = 1 THEN CAST(16000 AS INT) END AS sample_rate,
-        |  CASE WHEN length(text) % 2 = 1
-        |       THEN CAST(length(text) % 512 + 64 AS BIGINT) END AS n_samples
+        |  CASE WHEN length(coalesce(text, '')) % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
+        |  CASE WHEN length(coalesce(text, '')) % 2 = 0
+        |       THEN CAST(length(coalesce(text, '')) % 64 + 8 AS INT) END AS width,
+        |  CASE WHEN length(coalesce(text, '')) % 2 = 0
+        |       THEN CAST(length(coalesce(text, '')) % 48 + 8 AS INT) END AS height,
+        |  CASE WHEN length(coalesce(text, '')) % 2 = 1 THEN CAST(16000 AS INT) END AS sample_rate,
+        |  CASE WHEN length(coalesce(text, '')) % 2 = 1
+        |       THEN CAST(length(coalesce(text, '')) % 512 + 64 AS BIGINT) END AS n_samples
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "mm_audio_windows" ->
       """WITH m AS (
-        |  SELECT doc_id, CAST(length(text) % 512 + 64 AS BIGINT) AS n_samples
-        |  FROM documents WHERE length(text) % 2 = 1),
+        |  SELECT doc_id, CAST(length(coalesce(text, '')) % 512 + 64 AS BIGINT) AS n_samples
+        |  FROM documents WHERE length(coalesce(text, '')) % 2 = 1),
         |w AS (
         |  SELECT doc_id, n_samples,
         |    unnest(generate_series(0, (n_samples - 64) // 32)) AS i
@@ -1118,9 +1118,9 @@ object PipelineOps {
     "mm_frame_sample" ->
       """WITH n AS (
         |  SELECT doc_id,
-        |    CASE WHEN length(text) % 2 = 0
-        |         THEN (length(text) % 64 + 8) * (length(text) % 48 + 8)
-        |         ELSE length(text) % 512 + 64 END AS n
+        |    CASE WHEN length(coalesce(text, '')) % 2 = 0
+        |         THEN (length(coalesce(text, '')) % 64 + 8) * (length(coalesce(text, '')) % 48 + 8)
+        |         ELSE length(coalesce(text, '')) % 512 + 64 END AS n
         |  FROM documents)
         |SELECT doc_id, CAST((n + 255) // 256 AS INT) AS n_frames
         |FROM n ORDER BY doc_id""".stripMargin,
@@ -1128,10 +1128,10 @@ object PipelineOps {
     "mm_decode_batch" ->
       """WITH n AS (
         |  SELECT doc_id,
-        |    CASE WHEN length(text) % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
-        |    CASE WHEN length(text) % 2 = 0
-        |         THEN (length(text) % 64 + 8) * (length(text) % 48 + 8)
-        |         ELSE length(text) % 512 + 64 END AS n
+        |    CASE WHEN length(coalesce(text, '')) % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
+        |    CASE WHEN length(coalesce(text, '')) % 2 = 0
+        |         THEN (length(coalesce(text, '')) % 64 + 8) * (length(coalesce(text, '')) % 48 + 8)
+        |         ELSE length(coalesce(text, '')) % 512 + 64 END AS n
         |  FROM documents),
         |e AS (SELECT doc_id, format, n,
         |        unnest(generate_series(0, n - 1)) AS i FROM n),

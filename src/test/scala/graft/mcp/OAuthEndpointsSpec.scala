@@ -99,6 +99,32 @@ class OAuthEndpointsSpec extends AnyFunSuite {
     assert(stubUpstream.lastTokenForm("grant_type") == "authorization_code")
   }
 
+  test("malformed percent-encoding drops the pair instead of throwing") {
+    assert(OAuthEndpoints.parseParams("a=%zz&b=ok") == Map("b" -> "ok"))
+    assert(OAuthEndpoints.parseParams("%zz") == Map.empty)
+    assert(OAuthEndpoints.parseParams(null) == Map.empty)
+  }
+
+  test("transient discovery failure is not cached; success is") {
+    var calls = 0
+    var fail = true
+    val flaky = new OAuthEndpoints.Upstream {
+      override def resolve(issuer: String) = {
+        calls += 1
+        if (fail) Left("issuer unreachable")
+        else Right(OAuthEndpoints.UpstreamEndpoints(s"$issuer/a", s"$issuer/t"))
+      }
+      override def postToken(u: String, f: Map[String, String]) = Right("{}")
+    }
+    val e = new OAuthEndpoints(cfg(), "http://localhost:8080", flaky, () => NOW)
+    assert(e.authorize(Map("redirect_uri" -> "http://localhost:3000/cb")).isLeft)
+    fail = false // issuer recovers
+    assert(e.authorize(Map("redirect_uri" -> "http://localhost:3000/cb")).isRight)
+    val before = calls
+    assert(e.authorize(Map("redirect_uri" -> "http://localhost:3000/cb")).isRight)
+    assert(calls == before, "successful resolve must be cached")
+  }
+
   test("no state secret configured fails closed, not with a 500") {
     val noSecret = EngineConfig.fromEnv(Map(
       "OAUTH_ENABLED" -> "true", "OAUTH_MODE" -> "proxy",

@@ -144,6 +144,40 @@ class CodecSpec extends AnyFunSuite {
     assert(MediaSniff.sniff(Array[Byte](9, 9, 9, 9, 9, 9, 9, 9, 9, 9, 9, 9)) == "unknown")
   }
 
+  test("crafted chunk lengths and zlib headers fail as Left, not exceptions") {
+    // RIFF chunk length near Int.MaxValue must not wrap the bound check
+    val wav = Wav.encodePcm16(16000, Array.tabulate(10)(_.toShort))
+    val hugeLen = wav.clone()
+    hugeLen(16) = 0xf0.toByte; hugeLen(17) = 0xff.toByte
+    hugeLen(18) = 0xff.toByte; hugeLen(19) = 0x7f.toByte // fmt len = 0x7ffffff0
+    assert(Wav.decode(hugeLen) == Left("corrupt WAV: bad chunk length"))
+    // PNG chunk length near Int.MaxValue
+    val png = Png.encodeGray(4, 4, _ => 1)
+    val hugePng = png.clone()
+    hugePng(8) = 0x7f.toByte; hugePng(9) = 0xff.toByte
+    hugePng(10) = 0xff.toByte; hugePng(11) = 0xf0.toByte // IHDR len huge
+    assert(Png.decode(hugePng).isLeft)
+    // zlib FDICT bit set: inflate makes no progress — must Left, not hang
+    val withDict = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(png, 0, 33) // signature + IHDR
+      val idat = Array[Byte](0, 0, 0, 2, 'I', 'D', 'A', 'T', 0x78, 0x20, 0, 0, 0, 0)
+      out.write(idat, 0, idat.length)
+      out.write(png, png.length - 12, 12) // IEND
+      out.toByteArray
+    }
+    assert(Png.decode(withDict).isLeft)
+  }
+
+  test("WAV header-only decode matches the full decode") {
+    val samples = Array.tabulate(77)(i => (i * 11).toShort)
+    val bytes = Wav.encodePcm16(22050, samples)
+    val h = Wav.decodeHeader(bytes).toOption.get
+    val d = Wav.decode(bytes).toOption.get
+    assert(h.channels == d.channels && h.sampleRate == d.sampleRate &&
+      h.bitsPerSample == d.bitsPerSample && h.nSamples == d.samples.length.toLong)
+  }
+
   test("synthesized payloads decode to the oracle arithmetic") {
     // even length -> png with dims (len%64+8, len%48+8)
     val png = Multimodal.synthesizePayload(42L, "x" * 100)

@@ -64,7 +64,11 @@ class BearerAuthSpec extends AnyFunSuite {
     val forged = BearerAuth.mintJwt("other", "bob", expiry = 2_000_000L)
     assert(auth.validate(Some(s"Bearer $forged")) == Left("invalid token signature"))
     // RS256 token against the hmac provider is rejected, not waved through
-    assert(auth.validate(Some(s"Bearer ${Jwt.mintHs256("s3cret", Map("sub" -> "x", "exp" -> 2_000_000L), extraHeader = Map("alg" -> "HS256"))}")).isRight)
+    val g = java.security.KeyPairGenerator.getInstance("RSA"); g.initialize(2048)
+    val rsTok = Jwt.mintAsymmetric(g.generateKeyPair().getPrivate, "RS256",
+      Map("sub" -> "x", "exp" -> 2_000_000L))
+    assert(auth.validate(Some(s"Bearer $rsTok")) ==
+      Left("unsupported algorithm 'RS256' for hmac provider"))
   }
 
   test("alg=none is rejected by the hmac JWT path") {
