@@ -275,6 +275,21 @@ class HttpTransport(server: StdioServer, port: Int, version: String = "dev",
       ex.close()
     })
 
+    http.createContext("/oauth/register", (ex: HttpExchange) => {
+      cors(ex)
+      ex.getRequestMethod match {
+        case "OPTIONS" => ex.sendResponseHeaders(204, -1)
+        case "POST" =>
+          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          oa.register(body) match {
+            case Right(json) => respond(ex, 201, json)
+            case Left(err) => respond(ex, 400, Json.write(ListMap("error" -> err)))
+          }
+        case _ => respond(ex, 405, """{"error":"method not allowed"}""")
+      }
+      ex.close()
+    })
+
     http.createContext("/oauth/token", (ex: HttpExchange) => {
       cors(ex)
       ex.getRequestMethod match {

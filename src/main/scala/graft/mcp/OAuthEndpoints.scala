@@ -71,7 +71,8 @@ final class OAuthEndpoints(cfg: EngineConfig, selfUrl: String,
       if (cfg.oauthMode == "proxy")
         ListMap(
           "authorization_endpoint" -> s"$selfUrl/oauth/authorize",
-          "token_endpoint" -> s"$selfUrl/oauth/token")
+          "token_endpoint" -> s"$selfUrl/oauth/token",
+          "registration_endpoint" -> s"$selfUrl/oauth/register")
       else if (cfg.oidcIssuer.nonEmpty)
         resolveUpstream().toOption.map(u => ListMap(
           "authorization_endpoint" -> u.authorizeUrl,
@@ -146,6 +147,41 @@ final class OAuthEndpoints(cfg: EngineConfig, selfUrl: String,
       val sep = if (redirectUri.contains('?')) "&" else "?"
       redirectUri + sep + encodeQuery(ListMap("code" -> code) ++
         (if (clientState.nonEmpty) ListMap("state" -> clientState) else ListMap.empty))
+    }
+
+  /** `/oauth/register` (RFC 7591 dynamic client registration) — MCP
+    * clients (mcp-remote, Claude Code) bootstrap by registering
+    * before the authorize round-trip. Stateless: the returned
+    * client_id is an HMAC of the validated redirect set (no registry
+    * to persist or leak), and the flow never trusts it for
+    * authorization decisions — redirect validation happens per
+    * request in [[authorize]]/[[callback]]. */
+  def register(body: String): Either[String, String] =
+    for {
+      _ <- requireStateSecret()
+      parsed <- try Json.parse(body) match {
+        case m: collection.Map[_, _] =>
+          Right(m.toSeq.map { case (k, v) => (String.valueOf(k), v) }.toMap)
+        case _ => Left("registration body is not a JSON object")
+      } catch { case _: Exception => Left("invalid registration JSON") }
+      uris <- parsed.get("redirect_uris") match {
+        case Some(xs: Iterable[_]) if xs.nonEmpty =>
+          Right(xs.map(String.valueOf).toSeq)
+        case _ => Left("redirect_uris is required")
+      }
+      _ <- uris.foldLeft[Either[String, Unit]](Right(())) { (acc, u) =>
+        acc.flatMap(_ => redirects.validate(u))
+      }
+    } yield {
+      val clientId = "graft-" + Base64.getUrlEncoder.withoutPadding.encodeToString(
+        hmac(uris.sorted.mkString("\n").getBytes(StandardCharsets.UTF_8))).take(22)
+      Json.write(ListMap[String, Any](
+        "client_id" -> clientId,
+        "client_id_issued_at" -> nowMillis() / 1000L,
+        "redirect_uris" -> uris,
+        "token_endpoint_auth_method" -> "none",
+        "grant_types" -> Seq("authorization_code", "refresh_token"),
+        "response_types" -> Seq("code")))
     }
 
   /** `/oauth/token` form params → Right(upstream JSON response).

@@ -89,6 +89,21 @@ class OAuthEndpointsSpec extends AnyFunSuite {
     assert(al.authorize(Map("redirect_uri" -> "https://app.example.com/x")).isLeft)
   }
 
+  test("dynamic client registration validates redirects and is deterministic") {
+    val e = endpoints()
+    val resp = e.register(
+      """{"redirect_uris":["http://localhost:3000/cb"],"client_name":"x"}""").toOption.get
+    assert(resp.contains("\"client_id\":\"graft-"))
+    assert(resp.contains("\"redirect_uris\":[\"http://localhost:3000/cb\"]"))
+    // stateless: same redirect set -> same client_id
+    assert(e.register("""{"redirect_uris":["http://localhost:3000/cb"]}""").toOption.get
+      .split("client_id_issued_at")(0) == resp.split("client_id_issued_at")(0))
+    // disallowed redirect rejected, missing redirect_uris rejected
+    assert(e.register("""{"redirect_uris":["https://evil.test/cb"]}""").isLeft)
+    assert(e.register("""{"client_name":"x"}""") == Left("redirect_uris is required"))
+    assert(e.register("not json").isLeft)
+  }
+
   test("token exchange injects server-held client credentials") {
     val e = endpoints()
     val resp = e.token(Map("grant_type" -> "authorization_code", "code" -> "c",
