@@ -299,11 +299,18 @@ object TrinoFunctions {
     },
 
     // date_parse(s, '%Y-%m-%d …') — the inverse of date_format, same
-    // MySQL %-token translation feeding to_timestamp
+    // MySQL %-token translation feeding to_timestamp. Unlike
+    // date_format (which doubles as the native Spark function), the
+    // format here is ALWAYS MySQL-style: a %-less literal is literal
+    // text per MySQL rules (mysqlToJavaPattern quotes it), and a
+    // non-literal format is rejected rather than silently parsed with
+    // Java-pattern semantics.
     "date_parse" -> {
-      case Seq(s, Literal(v, _)) if v != null && v.toString.contains("%") =>
+      case Seq(s, Literal(v, _)) if v != null =>
         new ParseToTimestamp(s, Literal(mysqlToJavaPattern(v.toString)))
-      case Seq(s, fmt) => new ParseToTimestamp(s, fmt)
+      case Seq(_, _) => throw new IllegalArgumentException(
+        "date_parse requires a literal format string (MySQL %-tokens); " +
+          "a computed format expression is not supported")
       case args => throw new IllegalArgumentException(
         s"date_parse expects 2 args, got ${args.length}")
     },

@@ -25,6 +25,16 @@ import graft.service.Json
   * returns 202 Accepted and pushes each JSON-RPC response over the
   * session's stream as a `message` event.
   */
+object HttpTransport {
+  /** Host-header shape check: `host` or `host:port` where host is a
+    * hostname, IPv4, or bracketed IPv6 literal. Anything else (paths,
+    * userinfo, quotes, spaces) is rejected before it can reach a
+    * WWW-Authenticate discovery URL. */
+  private[mcp] def isValidHostHeader(h: String): Boolean =
+    h != null && h.nonEmpty && h.length <= 255 &&
+      h.matches("""(\[[0-9A-Fa-f:]+\]|[A-Za-z0-9._-]+)(:\d{1,5})?""")
+}
+
 class HttpTransport(server: StdioServer, port: Int, version: String = "dev",
     auth: Option[graft.security.BearerAuth] = None,
     oauth: Option[OAuthEndpoints] = None,
@@ -220,10 +230,20 @@ class HttpTransport(server: StdioServer, port: Int, version: String = "dev",
 
   /** Public base URL: MCP_URL override first (the reference's env,
     * server.go:116 — required behind TLS terminators / non-local
-    * deployments), then the request Host, then the bound port. */
+    * deployments), then the request Host — VALIDATED, with the scheme
+    * taken from X-Forwarded-Proto when a proxy supplies it — then the
+    * bound port. A client-supplied Host that is not a plain
+    * hostname[:port] is ignored rather than echoed into the RFC 9728
+    * discovery URL. */
   private def selfUrlFor(ex: HttpExchange): String =
     publicUrl
-      .orElse(Option(ex.getRequestHeaders.getFirst("Host")).map(h => s"http://$h"))
+      .orElse(Option(ex.getRequestHeaders.getFirst("Host"))
+        .filter(HttpTransport.isValidHostHeader)
+        .map { h =>
+          val scheme = Option(ex.getRequestHeaders.getFirst("X-Forwarded-Proto"))
+            .filter(p => p == "http" || p == "https").getOrElse("http")
+          s"$scheme://$h"
+        })
       .getOrElse(s"http://localhost:$boundPort")
 
   // ---- OAuth discovery + proxy endpoints (server.go:95-97,124-128:
@@ -243,6 +263,15 @@ class HttpTransport(server: StdioServer, port: Int, version: String = "dev",
     // legacy alias (server.go:125)
     metadataCtx("/.well-known/oauth-metadata", () => oa.authorizationServerMetadata)
     metadataCtx("/.well-known/oauth-protected-resource", () => oa.protectedResourceMetadata)
+
+    // The authorize/callback/token/register flow belongs to PROXY mode
+    // only (docs/oauth.md "Proxy Mode"; server.go registers it behind the
+    // proxy-mode switch). In native mode these contexts are NOT mounted:
+    // exposing an unauthenticated token-exchange endpoint that injects
+    // OIDC_CLIENT_SECRET into arbitrary callers' requests would be a
+    // larger surface than the reference. Metadata endpoints above stay
+    // mounted in both modes.
+    if (oa.mode == "proxy") {
 
     def redirectOrError(ex: HttpExchange, result: Either[String, String]): Unit = {
       result match {
@@ -305,6 +334,7 @@ class HttpTransport(server: StdioServer, port: Int, version: String = "dev",
       }
       ex.close()
     })
+    } // end proxy-mode gate
   }
 
   def start(): Unit = {

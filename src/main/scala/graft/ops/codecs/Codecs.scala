@@ -97,8 +97,15 @@ object Png {
     else channels(colorType) match {
       case None => Left(s"unsupported PNG color type $colorType")
       case Some(ch) =>
-        val stride = width * ch
-        val expect = height * (1 + stride)
+        // Long arithmetic: crafted IHDR dims near Int.MaxValue must not
+        // wrap stride/expect to a small value that matches a tiny IDAT
+        // and then over-index the unfilter buffer. Reject anything whose
+        // raw buffer would not fit in a JVM array.
+        val strideL = width.toLong * ch
+        val expectL = height.toLong * (1L + strideL)
+        if (expectL > Int.MaxValue) return Left("unsupported PNG: dimensions too large")
+        val stride = strideL.toInt
+        val expect = expectL.toInt
         inflate(idat.toByteArray, expect).flatMap { raw =>
           if (raw.length != expect) Left("corrupt PNG: IDAT size mismatch")
           else Right(Decoded(width, height, bitDepth, colorType, ch,

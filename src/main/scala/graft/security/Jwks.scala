@@ -107,10 +107,20 @@ object Jwks {
       nowMillis: () => Long = () => System.currentTimeMillis()) extends Source {
 
     @volatile private var cached: Option[(Seq[Jwk], Long)] = None
-    @volatile private var lastFetch = 0L
+    // Far past (not 0): the first keys() must always attempt a fetch,
+    // even under test clocks that start at 0. Half MinValue so the
+    // now - lastFetch subtraction cannot overflow.
+    @volatile private var lastFetch = Long.MinValue / 2
 
     override def keys(): Either[String, Seq[Jwk]] = cached match {
       case Some((ks, at)) if nowMillis() - at < cacheTtlMillis => Right(ks)
+      // TTL lapsed but a fetch (success OR failure) happened within the
+      // refresh window: serve stale instead of hammering a struggling
+      // issuer once per bearer request. `lastFetch` is stamped on every
+      // attempt, so failures back off too.
+      case Some((ks, _)) if nowMillis() - lastFetch < minRefreshMillis => Right(ks)
+      case None if nowMillis() - lastFetch < minRefreshMillis =>
+        Left("JWKS fetch failed recently; backing off before retrying discovery")
       case _ => fetch()
     }
 

@@ -135,6 +135,20 @@ class TrinoFunctionsSpec extends SparkSpec {
       == "2001-08-22")
   }
 
+  test("date_parse: %-less literal is MySQL literal text; computed format rejected") {
+    // MySQL rules: letters outside %-tokens are literal characters, so a
+    // format with no tokens parses only its own text (and yields the
+    // epoch defaults) — it must NOT be handed to Spark as a Java pattern.
+    assert(one("SELECT date_parse('T2001', 'T%Y')").toString == "2001-01-01 00:00:00.0")
+    assert(one("SELECT date_parse('abc', 'abc')").toString == "1970-01-01 00:00:00.0")
+    // a non-literal format expression has no sound translation — reject
+    // loudly instead of silently parsing with Java-pattern semantics
+    val err = qs.execute(
+      "SELECT date_parse('2001', substr(l_returnflag, 1, 1)) FROM lineitem LIMIT 1")
+    assert(err.isLeft, err)
+    assert(err.left.exists(_.contains("literal format")), err)
+  }
+
   test("ISO-8601 bridge: from_iso8601_timestamp/date and to_iso8601") {
     assert(one("SELECT from_iso8601_timestamp('2001-08-22T03:04:05')")
       .toString == "2001-08-22 03:04:05.0")

@@ -161,6 +161,129 @@ class HttpTransportSpec extends SparkSpec {
     } finally t.stop(0)
   }
 
+  /** Raw HTTP/1.1 over a socket: the JDK HttpClient refuses to send
+    * restricted headers (Host), which is exactly what these tests vary. */
+  private def rawHeaders(port: Int, request: String): String = {
+    val s = new java.net.Socket("127.0.0.1", port)
+    try {
+      s.setSoTimeout(5000)
+      s.getOutputStream.write(request.getBytes("ISO-8859-1"))
+      s.getOutputStream.flush()
+      val in = s.getInputStream
+      val sb = new StringBuilder
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0 && !sb.toString.contains("\r\n\r\n")) {
+        sb.append(new String(buf, 0, n, "ISO-8859-1"))
+        n = in.read(buf)
+      }
+      if (n > 0) sb.append(new String(buf, 0, n, "ISO-8859-1"))
+      sb.toString
+    } finally s.close()
+  }
+
+  test("401 discovery URL validates Host and honors X-Forwarded-Proto") {
+    import HttpTransport.isValidHostHeader
+    assert(isValidHostHeader("mcp.example.com"))
+    assert(isValidHostHeader("mcp.example.com:8443"))
+    assert(isValidHostHeader("127.0.0.1:8080"))
+    assert(isValidHostHeader("[::1]:8080"))
+    assert(!isValidHostHeader("""evil"host"""))
+    assert(!isValidHostHeader("evil.example.com/steal"))
+    assert(!isValidHostHeader("a b"))
+    assert(!isValidHostHeader("user@evil.com"))
+
+    val cfg = EngineConfig.fromEnv(Map(
+      "OAUTH_ENABLED" -> "true", "OAUTH_MODE" -> "proxy",
+      "OAUTH_PROVIDER" -> "okta", "JWT_SECRET" -> "s3cret",
+      "OIDC_ISSUER" -> "https://issuer.test", "OIDC_AUDIENCE" -> "api",
+      "OIDC_CLIENT_ID" -> "cid")).toOption.get
+    val t = new HttpTransport(
+      new StdioServer(new Engine(EngineConfig.fromEnv(Map.empty).toOption.get,
+        Some("/root/testdata/sf0.001"), Some(spark))),
+      port = 0, auth = graft.security.BearerAuth.fromConfig(cfg),
+      oauth = Some(new OAuthEndpoints(cfg, "http://localhost:0")))
+    t.start()
+    try {
+      def challenge(hostLine: String, extra: String = ""): String = {
+        val resp = rawHeaders(t.boundPort,
+          s"POST /mcp HTTP/1.1\r\nHost: $hostLine\r\n${extra}Content-Type: application/json\r\n" +
+            "Content-Length: 2\r\nConnection: close\r\n\r\n{}")
+        assert(resp.startsWith("HTTP/1.1 401"), resp.linesIterator.next())
+        resp.linesIterator.find(_.toLowerCase.startsWith("www-authenticate"))
+          .getOrElse(fail("no WWW-Authenticate header"))
+      }
+      // valid Host behind a TLS terminator: scheme from X-Forwarded-Proto
+      assert(challenge("mcp.example.com:8443", "X-Forwarded-Proto: https\r\n")
+        .contains("https://mcp.example.com:8443/.well-known/oauth-protected-resource"))
+      // valid Host, no forwarded proto: http
+      assert(challenge("mcp.example.com")
+        .contains("http://mcp.example.com/.well-known/oauth-protected-resource"))
+      // bogus forwarded proto is ignored
+      assert(challenge("mcp.example.com", "X-Forwarded-Proto: jaVasCript\r\n")
+        .contains("http://mcp.example.com/.well-known/oauth-protected-resource"))
+      // attacker-shaped Host is NOT echoed into the discovery URL
+      val evil = challenge("evil.example.com/steal")
+      assert(!evil.contains("evil"), evil)
+      assert(evil.contains(s"http://localhost:${t.boundPort}/.well-known/oauth-protected-resource"), evil)
+      // configured MCP_URL always wins over any Host
+      val t2 = new HttpTransport(
+        new StdioServer(new Engine(EngineConfig.fromEnv(Map.empty).toOption.get,
+          Some("/root/testdata/sf0.001"), Some(spark))),
+        port = 0, auth = graft.security.BearerAuth.fromConfig(cfg),
+        oauth = Some(new OAuthEndpoints(cfg, "https://public.example.com")),
+        publicUrl = Some("https://public.example.com"))
+      t2.start()
+      try {
+        val resp = rawHeaders(t2.boundPort,
+          "POST /mcp HTTP/1.1\r\nHost: other.example.com\r\nContent-Type: application/json\r\n" +
+            "Content-Length: 2\r\nConnection: close\r\n\r\n{}")
+        assert(resp.linesIterator.find(_.toLowerCase.startsWith("www-authenticate"))
+          .exists(_.contains("https://public.example.com/.well-known/oauth-protected-resource")), resp)
+      } finally t2.stop(0)
+    } finally t.stop(0)
+  }
+
+  test("native mode serves discovery metadata but NOT the proxy flow endpoints") {
+    // In native mode the client talks to the upstream provider directly;
+    // mounting /oauth/token here would expose an unauthenticated
+    // token-exchange proxy that injects OIDC_CLIENT_SECRET into any
+    // caller's request — a larger surface than the reference.
+    val cfg = EngineConfig.fromEnv(Map(
+      "OAUTH_ENABLED" -> "true", "OAUTH_MODE" -> "native",
+      "OAUTH_PROVIDER" -> "okta",
+      "OIDC_ISSUER" -> "https://issuer.test", "OIDC_AUDIENCE" -> "api",
+      "OIDC_CLIENT_ID" -> "cid", "OIDC_CLIENT_SECRET" -> "topsecret")).toOption.get
+    val t = new HttpTransport(
+      new StdioServer(new Engine(EngineConfig.fromEnv(Map.empty).toOption.get,
+        Some("/root/testdata/sf0.001"), Some(spark))),
+      port = 0, auth = graft.security.BearerAuth.fromConfig(cfg),
+      oauth = Some(new OAuthEndpoints(cfg, "http://localhost:0")))
+    t.start()
+    try {
+      val b = s"http://127.0.0.1:${t.boundPort}"
+      def get(path: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(URI.create(s"$b$path")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+      def postForm(path: String, body: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(URI.create(s"$b$path"))
+          .header("Content-Type", "application/x-www-form-urlencoded")
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      // metadata stays mounted in both modes
+      assert(get("/.well-known/oauth-authorization-server").statusCode() == 200)
+      assert(get("/.well-known/oauth-protected-resource").statusCode() == 200)
+      // the proxy flow is not
+      assert(get("/oauth/authorize?redirect_uri=http%3A%2F%2Flocalhost%3A3000%2Fcb").statusCode() == 404)
+      assert(get("/oauth/callback?code=c&state=s").statusCode() == 404)
+      assert(get("/callback?code=c&state=s").statusCode() == 404)
+      val tok = postForm("/oauth/token", "grant_type=authorization_code&code=x")
+      assert(tok.statusCode() == 404)
+      assert(!tok.body().contains("topsecret"))
+      assert(postForm("/oauth/register", """{"redirect_uris":["http://localhost:3000/cb"]}""").statusCode() == 404)
+    } finally t.stop(0)
+  }
+
   test("OAuth discovery + proxy endpoints served over HTTP") {
     val cfg = EngineConfig.fromEnv(Map(
       "OAUTH_ENABLED" -> "true", "OAUTH_MODE" -> "proxy",

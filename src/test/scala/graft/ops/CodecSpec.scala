@@ -169,6 +169,31 @@ class CodecSpec extends AnyFunSuite {
     assert(Png.decode(withDict).isLeft)
   }
 
+  test("crafted IHDR dimensions that overflow Int fail as Left, not exceptions") {
+    // stride = width*ch and expect = height*(1+stride) must be computed
+    // in Long: dims near Int.MaxValue would otherwise wrap to a small
+    // positive value, slip past the IDAT size check, and over-index the
+    // unfilter buffer. IHDR data starts at offset 16 (8 sig + 4 len + 4 type).
+    def withDims(w: Int, h: Int): Array[Byte] = {
+      val png = Png.encodeGray(4, 4, _ => 1).clone()
+      def put(off: Int, v: Int): Unit = {
+        png(off) = (v >>> 24).toByte; png(off + 1) = (v >>> 16).toByte
+        png(off + 2) = (v >>> 8).toByte; png(off + 3) = v.toByte
+      }
+      put(16, w); put(20, h)
+      png
+    }
+    // expect wraps to a tiny value: 65536 * (1 + 65536) mod 2^32 is small
+    assert(Png.decode(withDims(0x10000, 0x10000)) ==
+      Left("unsupported PNG: dimensions too large"))
+    assert(Png.decode(withDims(Int.MaxValue, 2)) ==
+      Left("unsupported PNG: dimensions too large"))
+    assert(Png.decode(withDims(2, Int.MaxValue)) ==
+      Left("unsupported PNG: dimensions too large"))
+    // a merely-wrong (but representable) size still fails the IDAT check
+    assert(Png.decode(withDims(40, 40)).isLeft)
+  }
+
   test("WAV header-only decode matches the full decode") {
     val samples = Array.tabulate(77)(i => (i * 11).toShort)
     val bytes = Wav.encodePcm16(22050, samples)

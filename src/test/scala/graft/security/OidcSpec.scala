@@ -157,6 +157,48 @@ class OidcSpec extends AnyFunSuite {
     assert(ks.map(_.kid) == Seq(Some("good")))
   }
 
+  test("Discovery.keys() rate-limits re-fetch after failure (serves stale, backs off)") {
+    var now = 0L
+    var fail = false
+    var gets = 0
+    val get: String => Either[String, String] = { url =>
+      gets += 1
+      if (fail) Left("issuer down")
+      else if (url.endsWith("openid-configuration"))
+        Right("""{"jwks_uri":"https://iss/jwks"}""")
+      else Right(jwks(rsaJwkJson("k1")))
+    }
+    val d = new Jwks.Discovery("https://iss", get,
+      cacheTtlMillis = 1000, minRefreshMillis = 300, nowMillis = () => now)
+    // first call always fetches (discovery + jwks = 2 GETs)
+    assert(d.keys().exists(_.nonEmpty)); assert(gets == 2)
+    // within TTL: cached, no GETs
+    now = 500; assert(d.keys().isRight); assert(gets == 2)
+    // TTL lapsed during an outage: one failed attempt, stale served
+    fail = true
+    now = 1500; assert(d.keys().exists(_.nonEmpty)); assert(gets == 3)
+    // still down, within the refresh window: NO further GETs per call
+    now = 1600; assert(d.keys().exists(_.nonEmpty)); assert(gets == 3)
+    now = 1700; assert(d.keys().exists(_.nonEmpty)); assert(gets == 3)
+    // window elapsed: retried once more
+    now = 1900; assert(d.keys().exists(_.nonEmpty)); assert(gets == 4)
+    // provider back: next retry refreshes the cache
+    fail = false
+    now = 2300; assert(d.keys().exists(_.nonEmpty)); assert(gets == 6)
+    now = 2400; assert(d.keys().isRight); assert(gets == 6) // fresh cache again
+  }
+
+  test("Discovery.keys() with no cache backs off between failed fetches") {
+    var now = 0L
+    var gets = 0
+    val get: String => Either[String, String] = { _ => gets += 1; Left("boom") }
+    val d = new Jwks.Discovery("https://iss", get,
+      cacheTtlMillis = 1000, minRefreshMillis = 300, nowMillis = () => now)
+    assert(d.keys().isLeft); assert(gets == 1) // real attempt
+    now = 100; assert(d.keys().isLeft); assert(gets == 1) // backed off
+    now = 350; assert(d.keys().isLeft); assert(gets == 2) // retried
+  }
+
   test("JWKS over HTTP: discovery against a loopback stub issuer") {
     val srv = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
