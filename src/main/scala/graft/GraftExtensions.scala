@@ -15,11 +15,13 @@ import graft.dialect.TrinoFunctions
   * The Engine path registers the same functions directly on its own
   * session; this is the integration point for sessions graft does not
   * build itself (notebooks, Spark Connect servers, other apps).
-  * No analyzer/optimizer rules are injected — SURVEY.md §4: built-in
-  * Catalyst covers the whole promised surface.
+  * One resolution rule is injected ([[graft.dialect.TimeCastRule]]:
+  * Trino's `CAST(timestamp AS TIME)`, which Spark's own cast lacks);
+  * otherwise built-in Catalyst covers the whole promised surface
+  * (SURVEY.md §4).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     (TrinoFunctions.shims ++ TrinoFunctions.graftNatives).foreach {
       case (name, builder) =>
         ext.injectFunction((
@@ -27,4 +29,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           new ExpressionInfo("graft", name),
           builder))
     }
+    ext.injectResolutionRule(_ => graft.dialect.TimeCastRule)
+  }
 }

@@ -419,8 +419,24 @@ object TrinoFunctions {
     * only accepts identifier units. Positions inside string literals,
     * quoted identifiers, or comments are left untouched (re-uses the
     * guard's masking state machine to find them). */
+  private val timeWithTzPattern = java.util.regex.Pattern.compile(
+    "(?i)\\btime(?:\\s*\\(\\s*\\d+\\s*\\))?\\s+with\\s+time\\s+zone\\b")
+
   def preprocess(sql: String): String = {
     val masked = maskedRegions(sql)
+    // `time with time zone` has no Spark equivalent (DIALECT.md): fail
+    // with a clear, actionable error instead of Spark's opaque parse
+    // error. `timestamp with time zone` never matches: \btime demands
+    // whitespace-or-precision right after the word, which "timestamp"'s
+    // trailing "stamp" fails.
+    val tz = timeWithTzPattern.matcher(sql)
+    while (tz.find()) {
+      if (!masked(tz.start))
+        throw new IllegalArgumentException(
+          "type `time with time zone` is not supported by this engine: Spark has " +
+            "no equivalent type. Model it as a TIME column plus a zone/offset column " +
+            "(see DIALECT.md), or use `timestamp with time zone`.")
+    }
     val m = dateFnPattern.matcher(sql)
     val sb = new StringBuilder
     var last = 0

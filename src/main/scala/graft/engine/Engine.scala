@@ -31,6 +31,10 @@ class Engine(
         Runtime.getRuntime.availableProcessors().toString)
       SparkSession.builder()
         .master(s"local[$cpus]")
+        // Trino's CAST(timestamp AS TIME) needs a resolution rule
+        // (dialect.TimeCastRule); sessions passed in via `existing`
+        // must install it themselves (GraftExtensions is the hook).
+        .withExtensions(_.injectResolutionRule(_ => graft.dialect.TimeCastRule))
         .appName(config.source)
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.session.timeZone", "UTC")

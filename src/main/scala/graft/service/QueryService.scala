@@ -61,7 +61,11 @@ class QueryService(engine: Engine) {
         "queries are allowed. Set TRINO_ALLOW_WRITE_QUERIES=true to enable write " +
         "operations (at your own risk)")
 
-    val dialectSql = graft.dialect.TrinoFunctions.preprocess(stripped)
+    // preprocess rejects constructs with no Spark translation (e.g.
+    // `time with time zone`) via IllegalArgumentException → clean Left
+    val dialectSql =
+      try graft.dialect.TrinoFunctions.preprocess(stripped)
+      catch { case e: IllegalArgumentException => return Left(e.getMessage) }
     // information_schema introspection (Trino serves it natively behind
     // the reference's pass-through): rebuild the shim views from the
     // current catalog and route the reference to them.

@@ -16,6 +16,8 @@ object SparkSpec {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[2]")
+      // same resolution rule the Engine-built sessions get
+      .withExtensions(_.injectResolutionRule(_ => graft.dialect.TimeCastRule))
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.sql.session.timeZone", "UTC")

@@ -41,4 +41,40 @@ class TimeTypeSpec extends SparkSpec {
     assert(graft.service.TypeNames.trino(TimeType(6)) == "time(6)")
     assert(graft.service.Json.write(java.time.LocalTime.of(1, 2, 3)) == "\"01:02:03\"")
   }
+
+  test("CAST(timestamp AS TIME) extracts time-of-day with fraction (TimeCastRule)") {
+    // Spark 4.1 has no native timestamp→time cast; graft's resolution
+    // rule rewrites it to make_time(hour, minute, second+fraction),
+    // matching Trino's cast semantics
+    val r = spark.sql(
+      """SELECT CAST(TIMESTAMP'2001-08-22 03:04:05.125' AS TIME) AS a,
+        |  CAST(TIMESTAMP_NTZ'2001-08-22 23:59:59' AS TIME) AS b""".stripMargin).collect()(0)
+    assert(r.get(0) == java.time.LocalTime.parse("03:04:05.125"))
+    assert(r.get(1) == java.time.LocalTime.of(23, 59, 59))
+    // over a column, not just a literal
+    val col = spark.sql(
+      "SELECT CAST(ts AS TIME) AS t FROM (SELECT TIMESTAMP'2020-01-02 10:20:30.5' AS ts)")
+    assert(col.schema.fields(0).dataType.isInstanceOf[TimeType])
+    assert(col.collect()(0).get(0) == java.time.LocalTime.parse("10:20:30.500"))
+  }
+
+  test("CAST(ts AS TIME) works through execute_query; time with time zone rejected") {
+    val cfg = graft.config.EngineConfig.fromEnv(Map.empty).toOption.get
+    val qs = new graft.service.QueryService(
+      new graft.engine.Engine(cfg, Some("/root/testdata/sf0.001"), Some(spark)))
+    val ok = qs.execute(
+      "SELECT CAST(TIMESTAMP'2001-08-22 03:04:05.125' AS TIME) AS t")
+    assert(ok.exists(_.rows.head.head.toString == "03:04:05.125"), ok)
+    val rej = qs.execute("SELECT CAST(x AS TIME WITH TIME ZONE) FROM (SELECT 1 AS x)")
+    assert(rej.isLeft && rej.left.exists(_.contains("time with time zone")), rej)
+    val rejPrec = qs.execute("SELECT CAST(x AS TIME(3) WITH TIME ZONE) FROM (SELECT 1 AS x)")
+    assert(rejPrec.isLeft && rejPrec.left.exists(_.contains("time with time zone")), rejPrec)
+    // `timestamp with time zone` is NOT caught by the reject pattern
+    assert(TrinoFunctions.preprocess(
+      "SELECT CAST('2001-08-22' AS TIMESTAMP WITH TIME ZONE)")
+      .contains("TIMESTAMP WITH TIME ZONE"))
+    // inside a string literal: untouched
+    assert(TrinoFunctions.preprocess("SELECT 'time with time zone'")
+      == "SELECT 'time with time zone'")
+  }
 }
