@@ -20,6 +20,7 @@ object RunOne {
       .config("spark.sql.timeType.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Logs.silenceWindowWarn()
     val fn = SparkEntry.queries(name)
     if (args.contains("explain")) fn(spark, sfDir).explain("formatted")
     (1 to reps).foreach { i =>

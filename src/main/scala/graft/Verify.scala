@@ -22,6 +22,7 @@ object Verify {
       .config("spark.sql.timeType.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Logs.silenceWindowWarn()
     new java.io.File(outDir).mkdirs()
     // Local-iteration filter (same contract as Bench): SPARK_GRAFT_ONLY
     // dumps a subset; the driver never sets it, so its runs stay total.
