@@ -16,7 +16,8 @@ import graft.service.{ExplainService, Json, MetadataService, QueryService}
   * NewToolResultText(json.MarshalIndent(...)) shape; errors return
   * isError=true with the handler's error text.
   */
-class StdioServer(engine: Engine, version: String = "dev") {
+class StdioServer(engine: Engine, version: String = "dev",
+    toolPageSize: Int = StdioServer.ToolPageSize) {
 
   private val queries = new QueryService(engine)
   private val metadata = new MetadataService(engine)
@@ -94,19 +95,44 @@ class StdioServer(engine: Engine, version: String = "dev") {
       Some(Json.write(ListMap("jsonrpc" -> "2.0", "id" -> id,
         "error" -> ListMap("code" -> code, "message" -> msg))))
 
+    def params: collection.Map[String, Any] = req.get("params").collect {
+      case m: collection.Map[_, _] => m.asInstanceOf[collection.Map[String, Any]]
+    }.getOrElse(Map.empty[String, Any])
+
     method match {
       case "initialize" =>
+        // Version negotiation per the MCP spec (the reference gets this
+        // from mcp-go): if the client requests a revision we support,
+        // echo it back; otherwise answer with the latest we support and
+        // let the client decide whether to continue.
+        val requested = params.get("protocolVersion").map(String.valueOf)
+        val negotiated = requested.filter(StdioServer.SupportedProtocolVersions.contains)
+          .getOrElse(StdioServer.LatestProtocolVersion)
         reply(ListMap(
-          "protocolVersion" -> "2024-11-05",
+          "protocolVersion" -> negotiated,
           "capabilities" -> ListMap("tools" -> ListMap[String, Any]()),
           "serverInfo" -> ListMap("name" -> "mcp-graft-spark", "version" -> version)))
       case "notifications/initialized" | "initialized" => None
       case "ping" => reply(ListMap[String, Any]())
-      case "tools/list" => reply(ListMap("tools" -> toolDefs))
+      case "tools/list" =>
+        // Spec pagination: optional opaque cursor; unknown cursors are
+        // an Invalid params error, a missing cursor starts at page one;
+        // nextCursor is present only when more tools remain.
+        val start = params.get("cursor") match {
+          case None => 0
+          case Some(c) => StdioServer.decodeCursor(String.valueOf(c)) match {
+            case Some(off) if off >= 0 && off <= toolDefs.size => off
+            case _ => return error(-32602L, "invalid cursor")
+          }
+        }
+        val page = toolDefs.slice(start, start + toolPageSize)
+        val more = start + toolPageSize < toolDefs.size
+        reply(
+          if (more)
+            ListMap("tools" -> page,
+              "nextCursor" -> StdioServer.encodeCursor(start + toolPageSize))
+          else ListMap("tools" -> page))
       case "tools/call" =>
-        val params = req.get("params").collect {
-          case m: collection.Map[_, _] => m.asInstanceOf[collection.Map[String, Any]]
-        }.getOrElse(Map.empty[String, Any])
         val name = params.get("name").map(String.valueOf).getOrElse("")
         val args = params.get("arguments").collect {
           case m: collection.Map[_, _] => m.asInstanceOf[collection.Map[String, Any]]
@@ -187,6 +213,30 @@ class StdioServer(engine: Engine, version: String = "dev") {
   * (reference cmd/main.go:22-76 startup sequence: config → engine →
   * self-test → serve). */
 object StdioServer {
+  /** MCP revisions this server implements (tools-only surface is
+    * identical across them). Echo the client's requested version when
+    * supported, else answer with the latest (spec: the client then
+    * decides whether to continue). */
+  val SupportedProtocolVersions: Set[String] =
+    Set("2024-11-05", "2025-03-26")
+  val LatestProtocolVersion: String = "2025-03-26"
+
+  /** tools/list page size. Larger than the tool count, so pagination
+    * engages only under a test-sized page — but the cursor contract
+    * (opaque token, invalid → -32602) is always enforced. */
+  val ToolPageSize: Int = 50
+
+  private[mcp] def encodeCursor(offset: Int): String =
+    java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString(s"tools:$offset".getBytes("UTF-8"))
+
+  private[mcp] def decodeCursor(s: String): Option[Int] =
+    try {
+      val decoded = new String(java.util.Base64.getUrlDecoder.decode(s), "UTF-8")
+      if (decoded.startsWith("tools:")) decoded.stripPrefix("tools:").toIntOption
+      else None
+    } catch { case _: IllegalArgumentException => None }
+
   def main(args: Array[String]): Unit = {
     val dataDir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))

@@ -36,9 +36,67 @@ class StdioServerSpec extends SparkSpec {
   test("initialize handshake") {
     val r = rpc("initialize", 1)
     val result = r("result").asInstanceOf[collection.Map[String, Any]]
-    assert(result("protocolVersion") == "2024-11-05")
+    // no requested version → server answers with its latest supported
+    assert(result("protocolVersion") == StdioServer.LatestProtocolVersion)
     val info = result("serverInfo").asInstanceOf[collection.Map[String, Any]]
     assert(info("name") == "mcp-graft-spark")
+  }
+
+  test("initialize negotiates the protocol version per the MCP spec") {
+    // supported revision requested → echoed back verbatim
+    for (v <- Seq("2024-11-05", "2025-03-26")) {
+      val r = rpc("initialize", 1, ListMap("protocolVersion" -> v))
+      val result = r("result").asInstanceOf[collection.Map[String, Any]]
+      assert(result("protocolVersion") == v, v)
+    }
+    // unknown revision → server proposes its latest; client may disconnect
+    val r = rpc("initialize", 1, ListMap("protocolVersion" -> "1999-01-01"))
+    val result = r("result").asInstanceOf[collection.Map[String, Any]]
+    assert(result("protocolVersion") == StdioServer.LatestProtocolVersion)
+  }
+
+  test("tools/list pagination: cursor walk, opaque tokens, invalid cursor error") {
+    val cfg = EngineConfig.fromEnv(Map.empty).toOption.get
+    val paged = new StdioServer(
+      new Engine(cfg, Some("/root/testdata/sf0.001"), Some(spark)), toolPageSize = 2)
+    def list(cursor: Option[String]): collection.Map[String, Any] = {
+      val params = cursor.map(c => ListMap("cursor" -> c)).getOrElse(ListMap.empty[String, Any])
+      val resp = paged.handle(Json.write(
+        ListMap("jsonrpc" -> "2.0", "id" -> 9, "method" -> "tools/list", "params" -> params)))
+      Json.parse(resp.get).asInstanceOf[collection.Map[String, Any]]
+    }
+    // walk every page via nextCursor; union must be all six tools, no dups
+    var cursor: Option[String] = None
+    var pages = 0
+    val seen = scala.collection.mutable.ArrayBuffer[String]()
+    var done = false
+    while (!done) {
+      val result = list(cursor)("result").asInstanceOf[collection.Map[String, Any]]
+      val tools = result("tools").asInstanceOf[Vector[Any]]
+        .map(_.asInstanceOf[collection.Map[String, Any]]("name").toString)
+      assert(tools.size <= 2)
+      seen ++= tools
+      result.get("nextCursor") match {
+        case Some(c) => cursor = Some(c.toString); pages += 1; assert(pages < 10)
+        case None => done = true
+      }
+    }
+    assert(seen.size == 6 && seen.distinct.size == 6, seen)
+    assert(pages == 2) // 2+2+2: two nextCursors then a final page without one
+    // the unpaged default returns one page and NO nextCursor
+    val whole = rpc("tools/list", 10)("result").asInstanceOf[collection.Map[String, Any]]
+    assert(whole("tools").asInstanceOf[Vector[Any]].size == 6)
+    assert(!whole.contains("nextCursor"))
+    // invalid cursors → JSON-RPC Invalid params (-32602), per spec
+    for (bad <- Seq("not-base64!", "Z2FyYmFnZQ", StdioServer.encodeCursor(999).dropRight(2) + "xx")) {
+      val r = list(Some(bad))
+      val err = r.get("error").map(_.asInstanceOf[collection.Map[String, Any]])
+      assert(err.exists(_("code") == -32602L), s"cursor $bad -> $r")
+    }
+    // out-of-range offset in a well-formed token is also invalid
+    val oob = list(Some(StdioServer.encodeCursor(999)))
+    assert(oob.get("error").map(_.asInstanceOf[collection.Map[String, Any]])
+      .exists(_("code") == -32602L))
   }
 
   test("notifications get no reply") {

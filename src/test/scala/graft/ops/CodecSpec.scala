@@ -71,6 +71,59 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("property: ImageIO-encoded gray/RGB/RGBA PNGs decode pixel-identically") {
+    // ImageIO is the independent oracle (same spirit as DuckDB for SQL):
+    // it picks its own scanline filters per image, so random content
+    // exercises Sub/Up/Average/Paeth reconstruction against a reader
+    // that shares no code with Png.decode.
+    import java.awt.image.BufferedImage
+    checkProp(Prop.forAll(
+      Gen.choose(1, 48), Gen.choose(1, 40), Gen.choose(0, Int.MaxValue - 1),
+      Gen.oneOf(0, 1, 2)) { (w: Int, h: Int, seed: Int, mode: Int) =>
+      var s = seed.toLong
+      def next(): Int = { s = (s * 6364136223846793005L + 1442695040888963407L); ((s >>> 33) & 0xff).toInt }
+      val imgType = mode match {
+        case 0 => BufferedImage.TYPE_BYTE_GRAY
+        case 1 => BufferedImage.TYPE_INT_RGB
+        case _ => BufferedImage.TYPE_INT_ARGB
+      }
+      val img = new BufferedImage(w, h, imgType)
+      for (y <- 0 until h; x <- 0 until w) mode match {
+        case 0 => img.getRaster.setSample(x, y, 0, next())
+        case 1 => img.setRGB(x, y, (next() << 16) | (next() << 8) | next())
+        case _ => img.setRGB(x, y, (next() << 24) | (next() << 16) | (next() << 8) | next())
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      val d = Png.decode(out.toByteArray).toOption.get
+      val chOk = mode match {
+        case 0 => d.channelsPerPixel == 1
+        case 1 => d.channelsPerPixel == 3
+        case _ => d.channelsPerPixel == 4
+      }
+      chOk && d.width == w && d.height == h && (0 until h).forall { y =>
+        (0 until w).forall { x =>
+          val base = (y * w + x) * d.channelsPerPixel
+          mode match {
+            case 0 =>
+              (d.pixels(base) & 0xff) == img.getRaster.getSample(x, y, 0)
+            case 1 =>
+              val rgb = img.getRGB(x, y)
+              (d.pixels(base) & 0xff) == ((rgb >> 16) & 0xff) &&
+                (d.pixels(base + 1) & 0xff) == ((rgb >> 8) & 0xff) &&
+                (d.pixels(base + 2) & 0xff) == (rgb & 0xff)
+            case _ =>
+              val argb = img.getRGB(x, y)
+              (d.pixels(base) & 0xff) == ((argb >> 16) & 0xff) &&
+                (d.pixels(base + 1) & 0xff) == ((argb >> 8) & 0xff) &&
+                (d.pixels(base + 2) & 0xff) == (argb & 0xff) &&
+                (d.pixels(base + 3) & 0xff) == ((argb >>> 24) & 0xff)
+          }
+        }
+      }
+    })
+  }
+
   test("WAV PCM16 round-trip is sample-exact") {
     val samples = Array.tabulate(333)(i => ((i * 257) % 65536 - 32768).toShort)
     val bytes = Wav.encodePcm16(16000, samples)

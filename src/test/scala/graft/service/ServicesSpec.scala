@@ -134,6 +134,42 @@ class ServicesSpec extends SparkSpec {
     assert(results.map(_.toOption.get.rows.head.head).distinct.size == 4)
   }
 
+  test("execute: stress — concurrent mixed timeouts never cancel unrelated requests") {
+    // The reference's connection pool implies concurrent clients
+    // (client.go:165-167). Here: 16 in-flight execute_query calls, a
+    // third of which blow their 1 s deadline and trigger a job-group
+    // cancel, interleaved with bounded-collect queries that must ALL
+    // come back complete — a cross-request cancellation (shared or
+    // wrong job group) would surface as a killed fast query, a wrong
+    // row count, or a short/truncated result.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fast = new QueryService(engine(Map("GRAFT_MAX_RESULT_ROWS" -> "40")))
+    val slow = new QueryService(engine(Map("TRINO_QUERY_TIMEOUT" -> "1")))
+    val slowSql = "SELECT COUNT(*) FROM (SELECT a.id FROM range(100000000) a " +
+      "CROSS JOIN range(100000) b)"
+    val futures = (1 to 16).map { i =>
+      if (i % 3 == 0) Future("slow" -> slow.execute(slowSql))
+      else Future("fast" -> fast.execute(
+        s"SELECT l_orderkey, l_linenumber, $i AS tag FROM lineitem " +
+          "ORDER BY l_orderkey, l_linenumber LIMIT 60"))
+    }
+    val results = Await.result(Future.sequence(futures), 300.seconds)
+    val (slows, fasts) = results.partition(_._1 == "slow")
+    assert(slows.nonEmpty && fasts.nonEmpty)
+    slows.foreach { case (_, r) =>
+      assert(r.isLeft && r.swap.exists(_.contains("timed out after 1s")), r)
+    }
+    fasts.foreach { case (_, r) =>
+      assert(r.isRight, r) // not cancelled by a neighbor's timeout
+      val qr = r.toOption.get
+      assert(qr.rows.size == 40 && qr.truncated, // bounded collect held under load
+        s"rows=${qr.rows.size} truncated=${qr.truncated}")
+      assert(qr.rows.head(0) == 0L) // right data, ordered scan intact
+    }
+  }
+
   // --- MetadataService ---
 
   test("listCatalogs: spark session catalog visible") {
