@@ -100,17 +100,35 @@ object NativeExprs {
     override def declaredInputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
     override def prettyName: String = "srp_sig"
 
+    // Plane components depend on (bit, element) only — never the row.
+    // Cache them per task instance (grown to the widest vector seen):
+    // recomputing 2 xxhashes per element×bit×ROW measured as the
+    // dominant cost of signature computation at 60 bits. A benign race
+    // (two threads growing at once) just recomputes the same values.
+    @transient private var planes: Array[Array[Double]] = _
+    private def planesFor(n: Int): Array[Array[Double]] = {
+      var p = planes
+      if (p == null || (bits > 0 && p(0).length < n)) {
+        p = Array.tabulate(bits, n)((b, i) =>
+          XXH64.hashLong(i.toLong, XXH64.hashLong(b.toLong, 42L)).toDouble /
+            Long.MaxValue.toDouble)
+        planes = p
+      }
+      p
+    }
+
     protected override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
       val n = arr.numElements()
+      val p = planesFor(n)
       var sig = 0L
       var b = 0
       while (b < bits) {
+        val w = p(b)
         var s = 0.0
         var i = 0
         while (i < n) {
-          val h = XXH64.hashLong(i.toLong, XXH64.hashLong(b.toLong, 42L))
-          s += arr.getFloat(i).toDouble * (h.toDouble / Long.MaxValue.toDouble)
+          s += arr.getFloat(i).toDouble * w(i)
           i += 1
         }
         if (s > 0.0) sig |= (1L << b)

@@ -47,25 +47,40 @@ object Dedup {
     * enumeration, which materialized up to maxBucket²/2 structs inside
     * ONE row (measured 2.5 s of a 2.8 s pipeline on skew-collapsed
     * sign-bit buckets, and an OOM risk at a larger cap). */
-  def bucketPairs(banded: DataFrame, bucketKeys: Seq[String], maxBucket: Int): DataFrame = {
+  def bucketPairs(banded: DataFrame, bucketKeys: Seq[String], maxBucket: Int,
+      carry: Seq[String] = Nil,
+      preDistinct: DataFrame => DataFrame = identity): DataFrame = {
     val keyCols = bucketKeys.map(col)
-    // Materialize the (ids + bucket keys only — corpus-linear, skinny)
-    // banded table ONCE: the count branch and both self-join sides
-    // would otherwise each re-derive it, re-running the upstream
-    // signature computation 3× (measured as 3× the whole sig cost).
-    // Same executor-storage layout the CC loop uses for its edge set.
+    // Materialize the (ids + bucket keys + carried payload — still
+    // corpus-linear, skinny) banded table ONCE: the count branch and
+    // both self-join sides would otherwise each re-derive it, re-running
+    // the upstream signature computation 3× (measured as 3× the whole
+    // sig cost). Same executor-storage layout the CC loop uses for its
+    // edge set.
+    //
+    // `carry` columns ride through the self-join as <c>_a/<c>_b — a
+    // verifier needing per-id payload (e.g. the simhash signature for
+    // the hamming check) reads it off the pair row instead of joining
+    // the candidate stream back to the corpus twice (two shuffle joins
+    // of the quadratic stream against a corpus-sized table; measured
+    // 2× the whole pipeline at 100× sf0.1). `preDistinct` runs on the
+    // raw pair stream BEFORE the distinct, so a cheap verify filter
+    // shrinks the dedup shuffle instead of following it.
     val saved = banded.localCheckpoint(true)
     val kept = saved.join(
       saved.groupBy(keyCols: _*).agg(count(lit(1)).as("bucket_n"))
         .filter(col("bucket_n").between(2, maxBucket))
         .select(keyCols: _*),
       bucketKeys)
-    val a = kept.select(keyCols :+ col("id").as("id_a"): _*)
-    val b = kept.select(keyCols :+ col("id").as("id_b"): _*)
-    a.join(b, bucketKeys)
+    val a = kept.select(keyCols ++ (col("id").as("id_a") +:
+      carry.map(c => col(c).as(s"${c}_a"))): _*)
+    val b = kept.select(keyCols ++ (col("id").as("id_b") +:
+      carry.map(c => col(c).as(s"${c}_b"))): _*)
+    val pairs = a.join(b, bucketKeys)
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a") +: col("id_b") +:
+        carry.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b"))): _*)
+    preDistinct(pairs).dropDuplicates("id_a", "id_b")
   }
 
   /** LSH candidate pairs from MinHash signatures, verified with exact
@@ -183,15 +198,18 @@ object Dedup {
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val sigs = docs.select(col(idCol).as("id"), simHash(col(textCol)).as("sim"))
-    val banded = sigs.select(col("id"),
+    val banded = sigs.select(col("id"), col("sim"),
         posexplode(graft.functions.NativeExprs.chunkSplit(col("sim"), 4, 16)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
-    bucketPairs(banded, Seq("band", "chunk"), maxBucket)
-      .join(sigs.select(col("id").as("id_a"), col("sim").as("sim_a")), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("sim").as("sim_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+    // The 8-byte signature rides the banded frame (carry) so the
+    // hamming verify reads both sigs off the pair row — no join back to
+    // the corpus — and runs BEFORE the pair-distinct, so only verified
+    // near-dups reach that shuffle.
+    bucketPairs(banded, Seq("band", "chunk"), maxBucket, carry = Seq("sim"),
+      preDistinct = _.withColumn("hamming",
+          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+        .filter(col("hamming") <= maxHamming))
+      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
   /** Seed-free 60-bit SimHash over md5 token hashes — the cross-engine

@@ -142,6 +142,41 @@ object Similarity {
     srpCandidatePairs(embeddings, idCol, vecCol, bits, bands)
       .filter(col("cos_sim") >= cosThreshold)
 
+  /** Chunk bits sized to the corpus: 2^chunkBits buckets per band, so
+    * expected occupancy n / 2^chunkBits stays near `targetOccupancy`.
+    * Fixed-width banding (the old 8-bit default) stops discriminating
+    * once n >> buckets×occupancy — measured at 100× sf0.1 (~400k
+    * vectors, 256 buckets/band): the candidate stream explodes and the
+    * pipeline goes 686× the base wall-clock. With log₂-scaled bits it
+    * is back to ~linear. Floor of 8 keeps small-corpus geometry (and
+    * every sf0.01/sf0.1 output) EXACTLY as before; cap of 15 keeps
+    * bands×bits ≤ 60 inside the 64-bit signature frame (beyond ~2M
+    * vectors per partition-set, widen the signature to two longs or
+    * add bands rather than raising occupancy).
+    *
+    * Occupancy target is SMALL on purpose: candidates grow as
+    * n×occupancy/2 per band (quadratic within a bucket) — a target of
+    * 200 measured 160M candidate cosines at 400k vectors (~100s);
+    * 16 gives ~10M (~10s) with recall governed by the band count, not
+    * the bucket size. */
+  def srpChunkBitsFor(n: Long, targetOccupancy: Long = 16,
+      minBits: Int = 8, maxBits: Int = 15): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1L, n / math.max(1L, targetOccupancy)).toDouble) /
+        math.log(2.0)).toInt
+    needed.max(minBits).min(maxBits)
+  }
+
+  /** [[srpCandidatePairs]] with corpus-sized banding: one count() to
+    * the driver (a long — model-sized state), then chunk bits chosen by
+    * [[srpChunkBitsFor]]. This is the form a 100 TB deployment calls. */
+  def srpCandidatePairsAuto(embeddings: DataFrame, idCol: String,
+      vecCol: String, bands: Int = 4, maxBucket: Int = 1000): DataFrame = {
+    val chunkBits = srpChunkBitsFor(embeddings.count())
+    srpCandidatePairs(embeddings, idCol, vecCol,
+      bits = bands * chunkBits, bands = bands, maxBucket = maxBucket)
+  }
+
   private def cosD(a: Column, b: Column): Column =
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
 

@@ -157,10 +157,13 @@ object PipelineOps {
         anchorId = 0L, k = 10)),
 
     // SRP-LSH candidate pairs, top-20 by exact cosine. Rows-only
-    // (hash-seeded hyperplanes) but deterministic.
+    // (hash-seeded hyperplanes) but deterministic. Auto geometry:
+    // chunk bits scale with log₂(corpus) (identical to the old fixed
+    // 32/4 at sf≤0.1; at 100× data the fixed geometry measured 686×
+    // base wall-clock from candidate explosion — see PERF.md).
     "embed_srp_topdups" -> ((s, d) =>
-      Similarity.srpCandidatePairs(t(s, d, "embeddings"), "vec_id", "embedding",
-          bits = 32, bands = 4)
+      Similarity.srpCandidatePairsAuto(t(s, d, "embeddings"), "vec_id", "embedding",
+          bands = 4)
         .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
         .limit(20)),
 

@@ -52,13 +52,20 @@ object SynthScale {
     def shift(colName: String, i: Int): org.apache.spark.sql.Column =
       col(colName) + lit(i * KeyStride)
 
-    // letter rotation i: 'a'+((c-'a'+i) mod 26), upper case likewise —
-    // replica texts share length/whitespace structure but no shingles
+    // Affine letter permutation per replica: j → (a*j + b) mod 26 with
+    // a coprime to 26 — 12×26 = 312 DISTINCT permutations, so replicas
+    // stay pairwise-decorrelated up to factor 312 (a pure rotation
+    // repeats after 26 and factor-100 replicas 0/26/52/78 would be
+    // exact twins, exploding near-dup outputs). i=0 is the identity
+    // (a=1, b=0): replica 0 is the original corpus.
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val upper = lower.toUpperCase
+    val coprimes = Array(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
     def rot(i: Int): (String, String) = {
-      val k = i % 26
-      (lower + upper, lower.drop(k) + lower.take(k) + upper.drop(k) + upper.take(k))
+      val a = coprimes((i / 26) % coprimes.length)
+      val b = i % 26
+      val perm = (0 until 26).map(j => lower((a * j + b) % 26)).mkString
+      (lower + upper, perm + perm.toUpperCase)
     }
 
     val writers: Seq[(String, () => DataFrame)] = Seq(
@@ -82,12 +89,30 @@ object SynthScale {
         df.withColumn("doc_id", shift("doc_id", i))
           .withColumn("text", if (i == 0) col("text") else translate(col("text"), from, to))
       }),
-      "embeddings" -> (() => replicate(table("embeddings")) { (df, i) =>
-        val jittered =
-          if (i == 0) col("embedding")
-          else expr(s"transform(embedding, (x, j) -> cast(x + 0.07f * sin(vec_id * 0.61 + j * 1.7 + $i * 2.3) as float))")
-        df.withColumn("vec_id", shift("vec_id", i))
-          .withColumn("embedding", jittered)
+      "embeddings" -> (() => {
+        // Per-replica SIGNED PERMUTATION of the components: an
+        // orthogonal transform, so within-replica cosine structure is
+        // preserved EXACTLY (each replica has the same near-dup density
+        // as the base corpus → outputs scale linearly), while
+        // cross-replica cosines collapse to ~N(0, 1/√d) — far below any
+        // near-dup threshold. (The earlier additive jitter kept
+        // cross-replica cosine ≈ 0.99: every vector gained factor-1
+        // true near-dups and candidate work grew QUADRATICALLY in the
+        // factor — measuring corpus construction, not the operator.)
+        val emb = table("embeddings")
+        val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        replicate(emb) { (df, i) =>
+          if (i == 0) df
+          else {
+            val rnd = new scala.util.Random(0xE5C0 + i)
+            val perm = rnd.shuffle((0 until dim).toList)
+            val signs = IndexedSeq.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f)
+            val shuffled = array((0 until dim).map(j =>
+              (element_at(col("embedding"), perm(j) + 1) * lit(signs(j))).cast("float")): _*)
+            df.withColumn("vec_id", shift("vec_id", i))
+              .withColumn("embedding", shuffled)
+          }
+        }
       }))
 
     writers.foreach { case (name, mk) =>
