@@ -228,4 +228,68 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_pairs"),
         (sum(col("graft_p").cast(org.apache.spark.sql.types.DecimalType(18, 12)))
           .cast("double") / count(lit(1))).as("avg_p"))
+
+  /** Train `merges` byte-pair-encoding merge steps on the corpus and
+    * return the merge table (step, left, right, freq) — the actual BPE
+    * training loop, not just iteration 1 ([[graft.queries.PipelineOps]]
+    * `text_bpe_pairs`).
+    *
+    * Representation: each word is its symbol sequence wrapped as
+    * `<h><e><l><l><o>`; a merge of pair `<l><l>` is a literal
+    * `replace` to `<ll>` — the delimiters make the replace
+    * token-boundary-exact, and both Spark and DuckDB scan replace
+    * left-to-right non-overlapping, which IS the BPE convention for a
+    * run like `l l l` → `ll l`. Only `[a-z0-9]+` words participate, so
+    * `<`/`>` can never occur inside a symbol.
+    *
+    * Scale shape: the corpus collapses to the (tiny) vocabulary before
+    * the loop — one token shuffle with map-side partial counts; each
+    * merge step is one pair-explode + aggregate over VOCAB rows plus a
+    * 1-row argmax to the driver (model-sized state, like the k-means
+    * centroids); the chosen pair is applied as a codegen'd projection.
+    * Nothing corpus-sized ever leaves executors.
+    *
+    * Ties break (freq desc, pair asc) — deterministic and replayed
+    * exactly by the DuckDB oracle (ASCII byte order on both engines). */
+  def bpeTrain(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    var vocab = docs
+      .select(explode(split(lower(col(textCol)), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("w"), "(.)", "<$1>").as("w"), col("freq"))
+      // vocab-sized (tiny); k merge steps re-read it
+      .localCheckpoint(true)
+    val out = collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= merges && !done) {
+      val toks = split(expr("substring(w, 2, length(w) - 2)"), "><")
+      val best = vocab
+        .select(col("freq"), toks.as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> concat('<', element_at(toks, i), '><', element_at(toks, i + 1), '>'))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("freq"))
+        .orderBy(col("freq").desc, col("pair"))
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val pair = best(0).getString(0)
+        val freq = best(0).getLong(1)
+        val left = "^<([a-z0-9]+)><".r.findFirstMatchIn(pair).get.group(1)
+        val right = "><([a-z0-9]+)>$".r.findFirstMatchIn(pair).get.group(1)
+        out += ((step, left, right, freq))
+        val merged = s"<$left$right>"
+        vocab = vocab
+          .select(expr(s"replace(w, '$pair', '$merged')").as("w"), col("freq"))
+          .localCheckpoint(true)
+        step += 1
+      }
+    }
+    import spark.implicits._
+    out.toSeq.toDF("step", "left", "right", "freq")
+  }
 }

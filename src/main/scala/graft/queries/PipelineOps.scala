@@ -412,6 +412,14 @@ object PipelineOps {
         .limit(20)
     }),
 
+    // The actual BPE training loop — 6 argmax-merge iterations over the
+    // vocabulary (TextAnalysis.bpeTrain; text_bpe_pairs is iteration 1's
+    // pair count). Oracle: the 6 steps unrolled as chained DuckDB CTEs
+    // replaying the same wrap → pair-count → argmax → replace algebra.
+    "text_bpe_train" -> ((s, d) =>
+      TextAnalysis.bpeTrain(t(s, d, "documents"), "text", merges = 6)
+        .orderBy(col("step"))),
+
     // Batch kNN: all 5 anchors answered in ONE corpus pass with
     // two-phase salted top-k (see Similarity.cosineTopKBatch) — the
     // embedding-serving shape, oracle-checked end to end.
@@ -521,6 +529,41 @@ object PipelineOps {
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
   private val stopList = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** DuckDB replay of [[graft.ops.TextAnalysis.bpeTrain]]: the k merge
+    * steps unrolled as chained CTEs — step i counts pairs over w(i-1),
+    * b(i) is the argmax (freq desc, pair asc — ASCII order on both
+    * engines), w(i) applies the merge as the same token-boundary-exact
+    * replace (`replace(pair, '><', '')` turns `<l><l>` into `<ll>`). */
+  private def bpeTrainOracle(k: Int): String = {
+    val steps = (1 to k).map { i =>
+      s"""p$i AS (
+         |  SELECT pair, CAST(SUM(freq) AS BIGINT) AS freq FROM (
+         |    SELECT freq, '<' || toks[i] || '><' || toks[i + 1] || '>' AS pair FROM (
+         |      SELECT freq, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+         |      FROM (SELECT freq, string_split(substring(w, 2, length(w) - 2), '><') AS toks
+         |            FROM w${i - 1})))
+         |  GROUP BY pair),
+         |b$i AS (SELECT pair, freq FROM p$i ORDER BY freq DESC, pair LIMIT 1),
+         |w$i AS (SELECT replace(w, (SELECT pair FROM b$i),
+         |    (SELECT replace(pair, '><', '') FROM b$i)) AS w, freq FROM w${i - 1})""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to k).map { i =>
+      s"""SELECT $i AS step,
+         |  regexp_extract(pair, '^<([a-z0-9]+)><', 1) AS "left",
+         |  regexp_extract(pair, '><([a-z0-9]+)>$$', 1) AS "right", freq FROM b$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH w0 AS (
+       |  SELECT regexp_replace(tok, '(.)', '<\\1>', 'g') AS w,
+       |    CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+       |  WHERE regexp_full_match(tok, '[a-z0-9]+')
+       |  GROUP BY 1),
+       |$steps
+       |SELECT * FROM (
+       |$rows
+       |) ORDER BY step""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // Same synthesis, same three regexes (Java regex and RE2 agree on
     // this restricted syntax), same placeholder order.
@@ -605,6 +648,8 @@ object PipelineOps {
         |  UNION
         |  SELECT s.src, r.lab FROM reach r JOIN sym s ON r.id = s.dst)
         |SELECT id, MIN(lab) AS comp FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    "text_bpe_train" -> bpeTrainOracle(6),
 
     "text_bpe_pairs" ->
       """WITH w AS (

@@ -49,4 +49,25 @@ class CurationPipelineSpec extends SparkSpec {
     // token budget column is populated and positive
     assert(rows.forall(_.getInt(2) > 0))
   }
+
+  test("bpeTrain reproduces the classic BPE example merge sequence") {
+    // Sennrich et al.'s canonical corpus: {low:5, lower:2, newest:6,
+    // widest:3}. Hand-derived merges with (freq desc, pair asc)
+    // tie-breaks: es/st tie at 9 → es wins lexicographically; then est;
+    // lo/ow tie at 7 → lo; then low; ew/ne/west tie at 6 → ew; ewest.
+    import spark.implicits._
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, "text", merges = 6)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(merges == Seq(
+      (1, "e", "s", 9L), (2, "es", "t", 9L), (3, "l", "o", 7L),
+      (4, "lo", "w", 7L), (5, "e", "w", 6L), (6, "ew", "est", 6L)), merges)
+    // a merge budget beyond the pair supply stops early instead of failing
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val m2 = TextAnalysis.bpeTrain(tiny, "text", merges = 5).collect()
+    assert(m2.length == 1 && m2(0).getString(1) == "a" && m2(0).getString(2) == "b")
+  }
 }
