@@ -298,11 +298,25 @@ object Similarity {
     -array_max(scored).getField("neg_id")
   }
 
+  /** L2 nearest-centroid as a projection (PQ's metric):
+    * argmin ‖v−c‖² = argmax dot(v,c) − ‖c‖²/2 — one dot per centroid,
+    * ties to the lowest cent_id, zero shuffles (same argmax-on-struct
+    * layout as [[cellExpr]]). */
+  private def cellExprL2(cents: Array[Cent], vec: Column): Column = {
+    val centLit = typedLit(cents.toSeq)
+    val scored = transform(centLit, c => struct(
+      (dot(vec, c.getField("_2")) -
+        c.getField("_3") * c.getField("_3") / lit(2.0)).as("c"),
+      (-c.getField("_1")).as("neg_id")))
+    -array_max(scored).getField("neg_id")
+  }
+
   /** (id, cell_id, vec) with cells from a driver-side centroid table. */
   private def assignedDf(embeddings: DataFrame, cents: Array[Cent],
-      idCol: String, vecCol: String): DataFrame =
+      idCol: String, vecCol: String, useL2: Boolean = false): DataFrame =
     embeddings.select(col(idCol),
-      cellExpr(cents, col(vecCol)).as("cell_id"), col(vecCol))
+      (if (useL2) cellExprL2(cents, col(vecCol))
+       else cellExpr(cents, col(vecCol))).as("cell_id"), col(vecCol))
 
   /** One corpus scan per Lloyd iteration. Update = per-dimension mean as
     * an exact DECIMAL sum (double sums depend on partition merge order;
@@ -310,10 +324,10 @@ object Similarity {
     * tasks are scheduled). The k results are collected — tiny — which is
     * the lineage cut between iterations. Empty cells drop out. */
   private def lloyd(embeddings: DataFrame, idCol: String, vecCol: String,
-      seeds: Array[Cent], iters: Int): Array[Cent] = {
+      seeds: Array[Cent], iters: Int, useL2: Boolean = false): Array[Cent] = {
     var cur = seeds
     (1 to iters).foreach { _ =>
-      cur = assignedDf(embeddings, cur, idCol, vecCol)
+      cur = assignedDf(embeddings, cur, idCol, vecCol, useL2)
         .select(col("cell_id"), posexplode(col(vecCol)))
         .groupBy(col("cell_id"), col("pos"))
         .agg((sum(col("col").cast(org.apache.spark.sql.types.DecimalType(28, 14)))
@@ -448,5 +462,119 @@ object Similarity {
       .select(col(idCol), col("scale"),
         transform(col("xd"),
           x => floor(x / col("scale") + lit(0.5)).cast("int")).as("q"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Product quantization (PQ): the vector splits into `m` contiguous
+  // subvectors; per subspace an L2 k-means over the SUB-vectors gives a
+  // `ksub`-entry codebook; a vector encodes as m small codes (64 floats
+  // = 256 B → 8 codes = 8 B at ksub ≤ 256). Query scoring is Asymmetric
+  // Distance Computation (ADC): the query precomputes dot(q_s, c) and
+  // ‖c‖² for every (subspace, centroid) — an m×ksub table, model-sized,
+  // shipped as a literal — and a candidate's approximate cosine is m
+  // table lookups summed, no decompression and no per-pair float-vector
+  // math. dot(q,x) decomposes EXACTLY over subspaces, so the only error
+  // is the codebook quantization itself. All driver state is the
+  // codebooks (m×ksub×dsub floats); corpus work is pure projections —
+  // the 100 TB shape (train on a sample at real scale).
+  // ---------------------------------------------------------------------
+
+  /** Per-subspace L2 k-means codebooks: (sub, cent_id, cent_vec).
+    * Deterministic like [[kmeansCentroids]] (hash-ordered seeds,
+    * decimal means). */
+  def pqTrainCodebooks(embeddings: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ksub: Int = 16, iters: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    (0 until m).map { s =>
+      val sub = embeddings.select(col(idCol),
+        slice(col(vecCol), s * dsub + 1, dsub).as("subv"))
+      val cents = lloyd(sub, idCol, "subv",
+        seedCents(sub, idCol, "subv", ksub), iters, useL2 = true)
+      centsToDf(embeddings, cents).select(lit(s).as("sub"),
+        col("cent_id"), col("cent_vec"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Encode every vector as its m nearest-subcentroid ids:
+    * (id, codes array<bigint>). Codebooks are collected to the driver
+    * (model-sized) and applied as one shuffle-free projection. */
+  def pqEncode(embeddings: DataFrame, codebooks: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val books = collectBooks(codebooks)
+    val dsub = books(0)(0)._2.length
+    val codes = array(books.indices.map { s =>
+      cellExprL2(books(s), slice(col(vecCol), s * dsub + 1, dsub))
+    }: _*)
+    embeddings.select(col(idCol), codes.as("codes"))
+  }
+
+  /** ADC top-k for one anchor: approximate cosine from the anchor's
+    * per-(sub, centroid) lookup tables — m static element_at lookups
+    * per row (codegen'd, no higher-order functions in the hot path). */
+  def pqTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      anchorId: Long, k: Int = 10, m: Int = 8, ksub: Int = 16,
+      iters: Int = 2): DataFrame = {
+    val books = collectBooks(
+      pqTrainCodebooks(embeddings, idCol, vecCol, m, ksub, iters))
+    val dsub = books(0)(0)._2.length
+    val anchor = embeddings.filter(col(idCol) === anchorId)
+      .select(col(vecCol)).head().getSeq[Float](0)
+    val qnorm = l2(anchor)
+    // lookup tables: dotLut(s)(cid) = dot(q_s, c); n2Lut(s)(cid) = ‖c‖²
+    def dotSub(s: Int, c: Seq[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < c.length) { acc += anchor(s * dsub + i).toDouble * c(i).toDouble; i += 1 }
+      acc
+    }
+    // cent_ids are dense 0..n-1 per sub only if no cell emptied during
+    // Lloyd — index the LUT by cent_id POSITION in the sorted book and
+    // map codes to positions the same way, so the two always agree
+    val dotLut = typedLit(books.zipWithIndex.map { case (b, s) =>
+      b.map(c => dotSub(s, c._2)).toSeq }.toSeq)
+    val n2Lut = typedLit(books.map(_.map(c => c._3 * c._3).toSeq).toSeq)
+    val encoded = pqEncode(embeddings, booksToDf(embeddings, books), idCol, vecCol)
+    val dotApprox = books.indices.map { s =>
+      element_at(element_at(dotLut, s + 1),
+        codePos(books(s), col("codes"), s))
+    }.reduce(_ + _)
+    val n2Approx = books.indices.map { s =>
+      element_at(element_at(n2Lut, s + 1),
+        codePos(books(s), col("codes"), s))
+    }.reduce(_ + _)
+    encoded
+      .filter(col(idCol) =!= anchorId)
+      .select(col(idCol),
+        (dotApprox / (lit(qnorm) * sqrt(n2Approx))).as("pq_cos"))
+      .orderBy(col("pq_cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** 1-based LUT position of the code for subspace `s`: cent_ids are
+    * positions in the cent_id-sorted book, mapped via a literal id →
+    * position array (ids may be sparse after empty-cell drop). */
+  private def codePos(book: Array[Cent], codes: Column, s: Int): Column = {
+    val ids = book.map(_._1)
+    val posOf = typedLit(ids.zipWithIndex.map { case (id, p) => (id, p + 1) }.toMap)
+    element_at(posOf, element_at(codes, s + 1))
+  }
+
+  private def collectBooks(codebooks: DataFrame): Array[Array[Cent]] =
+    codebooks.select(col("sub").cast("int"), col("cent_id").cast("long"),
+        col("cent_vec"))
+      .collect()
+      .groupBy(_.getInt(0)).toArray.sortBy(_._1)
+      .map(_._2.map(r => {
+        val v = r.getSeq[Float](2); (r.getLong(1), v, l2(v))
+      }).sortBy(_._1))
+
+  private def booksToDf(embeddings: DataFrame, books: Array[Array[Cent]]): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (b, s) =>
+      b.map { case (id, v, _) => (s, id, v) }
+    }.toSeq.toDF("sub", "cent_id", "cent_vec")
   }
 }

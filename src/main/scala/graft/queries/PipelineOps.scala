@@ -420,6 +420,15 @@ object PipelineOps {
       TextAnalysis.bpeTrain(t(s, d, "documents"), "text", merges = 6)
         .orderBy(col("step"))),
 
+    // Product-quantized ANN: per-subspace L2 codebooks (deterministic
+    // k-means), m-code encoding, ADC scoring from the anchor's lookup
+    // table (Similarity.pqTopK). Rows-only (float k-means has no
+    // cross-engine oracle) but run-to-run deterministic; recall pinned
+    // against brute force in SimilaritySpec.
+    "embed_pq_topk" -> ((s, d) =>
+      Similarity.pqTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        anchorId = 0L, k = 10)),
+
     // Batch kNN: all 5 anchors answered in ONE corpus pass with
     // two-phase salted top-k (see Similarity.cosineTopKBatch) — the
     // embedding-serving shape, oracle-checked end to end.

@@ -49,6 +49,36 @@ class SimilaritySpec extends SparkSpec {
     assert((brute & ivf).nonEmpty, s"no overlap: brute=$brute ivf=$ivf")
   }
 
+  test("PQ: codebooks deterministic, codes in range, ADC top-k overlaps brute force") {
+    val books = Similarity.pqTrainCodebooks(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 2)
+    val rows = books.collect()
+    assert(rows.forall(_.getSeq[Float](2).length == 8)) // dsub = 64/8
+    assert(rows.map(_.getInt(0)).toSet == (0 until 8).toSet)
+    // deterministic retrain (hash seeds + decimal means)
+    val again = Similarity.pqTrainCodebooks(emb, "vec_id", "embedding", 8, 16, 2)
+      .orderBy("sub", "cent_id").collect().map(r => r.getSeq[Float](2).toVector)
+    assert(again.toSeq ==
+      books.orderBy("sub", "cent_id").collect().map(_.getSeq[Float](2).toVector).toSeq)
+    // codes reference existing centroids in every subspace
+    val validIds = rows.groupBy(_.getInt(0)).map { case (s, rs) =>
+      s -> rs.map(_.getLong(1)).toSet }
+    val codes = Similarity.pqEncode(emb, books, "vec_id", "embedding").collect()
+    assert(codes.nonEmpty)
+    codes.foreach { r =>
+      val cs = r.getSeq[Long](1)
+      assert(cs.length == 8)
+      cs.zipWithIndex.foreach { case (c, s) => assert(validIds(s)(c), s"sub $s code $c") }
+    }
+    // ADC approximation finds most of the true neighborhood
+    val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val pq = Similarity.pqTopK(emb, "vec_id", "embedding", 0L, k = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(pq.size == 10)
+    assert((brute & pq).size >= 3, s"pq recall too low: brute=$brute pq=$pq")
+  }
+
   test("native SrpSigMd5D equals the higher-order-function composition") {
     // the native expression must be BIT-identical to the Catalyst
     // aggregate/zip_with decimal fold it replaces (which the DuckDB
