@@ -479,23 +479,65 @@ object Similarity {
   // the 100 TB shape (train on a sample at real scale).
   // ---------------------------------------------------------------------
 
-  /** Per-subspace L2 k-means codebooks: (sub, cent_id, cent_vec).
-    * Deterministic like [[kmeansCentroids]] (hash-ordered seeds,
-    * decimal means). */
+  /** Per-subspace L2 k-means codebooks: (sub, cent_id, cent_vec),
+    * cent_id = 0..ksub-1 within each subspace. Deterministic like
+    * [[kmeansCentroids]] (hash-ordered seeds, decimal means).
+    *
+    * All m subspaces train TOGETHER: the corpus explodes once per Lloyd
+    * iteration into (sub, subvec) rows, assignment indexes a per-sub
+    * centroid literal, and one (sub, cell, pos) aggregate updates every
+    * codebook — iters+1 corpus scans total instead of m×(iters+1)
+    * (measured 3.5 s → ~1 s at sf0.1 for m=8). Seeds are the hash-order
+    * first `ksub` vectors sliced per subspace — one TakeOrdered, no
+    * per-sub window (a Window.partitionBy(sub) would funnel the corpus
+    * through m reducers at scale). */
   def pqTrainCodebooks(embeddings: DataFrame, idCol: String, vecCol: String,
       m: Int = 8, ksub: Int = 16, iters: Int = 2): DataFrame = {
     val spark = embeddings.sparkSession
     val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val dsub = dim / m
-    (0 until m).map { s =>
-      val sub = embeddings.select(col(idCol),
-        slice(col(vecCol), s * dsub + 1, dsub).as("subv"))
-      val cents = lloyd(sub, idCol, "subv",
-        seedCents(sub, idCol, "subv", ksub), iters, useL2 = true)
-      centsToDf(embeddings, cents).select(lit(s).as("sub"),
-        col("cent_id"), col("cent_vec"))
-    }.reduce(_ unionAll _)
+    val seedVecs = embeddings
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(ksub).collect().map(_.getSeq[Float](1))
+    var books: Array[Array[Cent]] = Array.tabulate(m) { s =>
+      seedVecs.zipWithIndex.map { case (v, i) =>
+        val sv = v.slice(s * dsub, (s + 1) * dsub)
+        (i.toLong, sv, l2(sv))
+      }
+    }
+    val subRows = embeddings.select(col(idCol),
+        posexplode(array((0 until m).map(s =>
+          slice(col(vecCol), s * dsub + 1, dsub)): _*)))
+      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "subv")
+    (1 to iters).foreach { _ =>
+      val booksLit = typedLit(books.map(_.toSeq).toSeq)
+      val cents = element_at(booksLit, col("sub") + 1)
+      // argmax as lexicographic array-max: [score, -cent_id] — struct
+      // field aliases do not survive a lambda over element_at(literal),
+      // so the tiebreak rides as a second array element instead
+      // (cent_id ≤ ksub, exact in double)
+      val scored = transform(cents, c => array(
+        dot(col("subv"), c.getField("_2")) -
+          c.getField("_3") * c.getField("_3") / lit(2.0),
+        -c.getField("_1").cast("double")))
+      val updated = subRows
+        .select(col("sub"),
+          (-element_at(array_max(scored), 2)).cast("long").as("cell"),
+          posexplode(col("subv")))
+        .groupBy(col("sub"), col("cell"), col("pos"))
+        .agg((sum(col("col").cast(org.apache.spark.sql.types.DecimalType(28, 14)))
+          .cast("double") / count(lit(1)).cast("double")).cast("float").as("mv"))
+        .groupBy(col("sub"), col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
+          t => t.getField("mv")).as("cv"))
+        .collect()
+      books = updated.groupBy(_.getInt(0)).toArray.sortBy(_._1).map(_._2
+        .map(r => { val v = r.getSeq[Float](2); (r.getLong(1), v, l2(v)) })
+        .sortBy(_._1))
+    }
+    booksToDf(embeddings, books).select(col("sub"), col("cent_id"), col("cent_vec"))
   }
 
   /** Encode every vector as its m nearest-subcentroid ids:
