@@ -26,9 +26,11 @@ object InfoSchema {
 
   val TablesView = "graft_info_schema_tables"
   val ColumnsView = "graft_info_schema_columns"
+  val SchemataView = "graft_info_schema_schemata"
+  val ViewsView = "graft_info_schema_views"
 
   private val Ref =
-    """(?i)(?:[A-Za-z_][A-Za-z0-9_]*\s*\.\s*)?information_schema\s*\.\s*(tables|columns)""".r
+    """(?i)(?:[A-Za-z_][A-Za-z0-9_]*\s*\.\s*)?information_schema\s*\.\s*(tables|columns|schemata|views)""".r
 
   /** True when the query references information_schema outside quotes. */
   def references(sql: String): Boolean = findSpans(sql).nonEmpty
@@ -53,8 +55,12 @@ object InfoSchema {
   private def findSpans(sql: String): Seq[(Int, Int, String)] =
     Ref.findAllMatchIn(sql).collect {
       case m if !inQuotes(sql, m.start) =>
-        val target =
-          if (m.group(1).equalsIgnoreCase("tables")) TablesView else ColumnsView
+        val target = m.group(1).toLowerCase match {
+          case "tables" => TablesView
+          case "columns" => ColumnsView
+          case "schemata" => SchemataView
+          case _ => ViewsView
+        }
         (m.start, m.end, target)
     }.toSeq
 
@@ -117,5 +123,29 @@ object InfoSchema {
     spark.createDataFrame(
         spark.sparkContext.parallelize(cRows, 1), columnsSchema)
       .createOrReplaceTempView(ColumnsView)
+
+    // schemata: allowlist-filtered schema listing (Trino shape:
+    // catalog_name, schema_name)
+    val sRows = meta.listSchemas(cat).map(s => Row(cat, s))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(sRows, 1), schemataSchema)
+      .createOrReplaceTempView(SchemataView)
+
+    // views: no SQL views exist in the embedded catalog (testdata
+    // relations surface as BASE TABLEs) — an EMPTY relation with
+    // Trino's column shape, not an unsupported-reference error
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq.empty[Row], 1), viewsSchema)
+      .createOrReplaceTempView(ViewsView)
   }
+
+  private val schemataSchema = StructType(Seq(
+    StructField("catalog_name", StringType, nullable = false),
+    StructField("schema_name", StringType, nullable = false)))
+
+  private val viewsSchema = StructType(Seq(
+    StructField("table_catalog", StringType, nullable = false),
+    StructField("table_schema", StringType, nullable = false),
+    StructField("table_name", StringType, nullable = false),
+    StructField("view_definition", StringType, nullable = true)))
 }

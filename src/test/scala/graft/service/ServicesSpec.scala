@@ -75,6 +75,24 @@ class ServicesSpec extends SparkSpec {
     assert(r.rows.map(_.head.toString) == Seq("nation", "region"), r.rows)
   }
 
+  test("execute: information_schema.schemata and .views are served") {
+    val qs = new QueryService(engine())
+    val s = qs.execute(
+      "SELECT catalog_name, schema_name FROM information_schema.schemata ORDER BY 1, 2")
+      .toOption.get
+    assert(s.rows.nonEmpty && s.rows.exists(_(1).toString == "default"), s.rows)
+    // allowlist filtering applies to schemata like the metadata tools
+    val denied = new QueryService(engine(Map(
+      "TRINO_ALLOWED_SCHEMAS" -> "spark_catalog.other")))
+      .execute("SELECT schema_name FROM information_schema.schemata").toOption.get
+    assert(!denied.rows.exists(_.head.toString == "default"), denied.rows)
+    // views: empty relation with Trino's column shape, not an error
+    val v = qs.execute(
+      "SELECT table_name, view_definition FROM information_schema.views").toOption.get
+    assert(v.rows.isEmpty)
+    assert(v.columns == Seq("table_name", "view_definition"))
+  }
+
   test("execute: information_schema inside a string literal is untouched") {
     val r = new QueryService(engine())
       .execute("SELECT 'information_schema.tables' AS s").toOption.get
