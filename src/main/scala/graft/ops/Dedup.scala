@@ -122,7 +122,7 @@ object Dedup {
 
   /** Shingle sets + banded MinHash bucket keys for `docs` — the shared
     * prep of [[minHashPairs]] and the persisted-index path. */
-  private def shinglesAndBands(docs: DataFrame, idCol: String, textCol: String,
+  private[graft] def shinglesAndBands(docs: DataFrame, idCol: String, textCol: String,
       k: Int, numHashes: Int, bands: Int): (DataFrame, DataFrame) = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")

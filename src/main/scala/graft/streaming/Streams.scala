@@ -184,4 +184,57 @@ object Streams {
           out.result().iterator
       }
   }
+
+  /** Streaming near-dup ingestion — the online face of
+    * [[graft.ops.Dedup.probeMinhashIndex]]: each micro-batch of new
+    * documents computes its own MinHash bands (stateless projections),
+    * STREAM-STATIC joins the persisted band index (written
+    * `partitionBy(band)` by `buildMinhashIndex` — the static side
+    * streams from parquet with partition pruning on the join key), and
+    * verifies exact shingle Jaccard against the index's shingle table.
+    * Per-trigger cost scales with the BATCH and bucket collisions,
+    * never the standing corpus — the same bound as the batch probe.
+    *
+    * Append mode, no streaming aggregation; the only state is the
+    * (new_id, index_id) pair-dedup (a doc matching an index doc through
+    * several bands must emit once). That state grows with distinct
+    * emitted pairs — production ingest should add an event-time column
+    * and `withWatermark` to bound it; the testdata documents carry no
+    * timestamp, so the operator leaves that to the caller. */
+  def minhashProbeStream(newDocs: DataFrame, indexPath: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      jaccardThreshold: Double = 0.5): DataFrame = {
+    val spark = newDocs.sparkSession
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    // shingles CARRIED through the band explode: re-attaching them via a
+    // join would be stream-stream (both sides derive from the stream);
+    // carrying keeps the probe side pure projections, so the only joins
+    // are stream-static
+    val newBanded = newDocs
+      .select(col(idCol).as("new_id"),
+        graft.ops.TextAnalysis.shingleHashes(col(textCol), k).as("sh_a"))
+      .select(col("new_id"), col("sh_a"),
+        graft.ops.Dedup.minHashSignature(col("sh_a"), numHashes).as("sig"))
+      .select(col("new_id"), col("sh_a"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+    val idxBanded = spark.read.parquet(s"$indexPath/bands")
+    val idxShingled = spark.read.parquet(s"$indexPath/shingles")
+    newBanded
+      .join(idxBanded.select(col("band"), col("band_hash"),
+        col("id").as("index_id")), Seq("band", "band_hash"))
+      .select(col("new_id"), col("index_id"), col("sh_a"))
+      .dropDuplicates("new_id", "index_id")
+      .join(idxShingled.select(col("id").as("index_id"), col("shingles").as("sh_b")),
+        Seq("index_id"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("new_id"), col("index_id"), col("jaccard"))
+  }
 }

@@ -221,6 +221,37 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming minhash probe against the persisted index equals the batch probe") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.engine.Tables.load(spark, dir, "documents")
+    // standing corpus = even doc_ids (indexed once); ingest = odd ids
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val ingest = docs.filter(col("doc_id") % 2 === 1)
+    val idx = java.nio.file.Files.createTempDirectory("graft-mh-idx").toString
+    graft.ops.Dedup.buildMinhashIndex(corpus, "doc_id", "text", idx)
+
+    val watched = java.nio.file.Files.createTempDirectory("graft-probe-stream")
+    watched.toFile.deleteOnExit()
+    ingest.write.mode("overwrite").parquet(watched.resolve("batch1").toString)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(watched.resolve("batch1").toString)
+    val probed = graft.streaming.Streams.minhashProbeStream(stream, idx)
+    val q = probed.writeStream.format("memory").queryName("stream_probe")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streaming = spark.table("stream_probe").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = graft.ops.Dedup.probeMinhashIndex(ingest, "doc_id", "text", idx)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streaming == batch, s"stream=${streaming.size} batch=${batch.size}")
+      assert(streaming.nonEmpty) // sf0.001 has near-dups across the split
+      // every pair crosses the split: new side odd, index side even
+      streaming.foreach { case (n, i, _) => assert(n % 2 == 1 && i % 2 == 0) }
+    } finally q.stop()
+  }
+
   test("streaming as-of join equals the batch operator on in-order arrival") {
     implicit val sqlCtx = spark.sqlContext
     // purchases join the latest at-or-before view per user; includes an
