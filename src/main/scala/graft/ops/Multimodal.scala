@@ -153,6 +153,67 @@ object Multimodal {
       case _ => None
     } catch { case _: Exception => None }
 
+  /** Nearest-neighbor resample of an 8-bit pixel buffer (any channel
+    * count): source index = floor(target * src / dst) per axis — the
+    * canonical NN grid, pure integer arithmetic (which is what lets the
+    * DuckDB oracle replay the resized checksum without any codec). */
+  def resizePixels(px: Array[Byte], w: Int, h: Int, ch: Int,
+      ow: Int, oh: Int): Array[Byte] = {
+    val out = new Array[Byte](ow * oh * ch)
+    var y = 0
+    while (y < oh) {
+      val sy = (y.toLong * h / oh).toInt
+      var x = 0
+      while (x < ow) {
+        val sx = (x.toLong * w / ow).toInt
+        var c = 0
+        while (c < ch) {
+          out((y * ow + x) * ch + c) = px((sy * w + sx) * ch + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Batch image resize — decode PNG payloads, NN-resample to
+    * (ow, oh), re-encode, and emit the resized blob + dims + content
+    * checksum. Non-image payloads (WAV rows) pass through with nulls.
+    * Per-partition kernel like [[decodeBatch]]; payload bytes never
+    * leave executors. */
+  def resizeBatch(docs: DataFrame, ow: Int, oh: Int): DataFrame = {
+    val schema = StructType(docs.schema.fields ++ Seq(
+      StructField("resized_w", IntegerType, nullable = true),
+      StructField("resized_h", IntegerType, nullable = true),
+      StructField("resized_checksum", LongType, nullable = true),
+      StructField("resized_png", BinaryType, nullable = true)))
+    val enc = RowEncoder.encoderFor(schema)
+    val payloadIdx = docs.schema.fieldIndex("payload")
+    docs.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val resized: Seq[Any] =
+          (try Png.decode(bytes).toOption catch { case _: Exception => None }) match {
+            case Some(d) =>
+              val out = resizePixels(d.pixels, d.width, d.height,
+                d.channelsPerPixel, ow, oh)
+              var s = 0L; var i = 0
+              while (i < out.length) { s += out(i) & 0xff; i += 1 }
+              // re-encode only the grayscale case (the synth corpus);
+              // multi-channel resizes still emit dims + checksum
+              val png =
+                if (d.channelsPerPixel == 1) Png.encodeGray(ow, oh, i2 => out(i2) & 0xff)
+                else null
+              Seq(ow, oh, s, png)
+            case None => Seq(null, null, null, null)
+          }
+        Row.fromSeq(r.toSeq ++ resized)
+      }
+    }(enc)
+  }
+
   /** Frame-sample: every `stride`-th decoded value (pixel subsample /
     * PCM decimation) as the feature-extractor input. */
   def frameSample(docs: DataFrame, stride: Int = 256): DataFrame = {

@@ -531,6 +531,19 @@ object PipelineOps {
             .select(col("doc_id"), col("payload")))
         .select(col("doc_id"), col("format"), col("n_values"),
           col("decoded_checksum"))
+        .orderBy(col("doc_id"))),
+
+    // NN image resize to 16×12 over the REAL decoded PNGs — the resize
+    // grid is pure integer arithmetic (sx = x*w div ow), so the DuckDB
+    // oracle replays the resized checksum value-for-value without a
+    // codec. WAV rows drop out (image op).
+    "mm_resize_batch" -> ((s, d) =>
+      Multimodal.resizeBatch(
+          Multimodal.withBlobAndMeta(t(s, d, "documents"))
+            .select(col("doc_id"), col("payload")), ow = 16, oh = 12)
+        .filter(col("resized_checksum").isNotNull)
+        .select(col("doc_id"), col("resized_w"), col("resized_h"),
+          col("resized_checksum"))
         .orderBy(col("doc_id")))
   )
 
@@ -1198,6 +1211,24 @@ object PipelineOps {
         |SELECT doc_id, format, CAST(n AS BIGINT) AS n_values,
         |       CAST(checksum AS BIGINT) AS decoded_checksum
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // resize oracle: even-length docs are w×h gray PNGs of generator
+    // values v(i) = (doc_id*31 + 7i) % 256; the NN grid picks
+    // i = sy*w + sx with sy = y*h//12, sx = x*w//16 — all integer
+    // arithmetic DuckDB computes directly
+    "mm_resize_batch" ->
+      """WITH img AS (
+        |  SELECT doc_id,
+        |    length(coalesce(text, '')) % 64 + 8 AS w,
+        |    length(coalesce(text, '')) % 48 + 8 AS h
+        |  FROM documents WHERE length(coalesce(text, '')) % 2 = 0),
+        |g AS (
+        |  SELECT img.doc_id,
+        |    ((y.i * h) // 12) * w + ((x.i * w) // 16) AS src_i
+        |  FROM img, generate_series(0, 11) AS y(i), generate_series(0, 15) AS x(i))
+        |SELECT doc_id, CAST(16 AS INT) AS resized_w, CAST(12 AS INT) AS resized_h,
+        |  CAST(SUM((doc_id * 31 + 7 * src_i) % 256) AS BIGINT) AS resized_checksum
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "embed_knn_cosine" ->
       """WITH a AS (SELECT embedding AS av FROM embeddings WHERE vec_id = 0),

@@ -124,6 +124,27 @@ class CodecSpec extends AnyFunSuite {
     })
   }
 
+  test("nearest-neighbor resize picks the canonical grid and re-encodes") {
+    // integer 2× downscale of a 8×6 gray image picks every other pixel
+    val w = 8; val h = 6
+    val px = Array.tabulate(w * h)(i => ((i * 13 + 5) % 256).toByte)
+    val half = Multimodal.resizePixels(px, w, h, 1, 4, 3)
+    for (y <- 0 until 3; x <- 0 until 4)
+      assert(half(y * 4 + x) == px((y * 2) * w + x * 2), s"($x,$y)")
+    // upscale: every output pixel maps to floor(target*src/dst)
+    val up = Multimodal.resizePixels(px, w, h, 1, 11, 7)
+    for (y <- 0 until 7; x <- 0 until 11)
+      assert(up(y * 11 + x) == px((y * 6 / 7) * w + (x * 8 / 11)), s"up ($x,$y)")
+    // multi-channel: channels move together
+    val rgb = Array.tabulate(w * h * 3)(i => (i % 251).toByte)
+    val rgbHalf = Multimodal.resizePixels(rgb, w, h, 3, 4, 3)
+    for (y <- 0 until 3; x <- 0 until 4; c <- 0 until 3)
+      assert(rgbHalf((y * 4 + x) * 3 + c) == rgb(((y * 2) * w + x * 2) * 3 + c))
+    // and the re-encoded PNG round-trips the resized pixels exactly
+    val png = Png.encodeGray(4, 3, i => half(i) & 0xff)
+    assert(Png.decode(png).toOption.get.pixels.sameElements(half))
+  }
+
   test("WAV PCM16 round-trip is sample-exact") {
     val samples = Array.tabulate(333)(i => ((i * 257) % 65536 - 32768).toShort)
     val bytes = Wav.encodePcm16(16000, samples)
