@@ -412,6 +412,22 @@ object PipelineOps {
         .limit(20)
     }),
 
+    // The persisted-index daily operation wired end to end: index the
+    // standing corpus (even doc_ids) once, probe the ingest batch (odd
+    // ids) against it — pair cost scales with the batch, never the
+    // corpus. Rows-only (xxhash64 signatures) but deterministic; the
+    // streaming face is Streams.minhashProbeStream (batch-parity
+    // pinned in StreamsSpec).
+    "dedup_index_probe" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_mh_idx_${d.hashCode}"
+      Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", idx)
+      Dedup.probeMinhashIndex(docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", idx)
+        .orderBy(col("new_id"), col("index_id"))
+    }),
+
     // The actual BPE training loop — 6 argmax-merge iterations over the
     // vocabulary (TextAnalysis.bpeTrain; text_bpe_pairs is iteration 1's
     // pair count). Oracle: the 6 steps unrolled as chained DuckDB CTEs

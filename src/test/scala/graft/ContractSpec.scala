@@ -28,7 +28,7 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented counts") {
-    assert(SparkEntry.queries.size == 144,
+    assert(SparkEntry.queries.size == 145,
       s"queries=${SparkEntry.queries.size} — update README/ContractSpec together")
     assert(SparkEntry.oracleSql.size == 128,
       s"oracles=${SparkEntry.oracleSql.size} — update README/ContractSpec together")
