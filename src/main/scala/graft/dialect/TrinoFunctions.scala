@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.HyperLogLogPlusPlus
-import org.apache.spark.sql.types.{DateType, DoubleType, LongType, StringType, TimestampType}
+import org.apache.spark.sql.types.{DateType, DecimalType, DoubleType, IntegerType, LongType, StringType, TimestampType}
 
 /** Trino SQL dialect shims (SURVEY.md §4 custom piece 1): function
   * names and argument orders the reference's promised surface uses that
@@ -338,6 +338,203 @@ object TrinoFunctions {
       }
       case args => throw new IllegalArgumentException(
         s"to_iso8601 expects 1 arg, got ${args.length}")
+    },
+
+    // ---- round-9 bridge batch: Trino names over existing Catalyst ----
+    // zip(a, b, …) → arrays_zip; Trino's row fields are unnamed, Spark
+    // names them after the inputs — positionally identical.
+    "zip" -> {
+      case args if args.length >= 2 => ArraysZip(args)
+      case args => throw new IllegalArgumentException(
+        s"zip expects >= 2 arrays, got ${args.length}")
+    },
+    // Binary ↔ text codecs. Trino to_hex is uppercase like Spark's hex.
+    "to_hex" -> {
+      case Seq(x) => Hex(x)
+      case args => throw new IllegalArgumentException(
+        s"to_hex expects 1 arg, got ${args.length}")
+    },
+    "from_hex" -> {
+      case Seq(x) => Unhex(x)
+      case args => throw new IllegalArgumentException(
+        s"from_hex expects 1 arg, got ${args.length}")
+    },
+    "to_base64" -> {
+      case Seq(x) => Base64(x)
+      case args => throw new IllegalArgumentException(
+        s"to_base64 expects 1 arg, got ${args.length}")
+    },
+    "from_base64" -> {
+      case Seq(x) => UnBase64(x)
+      case args => throw new IllegalArgumentException(
+        s"from_base64 expects 1 arg, got ${args.length}")
+    },
+    // URL-safe alphabet = standard with +/ ↔ -_ (padding retained; both
+    // Trino and java.util.Base64 accept padded url-safe input)
+    "to_base64url" -> {
+      case Seq(x) => StringTranslate(Base64(x), Literal("+/"), Literal("-_"))
+      case args => throw new IllegalArgumentException(
+        s"to_base64url expects 1 arg, got ${args.length}")
+    },
+    "from_base64url" -> {
+      case Seq(x) => UnBase64(StringTranslate(x, Literal("-_"), Literal("+/")))
+      case args => throw new IllegalArgumentException(
+        s"from_base64url expects 1 arg, got ${args.length}")
+    },
+    // Trino's sha*/md5 return VARBINARY; Spark's return hex strings —
+    // unhex back to bytes. (md5 itself is NOT overridden: the engine's
+    // own md5-twin queries rely on Spark's hex-string md5.)
+    "sha1" -> {
+      case Seq(x) => Unhex(Sha1(x))
+      case args => throw new IllegalArgumentException(
+        s"sha1 expects 1 arg, got ${args.length}")
+    },
+    "sha256" -> {
+      case Seq(x) => Unhex(Sha2(x, Literal(256)))
+      case args => throw new IllegalArgumentException(
+        s"sha256 expects 1 arg, got ${args.length}")
+    },
+    "sha512" -> {
+      case Seq(x) => Unhex(Sha2(x, Literal(512)))
+      case args => throw new IllegalArgumentException(
+        s"sha512 expects 1 arg, got ${args.length}")
+    },
+    // Trino spells the bitwise operators as functions (64-bit two's
+    // complement). bitwise_right_shift is the LOGICAL shift.
+    "bitwise_and" -> {
+      case Seq(a, b) => BitwiseAnd(a, b)
+      case args => throw new IllegalArgumentException(
+        s"bitwise_and expects 2 args, got ${args.length}")
+    },
+    "bitwise_or" -> {
+      case Seq(a, b) => BitwiseOr(a, b)
+      case args => throw new IllegalArgumentException(
+        s"bitwise_or expects 2 args, got ${args.length}")
+    },
+    "bitwise_xor" -> {
+      case Seq(a, b) => BitwiseXor(a, b)
+      case args => throw new IllegalArgumentException(
+        s"bitwise_xor expects 2 args, got ${args.length}")
+    },
+    "bitwise_not" -> {
+      case Seq(x) => BitwiseNot(x)
+      case args => throw new IllegalArgumentException(
+        s"bitwise_not expects 1 arg, got ${args.length}")
+    },
+    "bitwise_left_shift" -> {
+      case Seq(x, n) => ShiftLeft(Cast(x, LongType), Cast(n, IntegerType))
+      case args => throw new IllegalArgumentException(
+        s"bitwise_left_shift expects 2 args, got ${args.length}")
+    },
+    "bitwise_right_shift" -> {
+      case Seq(x, n) => ShiftRightUnsigned(Cast(x, LongType), Cast(n, IntegerType))
+      case args => throw new IllegalArgumentException(
+        s"bitwise_right_shift expects 2 args, got ${args.length}")
+    },
+    "bitwise_right_shift_arithmetic" -> {
+      case Seq(x, n) => ShiftRight(Cast(x, LongType), Cast(n, IntegerType))
+      case args => throw new IllegalArgumentException(
+        s"bitwise_right_shift_arithmetic expects 2 args, got ${args.length}")
+    },
+    // bit_count(x, bits): ones in the bits-wide two's complement of x.
+    // Masking to the low `bits` IS that representation for negatives.
+    "bit_count" -> {
+      case Seq(x) => BitwiseCount(Cast(x, LongType))
+      case Seq(x, b) =>
+        val bits = litInt(b, "bits")
+        if (bits < 2 || bits > 64) throw new IllegalArgumentException(
+          s"bit_count: bits must be in [2, 64], got $bits")
+        if (bits == 64) BitwiseCount(Cast(x, LongType))
+        else BitwiseCount(BitwiseAnd(Cast(x, LongType),
+          Literal((1L << bits) - 1)))
+      case args => throw new IllegalArgumentException(
+        s"bit_count expects 1-2 args, got ${args.length}")
+    },
+    // truncate(x[, n]): round toward zero (Spark has only round/bround).
+    // sign(x) * floor(|x| * 10^n) / 10^n, n literal (0 when omitted).
+    "truncate" -> {
+      case Seq(x) =>
+        val d = Cast(x, DoubleType)
+        Multiply(Signum(d), Floor(Abs(d)))
+      case Seq(x, n) =>
+        val scale = litInt(n, "n")
+        val p = Literal(math.pow(10.0, scale))
+        val d = Cast(x, DoubleType)
+        Divide(Multiply(Signum(d), Cast(Floor(Multiply(Abs(d), p)), DoubleType)), p)
+      case args => throw new IllegalArgumentException(
+        s"truncate expects 1-2 args, got ${args.length}")
+    },
+    // index(s, sub) is Trino's documented alias of strpos
+    "index" -> {
+      case Seq(s, sub) => StringInstr(s, sub)
+      case args => throw new IllegalArgumentException(
+        s"index expects 2 args, got ${args.length}")
+    },
+    // starts_with: Spark spells it startswith
+    "starts_with" -> {
+      case Seq(s, p) => StartsWith(s, p)
+      case args => throw new IllegalArgumentException(
+        s"starts_with expects 2 args, got ${args.length}")
+    },
+    // regexp_split(s, pattern) → split with no limit
+    "regexp_split" -> {
+      case Seq(s, p) => StringSplit(s, p, Literal(-1))
+      case args => throw new IllegalArgumentException(
+        s"regexp_split expects 2 args, got ${args.length}")
+    },
+    // split_to_map(s, entryDelim, kvDelim) → str_to_map (same arg order;
+    // Trino errors on duplicate keys, Spark keeps the last — documented)
+    "split_to_map" -> {
+      case Seq(s, ed, kd) => new StringToMap(s, ed, kd)
+      case args => throw new IllegalArgumentException(
+        s"split_to_map expects 3 args, got ${args.length}")
+    },
+    // format('%s…', args…) — Trino and Spark both use java.util.Formatter
+    "format" -> {
+      case args if args.nonEmpty => FormatString(args: _*)
+      case _ => throw new IllegalArgumentException("format expects >= 1 arg")
+    },
+    // cosine_distance = 1 − cosine_similarity (same dense-array dot)
+    "cosine_distance" -> {
+      case Seq(a, b) => Subtract(Literal(1.0),
+        Divide(graft.functions.NativeExprs.DotF(a, b),
+          Sqrt(Multiply(graft.functions.NativeExprs.DotF(a, a),
+            graft.functions.NativeExprs.DotF(b, b)))))
+      case args => throw new IllegalArgumentException(
+        s"cosine_distance expects 2 args, got ${args.length}")
+    },
+    // json_parse validates; the engine's JSON runtime type is the
+    // canonical string (json_format is the identity on it). Invalid
+    // input → NULL under try(), error otherwise (Trino raises).
+    "json_parse" -> {
+      case Seq(s) =>
+        If(Or(IsNull(s), IsNotNull(GetJsonObject(s, Literal("$")))),
+          Cast(s, StringType),
+          Cast(RaiseError(Concat(Seq(Literal("json_parse: invalid JSON: "),
+            Cast(s, StringType)))), StringType))
+      case args => throw new IllegalArgumentException(
+        s"json_parse expects 1 arg, got ${args.length}")
+    },
+    "json_format" -> {
+      case Seq(j) => Cast(j, StringType)
+      case args => throw new IllegalArgumentException(
+        s"json_format expects 1 arg, got ${args.length}")
+    },
+    // checksum(x): order-insensitive aggregate — sum of xxhash64(x) mod
+    // 2^64, returned as the wrapped signed BIGINT (Trino returns 8-byte
+    // varbinary; same information, comparable either way). Decimal(38)
+    // accumulation cannot overflow (needs > 10^18 rows).
+    "checksum" -> {
+      case Seq(x) =>
+        val sum = new org.apache.spark.sql.catalyst.expressions.aggregate.Sum(
+          Cast(XxHash64(Seq(x), 42L), DecimalType(38, 0))).toAggregateExpression()
+        val two63 = Literal.create(new java.math.BigDecimal("9223372036854775808"),
+          DecimalType(38, 0))
+        val two64 = Literal.create(new java.math.BigDecimal("18446744073709551616"),
+          DecimalType(38, 0))
+        Cast(Subtract(Pmod(Add(sum, two63), two64), two63), LongType)
+      case args => throw new IllegalArgumentException(
+        s"checksum expects 1 arg, got ${args.length}")
     })
 
   /** Joda-Time pattern (Trino format_datetime) → JVM DateTimeFormatter

@@ -327,4 +327,104 @@ class TrinoFunctionsSpec extends SparkSpec {
     assert(exact > 0)
     assert(math.abs(both - exact).toDouble / exact <= 0.05, s"$both vs $exact")
   }
+
+  // ---- round-9 bridge batch ----
+
+  test("zip pairs arrays positionally") {
+    // element_at is 1-based in both dialects ([] subscripts differ:
+    // Trino 1-based, Spark 0-based — element_at is the portable spelling)
+    assert(one("SELECT element_at(zip(array(1,2), array('a','b')), 1)['1']") == "a")
+    assert(one("SELECT element_at(zip(array(1,2), array('a','b')), 2)['0']") == 2)
+    assert(one("SELECT cardinality(zip(array(1,2,3), array('a','b')))") == 3)
+  }
+
+  test("hex / base64 / base64url codecs round-trip") {
+    assert(one("SELECT to_hex(CAST('ab' AS BINARY))") == "6162")
+    assert(one("SELECT CAST(from_hex('6162') AS STRING)") == "ab")
+    assert(one("SELECT to_base64(CAST('hello' AS BINARY))") == "aGVsbG8=")
+    assert(one("SELECT CAST(from_base64('aGVsbG8=') AS STRING)") == "hello")
+    // 0xFBEF en­codes to '++8=' standard / '--8=' url-safe
+    assert(one("SELECT to_base64url(from_hex('FBEF'))") == "--8=")
+    assert(one("SELECT to_hex(from_base64url('--8='))") == "FBEF")
+    assert(one("SELECT CAST(from_base64url(to_base64url(CAST('x?y' AS BINARY))) AS STRING)") == "x?y")
+  }
+
+  test("sha1/sha256/sha512 return VARBINARY (Trino), not hex strings") {
+    // NIST FIPS 180 vectors for "abc"
+    assert(one("SELECT to_hex(sha1(CAST('abc' AS BINARY)))")
+      == "A9993E364706816ABA3E25717850C26C9CD0D89D")
+    assert(one("SELECT to_hex(sha256(CAST('abc' AS BINARY)))")
+      == "BA7816BF8F01CFEA414140DE5DAE2223B00361A396177A9CB410FF61F20015AD")
+    assert(one("SELECT length(sha512(CAST('abc' AS BINARY)))") == 64)
+  }
+
+  test("bitwise function family (64-bit two's complement)") {
+    assert(one("SELECT bitwise_and(19, 25)") == 17)
+    assert(one("SELECT bitwise_or(19, 25)") == 27)
+    assert(one("SELECT bitwise_xor(19, 25)") == 10)
+    assert(one("SELECT bitwise_not(-12)") == 11)
+    assert(one("SELECT bitwise_left_shift(1, 7)") == 128L)
+    assert(one("SELECT bitwise_right_shift(-1, 62)") == 3L)   // logical
+    assert(one("SELECT bitwise_right_shift_arithmetic(-1, 62)") == -1L)
+  }
+
+  test("bit_count matches Trino's width semantics") {
+    assert(one("SELECT bit_count(9)") == 2)
+    assert(one("SELECT bit_count(9, 8)") == 2)
+    assert(one("SELECT bit_count(-7, 64)") == 62)
+    assert(one("SELECT bit_count(-7, 8)") == 6)   // 8-bit two's complement 11111001
+  }
+
+  test("truncate rounds toward zero") {
+    // truncate() trips the read-only classifier's TRUNCATE keyword on the
+    // guarded surface (same documented false positive as merge(); the
+    // reference's guard shares it) — exercised at library level.
+    def lib(sql: String): Any = spark.sql(sql).collect().head.get(0)
+    assert(lib("SELECT truncate(17.18)") == 17.0)
+    assert(lib("SELECT truncate(-17.18)") == -17.0)
+    assert(lib("SELECT truncate(17.18, 1)") == 17.1)
+    assert(lib("SELECT truncate(-17.18, 1)") == -17.1)
+  }
+
+  test("index is the strpos alias; starts_with bridges startswith") {
+    assert(one("SELECT index('high', 'ig')") == 2)
+    assert(one("SELECT starts_with('trino', 'tri')") == true)
+    assert(one("SELECT starts_with('trino', 'ino')") == false)
+  }
+
+  test("regexp_split and split_to_map") {
+    assert(one("SELECT cardinality(regexp_split('one11two22three', '\\\\d+'))") == 3)
+    assert(one("SELECT regexp_split('a.b:c', '[.:]')[1]") == "b")
+    assert(one("SELECT split_to_map('a=1,b=2', ',', '=')['b']") == "2")
+  }
+
+  test("format uses printf semantics like Trino") {
+    assert(one("SELECT format('%s-%03d', 'q', 7)") == "q-007")
+  }
+
+  test("cosine_distance = 1 - cosine_similarity on dense arrays") {
+    val d = one("SELECT cosine_distance(CAST(array(1.0, 0.0) AS ARRAY<FLOAT>), " +
+      "CAST(array(0.0, 1.0) AS ARRAY<FLOAT>))").asInstanceOf[Double]
+    assert(math.abs(d - 1.0) < 1e-9)
+    val same = one("SELECT cosine_distance(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>), " +
+      "CAST(array(1.0, 2.0) AS ARRAY<FLOAT>))").asInstanceOf[Double]
+    assert(math.abs(same) < 1e-6)
+  }
+
+  test("json_parse validates; json_format is the identity on engine JSON") {
+    assert(one("""SELECT json_format(json_parse('{"a": 1}'))""") == """{"a": 1}""")
+    assert(one("SELECT json_parse(NULL)") == null)
+    assert(one("SELECT try(json_parse('not json'))") == null)
+    val err = qs.execute("SELECT json_parse('not json')")
+    assert(err.isLeft, "bare json_parse on invalid input must error")
+  }
+
+  test("checksum is order-insensitive and duplicate-sensitive") {
+    val a = one("SELECT checksum(x) FROM (VALUES 1, 2, 3) AS t(x)")
+    val b = one("SELECT checksum(x) FROM (VALUES 3, 1, 2) AS t(x)")
+    val c = one("SELECT checksum(x) FROM (VALUES 3, 1, 2, 2) AS t(x)")
+    assert(a == b)
+    assert(a != c)
+    assert(one("SELECT checksum(l_orderkey) FROM lineitem").isInstanceOf[Long])
+  }
 }
