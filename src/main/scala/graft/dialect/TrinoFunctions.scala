@@ -535,6 +535,54 @@ object TrinoFunctions {
         Cast(Subtract(Pmod(Add(sum, two63), two64), two63), LongType)
       case args => throw new IllegalArgumentException(
         s"checksum expects 1 arg, got ${args.length}")
+    },
+    "hamming_distance" -> {
+      case Seq(a, b) => graft.functions.NativeExprs.HammingDist(a, b)
+      case args => throw new IllegalArgumentException(
+        s"hamming_distance expects 2 args, got ${args.length}")
+    },
+    // normalize(s[, form]): Trino's form is a bare keyword (NFC/NFD/
+    // NFKC/NFKD) — it parses as an identifier, accepted alongside a
+    // string literal spelling.
+    "normalize" -> {
+      case Seq(s) => graft.functions.NativeExprs.NormalizeStr(s, "NFC")
+      case Seq(s, f) =>
+        val form = (f match {
+          case org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(parts) =>
+            parts.mkString(".")
+          case Literal(v, _) if v != null => v.toString
+          case _ => throw new IllegalArgumentException(
+            "normalize: form must be NFC, NFD, NFKC or NFKD")
+        }).toUpperCase
+        if (!Set("NFC", "NFD", "NFKC", "NFKD")(form))
+          throw new IllegalArgumentException(
+            s"normalize: form must be NFC, NFD, NFKC or NFKD, got $form")
+        graft.functions.NativeExprs.NormalizeStr(s, form)
+      case args => throw new IllegalArgumentException(
+        s"normalize expects 1-2 args, got ${args.length}")
+    },
+    // Map-building aggregates (functions/MapAggExprs.scala)
+    "histogram" -> {
+      case Seq(x) =>
+        graft.functions.MapAggExprs.HistogramAgg(x).toAggregateExpression()
+      case args => throw new IllegalArgumentException(
+        s"histogram expects 1 arg, got ${args.length}")
+    },
+    "multimap_agg" -> {
+      case Seq(k, v) =>
+        graft.functions.MapAggExprs.MultimapAgg(k, v).toAggregateExpression()
+      case args => throw new IllegalArgumentException(
+        s"multimap_agg expects 2 args, got ${args.length}")
+    },
+    // approx_most_frequent(buckets, x, capacity) → map_from_entries over
+    // Spark 4's native approx_top_k (the same DataSketches ItemsSketch
+    // the reference's remote engine uses); resolved by the analyzer.
+    "approx_most_frequent" -> {
+      case Seq(b, x, c) => MapFromEntries(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+          "approx_top_k", Seq(x, b, c), isDistinct = false))
+      case args => throw new IllegalArgumentException(
+        s"approx_most_frequent expects (buckets, x, capacity), got ${args.length} args")
     })
 
   /** Joda-Time pattern (Trino format_datetime) → JVM DateTimeFormatter
@@ -619,6 +667,14 @@ object TrinoFunctions {
   private val timeWithTzPattern = java.util.regex.Pattern.compile(
     "(?i)\\btime(?:\\s*\\(\\s*\\d+\\s*\\))?\\s+with\\s+time\\s+zone\\b")
 
+  // normalize(s, NFD): Trino's form argument is a bare keyword, which
+  // Spark's analyzer would try (and fail) to resolve as a column BEFORE
+  // the function builder runs — quote it into a string literal here.
+  // First-arg expressions with one nesting level of parens are covered;
+  // deeper nesting can use the string-literal spelling (DIALECT.md).
+  private val normalizeFormPattern = java.util.regex.Pattern.compile(
+    "(?i)\\b(normalize\\s*\\(\\s*[^()]*(?:\\([^()]*\\)[^()]*)*,\\s*)(NFC|NFD|NFKC|NFKD)(\\s*\\))")
+
   def preprocess(sql: String): String = {
     val masked = maskedRegions(sql)
     // `time with time zone` has no Spark equivalent (DIALECT.md): fail
@@ -645,7 +701,23 @@ object TrinoFunctions {
         last = m.end
       }
     }
-    if (last == 0) sql else { sb.append(sql.substring(last)); sb.toString }
+    val afterDateFns =
+      if (last == 0) sql else { sb.append(sql.substring(last)); sb.toString }
+
+    val nmasked = maskedRegions(afterDateFns)
+    val nm = normalizeFormPattern.matcher(afterDateFns)
+    val nsb = new StringBuilder
+    var nlast = 0
+    while (nm.find()) {
+      if (!nmasked(nm.start(2))) {
+        nsb.append(afterDateFns.substring(nlast, nm.start))
+        nsb.append(nm.group(1)).append("'").append(nm.group(2)).append("'")
+          .append(nm.group(3))
+        nlast = nm.end
+      }
+    }
+    if (nlast == 0) afterDateFns
+    else { nsb.append(afterDateFns.substring(nlast)); nsb.toString }
   }
 
   /** Bitmask of positions inside 'literals', "identifiers" or comments. */

@@ -646,4 +646,52 @@ object NativeExprs {
 
   def textStats(text: Column, stopwords: Seq[String]): Column =
     ColumnBridge.column(TextStats(ColumnBridge.expression(text), stopwords))
+
+  /** Trino `hamming_distance(a, b)`: differing code-point positions of
+    * two equal-length strings (errors on length mismatch, like Trino). */
+  case class HammingDist(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback with DeclaredInputTypes {
+    override def dataType: DataType = LongType
+    override def declaredInputTypes: Seq[DataType] = Seq(StringType, StringType)
+    override def prettyName: String = "hamming_distance"
+
+    protected override def nullSafeEval(a: Any, b: Any): Any = {
+      val sa = a.toString
+      val sb = b.toString
+      val na = sa.codePointCount(0, sa.length)
+      val nb = sb.codePointCount(0, sb.length)
+      if (na != nb) throw new IllegalArgumentException(
+        s"hamming_distance: the input strings must have the same length ($na vs $nb)")
+      var ia = 0
+      var ib = 0
+      var d = 0L
+      while (ia < sa.length) {
+        val ca = sa.codePointAt(ia)
+        val cb = sb.codePointAt(ib)
+        if (ca != cb) d += 1L
+        ia += Character.charCount(ca)
+        ib += Character.charCount(cb)
+      }
+      d
+    }
+
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): HammingDist =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Trino `normalize(s[, form])`: Unicode normalization (NFC default). */
+  case class NormalizeStr(child: Expression, form: String)
+      extends UnaryExpression with CodegenFallback with DeclaredInputTypes {
+    private val normForm = java.text.Normalizer.Form.valueOf(form)
+    override def dataType: DataType = StringType
+    override def declaredInputTypes: Seq[DataType] = Seq(StringType)
+    override def prettyName: String = "normalize"
+
+    protected override def nullSafeEval(input: Any): Any =
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        java.text.Normalizer.normalize(input.toString, normForm))
+
+    override protected def withNewChildInternal(newChild: Expression): NormalizeStr =
+      copy(child = newChild)
+  }
 }

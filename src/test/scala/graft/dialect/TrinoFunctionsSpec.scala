@@ -419,6 +419,66 @@ class TrinoFunctionsSpec extends SparkSpec {
     assert(err.isLeft, "bare json_parse on invalid input must error")
   }
 
+  test("hamming_distance counts differing code points, errors on length mismatch") {
+    assert(one("SELECT hamming_distance('karolin', 'kathrin')") == 3L)
+    assert(one("SELECT hamming_distance('', '')") == 0L)
+    // supplementary plane: one code point each, equal length in Trino terms
+    assert(one("SELECT hamming_distance('😀', '😁')") == 1L)
+    assert(one("SELECT try(hamming_distance('ab', 'abc'))") == null)
+  }
+
+  test("normalize applies Unicode normalization forms (bare-keyword and literal spellings)") {
+    // U+00C5 (Å precomposed) NFD-decomposes to A + U+030A
+    assert(one("SELECT length(normalize('Å', NFD))") == 2)
+    assert(one("SELECT length(normalize('Å'))") == 1)          // NFC default
+    assert(one("SELECT normalize('Å', 'NFC') = 'Å'") == true)
+    // NFKC folds compatibility characters: U+FB01 (fi ligature) → "fi"
+    assert(one("SELECT normalize('ﬁ', NFKC)") == "fi")
+    val err = qs.execute("SELECT normalize('x', 'BOGUS')")
+    assert(err.isLeft)
+  }
+
+  test("histogram builds per-value counts inside the aggregate") {
+    val m = qs.execute(
+      "SELECT histogram(l_returnflag) FROM lineitem").toOption.get.rows.head.head
+      .asInstanceOf[Map[String, Long]]
+    val exact = spark.sql(
+      "SELECT l_returnflag, COUNT(*) FROM lineitem GROUP BY 1").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == exact)
+  }
+
+  test("histogram groups duplicates across partitions (merge path)") {
+    val m = qs.execute(
+      "SELECT histogram(x) FROM (SELECT l_orderkey % 3 AS x FROM lineitem)")
+      .toOption.get.rows.head.head.asInstanceOf[Map[Long, Long]]
+    assert(m.keySet == Set(0L, 1L, 2L))
+    assert(m.values.sum == spark.table("lineitem").count())
+  }
+
+  test("multimap_agg groups values per key") {
+    val m = qs.execute(
+      "SELECT multimap_agg(n_regionkey, n_name) FROM nation")
+      .toOption.get.rows.head.head.asInstanceOf[Map[Long, scala.collection.Seq[String]]]
+    assert(m.size == 5)
+    assert(m.values.map(_.size).sum == 25)
+    val expect1 = spark.sql("SELECT n_name FROM nation WHERE n_regionkey = 1")
+      .collect().map(_.getString(0)).toSet
+    assert(m(1L).toSet == expect1)
+  }
+
+  test("approx_most_frequent returns the top-k value→count map") {
+    val m = qs.execute(
+      "SELECT approx_most_frequent(3, event_type, 64) FROM events")
+      .toOption.get.rows.head.head.asInstanceOf[Map[String, Long]]
+    assert(m.size == 3)
+    val exact = spark.sql(
+      "SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1 ORDER BY n DESC LIMIT 3")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // capacity 64 >> true cardinality: no eviction, counts exact
+    assert(m == exact)
+  }
+
   test("checksum is order-insensitive and duplicate-sensitive") {
     val a = one("SELECT checksum(x) FROM (VALUES 1, 2, 3) AS t(x)")
     val b = one("SELECT checksum(x) FROM (VALUES 3, 1, 2) AS t(x)")
