@@ -679,6 +679,85 @@ object NativeExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** BPE encode: apply a trained merge table (TextAnalysis.bpeTrain) to
+    * a document, emitting one encoded word string per `[a-z0-9]+` word
+    * in the delimiter-wrapped form the trainer uses (`<he><l><lo>`).
+    *
+    * Merges are applied IN TRAINING ORDER, each as a left-to-right
+    * non-overlapping scan — exactly the trainer's `replace(w, pair,
+    * merged)` semantics, so encode(word) equals the trained vocab row
+    * for every training word (pinned in TextAnalysisSpec) and the
+    * DuckDB oracle can replay it with the same replace chain.
+    *
+    * Scale shape: the merge table is model-sized driver state baked
+    * into the expression (broadcast with the task like the k-means
+    * centroid literals); encoding is a pure per-row projection — zero
+    * shuffle, nothing corpus-sized anywhere. Words repeat heavily, so
+    * a per-task memo (word → encoding) makes the common path a hash
+    * lookup; a benign race between task threads just recomputes. */
+  case class BpeEncodeWords(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression with CodegenFallback with DeclaredInputTypes {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def declaredInputTypes: Seq[DataType] = Seq(StringType)
+    override def prettyName: String = "bpe_encode_words"
+
+    @transient private lazy val memo = new java.util.HashMap[String, String]()
+
+    private def isWord(w: String): Boolean = {
+      if (w.isEmpty) return false
+      var i = 0
+      while (i < w.length) {
+        val c = w.charAt(i)
+        if (!((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9'))) return false
+        i += 1
+      }
+      true
+    }
+
+    private def encodeWord(w: String): String = {
+      val cached = memo.get(w)
+      if (cached != null) return cached
+      var syms = new java.util.ArrayList[String](w.length)
+      var i = 0
+      while (i < w.length) { syms.add(String.valueOf(w.charAt(i))); i += 1 }
+      merges.foreach { case (left, right) =>
+        val out = new java.util.ArrayList[String](syms.size)
+        var j = 0
+        while (j < syms.size) {
+          if (j + 1 < syms.size && syms.get(j) == left && syms.get(j + 1) == right) {
+            out.add(left + right); j += 2   // non-overlapping, no rescan
+          } else { out.add(syms.get(j)); j += 1 }
+        }
+        syms = out
+      }
+      val sb = new java.lang.StringBuilder(w.length + 2 * syms.size)
+      var k = 0
+      while (k < syms.size) { sb.append('<').append(syms.get(k)).append('>'); k += 1 }
+      val enc = sb.toString
+      memo.put(w, enc)
+      enc
+    }
+
+    protected override def nullSafeEval(input: Any): Any = {
+      val words = input.toString.split(' ')
+      val out = new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String](words.length)
+      var i = 0
+      while (i < words.length) {
+        val w = words(i)
+        if (isWord(w))
+          out.add(org.apache.spark.unsafe.types.UTF8String.fromString(encodeWord(w)))
+        i += 1
+      }
+      new GenericArrayData(out.toArray[AnyRef](new Array[AnyRef](out.size)))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): BpeEncodeWords =
+      copy(child = newChild)
+  }
+
+  def bpeEncodeWords(text: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeEncodeWords(ColumnBridge.expression(text), merges))
+
   /** Trino `normalize(s[, form])`: Unicode normalization (NFC default). */
   case class NormalizeStr(child: Expression, form: String)
       extends UnaryExpression with CodegenFallback with DeclaredInputTypes {

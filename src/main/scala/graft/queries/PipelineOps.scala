@@ -436,6 +436,33 @@ object PipelineOps {
       TextAnalysis.bpeTrain(t(s, d, "documents"), "text", merges = 6)
         .orderBy(col("step"))),
 
+    // BPE ENCODE with the trained merges — the tokenizer-application
+    // half of the pipeline (train → encode → pack). The merge table is
+    // model-sized driver state baked into a native expression
+    // (NativeExprs.BpeEncodeWords): encoding is a pure per-row
+    // projection, zero shuffle, per-task word memoization. Output per
+    // doc: token count + md5 over the encoded-word stream, both
+    // replayed exactly by the DuckDB oracle's replace-chain encode.
+    "text_bpe_encode" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = TextAnalysis.bpeTrain(docs, "text", merges = 6)
+        .orderBy(col("step")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq   // ≤ 6 rows
+      docs
+        .select(col("doc_id"),
+          graft.functions.NativeExprs.bpeEncodeWords(lower(col("text")), merges)
+            .as("enc"))
+        .select(col("doc_id"), col("enc"),
+          concat_ws("|", col("enc")).as("j"))
+        // symbols per word = internal '><' count + 1 → total tokens =
+        // '><' occurrences + word count (pure codegen string arithmetic)
+        .select(col("doc_id"),
+          (((length(col("j")) - length(expr("replace(j, '><', '')"))) / 2)
+            + size(col("enc"))).cast("long").as("n_tokens"),
+          md5(col("j")).as("enc_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Product-quantized ANN: per-subspace L2 codebooks (deterministic
     // k-means), m-code encoding, ADC scoring from the anchor's lookup
     // table (Similarity.pqTopK). Rows-only (float k-means has no
@@ -572,8 +599,11 @@ object PipelineOps {
     * b(i) is the argmax (freq desc, pair asc — ASCII order on both
     * engines), w(i) applies the merge as the same token-boundary-exact
     * replace (`replace(pair, '><', '')` turns `<l><l>` into `<ll>`). */
-  private def bpeTrainOracle(k: Int): String = {
-    val steps = (1 to k).map { i =>
+  /** The shared train chain: w0 (wrapped vocab) plus k unrolled
+    * pair-count → argmax → replace steps, yielding scalars b1..bk and
+    * vocab states w1..wk. Used by both the train and encode oracles. */
+  private def bpeChainSteps(k: Int): String =
+    (1 to k).map { i =>
       s"""p$i AS (
          |  SELECT pair, CAST(SUM(freq) AS BIGINT) AS freq FROM (
          |    SELECT freq, '<' || toks[i] || '><' || toks[i + 1] || '>' AS pair FROM (
@@ -585,6 +615,9 @@ object PipelineOps {
          |w$i AS (SELECT replace(w, (SELECT pair FROM b$i),
          |    (SELECT replace(pair, '><', '') FROM b$i)) AS w, freq FROM w${i - 1})""".stripMargin
     }.mkString(",\n")
+
+  private def bpeTrainOracle(k: Int): String = {
+    val steps = bpeChainSteps(k)
     val rows = (1 to k).map { i =>
       s"""SELECT $i AS step,
          |  regexp_extract(pair, '^<([a-z0-9]+)><', 1) AS "left",
@@ -600,6 +633,48 @@ object PipelineOps {
        |SELECT * FROM (
        |$rows
        |) ORDER BY step""".stripMargin
+  }
+
+  /** Encode oracle: train (same chain), then replay the merge replaces
+    * over each DISTINCT word (e0..ek carry the original token), zip
+    * doc words with positions (DuckDB parallel unnest), join the
+    * encoding, and aggregate per doc. LEFT JOIN keeps wordless docs
+    * (md5('') / 0, matching Spark's empty-array concat_ws). */
+  private def bpeEncodeOracle(k: Int): String = {
+    val steps = bpeChainSteps(k)
+    val encSteps = (1 to k).map { i =>
+      s"""e$i AS (SELECT tok, replace(w, (SELECT pair FROM b$i),
+         |    (SELECT replace(pair, '><', '') FROM b$i)) AS w FROM e${i - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w0 AS (
+       |  SELECT regexp_replace(tok, '(.)', '<\\1>', 'g') AS w,
+       |    CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+       |  WHERE regexp_full_match(tok, '[a-z0-9]+')
+       |  GROUP BY 1),
+       |$steps,
+       |e0 AS (
+       |  SELECT DISTINCT tok, regexp_replace(tok, '(.)', '<\\1>', 'g') AS w
+       |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+       |  WHERE regexp_full_match(tok, '[a-z0-9]+')),
+       |$encSteps,
+       |dw AS (
+       |  SELECT doc_id,
+       |    unnest(string_split(lower(text), ' ')) AS tok,
+       |    unnest(generate_series(1, len(string_split(lower(text), ' ')))) AS pos
+       |  FROM documents),
+       |agg AS (
+       |  SELECT d.doc_id,
+       |    CAST(SUM(len(string_split(substring(e.w, 2, length(e.w) - 2), '><'))) AS BIGINT)
+       |      AS n_tokens,
+       |    string_agg(e.w, '|' ORDER BY d.pos) AS js
+       |  FROM dw d JOIN e$k e USING (tok)
+       |  GROUP BY d.doc_id)
+       |SELECT doc_id,
+       |  CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  md5(COALESCE(js, '')) AS enc_md5
+       |FROM documents LEFT JOIN agg USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -688,6 +763,8 @@ object PipelineOps {
         |SELECT id, MIN(lab) AS comp FROM reach GROUP BY id ORDER BY id""".stripMargin,
 
     "text_bpe_train" -> bpeTrainOracle(6),
+
+    "text_bpe_encode" -> bpeEncodeOracle(6),
 
     "text_bpe_pairs" ->
       """WITH w AS (

@@ -70,4 +70,34 @@ class CurationPipelineSpec extends SparkSpec {
     val m2 = TextAnalysis.bpeTrain(tiny, "text", merges = 5).collect()
     assert(m2.length == 1 && m2(0).getString(1) == "a" && m2(0).getString(2) == "b")
   }
+
+  test("BpeEncodeWords replays the trainer's replace semantics exactly") {
+    import spark.implicits._
+    // Sennrich corpus again: encode must reproduce the hand-derived
+    // final vocab forms under the 6 trained merges.
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, "text", merges = 6)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = Seq((1L, "low lower newest widest low3 UP"))
+      .toDF("doc_id", "text")
+      .select(graft.functions.NativeExprs.bpeEncodeWords(lower(col("text")), merges)
+        .as("enc")).collect().head.getSeq[String](0)
+    assert(enc == Seq("<low>", "<low><e><r>", "<n><ewest>", "<w><i><d><est>",
+      "<low><3>", "<u><p>"), enc)
+    // non-overlapping left-to-right within one merge step, like replace():
+    // 'aaaa' under merge (a,a) → aa|aa, never a(aa)a
+    val pairs = Seq(("a", "a"))
+    val runs = Seq((1L, "aaaa aaa")).toDF("doc_id", "text")
+      .select(graft.functions.NativeExprs.bpeEncodeWords(col("text"), pairs)
+        .as("enc")).collect().head.getSeq[String](0)
+    assert(runs == Seq("<aa><aa>", "<aa><a>"), runs)
+    // words with characters outside [a-z0-9] are skipped (trainer filter)
+    val skip = Seq((1L, "ok not-ok  also_ok9")).toDF("doc_id", "text")
+      .select(graft.functions.NativeExprs.bpeEncodeWords(col("text"), pairs)
+        .as("enc")).collect().head.getSeq[String](0)
+    assert(skip == Seq("<o><k>"), skip)
+  }
 }
