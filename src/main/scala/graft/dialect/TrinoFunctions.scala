@@ -583,7 +583,60 @@ object TrinoFunctions {
           "approx_top_k", Seq(x, b, c), isDistinct = false))
       case args => throw new IllegalArgumentException(
         s"approx_most_frequent expects (buckets, x, capacity), got ${args.length} args")
+    },
+    // millisecond(ts): ms-of-second (Spark has no field function for it)
+    "millisecond" -> {
+      case Seq(ts) => Cast(Divide(
+        Pmod(UnixMicros(Cast(ts, TimestampType)), Literal(1000000L)),
+        Literal(1000L)), LongType)
+      case args => throw new IllegalArgumentException(
+        s"millisecond expects 1 arg, got ${args.length}")
+    },
+    // parse_datetime(s, joda_fmt): the parsing inverse of
+    // format_datetime, same Joda→JVM pattern translation
+    "parse_datetime" -> {
+      case Seq(s, Literal(v, _)) if v != null =>
+        new ParseToTimestamp(s, Literal(jodaToJavaPattern(v.toString)))
+      case Seq(_, _) => throw new IllegalArgumentException(
+        "parse_datetime requires a literal format string (Joda tokens)")
+      case args => throw new IllegalArgumentException(
+        s"parse_datetime expects 2 args, got ${args.length}")
+    },
+    // human_readable_seconds(n): Trino's "2 days, 3 hours, 4 minutes"
+    // rendering, built from codegen'd integer/string ops.
+    "human_readable_seconds" -> {
+      case Seq(n) => humanReadableSeconds(n)
+      case args => throw new IllegalArgumentException(
+        s"human_readable_seconds expects 1 arg, got ${args.length}")
     })
+
+  /** Trino human_readable_seconds: round to whole seconds, decompose
+    * into weeks/days/hours/minutes/seconds, join non-zero units with
+    * ", " (singular/plural per unit), "0 seconds" for zero. */
+  private def humanReadableSeconds(n: Expression): Expression = {
+    val total = Cast(Round(Cast(n, DoubleType), Literal(0)), LongType)
+    val abs = Abs(total)
+    def part(amount: Expression, unit: String): Expression =
+      If(GreaterThan(amount, Literal(0L)),
+        Concat(Seq(Cast(amount, StringType),
+          If(EqualTo(amount, Literal(1L)), Literal(s" $unit"), Literal(s" ${unit}s")))),
+        Literal(""))
+    val weeks = IntegralDivide(abs, Literal(604800L))
+    val days = IntegralDivide(Pmod(abs, Literal(604800L)), Literal(86400L))
+    val hours = IntegralDivide(Pmod(abs, Literal(86400L)), Literal(3600L))
+    val minutes = IntegralDivide(Pmod(abs, Literal(3600L)), Literal(60L))
+    val seconds = Pmod(abs, Literal(60L))
+    val joined = ArrayJoin(
+      ArrayFilter(
+        CreateArray(Seq(part(Cast(weeks, LongType), "week"),
+          part(Cast(days, LongType), "day"), part(Cast(hours, LongType), "hour"),
+          part(Cast(minutes, LongType), "minute"), part(seconds, "second"))),
+        LambdaFunction(
+          Not(EqualTo(UnresolvedNamedLambdaVariable(Seq("p")), Literal(""))),
+          Seq(UnresolvedNamedLambdaVariable(Seq("p"))))),
+      Literal(", "), None)
+    If(EqualTo(total, Literal(0L)), Literal("0 seconds"), joined)
+  }
 
   /** Joda-Time pattern (Trino format_datetime) → JVM DateTimeFormatter
     * pattern. Quoted literal sections ('...' with '' escapes) copy

@@ -479,6 +479,26 @@ class TrinoFunctionsSpec extends SparkSpec {
     assert(m == exact)
   }
 
+  test("millisecond returns ms-of-second; parse_datetime inverts format_datetime") {
+    assert(one("SELECT millisecond(TIMESTAMP '2001-08-22 03:04:05.321')") == 321L)
+    assert(one("SELECT millisecond(TIMESTAMP '2001-08-22 03:04:05')") == 0L)
+    assert(one("SELECT CAST(parse_datetime('1995/06/17 12:30', 'yyyy/MM/dd HH:mm') AS STRING)")
+      == "1995-06-17 12:30:00")
+    // Joda 'Y' (year-of-era) translated, not passed through as week-year
+    assert(one("SELECT CAST(parse_datetime('2020-01-01', 'YYYY-MM-dd') AS STRING)")
+      == "2020-01-01 00:00:00")
+  }
+
+  test("human_readable_seconds renders Trino's unit decomposition") {
+    assert(one("SELECT human_readable_seconds(96)") == "1 minute, 36 seconds")
+    assert(one("SELECT human_readable_seconds(3762)") == "1 hour, 2 minutes, 42 seconds")
+    assert(one("SELECT human_readable_seconds(56363463)") ==
+      "93 weeks, 1 day, 8 hours, 31 minutes, 3 seconds")
+    assert(one("SELECT human_readable_seconds(0)") == "0 seconds")
+    assert(one("SELECT human_readable_seconds(1)") == "1 second")
+    assert(one("SELECT human_readable_seconds(86400)") == "1 day")
+  }
+
   test("checksum is order-insensitive and duplicate-sensitive") {
     val a = one("SELECT checksum(x) FROM (VALUES 1, 2, 3) AS t(x)")
     val b = one("SELECT checksum(x) FROM (VALUES 3, 1, 2) AS t(x)")
