@@ -608,7 +608,55 @@ object TrinoFunctions {
       case Seq(n) => humanReadableSeconds(n)
       case args => throw new IllegalArgumentException(
         s"human_readable_seconds expects 1 arg, got ${args.length}")
+    },
+    // trino_split(s, delim[, limit]): Trino's split — the delimiter is
+    // a LITERAL string; Spark's native split treats it as a REGEX and
+    // silently mis-splits '.', '|', etc. Registered under a private
+    // name and routed via preprocess(), which rewrites `split(` to
+    // `trino_split(` ONLY on the guarded execute_query surface: in
+    // Spark 4 the DataFrame API's functions.split also resolves by
+    // NAME through the session registry (Column.fn), so overriding
+    // "split" globally would hijack the engine's own regex splits.
+    // Delimiters are regex-quoted (\Q…\E; literals Pattern.quote'd to
+    // survive embedded \E). Limit semantics (last element keeps the
+    // rest) already coincide.
+    "trino_split" -> {
+      case Seq(s, d) => StringSplit(s, quoteDelim(d), Literal(-1))
+      case Seq(s, d, n) => StringSplit(s, quoteDelim(d), n)
+      case args => throw new IllegalArgumentException(
+        s"split expects 2-3 args, got ${args.length}")
+    },
+    // replace(s, search[, repl]): Trino's 2-arg form deletes occurrences
+    "replace" -> {
+      case Seq(s, search) => StringReplace(s, search, Literal(""))
+      case Seq(s, search, repl) => StringReplace(s, search, repl)
+      case args => throw new IllegalArgumentException(
+        s"replace expects 2-3 args, got ${args.length}")
+    },
+    // ngrams(arr, n): sliding subsequences, composed from codegen'd
+    // slice over a sequence of start offsets
+    "ngrams" -> {
+      case Seq(arr, nExpr) =>
+        val n = litInt(nExpr, "n")
+        if (n < 1) throw new IllegalArgumentException(
+          s"ngrams: n must be >= 1, got $n")
+        val i = UnresolvedNamedLambdaVariable(Seq("i"))
+        ArrayTransform(
+          new Sequence(Literal(1),
+            Greatest(Seq(Literal(1), Subtract(Size(arr), Literal(n - 1))))),
+          LambdaFunction(Slice(arr, i, Literal(n)), Seq(i)))
+      case args => throw new IllegalArgumentException(
+        s"ngrams expects (array, n), got ${args.length} args")
     })
+
+  /** Regex-quote a split delimiter: literals via Pattern.quote (handles
+    * embedded \E correctly); non-literal expressions wrapped \Q…\E
+    * (an embedded \E in runtime data is not re-escaped — documented). */
+  private def quoteDelim(d: Expression): Expression = d match {
+    case Literal(v, _) if v != null =>
+      Literal(java.util.regex.Pattern.quote(v.toString))
+    case e => Concat(Seq(Literal("\\Q"), e, Literal("\\E")))
+  }
 
   /** Trino human_readable_seconds: round to whole seconds, decompose
     * into weeks/days/hours/minutes/seconds, join non-zero units with
@@ -728,6 +776,12 @@ object TrinoFunctions {
   private val normalizeFormPattern = java.util.regex.Pattern.compile(
     "(?i)\\b(normalize\\s*\\(\\s*[^()]*(?:\\([^()]*\\)[^()]*)*,\\s*)(NFC|NFD|NFKC|NFKD)(\\s*\\))")
 
+  // `split(` → `trino_split(` on the guarded surface (see the
+  // trino_split shim). Negative lookbehind keeps split_part /
+  // regexp_split / trino_split itself untouched.
+  private val splitCallPattern = java.util.regex.Pattern.compile(
+    "(?i)(?<![A-Za-z0-9_])split(\\s*\\()")
+
   def preprocess(sql: String): String = {
     val masked = maskedRegions(sql)
     // `time with time zone` has no Spark equivalent (DIALECT.md): fail
@@ -769,8 +823,23 @@ object TrinoFunctions {
         nlast = nm.end
       }
     }
-    if (nlast == 0) afterDateFns
-    else { nsb.append(afterDateFns.substring(nlast)); nsb.toString }
+    val afterNormalize =
+      if (nlast == 0) afterDateFns
+      else { nsb.append(afterDateFns.substring(nlast)); nsb.toString }
+
+    val smasked = maskedRegions(afterNormalize)
+    val sm = splitCallPattern.matcher(afterNormalize)
+    val ssb = new StringBuilder
+    var slast = 0
+    while (sm.find()) {
+      if (!smasked(sm.start)) {
+        ssb.append(afterNormalize.substring(slast, sm.start))
+        ssb.append("trino_split").append(sm.group(1))
+        slast = sm.end
+      }
+    }
+    if (slast == 0) afterNormalize
+    else { ssb.append(afterNormalize.substring(slast)); ssb.toString }
   }
 
   /** Bitmask of positions inside 'literals', "identifiers" or comments. */

@@ -499,6 +499,39 @@ class TrinoFunctionsSpec extends SparkSpec {
     assert(one("SELECT human_readable_seconds(86400)") == "1 day")
   }
 
+  test("split treats the delimiter as a literal (Trino), not a regex (Spark)") {
+    assert(one("SELECT split('a.b.c', '.')[1]") == "b")          // Spark regex split would yield []
+    assert(one("SELECT split('x||y', '|')[1]") == "")   // ['x','','y'], not a regex alternation
+    assert(one("SELECT split('x||y', '|')[2]") == "y")
+    assert(one("SELECT cardinality(split('a,b,c', ','))") == 3)
+    // 3-arg limit: last element keeps the rest
+    assert(one("SELECT split('a,b,c', ',', 2)[1]") == "b,c")
+    // non-literal delimiter path
+    assert(one("SELECT split('a.b', substr('.x', 1, 1))[0]") == "a")
+    // split_part is NOT captured by the rewrite
+    assert(one("SELECT split_part('a,b,c', ',', 2)") == "b")
+    // and masked regions are untouched: 'split(' inside a string literal
+    assert(one("SELECT 'use split(x) here'") == "use split(x) here")
+    // the LIBRARY surface keeps Spark's regex semantics (the rewrite is
+    // scoped to execute_query; functions.split resolves by name in
+    // Spark 4, so a global override would hijack the engine's own
+    // tokenizers — regression-pinned here)
+    assert(spark.sql("SELECT split('a1b23c', '[0-9]+')").collect().head
+      .getSeq[String](0) == Seq("a", "b", "c"))
+  }
+
+  test("replace supports Trino's 2-arg delete form") {
+    assert(one("SELECT replace('axbxc', 'x')") == "abc")
+    assert(one("SELECT replace('axbxc', 'x', '-')") == "a-b-c")
+  }
+
+  test("ngrams emits sliding subsequences") {
+    assert(one("SELECT ngrams(array('a','b','c','d'), 2)[0][1]") == "b")
+    assert(one("SELECT cardinality(ngrams(array('a','b','c','d'), 2))") == 3)
+    assert(one("SELECT cardinality(ngrams(array('a','b'), 5))") == 1)   // n > len → whole array
+    assert(one("SELECT ngrams(array('a','b'), 5)[0][0]") == "a")
+  }
+
   test("checksum is order-insensitive and duplicate-sensitive") {
     val a = one("SELECT checksum(x) FROM (VALUES 1, 2, 3) AS t(x)")
     val b = one("SELECT checksum(x) FROM (VALUES 3, 1, 2) AS t(x)")
