@@ -95,6 +95,26 @@ object Streams {
       .select(col(idCol), col("graft_s.n_pairs").as("n_pairs"),
         col("graft_s.avg_p").as("avg_p"))
 
+  /** Tokenize a document stream with a batch-trained BPE merge table —
+    * the train-offline / encode-online split of a production tokenizer
+    * deployment. The merge table (model-sized, from
+    * `TextAnalysis.bpeTrain(...).collect()`) is baked into the native
+    * [[graft.functions.NativeExprs.BpeEncodeWords]] expression, so
+    * encoding is a stateless per-row projection (append mode, no
+    * streaming state) that replays the batch query's exact token
+    * counts and encoded-word streams. */
+  def bpeEncodeStream(docs: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol),
+        graft.functions.NativeExprs.bpeEncodeWords(lower(col(textCol)), merges)
+          .as("enc"))
+      .select(col(idCol), concat_ws("|", col("enc")).as("j"), col("enc"))
+      .select(col(idCol),
+        (((length(col("j")) - length(expr("replace(j, '><', '')"))) / 2)
+          + size(col("enc"))).cast("long").as("n_tokens"),
+        col("enc"))
+
   /** Custom sessionization with explicit keyed state
     * (flatMapGroupsWithState): per-user open-session state, event-time
     * timeout at `gapSeconds` past the watermark, emitting one closed

@@ -126,6 +126,33 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming BPE encode equals the batch tokenizer (train-offline, encode-online)") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.engine.Tables.load(spark, dir, "documents")
+    val merges = graft.ops.TextAnalysis.bpeTrain(docs, "text", merges = 6)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val watched = java.nio.file.Files.createTempDirectory("graft-bpe-stream")
+    watched.toFile.deleteOnExit()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      watched.resolve("documents.parquet"))
+    val q = graft.streaming.Streams.bpeEncodeStream(
+        spark.readStream.schema(docs.schema).parquet(watched.toString), merges)
+      .writeStream.format("memory").queryName("stream_bpe")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streaming = spark.table("stream_bpe").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[String](2)))).toMap
+      val batch = graft.streaming.Streams.bpeEncodeStream(docs, merges).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[String](2)))).toMap
+      assert(streaming.nonEmpty && streaming == batch)
+      // and the token counts agree with the wired query's oracle shape
+      assert(streaming.values.forall { case (n, enc) => n >= enc.size })
+    } finally q.stop()
+  }
+
   test("streaming PII scrub equals batch (stateless projection)") {
     // redaction on the ingest stream — same scrubPii column expression,
     // no state, so streaming output must equal the batch projection
