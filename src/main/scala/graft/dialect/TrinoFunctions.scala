@@ -633,6 +633,41 @@ object TrinoFunctions {
       case args => throw new IllegalArgumentException(
         s"replace expects 2-3 args, got ${args.length}")
     },
+    // entropy(c): Trino's log-2 entropy of count values, as pure Sum
+    // composition — log2(S) − Σ c·log2(c) / S with S = Σ c. NULL/zero
+    // counts contribute zero (x·log2(x) → 0), matching Trino.
+    "entropy" -> {
+      case Seq(c) =>
+        val x = Cast(c, DoubleType)
+        def sumOf(e: Expression) =
+          new org.apache.spark.sql.catalyst.expressions.aggregate.Sum(e)
+            .toAggregateExpression()
+        val s = sumOf(x)
+        val clog = sumOf(If(GreaterThan(x, Literal(0.0)),
+          Multiply(x, Log2(x)), Literal(0.0)))
+        If(Or(IsNull(s), LessThanOrEqual(s, Literal(0.0))), Literal(0.0),
+          Subtract(Log2(s), Divide(clog, s)))
+      case args => throw new IllegalArgumentException(
+        s"entropy expects 1 arg, got ${args.length}")
+    },
+    // json_array_get(j, i): negative indices count from the end, like
+    // Trino; literal indices compile to a JSONPath constant
+    "json_array_get" -> {
+      case Seq(j, Literal(v, _)) if v != null && v.toString.matches("-?\\d+") =>
+        val i = v.toString.toLong
+        // Spark's JSONPath has no negative indexing — from-end rewrite
+        if (i >= 0) GetJsonObject(j, Literal(s"$$[$i]"))
+        else jsonArrayGetNegative(j, Literal(-i))
+      case Seq(j, i) =>
+        // dynamic index: positive path via concat'd JSONPath; negative
+        // via the from-end rewrite, selected at runtime
+        If(GreaterThanOrEqual(Cast(i, LongType), Literal(0L)),
+          GetJsonObject(j, Concat(Seq(Literal("$["),
+            Cast(Cast(i, LongType), StringType), Literal("]")))),
+          jsonArrayGetNegative(j, UnaryMinus(Cast(i, LongType))))
+      case args => throw new IllegalArgumentException(
+        s"json_array_get expects 2 args, got ${args.length}")
+    },
     // ngrams(arr, n): sliding subsequences, composed from codegen'd
     // slice over a sequence of start offsets
     "ngrams" -> {
@@ -648,6 +683,16 @@ object TrinoFunctions {
       case args => throw new IllegalArgumentException(
         s"ngrams expects (array, n), got ${args.length} args")
     })
+
+  /** json_array_get from the end: element `len - k` (k ≥ 1), NULL when
+    * the array is shorter than k (or j is not an array — length null). */
+  private def jsonArrayGetNegative(j: Expression, k: Expression): Expression = {
+    val idx = Subtract(Cast(LengthOfJsonArray(j), LongType), k)
+    If(Or(IsNull(idx), LessThan(idx, Literal(0L))),
+      Literal.create(null, StringType),
+      GetJsonObject(j, Concat(Seq(Literal("$["),
+        Cast(idx, StringType), Literal("]")))))
+  }
 
   /** Regex-quote a split delimiter: literals via Pattern.quote (handles
     * embedded \E correctly); non-literal expressions wrapped \Q…\E

@@ -532,6 +532,27 @@ class TrinoFunctionsSpec extends SparkSpec {
     assert(one("SELECT ngrams(array('a','b'), 5)[0][0]") == "a")
   }
 
+  test("entropy matches the closed form on count values") {
+    // {3,1}: S=4 → log2(4) - (3*log2 3)/4 = 2 - 1.18872... = 0.81128...
+    val e = one("SELECT entropy(c) FROM (VALUES 3, 1) AS t(c)").asInstanceOf[Double]
+    val expect = 2.0 - 3.0 * (math.log(3.0) / math.log(2.0)) / 4.0
+    assert(math.abs(e - expect) < 1e-12, s"$e vs $expect")
+    // uniform counts → log2(n); zero/NULL counts contribute nothing
+    val u = one("SELECT entropy(c) FROM (VALUES 5, 5, 5, 5) AS t(c)").asInstanceOf[Double]
+    assert(math.abs(u - 2.0) < 1e-12)
+    assert(one("SELECT entropy(c) FROM (VALUES 7, 0, NULL) AS t(c)") == 0.0)
+  }
+
+  test("json_array_get supports negative from-the-end indices") {
+    assert(one("""SELECT json_array_get('["a","b","c"]', 1)""") == "b")
+    assert(one("""SELECT json_array_get('["a","b","c"]', -1)""") == "c")
+    assert(one("""SELECT json_array_get('["a","b","c"]', -3)""") == "a")
+    assert(one("""SELECT json_array_get('["a","b"]', -5)""") == null)
+    assert(one("""SELECT json_array_get('{"not":"array"}', -1)""") == null)
+    // dynamic index expression takes the runtime-dispatch path
+    assert(one("""SELECT json_array_get('["a","b","c"]', 1 - 2)""") == "c")
+  }
+
   test("checksum is order-insensitive and duplicate-sensitive") {
     val a = one("SELECT checksum(x) FROM (VALUES 1, 2, 3) AS t(x)")
     val b = one("SELECT checksum(x) FROM (VALUES 3, 1, 2) AS t(x)")
