@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.HyperLogLogPlusPlus
-import org.apache.spark.sql.types.{DateType, DecimalType, DoubleType, IntegerType, LongType, StringType, TimestampType}
+import org.apache.spark.sql.types.{DateType, DayTimeIntervalType, Decimal, DecimalType, DoubleType, IntegerType, LongType, StringType, TimestampType}
 
 /** Trino SQL dialect shims (SURVEY.md §4 custom piece 1): function
   * names and argument orders the reference's promised surface uses that
@@ -182,6 +182,33 @@ object TrinoFunctions {
       case args => throw new IllegalArgumentException(
         s"last_day_of_month expects 1 arg, got ${args.length}")
     },
+    "day_of_month" -> {
+      case Seq(x) => DayOfMonth(x)
+      case args => throw new IllegalArgumentException(
+        s"day_of_month expects 1 arg, got ${args.length}")
+    },
+    // to_milliseconds(interval day to second) → BIGINT ms. Normalize to
+    // DAY-TO-SECOND first so the numeric cast's unit is always seconds
+    // (Spark's interval→numeric cast counts the END field's unit),
+    // then take seconds with micro fraction via DECIMAL(30,6).
+    "to_milliseconds" -> {
+      case Seq(i) => Cast(Multiply(
+        Cast(Cast(i, DayTimeIntervalType(DayTimeIntervalType.DAY, DayTimeIntervalType.SECOND)),
+          DecimalType(30, 6)),
+        Literal(Decimal(1000), DecimalType(4, 0))), LongType)
+      case args => throw new IllegalArgumentException(
+        s"to_milliseconds expects 1 arg, got ${args.length}")
+    },
+    // parse_duration('3.5 m') → interval day to second. The format is a
+    // decimal value + unit (ns|us|ms|s|m|h|d, optional space); parsed at
+    // plan time into an interval literal — non-literal input rejected
+    "parse_duration" -> {
+      case Seq(Literal(v, _)) if v != null => parseDurationLiteral(v.toString)
+      case Seq(_) => throw new IllegalArgumentException(
+        "parse_duration requires a literal duration string")
+      case args => throw new IllegalArgumentException(
+        s"parse_duration expects 1 arg, got ${args.length}")
+    },
     // arbitrary(x): Trino's pick-any aggregate → Spark any_value
     "arbitrary" -> {
       case Seq(x) => new org.apache.spark.sql.catalyst.expressions.aggregate.AnyValue(x)
@@ -195,6 +222,24 @@ object TrinoFunctions {
           CreateStruct(Seq(k, v))).toAggregateExpression())
       case args => throw new IllegalArgumentException(
         s"map_agg expects 2 args, got ${args.length}")
+    },
+    // max_by/min_by: the 2-arg forms are Spark natives (pass through —
+    // this override must delegate, or DataFrame-API max_by would break);
+    // the 3-arg Trino top-n forms compose collect_list(struct(y, x)) →
+    // null-y filter → array_sort (→ reverse for max) → slice → project,
+    // giving the n x-values ordered by y. Deterministic up to ties in
+    // (y, x) — same as Trino, which leaves tie order unspecified.
+    "max_by" -> {
+      case Seq(x, y) => new org.apache.spark.sql.catalyst.expressions.aggregate.MaxBy(x, y)
+      case Seq(x, y, n) => topNBy(x, y, n, largest = true)
+      case args => throw new IllegalArgumentException(
+        s"max_by expects 2-3 args, got ${args.length}")
+    },
+    "min_by" -> {
+      case Seq(x, y) => new org.apache.spark.sql.catalyst.expressions.aggregate.MinBy(x, y)
+      case Seq(x, y, n) => topNBy(x, y, n, largest = false)
+      case args => throw new IllegalArgumentException(
+        s"min_by expects 2-3 args, got ${args.length}")
     },
     // Trino bitwise_*_agg names → Spark bit_and/bit_or
     "bitwise_and_agg" -> {
@@ -247,6 +292,43 @@ object TrinoFunctions {
       case args => throw new IllegalArgumentException(
         s"is_nan expects 1 arg, got ${args.length}")
     },
+    // finite = neither NaN nor ±inf (Doubles.isFinite in Trino). Spark
+    // orders NaN above +inf, so abs(x) < inf alone rejects NaN too —
+    // the explicit IsNaN term documents intent at zero cost (codegen'd
+    // boolean ops)
+    "is_finite" -> {
+      case Seq(x) =>
+        val d = Cast(x, DoubleType)
+        And(Not(IsNaN(d)), LessThan(Abs(d), Literal(Double.PositiveInfinity)))
+      case args => throw new IllegalArgumentException(
+        s"is_finite expects 1 arg, got ${args.length}")
+    },
+    "is_infinite" -> {
+      case Seq(x) => EqualTo(Abs(Cast(x, DoubleType)), Literal(Double.PositiveInfinity))
+      case args => throw new IllegalArgumentException(
+        s"is_infinite expects 1 arg, got ${args.length}")
+    },
+    // Wilson score interval bounds (Trino's wilson_interval_lower/upper):
+    // pure closed-form composition over sqrt — stays in codegen.
+    //   (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)
+    "wilson_interval_lower" -> {
+      case Seq(s, n, z) => wilsonBound(s, n, z, lower = true)
+      case args => throw new IllegalArgumentException(
+        s"wilson_interval_lower expects (successes, trials, z), got ${args.length} args")
+    },
+    "wilson_interval_upper" -> {
+      case Seq(s, n, z) => wilsonBound(s, n, z, lower = false)
+      case args => throw new IllegalArgumentException(
+        s"wilson_interval_upper expects (successes, trials, z), got ${args.length} args")
+    },
+    // Gaussian / beta CDFs and inverses: StaticInvoke into StatFuncs
+    // (which delegates to commons-math3, already on Spark's classpath) —
+    // a codegen'd static call, no UDF. Out-of-domain args raise
+    // IllegalArgumentException like Trino errors; null under try()
+    "normal_cdf" -> statFn3("normalCdf", "normal_cdf"),
+    "inverse_normal_cdf" -> statFn3("inverseNormalCdf", "inverse_normal_cdf"),
+    "beta_cdf" -> statFn3("betaCdf", "beta_cdf"),
+    "inverse_beta_cdf" -> statFn3("inverseBetaCdf", "inverse_beta_cdf"),
     // Trino URL accessors → Spark parse_url parts (url_encode/url_decode
     // are name-identical Spark natives, no shim)
     "url_extract_protocol" -> urlPart("PROTOCOL", "url_extract_protocol"),
@@ -482,6 +564,31 @@ object TrinoFunctions {
       case args => throw new IllegalArgumentException(
         s"regexp_split expects 2 args, got ${args.length}")
     },
+    // Trino's 2-arg regexp_extract/_all return the WHOLE match (group
+    // 0); Spark's 2-arg default is group 1 — silently different results
+    // without this shim. The 3-arg forms coincide and pass through.
+    "regexp_extract" -> {
+      case Seq(s, p) => RegExpExtract(s, p, Literal(0))
+      case Seq(s, p, g) => RegExpExtract(s, p, g)
+      case args => throw new IllegalArgumentException(
+        s"regexp_extract expects 2-3 args, got ${args.length}")
+    },
+    "regexp_extract_all" -> {
+      case Seq(s, p) => RegExpExtractAll(s, p, Literal(0))
+      case Seq(s, p, g) => RegExpExtractAll(s, p, g)
+      case args => throw new IllegalArgumentException(
+        s"regexp_extract_all expects 2-3 args, got ${args.length}")
+    },
+    // regexp_position: 1-based char position of the first match, -1
+    // when absent (Spark's regexp_instr says 0; rewrap). The optional
+    // start/occurrence args are not supported.
+    "regexp_position" -> {
+      case Seq(s, p) =>
+        val pos = RegExpInStr(s, p, Literal(0))
+        If(EqualTo(pos, Literal(0)), Literal(-1), pos)
+      case args => throw new IllegalArgumentException(
+        s"regexp_position expects 2 args (start/occurrence unsupported), got ${args.length}")
+    },
     // split_to_map(s, entryDelim, kvDelim) → str_to_map (same arg order;
     // Trino errors on duplicate keys, Spark keeps the last — documented)
     "split_to_map" -> {
@@ -668,6 +775,35 @@ object TrinoFunctions {
       case args => throw new IllegalArgumentException(
         s"json_array_get expects 2 args, got ${args.length}")
     },
+    // json_array_contains(j, v): membership via from_json to a typed
+    // array chosen by the value's literal type — boolean/number/varchar,
+    // Trino's three overloads. Non-literal values fall back to string
+    // comparison over the elements' JSON text (exact for strings and
+    // canonically-written numbers; '[1.00]' vs 1.0 differs — documented)
+    "json_array_contains" -> {
+      case Seq(j, v) =>
+        def parsed(elem: org.apache.spark.sql.types.DataType) =
+          JsonToStructs(org.apache.spark.sql.types.ArrayType(elem), Map.empty, j)
+        v match {
+          case Literal(_, org.apache.spark.sql.types.BooleanType) =>
+            ArrayContains(parsed(org.apache.spark.sql.types.BooleanType), v)
+          case Literal(x, t) if x != null &&
+              t.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+            ArrayContains(parsed(DoubleType), Cast(v, DoubleType))
+          case _ =>
+            ArrayContains(parsed(StringType), Cast(v, StringType))
+        }
+      case args => throw new IllegalArgumentException(
+        s"json_array_contains expects 2 args, got ${args.length}")
+    },
+    // trim_array(arr, n): drop the last n elements. Spark's slice errors
+    // on a negative length, which doubles as Trino's n > cardinality error
+    "trim_array" -> {
+      case Seq(arr, n) =>
+        Slice(arr, Literal(1), Subtract(Size(arr), Cast(n, IntegerType)))
+      case args => throw new IllegalArgumentException(
+        s"trim_array expects 2 args, got ${args.length}")
+    },
     // ngrams(arr, n): sliding subsequences, composed from codegen'd
     // slice over a sequence of start offsets
     "ngrams" -> {
@@ -692,6 +828,90 @@ object TrinoFunctions {
       Literal.create(null, StringType),
       GetJsonObject(j, Concat(Seq(Literal("$["),
         Cast(idx, StringType), Literal("]")))))
+  }
+
+  /** Wilson score interval bound as a sqrt composition (stays codegen'd).
+    * p̂ = s/n; bound = (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n). */
+  private def wilsonBound(s: Expression, n: Expression, z: Expression,
+      lower: Boolean): Expression = {
+    val sd = Cast(s, DoubleType)
+    val nd = Cast(n, DoubleType)
+    val zd = Cast(z, DoubleType)
+    val p = Divide(sd, nd)
+    val z2n = Divide(Multiply(zd, zd), nd)
+    val center = Add(p, Divide(z2n, Literal(2.0)))
+    val margin = Multiply(zd, Sqrt(Add(
+      Divide(Multiply(p, Subtract(Literal(1.0), p)), nd),
+      Divide(z2n, Multiply(Literal(4.0), nd)))))
+    val num = if (lower) Subtract(center, margin) else Add(center, margin)
+    Divide(num, Add(Literal(1.0), z2n))
+  }
+
+  /** A 3-double-arg StaticInvoke into [[StatFuncs]] — codegen'd static
+    * call, null-propagating, no UDF. */
+  private def statFn3(method: String, name: String): Seq[Expression] => Expression = {
+    case Seq(a, b, c) =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        StatFuncs.getClass, DoubleType, method,
+        Seq(Cast(a, DoubleType), Cast(b, DoubleType), Cast(c, DoubleType)),
+        Seq(DoubleType, DoubleType, DoubleType))
+    case args => throw new IllegalArgumentException(
+      s"$name expects 3 args, got ${args.length}")
+  }
+
+  private val durationPattern =
+    java.util.regex.Pattern.compile("""\s*(\d+(?:\.\d+)?)\s*(ns|us|ms|s|m|h|d)\s*""")
+
+  /** Trino duration literal → DayTimeIntervalType(DAY, SECOND) literal
+    * (micros). Sub-microsecond parts round to the nearest micro. */
+  private def parseDurationLiteral(s: String): Expression = {
+    val m = durationPattern.matcher(s)
+    if (!m.matches()) throw new IllegalArgumentException(
+      s"duration is not a valid data duration string: $s")
+    val value = java.lang.Double.parseDouble(m.group(1))
+    val microsPerUnit = m.group(2) match {
+      case "ns" => 1e-3
+      case "us" => 1.0
+      case "ms" => 1e3
+      case "s"  => 1e6
+      case "m"  => 60e6
+      case "h"  => 3600e6
+      case "d"  => 86400e6
+    }
+    val micros = math.rint(value * microsPerUnit)
+    if (micros > Long.MaxValue) throw new IllegalArgumentException(
+      s"duration overflows interval day to second: $s")
+    Literal(micros.toLong,
+      DayTimeIntervalType(DayTimeIntervalType.DAY, DayTimeIntervalType.SECOND))
+  }
+
+  /** Trino max_by/min_by(x, y, n): the n x-values with the largest /
+    * smallest y, ordered by y desc / asc. Composed as
+    * collect_list(struct(y, x)) → filter null y (Trino skips them) →
+    * array_sort (reverse for largest) → slice n → project x. The
+    * collected state is group-sized — fine for top-n analytics; the
+    * sort happens once per group after aggregation, not per row. */
+  private def topNBy(x: Expression, y: Expression, n: Expression,
+      largest: Boolean): Expression = {
+    val nLit = n match {
+      case Literal(v, _) if v != null && v.toString.matches("\\d+") && v.toString.toInt > 0 =>
+        v.toString.toInt
+      case _ => throw new IllegalArgumentException(
+        "max_by/min_by third argument must be a positive integer literal")
+    }
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+    // CreateStruct would name fields after attribute children (score,
+    // name, …) — pin them explicitly so the lambdas can extract by name
+    val collected = new org.apache.spark.sql.catalyst.expressions.aggregate.CollectList(
+      CreateNamedStruct(Seq(Literal("k"), y, Literal("v"), x))).toAggregateExpression()
+    val s = UnresolvedNamedLambdaVariable(Seq("s"))
+    val noNullY = ArrayFilter(collected,
+      LambdaFunction(IsNotNull(UnresolvedExtractValue(s, Literal("k"))), Seq(s)))
+    val sorted = new ArraySort(noNullY)
+    val ordered = if (largest) Reverse(sorted) else sorted
+    val t = UnresolvedNamedLambdaVariable(Seq("t"))
+    ArrayTransform(Slice(ordered, Literal(1), Literal(nLit)),
+      LambdaFunction(UnresolvedExtractValue(t, Literal("v")), Seq(t)))
   }
 
   /** Regex-quote a split delimiter: literals via Pattern.quote (handles
@@ -1037,4 +1257,40 @@ object TrinoFunctions {
   def registeredNames(spark: SparkSession): Seq[String] =
     shims.keys.toSeq.filter(n =>
       spark.sessionState.functionRegistry.functionExists(FunctionIdentifier(n)))
+}
+
+/** Static math helpers behind the statistical dialect functions,
+  * invoked via StaticInvoke (codegen emits a plain static call — the
+  * Scala compiler generates static forwarders for this top-level
+  * object). Delegates to commons-math3, which ships in Spark's own
+  * classpath. Out-of-domain arguments raise IllegalArgumentException,
+  * mirroring Trino's errors (null under try()). */
+object StatFuncs {
+  import org.apache.commons.math3.special.{Beta, Erf}
+
+  private val Sqrt2 = math.sqrt(2.0)
+
+  def normalCdf(mean: Double, sd: Double, v: Double): Double = {
+    require(sd > 0, "standardDeviation must be > 0")
+    0.5 * (1.0 + Erf.erf((v - mean) / (sd * Sqrt2)))
+  }
+
+  def inverseNormalCdf(mean: Double, sd: Double, p: Double): Double = {
+    require(sd > 0, "standardDeviation must be > 0")
+    require(p > 0 && p < 1, "p must be 0 > p > 1")
+    mean + sd * Sqrt2 * Erf.erfInv(2.0 * p - 1.0)
+  }
+
+  def betaCdf(a: Double, b: Double, v: Double): Double = {
+    require(a > 0 && b > 0, "alpha and beta must be > 0")
+    require(v >= 0 && v <= 1, "value must be in the interval [0, 1]")
+    Beta.regularizedBeta(v, a, b)
+  }
+
+  def inverseBetaCdf(a: Double, b: Double, p: Double): Double = {
+    require(a > 0 && b > 0, "alpha and beta must be > 0")
+    require(p >= 0 && p <= 1, "p must be in the interval [0, 1]")
+    new org.apache.commons.math3.distribution.BetaDistribution(null, a, b)
+      .inverseCumulativeProbability(p)
+  }
 }

@@ -553,6 +553,115 @@ class TrinoFunctionsSpec extends SparkSpec {
     assert(one("""SELECT json_array_get('["a","b","c"]', 1 - 2)""") == "c")
   }
 
+  test("regexp_extract/_all default to the whole match (group 0), like Trino") {
+    // Spark's own 2-arg default is group 1 — the shim must return group 0
+    assert(one("SELECT regexp_extract('1a 2b 3c', '(\\\\d)([a-z])')") == "1a")
+    assert(one("SELECT regexp_extract('1a 2b 3c', '(\\\\d)([a-z])', 2)") == "a")
+    val all = one("SELECT regexp_extract_all('1a 2b', '(\\\\d)([a-z])')")
+      .asInstanceOf[scala.collection.Seq[_]]
+    assert(all == Seq("1a", "2b"))
+    assert(one("SELECT regexp_extract_all('1a 2b', '(\\\\d)([a-z])', 1)")
+      .asInstanceOf[scala.collection.Seq[_]] == Seq("1", "2"))
+  }
+
+  test("regexp_position returns 1-based char position or -1") {
+    assert(one("SELECT regexp_position('I have 23 apples', '\\\\d+')") == 8)
+    assert(one("SELECT regexp_position('no digits', '\\\\d+')") == -1)
+  }
+
+  test("day_of_month aliases day") {
+    assert(one("SELECT day_of_month(DATE '1995-03-17')") == 17)
+  }
+
+  test("is_finite / is_infinite classify specials") {
+    assert(one("SELECT is_finite(1.5)") == true)
+    assert(one("SELECT is_finite(infinity())") == false)
+    assert(one("SELECT is_finite(nan())") == false)
+    assert(one("SELECT is_infinite(infinity())") == true)
+    assert(one("SELECT is_infinite(-infinity())") == true)
+    assert(one("SELECT is_infinite(nan())") == false)
+    assert(one("SELECT is_infinite(2.0)") == false)
+  }
+
+  test("trim_array drops trailing elements; errors past the end like Trino") {
+    assert(one("SELECT trim_array(array(1, 2, 3, 4), 1)").asInstanceOf[scala.collection.Seq[_]] == Seq(1, 2, 3))
+    assert(one("SELECT trim_array(array(1, 2), 2)").asInstanceOf[scala.collection.Seq[_]] == Seq())
+    assert(one("SELECT try(trim_array(array(1, 2), 3))") == null)
+  }
+
+  test("json_array_contains dispatches on the value's type") {
+    assert(one("""SELECT json_array_contains('[1, 2, 3]', 2)""") == true)
+    assert(one("""SELECT json_array_contains('[1, 2, 3]', 5)""") == false)
+    assert(one("""SELECT json_array_contains('[1.5, 2.5]', 2.5)""") == true)
+    assert(one("""SELECT json_array_contains('[true, false]', true)""") == true)
+    assert(one("""SELECT json_array_contains('["a", "b"]', 'b')""") == true)
+    assert(one("""SELECT json_array_contains('["a", "b"]', 'c')""") == false)
+  }
+
+  test("parse_duration and to_milliseconds round-trip") {
+    assert(one("SELECT to_milliseconds(parse_duration('42 ms'))") == 42L)
+    assert(one("SELECT to_milliseconds(parse_duration('3.5 s'))") == 3500L)
+    assert(one("SELECT to_milliseconds(parse_duration('1.5m'))") == 90000L)
+    assert(one("SELECT to_milliseconds(parse_duration('2h'))") == 7200000L)
+    assert(one("SELECT to_milliseconds(parse_duration('1 d'))") == 86400000L)
+    assert(one("SELECT to_milliseconds(parse_duration('1500 us'))") == 1L)
+    assert(one("SELECT to_milliseconds(INTERVAL '1 02:00:00' DAY TO SECOND)") == 93600000L)
+  }
+
+  test("wilson interval bounds match the closed form") {
+    // s=10, n=25, z=1.96: p̂=0.4
+    val z = 1.96; val p = 0.4; val n = 25.0
+    val z2n = z * z / n
+    val center = p + z2n / 2
+    val margin = z * math.sqrt(p * (1 - p) / n + z2n / (4 * n))
+    val denom = 1 + z2n
+    val lo = one("SELECT wilson_interval_lower(10, 25, 1.96)").asInstanceOf[Double]
+    val hi = one("SELECT wilson_interval_upper(10, 25, 1.96)").asInstanceOf[Double]
+    assert(math.abs(lo - (center - margin) / denom) < 1e-12)
+    assert(math.abs(hi - (center + margin) / denom) < 1e-12)
+    assert(lo < p && p < hi)
+  }
+
+  test("normal_cdf / inverse_normal_cdf agree with known values and invert") {
+    val mid = one("SELECT normal_cdf(0, 1, 0)").asInstanceOf[Double]
+    assert(math.abs(mid - 0.5) < 1e-12)
+    val p975 = one("SELECT normal_cdf(0, 1, 1.959963984540054)").asInstanceOf[Double]
+    assert(math.abs(p975 - 0.975) < 1e-9)
+    val q = one("SELECT inverse_normal_cdf(0, 1, 0.975)").asInstanceOf[Double]
+    assert(math.abs(q - 1.959963984540054) < 1e-6)
+    val shifted = one("SELECT normal_cdf(10, 2, 10)").asInstanceOf[Double]
+    assert(math.abs(shifted - 0.5) < 1e-12)
+    // sd <= 0 errors like Trino; null under try()
+    assert(one("SELECT try(normal_cdf(0, 0, 1))") == null)
+  }
+
+  test("beta_cdf / inverse_beta_cdf: uniform special case and inversion") {
+    // Beta(1,1) is uniform on [0,1]
+    val u = one("SELECT beta_cdf(1, 1, 0.3)").asInstanceOf[Double]
+    assert(math.abs(u - 0.3) < 1e-12)
+    val v = one("SELECT beta_cdf(2, 5, 0.5)").asInstanceOf[Double]
+    val back = one("SELECT inverse_beta_cdf(2, 5, " + v + ")").asInstanceOf[Double]
+    assert(math.abs(back - 0.5) < 1e-9)
+    assert(one("SELECT try(beta_cdf(1, 1, 2.0))") == null)
+  }
+
+  test("max_by/min_by with n return ordered top-n arrays, skipping null keys") {
+    val top = one(
+      """SELECT max_by(name, score, 2) FROM (VALUES
+        |  ('a', 1), ('b', 3), ('c', 2), ('d', NULL)) AS t(name, score)""".stripMargin)
+      .asInstanceOf[scala.collection.Seq[_]]
+    assert(top == Seq("b", "c"))
+    val bottom = one(
+      """SELECT min_by(name, score, 3) FROM (VALUES
+        |  ('a', 1), ('b', 3), ('c', 2), ('d', NULL)) AS t(name, score)""".stripMargin)
+      .asInstanceOf[scala.collection.Seq[_]]
+    assert(bottom == Seq("a", "c", "b"))
+    // n larger than the group truncates; 2-arg form still the native scalar
+    assert(one("SELECT min_by(name, score, 9) FROM (VALUES ('a', 1)) AS t(name, score)")
+      .asInstanceOf[scala.collection.Seq[_]] == Seq("a"))
+    assert(one("SELECT max_by(name, score) FROM (VALUES ('a', 1), ('b', 3)) AS t(name, score)") == "b")
+  }
+
   test("checksum is order-insensitive and duplicate-sensitive") {
     val a = one("SELECT checksum(x) FROM (VALUES 1, 2, 3) AS t(x)")
     val b = one("SELECT checksum(x) FROM (VALUES 3, 1, 2) AS t(x)")
