@@ -187,6 +187,13 @@ object TrinoFunctions {
       case args => throw new IllegalArgumentException(
         s"day_of_month expects 1 arg, got ${args.length}")
     },
+    // current_timezone() → the session zone (Spark's internal
+    // CurrentTimeZone expression, constant-folded per query)
+    "current_timezone" -> {
+      case Seq() => CurrentTimeZone()
+      case args => throw new IllegalArgumentException(
+        s"current_timezone expects 0 args, got ${args.length}")
+    },
     // to_milliseconds(interval day to second) → BIGINT ms. Normalize to
     // DAY-TO-SECOND first so the numeric cast's unit is always seconds
     // (Spark's interval→numeric cast counts the END field's unit),
@@ -481,6 +488,32 @@ object TrinoFunctions {
       case args => throw new IllegalArgumentException(
         s"sha512 expects 1 arg, got ${args.length}")
     },
+    // hmac_*(data, key) → VARBINARY MAC. StaticInvoke into BinFuncs
+    // (javax.crypto.Mac, JDK built-in algorithms) — codegen'd static
+    // call. Strings cast to their UTF-8 bytes like Trino varbinary args
+    "hmac_md5" -> hmacFn("HmacMD5", "hmac_md5"),
+    "hmac_sha1" -> hmacFn("HmacSHA1", "hmac_sha1"),
+    "hmac_sha256" -> hmacFn("HmacSHA256", "hmac_sha256"),
+    "hmac_sha512" -> hmacFn("HmacSHA512", "hmac_sha512"),
+    // big-endian / IEEE-754 byte bridges (Trino binary functions) —
+    // static one-liners over ByteBuffer; wrong-length input errors like
+    // Trino (NULL under try())
+    "to_big_endian_32" -> binFn1("toBigEndian32", "to_big_endian_32",
+      IntegerType, org.apache.spark.sql.types.BinaryType),
+    "from_big_endian_32" -> binFn1("fromBigEndian32", "from_big_endian_32",
+      org.apache.spark.sql.types.BinaryType, IntegerType),
+    "to_big_endian_64" -> binFn1("toBigEndian64", "to_big_endian_64",
+      LongType, org.apache.spark.sql.types.BinaryType),
+    "from_big_endian_64" -> binFn1("fromBigEndian64", "from_big_endian_64",
+      org.apache.spark.sql.types.BinaryType, LongType),
+    "to_ieee754_32" -> binFn1("toIeee754_32", "to_ieee754_32",
+      org.apache.spark.sql.types.FloatType, org.apache.spark.sql.types.BinaryType),
+    "from_ieee754_32" -> binFn1("fromIeee754_32", "from_ieee754_32",
+      org.apache.spark.sql.types.BinaryType, org.apache.spark.sql.types.FloatType),
+    "to_ieee754_64" -> binFn1("toIeee754_64", "to_ieee754_64",
+      DoubleType, org.apache.spark.sql.types.BinaryType),
+    "from_ieee754_64" -> binFn1("fromIeee754_64", "from_ieee754_64",
+      org.apache.spark.sql.types.BinaryType, DoubleType),
     // Trino spells the bitwise operators as functions (64-bit two's
     // complement). bitwise_right_shift is the LOGICAL shift.
     "bitwise_and" -> {
@@ -804,6 +837,26 @@ object TrinoFunctions {
       case args => throw new IllegalArgumentException(
         s"trim_array expects 2 args, got ${args.length}")
     },
+    // array_duplicates: distinct elements appearing more than once —
+    // nested-lambda composition, O(n·distinct) per row (row-level arrays
+    // are small; no shuffle implications). Null-safe equality keeps a
+    // repeated NULL in the result like Trino
+    "array_duplicates" -> {
+      case Seq(arr) =>
+        val x = UnresolvedNamedLambdaVariable(Seq("x"))
+        val y = UnresolvedNamedLambdaVariable(Seq("y"))
+        ArrayFilter(ArrayDistinct(arr), LambdaFunction(
+          GreaterThan(Size(ArrayFilter(arr,
+            LambdaFunction(EqualNullSafe(y, x), Seq(y)))), Literal(1)),
+          Seq(x)))
+      case args => throw new IllegalArgumentException(
+        s"array_duplicates expects 1 arg, got ${args.length}")
+    },
+    "array_has_duplicates" -> {
+      case Seq(arr) => Not(EqualTo(Size(arr), Size(ArrayDistinct(arr))))
+      case args => throw new IllegalArgumentException(
+        s"array_has_duplicates expects 1 arg, got ${args.length}")
+    },
     // ngrams(arr, n): sliding subsequences, composed from codegen'd
     // slice over a sequence of start offsets
     "ngrams" -> {
@@ -857,6 +910,32 @@ object TrinoFunctions {
         Seq(DoubleType, DoubleType, DoubleType))
     case args => throw new IllegalArgumentException(
       s"$name expects 3 args, got ${args.length}")
+  }
+
+  /** hmac_*(data, key): StaticInvoke into [[BinFuncs.hmac]] with the JDK
+    * algorithm name baked in as a literal. String args cast to UTF-8
+    * bytes (Trino's signatures take varbinary). */
+  private def hmacFn(algo: String, name: String): Seq[Expression] => Expression = {
+    case Seq(data, key) =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        BinFuncs.getClass, org.apache.spark.sql.types.BinaryType, "hmac",
+        Seq(Cast(data, org.apache.spark.sql.types.BinaryType),
+          Cast(key, org.apache.spark.sql.types.BinaryType), Literal(algo)),
+        Seq(org.apache.spark.sql.types.BinaryType,
+          org.apache.spark.sql.types.BinaryType, StringType))
+    case args => throw new IllegalArgumentException(
+      s"$name expects (data, key), got ${args.length} args")
+  }
+
+  /** A 1-arg StaticInvoke into [[BinFuncs]] with explicit in/out types. */
+  private def binFn1(method: String, name: String,
+      in: org.apache.spark.sql.types.DataType,
+      out: org.apache.spark.sql.types.DataType): Seq[Expression] => Expression = {
+    case Seq(x) =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        BinFuncs.getClass, out, method, Seq(Cast(x, in)), Seq(in))
+    case args => throw new IllegalArgumentException(
+      s"$name expects 1 arg, got ${args.length}")
   }
 
   private val durationPattern =
@@ -1292,5 +1371,49 @@ object StatFuncs {
     require(p >= 0 && p <= 1, "p must be in the interval [0, 1]")
     new org.apache.commons.math3.distribution.BetaDistribution(null, a, b)
       .inverseCumulativeProbability(p)
+  }
+}
+
+/** Static byte-level helpers behind the binary dialect functions
+  * (StaticInvoke targets, like [[StatFuncs]]). Mac instances are not
+  * cached: getInstance is cheap relative to the MAC itself and these
+  * are not hot-path expressions. */
+object BinFuncs {
+  import java.nio.ByteBuffer
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def hmac(data: Array[Byte], key: Array[Byte], algo: UTF8String): Array[Byte] = {
+    val mac = javax.crypto.Mac.getInstance(algo.toString)
+    mac.init(new javax.crypto.spec.SecretKeySpec(key, algo.toString))
+    mac.doFinal(data)
+  }
+
+  def toBigEndian32(x: Int): Array[Byte] = ByteBuffer.allocate(4).putInt(x).array()
+  def toBigEndian64(x: Long): Array[Byte] = ByteBuffer.allocate(8).putLong(x).array()
+
+  def fromBigEndian32(b: Array[Byte]): Int = {
+    require(b.length == 4, "expected 4-byte value")
+    ByteBuffer.wrap(b).getInt
+  }
+
+  def fromBigEndian64(b: Array[Byte]): Long = {
+    require(b.length == 8, "expected 8-byte value")
+    ByteBuffer.wrap(b).getLong
+  }
+
+  def toIeee754_32(x: Float): Array[Byte] =
+    ByteBuffer.allocate(4).putInt(java.lang.Float.floatToIntBits(x)).array()
+
+  def fromIeee754_32(b: Array[Byte]): Float = {
+    require(b.length == 4, "expected 4-byte value")
+    java.lang.Float.intBitsToFloat(ByteBuffer.wrap(b).getInt)
+  }
+
+  def toIeee754_64(x: Double): Array[Byte] =
+    ByteBuffer.allocate(8).putLong(java.lang.Double.doubleToLongBits(x)).array()
+
+  def fromIeee754_64(b: Array[Byte]): Double = {
+    require(b.length == 8, "expected 8-byte value")
+    java.lang.Double.longBitsToDouble(ByteBuffer.wrap(b).getLong)
   }
 }

@@ -662,6 +662,49 @@ class TrinoFunctionsSpec extends SparkSpec {
     assert(one("SELECT max_by(name, score) FROM (VALUES ('a', 1), ('b', 3)) AS t(name, score)") == "b")
   }
 
+  test("hmac functions match RFC test vectors") {
+    // RFC 2202 test case 2: HMAC-SHA1("Jefe", "what do ya want for nothing?")
+    assert(one("SELECT to_hex(hmac_sha1('what do ya want for nothing?', 'Jefe'))")
+      == "EFFCDF6AE5EB2FA2D27416D5F184DF9C259A7C79")
+    // RFC 4231 test case 2 (same inputs, HMAC-SHA256 / HMAC-SHA512)
+    assert(one("SELECT to_hex(hmac_sha256('what do ya want for nothing?', 'Jefe'))")
+      == "5BDCC146BF60754E6A042426089575C75A003F089D2739839DEC58B964EC3843")
+    assert(one("SELECT to_hex(hmac_sha512('what do ya want for nothing?', 'Jefe'))")
+      == ("164B7A7BFCF819E2E395FBE73B56E0A387BD64222E831FD610270CD7EA250554" +
+          "9758BF75C05A994A6D034F65F8F0E6FDCAEAB1A34D4A6B4B636E070A38BCE737"))
+    // RFC 2202 HMAC-MD5 test case 2
+    assert(one("SELECT to_hex(hmac_md5('what do ya want for nothing?', 'Jefe'))")
+      == "750C783E6AB0B503EAA86E310A5DB738")
+  }
+
+  test("big-endian and IEEE-754 byte bridges round-trip") {
+    assert(one("SELECT to_hex(to_big_endian_64(1))") == "0000000000000001")
+    assert(one("SELECT from_big_endian_64(to_big_endian_64(-123456789))") == -123456789L)
+    assert(one("SELECT to_hex(to_big_endian_32(255))") == "000000FF")
+    assert(one("SELECT from_big_endian_32(to_big_endian_32(-42))") == -42)
+    assert(one("SELECT from_ieee754_64(to_ieee754_64(3.1415))") == 3.1415)
+    assert(one("SELECT to_hex(to_ieee754_64(1.0))") == "3FF0000000000000")
+    assert(one("SELECT from_ieee754_32(to_ieee754_32(CAST(2.5 AS FLOAT)))") == 2.5f)
+    // wrong-length input errors like Trino; null under try()
+    assert(one("SELECT try(from_big_endian_64(to_big_endian_32(1)))") == null)
+  }
+
+  test("array_duplicates / array_has_duplicates") {
+    assert(one("SELECT array_duplicates(array(1, 2, 1, 3, 2))")
+      .asInstanceOf[scala.collection.Seq[_]] == Seq(1, 2))
+    assert(one("SELECT array_duplicates(array(1, 2, 3))")
+      .asInstanceOf[scala.collection.Seq[_]] == Seq())
+    // a repeated NULL is itself a duplicate (null-safe equality)
+    assert(one("SELECT cardinality(array_duplicates(array(NULL, NULL, 1)))") == 1)
+    assert(one("SELECT array_has_duplicates(array(1, 2, 1))") == true)
+    assert(one("SELECT array_has_duplicates(array(1, 2, 3))") == false)
+    assert(one("SELECT array_has_duplicates(array(NULL, NULL))") == true)
+  }
+
+  test("current_timezone returns the session zone") {
+    assert(one("SELECT current_timezone()") == "UTC")
+  }
+
   test("checksum is order-insensitive and duplicate-sensitive") {
     val a = one("SELECT checksum(x) FROM (VALUES 1, 2, 3) AS t(x)")
     val b = one("SELECT checksum(x) FROM (VALUES 3, 1, 2) AS t(x)")
