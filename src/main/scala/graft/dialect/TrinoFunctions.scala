@@ -336,6 +336,25 @@ object TrinoFunctions {
     "inverse_normal_cdf" -> statFn3("inverseNormalCdf", "inverse_normal_cdf"),
     "beta_cdf" -> statFn3("betaCdf", "beta_cdf"),
     "inverse_beta_cdf" -> statFn3("inverseBetaCdf", "inverse_beta_cdf"),
+    // The rest of Trino's distribution CDF family — same StaticInvoke →
+    // commons-math3 design. inverse_poisson_cdf returns INTEGER like
+    // Trino (the Poisson quantile is a count)
+    "binomial_cdf" -> statFnN("binomialCdf", "binomial_cdf", 3),
+    "cauchy_cdf" -> statFnN("cauchyCdf", "cauchy_cdf", 3),
+    "inverse_cauchy_cdf" -> statFnN("inverseCauchyCdf", "inverse_cauchy_cdf", 3),
+    "chi_squared_cdf" -> statFnN("chiSquaredCdf", "chi_squared_cdf", 2),
+    "inverse_chi_squared_cdf" -> statFnN("inverseChiSquaredCdf", "inverse_chi_squared_cdf", 2),
+    "f_cdf" -> statFnN("fCdf", "f_cdf", 3),
+    "inverse_f_cdf" -> statFnN("inverseFCdf", "inverse_f_cdf", 3),
+    "gamma_cdf" -> statFnN("gammaCdf", "gamma_cdf", 3),
+    "inverse_gamma_cdf" -> statFnN("inverseGammaCdf", "inverse_gamma_cdf", 3),
+    "laplace_cdf" -> statFnN("laplaceCdf", "laplace_cdf", 3),
+    "inverse_laplace_cdf" -> statFnN("inverseLaplaceCdf", "inverse_laplace_cdf", 3),
+    "poisson_cdf" -> statFnN("poissonCdf", "poisson_cdf", 2),
+    "inverse_poisson_cdf" -> statFnN("inversePoissonCdf", "inverse_poisson_cdf", 2,
+      IntegerType),
+    "weibull_cdf" -> statFnN("weibullCdf", "weibull_cdf", 3),
+    "inverse_weibull_cdf" -> statFnN("inverseWeibullCdf", "inverse_weibull_cdf", 3),
     // Trino URL accessors → Spark parse_url parts (url_encode/url_decode
     // are name-identical Spark natives, no shim)
     "url_extract_protocol" -> urlPart("PROTOCOL", "url_extract_protocol"),
@@ -912,6 +931,19 @@ object TrinoFunctions {
       s"$name expects 3 args, got ${args.length}")
   }
 
+  /** An n-double-arg StaticInvoke into [[StatFuncs]] with an explicit
+    * return type (the Poisson quantile returns INTEGER). */
+  private def statFnN(method: String, name: String, n: Int,
+      out: org.apache.spark.sql.types.DataType = DoubleType)
+      : Seq[Expression] => Expression = {
+    case args if args.length == n =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        StatFuncs.getClass, out, method,
+        args.map(Cast(_, DoubleType)), Seq.fill(n)(DoubleType))
+    case args => throw new IllegalArgumentException(
+      s"$name expects $n args, got ${args.length}")
+  }
+
   /** hmac_*(data, key): StaticInvoke into [[BinFuncs.hmac]] with the JDK
     * algorithm name baked in as a literal. String args cast to UTF-8
     * bytes (Trino's signatures take varbinary). */
@@ -1371,6 +1403,107 @@ object StatFuncs {
     require(p >= 0 && p <= 1, "p must be in the interval [0, 1]")
     new org.apache.commons.math3.distribution.BetaDistribution(null, a, b)
       .inverseCumulativeProbability(p)
+  }
+
+  // The rest of the distribution family. Each call builds the
+  // commons-math3 distribution object fresh — these are scalar dialect
+  // functions, not hot-path pipeline kernels, and the objects are
+  // parameter-dependent so there is nothing session-wide to cache.
+  // Domain requires mirror Trino's checkCondition errors (null under
+  // try()). Integer-valued parameters (trials, counts) arrive as the
+  // uniform double calling convention and are truncated, matching
+  // Trino's integer signatures.
+  import org.apache.commons.math3.distribution._
+
+  def binomialCdf(trials: Double, sp: Double, v: Double): Double = {
+    require(sp >= 0 && sp <= 1, "successProbability must be in the interval [0, 1]")
+    require(trials > 0, "numberOfTrials must be greater than 0")
+    require(v >= 0, "value must be a non-negative integer")
+    new BinomialDistribution(null, trials.toInt, sp).cumulativeProbability(v.toInt)
+  }
+
+  def cauchyCdf(median: Double, scale: Double, v: Double): Double = {
+    require(scale > 0, "scale must be greater than 0")
+    new CauchyDistribution(median, scale).cumulativeProbability(v)
+  }
+
+  def inverseCauchyCdf(median: Double, scale: Double, p: Double): Double = {
+    require(scale > 0, "scale must be greater than 0")
+    require(p >= 0 && p <= 1, "p must be in the interval [0, 1]")
+    new CauchyDistribution(median, scale).inverseCumulativeProbability(p)
+  }
+
+  def chiSquaredCdf(df: Double, v: Double): Double = {
+    require(df > 0, "df must be greater than 0")
+    require(v >= 0, "value must non-negative")
+    new ChiSquaredDistribution(df).cumulativeProbability(v)
+  }
+
+  def inverseChiSquaredCdf(df: Double, p: Double): Double = {
+    require(df > 0, "df must be greater than 0")
+    require(p >= 0 && p <= 1, "p must be in the interval [0, 1]")
+    new ChiSquaredDistribution(df).inverseCumulativeProbability(p)
+  }
+
+  def fCdf(df1: Double, df2: Double, v: Double): Double = {
+    require(df1 > 0 && df2 > 0, "numerator and denominator df must be greater than 0")
+    require(v >= 0, "value must non-negative")
+    new FDistribution(df1, df2).cumulativeProbability(v)
+  }
+
+  def inverseFCdf(df1: Double, df2: Double, p: Double): Double = {
+    require(df1 > 0 && df2 > 0, "numerator and denominator df must be greater than 0")
+    require(p >= 0 && p <= 1, "p must be in the interval [0, 1]")
+    new FDistribution(df1, df2).inverseCumulativeProbability(p)
+  }
+
+  def gammaCdf(shape: Double, scale: Double, v: Double): Double = {
+    require(shape > 0 && scale > 0, "shape and scale must be greater than 0")
+    require(v >= 0, "value must be greater than, or equal to, 0")
+    new GammaDistribution(null, shape, scale,
+      GammaDistribution.DEFAULT_INVERSE_ABSOLUTE_ACCURACY).cumulativeProbability(v)
+  }
+
+  def inverseGammaCdf(shape: Double, scale: Double, p: Double): Double = {
+    require(shape > 0 && scale > 0, "shape and scale must be greater than 0")
+    require(p >= 0 && p <= 1, "p must be in the interval [0, 1]")
+    new GammaDistribution(null, shape, scale,
+      GammaDistribution.DEFAULT_INVERSE_ABSOLUTE_ACCURACY)
+      .inverseCumulativeProbability(p)
+  }
+
+  def laplaceCdf(mean: Double, scale: Double, v: Double): Double = {
+    require(scale > 0, "scale must be greater than 0")
+    new LaplaceDistribution(mean, scale).cumulativeProbability(v)
+  }
+
+  def inverseLaplaceCdf(mean: Double, scale: Double, p: Double): Double = {
+    require(scale > 0, "scale must be greater than 0")
+    require(p >= 0 && p <= 1, "p must be in the interval [0, 1]")
+    new LaplaceDistribution(mean, scale).inverseCumulativeProbability(p)
+  }
+
+  def poissonCdf(lambda: Double, v: Double): Double = {
+    require(lambda > 0, "lambda must be greater than 0")
+    require(v >= 0, "value must be a non-negative integer")
+    new PoissonDistribution(lambda).cumulativeProbability(v.toInt)
+  }
+
+  def inversePoissonCdf(lambda: Double, p: Double): Int = {
+    require(lambda > 0, "lambda must be greater than 0")
+    require(p >= 0 && p < 1, "p must be in the interval [0, 1)")
+    new PoissonDistribution(lambda).inverseCumulativeProbability(p)
+  }
+
+  def weibullCdf(a: Double, b: Double, v: Double): Double = {
+    require(a > 0 && b > 0, "a and b must be greater than 0")
+    new WeibullDistribution(a, b).cumulativeProbability(v)
+  }
+
+  def inverseWeibullCdf(a: Double, b: Double, p: Double): Double = {
+    require(a > 0 && b > 0, "a and b must be greater than 0")
+    require(p >= 0 && p <= 1, "p must be in the interval [0, 1]")
+    new WeibullDistribution(a, b).inverseCumulativeProbability(p)
   }
 }
 

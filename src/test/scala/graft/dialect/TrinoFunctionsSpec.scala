@@ -705,6 +705,38 @@ class TrinoFunctionsSpec extends SparkSpec {
     assert(one("SELECT current_timezone()") == "UTC")
   }
 
+  test("distribution CDF family matches closed-form values") {
+    def dbl(sql: String): Double = one(sql).asInstanceOf[Double]
+    // binomial_cdf(10, 0.5, 5) = 638/1024 (computed via the regularized
+    // incomplete beta, so compare with tolerance)
+    assert(math.abs(dbl("SELECT binomial_cdf(10, 0.5, 5)") - 0.623046875) < 1e-12)
+    assert(one("SELECT cauchy_cdf(0.0, 1.0, 0.0)") == 0.5)
+    assert(one("SELECT laplace_cdf(0.0, 1.0, 0.0)") == 0.5)
+    // chi²(1) CDF at 1 = P(|Z| < 1)
+    assert(math.abs(dbl("SELECT chi_squared_cdf(1.0, 1.0)") - 0.6826894921370859) < 1e-12)
+    // Poisson(1) CDF at 0 = e⁻¹; Exp(1) ≡ gamma(1,1) ≡ weibull(1,1) CDF at 1 = 1 − e⁻¹
+    assert(math.abs(dbl("SELECT poisson_cdf(1.0, 0)") - math.exp(-1)) < 1e-12)
+    assert(math.abs(dbl("SELECT gamma_cdf(1.0, 1.0, 1.0)") - (1 - math.exp(-1))) < 1e-12)
+    assert(math.abs(dbl("SELECT weibull_cdf(1.0, 1.0, 1.0)") - (1 - math.exp(-1))) < 1e-12)
+    // the Poisson(3) median is 3; quantile returns INTEGER like Trino
+    assert(one("SELECT inverse_poisson_cdf(3.0, 0.5)") == 3)
+  }
+
+  test("distribution CDF inverses round-trip and reject out-of-domain args") {
+    def dbl(sql: String): Double = one(sql).asInstanceOf[Double]
+    assert(math.abs(dbl("SELECT inverse_cauchy_cdf(1.0, 2.0, cauchy_cdf(1.0, 2.0, 3.0))") - 3.0) < 1e-9)
+    assert(math.abs(dbl("SELECT inverse_chi_squared_cdf(3.0, chi_squared_cdf(3.0, 2.0))") - 2.0) < 1e-6)
+    assert(math.abs(dbl("SELECT inverse_f_cdf(2.0, 5.0, f_cdf(2.0, 5.0, 3.0))") - 3.0) < 1e-6)
+    assert(math.abs(dbl("SELECT inverse_gamma_cdf(2.0, 2.0, gamma_cdf(2.0, 2.0, 3.0))") - 3.0) < 1e-6)
+    assert(math.abs(dbl("SELECT inverse_laplace_cdf(0.0, 1.0, laplace_cdf(0.0, 1.0, 0.7))") - 0.7) < 1e-9)
+    assert(math.abs(dbl("SELECT inverse_weibull_cdf(2.0, 3.0, weibull_cdf(2.0, 3.0, 1.5))") - 1.5) < 1e-9)
+    // out-of-domain arguments raise like Trino; null under try()
+    assert(one("SELECT try(chi_squared_cdf(-1.0, 1.0))") == null)
+    assert(one("SELECT try(binomial_cdf(0, 0.5, 1))") == null)
+    assert(one("SELECT try(inverse_poisson_cdf(2.0, 1.0))") == null)
+    assert(one("SELECT try(weibull_cdf(0.0, 1.0, 1.0))") == null)
+  }
+
   test("checksum is order-insensitive and duplicate-sensitive") {
     val a = one("SELECT checksum(x) FROM (VALUES 1, 2, 3) AS t(x)")
     val b = one("SELECT checksum(x) FROM (VALUES 3, 1, 2) AS t(x)")
