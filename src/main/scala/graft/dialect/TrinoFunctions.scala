@@ -876,6 +876,141 @@ object TrinoFunctions {
       case args => throw new IllegalArgumentException(
         s"array_has_duplicates expects 1 arg, got ${args.length}")
     },
+    // to_utf8 / from_utf8: UTF-8 byte bridges. from_utf8 REPLACES
+    // invalid sequences (with U+FFFD or the given single-char/empty
+    // replacement) like Trino — a StaticInvoke decode loop, because
+    // Spark's own decode() errors on malformed input under ANSI, which
+    // is not Trino's contract
+    "to_utf8" -> {
+      case Seq(s) =>
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          BinFuncs.getClass, org.apache.spark.sql.types.BinaryType, "toUtf8",
+          Seq(Cast(s, StringType)), Seq(StringType))
+      case args => throw new IllegalArgumentException(
+        s"to_utf8 expects 1 arg, got ${args.length}")
+    },
+    "from_utf8" -> {
+      case args if args.length == 1 || args.length == 2 =>
+        val repl = if (args.length == 2) Cast(args(1), StringType)
+                   else Literal("�")
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          BinFuncs.getClass, StringType, "fromUtf8",
+          Seq(Cast(args.head, org.apache.spark.sql.types.BinaryType), repl),
+          Seq(org.apache.spark.sql.types.BinaryType, StringType))
+      case args => throw new IllegalArgumentException(
+        s"from_utf8 expects (binary[, replacement]), got ${args.length} args")
+    },
+    // strrpos(s, sub): position of the LAST occurrence (1-based, 0 when
+    // absent) — instr on the reversed pair, re-based to the original
+    // string. Null-safe: a null input nulls the arithmetic
+    "strrpos" -> {
+      case Seq(s, sub) =>
+        val rp = StringInstr(new Reverse(s), new Reverse(sub))
+        Cast(If(EqualTo(rp, Literal(0)), Literal(0),
+          Subtract(Add(Subtract(Length(s), rp), Literal(2)), Length(sub))),
+          LongType)
+      case args => throw new IllegalArgumentException(
+        s"strrpos expects 2 args, got ${args.length}")
+    },
+    // json_size / is_json_scalar: Jackson walk via StaticInvoke (the
+    // mapper ships in Spark's classpath). Path subset: $, .name, [idx],
+    // ["name"] — the forms the reference's docs exercise. Invalid JSON
+    // raises like Trino (null under try()); missing path → NULL
+    "json_size" -> {
+      case Seq(j, p) =>
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          JsonFuncs.getClass, IntegerType, "jsonSize",
+          Seq(Cast(j, StringType), Cast(p, StringType)),
+          Seq(StringType, StringType))
+      case args => throw new IllegalArgumentException(
+        s"json_size expects (json, path), got ${args.length} args")
+    },
+    "is_json_scalar" -> {
+      case Seq(j) =>
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          JsonFuncs.getClass, org.apache.spark.sql.types.BooleanType,
+          "isJsonScalar", Seq(Cast(j, StringType)), Seq(StringType))
+      case args => throw new IllegalArgumentException(
+        s"is_json_scalar expects 1 arg, got ${args.length}")
+    },
+    // format_number(n): human-readable K/M/B/T/Q suffix form, 3
+    // significant digits like Trino (123456 → '123K', 1234 → '1.23K').
+    // The 2-arg form is Spark's own format_number(x, d) — delegate, or
+    // this override would break the engine's DataFrame-API calls
+    "format_number" -> {
+      case Seq(n) =>
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          BinFuncs.getClass, StringType, "formatNumber",
+          Seq(Cast(n, DoubleType)), Seq(DoubleType))
+      case Seq(x, d) => FormatNumber(x, d)
+      case args => throw new IllegalArgumentException(
+        s"format_number expects 1-2 args, got ${args.length}")
+    },
+    // map_top_n(m, n): keep the n entries with the largest values —
+    // swap entries to (value, key) structs, descending struct sort
+    // (value desc, key desc tiebreak; Trino leaves ties unspecified),
+    // slice, swap back. Pure codegen'd lambda composition
+    "map_top_n" -> {
+      case Seq(m, n) =>
+        import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+        val e = UnresolvedNamedLambdaVariable(Seq("e"))
+        val swapped = ArrayTransform(MapEntries(m), LambdaFunction(
+          CreateNamedStruct(Seq(
+            Literal("v"), UnresolvedExtractValue(e, Literal("value")),
+            Literal("k"), UnresolvedExtractValue(e, Literal("key")))), Seq(e)))
+        val top = Slice(new SortArray(swapped, Literal(false)), Literal(1), n)
+        val t = UnresolvedNamedLambdaVariable(Seq("t"))
+        MapFromEntries(ArrayTransform(top, LambdaFunction(
+          CreateNamedStruct(Seq(
+            Literal("key"), UnresolvedExtractValue(t, Literal("k")),
+            Literal("value"), UnresolvedExtractValue(t, Literal("v")))), Seq(t))))
+      case args => throw new IllegalArgumentException(
+        s"map_top_n expects (map, n), got ${args.length} args")
+    },
+    // map_top_n_keys / map_top_n_values: n largest keys / values
+    "map_top_n_keys" -> {
+      case Seq(m, n) =>
+        Slice(new SortArray(MapKeys(m), Literal(false)), Literal(1), n)
+      case args => throw new IllegalArgumentException(
+        s"map_top_n_keys expects (map, n), got ${args.length} args")
+    },
+    "map_top_n_values" -> {
+      case Seq(m, n) =>
+        Slice(new SortArray(MapValues(m), Literal(false)), Literal(1), n)
+      case args => throw new IllegalArgumentException(
+        s"map_top_n_values expects (map, n), got ${args.length} args")
+    },
+    // multimap_from_entries(arr): group the (k, v) structs by key into
+    // map<k, array<v>>. Positional field access (structs keep Trino's
+    // unnamed-row shape); O(distinct·n) per row — row-level arrays
+    "multimap_from_entries" -> {
+      case Seq(entries) =>
+        val e = UnresolvedNamedLambdaVariable(Seq("e"))
+        val e2 = UnresolvedNamedLambdaVariable(Seq("e2"))
+        val e3 = UnresolvedNamedLambdaVariable(Seq("e3"))
+        val k = UnresolvedNamedLambdaVariable(Seq("k"))
+        val keys = ArrayDistinct(ArrayTransform(entries,
+          LambdaFunction(GetStructField(e, 0), Seq(e))))
+        MapFromEntries(ArrayTransform(keys, LambdaFunction(
+          CreateNamedStruct(Seq(
+            Literal("key"), k,
+            Literal("value"), ArrayTransform(
+              ArrayFilter(entries, LambdaFunction(
+                EqualNullSafe(GetStructField(e2, 0), k), Seq(e2))),
+              LambdaFunction(GetStructField(e3, 1), Seq(e3))))),
+          Seq(k))))
+      case args => throw new IllegalArgumentException(
+        s"multimap_from_entries expects 1 arg, got ${args.length}")
+    },
+    // map_union(m): aggregate union of maps; first-seen value wins on
+    // key collision (Trino: unspecified which), keys sorted for
+    // deterministic output like the other map aggregates
+    "map_union" -> {
+      case Seq(m) =>
+        graft.functions.MapAggExprs.MapUnionAgg(m).toAggregateExpression()
+      case args => throw new IllegalArgumentException(
+        s"map_union expects 1 arg, got ${args.length}")
+    },
     // ngrams(arr, n): sliding subsequences, composed from codegen'd
     // slice over a sequence of start offsets
     "ngrams" -> {
@@ -1548,5 +1683,122 @@ object BinFuncs {
   def fromIeee754_64(b: Array[Byte]): Double = {
     require(b.length == 8, "expected 8-byte value")
     java.lang.Double.longBitsToDouble(ByteBuffer.wrap(b).getLong)
+  }
+
+  def toUtf8(s: UTF8String): Array[Byte] = s.getBytes
+
+  /** Incremental UTF-8 decode replacing each invalid sequence with
+    * `repl` (empty or one character, like Trino's from_utf8). Spark's
+    * own decode() raises on malformed bytes under ANSI — this is the
+    * Trino-semantics replacement loop. */
+  def fromUtf8(b: Array[Byte], repl: UTF8String): UTF8String = {
+    val r = repl.toString
+    require(r.isEmpty || r.codePointCount(0, r.length) == 1,
+      "replacement must be empty or a single character")
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    val in = ByteBuffer.wrap(b)
+    val out = new java.lang.StringBuilder(b.length)
+    val buf = java.nio.CharBuffer.allocate(1024)
+    var done = false
+    while (!done) {
+      val res = dec.decode(in, buf, true)
+      buf.flip(); out.append(buf); buf.clear()
+      if (res.isError) { in.position(in.position() + res.length); out.append(r) }
+      else if (res.isUnderflow) done = true
+      // overflow: loop again with the drained buffer
+    }
+    UTF8String.fromString(out.toString)
+  }
+
+  /** Trino format_number: K/M/B/T/Q unit suffix, 3 significant digits
+    * (123456 → "123K", 1234 → "1.23K"), trailing zeros stripped. */
+  def formatNumber(v: Double): UTF8String = {
+    val av = math.abs(v)
+    val (scaled, unit) =
+      if (av >= 1e15) (v / 1e15, "Q")
+      else if (av >= 1e12) (v / 1e12, "T")
+      else if (av >= 1e9) (v / 1e9, "B")
+      else if (av >= 1e6) (v / 1e6, "M")
+      else if (av >= 1e3) (v / 1e3, "K")
+      else (v, "")
+    val as = math.abs(scaled)
+    val decimals = if (as < 10) 2 else if (as < 100) 1 else 0
+    val bd = java.math.BigDecimal.valueOf(scaled)
+      .setScale(decimals, java.math.RoundingMode.HALF_UP)
+      .stripTrailingZeros()
+    // stripTrailingZeros can flip to scientific notation (1E+3);
+    // toPlainString keeps the fixed form
+    UTF8String.fromString(bd.toPlainString + unit)
+  }
+}
+
+/** Jackson-backed JSON inspectors behind json_size / is_json_scalar
+  * (StaticInvoke targets; jackson-databind ships in Spark's own
+  * classpath). Path subset: `$`, `.name`, `[idx]`, `["name"]`. Invalid
+  * JSON or malformed path raises IllegalArgumentException like Trino's
+  * errors (NULL under try()); a path that falls off the document
+  * returns NULL. */
+object JsonFuncs {
+  import com.fasterxml.jackson.databind.{DeserializationFeature, JsonNode, ObjectMapper}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val mapper = new ObjectMapper()
+    .enable(DeserializationFeature.FAIL_ON_TRAILING_TOKENS)
+
+  private def parse(j: UTF8String): JsonNode = {
+    val node = try mapper.readTree(j.toString) catch {
+      case e: Exception =>
+        throw new IllegalArgumentException(s"invalid JSON: ${e.getMessage}")
+    }
+    if (node == null || node.isMissingNode)
+      throw new IllegalArgumentException("invalid JSON: empty input")
+    node
+  }
+
+  def jsonSize(j: UTF8String, p: UTF8String): java.lang.Integer = {
+    val node = walk(parse(j), p.toString)
+    if (node == null) null
+    else if (node.isContainerNode) Integer.valueOf(node.size())
+    else Integer.valueOf(0)
+  }
+
+  def isJsonScalar(j: UTF8String): Boolean = parse(j).isValueNode
+
+  private def walk(root: JsonNode, path: String): JsonNode = {
+    require(path.nonEmpty && path.charAt(0) == '$',
+      s"json path must start with '$$': $path")
+    var cur = root
+    var i = 1
+    while (i < path.length && cur != null) {
+      path.charAt(i) match {
+        case '.' =>
+          val start = i + 1
+          var j = start
+          while (j < path.length && path.charAt(j) != '.' && path.charAt(j) != '[') j += 1
+          require(j > start, s"empty field name in json path: $path")
+          cur = if (cur.isObject) cur.get(path.substring(start, j)) else null
+          i = j
+        case '[' =>
+          val end = path.indexOf(']', i)
+          require(end > i + 1, s"unclosed or empty '[' in json path: $path")
+          val tok = path.substring(i + 1, end).trim
+          if ((tok.startsWith("\"") && tok.endsWith("\"") && tok.length >= 2) ||
+              (tok.startsWith("'") && tok.endsWith("'") && tok.length >= 2)) {
+            cur = if (cur.isObject) cur.get(tok.substring(1, tok.length - 1)) else null
+          } else {
+            val idx = try tok.toInt catch {
+              case _: NumberFormatException => throw new IllegalArgumentException(
+                s"invalid array index in json path: $tok")
+            }
+            cur = if (cur.isArray) cur.get(idx) else null
+          }
+          i = end + 1
+        case c => throw new IllegalArgumentException(
+          s"unsupported json path syntax at '$c': $path")
+      }
+    }
+    cur
   }
 }

@@ -151,4 +151,66 @@ object MapAggExprs {
     override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): MultimapAgg =
       copy(left = newLeft, right = newRight)
   }
+
+  /** `map_union(m)` → MAP(K, V): union of the input maps; the
+    * FIRST-seen value wins on key collision (Trino leaves the winner
+    * unspecified — first-seen is deterministic per partition order;
+    * output keys sorted like the other map aggregates). NULL maps
+    * skipped; NULL values kept. */
+  case class MapUnionAgg(child: Expression,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[mutable.LinkedHashMap[Any, Any]]
+      with UnaryLike[Expression] {
+    override def prettyName: String = "map_union"
+    override def dataType: DataType = child.dataType
+    override def nullable: Boolean = false
+
+    private lazy val mapType = child.dataType.asInstanceOf[MapType]
+
+    override def createAggregationBuffer(): mutable.LinkedHashMap[Any, Any] =
+      mutable.LinkedHashMap.empty
+
+    override def update(buf: mutable.LinkedHashMap[Any, Any], input: InternalRow): mutable.LinkedHashMap[Any, Any] = {
+      val m = child.eval(input)
+      if (m != null) {
+        val md = m.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+        val keys = md.keyArray()
+        val vals = md.valueArray()
+        var i = 0
+        while (i < md.numElements()) {
+          val k = InternalRow.copyValue(keys.get(i, mapType.keyType))
+          if (!buf.contains(k)) {
+            val v = if (vals.isNullAt(i)) null
+                    else InternalRow.copyValue(vals.get(i, mapType.valueType))
+            buf.update(k, v)
+          }
+          i += 1
+        }
+      }
+      buf
+    }
+
+    override def merge(buf: mutable.LinkedHashMap[Any, Any], other: mutable.LinkedHashMap[Any, Any]): mutable.LinkedHashMap[Any, Any] = {
+      other.foreach { case (k, v) => if (!buf.contains(k)) buf.update(k, v) }
+      buf
+    }
+
+    override def eval(buf: mutable.LinkedHashMap[Any, Any]): Any = {
+      val keys = sortedKeys(buf.keys)
+      new ArrayBasedMapData(
+        new GenericArrayData(keys),
+        new GenericArrayData(keys.map(buf(_))))
+    }
+
+    override def serialize(buf: mutable.LinkedHashMap[Any, Any]): Array[Byte] = ser(buf)
+    override def deserialize(bytes: Array[Byte]): mutable.LinkedHashMap[Any, Any] =
+      deser(bytes)
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): MapUnionAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): MapUnionAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildInternal(newChild: Expression): MapUnionAgg =
+      copy(child = newChild)
+  }
 }

@@ -705,6 +705,88 @@ class TrinoFunctionsSpec extends SparkSpec {
     assert(one("SELECT current_timezone()") == "UTC")
   }
 
+  test("to_utf8 / from_utf8 round-trip and replace invalid sequences") {
+    assert(one("SELECT to_hex(to_utf8('abc'))") == "616263")
+    assert(one("SELECT from_utf8(to_utf8('héllo'))") == "héllo")
+    // 0xFF is never valid UTF-8 → replaced with U+FFFD by default
+    assert(one("SELECT from_utf8(from_hex('61FF62'))") == "a�b")
+    // custom replacement: single char or empty
+    assert(one("SELECT from_utf8(from_hex('61FF62'), '?')") == "a?b")
+    assert(one("SELECT from_utf8(from_hex('61FF62'), '')") == "ab")
+    // truncated multi-byte tail is also invalid
+    assert(one("SELECT from_utf8(from_hex('61C3'), '?')") == "a?")
+    // multi-char replacement rejected like Trino; null under try()
+    assert(one("SELECT try(from_utf8(from_hex('FF'), 'xy'))") == null)
+  }
+
+  test("strrpos finds the last occurrence") {
+    assert(one("SELECT strrpos('abcabc', 'bc')") == 5L)
+    assert(one("SELECT strrpos('abcabc', 'd')") == 0L)
+    assert(one("SELECT strrpos('abc', 'abc')") == 1L)
+    assert(one("SELECT strrpos(NULL, 'a')") == null)
+  }
+
+  test("json_size and is_json_scalar") {
+    assert(one("""SELECT json_size('{"x":{"a":1,"b":2}}', '$.x')""") == 2)
+    assert(one("""SELECT json_size('{"x":[1,2,3]}', '$.x')""") == 3)
+    assert(one("""SELECT json_size('{"x":{"a":[1,2]}}', '$.x.a')""") == 2)
+    assert(one("""SELECT json_size('{"x":1}', '$.x')""") == 0)
+    assert(one("""SELECT json_size('[[1,2],[3]]', '$[0]')""") == 2)
+    assert(one("""SELECT json_size('{"a b":[1]}', '$["a b"]')""") == 1)
+    // missing path → NULL; invalid JSON raises (null under try())
+    assert(one("""SELECT json_size('{"x":1}', '$.y')""") == null)
+    assert(one("""SELECT try(json_size('not json', '$'))""") == null)
+    assert(one("SELECT is_json_scalar('1')") == true)
+    assert(one("SELECT is_json_scalar('\"abc\"')") == true)
+    assert(one("SELECT is_json_scalar('null')") == true)
+    assert(one("SELECT is_json_scalar('[1,2]')") == false)
+    assert(one("""SELECT is_json_scalar('{"a":1}')""") == false)
+    assert(one("SELECT try(is_json_scalar('not json'))") == null)
+  }
+
+  test("format_number uses K/M/B/T/Q suffixes with 3 significant digits") {
+    assert(one("SELECT format_number(123456)") == "123K")
+    assert(one("SELECT format_number(1000000)") == "1M")
+    assert(one("SELECT format_number(1234)") == "1.23K")
+    assert(one("SELECT format_number(12345)") == "12.3K")
+    assert(one("SELECT format_number(999)") == "999")
+    assert(one("SELECT format_number(-1234567890)") == "-1.23B")
+    assert(one("SELECT format_number(2500000000000000)") == "2.5Q")
+    // the 2-arg form stays Spark's own format_number(x, d)
+    assert(one("SELECT format_number(1234.5678, 2)") == "1,234.57")
+  }
+
+  test("map_top_n family keeps the n largest entries") {
+    val m = "map_from_entries(array(struct('a', 1), struct('b', 3), struct('c', 2)))"
+    assert(one(s"SELECT map_entries(map_top_n($m, 2))")
+      .asInstanceOf[scala.collection.Seq[_]].map(_.toString).sorted
+      == Seq("[b,3]", "[c,2]"))
+    assert(one(s"SELECT map_top_n_keys($m, 2)")
+      .asInstanceOf[scala.collection.Seq[_]] == Seq("c", "b"))
+    assert(one(s"SELECT map_top_n_values($m, 2)")
+      .asInstanceOf[scala.collection.Seq[_]] == Seq(3, 2))
+    // n beyond size keeps everything
+    assert(one(s"SELECT cardinality(map_top_n($m, 10))") == 3)
+  }
+
+  test("multimap_from_entries groups values per key") {
+    val r = one("SELECT multimap_from_entries(array(struct('k1', 1), struct('k2', 2), struct('k1', 3)))")
+      .asInstanceOf[Map[String, Any]]
+    assert(r("k1") == Seq(1, 3))
+    assert(r("k2") == Seq(2))
+  }
+
+  test("map_union merges maps across rows") {
+    val r = one("""SELECT map_union(m) FROM (
+      SELECT map_from_entries(array(struct('a', 1), struct('b', 2))) AS m
+      UNION ALL
+      SELECT map_from_entries(array(struct('b', 9), struct('c', 3))) AS m)""")
+      .asInstanceOf[Map[String, Any]]
+    assert(r.keys.toSeq.sortBy(_.toString) == Seq("a", "b", "c"))
+    assert(r("a") == 1 && r("c") == 3)
+    assert(r("b") == 2 || r("b") == 9) // collision winner: first-seen
+  }
+
   test("distribution CDF family matches closed-form values") {
     def dbl(sql: String): Double = one(sql).asInstanceOf[Double]
     // binomial_cdf(10, 0.5, 5) = 638/1024 (computed via the regularized
