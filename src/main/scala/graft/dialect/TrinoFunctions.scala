@@ -1002,6 +1002,39 @@ object TrinoFunctions {
       case args => throw new IllegalArgumentException(
         s"multimap_from_entries expects 1 arg, got ${args.length}")
     },
+    // trino_xxhash64: Trino's xxhash64(varbinary) → 8-byte VARBINARY of
+    // the STANDARD seed-0 XXH64 (Spark's same-name builtin is a seed-42
+    // BIGINT multi-arg hash — the preprocess rename scopes Trino
+    // semantics to the guarded execute_query surface, like trino_split).
+    // Spark's XXH64 kernel is the reference algorithm, so seed 0 over
+    // the raw bytes reproduces Trino's value bit-exactly (vector-pinned)
+    "trino_xxhash64" -> {
+      case Seq(b) =>
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          BinFuncs.getClass, org.apache.spark.sql.types.BinaryType,
+          "toBigEndian64",
+          Seq(XxHash64(Seq(Cast(b, org.apache.spark.sql.types.BinaryType)), 0L)),
+          Seq(LongType))
+      case args => throw new IllegalArgumentException(
+        s"xxhash64 expects 1 arg, got ${args.length}")
+    },
+    // reduce_agg(x, init, inputFn, combineFn): fold the group through
+    // the input lambda over the collected values (NULL xs skipped, like
+    // Trino's aggregate-input rule; element order unspecified in both
+    // engines). The combine lambda exists for distributed partials,
+    // which a single fold never needs. SCALE NOTE: materializes each
+    // GROUP as an array — fine for grouped aggregation, don't use as a
+    // corpus-wide global aggregate
+    "reduce_agg" -> {
+      case Seq(x, init, inputFn: LambdaFunction, _: LambdaFunction) =>
+        ArrayAggregate(
+          new org.apache.spark.sql.catalyst.expressions.aggregate.CollectList(x)
+            .toAggregateExpression(),
+          init, inputFn,
+          LambdaFunction.identity)
+      case args => throw new IllegalArgumentException(
+        s"reduce_agg expects (x, initial, input_fn, combine_fn), got ${args.length} args")
+    },
     // map_union(m): aggregate union of maps; first-seen value wins on
     // key collision (Trino: unspecified which), keys sorted for
     // deterministic output like the other map aggregates
@@ -1287,11 +1320,14 @@ object TrinoFunctions {
   private val normalizeFormPattern = java.util.regex.Pattern.compile(
     "(?i)\\b(normalize\\s*\\(\\s*[^()]*(?:\\([^()]*\\)[^()]*)*,\\s*)(NFC|NFD|NFKC|NFKD)(\\s*\\))")
 
-  // `split(` → `trino_split(` on the guarded surface (see the
-  // trino_split shim). Negative lookbehind keeps split_part /
-  // regexp_split / trino_split itself untouched.
+  // Divergent-semantics builtins renamed to their trino_* shims on the
+  // guarded surface only: `split(` → `trino_split(` (delimiter is a
+  // literal string in Trino, a regex in Spark) and `xxhash64(` →
+  // `trino_xxhash64(` (Trino: 8-byte VARBINARY of standard seed-0
+  // XXH64; Spark: seed-42 BIGINT). Negative lookbehind keeps
+  // split_part / regexp_split / the trino_* names themselves untouched.
   private val splitCallPattern = java.util.regex.Pattern.compile(
-    "(?i)(?<![A-Za-z0-9_])split(\\s*\\()")
+    "(?i)(?<![A-Za-z0-9_])(split|xxhash64)(\\s*\\()")
 
   def preprocess(sql: String): String = {
     val masked = maskedRegions(sql)
@@ -1345,7 +1381,7 @@ object TrinoFunctions {
     while (sm.find()) {
       if (!smasked(sm.start)) {
         ssb.append(afterNormalize.substring(slast, sm.start))
-        ssb.append("trino_split").append(sm.group(1))
+        ssb.append("trino_").append(sm.group(1).toLowerCase).append(sm.group(2))
         slast = sm.end
       }
     }

@@ -231,7 +231,10 @@ class TrinoFunctionsSpec extends SparkSpec {
 
   test("native extension functions callable from SQL") {
     assert(one("SELECT size(minhash_sig(array(CAST(1 AS BIGINT), CAST(2 AS BIGINT)), 16))") == 16)
-    assert(one("SELECT simhash64(array(xxhash64('a'), xxhash64('b')))").isInstanceOf[Long])
+    // xxhash64 carries Trino semantics (8-byte VARBINARY) on this
+    // surface — bridge back to BIGINT for the graft-native simhash64
+    assert(one("SELECT simhash64(array(from_big_endian_64(xxhash64('a')), " +
+      "from_big_endian_64(xxhash64('b'))))").isInstanceOf[Long])
     assert(one("SELECT sorted_intersect_count(array(1L, 2L, 5L), array(2L, 3L, 5L))") == 2)
     assert(one("SELECT dotf(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
       "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))") == 11.0)
@@ -774,6 +777,22 @@ class TrinoFunctionsSpec extends SparkSpec {
       .asInstanceOf[Map[String, Any]]
     assert(r("k1") == Seq(1, 3))
     assert(r("k2") == Seq(2))
+  }
+
+  test("xxhash64 returns the standard seed-0 XXH64 as 8-byte varbinary") {
+    // reference vectors: XXH64('') = EF46DB3751D8E999, XXH64('abc') = 44BC2CF5AD770999
+    assert(one("SELECT to_hex(xxhash64(to_utf8('')))") == "EF46DB3751D8E999")
+    assert(one("SELECT to_hex(xxhash64(to_utf8('abc')))") == "44BC2CF5AD770999")
+  }
+
+  test("reduce_agg folds groups through the input lambda") {
+    assert(one("""SELECT reduce_agg(x, 0, (s, v) -> s + v, (a, b) -> a + b)
+      FROM (VALUES 1, 2, 3, 4) AS t(x)""") == 10)
+    assert(one("""SELECT reduce_agg(x, 1, (s, v) -> s * v, (a, b) -> a * b)
+      FROM (VALUES 2, 3, 4) AS t(x)""") == 24)
+    // NULL inputs are skipped like any aggregate input
+    assert(one("""SELECT reduce_agg(x, 0, (s, v) -> s + v, (a, b) -> a + b)
+      FROM (VALUES 1, NULL, 3) AS t(x)""") == 4)
   }
 
   test("map_union merges maps across rows") {
