@@ -1002,6 +1002,23 @@ object TrinoFunctions {
       case args => throw new IllegalArgumentException(
         s"multimap_from_entries expects 1 arg, got ${args.length}")
     },
+    // word_stem(w[, lang]): Snowball english (Porter2) stemmer — the
+    // algorithm Trino's word_stem runs for 'en' (functions/Porter2.scala,
+    // vector-pinned). Input lowercased; only 'en' supported, other
+    // language codes raise (null under try())
+    "word_stem" -> {
+      case Seq(s) =>
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          graft.functions.Porter2.getClass, StringType, "stemUtf8",
+          Seq(Cast(s, StringType)), Seq(StringType))
+      case Seq(s, lang) =>
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          graft.functions.Porter2.getClass, StringType, "stemLang",
+          Seq(Cast(s, StringType), Cast(lang, StringType)),
+          Seq(StringType, StringType))
+      case args => throw new IllegalArgumentException(
+        s"word_stem expects (word[, language]), got ${args.length} args")
+    },
     // trino_xxhash64: Trino's xxhash64(varbinary) → 8-byte VARBINARY of
     // the STANDARD seed-0 XXH64 (Spark's same-name builtin is a seed-42
     // BIGINT multi-arg hash — the preprocess rename scopes Trino

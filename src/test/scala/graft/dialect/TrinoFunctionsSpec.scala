@@ -779,6 +779,42 @@ class TrinoFunctionsSpec extends SparkSpec {
     assert(r("k2") == Seq(2))
   }
 
+  test("word_stem applies the Snowball english algorithm") {
+    val vectors = Map(
+      // step 1a/1b families
+      "running" -> "run", "hopping" -> "hop", "hoping" -> "hope",
+      // agreed: 1b eed→ee gives agree, then step 5 drops the e (in R1,
+      // "agre" ends in a vowel so no short-syllable guard) — Snowball
+      // demo output is "agre", not "agree"
+      "meeting" -> "meet", "meetings" -> "meet", "agreed" -> "agre",
+      "feed" -> "feed", "caresses" -> "caress", "ties" -> "tie",
+      "cries" -> "cri", "gaps" -> "gap", "gas" -> "gas",
+      // y → i
+      "happy" -> "happi", "cry" -> "cri", "by" -> "by", "say" -> "say",
+      // exceptional forms and invariants
+      "dying" -> "die", "lying" -> "lie", "news" -> "news",
+      "sky" -> "sky", "skies" -> "sky", "early" -> "earli",
+      "proceed" -> "proceed",
+      // derivational suffix chains (steps 2-5)
+      "national" -> "nation", "rational" -> "ration",
+      "conditional" -> "condit", "electricity" -> "electr",
+      "generate" -> "generat", "generous" -> "generous",
+      "hopefulness" -> "hope", "sensational" -> "sensat")
+    vectors.foreach { case (in, out) =>
+      assert(one(s"SELECT word_stem('$in')") == out, s"word_stem($in)")
+    }
+    // explicit language arg: en works, others raise (null under try())
+    assert(one("SELECT word_stem('running', 'en')") == "run")
+    assert(one("SELECT try(word_stem('laufen', 'de'))") == null)
+  }
+
+  test("listagg WITHIN GROUP parses natively (no shim needed)") {
+    assert(one("SELECT listagg(x, ',') WITHIN GROUP (ORDER BY x) " +
+      "FROM (VALUES ('b'), ('a'), ('c')) AS t(x)") == "a,b,c")
+    assert(one("SELECT listagg(DISTINCT x, ',') WITHIN GROUP (ORDER BY x) " +
+      "FROM (VALUES ('b'), ('a'), ('b')) AS t(x)") == "a,b")
+  }
+
   test("xxhash64 returns the standard seed-0 XXH64 as 8-byte varbinary") {
     // reference vectors: XXH64('') = EF46DB3751D8E999, XXH64('abc') = 44BC2CF5AD770999
     assert(one("SELECT to_hex(xxhash64(to_utf8('')))") == "EF46DB3751D8E999")
