@@ -648,6 +648,56 @@ object TrinoFunctions {
       case args => throw new IllegalArgumentException(
         s"split_to_map expects 3 args, got ${args.length}")
     },
+    // split_to_multimap keeps every value for a repeated key (Trino's
+    // map<varchar, array<varchar>> shape) — StaticInvoke into the
+    // literal-delimiter split loop, because StringToMap drops repeats
+    "split_to_multimap" -> {
+      case Seq(s, ed, kd) =>
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          BinFuncs.getClass,
+          org.apache.spark.sql.types.MapType(StringType,
+            org.apache.spark.sql.types.ArrayType(StringType, containsNull = false),
+            valueContainsNull = false),
+          "splitToMultimap",
+          Seq(Cast(s, StringType), Cast(ed, StringType), Cast(kd, StringType)),
+          Seq(StringType, StringType, StringType))
+      case args => throw new IllegalArgumentException(
+        s"split_to_multimap expects 3 args, got ${args.length}")
+    },
+    // at_timezone / with_timezone: graft sessions pin the session zone
+    // to UTC (DIALECT.md), so Trino's at_timezone — same instant,
+    // rendered in zone — maps to from_utc_timestamp (instant → zone
+    // wall-clock), and with_timezone — zone wall-clock → instant — to
+    // to_utc_timestamp.
+    "at_timezone" -> {
+      case Seq(ts, z) => FromUTCTimestamp(Cast(ts, TimestampType), z)
+      case args => throw new IllegalArgumentException(
+        s"at_timezone expects (timestamp, zone), got ${args.length} args")
+    },
+    "with_timezone" -> {
+      case Seq(ts, z) => ToUTCTimestamp(Cast(ts, TimestampType), z)
+      case args => throw new IllegalArgumentException(
+        s"with_timezone expects (timestamp, zone), got ${args.length} args")
+    },
+    "parse_data_size" -> {
+      case Seq(s) =>
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          BinFuncs.getClass, DecimalType(38, 0), "parseDataSize",
+          Seq(Cast(s, StringType)), Seq(StringType))
+      case args => throw new IllegalArgumentException(
+        s"parse_data_size expects 1 arg, got ${args.length}")
+    },
+    // murmur3(varbinary) → 16-byte MurmurHash3 x64 128 (seed 0)
+    "murmur3" -> binFn1("murmur3", "murmur3",
+      org.apache.spark.sql.types.BinaryType, org.apache.spark.sql.types.BinaryType),
+    "inverse_binomial_cdf" ->
+      statFnN("inverseBinomialCdf", "inverse_binomial_cdf", 3, IntegerType),
+    // combinations(arr, n): n-element subsequences, n ≤ 5 like Trino
+    "combinations" -> {
+      case Seq(a, n) => graft.functions.NativeExprs.Combinations(a, n)
+      case args => throw new IllegalArgumentException(
+        s"combinations expects (array, n), got ${args.length} args")
+    },
     // format('%s…', args…) — Trino and Spark both use java.util.Formatter
     "format" -> {
       case args if args.nonEmpty => FormatString(args: _*)
@@ -1505,6 +1555,35 @@ object TrinoFunctions {
         case args => throw new IllegalArgumentException(
           s"qdigest_agg expects 1 arg (weights/accuracy unsupported), got ${args.length}")
       },
+      // tdigest_agg: same KLL store as qdigest_agg (DIALECT.md — the
+      // engine's one mergeable quantile sketch answers both Trino
+      // digest surfaces; value_at_quantile & co. read either)
+      "tdigest_agg" -> {
+        case Seq(x) => graft.functions.KllExprs.KllSketchAgg(x, 200)
+        case args => throw new IllegalArgumentException(
+          s"tdigest_agg expects 1 arg (weights unsupported), got ${args.length}")
+      },
+      "values_at_quantiles" -> {
+        case Seq(sk, qs) => graft.functions.KllExprs.KllQuantiles(sk, qs)
+        case args => throw new IllegalArgumentException(
+          s"values_at_quantiles expects (qdigest, array<double>), got ${args.length} args")
+      },
+      "quantile_at_value" -> {
+        case Seq(sk, v) => graft.functions.KllExprs.KllRank(sk, v)
+        case args => throw new IllegalArgumentException(
+          s"quantile_at_value expects (qdigest, value), got ${args.length} args")
+      },
+      // numeric_histogram(buckets, x[, w]) — streaming Ben-Haim &
+      // Yom-Tov bins (functions/HistogramExprs.scala), Trino's own
+      // algorithm; bucket count must be a literal
+      "numeric_histogram" -> {
+        case Seq(b, x) => graft.functions.HistogramExprs.NumericHistogramAgg(
+          x, Literal(1.0), litInt(b, "buckets"))
+        case Seq(b, x, w) => graft.functions.HistogramExprs.NumericHistogramAgg(
+          x, w, litInt(b, "buckets"))
+        case args => throw new IllegalArgumentException(
+          s"numeric_histogram expects (buckets, value[, weight]), got ${args.length} args")
+      },
       "merge" -> {
         case Seq(sk) => graft.functions.KllExprs.KllUnionAgg(sk, 200)
         case args => throw new IllegalArgumentException(
@@ -1693,6 +1772,13 @@ object StatFuncs {
     require(p >= 0 && p <= 1, "p must be in the interval [0, 1]")
     new WeibullDistribution(a, b).inverseCumulativeProbability(p)
   }
+
+  def inverseBinomialCdf(trials: Double, sp: Double, p: Double): Int = {
+    require(sp >= 0 && sp <= 1, "successProbability must be in the interval [0, 1]")
+    require(p >= 0 && p <= 1, "p must be in the interval [0, 1]")
+    require(trials > 0, "numberOfTrials must be greater than 0")
+    new BinomialDistribution(null, trials.toInt, sp).inverseCumulativeProbability(p)
+  }
 }
 
 /** Static byte-level helpers behind the binary dialect functions
@@ -1784,6 +1870,106 @@ object BinFuncs {
     // stripTrailingZeros can flip to scientific notation (1E+3);
     // toPlainString keeps the fixed form
     UTF8String.fromString(bd.toPlainString + unit)
+  }
+
+  private val DataSizePattern = "^\\s*(\\d+(?:\\.\\d+)?)\\s*([a-zA-Z]+)\\s*$".r
+  private val DataSizeUnits = // SI-looking names, binary (1024^n) multipliers, like Trino
+    Seq("B", "kB", "MB", "GB", "TB", "PB", "EB", "ZB", "YB").zipWithIndex.toMap
+
+  /** Trino parse_data_size: '2.3MB' → floor(2.3 × 1024²) = 2411724,
+    * as DECIMAL(38, 0). Unit names are case-sensitive. */
+  def parseDataSize(s: UTF8String): Decimal = {
+    val (num, unitName) = s.toString match {
+      case DataSizePattern(n, u) => (n, u)
+      case other => throw new IllegalArgumentException(s"Invalid data size: '$other'")
+    }
+    val exp = DataSizeUnits.getOrElse(unitName,
+      throw new IllegalArgumentException(s"Invalid data size: '${s.toString}'"))
+    val bytes = (BigDecimal(num) * BigDecimal(2).pow(10 * exp))
+      .setScale(0, BigDecimal.RoundingMode.FLOOR)
+    Decimal(bytes, 38, 0)
+  }
+
+  private def fmix64(k0: Long): Long = {
+    var k = k0
+    k ^= k >>> 33
+    k *= 0xff51afd7ed558ccdL
+    k ^= k >>> 33
+    k *= 0xc4ceb9fe1a85ec53L
+    k ^= k >>> 33
+    k
+  }
+
+  /** MurmurHash3 x64 128 with seed 0 — Trino's murmur3(varbinary) →
+    * 16-byte varbinary, h1 then h2, little-endian, per the public
+    * reference algorithm (Appleby's MurmurHash3.cpp). Differentially
+    * tested against Guava's murmur3_128 (TrinoFunctionsSpec). */
+  def murmur3(data: Array[Byte]): Array[Byte] = {
+    val c1 = 0x87c37b91114253d5L
+    val c2 = 0x4cf5ad432745937fL
+    val len = data.length
+    val nblocks = len >>> 4
+    var h1 = 0L
+    var h2 = 0L
+    val bb = ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < nblocks) {
+      var k1 = bb.getLong(i << 4)
+      var k2 = bb.getLong((i << 4) + 8)
+      k1 *= c1; k1 = java.lang.Long.rotateLeft(k1, 31); k1 *= c2; h1 ^= k1
+      h1 = java.lang.Long.rotateLeft(h1, 27); h1 += h2; h1 = h1 * 5 + 0x52dce729L
+      k2 *= c2; k2 = java.lang.Long.rotateLeft(k2, 33); k2 *= c1; h2 ^= k2
+      h2 = java.lang.Long.rotateLeft(h2, 31); h2 += h1; h2 = h2 * 5 + 0x38495ab5L
+      i += 1
+    }
+    val tail = nblocks << 4
+    var k1 = 0L
+    var k2 = 0L
+    var r = len & 15
+    while (r > 8) { k2 ^= (data(tail + r - 1) & 0xffL) << ((r - 9) << 3); r -= 1 }
+    if ((len & 15) > 8) {
+      k2 *= c2; k2 = java.lang.Long.rotateLeft(k2, 33); k2 *= c1; h2 ^= k2
+    }
+    while (r > 0) { k1 ^= (data(tail + r - 1) & 0xffL) << ((r - 1) << 3); r -= 1 }
+    if ((len & 15) > 0) {
+      k1 *= c1; k1 = java.lang.Long.rotateLeft(k1, 31); k1 *= c2; h1 ^= k1
+    }
+    h1 ^= len; h2 ^= len
+    h1 += h2; h2 += h1
+    h1 = fmix64(h1); h2 = fmix64(h2)
+    h1 += h2; h2 += h1
+    ByteBuffer.allocate(16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putLong(h1).putLong(h2).array()
+  }
+
+  /** Trino split_to_multimap: entries split on entryDelim, each split
+    * once on kvDelim (which must appear exactly once per entry);
+    * repeated keys accumulate → map<string, array<string>> in first-
+    * appearance key order. */
+  def splitToMultimap(s: UTF8String, entryDelim: UTF8String,
+      kvDelim: UTF8String): org.apache.spark.sql.catalyst.util.MapData = {
+    val ed = entryDelim.toString
+    val kd = kvDelim.toString
+    require(ed.nonEmpty, "entryDelimiter is empty")
+    require(kd.nonEmpty, "keyValueDelimiter is empty")
+    require(ed != kd, "entryDelimiter and keyValueDelimiter must not be the same")
+    val keys = scala.collection.mutable.ArrayBuffer.empty[String]
+    val values = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[Any]]
+    s.toString.split(java.util.regex.Pattern.quote(ed), -1).foreach { entry =>
+      val at = entry.indexOf(kd)
+      require(at >= 0 && entry.indexOf(kd, at + kd.length) < 0,
+        s"Key-value delimiter must appear exactly once in each entry: '$entry'")
+      val k = entry.substring(0, at)
+      if (!values.contains(k)) { keys += k; values(k) = scala.collection.mutable.ArrayBuffer.empty }
+      values(k) += UTF8String.fromString(entry.substring(at + kd.length))
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        keys.map(UTF8String.fromString(_): Any).toArray),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        keys.map(k => new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          values(k).toArray): Any).toArray))
   }
 }
 

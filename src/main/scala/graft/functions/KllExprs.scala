@@ -122,6 +122,8 @@ object KllExprs {
     override def dataType: DataType = DoubleType
     override def declaredInputTypes: Seq[DataType] = Seq(BinaryType, DoubleType)
     override def prettyName: String = "kll_quantile"
+    // an empty sketch yields NULL even when both inputs are non-nullable
+    override def nullable: Boolean = true
 
     protected override def nullSafeEval(sk: Any, q: Any): Any = {
       val sketch = KllDoublesSketch.heapify(Memory.wrap(sk.asInstanceOf[Array[Byte]]))
@@ -130,6 +132,54 @@ object KllExprs {
 
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): KllQuantile =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** `values_at_quantiles(sk, array<double>)`: one sketch heapify, many
+    * quantile reads (Trino's qdigest batch accessor). */
+  case class KllQuantiles(left: Expression, right: Expression)
+      extends BinaryExpression with DeclaredInputTypes with CodegenFallback {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+    override def declaredInputTypes: Seq[DataType] =
+      Seq(BinaryType, org.apache.spark.sql.types.ArrayType(DoubleType))
+    override def prettyName: String = "values_at_quantiles"
+    // an empty sketch yields NULL even when both inputs are non-nullable
+    override def nullable: Boolean = true
+
+    protected override def nullSafeEval(sk: Any, qs: Any): Any = {
+      val sketch = KllDoublesSketch.heapify(Memory.wrap(sk.asInstanceOf[Array[Byte]]))
+      if (sketch.isEmpty) null
+      else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        qs.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toDoubleArray().map(q => sketch.getQuantile(q): Any))
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): KllQuantiles =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** `quantile_at_value(sk, v)`: normalized rank of v in [0, 1]; NULL
+    * for an empty sketch or a value outside the sketch's [min, max]
+    * domain, matching Trino's out-of-range NULL. */
+  case class KllRank(left: Expression, right: Expression)
+      extends BinaryExpression with DeclaredInputTypes with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def declaredInputTypes: Seq[DataType] = Seq(BinaryType, DoubleType)
+    override def prettyName: String = "quantile_at_value"
+    // empty sketch or out-of-domain value yields NULL regardless of inputs
+    override def nullable: Boolean = true
+
+    protected override def nullSafeEval(sk: Any, v: Any): Any = {
+      val sketch = KllDoublesSketch.heapify(Memory.wrap(sk.asInstanceOf[Array[Byte]]))
+      val x = v.asInstanceOf[Double]
+      if (sketch.isEmpty || x < sketch.getMinItem || x > sketch.getMaxItem) null
+      else sketch.getRank(x)
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): KllRank =
       copy(left = newLeft, right = newRight)
   }
 

@@ -773,4 +773,61 @@ object NativeExprs {
     override protected def withNewChildInternal(newChild: Expression): NormalizeStr =
       copy(child = newChild)
   }
+
+  /** Trino `combinations(array(T), n)`: all n-element subsequences in
+    * index order, n capped at 5 exactly like Trino (output size is
+    * C(len, n) — the cap is what keeps a wide row from exploding a
+    * task). Generic over the element type, so the type check is manual
+    * rather than via DeclaredInputTypes; CodegenFallback because the
+    * combinatorial emit loop dominates any codegen win. */
+  case class Combinations(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def prettyName: String = "combinations"
+    override def dataType: DataType = ArrayType(left.dataType)
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+      (left.dataType, right.dataType) match {
+        case (_: ArrayType, ByteType | ShortType | IntegerType | LongType) =>
+          TypeCheckSuccess
+        case (l, r) => TypeCheckFailure(
+          s"combinations expects (array, integer), got (${l.sql}, ${r.sql})")
+      }
+    }
+
+    protected override def nullSafeEval(arr: Any, nAny: Any): Any = {
+      val n = nAny match {
+        case b: Byte => b.toInt
+        case s: Short => s.toInt
+        case i: Int => i
+        case l: Long => l.toInt
+      }
+      require(n >= 0 && n <= 5, s"combinations size must be in [0, 5]: $n")
+      val elemType = left.dataType.asInstanceOf[ArrayType].elementType
+      val items = arr.asInstanceOf[ArrayData].toObjectArray(elemType)
+      val len = items.length
+      if (n > len) return new GenericArrayData(Array.empty[Any])
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      val idx = Array.tabulate(n)(identity)
+      var done = false
+      while (!done) {
+        out += new GenericArrayData(idx.map(items(_)))
+        // advance the rightmost index that still has headroom
+        var i = n - 1
+        while (i >= 0 && idx(i) == len - n + i) i -= 1
+        if (i < 0) done = true
+        else {
+          idx(i) += 1
+          var j = i + 1
+          while (j < n) { idx(j) = idx(j - 1) + 1; j += 1 }
+        }
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Combinations =
+      copy(left = newLeft, right = newRight)
+  }
 }

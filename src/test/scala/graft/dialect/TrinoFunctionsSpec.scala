@@ -882,4 +882,105 @@ class TrinoFunctionsSpec extends SparkSpec {
     assert(a != c)
     assert(one("SELECT checksum(l_orderkey) FROM lineitem").isInstanceOf[Long])
   }
+
+  test("at_timezone renders the instant in the target zone (UTC sessions)") {
+    // 12:00 UTC on a January day is 07:00 in America/New_York (UTC-5)
+    assert(one("SELECT CAST(at_timezone(TIMESTAMP '2020-01-15 12:00:00', 'America/New_York') AS STRING)")
+      == "2020-01-15 07:00:00")
+    // and 08:00 in July (DST, UTC-4)
+    assert(one("SELECT CAST(at_timezone(TIMESTAMP '2020-07-15 12:00:00', 'America/New_York') AS STRING)")
+      == "2020-07-15 08:00:00")
+  }
+
+  test("with_timezone interprets a wall-clock in the zone (inverse of at_timezone)") {
+    assert(one("SELECT CAST(with_timezone(TIMESTAMP '2020-01-15 07:00:00', 'America/New_York') AS STRING)")
+      == "2020-01-15 12:00:00")
+    assert(one("""SELECT CAST(at_timezone(with_timezone(TIMESTAMP '2021-03-04 05:06:07', 'Asia/Tokyo'),
+                 'Asia/Tokyo') AS STRING)""") == "2021-03-04 05:06:07")
+  }
+
+  test("parse_data_size uses binary multipliers and floors (Trino doc vectors)") {
+    assert(one("SELECT CAST(parse_data_size('2.3MB') AS STRING)") == "2411724")
+    assert(one("SELECT CAST(parse_data_size('1kB') AS STRING)") == "1024")
+    assert(one("SELECT CAST(parse_data_size('755B') AS STRING)") == "755")
+    assert(one("SELECT CAST(parse_data_size('4TB') AS STRING)") == "4398046511104")
+    assert(one("SELECT try(parse_data_size('abc'))") == null)
+    assert(one("SELECT try(parse_data_size('2.3mb'))") == null) // unit is case-sensitive
+  }
+
+  test("murmur3 matches Guava's murmur3_128 on random inputs (differential oracle)") {
+    val rnd = new scala.util.Random(7)
+    for (len <- Seq(0, 1, 7, 8, 9, 15, 16, 17, 31, 64, 1000)) {
+      val bytes = Array.fill[Byte](len)(rnd.nextInt().toByte)
+      val expect = com.google.common.hash.Hashing.murmur3_128().hashBytes(bytes).asBytes()
+      assert(graft.dialect.BinFuncs.murmur3(bytes).sameElements(expect), s"len=$len")
+    }
+  }
+
+  test("murmur3 is SQL-reachable over varbinary") {
+    val hex = one("SELECT to_hex(murmur3(to_utf8('hello')))").asInstanceOf[String]
+    val expect = com.google.common.hash.Hashing.murmur3_128()
+      .hashBytes("hello".getBytes("UTF-8")).asBytes()
+      .map(b => f"${b & 0xff}%02X").mkString
+    assert(hex == expect)
+  }
+
+  test("inverse_binomial_cdf inverts binomial_cdf") {
+    assert(one("SELECT inverse_binomial_cdf(20, 0.5, 0.5)") == 10)
+    assert(one("SELECT try(inverse_binomial_cdf(20, 1.5, 0.5))") == null)
+  }
+
+  test("split_to_multimap keeps every value for repeated keys") {
+    val m = one("SELECT split_to_multimap('a=1,b=2,a=3', ',', '=')")
+      .asInstanceOf[Map[String, scala.collection.Seq[String]]]
+    assert(m == Map("a" -> Seq("1", "3"), "b" -> Seq("2")))
+    // kv delimiter must appear exactly once per entry, like Trino
+    assert(one("SELECT try(split_to_multimap('a=1=2', ',', '='))") == null)
+  }
+
+  test("combinations emits n-element subsequences in index order, capped at 5") {
+    assert(one("SELECT to_json(combinations(array(1,2,3), 2))")
+      == "[[1,2],[1,3],[2,3]]")
+    assert(one("SELECT to_json(combinations(array('a','b','c','d'), 3))")
+      == """[["a","b","c"],["a","b","d"],["a","c","d"],["b","c","d"]]""")
+    assert(one("SELECT to_json(combinations(array(1,2,3), 0))") == "[[]]")
+    assert(one("SELECT to_json(combinations(array(1,2), 5))") == "[]")
+    assert(one("SELECT try(combinations(array(1,2,3,4,5,6,7), 6))") == null)
+  }
+
+  test("tdigest_agg / values_at_quantiles / quantile_at_value round-trip") {
+    // l_quantity is uniform on 1..50: the median sits near 25 and the
+    // batch accessor must agree with repeated value_at_quantile reads
+    val arr = one("""SELECT values_at_quantiles(tdigest_agg(CAST(l_quantity AS DOUBLE)),
+                    array(0.1D, 0.5D, 0.9D)) FROM lineitem""")
+      .asInstanceOf[scala.collection.Seq[Double]]
+    assert(arr.length == 3 && arr(0) < arr(1) && arr(1) < arr(2))
+    assert(arr(1) > 20 && arr(1) < 30)
+    val rank = one("""SELECT quantile_at_value(qdigest_agg(CAST(l_quantity AS DOUBLE)), 25.0D)
+                     FROM lineitem""").asInstanceOf[Double]
+    assert(rank > 0.4 && rank < 0.6)
+    // out-of-domain value → NULL like Trino
+    assert(one("""SELECT quantile_at_value(qdigest_agg(CAST(l_quantity AS DOUBLE)), 1e9D)
+                 FROM lineitem""") == null)
+  }
+
+  test("numeric_histogram respects the bucket budget and conserves weight") {
+    val m = one("SELECT numeric_histogram(10, CAST(l_extendedprice AS DOUBLE)) FROM lineitem")
+      .asInstanceOf[Map[Double, Double]]
+    val n = spark.table("lineitem").count()
+    assert(m.size <= 10 && m.size >= 2)
+    assert(math.abs(m.values.sum - n) < 1e-6)
+    val (lo, hi) = (m.keys.min, m.keys.max)
+    val Array(exactLo, exactHi) = spark.sql(
+      "SELECT MIN(l_extendedprice), MAX(l_extendedprice) FROM lineitem")
+      .collect().head.toSeq.map(_.toString.toDouble).toArray
+    assert(lo >= exactLo - 1e-6 && hi <= exactHi + 1e-6)
+  }
+
+  test("numeric_histogram supports weights and needs >= 2 buckets") {
+    val m = one("SELECT numeric_histogram(4, x, w) FROM (VALUES (1.0, 2.0), (2.0, 3.0), (50.0, 1.0)) AS t(x, w)")
+      .asInstanceOf[Map[Double, Double]]
+    assert(math.abs(m.values.sum - 6.0) < 1e-9)
+    assert(qs.execute("SELECT numeric_histogram(1, l_tax) FROM lineitem").isLeft)
+  }
 }
