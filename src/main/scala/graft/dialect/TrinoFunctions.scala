@@ -51,6 +51,12 @@ object TrinoFunctions {
   /** Trino unit names → Spark timestampadd/diff units. */
   private def unit(e: Expression): String = lit(e, "unit").toUpperCase
 
+  /** Negate a predicate inside its lambda (for the no_*_match family). */
+  private def notLambda(f: Expression): Expression = f match {
+    case LambdaFunction(fn, args, hidden) => LambdaFunction(Not(fn), args, hidden)
+    case other => Not(other)
+  }
+
   private def urlPart(part: String, name: String): Seq[Expression] => Expression = {
     case Seq(u) => ParseUrl(Seq(u, Literal(part)))
     case args => throw new IllegalArgumentException(
@@ -421,6 +427,40 @@ object TrinoFunctions {
           "a computed format expression is not supported")
       case args => throw new IllegalArgumentException(
         s"date_parse expects 2 args, got ${args.length}")
+    },
+    // Teradata-compatibility trio (Trino datetime docs): case-
+    // insensitive yyyy/mm/dd/hh24/hh/mi/ss tokens, translated to JVM
+    // patterns. The 2-arg to_date/to_timestamp REPLACE Spark's own
+    // (which read the format as a JVM pattern — 'mm' would mean
+    // minutes); the 1-arg forms keep Spark's cast semantics. to_char
+    // replaces Spark's number-formatting to_char — Trino defines
+    // to_char only for timestamps.
+    "to_char" -> {
+      case Seq(ts, Literal(v, _)) if v != null =>
+        new DateFormatClass(Cast(ts, TimestampType),
+          Literal(teradataToJvmPattern(v.toString)))
+      case Seq(_, _) => throw new IllegalArgumentException(
+        "to_char requires a literal Teradata format string")
+      case args => throw new IllegalArgumentException(
+        s"to_char expects (timestamp, format), got ${args.length} args")
+    },
+    "to_date" -> {
+      case Seq(x) => Cast(x, DateType)
+      case Seq(s, Literal(v, _)) if v != null =>
+        new ParseToDate(s, Literal(teradataToJvmPattern(v.toString)))
+      case Seq(_, _) => throw new IllegalArgumentException(
+        "to_date requires a literal Teradata format string")
+      case args => throw new IllegalArgumentException(
+        s"to_date expects 1-2 args, got ${args.length}")
+    },
+    "to_timestamp" -> {
+      case Seq(x) => Cast(x, TimestampType)
+      case Seq(s, Literal(v, _)) if v != null =>
+        new ParseToTimestamp(s, Literal(teradataToJvmPattern(v.toString)))
+      case Seq(_, _) => throw new IllegalArgumentException(
+        "to_timestamp requires a literal Teradata format string")
+      case args => throw new IllegalArgumentException(
+        s"to_timestamp expects 1-2 args, got ${args.length}")
     },
 
     // ISO-8601 bridge functions (public Trino docs, datetime functions):
@@ -975,6 +1015,77 @@ object TrinoFunctions {
       case args => throw new IllegalArgumentException(
         s"json_size expects (json, path), got ${args.length} args")
     },
+    // SQL/JSON trio, 2-arg forms with the default ON EMPTY / ON ERROR
+    // behaviors (json_value/json_query → NULL, json_exists → FALSE);
+    // path accepts the lax/strict prefix, subset as JsonFuncs.walk
+    "json_value" -> {
+      case Seq(j, p) =>
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          JsonFuncs.getClass, StringType, "jsonValue",
+          Seq(Cast(j, StringType), Cast(p, StringType)),
+          Seq(StringType, StringType))
+      case args => throw new IllegalArgumentException(
+        s"json_value expects (json, path), got ${args.length} args")
+    },
+    "json_query" -> {
+      case Seq(j, p) =>
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          JsonFuncs.getClass, StringType, "jsonQuery",
+          Seq(Cast(j, StringType), Cast(p, StringType)),
+          Seq(StringType, StringType))
+      case args => throw new IllegalArgumentException(
+        s"json_query expects (json, path), got ${args.length} args")
+    },
+    "json_exists" -> {
+      case Seq(j, p) =>
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          JsonFuncs.getClass, org.apache.spark.sql.types.BooleanType, "jsonExists",
+          Seq(Cast(j, StringType), Cast(p, StringType)),
+          Seq(StringType, StringType))
+      case args => throw new IllegalArgumentException(
+        s"json_exists expects (json, path), got ${args.length} args")
+    },
+    // array_histogram(arr) → map(element → count), nulls ignored
+    "array_histogram" -> {
+      case Seq(a) => graft.functions.NativeExprs.ArrayHistogram(a)
+      case args => throw new IllegalArgumentException(
+        s"array_histogram expects 1 arg, got ${args.length}")
+    },
+    // Trino map predicates — compositions over Spark's own
+    // exists/forall higher-order functions on the key/value arrays
+    "any_keys_match" -> {
+      case Seq(m, f) => ArrayExists(MapKeys(m), f)
+      case args => throw new IllegalArgumentException(
+        s"any_keys_match expects (map, lambda), got ${args.length} args")
+    },
+    "all_keys_match" -> {
+      case Seq(m, f) => ArrayForAll(MapKeys(m), f)
+      case args => throw new IllegalArgumentException(
+        s"all_keys_match expects (map, lambda), got ${args.length} args")
+    },
+    // the no_* variants negate INSIDE the lambda (forall ¬pred): the
+    // analyzer requires a lambda's resolved parent to be the
+    // higher-order function itself, so Not(exists(...)) is rejected
+    "no_keys_match" -> {
+      case Seq(m, f) => ArrayForAll(MapKeys(m), notLambda(f))
+      case args => throw new IllegalArgumentException(
+        s"no_keys_match expects (map, lambda), got ${args.length} args")
+    },
+    "any_values_match" -> {
+      case Seq(m, f) => ArrayExists(MapValues(m), f)
+      case args => throw new IllegalArgumentException(
+        s"any_values_match expects (map, lambda), got ${args.length} args")
+    },
+    "all_values_match" -> {
+      case Seq(m, f) => ArrayForAll(MapValues(m), f)
+      case args => throw new IllegalArgumentException(
+        s"all_values_match expects (map, lambda), got ${args.length} args")
+    },
+    "no_values_match" -> {
+      case Seq(m, f) => ArrayForAll(MapValues(m), notLambda(f))
+      case args => throw new IllegalArgumentException(
+        s"no_values_match expects (map, lambda), got ${args.length} args")
+    },
     "is_json_scalar" -> {
       case Seq(j) =>
         org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
@@ -1362,6 +1473,36 @@ object TrinoFunctions {
       } else { litRun.append(fmt(i)); i += 1 }
     }
     flushLit()
+    out.toString
+  }
+
+  /** Teradata-style (Trino to_char/to_date/to_timestamp) datetime
+    * format → JVM pattern. Tokens are case-insensitive per Trino's
+    * Teradata compatibility docs: yyyy yy mm dd hh24 hh mi ss.
+    * Any other letter is rejected — passing a JVM/MySQL pattern here
+    * silently means something else, the date_parse lesson. */
+  private[dialect] def teradataToJvmPattern(fmt: String): String = {
+    val lower = fmt.toLowerCase(java.util.Locale.ROOT)
+    val out = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      if (lower.startsWith("yyyy", i)) { out.append("yyyy"); i += 4 }
+      else if (lower.startsWith("hh24", i)) { out.append("HH"); i += 4 }
+      else if (lower.startsWith("yy", i)) { out.append("yy"); i += 2 }
+      else if (lower.startsWith("mm", i)) { out.append("MM"); i += 2 }
+      else if (lower.startsWith("dd", i)) { out.append("dd"); i += 2 }
+      else if (lower.startsWith("hh", i)) { out.append("hh"); i += 2 }
+      else if (lower.startsWith("mi", i)) { out.append("mm"); i += 2 }
+      else if (lower.startsWith("ss", i)) { out.append("ss"); i += 2 }
+      else {
+        val c = fmt.charAt(i)
+        if (c.isLetter) throw new IllegalArgumentException(
+          s"unsupported Teradata datetime token at '$c' in '$fmt' " +
+            "(supported: yyyy yy mm dd hh24 hh mi ss)")
+        if (c == '\'') out.append("''") else out.append(c)
+        i += 1
+      }
+    }
     out.toString
   }
 
@@ -2004,6 +2145,56 @@ object JsonFuncs {
   }
 
   def isJsonScalar(j: UTF8String): Boolean = parse(j).isValueNode
+
+  /** SQL/JSON path prefix: strip the optional lax/strict mode keyword.
+    * The walk subset below treats both modes alike (structural misses
+    * → NULL), which matches lax — the default mode in Trino. */
+  private def sqlJsonPath(p: UTF8String): String = {
+    val t = p.toString.trim
+    if (t.startsWith("lax ")) t.substring(4).trim
+    else if (t.startsWith("strict ")) t.substring(7).trim
+    else t
+  }
+
+  /** json_value(j, path): scalar match as text; NULL for a structural
+    * miss, a non-scalar match, a JSON null, or malformed input (the
+    * SQL/JSON defaults: NULL ON EMPTY / NULL ON ERROR). A malformed
+    * PATH still raises — path syntax errors are compile-time in Trino
+    * and not silenced by ON ERROR. */
+  def jsonValue(j: UTF8String, p: UTF8String): UTF8String = {
+    val path = sqlJsonPath(p)
+    val root = try parse(j) catch { case _: IllegalArgumentException =>
+      require(path.nonEmpty && path.charAt(0) == '$', s"invalid json path: $path")
+      return null
+    }
+    val node = walk(root, path)
+    if (node == null || !node.isValueNode || node.isNull) null
+    else UTF8String.fromString(node.asText())
+  }
+
+  /** json_query(j, path): the matched JSON item re-serialized (objects,
+    * arrays, and scalars alike — WITHOUT WRAPPER, the default); NULL on
+    * a miss or malformed input. */
+  def jsonQuery(j: UTF8String, p: UTF8String): UTF8String = {
+    val path = sqlJsonPath(p)
+    val root = try parse(j) catch { case _: IllegalArgumentException =>
+      require(path.nonEmpty && path.charAt(0) == '$', s"invalid json path: $path")
+      return null
+    }
+    val node = walk(root, path)
+    if (node == null) null else UTF8String.fromString(mapper.writeValueAsString(node))
+  }
+
+  /** json_exists(j, path): does the path land on any JSON item; FALSE
+    * on malformed input (Trino's default FALSE ON ERROR). */
+  def jsonExists(j: UTF8String, p: UTF8String): Boolean = {
+    val path = sqlJsonPath(p)
+    val root = try parse(j) catch { case _: IllegalArgumentException =>
+      require(path.nonEmpty && path.charAt(0) == '$', s"invalid json path: $path")
+      return false
+    }
+    walk(root, path) != null
+  }
 
   private def walk(root: JsonNode, path: String): JsonNode = {
     require(path.nonEmpty && path.charAt(0) == '$',

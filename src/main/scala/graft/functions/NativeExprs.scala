@@ -830,4 +830,41 @@ object NativeExprs {
         newLeft: Expression, newRight: Expression): Combinations =
       copy(left = newLeft, right = newRight)
   }
+
+  /** Trino `array_histogram(array(T))`: map from each distinct element
+    * to its count, null elements ignored (empty map if all-null).
+    * Generic over the element type like [[Combinations]]; first-seen
+    * key order. */
+  case class ArrayHistogram(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def prettyName: String = "array_histogram"
+    override def dataType: DataType = MapType(
+      child.dataType.asInstanceOf[ArrayType].elementType, LongType,
+      valueContainsNull = false)
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+      child.dataType match {
+        case ArrayType(e, _) if !e.isInstanceOf[MapType] => TypeCheckSuccess
+        case t => TypeCheckFailure(
+          s"array_histogram expects an array of map-key-able elements, got ${t.sql}")
+      }
+    }
+
+    protected override def nullSafeEval(arr: Any): Any = {
+      val elemType = child.dataType.asInstanceOf[ArrayType].elementType
+      val items = arr.asInstanceOf[ArrayData].toObjectArray(elemType)
+      val counts = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+      items.foreach { e =>
+        if (e != null) counts.update(e, counts.getOrElse(e, 0L) + 1L)
+      }
+      new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        new GenericArrayData(counts.keys.toArray),
+        new GenericArrayData(counts.values.map(x => x: Any).toArray))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): ArrayHistogram =
+      copy(child = newChild)
+  }
 }

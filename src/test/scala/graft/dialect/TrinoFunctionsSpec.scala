@@ -977,6 +977,57 @@ class TrinoFunctionsSpec extends SparkSpec {
     assert(lo >= exactLo - 1e-6 && hi <= exactHi + 1e-6)
   }
 
+  test("json_value extracts scalars with NULL ON EMPTY / NULL ON ERROR defaults") {
+    assert(one("""SELECT json_value('{"a": {"b": 42}}', 'lax $.a.b')""") == "42")
+    assert(one("""SELECT json_value('{"a": "x"}', 'strict $.a')""") == "x")
+    assert(one("""SELECT json_value('{"a": [1, 2]}', '$.a')""") == null)   // non-scalar
+    assert(one("""SELECT json_value('{"a": null}', '$.a')""") == null)     // JSON null
+    assert(one("""SELECT json_value('{"a": 1}', '$.missing')""") == null)  // empty
+    assert(one("""SELECT json_value('not json', '$.a')""") == null)        // error
+  }
+
+  test("json_query re-serializes the matched item; json_exists tests the path") {
+    assert(one("""SELECT json_query('{"a": {"b": [1, 2]}}', 'lax $.a')""") == """{"b":[1,2]}""")
+    assert(one("""SELECT json_query('{"a": [1, 2]}', '$.a[1]')""") == "2")
+    assert(one("""SELECT json_query('{"a": 1}', '$.b')""") == null)
+    assert(one("""SELECT json_exists('{"a": {"b": 1}}', 'lax $.a.b')""") == true)
+    assert(one("""SELECT json_exists('{"a": 1}', '$.b')""") == false)
+    assert(one("""SELECT json_exists('not json', '$.a')""") == false)      // FALSE ON ERROR
+  }
+
+  test("array_histogram counts distinct elements, ignoring nulls") {
+    val m = one("SELECT array_histogram(array('a', 'b', 'a', NULL, 'a'))")
+      .asInstanceOf[Map[String, Long]]
+    assert(m == Map("a" -> 3L, "b" -> 1L))
+    assert(one("SELECT array_histogram(CAST(array(NULL) AS ARRAY<INT>))")
+      .asInstanceOf[Map[Int, Long]].isEmpty)
+  }
+
+  test("map predicate family composes exists/forall over keys and values") {
+    assert(one("SELECT any_keys_match(map('a', 1, 'bb', 2), k -> length(k) = 2)") == true)
+    assert(one("SELECT all_keys_match(map('a', 1, 'bb', 2), k -> length(k) = 2)") == false)
+    assert(one("SELECT no_keys_match(map('a', 1), k -> k = 'z')") == true)
+    assert(one("SELECT any_values_match(map('a', 1, 'b', 2), v -> v > 1)") == true)
+    assert(one("SELECT all_values_match(map('a', 1, 'b', 2), v -> v > 0)") == true)
+    assert(one("SELECT all_values_match(map('a', 1, 'b', 2), v -> v > 1)") == false)
+    assert(one("SELECT no_values_match(map('a', 1, 'b', 2), v -> v > 5)") == true)
+  }
+
+  test("to_char / to_date / to_timestamp use Teradata tokens, case-insensitive") {
+    assert(one("SELECT to_char(TIMESTAMP '2020-02-03 14:05:06', 'yyyy/mm/dd hh24:mi:ss')")
+      == "2020/02/03 14:05:06")
+    assert(one("SELECT to_char(TIMESTAMP '2020-02-03 14:05:06', 'YYYY-MM-DD')") == "2020-02-03")
+    assert(one("SELECT CAST(to_date('2020/02/03', 'yyyy/mm/dd') AS STRING)") == "2020-02-03")
+    assert(one("SELECT CAST(to_timestamp('03.02.2020 14:05:06', 'dd.mm.yyyy hh24:mi:ss') AS STRING)")
+      == "2020-02-03 14:05:06")
+    // 1-arg forms keep Spark's cast semantics
+    assert(one("SELECT CAST(to_date('2020-02-03') AS STRING)") == "2020-02-03")
+    assert(one("SELECT CAST(to_timestamp('2020-02-03 14:05:06') AS STRING)")
+      == "2020-02-03 14:05:06")
+    // a JVM/MySQL pattern is rejected rather than silently misread
+    assert(qs.execute("SELECT to_date('2020-02-03', 'EEE MMM dd')").isLeft)
+  }
+
   test("numeric_histogram supports weights and needs >= 2 buckets") {
     val m = one("SELECT numeric_histogram(4, x, w) FROM (VALUES (1.0, 2.0), (2.0, 3.0), (50.0, 1.0)) AS t(x, w)")
       .asInstanceOf[Map[Double, Double]]
