@@ -88,6 +88,29 @@ object TrinoFunctions {
       case args => throw new IllegalArgumentException(
         s"json_extract_scalar expects 2 args, got ${args.length}")
     },
+    // json_extract(j, p): the matched item AS JSON text (scalars and
+    // containers alike) — same $-walk subset as json_query, without
+    // the SQL/JSON lax/strict mode prefix
+    "json_extract" -> {
+      case Seq(j, p) =>
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          JsonFuncs.getClass, StringType, "jsonQuery",
+          Seq(Cast(j, StringType), Cast(p, StringType)),
+          Seq(StringType, StringType))
+      case args => throw new IllegalArgumentException(
+        s"json_extract expects (json, path), got ${args.length} args")
+    },
+    // luhn_check(s): mod-10 checksum validation of a digit string;
+    // NULL input → NULL, non-digit content → false (Trino raises —
+    // documented divergence kept total for the guarded surface)
+    "luhn_check" -> {
+      case Seq(s) =>
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          BinFuncs.getClass, org.apache.spark.sql.types.BooleanType,
+          "luhnCheck", Seq(Cast(s, StringType)), Seq(StringType))
+      case args => throw new IllegalArgumentException(
+        s"luhn_check expects 1 arg, got ${args.length}")
+    },
     "contains" -> {
       case Seq(arr, x) => ArrayContains(arr, x)
       case args => throw new IllegalArgumentException(
@@ -875,6 +898,19 @@ object TrinoFunctions {
       case args => throw new IllegalArgumentException(
         s"split expects 2-3 args, got ${args.length}")
     },
+    // trino_repeat(x, n): Trino's repeat builds an n-element array of x
+    // (any type); Spark's repeat is string repetition. Same scoped-
+    // rename route as trino_split (preprocess rewrites `repeat(` on
+    // the guarded surface only). Trino caps n at 10000.
+    "trino_repeat" -> {
+      case Seq(x, n) =>
+        val cnt = litInt(n, "repeat count")
+        require(cnt >= 0 && cnt <= 10000,
+          s"repeat count must be in [0, 10000], got $cnt")
+        ArrayRepeat(x, Literal(cnt))
+      case args => throw new IllegalArgumentException(
+        s"repeat expects (element, count), got ${args.length} args")
+    },
     // replace(s, search[, repl]): Trino's 2-arg form deletes occurrences
     "replace" -> {
       case Seq(s, search) => StringReplace(s, search, Literal(""))
@@ -1085,6 +1121,76 @@ object TrinoFunctions {
       case Seq(m, f) => ArrayForAll(MapValues(m), notLambda(f))
       case args => throw new IllegalArgumentException(
         s"no_values_match expects (map, lambda), got ${args.length} args")
+    },
+    // Trino IP address functions (docs/functions/ipaddress) over
+    // canonical address strings — dialect/IpFuncs.scala. Literal-syntax
+    // parsing only (a hostname never reaches DNS); IPv6 rendered RFC
+    // 5952-compressed like Trino's IPADDRESS type.
+    "ip_prefix" -> {
+      case Seq(ip, bits) =>
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          IpFuncs.getClass, StringType, "ipPrefix",
+          Seq(Cast(ip, StringType), Cast(bits, IntegerType)),
+          Seq(StringType, IntegerType))
+      case args => throw new IllegalArgumentException(
+        s"ip_prefix expects (ip, prefix_bits), got ${args.length} args")
+    },
+    "ip_subnet_min" -> {
+      case Seq(p) =>
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          IpFuncs.getClass, StringType, "ipSubnetMin",
+          Seq(Cast(p, StringType)), Seq(StringType))
+      case args => throw new IllegalArgumentException(
+        s"ip_subnet_min expects 1 arg, got ${args.length}")
+    },
+    "ip_subnet_max" -> {
+      case Seq(p) =>
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          IpFuncs.getClass, StringType, "ipSubnetMax",
+          Seq(Cast(p, StringType)), Seq(StringType))
+      case args => throw new IllegalArgumentException(
+        s"ip_subnet_max expects 1 arg, got ${args.length}")
+    },
+    "ip_subnet_range" -> {
+      case Seq(p) =>
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          IpFuncs.getClass,
+          org.apache.spark.sql.types.ArrayType(StringType, containsNull = false),
+          "ipSubnetRange", Seq(Cast(p, StringType)), Seq(StringType))
+      case args => throw new IllegalArgumentException(
+        s"ip_subnet_range expects 1 arg, got ${args.length}")
+    },
+    "is_subnet_of" -> {
+      case Seq(p, x) =>
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          IpFuncs.getClass, org.apache.spark.sql.types.BooleanType,
+          "isSubnetOf", Seq(Cast(p, StringType), Cast(x, StringType)),
+          Seq(StringType, StringType))
+      case args => throw new IllegalArgumentException(
+        s"is_subnet_of expects (prefix, ip_or_prefix), got ${args.length} args")
+    },
+    "is_private" -> {
+      case Seq(ip) =>
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          IpFuncs.getClass, org.apache.spark.sql.types.BooleanType,
+          "isPrivate", Seq(Cast(ip, StringType)), Seq(StringType))
+      case args => throw new IllegalArgumentException(
+        s"is_private expects 1 arg, got ${args.length}")
+    },
+    // typeof(x): Trino renders its own type names — reuse the metadata
+    // service's mapper so DESCRIBE and typeof() agree
+    "typeof" -> {
+      case Seq(e) => graft.functions.NativeExprs.TypeOfTrino(e)
+      case args => throw new IllegalArgumentException(
+        s"typeof expects 1 arg, got ${args.length}")
+    },
+    // version(): engine identification (Trino returns its release)
+    "version" -> {
+      case Seq() => Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          "graft-spark " + org.apache.spark.SPARK_VERSION), StringType)
+      case args => throw new IllegalArgumentException(
+        s"version expects 0 args, got ${args.length}")
     },
     "is_json_scalar" -> {
       case Seq(j) =>
@@ -1530,12 +1636,14 @@ object TrinoFunctions {
 
   // Divergent-semantics builtins renamed to their trino_* shims on the
   // guarded surface only: `split(` → `trino_split(` (delimiter is a
-  // literal string in Trino, a regex in Spark) and `xxhash64(` →
+  // literal string in Trino, a regex in Spark), `xxhash64(` →
   // `trino_xxhash64(` (Trino: 8-byte VARBINARY of standard seed-0
-  // XXH64; Spark: seed-42 BIGINT). Negative lookbehind keeps
-  // split_part / regexp_split / the trino_* names themselves untouched.
+  // XXH64; Spark: seed-42 BIGINT), and `repeat(` → `trino_repeat(`
+  // (Trino: repeat(element, n) → array; Spark: string repetition).
+  // Negative lookbehind keeps split_part / regexp_split / array_repeat
+  // / the trino_* names themselves untouched.
   private val splitCallPattern = java.util.regex.Pattern.compile(
-    "(?i)(?<![A-Za-z0-9_])(split|xxhash64)(\\s*\\()")
+    "(?i)(?<![A-Za-z0-9_])(split|xxhash64|repeat)(\\s*\\()")
 
   def preprocess(sql: String): String = {
     val masked = maskedRegions(sql)
@@ -1753,6 +1861,11 @@ object TrinoFunctions {
           Literal(0)), LongType)
         case args => throw new IllegalArgumentException(
           s"intersection_cardinality expects 2 args, got ${args.length}")
+      },
+      "jaccard_index" -> {
+        case Seq(a, b) => graft.functions.ThetaExprs.ThetaJaccard(a, b)
+        case args => throw new IllegalArgumentException(
+          s"jaccard_index expects 2 args, got ${args.length}")
       })
   }
 
@@ -1929,6 +2042,26 @@ object StatFuncs {
 object BinFuncs {
   import java.nio.ByteBuffer
   import org.apache.spark.unsafe.types.UTF8String
+
+  /** Luhn mod-10 checksum over a digit string (payment-card check).
+    * Empty or non-digit input → false (Trino raises INVALID_FUNCTION_
+    * ARGUMENT; kept total here — the guarded surface maps argument
+    * errors to false under try()-less usage, documented in DIALECT.md). */
+  def luhnCheck(s: UTF8String): Boolean = {
+    val str = s.toString
+    if (str.isEmpty || !str.forall(_.isDigit)) return false
+    var sum = 0
+    var double = false
+    var i = str.length - 1
+    while (i >= 0) {
+      var d = str.charAt(i) - '0'
+      if (double) { d *= 2; if (d > 9) d -= 9 }
+      sum += d
+      double = !double
+      i -= 1
+    }
+    sum % 10 == 0
+  }
 
   def hmac(data: Array[Byte], key: Array[Byte], algo: UTF8String): Array[Byte] = {
     val mac = javax.crypto.Mac.getInstance(algo.toString)

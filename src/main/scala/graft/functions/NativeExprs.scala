@@ -831,6 +831,26 @@ object NativeExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Trino `typeof(x)`: the argument's TYPE rendered with Trino's own
+    * type names (the metadata service's mapper, so `typeof()` and
+    * DESCRIBE agree). The value is never evaluated — the name is a
+    * plan-time constant — but the expression stays unary so the
+    * analyzer still type-checks the argument like Trino does. */
+  case class TypeOfTrino(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def prettyName: String = "typeof"
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = false
+    override def foldable: Boolean = true
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        graft.service.TypeNames.trino(child.dataType))
+
+    override protected def withNewChildInternal(newChild: Expression): TypeOfTrino =
+      copy(child = newChild)
+  }
+
   /** Trino `array_histogram(array(T))`: map from each distinct element
     * to its count, null elements ignored (empty map if all-null).
     * Generic over the element type like [[Combinations]]; first-seen

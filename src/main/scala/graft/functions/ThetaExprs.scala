@@ -150,6 +150,34 @@ object ThetaExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** `theta_jaccard(a, b)`: estimated |A ∩ B| / |A ∪ B| from two binary
+    * sketches — Trino's setdigest `jaccard_index`. Two empty sets have
+    * Jaccard 1.0 (identical), matching the limit convention. */
+  case class ThetaJaccard(left: Expression, right: Expression)
+      extends BinaryExpression with DeclaredInputTypes with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def declaredInputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+    override def prettyName: String = "theta_jaccard"
+
+    protected override def nullSafeEval(a: Any, b: Any): Any = {
+      val sa = wrap(a.asInstanceOf[Array[Byte]])
+      val sb = wrap(b.asInstanceOf[Array[Byte]])
+      val u = newUnion()
+      u.union(sa); u.union(sb)
+      val union = u.getResult.getEstimate
+      if (union == 0.0) 1.0
+      else {
+        val i = SetOperation.builder().buildIntersection()
+        i.intersect(sa); i.intersect(sb)
+        i.getResult.getEstimate / union
+      }
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): ThetaJaccard =
+      copy(left = newLeft, right = newRight)
+  }
+
   def thetaSketchAgg(x: Column): Column =
     ColumnBridge.column(
       ThetaSketchAgg(ColumnBridge.expression(x)).toAggregateExpression())

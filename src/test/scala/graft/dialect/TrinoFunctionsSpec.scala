@@ -1028,6 +1028,90 @@ class TrinoFunctionsSpec extends SparkSpec {
     assert(qs.execute("SELECT to_date('2020-02-03', 'EEE MMM dd')").isLeft)
   }
 
+  test("json_extract returns the matched item as JSON text") {
+    assert(one("""SELECT json_extract('{"a": {"b": [1, 2]}}', '$.a')""") == """{"b":[1,2]}""")
+    assert(one("""SELECT json_extract('{"a": [1, 2]}', '$.a[0]')""") == "1")
+    assert(one("""SELECT json_extract('{"a": 1}', '$.b')""") == null)
+  }
+
+  test("luhn_check validates the mod-10 checksum") {
+    assert(one("SELECT luhn_check('79927398713')") == true)
+    assert(one("SELECT luhn_check('79927398714')") == false)
+    assert(one("SELECT luhn_check('4242424242424242')") == true)
+    assert(one("SELECT luhn_check('not-digits')") == false)
+    assert(one("SELECT luhn_check(CAST(NULL AS STRING))") == null)
+  }
+
+  test("jaccard_index estimates |A∩B| / |A∪B| over set digests") {
+    // A = 0..999, B = 500..1499 → true J = 500/1500 = 1/3
+    val j = one(
+      """SELECT jaccard_index(a, b) FROM
+        |  (SELECT make_set_digest(x) AS a FROM range(0, 1000) AS t(x)),
+        |  (SELECT make_set_digest(x) AS b FROM range(500, 1500) AS t(x))""".stripMargin)
+      .asInstanceOf[Double]
+    assert(math.abs(j - 1.0 / 3.0) < 0.05, s"jaccard $j")
+    assert(one("SELECT jaccard_index(make_set_digest(x), make_set_digest(x)) " +
+      "FROM (VALUES 1, 2, 3) AS t(x)") == 1.0)
+  }
+
+  test("repeat builds an n-element array on the guarded surface (Trino semantics)") {
+    assert(one("SELECT repeat('x', 3)").asInstanceOf[scala.collection.Seq[String]]
+      .toSeq == Seq("x", "x", "x"))
+    assert(one("SELECT repeat(1, 0)").asInstanceOf[scala.collection.Seq[Int]].isEmpty)
+    // array_repeat and the masked regions stay untouched
+    assert(one("SELECT array_repeat('y', 2)").asInstanceOf[scala.collection.Seq[String]]
+      .toSeq == Seq("y", "y"))
+    assert(one("SELECT 'repeat(a, 2)'") == "repeat(a, 2)")
+    assert(qs.execute("SELECT repeat('x', 10001)").isLeft) // Trino's cap
+  }
+
+  test("ip_prefix / ip_subnet_min / ip_subnet_max / ip_subnet_range canonicalize networks") {
+    assert(one("SELECT ip_prefix('192.168.255.255', 9)") == "192.128.0.0/9")
+    assert(one("SELECT ip_prefix('2001:0db8:85a3:0001:0001:8a2e:0370:7334', 48)")
+      == "2001:db8:85a3::/48")
+    assert(one("SELECT ip_subnet_min('192.168.0.0/24')") == "192.168.0.0")
+    assert(one("SELECT ip_subnet_max('192.168.0.0/24')") == "192.168.0.255")
+    assert(one("SELECT ip_subnet_min('2001:db8::/48')") == "2001:db8::")
+    assert(one("SELECT ip_subnet_max('2001:db8::/48')")
+      == "2001:db8:0:ffff:ffff:ffff:ffff:ffff")
+    assert(one("SELECT ip_subnet_range('10.1.2.3/8')")
+      .asInstanceOf[scala.collection.Seq[String]].toSeq
+      == Seq("10.0.0.0", "10.255.255.255"))
+    // malformed input raises (NULL under try)
+    assert(one("SELECT try(ip_subnet_min('not-an-ip/8'))") == null)
+    assert(one("SELECT try(ip_prefix('10.0.0.1', 33))") == null)
+  }
+
+  test("is_subnet_of covers address membership and prefix containment") {
+    assert(one("SELECT is_subnet_of('192.168.0.0/24', '192.168.0.1')") == true)
+    assert(one("SELECT is_subnet_of('192.168.0.0/24', '192.169.0.1')") == false)
+    assert(one("SELECT is_subnet_of('192.168.0.0/24', '192.168.0.128/25')") == true)
+    assert(one("SELECT is_subnet_of('192.168.0.128/25', '192.168.0.0/24')") == false)
+    assert(one("SELECT is_subnet_of('2001:db8::/32', '2001:db8:1::1')") == true)
+    // cross-family arguments raise like Trino
+    assert(one("SELECT try(is_subnet_of('192.168.0.0/24', '2001:db8::1'))") == null)
+  }
+
+  test("is_private flags non-globally-reachable addresses") {
+    assert(one("SELECT is_private('10.1.2.3')") == true)
+    assert(one("SELECT is_private('192.168.1.1')") == true)
+    assert(one("SELECT is_private('172.16.0.1')") == true)
+    assert(one("SELECT is_private('127.0.0.1')") == true)
+    assert(one("SELECT is_private('8.8.8.8')") == false)
+    assert(one("SELECT is_private('157.240.200.99')") == false)
+    assert(one("SELECT is_private('fe80::1')") == true)
+    assert(one("SELECT is_private('2a03:2880:f031:12::2')") == false)
+  }
+
+  test("typeof renders Trino type names; version identifies the engine") {
+    assert(one("SELECT typeof(1)") == "integer")
+    assert(one("SELECT typeof('x')") == "varchar")
+    assert(one("SELECT typeof(CAST(1.5 AS DECIMAL(4,2)))") == "decimal(4,2)")
+    assert(one("SELECT typeof(array(1.0))") == "array(decimal(2,1))")
+    assert(one("SELECT typeof(TIMESTAMP '2020-01-01 00:00:00')") == "timestamp(6)")
+    assert(one("SELECT version()").asInstanceOf[String].startsWith("graft-spark "))
+  }
+
   test("numeric_histogram supports weights and needs >= 2 buckets") {
     val m = one("SELECT numeric_histogram(4, x, w) FROM (VALUES (1.0, 2.0), (2.0, 3.0), (50.0, 1.0)) AS t(x, w)")
       .asInstanceOf[Map[Double, Double]]
