@@ -7,6 +7,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // 100 TB posture: let AQE choose post-shuffle parallelism. The
+      // initial (maximum) shuffle partition count scales with cores;
+      // AQE coalesces down to the 64 MB advisory target, so small-SF
+      // plans keep their few fat partitions while 100x data fans out.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 8).toString)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.timeType.enabled", "true")
       .getOrCreate()

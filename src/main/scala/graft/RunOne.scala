@@ -15,6 +15,12 @@ object RunOne {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // 100 TB posture: let AQE choose post-shuffle parallelism. The
+      // initial (maximum) shuffle partition count scales with cores;
+      // AQE coalesces down to the 64 MB advisory target, so small-SF
+      // plans keep their few fat partitions while 100x data fans out.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 8).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.timeType.enabled", "true")

@@ -10,6 +10,12 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // 100 TB posture: let AQE choose post-shuffle parallelism. The
+      // initial (maximum) shuffle partition count scales with cores;
+      // AQE coalesces down to the 64 MB advisory target, so small-SF
+      // plans keep their few fat partitions while 100x data fans out.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 8).toString)
       .config("spark.sql.session.timeZone", "UTC")
       // Deliberately KEEP the default INT96 timestamp encoding: arrow reads
       // INT96 as tz-NAIVE ns, matching DuckDB's naive timestamp[us] values.

@@ -1773,6 +1773,11 @@ object TrinoFunctions {
         case args => throw new IllegalArgumentException(
           s"shingle_hash expects (array<string>, k), got ${args.length} args")
       },
+      "deflate_ratio" -> {
+        case Seq(s) => DeflateRatio(s)
+        case args => throw new IllegalArgumentException(
+          s"deflate_ratio expects 1 arg, got ${args.length}")
+      },
       "sorted_intersect_count" -> {
         case Seq(a, b) => SortedIntersectCount(a, b)
         case args => throw new IllegalArgumentException(

@@ -37,6 +37,11 @@ class Engine(
         .withExtensions(_.injectResolutionRule(_ => graft.dialect.TimeCastRule))
         .appName(config.source)
         .config("spark.sql.shuffle.partitions", cpus)
+        // 100 TB posture: AQE picks post-shuffle parallelism between 1
+        // and 8x cores (coalesced to the 64 MB advisory target), so
+        // small scans keep few fat partitions while big shuffles fan out.
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+          (cpus.toInt * 8).toString)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()

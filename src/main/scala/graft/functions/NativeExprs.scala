@@ -831,6 +831,51 @@ object NativeExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Gopher-style compression-ratio quality signal (Rae et al. 2021 use
+    * document compressibility as a repetition/boilerplate proxy; DCLM
+    * and RefinedWeb keep it in their filter banks): DEFLATE(text) size
+    * ÷ raw UTF-8 size. Highly repetitive machine-generated text
+    * compresses far below ~0.4; natural prose sits ~0.6-1.0. Pure
+    * per-row projection — no shuffle, bytes never leave the executor.
+    * The Deflater is JDK-native zlib; a thread-local instance is
+    * reset()-reused so the hot loop does not allocate native handles
+    * per row. Level 6 (zlib default) pinned for determinism within a
+    * JVM; tests pin ordering invariants, not exact byte counts. */
+  case class DeflateRatio(child: Expression)
+      extends UnaryExpression with CodegenFallback with DeclaredInputTypes {
+    override def dataType: DataType = DoubleType
+    override def declaredInputTypes: Seq[DataType] = Seq(StringType)
+    override def prettyName: String = "deflate_ratio"
+
+    protected override def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+      if (bytes.isEmpty) 0.0
+      else {
+        val d = DeflateRatio.local.get()
+        d.reset()
+        d.setInput(bytes)
+        d.finish()
+        var compressed = 0L
+        val buf = DeflateRatio.buffer.get()
+        while (!d.finished()) compressed += d.deflate(buf)
+        compressed.toDouble / bytes.length
+      }
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): DeflateRatio =
+      copy(child = newChild)
+  }
+
+  object DeflateRatio {
+    private val local = ThreadLocal.withInitial[java.util.zip.Deflater](() =>
+      new java.util.zip.Deflater(6, true))
+    private val buffer = ThreadLocal.withInitial[Array[Byte]](() =>
+      new Array[Byte](8192))
+  }
+
+  def deflateRatio(text: Column): Column =
+    ColumnBridge.column(DeflateRatio(ColumnBridge.expression(text)))
+
   /** Trino `typeof(x)`: the argument's TYPE rendered with Trino's own
     * type names (the metadata service's mapper, so `typeof()` and
     * DESCRIBE agree). The value is never evaluated — the name is a

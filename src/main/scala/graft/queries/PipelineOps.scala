@@ -345,6 +345,21 @@ object PipelineOps {
           TextAnalysis.repetitionRatio(col("text"), 3).as("repetition"))
         .orderBy(col("doc_id"))),
 
+    // Compression-ratio quality signal (Gopher: document
+    // compressibility as the repetition/boilerplate proxy) —
+    // per-source aggregate over the per-row native deflate_ratio
+    // projection. No SQL oracle (DuckDB has no zlib function);
+    // rows-only check + NativeExprsSpec invariant pins.
+    "text_compression_ratio" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("source"),
+          graft.functions.NativeExprs.deflateRatio(col("text")).as("ratio"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          avg(col("ratio")).as("avg_ratio"),
+          sum((col("ratio") < 0.4).cast("long")).as("n_repetitive"))
+        .orderBy(col("source"))),
+
     // PII redaction pass: the corpus has no real PII (synthetic word
     // soup), so each doc gets a deterministic contact block appended
     // (email + IP + phone derived from doc_id) and the scrubber must

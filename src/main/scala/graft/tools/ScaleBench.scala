@@ -26,6 +26,12 @@ object ScaleBench {
       .master(s"local[$cpus]")
       .appName("graft-scale-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      // 100 TB posture: let AQE choose post-shuffle parallelism. The
+      // initial (maximum) shuffle partition count scales with cores;
+      // AQE coalesces down to the 64 MB advisory target, so small-SF
+      // plans keep their few fat partitions while 100x data fans out.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 8).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.timeType.enabled", "true")

@@ -50,6 +50,33 @@ class CurationPipelineSpec extends SparkSpec {
     assert(rows.forall(_.getInt(2) > 0))
   }
 
+  test("deflate_ratio orders repetitive below diverse text and stays in bounds") {
+    import graft.functions.NativeExprs.deflateRatio
+    val df = spark.createDataFrame(Seq(
+      (1, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (2, "the quick brown fox jumps over the lazy dog while autumn rain fell"),
+      (3, "a"),
+      (4, ""))).toDF("id", "text")
+    val rows = df.select(col("id"), deflateRatio(col("text")).as("r"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // repetitive text compresses much harder than diverse prose
+    assert(rows(1) < rows(2), s"repetitive ${rows(1)} !< diverse ${rows(2)}")
+    assert(rows(1) < 0.5)
+    // raw DEFLATE of a 1-byte input carries fixed overhead (> 1.0 is fine)
+    assert(rows(3) > 0.0)
+    assert(rows(4) == 0.0) // empty input pinned to 0
+    // SQL surface (registered graft native)
+    graft.dialect.TrinoFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT deflate_ratio('spam spam spam spam spam spam spam spam')").head.getDouble(0)
+    assert(viaSql > 0.0 && viaSql < 1.0)
+    // the query-level aggregate runs and groups by source
+    val q = graft.SparkEntry.queries("text_compression_ratio")(
+      spark, "/root/testdata/sf0.001")
+    val out = q.collect()
+    assert(out.nonEmpty && out.forall(_.getDouble(2) > 0.0))
+  }
+
   test("bpeTrain reproduces the classic BPE example merge sequence") {
     // Sennrich et al.'s canonical corpus: {low:5, lower:2, newest:6,
     // widest:3}. Hand-derived merges with (freq desc, pair asc)
