@@ -54,10 +54,24 @@ object Tables {
     if (!spark.catalog.tableExists(view)) {
       prepare(spark)
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      val fixed =
-        if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-        else df
+      // events.ts has shipped in two physical layouts: TIMESTAMP(NANOS)
+      // (read as raw longs via nanosAsLong, truncated to µs) and
+      // TIMESTAMP(MICROS) isAdjustedToUTC=false (read as TIMESTAMP_NTZ
+      // under Spark 4's NTZ inference). Normalize both to the session
+      // TimestampType: the session TZ is pinned UTC everywhere, so the
+      // NTZ→LTZ cast reinterprets the same wall-clock instant DuckDB's
+      // naive read sees — values identical across layouts and engines.
+      val fixed = name match {
+        case "events" => df.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            df.withColumn("ts",
+              org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          case _ => df
+        }
+        case _ => df
+      }
       fixed.createOrReplaceTempView(view)
     }
     spark.table(view)

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import QHelpers._
-import graft.ops.{Dedup, Layout, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Layout, Multimodal, Sampling, Similarity, TextAnalysis, UrlOps}
 
 /** SURVEY.md §2b rows 56–59 + the LLM-data-pipeline extension suite:
   * dedup (exact / MinHash-LSH / SimHash / blocked n-gram), text analysis
@@ -309,6 +309,43 @@ object PipelineOps {
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("split"))),
+
+    // URL-keyed dedup (ops/UrlOps): the corpus has no URL column, so
+    // each doc gets a deterministic crawl URL synthesized from
+    // (source, doc_id) with exactly the noise canonicalization must
+    // remove — uppercase scheme/host, www. prefix, default :443 port,
+    // tracking params, fragment, trailing slash. doc_id % 200 keys real
+    // duplicate groups per source. The oracle replays the synthesis AND
+    // the canonicalization.
+    "dedup_url" -> ((s, d) => {
+      val withUrl = t(s, d, "documents").select(col("doc_id"),
+        concat(lit("HTTPS://WWW."), col("source"),
+          lit(":443/Articles/"), (col("doc_id") % 40).cast("string"),
+          lit("/?utm_source=feed&id="), (col("doc_id") % 200).cast("string"),
+          lit("&utm_campaign=c"), (col("doc_id") % 7).cast("string"),
+          lit("#sec"), (col("doc_id") % 3).cast("string")).as("url"))
+      UrlOps.dedupByUrl(withUrl, "doc_id", "url")
+        .orderBy(col("canonical_url"))
+    }),
+
+    // Deterministic epoch ordering: the global shuffle + source
+    // interleave a training run reads the corpus in. Rank within each
+    // source by a seeded md5 draw (PARTITIONED window — no global
+    // sort), then the epoch order interleaves sources rank-by-rank so
+    // no source clumps. First 500 positions emitted via ORDER BY +
+    // LIMIT = TakeOrderedAndProject: top-k per partition + driver
+    // merge, never a full global sort — the only epoch-order plan that
+    // survives 100 TB.
+    "sample_epoch_order" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(Sampling.hashHex(col("doc_id"), "epoch1").asc, col("doc_id").asc)
+      t(s, d, "documents").select(col("doc_id"), col("source"))
+        .withColumn("rank_in_source", row_number().over(w))
+        .orderBy(col("rank_in_source"),
+          md5(concat_ws(":", lit("src"), col("source"))), col("doc_id"))
+        .limit(500)
+    }),
 
     // Exact length quantiles per language — the distribution summary a
     // curation dashboard tracks. Spark's exact `percentile` and
@@ -1074,6 +1111,61 @@ object PipelineOps {
         |                AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*) AS avg_p
         |FROM pairs p JOIN bi USING (ab) JOIN ctx USING (a)
         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+
+    // Same synthesis, same canonicalization algebra: split_part /
+    // lower / RE2-safe regexes / list-filter — engine-exact strings.
+    "dedup_url" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'HTTPS://WWW.' || source || ':443/Articles/' || CAST(doc_id % 40 AS VARCHAR)
+        |      || '/?utm_source=feed&id=' || CAST(doc_id % 200 AS VARCHAR)
+        |      || '&utm_campaign=c' || CAST(doc_id % 7 AS VARCHAR)
+        |      || '#sec' || CAST(doc_id % 3 AS VARCHAR) AS url
+        |  FROM documents),
+        |p1 AS (
+        |  SELECT doc_id,
+        |    lower(split_part(split_part(url, '#', 1), '://', 1)) AS scheme,
+        |    split_part(split_part(url, '#', 1), '://', 2) AS rest
+        |  FROM u),
+        |p2 AS (
+        |  SELECT doc_id, scheme,
+        |    split_part(rest, '/', 1) AS hostport,
+        |    substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
+        |  FROM p1),
+        |p3 AS (
+        |  SELECT doc_id, scheme,
+        |    regexp_replace(lower(hostport), '^www\.', '') AS host0,
+        |    split_part(pathq, '?', 1) AS path,
+        |    split_part(pathq, '?', 2) AS query
+        |  FROM p2),
+        |p4 AS (
+        |  SELECT doc_id, scheme,
+        |    CASE WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+        |         WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+        |         ELSE host0 END AS host,
+        |    regexp_replace(path, '/+$', '') AS cleanpath,
+        |    array_to_string(list_filter(string_split(query, '&'),
+        |      p -> p <> '' AND NOT regexp_matches(p, '^(utm_[a-z_]+|ref|fbclid|gclid)=')),
+        |      '&') AS cleanquery
+        |  FROM p3),
+        |canon AS (
+        |  SELECT doc_id,
+        |    scheme || '://' || host || cleanpath ||
+        |      CASE WHEN cleanquery = '' THEN '' ELSE '?' || cleanquery END AS canonical_url
+        |  FROM p4)
+        |SELECT canonical_url, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM canon GROUP BY canonical_url
+        |ORDER BY canonical_url""".stripMargin,
+
+    "sample_epoch_order" ->
+      """SELECT doc_id, source, CAST(rk AS INT) AS rank_in_source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY substr(md5('epoch1:' || CAST(doc_id AS VARCHAR)), 1, 13) ASC,
+        |               doc_id ASC) AS rk
+        |  FROM documents)
+        |ORDER BY rank_in_source, md5('src:' || source), doc_id
+        |LIMIT 500""".stripMargin,
 
     "sample_group_uniform" ->
       """SELECT source, doc_id, CAST(rk AS INT) AS rank FROM (

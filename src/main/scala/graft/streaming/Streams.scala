@@ -95,6 +95,24 @@ object Streams {
       .select(col(idCol), col("graft_s.n_pairs").as("n_pairs"),
         col("graft_s.avg_p").as("avg_p"))
 
+  /** Streaming ingest-time quality gate on the compression-ratio
+    * signal (Gopher's compressibility proxy, the native
+    * [[graft.functions.NativeExprs.DeflateRatio]] expression): drop
+    * too-short docs, then docs whose DEFLATE ratio falls outside
+    * [minRatio, maxRatio] — near-zero means machine-repetition
+    * boilerplate, far above 1 means incompressible noise. Stateless
+    * per-row projection + filter (append mode, no streaming state);
+    * replays the batch filter bit-exactly — same expression, same
+    * zlib level. */
+  def qualityGateStream(docs: DataFrame, minRatio: Double = 0.35,
+      maxRatio: Double = 1.1, minChars: Int = 50,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .filter(length(col(textCol)) >= minChars)
+      .select(col(idCol),
+        graft.functions.NativeExprs.deflateRatio(col(textCol)).as("ratio"))
+      .filter(col("ratio") >= minRatio && col("ratio") <= maxRatio)
+
   /** Tokenize a document stream with a batch-trained BPE merge table —
     * the train-offline / encode-online split of a production tokenizer
     * deployment. The merge table (model-sized, from

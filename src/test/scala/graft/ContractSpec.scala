@@ -28,9 +28,9 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented counts") {
-    assert(SparkEntry.queries.size == 146,
+    assert(SparkEntry.queries.size == 149,
       s"queries=${SparkEntry.queries.size} — update README/ContractSpec together")
-    assert(SparkEntry.oracleSql.size == 129,
+    assert(SparkEntry.oracleSql.size == 131,
       s"oracles=${SparkEntry.oracleSql.size} — update README/ContractSpec together")
   }
 }

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class UrlOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("url").select(UrlOps.canonicalize(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+
+  test("canonicalize strips crawl noise and preserves meaning") {
+    val Seq(a, b, c, d, e, f, g) = canon(
+      "HTTPS://WWW.Example.COM:443/A/b/?utm_source=x&id=3&ref=z#frag",
+      "http://example.com:80/",
+      "https://sub.www.example.com/path",
+      "https://example.com/p?utm_source=a&utm_campaign=b",
+      "https://example.com:8443/x",
+      "http://EXAMPLE.com:443/x",
+      "https://example.com/Mixed/Case///")
+    // scheme+host lowered, www./default port/fragment/tracking gone,
+    // surviving params and path case intact, trailing slashes collapsed
+    assert(a == "https://example.com/A/b?id=3")
+    assert(b == "http://example.com")
+    // only a LEADING www. is stripped — sub.www stays
+    assert(c == "https://sub.www.example.com/path")
+    // all params tracking → the '?' goes too
+    assert(d == "https://example.com/p")
+    // non-default port survives
+    assert(e == "https://example.com:8443/x")
+    // :443 is only default for https — kept under http
+    assert(f == "http://example.com:443/x")
+    assert(g == "https://example.com/Mixed/Case")
+  }
+
+  test("dedupByUrl groups crawl variants under one keeper") {
+    val df = Seq(
+      (1L, "https://example.com/a?utm_source=x"),
+      (2L, "HTTPS://WWW.example.com:443/a/"),
+      (3L, "https://example.com/a?page=2"),
+      (4L, "https://other.com/a")).toDF("id", "url")
+    val out = UrlOps.dedupByUrl(df, "id", "url")
+      .orderBy(col("canonical_url"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("https://example.com/a", 1L, 2L),
+      ("https://example.com/a?page=2", 3L, 1L),
+      ("https://other.com/a", 4L, 1L)))
+  }
+
+  test("dedup_url query: keepers are unique, counts cover the corpus") {
+    val out = graft.SparkEntry.queries("dedup_url")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    val keepers = out.map(_.getLong(1))
+    assert(keepers.distinct.length == keepers.length)
+    val total = graft.SparkEntry.queries("dedup_url")(spark, "/root/testdata/sf0.001")
+      .agg(sum(col("n_dups"))).head.getLong(0)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert(total == docs)
+  }
+
+  test("sample_epoch_order interleaves sources rank-by-rank, deterministically") {
+    val run1 = graft.SparkEntry.queries("sample_epoch_order")(
+      spark, "/root/testdata/sf0.001").collect()
+    val run2 = graft.SparkEntry.queries("sample_epoch_order")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(run1.toSeq == run2.toSeq) // hash-keyed: bit-stable across runs
+    assert(run1.nonEmpty)
+    val nSources = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("source").distinct().count().toInt
+    // epoch order is rank-major: the first |sources| rows are exactly
+    // one rank-1 row per source — no source clumps at the front
+    val head = run1.take(nSources)
+    assert(head.forall(_.getInt(2) == 1))
+    assert(head.map(_.getString(1)).distinct.length == nSources)
+  }
+}

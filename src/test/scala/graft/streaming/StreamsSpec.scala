@@ -153,6 +153,35 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming compression-ratio quality gate equals batch bit for bit") {
+    // the ingest-time Gopher-compressibility filter: stateless native
+    // expression, so streaming output must equal the batch filter
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.engine.Tables.load(spark, dir, "documents")
+    val watched = java.nio.file.Files.createTempDirectory("graft-qgate-stream")
+    watched.toFile.deleteOnExit()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      watched.resolve("documents.parquet"))
+    val q = Streams.qualityGateStream(
+        spark.readStream.schema(docs.schema).parquet(watched.toString))
+      .writeStream.format("memory").queryName("stream_qgate")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streaming = spark.table("stream_qgate")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      val batch = Streams.qualityGateStream(docs)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      assert(streaming == batch && streaming.nonEmpty)
+      assert(streaming.values.forall(r => r >= 0.35 && r <= 1.1))
+      // the gate actually gates: repetitive spam and too-short docs drop
+      import spark.implicits._
+      val bad = Seq((1L, ("spam " * 400).trim), (2L, "x")).toDF("doc_id", "text")
+      assert(Streams.qualityGateStream(bad).count() == 0)
+    } finally q.stop()
+  }
+
   test("streaming PII scrub equals batch (stateless projection)") {
     // redaction on the ingest stream — same scrubPii column expression,
     // no state, so streaming output must equal the batch projection
