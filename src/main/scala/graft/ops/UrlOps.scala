@@ -35,15 +35,31 @@ object UrlOps {
     *     remaining params kept in original order; `?` dropped if none
     *     survive
     *   - trailing `/` runs on the path collapsed away
+    *
+    * Scheme-less strings (no `://`) are returned unchanged except for
+    * fragment removal — a crawl frontier contains protocol-relative and
+    * garbage entries, and silently rewriting them would merge distinct
+    * keys. Idempotent: canonicalize ∘ canonicalize = canonicalize
+    * (property-pinned in UrlOpsSpec).
     */
   def canonicalize(url: Column): Column = {
     val noFrag = split_part(url, lit("#"), lit(1))
-    val scheme = lower(split_part(noFrag, lit("://"), lit(1)))
-    val rest = split_part(noFrag, lit("://"), lit(2))
+    // Anchored regex, not split_part('://'): an embedded '://' deeper in
+    // the URL (a redirect target in a query param) must not truncate the
+    // remainder. Likewise query extraction takes everything after the
+    // FIRST '?' — a second '?' is part of the query, not a delimiter.
+    val scheme = lower(regexp_extract(noFrag, "^([^:/?#]+)://", 1))
+    val rest = regexp_replace(noFrag, "^[^:/?#]+://", "")
     val hostPort = split_part(rest, lit("/"), lit(1))
     val pathq = rest.substr(length(hostPort) + lit(1), length(rest))
     val path = split_part(pathq, lit("?"), lit(1))
-    val query = split_part(pathq, lit("?"), lit(2))
+    // instr, not Column.contains: name-routed helpers (Spark 4 routes
+    // Column.contains through the function registry) resolve to the
+    // Trino dialect's array `contains` once TrinoFunctions.register has
+    // run in the session — e.g. after the meta queries in a Verify
+    // sweep. instr is not an overridden name.
+    val query = when(instr(pathq, "?") >= 1,
+      pathq.substr(length(path) + lit(2), length(pathq))).otherwise(lit(""))
 
     val hostNoWww = regexp_replace(lower(hostPort), "^www\\.", "")
     val host = when(scheme === "https", regexp_replace(hostNoWww, ":443$", ""))
@@ -55,8 +71,10 @@ object UrlOps {
     val cleanQuery = array_join(kept, "&")
     val cleanPath = regexp_replace(path, "/+$", "")
 
-    concat(scheme, lit("://"), host, cleanPath,
-      when(cleanQuery === "", lit("")).otherwise(concat(lit("?"), cleanQuery)))
+    when(noFrag.rlike("^[^:/?#]+://"),
+      concat(scheme, lit("://"), host, cleanPath,
+        when(cleanQuery === "", lit("")).otherwise(concat(lit("?"), cleanQuery))))
+      .otherwise(noFrag)
   }
 
   /** Dedup by canonical URL: one row per canonical url with the keeper

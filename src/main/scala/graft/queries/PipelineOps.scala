@@ -1124,8 +1124,8 @@ object PipelineOps {
         |  FROM documents),
         |p1 AS (
         |  SELECT doc_id,
-        |    lower(split_part(split_part(url, '#', 1), '://', 1)) AS scheme,
-        |    split_part(split_part(url, '#', 1), '://', 2) AS rest
+        |    lower(regexp_extract(split_part(url, '#', 1), '^([^:/?#]+)://', 1)) AS scheme,
+        |    regexp_replace(split_part(url, '#', 1), '^[^:/?#]+://', '') AS rest
         |  FROM u),
         |p2 AS (
         |  SELECT doc_id, scheme,
@@ -1136,7 +1136,9 @@ object PipelineOps {
         |  SELECT doc_id, scheme,
         |    regexp_replace(lower(hostport), '^www\.', '') AS host0,
         |    split_part(pathq, '?', 1) AS path,
-        |    split_part(pathq, '?', 2) AS query
+        |    CASE WHEN strpos(pathq, '?') > 0
+        |         THEN substr(pathq, length(split_part(pathq, '?', 1)) + 2)
+        |         ELSE '' END AS query
         |  FROM p2),
         |p4 AS (
         |  SELECT doc_id, scheme,

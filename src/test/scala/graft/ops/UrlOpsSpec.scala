@@ -35,6 +35,33 @@ class UrlOpsSpec extends SparkSpec {
     assert(g == "https://example.com/Mixed/Case")
   }
 
+  test("canonicalize is idempotent and total on messy input") {
+    // a canonicalizer must be a projection: applying it twice cannot
+    // change the key again, or incremental runs diverge from batch
+    val messy = Seq(
+      "HTTPS://WWW.Example.COM:443/A/b/?utm_source=x&id=3&ref=z#frag",
+      "http://example.com:80/",
+      "https://example.com/p?utm_source=a",
+      "https://example.com:8443/x?a=1&b=2",
+      "example.com/no-scheme#frag",   // scheme-less: fragment-strip only
+      "//protocol.relative/x",
+      "", "not a url at all",
+      "https://example.com",
+      "https://h.com/redirect?to=https://x.com/y&utm_source=z",
+      "https://h.com/p?q=what??&id=1")
+    val once = canon(messy: _*)
+    val twice = once.map(u => canon(u).head)
+    assert(once == twice, s"not idempotent:\n${once.zip(twice).filter(p => p._1 != p._2)}")
+    assert(canon("example.com/no-scheme#frag") == Seq("example.com/no-scheme"))
+    assert(canon("") == Seq(""))
+    // an embedded :// (redirect target) must not truncate the URL
+    assert(canon("https://h.com/redirect?to=https://x.com/y&utm_source=z") ==
+      Seq("https://h.com/redirect?to=https://x.com/y"))
+    // a second '?' belongs to the query, not a delimiter
+    assert(canon("https://h.com/p?q=what??&id=1") ==
+      Seq("https://h.com/p?q=what??&id=1"))
+  }
+
   test("dedupByUrl groups crawl variants under one keeper") {
     val df = Seq(
       (1L, "https://example.com/a?utm_source=x"),
