@@ -742,6 +742,113 @@ object TrinoFunctions {
       case args => throw new IllegalArgumentException(
         s"with_timezone expects (timestamp, zone), got ${args.length} args")
     },
+    // Trino's 2-arg regexp_replace deletes matches; the 3-arg form is
+    // Spark-identical. The 3-arg lambda form (per-match function) has
+    // no Catalyst equivalent — it lands in the args mismatch error.
+    "regexp_replace" -> {
+      case Seq(s, p) => RegExpReplace(s, p, Literal(""))
+      case Seq(s, p, r) if !r.isInstanceOf[LambdaFunction] => RegExpReplace(s, p, r)
+      case args => throw new IllegalArgumentException(
+        s"regexp_replace expects (string, pattern[, replacement]); the " +
+          s"lambda replacement form is unsupported (got ${args.length} args)")
+    },
+    // random() → uniform double in [0,1); random(n) / random(m, n) →
+    // uniform BIGINT in [0,n) / [m,n), Trino's integer forms.
+    "random" -> {
+      case Seq() => new Rand(Literal(scala.util.Random.nextLong()))
+      case Seq(n) => Cast(Floor(Multiply(
+        new Rand(Literal(scala.util.Random.nextLong())),
+        Cast(n, DoubleType))), LongType)
+      case Seq(m, n) => Add(Cast(m, LongType), Cast(Floor(Multiply(
+        new Rand(Literal(scala.util.Random.nextLong())),
+        Subtract(Cast(n, DoubleType), Cast(m, DoubleType)))), LongType))
+      case args => throw new IllegalArgumentException(
+        s"random expects 0-2 args, got ${args.length}")
+    },
+    // from_unixtime_nanos(n) → timestamp at µs precision (Spark's
+    // finest); truncation toward zero for pre-epoch values documented.
+    "from_unixtime_nanos" -> {
+      case Seq(n) => MicrosToTimestamp(IntegralDivide(Cast(n, LongType), Literal(1000L), evalMode = EvalMode.LEGACY))
+      case args => throw new IllegalArgumentException(
+        s"from_unixtime_nanos expects 1 arg, got ${args.length}")
+    },
+    // Trino greatest/least return NULL if ANY argument is NULL; Spark's
+    // skip nulls. Null-propagate explicitly, then delegate.
+    "greatest" -> {
+      case args if args.nonEmpty =>
+        If(args.map(IsNull(_): Expression).reduce(Or),
+          Literal.create(null, org.apache.spark.sql.types.NullType), Greatest(args))
+      case _ => throw new IllegalArgumentException("greatest expects >= 1 arg")
+    },
+    "least" -> {
+      case args if args.nonEmpty =>
+        If(args.map(IsNull(_): Expression).reduce(Or),
+          Literal.create(null, org.apache.spark.sql.types.NullType), Least(args))
+      case _ => throw new IllegalArgumentException("least expects >= 1 arg")
+    },
+    // set_agg(x) → array of distinct values; set_union(arr) → distinct
+    // union of all input arrays (entropy-style post-agg composition).
+    "set_agg" -> {
+      case Seq(x) => new org.apache.spark.sql.catalyst.expressions.aggregate.CollectSet(x)
+      case args => throw new IllegalArgumentException(
+        s"set_agg expects 1 arg, got ${args.length}")
+    },
+    "set_union" -> {
+      case Seq(arr) => ArrayDistinct(Flatten(
+        new org.apache.spark.sql.catalyst.expressions.aggregate.CollectList(arr)
+          .toAggregateExpression()))
+      case args => throw new IllegalArgumentException(
+        s"set_union expects 1 arg, got ${args.length}")
+    },
+    // Trino's skewness/kurtosis are the SAMPLE (bias-corrected)
+    // statistics; Spark's are population. Correct via the standard
+    // identities G1 = g1·sqrt(n(n-1))/(n-2) and
+    // G2 = (n-1)/((n-2)(n-3))·((n+1)·g2 + 6), NULL below the minimum
+    // group size like Trino.
+    "skewness" -> {
+      case Seq(c) =>
+        val x = Cast(c, DoubleType)
+        val n = Cast(new org.apache.spark.sql.catalyst.expressions.aggregate.Count(Seq(x))
+          .toAggregateExpression(), DoubleType)
+        val g1 = new org.apache.spark.sql.catalyst.expressions.aggregate.Skewness(x)
+          .toAggregateExpression()
+        If(LessThanOrEqual(n, Literal(2.0)),
+          Literal.create(null, DoubleType),
+          Multiply(g1, Divide(Sqrt(Multiply(n, Subtract(n, Literal(1.0)))),
+            Subtract(n, Literal(2.0)))))
+      case args => throw new IllegalArgumentException(
+        s"skewness expects 1 arg, got ${args.length}")
+    },
+    "kurtosis" -> {
+      case Seq(c) =>
+        val x = Cast(c, DoubleType)
+        val n = Cast(new org.apache.spark.sql.catalyst.expressions.aggregate.Count(Seq(x))
+          .toAggregateExpression(), DoubleType)
+        val g2 = new org.apache.spark.sql.catalyst.expressions.aggregate.Kurtosis(x)
+          .toAggregateExpression()
+        If(LessThanOrEqual(n, Literal(3.0)),
+          Literal.create(null, DoubleType),
+          Multiply(Divide(Subtract(n, Literal(1.0)),
+            Multiply(Subtract(n, Literal(2.0)), Subtract(n, Literal(3.0)))),
+            Add(Multiply(Add(n, Literal(1.0)), g2), Literal(6.0))))
+      case args => throw new IllegalArgumentException(
+        s"kurtosis expects 1 arg, got ${args.length}")
+    },
+    // The engine models timestamp-with-time-zone values as UTC instants
+    // (session TZ pinned UTC; at_timezone/with_timezone shift instants)
+    // — the zone offset of any value on this surface is therefore 0.
+    "timezone_hour" -> {
+      case Seq(ts) => If(IsNull(Cast(ts, TimestampType)),
+        Literal.create(null, LongType), Literal(0L))
+      case args => throw new IllegalArgumentException(
+        s"timezone_hour expects 1 arg, got ${args.length}")
+    },
+    "timezone_minute" -> {
+      case Seq(ts) => If(IsNull(Cast(ts, TimestampType)),
+        Literal.create(null, LongType), Literal(0L))
+      case args => throw new IllegalArgumentException(
+        s"timezone_minute expects 1 arg, got ${args.length}")
+    },
     "parse_data_size" -> {
       case Seq(s) =>
         org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(

@@ -77,6 +77,20 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** URL-keyed dedup on an ingest stream: canonicalize the crawl URL
+    * ([[graft.ops.UrlOps.canonicalize]] — stateless projection), then
+    * keep the first arrival per canonical URL within the watermark
+    * horizon (bounded state, same contract as [[dedupStream]]). The
+    * crawl-frontier shape: re-fetches of the same page arrive minutes
+    * apart under cosmetically different URLs and must collapse to one
+    * document. */
+  def urlDedupStream(docs: DataFrame, urlCol: String = "url",
+      tsCol: String = "ts", watermark: String = "2 hours"): DataFrame =
+    docs
+      .withColumn("canonical_url", graft.ops.UrlOps.canonicalize(col(urlCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("canonical_url"))
+
   /** Score a document stream with a batch-trained char-bigram LM —
     * the train-offline / score-online split of a production quality
     * filter: the model (≤ alphabet² entries, from

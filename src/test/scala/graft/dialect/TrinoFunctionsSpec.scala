@@ -1112,6 +1112,68 @@ class TrinoFunctionsSpec extends SparkSpec {
     assert(one("SELECT version()").asInstanceOf[String].startsWith("graft-spark "))
   }
 
+  test("regexp_replace 2-arg deletes matches; 3-arg is Spark-identical") {
+    assert(one("SELECT regexp_replace('1a2b3c', '[a-z]')") == "123")
+    assert(one("SELECT regexp_replace('1a2b3c', '[a-z]', '_')") == "1_2_3_")
+    assert(one("SELECT regexp_replace(CAST(NULL AS STRING), 'x')") == null)
+  }
+
+  test("random forms: [0,1) double, [0,n) and [m,n) bigint") {
+    val d = one("SELECT random()").asInstanceOf[Double]
+    assert(d >= 0.0 && d < 1.0)
+    (1 to 20).foreach { _ =>
+      val i = one("SELECT random(10)").asInstanceOf[Long]
+      assert(i >= 0L && i < 10L)
+      val r = one("SELECT random(5, 8)").asInstanceOf[Long]
+      assert(r >= 5L && r < 8L)
+    }
+  }
+
+  test("from_unixtime_nanos truncates to Spark's microsecond precision") {
+    assert(one("SELECT CAST(from_unixtime_nanos(1500000000123456789) AS STRING)")
+      == "2017-07-14 02:40:00.123456")
+    assert(one("SELECT CAST(from_unixtime_nanos(0) AS STRING)")
+      == "1970-01-01 00:00:00")
+  }
+
+  test("greatest/least propagate NULL like Trino (Spark's skip nulls)") {
+    assert(one("SELECT greatest(1, 2, 3)") == 3)
+    assert(one("SELECT least(1, 2, 3)") == 1)
+    assert(one("SELECT greatest(1, NULL, 3)") == null)
+    assert(one("SELECT least(NULL, 2)") == null)
+  }
+
+  test("set_agg collects distinct values; set_union unions arrays") {
+    val s = one("SELECT set_agg(x) FROM (VALUES 1, 2, 2, 3, 1) AS t(x)")
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq.sorted
+    assert(s == Seq(1, 2, 3))
+    val u = one("SELECT set_union(a) FROM (VALUES array(1, 2), array(2, 3), array(3, 4)) AS t(a)")
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq.sorted
+    assert(u == Seq(1, 2, 3, 4))
+  }
+
+  test("skewness/kurtosis are the sample statistics like Trino") {
+    // n=5 data 1,2,3,4,100: population g1/g2 corrected to sample G1/G2.
+    // Expected values computed from the standard identities:
+    //   G1 = g1*sqrt(n(n-1))/(n-2), G2 = (n-1)/((n-2)(n-3))*((n+1)g2+6)
+    val sk = one("SELECT skewness(x) FROM (VALUES 1.0, 2.0, 3.0, 4.0, 100.0) AS t(x)")
+      .asInstanceOf[Double]
+    val ku = one("SELECT kurtosis(x) FROM (VALUES 1.0, 2.0, 3.0, 4.0, 100.0) AS t(x)")
+      .asInstanceOf[Double]
+    // references computed by hand (see derivation in the shim comment)
+    assert(math.abs(sk - 2.2324) < 1e-3, s"skewness $sk")
+    assert(math.abs(ku - 4.9869) < 1e-3, s"kurtosis $ku")
+    // below the minimum group size Trino returns NULL
+    assert(one("SELECT skewness(x) FROM (VALUES 1.0, 2.0) AS t(x)") == null)
+    assert(one("SELECT kurtosis(x) FROM (VALUES 1.0, 2.0, 3.0) AS t(x)") == null)
+  }
+
+  test("timezone_hour/minute are 0 on the UTC-instant model") {
+    assert(one("SELECT timezone_hour(TIMESTAMP '2020-06-01 12:00:00')") == 0L)
+    assert(one("SELECT timezone_minute(TIMESTAMP '2020-06-01 12:00:00')") == 0L)
+    assert(one("SELECT timezone_hour(CAST(NULL AS TIMESTAMP))") == null)
+  }
+
   test("numeric_histogram supports weights and needs >= 2 buckets") {
     val m = one("SELECT numeric_histogram(4, x, w) FROM (VALUES (1.0, 2.0), (2.0, 3.0), (50.0, 1.0)) AS t(x, w)")
       .asInstanceOf[Map[Double, Double]]

@@ -153,6 +153,35 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming URL dedup collapses crawl variants to first arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val q = Streams.urlDedupStream(
+        mem.toDF().toDF("doc_id", "url", "ts"))
+      .writeStream.format("memory").queryName("stream_urldedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, "https://example.com/a?utm_source=x", ts(0)),
+        (2L, "HTTPS://WWW.example.com:443/a/", ts(5)),   // same canonical
+        (3L, "https://example.com/a?page=2", ts(10)),    // different
+        (4L, "https://example.com/a#frag", ts(15)))      // same canonical
+      q.processAllAvailable()
+      val kept = spark.table("stream_urldedup")
+        .collect().map(_.getAs[Long]("doc_id")).sorted
+      assert(kept.toSeq == Seq(1L, 3L)) // first arrival per canonical URL
+      // streaming keepers == batch keepers over the same rows
+      val batch = graft.ops.UrlOps.dedupByUrl(
+          Seq((1L, "https://example.com/a?utm_source=x"),
+            (2L, "HTTPS://WWW.example.com:443/a/"),
+            (3L, "https://example.com/a?page=2"),
+            (4L, "https://example.com/a#frag")).toDF("doc_id", "url"),
+          "doc_id", "url")
+        .collect().map(_.getAs[Long]("keep_id")).sorted
+      assert(batch.toSeq == kept.toSeq)
+    } finally q.stop()
+  }
+
   test("streaming compression-ratio quality gate equals batch bit for bit") {
     // the ingest-time Gopher-compressibility filter: stateless native
     // expression, so streaming output must equal the batch filter
