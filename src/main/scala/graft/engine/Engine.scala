@@ -37,11 +37,13 @@ class Engine(
         .withExtensions(_.injectResolutionRule(_ => graft.dialect.TimeCastRule))
         .appName(config.source)
         .config("spark.sql.shuffle.partitions", cpus)
-        // 100 TB posture: AQE picks post-shuffle parallelism between 1
-        // and 8x cores (coalesced to the 64 MB advisory target), so
-        // small scans keep few fat partitions while big shuffles fan out.
+        // AQE initial shuffle-partition count: deployment config, NOT a
+        // hardcoded 8x-cores — at local[32]/small SF that multiplier made
+        // every shuffle write 256 reducer partitions and tripled the full
+        // bench wall-clock (191.7s vs 68.0s measured at sf0.1). On a real
+        // cluster, size it to the input via SPARK_GRAFT_INITIAL_PARTITIONS.
         .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-          (cpus.toInt * 8).toString)
+          sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", cpus))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()

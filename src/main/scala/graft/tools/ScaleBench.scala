@@ -26,12 +26,13 @@ object ScaleBench {
       .master(s"local[$cpus]")
       .appName("graft-scale-bench")
       .config("spark.sql.shuffle.partitions", cpus)
-      // 100 TB posture: let AQE choose post-shuffle parallelism. The
-      // initial (maximum) shuffle partition count scales with cores;
-      // AQE coalesces down to the 64 MB advisory target, so small-SF
-      // plans keep their few fat partitions while 100x data fans out.
+      // AQE initial shuffle-partition count: deployment config, NOT a
+      // hardcoded 8x-cores — at local[32]/small SF that multiplier made
+      // every shuffle write 256 reducer partitions and tripled the full
+      // bench wall-clock (191.7s vs 68.0s measured at sf0.1). On a real
+      // cluster, size it to the input via SPARK_GRAFT_INITIAL_PARTITIONS.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (cpus.toInt * 8).toString)
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.timeType.enabled", "true")

@@ -117,6 +117,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 2, s"unexpected shuffles:\n$p")
   }
 
+  test("dedup_url: one hash-shuffle of (url, id) pairs, text never moves") {
+    val p = plan("dedup_url")
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    // one hashpartitioning (groupBy canonical_url) + one range (ORDER BY)
+    assert(exchanges <= 2, s"unexpected shuffles:\n$p")
+    assert(!p.contains("text#"), "document text must not enter the plan at all")
+  }
+
+  test("sample_epoch_order: partitioned ranking + TakeOrderedAndProject, no global sort") {
+    val p = plan("sample_epoch_order")
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+    // the only Sort allowed is the window's within-partition sort
+    val globalSorts = p.linesIterator.count(l =>
+      l.contains("Sort ") && l.contains("true")) // Sort [...], true = global
+    assert(globalSorts == 0, s"global sort found:\n$p")
+  }
+
   test("embed_knn_cosine: anchor broadcast + top-k, no corpus shuffle") {
     val p = plan("embed_knn_cosine")
     assert(p.contains("TakeOrderedAndProject"), p.take(400))
