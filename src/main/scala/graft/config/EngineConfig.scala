@@ -39,7 +39,12 @@ final case class EngineConfig(
     oidcClientSecret: String = "",
     oauthRedirectUris: Seq[String] = Nil,
     oidcJwks: String = "",
-    oidcJwksFile: String = "")
+    oidcJwksFile: String = "",
+    /** Opt-in hardening beyond the reference: apply the allowlists to
+      * every relation inside execute_query SQL (security.SqlAllowlist).
+      * Default false = reference parity (allowlists scope metadata
+      * only). */
+    enforceSqlAllowlists: Boolean = false)
 
 object EngineConfig {
 
@@ -102,6 +107,8 @@ object EngineConfig {
       queryTimeoutSeconds = timeout,
       allowWriteQueries =
         get("TRINO_ALLOW_WRITE_QUERIES", "false").toBooleanOption.getOrElse(false),
+      enforceSqlAllowlists =
+        get("GRAFT_ENFORCE_SQL_ALLOWLISTS", "false").toBooleanOption.getOrElse(false),
       allowedCatalogs = allowedCatalogs,
       allowedSchemas = allowedSchemas,
       allowedTables = allowedTables,

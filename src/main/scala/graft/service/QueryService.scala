@@ -66,6 +66,20 @@ class QueryService(engine: Engine) {
     val dialectSql =
       try graft.dialect.TrinoFunctions.preprocess(stripped)
       catch { case e: IllegalArgumentException => return Left(e.getMessage) }
+    // Opt-in hardening beyond the reference (GRAFT_ENFORCE_SQL_ALLOWLISTS):
+    // judge every referenced relation against the allowlists BEFORE
+    // analysis; runs on the pre-InfoSchema-rewrite text so
+    // information_schema references keep their exemption.
+    if (engine.config.enforceSqlAllowlists) {
+      val parsed =
+        try engine.spark.sessionState.sqlParser.parsePlan(dialectSql)
+        catch { case e: Throwable => return Left(s"query execution failed: ${clip(e)}") }
+      graft.security.SqlAllowlist.check(parsed, engine.allowlists,
+          engine.config.catalog, engine.config.schema) match {
+        case Some(err) => return Left(err)
+        case None => ()
+      }
+    }
     // information_schema introspection (Trino serves it natively behind
     // the reference's pass-through): rebuild the shim views from the
     // current catalog and route the reference to them.
