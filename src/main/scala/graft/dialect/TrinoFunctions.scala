@@ -1435,6 +1435,64 @@ object TrinoFunctions {
       case args => throw new IllegalArgumentException(
         s"map_union expects 1 arg, got ${args.length}")
     },
+    // map_remove_null_values(m): drop entries whose value is NULL
+    "map_remove_null_values" -> {
+      case Seq(m) =>
+        val k = UnresolvedNamedLambdaVariable(Seq("k"))
+        val v = UnresolvedNamedLambdaVariable(Seq("v"))
+        MapFilter(m, LambdaFunction(IsNotNull(v), Seq(k, v)))
+      case args => throw new IllegalArgumentException(
+        s"map_remove_null_values expects 1 arg, got ${args.length}")
+    },
+    // array_split_into_chunks(arr, n): consecutive max-n-element
+    // subarrays (last may be shorter); empty input → empty output
+    "array_split_into_chunks" -> {
+      case Seq(arr, nExpr) =>
+        val n = litInt(nExpr, "n")
+        if (n < 1) throw new IllegalArgumentException(
+          s"array_split_into_chunks: n must be >= 1, got $n")
+        val i = UnresolvedNamedLambdaVariable(Seq("i"))
+        val chunks = ArrayTransform(
+          new Sequence(Literal(1), Greatest(Seq(Literal(1), Size(arr))),
+            Some(Literal(n))),
+          LambdaFunction(Slice(arr, i, Literal(n)), Seq(i)))
+        If(LessThanOrEqual(Size(arr), Literal(0)),
+          Slice(chunks, Literal(1), Literal(0)), chunks)
+      case args => throw new IllegalArgumentException(
+        s"array_split_into_chunks expects (array, n), got ${args.length} args")
+    },
+    // array_top_n(arr, n): the n largest elements, descending (nulls
+    // sort last and can only appear when fewer than n non-nulls exist)
+    "array_top_n" -> {
+      case Seq(arr, n) => Slice(new SortArray(arr, Literal(false)), Literal(1), n)
+      case args => throw new IllegalArgumentException(
+        s"array_top_n expects (array, n), got ${args.length} args")
+    },
+    // array_least_frequent(arr[, n]): n least frequent non-null
+    // elements, ascending frequency, smaller element first on ties —
+    // (count, element) struct sort, the array_duplicates counting
+    // pattern (O(distinct·n) per row; row-level arrays)
+    "array_least_frequent" -> {
+      case args0 if args0.length == 1 || args0.length == 2 =>
+        val arr = args0.head
+        val n = if (args0.length == 2) args0(1) else Literal(1)
+        import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+        val x = UnresolvedNamedLambdaVariable(Seq("x"))
+        val y = UnresolvedNamedLambdaVariable(Seq("y"))
+        val t = UnresolvedNamedLambdaVariable(Seq("t"))
+        val nonNull = ArrayFilter(ArrayDistinct(arr),
+          LambdaFunction(IsNotNull(x), Seq(x)))
+        val withCounts = ArrayTransform(nonNull, LambdaFunction(
+          CreateNamedStruct(Seq(
+            Literal("c"), Size(ArrayFilter(arr,
+              LambdaFunction(EqualNullSafe(y, x), Seq(y)))),
+            Literal("e"), x)), Seq(x)))
+        ArrayTransform(
+          Slice(new SortArray(withCounts, Literal(true)), Literal(1), n),
+          LambdaFunction(UnresolvedExtractValue(t, Literal("e")), Seq(t)))
+      case args => throw new IllegalArgumentException(
+        s"array_least_frequent expects (array[, n]), got ${args.length} args")
+    },
     // ngrams(arr, n): sliding subsequences, composed from codegen'd
     // slice over a sequence of start offsets
     "ngrams" -> {

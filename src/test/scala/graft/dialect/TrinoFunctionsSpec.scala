@@ -1174,6 +1174,28 @@ class TrinoFunctionsSpec extends SparkSpec {
     assert(one("SELECT timezone_hour(CAST(NULL AS TIMESTAMP))") == null)
   }
 
+  test("map_remove_null_values / array_split_into_chunks / array_top_n / array_least_frequent") {
+    assert(one("SELECT map_remove_null_values(map('a', 1, 'b', CAST(NULL AS INT)))")
+      .asInstanceOf[Map[String, Any]] == Map("a" -> 1))
+    assert(one("SELECT array_split_into_chunks(array(1, 2, 3, 4, 5), 2)")
+      .asInstanceOf[scala.collection.Seq[scala.collection.Seq[Int]]].map(_.toSeq).toSeq
+      == Seq(Seq(1, 2), Seq(3, 4), Seq(5)))
+    assert(one("SELECT array_split_into_chunks(array(1), 3)")
+      .asInstanceOf[scala.collection.Seq[scala.collection.Seq[Int]]].map(_.toSeq).toSeq
+      == Seq(Seq(1)))
+    assert(one("SELECT array_split_into_chunks(CAST(array() AS ARRAY<INT>), 2)")
+      .asInstanceOf[scala.collection.Seq[Any]].isEmpty)
+    assert(one("SELECT array_top_n(array(3, 1, 4, 1, 5), 3)")
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(5, 4, 3))
+    assert(one("SELECT array_least_frequent(array(1, 1, 2, 2, 3))")
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(3))
+    assert(one("SELECT array_least_frequent(array(3, 3, 2, 2, 1, 9, 9, 9), 2)")
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(1, 2))
+    // ties: smaller element first
+    assert(one("SELECT array_least_frequent(array(2, 1), 2)")
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(1, 2))
+  }
+
   test("numeric_histogram supports weights and needs >= 2 buckets") {
     val m = one("SELECT numeric_histogram(4, x, w) FROM (VALUES (1.0, 2.0), (2.0, 3.0), (50.0, 1.0)) AS t(x, w)")
       .asInstanceOf[Map[Double, Double]]
