@@ -63,6 +63,26 @@ class QueryService(engine: Engine) {
 
     // preprocess rejects constructs with no Spark translation (e.g.
     // `time with time zone`) via IllegalArgumentException → clean Left
+    // SHOW STATS FOR t — Trino's statistics surface (pass-through in the
+    // reference); computed here since Spark's SHOW has no STATS form.
+    // Under the opt-in SQL allowlist flag the same table gate applies.
+    val statsTable =
+      try ShowStats.matchStats(stripped)
+      catch { case e: IllegalArgumentException => return Left(e.getMessage) }
+    statsTable.foreach { t =>
+      if (engine.config.enforceSqlAllowlists) {
+        val (c, s, tbl) = graft.security.Allowlists.resolveTable("", "", t,
+          engine.config.catalog, engine.config.schema)
+        engine.allowlists.tableAccessError(c, s, tbl) match {
+          case Some(err) => return Left(err)
+          case None => ()
+        }
+      }
+      val df =
+        try ShowStats.forTable(engine, t)
+        catch { case e: Throwable => return Left(s"query execution failed: ${clip(e)}") }
+      return collectBounded(df)
+    }
     val dialectSql =
       try graft.dialect.TrinoFunctions.preprocess(stripped)
       catch { case e: IllegalArgumentException => return Left(e.getMessage) }

@@ -1,0 +1,53 @@
+package graft.service
+
+import graft.SparkSpec
+import graft.config.EngineConfig
+import graft.engine.Engine
+
+/** SHOW STATS FOR t: Trino's output shape (column rows + summary row),
+  * exact metrics on the known sf0.001 region table, and the guarded
+  * surface wiring. */
+class ShowStatsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def qs(env: Map[String, String] = Map.empty): QueryService = {
+    val cfg = EngineConfig.fromEnv(env).toOption.get
+    new QueryService(new Engine(cfg, Some(dir), existing = Some(spark)))
+  }
+
+  test("SHOW STATS FOR region: Trino shape, exact metrics on a known table") {
+    val r = qs().execute("SHOW STATS FOR region").toOption.get
+    assert(r.columns == Seq("column_name", "data_size", "distinct_values_count",
+      "nulls_fraction", "row_count", "low_value", "high_value"))
+    val byName = r.rows.map(row => Option(row.head).map(_.toString).orNull -> row).toMap
+    // summary row: row_count = 5, everything else NULL
+    val summary = byName(null)
+    assert(summary(4) == 5.0 && summary(1) == null && summary(5) == null)
+    // numeric column: ndv + range, no data_size
+    val key = byName("r_regionkey")
+    assert(key(2) == 5.0 && key(3) == 0.0 && key(5) == "0" && key(6) == "4")
+    assert(key(1) == null)
+    // varchar column: data_size (total bytes), no low/high
+    val name = byName("r_name")
+    assert(name(1).asInstanceOf[Double] > 0.0 && name(5) == null)
+    assert(name(2) == 5.0)
+  }
+
+  test("SHOW STATS is case-insensitive, semicolon-tolerant, and guarded") {
+    assert(qs().execute("  show stats for region ;").isRight)
+    assert(qs().execute("SHOW STATS FOR no_such_table").isLeft)
+    val e = qs().execute("SHOW STATS FOR (SELECT * FROM region)")
+    assert(e == Left("SHOW STATS FOR (SELECT ...) is not supported; " +
+      "run SHOW STATS FOR <table>"))
+  }
+
+  test("SHOW STATS respects the opt-in SQL allowlist gate") {
+    val enforcing = qs(Map(
+      "GRAFT_ENFORCE_SQL_ALLOWLISTS" -> "true",
+      "TRINO_ALLOWED_TABLES" -> "spark_catalog.default.nation"))
+    assert(enforcing.execute("SHOW STATS FOR nation").isRight)
+    assert(enforcing.execute("SHOW STATS FOR region") ==
+      Left("table access denied: spark_catalog.default.region not in allowlist"))
+  }
+}
