@@ -50,7 +50,9 @@ object UrlOps {
     // FIRST '?' — a second '?' is part of the query, not a delimiter.
     val scheme = lower(regexp_extract(noFrag, "^([^:/?#]+)://", 1))
     val rest = regexp_replace(noFrag, "^[^:/?#]+://", "")
-    val hostPort = split_part(rest, lit("/"), lit(1))
+    // host ends at the first '/' OR '?' — `https://h:443?id=1` is legal
+    // (query with no path) and the port must still strip
+    val hostPort = regexp_extract(rest, "^([^/?]*)", 1)
     val pathq = rest.substr(length(hostPort) + lit(1), length(rest))
     val path = split_part(pathq, lit("?"), lit(1))
     // instr, not Column.contains: name-routed helpers (Spark 4 routes

@@ -1129,8 +1129,8 @@ object PipelineOps {
         |  FROM u),
         |p2 AS (
         |  SELECT doc_id, scheme,
-        |    split_part(rest, '/', 1) AS hostport,
-        |    substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
+        |    regexp_extract(rest, '^([^/?]*)', 1) AS hostport,
+        |    substr(rest, length(regexp_extract(rest, '^([^/?]*)', 1)) + 1) AS pathq
         |  FROM p1),
         |p3 AS (
         |  SELECT doc_id, scheme,

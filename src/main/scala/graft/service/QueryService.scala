@@ -83,6 +83,24 @@ class QueryService(engine: Engine) {
         catch { case e: Throwable => return Left(s"query execution failed: ${clip(e)}") }
       return collectBounded(df)
     }
+    // SHOW CREATE TABLE / SHOW SESSION — also reference pass-throughs
+    // Spark can't serve on temp-view-backed relations (ShowMeta).
+    ShowMeta.matchCreateTable(stripped).foreach { t =>
+      if (engine.config.enforceSqlAllowlists) {
+        val (c, s, tbl) = graft.security.Allowlists.resolveTable("", "", t,
+          engine.config.catalog, engine.config.schema)
+        engine.allowlists.tableAccessError(c, s, tbl) match {
+          case Some(err) => return Left(err)
+          case None => ()
+        }
+      }
+      val df =
+        try ShowMeta.createTable(engine, t)
+        catch { case e: Throwable => return Left(s"query execution failed: ${clip(e)}") }
+      return collectBounded(df)
+    }
+    if (ShowMeta.matchSession(stripped))
+      return collectBounded(ShowMeta.session(engine))
     val dialectSql =
       try graft.dialect.TrinoFunctions.preprocess(stripped)
       catch { case e: IllegalArgumentException => return Left(e.getMessage) }

@@ -1,0 +1,76 @@
+package graft.service
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.engine.Engine
+import graft.security.Allowlists
+
+/** `SHOW CREATE TABLE t` and `SHOW SESSION` — two more statements the
+  * reference serves by Trino pass-through that Spark cannot serve for
+  * this engine's relations (temp-view-backed tables reject Spark's own
+  * SHOW CREATE TABLE; SHOW SESSION does not exist in Spark SQL).
+  *
+  * SHOW CREATE TABLE renders the single-column ("Create Table") DDL row
+  * Trino emits, with Trino type names from the same mapper DESCRIBE
+  * uses — so DESCRIBE, typeof() and SHOW CREATE TABLE always agree.
+  * SHOW SESSION lists the engine's live session properties in Trino's
+  * five-column shape (Name, Value, Default, Type, Description).
+  */
+object ShowMeta {
+
+  private val CreatePat =
+    """(?is)^\s*SHOW\s+CREATE\s+TABLE\s+([A-Za-z_][\w.]*)\s*$""".r
+  private val SessionPat = """(?is)^\s*SHOW\s+SESSION\s*$""".r
+
+  def matchCreateTable(sql: String): Option[String] = sql match {
+    case CreatePat(t) => Some(t)
+    case _ => None
+  }
+
+  def matchSession(sql: String): Boolean = SessionPat.matches(sql)
+
+  private def oneCol(spark: org.apache.spark.sql.SparkSession,
+      colName: String, rows: Seq[Row], extra: Seq[StructField] = Nil): DataFrame = {
+    val schema = StructType(StructField(colName, StringType) +: extra)
+    spark.createDataFrame(new java.util.ArrayList[Row](
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+  }
+
+  def createTable(engine: Engine, table: String): DataFrame = {
+    val (c, s, t) = Allowlists.resolveTable("", "", table,
+      engine.config.catalog, engine.config.schema)
+    val df = engine.spark.table(t) // temp-view-backed; name part resolves
+    val cols = df.schema.fields
+      .map(f => s"   ${f.name} ${TypeNames.trino(f.dataType)}")
+      .mkString(",\n")
+    val ddl = s"CREATE TABLE $c.$s.$t (\n$cols\n)"
+    oneCol(engine.spark, "Create Table", Seq(Row(ddl)))
+  }
+
+  def session(engine: Engine): DataFrame = {
+    val cfg = engine.config
+    def row(n: String, v: String, d: String, t: String, desc: String) =
+      Row(n, v, d, t, desc)
+    val rows = Seq(
+      row("catalog", cfg.catalog, "spark_catalog", "varchar",
+        "Default catalog for unqualified table names"),
+      row("schema", cfg.schema, "default", "varchar",
+        "Default schema for unqualified table names"),
+      row("query_timeout_seconds", cfg.queryTimeoutSeconds.toString,
+        graft.config.EngineConfig.DefaultQueryTimeout.toString, "integer",
+        "Per-query wall-clock timeout (job group cancelled on deadline)"),
+      row("max_result_rows", cfg.maxResultRows.toString,
+        graft.config.EngineConfig.DefaultMaxResultRows.toString, "integer",
+        "Row cap on collected results (truncated flag set when clipped)"),
+      row("allow_write_queries", cfg.allowWriteQueries.toString, "false",
+        "boolean", "Disable the read-only SQL guard"),
+      row("enforce_sql_allowlists", cfg.enforceSqlAllowlists.toString,
+        "false", "boolean",
+        "Apply catalog/schema/table allowlists to relations inside SQL"))
+    val schema = StructType(Seq("Name", "Value", "Default", "Type",
+      "Description").map(StructField(_, StringType)))
+    engine.spark.createDataFrame(new java.util.ArrayList[Row](
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+  }
+}

@@ -60,6 +60,40 @@ class UrlOpsSpec extends SparkSpec {
     // a second '?' belongs to the query, not a delimiter
     assert(canon("https://h.com/p?q=what??&id=1") ==
       Seq("https://h.com/p?q=what??&id=1"))
+    // query with no path: the host still ends (and the port strips)
+    assert(canon("https://Example.COM:443?id=1") ==
+      Seq("https://example.com?id=1"))
+  }
+
+  test("property: canonicalize is total and idempotent over generated URL soup") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val urlGen = for {
+      s <- Gen.oneOf("http", "HTTP", "https", "HTTPS", "ftp")
+      h <- Gen.oneOf("Example.COM", "www.Example.com", "sub.www.x.org", "a-b.c")
+      po <- Gen.oneOf("", ":80", ":443", ":8080")
+      pa <- Gen.oneOf("", "/", "/A/b", "/A/b/", "/p//", "/Mixed/Case///")
+      q <- Gen.oneOf("", "?utm_source=x", "?id=3&ref=z",
+        "?a=1&utm_campaign=b&b=2", "?q=a??&to=https://x/y", "?")
+      fr <- Gen.oneOf("", "#f", "#a#b")
+    } yield s"$s://$h$po$pa$q$fr"
+    val junk = Gen.oneOf("", "not a url", "example.com/x#f", "//rel/x",
+      ":::", "a b c", "http:/half", "://nohost")
+    val gen = Gen.listOfN(300, Gen.frequency(4 -> urlGen, 1 -> junk))
+    val urls = gen.apply(Gen.Parameters.default, Seed(42L)).get
+    import spark.implicits._
+    val rows = urls.toDF("url")
+      .select(col("url"), UrlOps.canonicalize(col("url")).as("c1"))
+      .select(col("url"), col("c1"), UrlOps.canonicalize(col("c1")).as("c2"))
+      .collect()
+    assert(rows.length == 300)
+    rows.foreach { r =>
+      val (url, c1, c2) = (r.getString(0), r.getString(1), r.getString(2))
+      assert(c1 != null, s"canonicalize returned null for <$url>")
+      assert(c1 == c2, s"not idempotent: <$url> -> <$c1> -> <$c2>")
+      if (url.matches("(?i)^https?://.*"))
+        assert(c1.matches("^https?://.*"), s"scheme not lowered: <$url> -> <$c1>")
+    }
   }
 
   test("dedupByUrl groups crawl variants under one keeper") {

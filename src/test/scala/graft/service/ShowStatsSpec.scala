@@ -42,6 +42,27 @@ class ShowStatsSpec extends SparkSpec {
       "run SHOW STATS FOR <table>"))
   }
 
+  test("SHOW CREATE TABLE renders Trino-typed DDL; SHOW SESSION lists properties") {
+    val r = qs().execute("SHOW CREATE TABLE region").toOption.get
+    assert(r.columns == Seq("Create Table"))
+    val ddl = r.rows.head.head.toString
+    assert(ddl.startsWith("CREATE TABLE spark_catalog.default.region ("))
+    assert(ddl.contains("r_regionkey integer") && ddl.contains("r_name varchar"))
+    // DESCRIBE and SHOW CREATE TABLE agree on type names by construction
+    val s = qs().execute("show session").toOption.get
+    assert(s.columns == Seq("Name", "Value", "Default", "Type", "Description"))
+    val byName = s.rows.map(row => row.head.toString -> row(1).toString).toMap
+    assert(byName("catalog") == "spark_catalog")
+    assert(byName("allow_write_queries") == "false")
+    // unknown table errors cleanly; the allowlist gate applies when on
+    assert(qs().execute("SHOW CREATE TABLE no_such").isLeft)
+    val enforcing = qs(Map(
+      "GRAFT_ENFORCE_SQL_ALLOWLISTS" -> "true",
+      "TRINO_ALLOWED_TABLES" -> "spark_catalog.default.nation"))
+    assert(enforcing.execute("SHOW CREATE TABLE region").isLeft)
+    assert(enforcing.execute("SHOW CREATE TABLE nation").isRight)
+  }
+
   test("SHOW STATS respects the opt-in SQL allowlist gate") {
     val enforcing = qs(Map(
       "GRAFT_ENFORCE_SQL_ALLOWLISTS" -> "true",
