@@ -1435,6 +1435,28 @@ object TrinoFunctions {
       case args => throw new IllegalArgumentException(
         s"map_union expects 1 arg, got ${args.length}")
     },
+    // approx_set(x[, e]) → Spark's DataSketches HLL aggregate. Trino's
+    // max standard error e maps to lgConfigK via e ≈ 1.04/√2^lgK
+    // (Trino default 0.01625 lands exactly on Spark's default lgK=12).
+    // Downstream spellings differ by design: estimate/merge are
+    // hll_sketch_estimate / hll_union_agg (documented in DIALECT.md) —
+    // `cardinality`/`merge` stay array/KLL names, no type dispatch
+    // before resolution.
+    "approx_set" -> {
+      case Seq(x) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.HllSketchAgg(
+          x, Literal(12))
+      case Seq(x, e) =>
+        val err = lit(e, "max standard error").toDouble
+        if (err < 0.0040625 || err > 0.26) throw new IllegalArgumentException(
+          s"approx_set: max standard error must be in [0.0040625, 0.26], got $err")
+        val lgK = math.max(4, math.min(21,
+          math.ceil(math.log(math.pow(1.04 / err, 2)) / math.log(2)).toInt))
+        new org.apache.spark.sql.catalyst.expressions.aggregate.HllSketchAgg(
+          x, Literal(lgK))
+      case args => throw new IllegalArgumentException(
+        s"approx_set expects 1-2 args, got ${args.length}")
+    },
     // map_remove_null_values(m): drop entries whose value is NULL
     "map_remove_null_values" -> {
       case Seq(m) =>

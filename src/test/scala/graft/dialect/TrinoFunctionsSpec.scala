@@ -1196,6 +1196,20 @@ class TrinoFunctionsSpec extends SparkSpec {
       .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(1, 2))
   }
 
+  test("approx_set builds a mergeable HLL sketch under Trino's error contract") {
+    val est = one(
+      """SELECT hll_sketch_estimate(hll_union_agg(sk)) FROM (
+        |  SELECT approx_set(x) AS sk FROM range(0, 10000) AS t(x) GROUP BY x % 4)""".stripMargin)
+      .asInstanceOf[Long]
+    assert(math.abs(est - 10000L) < 10000 * 0.05, s"estimate $est")
+    // tighter error → bigger sketch, still accurate
+    val tight = one(
+      "SELECT hll_sketch_estimate(approx_set(x, 0.005)) FROM range(0, 10000) AS t(x)")
+      .asInstanceOf[Long]
+    assert(math.abs(tight - 10000L) < 10000 * 0.02, s"tight estimate $tight")
+    assert(qs.execute("SELECT approx_set(l_partkey, 0.5) FROM lineitem").isLeft)
+  }
+
   test("numeric_histogram supports weights and needs >= 2 buckets") {
     val m = one("SELECT numeric_histogram(4, x, w) FROM (VALUES (1.0, 2.0), (2.0, 3.0), (50.0, 1.0)) AS t(x, w)")
       .asInstanceOf[Map[Double, Double]]
