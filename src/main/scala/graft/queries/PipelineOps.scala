@@ -115,6 +115,46 @@ object PipelineOps {
       TextAnalysis.quality(t(s, d, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // Gopher rule bank (Rae et al. 2021, Table A1 — the published
+    // quality-filter thresholds DCLM/RefinedWeb inherit), the subset
+    // expressible over this corpus: word-count bounds [50, 100k], mean
+    // word length in [3, 10], symbol-to-word ratio (# and ellipsis)
+    // <= 0.1, and >= 2 distinct Gopher stop words present. Pure per-row
+    // projection — integer word counts and IEEE double ratios are
+    // engine-exact, so the whole bank is oracle-checked.
+    "text_gopher_rules" -> ((s, d) => {
+      val words = filter(split(col("text"), " "), w => w =!= "")
+      val nWords = size(words).cast("long")
+      // greatest(1, n) denominator keeps the projection total on
+      // zero-word docs (they fail the n_words >= 50 rule regardless)
+      val denom = greatest(lit(1L), nWords)
+      val charSum = aggregate(words, lit(0L), (acc, w) => acc + length(w).cast("long"))
+      val meanLen = charSum.cast("double") / denom
+      val nHash = (length(col("text")) -
+        length(regexp_replace(col("text"), "#", ""))).cast("long")
+      val nEllipsis = ((length(col("text")) -
+        length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3).cast("long")
+      val symbolRatio = (nHash + nEllipsis).cast("double") / denom
+      val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      val nStops = stops.map(sw =>
+        array_contains(words, sw).cast("int")).reduce(_ + _)
+      // per-rule verdicts: the corpus is synthetic word soup, so the
+      // stopword rule rejects everything (vocab has ≤1 English stop
+      // word) — each rule's own column keeps the output informative
+      t(s, d, "documents").select(col("doc_id"),
+          nWords.as("n_words"), meanLen.as("mean_word_len"),
+          symbolRatio.as("symbol_ratio"), nStops.as("n_stopwords"))
+        .withColumn("rule_words",
+          col("n_words") >= 50 && col("n_words") <= 100000)
+        .withColumn("rule_word_len",
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+        .withColumn("rule_symbols", col("symbol_ratio") <= 0.1)
+        .withColumn("rule_stopwords", col("n_stopwords") >= 2)
+        .withColumn("keep", col("rule_words") && col("rule_word_len") &&
+          col("rule_symbols") && col("rule_stopwords"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Language-ID heuristic: argmax of marker-token hits.
     "text_langid" -> ((s, d) => {
       val (lang, best) = TextAnalysis.langId(col("text"))
@@ -1111,6 +1151,37 @@ object PipelineOps {
         |                AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*) AS avg_p
         |FROM pairs p JOIN bi USING (ab) JOIN ctx USING (a)
         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+
+    // Same rule algebra: list ops + literal replaces + IEEE double
+    // ratios over integer counts — engine-exact.
+    "text_gopher_rules" ->
+      """WITH w AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS words
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(length(words) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(words, x -> CAST(length(x) AS BIGINT))) AS DOUBLE)
+        |      / greatest(1, CAST(length(words) AS BIGINT)) AS mean_word_len,
+        |    CAST(CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+        |       + CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS DOUBLE)
+        |      / greatest(1, CAST(length(words) AS BIGINT)) AS symbol_ratio,
+        |    (CAST(list_contains(words, 'the') AS INT) + CAST(list_contains(words, 'be') AS INT)
+        |     + CAST(list_contains(words, 'to') AS INT) + CAST(list_contains(words, 'of') AS INT)
+        |     + CAST(list_contains(words, 'and') AS INT) + CAST(list_contains(words, 'that') AS INT)
+        |     + CAST(list_contains(words, 'have') AS INT) + CAST(list_contains(words, 'with') AS INT)
+        |    ) AS n_stopwords
+        |  FROM w)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, n_stopwords,
+        |  (n_words >= 50 AND n_words <= 100000) AS rule_words,
+        |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS rule_word_len,
+        |  (symbol_ratio <= 0.1) AS rule_symbols,
+        |  (n_stopwords >= 2) AS rule_stopwords,
+        |  (n_words >= 50 AND n_words <= 100000
+        |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |   AND symbol_ratio <= 0.1 AND n_stopwords >= 2) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // Same synthesis, same canonicalization algebra: split_part /
     // lower / RE2-safe regexes / list-filter — engine-exact strings.
