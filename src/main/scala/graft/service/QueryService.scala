@@ -99,8 +99,9 @@ class QueryService(engine: Engine) {
         catch { case e: Throwable => return Left(s"query execution failed: ${clip(e)}") }
       return collectBounded(df)
     }
-    if (ShowMeta.matchSession(stripped))
-      return collectBounded(ShowMeta.session(engine))
+    ShowMeta.matchSession(stripped).foreach { like =>
+      return collectBounded(ShowMeta.session(engine, like))
+    }
     val dialectSql =
       try graft.dialect.TrinoFunctions.preprocess(stripped)
       catch { case e: IllegalArgumentException => return Left(e.getMessage) }

@@ -21,14 +21,20 @@ object ShowMeta {
 
   private val CreatePat =
     """(?is)^\s*SHOW\s+CREATE\s+TABLE\s+([A-Za-z_][\w.]*)\s*$""".r
-  private val SessionPat = """(?is)^\s*SHOW\s+SESSION\s*$""".r
+  private val SessionPat =
+    """(?is)^\s*SHOW\s+SESSION(?:\s+LIKE\s+'([^']*)')?\s*$""".r
 
   def matchCreateTable(sql: String): Option[String] = sql match {
     case CreatePat(t) => Some(t)
     case _ => None
   }
 
-  def matchSession(sql: String): Boolean = SessionPat.matches(sql)
+  /** Some(pattern Option) when the SQL is SHOW SESSION [LIKE '...'];
+    * the pattern uses SQL LIKE wildcards (% and _) against Name. */
+  def matchSession(sql: String): Option[Option[String]] = sql match {
+    case SessionPat(p) => Some(Option(p))
+    case _ => None
+  }
 
   private def oneCol(spark: org.apache.spark.sql.SparkSession,
       colName: String, rows: Seq[Row], extra: Seq[StructField] = Nil): DataFrame = {
@@ -48,7 +54,7 @@ object ShowMeta {
     oneCol(engine.spark, "Create Table", Seq(Row(ddl)))
   }
 
-  def session(engine: Engine): DataFrame = {
+  def session(engine: Engine, like: Option[String] = None): DataFrame = {
     val cfg = engine.config
     def row(n: String, v: String, d: String, t: String, desc: String) =
       Row(n, v, d, t, desc)
@@ -68,9 +74,20 @@ object ShowMeta {
       row("enforce_sql_allowlists", cfg.enforceSqlAllowlists.toString,
         "false", "boolean",
         "Apply catalog/schema/table allowlists to relations inside SQL"))
+    val filtered = like match {
+      case Some(p) =>
+        // SQL LIKE → regex: % = .*, _ = ., everything else literal
+        val rx = p.flatMap {
+          case '%' => ".*"
+          case '_' => "."
+          case c => java.util.regex.Pattern.quote(c.toString)
+        }
+        rows.filter(_.getString(0).matches(rx))
+      case None => rows
+    }
     val schema = StructType(Seq("Name", "Value", "Default", "Type",
       "Description").map(StructField(_, StringType)))
     engine.spark.createDataFrame(new java.util.ArrayList[Row](
-      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+      scala.jdk.CollectionConverters.SeqHasAsJava(filtered).asJava), schema)
   }
 }

@@ -54,6 +54,11 @@ class ShowStatsSpec extends SparkSpec {
     val byName = s.rows.map(row => row.head.toString -> row(1).toString).toMap
     assert(byName("catalog") == "spark_catalog")
     assert(byName("allow_write_queries") == "false")
+    // LIKE filter (SQL wildcards against Name)
+    val liked = qs().execute("SHOW SESSION LIKE '%allow%'").toOption.get
+    assert(liked.rows.map(_.head.toString).toSet ==
+      Set("allow_write_queries", "enforce_sql_allowlists"))
+    assert(qs().execute("SHOW SESSION LIKE 'catalog'").toOption.get.rows.size == 1)
     // unknown table errors cleanly; the allowlist gate applies when on
     assert(qs().execute("SHOW CREATE TABLE no_such").isLeft)
     val enforcing = qs(Map(
