@@ -142,18 +142,20 @@ object NativeExprs {
   }
 
   /** Cross-engine SRP signature, native form of Similarity.srpSigMd5's
-    * Catalyst composition (bits × aggregate(zip_with(...)) decimal
-    * folds — ~2M interpreted closure calls per 2000 rows at bits=32).
+    * Catalyst composition (bits × aggregate(zip_with(...)) folds —
+    * ~2M interpreted closure calls per 2000 rows at bits=32).
     * BIT-EXACT replication of the Catalyst/ DuckDB semantics, verified
     * by the embed_srp_* oracles:
     *  - plane weight (b, i) = md5("b:i") first 13 hex digits / 2^52,
     *    mapped to [-1, 1) — identical constants, precomputed once;
-    *  - per element: double product, then Spark's double→DECIMAL(28,14)
-    *    cast, which is BigDecimal.valueOf (shortest decimal repr) +
-    *    setScale(14, HALF_UP) — NOT new BigDecimal(double);
-    *  - exact decimal summation (scale-14 adds are exact; the
-    *    re-cast in the Catalyst fold only checks precision);
-    *  - sign bit b set iff the decimal sum > 0. */
+    *  - per element: double product p, quantized to an integer with
+    *    floor(p·1e12 + 0.5) — three IEEE-754 ops (multiply, add,
+    *    floor) that EVERY engine computes bit-identically, unlike a
+    *    double→DECIMAL cast whose rounding is engine-defined (DuckDB's
+    *    double-rounds at exact-half boundaries of the scaled double —
+    *    see PERF.md "Known corner");
+    *  - exact BIGINT summation (associative, order-free);
+    *  - sign bit b set iff the integer sum > 0. */
   case class SrpSigMd5D(child: Expression, bits: Int, dims: Int)
       extends UnaryExpression with CodegenFallback with DeclaredInputTypes {
     override def dataType: DataType = LongType
@@ -170,40 +172,14 @@ object NativeExprs {
       var b = 0
       while (b < bits) {
         val w = planes(b)
-        // Fast path: only the SIGN of the decimal sum is consumed, and
-        // a plain double sum determines it whenever |sum| clears the
-        // worst-case divergence bound: per-term double→DECIMAL(28,14)
-        // rounding contributes ≤ 5e-15 each, and the double
-        // accumulation itself ≤ (n-1)·ulp(Σ|p|). Outside that margin
-        // the double and decimal signs provably agree; inside it (a
-        // measure-~1e-11 sliver) the exact BigDecimal fold runs — so
-        // the emitted signature is BIT-IDENTICAL to the all-decimal
-        // definition the DuckDB oracles replay, at double speed.
-        var ds = 0.0
-        var sumAbs = 0.0
+        var qs = 0L
         var i = 0
         while (i < n) {
           val p = arr.getFloat(i).toDouble * w(i)
-          ds += p
-          sumAbs += math.abs(p)
+          qs += math.floor(p * 1e12 + 0.5).toLong
           i += 1
         }
-        val margin = n * 5e-15 + n * math.ulp(sumAbs)
-        val positive =
-          if (ds > margin) true
-          else if (ds < -margin) false
-          else {
-            var acc = java.math.BigDecimal.ZERO
-            var j = 0
-            while (j < n) {
-              val p = arr.getFloat(j).toDouble * w(j)
-              acc = acc.add(java.math.BigDecimal.valueOf(p)
-                .setScale(14, java.math.RoundingMode.HALF_UP))
-              j += 1
-            }
-            acc.signum() > 0
-          }
-        if (positive) sig |= (1L << b)
+        if (qs > 0L) sig |= (1L << b)
         b += 1
       }
       sig
@@ -265,38 +241,40 @@ object NativeExprs {
       copy(child = newChild)
   }
 
-  /** Order-independent decimal dot product, native form of
-    * Similarity.dotDecimal's aggregate(zip_with(...)) fold: per element
-    * the double product goes through Spark's double→DECIMAL(28,14) cast
-    * (BigDecimal.valueOf + setScale(14, HALF_UP)), the scale-14 values
-    * sum exactly, and the final value is emitted as double
-    * (BigDecimal.doubleValue, Spark's Decimal.toDouble) — bit-identical
-    * to the Catalyst composition and the DuckDB SUM(CAST(...)) oracles,
-    * at a fraction of the interpreted-closure cost. */
-  case class DotDecimalD(left: Expression, right: Expression)
+  /** Order-independent integer-quantized dot product, native form of
+    * Similarity.dotQuant's aggregate(zip_with(...)) fold: per element
+    * the double product p is quantized to floor(p·1e12 + 0.5) — three
+    * IEEE-754 ops every engine computes bit-identically — and the
+    * integers sum exactly as BIGINT (associative, so partition merge
+    * order is irrelevant). Replaces the DECIMAL(28,14)-cast algebra,
+    * whose half-way rounding DuckDB resolves differently at different
+    * magnitudes (PERF.md "Known corner": one product in ~32k at
+    * sf0.001 landed on an exact-half boundary of the scaled double and
+    * diverged by 1e-14). In a cosine ratio the 1e12 scales cancel:
+    * cos = qdab / sqrt(qdaa · qdbb) after double upcast. */
+  case class DotQuantD(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback with DeclaredInputTypes {
-    override def dataType: DataType = DoubleType
+    override def dataType: DataType = LongType
     override def declaredInputTypes: Seq[DataType] =
       Seq(ArrayType(FloatType), ArrayType(FloatType))
-    override def prettyName: String = "dot_decimal_d"
+    override def prettyName: String = "dot_quant_d"
 
     protected override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
       val n = math.min(x.numElements(), y.numElements())
-      var acc = java.math.BigDecimal.ZERO
+      var acc = 0L
       var i = 0
       while (i < n) {
         val p = x.getFloat(i).toDouble * y.getFloat(i).toDouble
-        acc = acc.add(java.math.BigDecimal.valueOf(p)
-          .setScale(14, java.math.RoundingMode.HALF_UP))
+        acc += math.floor(p * 1e12 + 0.5).toLong
         i += 1
       }
-      acc.doubleValue()
+      acc
     }
 
     override protected def withNewChildrenInternal(
-        newLeft: Expression, newRight: Expression): DotDecimalD =
+        newLeft: Expression, newRight: Expression): DotQuantD =
       copy(left = newLeft, right = newRight)
   }
 
@@ -630,8 +608,8 @@ object NativeExprs {
   def dotf(a: Column, b: Column): Column =
     ColumnBridge.column(DotF(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
-  def dotDecimalD(a: Column, b: Column): Column =
-    ColumnBridge.column(DotDecimalD(
+  def dotQuantD(a: Column, b: Column): Column =
+    ColumnBridge.column(DotQuantD(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def chunkSplit(sig: Column, bands: Int, chunkBits: Int): Column =

@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   *    signatures + band-bucket shuffle, identical layout to MinHash LSH.
   *
   * All float math is upcast to double per element; sums that must be
-  * hash-stable across engines go through DECIMAL (see dotDecimal).
+  * hash-stable across engines go through integer quantization (see
+  * dotQuant — floor(p·1e12 + 0.5) summed as BIGINT).
   */
 object Similarity {
 
@@ -27,41 +28,49 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     graft.functions.NativeExprs.dotf(a, b)
 
-  /** Order-independent dot product: per-element products rounded to
-    * DECIMAL(28,14) and summed exactly. Matches the DuckDB oracle
-    * SUM(CAST(x*y AS DECIMAL(28,14))) regardless of evaluation order.
-    * Native expression; [[dotDecimalHof]] is the executable spec. */
-  def dotDecimal(a: Column, b: Column): Column =
-    graft.functions.NativeExprs.dotDecimalD(a, b)
+  /** Order-independent dot product, cross-engine hash-stable: each
+    * double product p quantizes to floor(p·1e12 + 0.5) — three IEEE-754
+    * ops every engine computes bit-identically — and the integers sum
+    * exactly as BIGINT. Matches the DuckDB oracle
+    * SUM(CAST(floor(x*y*1e12 + 0.5) AS BIGINT)) regardless of
+    * evaluation order, at every magnitude (the DECIMAL(28,14)-cast
+    * algebra this replaces hit DuckDB's double-rounding at exact-half
+    * boundaries — PERF.md "Known corner"). Returns BIGINT; in cosine
+    * ratios the 1e12 scales cancel, so cos = qdab/sqrt(qdaa·qdbb)
+    * after double upcast. Native expression; [[dotQuantHof]] is the
+    * executable spec. */
+  def dotQuant(a: Column, b: Column): Column =
+    graft.functions.NativeExprs.dotQuantD(a, b)
 
-  /** The higher-order-function composition DotDecimalD replicates —
+  /** The higher-order-function composition DotQuantD replicates —
     * kept as the executable specification for the equality test. */
-  private[ops] def dotDecimalHof(a: Column, b: Column): Column =
+  private[ops] def dotQuantHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) =>
-        (x.cast("double") * y.cast("double")).cast("decimal(28,14)")),
-      lit(0).cast("decimal(28,14)"),
-      (acc, v) => (acc + v).cast("decimal(28,14)"))
-      .cast("double")
+        floor(x.cast("double") * y.cast("double") * lit(1e12) + lit(0.5))),
+      lit(0L),
+      (acc, v) => acc + v)
 
-  /** Cosine similarity, hash-stable variant (decimal dots, double combine). */
-  def cosineDecimal(a: Column, b: Column): Column =
-    dotDecimal(a, b) / sqrt(dotDecimal(a, a) * dotDecimal(b, b))
+  /** Cosine similarity, hash-stable variant (quantized dots, double
+    * combine — the 1e12 quantization scales cancel in the ratio). */
+  def cosineQuant(a: Column, b: Column): Column =
+    dotQuant(a, b).cast("double") /
+      sqrt(dotQuant(a, a).cast("double") * dotQuant(b, b).cast("double"))
 
   /** Brute-force top-k by cosine against one anchor vector. The anchor's
     * self-dot is computed once on the (single-row) broadcast side, not
-    * re-derived per corpus row — same doubles, one less 64-element
-    * decimal fold per row. */
+    * re-derived per corpus row — same quantized sum, one less 64-element
+    * fold per row. */
   def cosineTopK(embeddings: DataFrame, idCol: String, vecCol: String,
       anchorId: Long, k: Int): DataFrame = {
     val anchor = embeddings.filter(col(idCol) === anchorId)
       .select(col(vecCol).as("anchor_vec"),
-        dotDecimal(col(vecCol), col(vecCol)).as("anchor_dd"))
+        dotQuant(col(vecCol), col(vecCol)).cast("double").as("anchor_dd"))
     embeddings
       .join(broadcast(anchor))
       .select(col(idCol),
-        (dotDecimal(col(vecCol), col("anchor_vec")) /
-          sqrt(dotDecimal(col(vecCol), col(vecCol)) * col("anchor_dd")))
+        (dotQuant(col(vecCol), col("anchor_vec")).cast("double") /
+          sqrt(dotQuant(col(vecCol), col(vecCol)).cast("double") * col("anchor_dd")))
           .as("cos_sim"))
       .filter(col(idCol) =!= anchorId)
       .orderBy(col("cos_sim").desc, col(idCol).asc)
@@ -75,19 +84,19 @@ object Similarity {
     * ever holds more than corpus/salts rows (a plain
     * partitionBy(anchor) window would concentrate the whole corpus
     * into nAnchors partitions at scale), phase 2 ranks the salts×k
-    * survivors — exact, and skew-proof at 1000 executors. Decimal dots
+    * survivors — exact, and skew-proof at 1000 executors. Quantized dots
     * + per-vector self-dots: same algebra as cosineTopK, oracle-exact. */
   def cosineTopKBatch(embeddings: DataFrame, idCol: String, vecCol: String,
       nAnchors: Int, k: Int, salts: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val corpus = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"),
-      dotDecimal(col(vecCol), col(vecCol)).as("dd"))
+      dotQuant(col(vecCol), col(vecCol)).cast("double").as("dd"))
     val anchors = corpus.filter(col("id") < nAnchors)
       .select(col("id").as("anchor_id"), col("v").as("av"), col("dd").as("add"))
     val scored = corpus.join(broadcast(anchors))
       .filter(col("id") =!= col("anchor_id"))
       .select(col("anchor_id"), col("id"),
-        (dotDecimal(col("v"), col("av")) / sqrt(col("dd") * col("add")))
+        (dotQuant(col("v"), col("av")).cast("double") / sqrt(col("dd") * col("add")))
           .as("cos_sim"),
         (col("id") % salts).as("salt"))
     val w1 = Window.partitionBy(col("anchor_id"), col("salt"))
@@ -184,9 +193,9 @@ object Similarity {
     * [[srpSignature]]: plane component (b, i) derives from md5("b:i")
     * (first 13 hex chars / 2^52, mapped to [-1, 1) — every step exact
     * in IEEE double, so any engine with md5 computes bit-identical
-    * planes), and each plane dot is an order-independent DECIMAL sum
-    * (like dotDecimal), so the sign bits — and therefore the packed
-    * signature — hash-match a DuckDB replay exactly. */
+    * planes), and each plane dot is an order-independent quantized
+    * BIGINT sum (like dotQuant), so the sign bits — and therefore the
+    * packed signature — hash-match a DuckDB replay exactly. */
   def srpSigMd5(vec: Column, bits: Int, dims: Int): Column =
     graft.functions.NativeExprs.srpSigMd5D(vec, bits, dims)
 
@@ -204,29 +213,28 @@ object Similarity {
       val plane = typedLit((1 to dims).map(i => planeWeight(b, i)))
       val s = aggregate(
         zip_with(vec, plane, (x, w) =>
-          (x.cast("double") * w).cast("decimal(28,14)")),
-        lit(0).cast("decimal(28,14)"),
-        (acc, v) => (acc + v).cast("decimal(28,14)"))
+          floor(x.cast("double") * w * lit(1e12) + lit(0.5))),
+        lit(0L),
+        (acc, v) => acc + v)
       when(s > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
 
   /** Cross-engine SRP candidate pairs: the [[srpCandidatePairs]] band→
     * bucket→score pipeline with md5-derived planes ([[srpSigMd5]]) and
-    * decimal cosine scoring, so EVERY stage — signature bits, banding,
+    * quantized cosine scoring, so EVERY stage — signature bits, banding,
     * bucket cap, pair set, scores — replays bit-identically in any SQL
     * engine with md5. The oracle-verification twin of the xxhash64
     * production path (same algebra, same plan shape). */
   def srpCandidatePairsMd5(embeddings: DataFrame, idCol: String, vecCol: String,
       bits: Int, dims: Int, bands: Int, maxBucket: Int = 1000): DataFrame = {
     val chunk = bits / bands
-    // per-vector decimal self-dot joined in once; the per-pair combine
-    // dab / sqrt(daa * dbb) is the SAME double arithmetic the inline
-    // cosineDecimal performs (dotDecimal already returns double), so the
-    // oracle hash is unchanged — but candidate scoring drops from three
-    // interpreted 64-element decimal folds per pair to one.
+    // per-vector quantized self-dot joined in once (upcast to double —
+    // the per-pair combine dab / sqrt(daa * dbb) is the same IEEE double
+    // arithmetic the oracle computes); candidate scoring is one
+    // 64-element fold per pair instead of three.
     val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"),
-      dotDecimal(col(vecCol), col(vecCol)).as("dd"))
+      dotQuant(col(vecCol), col(vecCol)).cast("double").as("dd"))
     val sigs = vecs.select(col("id"), srpSigMd5(col("v"), bits, dims).as("sig"))
     val banded = sigs.select(col("id"),
         posexplode(graft.functions.NativeExprs.chunkSplit(col("sig"), bands, chunk)))
@@ -237,7 +245,8 @@ object Similarity {
       .join(vecs.select(col("id").as("id_b"), col("v").as("v_b"),
         col("dd").as("dd_b")), Seq("id_b"))
       .withColumn("cos_sim",
-        dotDecimal(col("v_a"), col("v_b")) / sqrt(col("dd_a") * col("dd_b")))
+        dotQuant(col("v_a"), col("v_b")).cast("double") /
+          sqrt(col("dd_a") * col("dd_b")))
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
 

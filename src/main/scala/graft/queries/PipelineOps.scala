@@ -809,7 +809,7 @@ object PipelineOps {
         |  GROUP BY bs.b, isq.i),
         |sd AS (
         |  SELECT e.vec_id, pl.b,
-        |    SUM(CAST(CAST(e.embedding[pl.i] AS DOUBLE) * pl.w AS DECIMAL(28,14))) AS s
+        |    CAST(SUM(CAST(floor(CAST(e.embedding[pl.i] AS DOUBLE) * pl.w * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS s
         |  FROM embeddings e, planes pl
         |  WHERE e.vec_id < 2000
         |  GROUP BY e.vec_id, pl.b),
@@ -834,9 +834,9 @@ object PipelineOps {
         |  WHERE a.bucket_n BETWEEN 2 AND 1000),
         |scored AS (
         |  SELECT p.id_a, p.id_b,
-        |    CAST(SUM(CAST(CAST(ea.embedding[s.i] AS DOUBLE)*CAST(eb.embedding[s.i] AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS dab,
-        |    CAST(SUM(CAST(CAST(ea.embedding[s.i] AS DOUBLE)*CAST(ea.embedding[s.i] AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS daa,
-        |    CAST(SUM(CAST(CAST(eb.embedding[s.i] AS DOUBLE)*CAST(eb.embedding[s.i] AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS dbb
+        |    CAST(SUM(CAST(floor(CAST(ea.embedding[s.i] AS DOUBLE)*CAST(eb.embedding[s.i] AS DOUBLE) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS dab,
+        |    CAST(SUM(CAST(floor(CAST(ea.embedding[s.i] AS DOUBLE)*CAST(ea.embedding[s.i] AS DOUBLE) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS daa,
+        |    CAST(SUM(CAST(floor(CAST(eb.embedding[s.i] AS DOUBLE)*CAST(eb.embedding[s.i] AS DOUBLE) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS dbb
         |  FROM prs p
         |    JOIN embeddings ea ON ea.vec_id = p.id_a
         |    JOIN embeddings eb ON eb.vec_id = p.id_b,
@@ -876,12 +876,12 @@ object PipelineOps {
     "embed_knn_batch" ->
       """WITH dd AS (
         |  SELECT vec_id,
-        |    CAST(SUM(CAST(CAST(embedding[s.i] AS DOUBLE)*CAST(embedding[s.i] AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS dd
+        |    CAST(SUM(CAST(floor(CAST(embedding[s.i] AS DOUBLE)*CAST(embedding[s.i] AS DOUBLE) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS dd
         |  FROM embeddings, generate_series(1, 64) AS s(i)
         |  GROUP BY vec_id),
         |pairs AS (
         |  SELECT a.vec_id AS anchor_id, e.vec_id AS id,
-        |    CAST(SUM(CAST(CAST(e.embedding[s.i] AS DOUBLE)*CAST(a.embedding[s.i] AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS dab
+        |    CAST(SUM(CAST(floor(CAST(e.embedding[s.i] AS DOUBLE)*CAST(a.embedding[s.i] AS DOUBLE) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS dab
         |  FROM embeddings e, embeddings a, generate_series(1, 64) AS s(i)
         |  WHERE a.vec_id < 5 AND e.vec_id <> a.vec_id
         |  GROUP BY a.vec_id, e.vec_id),
@@ -992,7 +992,7 @@ object PipelineOps {
         |  GROUP BY bs.b, isq.i),
         |sd AS (
         |  SELECT e.vec_id, pl.b,
-        |    SUM(CAST(CAST(e.embedding[pl.i] AS DOUBLE) * pl.w AS DECIMAL(28,14))) AS s
+        |    CAST(SUM(CAST(floor(CAST(e.embedding[pl.i] AS DOUBLE) * pl.w * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS s
         |  FROM embeddings e, planes pl
         |  WHERE e.vec_id < 2000
         |  GROUP BY e.vec_id, pl.b),
@@ -1017,9 +1017,9 @@ object PipelineOps {
         |  WHERE a.bucket_n BETWEEN 2 AND 1000),
         |scored AS (
         |  SELECT p.id_a, p.id_b,
-        |    CAST(SUM(CAST(CAST(ea.embedding[s.i] AS DOUBLE)*CAST(eb.embedding[s.i] AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS dab,
-        |    CAST(SUM(CAST(CAST(ea.embedding[s.i] AS DOUBLE)*CAST(ea.embedding[s.i] AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS daa,
-        |    CAST(SUM(CAST(CAST(eb.embedding[s.i] AS DOUBLE)*CAST(eb.embedding[s.i] AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS dbb
+        |    CAST(SUM(CAST(floor(CAST(ea.embedding[s.i] AS DOUBLE)*CAST(eb.embedding[s.i] AS DOUBLE) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS dab,
+        |    CAST(SUM(CAST(floor(CAST(ea.embedding[s.i] AS DOUBLE)*CAST(ea.embedding[s.i] AS DOUBLE) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS daa,
+        |    CAST(SUM(CAST(floor(CAST(eb.embedding[s.i] AS DOUBLE)*CAST(eb.embedding[s.i] AS DOUBLE) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS dbb
         |  FROM pairs p
         |    JOIN embeddings ea ON ea.vec_id = p.id_a
         |    JOIN embeddings eb ON eb.vec_id = p.id_b,
@@ -1044,7 +1044,7 @@ object PipelineOps {
         |  GROUP BY bs.b, isq.i),
         |d AS (
         |  SELECT e.vec_id, pl.b,
-        |    SUM(CAST(CAST(e.embedding[pl.i] AS DOUBLE) * pl.w AS DECIMAL(28,14))) AS s
+        |    CAST(SUM(CAST(floor(CAST(e.embedding[pl.i] AS DOUBLE) * pl.w * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS s
         |  FROM embeddings e, planes pl
         |  WHERE e.vec_id < 2000
         |  GROUP BY e.vec_id, pl.b)
@@ -1507,9 +1507,9 @@ object PipelineOps {
       """WITH a AS (SELECT embedding AS av FROM embeddings WHERE vec_id = 0),
         |d AS (
         |  SELECT e.vec_id,
-        |    CAST(SUM(CAST(CAST(e.embedding[s.i] AS DOUBLE)*CAST(a.av[s.i] AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS dab,
-        |    CAST(SUM(CAST(CAST(e.embedding[s.i] AS DOUBLE)*CAST(e.embedding[s.i] AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS daa,
-        |    CAST(SUM(CAST(CAST(a.av[s.i] AS DOUBLE)*CAST(a.av[s.i] AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS dbb
+        |    CAST(SUM(CAST(floor(CAST(e.embedding[s.i] AS DOUBLE)*CAST(a.av[s.i] AS DOUBLE) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS dab,
+        |    CAST(SUM(CAST(floor(CAST(e.embedding[s.i] AS DOUBLE)*CAST(e.embedding[s.i] AS DOUBLE) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS daa,
+        |    CAST(SUM(CAST(floor(CAST(a.av[s.i] AS DOUBLE)*CAST(a.av[s.i] AS DOUBLE) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS dbb
         |  FROM embeddings e, a, generate_series(1, 64) AS s(i)
         |  GROUP BY e.vec_id)
         |SELECT vec_id, dab / sqrt(daa * dbb) AS cos_sim FROM d

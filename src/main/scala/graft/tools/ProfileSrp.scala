@@ -31,7 +31,7 @@ object ProfileSrp {
     }
     time("sigs+norms") {
       emb.select(Similarity.srpSigMd5(col("embedding"), 32, 64),
-        Similarity.dotDecimal(col("embedding"), col("embedding"))).count()
+        Similarity.dotQuant(col("embedding"), col("embedding"))).count()
     }
     val vecs = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
     val sigs = vecs.select(col("id"),

@@ -81,8 +81,8 @@ class SimilaritySpec extends SparkSpec {
 
   test("native SrpSigMd5D equals the higher-order-function composition") {
     // the native expression must be BIT-identical to the Catalyst
-    // aggregate/zip_with decimal fold it replaces (which the DuckDB
-    // oracles replay) — every signature, both bit widths
+    // aggregate/zip_with quantized-BIGINT fold it replaces (which the
+    // DuckDB oracles replay) — every signature, both bit widths
     Seq(16, 32).foreach { bits =>
       val both = emb.select(col("vec_id"),
           Similarity.srpSigMd5(col("embedding"), bits, 64).as("native"),
@@ -92,15 +92,15 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("native DotDecimalD equals the higher-order-function composition") {
+  test("native DotQuantD equals the higher-order-function composition") {
     val a = emb.select(col("vec_id"), col("embedding"))
     val b = emb.select(col("vec_id").as("vb"), col("embedding").as("eb"))
     val diverged = a.join(b, col("vec_id") % 37 === col("vb") % 37)
       .select(
-        Similarity.dotDecimal(col("embedding"), col("eb")).as("native"),
-        Similarity.dotDecimalHof(col("embedding"), col("eb")).as("hof"))
+        Similarity.dotQuant(col("embedding"), col("eb")).as("native"),
+        Similarity.dotQuantHof(col("embedding"), col("eb")).as("hof"))
       .filter(col("native") =!= col("hof"))
-    assert(diverged.count() == 0, "native and HOF decimal dots diverge")
+    assert(diverged.count() == 0, "native and HOF quantized dots diverge")
   }
 
   test("batch kNN equals the single-anchor path for every anchor") {
