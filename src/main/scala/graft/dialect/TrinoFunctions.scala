@@ -774,13 +774,19 @@ object TrinoFunctions {
     },
     // Trino greatest/least return NULL if ANY argument is NULL; Spark's
     // skip nulls. Null-propagate explicitly, then delegate.
+    // Single-argument form returns the argument (Spark's Greatest/Least
+    // require >= 2 children; Trino accepts one).
     "greatest" -> {
+      case Seq(x) =>
+        If(IsNull(x), Literal.create(null, org.apache.spark.sql.types.NullType), x)
       case args if args.nonEmpty =>
         If(args.map(IsNull(_): Expression).reduce(Or),
           Literal.create(null, org.apache.spark.sql.types.NullType), Greatest(args))
       case _ => throw new IllegalArgumentException("greatest expects >= 1 arg")
     },
     "least" -> {
+      case Seq(x) =>
+        If(IsNull(x), Literal.create(null, org.apache.spark.sql.types.NullType), x)
       case args if args.nonEmpty =>
         If(args.map(IsNull(_): Expression).reduce(Or),
           Literal.create(null, org.apache.spark.sql.types.NullType), Least(args))
@@ -800,11 +806,12 @@ object TrinoFunctions {
       case args => throw new IllegalArgumentException(
         s"set_union expects 1 arg, got ${args.length}")
     },
-    // Trino's skewness/kurtosis are the SAMPLE (bias-corrected)
-    // statistics; Spark's are population. Correct via the standard
-    // identities G1 = g1·sqrt(n(n-1))/(n-2) and
-    // G2 = (n-1)/((n-2)(n-3))·((n+1)·g2 + 6), NULL below the minimum
-    // group size like Trino.
+    // Trino's skewness (DoubleSkewnessAggregation) is the BIASED
+    // estimator sqrt(n)·m3/m2^1.5 — identical to Spark's built-in
+    // skewness — so it passes through unchanged apart from the n<=2
+    // NULL gate. Only kurtosis is bias-corrected in Trino (its docs
+    // mark only kurtosis as an "unbiased estimate"):
+    // G2 = (n-1)/((n-2)(n-3))·((n+1)·g2 + 6).
     "skewness" -> {
       case Seq(c) =>
         val x = Cast(c, DoubleType)
@@ -813,9 +820,7 @@ object TrinoFunctions {
         val g1 = new org.apache.spark.sql.catalyst.expressions.aggregate.Skewness(x)
           .toAggregateExpression()
         If(LessThanOrEqual(n, Literal(2.0)),
-          Literal.create(null, DoubleType),
-          Multiply(g1, Divide(Sqrt(Multiply(n, Subtract(n, Literal(1.0)))),
-            Subtract(n, Literal(2.0)))))
+          Literal.create(null, DoubleType), g1)
       case args => throw new IllegalArgumentException(
         s"skewness expects 1 arg, got ${args.length}")
     },

@@ -1162,7 +1162,7 @@ object PipelineOps {
         |m AS (
         |  SELECT doc_id,
         |    CAST(length(words) AS BIGINT) AS n_words,
-        |    CAST(list_sum(list_transform(words, x -> CAST(length(x) AS BIGINT))) AS DOUBLE)
+        |    CAST(coalesce(list_sum(list_transform(words, x -> CAST(length(x) AS BIGINT))), 0) AS DOUBLE)
         |      / greatest(1, CAST(length(words) AS BIGINT)) AS mean_word_len,
         |    CAST(CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
         |       + CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS DOUBLE)

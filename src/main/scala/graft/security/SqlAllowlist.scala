@@ -1,6 +1,7 @@
 package graft.security
 
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedRelation, UnresolvedTableOrView}
+import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnresolvedWith}
 import org.apache.spark.sql.execution.command.ExplainCommand
 
@@ -15,40 +16,25 @@ import org.apache.spark.sql.execution.command.ExplainCommand
   * reaches the catalog.
   *
   * The walk runs on the PARSED (unresolved) tree: relation names are
-  * judged as written, subqueries included, CTE-bound names excluded
-  * (shadowing over-approximates: any name bound by any WITH clause in
-  * the statement is exempt — a CTE named like a real table would mask
-  * it, which is the CTE's behavior anyway). `information_schema`
-  * references are exempt: the shim views are rebuilt allowlist-filtered
-  * on every query. `EXPLAIN <q>` walks the explained query.
+  * judged as written, subqueries included. CTE-bound names are exempt
+  * only WHERE THEIR DEFINING WITH IS IN SCOPE — the walk carries the
+  * set of visible CTE names down the tree (a CTE body sees the outer
+  * scope plus the names defined so far in its own WITH clause, the
+  * main query sees them all), so a name bound only inside a nested
+  * WITH does not exempt uses at the outer level where it would resolve
+  * to a real table. `information_schema` references are exempt: the
+  * shim views are rebuilt allowlist-filtered on every query.
+  * `EXPLAIN <q>` walks the explained query.
   */
 object SqlAllowlist {
 
   /** First allowlist violation in the plan, or None when clean. */
   def check(plan: LogicalPlan, lists: Allowlists,
       defaultCatalog: String, defaultSchema: String): Option[String] = {
-    // CTE definitions hang off UnresolvedWith as a FIELD (innerChildren),
-    // not as children — collect misses them; walk them explicitly and
-    // recursively so a denied table inside a CTE body is still judged.
-    def withCteBodies(p: LogicalPlan): Seq[LogicalPlan] = {
-      val bodies = p.collectWithSubqueries {
-        case w: UnresolvedWith => w.cteRelations.map(_._2: LogicalPlan)
-      }.flatten
-      p +: bodies.flatMap(withCteBodies)
-    }
-    val plans = expand(plan).flatMap(withCteBodies)
-    val cteNames: Set[String] = plans.flatMap(_.collectWithSubqueries {
-      case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
-    }.flatten).toSet
 
-    val names: Seq[Seq[String]] = plans.flatMap(_.collectWithSubqueries {
-      case r: UnresolvedRelation => Seq(r.multipartIdentifier)
-      case t: UnresolvedTableOrView => Seq(t.multipartIdentifier)
-    }.flatten)
-
-    names.iterator.flatMap { parts =>
+    def checkName(parts: Seq[String], scope: Set[String]): Option[String] = {
       val lower = parts.map(_.toLowerCase)
-      if (parts.length == 1 && cteNames(lower.head)) None
+      if (parts.length == 1 && scope(lower.head)) None
       else if (lower.contains("information_schema")) None
       else {
         val (c, s, t) = parts match {
@@ -62,12 +48,36 @@ object SqlAllowlist {
           Some(s"schema access denied: $c.$s not in allowlist")
         else lists.tableAccessError(c, s, t)
       }
-    }.take(1).toSeq.headOption
-  }
+    }
 
-  /** EXPLAIN wraps its query as a non-child field — surface it. */
-  private def expand(plan: LogicalPlan): Seq[LogicalPlan] = plan match {
-    case e: ExplainCommand => Seq(e, e.logicalPlan)
-    case p => Seq(p)
+    def first(plans: Iterable[LogicalPlan], scope: Set[String]): Option[String] =
+      plans.iterator.flatMap(walk(_, scope)).take(1).toSeq.headOption
+
+    def walk(p: LogicalPlan, scope: Set[String]): Option[String] = p match {
+      // EXPLAIN wraps its query as a non-child field — surface it.
+      case e: ExplainCommand => walk(e.logicalPlan, scope)
+      case w: UnresolvedWith =>
+        // Bodies are walked with the scope accumulated left-to-right
+        // (SQL lets a CTE reference the ones defined before it; adding
+        // its own name too is a harmless over-approximation — Spark
+        // rejects self-reference at analysis). The main query sees all.
+        var s = scope
+        val fromBodies = w.cteRelations.iterator.flatMap { rel =>
+          s = s + rel._1.toLowerCase
+          walk(rel._2, s)
+        }.take(1).toSeq.headOption
+        fromBodies.orElse(walk(w.child, s))
+      case r: UnresolvedRelation => checkName(r.multipartIdentifier, scope)
+      case t: UnresolvedTableOrView => checkName(t.multipartIdentifier, scope)
+      case other =>
+        // children in the same scope, plus plans nested inside
+        // expressions (scalar/IN/EXISTS subqueries)
+        val nested = other.expressions.flatMap(_.collect {
+          case sq: SubqueryExpression => sq.plan
+        })
+        first(other.children ++ nested, scope)
+    }
+
+    walk(plan, Set.empty)
   }
 }

@@ -66,18 +66,27 @@ class QueryService(engine: Engine) {
     // SHOW STATS FOR t — Trino's statistics surface (pass-through in the
     // reference); computed here since Spark's SHOW has no STATS form.
     // Under the opt-in SQL allowlist flag the same table gate applies.
+    // Shared gate for the SHOW statement paths: the SAME catalog/schema
+    // checks SqlAllowlist.check applies to regular SQL, then the table
+    // check — a deployment using only catalog/schema allowlists must
+    // still gate here (SHOW STATS reveals actual column min/max values).
+    def showGate(t: String): Option[String] =
+      if (!engine.config.enforceSqlAllowlists) None
+      else {
+        val (c, s, tbl) = graft.security.Allowlists.resolveTable("", "", t,
+          engine.config.catalog, engine.config.schema)
+        val lists = engine.allowlists
+        if (lists.allowedCatalogs.nonEmpty && !lists.isCatalogAllowed(c))
+          Some(s"catalog access denied: $c not in allowlist")
+        else if (lists.allowedSchemas.nonEmpty && !lists.isSchemaAllowed(c, s))
+          Some(s"schema access denied: $c.$s not in allowlist")
+        else lists.tableAccessError(c, s, tbl)
+      }
     val statsTable =
       try ShowStats.matchStats(stripped)
       catch { case e: IllegalArgumentException => return Left(e.getMessage) }
     statsTable.foreach { t =>
-      if (engine.config.enforceSqlAllowlists) {
-        val (c, s, tbl) = graft.security.Allowlists.resolveTable("", "", t,
-          engine.config.catalog, engine.config.schema)
-        engine.allowlists.tableAccessError(c, s, tbl) match {
-          case Some(err) => return Left(err)
-          case None => ()
-        }
-      }
+      showGate(t).foreach(err => return Left(err))
       val df =
         try ShowStats.forTable(engine, t)
         catch { case e: Throwable => return Left(s"query execution failed: ${clip(e)}") }
@@ -86,14 +95,7 @@ class QueryService(engine: Engine) {
     // SHOW CREATE TABLE / SHOW SESSION — also reference pass-throughs
     // Spark can't serve on temp-view-backed relations (ShowMeta).
     ShowMeta.matchCreateTable(stripped).foreach { t =>
-      if (engine.config.enforceSqlAllowlists) {
-        val (c, s, tbl) = graft.security.Allowlists.resolveTable("", "", t,
-          engine.config.catalog, engine.config.schema)
-        engine.allowlists.tableAccessError(c, s, tbl) match {
-          case Some(err) => return Left(err)
-          case None => ()
-        }
-      }
+      showGate(t).foreach(err => return Left(err))
       val df =
         try ShowMeta.createTable(engine, t)
         catch { case e: Throwable => return Left(s"query execution failed: ${clip(e)}") }

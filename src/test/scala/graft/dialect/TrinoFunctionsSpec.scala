@@ -1152,20 +1152,27 @@ class TrinoFunctionsSpec extends SparkSpec {
     assert(u == Seq(1, 2, 3, 4))
   }
 
-  test("skewness/kurtosis are the sample statistics like Trino") {
-    // n=5 data 1,2,3,4,100: population g1/g2 corrected to sample G1/G2.
-    // Expected values computed from the standard identities:
-    //   G1 = g1*sqrt(n(n-1))/(n-2), G2 = (n-1)/((n-2)(n-3))*((n+1)g2+6)
+  test("skewness is biased (g1) and kurtosis sample-corrected, like Trino") {
+    // n=5 data 1,2,3,4,100. Trino's DoubleSkewnessAggregation returns
+    // the BIASED estimator g1 = sqrt(n)*m3/m2^1.5 (same as Spark's
+    // built-in skewness); only kurtosis is bias-corrected:
+    //   G2 = (n-1)/((n-2)(n-3))*((n+1)g2+6)
     val sk = one("SELECT skewness(x) FROM (VALUES 1.0, 2.0, 3.0, 4.0, 100.0) AS t(x)")
       .asInstanceOf[Double]
     val ku = one("SELECT kurtosis(x) FROM (VALUES 1.0, 2.0, 3.0, 4.0, 100.0) AS t(x)")
       .asInstanceOf[Double]
-    // references computed by hand (see derivation in the shim comment)
-    assert(math.abs(sk - 2.2324) < 1e-3, s"skewness $sk")
+    // g1 computed by hand: mean=22, m3/n=25719.6, (m2/n)^1.5=17174.57 → 1.49754
+    assert(math.abs(sk - 1.49754) < 1e-3, s"skewness $sk")
     assert(math.abs(ku - 4.9869) < 1e-3, s"kurtosis $ku")
     // below the minimum group size Trino returns NULL
     assert(one("SELECT skewness(x) FROM (VALUES 1.0, 2.0) AS t(x)") == null)
     assert(one("SELECT kurtosis(x) FROM (VALUES 1.0, 2.0, 3.0) AS t(x)") == null)
+  }
+
+  test("greatest/least accept a single argument like Trino") {
+    assert(one("SELECT greatest(CAST(7 AS INT))") == 7)
+    assert(one("SELECT least(CAST(7 AS INT))") == 7)
+    assert(one("SELECT greatest(CAST(NULL AS INT))") == null)
   }
 
   test("timezone_hour/minute are 0 on the UTC-instant model") {

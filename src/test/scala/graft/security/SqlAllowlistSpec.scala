@@ -70,6 +70,22 @@ class SqlAllowlistSpec extends SparkSpec {
       "WITH t AS (SELECT c_custkey FROM customer) SELECT COUNT(*) AS n FROM t").isLeft)
   }
 
+  test("flag on: CTE exemption is scope-aware, not statement-global") {
+    // a CTE named like a denied table, bound only inside a NESTED WITH,
+    // must not exempt the outer use (which resolves to the real table)
+    assert(enforcing.execute(
+      "WITH x AS (WITH customer AS (SELECT 1 AS a) SELECT 1 AS b) " +
+        "SELECT COUNT(*) AS n FROM customer").isLeft)
+    // legitimate scoping still works: nested CTEs inside a body, and a
+    // later sibling referencing an earlier one
+    assert(enforcing.execute(
+      "WITH x AS (WITH y AS (SELECT r_regionkey FROM region) SELECT * FROM y) " +
+        "SELECT COUNT(*) AS n FROM x").isRight)
+    assert(enforcing.execute(
+      "WITH a AS (SELECT r_regionkey FROM region), b AS (SELECT * FROM a) " +
+        "SELECT COUNT(*) AS n FROM b").isRight)
+  }
+
   test("flag on: information_schema stays exempt (internally filtered)") {
     val r = enforcing.execute(
       "SELECT table_name FROM information_schema.tables ORDER BY table_name")

@@ -76,4 +76,21 @@ class ShowStatsSpec extends SparkSpec {
     assert(enforcing.execute("SHOW STATS FOR region") ==
       Left("table access denied: spark_catalog.default.region not in allowlist"))
   }
+
+  test("SHOW paths apply catalog/schema allowlists, not just the table list") {
+    // a deployment using ONLY catalog/schema allowlists must still gate
+    // SHOW STATS / SHOW CREATE TABLE (stats reveal column min/max)
+    val catOnly = qs(Map(
+      "GRAFT_ENFORCE_SQL_ALLOWLISTS" -> "true",
+      "TRINO_ALLOWED_CATALOGS" -> "other_catalog"))
+    assert(catOnly.execute("SHOW STATS FOR region") ==
+      Left("catalog access denied: spark_catalog not in allowlist"))
+    assert(catOnly.execute("SHOW CREATE TABLE region") ==
+      Left("catalog access denied: spark_catalog not in allowlist"))
+    val schemaOnly = qs(Map(
+      "GRAFT_ENFORCE_SQL_ALLOWLISTS" -> "true",
+      "TRINO_ALLOWED_SCHEMAS" -> "spark_catalog.other_schema"))
+    assert(schemaOnly.execute("SHOW STATS FOR region") ==
+      Left("schema access denied: spark_catalog.default not in allowlist"))
+  }
 }
