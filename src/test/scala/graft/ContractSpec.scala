@@ -28,7 +28,7 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented counts") {
-    assert(SparkEntry.queries.size == 150,
+    assert(SparkEntry.queries.size == 151,
       s"queries=${SparkEntry.queries.size} — update README/ContractSpec together")
     assert(SparkEntry.oracleSql.size == 132,
       s"oracles=${SparkEntry.oracleSql.size} — update README/ContractSpec together")

@@ -79,6 +79,96 @@ class SimilaritySpec extends SparkSpec {
     assert((brute & pq).size >= 3, s"pq recall too low: brute=$brute pq=$pq")
   }
 
+  /** Mean ADC recall@10 vs brute force over `nAnchors` anchors, with
+    * codebooks trained at `iters` Lloyd iterations. All model-sized
+    * state (2000 vectors, 8 codes each) evaluates driver-side with the
+    * SAME LUT algebra as Similarity.adcTopK — one train + one encode
+    * per call instead of 50 Spark jobs. */
+  private def pqMeanRecall(iters: Int, nAnchors: Int = 50,
+      m: Int = 8, ksub: Int = 256): Double = {
+    // pqTrainCodebooks is eager (Lloyd collects per iteration; the
+    // returned DF is local driver state), so train ONCE and reuse
+    val booksDf = Similarity.pqTrainCodebooks(emb, "vec_id", "embedding",
+      m = m, ksub = ksub, iters = iters)
+    val books = booksDf
+      .collect().groupBy(_.getInt(0)).toArray.sortBy(_._1)
+      .map(_._2.map(r => (r.getLong(1), r.getSeq[Float](2).toArray)).sortBy(_._1))
+    val codes = Similarity.pqEncode(emb, booksDf, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val dsub = books(0)(0)._2.length
+    def dotRange(a: Array[Float], off: Int, c: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < c.length) { acc += a(off + i).toDouble * c(i).toDouble; i += 1 }
+      acc
+    }
+    def l2(v: Array[Float]): Double =
+      math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+    val posOf = books.map(_.map(_._1).zipWithIndex.toMap)
+    val recalls = (0L until nAnchors.toLong).map { a =>
+      val av = vecs(a)
+      val brute = vecs.iterator.filter(_._1 != a)
+        .map { case (id, v) =>
+          (dotRange(av, 0, v) / (l2(av) * l2(v)), id) }
+        .toSeq.sortBy { case (c, id) => (-c, id) }.take(10).map(_._2).toSet
+      val dotLut = books.zipWithIndex.map { case (b, s) =>
+        b.map(c => dotRange(av, s * dsub, c._2)) }
+      val n2Lut = books.map(_.map(c => { val n = l2(c._2); n * n }))
+      val qnorm = l2(av)
+      val adc = codes.iterator.filter(_._1 != a)
+        .map { case (id, cs) =>
+          var dot = 0.0; var n2 = 0.0; var s = 0
+          while (s < cs.length) {
+            val p = posOf(s)(cs(s)); dot += dotLut(s)(p); n2 += n2Lut(s)(p); s += 1
+          }
+          (dot / (qnorm * math.sqrt(n2)), id)
+        }.toSeq.sortBy { case (c, id) => (-c, id) }.take(10).map(_._2).toSet
+      (brute & adc).size / 10.0
+    }
+    recalls.sum / recalls.size
+  }
+
+  test("PQ mean recall@10 over 50 anchors clears the geometry pin") {
+    // The single-anchor >= 3/10 overlap pin can't catch a codebook
+    // geometry regression (the SRP fixed-bucket-width bug class). Mean
+    // recall@10 over 50 anchors at the production config (m=8,
+    // ksub=256 — classic 8-bit PQ codes — iters=2) is stable because
+    // training is bit-deterministic; measured sweep on this corpus
+    // (recorded in PERF.md): (8,16)→0.254, (8,64)→0.418, (8,256)→0.686,
+    // (16,64)→0.622, (16,256)→0.832. Trained codebooks must both clear
+    // an absolute bar AND beat the untrained (iters=0, hash-sample
+    // seeds only) codebooks (0.654) — so zeroing out Lloyd, or any
+    // assignment/mean bug that degrades quantization, fails here.
+    val trained = pqMeanRecall(iters = 2)
+    val untrained = pqMeanRecall(iters = 0)
+    info(f"PQ mean recall@10, 50 anchors: iters=2 $trained%.3f, iters=0 $untrained%.3f")
+    assert(trained >= 0.6, f"trained recall $trained%.3f below 0.6 pin")
+    assert(trained > untrained + 0.02,
+      f"Lloyd refinement not improving recall: $trained%.3f vs $untrained%.3f")
+  }
+
+  test("PQ persisted-index probe is bit-identical to the train-inline path") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_pq_spec").toString
+    Similarity.buildPqIndex(emb, "vec_id", "embedding", idx)
+    val anchor = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val probeDf = Similarity.pqTopKIndexed(spark, idx, "vec_id", anchor,
+      k = 10, excludeId = Some(0L))
+    val probe = probeDf.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val inline = Similarity.pqTopK(emb, "vec_id", "embedding", 0L, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(probe.toSeq == inline.toSeq,
+      s"probe diverged from inline:\n${probe.toSeq}\n${inline.toSeq}")
+    // plan pin: the probe is ONE scan of the persisted codes ending in
+    // TakeOrderedAndProject — no training aggregates, no float corpus
+    val plan = probeDf.queryExecution.executedPlan.toString
+    assert(plan.contains(idx), s"probe does not scan the persisted index:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k tail:\n$plan")
+    assert(!plan.toLowerCase.contains("posexplode"),
+      s"training subvector explode leaked into the probe plan:\n$plan")
+  }
+
   test("native SrpSigMd5D equals the higher-order-function composition") {
     // the native expression must be BIT-identical to the Catalyst
     // aggregate/zip_with quantized-BIGINT fold it replaces (which the
