@@ -104,6 +104,13 @@ class QueryService(engine: Engine) {
     ShowMeta.matchSession(stripped).foreach { like =>
       return collectBounded(ShowMeta.session(engine, like))
     }
+    // SHOW FUNCTIONS — function discovery over the dialect surface
+    // (reference pass-through; Spark's own SHOW FUNCTIONS has the wrong
+    // shape and lists Spark-spelling names). No allowlist gate: the
+    // function surface is engine-global, not relation data.
+    ShowFunctions.matchFunctions(stripped).foreach { like =>
+      return collectBounded(ShowFunctions.functions(engine, like))
+    }
     val dialectSql =
       try graft.dialect.TrinoFunctions.preprocess(stripped)
       catch { case e: IllegalArgumentException => return Left(e.getMessage) }
