@@ -82,13 +82,39 @@ class QueryService(engine: Engine) {
           Some(s"schema access denied: $c.$s not in allowlist")
         else lists.tableAccessError(c, s, tbl)
       }
-    val statsTable =
-      try ShowStats.matchStats(stripped)
-      catch { case e: IllegalArgumentException => return Left(e.getMessage) }
-    statsTable.foreach { t =>
+    ShowStats.matchStats(stripped).foreach { t =>
       showGate(t).foreach(err => return Left(err))
       val df =
         try ShowStats.forTable(engine, t)
+        catch { case e: Throwable => return Left(s"query execution failed: ${clip(e)}") }
+      return collectBounded(df)
+    }
+    // SHOW STATS FOR (SELECT ...): the inner query runs through the
+    // same dialect/allowlist/info_schema pipeline as a standalone
+    // statement, then the one-pass stats aggregate over its result.
+    // (The whole statement already passed the read-only guard above —
+    // its write-keyword scan covers the inner text too.)
+    ShowStats.matchStatsQuery(stripped).foreach { inner =>
+      val innerSql =
+        try graft.dialect.TrinoFunctions.preprocess(inner)
+        catch { case e: IllegalArgumentException => return Left(e.getMessage) }
+      if (engine.config.enforceSqlAllowlists) {
+        val parsed =
+          try engine.spark.sessionState.sqlParser.parsePlan(innerSql)
+          catch { case e: Throwable => return Left(s"query execution failed: ${clip(e)}") }
+        graft.security.SqlAllowlist.check(parsed, engine.allowlists,
+            engine.config.catalog, engine.config.schema)
+          .foreach(err => return Left(err))
+      }
+      val resolved =
+        if (InfoSchema.references(innerSql)) {
+          try InfoSchema.refresh(engine)
+          catch { case e: Throwable =>
+            return Left(s"query execution failed: ${clip(e)}") }
+          InfoSchema.rewrite(innerSql)
+        } else innerSql
+      val df =
+        try ShowStats.forDataFrame(engine, engine.spark.sql(resolved))
         catch { case e: Throwable => return Left(s"query execution failed: ${clip(e)}") }
       return collectBounded(df)
     }

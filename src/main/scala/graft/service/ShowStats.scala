@@ -25,20 +25,30 @@ object ShowStats {
 
   private val Pattern =
     """(?is)^\s*SHOW\s+STATS\s+FOR\s+([A-Za-z_][\w.]*)\s*$""".r
+  private val QueryPattern =
+    """(?is)^\s*SHOW\s+STATS\s+FOR\s*\((.*)\)\s*$""".r
 
-  /** Some(tableName) when the SQL is a SHOW STATS statement. Trino's
-    * `SHOW STATS FOR (SELECT ...)` form is recognized but unsupported. */
+  /** Some(tableName) when the SQL is SHOW STATS FOR <table>. */
   def matchStats(sql: String): Option[String] = sql match {
     case Pattern(t) => Some(t)
-    case _ if sql.matches("""(?is)^\s*SHOW\s+STATS\s+FOR\s*\(.*""") =>
-      throw new IllegalArgumentException(
-        "SHOW STATS FOR (SELECT ...) is not supported; run SHOW STATS FOR <table>")
     case _ => None
   }
 
-  def forTable(engine: Engine, table: String): DataFrame = {
+  /** Some(innerQuery) when the SQL is Trino's subquery form
+    * `SHOW STATS FOR (SELECT ...)`. The inner text goes through the
+    * SAME dialect/allowlist/info_schema pipeline as a standalone query
+    * (QueryService wires that), then the one-pass aggregation below
+    * runs over the derived relation. */
+  def matchStatsQuery(sql: String): Option[String] = sql match {
+    case QueryPattern(q) => Some(q.trim)
+    case _ => None
+  }
+
+  def forTable(engine: Engine, table: String): DataFrame =
+    forDataFrame(engine, engine.spark.table(table))
+
+  def forDataFrame(engine: Engine, df: DataFrame): DataFrame = {
     val spark = engine.spark
-    val df = spark.table(table)
     val cols = df.schema.fields
 
     def isNumericish(dt: DataType): Boolean = dt match {

@@ -37,9 +37,35 @@ class ShowStatsSpec extends SparkSpec {
   test("SHOW STATS is case-insensitive, semicolon-tolerant, and guarded") {
     assert(qs().execute("  show stats for region ;").isRight)
     assert(qs().execute("SHOW STATS FOR no_such_table").isLeft)
-    val e = qs().execute("SHOW STATS FOR (SELECT * FROM region)")
-    assert(e == Left("SHOW STATS FOR (SELECT ...) is not supported; " +
-      "run SHOW STATS FOR <table>"))
+  }
+
+  test("SHOW STATS FOR (SELECT ...) computes stats over the derived relation") {
+    val r = qs().execute(
+      "SHOW STATS FOR (SELECT r_regionkey, r_name FROM region WHERE r_regionkey < 3)")
+      .toOption.get
+    assert(r.columns == Seq("column_name", "data_size", "distinct_values_count",
+      "nulls_fraction", "row_count", "low_value", "high_value"))
+    val byName = r.rows.map(row => Option(row.head).map(_.toString).orNull -> row).toMap
+    assert(byName(null)(4) == 3.0)                     // 3 filtered rows
+    assert(byName.keySet == Set(null, "r_regionkey", "r_name"))
+    val key = byName("r_regionkey")
+    assert(key(2) == 3.0 && key(5) == "0" && key(6) == "2")
+    // dialect functions work inside the subquery (same pipeline)
+    val d = qs().execute(
+      "SHOW STATS FOR (SELECT strpos(r_name, 'A') AS p FROM region)").toOption.get
+    assert(d.rows.map(r => Option(r.head).map(_.toString).orNull).toSet ==
+      Set(null, "p"))
+    // the inner query is still a guarded statement: bad SQL errors cleanly
+    assert(qs().execute("SHOW STATS FOR (SELECT no_col FROM region)").isLeft)
+  }
+
+  test("SHOW STATS FOR (SELECT ...) honors the opt-in allowlist gate") {
+    val enforcing = qs(Map(
+      "GRAFT_ENFORCE_SQL_ALLOWLISTS" -> "true",
+      "TRINO_ALLOWED_TABLES" -> "spark_catalog.default.nation"))
+    assert(enforcing.execute("SHOW STATS FOR (SELECT * FROM nation)").isRight)
+    assert(enforcing.execute("SHOW STATS FOR (SELECT * FROM region)") ==
+      Left("table access denied: spark_catalog.default.region not in allowlist"))
   }
 
   test("SHOW CREATE TABLE renders Trino-typed DDL; SHOW SESSION lists properties") {
