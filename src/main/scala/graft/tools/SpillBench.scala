@@ -35,15 +35,27 @@ object SpillBench {
     "dedup_exact")           // full-corpus hash shuffle + window
 
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/tmp/sfsynth10")
+    val dir = args.headOption.getOrElse("/tmp/sfsynth100")
     val queries = args.lift(1).map(_.split(",").toSeq).getOrElse(DefaultQueries)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Deliberately NOT local[32]: at a 2 GB heap, 32 concurrent tasks
+    // leave ~40 MB of execution memory each and the job dies in
+    // non-spillable allocations (parquet batches, join build sides)
+    // before the spillable sorts get a chance — measured: tpch_q21
+    // OOMs. The documented sizing rule (PERF.md / SURVEY: partitions
+    // must fit executor memory) is applied instead: fewer concurrent
+    // tasks, MORE shuffle partitions (each reduce partition smaller),
+    // smaller scan splits. These are the same knobs a 100 TB cluster
+    // job sets; override via env to explore.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val shufParts = sys.env.getOrElse("SPILL_SHUFFLE_PARTS", "256")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-spill-bench")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufParts)
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPILL_MAX_PART_BYTES", "33554432"))
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", cpus))
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", shufParts))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.timeType.enabled", "true")
