@@ -6,6 +6,11 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // same dialect rules the Engine-built sessions get
+      .withExtensions { ext =>
+        ext.injectResolutionRule(_ => graft.dialect.TimeCastRule)
+        ext.injectPostHocResolutionRule(_ => graft.dialect.EmptyGroupingSetsRule)
+      }
       .config("spark.sql.shuffle.partitions", cpus)
       // AQE initial shuffle-partition count: deployment config, NOT a
       // hardcoded 8x-cores — at local[32]/small SF that multiplier made

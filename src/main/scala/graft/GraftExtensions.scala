@@ -30,5 +30,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           builder))
     }
     ext.injectResolutionRule(_ => graft.dialect.TimeCastRule)
+    // Standard empty-input ROLLUP/CUBE semantics (Trino/ANSI: the ()
+    // grouping set emits one row over empty input; Spark emits none).
+    ext.injectPostHocResolutionRule(_ => graft.dialect.EmptyGroupingSetsRule)
   }
 }

@@ -9,6 +9,12 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // same dialect rules the Engine-built sessions get (uniform
+      // semantics across the library and service surfaces)
+      .withExtensions { ext =>
+        ext.injectResolutionRule(_ => graft.dialect.TimeCastRule)
+        ext.injectPostHocResolutionRule(_ => graft.dialect.EmptyGroupingSetsRule)
+      }
       .config("spark.sql.shuffle.partitions", cpus)
       // AQE initial shuffle-partition count: deployment config, NOT a
       // hardcoded 8x-cores — at local[32]/small SF that multiplier made

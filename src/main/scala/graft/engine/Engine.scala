@@ -34,7 +34,10 @@ class Engine(
         // Trino's CAST(timestamp AS TIME) needs a resolution rule
         // (dialect.TimeCastRule); sessions passed in via `existing`
         // must install it themselves (GraftExtensions is the hook).
-        .withExtensions(_.injectResolutionRule(_ => graft.dialect.TimeCastRule))
+        .withExtensions { ext =>
+          ext.injectResolutionRule(_ => graft.dialect.TimeCastRule)
+          ext.injectPostHocResolutionRule(_ => graft.dialect.EmptyGroupingSetsRule)
+        }
         .appName(config.source)
         .config("spark.sql.shuffle.partitions", cpus)
         // AQE initial shuffle-partition count: deployment config, NOT a

@@ -1,0 +1,419 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import scala.util.Random
+
+import org.apache.spark.sql.SparkSession
+
+/** Differential SQL fuzzer: generate deterministic random queries in
+  * the ANSI subset BOTH Spark and DuckDB implement with identical
+  * semantics, run each through the engine's dialect path
+  * (`TrinoFunctions.preprocess` + `Tables.sql`, the same pipeline
+  * execute_query uses), dump results parquet, and emit the SAME query
+  * text as `oracle_sql.json` — so `scripts/check.py` replays every one
+  * in DuckDB and value-compares, exactly like the driver's gate.
+  *
+  * Purpose: the 132 hand-written oracles pin the operators we thought
+  * to write; the fuzzer walks the expression/shape space we did NOT
+  * think of (operator nesting, null injection via else-less CASE,
+  * duplicate-row set ops, join + aggregate + having interactions) and
+  * surfaces semantic divergence between the dialect layer and a second
+  * engine. Every query is seeded — a failure reproduces from its name.
+  *
+  * The grammar deliberately EXCLUDES known cross-engine divergences so
+  * a mismatch is signal, not noise: no float arithmetic (decimal-sum
+  * rules live in the curated oracles), no integer division / modulo
+  * (sign conventions), no negative substr starts, no implicit casts,
+  * no week-based datetime fields, explicit NULLS FIRST/LAST on every
+  * sort key, ORDER BY every output ordinal (ties are then identical
+  * rows, which value-compare tolerates), sum() only over bare int
+  * columns CAST to BIGINT (Spark ANSI would overflow-throw on summed
+  * products; DuckDB promotes to HUGEINT which pandas reads as object).
+  *
+  * Usage: runMain graft.tools.FuzzDump <sfDir> <outDir> [n] [seed]
+  */
+object FuzzDump {
+
+  // ---- table metadata (TESTDATA.md schemas) -------------------------
+  // pk: column list that totally orders the table (window determinism).
+  final case class Tbl(name: String, ints: Seq[String], strs: Seq[String],
+      tss: Seq[String], pk: Seq[String])
+  val tables: Seq[Tbl] = Seq(
+    Tbl("nation", Seq("n_nationkey", "n_regionkey"), Seq("n_name"), Nil,
+      Seq("n_nationkey")),
+    Tbl("region", Seq("r_regionkey"), Seq("r_name"), Nil, Seq("r_regionkey")),
+    Tbl("customer", Seq("c_custkey", "c_nationkey"),
+      Seq("c_name", "c_mktsegment"), Nil, Seq("c_custkey")),
+    Tbl("orders", Seq("o_orderkey", "o_custkey"),
+      Seq("o_orderstatus", "o_orderpriority"), Seq("o_orderdate"),
+      Seq("o_orderkey")),
+    Tbl("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"),
+      Seq("l_returnflag", "l_linestatus"), Seq("l_shipdate"),
+      Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")),
+    Tbl("events", Seq("event_id", "user_id"), Seq("event_type"), Seq("ts"),
+      Seq("event_id")),
+    Tbl("documents", Seq("doc_id", "n_chars"), Seq("lang", "source"), Nil,
+      Seq("doc_id")))
+
+  // FK joins whose key domains actually overlap in the testdata.
+  val joins: Seq[(String, String, String, String)] = Seq(
+    ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+    ("orders", "customer", "o_custkey", "c_custkey"),
+    ("customer", "nation", "c_nationkey", "n_nationkey"),
+    ("nation", "region", "n_regionkey", "r_regionkey"))
+
+  // Plausible string literals per column (sampled from the corpus) so
+  // equality/IN/LIKE predicates select real rows, not empty sets.
+  val strLits: Map[String, Seq[String]] = Map(
+    "n_name" -> Seq("NATION_0", "NATION_7", "NATION_12", "NATION_23"),
+    "r_name" -> Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"),
+    "c_name" -> Seq("Customer#0", "Customer#42", "Customer#99"),
+    "c_mktsegment" -> Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"),
+    "o_orderstatus" -> Seq("F", "O", "P"),
+    "o_orderpriority" -> Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
+    "l_returnflag" -> Seq("A", "N", "R"),
+    "l_linestatus" -> Seq("F", "O"),
+    "event_type" -> Seq("click", "error", "purchase", "signup", "view"),
+    "lang" -> Seq("de", "en", "es", "fr", "zh"),
+    "source" -> Seq("src0", "src3", "src7", "src12"))
+  val likePats = Seq("%A%", "%E", "N%", "%1%", "%o%", "_", "__%", "%-%")
+  val tsLits = Seq("1995-06-17 00:00:00", "1997-01-01 00:00:00",
+    "1999-12-31 23:59:59", "1996-03-05 12:00:00")
+
+  // ---- expression generators ---------------------------------------
+  // Each returns SQL text valid and semantics-identical in both engines.
+  /** nullable=true: some columns may be NULL (outer-join side), so
+    * never-NULL expression contexts must avoid column references. */
+  final case class Ctx(rng: Random, cols: Map[String, Seq[String]],
+      nullable: Boolean = false) {
+    def pick[A](xs: Seq[A]): A = xs(rng.nextInt(xs.length))
+    def ints: Seq[String] = cols("int")
+    def strs: Seq[String] = cols("str")
+    def tss: Seq[String] = cols("ts")
+  }
+
+  /** allowNull=false guarantees a never-NULL expression: the dialect's
+    * least/greatest follow TRINO's null rule (NULL if any arg is NULL)
+    * while DuckDB ignores NULLs, so nullable args there would compare
+    * two legitimately different semantics. */
+  def intExpr(c: Ctx, depth: Int, allowNull: Boolean = true): String = {
+    // In a never-NULL context over a nullable relation, column refs (and
+    // functions of them: length/instr/year) could still produce NULL —
+    // fall back to literals there.
+    val colFree = !allowNull && c.nullable
+    if (depth <= 0 || c.rng.nextInt(10) < 4) {
+      if (colFree || c.rng.nextBoolean() || c.ints.isEmpty) c.rng.nextInt(200).toString
+      else c.pick(c.ints)
+    } else c.rng.nextInt(12) match {
+      case 0 => s"(${intExpr(c, depth - 1, allowNull)} + ${intExpr(c, depth - 1, allowNull)})"
+      case 1 => s"(${intExpr(c, depth - 1, allowNull)} - ${intExpr(c, depth - 1, allowNull)})"
+      case 2 => s"(${intExpr(c, depth - 1, allowNull)} * ${1 + c.rng.nextInt(3)})"
+      case 3 => s"abs(${intExpr(c, depth - 1, allowNull)})"
+      case 4 => s"least(${intExpr(c, depth - 1, allowNull = false)}, ${intExpr(c, depth - 1, allowNull = false)})"
+      case 5 => s"greatest(${intExpr(c, depth - 1, allowNull = false)}, ${intExpr(c, depth - 1, allowNull = false)})"
+      case 6 if !colFree => s"length(${strExpr(c, depth - 1)})"
+      case 7 if c.tss.nonEmpty && !colFree =>
+        s"${c.pick(Seq("year", "month"))}(${c.pick(c.tss)})"
+      case 8 if !colFree => s"instr(${strExpr(c, depth - 1)}, '${c.pick(Seq("A", "E", "o", "1", "-"))}')"
+      case 9 => s"coalesce(${nullableInt(c, math.min(depth - 1, 1))}, ${intExpr(c, depth - 1, allowNull = false)})"
+      case 10 if allowNull =>
+        s"nullif(${intExpr(c, depth - 1, allowNull)}, ${intExpr(c, depth - 1, allowNull)})"
+      case _ =>
+        s"CASE WHEN ${boolExpr(c, depth - 1)} THEN ${intExpr(c, depth - 1, allowNull)} ELSE ${intExpr(c, depth - 1, allowNull)} END"
+    }
+  }
+
+  def strExpr(c: Ctx, depth: Int): String =
+    if (depth <= 0 || c.rng.nextInt(10) < 4) {
+      if (c.strs.nonEmpty && c.rng.nextInt(4) > 0) c.pick(c.strs)
+      else s"'${c.pick(strLits(c.pick(strLits.keys.toSeq)))}'"
+    } else c.rng.nextInt(10) match {
+      case 0 => s"upper(${strExpr(c, depth - 1)})"
+      case 1 => s"lower(${strExpr(c, depth - 1)})"
+      case 2 => s"substr(${strExpr(c, depth - 1)}, ${1 + c.rng.nextInt(3)}, ${1 + c.rng.nextInt(5)})"
+      case 3 => s"trim(${strExpr(c, depth - 1)})"
+      case 4 => s"(${strExpr(c, depth - 1)} || ${strExpr(c, depth - 1)})"
+      case 5 => s"replace(${strExpr(c, depth - 1)}, 'A', 'x')"
+      case 6 => s"lpad(${strExpr(c, depth - 1)}, ${3 + c.rng.nextInt(8)}, '${c.pick(Seq("*", "#", "0"))}')"
+      case 7 => s"rpad(${strExpr(c, depth - 1)}, ${3 + c.rng.nextInt(8)}, '${c.pick(Seq("*", "#", "0"))}')"
+      case 8 => s"coalesce(CASE WHEN ${boolExpr(c, depth - 1)} THEN ${strExpr(c, depth - 1)} END, ${strExpr(c, depth - 1)})"
+      case _ =>
+        s"CASE WHEN ${boolExpr(c, depth - 1)} THEN ${strExpr(c, depth - 1)} ELSE ${strExpr(c, depth - 1)} END"
+    }
+
+  /** Else-less CASE: the grammar's NULL injector (typed by its branch). */
+  def nullableInt(c: Ctx, depth: Int): String =
+    s"CASE WHEN ${boolExpr(c, depth)} THEN ${intExpr(c, depth)} END"
+
+  def boolExpr(c: Ctx, depth: Int): String =
+    if (depth <= 0) simpleCmp(c)
+    else c.rng.nextInt(10) match {
+      case 0 => s"(${boolExpr(c, depth - 1)} AND ${boolExpr(c, depth - 1)})"
+      case 1 => s"(${boolExpr(c, depth - 1)} OR ${boolExpr(c, depth - 1)})"
+      case 2 => s"(NOT ${boolExpr(c, depth - 1)})"
+      case 3 if c.strs.nonEmpty =>
+        s"${c.pick(c.strs)} LIKE '${c.pick(likePats)}'"
+      case 4 if c.ints.nonEmpty =>
+        val lo = c.rng.nextInt(100); val hi = lo + c.rng.nextInt(400)
+        s"${c.pick(c.ints)} BETWEEN $lo AND $hi"
+      case 5 if c.strs.nonEmpty =>
+        val col = c.pick(c.strs)
+        val pool = strLits.getOrElse(col.split('.').last, strLits("r_name"))
+        val n = 1 + c.rng.nextInt(math.min(3, pool.length))
+        s"$col IN (${c.rng.shuffle(pool.toList).take(n).map(v => s"'$v'").mkString(", ")})"
+      case 6 if c.tss.nonEmpty =>
+        if (c.rng.nextBoolean())
+          s"${c.pick(c.tss)} ${c.pick(Seq("<", ">=", ">"))} TIMESTAMP '${c.pick(tsLits)}'"
+        else {
+          val (a, b) = (c.pick(tsLits), c.pick(tsLits))
+          val (lo, hi) = if (a <= b) (a, b) else (b, a)
+          s"${c.pick(c.tss)} BETWEEN TIMESTAMP '$lo' AND TIMESTAMP '$hi'"
+        }
+      case 7 => s"(${nullableInt(c, math.min(depth - 1, 1))} IS ${if (c.rng.nextBoolean()) "NULL" else "NOT NULL"})"
+      // NOT `contains` — the dialect layer maps that name to Trino's
+      // ARRAY contains; instr is engine-native in both.
+      case 8 => s"(instr(${strExpr(c, math.min(depth - 1, 1))}, '${c.pick(Seq("A", "o", "1", "N"))}') > 0)"
+      case 9 if c.strs.nonEmpty =>
+        val col = c.pick(c.strs)
+        val pool = strLits.getOrElse(col.split('.').last, strLits("r_name"))
+        val (a, b) = (c.pick(pool), c.pick(pool))
+        val (lo, hi) = if (a <= b) (a, b) else (b, a)
+        s"$col BETWEEN '$lo' AND '$hi'"
+      case _ => simpleCmp(c)
+    }
+
+  def simpleCmp(c: Ctx): String = {
+    val ops = Seq("=", "<>", "<", "<=", ">", ">=")
+    if (c.strs.nonEmpty && c.rng.nextInt(3) == 0) {
+      val col = c.pick(c.strs)
+      val pool = strLits.getOrElse(col.split('.').last, strLits("r_name"))
+      s"$col ${c.pick(Seq("=", "<>", "<", ">"))} '${c.pick(pool)}'"
+    } else if (c.ints.nonEmpty)
+      s"${c.pick(c.ints)} ${c.pick(ops)} ${c.rng.nextInt(300)}"
+    else "1 = 1"
+  }
+
+  // ---- query generators --------------------------------------------
+  final case class Rel(sql: String, ints: Seq[String], strs: Seq[String],
+      tss: Seq[String], pk: Seq[String], nullable: Boolean = false)
+
+  def genRel(rng: Random): Rel =
+    rng.nextInt(6) match {
+      case 0 => // inner FK join, qualified columns
+        val (ln, rn, lk, rk) = joins(rng.nextInt(joins.length))
+        val (l, r) = (tables.find(_.name == ln).get, tables.find(_.name == rn).get)
+        Rel(s"$ln t1 JOIN $rn t2 ON t1.$lk = t2.$rk",
+          l.ints.map("t1." + _) ++ r.ints.map("t2." + _),
+          l.strs.map("t1." + _) ++ r.strs.map("t2." + _),
+          l.tss.map("t1." + _) ++ r.tss.map("t2." + _),
+          l.pk.map("t1." + _) ++ r.pk.map("t2." + _))
+      case 1 => // LEFT join with a right-side ON filter → real NULL rows
+        val (ln, rn, lk, rk) = joins(rng.nextInt(joins.length))
+        val (l, r) = (tables.find(_.name == ln).get, tables.find(_.name == rn).get)
+        val extra = if (r.strs.nonEmpty) {
+          val col = r.strs(rng.nextInt(r.strs.length))
+          val pool = strLits.getOrElse(col, strLits("r_name"))
+          s" AND t2.$col = '${pool(rng.nextInt(pool.length))}'"
+        } else s" AND t2.$rk > ${rng.nextInt(50)}"
+        Rel(s"$ln t1 LEFT JOIN $rn t2 ON t1.$lk = t2.$rk$extra",
+          l.ints.map("t1." + _) ++ r.ints.map("t2." + _),
+          l.strs.map("t1." + _) ++ r.strs.map("t2." + _),
+          l.tss.map("t1." + _) ++ r.tss.map("t2." + _),
+          l.pk.map("t1." + _), nullable = true)
+      case 2 => // cross join of the two tiny dims
+        Rel("region t1 CROSS JOIN nation t2",
+          Seq("t1.r_regionkey", "t2.n_nationkey", "t2.n_regionkey"),
+          Seq("t1.r_name", "t2.n_name"), Nil,
+          Seq("t1.r_regionkey", "t2.n_nationkey"))
+      case _ =>
+        val t = tables(rng.nextInt(tables.length))
+        Rel(t.name, t.ints, t.strs, t.tss, t.pk)
+    }
+
+  def orderBy(c: Ctx, n: Int): String =
+    (1 to n).map { i =>
+      if (c.rng.nextBoolean()) s"$i ASC NULLS FIRST" else s"$i DESC NULLS LAST"
+    }.mkString("ORDER BY ", ", ", "")
+
+  /** WHERE-level predicate: boolExpr plus the subquery forms Spark only
+    * supports in filters (IN-subquery, correlated EXISTS). */
+  def wherePred(c: Ctx, rel: Rel): String = {
+    val base = boolExpr(c, 2)
+    c.rng.nextInt(5) match {
+      case 0 if rel.ints.nonEmpty => // uncorrelated IN-subquery
+        val t = tables(c.rng.nextInt(tables.length))
+        val ic = Ctx(c.rng, Map("int" -> t.ints, "str" -> t.strs, "ts" -> t.tss))
+        s"(${c.pick(rel.ints)} IN (SELECT ${t.pk.head} FROM ${t.name} WHERE ${boolExpr(ic, 1)}) AND $base)"
+      case 1 => // correlated EXISTS along a FK edge present in the rel
+        val hits = joins.filter { case (_, _, lk, _) =>
+          rel.ints.exists(ci => ci == lk || ci.endsWith("." + lk)) }
+        if (hits.isEmpty) base
+        else {
+          val (_, rn, lk, rk) = hits(c.rng.nextInt(hits.length))
+          val outer = rel.ints.find(ci => ci == lk || ci.endsWith("." + lk)).get
+          val t = tables.find(_.name == rn).get
+          val ic = Ctx(c.rng, Map("int" -> t.ints.map("sq." + _),
+            "str" -> t.strs.map("sq." + _), "ts" -> t.tss.map("sq." + _)))
+          s"(EXISTS (SELECT 1 FROM ${t.name} sq WHERE sq.$rk = $outer AND ${boolExpr(ic, 1)}) AND $base)"
+        }
+      case _ => base
+    }
+  }
+
+  /** One full statement; every item aliased c0..cN. */
+  def genQuery(seed: Long): String = {
+    val rng = new Random(seed)
+    val rel = genRel(rng)
+    val c = Ctx(rng, Map("int" -> rel.ints, "str" -> rel.strs, "ts" -> rel.tss),
+      rel.nullable)
+
+    def items(n: Int): Seq[String] = (0 until n).map { i =>
+      val e = rng.nextInt(6) match {
+        case 0 | 1 => intExpr(c, 2)
+        case 2 | 3 => strExpr(c, 2)
+        case 4 => nullableInt(c, 1)
+        case 5 if rel.tss.nonEmpty => c.pick(rel.tss)
+        case _ => intExpr(c, 2)
+      }
+      s"$e AS c$i"
+    }
+
+    def aggItems(keys: Seq[String]): Seq[String] = {
+      val aggs = Seq(
+        () => "count(*)",
+        () => s"count(${c.pick(Seq.concat(rel.ints, rel.strs))})",
+        () => s"count(DISTINCT ${c.pick(Seq.concat(rel.ints, rel.strs))})",
+        () => s"min(${intExpr(c, 1)})",
+        () => s"max(${intExpr(c, 1)})",
+        () => if (rel.ints.nonEmpty) s"CAST(sum(${c.pick(rel.ints)}) AS BIGINT)" else "count(*)",
+        () => s"min(${strExpr(c, 1)})",
+        () => s"max(${strExpr(c, 1)})") ++
+        (if (rel.tss.nonEmpty) Seq(() => s"min(${c.pick(rel.tss)})", () => s"max(${c.pick(rel.tss)})") else Nil)
+      val n = 1 + rng.nextInt(3)
+      keys.zipWithIndex.map { case (k, i) => s"$k AS c$i" } ++
+        (0 until n).map(i => s"${c.pick(aggs)()} AS c${keys.length + i}")
+    }
+
+    rng.nextInt(13) match {
+      case 0 | 1 => // plain select
+        val its = items(1 + rng.nextInt(4))
+        val where = if (rng.nextInt(4) > 0) s" WHERE ${wherePred(c, rel)}" else ""
+        val limit = if (rng.nextInt(3) == 0) s" LIMIT ${10 + rng.nextInt(90)}" else ""
+        s"SELECT ${its.mkString(", ")} FROM ${rel.sql}$where ${orderBy(c, its.length)}$limit"
+      case 2 => // distinct
+        val its = items(1 + rng.nextInt(3))
+        val where = if (rng.nextBoolean()) s" WHERE ${wherePred(c, rel)}" else ""
+        s"SELECT DISTINCT ${its.mkString(", ")} FROM ${rel.sql}$where ${orderBy(c, its.length)}"
+      case 3 | 4 | 5 => // group-by aggregate
+        val nk = 1 + rng.nextInt(2)
+        val keys = (0 until nk).map(_ => rng.nextInt(3) match {
+          case 0 if rel.strs.nonEmpty => c.pick(rel.strs)
+          case 1 => strExpr(c, 1)
+          case _ => intExpr(c, 1)
+        })
+        val its = aggItems(keys)
+        val where = if (rng.nextBoolean()) s" WHERE ${wherePred(c, rel)}" else ""
+        val having = if (rng.nextInt(3) == 0) s" HAVING count(*) > ${rng.nextInt(4)}" else ""
+        s"SELECT ${its.mkString(", ")} FROM ${rel.sql}$where GROUP BY ${(1 to nk).mkString(", ")}$having ${orderBy(c, its.length)}"
+      case 6 => // subquery: outer filter over aliased inner projection
+        val its = items(2 + rng.nextInt(2))
+        val inner = s"SELECT ${its.mkString(", ")} FROM ${rel.sql}" +
+          (if (rng.nextBoolean()) s" WHERE ${boolExpr(c, 1)}" else "")
+        // outer sees c0.. whose types we don't track; keep it shape-only:
+        // reorder + row filter on c0 being non-null (valid for any type).
+        s"SELECT * FROM ($inner) sub WHERE c0 IS NOT NULL ${orderBy(c, its.length)}"
+      case 7 => // set op over the same relation (duplicate-row semantics)
+        val its = items(1 + rng.nextInt(2))
+        val op = c.pick(Seq("UNION ALL", "UNION", "INTERSECT", "EXCEPT"))
+        val s1 = s"SELECT ${its.mkString(", ")} FROM ${rel.sql} WHERE ${boolExpr(c, 1)}"
+        val s2 = s"SELECT ${its.mkString(", ")} FROM ${rel.sql} WHERE ${boolExpr(c, 1)}"
+        s"SELECT * FROM ($s1 $op $s2) u ${orderBy(c, its.length)}"
+      case 8 | 9 => // window functions over a deterministic frame
+        // rank/dense_rank and RANGE-framed (default) running sums are
+        // tie-stable, so a non-unique window order is still deterministic.
+        val part = if (rel.strs.nonEmpty) c.pick(rel.strs) else intExpr(c, 1)
+        val ord = rel.pk.map(k => s"$k ASC").mkString(", ")
+        val wfns = Seq(
+          s"rank() OVER (PARTITION BY $part ORDER BY $ord)",
+          s"dense_rank() OVER (PARTITION BY $part ORDER BY $ord)",
+          s"count(*) OVER (PARTITION BY $part)") ++
+          (if (rel.ints.nonEmpty)
+            Seq(s"CAST(sum(${c.pick(rel.ints)}) OVER (PARTITION BY $part ORDER BY $ord) AS BIGINT)")
+          else Nil)
+        val baseIts = (Seq(part) ++ rel.pk.take(2)).zipWithIndex
+          .map { case (e, i) => s"$e AS c$i" }
+        val its = baseIts :+ s"${c.pick(wfns)} AS c${baseIts.length}"
+        val where = if (rng.nextBoolean()) s" WHERE ${boolExpr(c, 1)}" else ""
+        s"SELECT ${its.mkString(", ")} FROM ${rel.sql}$where ${orderBy(c, its.length)}"
+      case 10 => // ROLLUP: super-aggregate rows with NULL-filled keys.
+        // Keys must be COLUMN references: a bare integer literal inside
+        // ROLLUP(...) is an ordinal to Spark (groupByOrdinal) but a
+        // plain literal to DuckDB.
+        val keyPool = rel.strs ++ rel.ints
+        val keys = (0 until (1 + rng.nextInt(2))).map(_ => c.pick(keyPool)).distinct
+        val aggIts = aggItems(keys)
+        val where = if (rng.nextBoolean()) s" WHERE ${boolExpr(c, 1)}" else ""
+        s"SELECT ${aggIts.mkString(", ")} FROM ${rel.sql}$where GROUP BY ROLLUP(${keys.mkString(", ")}) ${orderBy(c, aggIts.length)}"
+      case _ => // aggregate without GROUP BY (single row)
+        val its = aggItems(Nil)
+        val where = if (rng.nextBoolean()) s" WHERE ${wherePred(c, rel)}" else ""
+        s"SELECT ${its.mkString(", ")} FROM ${rel.sql}$where"
+    }
+  }
+
+  // ---- main ---------------------------------------------------------
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = args.lift(1).getOrElse("/tmp/fuzz_out")
+    val n = args.lift(2).map(_.toInt).getOrElse(400)
+    val seed = args.lift(3).map(_.toLong).getOrElse(20260814L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-fuzz")
+      // full dialect extension set — the fuzzer must exercise the same
+      // rules (EmptyGroupingSetsRule etc.) the engine surface runs with
+      .withExtensions(new graft.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.timeType.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Logs.silenceWindowWarn()
+    new java.io.File(outDir).mkdirs()
+
+    var sqls = Map.empty[String, String]
+    var sparkErr = 0
+    (0 until n).foreach { i =>
+      val name = f"fuzz_$i%04d"
+      val sql = genQuery(seed + i)
+      try {
+        val pre = graft.dialect.TrinoFunctions.preprocess(sql)
+        graft.engine.Tables.sql(spark, sfDir, pre)
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        sqls += (name -> sql)
+      } catch {
+        case e: Throwable =>
+          sparkErr += 1
+          System.err.println(s"[fuzz] $name SPARK-SIDE ERROR (grammar or dialect bug):\n  $sql\n  ${Option(e.getMessage).getOrElse(e.toString).linesIterator.take(3).mkString(" / ")}")
+      }
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case ch if ch < ' ' => f"\\u${ch.toInt}%04x"
+      case ch => ch.toString
+    } + "\""
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+      sqls.toSeq.sortBy(_._1).map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
+    println(s"[fuzz] generated ${sqls.size}/$n queries ($sparkErr spark-side errors) -> $outDir")
+    if (sparkErr > 0) sys.exit(2)
+    spark.stop()
+  }
+}

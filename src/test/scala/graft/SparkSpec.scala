@@ -16,8 +16,11 @@ object SparkSpec {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[2]")
-      // same resolution rule the Engine-built sessions get
-      .withExtensions(_.injectResolutionRule(_ => graft.dialect.TimeCastRule))
+      // same dialect rules the Engine-built sessions get
+      .withExtensions { ext =>
+        ext.injectResolutionRule(_ => graft.dialect.TimeCastRule)
+        ext.injectPostHocResolutionRule(_ => graft.dialect.EmptyGroupingSetsRule)
+      }
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.sql.session.timeZone", "UTC")

@@ -82,7 +82,11 @@ class PlanAuditSpec extends SparkSpec {
       "curation_keep",
       // batch kNN scores every vector against the fixed nAnchors-row
       // broadcast anchor set — the cross product IS the semantics
-      "embed_knn_batch")
+      "embed_knn_batch",
+      // grouping-sets queries carry EmptyGroupingSetsRule's guard
+      // branch: a BNLJ of two SINGLE-ROW aggregates (the synthetic ()
+      // row × the emptiness count) — constant-size at any corpus scale
+      "agg_rollup", "agg_cube", "agg_grouping_sets")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p =
         try plan(name)
