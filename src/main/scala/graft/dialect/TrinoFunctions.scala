@@ -259,6 +259,23 @@ object TrinoFunctions {
       case args => throw new IllegalArgumentException(
         s"map_agg expects 2 args, got ${args.length}")
     },
+    // max/min: the 1-arg forms delegate to Spark's aggregates (the
+    // override must pass through or every plain max(x) would break);
+    // the 2-arg Trino forms max(x, n)/min(x, n) return the n
+    // largest/smallest values as an array — x doubles as its own
+    // ordering key in the shared top-n composition.
+    "max" -> {
+      case Seq(x) => new org.apache.spark.sql.catalyst.expressions.aggregate.Max(x)
+      case Seq(x, n) => topNBy(x, x, n, largest = true)
+      case args => throw new IllegalArgumentException(
+        s"max expects 1-2 args, got ${args.length}")
+    },
+    "min" -> {
+      case Seq(x) => new org.apache.spark.sql.catalyst.expressions.aggregate.Min(x)
+      case Seq(x, n) => topNBy(x, x, n, largest = false)
+      case args => throw new IllegalArgumentException(
+        s"min expects 1-2 args, got ${args.length}")
+    },
     // max_by/min_by: the 2-arg forms are Spark natives (pass through —
     // this override must delegate, or DataFrame-API max_by would break);
     // the 3-arg Trino top-n forms compose collect_list(struct(y, x)) →
@@ -666,6 +683,13 @@ object TrinoFunctions {
       case Seq(s, sub) => StringInstr(s, sub)
       case args => throw new IllegalArgumentException(
         s"index expects 2 args, got ${args.length}")
+    },
+    // char2hexint(s): Teradata compatibility — uppercase hex of the
+    // UTF-16BE encoding of the string (Trino docs, Teradata functions)
+    "char2hexint" -> {
+      case Seq(s) => Hex(new Encode(s, Literal("UTF-16BE")))
+      case args => throw new IllegalArgumentException(
+        s"char2hexint expects 1 arg, got ${args.length}")
     },
     // starts_with: Spark spells it startswith
     "starts_with" -> {

@@ -648,6 +648,25 @@ class TrinoFunctionsSpec extends SparkSpec {
     assert(one("SELECT try(beta_cdf(1, 1, 2.0))") == null)
   }
 
+  test("max(x, n)/min(x, n) return the n extreme values; 1-arg forms stay native") {
+    assert(one("SELECT max(x, 2) FROM (VALUES (1), (3), (2), (NULL)) AS t(x)")
+      .asInstanceOf[scala.collection.Seq[_]] == Seq(3, 2))
+    assert(one("SELECT min(x, 3) FROM (VALUES (5), (1), (4), (2)) AS t(x)")
+      .asInstanceOf[scala.collection.Seq[_]] == Seq(1, 2, 4))
+    // n past the group size truncates; plain max/min delegate to Spark
+    assert(one("SELECT max(x, 9) FROM (VALUES (1), (2)) AS t(x)")
+      .asInstanceOf[scala.collection.Seq[_]] == Seq(2, 1))
+    assert(one("SELECT max(x) FROM (VALUES (1), (3)) AS t(x)") == 3)
+    assert(one("SELECT min(s) FROM (VALUES ('b'), ('a')) AS t(s)") == "a")
+  }
+
+  test("char2hexint returns the uppercase UTF-16BE hex (Teradata)") {
+    assert(one("SELECT char2hexint('Z')") == "005A")
+    assert(one("SELECT char2hexint('abc')") == "006100620063")
+    assert(one("SELECT char2hexint('')") == "")
+    assert(one("SELECT char2hexint(CAST(NULL AS STRING))") == null)
+  }
+
   test("max_by/min_by with n return ordered top-n arrays, skipping null keys") {
     val top = one(
       """SELECT max_by(name, score, 2) FROM (VALUES
