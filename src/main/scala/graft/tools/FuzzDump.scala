@@ -119,8 +119,17 @@ object FuzzDump {
       case 9 => s"coalesce(${nullableInt(c, math.min(depth - 1, 1))}, ${intExpr(c, depth - 1, allowNull = false)})"
       case 10 if allowNull =>
         s"nullif(${intExpr(c, depth - 1, allowNull)}, ${intExpr(c, depth - 1, allowNull)})"
+      case 11 if !colFree && c.rng.nextInt(3) == 0 => // uncorrelated scalar subquery
+        val t = tables(c.rng.nextInt(tables.length))
+        if (c.rng.nextBoolean()) s"(SELECT max(${t.pk.head}) FROM ${t.name})"
+        else {
+          val ic = Ctx(c.rng, Map("int" -> t.ints, "str" -> t.strs, "ts" -> t.tss))
+          s"(SELECT count(*) FROM ${t.name} WHERE ${boolExpr(ic, 1)})"
+        }
+      case 11 => s"(${intExpr(c, depth - 1, allowNull)} + ${c.rng.nextInt(50)})"
       case _ =>
-        s"CASE WHEN ${boolExpr(c, depth - 1)} THEN ${intExpr(c, depth - 1, allowNull)} ELSE ${intExpr(c, depth - 1, allowNull)} END"
+        if (c.rng.nextInt(3) == 0) multiWhenInt(c, depth - 1, allowNull)
+        else s"CASE WHEN ${boolExpr(c, depth - 1)} THEN ${intExpr(c, depth - 1, allowNull)} ELSE ${intExpr(c, depth - 1, allowNull)} END"
     }
   }
 
@@ -146,6 +155,26 @@ object FuzzDump {
   def nullableInt(c: Ctx, depth: Int): String =
     s"CASE WHEN ${boolExpr(c, depth)} THEN ${intExpr(c, depth)} END"
 
+  /** Timestamp-typed expression: raw column or date_trunc over one
+    * (units both engines truncate identically, incl. Monday weeks).
+    * The CAST normalizes a documented cross-engine gap: DuckDB's
+    * date_trunc returns DATE for day-and-coarser units where Spark
+    * keeps TIMESTAMP (Spark-side the cast is an identity). */
+  def tsExpr(c: Ctx, depth: Int): String =
+    if (c.tss.isEmpty) s"TIMESTAMP '${c.pick(tsLits)}'"
+    else if (depth <= 0 || c.rng.nextBoolean()) c.pick(c.tss)
+    else s"CAST(date_trunc('${c.pick(Seq("year", "quarter", "month", "week", "day", "hour"))}', ${tsExpr(c, depth - 1)}) AS TIMESTAMP)"
+
+  /** Multi-WHEN CASE over int branches (both engines: first match wins,
+    * missing ELSE gives NULL — so never-NULL contexts force the ELSE). */
+  def multiWhenInt(c: Ctx, depth: Int, allowNull: Boolean): String = {
+    val n = 2 + c.rng.nextInt(2)
+    val whens = (0 until n).map(_ =>
+      s"WHEN ${boolExpr(c, depth)} THEN ${intExpr(c, depth, allowNull)}").mkString(" ")
+    val els = if (!allowNull || c.rng.nextBoolean()) s" ELSE ${intExpr(c, depth, allowNull)}" else ""
+    s"CASE $whens$els END"
+  }
+
   def boolExpr(c: Ctx, depth: Int): String =
     if (depth <= 0) simpleCmp(c)
     else c.rng.nextInt(10) match {
@@ -164,7 +193,7 @@ object FuzzDump {
         s"$col IN (${c.rng.shuffle(pool.toList).take(n).map(v => s"'$v'").mkString(", ")})"
       case 6 if c.tss.nonEmpty =>
         if (c.rng.nextBoolean())
-          s"${c.pick(c.tss)} ${c.pick(Seq("<", ">=", ">"))} TIMESTAMP '${c.pick(tsLits)}'"
+          s"${tsExpr(c, math.min(depth - 1, 1))} ${c.pick(Seq("<", ">=", ">"))} TIMESTAMP '${c.pick(tsLits)}'"
         else {
           val (a, b) = (c.pick(tsLits), c.pick(tsLits))
           val (lo, hi) = if (a <= b) (a, b) else (b, a)
@@ -273,7 +302,7 @@ object FuzzDump {
         case 0 | 1 => intExpr(c, 2)
         case 2 | 3 => strExpr(c, 2)
         case 4 => nullableInt(c, 1)
-        case 5 if rel.tss.nonEmpty => c.pick(rel.tss)
+        case 5 if rel.tss.nonEmpty => tsExpr(c, 2)
         case _ => intExpr(c, 2)
       }
       s"$e AS c$i"
@@ -299,7 +328,11 @@ object FuzzDump {
       case 0 | 1 => // plain select
         val its = items(1 + rng.nextInt(4))
         val where = if (rng.nextInt(4) > 0) s" WHERE ${wherePred(c, rel)}" else ""
-        val limit = if (rng.nextInt(3) == 0) s" LIMIT ${10 + rng.nextInt(90)}" else ""
+        val limit =
+          if (rng.nextInt(3) == 0)
+            s" LIMIT ${10 + rng.nextInt(90)}" +
+              (if (rng.nextBoolean()) s" OFFSET ${rng.nextInt(30)}" else "")
+          else ""
         s"SELECT ${its.mkString(", ")} FROM ${rel.sql}$where ${orderBy(c, its.length)}$limit"
       case 2 => // distinct
         val its = items(1 + rng.nextInt(3))
@@ -307,14 +340,22 @@ object FuzzDump {
         s"SELECT DISTINCT ${its.mkString(", ")} FROM ${rel.sql}$where ${orderBy(c, its.length)}"
       case 3 | 4 | 5 => // group-by aggregate
         val nk = 1 + rng.nextInt(2)
-        val keys = (0 until nk).map(_ => rng.nextInt(3) match {
+        val keys = (0 until nk).map(_ => rng.nextInt(4) match {
           case 0 if rel.strs.nonEmpty => c.pick(rel.strs)
           case 1 => strExpr(c, 1)
+          case 2 if rel.tss.nonEmpty => tsExpr(c, 2)
           case _ => intExpr(c, 1)
         })
         val its = aggItems(keys)
         val where = if (rng.nextBoolean()) s" WHERE ${wherePred(c, rel)}" else ""
-        val having = if (rng.nextInt(3) == 0) s" HAVING count(*) > ${rng.nextInt(4)}" else ""
+        val having = rng.nextInt(4) match {
+          case 0 => s" HAVING count(*) > ${rng.nextInt(4)}"
+          case 1 if rel.ints.nonEmpty =>
+            s" HAVING max(${c.pick(rel.ints)}) ${c.pick(Seq(">", "<", ">="))} ${rng.nextInt(300)}"
+          case 2 if rel.ints.nonEmpty =>
+            s" HAVING CAST(sum(${c.pick(rel.ints)}) AS BIGINT) > ${rng.nextInt(500)}"
+          case _ => ""
+        }
         s"SELECT ${its.mkString(", ")} FROM ${rel.sql}$where GROUP BY ${(1 to nk).mkString(", ")}$having ${orderBy(c, its.length)}"
       case 6 => // subquery: outer filter over aliased inner projection
         val its = items(2 + rng.nextInt(2))

@@ -44,7 +44,8 @@ class FuzzSpec extends SparkSpec {
 
 object FuzzSpec {
   /** MD5 over genQuery(20260814 + i), i < 200 — the canonical-seed
-    * prefix of the corpus certified against DuckDB (600/600 at
-    * sf0.001 + 2000/2000 at seed 777 on the v1 grammar). */
-  val GoldenHash = "6fcc6215ad799bf0330282df13b3174a"
+    * prefix of the corpus certified against DuckDB on the v3 grammar
+    * (600/600 canonical + 800/800 seed 99001 at sf0.001; v1/v2 history:
+    * 2,400 + 3,600 green). */
+  val GoldenHash = "e46395f7d13bc48aeed3ed1dc398f3a7"
 }
