@@ -137,6 +137,50 @@ class QueryService(engine: Engine) {
     ShowFunctions.matchFunctions(stripped).foreach { like =>
       return collectBounded(ShowFunctions.functions(engine, like))
     }
+    // EXPLAIN statement forms Spark's parser rejects — Trino's
+    // (TYPE ...) options and EXPLAIN ANALYZE — plus plain EXPLAIN q,
+    // normalized to Trino's "Query Plan" column (Spark-mode spellings
+    // like EXPLAIN EXTENDED pass through to spark.sql unchanged).
+    ExplainStatements.matchStatement(stripped).foreach {
+      case Left(err) => return Left(err)
+      case Right(form) =>
+        val inner = form match {
+          case ExplainStatements.Typed(_, _, q) => q
+          case ExplainStatements.Analyze(_, q) => q
+          case ExplainStatements.Plain(q) => q
+        }
+        // same relation-level gate the plain-SQL path applies
+        if (engine.config.enforceSqlAllowlists) {
+          val parsed =
+            try engine.spark.sessionState.sqlParser.parsePlan(
+              graft.dialect.TrinoFunctions.preprocess(inner))
+            catch { case e: Throwable => return Left(s"query execution failed: ${clip(e)}") }
+          graft.security.SqlAllowlist.check(parsed, engine.allowlists,
+              engine.config.catalog, engine.config.schema)
+            .foreach(err => return Left(err))
+        }
+        form match {
+          case ExplainStatements.Analyze(verbose, q) =>
+            return buildStatement(q).flatMap { df =>
+              val group = s"graft-query-${UUID.randomUUID()}"
+              val start = System.nanoTime()
+              // Execute the DataFrame's OWN plan (df.count() would build
+              // and run a different aggregate plan, leaving this plan's
+              // runtime metrics at zero): toRdd is the executed plan's
+              // row stream; counting it materializes nothing driver-side.
+              withTimeoutAndCancel(group)(df.queryExecution.toRdd.count()).map { n =>
+                val wall = (System.nanoTime() - start) / 1000000L
+                QueryResult(Seq("Query Plan"),
+                  Seq(Seq(ExplainStatements.renderAnalyzed(df, n, wall, verbose))),
+                  truncated = false, queryId = group, wallMillis = wall)
+              }
+            }
+          case ExplainStatements.Typed(tpe, _, q) =>
+            return explainToResult(q, if (tpe == "DISTRIBUTED") "" else tpe)
+          case ExplainStatements.Plain(q) =>
+            return explainToResult(q, "")
+        }
+    }
     val dialectSql =
       try graft.dialect.TrinoFunctions.preprocess(stripped)
       catch { case e: IllegalArgumentException => return Left(e.getMessage) }
@@ -169,6 +213,39 @@ class QueryService(engine: Engine) {
       catch { case e: Throwable => return Left(s"query execution failed: ${clip(e)}") }
     collectBounded(df)
   }
+
+  /** The standard statement pipeline (dialect preprocess → opt-in
+    * allowlist gate → info_schema rewrite → spark.sql) for an embedded
+    * query — EXPLAIN ANALYZE targets, subquery forms. */
+  private def buildStatement(inner: String): Either[String, DataFrame] = {
+    val innerSql =
+      try graft.dialect.TrinoFunctions.preprocess(inner)
+      catch { case e: IllegalArgumentException => return Left(e.getMessage) }
+    if (engine.config.enforceSqlAllowlists) {
+      val parsed =
+        try engine.spark.sessionState.sqlParser.parsePlan(innerSql)
+        catch { case e: Throwable => return Left(s"query execution failed: ${clip(e)}") }
+      graft.security.SqlAllowlist.check(parsed, engine.allowlists,
+          engine.config.catalog, engine.config.schema)
+        .foreach(err => return Left(err))
+    }
+    val resolved =
+      if (InfoSchema.references(innerSql)) {
+        try InfoSchema.refresh(engine)
+        catch { case e: Throwable => return Left(s"query execution failed: ${clip(e)}") }
+        InfoSchema.rewrite(innerSql)
+      } else innerSql
+    try Right(engine.spark.sql(resolved))
+    catch { case e: Throwable => Left(s"query execution failed: ${clip(e)}") }
+  }
+
+  /** ExplainService output (rows of single-key maps) → QueryResult. */
+  private def explainToResult(inner: String, tpe: String): Either[String, QueryResult] =
+    new ExplainService(engine).explain(inner, tpe).map { rows =>
+      val cols = rows.headOption.map(_.keys.toSeq).getOrElse(Seq("Query Plan"))
+      QueryResult(cols, rows.map(_.values.toSeq), truncated = false,
+        queryId = s"graft-query-${UUID.randomUUID()}", wallMillis = 0L)
+    }
 
   /** Run an already-built DataFrame through the same timeout/cap path. */
   def collectBounded(df: DataFrame): Either[String, QueryResult] = {

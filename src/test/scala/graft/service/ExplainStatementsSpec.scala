@@ -1,0 +1,71 @@
+package graft.service
+
+import graft.SparkSpec
+import graft.config.EngineConfig
+import graft.engine.Engine
+
+/** Statement-form EXPLAIN through execute_query: Trino's (TYPE ...)
+  * options and EXPLAIN ANALYZE, which Spark's parser rejects — the
+  * reference serves both by pass-through (client.go:288). */
+class ExplainStatementsSpec extends SparkSpec {
+
+  private lazy val qs = {
+    val cfg = EngineConfig.fromEnv(Map.empty).toOption.get
+    new QueryService(new Engine(cfg, Some("/root/testdata/sf0.001"), Some(spark)))
+  }
+
+  private def run(sql: String) =
+    qs.execute(sql).fold(err => throw new AssertionError(s"$sql -> $err"), identity)
+
+  test("EXPLAIN (TYPE LOGICAL) returns the optimized logical plan in Query Plan shape") {
+    val r = run("EXPLAIN (TYPE LOGICAL) SELECT COUNT(*) AS c FROM region")
+    assert(r.columns == Seq("Query Plan"))
+    assert(r.rows.head.head.asInstanceOf[String].contains("Aggregate"))
+  }
+
+  test("EXPLAIN (TYPE IO) reports scan locations and read schema") {
+    val text = run("EXPLAIN (TYPE IO) SELECT r_name FROM region").rows.head.head.asInstanceOf[String]
+    assert(text.contains("Location") && text.contains("ReadSchema"), text)
+  }
+
+  test("EXPLAIN (TYPE VALIDATE) analyzes only") {
+    val r = run("EXPLAIN (TYPE VALIDATE) SELECT r_name FROM region")
+    assert(r.columns == Seq("Valid") && r.rows == Seq(Seq(true)))
+  }
+
+  test("plain EXPLAIN is served in Trino's Query Plan shape") {
+    val r = run("EXPLAIN SELECT r_regionkey FROM region WHERE r_regionkey > 1")
+    assert(r.columns == Seq("Query Plan"))
+    assert(r.rows.head.head.asInstanceOf[String].contains("Physical Plan"))
+  }
+
+  test("Spark-mode spellings still pass through to spark.sql") {
+    val r = run("EXPLAIN EXTENDED SELECT 1")
+    assert(r.columns == Seq("plan")) // Spark's own shape, untouched
+  }
+
+  test("EXPLAIN ANALYZE executes and renders the adaptive-final plan with runtime") {
+    val text = run("EXPLAIN ANALYZE SELECT r_name, COUNT(*) AS c FROM region GROUP BY r_name")
+      .rows.head.head.asInstanceOf[String]
+    assert(text.contains("Query Plan (executed"), text)
+    assert(text.contains("Runtime:") && text.contains("5 output rows"), text)
+  }
+
+  test("EXPLAIN ANALYZE VERBOSE appends per-operator metrics") {
+    val text = run("EXPLAIN ANALYZE VERBOSE SELECT COUNT(*) AS c FROM nation")
+      .rows.head.head.asInstanceOf[String]
+    assert(text.contains("Operator metrics:"), text)
+    assert(text.contains("output rows"), text)
+  }
+
+  test("invalid option lists and non-TEXT formats reject with clear errors") {
+    assert(qs.execute("EXPLAIN (TYPE BOGUS) SELECT 1").left.exists(_.contains("invalid EXPLAIN format")))
+    assert(qs.execute("EXPLAIN (FORMAT JSON) SELECT 1").left.exists(_.contains("only TEXT")))
+    assert(qs.execute("EXPLAIN (WIBBLE 2) SELECT 1").left.exists(_.contains("invalid EXPLAIN option")))
+  }
+
+  test("EXPLAIN ANALYZE still refuses write statements via the guard") {
+    val r = qs.execute("EXPLAIN ANALYZE DELETE FROM region")
+    assert(r.isLeft && r.left.exists(_.contains("security restriction")), r)
+  }
+}
