@@ -130,6 +130,18 @@ class QueryService(engine: Engine) {
     ShowMeta.matchSession(stripped).foreach { like =>
       return collectBounded(ShowMeta.session(engine, like))
     }
+    // DESCRIBE t / DESC t / SHOW COLUMNS FROM t — Trino treats these as
+    // synonyms emitting Column/Type/Extra/Comment; Spark's own DESCRIBE
+    // has a different shape (col_name/data_type/comment), so route to
+    // the same renderer get_table_schema uses. Multi-token DESCRIBE
+    // forms (FUNCTION/QUERY/EXTENDED) still pass through to spark.sql.
+    ShowMeta.matchDescribe(stripped).foreach { case (t, like) =>
+      showGate(t).foreach(err => return Left(err))
+      val df =
+        try ShowMeta.describeTable(engine, t, like)
+        catch { case e: Throwable => return Left(s"query execution failed: ${clip(e)}") }
+      return collectBounded(df)
+    }
     // SHOW FUNCTIONS — function discovery over the dialect surface
     // (reference pass-through; Spark's own SHOW FUNCTIONS has the wrong
     // shape and lists Spark-spelling names). No allowlist gate: the

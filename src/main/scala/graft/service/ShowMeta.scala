@@ -23,9 +23,26 @@ object ShowMeta {
     """(?is)^\s*SHOW\s+CREATE\s+TABLE\s+([A-Za-z_][\w.]*)\s*$""".r
   private val SessionPat =
     """(?is)^\s*SHOW\s+SESSION(?:\s+LIKE\s+'([^']*)')?\s*$""".r
+  // DESCRIBE t / DESC t and Trino's synonym SHOW COLUMNS FROM|IN t
+  // [LIKE '...']. Single-identifier target only, so Spark's own
+  // DESCRIBE FUNCTION / DESCRIBE QUERY / DESCRIBE EXTENDED forms still
+  // pass through to spark.sql untouched.
+  private val DescribePat =
+    """(?is)^\s*(?:DESC|DESCRIBE)\s+([A-Za-z_][\w.]*)\s*$""".r
+  private val ColumnsPat =
+    """(?is)^\s*SHOW\s+COLUMNS\s+(?:FROM|IN)\s+([A-Za-z_][\w.]*)(?:\s+LIKE\s+'([^']*)')?\s*$""".r
 
   def matchCreateTable(sql: String): Option[String] = sql match {
     case CreatePat(t) => Some(t)
+    case _ => None
+  }
+
+  /** Some((table, like-pattern Option)) for DESCRIBE t / DESC t /
+    * SHOW COLUMNS FROM t [LIKE '...'] — the statement spellings Trino
+    * treats as synonyms (all emit Column/Type/Extra/Comment). */
+  def matchDescribe(sql: String): Option[(String, Option[String])] = sql match {
+    case DescribePat(t) => Some((t, None))
+    case ColumnsPat(t, p) => Some((t, Option(p)))
     case _ => None
   }
 
@@ -54,6 +71,33 @@ object ShowMeta {
     oneCol(engine.spark, "Create Table", Seq(Row(ddl)))
   }
 
+  /** Trino's DESCRIBE shape (Column, Type, Extra, Comment) — the same
+    * four columns the reference's get_table_schema renders (the
+    * reference itself issues `DESCRIBE c.s.t` to Trino,
+    * client.go:767), so the tool and the statement always agree. */
+  def describeTable(engine: Engine, table: String,
+      like: Option[String] = None): DataFrame = {
+    val (_, _, t) = Allowlists.resolveTable("", "", table,
+      engine.config.catalog, engine.config.schema)
+    val fields = engine.spark.table(t).schema.fields.toSeq
+    val filtered = like match {
+      case Some(p) => fields.filter(f => f.name.matches(likeToRegex(p)))
+      case None => fields
+    }
+    val rows = filtered.map(f => Row(f.name, TypeNames.trino(f.dataType), "", ""))
+    val schema = StructType(Seq("Column", "Type", "Extra", "Comment")
+      .map(StructField(_, StringType)))
+    engine.spark.createDataFrame(new java.util.ArrayList[Row](
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+  }
+
+  /** SQL LIKE → regex: % = .*, _ = ., everything else literal. */
+  private def likeToRegex(p: String): String = p.flatMap {
+    case '%' => ".*"
+    case '_' => "."
+    case c => java.util.regex.Pattern.quote(c.toString)
+  }
+
   def session(engine: Engine, like: Option[String] = None): DataFrame = {
     val cfg = engine.config
     def row(n: String, v: String, d: String, t: String, desc: String) =
@@ -75,14 +119,7 @@ object ShowMeta {
         "false", "boolean",
         "Apply catalog/schema/table allowlists to relations inside SQL"))
     val filtered = like match {
-      case Some(p) =>
-        // SQL LIKE → regex: % = .*, _ = ., everything else literal
-        val rx = p.flatMap {
-          case '%' => ".*"
-          case '_' => "."
-          case c => java.util.regex.Pattern.quote(c.toString)
-        }
-        rows.filter(_.getString(0).matches(rx))
+      case Some(p) => rows.filter(_.getString(0).matches(likeToRegex(p)))
       case None => rows
     }
     val schema = StructType(Seq("Name", "Value", "Default", "Type",

@@ -137,7 +137,7 @@ object FuzzDump {
     if (depth <= 0 || c.rng.nextInt(10) < 4) {
       if (c.strs.nonEmpty && c.rng.nextInt(4) > 0) c.pick(c.strs)
       else s"'${c.pick(strLits(c.pick(strLits.keys.toSeq)))}'"
-    } else c.rng.nextInt(10) match {
+    } else c.rng.nextInt(15) match {
       case 0 => s"upper(${strExpr(c, depth - 1)})"
       case 1 => s"lower(${strExpr(c, depth - 1)})"
       case 2 => s"substr(${strExpr(c, depth - 1)}, ${1 + c.rng.nextInt(3)}, ${1 + c.rng.nextInt(5)})"
@@ -147,6 +147,19 @@ object FuzzDump {
       case 6 => s"lpad(${strExpr(c, depth - 1)}, ${3 + c.rng.nextInt(8)}, '${c.pick(Seq("*", "#", "0"))}')"
       case 7 => s"rpad(${strExpr(c, depth - 1)}, ${3 + c.rng.nextInt(8)}, '${c.pick(Seq("*", "#", "0"))}')"
       case 8 => s"coalesce(CASE WHEN ${boolExpr(c, depth - 1)} THEN ${strExpr(c, depth - 1)} END, ${strExpr(c, depth - 1)})"
+      // v4 additions — identical semantics certified by the v4 run:
+      // md5 (lowercase hex in both; NOT dialect-overridden), reverse,
+      // translate, left/right (non-negative counts only), split_part
+      // (1-based, '' on missing field in both). NOT `repeat` — the
+      // dialect layer correctly gives it Trino's ARRAY semantics.
+      case 9 => s"md5(${strExpr(c, depth - 1)})"
+      case 10 => s"reverse(${strExpr(c, depth - 1)})"
+      case 11 => s"translate(${strExpr(c, depth - 1)}, 'AEN', 'aex')"
+      case 12 => s"${c.pick(Seq("left", "right"))}(${strExpr(c, depth - 1)}, ${c.rng.nextInt(6)})"
+      // coalesce guard: DuckDB's split_part returns '' on NULL input
+      // (not NULL-propagating, unlike Spark/Trino/Postgres) — align by
+      // feeding both engines '' instead of NULL. v4 run found this.
+      case 13 => s"split_part(coalesce(${strExpr(c, depth - 1)}, ''), '${c.pick(Seq("-", "_", "A", "#"))}', ${1 + c.rng.nextInt(2)})"
       case _ =>
         s"CASE WHEN ${boolExpr(c, depth - 1)} THEN ${strExpr(c, depth - 1)} ELSE ${strExpr(c, depth - 1)} END"
     }
@@ -162,7 +175,14 @@ object FuzzDump {
     * keeps TIMESTAMP (Spark-side the cast is an identity). */
   def tsExpr(c: Ctx, depth: Int): String =
     if (c.tss.isEmpty) s"TIMESTAMP '${c.pick(tsLits)}'"
-    else if (depth <= 0 || c.rng.nextBoolean()) c.pick(c.tss)
+    // nullable relations: bare columns only. DuckDB 1.0's date_trunc
+    // propagates the BASE column's no-nulls statistic through an outer
+    // join's null-extended side, so the result is wrongly marked
+    // non-NULL — constant-folding `IS NOT NULL` filters to TRUE and
+    // (nondeterministically, full-sort path only) misplacing the NULL
+    // rows under NULLS FIRST. int/str functions are unaffected
+    // (measured); Spark is correct in both cases. v4 run found this.
+    else if (c.nullable || depth <= 0 || c.rng.nextBoolean()) c.pick(c.tss)
     else s"CAST(date_trunc('${c.pick(Seq("year", "quarter", "month", "week", "day", "hour"))}', ${tsExpr(c, depth - 1)}) AS TIMESTAMP)"
 
   /** Multi-WHEN CASE over int branches (both engines: first match wins,
@@ -224,11 +244,29 @@ object FuzzDump {
   }
 
   // ---- query generators --------------------------------------------
+  /** eqPairs: column pairs made equal by the join predicate. DuckDB 1.0
+    * propagates join-key equality INTO rollup/cube grouping columns, so
+    * the rolled-up column shows the equal VALUE where the standard
+    * (Spark, Postgres, Trino) NULL-fills it — grouping keys must never
+    * be a join-equal pair. v4 run found this. */
   final case class Rel(sql: String, ints: Seq[String], strs: Seq[String],
-      tss: Seq[String], pk: Seq[String], nullable: Boolean = false)
+      tss: Seq[String], pk: Seq[String], nullable: Boolean = false,
+      eqPairs: Seq[(String, String)] = Nil)
 
   def genRel(rng: Random): Rel =
-    rng.nextInt(6) match {
+    rng.nextInt(7) match {
+      case 6 => // FULL OUTER JOIN → NULLs possible on BOTH sides; the
+        // total order must come from coalesced keys (left pk identifies
+        // left-side rows; the right key is the right table's pk and
+        // identifies right-only rows).
+        val (ln, rn, lk, rk) = joins(rng.nextInt(joins.length))
+        val (l, r) = (tables.find(_.name == ln).get, tables.find(_.name == rn).get)
+        Rel(s"$ln t1 FULL JOIN $rn t2 ON t1.$lk = t2.$rk AND t1.$lk < ${20 + rng.nextInt(200)}",
+          l.ints.map("t1." + _) ++ r.ints.map("t2." + _),
+          l.strs.map("t1." + _) ++ r.strs.map("t2." + _),
+          l.tss.map("t1." + _) ++ r.tss.map("t2." + _),
+          l.pk.map(k => s"coalesce(t1.$k, -1)") :+ s"coalesce(t2.$rk, -1)",
+          nullable = true, eqPairs = Seq((s"t1.$lk", s"t2.$rk")))
       case 0 => // inner FK join, qualified columns
         val (ln, rn, lk, rk) = joins(rng.nextInt(joins.length))
         val (l, r) = (tables.find(_.name == ln).get, tables.find(_.name == rn).get)
@@ -236,7 +274,8 @@ object FuzzDump {
           l.ints.map("t1." + _) ++ r.ints.map("t2." + _),
           l.strs.map("t1." + _) ++ r.strs.map("t2." + _),
           l.tss.map("t1." + _) ++ r.tss.map("t2." + _),
-          l.pk.map("t1." + _) ++ r.pk.map("t2." + _))
+          l.pk.map("t1." + _) ++ r.pk.map("t2." + _),
+          eqPairs = Seq((s"t1.$lk", s"t2.$rk")))
       case 1 => // LEFT join with a right-side ON filter → real NULL rows
         val (ln, rn, lk, rk) = joins(rng.nextInt(joins.length))
         val (l, r) = (tables.find(_.name == ln).get, tables.find(_.name == rn).get)
@@ -249,7 +288,8 @@ object FuzzDump {
           l.ints.map("t1." + _) ++ r.ints.map("t2." + _),
           l.strs.map("t1." + _) ++ r.strs.map("t2." + _),
           l.tss.map("t1." + _) ++ r.tss.map("t2." + _),
-          l.pk.map("t1." + _), nullable = true)
+          l.pk.map("t1." + _), nullable = true,
+          eqPairs = Seq((s"t1.$lk", s"t2.$rk")))
       case 2 => // cross join of the two tiny dims
         Rel("region t1 CROSS JOIN nation t2",
           Seq("t1.r_regionkey", "t2.n_nationkey", "t2.n_regionkey"),
@@ -269,7 +309,26 @@ object FuzzDump {
     * supports in filters (IN-subquery, correlated EXISTS). */
   def wherePred(c: Ctx, rel: Rel): String = {
     val base = boolExpr(c, 2)
-    c.rng.nextInt(5) match {
+    c.rng.nextInt(7) match {
+      case 5 if rel.ints.nonEmpty => // scalar-subquery comparison (v4)
+        val t = tables(c.rng.nextInt(tables.length))
+        val ic = Ctx(c.rng, Map("int" -> t.ints, "str" -> t.strs, "ts" -> t.tss))
+        val sub =
+          if (c.rng.nextBoolean()) s"(SELECT ${c.pick(Seq("min", "max"))}(${t.pk.head}) FROM ${t.name} WHERE ${boolExpr(ic, 1)})"
+          else s"(SELECT count(*) FROM ${t.name} WHERE ${boolExpr(ic, 1)})"
+        s"(${c.pick(rel.ints)} ${c.pick(Seq("<", "<=", ">", ">="))} $sub AND $base)"
+      case 6 => // NOT IN over non-NULL literals (v4; NULL-free so the
+        // three-valued-logic trap stays out of the grammar)
+        if (rel.strs.isEmpty) base
+        else {
+          val col = c.pick(rel.strs)
+          val pool = strLits.getOrElse(col.split('.').last, strLits("r_name"))
+          val n = 1 + c.rng.nextInt(math.min(3, pool.length))
+          val in = s"$col NOT IN (${c.rng.shuffle(pool.toList).take(n).map(v => s"'$v'").mkString(", ")})"
+          // over a nullable relation col itself may be NULL → row drops
+          // in both engines identically; keep as-is.
+          s"($in AND $base)"
+        }
       case 0 if rel.ints.nonEmpty => // uncorrelated IN-subquery
         val t = tables(c.rng.nextInt(tables.length))
         val ic = Ctx(c.rng, Map("int" -> t.ints, "str" -> t.strs, "ts" -> t.tss))
@@ -287,6 +346,20 @@ object FuzzDump {
           s"(EXISTS (SELECT 1 FROM ${t.name} sq WHERE sq.$rk = $outer AND ${boolExpr(ic, 1)}) AND $base)"
         }
       case _ => base
+    }
+  }
+
+  /** Grouping keys for ROLLUP/CUBE/GROUPING SETS: column references
+    * only (ordinal-vs-literal trap), no join-equal pair (DuckDB
+    * propagates the equality into the rolled-up column, breaking the
+    * standard NULL-fill — see Rel.eqPairs). */
+  def superAggKeys(c: Ctx, rel: Rel, rng: Random): Seq[String] = {
+    val keyPool = rel.strs ++ rel.ints
+    val picked = (0 until (1 + rng.nextInt(2))).map(_ => c.pick(keyPool)).distinct
+    picked.foldLeft(Seq.empty[String]) { (acc, k) =>
+      val clash = acc.exists(a => rel.eqPairs.exists { case (x, y) =>
+        (x == a && y == k) || (x == k && y == a) })
+      if (clash) acc else acc :+ k
     }
   }
 
@@ -324,7 +397,53 @@ object FuzzDump {
         (0 until n).map(i => s"${c.pick(aggs)()} AS c${keys.length + i}")
     }
 
-    rng.nextInt(13) match {
+    rng.nextInt(16) match {
+      case 13 => // CTE (v4): WITH wraps a filtered projection, outer
+        // re-filters and re-orders — exercises Spark's CTE inlining vs
+        // DuckDB's materialization for identical results.
+        val its = items(2 + rng.nextInt(2))
+        val inner = s"SELECT ${its.mkString(", ")} FROM ${rel.sql}" +
+          (if (rng.nextBoolean()) s" WHERE ${boolExpr(c, 1)}" else "")
+        val outerPred =
+          if (rng.nextBoolean()) "c0 IS NOT NULL" else "c1 IS NOT NULL"
+        s"WITH w AS ($inner) SELECT * FROM w WHERE $outerPred ${orderBy(c, its.length)}"
+      case 14 => // CUBE / GROUPING SETS (v4) — column-reference keys only
+        // (same ordinal-vs-literal trap as ROLLUP); the explicit sets
+        // always include () so the standard-semantics guard path
+        // (EmptyGroupingSetsRule) is exercised on filtered-empty inputs.
+        val keys = superAggKeys(c, rel, rng)
+        val grouping =
+          if (rng.nextBoolean()) s"CUBE(${keys.mkString(", ")})"
+          else {
+            val sets = Seq(s"(${keys.mkString(", ")})") ++
+              (if (keys.length > 1) Seq(s"(${keys.head})") else Nil) ++ Seq("()")
+            s"GROUPING SETS (${sets.mkString(", ")})"
+          }
+        val aggIts = aggItems(keys)
+        val where = if (rng.nextBoolean()) s" WHERE ${boolExpr(c, 1)}" else ""
+        s"SELECT ${aggIts.mkString(", ")} FROM ${rel.sql}$where GROUP BY $grouping ${orderBy(c, aggIts.length)}"
+      case 15 => // explicitly framed windows (v4): ROWS frames over the
+        // relation's total order are deterministic even with partition
+        // ties; lag/lead defaults; ntile/row_number need the total order.
+        val part = if (rel.strs.nonEmpty) c.pick(rel.strs) else intExpr(c, 1)
+        val ord = rel.pk.map(k => s"$k ASC").mkString(", ")
+        val k1 = 1 + rng.nextInt(3)
+        val framed = Seq(
+          s"CAST(sum(${if (rel.ints.nonEmpty) c.pick(rel.ints) else "1"}) OVER (PARTITION BY $part ORDER BY $ord ROWS BETWEEN $k1 PRECEDING AND CURRENT ROW) AS BIGINT)",
+          s"count(*) OVER (PARTITION BY $part ORDER BY $ord ROWS BETWEEN UNBOUNDED PRECEDING AND $k1 FOLLOWING)",
+          s"row_number() OVER (PARTITION BY $part ORDER BY $ord)",
+          s"ntile(${2 + rng.nextInt(3)}) OVER (ORDER BY $ord)",
+          s"lag(${if (rel.ints.nonEmpty) c.pick(rel.ints) else rel.pk.head}, 1) OVER (PARTITION BY $part ORDER BY $ord)",
+          s"lead(${if (rel.ints.nonEmpty) c.pick(rel.ints) else rel.pk.head}, ${1 + rng.nextInt(2)}) OVER (ORDER BY $ord)",
+          s"first_value(${rel.pk.head}) OVER (PARTITION BY $part ORDER BY $ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+          s"last_value(${rel.pk.head}) OVER (PARTITION BY $part ORDER BY $ord ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)")
+        val baseIts = (Seq(part) ++ rel.pk.take(2)).zipWithIndex
+          .map { case (e, i) => s"$e AS c$i" }
+        val its = baseIts ++ Seq(
+          s"${c.pick(framed)} AS c${baseIts.length}",
+          s"${c.pick(framed)} AS c${baseIts.length + 1}")
+        val where = if (rng.nextBoolean()) s" WHERE ${boolExpr(c, 1)}" else ""
+        s"SELECT ${its.mkString(", ")} FROM ${rel.sql}$where ${orderBy(c, its.length)}"
       case 0 | 1 => // plain select
         val its = items(1 + rng.nextInt(4))
         val where = if (rng.nextInt(4) > 0) s" WHERE ${wherePred(c, rel)}" else ""
@@ -366,7 +485,8 @@ object FuzzDump {
         s"SELECT * FROM ($inner) sub WHERE c0 IS NOT NULL ${orderBy(c, its.length)}"
       case 7 => // set op over the same relation (duplicate-row semantics)
         val its = items(1 + rng.nextInt(2))
-        val op = c.pick(Seq("UNION ALL", "UNION", "INTERSECT", "EXCEPT"))
+        val op = c.pick(Seq("UNION ALL", "UNION", "INTERSECT", "EXCEPT",
+          "INTERSECT ALL", "EXCEPT ALL"))
         val s1 = s"SELECT ${its.mkString(", ")} FROM ${rel.sql} WHERE ${boolExpr(c, 1)}"
         val s2 = s"SELECT ${its.mkString(", ")} FROM ${rel.sql} WHERE ${boolExpr(c, 1)}"
         s"SELECT * FROM ($s1 $op $s2) u ${orderBy(c, its.length)}"
@@ -391,8 +511,7 @@ object FuzzDump {
         // Keys must be COLUMN references: a bare integer literal inside
         // ROLLUP(...) is an ordinal to Spark (groupByOrdinal) but a
         // plain literal to DuckDB.
-        val keyPool = rel.strs ++ rel.ints
-        val keys = (0 until (1 + rng.nextInt(2))).map(_ => c.pick(keyPool)).distinct
+        val keys = superAggKeys(c, rel, rng)
         val aggIts = aggItems(keys)
         val where = if (rng.nextBoolean()) s" WHERE ${boolExpr(c, 1)}" else ""
         s"SELECT ${aggIts.mkString(", ")} FROM ${rel.sql}$where GROUP BY ROLLUP(${keys.mkString(", ")}) ${orderBy(c, aggIts.length)}"

@@ -94,6 +94,39 @@ class ShowStatsSpec extends SparkSpec {
     assert(enforcing.execute("SHOW CREATE TABLE nation").isRight)
   }
 
+  test("DESCRIBE / DESC / SHOW COLUMNS serve Trino's four-column shape") {
+    // Trino treats the three spellings as synonyms, all emitting
+    // Column/Type/Extra/Comment — Spark's own DESCRIBE emits
+    // col_name/data_type/comment, so the route must intercept.
+    for (stmt <- Seq("DESCRIBE region", "describe Region",
+        "SHOW COLUMNS FROM region", "show columns in region ;")) {
+      val r = qs().execute(stmt).toOption.get
+      assert(r.columns == Seq("Column", "Type", "Extra", "Comment"), stmt)
+      val byName = r.rows.map(row => row.head.toString -> row(1).toString).toMap
+      assert(byName("r_regionkey") == "integer" && byName("r_name") == "varchar")
+    }
+    // LIKE filter on SHOW COLUMNS (SQL wildcards against Column)
+    val liked = qs().execute("SHOW COLUMNS FROM region LIKE 'r_n%'").toOption.get
+    assert(liked.rows.map(_.head.toString) == Seq("r_name"))
+    // qualified names resolve through the same 3/2/1-part logic
+    assert(qs().execute("DESCRIBE spark_catalog.default.region").isRight)
+    // bare DESC is rejected by the read-only guard — exactly what the
+    // reference does (its prefix list has `describe`, not `desc`,
+    // client.go:284-290), so the statement never reaches the router
+    assert(qs().execute("DESC region").isLeft)
+    // Spark's multi-token DESCRIBE forms are NOT intercepted
+    val fn = qs().execute("DESCRIBE FUNCTION abs").toOption.get
+    assert(fn.columns != Seq("Column", "Type", "Extra", "Comment"))
+    // unknown table errors cleanly; allowlist gate applies when on
+    assert(qs().execute("DESCRIBE no_such_table").isLeft)
+    val enforcing = qs(Map(
+      "GRAFT_ENFORCE_SQL_ALLOWLISTS" -> "true",
+      "TRINO_ALLOWED_TABLES" -> "spark_catalog.default.nation"))
+    assert(enforcing.execute("DESCRIBE region") ==
+      Left("table access denied: spark_catalog.default.region not in allowlist"))
+    assert(enforcing.execute("SHOW COLUMNS FROM nation").isRight)
+  }
+
   test("SHOW STATS respects the opt-in SQL allowlist gate") {
     val enforcing = qs(Map(
       "GRAFT_ENFORCE_SQL_ALLOWLISTS" -> "true",
