@@ -292,4 +292,77 @@ object TextAnalysis {
     import spark.implicits._
     out.toSeq.toDF("step", "left", "right", "freq")
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling", NeurIPS): model a
+    * TARGET slice and the RAW corpus as add-one-smoothed bag-of-
+    * hashed-ngram distributions, then weight every document by its
+    * importance ratio under the two models — the data-mixing /
+    * domain-upsampling primitive of a pretraining pipeline.
+    *
+    * Features are word {1,2}-grams hashed into `buckets` buckets (the
+    * paper's hashed n-gram parameterization; md5-derived bucket so the
+    * DuckDB oracle replays it). The paper's weight is the log-ratio
+    * sum; to stay cross-engine hash-exact this uses the MEAN ratio
+    * with the repo's log-free algebra — each per-feature ratio
+    *   rho(b) = ((ct+1)/(nt+B)) / ((cr+1)/(nr+B))
+    * is three IEEE double divisions of exactly-converted longs
+    * (deterministic everywhere), integer-quantized per the house
+    * convention (floor(rho·1e12 + 0.5) as BIGINT) and summed as
+    * BIGINT, so per-doc accumulation is order-independent and the
+    * oracle compares hash-exactly.
+    *
+    * Scale shape: one feature explode + ONE bucket aggregation
+    * (map-side partials collapse to ≤`buckets` rows), model broadcast
+    * back, one per-doc aggregation — two corpus-sized shuffles total,
+    * model state O(buckets). At 1e12+ per-bucket counts the long→
+    * double conversion passes 2^53: promote the four count casts to
+    * DECIMAL or move to the paper's log-domain floats (weights no
+    * longer bit-reproducible, as in the reference implementation). */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int = 1024): DataFrame = {
+    val toksC = filter(split(lower(col(textCol)), " "), t => t =!= "")
+    val featsOf = {
+      // unigrams ++ bigrams; guarded sequence (Spark's sequence(1, 0)
+      // counts DOWN, so the < 2-token case must short-circuit)
+      val bi = when(size(col("graft_toks")) >= 2,
+        transform(sequence(lit(1), size(col("graft_toks")) - 1),
+          i => concat(element_at(col("graft_toks"), i), lit(" "),
+            element_at(col("graft_toks"), i + 1))))
+        .otherwise(array())
+      concat(col("graft_toks"), bi)
+    }
+    val fb = docs
+      .select(col(idCol), targetPred.as("graft_tgt"), toksC.as("graft_toks"))
+      .select(col(idCol), col("graft_tgt"), explode(featsOf).as("graft_f"))
+      .select(col(idCol), col("graft_tgt"),
+        (conv(substring(md5(col("graft_f")), 1, 4), 16, 10).cast("long")
+          % buckets).as("graft_b"))
+    val model = fb.groupBy(col("graft_b")).agg(
+      count(lit(1)).as("graft_cr"),
+      sum(when(col("graft_tgt"), 1L).otherwise(0L)).as("graft_ct"))
+    val totals = model.agg(
+      sum(col("graft_cr")).as("graft_nr"),
+      sum(col("graft_ct")).as("graft_nt"))
+    val rho =
+      ((col("graft_ct") + 1).cast("double") /
+        (col("graft_nt") + buckets).cast("double")) /
+      ((col("graft_cr") + 1).cast("double") /
+        (col("graft_nr") + buckets).cast("double"))
+    val perDoc = fb
+      .join(broadcast(model), "graft_b")
+      .crossJoin(broadcast(totals))
+      .select(col(idCol),
+        floor(rho * lit(1e12) + lit(0.5)).as("graft_q"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_features"), sum(col("graft_q")).as("sum_q"))
+    // LEFT JOIN back so zero-token documents keep a row (NULL weight)
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_features"), lit(0L)).as("n_features"),
+        col("sum_q"),
+        (col("sum_q").cast("double") / col("n_features").cast("double") /
+          lit(1e12)).as("weight"))
+  }
 }

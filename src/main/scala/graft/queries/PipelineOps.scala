@@ -466,6 +466,26 @@ object PipelineOps {
         .orderBy(col("df").desc, col("cf").desc, col("tok"))
         .limit(50)),
 
+    // DSIR importance weights (Xie et al. 2023): hashed word-{1,2}gram
+    // bucket models for a target slice (lang='en') vs the raw corpus,
+    // per-doc mean importance ratio in the log-free integer-quantized
+    // algebra — the data-mixing primitive. Fully oracle-checked
+    // (DuckDB replays tokenization, hashing, both models, the ratio).
+    "dsir_weights" -> ((s, d) =>
+      TextAnalysis.dsirWeights(t(s, d, "documents"), "doc_id", "text",
+          col("lang") === "en")
+        .orderBy(col("doc_id"))),
+
+    // The resampling step: deterministic top-k by importance weight
+    // (the Gumbel-noise draw of the paper, replayed determinism-first
+    // like every sampler here) — TakeOrderedAndProject, no global sort.
+    "dsir_select" -> ((s, d) =>
+      TextAnalysis.dsirWeights(t(s, d, "documents"), "doc_id", "text",
+          col("lang") === "en")
+        .orderBy(col("weight").desc, col("doc_id"))
+        .limit(100)
+        .select(col("doc_id"), col("weight"))),
+
     // Embedding near-dup CLUSTERS: the full story end to end — SRP-LSH
     // candidates (md5 planes, production 4×8-bit banding geometry),
     // decimal cosine >= 0.35 as edges, then connected components. Pairs
@@ -801,6 +821,54 @@ object PipelineOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Shared DSIR replay (dsir_weights; dsir_select wraps it): word
+    * {1,2}-gram features over filtered split tokens, 4-nibble md5
+    * bucket % 1024, add-one smoothed target/raw bucket models, the
+    * three-division double ratio quantized to BIGINT. Expression
+    * shapes mirror ops/TextAnalysis.dsirWeights operation-for-
+    * operation so every IEEE rounding step coincides. */
+  private val dsirOracleSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+      |  FROM documents),
+      |bi0 AS (
+      |  SELECT doc_id, lang, l,
+      |    unnest(generate_series(1, len(l) - 1)) AS i
+      |  FROM tok),
+      |feats AS (
+      |  SELECT doc_id, lang, unnest(l) AS f FROM tok
+      |  UNION ALL
+      |  SELECT doc_id, lang, l[i] || ' ' || l[i + 1] AS f FROM bi0),
+      |fb AS (
+      |  SELECT doc_id, lang,
+      |    ((strpos('0123456789abcdef', substr(md5(f), 1, 1)) - 1) * 4096
+      |     + (strpos('0123456789abcdef', substr(md5(f), 2, 1)) - 1) * 256
+      |     + (strpos('0123456789abcdef', substr(md5(f), 3, 1)) - 1) * 16
+      |     + (strpos('0123456789abcdef', substr(md5(f), 4, 1)) - 1)) % 1024 AS b
+      |  FROM feats),
+      |cnt AS (
+      |  SELECT b, COUNT(*) AS cr,
+      |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+      |  FROM fb GROUP BY b),
+      |tots AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM cnt),
+      |scored AS (
+      |  SELECT doc_id,
+      |    CAST(floor(((CAST(ct + 1 AS DOUBLE) / CAST(nt + 1024 AS DOUBLE))
+      |      / (CAST(cr + 1 AS DOUBLE) / CAST(nr + 1024 AS DOUBLE)))
+      |      * 1e12 + 0.5) AS BIGINT) AS q
+      |  FROM fb JOIN cnt USING (b), tots),
+      |agg AS (
+      |  SELECT doc_id, COUNT(*) AS n_features,
+      |    CAST(SUM(q) AS BIGINT) AS sum_q
+      |  FROM scored GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(a.n_features, 0) AS BIGINT) AS n_features,
+      |  a.sum_q,
+      |  CAST(a.sum_q AS DOUBLE) / CAST(a.n_features AS DOUBLE) / 1e12 AS weight
+      |FROM documents d LEFT JOIN agg a USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // Same synthesis, same three regexes (Java regex and RE2 agree on
     // this restricted syntax), same placeholder order.
@@ -825,6 +893,17 @@ object PipelineOps {
         |GROUP BY tok
         |ORDER BY df DESC, cf DESC, tok
         |LIMIT 50""".stripMargin,
+
+    // DSIR replay: same tokenization (split + filter), same word
+    // {1,2}-gram features, same 4-nibble md5 bucket, same smoothed
+    // ratio as THREE double divisions in the same order, same
+    // floor(rho*1e12 + 0.5) BIGINT quantization.
+    "dsir_weights" -> dsirOracleSql,
+
+    "dsir_select" ->
+      s"""WITH w AS ($dsirOracleSql)
+         |SELECT doc_id, weight FROM w
+         |ORDER BY weight DESC, doc_id LIMIT 100""".stripMargin,
 
     // The srp-md5 pipeline (as embed_srp_topdups_md5) down to scored
     // pairs, thresholded into edges, then recursive min-label reach —

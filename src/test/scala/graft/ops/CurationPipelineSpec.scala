@@ -127,4 +127,37 @@ class CurationPipelineSpec extends SparkSpec {
         .as("enc")).collect().head.getSeq[String](0)
     assert(skip == Seq("<o><k>"), skip)
   }
+
+  test("dsirWeights upweights target-like documents and stays deterministic") {
+    val dir = "/root/testdata/sf0.01"
+    val docs = Tables.load(spark, dir, "documents")
+    val w = TextAnalysis.dsirWeights(docs, "doc_id", "text",
+      col("lang") === "en")
+    val rows = w.join(docs.select("doc_id", "lang"), "doc_id")
+      .select(col("lang"), col("weight"), col("n_features"), col("sum_q"))
+      .collect()
+    assert(rows.length == docs.count())
+    // every document got features and a finite weight
+    assert(rows.forall(r => r.getLong(2) > 0 && !r.getDouble(1).isNaN))
+    // the importance model must separate the slices: mean weight of the
+    // target language strictly above every other language's mean
+    val byLang = rows.groupBy(_.getString(0))
+      .map { case (l, rs) => l -> rs.map(_.getDouble(1)).sum / rs.length }
+    assert(byLang.keySet.contains("en"), byLang.keySet)
+    val en = byLang("en")
+    byLang.filter(_._1 != "en").foreach { case (l, m) =>
+      assert(en > m, f"target mean $en%.4f not above $l mean $m%.4f")
+    }
+    // a weight is a smoothed likelihood ratio: positive, and bounded by
+    // the corpus/target size ratio (cnt_t <= cnt_r forces rho <= that)
+    assert(rows.forall(_.getDouble(1) > 0))
+    // bit-exact determinism across a full re-evaluation
+    val again = TextAnalysis.dsirWeights(docs, "doc_id", "text",
+      col("lang") === "en").select("doc_id", "sum_q").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length == again.size)
+    val first = w.select("doc_id", "sum_q").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(first == again)
+  }
 }

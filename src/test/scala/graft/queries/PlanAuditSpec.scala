@@ -86,7 +86,10 @@ class PlanAuditSpec extends SparkSpec {
       // grouping-sets queries carry EmptyGroupingSetsRule's guard
       // branch: a BNLJ of two SINGLE-ROW aggregates (the synthetic ()
       // row × the emptiness count) — constant-size at any corpus scale
-      "agg_rollup", "agg_cube", "agg_grouping_sets")
+      "agg_rollup", "agg_cube", "agg_grouping_sets",
+      // DSIR attaches the 1-row (nr, nt) corpus totals by broadcast —
+      // the same scalar-attach shape as the knn anchor join
+      "dsir_weights", "dsir_select")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p =
         try plan(name)
@@ -149,6 +152,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(600))
     assert(!p.contains("SortMergeJoin"),
       "the bigram model must broadcast — a sort-merge join shuffles the whole pair stream")
+  }
+
+  test("dsir_weights: bucket model broadcasts back, top-k select avoids global sort") {
+    val p = plan("dsir_weights")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("SortMergeJoin"),
+      "the <=1024-row bucket model must broadcast — an SMJ shuffles the whole feature stream")
+    val sel = plan("dsir_select")
+    assert(sel.contains("TakeOrderedAndProject"), sel.take(400))
   }
 
   test("sample_temperature: rates broadcast back, corpus filtered in place") {
