@@ -37,9 +37,10 @@ import org.apache.spark.sql.types.{DateType, DayTimeIntervalType, Decimal, Decim
   * |                            | through unchanged                 |
   *
   * Already name- and semantics-compatible in Spark (no shim, see
-  * DIALECT.md): split_part, regexp_count, arrays_overlap, array_max,
+  * DIALECT.md): regexp_count, arrays_overlap, array_max,
   * array_min, element_at (incl. negative indexing), slice, filter,
-  * transform, reduce.
+  * transform, reduce. (split_part needs the NULL-past-last-field
+  * gate below — Spark's builtin returns '' there.)
   */
 object TrinoFunctions {
 
@@ -1173,6 +1174,23 @@ object TrinoFunctions {
           LongType)
       case args => throw new IllegalArgumentException(
         s"strrpos expects 2 args, got ${args.length}")
+    },
+    // split_part(s, delim, index): Trino returns NULL when index is
+    // past the last field, where Spark's builtin returns '' — wrap the
+    // builtin in an index-bounds gate over the same literal-delimiter
+    // split. index <= 0 raises in both engines (Spark's builtin).
+    // Divergence kept: Trino splits into single characters on an empty
+    // delimiter; this (like Spark) treats the whole string as one field.
+    "split_part" -> {
+      case Seq(s, d, i) =>
+        val str = Cast(s, StringType)
+        val delim = Cast(d, StringType)
+        val idx = Cast(i, IntegerType)
+        If(GreaterThan(idx, Size(StringSplitSQL(str, delim))),
+          Literal(null, StringType),
+          SplitPart(str, delim, idx))
+      case args => throw new IllegalArgumentException(
+        s"split_part expects 3 args, got ${args.length}")
     },
     // json_size / is_json_scalar: Jackson walk via StaticInvoke (the
     // mapper ships in Spark's classpath). Path subset: $, .name, [idx],

@@ -156,10 +156,12 @@ object FuzzDump {
       case 10 => s"reverse(${strExpr(c, depth - 1)})"
       case 11 => s"translate(${strExpr(c, depth - 1)}, 'AEN', 'aex')"
       case 12 => s"${c.pick(Seq("left", "right"))}(${strExpr(c, depth - 1)}, ${c.rng.nextInt(6)})"
-      // coalesce guard: DuckDB's split_part returns '' on NULL input
-      // (not NULL-propagating, unlike Spark/Trino/Postgres) — align by
-      // feeding both engines '' instead of NULL. v4 run found this.
-      case 13 => s"split_part(coalesce(${strExpr(c, depth - 1)}, ''), '${c.pick(Seq("-", "_", "A", "#"))}', ${1 + c.rng.nextInt(2)})"
+      // double coalesce guard: DuckDB's split_part returns '' on NULL
+      // input (not NULL-propagating — v4 run found this), and the
+      // dialect layer gives split_part Trino's NULL-past-last-field
+      // semantics where DuckDB keeps '' — align both ends by feeding
+      // '' in and folding NULL back to '' out.
+      case 13 => s"coalesce(split_part(coalesce(${strExpr(c, depth - 1)}, ''), '${c.pick(Seq("-", "_", "A", "#"))}', ${1 + c.rng.nextInt(2)}), '')"
       case _ =>
         s"CASE WHEN ${boolExpr(c, depth - 1)} THEN ${strExpr(c, depth - 1)} ELSE ${strExpr(c, depth - 1)} END"
     }

@@ -748,6 +748,18 @@ class TrinoFunctionsSpec extends SparkSpec {
     assert(one("SELECT strrpos(NULL, 'a')") == null)
   }
 
+  test("split_part returns NULL past the last field like Trino") {
+    assert(one("SELECT split_part('a-b-c', '-', 2)") == "b")
+    assert(one("SELECT split_part('a-b-c', '-', 3)") == "c")
+    // Spark's builtin returns '' here; Trino returns NULL
+    assert(one("SELECT split_part('a-b-c', '-', 4)") == null)
+    assert(one("SELECT split_part('abc', '-', 1)") == "abc")
+    assert(one("SELECT split_part('abc', '-', 2)") == null)
+    // in-range empty fields are real fields, not NULL
+    assert(one("SELECT split_part('a--c', '-', 2)") == "")
+    assert(one("SELECT split_part(NULL, '-', 1)") == null)
+  }
+
   test("json_size and is_json_scalar") {
     assert(one("""SELECT json_size('{"x":{"a":1,"b":2}}', '$.x')""") == 2)
     assert(one("""SELECT json_size('{"x":[1,2,3]}', '$.x')""") == 3)
