@@ -319,25 +319,32 @@ object TextAnalysis {
     * double conversion passes 2^53: promote the four count casts to
     * DECIMAL or move to the paper's log-domain floats (weights no
     * longer bit-reproducible, as in the reference implementation). */
+  /** The DSIR feature set of one document: word {1,2}-grams over
+    * filtered split tokens, as an array column (shared by the batch
+    * weigher and the streaming scorer so parity holds by
+    * construction). */
+  def dsirFeatures(text: Column): Column = {
+    val toks = filter(split(lower(text), " "), t => t =!= "")
+    // unigrams ++ bigrams; guarded sequence (Spark's sequence(1, 0)
+    // counts DOWN, so the < 2-token case must short-circuit)
+    val bi = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array())
+    concat(toks, bi)
+  }
+
+  /** md5-derived feature bucket in [0, buckets). */
+  def dsirBucket(feature: Column, buckets: Int): Column =
+    conv(substring(md5(feature), 1, 4), 16, 10).cast("long") % buckets
+
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
       targetPred: Column, buckets: Int = 1024): DataFrame = {
-    val toksC = filter(split(lower(col(textCol)), " "), t => t =!= "")
-    val featsOf = {
-      // unigrams ++ bigrams; guarded sequence (Spark's sequence(1, 0)
-      // counts DOWN, so the < 2-token case must short-circuit)
-      val bi = when(size(col("graft_toks")) >= 2,
-        transform(sequence(lit(1), size(col("graft_toks")) - 1),
-          i => concat(element_at(col("graft_toks"), i), lit(" "),
-            element_at(col("graft_toks"), i + 1))))
-        .otherwise(array())
-      concat(col("graft_toks"), bi)
-    }
     val fb = docs
-      .select(col(idCol), targetPred.as("graft_tgt"), toksC.as("graft_toks"))
-      .select(col(idCol), col("graft_tgt"), explode(featsOf).as("graft_f"))
+      .select(col(idCol), targetPred.as("graft_tgt"),
+        explode(dsirFeatures(col(textCol))).as("graft_f"))
       .select(col(idCol), col("graft_tgt"),
-        (conv(substring(md5(col("graft_f")), 1, 4), 16, 10).cast("long")
-          % buckets).as("graft_b"))
+        dsirBucket(col("graft_f"), buckets).as("graft_b"))
     val model = fb.groupBy(col("graft_b")).agg(
       count(lit(1)).as("graft_cr"),
       sum(when(col("graft_tgt"), 1L).otherwise(0L)).as("graft_ct"))
@@ -364,5 +371,36 @@ object TextAnalysis {
         col("sum_q"),
         (col("sum_q").cast("double") / col("n_features").cast("double") /
           lit(1e12)).as("weight"))
+  }
+
+  /** Train-offline artifact for the streaming scorer: the quantized
+    * per-bucket importance ratio as a dense `buckets`-length array
+    * (index = bucket), with buckets the corpus never hashed into
+    * filled by the smoothing-only default rho = (nr+B)/(nt+B) — those
+    * can occur for NOVEL stream documents even though the batch
+    * weigher never sees them. The JVM-side arithmetic is the same
+    * IEEE sequence as the batch expressions (three double divisions,
+    * floor(rho·1e12 + 0.5)), so a stream doc whose buckets all exist
+    * in the corpus scores bit-identically to the batch weigher. */
+  def dsirModelQ(docs: DataFrame, textCol: String, targetPred: Column,
+      buckets: Int = 1024): Array[Long] = {
+    val rows = docs
+      .select(targetPred.as("graft_tgt"),
+        explode(dsirFeatures(col(textCol))).as("graft_f"))
+      .select(col("graft_tgt"), dsirBucket(col("graft_f"), buckets).as("graft_b"))
+      .groupBy(col("graft_b")).agg(
+        count(lit(1)).as("cr"),
+        sum(when(col("graft_tgt"), 1L).otherwise(0L)).as("ct"))
+      .collect()
+    val nr = rows.map(_.getLong(1)).sum
+    val nt = rows.map(_.getLong(2)).sum
+    def q(cr: Long, ct: Long): Long = {
+      val rho = ((ct + 1).toDouble / (nt + buckets).toDouble) /
+        ((cr + 1).toDouble / (nr + buckets).toDouble)
+      math.floor(rho * 1e12 + 0.5).toLong
+    }
+    val out = Array.fill(buckets)(q(0L, 0L))
+    rows.foreach(r => out(r.getLong(0).toInt) = q(r.getLong(1), r.getLong(2)))
+    out
   }
 }

@@ -127,6 +127,34 @@ object Streams {
         graft.functions.NativeExprs.deflateRatio(col(textCol)).as("ratio"))
       .filter(col("ratio") >= minRatio && col("ratio") <= maxRatio)
 
+  /** Score a document stream with batch-trained DSIR importance
+    * weights — the train-offline / score-online split of a data-mixing
+    * gate: the quantized per-bucket ratio table (`buckets` longs, from
+    * [[graft.ops.TextAnalysis.dsirModelQ]]) is baked in as a dense
+    * array literal, so scoring is a stateless per-row projection
+    * (append mode, no streaming aggregation state): features →
+    * O(1)-indexed bucket lookup → exact long sum. A stream document
+    * whose buckets all exist in the training corpus scores
+    * bit-identically to the batch `dsirWeights`; novel buckets take
+    * the smoothing-only default the table carries. */
+  def dsirScoreStream(docs: DataFrame, modelQ: Array[Long],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.ops.TextAnalysis.{dsirBucket, dsirFeatures}
+    val buckets = modelQ.length
+    val table = typedLit(modelQ.toSeq)
+    docs
+      .select(col(idCol), dsirFeatures(col(textCol)).as("graft_feats"))
+      .filter(size(col("graft_feats")) > 0)
+      .select(col(idCol), size(col("graft_feats")).cast("long").as("n_features"),
+        aggregate(
+          transform(col("graft_feats"),
+            f => element_at(table, dsirBucket(f, buckets).cast("int") + 1)),
+          lit(0L), (acc, x) => acc + x).as("sum_q"))
+      .select(col(idCol), col("n_features"), col("sum_q"),
+        (col("sum_q").cast("double") / col("n_features").cast("double") /
+          lit(1e12)).as("weight"))
+  }
+
   /** Tokenize a document stream with a batch-trained BPE merge table —
     * the train-offline / encode-online split of a production tokenizer
     * deployment. The merge table (model-sized, from

@@ -164,6 +164,40 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming DSIR scoring with a batch-trained model equals batch bit for bit") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.engine.Tables.load(spark, dir, "documents")
+    import org.apache.spark.sql.functions.col
+    // offline: train the quantized bucket table in batch
+    val modelQ = graft.ops.TextAnalysis.dsirModelQ(docs, "text",
+      col("lang") === "en")
+    assert(modelQ.length == 1024)
+    val watched = java.nio.file.Files.createTempDirectory("graft-dsir-stream")
+    watched.toFile.deleteOnExit()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      watched.resolve("documents.parquet"))
+    // online: stateless scoring of the stream with the trained table
+    val q = graft.streaming.Streams.dsirScoreStream(
+        spark.readStream.schema(docs.schema).parquet(watched.toString), modelQ)
+      .writeStream.format("memory").queryName("stream_dsir")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streaming = spark.table("stream_dsir").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .toMap
+      val batch = graft.ops.TextAnalysis.dsirWeights(docs, "doc_id", "text",
+          col("lang") === "en")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .toMap
+      // corpus docs only hash into corpus buckets, so the streamed
+      // scores must equal the batch weigher exactly — longs AND doubles
+      assert(streaming.nonEmpty && streaming == batch)
+    } finally q.stop()
+  }
+
   test("streaming BPE encode equals the batch tokenizer (train-offline, encode-online)") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.engine.Tables.load(spark, dir, "documents")
