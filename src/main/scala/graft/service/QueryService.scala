@@ -142,6 +142,22 @@ class QueryService(engine: Engine) {
         catch { case e: Throwable => return Left(s"query execution failed: ${clip(e)}") }
       return collectBounded(df)
     }
+    // SHOW CATALOGS / SCHEMAS / TABLES — Trino's single-column listing
+    // shapes (Catalog / Schema / Table); Spark's own forms emit
+    // different columns, so intercept and serve from the allowlist-
+    // filtered metadata surface (same listings as the MCP tools).
+    ShowMeta.matchCatalogs(stripped).foreach { like =>
+      return collectBounded(ShowMeta.catalogs(engine, like))
+    }
+    ShowMeta.matchSchemas(stripped).foreach { case (c, like) =>
+      return collectBounded(ShowMeta.schemas(engine, c, like))
+    }
+    ShowMeta.matchTables(stripped).foreach { case (q, like) =>
+      val df =
+        try ShowMeta.tables(engine, q, like)
+        catch { case e: Throwable => return Left(s"query execution failed: ${clip(e)}") }
+      return collectBounded(df)
+    }
     // SHOW FUNCTIONS — function discovery over the dialect surface
     // (reference pass-through; Spark's own SHOW FUNCTIONS has the wrong
     // shape and lists Spark-spelling names). No allowlist gate: the

@@ -46,6 +46,65 @@ object ShowMeta {
     case _ => None
   }
 
+  // Trino's listing statements: single-column shapes (Catalog / Schema
+  // / Table) where Spark's own SHOW CATALOGS/SCHEMAS/TABLES emit
+  // different columns (catalog; namespace; namespace+tableName+
+  // isTemporary) — so execute_query must intercept and serve the
+  // Trino shape from the allowlist-filtered metadata surface.
+  private val CatalogsPat =
+    """(?is)^\s*SHOW\s+CATALOGS(?:\s+LIKE\s+'([^']*)')?\s*$""".r
+  private val SchemasPat =
+    """(?is)^\s*SHOW\s+SCHEMAS(?:\s+(?:FROM|IN)\s+([A-Za-z_]\w*))?(?:\s+LIKE\s+'([^']*)')?\s*$""".r
+  private val TablesPat =
+    """(?is)^\s*SHOW\s+TABLES(?:\s+(?:FROM|IN)\s+([A-Za-z_][\w.]*))?(?:\s+LIKE\s+'([^']*)')?\s*$""".r
+
+  def matchCatalogs(sql: String): Option[Option[String]] = sql match {
+    case CatalogsPat(p) => Some(Option(p))
+    case _ => None
+  }
+  /** Some((catalog Option, like Option)). */
+  def matchSchemas(sql: String): Option[(Option[String], Option[String])] =
+    sql match {
+      case SchemasPat(c, p) => Some((Option(c), Option(p)))
+      case _ => None
+    }
+  /** Some((schema-qualifier Option — `s` or `c.s`, like Option)). */
+  def matchTables(sql: String): Option[(Option[String], Option[String])] =
+    sql match {
+      case TablesPat(q, p) => Some((Option(q), Option(p)))
+      case _ => None
+    }
+
+  def catalogs(engine: Engine, like: Option[String]): DataFrame =
+    listing(engine, "Catalog",
+      new MetadataService(engine).listCatalogs(), like)
+
+  def schemas(engine: Engine, catalog: Option[String],
+      like: Option[String]): DataFrame =
+    listing(engine, "Schema",
+      new MetadataService(engine).listSchemas(catalog.getOrElse("")), like)
+
+  def tables(engine: Engine, qualifier: Option[String],
+      like: Option[String]): DataFrame = {
+    val (c, s) = qualifier match {
+      case Some(q) if q.contains(".") =>
+        val parts = q.split("\\.", 2); (parts(0), parts(1))
+      case Some(q) => ("", q)
+      case None => ("", "")
+    }
+    listing(engine, "Table",
+      new MetadataService(engine).listTables(c, s), like)
+  }
+
+  private def listing(engine: Engine, colName: String, names: Seq[String],
+      like: Option[String]): DataFrame = {
+    val filtered = like match {
+      case Some(p) => names.filter(_.matches(likeToRegex(p)))
+      case None => names
+    }
+    oneCol(engine.spark, colName, filtered.map(Row(_)))
+  }
+
   /** Some(pattern Option) when the SQL is SHOW SESSION [LIKE '...'];
     * the pattern uses SQL LIKE wildcards (% and _) against Name. */
   def matchSession(sql: String): Option[Option[String]] = sql match {

@@ -127,6 +127,31 @@ class ShowStatsSpec extends SparkSpec {
     assert(enforcing.execute("SHOW COLUMNS FROM nation").isRight)
   }
 
+  test("SHOW CATALOGS / SCHEMAS / TABLES serve Trino's single-column shapes") {
+    val cats = qs().execute("SHOW CATALOGS").toOption.get
+    assert(cats.columns == Seq("Catalog"))
+    assert(cats.rows.map(_.head.toString).contains("spark_catalog"))
+    val schemas = qs().execute("SHOW SCHEMAS").toOption.get
+    assert(schemas.columns == Seq("Schema"))
+    assert(schemas.rows.map(_.head.toString).contains("default"))
+    assert(qs().execute("SHOW SCHEMAS FROM spark_catalog").isRight)
+    val tabs = qs().execute("SHOW TABLES").toOption.get
+    assert(tabs.columns == Seq("Table"))
+    val names = tabs.rows.map(_.head.toString)
+    assert(names.contains("region") && names.contains("lineitem"))
+    // internal per-directory caches are not user tables
+    assert(!names.exists(_.startsWith("graft_src_")))
+    // LIKE filters with SQL wildcards; FROM qualifier resolves
+    assert(qs().execute("SHOW TABLES LIKE 'reg%'").toOption.get
+      .rows.map(_.head.toString) == Seq("region"))
+    assert(qs().execute("show tables from default ;").isRight)
+    assert(qs().execute("SHOW CATALOGS LIKE 'nope%'").toOption.get.rows.isEmpty)
+    // catalog allowlists filter the listing (same path as the tools)
+    val filtered = qs(Map("TRINO_ALLOWED_CATALOGS" -> "other"))
+      .execute("SHOW CATALOGS").toOption.get
+    assert(filtered.rows.isEmpty)
+  }
+
   test("SHOW STATS respects the opt-in SQL allowlist gate") {
     val enforcing = qs(Map(
       "GRAFT_ENFORCE_SQL_ALLOWLISTS" -> "true",
