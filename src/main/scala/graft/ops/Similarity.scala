@@ -441,6 +441,55 @@ object Similarity {
       .limit(k)
   }
 
+  /** Oracle-verification twin of [[ivfTopK]] (same pattern as
+    * [[srpCandidatePairsMd5]]): identical IVF geometry — fixed-`nCells`
+    * seed quantizer, nearest-cell assignment, `nProbe` cell prune,
+    * in-cell cosine top-k excluding the anchor — but with md5-ordered
+    * seeds (xxhash64 has no DuckDB counterpart) and the quantized-dot
+    * cosine at EVERY stage (assignment argmax, probe selection, final
+    * scores), so the full pipeline replays bit-identically in SQL.
+    * Probe cells come from the same scored relation as the assignment
+    * (the anchor's own rows), not a driver-side recomputation — one
+    * arithmetic path, zero JVM/SQL drift surface. */
+  def ivfTopKMd5(embeddings: DataFrame, idCol: String, vecCol: String,
+      anchorId: Long, k: Int, nCells: Int, nProbe: Int): DataFrame = {
+    val vecs = embeddings.select(col(idCol).cast("long").as("graft_id"),
+      col(vecCol).as("graft_v"),
+      dotQuant(col(vecCol), col(vecCol)).cast("double").as("graft_dd"))
+    val cents = vecs
+      .orderBy(md5(col("graft_id").cast("string")), col("graft_id"))
+      .limit(nCells)
+      .select(col("graft_id").as("cent_id"), col("graft_v").as("cent_v"),
+        col("graft_dd").as("cent_dd"))
+    val scored = vecs.crossJoin(broadcast(cents))
+      .withColumn("graft_cos",
+        dotQuant(col("graft_v"), col("cent_v")).cast("double") /
+          sqrt(col("graft_dd") * col("cent_dd")))
+    // nearest cell per vector: max (cos, -cent_id) is lexicographic —
+    // highest cosine, then lowest centroid id (= ORDER BY cos DESC,
+    // cent_id in the SQL replay)
+    val assign = scored
+      .groupBy(col("graft_id"))
+      .agg(max(struct(col("graft_cos"), (-col("cent_id")).as("neg"))).as("m"))
+      .select(col("graft_id"), (-col("m.neg")).as("cell_id"))
+    val probe = scored.filter(col("graft_id") === anchorId)
+      .orderBy(col("graft_cos").desc, col("cent_id"))
+      .limit(nProbe)
+      .select(col("cent_id").as("cell_id"))
+    val anchor = vecs.filter(col("graft_id") === anchorId)
+      .select(col("graft_v").as("anchor_v"), col("graft_dd").as("anchor_dd"))
+    assign
+      .join(broadcast(probe), "cell_id")
+      .join(vecs, "graft_id")
+      .crossJoin(broadcast(anchor))
+      .filter(col("graft_id") =!= anchorId)
+      .select(col("graft_id").as(idCol),
+        (dotQuant(col("graft_v"), col("anchor_v")).cast("double") /
+          sqrt(col("graft_dd") * col("anchor_dd"))).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Symmetric per-vector int8 quantization: scale = max|x|/127,
     * q_i = floor(x_i/scale + 0.5) ∈ [-127, 127] — the 4×
     * storage/bandwidth cut (float32 → int8) every billion-vector ANN

@@ -247,6 +247,14 @@ object PipelineOps {
       Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding",
         anchorId = 0L, k = 10, nCells = 40, nProbe = 2, kmeansIters = 2)),
 
+    // Oracle-verification twin of the IVF probe (the md5 pattern of
+    // dedup_minhash_md5 / embed_srp_topdups_md5): md5-ordered seeds,
+    // quantized-dot cosine at every stage — assignment, probe
+    // selection, final scores — fully replayed by DuckDB.
+    "embed_ivf_topk_md5" -> ((s, d) =>
+      Similarity.ivfTopKMd5(t(s, d, "embeddings"), "vec_id", "embedding",
+        anchorId = 0L, k = 10, nCells = 40, nProbe = 2)),
+
     // Benchmark-contamination screen: per-doc shingle overlap against
     // the (stand-in) eval set doc_id < 10, broadcast as one vocabulary.
     "text_contamination" -> ((s, d) => {
@@ -904,6 +912,51 @@ object PipelineOps {
       s"""WITH w AS ($dsirOracleSql)
          |SELECT doc_id, weight FROM w
          |ORDER BY weight DESC, doc_id LIMIT 100""".stripMargin,
+
+    // Full IVF replay: md5-ordered seed quantizer, quantized-dot
+    // cosine assignment (argmax = row_number over cos DESC, cent_id —
+    // the SQL spelling of Spark's max(struct(cos, -cent_id))), probe
+    // cells from the anchor's own scored rows, in-cell top-k.
+    "embed_ivf_topk_md5" ->
+      """WITH s AS (SELECT unnest(generate_series(1, 64)) AS i),
+        |vd AS (
+        |  SELECT e.vec_id,
+        |    CAST(SUM(CAST(floor(CAST(e.embedding[s.i] AS DOUBLE)*CAST(e.embedding[s.i] AS DOUBLE)*1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS dd
+        |  FROM embeddings e, s GROUP BY e.vec_id),
+        |cents AS (
+        |  SELECT e.vec_id AS cent_id, e.embedding AS cv, vd.dd AS cdd
+        |  FROM embeddings e JOIN vd USING (vec_id)
+        |  ORDER BY md5(CAST(e.vec_id AS VARCHAR)), e.vec_id LIMIT 40),
+        |qd AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    CAST(SUM(CAST(floor(CAST(e.embedding[s.i] AS DOUBLE)*CAST(c.cv[s.i] AS DOUBLE)*1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS qdot
+        |  FROM embeddings e, cents c, s
+        |  GROUP BY e.vec_id, c.cent_id),
+        |scored AS (
+        |  SELECT qd.vec_id, qd.cent_id, qd.qdot / sqrt(vd.dd * c.cdd) AS cos
+        |  FROM qd JOIN vd USING (vec_id) JOIN cents c ON qd.cent_id = c.cent_id),
+        |assign AS (
+        |  SELECT vec_id, cent_id AS cell_id FROM (
+        |    SELECT vec_id, cent_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |probe AS (
+        |  SELECT cent_id AS cell_id FROM scored WHERE vec_id = 0
+        |  ORDER BY cos DESC, cent_id LIMIT 2),
+        |anch AS (
+        |  SELECT e.embedding AS av, vd.dd AS a_dd
+        |  FROM embeddings e JOIN vd USING (vec_id) WHERE e.vec_id = 0),
+        |adot AS (
+        |  SELECT e.vec_id,
+        |    CAST(SUM(CAST(floor(CAST(e.embedding[s.i] AS DOUBLE)*CAST(an.av[s.i] AS DOUBLE)*1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS qdot
+        |  FROM embeddings e, anch an, s GROUP BY e.vec_id)
+        |SELECT a.vec_id, ad.qdot / sqrt(vd.dd * an.a_dd) AS cos_sim
+        |FROM assign a
+        |  JOIN probe USING (cell_id)
+        |  JOIN adot ad ON ad.vec_id = a.vec_id
+        |  JOIN vd ON vd.vec_id = a.vec_id, anch an
+        |WHERE a.vec_id <> 0
+        |ORDER BY cos_sim DESC, a.vec_id LIMIT 10""".stripMargin,
 
     // The srp-md5 pipeline (as embed_srp_topdups_md5) down to scored
     // pairs, thresholded into edges, then recursive min-label reach —
