@@ -453,25 +453,49 @@ object Similarity {
     * arithmetic path, zero JVM/SQL drift surface. */
   def ivfTopKMd5(embeddings: DataFrame, idCol: String, vecCol: String,
       anchorId: Long, k: Int, nCells: Int, nProbe: Int): DataFrame = {
-    val vecs = embeddings.select(col(idCol).cast("long").as("graft_id"),
+    val vecs = quantVecs(embeddings, idCol, vecCol)
+    probeTopKMd5(vecs, md5SeedCents(vecs, nCells), idCol, anchorId, k, nProbe)
+  }
+
+  /** (graft_id, graft_v, graft_dd): the twin's working relation. */
+  private def quantVecs(embeddings: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    embeddings.select(col(idCol).cast("long").as("graft_id"),
       col(vecCol).as("graft_v"),
       dotQuant(col(vecCol), col(vecCol)).cast("double").as("graft_dd"))
-    val cents = vecs
+
+  /** md5-hex-ordered seed quantizer as (cent_id, cent_v, cent_dd). */
+  private def md5SeedCents(vecs: DataFrame, nCells: Int): DataFrame =
+    vecs
       .orderBy(md5(col("graft_id").cast("string")), col("graft_id"))
       .limit(nCells)
       .select(col("graft_id").as("cent_id"), col("graft_v").as("cent_v"),
         col("graft_dd").as("cent_dd"))
-    val scored = vecs.crossJoin(broadcast(cents))
+
+  /** Every vector scored against every centroid with the quantized-dot
+    * cosine (the twin relation both assignment and probe read). */
+  private def centScored(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents))
       .withColumn("graft_cos",
         dotQuant(col("graft_v"), col("cent_v")).cast("double") /
           sqrt(col("graft_dd") * col("cent_dd")))
-    // nearest cell per vector: max (cos, -cent_id) is lexicographic —
-    // highest cosine, then lowest centroid id (= ORDER BY cos DESC,
-    // cent_id in the SQL replay)
-    val assign = scored
+
+  /** (graft_id, cell_id): nearest cell per vector. max (cos, -cent_id)
+    * is lexicographic — highest cosine, then lowest centroid id
+    * (= ORDER BY cos DESC, cent_id in the SQL replay). */
+  private def nearestCell(scored: DataFrame): DataFrame =
+    scored
       .groupBy(col("graft_id"))
       .agg(max(struct(col("graft_cos"), (-col("cent_id")).as("neg"))).as("m"))
       .select(col("graft_id"), (-col("m.neg")).as("cell_id"))
+
+  /** The shared probe/top-k tail of both twins: assign cells, pick the
+    * anchor's nProbe best cells from the SAME scored relation, score
+    * the probed cells' vectors against the anchor, top-k. */
+  private def probeTopKMd5(vecs: DataFrame, cents: DataFrame, idCol: String,
+      anchorId: Long, k: Int, nProbe: Int): DataFrame = {
+    val scored = centScored(vecs, cents)
+    val assign = nearestCell(scored)
     val probe = scored.filter(col("graft_id") === anchorId)
       .orderBy(col("graft_cos").desc, col("cent_id"))
       .limit(nProbe)
@@ -488,6 +512,40 @@ object Similarity {
           sqrt(col("graft_dd") * col("anchor_dd"))).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** Oracle-verification twin of the k-means IVF path
+    * ([[ivfTopK]] with kmeansIters > 0): md5-ordered seeds, ONE Lloyd
+    * iteration whose mean update is integer-quantized — per-dimension
+    * sum of floor(x·1e7 + 0.5) as BIGINT (order-independent, exact),
+    * divided back and rounded to FLOAT, every step an operation both
+    * engines compute bit-identically (the production path's
+    * DECIMAL(28,14) mean is engine-exact too but its float→decimal
+    * cast can tie at scale-14 halves, the r9 "known corner" class) —
+    * then the same assignment/probe/top-k tail as [[ivfTopKMd5]].
+    * Proves the distributed Lloyd update cross-engine, the one IVF
+    * stage the plain twin leaves unproven. */
+  def ivfKmeansMd5(embeddings: DataFrame, idCol: String, vecCol: String,
+      anchorId: Long, k: Int, nCells: Int, nProbe: Int): DataFrame = {
+    val vecs = quantVecs(embeddings, idCol, vecCol)
+    val assign0 = nearestCell(centScored(vecs, md5SeedCents(vecs, nCells)))
+    // Lloyd update: quantized mean per (cell, dim); empty cells drop
+    // out exactly like the production update. Division order is
+    // (sum_q / n) / 1e7, matching the SQL text.
+    val means = assign0
+      .join(vecs, "graft_id")
+      .select(col("cell_id"), posexplode(col("graft_v")))
+      .groupBy(col("cell_id"), col("pos"))
+      .agg(((sum(floor(col("col").cast("double") * lit(1e7) + lit(0.5))
+          .cast("long")).cast("double") / count(lit(1)).cast("double")) /
+        lit(1e7)).cast("float").as("m"))
+    val cents1 = means
+      .groupBy(col("cell_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cent_v"))
+      .select(col("cell_id").as("cent_id"), col("cent_v"),
+        dotQuant(col("cent_v"), col("cent_v")).cast("double").as("cent_dd"))
+    probeTopKMd5(vecs, cents1, idCol, anchorId, k, nProbe)
   }
 
   /** Symmetric per-vector int8 quantization: scale = max|x|/127,

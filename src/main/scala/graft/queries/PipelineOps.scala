@@ -255,6 +255,13 @@ object PipelineOps {
       Similarity.ivfTopKMd5(t(s, d, "embeddings"), "vec_id", "embedding",
         anchorId = 0L, k = 10, nCells = 40, nProbe = 2)),
 
+    // The k-means flavor of the twin: one integer-quantized Lloyd
+    // update of the md5 seeds, then the same replayed probe — DuckDB
+    // verifies the distributed mean update itself.
+    "embed_ivf_kmeans_md5" -> ((s, d) =>
+      Similarity.ivfKmeansMd5(t(s, d, "embeddings"), "vec_id", "embedding",
+        anchorId = 0L, k = 10, nCells = 40, nProbe = 2)),
+
     // Benchmark-contamination screen: per-doc shingle overlap against
     // the (stand-in) eval set doc_id < 10, broadcast as one vocabulary.
     "text_contamination" -> ((s, d) => {
@@ -952,6 +959,74 @@ object PipelineOps {
         |  FROM embeddings e, anch an, s GROUP BY e.vec_id)
         |SELECT a.vec_id, ad.qdot / sqrt(vd.dd * an.a_dd) AS cos_sim
         |FROM assign a
+        |  JOIN probe USING (cell_id)
+        |  JOIN adot ad ON ad.vec_id = a.vec_id
+        |  JOIN vd ON vd.vec_id = a.vec_id, anch an
+        |WHERE a.vec_id <> 0
+        |ORDER BY cos_sim DESC, a.vec_id LIMIT 10""".stripMargin,
+
+    // The k-means twin: seeds → assignment → ONE integer-quantized
+    // Lloyd mean update (sum of floor(x*1e7 + 0.5) as BIGINT per
+    // (cell, dim), divided back, rounded to FLOAT) → re-scored
+    // assignment/probe/top-k. Verifies the distributed mean update.
+    "embed_ivf_kmeans_md5" ->
+      """WITH s AS (SELECT unnest(generate_series(1, 64)) AS i),
+        |vd AS (
+        |  SELECT e.vec_id,
+        |    CAST(SUM(CAST(floor(CAST(e.embedding[s.i] AS DOUBLE)*CAST(e.embedding[s.i] AS DOUBLE)*1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS dd
+        |  FROM embeddings e, s GROUP BY e.vec_id),
+        |cents AS (
+        |  SELECT e.vec_id AS cent_id, e.embedding AS cv, vd.dd AS cdd
+        |  FROM embeddings e JOIN vd USING (vec_id)
+        |  ORDER BY md5(CAST(e.vec_id AS VARCHAR)), e.vec_id LIMIT 40),
+        |qd0 AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    CAST(SUM(CAST(floor(CAST(e.embedding[s.i] AS DOUBLE)*CAST(c.cv[s.i] AS DOUBLE)*1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS qdot
+        |  FROM embeddings e, cents c, s
+        |  GROUP BY e.vec_id, c.cent_id),
+        |sc0 AS (
+        |  SELECT qd0.vec_id, qd0.cent_id, qd0.qdot / sqrt(vd.dd * c.cdd) AS cos
+        |  FROM qd0 JOIN vd USING (vec_id) JOIN cents c ON qd0.cent_id = c.cent_id),
+        |asg0 AS (
+        |  SELECT vec_id, cent_id AS cell_id FROM (
+        |    SELECT vec_id, cent_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+        |    FROM sc0) WHERE rn = 1),
+        |means AS (
+        |  SELECT a.cell_id, s.i,
+        |    CAST((CAST(SUM(CAST(floor(CAST(e.embedding[s.i] AS DOUBLE) * 1e7 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE)) / 1e7 AS FLOAT) AS m
+        |  FROM asg0 a JOIN embeddings e ON e.vec_id = a.vec_id, s
+        |  GROUP BY a.cell_id, s.i),
+        |cdd1 AS (
+        |  SELECT cell_id,
+        |    CAST(SUM(CAST(floor(CAST(m AS DOUBLE)*CAST(m AS DOUBLE)*1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS cdd
+        |  FROM means GROUP BY cell_id),
+        |qd1 AS (
+        |  SELECT e.vec_id, mn.cell_id,
+        |    CAST(SUM(CAST(floor(CAST(e.embedding[mn.i] AS DOUBLE)*CAST(mn.m AS DOUBLE)*1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS qdot
+        |  FROM embeddings e, means mn
+        |  GROUP BY e.vec_id, mn.cell_id),
+        |sc1 AS (
+        |  SELECT qd1.vec_id, qd1.cell_id AS cent_id, qd1.qdot / sqrt(vd.dd * c.cdd) AS cos
+        |  FROM qd1 JOIN vd USING (vec_id) JOIN cdd1 c ON c.cell_id = qd1.cell_id),
+        |asg1 AS (
+        |  SELECT vec_id, cent_id AS cell_id FROM (
+        |    SELECT vec_id, cent_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+        |    FROM sc1) WHERE rn = 1),
+        |probe AS (
+        |  SELECT cent_id AS cell_id FROM sc1 WHERE vec_id = 0
+        |  ORDER BY cos DESC, cent_id LIMIT 2),
+        |anch AS (
+        |  SELECT e.embedding AS av, vd.dd AS a_dd
+        |  FROM embeddings e JOIN vd USING (vec_id) WHERE e.vec_id = 0),
+        |adot AS (
+        |  SELECT e.vec_id,
+        |    CAST(SUM(CAST(floor(CAST(e.embedding[s.i] AS DOUBLE)*CAST(an.av[s.i] AS DOUBLE)*1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS qdot
+        |  FROM embeddings e, anch an, s GROUP BY e.vec_id)
+        |SELECT a.vec_id, ad.qdot / sqrt(vd.dd * an.a_dd) AS cos_sim
+        |FROM asg1 a
         |  JOIN probe USING (cell_id)
         |  JOIN adot ad ON ad.vec_id = a.vec_id
         |  JOIN vd ON vd.vec_id = a.vec_id, anch an

@@ -28,9 +28,9 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented counts") {
-    assert(SparkEntry.queries.size == 154,
+    assert(SparkEntry.queries.size == 155,
       s"queries=${SparkEntry.queries.size} — update README/ContractSpec together")
-    assert(SparkEntry.oracleSql.size == 135,
+    assert(SparkEntry.oracleSql.size == 136,
       s"oracles=${SparkEntry.oracleSql.size} — update README/ContractSpec together")
   }
 }
