@@ -64,6 +64,26 @@ class ExplainStatementsSpec extends SparkSpec {
     assert(qs.execute("EXPLAIN (WIBBLE 2) SELECT 1").left.exists(_.contains("invalid EXPLAIN option")))
   }
 
+  test("statement wrappers survive the whole fuzz grammar") {
+    // 25 seeded fuzz statements (the same generator the differential
+    // corpus certifies) pushed through every statement wrapper — the
+    // wrappers must parse/serve ANY guardable SELECT, not just the
+    // hand-written spec cases. EXPLAIN ANALYZE executes for real, so
+    // keep its sample smaller.
+    val sqls = (0 until 25).map(i => graft.tools.FuzzDump.genQuery(424200L + i))
+    sqls.foreach { q =>
+      val lp = run(s"EXPLAIN (TYPE LOGICAL) $q")
+      assert(lp.columns == Seq("Query Plan") && lp.rows.nonEmpty, q)
+      assert(run(s"EXPLAIN (TYPE VALIDATE) $q").rows.nonEmpty, q)
+      val st = run(s"SHOW STATS FOR ($q)")
+      assert(st.columns.head == "column_name" && st.rows.nonEmpty, q)
+    }
+    sqls.take(5).foreach { q =>
+      val an = run(s"EXPLAIN ANALYZE $q")
+      assert(an.rows.head.head.asInstanceOf[String].contains("Query Plan"), q)
+    }
+  }
+
   test("EXPLAIN ANALYZE still refuses write statements via the guard") {
     val r = qs.execute("EXPLAIN ANALYZE DELETE FROM region")
     assert(r.isLeft && r.left.exists(_.contains("security restriction")), r)
