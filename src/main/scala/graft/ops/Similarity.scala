@@ -548,6 +548,76 @@ object Similarity {
     probeTopKMd5(vecs, cents1, idCol, anchorId, k, nProbe)
   }
 
+  /** Oracle-verification twin of the PQ/ADC path ([[pqTopK]] family):
+    * md5-ordered seed vectors supply every subspace's initial
+    * codebook, ONE Lloyd iteration with the integer-quantized mean
+    * update (floor(x·1e7 + 0.5) sums, same as [[ivfKmeansMd5]]), and
+    * ALL distances — assignment, encode, the ADC table — as the
+    * integer-quantized L2 Σ floor((x−c)²·1e12 + 0.5): after
+    * quantization the entire pipeline is exact BIGINT arithmetic
+    * (argmin ties break on lowest code id), so codebook training,
+    * encoding, and ADC scores replay bit-identically in SQL. Returns
+    * (idCol, adc_q BIGINT): the quantized ADC distance, ascending. */
+  def pqTopKMd5(embeddings: DataFrame, idCol: String, vecCol: String,
+      anchorId: Long, k: Int, m: Int = 8, ksub: Int = 16,
+      dims: Int = 64): DataFrame = {
+    val dsub = dims / m
+    def qdist(a: Column, b: Column): Column =
+      aggregate(
+        zip_with(a, b, (x, c) =>
+          floor((x.cast("double") - c.cast("double")) *
+            (x.cast("double") - c.cast("double")) * lit(1e12) + lit(0.5))
+            .cast("long")),
+        lit(0L), (acc, v) => acc + v)
+    def subSlices(df: DataFrame, vec: String, out: String): DataFrame =
+      df.select(col("*"), explode(sequence(lit(0), lit(m - 1))).as("graft_sub"))
+        .withColumn(out, slice(col(vec), col("graft_sub") * dsub + 1, lit(dsub)))
+        .drop(vec)
+    val vecs = embeddings.select(col(idCol).cast("long").as("graft_id"),
+      col(vecCol).as("graft_v"))
+    val subs = subSlices(vecs, "graft_v", "graft_sv")
+    val seeds = vecs
+      .orderBy(md5(col("graft_id").cast("string")), col("graft_id"))
+      .limit(ksub)
+      .select(col("graft_id").as("cent_id"), col("graft_v").as("graft_cv"))
+    val subcents0 = subSlices(seeds, "graft_cv", "graft_cs")
+    // argmin (quantized L2, code id) per (vector, subspace) — exact
+    // integer compare, so min(struct(d, cent_id)) has no float ties
+    def assign(cents: DataFrame): DataFrame =
+      subs.join(broadcast(cents), "graft_sub")
+        .withColumn("graft_d", qdist(col("graft_sv"), col("graft_cs")))
+        .groupBy(col("graft_id"), col("graft_sub"))
+        .agg(min(struct(col("graft_d"), col("cent_id"))).as("m"))
+        .select(col("graft_id"), col("graft_sub"), col("m.cent_id").as("cent_id"))
+    // one quantized-mean Lloyd update per (subspace, code, dim)
+    val means = assign(subcents0)
+      .join(subs, Seq("graft_id", "graft_sub"))
+      .select(col("graft_sub"), col("cent_id"), posexplode(col("graft_sv")))
+      .groupBy(col("graft_sub"), col("cent_id"), col("pos"))
+      .agg(((sum(floor(col("col").cast("double") * lit(1e7) + lit(0.5))
+          .cast("long")).cast("double") / count(lit(1)).cast("double")) /
+        lit(1e7)).cast("float").as("mval"))
+    val subcents1 = means
+      .groupBy(col("graft_sub"), col("cent_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mval")))),
+        s => s.getField("mval")).as("graft_cs"))
+    val codes = assign(subcents1)
+    // ADC: the anchor's quantized distance to every (subspace, code)
+    val anchorSubs = subs.filter(col("graft_id") === anchorId)
+      .select(col("graft_sub"), col("graft_sv").as("graft_asv"))
+    val adc = subcents1.join(broadcast(anchorSubs), "graft_sub")
+      .select(col("graft_sub"), col("cent_id"),
+        qdist(col("graft_asv"), col("graft_cs")).as("graft_ad"))
+    codes
+      .join(broadcast(adc), Seq("graft_sub", "cent_id"))
+      .groupBy(col("graft_id"))
+      .agg(sum(col("graft_ad")).as("adc_q"))
+      .filter(col("graft_id") =!= anchorId)
+      .select(col("graft_id").as(idCol), col("adc_q"))
+      .orderBy(col("adc_q").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Symmetric per-vector int8 quantization: scale = max|x|/127,
     * q_i = floor(x_i/scale + 0.5) ∈ [-127, 127] — the 4×
     * storage/bandwidth cut (float32 → int8) every billion-vector ANN

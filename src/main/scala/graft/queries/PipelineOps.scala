@@ -262,6 +262,14 @@ object PipelineOps {
       Similarity.ivfKmeansMd5(t(s, d, "embeddings"), "vec_id", "embedding",
         anchorId = 0L, k = 10, nCells = 40, nProbe = 2)),
 
+    // PQ/ADC twin: md5-seeded per-subspace codebooks, one quantized
+    // Lloyd update, integer-quantized L2 for assignment/encode/ADC —
+    // the whole product-quantization pipeline as exact BIGINT
+    // arithmetic, fully replayed by DuckDB.
+    "embed_pq_topk_md5" -> ((s, d) =>
+      Similarity.pqTopKMd5(t(s, d, "embeddings"), "vec_id", "embedding",
+        anchorId = 0L, k = 10)),
+
     // Benchmark-contamination screen: per-doc shingle overlap against
     // the (stand-in) eval set doc_id < 10, broadcast as one vocabulary.
     "text_contamination" -> ((s, d) => {
@@ -1032,6 +1040,56 @@ object PipelineOps {
         |  JOIN vd ON vd.vec_id = a.vec_id, anch an
         |WHERE a.vec_id <> 0
         |ORDER BY cos_sim DESC, a.vec_id LIMIT 10""".stripMargin,
+
+    // PQ twin replay: every distance is the integer-quantized L2
+    // Σ floor((x−c)²·1e12 + 0.5) — argmin ties break on code id; the
+    // Lloyd mean uses the same 1e7 quantization as the IVF k-means
+    // twin; ADC scores are exact BIGINT sums.
+    "embed_pq_topk_md5" ->
+      """WITH sb AS (SELECT unnest(generate_series(0, 7)) AS sub),
+        |js AS (SELECT unnest(generate_series(1, 8)) AS j),
+        |seeds AS (
+        |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |d0 AS (
+        |  SELECT e.vec_id, sb.sub, c.cent_id,
+        |    CAST(SUM(CAST(floor((CAST(e.embedding[sb.sub*8 + js.j] AS DOUBLE) - CAST(c.cv[sb.sub*8 + js.j] AS DOUBLE))
+        |      * (CAST(e.embedding[sb.sub*8 + js.j] AS DOUBLE) - CAST(c.cv[sb.sub*8 + js.j] AS DOUBLE)) * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS d
+        |  FROM embeddings e, sb, seeds c, js
+        |  GROUP BY e.vec_id, sb.sub, c.cent_id),
+        |asg0 AS (
+        |  SELECT vec_id, sub, cent_id FROM (
+        |    SELECT vec_id, sub, cent_id,
+        |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cent_id) AS rn
+        |    FROM d0) WHERE rn = 1),
+        |means AS (
+        |  SELECT a.sub, a.cent_id, js.j,
+        |    CAST((CAST(SUM(CAST(floor(CAST(e.embedding[a.sub*8 + js.j] AS DOUBLE) * 1e7 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE)) / 1e7 AS FLOAT) AS mval
+        |  FROM asg0 a JOIN embeddings e ON e.vec_id = a.vec_id, js
+        |  GROUP BY a.sub, a.cent_id, js.j),
+        |d1 AS (
+        |  SELECT e.vec_id, mn.sub, mn.cent_id,
+        |    CAST(SUM(CAST(floor((CAST(e.embedding[mn.sub*8 + mn.j] AS DOUBLE) - CAST(mn.mval AS DOUBLE))
+        |      * (CAST(e.embedding[mn.sub*8 + mn.j] AS DOUBLE) - CAST(mn.mval AS DOUBLE)) * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS d
+        |  FROM embeddings e, means mn
+        |  GROUP BY e.vec_id, mn.sub, mn.cent_id),
+        |codes AS (
+        |  SELECT vec_id, sub, cent_id FROM (
+        |    SELECT vec_id, sub, cent_id,
+        |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cent_id) AS rn
+        |    FROM d1) WHERE rn = 1),
+        |adc AS (
+        |  SELECT mn.sub, mn.cent_id,
+        |    CAST(SUM(CAST(floor((CAST(a.embedding[mn.sub*8 + mn.j] AS DOUBLE) - CAST(mn.mval AS DOUBLE))
+        |      * (CAST(a.embedding[mn.sub*8 + mn.j] AS DOUBLE) - CAST(mn.mval AS DOUBLE)) * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS ad
+        |  FROM means mn, (SELECT embedding FROM embeddings WHERE vec_id = 0) a
+        |  GROUP BY mn.sub, mn.cent_id)
+        |SELECT c.vec_id, CAST(SUM(adc.ad) AS BIGINT) AS adc_q
+        |FROM codes c JOIN adc ON adc.sub = c.sub AND adc.cent_id = c.cent_id
+        |WHERE c.vec_id <> 0
+        |GROUP BY c.vec_id
+        |ORDER BY adc_q, c.vec_id LIMIT 10""".stripMargin,
 
     // The srp-md5 pipeline (as embed_srp_topdups_md5) down to scored
     // pairs, thresholded into edges, then recursive min-label reach —

@@ -28,9 +28,9 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented counts") {
-    assert(SparkEntry.queries.size == 155,
+    assert(SparkEntry.queries.size == 156,
       s"queries=${SparkEntry.queries.size} — update README/ContractSpec together")
-    assert(SparkEntry.oracleSql.size == 136,
+    assert(SparkEntry.oracleSql.size == 137,
       s"oracles=${SparkEntry.oracleSql.size} — update README/ContractSpec together")
   }
 }

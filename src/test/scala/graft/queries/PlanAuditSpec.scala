@@ -82,7 +82,7 @@ class PlanAuditSpec extends SparkSpec {
       "curation_keep",
       // batch kNN scores every vector against the fixed nAnchors-row
       // broadcast anchor set — the cross product IS the semantics
-      "embed_knn_batch", "embed_ivf_topk_md5", "embed_ivf_kmeans_md5",
+      "embed_knn_batch", "embed_ivf_topk_md5", "embed_ivf_kmeans_md5", "embed_pq_topk_md5",
       // grouping-sets queries carry EmptyGroupingSetsRule's guard
       // branch: a BNLJ of two SINGLE-ROW aggregates (the synthetic ()
       // row × the emptiness count) — constant-size at any corpus scale
