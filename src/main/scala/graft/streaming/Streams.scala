@@ -127,6 +127,49 @@ object Streams {
         graft.functions.NativeExprs.deflateRatio(col(textCol)).as("ratio"))
       .filter(col("ratio") >= minRatio && col("ratio") <= maxRatio)
 
+  /** Stream query vectors against a PERSISTED IVF index
+    * ([[graft.ops.Similarity.buildIvfIndex]]) — the online ANN serving
+    * face: each query's nProbe nearest cells are a pure projection
+    * over the driver-held centroid table (array literal; same
+    * cosine-then-lowest-id ordering as the batch probe), then ONE
+    * stream-static join against the index's cell assignments and a
+    * cosine threshold. Stateless append — a per-query top-k would
+    * need ranking state, so the serving shape is the thresholded
+    * candidate set (rank downstream). The final score is the same
+    * `dot / sqrt(dd·dd)` expression the batch probe emits, so
+    * candidates match [[graft.ops.Similarity.ivfTopKIndexed]] bit for
+    * bit. Emits (query_id, index_id, cos_sim). */
+  def ivfProbeStream(queries: DataFrame, indexPath: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nProbe: Int = 2, minCos: Double = 0.3): DataFrame = {
+    val spark = queries.sparkSession
+    import graft.ops.Similarity.dot
+    val cents = spark.read.parquet(s"$indexPath/centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val centLit = typedLit(cents.toSeq) // array<struct<_1: id, _2: vec>>
+    // nProbe nearest cells: array_sort on struct(-cos, cent_id) is
+    // ascending lexicographic = cosine desc, then lowest centroid id —
+    // the batch probe's exact ordering (driverCos + sortBy(-cos, id))
+    val qnorm = sqrt(dot(col("q_vec"), col("q_vec")))
+    val scoredCents = transform(centLit, c => struct(
+      (-(dot(col("q_vec"), c.getField("_2")) /
+        (qnorm * sqrt(dot(c.getField("_2"), c.getField("_2")))))).as("neg_cos"),
+      c.getField("_1").as("cid")))
+    val probed = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("cell_id", explode(transform(
+        slice(array_sort(scoredCents), 1, nProbe), s => s.getField("cid"))))
+    val cells = spark.read.parquet(s"$indexPath/cells")
+      .select(col("cell_id"), col(idCol).as("index_id"),
+        col(vecCol).as("idx_vec"))
+    probed
+      .join(cells, Seq("cell_id"))
+      .withColumn("cos_sim", dot(col("q_vec"), col("idx_vec")) /
+        sqrt(dot(col("q_vec"), col("q_vec")) * dot(col("idx_vec"), col("idx_vec"))))
+      .filter(col("cos_sim") >= minCos && col("query_id") =!= col("index_id"))
+      .select(col("query_id"), col("index_id"), col("cos_sim"))
+  }
+
   /** Score a document stream with batch-trained DSIR importance
     * weights — the train-offline / score-online split of a data-mixing
     * gate: the quantized per-bucket ratio table (`buckets` longs, from

@@ -164,6 +164,44 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming IVF probe against the persisted index equals the batch probe") {
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions.col
+    val emb = graft.engine.Tables.load(spark, dir, "embeddings")
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toFile
+    idx.deleteOnExit()
+    graft.ops.Similarity.buildIvfIndex(emb, "vec_id", "embedding",
+      idx.getAbsolutePath, nCells = 16)
+    val watched = java.nio.file.Files.createTempDirectory("graft-ivf-stream")
+    watched.toFile.deleteOnExit()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/embeddings.parquet"),
+      watched.resolve("embeddings.parquet"))
+    val q = graft.streaming.Streams.ivfProbeStream(
+        spark.readStream.schema(emb.schema).parquet(watched.toString)
+          .filter(col("vec_id") < 5),
+        idx.getAbsolutePath, nProbe = 2, minCos = 0.2)
+      .writeStream.format("memory").queryName("stream_ivf")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_ivf").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // batch expectation: same index, same probe, k wide open, same
+      // threshold; the indexed probe does not exclude the query itself
+      val batch = (0L until 5L).flatMap { qid =>
+        val vec = emb.filter(col("vec_id") === qid)
+          .select(col("embedding")).head().getSeq[Float](0)
+        graft.ops.Similarity.ivfTopKIndexed(spark, idx.getAbsolutePath,
+            "vec_id", "embedding", vec, k = 10000, nProbe = 2)
+          .filter(col("cos_sim") >= 0.2).collect()
+          .map(r => (qid, r.getLong(0), r.getDouble(1)))
+          .filter { case (a, b, _) => a != b }
+      }.toSet
+      assert(streamed.nonEmpty && streamed == batch) // exact, incl. doubles
+    } finally q.stop()
+  }
+
   test("streaming DSIR scoring with a batch-trained model equals batch bit for bit") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.engine.Tables.load(spark, dir, "documents")
