@@ -551,6 +551,86 @@ object NativeExprs {
       copy(child = newChild)
   }
 
+  /** Shared DSIR loop: lowercase, split on single spaces (empties
+    * dropped — Spark's `filter(split(lower(text), " "), _ != "")`),
+    * then for every unigram and adjacent "a b" bigram, bucket =
+    * (first two md5 bytes of the UTF-8 feature) % buckets — exactly
+    * `conv(substring(md5(f), 1, 4), 16, 10) % buckets`. Feature ORDER
+    * differs from the HOF composition (interleaved vs unigrams-then-
+    * bigrams) but the multiset is identical, and every consumer is a
+    * commutative exact reduction. */
+  private def dsirBucketsOf(s: org.apache.spark.unsafe.types.UTF8String,
+      buckets: Int): Array[Int] = {
+    val text = s.toLowerCase.toString
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(f: String): Int = {
+      val d = md.digest(f.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (((d(0) & 0xff) << 8) | (d(1) & 0xff)) % buckets
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Int](64)
+    var prev: String = null
+    var start = 0
+    var i = 0
+    val len = text.length
+    while (i <= len) {
+      if (i == len || text.charAt(i) == ' ') {
+        if (i > start) {
+          val tok = text.substring(start, i)
+          out += bucket(tok)
+          if (prev != null) out += bucket(prev + " " + tok)
+          prev = tok
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** DSIR feature buckets of one document as an int array — the
+    * training-side native kernel (explode + groupBy downstream). One
+    * string pass; replays the split/filter/transform/md5/conv HOF
+    * pipeline's multiset exactly (NativeExprsSpec pins it). */
+  case class DsirBuckets(child: Expression, buckets: Int)
+      extends UnaryExpression with CodegenFallback with DeclaredInputTypes {
+    override def declaredInputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "dsir_buckets"
+    protected override def nullSafeEval(input: Any): Any =
+      new GenericArrayData(NativeExprs.dsirBucketsOf(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], buckets)
+        .asInstanceOf[Array[Int]].map(_.asInstanceOf[Any]))
+    override protected def withNewChildInternal(newChild: Expression): DsirBuckets =
+      copy(child = newChild)
+  }
+
+  /** DSIR scoring in one pass: struct(n_features, sum_q) where sum_q
+    * is the exact long sum of the baked per-bucket quantized ratios
+    * over the document's features — the scoring-side kernel
+    * (train-offline table in the task closure, like
+    * [[BigramAvgScore]]). Commutative exact accumulation, so the
+    * value equals the HOF transform/element_at/fold composition
+    * bit for bit regardless of feature order. */
+  case class DsirSumQ(child: Expression, table: Seq[Long])
+      extends UnaryExpression with CodegenFallback with DeclaredInputTypes {
+    override def declaredInputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_features", LongType, nullable = false),
+      StructField("sum_q", LongType, nullable = false)))
+    override def prettyName: String = "dsir_sum_q"
+    @transient private lazy val tab: Array[Long] = table.toArray
+    protected override def nullSafeEval(input: Any): Any = {
+      val bs = NativeExprs.dsirBucketsOf(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], tab.length)
+      var sum = 0L
+      var i = 0
+      while (i < bs.length) { sum += tab(bs(i)); i += 1 }
+      org.apache.spark.sql.catalyst.InternalRow(bs.length.toLong, sum)
+    }
+    override protected def withNewChildInternal(newChild: Expression): DsirSumQ =
+      copy(child = newChild)
+  }
+
   /** Shared byte loop: all adjacent code-point bigrams as UTF8String
     * slices, byte offsets indexed once (no per-position re-walk). */
   private[functions] def bigramSlices(
@@ -592,6 +672,12 @@ object NativeExprs {
 
   def bigramAvgScore(text: Column, model: Map[String, Double]): Column =
     ColumnBridge.column(BigramAvgScore(ColumnBridge.expression(text), model))
+
+  def dsirBuckets(text: Column, buckets: Int): Column =
+    ColumnBridge.column(DsirBuckets(ColumnBridge.expression(text), buckets))
+
+  def dsirSumQ(text: Column, table: Seq[Long]): Column =
+    ColumnBridge.column(DsirSumQ(ColumnBridge.expression(text), table))
 
   /** PQ nearest-code per subspace: out(s) = cent_id of the argmax over
     * the sub-s codebook of `dot(v_s, c) − ‖c‖²/2` (the L2-argmin

@@ -313,18 +313,27 @@ object TextAnalysis {
     * oracle compares hash-exactly.
     *
     * Scale shape: one feature explode + ONE bucket aggregation
-    * (map-side partials collapse to ≤`buckets` rows), model broadcast
-    * back, one per-doc aggregation — two corpus-sized shuffles total,
-    * model state O(buckets). At 1e12+ per-bucket counts the long→
-    * double conversion passes 2^53: promote the four count casts to
-    * DECIMAL or move to the paper's log-domain floats (weights no
+    * (map-side partials collapse to ≤`buckets` rows, collected as the
+    * model artifact), then scoring is a shuffle-free per-row
+    * projection over the quantized table — one corpus-sized shuffle
+    * total, model state O(buckets). At 1e12+ per-bucket counts the
+    * long→double conversion passes 2^53: promote the four count casts
+    * to DECIMAL or move to the paper's log-domain floats (weights no
     * longer bit-reproducible, as in the reference implementation). */
-  /** The DSIR feature set of one document: word {1,2}-grams over
-    * filtered split tokens, as an array column (shared by the batch
-    * weigher and the streaming scorer so parity holds by
-    * construction). */
-  def dsirFeatures(text: Column): Column = {
-    val toks = filter(split(lower(text), " "), t => t =!= "")
+  /** DSIR tokenization: filtered split tokens. Callers MUST project
+    * this into its own column before calling [[dsirFeatures]] on it —
+    * inlining it would re-split the document for every bigram element
+    * (the transform lambda references the tokens array once per
+    * element; a materialized alias is computed once per row, the same
+    * CollapseProject rule [[quality]] documents — inlined, dsir_select
+    * measured 10.4 s at sf0.1 vs 2.0 s with the projection). */
+  def dsirTokens(text: Column): Column =
+    filter(split(lower(text), " "), t => t =!= "")
+
+  /** The DSIR feature set over a MATERIALIZED tokens column: word
+    * {1,2}-grams as one array (shared by the batch weigher and the
+    * streaming scorer so parity holds by construction). */
+  def dsirFeatures(toks: Column): Column = {
     // unigrams ++ bigrams; guarded sequence (Spark's sequence(1, 0)
     // counts DOWN, so the < 2-token case must short-circuit)
     val bi = when(size(toks) >= 2,
@@ -340,37 +349,45 @@ object TextAnalysis {
 
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
       targetPred: Column, buckets: Int = 1024): DataFrame = {
-    val fb = docs
-      .select(col(idCol), targetPred.as("graft_tgt"),
-        explode(dsirFeatures(col(textCol))).as("graft_f"))
-      .select(col(idCol), col("graft_tgt"),
-        dsirBucket(col("graft_f"), buckets).as("graft_b"))
-    val model = fb.groupBy(col("graft_b")).agg(
-      count(lit(1)).as("graft_cr"),
-      sum(when(col("graft_tgt"), 1L).otherwise(0L)).as("graft_ct"))
-    val totals = model.agg(
-      sum(col("graft_cr")).as("graft_nr"),
-      sum(col("graft_ct")).as("graft_nt"))
-    val rho =
-      ((col("graft_ct") + 1).cast("double") /
-        (col("graft_nt") + buckets).cast("double")) /
-      ((col("graft_cr") + 1).cast("double") /
-        (col("graft_nr") + buckets).cast("double"))
-    val perDoc = fb
-      .join(broadcast(model), "graft_b")
-      .crossJoin(broadcast(totals))
+    // Train-then-score, the charlm split: ONE corpus pass aggregates
+    // the ≤`buckets`-row model (collected — model-sized, like the BPE
+    // merge table and k-means centroids), then scoring is a pure
+    // per-row projection over the quantized table: O(1) array lookup
+    // per feature, exact long fold. One corpus shuffle total, no
+    // model join. (The previous shape — model + totals broadcast
+    // back into a per-feature join + per-doc re-aggregation —
+    // evaluated the feature pipeline three times and re-shuffled the
+    // corpus; 12 s cold / 3.5 s warm vs 5.5 s / 1.3 s at sf0.1.)
+    // The JVM-side table arithmetic replays the same IEEE sequence as
+    // the expression form, so results are bit-identical (pinned by
+    // the streaming-parity spec, which scores with this same table).
+    val modelQ = dsirModelQ(docs, textCol, targetPred, buckets)
+    docs
       .select(col(idCol),
-        floor(rho * lit(1e12) + lit(0.5)).as("graft_q"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_features"), sum(col("graft_q")).as("sum_q"))
-    // LEFT JOIN back so zero-token documents keep a row (NULL weight)
-    docs.select(col(idCol))
-      .join(perDoc, Seq(idCol), "left")
+        graft.functions.NativeExprs.dsirSumQ(col(textCol), modelQ.toSeq)
+          .as("graft_s"))
       .select(col(idCol),
-        coalesce(col("n_features"), lit(0L)).as("n_features"),
-        col("sum_q"),
-        (col("sum_q").cast("double") / col("n_features").cast("double") /
-          lit(1e12)).as("weight"))
+        col("graft_s.n_features").as("n_features"),
+        // zero-token documents keep a row with NULL sum/weight (the
+        // empty fold is 0, but "no evidence" must read as NULL)
+        when(col("graft_s.n_features") > 0, col("graft_s.sum_q")).as("sum_q"),
+        when(col("graft_s.n_features") > 0,
+          col("graft_s.sum_q").cast("double") /
+            col("graft_s.n_features").cast("double") / lit(1e12)).as("weight"))
+  }
+
+  /** The HOF composition [[graft.functions.NativeExprs.DsirSumQ]]
+    * replicates — kept as the executable specification the
+    * NativeExprsSpec equality test runs both forms against. */
+  private[graft] def dsirSumQHof(text: Column, table: Seq[Long]): Column = {
+    val buckets = table.length
+    val feats = dsirFeatures(dsirTokens(text))
+    struct(
+      size(feats).cast("long").as("n_features"),
+      aggregate(
+        transform(feats,
+          f => element_at(typedLit(table), dsirBucket(f, buckets).cast("int") + 1)),
+        lit(0L), (acc, x) => acc + x).as("sum_q"))
   }
 
   /** Train-offline artifact for the streaming scorer: the quantized
@@ -386,8 +403,8 @@ object TextAnalysis {
       buckets: Int = 1024): Array[Long] = {
     val rows = docs
       .select(targetPred.as("graft_tgt"),
-        explode(dsirFeatures(col(textCol))).as("graft_f"))
-      .select(col("graft_tgt"), dsirBucket(col("graft_f"), buckets).as("graft_b"))
+        explode(graft.functions.NativeExprs.dsirBuckets(col(textCol), buckets))
+          .as("graft_b"))
       .groupBy(col("graft_b")).agg(
         count(lit(1)).as("cr"),
         sum(when(col("graft_tgt"), 1L).otherwise(0L)).as("ct"))
@@ -400,7 +417,7 @@ object TextAnalysis {
       math.floor(rho * 1e12 + 0.5).toLong
     }
     val out = Array.fill(buckets)(q(0L, 0L))
-    rows.foreach(r => out(r.getLong(0).toInt) = q(r.getLong(1), r.getLong(2)))
+    rows.foreach(r => out(r.getInt(0)) = q(r.getLong(1), r.getLong(2)))
     out
   }
 }

@@ -181,22 +181,17 @@ object Streams {
     * bit-identically to the batch `dsirWeights`; novel buckets take
     * the smoothing-only default the table carries. */
   def dsirScoreStream(docs: DataFrame, modelQ: Array[Long],
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    import graft.ops.TextAnalysis.{dsirBucket, dsirFeatures}
-    val buckets = modelQ.length
-    val table = typedLit(modelQ.toSeq)
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs
-      .select(col(idCol), dsirFeatures(col(textCol)).as("graft_feats"))
-      .filter(size(col("graft_feats")) > 0)
-      .select(col(idCol), size(col("graft_feats")).cast("long").as("n_features"),
-        aggregate(
-          transform(col("graft_feats"),
-            f => element_at(table, dsirBucket(f, buckets).cast("int") + 1)),
-          lit(0L), (acc, x) => acc + x).as("sum_q"))
-      .select(col(idCol), col("n_features"), col("sum_q"),
-        (col("sum_q").cast("double") / col("n_features").cast("double") /
-          lit(1e12)).as("weight"))
-  }
+      .select(col(idCol),
+        graft.functions.NativeExprs.dsirSumQ(col(textCol), modelQ.toSeq)
+          .as("graft_s"))
+      .filter(col("graft_s.n_features") > 0)
+      .select(col(idCol),
+        col("graft_s.n_features").as("n_features"),
+        col("graft_s.sum_q").as("sum_q"),
+        (col("graft_s.sum_q").cast("double") /
+          col("graft_s.n_features").cast("double") / lit(1e12)).as("weight"))
 
   /** Tokenize a document stream with a batch-trained BPE merge table —
     * the train-offline / encode-online split of a production tokenizer

@@ -128,6 +128,26 @@ class CurationPipelineSpec extends SparkSpec {
     assert(skip == Seq("<o><k>"), skip)
   }
 
+  test("native DsirSumQ equals the higher-order-function composition") {
+    // the native kernel must be BIT-identical to the Catalyst
+    // split/filter/transform/md5/conv fold it replaces (which the
+    // DuckDB oracle replays): same feature multiset, same buckets,
+    // same exact long sum — on the corpus AND the edge shapes
+    val dir = "/root/testdata/sf0.01"
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .unionAll(Seq((100001L, ""), (100002L, "   "), (100003L, "one"),
+        (100004L, "a  b"), (100005L, "Mixed CASE tokens"))
+        .toDF("doc_id", "text"))
+    val table = (0 until 1024).map(b => (b * 2654435761L) % 1000003L)
+    val diverged = docs.select(
+        graft.functions.NativeExprs.dsirSumQ(col("text"), table).as("native"),
+        TextAnalysis.dsirSumQHof(col("text"), table).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diverged.count() == 0, "native and HOF DSIR scores diverge")
+  }
+
   test("dsirWeights upweights target-like documents and stays deterministic") {
     val dir = "/root/testdata/sf0.01"
     val docs = Tables.load(spark, dir, "documents")

@@ -86,10 +86,7 @@ class PlanAuditSpec extends SparkSpec {
       // grouping-sets queries carry EmptyGroupingSetsRule's guard
       // branch: a BNLJ of two SINGLE-ROW aggregates (the synthetic ()
       // row × the emptiness count) — constant-size at any corpus scale
-      "agg_rollup", "agg_cube", "agg_grouping_sets",
-      // DSIR attaches the 1-row (nr, nt) corpus totals by broadcast —
-      // the same scalar-attach shape as the knn anchor join
-      "dsir_weights", "dsir_select")
+      "agg_rollup", "agg_cube", "agg_grouping_sets")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p =
         try plan(name)
@@ -154,11 +151,14 @@ class PlanAuditSpec extends SparkSpec {
       "the bigram model must broadcast — a sort-merge join shuffles the whole pair stream")
   }
 
-  test("dsir_weights: bucket model broadcasts back, top-k select avoids global sort") {
+  test("dsir_weights: scoring is a shuffle-free projection over the collected model") {
+    // train-then-score: the model is collected at build time, so the
+    // scoring plan has NO join operators at all and the only exchange
+    // is the output ORDER BY's range partitioning
     val p = plan("dsir_weights")
-    assert(p.contains("BroadcastHashJoin"), p.take(600))
-    assert(!p.contains("SortMergeJoin"),
-      "the <=1024-row bucket model must broadcast — an SMJ shuffles the whole feature stream")
+    assert(!p.contains("Join"), s"dsir scoring must be join-free:\n${p.take(600)}")
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 1, s"unexpected shuffles:\n$p")
     val sel = plan("dsir_select")
     assert(sel.contains("TakeOrderedAndProject"), sel.take(400))
   }
