@@ -17,6 +17,38 @@ import graft.ops.{Dedup, Layout, Multimodal, Sampling, Similarity, TextAnalysis,
   */
 object PipelineOps {
 
+  /** The composed dedup ∧ decontamination ∧ repetition keep-set
+    * (curation_keep; curation_mix builds on it). Shingle HASHES stand
+    * in for the strings on the Spark side (the native expression is
+    * the fast path; a ratio-changing collision needs two distinct
+    * shingles colliding in 64 bits, ~1e-15 — same argument dedup_ngram
+    * documents). The oracle computes the same ratios from the strings;
+    * the kept set is identical. */
+  private def curationKept(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val docs = t(s, d, "documents")
+    val canon = Dedup.exact(docs).select(col("doc_id"))
+    val eval = docs.filter(col("doc_id") < 10)
+      .select(explode(TextAnalysis.shingleHashes(col("text"), 3)).as("h"))
+      .agg(sort_array(collect_set(col("h"))).as("ev"))
+    val sh = array_sort(TextAnalysis.shingleHashes(col("text"), 3))
+    val total =
+      greatest(size(TextAnalysis.tokens(lower(trim(col("text"))))) - 2, lit(1))
+    val contamOk =
+      graft.functions.NativeExprs.sortedIntersectCount(col("sh"), col("ev"))
+        .cast("double") / size(col("sh")).cast("double") < 0.08
+    val repOk =
+      lit(1.0) - size(col("sh")).cast("double") / col("total").cast("double") < 0.05
+    docs.filter(col("doc_id") >= 10)
+      .join(canon, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("source"),
+        sh.as("sh"), total.as("total"))
+      .join(broadcast(eval))
+      .filter(contamOk && repOk)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, Q] = Map(
     // 56. exact dedup: keep min doc_id per normalized text. One
     // hash-shuffle on the key; no driver materialization.
@@ -666,33 +698,29 @@ object PipelineOps {
     // this query proves they COMPOSE (Catalyst fuses the semi/anti joins
     // and projections into one pipeline — no materialization between
     // stages, which is the point at 100 TB).
-    "curation_keep" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val canon = Dedup.exact(docs).select(col("doc_id"))
-      // Shingle HASHES stand in for the strings on the Spark side (the
-      // native expression is the fast path; a ratio-changing collision
-      // needs two distinct shingles colliding in 64 bits, ~1e-15 — same
-      // argument dedup_ngram documents). The oracle computes the same
-      // ratios from the strings; the kept set is identical.
-      val eval = docs.filter(col("doc_id") < 10)
-        .select(explode(TextAnalysis.shingleHashes(col("text"), 3)).as("h"))
-        .agg(sort_array(collect_set(col("h"))).as("ev"))
-      val sh = array_sort(TextAnalysis.shingleHashes(col("text"), 3))
-      val total =
-        greatest(size(TextAnalysis.tokens(lower(trim(col("text"))))) - 2, lit(1))
-      val contamOk =
-        graft.functions.NativeExprs.sortedIntersectCount(col("sh"), col("ev"))
-          .cast("double") / size(col("sh")).cast("double") < 0.08
-      val repOk =
-        lit(1.0) - size(col("sh")).cast("double") / col("total").cast("double") < 0.05
-      docs.filter(col("doc_id") >= 10)
-        .join(canon, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), col("lang"), col("source"),
-          sh.as("sh"), total.as("total"))
-        .join(broadcast(eval))
-        .filter(contamOk && repOk)
-        .select(col("doc_id"), col("lang"), col("source"))
-        .orderBy(col("doc_id"))
+    "curation_keep" -> ((s, d) => curationKept(s, d)),
+
+    // The COMPOSED pipeline a pretraining run actually executes, as
+    // one declarative chain: survivors of dedup ∧ decontamination ∧
+    // repetition (curation_keep) → DSIR importance top-200 (the
+    // data-mixing step) → deterministic epoch ordering (per-source
+    // hash rank + source-interleaved output). Fully oracle-checked by
+    // chaining the three replay fragments.
+    "curation_mix" -> ((s, d) => {
+      val w = TextAnalysis.dsirWeights(t(s, d, "documents"),
+          "doc_id", "text", col("lang") === "en")
+        .select(col("doc_id"), col("weight"))
+      val sel = curationKept(s, d)
+        .join(w, "doc_id")
+        .orderBy(col("weight").desc, col("doc_id"))
+        .limit(200)
+        .select(col("doc_id"), col("source"), col("weight"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(Sampling.hashHex(col("doc_id"), "epoch1").asc, col("doc_id").asc)
+      sel.withColumn("rank_in_source", row_number().over(win))
+        .orderBy(col("rank_in_source"),
+          md5(concat_ws(":", lit("src"), col("source"))), col("doc_id"))
     }),
 
     // Multimodal: each document rendered into a REAL blob (PNG for
@@ -891,6 +919,42 @@ object PipelineOps {
       |  CAST(a.sum_q AS DOUBLE) / CAST(a.n_features AS DOUBLE) / 1e12 AS weight
       |FROM documents d LEFT JOIN agg a USING (doc_id)
       |ORDER BY doc_id""".stripMargin
+
+  /** curation_keep's DuckDB replay (also chained inside the
+    * curation_mix oracle). */
+  private val curationKeepSql: String =
+    """WITH canon AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      row_number() OVER (PARTITION BY lower(trim(text)) ORDER BY doc_id) AS rn
+        |    FROM documents) WHERE rn = 1),
+        |lst AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(l[i:i+2], ' ')
+        |                   for i in range(1, greatest(len(l)-2, 1)+1)]) AS sh,
+        |    greatest(len(l)-2, 1) AS total
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS l
+        |        FROM documents)),
+        |ev AS (
+        |  SELECT list_distinct(flatten(list(sh))) AS evs FROM lst WHERE doc_id < 10),
+        |contaminated AS (
+        |  SELECT l.doc_id
+        |  FROM lst l, ev
+        |  WHERE l.doc_id >= 10
+        |    AND CAST(len(list_intersect(l.sh, ev.evs)) AS DOUBLE)
+        |        / CAST(len(l.sh) AS DOUBLE) >= 0.08),
+        |rep AS (
+        |  SELECT doc_id,
+        |    1.0 - CAST(len(sh) AS DOUBLE) / CAST(total AS DOUBLE) AS r
+        |  FROM lst)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d
+        |JOIN canon ON d.doc_id = canon.doc_id
+        |LEFT JOIN contaminated ON d.doc_id = contaminated.doc_id
+        |JOIN rep ON d.doc_id = rep.doc_id
+        |WHERE contaminated.doc_id IS NULL AND d.doc_id >= 10 AND rep.r < 0.05
+        |ORDER BY d.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // Same synthesis, same three regexes (Java regex and RE2 agree on
@@ -1697,41 +1761,26 @@ object PipelineOps {
          |FROM documents
          |ORDER BY z, doc_id""".stripMargin,
 
-    "curation_keep" ->
-      """WITH canon AS (
-        |  SELECT doc_id FROM (
-        |    SELECT doc_id,
-        |      row_number() OVER (PARTITION BY lower(trim(text)) ORDER BY doc_id) AS rn
-        |    FROM documents) WHERE rn = 1),
-        |lst AS (
-        |  SELECT doc_id,
-        |    list_distinct([array_to_string(l[i:i+2], ' ')
-        |                   for i in range(1, greatest(len(l)-2, 1)+1)]) AS sh,
-        |    greatest(len(l)-2, 1) AS total
-        |  FROM (SELECT doc_id,
-        |          list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS l
-        |        FROM documents)),
-        |ev AS (
-        |  SELECT list_distinct(flatten(list(sh))) AS evs FROM lst WHERE doc_id < 10),
-        |contaminated AS (
-        |  SELECT l.doc_id
-        |  FROM lst l, ev
-        |  WHERE l.doc_id >= 10
-        |    AND CAST(len(list_intersect(l.sh, ev.evs)) AS DOUBLE)
-        |        / CAST(len(l.sh) AS DOUBLE) >= 0.08),
-        |rep AS (
-        |  SELECT doc_id,
-        |    1.0 - CAST(len(sh) AS DOUBLE) / CAST(total AS DOUBLE) AS r
-        |  FROM lst)
-        |SELECT d.doc_id, d.lang, d.source
-        |FROM documents d
-        |JOIN canon ON d.doc_id = canon.doc_id
-        |LEFT JOIN contaminated ON d.doc_id = contaminated.doc_id
-        |JOIN rep ON d.doc_id = rep.doc_id
-        |WHERE contaminated.doc_id IS NULL AND d.doc_id >= 10 AND rep.r < 0.05
-        |ORDER BY d.doc_id""".stripMargin,
+    "curation_keep" -> curationKeepSql,
 
-    "mm_blob_meta" ->
+    // The full pipeline chained from the three replay fragments:
+    // kept set -> DSIR weights join + top-200 -> epoch ordering.
+    "curation_mix" ->
+      s"""WITH w AS ($dsirOracleSql),
+         |kept AS ($curationKeepSql),
+         |sel AS (
+         |  SELECT k.doc_id, k.source, w.weight
+         |  FROM kept k JOIN w ON w.doc_id = k.doc_id
+         |  ORDER BY w.weight DESC, k.doc_id LIMIT 200)
+         |SELECT doc_id, source, weight, CAST(rk AS INT) AS rank_in_source FROM (
+         |  SELECT doc_id, source, weight,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY substr(md5('epoch1:' || CAST(doc_id AS VARCHAR)), 1, 13) ASC,
+         |               doc_id ASC) AS rk
+         |  FROM sel)
+         |ORDER BY rank_in_source, md5('src:' || source), doc_id""".stripMargin,
+
+        "mm_blob_meta" ->
       """SELECT doc_id,
         |  CASE WHEN length(coalesce(text, '')) % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
         |  CASE WHEN length(coalesce(text, '')) % 2 = 0

@@ -79,7 +79,7 @@ class PlanAuditSpec extends SparkSpec {
       "embed_ivf_kmeans", "text_contamination",
       // curation_keep embeds the contamination stage: same 1-row
       // aggregated-vocabulary broadcast
-      "curation_keep",
+      "curation_keep", "curation_mix",
       // batch kNN scores every vector against the fixed nAnchors-row
       // broadcast anchor set — the cross product IS the semantics
       "embed_knn_batch", "embed_ivf_topk_md5", "embed_ivf_kmeans_md5", "embed_pq_topk_md5",
