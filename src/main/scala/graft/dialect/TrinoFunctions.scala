@@ -1178,7 +1178,9 @@ object TrinoFunctions {
     // split_part(s, delim, index): Trino returns NULL when index is
     // past the last field, where Spark's builtin returns '' — wrap the
     // builtin in an index-bounds gate over the same literal-delimiter
-    // split. index <= 0 raises in both engines (Spark's builtin).
+    // split. index <= 0 raises INVALID_FUNCTION_ARGUMENT in Trino;
+    // Spark's builtin raises only for 0 and counts NEGATIVE indexes
+    // backward from the end, so the gate raises for idx <= 0 itself.
     // Divergence kept: Trino splits into single characters on an empty
     // delimiter; this (like Spark) treats the whole string as one field.
     "split_part" -> {
@@ -1186,9 +1188,12 @@ object TrinoFunctions {
         val str = Cast(s, StringType)
         val delim = Cast(d, StringType)
         val idx = Cast(i, IntegerType)
-        If(GreaterThan(idx, Size(StringSplitSQL(str, delim))),
-          Literal(null, StringType),
-          SplitPart(str, delim, idx))
+        If(LessThanOrEqual(idx, Literal(0)),
+          Cast(RaiseError(Literal(
+            "split_part: Index must be greater than zero")), StringType),
+          If(GreaterThan(idx, Size(StringSplitSQL(str, delim))),
+            Literal(null, StringType),
+            SplitPart(str, delim, idx)))
       case args => throw new IllegalArgumentException(
         s"split_part expects 3 args, got ${args.length}")
     },

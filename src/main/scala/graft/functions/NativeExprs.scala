@@ -253,7 +253,7 @@ object NativeExprs {
     * diverged by 1e-14). In a cosine ratio the 1e12 scales cancel:
     * cos = qdab / sqrt(qdaa · qdbb) after double upcast. */
   case class DotQuantD(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback with DeclaredInputTypes {
+      extends BinaryExpression with DeclaredInputTypes {
     override def dataType: DataType = LongType
     override def declaredInputTypes: Seq[DataType] =
       Seq(ArrayType(FloatType), ArrayType(FloatType))
@@ -273,8 +273,81 @@ object NativeExprs {
       acc
     }
 
+    // Same IEEE sequence as nullSafeEval (double multiply, scale, +0.5,
+    // Math.floor, long cast) — fuses into whole-stage codegen.
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |long $acc = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double p = (double) $a.getFloat($i) * (double) $b.getFloat($i);
+           |  $acc += (long) java.lang.Math.floor(p * 1e12 + 0.5);
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): DotQuantD =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Integer-quantized squared-L2 distance, the native form of the PQ
+    * twin's zip_with/aggregate fold: per element d = x−c (double), the
+    * quantized term floor(d·d·1e12 + 0.5) sums exactly as BIGINT.
+    * Same three-IEEE-op-per-element contract as [[DotQuantD]], so the
+    * DuckDB oracle replays it bit-identically; the native loop + codegen
+    * replace an interpreted HOF that dominated the twin's runtime
+    * (two 0.6 s assignment jobs at sf0.1 were ~90% lambda dispatch). */
+  case class L2QuantD(left: Expression, right: Expression)
+      extends BinaryExpression with DeclaredInputTypes {
+    override def dataType: DataType = LongType
+    override def declaredInputTypes: Seq[DataType] =
+      Seq(ArrayType(FloatType), ArrayType(FloatType))
+    override def prettyName: String = "l2_quant_d"
+
+    protected override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+        acc += math.floor(d * d * 1e12 + 0.5).toLong
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |long $acc = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+           |  $acc += (long) java.lang.Math.floor(d * d * 1e12 + 0.5);
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): L2QuantD =
       copy(left = newLeft, right = newRight)
   }
 
@@ -699,8 +772,23 @@ object NativeExprs {
 
     @transient private lazy val ids: Array[Array[Long]] =
       books.map(_.map(_._1).toArray).toArray
-    @transient private lazy val cents: Array[Array[Array[Float]]] =
-      books.map(_.map(_._2.toArray).toArray).toArray
+    // per subspace, all centroids FLAT in one contiguous float[] —
+    // the argmin loop walks it linearly (no per-centroid array deref)
+    @transient private lazy val flatCents: Array[Array[Float]] =
+      books.map { b =>
+        val dsub = b.head._2.length
+        val out = new Array[Float](b.length * dsub)
+        var c = 0
+        while (c < b.length) {
+          var i = 0
+          val v = b(c)._2
+          while (i < dsub) { out(c * dsub + i) = v(i); i += 1 }
+          c += 1
+        }
+        out
+      }.toArray
+    @transient private lazy val nCents: Array[Int] =
+      books.map(_.length).toArray
     // -(l2(c))²/2, sqrt-then-square exactly like the Cent tuple's norm
     // field so scores stay bit-identical to the HOF path
     @transient private lazy val negHalfN2: Array[Array[Double]] =
@@ -713,28 +801,32 @@ object NativeExprs {
 
     protected override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
-      val m = cents.length
-      val dsub = cents(0)(0).length
+      val m = flatCents.length
+      val dsub = flatCents(0).length / nCents(0)
+      // one bulk copy instead of m·ksub·dsub ArrayData.getFloat calls
+      val vec = arr.toFloatArray()
       val out = new Array[Long](m)
       var s = 0
       while (s < m) {
-        val bs = cents(s)
+        val fc = flatCents(s)
+        val hn = negHalfN2(s)
         val off = s * dsub
         var best = Double.NegativeInfinity
         var bestId = 0L
         var c = 0
-        while (c < bs.length) {
-          val cv = bs(c)
+        var base = 0
+        while (c < nCents(s)) {
           var acc = 0.0
           var i = 0
           while (i < dsub) {
-            acc += arr.getFloat(off + i).toDouble * cv(i).toDouble
+            acc += vec(off + i).toDouble * fc(base + i).toDouble
             i += 1
           }
-          val score = acc + negHalfN2(s)(c)
+          val score = acc + hn(c)
           // strict > keeps the FIRST (smallest cent_id: books sorted)
           if (score > best) { best = score; bestId = ids(s)(c) }
           c += 1
+          base += dsub
         }
         out(s) = bestId
         s += 1
@@ -766,6 +858,10 @@ object NativeExprs {
 
   def dotQuantD(a: Column, b: Column): Column =
     ColumnBridge.column(DotQuantD(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def l2QuantD(a: Column, b: Column): Column =
+    ColumnBridge.column(L2QuantD(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def chunkSplit(sig: Column, bands: Int, chunkBits: Int): Column =

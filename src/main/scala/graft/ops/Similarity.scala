@@ -545,6 +545,12 @@ object Similarity {
         s => s.getField("m")).as("cent_v"))
       .select(col("cell_id").as("cent_id"), col("cent_v"),
         dotQuant(col("cent_v"), col("cent_v")).cast("double").as("cent_dd"))
+      // model-sized (≤ nCells rows): materialize once so the Lloyd
+      // sub-DAG (seed sort + assignment + mean update) doesn't re-run
+      // for every downstream branch that broadcasts the centroids —
+      // the DataFrame analog of the production path's driver-collected
+      // centroid table.
+      .localCheckpoint(true)
     probeTopKMd5(vecs, cents1, idCol, anchorId, k, nProbe)
   }
 
@@ -562,13 +568,11 @@ object Similarity {
       anchorId: Long, k: Int, m: Int = 8, ksub: Int = 16,
       dims: Int = 64): DataFrame = {
     val dsub = dims / m
+    // Native quantized-L2 kernel (NativeExprsSpec pins it term-for-term
+    // against this exact zip_with/aggregate fold): same per-element IEEE
+    // sequence, codegen'd loop instead of interpreted lambda dispatch.
     def qdist(a: Column, b: Column): Column =
-      aggregate(
-        zip_with(a, b, (x, c) =>
-          floor((x.cast("double") - c.cast("double")) *
-            (x.cast("double") - c.cast("double")) * lit(1e12) + lit(0.5))
-            .cast("long")),
-        lit(0L), (acc, v) => acc + v)
+      graft.functions.NativeExprs.l2QuantD(a, b)
     def subSlices(df: DataFrame, vec: String, out: String): DataFrame =
       df.select(col("*"), explode(sequence(lit(0), lit(m - 1))).as("graft_sub"))
         .withColumn(out, slice(col(vec), col("graft_sub") * dsub + 1, lit(dsub)))
@@ -671,8 +675,19 @@ object Similarity {
     val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val dsub = dim / m
-    val seedVecs = embeddings
+    // The training relation is a bounded SAMPLE at real scale (the PQ
+    // contract: train on a sample, encode the corpus) — so materialize
+    // it once, spread across all cores, and let every Lloyd iteration
+    // re-scan the materialized copy instead of the source files. The
+    // driver's test parquet is a single row group, so without the
+    // repartition every training pass ran single-threaded; sums are
+    // order-independent decimal adds and seed order is by hash VALUE,
+    // so the partitioning cannot change any result bit.
+    val train = embeddings
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint(true)
+    val seedVecs = train
       .orderBy(xxhash64(col("id")), col("id"))
       .limit(ksub).collect().map(_.getSeq[Float](1))
     var books: Array[Array[Cent]] = Array.tabulate(m) { s =>
@@ -688,23 +703,31 @@ object Similarity {
       // Replaces a transform-over-centroid-literal HOF argmax that at
       // ksub=256 cost 2048 interpreted closures per row.
       val codesExpr = graft.functions.NativeExprs.pqCodes(
-        col(vecCol), booksArg(books))
-      val updated = embeddings
+        col("v"), booksArg(books))
+      // ONE aggregation to (sub, cell, pos, mv) — m·ksub·dsub rows,
+      // model-sized — collected flat; the driver assembles the per-cell
+      // mean VECTORS (same pos-ascending order the previous
+      // array_sort(collect_list(struct(pos, mv))) stage produced, so
+      // the books are bit-identical). Assembling on the driver drops a
+      // whole shuffle stage per Lloyd iteration: the second groupBy
+      // bought nothing but wire format.
+      val updated = train
         .select(codesExpr.as("codes"),
           posexplode(array((0 until m).map(s =>
-            slice(col(vecCol), s * dsub + 1, dsub)): _*)))
+            slice(col("v"), s * dsub + 1, dsub)): _*)))
         .select(col("pos").as("sub"),
           element_at(col("codes"), col("pos") + 1).as("cell"),
           posexplode(col("col")))
         .groupBy(col("sub"), col("cell"), col("pos"))
         .agg((sum(col("col").cast(org.apache.spark.sql.types.DecimalType(28, 14)))
           .cast("double") / count(lit(1)).cast("double")).cast("float").as("mv"))
-        .groupBy(col("sub"), col("cell"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
-          t => t.getField("mv")).as("cv"))
         .collect()
       books = updated.groupBy(_.getInt(0)).toArray.sortBy(_._1).map(_._2
-        .map(r => { val v = r.getSeq[Float](2); (r.getLong(1), v, l2(v)) })
+        .groupBy(_.getLong(1)).toArray
+        .map { case (cell, rows) =>
+          val v = rows.sortBy(_.getInt(2)).map(_.getFloat(3)).toSeq
+          (cell, v, l2(v))
+        }
         .sortBy(_._1))
     }
     booksToDf(embeddings, books).select(col("sub"), col("cent_id"), col("cent_vec"))
@@ -790,12 +813,17 @@ object Similarity {
   def buildPqIndex(embeddings: DataFrame, idCol: String, vecCol: String,
       path: String, m: Int = 8, ksub: Int = 256, iters: Int = 2): DataFrame = {
     val booksDf = pqTrainCodebooks(embeddings, idCol, vecCol, m, ksub, iters)
-    booksDf.write.mode("overwrite").parquet(s"$path/codebooks")
+    // model artifact (m·ksub rows): one file, not default-parallelism
+    // shards of a driver-local Seq
+    booksDf.coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
     val spark = embeddings.sparkSession
-    val persisted = spark.read.parquet(s"$path/codebooks")
-    pqEncode(embeddings, persisted, idCol, vecCol)
+    // Encode with the SAME in-memory books: parquet stores float32
+    // exactly, so the read-back codebooks are bit-identical to what was
+    // written — re-reading them here only added a job and a collect
+    // (the probe-equals-inline pin in SimilaritySpec covers this).
+    pqEncode(embeddings, booksDf, idCol, vecCol)
       .write.mode("overwrite").parquet(s"$path/codes")
-    persisted
+    spark.read.parquet(s"$path/codebooks")
   }
 
   /** Probe a persisted PQ index: codebooks load to the driver

@@ -367,7 +367,11 @@ object TextAnalysis {
         graft.functions.NativeExprs.dsirSumQ(col(textCol), modelQ.toSeq)
           .as("graft_s"))
       .select(col(idCol),
-        col("graft_s.n_features").as("n_features"),
+        // NULL text makes the whole struct NULL (DsirSumQ is null-safe);
+        // a featureless document reads n_features = 0 either way, the
+        // same shape the oracle's COALESCE(n_features, 0) produces
+        // (r10 ADVICE: latent hash mismatch on NULL-text corpora)
+        coalesce(col("graft_s.n_features"), lit(0L)).as("n_features"),
         // zero-token documents keep a row with NULL sum/weight (the
         // empty fold is 0, but "no evidence" must read as NULL)
         when(col("graft_s.n_features") > 0, col("graft_s.sum_q")).as("sum_q"),

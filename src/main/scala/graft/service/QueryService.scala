@@ -147,10 +147,19 @@ class QueryService(engine: Engine) {
     // different columns, so intercept and serve from the allowlist-
     // filtered metadata surface (same listings as the MCP tools).
     ShowMeta.matchCatalogs(stripped).foreach { like =>
-      return collectBounded(ShowMeta.catalogs(engine, like))
+      val df =
+        try ShowMeta.catalogs(engine, like)
+        catch { case e: Throwable => return Left(s"query execution failed: ${clip(e)}") }
+      return collectBounded(df)
     }
+    // same try/catch-to-Left as the sibling routes: SHOW SCHEMAS FROM
+    // nonexistent_catalog must surface the consistent error string, not
+    // an AnalysisException out of execute() (r10 ADVICE)
     ShowMeta.matchSchemas(stripped).foreach { case (c, like) =>
-      return collectBounded(ShowMeta.schemas(engine, c, like))
+      val df =
+        try ShowMeta.schemas(engine, c, like)
+        catch { case e: Throwable => return Left(s"query execution failed: ${clip(e)}") }
+      return collectBounded(df)
     }
     ShowMeta.matchTables(stripped).foreach { case (q, like) =>
       val df =

@@ -758,6 +758,12 @@ class TrinoFunctionsSpec extends SparkSpec {
     // in-range empty fields are real fields, not NULL
     assert(one("SELECT split_part('a--c', '-', 2)") == "")
     assert(one("SELECT split_part(NULL, '-', 1)") == null)
+    // index <= 0 raises like Trino's INVALID_FUNCTION_ARGUMENT (Spark's
+    // builtin would COUNT BACKWARD for negatives — r10 ADVICE)
+    Seq(0, -1, -3).foreach { i =>
+      val e = intercept[Throwable](one(s"SELECT split_part('a-b-c', '-', $i)"))
+      assert(e.getMessage.contains("greater than zero"), s"idx=$i: $e")
+    }
   }
 
   test("json_size and is_json_scalar") {

@@ -180,4 +180,27 @@ class CurationPipelineSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(first == again)
   }
+
+  test("dsirWeights on NULL/empty text matches the oracle's LEFT-JOIN shape") {
+    // r10 ADVICE: the DuckDB oracle emits n_features = 0 (COALESCE) for
+    // featureless docs; the Spark side must do the same for a NULL text
+    // column, not propagate the null struct.
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox", "en"),
+      (2L, null.asInstanceOf[String], "en"),
+      (3L, "", "de"),
+      (4L, "   ", "de")).toDF("doc_id", "text", "lang")
+    val w = TextAnalysis.dsirWeights(docs, "doc_id", "text",
+        col("lang") === "en")
+      .orderBy("doc_id").collect()
+    assert(w.length == 4)
+    val byId = w.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getLong(1) > 0)
+    Seq(2L, 3L, 4L).foreach { id =>
+      val r = byId(id)
+      assert(r.getLong(1) == 0L, s"doc $id: n_features ${r.getLong(1)}")
+      assert(r.isNullAt(2) && r.isNullAt(3), s"doc $id: sum/weight not NULL")
+    }
+  }
 }

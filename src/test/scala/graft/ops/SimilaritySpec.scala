@@ -193,6 +193,27 @@ class SimilaritySpec extends SparkSpec {
     assert(diverged.count() == 0, "native and HOF quantized dots diverge")
   }
 
+  test("native L2QuantD equals the zip_with/aggregate fold it replaced") {
+    // the exact HOF the PQ twin used before the native kernel
+    def qdistHof(a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      aggregate(
+        zip_with(a, b, (x, c) =>
+          floor((x.cast("double") - c.cast("double")) *
+            (x.cast("double") - c.cast("double")) * lit(1e12) + lit(0.5))
+            .cast("long")),
+        lit(0L), (acc, v) => acc + v)
+    val a = emb.select(col("vec_id"), col("embedding"))
+    val b = emb.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    val diverged = a.join(b, col("vec_id") % 37 === col("vb") % 37)
+      .select(
+        graft.functions.NativeExprs.l2QuantD(col("embedding"), col("eb"))
+          .as("native"),
+        qdistHof(col("embedding"), col("eb")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diverged.count() == 0, "native and HOF quantized L2 diverge")
+  }
+
   test("batch kNN equals the single-anchor path for every anchor") {
     val batch = Similarity.cosineTopKBatch(emb, "vec_id", "embedding",
         nAnchors = 3, k = 5)

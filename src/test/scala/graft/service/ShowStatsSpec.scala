@@ -146,6 +146,12 @@ class ShowStatsSpec extends SparkSpec {
       .rows.map(_.head.toString) == Seq("region"))
     assert(qs().execute("show tables from default ;").isRight)
     assert(qs().execute("SHOW CATALOGS LIKE 'nope%'").toOption.get.rows.isEmpty)
+    // a bad catalog surfaces the consistent Left, not a raw
+    // AnalysisException out of execute() (r10 ADVICE)
+    qs().execute("SHOW SCHEMAS FROM no_such_catalog") match {
+      case Left(err) => assert(err.startsWith("query execution failed:"), err)
+      case Right(r) => assert(r.rows.isEmpty, r.rows)
+    }
     // catalog allowlists filter the listing (same path as the tools)
     val filtered = qs(Map("TRINO_ALLOWED_CATALOGS" -> "other"))
       .execute("SHOW CATALOGS").toOption.get
