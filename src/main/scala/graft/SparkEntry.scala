@@ -41,5 +41,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Windows.oracles ++ Shapes.oracles ++
       Funcs.oracles ++ TimeOps.oracles ++ PipelineOps.oracles ++
-      TpchSql.oracles
+      MetaOps.oracles ++ TpchSql.oracles
 }

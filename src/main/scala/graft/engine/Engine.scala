@@ -61,6 +61,9 @@ class Engine(
     s.conf.set("spark.sql.timeType.enabled", "true")
     graft.dialect.TrinoFunctions.register(s)
     dataDir.foreach(Tables.registerAll(s, _))
+    // second catalog: the reference's flagship tpch.tiny example served
+    // by an in-memory V2 TableCatalog (docs/tools.md:113-157)
+    dataDir.foreach(graft.catalog.TpchTinyCatalog.register(s, _))
     s
   }
 }

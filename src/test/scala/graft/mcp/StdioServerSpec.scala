@@ -138,7 +138,8 @@ class StdioServerSpec extends SparkSpec {
 
   test("list_catalogs tool") {
     val (isErr, text) = callTool("list_catalogs", ListMap(), 6)
-    assert(!isErr && Json.parse(text) == Vector("spark_catalog"))
+    // data-dir engines serve the default catalog plus generated tpch.tiny
+    assert(!isErr && Json.parse(text) == Vector("spark_catalog", "tpch"))
   }
 
   test("list_schemas tool") {

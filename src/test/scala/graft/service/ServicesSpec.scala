@@ -191,7 +191,9 @@ class ServicesSpec extends SparkSpec {
   // --- MetadataService ---
 
   test("listCatalogs: spark session catalog visible") {
-    assert(new MetadataService(engine()).listCatalogs() == Seq("spark_catalog"))
+    // the data-dir engine also registers the tpch.tiny generated catalog
+    assert(new MetadataService(engine()).listCatalogs() ==
+      Seq("spark_catalog", "tpch"))
   }
 
   test("listCatalogs: allowlist filters everything else") {
