@@ -106,18 +106,31 @@ object InfoSchema {
     val meta = new MetadataService(engine)
     val cat = engine.config.catalog
     val sch = engine.config.schema
-    val tables = meta.listTables(cat, sch)
+    // every allowed catalog contributes its namespaces — the default
+    // catalog through the engine's configured (catalog, schema) pair
+    // (temp-view namespace), other catalogs (tpch.tiny) through their
+    // own listings. table_catalog distinguishes rows, so a consumer
+    // filters with WHERE table_catalog = '…' exactly as in Trino.
+    // (Divergence kept: Trino scopes information_schema PER catalog;
+    // this shim serves one merged relation — DIALECT.md.)
+    val namespaces: Seq[(String, String)] =
+      (cat, sch) +: meta.listCatalogs().filterNot(_.equalsIgnoreCase(cat))
+        .flatMap(c => meta.listSchemas(c).map(s => (c, s)))
+    val byNs = namespaces.map { case (c, s) => (c, s, meta.listTables(c, s)) }
 
-    val tRows = tables.map(t => Row(cat, sch, t, "BASE TABLE"))
+    val tRows = byNs.flatMap { case (c, s, tables) =>
+      tables.map(t => Row(c, s, t, "BASE TABLE")) }
     spark.createDataFrame(
         spark.sparkContext.parallelize(tRows, 1), tablesSchema)
       .createOrReplaceTempView(TablesView)
 
-    val cRows = tables.flatMap { t =>
-      meta.getTableSchema(cat, sch, t).toOption.toSeq.flatten.zipWithIndex.map {
-        case (col, i) =>
-          Row(cat, sch, t, col("Column").toString, (i + 1).toLong,
-            null, "YES", col("Type").toString)
+    val cRows = byNs.flatMap { case (c, s, tables) =>
+      tables.flatMap { t =>
+        meta.getTableSchema(c, s, t).toOption.toSeq.flatten.zipWithIndex.map {
+          case (col, i) =>
+            Row(c, s, t, col("Column").toString, (i + 1).toLong,
+              null, "YES", col("Type").toString)
+        }
       }
     }
     spark.createDataFrame(
@@ -125,8 +138,10 @@ object InfoSchema {
       .createOrReplaceTempView(ColumnsView)
 
     // schemata: allowlist-filtered schema listing (Trino shape:
-    // catalog_name, schema_name)
-    val sRows = meta.listSchemas(cat).map(s => Row(cat, s))
+    // catalog_name, schema_name) across the same catalogs
+    val sRows = meta.listSchemas(cat).map(s => Row(cat, s)) ++
+      meta.listCatalogs().filterNot(_.equalsIgnoreCase(cat))
+        .flatMap(c => meta.listSchemas(c).map(s => Row(c, s)))
     spark.createDataFrame(
         spark.sparkContext.parallelize(sRows, 1), schemataSchema)
       .createOrReplaceTempView(SchemataView)

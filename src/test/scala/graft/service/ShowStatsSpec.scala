@@ -152,6 +152,24 @@ class ShowStatsSpec extends SparkSpec {
       case Left(err) => assert(err.startsWith("query execution failed:"), err)
       case Right(r) => assert(r.rows.isEmpty, r.rows)
     }
+  }
+
+  test("DESCRIBE / SHOW CREATE TABLE route qualified names to their catalog") {
+    // statement-fuzz finding (r11): DESCRIBE tpch.tiny.customer used to
+    // serve the DEFAULT catalog's customer temp view
+    val d = qs().execute("DESCRIBE tpch.tiny.customer").toOption.get
+    assert(d.rows.map(_.head.toString) == Seq("custkey", "name", "address",
+      "nationkey", "phone", "acctbal", "mktsegment", "comment"))
+    val ct = qs().execute("SHOW CREATE TABLE tpch.tiny.nation").toOption.get
+    val ddl = ct.rows.head.head.toString
+    assert(ddl.contains("CREATE TABLE tpch.tiny.nation"), ddl)
+    assert(ddl.contains("nationkey bigint") && ddl.contains("comment varchar"), ddl)
+    // information_schema agrees with DESCRIBE for the tpch catalog
+    val info = qs().execute(
+      """SELECT column_name FROM information_schema.columns
+         WHERE table_catalog = 'tpch' AND table_name = 'customer'
+         ORDER BY ordinal_position""").toOption.get
+    assert(info.rows.map(_.head.toString) == d.rows.map(_.head.toString))
     // catalog allowlists filter the listing (same path as the tools)
     val filtered = qs(Map("TRINO_ALLOWED_CATALOGS" -> "other"))
       .execute("SHOW CATALOGS").toOption.get
