@@ -227,11 +227,33 @@ private[catalog] class TinyScanBuilder(table: String, dir: String,
 }
 
 private[catalog] class TinyScan(table: String, dir: String,
-    full: StructType, required: StructType) extends Scan with Batch {
+    full: StructType, required: StructType)
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"TpchTiny(table=$table, columns=[${required.fieldNames.mkString(",")}])"
+
+  /** Without reported statistics a V2 relation defaults to
+    * `defaultSizeInBytes` (≈ Long.Max) and NEVER auto-broadcasts —
+    * which at scale would sort-merge a 25-row dimension against a fact
+    * table (caught by PlanAuditSpec's xcat audit). The tiny tables are
+    * materialized-by-contract, so exact stats are one cached-array
+    * walk. */
+  override def estimateStatistics(): Statistics = {
+    val rows = TpchTinyCatalog.rowsOf(dir, table)
+    val size = rows.iterator.map {
+      case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
+        u.getSizeInBytes.toLong
+      case _ => 64L
+    }.sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(size, 1L))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows.length.toLong)
+    }
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val rows = TpchTinyCatalog.rowsOf(dir, table)

@@ -67,6 +67,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("tpch_q18").contains("TakeOrderedAndProject"))
   }
 
+  test("xcat_nation_acctbal: tiny-catalog dimensions broadcast, scan pruned") {
+    val p = plan("xcat_nation_acctbal")
+    // both tpch.tiny sides are dimension-shaped → broadcast, never SMJ
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("SortMergeJoin"), p.take(600))
+    // V2 column pruning: the nation scan ships only the 3 used columns
+    assert(p.linesIterator.exists(l =>
+      l.contains("TpchTiny(table=nation") && !l.contains("comment,")), p)
+  }
+
   test("whole inventory: no CartesianProduct; nested-loop only where semantic") {
     // join_cross IS a cross join; the embed anchor joins broadcast a
     // 1-row (or nProbe-row) side — a BNLJ against a bounded-tiny build
