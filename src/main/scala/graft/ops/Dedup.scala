@@ -18,6 +18,18 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Spread CPU-heavy per-row kernels (shingling, 64-seed minhash,
+    * simhash tallies) across all cores when the SOURCE under-partitions
+    * — the driver's test parquet is a single row group, so without this
+    * every signature pass runs on one core. At real scale file splits
+    * already exceed cores and this is a no-op; the repartition moves
+    * only the skinny (id, text) projection, and every consumer is
+    * order-independent (groupBy/join), so results are bit-identical. */
+  private[graft] def toCores(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Keep the minimum-id row per normalized text key. */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val key = lower(trim(col(textCol)))
@@ -126,8 +138,8 @@ object Dedup {
       k: Int, numHashes: Int, bands: Int): (DataFrame, DataFrame) = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
-    val shingled = docs.select(col(idCol).as("id"),
-      TextAnalysis.shingleHashes(col(textCol), k).as("shingles"))
+    val shingled = toCores(docs.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), TextAnalysis.shingleHashes(col(textCol), k).as("shingles"))
     val banded = shingled
       .select(col("id"), minHashSignature(col("shingles"), numHashes).as("sig"))
       .select(col("id"),
@@ -147,7 +159,12 @@ object Dedup {
   def buildMinhashIndex(docs: DataFrame, idCol: String, textCol: String,
       path: String, k: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit = {
     val (shingled, banded) = shinglesAndBands(docs, idCol, textCol, k, numHashes, bands)
-    banded.write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+    // cluster by the partition column before a partitionBy write: one
+    // writer (and one file) per band instead of every input partition
+    // opening every band directory — n_partitions × n_bands small files
+    // is the classic partitioned-write mistake at any scale
+    banded.repartition(col("band"))
+      .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
     shingled.write.mode("overwrite").parquet(s"$path/shingles")
   }
 
