@@ -622,6 +622,57 @@ object Similarity {
       .limit(k)
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication", arXiv:2303.09540):
+    * cluster the embedding corpus, then mark within-cluster pairs whose
+    * cosine exceeds `simThreshold` as semantic duplicates and keep one
+    * representative per duplicate group — the embedding-space analog of
+    * MinHash near-dup removal, and the paper's recipe for pruning
+    * web-scale pretraining data.
+    *
+    * This is the oracle-verifiable twin form (the md5 convention of
+    * [[ivfTopKMd5]]): md5-ordered seed quantizer, quantized-dot cosine
+    * at both stages, so DuckDB replays clustering, pairing, and the
+    * keep decision bit-identically. Keep policy: lowest id per
+    * above-threshold pair survives (the paper keeps the lowest
+    * centroid-similarity member; the id rule is the repo's
+    * deterministic dedup convention — documented divergence).
+    *
+    * Scale shape: pairing is confined WITHIN clusters — the corpus
+    * shuffles once on cell_id, and the quadratic stage is bounded by
+    * cluster size, capped at `maxCluster` (the LSH skew guard:
+    * a degenerate cluster of m near-identical rows would emit m²/2
+    * pairs on one reducer; capped clusters keep their rows, they just
+    * skip pairing). Output: (idCol, cell_id, is_dup) per input row.
+    */
+  def semDeDupMd5(embeddings: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int, simThreshold: Double,
+      maxCluster: Int = 1000): DataFrame = {
+    val vecs = quantVecs(embeddings, idCol, vecCol)
+    val assign = nearestCell(centScored(vecs, md5SeedCents(vecs, nClusters)))
+    val m = assign.join(vecs, "graft_id")
+    val sized = m.join(
+      m.groupBy(col("cell_id")).agg(count(lit(1)).as("graft_n"))
+        .filter(col("graft_n").between(2, maxCluster))
+        .select(col("cell_id")),
+      Seq("cell_id"))
+    val a = sized.select(col("cell_id"), col("graft_id").as("id_a"),
+      col("graft_v").as("v_a"), col("graft_dd").as("dd_a"))
+    val b = sized.select(col("cell_id"), col("graft_id").as("id_b"),
+      col("graft_v").as("v_b"), col("graft_dd").as("dd_b"))
+    val dups = a.join(b, Seq("cell_id"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("graft_cos",
+        dotQuant(col("v_a"), col("v_b")).cast("double") /
+          sqrt(col("dd_a") * col("dd_b")))
+      .filter(col("graft_cos") >= simThreshold)
+      .select(col("id_b").as("graft_id")).distinct()
+    assign
+      .join(dups.withColumn("is_dup", lit(true)), Seq("graft_id"), "left")
+      .select(col("graft_id").as(idCol), col("cell_id"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+  }
+
   /** Symmetric per-vector int8 quantization: scale = max|x|/127,
     * q_i = floor(x_i/scale + 0.5) ∈ [-127, 127] — the 4×
     * storage/bandwidth cut (float32 → int8) every billion-vector ANN

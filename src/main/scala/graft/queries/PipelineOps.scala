@@ -302,6 +302,16 @@ object PipelineOps {
       Similarity.pqTopKMd5(t(s, d, "embeddings"), "vec_id", "embedding",
         anchorId = 0L, k = 10)),
 
+    // SemDeDup (Abbas et al. 2023): cluster embeddings, mark
+    // within-cluster above-threshold cosine pairs as semantic
+    // duplicates, keep the lowest id — the embedding-space dedup of a
+    // pretraining pipeline, fully replayed by the DuckDB oracle
+    // (md5-seeded clusters + quantized-dot cosine at every stage).
+    "embed_semdedup" -> ((s, d) =>
+      Similarity.semDeDupMd5(t(s, d, "embeddings"), "vec_id", "embedding",
+          nClusters = 40, simThreshold = 0.4)
+        .orderBy(col("vec_id"))),
+
     // Benchmark-contamination screen: per-doc shingle overlap against
     // the (stand-in) eval set doc_id < 10, broadcast as one vocabulary.
     "text_contamination" -> ((s, d) => {
@@ -991,6 +1001,57 @@ object PipelineOps {
       s"""WITH w AS ($dsirOracleSql)
          |SELECT doc_id, weight FROM w
          |ORDER BY weight DESC, doc_id LIMIT 100""".stripMargin,
+
+    // SemDeDup replay: md5-seeded clusters (same quantizer CTEs as the
+    // IVF twins), within-cluster pair join bounded to clusters of
+    // 2..1000 members, quantized-dot cosine >= 0.4 marks the higher id
+    // a duplicate.
+    "embed_semdedup" ->
+      """WITH s AS (SELECT unnest(generate_series(1, 64)) AS i),
+        |vd AS (
+        |  SELECT e.vec_id,
+        |    CAST(SUM(CAST(floor(CAST(e.embedding[s.i] AS DOUBLE)*CAST(e.embedding[s.i] AS DOUBLE)*1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS dd
+        |  FROM embeddings e, s GROUP BY e.vec_id),
+        |cents AS (
+        |  SELECT e.vec_id AS cent_id, e.embedding AS cv, vd.dd AS cdd
+        |  FROM embeddings e JOIN vd USING (vec_id)
+        |  ORDER BY md5(CAST(e.vec_id AS VARCHAR)), e.vec_id LIMIT 40),
+        |qd AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    CAST(SUM(CAST(floor(CAST(e.embedding[s.i] AS DOUBLE)*CAST(c.cv[s.i] AS DOUBLE)*1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS qdot
+        |  FROM embeddings e, cents c, s
+        |  GROUP BY e.vec_id, c.cent_id),
+        |scored AS (
+        |  SELECT qd.vec_id, qd.cent_id, qd.qdot / sqrt(vd.dd * c.cdd) AS cos
+        |  FROM qd JOIN vd USING (vec_id) JOIN cents c ON qd.cent_id = c.cent_id),
+        |assign AS (
+        |  SELECT vec_id, cent_id AS cell_id FROM (
+        |    SELECT vec_id, cent_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |sized AS (
+        |  SELECT cell_id FROM assign GROUP BY cell_id
+        |  HAVING COUNT(*) BETWEEN 2 AND 1000),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM assign a JOIN sized USING (cell_id)
+        |       JOIN assign b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id),
+        |pdot AS (
+        |  SELECT p.id_a, p.id_b,
+        |    CAST(SUM(CAST(floor(CAST(ea.embedding[s.i] AS DOUBLE)*CAST(eb.embedding[s.i] AS DOUBLE)*1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS qdot
+        |  FROM pairs p
+        |    JOIN embeddings ea ON ea.vec_id = p.id_a
+        |    JOIN embeddings eb ON eb.vec_id = p.id_b, s
+        |  GROUP BY p.id_a, p.id_b),
+        |dups AS (
+        |  SELECT DISTINCT pd.id_b AS vec_id
+        |  FROM pdot pd
+        |    JOIN vd va ON va.vec_id = pd.id_a
+        |    JOIN vd vb ON vb.vec_id = pd.id_b
+        |  WHERE pd.qdot / sqrt(va.dd * vb.dd) >= 0.4)
+        |SELECT a.vec_id, a.cell_id, (d.vec_id IS NOT NULL) AS is_dup
+        |FROM assign a LEFT JOIN dups d ON d.vec_id = a.vec_id
+        |ORDER BY a.vec_id""".stripMargin,
 
     // Full IVF replay: md5-ordered seed quantizer, quantized-dot
     // cosine assignment (argmax = row_number over cos DESC, cent_id —

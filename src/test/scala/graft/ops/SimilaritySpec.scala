@@ -214,6 +214,33 @@ class SimilaritySpec extends SparkSpec {
     assert(diverged.count() == 0, "native and HOF quantized L2 diverge")
   }
 
+  test("semDeDupMd5 marks planted near-duplicates, keeps the lowest id") {
+    import spark.implicits._
+    // base corpus + two planted copies of vector 3 (tiny perturbation —
+    // cosine ≈ 1 with the original)
+    val base = emb.limit(50)
+    val v3 = base.filter(col("vec_id") === 3L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val planted = Seq(
+      (9001L, v3.map(x => x + 1e-4f)),
+      (9002L, v3.map(x => x - 1e-4f)))
+      .toDF("vec_id", "embedding")
+    val docs = base.select(col("vec_id"), col("embedding")).union(planted)
+    val r = Similarity.semDeDupMd5(docs, "vec_id", "embedding",
+        nClusters = 8, simThreshold = 0.9)
+      .collect().map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    assert(r.size == 52)
+    // copies land in vector 3's cluster and are marked; the original
+    // (lowest id of the group) survives
+    assert(!r(3L), "original must be kept")
+    assert(r(9001L) && r(9002L), s"planted copies must be dups: $r")
+    // determinism across re-evaluation
+    val again = Similarity.semDeDupMd5(docs, "vec_id", "embedding",
+        nClusters = 8, simThreshold = 0.9)
+      .collect().map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    assert(r == again)
+  }
+
   test("batch kNN equals the single-anchor path for every anchor") {
     val batch = Similarity.cosineTopKBatch(emb, "vec_id", "embedding",
         nAnchors = 3, k = 5)
