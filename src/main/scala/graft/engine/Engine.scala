@@ -25,6 +25,12 @@ class Engine(
   val allowlists: Allowlists =
     Allowlists(config.allowedCatalogs, config.allowedSchemas, config.allowedTables)
 
+  /** Prepared statements (PREPARE/EXECUTE/DEALLOCATE): one engine = one
+    * logical session, the embedded analog of Trino's per-session
+    * X-Trino-Prepared-Statement state the Go driver manages. */
+  val preparedStatements: scala.collection.concurrent.TrieMap[String, String] =
+    scala.collection.concurrent.TrieMap.empty
+
   lazy val spark: SparkSession = {
     val s = existing.getOrElse {
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",

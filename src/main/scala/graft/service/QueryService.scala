@@ -56,6 +56,79 @@ class QueryService(engine: Engine) {
     actingUser.set(principal)
 
     val stripped = ReadOnlyGuard.stripTrailingSemicolon(query)
+    // Prepared-statement surface (Trino pass-through shapes) routes
+    // BEFORE the read-only guard: PREPARE/DEALLOCATE only touch stored
+    // TEXT (nothing executes), and EXECUTE re-enters execute() with the
+    // substituted statement so the guard, allowlists, and dialect
+    // pipeline all apply to the inner SQL exactly as if sent directly —
+    // a prepared write statement prepares fine and is denied at
+    // EXECUTE, where Trino's analyzer rejects it too.
+    PreparedStatements.matchStatement(stripped).foreach {
+      case Left(err) => return Left(err)
+      case Right(PreparedStatements.Prepare(name, sql)) =>
+        // a body that is itself a prepared-statement form would recurse
+        // at EXECUTE (PREPARE q FROM EXECUTE q); Trino's grammar
+        // rejects these bodies at PREPARE too
+        if (PreparedStatements.matchStatement(sql).isDefined)
+          return Left(s"invalid statement for PREPARE: $sql")
+        engine.preparedStatements(name) = sql
+        return collectBounded(ShowMeta.oneCol(engine.spark, "Result",
+          Seq(org.apache.spark.sql.Row("PREPARE"))))
+      case Right(PreparedStatements.Deallocate(name)) =>
+        if (engine.preparedStatements.remove(name).isEmpty)
+          return Left(s"Prepared statement not found: $name")
+        return collectBounded(ShowMeta.oneCol(engine.spark, "Result",
+          Seq(org.apache.spark.sql.Row("DEALLOCATE"))))
+      case Right(PreparedStatements.Execute(name, args)) =>
+        val sql = engine.preparedStatements.getOrElse(name,
+          return Left(s"Prepared statement not found: $name"))
+        return PreparedStatements.substitute(sql, args)
+          .flatMap(resolved => execute(resolved, user))
+      case Right(PreparedStatements.ExecuteImmediate(sql)) =>
+        return execute(sql, user)
+      case Right(PreparedStatements.DescribeInput(name)) =>
+        val sql = engine.preparedStatements.getOrElse(name,
+          return Left(s"Prepared statement not found: $name"))
+        // parameter types are not inferred (Trino reports "unknown" for
+        // untyped positions; every position is untyped here)
+        val rows = (1 to PreparedStatements.paramCount(sql))
+          .map(i => org.apache.spark.sql.Row(i, "unknown"))
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("Position",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("Type",
+            org.apache.spark.sql.types.StringType)))
+        return collectBounded(engine.spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema))
+      case Right(PreparedStatements.DescribeOutput(name)) =>
+        val sql = engine.preparedStatements.getOrElse(name,
+          return Left(s"Prepared statement not found: $name"))
+        if (!engine.config.allowWriteQueries && !ReadOnlyGuard.isReadOnly(sql))
+          return Left("security restriction: only SELECT, SHOW, DESCRIBE, and " +
+            "EXPLAIN queries are allowed. Set TRINO_ALLOW_WRITE_QUERIES=true to " +
+            "enable write operations (at your own risk)")
+        // substitute NULL for parameters: analysis-only, never executed
+        val probed = PreparedStatements.substitute(sql,
+          Seq.fill(PreparedStatements.paramCount(sql))("NULL"))
+        return probed.flatMap(buildStatement).flatMap { df =>
+          val rows = df.schema.fields.toSeq.map(f =>
+            org.apache.spark.sql.Row(f.name, "", "", "",
+              TypeNames.trino(f.dataType), 0, false))
+          val st = org.apache.spark.sql.types.StructType(Seq(
+            ("Column Name", org.apache.spark.sql.types.StringType: org.apache.spark.sql.types.DataType),
+            ("Catalog", org.apache.spark.sql.types.StringType),
+            ("Schema", org.apache.spark.sql.types.StringType),
+            ("Table", org.apache.spark.sql.types.StringType),
+            ("Type", org.apache.spark.sql.types.StringType),
+            ("Type Size", org.apache.spark.sql.types.IntegerType),
+            ("Aliased", org.apache.spark.sql.types.BooleanType)
+          ).map { case (n, t) => org.apache.spark.sql.types.StructField(n, t) })
+          collectBounded(engine.spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](
+              scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), st))
+        }
+    }
     if (!engine.config.allowWriteQueries && !ReadOnlyGuard.isReadOnly(stripped))
       return Left("security restriction: only SELECT, SHOW, DESCRIBE, and EXPLAIN " +
         "queries are allowed. Set TRINO_ALLOW_WRITE_QUERIES=true to enable write " +

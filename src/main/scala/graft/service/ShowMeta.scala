@@ -112,7 +112,7 @@ object ShowMeta {
     case _ => None
   }
 
-  private def oneCol(spark: org.apache.spark.sql.SparkSession,
+  private[service] def oneCol(spark: org.apache.spark.sql.SparkSession,
       colName: String, rows: Seq[Row], extra: Seq[StructField] = Nil): DataFrame = {
     val schema = StructType(StructField(colName, StringType) +: extra)
     spark.createDataFrame(new java.util.ArrayList[Row](

@@ -108,6 +108,18 @@ object FuzzStatements {
           m.exists(_.group(1).toLong == directCount)
         }
       }
+      check(s"$tag prepare_execute") {
+        // PREPARE name FROM q; EXECUTE name must return the same rows
+        // as running q directly (engine-scoped statement store)
+        val name = f"fz_$i%04d"
+        rightRows(s"PREPARE $name FROM $sql").exists(_._2 == Seq(Seq("PREPARE"))) && {
+          val direct = rightRows(sql)
+          val viaExec = rightRows(s"EXECUTE $name")
+          val ok = direct.isDefined && viaExec == direct
+          rightRows(s"DEALLOCATE PREPARE $name")
+          ok
+        }
+      }
       check(s"$tag show_stats") {
         rightRows(s"SHOW STATS FOR ($sql)").exists { case (cols, rows) =>
           val shapeOk = cols == Seq("column_name", "data_size",
@@ -151,7 +163,7 @@ object FuzzStatements {
     }
 
     println(s"[fuzz-stmt] $green green / $red red " +
-      s"(${n} seeds x 4 wrappers + ${described.size} DESCRIBE sweeps)")
+      s"(${n} seeds x 5 wrappers + ${described.size} DESCRIBE sweeps)")
     if (red > 0) sys.exit(2)
     spark.stop()
   }
