@@ -93,6 +93,10 @@ class PlanAuditSpec extends SparkSpec {
       // batch kNN scores every vector against the fixed nAnchors-row
       // broadcast anchor set — the cross product IS the semantics
       "embed_knn_batch", "embed_ivf_topk_md5", "embed_ivf_kmeans_md5", "embed_pq_topk_md5",
+      // semdedup's cluster assignment scores every vector against the
+      // fixed-nClusters broadcast centroid set (same shape as the IVF
+      // twins); the pairing stage itself is an equi-join on cell_id
+      "embed_semdedup",
       // grouping-sets queries carry EmptyGroupingSetsRule's guard
       // branch: a BNLJ of two SINGLE-ROW aggregates (the synthetic ()
       // row × the emptiness count) — constant-size at any corpus scale
