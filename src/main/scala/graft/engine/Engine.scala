@@ -31,6 +31,12 @@ class Engine(
   val preparedStatements: scala.collection.concurrent.TrieMap[String, String] =
     scala.collection.concurrent.TrieMap.empty
 
+  /** The session's current namespace (Trino: the X-Trino-Catalog/Schema
+    * headers `USE` updates) — seeds from config; partial-name
+    * resolution everywhere reads THESE, not the config defaults. */
+  @volatile var sessionCatalog: String = config.catalog
+  @volatile var sessionSchema: String = config.schema
+
   lazy val spark: SparkSession = {
     val s = existing.getOrElse {
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",

@@ -28,7 +28,7 @@ class MetadataService(engine: Engine) {
 
   /** SHOW NAMESPACES IN c → names, filtered (client.go:662-691). */
   def listSchemas(catalog: String): Seq[String] = {
-    val c = if (catalog.isEmpty) cfg.catalog else catalog
+    val c = if (catalog.isEmpty) engine.sessionCatalog else catalog
     val schemas = spark.sql(s"SHOW NAMESPACES IN ${quote(c)}")
       .collect().map(_.getString(0)).toSeq
     engine.allowlists.filterSchemas(schemas, c)
@@ -37,8 +37,8 @@ class MetadataService(engine: Engine) {
   /** SHOW TABLES IN c.s (plus session temp views when targeting the
     * default namespace) → names, filtered (client.go:694-726). */
   def listTables(catalog: String, schema: String): Seq[String] = {
-    val c = if (catalog.isEmpty) cfg.catalog else catalog
-    val s = if (schema.isEmpty) cfg.schema else schema
+    val c = if (catalog.isEmpty) engine.sessionCatalog else catalog
+    val s = if (schema.isEmpty) engine.sessionSchema else schema
     val rows = spark.sql(s"SHOW TABLES IN ${quote(c)}.${quote(s)}").collect()
     // SHOW TABLES emits (namespace, tableName, isTemporary); temp views
     // belong to the engine's default namespace.
@@ -60,7 +60,8 @@ class MetadataService(engine: Engine) {
     * (client.go:729-769; shape of reference docs/tools.md:113-157). */
   def getTableSchema(catalog: String, schema: String, table: String):
       Either[String, Seq[Map[String, Any]]] = {
-    val (c, s, t) = Allowlists.resolveTable(catalog, schema, table, cfg.catalog, cfg.schema)
+    val (c, s, t) = Allowlists.resolveTable(catalog, schema, table,
+      engine.sessionCatalog, engine.sessionSchema)
     engine.allowlists.tableAccessError(c, s, t) match {
       case Some(err) => Left(err)
       case None =>

@@ -129,6 +129,14 @@ class QueryService(engine: Engine) {
               scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), st))
         }
     }
+    // USE catalog.schema / USE schema — session-namespace switch
+    // (validated against the allowlist-filtered metadata surface; only
+    // engine state changes, nothing executes)
+    UseStatement.matchUse(stripped).foreach { case (c, s) =>
+      return UseStatement(engine, c, s).flatMap(_ =>
+        collectBounded(ShowMeta.oneCol(engine.spark, "Result",
+          Seq(org.apache.spark.sql.Row("USE")))))
+    }
     if (!engine.config.allowWriteQueries && !ReadOnlyGuard.isReadOnly(stripped))
       return Left("security restriction: only SELECT, SHOW, DESCRIBE, and EXPLAIN " +
         "queries are allowed. Set TRINO_ALLOW_WRITE_QUERIES=true to enable write " +
@@ -147,7 +155,7 @@ class QueryService(engine: Engine) {
       if (!engine.config.enforceSqlAllowlists) None
       else {
         val (c, s, tbl) = graft.security.Allowlists.resolveTable("", "", t,
-          engine.config.catalog, engine.config.schema)
+          engine.sessionCatalog, engine.sessionSchema)
         val lists = engine.allowlists
         if (lists.allowedCatalogs.nonEmpty && !lists.isCatalogAllowed(c))
           Some(s"catalog access denied: $c not in allowlist")
@@ -176,7 +184,7 @@ class QueryService(engine: Engine) {
           try engine.spark.sessionState.sqlParser.parsePlan(innerSql)
           catch { case e: Throwable => return Left(s"query execution failed: ${clip(e)}") }
         graft.security.SqlAllowlist.check(parsed, engine.allowlists,
-            engine.config.catalog, engine.config.schema)
+            engine.sessionCatalog, engine.sessionSchema)
           .foreach(err => return Left(err))
       }
       val resolved =
@@ -187,7 +195,7 @@ class QueryService(engine: Engine) {
           InfoSchema.rewrite(innerSql)
         } else innerSql
       val df =
-        try ShowStats.forDataFrame(engine, engine.spark.sql(resolved))
+        try ShowStats.forDataFrame(engine, runSql(resolved))
         catch { case e: Throwable => return Left(s"query execution failed: ${clip(e)}") }
       return collectBounded(df)
     }
@@ -266,7 +274,7 @@ class QueryService(engine: Engine) {
               graft.dialect.TrinoFunctions.preprocess(inner))
             catch { case e: Throwable => return Left(s"query execution failed: ${clip(e)}") }
           graft.security.SqlAllowlist.check(parsed, engine.allowlists,
-              engine.config.catalog, engine.config.schema)
+              engine.sessionCatalog, engine.sessionSchema)
             .foreach(err => return Left(err))
         }
         form match {
@@ -303,7 +311,7 @@ class QueryService(engine: Engine) {
         try engine.spark.sessionState.sqlParser.parsePlan(dialectSql)
         catch { case e: Throwable => return Left(s"query execution failed: ${clip(e)}") }
       graft.security.SqlAllowlist.check(parsed, engine.allowlists,
-          engine.config.catalog, engine.config.schema) match {
+          engine.sessionCatalog, engine.sessionSchema) match {
         case Some(err) => return Left(err)
         case None => ()
       }
@@ -319,7 +327,7 @@ class QueryService(engine: Engine) {
         InfoSchema.rewrite(dialectSql)
       } else dialectSql
     val df =
-      try engine.spark.sql(finalSql)
+      try runSql(finalSql)
       catch { case e: Throwable => return Left(s"query execution failed: ${clip(e)}") }
     collectBounded(df)
   }
@@ -336,7 +344,7 @@ class QueryService(engine: Engine) {
         try engine.spark.sessionState.sqlParser.parsePlan(innerSql)
         catch { case e: Throwable => return Left(s"query execution failed: ${clip(e)}") }
       graft.security.SqlAllowlist.check(parsed, engine.allowlists,
-          engine.config.catalog, engine.config.schema)
+          engine.sessionCatalog, engine.sessionSchema)
         .foreach(err => return Left(err))
     }
     val resolved =
@@ -345,9 +353,24 @@ class QueryService(engine: Engine) {
         catch { case e: Throwable => return Left(s"query execution failed: ${clip(e)}") }
         InfoSchema.rewrite(innerSql)
       } else innerSql
-    try Right(engine.spark.sql(resolved))
+    try Right(runSql(resolved))
     catch { case e: Throwable => Left(s"query execution failed: ${clip(e)}") }
   }
+
+  /** Execute SQL under the session namespace: when `USE` moved the
+    * session off the configured default, parse and QUALIFY unresolved
+    * 1/2-part relations to the session namespace first — Spark would
+    * otherwise resolve unqualified names to the default-catalog temp
+    * views regardless of the current namespace (UseStatement docs). */
+  private def runSql(resolved: String): DataFrame =
+    if (engine.sessionCatalog.equalsIgnoreCase(engine.config.catalog) &&
+        engine.sessionSchema.equalsIgnoreCase(engine.config.schema))
+      engine.spark.sql(resolved)
+    else {
+      val plan = engine.spark.sessionState.sqlParser.parsePlan(resolved)
+      org.apache.spark.sql.graft.ColumnBridge.ofRows(engine.spark,
+        UseStatement.qualify(plan, engine.sessionCatalog, engine.sessionSchema))
+    }
 
   /** ExplainService output (rows of single-key maps) → QueryResult. */
   private def explainToResult(inner: String, tpe: String): Either[String, QueryResult] =

@@ -121,7 +121,7 @@ object ShowMeta {
 
   def createTable(engine: Engine, table: String): DataFrame = {
     val (c, s, t) = Allowlists.resolveTable("", "", table,
-      engine.config.catalog, engine.config.schema)
+      engine.sessionCatalog, engine.sessionSchema)
     def quote(i: String) = s"`${i.replace("`", "``")}`"
     // same multi-catalog routing as describeTable: only the default
     // namespace resolves through the temp views
@@ -144,7 +144,7 @@ object ShowMeta {
   def describeTable(engine: Engine, table: String,
       like: Option[String] = None): DataFrame = {
     val (c, s, t) = Allowlists.resolveTable("", "", table,
-      engine.config.catalog, engine.config.schema)
+      engine.sessionCatalog, engine.sessionSchema)
     // qualified names outside the default namespace must hit THAT
     // catalog (DESCRIBE tpch.tiny.customer served the default catalog's
     // temp view before — statement-fuzz finding, r11)
@@ -177,9 +177,9 @@ object ShowMeta {
     def row(n: String, v: String, d: String, t: String, desc: String) =
       Row(n, v, d, t, desc)
     val rows = Seq(
-      row("catalog", cfg.catalog, "spark_catalog", "varchar",
+      row("catalog", engine.sessionCatalog, "spark_catalog", "varchar",
         "Default catalog for unqualified table names"),
-      row("schema", cfg.schema, "default", "varchar",
+      row("schema", engine.sessionSchema, "default", "varchar",
         "Default schema for unqualified table names"),
       row("query_timeout_seconds", cfg.queryTimeoutSeconds.toString,
         graft.config.EngineConfig.DefaultQueryTimeout.toString, "integer",

@@ -12,6 +12,15 @@ import org.apache.spark.sql.types.{AbstractDataType, DataType}
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Execute a (possibly rewritten) parsed logical plan — the USE
+    * statement qualifies unresolved relations before analysis, which
+    * needs `Dataset.ofRows` (private[sql]). */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
 
 /** [[ImplicitCastInputTypes]] re-exposed to expressions outside the sql
