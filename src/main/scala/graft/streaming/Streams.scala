@@ -170,6 +170,55 @@ object Streams {
       .select(col("query_id"), col("index_id"), col("cos_sim"))
   }
 
+  /** Streaming SemDeDup gate (the online face of
+    * [[graft.ops.Similarity.semDeDupMd5]], same train-offline /
+    * gate-online split as the minhash/IVF probes): each incoming vector
+    * is assigned to its nearest persisted-index centroid (model-sized
+    * literal — stateless projection), then compared against ONLY that
+    * cell's indexed members via the partition-pruned cells table; an
+    * above-threshold cosine to any standing member marks it a semantic
+    * duplicate. Emits (query_id, cell_id, max_sim, is_dup) per input
+    * row — append mode, no streaming aggregation state beyond the
+    * per-row groupBy of a bounded candidate set. Pair cost scales with
+    * the BATCH × cell size, never the standing corpus. */
+  def semDedupGateStream(newVecs: DataFrame, indexPath: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      threshold: Double = 0.4): DataFrame = {
+    val spark = newVecs.sparkSession
+    import graft.ops.Similarity.dot
+    val cents = spark.read.parquet(s"$indexPath/centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val centLit = typedLit(cents.toSeq)
+    val qnorm = sqrt(dot(col("q_vec"), col("q_vec")))
+    // nearest cell: ascending sort on struct(-cos, cent_id) = cosine
+    // desc then lowest id — the batch assignment's exact ordering
+    val scoredCents = transform(centLit, c => struct(
+      (-(dot(col("q_vec"), c.getField("_2")) /
+        (qnorm * sqrt(dot(c.getField("_2"), c.getField("_2")))))).as("neg_cos"),
+      c.getField("_1").as("cid")))
+    val assigned = newVecs
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("cell_id",
+        element_at(array_sort(scoredCents), 1).getField("cid"))
+    val cells = spark.read.parquet(s"$indexPath/cells")
+      .select(col("cell_id").as("c_cell"), col(idCol).as("index_id"),
+        col(vecCol).as("idx_vec"))
+    // append-safe gate: stream-static SEMI join marks dups, ANTI the
+    // rest — no streaming aggregation state at all (a groupBy-max
+    // would demand update mode + per-query state)
+    val dupCond = col("cell_id") === col("c_cell") &&
+      col("index_id") =!= col("query_id") &&
+      (dot(col("q_vec"), col("idx_vec")) /
+        (sqrt(dot(col("q_vec"), col("q_vec"))) *
+          sqrt(dot(col("idx_vec"), col("idx_vec"))))) >= threshold
+    assigned.join(cells, dupCond, "left_semi")
+      .withColumn("is_dup", lit(true))
+      .unionByName(
+        assigned.join(cells, dupCond, "left_anti")
+          .withColumn("is_dup", lit(false)))
+      .select(col("query_id"), col("cell_id"), col("is_dup"))
+  }
+
   /** Score a document stream with batch-trained DSIR importance
     * weights — the train-offline / score-online split of a data-mixing
     * gate: the quantized per-bucket ratio table (`buckets` longs, from

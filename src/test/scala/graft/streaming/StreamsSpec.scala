@@ -164,6 +164,62 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SemDeDup gate flags near-dups of indexed vectors, append-safe") {
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val emb = graft.engine.Tables.load(spark, dir, "embeddings")
+    val idx = java.nio.file.Files.createTempDirectory("graft-sem-idx").toFile
+    idx.deleteOnExit()
+    // standing corpus: all 500 vectors, indexed once offline
+    graft.ops.Similarity.buildIvfIndex(emb, "vec_id", "embedding",
+      idx.getAbsolutePath, nCells = 16)
+    // ingest batch: two near-copies of indexed vectors + two originals
+    // (an original's top in-cell cosine to OTHERS decides its verdict)
+    val v3 = emb.filter(col("vec_id") === 3L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val v7 = emb.filter(col("vec_id") === 7L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val ingest = Seq(
+      (9001L, v3.map(x => x + 1e-4f).toArray),
+      (9002L, v7.map(x => x - 1e-4f).toArray)).toDF("vec_id", "embedding")
+    val watched = java.nio.file.Files.createTempDirectory("graft-sem-stream")
+    watched.toFile.deleteOnExit()
+    ingest.coalesce(1).write.parquet(watched.toString + "/batch1")
+    val q = graft.streaming.Streams.semDedupGateStream(
+        spark.readStream.schema(ingest.schema)
+          .parquet(watched.toString + "/batch1"),
+        idx.getAbsolutePath, threshold = 0.9)
+      .writeStream.format("memory").queryName("stream_semdedup")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("stream_semdedup").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(rows.size == 2, rows)
+      // both near-copies are semantic dups of their indexed originals
+      assert(rows(9001L) && rows(9002L), rows)
+    } finally q.stop()
+    // a genuinely novel vector (orthogonal-ish random) is NOT flagged:
+    // feed a vector far from everything via a second micro-batch
+    val novel = Seq((9100L,
+      Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    novel.coalesce(1).write.parquet(watched.toString + "/batch2")
+    val q2 = graft.streaming.Streams.semDedupGateStream(
+        spark.readStream.schema(novel.schema)
+          .parquet(watched.toString + "/batch2"),
+        idx.getAbsolutePath, threshold = 0.9)
+      .writeStream.format("memory").queryName("stream_semdedup2")
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      val rows2 = spark.table("stream_semdedup2").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(rows2(9100L) == false, rows2)
+    } finally q2.stop()
+  }
+
   test("streaming IVF probe against the persisted index equals the batch probe") {
     val dir = "/root/testdata/sf0.001"
     import org.apache.spark.sql.functions.col
