@@ -37,6 +37,12 @@ class Engine(
   @volatile var sessionCatalog: String = config.catalog
   @volatile var sessionSchema: String = config.schema
 
+  /** Live session properties (SET SESSION / RESET SESSION): the
+    * per-query deadline and result row cap, seeded from config —
+    * QueryService reads these, SHOW SESSION displays them. */
+  @volatile var sessionQueryTimeoutSeconds: Int = config.queryTimeoutSeconds
+  @volatile var sessionMaxResultRows: Int = config.maxResultRows
+
   lazy val spark: SparkSession = {
     val s = existing.getOrElse {
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",

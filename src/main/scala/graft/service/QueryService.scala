@@ -137,6 +137,23 @@ class QueryService(engine: Engine) {
         collectBounded(ShowMeta.oneCol(engine.spark, "Result",
           Seq(org.apache.spark.sql.Row("USE")))))
     }
+    // SET/RESET SESSION over the live engine properties, and the
+    // transaction statements BI clients issue unconditionally (no-ops:
+    // read-only single-statement engine — every query is its own
+    // transaction). All engine-state only, nothing executes.
+    SessionProps.matchStatement(stripped).foreach { stmt =>
+      def ok(label: String) = collectBounded(ShowMeta.oneCol(engine.spark,
+        "Result", Seq(org.apache.spark.sql.Row(label))))
+      stmt match {
+        case SessionProps.SetProp(n, v) =>
+          return SessionProps.set(engine, n, v).flatMap(_ => ok("SET SESSION"))
+        case SessionProps.ResetProp(n) =>
+          return SessionProps.reset(engine, n).flatMap(_ => ok("RESET SESSION"))
+        case SessionProps.StartTransaction => return ok("START TRANSACTION")
+        case SessionProps.Commit => return ok("COMMIT")
+        case SessionProps.Rollback => return ok("ROLLBACK")
+      }
+    }
     if (!engine.config.allowWriteQueries && !ReadOnlyGuard.isReadOnly(stripped))
       return Left("security restriction: only SELECT, SHOW, DESCRIBE, and EXPLAIN " +
         "queries are allowed. Set TRINO_ALLOW_WRITE_QUERIES=true to enable write " +
@@ -382,7 +399,7 @@ class QueryService(engine: Engine) {
 
   /** Run an already-built DataFrame through the same timeout/cap path. */
   def collectBounded(df: DataFrame): Either[String, QueryResult] = {
-    val cap = engine.config.maxResultRows
+    val cap = engine.sessionMaxResultRows
     val group = s"graft-query-${UUID.randomUUID()}"
     val start = System.nanoTime()
     withTimeoutAndCancel(group) {
@@ -412,12 +429,12 @@ class QueryService(engine: Engine) {
     }, group)
     runner.setDaemon(true)
     runner.start()
-    try Right(fut.get(engine.config.queryTimeoutSeconds.toLong, TimeUnit.SECONDS))
+    try Right(fut.get(engine.sessionQueryTimeoutSeconds.toLong, TimeUnit.SECONDS))
     catch {
       case _: TimeoutException =>
         spark.sparkContext.cancelJobGroup(group)
         Left(s"query execution failed: query timed out after " +
-          s"${engine.config.queryTimeoutSeconds}s")
+          s"${engine.sessionQueryTimeoutSeconds}s")
       case e: java.util.concurrent.ExecutionException =>
         Left(s"query execution failed: ${clip(e.getCause)}")
     }

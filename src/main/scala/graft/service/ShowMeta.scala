@@ -181,11 +181,13 @@ object ShowMeta {
         "Default catalog for unqualified table names"),
       row("schema", engine.sessionSchema, "default", "varchar",
         "Default schema for unqualified table names"),
-      row("query_timeout_seconds", cfg.queryTimeoutSeconds.toString,
-        graft.config.EngineConfig.DefaultQueryTimeout.toString, "integer",
+      // live values (SET SESSION updates these; Default stays the
+      // engine-config seed RESET SESSION restores)
+      row("query_timeout_seconds", engine.sessionQueryTimeoutSeconds.toString,
+        cfg.queryTimeoutSeconds.toString, "integer",
         "Per-query wall-clock timeout (job group cancelled on deadline)"),
-      row("max_result_rows", cfg.maxResultRows.toString,
-        graft.config.EngineConfig.DefaultMaxResultRows.toString, "integer",
+      row("max_result_rows", engine.sessionMaxResultRows.toString,
+        cfg.maxResultRows.toString, "integer",
         "Row cap on collected results (truncated flag set when clipped)"),
       row("allow_write_queries", cfg.allowWriteQueries.toString, "false",
         "boolean", "Disable the read-only SQL guard"),
