@@ -481,6 +481,31 @@ object PipelineOps {
       TextAnalysis.charLmScore(t(s, d, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // CCNet-style LM-quality bucketing (Wenzek et al. 2020, "CCNet:
+    // Extracting High Quality Monolingual Datasets from Web Crawl
+    // Data", arXiv:1911.00359): score every document with the
+    // corpus-trained LM (the paper's wiki-trained KenLM stands in as
+    // the charlm), then split EACH LANGUAGE into head/middle/tail
+    // terciles by model score — the head-only (or head+middle) cut is
+    // the paper's quality filter. NTILE over (lang, score desc,
+    // doc_id) is the standard-SQL tercile both engines compute
+    // identically; the score itself is the exact decimal-summed avg_p.
+    "text_ccnet_buckets" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val scored = TextAnalysis.charLmScore(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("avg_p").desc, col("doc_id"))
+      scored
+        .withColumn("tercile", ntile(3).over(w))
+        .select(col("doc_id"), col("lang"), col("avg_p"),
+          when(col("tercile") === 1, "head")
+            .when(col("tercile") === 2, "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_repetition" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"),
@@ -1573,6 +1598,32 @@ object PipelineOps {
         |                AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*) AS avg_p
         |FROM pairs p JOIN bi USING (ab) JOIN ctx USING (a)
         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+
+    // CCNet buckets: the charlm replay + per-language NTILE(3) over
+    // the identical total order (score desc, doc_id).
+    "text_ccnet_buckets" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text, unnest(generate_series(1, length(text) - 1)) AS i
+        |  FROM documents WHERE length(text) >= 2),
+        |pairs AS (SELECT doc_id, substr(text, i, 1) AS a, substr(text, i, 2) AS ab
+        |          FROM pos),
+        |ctx AS (SELECT a, COUNT(*) AS cnt_a FROM pairs GROUP BY a),
+        |bi AS (SELECT ab, COUNT(*) AS cnt_ab FROM pairs GROUP BY ab),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |    CAST(SUM(CAST(CAST(cnt_ab AS DOUBLE) / CAST(cnt_a AS DOUBLE)
+        |                  AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*) AS avg_p
+        |  FROM pairs p JOIN bi USING (ab) JOIN ctx USING (a)
+        |  GROUP BY p.doc_id),
+        |tiled AS (
+        |  SELECT s.doc_id, d.lang, s.avg_p,
+        |    ntile(3) OVER (PARTITION BY d.lang
+        |                   ORDER BY s.avg_p DESC, s.doc_id) AS tercile
+        |  FROM scored s JOIN documents d USING (doc_id))
+        |SELECT doc_id, lang, avg_p,
+        |  CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |    ELSE 'tail' END AS bucket
+        |FROM tiled ORDER BY doc_id""".stripMargin,
 
     // Same rule algebra: list ops + literal replaces + IEEE double
     // ratios over integer counts — engine-exact.
