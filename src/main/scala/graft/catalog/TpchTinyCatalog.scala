@@ -288,7 +288,10 @@ private[catalog] class TinyReaderFactory(full: StructType,
     new PartitionReader[InternalRow] {
       private var idx = -1
       override def next(): Boolean = { idx += 1; idx < rows.length }
-      override def get(): InternalRow = proj(rows(idx))
+      // copy: UnsafeProjection reuses its output buffer across calls,
+      // and a downstream operator that buffers rows would otherwise
+      // read the LAST row's bytes for every buffered reference
+      override def get(): InternalRow = proj(rows(idx)).copy()
       override def close(): Unit = ()
     }
   }
