@@ -47,13 +47,20 @@ class ExplainService(engine: Engine) {
           qe.assertAnalyzed()
           val scans = collectScans(qe.executedPlan)
           if (scans.isEmpty) "no file sources"
-          else scans.map { s =>
-            val md = s.metadata
-            s"Scan ${s.tableIdentifier.map(_.toString).getOrElse(s.nodeName)}\n" +
-              s"  Location: ${md.getOrElse("Location", "?")}\n" +
-              s"  ReadSchema: ${md.getOrElse("ReadSchema", "?")}\n" +
-              s"  PushedFilters: ${md.getOrElse("PushedFilters", "[]")}\n" +
-              s"  PartitionFilters: ${md.getOrElse("PartitionFilters", "[]")}"
+          else scans.map {
+            case f: FileSourceScanExec =>
+              val md = f.metadata
+              s"Scan ${f.tableIdentifier.map(_.toString).getOrElse(f.nodeName)}\n" +
+                s"  Location: ${md.getOrElse("Location", "?")}\n" +
+                s"  ReadSchema: ${md.getOrElse("ReadSchema", "?")}\n" +
+                s"  PushedFilters: ${md.getOrElse("PushedFilters", "[]")}\n" +
+                s"  PartitionFilters: ${md.getOrElse("PartitionFilters", "[]")}"
+            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+              // V2 sources (the tpch.tiny catalog): the scan's own
+              // description carries table + pruned columns
+              s"Scan ${b.scan.description()}\n" +
+                s"  ReadSchema: ${b.scan.readSchema().simpleString}"
+            case other => s"Scan ${other.nodeName}"
           }.mkString("\n")
         case _ => // "" or DISTRIBUTED
           qe.explainString(org.apache.spark.sql.execution.FormattedMode)
@@ -65,12 +72,14 @@ class ExplainService(engine: Engine) {
     }
   }
 
-  /** File scans in the physical plan, descending into
+  /** File + V2 batch scans in the physical plan, descending into
     * AdaptiveSparkPlanExec (whose inner plan is not a TreeNode child —
     * a plain collect sees no scans once AQE wraps the query). */
-  private def collectScans(plan: SparkPlan): Seq[FileSourceScanExec] =
+  private def collectScans(plan: SparkPlan): Seq[SparkPlan] =
     plan.collect {
       case a: AdaptiveSparkPlanExec => collectScans(a.inputPlan)
       case f: FileSourceScanExec => Seq(f)
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        Seq(b)
     }.flatten
 }

@@ -28,6 +28,14 @@ class ExplainStatementsSpec extends SparkSpec {
     assert(text.contains("Location") && text.contains("ReadSchema"), text)
   }
 
+  test("EXPLAIN (TYPE IO) covers V2 scans (tpch.tiny) with pruned columns") {
+    val text = run("EXPLAIN (TYPE IO) SELECT name FROM tpch.tiny.nation")
+      .rows.head.head.asInstanceOf[String]
+    assert(text.contains("TpchTiny(table=nation"), text)
+    assert(text.contains("columns=[name]"), text)
+    assert(text.contains("ReadSchema"), text)
+  }
+
   test("EXPLAIN (TYPE VALIDATE) analyzes only") {
     val r = run("EXPLAIN (TYPE VALIDATE) SELECT r_name FROM region")
     assert(r.columns == Seq("Valid") && r.rows == Seq(Seq(true)))
