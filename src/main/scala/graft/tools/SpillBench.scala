@@ -46,7 +46,17 @@ object SpillBench {
     // tasks, MORE shuffle partitions (each reduce partition smaller),
     // smaller scan splits. These are the same knobs a 100 TB cluster
     // job sets; override via env to explore.
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    //
+    // Default concurrency is HEAP-DERIVED, not a constant: 2 tasks per
+    // heap GB (min 2). 8 tasks at 2 GB sits exactly on the cliff —
+    // tpch_q18's per-task peak is ~435 MB, so 8 concurrent peaks
+    // exceed the heap and the run survives only when the scheduler
+    // happens not to align them (measured: intermittent OOM across
+    // same-commit reruns). 4 tasks at 2 GB (~580 MB peak each) is
+    // deterministic-stable, 3/3 reruns, ~1.4x the 8-task wall time.
+    val heapGb = math.max(1L, Runtime.getRuntime.maxMemory() / (1024L * 1024 * 1024))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(2 * heapGb, Runtime.getRuntime.availableProcessors().toLong).toString)
     val shufParts = sys.env.getOrElse("SPILL_SHUFFLE_PARTS", "256")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
