@@ -229,6 +229,91 @@ object TextAnalysis {
         (sum(col("graft_p").cast(org.apache.spark.sql.types.DecimalType(18, 12)))
           .cast("double") / count(lit(1))).as("avg_p"))
 
+  /** Deterministic natural log over a positive double Column.
+    *
+    * `ln` itself is the cross-engine trap charlm/DSIR dodge by going
+    * log-free: IEEE 754 pins +,-,*,/,sqrt to exact rounding but NOT the
+    * transcendentals, so java.lang.Math.log and a C++ engine's std::log
+    * may differ in the last ulp and break bit-exact oracles. This kernel
+    * uses only the pinned operations, so any engine evaluating the same
+    * expression tree returns the bitwise-identical double: 20 nested
+    * sqrts reduce x to r = x^(1/2^20) = 1 + t with |t| <= ~2e-5 for x in
+    * [1e-9, 1e9], then ln(x) = 2^20 * ln(1+t) via the 3-term series
+    * t - t^2/2 + t^3/3 (truncation t^4/4 is far below the result's ulp).
+    * Accuracy: ~1e-10 ABSOLUTE (the r-1 cancellation leaves ~1 ulp of
+    * sqrt-chain rounding, amplified by the final 2^20), so relative
+    * error degrades as ln x -> 0 — a RANKING weight, not an accounting
+    * value, and every engine gets the SAME error bits, which is the
+    * property that matters. */
+  def detLn(x: Column): Column = {
+    val r = (1 to 20).foldLeft(x)((c, _) => sqrt(c))
+    val t = r - lit(1.0)
+    (t - t * t / lit(2.0) + t * t * t / lit(3.0)) * lit(1048576.0)
+  }
+
+  /** BM25 top-k retrieval (Robertson & Zaragoza 2009; k1=1.2, b=0.75,
+    * Lucene's log(1 + (N-df+0.5)/(df+0.5)) idf so every matched term
+    * contributes positively). Whitespace tokens — the corpus convention
+    * shared with vocab/DSIR.
+    *
+    * Scale shape: the query terms are FIXED, so tf/dl per doc are plain
+    * per-row counters (one `split` staged once, |Q| filtered sizes) —
+    * no token explode, no token shuffle, ONE corpus scan. The corpus
+    * stats (N, total tokens, per-term df) collapse to a single 1-row
+    * aggregate with map-side partials, broadcast back; idf is computed
+    * once inside that 1-row plan. Top-k is TakeOrderedAndProject — no
+    * global sort. At 100 TB the only corpus-sized work is the document
+    * scan itself, which is the floor for ad-hoc retrieval without a
+    * prebuilt index.
+    *
+    * Determinism: idf goes through [[detLn]] (bitwise-replayable), and
+    * the per-doc score sums its |Q| term contributions as
+    * DECIMAL(18,12) (exact addition, the charlm convention), cast back
+    * to DOUBLE once. Docs matching no term are excluded, as a posting-
+    * list retrieval would. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 12)
+    val proj = docs
+      .select(col(idCol), split(lower(col(textCol)), " ").as("graft_toks"))
+      .select(col(idCol) +:
+        size(filter(col("graft_toks"), t => t =!= lit(""))).as("graft_dl") +:
+        queryTerms.map(term =>
+          size(filter(col("graft_toks"), t => t === lit(term)))
+            .as(s"graft_tf_$term")): _*)
+    val stats = proj.filter(col("graft_dl") > 0).agg(
+      count(lit(1)).as("graft_n"),
+      sum(col("graft_dl")).as("graft_t") +:
+        queryTerms.map(term =>
+          sum(when(col(s"graft_tf_$term") > 0, 1L).otherwise(0L))
+            .as(s"graft_df_$term")): _*)
+    val statsIdf = stats.select(col("graft_n") +: col("graft_t") +:
+      queryTerms.map { term =>
+        val nd = col("graft_n").cast("double")
+        val dfd = col(s"graft_df_$term").cast("double")
+        detLn((nd - dfd + lit(0.5)) / (dfd + lit(0.5)) + lit(1.0))
+          .as(s"graft_idf_$term")
+      }: _*)
+    val dlr = (col("graft_dl") * col("graft_n")).cast("double") /
+      col("graft_t").cast("double")
+    def termScore(term: String): Column = {
+      val tfd = col(s"graft_tf_$term").cast("double")
+      when(col(s"graft_tf_$term") > 0,
+        col(s"graft_idf_$term") * (tfd * lit(2.2)) /
+          (tfd + lit(1.2) * (lit(0.25) + lit(0.75) * dlr)))
+        .otherwise(lit(0.0))
+    }
+    val bm25 = queryTerms.map(termScore(_).cast(dec)).reduce(_ + _).cast("double")
+    val nTerms = queryTerms
+      .map(term => when(col(s"graft_tf_$term") > 0, 1).otherwise(0))
+      .reduce(_ + _).cast("long")
+    proj.crossJoin(broadcast(statsIdf))
+      .select(col(idCol), nTerms.as("n_terms"), bm25.as("bm25"))
+      .filter(col("n_terms") > 0)
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Train `merges` byte-pair-encoding merge steps on the corpus and
     * return the merge table (step, left, right, freq) — the actual BPE
     * training loop, not just iteration 1 ([[graft.queries.PipelineOps]]

@@ -49,6 +49,69 @@ object PipelineOps {
       .orderBy(col("doc_id"))
   }
 
+  /** The fixed BM25 keyword query (text_bm25_topk) — corpus-present
+    * terms so tf/df/dl all shape the ranking. */
+  private val Bm25Terms = Seq("hash", "join", "window", "stream")
+
+  /** The text_bm25_topk oracle, GENERATED from the same Bm25Terms the
+    * Spark side uses, term column by term column — the two engines stay
+    * in lockstep by construction. The idf's ln is replayed BITWISE
+    * through the same 20-sqrt + 3-term-series detLn expression
+    * (sqrt and the four arithmetic ops are IEEE-exact in both); the
+    * per-term scores add as DECIMAL(18,12) exactly like the Spark side.
+    */
+  private def bm25OracleSql: String = {
+    val ts = Bm25Terms
+    val tfCols = ts.map(t =>
+      s"    len(list_filter(string_split(lower(text), ' '), x -> x = '$t')) AS tf_$t")
+      .mkString(",\n")
+    val dfCols = ts.map(t =>
+      s"    SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(",\n")
+    def sqrt20(t: String) = (1 to 20).foldLeft(
+      s"((CAST(n AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5) " +
+        s"/ (CAST(df_$t AS DOUBLE) + 0.5) + 1.0)")((a, _) => s"sqrt($a)")
+    val rCols = ts.map(t => s"  ${sqrt20(t)} AS r_$t").mkString(",\n")
+    val ttCols = ts.map(t => s"  r_$t - 1.0 AS tt_$t").mkString(",\n")
+    val idfCols = ts.map(t =>
+      s"  (tt_$t - tt_$t*tt_$t/2.0 + tt_$t*tt_$t*tt_$t/3.0) * 1048576.0 AS idf_$t")
+      .mkString(",\n")
+    val nTerms = ts.map(t => s"(CASE WHEN p.tf_$t > 0 THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val scoreTerms = ts.map(t =>
+      s"      CAST(CASE WHEN p.tf_$t > 0 THEN i.idf_$t * " +
+        s"(CAST(p.tf_$t AS DOUBLE) * 2.2) /\n" +
+        s"        (CAST(p.tf_$t AS DOUBLE) + 1.2 * (0.25 + 0.75 *\n" +
+        s"          (CAST(p.dl * i.n AS DOUBLE) / CAST(i.t AS DOUBLE))))\n" +
+        s"        ELSE 0.0 END AS DECIMAL(18,12))").mkString(" +\n")
+    s"""WITH proj AS (
+       |  SELECT doc_id,
+       |    len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS dl,
+       |$tfCols
+       |  FROM documents),
+       |stats AS (
+       |  SELECT COUNT(*) AS n, SUM(dl) AS t,
+       |$dfCols
+       |  FROM proj WHERE dl > 0),
+       |idf0 AS (SELECT n, t,
+       |$rCols
+       |FROM stats),
+       |idf1 AS (SELECT n, t,
+       |$ttCols
+       |FROM idf0),
+       |idf AS (SELECT n, t,
+       |$idfCols
+       |FROM idf1),
+       |scored AS (
+       |  SELECT p.doc_id,
+       |    CAST($nTerms AS BIGINT) AS n_terms,
+       |    CAST(
+       |$scoreTerms
+       |      AS DOUBLE) AS bm25
+       |  FROM proj p, idf i)
+       |SELECT doc_id, n_terms, bm25 FROM scored WHERE n_terms > 0
+       |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
     // 56. exact dedup: keep min doc_id per normalized text. One
     // hash-shuffle on the key; no driver materialization.
@@ -556,6 +619,16 @@ object PipelineOps {
         .orderBy(col("df").desc, col("cf").desc, col("tok"))
         .limit(50)),
 
+    // BM25 top-k retrieval (ops/TextAnalysis.bm25TopK): rank the corpus
+    // against a fixed keyword query — the retrieval/contamination-audit
+    // primitive next to the embedding kNN family. Fully oracle-checked:
+    // the idf's ln goes through the sqrt-reduced detLn kernel (only
+    // IEEE-exact ops, so DuckDB replays it BITWISE), and per-term
+    // scores sum as DECIMAL(18,12) like charlm.
+    "text_bm25_topk" -> ((s, d) =>
+      TextAnalysis.bm25TopK(t(s, d, "documents"), "doc_id", "text",
+        Bm25Terms, 20)),
+
     // DSIR importance weights (Xie et al. 2023): hashed word-{1,2}gram
     // bucket models for a target slice (lang='en') vs the raw corpus,
     // per-doc mean importance ratio in the log-free integer-quantized
@@ -1015,6 +1088,10 @@ object PipelineOps {
         |GROUP BY tok
         |ORDER BY df DESC, cf DESC, tok
         |LIMIT 50""".stripMargin,
+
+    // BM25 replay: generated from the SAME Bm25Terms as the Spark side
+    // (see bm25OracleSql) — bitwise detLn, decimal-exact term addition.
+    "text_bm25_topk" -> bm25OracleSql,
 
     // DSIR replay: same tokenization (split + filter), same word
     // {1,2}-gram features, same 4-nibble md5 bucket, same smoothed

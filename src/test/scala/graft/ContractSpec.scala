@@ -28,9 +28,9 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented counts") {
-    assert(SparkEntry.queries.size == 161,
+    assert(SparkEntry.queries.size == 162,
       s"queries=${SparkEntry.queries.size} — update README/ContractSpec together")
-    assert(SparkEntry.oracleSql.size == 142,
+    assert(SparkEntry.oracleSql.size == 143,
       s"oracles=${SparkEntry.oracleSql.size} — update README/ContractSpec together")
   }
 }

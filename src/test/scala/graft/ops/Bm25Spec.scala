@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** BM25 retrieval: the detLn kernel's accuracy, and the ranking
+  * semantics on a corpus small enough to score by hand. */
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("detLn matches math.log to ~1e-9 absolute across 12 decades") {
+    // The guarantee is ABSOLUTE ~1e-10 (2^20 x the sqrt-chain rounding
+    // left in r - 1), so relative error degrades as ln x -> 0 — fine
+    // for a ranking weight, never for accounting.
+    val xs = Seq(1e-6, 0.01, 0.5, 1.0, 1.0001, 2.0, 7.389056, 1000.0, 1e6)
+    val out = xs.toDF("x").select(TextAnalysis.detLn(col("x")).as("y"))
+      .collect().map(_.getDouble(0))
+    xs.zip(out).foreach { case (x, y) =>
+      val err = math.abs(y - math.log(x))
+      assert(err < 1e-9, s"detLn($x)=$y vs ln=${math.log(x)}")
+    }
+  }
+
+  test("bm25TopK ranks by the textbook formula") {
+    // 3 docs, query = {cat, dog}: doc 1 has both terms, doc 2 has cat
+    // twice in a longer doc, doc 3 has neither (must not appear).
+    val docs = Seq(
+      (1L, "cat dog bird"),
+      (2L, "cat cat fish fish fish fish"),
+      (3L, "fish bird owl")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, "doc_id", "text", Seq("cat", "dog"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L)) // doc 3 matches no term
+    assert(out(0)._2 == 2L && out(1)._2 == 1L) // n_terms
+    // Hand-replay: N=3, T=12, avgdl=4. df(cat)=2, df(dog)=1.
+    def idf(df: Int) = math.log((3.0 - df + 0.5) / (df + 0.5) + 1.0)
+    def s(tf: Int, dl: Int, df: Int) =
+      idf(df) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl * 3.0 / 12.0)))
+    val exp1 = s(1, 3, 2) + s(1, 3, 1)
+    val exp2 = s(2, 6, 2)
+    assert(math.abs(out(0)._3 - exp1) < 1e-9, s"${out(0)._3} vs $exp1")
+    assert(math.abs(out(1)._3 - exp2) < 1e-9, s"${out(1)._3} vs $exp2")
+    assert(exp1 > exp2) // both-terms beats repeated-one-term here
+  }
+
+  test("top-k is TakeOrderedAndProject, not a global sort") {
+    // More docs than k, else EliminateLimits drops the (provably
+    // redundant) limit and no TakeOrdered node can appear.
+    val docs = spark.range(100)
+      .select(col("id").as("doc_id"),
+        concat(lit("cat dog filler"), col("id")).as("text"))
+    val plan = TextAnalysis.bm25TopK(docs, "doc_id", "text", Seq("cat"), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+}

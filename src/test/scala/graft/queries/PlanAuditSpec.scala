@@ -97,6 +97,9 @@ class PlanAuditSpec extends SparkSpec {
       // fixed-nClusters broadcast centroid set (same shape as the IVF
       // twins); the pairing stage itself is an equi-join on cell_id
       "embed_semdedup",
+      // bm25's corpus stats (N, total tokens, per-term idf) are ONE
+      // broadcast row crossed into the per-doc scoring projection
+      "text_bm25_topk",
       // grouping-sets queries carry EmptyGroupingSetsRule's guard
       // branch: a BNLJ of two SINGLE-ROW aggregates (the synthetic ()
       // row × the emptiness count) — constant-size at any corpus scale
