@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Persisted BM25 inverted index — the serving half of the retrieval
+  * pair ([[TextAnalysis.bm25TopK]] is the ad-hoc one-scan half; this is
+  * the analog of `Similarity.buildPqIndex`/`pqTopKIndexed` and
+  * `Dedup.buildMinhashIndex`/`probeMinhashIndex`).
+  *
+  * Layout (all parquet under `path/`):
+  *  - `postings/` — (tok, doc_id, tf, dl), written `partitionBy` a
+  *    256-way md5 term bucket so a probe's directory listing prunes to
+  *    the query terms' buckets. Each posting row carries the document
+  *    LENGTH (the classic "norms with the postings" layout): a probe
+  *    never opens a corpus-sized side table.
+  *  - `terms/` — (tok, df): vocabulary-sized.
+  *  - `corpus/` — one row (n docs, t total tokens).
+  *
+  * Probe cost scales with the query terms' posting lists, never the
+  * corpus — the shape that matters at 100 TB, where the ad-hoc scan is
+  * the floor and this is the serving path. Scores are BITWISE equal to
+  * [[TextAnalysis.bm25TopK]] (same detLn idf, same double algebra, same
+  * DECIMAL(18,12) exact summation), pinned in Bm25Spec and by sharing
+  * the ad-hoc query's DuckDB oracle.
+  */
+object Retrieval {
+
+  /** 'b' + the term's first two md5 hex chars — 256 write buckets. The
+    * letter prefix keeps partition-column type inference from reading
+    * all-digit buckets ("07") back as integers; md5 (not hash()) so the
+    * DuckDB oracle can replay bucket assignment exactly. */
+  private def termBucket(tok: org.apache.spark.sql.Column) =
+    concat(lit("b"), substring(md5(tok), 1, 2))
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** Build the index: ONE token shuffle for tf, dl derived from the
+    * already-aggregated tf stream (no second corpus pass), postings
+    * clustered by bucket before the partitioned write (one writer and
+    * one file per bucket — the same partitioned-write rule as the
+    * minhash band index). */
+  def buildBm25Index(docs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val tf = toks.groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    tf.join(dl, "doc_id")
+      .select(col("tok"), col("doc_id"), col("tf"), col("dl"),
+        termBucket(col("tok")).as("bucket"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+    tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$path/terms")
+    dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
+      .write.mode("overwrite").parquet(s"$path/corpus")
+  }
+
+  /** Probe: bucket-pruned postings scan + a |Q|-row broadcast idf side
+    * built from the terms/corpus tables; group, exact-sum, top-k. */
+  def probeBm25Index(spark: SparkSession, path: String,
+      queryTerms: Seq[String], k: Int): DataFrame = {
+    val buckets = queryTerms.map(t => "b" + md5Hex(t).substring(0, 2)).distinct
+    val post = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(buckets: _*)) // partition pruning
+      .filter(col("tok").isin(queryTerms: _*))
+    val terms = spark.read.parquet(s"$path/terms")
+      .filter(col("tok").isin(queryTerms: _*))
+    val corpus = spark.read.parquet(s"$path/corpus")
+    val nd = col("n").cast("double")
+    val dfd = col("df").cast("double")
+    val idf = terms.crossJoin(broadcast(corpus))
+      .select(col("tok"), col("n"), col("t"),
+        TextAnalysis.detLn((nd - dfd + lit(0.5)) / (dfd + lit(0.5)) + lit(1.0))
+          .as("idf"))
+    val tfd = col("tf").cast("double")
+    val dlr = (col("dl") * col("n")).cast("double") / col("t").cast("double")
+    val score = col("idf") * (tfd * lit(2.2)) /
+      (tfd + lit(1.2) * (lit(0.25) + lit(0.75) * dlr))
+    post.join(broadcast(idf), "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(score.cast(DecimalType(18, 12))).cast("double").as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+}

@@ -629,6 +629,34 @@ object PipelineOps {
       TextAnalysis.bm25TopK(t(s, d, "documents"), "doc_id", "text",
         Bm25Terms, 20)),
 
+    // BM25 index materialization (ops/Retrieval.buildBm25Index): the
+    // build-once half of the retrieval serving pair — md5-bucketed
+    // postings carrying doc lengths, terms, corpus stats. Output: one
+    // summary row per write bucket, oracle-replayed (md5 bucketing is
+    // engine-neutral).
+    "bm25_index_build" -> ((s, d) => {
+      val idx = bm25IndexPath(d)
+      graft.ops.Retrieval.buildBm25Index(t(s, d, "documents"), "doc_id",
+        "text", idx)
+      s.read.parquet(s"$idx/postings")
+        .groupBy(col("bucket"))
+        .agg(countDistinct(col("tok")).as("n_terms"),
+          count(lit(1)).as("n_postings"))
+        .orderBy(col("bucket"))
+    }),
+
+    // BM25 served from the PERSISTED index: bucket-pruned postings scan
+    // + broadcast idf, never the corpus text. Bitwise-identical to the
+    // ad-hoc text_bm25_topk (same detLn idf, same decimal-exact sum) —
+    // so it shares that query's full DuckDB oracle.
+    "bm25_index_probe" -> ((s, d) => {
+      val idx = bm25IndexPath(d)
+      if (!new java.io.File(s"$idx/corpus").exists())
+        graft.ops.Retrieval.buildBm25Index(t(s, d, "documents"), "doc_id",
+          "text", idx)
+      graft.ops.Retrieval.probeBm25Index(s, idx, Bm25Terms, 20)
+    }),
+
     // DSIR importance weights (Xie et al. 2023): hashed word-{1,2}gram
     // bucket models for a target slice (lang='en') vs the raw corpus,
     // per-doc mean importance ratio in the log-free integer-quantized
@@ -893,6 +921,10 @@ object PipelineOps {
   private def pqIndexPath(d: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_pq_idx_${d.hashCode}"
 
+  /** Same build-once contract as pqIndexPath, for the BM25 index. */
+  private def bm25IndexPath(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_bm25_idx_${d.hashCode}"
+
   private val sqlToks =
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
   private val stopList = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
@@ -1092,6 +1124,22 @@ object PipelineOps {
     // BM25 replay: generated from the SAME Bm25Terms as the Spark side
     // (see bm25OracleSql) — bitwise detLn, decimal-exact term addition.
     "text_bm25_topk" -> bm25OracleSql,
+
+    // The persisted-index probe returns the identical top-20 (bitwise
+    // scores), so it shares the ad-hoc query's oracle.
+    "bm25_index_probe" -> bm25OracleSql,
+
+    // Index-build replay: same (tok, doc_id) aggregation, same
+    // 'b'+md5-prefix bucket assignment.
+    "bm25_index_build" ->
+      """WITH tok0 AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT tok, doc_id FROM tok0 WHERE tok <> ''
+        |       GROUP BY tok, doc_id)
+        |SELECT 'b' || substr(md5(tok), 1, 2) AS bucket,
+        |  COUNT(DISTINCT tok) AS n_terms, COUNT(*) AS n_postings
+        |FROM tf GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     // DSIR replay: same tokenization (split + filter), same word
     // {1,2}-gram features, same 4-nibble md5 bucket, same smoothed

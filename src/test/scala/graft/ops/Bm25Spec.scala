@@ -44,6 +44,33 @@ class Bm25Spec extends SparkSpec {
     assert(exp1 > exp2) // both-terms beats repeated-one-term here
   }
 
+  test("persisted-index probe is bitwise-equal to the ad-hoc scan") {
+    val docs = spark.range(200)
+      .select(col("id").as("doc_id"),
+        concat(lit("cat dog bird fish "),
+          when(col("id") % 3 === 0, "cat cat").otherwise("owl"),
+          lit(" pad"), (col("id") % 7).cast("string")).as("text"))
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_spec_idx"
+    Retrieval.buildBm25Index(docs, "doc_id", "text", path)
+    val terms = Seq("cat", "owl")
+    val adhoc = TextAnalysis.bm25TopK(docs, "doc_id", "text", terms, 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val probed = Retrieval.probeBm25Index(spark, path, terms, 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(adhoc.toSeq == probed.toSeq) // EXACT doubles, not approx
+  }
+
+  test("probe prunes postings partitions to the query terms' buckets") {
+    val docs = spark.range(50)
+      .select(col("id").as("doc_id"), lit("cat dog owl").as("text"))
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_spec_idx2"
+    Retrieval.buildBm25Index(docs, "doc_id", "text", path)
+    val plan = Retrieval.probeBm25Index(spark, path, Seq("cat"), 5)
+      .queryExecution.executedPlan.toString
+    val scan = plan.linesIterator.find(_.contains("PartitionFilters"))
+    assert(scan.exists(_.contains("bucket")), plan.take(2000))
+  }
+
   test("top-k is TakeOrderedAndProject, not a global sort") {
     // More docs than k, else EliminateLimits drops the (provably
     // redundant) limit and no TakeOrdered node can appear.

@@ -98,8 +98,10 @@ class PlanAuditSpec extends SparkSpec {
       // twins); the pairing stage itself is an equi-join on cell_id
       "embed_semdedup",
       // bm25's corpus stats (N, total tokens, per-term idf) are ONE
-      // broadcast row crossed into the per-doc scoring projection
-      "text_bm25_topk",
+      // broadcast row crossed into the per-doc scoring projection; the
+      // index probe crosses the |Q|-row terms side with that same
+      // 1-row stats table — constant-size at any corpus scale
+      "text_bm25_topk", "bm25_index_probe",
       // grouping-sets queries carry EmptyGroupingSetsRule's guard
       // branch: a BNLJ of two SINGLE-ROW aggregates (the synthetic ()
       // row × the emptiness count) — constant-size at any corpus scale
