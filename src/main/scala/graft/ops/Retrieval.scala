@@ -73,12 +73,9 @@ object Retrieval {
     val terms = spark.read.parquet(s"$path/terms")
       .filter(col("tok").isin(queryTerms: _*))
     val corpus = spark.read.parquet(s"$path/corpus")
-    val nd = col("n").cast("double")
-    val dfd = col("df").cast("double")
     val idf = terms.crossJoin(broadcast(corpus))
       .select(col("tok"), col("n"), col("t"),
-        TextAnalysis.detLn((nd - dfd + lit(0.5)) / (dfd + lit(0.5)) + lit(1.0))
-          .as("idf"))
+        TextAnalysis.bm25Idf(col("n"), col("df")).as("idf"))
     val tfd = col("tf").cast("double")
     val dlr = (col("dl") * col("n")).cast("double") / col("t").cast("double")
     val score = col("idf") * (tfd * lit(2.2)) /

@@ -273,14 +273,7 @@ object TextAnalysis {
     * list retrieval would. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k: Int): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(18, 12)
-    val proj = docs
-      .select(col(idCol), split(lower(col(textCol)), " ").as("graft_toks"))
-      .select(col(idCol) +:
-        size(filter(col("graft_toks"), t => t =!= lit(""))).as("graft_dl") +:
-        queryTerms.map(term =>
-          size(filter(col("graft_toks"), t => t === lit(term)))
-            .as(s"graft_tf_$term")): _*)
+    val proj = bm25CounterProj(docs, idCol, textCol, queryTerms)
     val stats = proj.filter(col("graft_dl") > 0).agg(
       count(lit(1)).as("graft_n"),
       sum(col("graft_dl")).as("graft_t") +:
@@ -289,17 +282,52 @@ object TextAnalysis {
             .as(s"graft_df_$term")): _*)
     val statsIdf = stats.select(col("graft_n") +: col("graft_t") +:
       queryTerms.map { term =>
-        val nd = col("graft_n").cast("double")
-        val dfd = col(s"graft_df_$term").cast("double")
-        detLn((nd - dfd + lit(0.5)) / (dfd + lit(0.5)) + lit(1.0))
+        bm25Idf(col("graft_n"), col(s"graft_df_$term"))
           .as(s"graft_idf_$term")
       }: _*)
-    val dlr = (col("graft_dl") * col("graft_n")).cast("double") /
-      col("graft_t").cast("double")
+    val (nTerms, bm25) = bm25ScoreCols(queryTerms,
+      term => col(s"graft_idf_$term"), col("graft_n"), col("graft_t"))
+    proj.crossJoin(broadcast(statsIdf))
+      .select(col(idCol), nTerms.as("n_terms"), bm25.as("bm25"))
+      .filter(col("n_terms") > 0)
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** The per-row BM25 counters: one staged split, dl + |Q| term
+    * frequencies as filtered sizes — shared by the ad-hoc scan and the
+    * streaming gate (identical plan shape by construction). */
+  private[graft] def bm25CounterProj(docs: DataFrame, idCol: String,
+      textCol: String, queryTerms: Seq[String]): DataFrame =
+    docs
+      .select(col(idCol), split(lower(col(textCol)), " ").as("graft_toks"))
+      .select(col(idCol) +:
+        size(filter(col("graft_toks"), t => t =!= lit(""))).as("graft_dl") +:
+        queryTerms.map(term =>
+          size(filter(col("graft_toks"), t => t === lit(term)))
+            .as(s"graft_tf_$term")): _*)
+
+  /** Lucene-style idf over [[detLn]] — the one expression every BM25
+    * face (ad-hoc, index probe, stream) computes, so the doubles agree
+    * bitwise across them. */
+  private[graft] def bm25Idf(n: Column, df: Column): Column = {
+    val nd = n.cast("double")
+    val dfd = df.cast("double")
+    detLn((nd - dfd + lit(0.5)) / (dfd + lit(0.5)) + lit(1.0))
+  }
+
+  /** The (n_terms, bm25) expression pair over a bm25CounterProj row:
+    * idf/n/t arrive as Columns (aggregated columns in batch, literals
+    * in the streaming gate) so the double algebra is shared verbatim.
+    */
+  private[graft] def bm25ScoreCols(queryTerms: Seq[String],
+      idfOf: String => Column, n: Column, t: Column): (Column, Column) = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 12)
+    val dlr = (col("graft_dl") * n).cast("double") / t.cast("double")
     def termScore(term: String): Column = {
       val tfd = col(s"graft_tf_$term").cast("double")
       when(col(s"graft_tf_$term") > 0,
-        col(s"graft_idf_$term") * (tfd * lit(2.2)) /
+        idfOf(term) * (tfd * lit(2.2)) /
           (tfd + lit(1.2) * (lit(0.25) + lit(0.75) * dlr)))
         .otherwise(lit(0.0))
     }
@@ -307,11 +335,7 @@ object TextAnalysis {
     val nTerms = queryTerms
       .map(term => when(col(s"graft_tf_$term") > 0, 1).otherwise(0))
       .reduce(_ + _).cast("long")
-    proj.crossJoin(broadcast(statsIdf))
-      .select(col(idCol), nTerms.as("n_terms"), bm25.as("bm25"))
-      .filter(col("n_terms") > 0)
-      .orderBy(col("bm25").desc, col(idCol))
-      .limit(k)
+    (nTerms, bm25)
   }
 
   /** Train `merges` byte-pair-encoding merge steps on the corpus and

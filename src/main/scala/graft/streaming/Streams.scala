@@ -262,6 +262,44 @@ object Streams {
           + size(col("enc"))).cast("long").as("n_tokens"),
         col("enc"))
 
+  /** Streaming BM25 scoring gate — the online face of the persisted
+    * retrieval index ([[graft.ops.Retrieval]]), same train-offline /
+    * score-online split as the DSIR/BPE/minhash gates: incoming
+    * documents are scored against the STANDING corpus's statistics
+    * (idf per query term, N, total tokens — read once from the index,
+    * model-sized, baked in as literals), so scoring is a stateless
+    * per-row projection (append mode, no streaming state). A streamed
+    * document scores bit-identically to the batch ad-hoc scan over the
+    * indexed corpus (the idf literal is computed by the SAME
+    * `bm25Idf`/`detLn` expression, and the per-row counters and score
+    * algebra are the shared `bm25CounterProj`/`bm25ScoreCols`); query
+    * terms absent from the standing corpus take the natural df=0 idf.
+    */
+  def bm25ScoreStream(docs: DataFrame, indexPath: String,
+      queryTerms: Seq[String], idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import graft.ops.TextAnalysis
+    val corpus = spark.read.parquet(s"$indexPath/corpus").collect()(0)
+    val (n, t) = (corpus.getLong(0), corpus.getLong(1))
+    val dfMap = spark.read.parquet(s"$indexPath/terms")
+      .filter(col("tok").isin(queryTerms: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // idf through the same expression tree as batch — evaluated once
+    // over a |Q|-row local relation, then carried as double literals
+    val idfMap = {
+      import spark.implicits._
+      queryTerms.map(tm => (tm, dfMap.getOrElse(tm, 0L))).toDF("tok", "df")
+        .select(col("tok"), TextAnalysis.bm25Idf(lit(n), col("df")).as("idf"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    }
+    val (nTerms, bm25) = TextAnalysis.bm25ScoreCols(queryTerms,
+      term => lit(idfMap(term)), lit(n), lit(t))
+    TextAnalysis.bm25CounterProj(docs, idCol, textCol, queryTerms)
+      .select(col(idCol), nTerms.as("n_terms"), bm25.as("bm25"))
+      .filter(col("n_terms") > 0)
+  }
+
   /** Custom sessionization with explicit keyed state
     * (flatMapGroupsWithState): per-user open-session state, event-time
     * timeout at `gapSeconds` past the watermark, emitting one closed

@@ -292,6 +292,38 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming BM25 gate equals the batch scan bit for bit (index-offline, score-online)") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.engine.Tables.load(spark, dir, "documents")
+    import org.apache.spark.sql.functions.col
+    val terms = Seq("hash", "join", "window", "stream")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-bm25-stream-idx").toString
+    graft.ops.Retrieval.buildBm25Index(docs, "doc_id", "text", idx)
+    val watched = java.nio.file.Files.createTempDirectory("graft-bm25-stream")
+    watched.toFile.deleteOnExit()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      watched.resolve("documents.parquet"))
+    val q = graft.streaming.Streams.bm25ScoreStream(
+        spark.readStream.schema(docs.schema).parquet(watched.toString),
+        idx, terms)
+      .writeStream.format("memory").queryName("stream_bm25")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_bm25").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      // batch over the SAME corpus the index was built from — identical
+      // stats, so the scores must agree exactly, longs AND doubles
+      val batch = graft.ops.TextAnalysis
+        .bm25TopK(docs, "doc_id", "text", terms, 1000000)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming BPE encode equals the batch tokenizer (train-offline, encode-online)") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.engine.Tables.load(spark, dir, "documents")
