@@ -877,6 +877,57 @@ object NativeExprs {
   def textStats(text: Column, stopwords: Seq[String]): Column =
     ColumnBridge.column(TextStats(ColumnBridge.expression(text), stopwords))
 
+  /** BM25's per-row counters in ONE pass: doc length (non-empty
+    * single-space tokens, the split(lower(text), ' ') convention the
+    * whole BM25 family and its oracles use) plus the term frequency of
+    * each fixed query term, in `terms` order. The HOF composition
+    * (|Q|+1 `filter(split(...))` passes) evaluates an interpreted
+    * closure per TOKEN per term — the same hot-path rule as
+    * TextStats/CharBigrams. */
+  case class Bm25Counts(child: Expression, terms: Seq[String])
+      extends UnaryExpression with CodegenFallback with DeclaredInputTypes {
+    override def declaredInputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = StructType(Seq(
+      StructField("dl", IntegerType, nullable = false),
+      StructField("tf", ArrayType(IntegerType, containsNull = false),
+        nullable = false)))
+    override def prettyName: String = "bm25_counts"
+
+    protected override def nullSafeEval(input: Any): Any = {
+      // Spark's lower() (UTF8_BINARY collation) lowercases the whole
+      // string; Locale.ROOT matches it on every corpus this serves and
+      // the kernel-vs-HOF parity pin guards the claim.
+      val s = input.toString.toLowerCase(java.util.Locale.ROOT)
+      val n = s.length
+      val tf = new Array[Int](terms.length)
+      var dl = 0
+      var i = 0
+      var start = 0
+      def flush(end: Int): Unit = if (end > start) {
+        dl += 1
+        var ti = 0
+        while (ti < terms.length) {
+          val t = terms(ti)
+          if (t.length == end - start && s.regionMatches(start, t, 0, t.length))
+            tf(ti) += 1
+          ti += 1
+        }
+      }
+      while (i < n) {
+        if (s.charAt(i) == ' ') { flush(i); start = i + 1 }
+        i += 1
+      }
+      flush(n)
+      org.apache.spark.sql.catalyst.InternalRow(dl, new GenericArrayData(tf))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Bm25Counts =
+      copy(child = newChild)
+  }
+
+  def bm25Counts(text: Column, terms: Seq[String]): Column =
+    ColumnBridge.column(Bm25Counts(ColumnBridge.expression(text), terms))
+
   /** Trino `hamming_distance(a, b)`: differing code-point positions of
     * two equal-length strings (errors on length mismatch, like Trino). */
   case class HammingDist(left: Expression, right: Expression)

@@ -257,8 +257,9 @@ object TextAnalysis {
     * shared with vocab/DSIR.
     *
     * Scale shape: the query terms are FIXED, so tf/dl per doc are plain
-    * per-row counters (one `split` staged once, |Q| filtered sizes) —
-    * no token explode, no token shuffle, ONE corpus scan. The corpus
+    * per-row counters (one native single-pass kernel,
+    * `NativeExprs.Bm25Counts`) — no token explode, no token shuffle,
+    * ONE corpus scan. The corpus
     * stats (N, total tokens, per-term df) collapse to a single 1-row
     * aggregate with map-side partials, broadcast back; idf is computed
     * once inside that 1-row plan. Top-k is TakeOrderedAndProject — no
@@ -294,18 +295,24 @@ object TextAnalysis {
       .limit(k)
   }
 
-  /** The per-row BM25 counters: one staged split, dl + |Q| term
-    * frequencies as filtered sizes — shared by the ad-hoc scan and the
-    * streaming gate (identical plan shape by construction). */
+  /** The per-row BM25 counters — shared by the ad-hoc scan and the
+    * streaming gate (identical plan shape by construction). One native
+    * pass ([[graft.functions.NativeExprs.Bm25Counts]]) computes dl and
+    * all |Q| term frequencies; the equivalent
+    * `size(filter(split(...)))` HOF composition pays an interpreted
+    * closure per token per term (kernel-vs-HOF parity pinned in
+    * Bm25Spec). */
   private[graft] def bm25CounterProj(docs: DataFrame, idCol: String,
       textCol: String, queryTerms: Seq[String]): DataFrame =
     docs
-      .select(col(idCol), split(lower(col(textCol)), " ").as("graft_toks"))
+      .select(col(idCol),
+        graft.functions.NativeExprs.bm25Counts(col(textCol), queryTerms)
+          .as("graft_c"))
       .select(col(idCol) +:
-        size(filter(col("graft_toks"), t => t =!= lit(""))).as("graft_dl") +:
-        queryTerms.map(term =>
-          size(filter(col("graft_toks"), t => t === lit(term)))
-            .as(s"graft_tf_$term")): _*)
+        col("graft_c.dl").as("graft_dl") +:
+        queryTerms.zipWithIndex.map { case (term, i) =>
+          col("graft_c.tf").getItem(i).as(s"graft_tf_$term")
+        }: _*)
 
   /** Lucene-style idf over [[detLn]] — the one expression every BM25
     * face (ad-hoc, index probe, stream) computes, so the doubles agree

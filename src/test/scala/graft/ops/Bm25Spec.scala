@@ -44,6 +44,20 @@ class Bm25Spec extends SparkSpec {
     assert(exp1 > exp2) // both-terms beats repeated-one-term here
   }
 
+  test("native counter kernel equals the HOF composition on the real corpus") {
+    val docs = graft.engine.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val terms = Seq("hash", "join", "window", "stream")
+    val native = TextAnalysis.bm25CounterProj(docs, "doc_id", "text", terms)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val hof = docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      .select(col("doc_id") +:
+        size(filter(col("toks"), t => t =!= lit(""))).as("dl") +:
+        terms.map(t2 => size(filter(col("toks"), t => t === lit(t2)))): _*)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(native.nonEmpty && native == hof)
+  }
+
   test("persisted-index probe is bitwise-equal to the ad-hoc scan") {
     val docs = spark.range(200)
       .select(col("id").as("doc_id"),
