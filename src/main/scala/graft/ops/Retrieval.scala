@@ -49,17 +49,23 @@ object Retrieval {
       .select(col(idCol).as("doc_id"),
         explode(split(lower(col(textCol)), " ")).as("tok"))
       .filter(col("tok") =!= "")
+    // tf feeds all three outputs (postings, terms, corpus): persist the
+    // AGGREGATED stream once (MEMORY_AND_DISK — spills, never OOMs) so
+    // the corpus text is tokenized exactly once, not once per output
     val tf = toks.groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    tf.join(dl, "doc_id")
-      .select(col("tok"), col("doc_id"), col("tf"), col("dl"),
-        termBucket(col("tok")).as("bucket"))
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
-    tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$path/terms")
-    dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
-      .write.mode("overwrite").parquet(s"$path/corpus")
+      .persist()
+    try {
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      tf.join(dl, "doc_id")
+        .select(col("tok"), col("doc_id"), col("tf"), col("dl"),
+          termBucket(col("tok")).as("bucket"))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+      tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(s"$path/terms")
+      dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
+        .write.mode("overwrite").parquet(s"$path/corpus")
+    } finally tf.unpersist()
   }
 
   /** Probe: bucket-pruned postings scan + a |Q|-row broadcast idf side
