@@ -72,6 +72,7 @@ object Retrieval {
     * built from the terms/corpus tables; group, exact-sum, top-k. */
   def probeBm25Index(spark: SparkSession, path: String,
       queryTerms: Seq[String], k: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "probeBm25Index: query terms must be non-empty")
     val buckets = queryTerms.map(t => "b" + md5Hex(t).substring(0, 2)).distinct
     val post = spark.read.parquet(s"$path/postings")
       .filter(col("bucket").isin(buckets: _*)) // partition pruning

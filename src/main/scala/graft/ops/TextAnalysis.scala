@@ -274,6 +274,7 @@ object TextAnalysis {
     * list retrieval would. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK: query terms must be non-empty")
     val proj = bm25CounterProj(docs, idCol, textCol, queryTerms)
     val stats = proj.filter(col("graft_dl") > 0).agg(
       count(lit(1)).as("graft_n"),

@@ -60,6 +60,11 @@ object PipelineOps {
     * (sqrt and the four arithmetic ops are IEEE-exact in both); the
     * per-term scores add as DECIMAL(18,12) exactly like the Spark side.
     */
+  /** SQL half of TextAnalysis.detLn's sqrt reduction: 20 nested sqrts
+    * around `arg` (the series stages are written per call site). */
+  private def sqlSqrt20(arg: String): String =
+    (1 to 20).foldLeft(arg)((a, _) => s"sqrt($a)")
+
   private def bm25OracleSql: String = {
     val ts = Bm25Terms
     val tfCols = ts.map(t =>
@@ -67,9 +72,9 @@ object PipelineOps {
       .mkString(",\n")
     val dfCols = ts.map(t =>
       s"    SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(",\n")
-    def sqrt20(t: String) = (1 to 20).foldLeft(
+    def sqrt20(t: String) = sqlSqrt20(
       s"((CAST(n AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5) " +
-        s"/ (CAST(df_$t AS DOUBLE) + 0.5) + 1.0)")((a, _) => s"sqrt($a)")
+        s"/ (CAST(df_$t AS DOUBLE) + 0.5) + 1.0)")
     val rCols = ts.map(t => s"  ${sqrt20(t)} AS r_$t").mkString(",\n")
     val ttCols = ts.map(t => s"  r_$t - 1.0 AS tt_$t").mkString(",\n")
     val idfCols = ts.map(t =>
@@ -629,6 +634,36 @@ object PipelineOps {
       TextAnalysis.bm25TopK(t(s, d, "documents"), "doc_id", "text",
         Bm25Terms, 20)),
 
+    // TF-IDF keyword extraction: the top-3 terms per document by
+    // tf * ln(N/df) — the document-summarization / clustering-feature
+    // primitive next to BM25's corpus ranking. One token shuffle for
+    // tf; df and N derive from the aggregated tf stream (no second
+    // corpus pass); idf through detLn (bitwise-replayable); per-doc
+    // ranking is a window over posting-sized rows, never raw text.
+    "text_tfidf_keywords" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val tf = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val dft = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val nn = tf.select(countDistinct(col("doc_id")).as("n"))
+      val idf = dft.crossJoin(broadcast(nn))
+        .select(col("tok"),
+          TextAnalysis.detLn(col("n").cast("double") / col("df").cast("double"))
+            .as("idf"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("tok"))
+      tf.join(idf, "tok")
+        .withColumn("score", col("tf").cast("double") * col("idf"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("tok"), col("score"))
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
+
     // BM25 index materialization (ops/Retrieval.buildBm25Index): the
     // build-once half of the retrieval serving pair — md5-bucketed
     // postings carrying doc lengths, terms, corpus stats. Output: one
@@ -1128,6 +1163,35 @@ object PipelineOps {
     // The persisted-index probe returns the identical top-20 (bitwise
     // scores), so it shares the ad-hoc query's oracle.
     "bm25_index_probe" -> bm25OracleSql,
+
+    // TF-IDF replay: same tf/df/N aggregation, idf's ln through the
+    // staged sqrt-reduction (bitwise), same tie order (score desc, tok).
+    "text_tfidf_keywords" ->
+      s"""WITH tok0 AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+         |  FROM documents),
+         |tok AS (SELECT doc_id, tok FROM tok0 WHERE tok <> ''),
+         |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok
+         |       GROUP BY doc_id, tok),
+         |dft AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+         |nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+         |r AS (SELECT tok,
+         |  ${sqlSqrt20("(CAST(n AS DOUBLE) / CAST(df AS DOUBLE))")} AS r
+         |  FROM dft, nn),
+         |t2 AS (SELECT tok, r - 1.0 AS tt FROM r),
+         |idf AS (SELECT tok,
+         |  (tt - tt*tt/2.0 + tt*tt*tt/3.0) * 1048576.0 AS idf FROM t2),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.tok,
+         |    CAST(tf.tf AS DOUBLE) * idf.idf AS score
+         |  FROM tf JOIN idf USING (tok)),
+         |ranked AS (
+         |  SELECT doc_id, tok, score,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                       ORDER BY score DESC, tok) AS rnk
+         |  FROM scored)
+         |SELECT doc_id, rnk, tok, score FROM ranked WHERE rnk <= 3
+         |ORDER BY doc_id, rnk""".stripMargin,
 
     // Index-build replay: same (tok, doc_id) aggregation, same
     // 'b'+md5-prefix bucket assignment.

@@ -278,6 +278,7 @@ object Streams {
   def bm25ScoreStream(docs: DataFrame, indexPath: String,
       queryTerms: Seq[String], idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25ScoreStream: query terms must be non-empty")
     val spark = docs.sparkSession
     import graft.ops.TextAnalysis
     val corpus = spark.read.parquet(s"$indexPath/corpus").collect()(0)

@@ -102,6 +102,9 @@ class PlanAuditSpec extends SparkSpec {
       // index probe crosses the |Q|-row terms side with that same
       // 1-row stats table — constant-size at any corpus scale
       "text_bm25_topk", "bm25_index_probe",
+      // tfidf's N (one aggregated row) crossed into the vocab-sized
+      // idf side — constant broadcast, same class as the bm25 stats
+      "text_tfidf_keywords",
       // grouping-sets queries carry EmptyGroupingSetsRule's guard
       // branch: a BNLJ of two SINGLE-ROW aggregates (the synthetic ()
       // row × the emptiness count) — constant-size at any corpus scale
