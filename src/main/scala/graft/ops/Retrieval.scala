@@ -68,6 +68,60 @@ object Retrieval {
     } finally tf.unpersist()
   }
 
+  /** Merge a NEW batch of documents into a persisted index — the
+    * incremental-maintenance half of the daily operation (index the
+    * standing corpus once, fold each ingest batch in, probe between
+    * folds). Doc ids must be new to the index: a re-submitted id would
+    * double-count df/dl (the same contract as the minhash index's
+    * even/odd split).
+    *
+    * Postings APPEND (new parquet files land inside the existing
+    * bucket directories — ids are disjoint so no rewrite is needed);
+    * the terms table re-aggregates old ∪ new df into a fresh directory
+    * swapped in place (write-then-rename, never read-and-overwrite the
+    * same path); corpus stats add two longs. Because df/N/total-tokens
+    * are additive over disjoint doc sets, `build(A); merge(B)` yields
+    * an index BITWISE-identical in probe results to `build(A ∪ B)` —
+    * pinned in Bm25Spec. */
+  def mergeBm25Index(newDocs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val spark = newDocs.sparkSession
+    val toks = newDocs
+      .select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val tfNew = toks.groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .persist()
+    try {
+      val dlNew = tfNew.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      tfNew.join(dlNew, "doc_id")
+        .select(col("tok"), col("doc_id"), col("tf"), col("dl"),
+          termBucket(col("tok")).as("bucket"))
+        .repartition(col("bucket"))
+        .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
+      spark.read.parquet(s"$path/terms")
+        .union(tfNew.groupBy(col("tok")).agg(count(lit(1)).as("df")))
+        .groupBy(col("tok")).agg(sum(col("df")).as("df"))
+        .write.mode("overwrite").parquet(s"$path/terms_merge_tmp")
+      replaceDir(spark, s"$path/terms_merge_tmp", s"$path/terms")
+      val old = spark.read.parquet(s"$path/corpus").collect()(0)
+      val add = dlNew.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
+        .collect()(0)
+      import spark.implicits._
+      Seq((old.getLong(0) + add.getLong(0), old.getLong(1) + add.getLong(1)))
+        .toDF("n", "t")
+        .write.mode("overwrite").parquet(s"$path/corpus")
+    } finally tfNew.unpersist()
+  }
+
+  private def replaceDir(spark: SparkSession, tmp: String, dst: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dst)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(dst), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(dst))
+  }
+
   /** Probe: bucket-pruned postings scan + a |Q|-row broadcast idf side
     * built from the terms/corpus tables; group, exact-sum, top-k. */
   def probeBm25Index(spark: SparkSession, path: String,

@@ -692,6 +692,23 @@ object PipelineOps {
       graft.ops.Retrieval.probeBm25Index(s, idx, Bm25Terms, 20)
     }),
 
+    // Incremental index maintenance wired end to end: index the even
+    // half of the corpus, FOLD the odd half in (postings append +
+    // df/corpus re-aggregation, Retrieval.mergeBm25Index), probe the
+    // merged index. Because df/N/token totals are additive over
+    // disjoint doc sets, the merged probe equals the whole-corpus scan
+    // bitwise — so this too shares text_bm25_topk's full oracle: the
+    // incremental path is hash-verified, not just unit-pinned.
+    "bm25_index_merge" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_merge_${d.hashCode}"
+      graft.ops.Retrieval.buildBm25Index(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", idx)
+      graft.ops.Retrieval.mergeBm25Index(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", idx)
+      graft.ops.Retrieval.probeBm25Index(s, idx, Bm25Terms, 20)
+    }),
+
     // DSIR importance weights (Xie et al. 2023): hashed word-{1,2}gram
     // bucket models for a target slice (lang='en') vs the raw corpus,
     // per-doc mean importance ratio in the log-free integer-quantized
@@ -1161,8 +1178,11 @@ object PipelineOps {
     "text_bm25_topk" -> bm25OracleSql,
 
     // The persisted-index probe returns the identical top-20 (bitwise
-    // scores), so it shares the ad-hoc query's oracle.
+    // scores), so it shares the ad-hoc query's oracle; the merged
+    // (build-even + fold-odd) index probes identically because
+    // df/N/token totals are additive over disjoint doc sets.
     "bm25_index_probe" -> bm25OracleSql,
+    "bm25_index_merge" -> bm25OracleSql,
 
     // TF-IDF replay: same tf/df/N aggregation, idf's ln through the
     // staged sqrt-reduction (bitwise), same tie order (score desc, tok).

@@ -28,9 +28,9 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented counts") {
-    assert(SparkEntry.queries.size == 165,
+    assert(SparkEntry.queries.size == 166,
       s"queries=${SparkEntry.queries.size} — update README/ContractSpec together")
-    assert(SparkEntry.oracleSql.size == 146,
+    assert(SparkEntry.oracleSql.size == 147,
       s"oracles=${SparkEntry.oracleSql.size} — update README/ContractSpec together")
   }
 }

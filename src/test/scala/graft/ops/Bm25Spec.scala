@@ -74,6 +74,28 @@ class Bm25Spec extends SparkSpec {
     assert(adhoc.toSeq == probed.toSeq) // EXACT doubles, not approx
   }
 
+  test("build(A) + merge(B) probes bitwise-identically to build(A ∪ B)") {
+    val docs = spark.range(300)
+      .select(col("id").as("doc_id"),
+        concat(lit("cat dog fish "),
+          when(col("id") % 4 === 0, "cat owl").otherwise("dog dog"),
+          lit(" x"), (col("id") % 11).cast("string")).as("text"))
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    val tmp = System.getProperty("java.io.tmpdir")
+    val inc = s"$tmp/graft_bm25_spec_inc"
+    val full = s"$tmp/graft_bm25_spec_full"
+    Retrieval.buildBm25Index(a, "doc_id", "text", inc)
+    Retrieval.mergeBm25Index(b, "doc_id", "text", inc)
+    Retrieval.buildBm25Index(docs, "doc_id", "text", full)
+    val terms = Seq("cat", "owl", "dog")
+    val pi = Retrieval.probeBm25Index(spark, inc, terms, 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val pf = Retrieval.probeBm25Index(spark, full, terms, 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pi.nonEmpty && pi == pf) // exact doubles: df/N/t are additive
+  }
+
   test("probe prunes postings partitions to the query terms' buckets") {
     val docs = spark.range(50)
       .select(col("id").as("doc_id"), lit("cat dog owl").as("text"))

@@ -101,7 +101,7 @@ class PlanAuditSpec extends SparkSpec {
       // broadcast row crossed into the per-doc scoring projection; the
       // index probe crosses the |Q|-row terms side with that same
       // 1-row stats table — constant-size at any corpus scale
-      "text_bm25_topk", "bm25_index_probe",
+      "text_bm25_topk", "bm25_index_probe", "bm25_index_merge",
       // tfidf's N (one aggregated row) crossed into the vocab-sized
       // idf side — constant broadcast, same class as the bm25 stats
       "text_tfidf_keywords",
