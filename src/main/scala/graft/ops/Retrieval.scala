@@ -118,8 +118,11 @@ object Retrieval {
     val fs = new org.apache.hadoop.fs.Path(dst)
       .getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(new org.apache.hadoop.fs.Path(dst), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(dst))
+    // rename returns false (not an exception) on failure — surface it,
+    // or the index would silently lose its terms table
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(dst)))
+      throw new java.io.IOException(s"rename $tmp -> $dst failed")
   }
 
   /** Probe: bucket-pruned postings scan + a |Q|-row broadcast idf side

@@ -65,7 +65,14 @@ object PipelineOps {
   private def sqlSqrt20(arg: String): String =
     (1 to 20).foldLeft(arg)((a, _) => s"sqrt($a)")
 
-  private def bm25OracleSql: String = {
+  private def bm25OracleSql: String = bm25OracleSqlOver("documents")
+
+  /** Same replay over a bounded corpus (`relation` may be a filtered
+    * subquery) — the merge query bounds its input the way the ANN
+    * twins do: verification value is per-row arithmetic, not corpus
+    * size, and the bench shouldn't pay a triple index build on the
+    * full table every round. */
+  private def bm25OracleSqlOver(relation: String): String = {
     val ts = Bm25Terms
     val tfCols = ts.map(t =>
       s"    len(list_filter(string_split(lower(text), ' '), x -> x = '$t')) AS tf_$t")
@@ -92,7 +99,7 @@ object PipelineOps {
        |  SELECT doc_id,
        |    len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS dl,
        |$tfCols
-       |  FROM documents),
+       |  FROM $relation),
        |stats AS (
        |  SELECT COUNT(*) AS n, SUM(dl) AS t,
        |$dfCols
@@ -700,7 +707,10 @@ object PipelineOps {
     // bitwise — so this too shares text_bm25_topk's full oracle: the
     // incremental path is hash-verified, not just unit-pinned.
     "bm25_index_merge" -> ((s, d) => {
-      val docs = t(s, d, "documents")
+      // Bounded corpus (doc_id < 300, the ANN-twin convention): the
+      // additivity being verified is per-row arithmetic, and the
+      // bench shouldn't pay a triple full-table index build per round.
+      val docs = t(s, d, "documents").filter(col("doc_id") < 300)
       val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_merge_${d.hashCode}"
       graft.ops.Retrieval.buildBm25Index(docs.filter(col("doc_id") % 2 === 0),
         "doc_id", "text", idx)
@@ -1182,7 +1192,8 @@ object PipelineOps {
     // (build-even + fold-odd) index probes identically because
     // df/N/token totals are additive over disjoint doc sets.
     "bm25_index_probe" -> bm25OracleSql,
-    "bm25_index_merge" -> bm25OracleSql,
+    "bm25_index_merge" -> bm25OracleSqlOver(
+      "(SELECT * FROM documents WHERE doc_id < 300)"),
 
     // TF-IDF replay: same tf/df/N aggregation, idf's ln through the
     // staged sqrt-reduction (bitwise), same tie order (score desc, tok).
