@@ -125,6 +125,55 @@ object Retrieval {
       throw new java.io.IOException(s"rename $tmp -> $dst failed")
   }
 
+  /** Hybrid retrieval: reciprocal-rank fusion (Cormack, Clarke &
+    * Buettcher, SIGIR 2009) of the lexical and the dense ranking —
+    * the standard RAG-serving composition over the two retrieval
+    * families this engine already pins ([[TextAnalysis.bm25TopK]] and
+    * [[Similarity.cosineTopK]]).
+    *
+    * `rrf(d) = Σ_lists 1 / (rrfK + rank_list(d))`, absent-from-list
+    * contributing 0 — computed over the top-`poolK` of each list,
+    * fused, re-ranked, top-`k` returned.
+    *
+    * Scale shape: the two candidate generators are the pinned serving
+    * plans (one corpus scan each, TakeOrderedAndProject top-poolK —
+    * no global sort, no token explode); everything downstream of them
+    * operates on two ≤poolK-row lists, so the single-partition
+    * row_number windows and the full-outer fuse join are CONSTANT-size
+    * regardless of corpus scale. At 100 TB the cost is exactly the two
+    * scans (or two index probes, substituting the persisted-index
+    * halves) — fusion itself is free.
+    *
+    * Determinism: ranks are integers over (score desc, id asc) orders
+    * whose scores are already bitwise cross-engine (detLn/decimal BM25,
+    * quantized-dot cosine); `1.0 / (rrfK + rank)` is one IEEE divide
+    * and the fused score one IEEE add, so the whole fusion replays
+    * exactly in DuckDB. */
+  def hybridRrf(docs: DataFrame, embeddings: DataFrame,
+      queryTerms: Seq[String], anchorId: Long,
+      poolK: Int, k: Int, rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Each pool is poolK rows by construction — a single-partition
+    // window over it is a deliberate constant-size step, not a skew.
+    val wB = Window.orderBy(col("bm25").desc, col("doc_id"))
+    val lexical = TextAnalysis.bm25TopK(docs, "doc_id", "text", queryTerms, poolK)
+      .select(col("doc_id"),
+        row_number().over(wB).cast("long").as("r_bm25"))
+    val wC = Window.orderBy(col("cos_sim").desc, col("vec_id"))
+    val dense = Similarity.cosineTopK(embeddings, "vec_id", "embedding",
+        anchorId, poolK)
+      .select(col("vec_id").as("doc_id"),
+        row_number().over(wC).cast("long").as("r_cos"))
+    val kd = lit(rrfK).cast("long")
+    lexical.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(lit(1.0) / (kd + col("r_bm25")), lit(0.0)) +
+          coalesce(lit(1.0) / (kd + col("r_cos")), lit(0.0))).as("rrf"),
+        col("r_bm25"), col("r_cos"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Probe: bucket-pruned postings scan + a |Q|-row broadcast idf side
     * built from the terms/corpus tables; group, exact-sum, top-k. */
   def probeBm25Index(spark: SparkSession, path: String,

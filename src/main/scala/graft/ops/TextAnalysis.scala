@@ -251,6 +251,38 @@ object TextAnalysis {
     (t - t * t / lit(2.0) + t * t * t / lit(3.0)) * lit(1048576.0)
   }
 
+  /** Per-document Shannon entropy of the unigram (whitespace-token)
+    * distribution — the diversity/repetitiveness quality signal next to
+    * [[quality]]'s ratio features and the charlm score: near-zero
+    * entropy = a document that is one token repeated (boilerplate, SEO
+    * spam), high entropy = diverse vocabulary. `H = ln T − (Σ c·ln c)/T`
+    * over per-doc token counts c (equivalent to −Σ p·ln p, but every ln
+    * takes an INTEGER argument, so [[detLn]]'s absolute-error profile is
+    * at its best and both engines replay it bitwise).
+    *
+    * Scale shape: one token explode → one (doc, tok) count aggregate
+    * (map-side partials) → one per-doc aggregate — the same two-shuffle
+    * posting shape as tf-idf, no corpus-sized collect, no window.
+    * Determinism: c·detLn(c) terms sum as DECIMAL(18,12) (exact,
+    * associative — order-free addition), one double divide + subtract
+    * at the end. */
+  def unigramEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 12)
+    val tf = docs
+      .select(col(idCol), explode(split(lower(col(textCol)), " ")).as("graft_tok"))
+      .filter(col("graft_tok") =!= "")
+      .groupBy(col(idCol), col("graft_tok"))
+      .agg(count(lit(1)).as("graft_c"))
+    tf.groupBy(col(idCol))
+      .agg(sum(col("graft_c")).as("graft_t"),
+        sum((col("graft_c").cast("double") * detLn(col("graft_c").cast("double")))
+          .cast(dec)).as("graft_s"))
+      .select(col(idCol), col("graft_t").as("n_tokens"),
+        (detLn(col("graft_t").cast("double")) -
+          col("graft_s").cast("double") / col("graft_t").cast("double"))
+          .as("entropy"))
+  }
+
   /** BM25 top-k retrieval (Robertson & Zaragoza 2009; k1=1.2, b=0.75,
     * Lucene's log(1 + (N-df+0.5)/(df+0.5)) idf so every matched term
     * contributes positively). Whitespace tokens — the corpus convention

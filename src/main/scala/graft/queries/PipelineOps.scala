@@ -72,7 +72,15 @@ object PipelineOps {
     * twins do: verification value is per-row arithmetic, not corpus
     * size, and the bench shouldn't pay a triple index build on the
     * full table every round. */
-  private def bm25OracleSqlOver(relation: String): String = {
+  private def bm25OracleSqlOver(relation: String): String =
+    s"""WITH ${bm25ScoredCtes(relation)}
+       |SELECT doc_id, n_terms, bm25 FROM scored WHERE n_terms > 0
+       |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+
+  /** The CTE chain up to `scored(doc_id, n_terms, bm25)` — shared by
+    * the plain top-k oracle and the hybrid-RRF oracle (which re-ranks
+    * the scored pool rather than taking it verbatim). */
+  private def bm25ScoredCtes(relation: String): String = {
     val ts = Bm25Terms
     val tfCols = ts.map(t =>
       s"    len(list_filter(string_split(lower(text), ' '), x -> x = '$t')) AS tf_$t")
@@ -95,7 +103,7 @@ object PipelineOps {
         s"        (CAST(p.tf_$t AS DOUBLE) + 1.2 * (0.25 + 0.75 *\n" +
         s"          (CAST(p.dl * i.n AS DOUBLE) / CAST(i.t AS DOUBLE))))\n" +
         s"        ELSE 0.0 END AS DECIMAL(18,12))").mkString(" +\n")
-    s"""WITH proj AS (
+    s"""proj AS (
        |  SELECT doc_id,
        |    len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS dl,
        |$tfCols
@@ -119,10 +127,47 @@ object PipelineOps {
        |    CAST(
        |$scoreTerms
        |      AS DOUBLE) AS bm25
-       |  FROM proj p, idf i)
-       |SELECT doc_id, n_terms, bm25 FROM scored WHERE n_terms > 0
-       |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+       |  FROM proj p, idf i)""".stripMargin
   }
+
+  /** retrieval_hybrid_rrf oracle: top-50 of the shared BM25 scored
+    * pool, top-50 of the quantized-cosine list (the embed_knn_cosine
+    * replay), ranks as row_number over the same (score desc, id)
+    * orders, fused as `1/(60+r)` sums — every double op is a single
+    * IEEE divide/add, so the fusion replays bitwise. */
+  private def hybridRrfOracleSql: String =
+    s"""WITH ${bm25ScoredCtes("documents")},
+       |b0 AS (
+       |  SELECT doc_id, bm25 FROM scored WHERE n_terms > 0
+       |  ORDER BY bm25 DESC, doc_id LIMIT 50),
+       |b AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r_bm25
+       |  FROM b0),
+       |a AS (SELECT embedding AS av FROM embeddings WHERE vec_id = 0),
+       |dcos AS (
+       |  SELECT e.vec_id,
+       |    CAST(SUM(CAST(floor(CAST(e.embedding[s.i] AS DOUBLE)*CAST(a.av[s.i] AS DOUBLE) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS dab,
+       |    CAST(SUM(CAST(floor(CAST(e.embedding[s.i] AS DOUBLE)*CAST(e.embedding[s.i] AS DOUBLE) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS daa,
+       |    CAST(SUM(CAST(floor(CAST(a.av[s.i] AS DOUBLE)*CAST(a.av[s.i] AS DOUBLE) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS dbb
+       |  FROM embeddings e, a, generate_series(1, 64) AS s(i)
+       |  GROUP BY e.vec_id),
+       |c0 AS (
+       |  SELECT vec_id, dab / sqrt(daa * dbb) AS cos_sim FROM dcos
+       |  WHERE vec_id <> 0
+       |  ORDER BY cos_sim DESC, vec_id LIMIT 50),
+       |c AS (
+       |  SELECT vec_id,
+       |    CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS r_cos
+       |  FROM c0),
+       |f AS (
+       |  SELECT COALESCE(b.doc_id, c.vec_id) AS doc_id,
+       |    COALESCE(1.0 / (60 + b.r_bm25), 0.0) +
+       |      COALESCE(1.0 / (60 + c.r_cos), 0.0) AS rrf,
+       |    b.r_bm25 AS r_bm25, c.r_cos AS r_cos
+       |  FROM b FULL OUTER JOIN c ON b.doc_id = c.vec_id)
+       |SELECT doc_id, rrf, r_bm25, r_cos FROM f
+       |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
 
   val defs: Map[String, Q] = Map(
     // 56. exact dedup: keep min doc_id per normalized text. One
@@ -631,6 +676,15 @@ object PipelineOps {
         .orderBy(col("df").desc, col("cf").desc, col("tok"))
         .limit(50)),
 
+    // Unigram Shannon entropy per document
+    // (ops/TextAnalysis.unigramEntropy): the vocabulary-diversity
+    // quality signal — near-zero for one-token boilerplate, high for
+    // diverse text. Fully oracle-checked (integer-argument detLn,
+    // decimal-exact term sum).
+    "text_unigram_entropy" -> ((s, d) =>
+      TextAnalysis.unigramEntropy(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // BM25 top-k retrieval (ops/TextAnalysis.bm25TopK): rank the corpus
     // against a fixed keyword query — the retrieval/contamination-audit
     // primitive next to the embedding kNN family. Fully oracle-checked:
@@ -718,6 +772,16 @@ object PipelineOps {
         "doc_id", "text", idx)
       graft.ops.Retrieval.probeBm25Index(s, idx, Bm25Terms, 20)
     }),
+
+    // Hybrid retrieval (ops/Retrieval.hybridRrf): reciprocal-rank
+    // fusion of the BM25 top-50 and the cosine top-50 vs anchor
+    // vec_id=0 — the standard RAG lexical+dense serving composition.
+    // Fully oracle-checked: ranks over already-bitwise scores, fusion
+    // is one IEEE divide+add per list.
+    "retrieval_hybrid_rrf" -> ((s, d) =>
+      graft.ops.Retrieval.hybridRrf(t(s, d, "documents"),
+        t(s, d, "embeddings"), Bm25Terms, anchorId = 0L,
+        poolK = 50, k = 20)),
 
     // DSIR importance weights (Xie et al. 2023): hashed word-{1,2}gram
     // bucket models for a target slice (lang='en') vs the raw corpus,
@@ -1183,6 +1247,37 @@ object PipelineOps {
         |ORDER BY df DESC, cf DESC, tok
         |LIMIT 50""".stripMargin,
 
+    // Entropy replay: c·ln(c) terms through the staged 20-sqrt detLn
+    // (integer arguments — the kernel's best-accuracy regime), summed
+    // as DECIMAL(18,12), H = ln T − Σ/T assembled in double exactly
+    // like the Spark side.
+    "text_unigram_entropy" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, tok, COUNT(*) AS c FROM tok WHERE tok <> ''
+         |  GROUP BY doc_id, tok),
+         |t0 AS (
+         |  SELECT doc_id, c, ${sqlSqrt20("CAST(c AS DOUBLE)")} - 1.0 AS tt
+         |  FROM tf),
+         |t1 AS (
+         |  SELECT doc_id, c,
+         |    (tt - tt*tt/2.0 + tt*tt*tt/3.0) * 1048576.0 AS lnc
+         |  FROM t0),
+         |e AS (
+         |  SELECT doc_id, SUM(c) AS n_tokens,
+         |    SUM(CAST(CAST(c AS DOUBLE) * lnc AS DECIMAL(18,12))) AS s
+         |  FROM t1 GROUP BY doc_id),
+         |e2 AS (
+         |  SELECT doc_id, n_tokens, s,
+         |    ${sqlSqrt20("CAST(n_tokens AS DOUBLE)")} - 1.0 AS tt
+         |  FROM e)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  (tt - tt*tt/2.0 + tt*tt*tt/3.0) * 1048576.0
+         |    - CAST(s AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS entropy
+         |FROM e2 ORDER BY doc_id""".stripMargin,
+
     // BM25 replay: generated from the SAME Bm25Terms as the Spark side
     // (see bm25OracleSql) — bitwise detLn, decimal-exact term addition.
     "text_bm25_topk" -> bm25OracleSql,
@@ -1192,6 +1287,7 @@ object PipelineOps {
     // (build-even + fold-odd) index probes identically because
     // df/N/token totals are additive over disjoint doc sets.
     "bm25_index_probe" -> bm25OracleSql,
+    "retrieval_hybrid_rrf" -> hybridRrfOracleSql,
     "bm25_index_merge" -> bm25OracleSqlOver(
       "(SELECT * FROM documents WHERE doc_id < 300)"),
 

@@ -28,9 +28,9 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented counts") {
-    assert(SparkEntry.queries.size == 166,
+    assert(SparkEntry.queries.size == 168,
       s"queries=${SparkEntry.queries.size} — update README/ContractSpec together")
-    assert(SparkEntry.oracleSql.size == 147,
+    assert(SparkEntry.oracleSql.size == 149,
       s"oracles=${SparkEntry.oracleSql.size} — update README/ContractSpec together")
   }
 }

@@ -117,4 +117,55 @@ class Bm25Spec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("hybridRrf fuses reciprocal ranks, absent-from-list scoring 0") {
+    // Corpus engineered so the two lists disagree: BM25 ranks 1 then 2
+    // (doc 3 matches no term); cosine ranks 2 then 3 then 1 vs anchor 0.
+    val docs = Seq(
+      (1L, "cat dog bird"),
+      (2L, "cat fish fish fish"),
+      (3L, "fish bird owl")).toDF("doc_id", "text")
+    val embeds = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)),       // orthogonal to anchor
+      (2L, Array(1.0f, 0.1f)),       // closest
+      (3L, Array(1.0f, 0.5f))).toDF("vec_id", "embedding")
+    val out = Retrieval.hybridRrf(docs, embeds, Seq("cat", "dog"),
+        anchorId = 0L, poolK = 10, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    def rrf(rs: Int*) = rs.map(r => 1.0 / (60 + r)).sum
+    // doc 1: bm25 rank 1 + cos rank 3; doc 2: bm25 rank 2 + cos rank 1;
+    // doc 3: cosine-only rank 2.
+    val expected = Map(1L -> rrf(1, 3), 2L -> rrf(2, 1), 3L -> rrf(2))
+    assert(out.map(r => r._1 -> r._2).toMap == expected)
+    assert(out.map(_._1) == Seq(2L, 1L, 3L)) // fused order, rrf desc
+    assert(out.find(_._1 == 3L).get._3 == -1L) // no BM25 rank for doc 3
+  }
+
+  test("hybridRrf on the real corpus replays from its two top-k lists") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.engine.Tables.load(spark, dir, "documents")
+    val embeds = graft.engine.Tables.load(spark, dir, "embeddings")
+    val terms = Seq("hash", "join", "window", "stream")
+    val lex = TextAnalysis.bm25TopK(docs, "doc_id", "text", terms, 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+      .sortBy { case (id, s) => (-s, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val den = Similarity.cosineTopK(embeds, "vec_id", "embedding", 0L, 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, s) => (-s, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val expected = (lex.keySet ++ den.keySet).toSeq
+      .map { id =>
+        val s = lex.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+          den.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+        (id, s)
+      }
+      .sortBy { case (id, s) => (-s, id) }.take(20)
+    val out = Retrieval.hybridRrf(docs, embeds, terms, 0L, poolK = 50, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(out == expected)
+  }
 }
