@@ -928,6 +928,76 @@ object NativeExprs {
   def bm25Counts(text: Column, terms: Seq[String]): Column =
     ColumnBridge.column(Bm25Counts(ColumnBridge.expression(text), terms))
 
+  /** Per-document unigram Shannon entropy in ONE pass — tokenize,
+    * count, and fold H = ln T − (Σ c·ln c)/T without leaving the row.
+    * The composed form (explode → (doc, tok) count → per-doc sum) pays
+    * two corpus-sized shuffles for a value that is a pure function of
+    * the row; this kernel makes the operator a shuffle-free projection
+    * (the same hot-path rule as TextStats/Bm25Counts).
+    *
+    * Bitwise parity with the composed plan (pinned in TextEntropySpec):
+    * ln is the 20-sqrt detLn series on the SAME IEEE doubles, each
+    * c·ln(c) term is rounded to DECIMAL(18,12) exactly as Spark's
+    * double→decimal cast does (Double.toString canonical BigDecimal,
+    * HALF_UP at scale 12), terms accumulate exactly (BigDecimal — the
+    * decimal sum is order-free), and the final divide/subtract are the
+    * same two double ops. Returns null for a tokenless document — the
+    * composed groupBy drops those rows; callers filter. */
+  case class UnigramEntropy(child: Expression)
+      extends UnaryExpression with CodegenFallback with DeclaredInputTypes {
+    override def declaredInputTypes: Seq[DataType] = Seq(StringType)
+    override def nullable: Boolean = true
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("entropy", DoubleType, nullable = false)))
+    override def prettyName: String = "unigram_entropy"
+
+    private def detLn(x: Double): Double = {
+      var r = x
+      var i = 0
+      while (i < 20) { r = java.lang.Math.sqrt(r); i += 1 }
+      val t = r - 1.0
+      (t - t * t / 2.0 + t * t * t / 3.0) * 1048576.0
+    }
+
+    protected override def nullSafeEval(input: Any): Any = {
+      val s = input.toString.toLowerCase(java.util.Locale.ROOT)
+      val n = s.length
+      val counts = new java.util.HashMap[String, Array[Long]]()
+      var total = 0L
+      var i = 0
+      var start = 0
+      def flush(end: Int): Unit = if (end > start) {
+        total += 1
+        val c = counts.get(s.substring(start, end))
+        if (c == null) counts.put(s.substring(start, end), Array(1L))
+        else c(0) += 1
+      }
+      while (i < n) {
+        if (s.charAt(i) == ' ') { flush(i); start = i + 1 }
+        i += 1
+      }
+      flush(n)
+      if (total == 0) return null
+      var acc = java.math.BigDecimal.ZERO
+      val it = counts.values.iterator
+      while (it.hasNext) {
+        val c = it.next()(0).toDouble
+        val term = c * detLn(c)
+        acc = acc.add(new java.math.BigDecimal(java.lang.Double.toString(term))
+          .setScale(12, java.math.RoundingMode.HALF_UP))
+      }
+      val entropy = detLn(total.toDouble) - acc.doubleValue() / total.toDouble
+      org.apache.spark.sql.catalyst.InternalRow(total, entropy)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): UnigramEntropy =
+      copy(child = newChild)
+  }
+
+  def unigramEntropy(text: Column): Column =
+    ColumnBridge.column(UnigramEntropy(ColumnBridge.expression(text)))
+
   /** Trino `hamming_distance(a, b)`: differing code-point positions of
     * two equal-length strings (errors on length mismatch, like Trino). */
   case class HammingDist(left: Expression, right: Expression)

@@ -260,13 +260,27 @@ object TextAnalysis {
     * takes an INTEGER argument, so [[detLn]]'s absolute-error profile is
     * at its best and both engines replay it bitwise).
     *
-    * Scale shape: one token explode → one (doc, tok) count aggregate
-    * (map-side partials) → one per-doc aggregate — the same two-shuffle
-    * posting shape as tf-idf, no corpus-sized collect, no window.
-    * Determinism: c·detLn(c) terms sum as DECIMAL(18,12) (exact,
-    * associative — order-free addition), one double divide + subtract
-    * at the end. */
-  def unigramEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * Scale shape: ONE corpus scan, zero shuffles — entropy is a pure
+    * function of the row, so it evaluates as a native per-row kernel
+    * ([[graft.functions.NativeExprs.UnigramEntropy]]: tokenize, count,
+    * fold in one pass). Determinism: c·detLn(c) terms quantize to
+    * DECIMAL(18,12) and accumulate exactly (order-free), one double
+    * divide + subtract at the end — bitwise-equal to
+    * [[unigramEntropyComposed]], the explode → count → sum plan
+    * (parity pinned in TextEntropySpec; the composed shape is what the
+    * DuckDB oracle replays). */
+  def unigramEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol),
+        graft.functions.NativeExprs.unigramEntropy(col(textCol)).as("graft_e"))
+      .filter(col("graft_e").isNotNull)
+      .select(col(idCol), col("graft_e.n_tokens").as("n_tokens"),
+        col("graft_e.entropy").as("entropy"))
+
+  /** The two-shuffle composed form of [[unigramEntropy]] — the shape
+    * the DuckDB oracle replays; kept as the kernel's parity witness. */
+  private[graft] def unigramEntropyComposed(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(18, 12)
     val tf = docs
       .select(col(idCol), explode(split(lower(col(textCol)), " ")).as("graft_tok"))

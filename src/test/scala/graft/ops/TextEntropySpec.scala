@@ -24,6 +24,24 @@ class TextEntropySpec extends SparkSpec {
     assert(out(4L)._2 > out(1L)._2 && out(4L)._2 < out(2L)._2)
   }
 
+  test("native kernel equals the composed explode/count/sum plan bitwise") {
+    val docs = graft.engine.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val kernel = TextAnalysis.unigramEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val composed = TextAnalysis.unigramEntropyComposed(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(kernel.nonEmpty && kernel == composed) // bitwise: == on doubles
+  }
+
+  test("kernel path is a shuffle-free projection; tokenless docs drop") {
+    val docs = Seq((1L, "a b a"), (2L, "   "), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.unigramEntropy(docs, "doc_id", "text")
+    assert(out.collect().map(_.getLong(0)).toSeq == Seq(1L)) // 2, 3 drop
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan) // zero shuffles
+  }
+
   test("matches -sum(p ln p) recomputed per doc on the real corpus") {
     val docs = graft.engine.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val out = TextAnalysis.unigramEntropy(docs, "doc_id", "text")
