@@ -27,12 +27,17 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Retrieval {
 
-  /** 'b' + the term's first two md5 hex chars — 256 write buckets. The
-    * letter prefix keeps partition-column type inference from reading
-    * all-digit buckets ("07") back as integers; md5 (not hash()) so the
-    * DuckDB oracle can replay bucket assignment exactly. */
-  private def termBucket(tok: org.apache.spark.sql.Column) =
-    concat(lit("b"), substring(md5(tok), 1, 2))
+  /** 'b' + the term's first `hexChars` md5 hex chars — 16^hexChars
+    * write buckets (default 256). The letter prefix keeps
+    * partition-column type inference from reading all-digit buckets
+    * ("07") back as integers; md5 (not hash()) so the DuckDB oracle can
+    * replay bucket assignment exactly. Bucket width is an index LAYOUT
+    * parameter: 256+ for a corpus-scale index (pruning wins), 16 for a
+    * small verification corpus (256 near-empty partitioned-write files
+    * would be pure overhead). The index is self-describing — the width
+    * is recorded in `corpus/` and the probe reads it back. */
+  private def termBucket(tok: org.apache.spark.sql.Column, hexChars: Int) =
+    concat(lit("b"), substring(md5(tok), 1, hexChars))
 
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
@@ -44,7 +49,7 @@ object Retrieval {
     * one file per bucket — the same partitioned-write rule as the
     * minhash band index). */
   def buildBm25Index(docs: DataFrame, idCol: String, textCol: String,
-      path: String): Unit = {
+      path: String, hexChars: Int = 2): Unit = {
     val toks = docs
       .select(col(idCol).as("doc_id"),
         explode(split(lower(col(textCol)), " ")).as("tok"))
@@ -58,12 +63,13 @@ object Retrieval {
       val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       tf.join(dl, "doc_id")
         .select(col("tok"), col("doc_id"), col("tf"), col("dl"),
-          termBucket(col("tok")).as("bucket"))
+          termBucket(col("tok"), hexChars).as("bucket"))
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
       tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
         .write.mode("overwrite").parquet(s"$path/terms")
-      dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
+      dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"),
+          max(lit(hexChars)).as("bhex"))
         .write.mode("overwrite").parquet(s"$path/corpus")
     } finally tf.unpersist()
   }
@@ -86,6 +92,9 @@ object Retrieval {
   def mergeBm25Index(newDocs: DataFrame, idCol: String, textCol: String,
       path: String): Unit = {
     val spark = newDocs.sparkSession
+    // The index is self-describing: new postings must land in the SAME
+    // bucket layout the standing index was built with.
+    val (oldN, oldT, bhex) = corpusStats(spark, path)
     val toks = newDocs
       .select(col(idCol).as("doc_id"),
         explode(split(lower(col(textCol)), " ")).as("tok"))
@@ -96,7 +105,7 @@ object Retrieval {
       val dlNew = tfNew.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       tfNew.join(dlNew, "doc_id")
         .select(col("tok"), col("doc_id"), col("tf"), col("dl"),
-          termBucket(col("tok")).as("bucket"))
+          termBucket(col("tok"), bhex).as("bucket"))
         .repartition(col("bucket"))
         .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
       spark.read.parquet(s"$path/terms")
@@ -104,14 +113,38 @@ object Retrieval {
         .groupBy(col("tok")).agg(sum(col("df")).as("df"))
         .write.mode("overwrite").parquet(s"$path/terms_merge_tmp")
       replaceDir(spark, s"$path/terms_merge_tmp", s"$path/terms")
-      val old = spark.read.parquet(s"$path/corpus").collect()(0)
       val add = dlNew.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
         .collect()(0)
       import spark.implicits._
-      Seq((old.getLong(0) + add.getLong(0), old.getLong(1) + add.getLong(1)))
-        .toDF("n", "t")
+      Seq((oldN + add.getLong(0), oldT + add.getLong(1), bhex))
+        .toDF("n", "t", "bhex")
         .write.mode("overwrite").parquet(s"$path/corpus")
     } finally tfNew.unpersist()
+  }
+
+  /** The bucket hex width read from the postings directory names
+    * ("bucket=bXX" → 2) — one driver-side listing, no Spark job (the
+    * probe shouldn't pay a collect to learn the layout). */
+  private def bucketHexWidth(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(p).iterator
+      .map(_.getPath.getName)
+      .collectFirst { case n if n.startsWith("bucket=b") =>
+        n.length - "bucket=b".length }
+      .getOrElse(2)
+  }
+
+  /** The 1-row corpus stats (n docs, t tokens, bucket hex width).
+    * Indexes written before the width was recorded default to 2. */
+  private def corpusStats(spark: SparkSession, path: String): (Long, Long, Int) = {
+    val df = spark.read.parquet(s"$path/corpus")
+    val row = df.collect()(0)
+    val bhex =
+      if (df.columns.contains("bhex")) row.getInt(df.columns.indexOf("bhex"))
+      else 2
+    (row.getLong(df.columns.indexOf("n")), row.getLong(df.columns.indexOf("t")),
+      bhex)
   }
 
   private def replaceDir(spark: SparkSession, tmp: String, dst: String): Unit = {
@@ -179,13 +212,14 @@ object Retrieval {
   def probeBm25Index(spark: SparkSession, path: String,
       queryTerms: Seq[String], k: Int): DataFrame = {
     require(queryTerms.nonEmpty, "probeBm25Index: query terms must be non-empty")
-    val buckets = queryTerms.map(t => "b" + md5Hex(t).substring(0, 2)).distinct
+    val bhex = bucketHexWidth(spark, path)
+    val buckets = queryTerms.map(t => "b" + md5Hex(t).substring(0, bhex)).distinct
     val post = spark.read.parquet(s"$path/postings")
       .filter(col("bucket").isin(buckets: _*)) // partition pruning
       .filter(col("tok").isin(queryTerms: _*))
     val terms = spark.read.parquet(s"$path/terms")
       .filter(col("tok").isin(queryTerms: _*))
-    val corpus = spark.read.parquet(s"$path/corpus")
+    val corpus = spark.read.parquet(s"$path/corpus").select(col("n"), col("t"))
     val idf = terms.crossJoin(broadcast(corpus))
       .select(col("tok"), col("n"), col("t"),
         TextAnalysis.bm25Idf(col("n"), col("df")).as("idf"))

@@ -766,8 +766,12 @@ object PipelineOps {
       // bench shouldn't pay a triple full-table index build per round.
       val docs = t(s, d, "documents").filter(col("doc_id") < 300)
       val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_merge_${d.hashCode}"
+      // hexChars=1 (16 buckets): right-sized layout for the 300-doc
+      // verification corpus — 256 near-empty partitioned-write files
+      // were pure task overhead (the self-describing index records the
+      // width; probe pruning adapts).
       graft.ops.Retrieval.buildBm25Index(docs.filter(col("doc_id") % 2 === 0),
-        "doc_id", "text", idx)
+        "doc_id", "text", idx, hexChars = 1)
       graft.ops.Retrieval.mergeBm25Index(docs.filter(col("doc_id") % 2 === 1),
         "doc_id", "text", idx)
       graft.ops.Retrieval.probeBm25Index(s, idx, Bm25Terms, 20)
