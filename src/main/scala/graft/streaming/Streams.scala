@@ -127,6 +127,23 @@ object Streams {
         graft.functions.NativeExprs.deflateRatio(col(textCol)).as("ratio"))
       .filter(col("ratio") >= minRatio && col("ratio") <= maxRatio)
 
+  /** Streaming vocabulary-diversity gate — the online face of
+    * [[graft.ops.TextAnalysis.unigramEntropy]]: drop documents whose
+    * unigram entropy falls below `minEntropy` (one token looping =
+    * entropy ~0 — SEO spam, boilerplate). The kernel is a stateless
+    * per-row projection (append mode, no streaming state, no
+    * watermark), so the gate replays the batch operator bit-exactly —
+    * same kernel, same doubles (parity pinned in StreamsSpec). */
+  def entropyGateStream(docs: DataFrame, minEntropy: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol),
+        graft.functions.NativeExprs.unigramEntropy(col(textCol)).as("graft_e"))
+      .filter(col("graft_e").isNotNull)
+      .select(col(idCol), col("graft_e.n_tokens").as("n_tokens"),
+        col("graft_e.entropy").as("entropy"))
+      .filter(col("entropy") >= minEntropy)
+
   /** Stream query vectors against a PERSISTED IVF index
     * ([[graft.ops.Similarity.buildIvfIndex]]) — the online ANN serving
     * face: each query's nProbe nearest cells are a pure projection

@@ -409,6 +409,34 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming entropy gate equals the batch operator bit for bit") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.engine.Tables.load(spark, dir, "documents")
+    val watched = java.nio.file.Files.createTempDirectory("graft-egate-stream")
+    watched.toFile.deleteOnExit()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      watched.resolve("documents.parquet"))
+    val q = Streams.entropyGateStream(
+        spark.readStream.schema(docs.schema).parquet(watched.toString))
+      .writeStream.format("memory").queryName("stream_egate")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streaming = spark.table("stream_egate")
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+      // the gate = the batch operator + the threshold filter
+      val batch = graft.ops.TextAnalysis.unigramEntropy(docs, "doc_id", "text")
+        .filter(org.apache.spark.sql.functions.col("entropy") >= 0.5)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+      assert(streaming == batch && streaming.nonEmpty) // bitwise: == on doubles
+      // one-token spam has entropy 0 and drops
+      import spark.implicits._
+      val spam = Seq((1L, ("buy " * 200).trim)).toDF("doc_id", "text")
+      assert(Streams.entropyGateStream(spam).count() == 0)
+    } finally q.stop()
+  }
+
   test("streaming PII scrub equals batch (stateless projection)") {
     // redaction on the ingest stream — same scrubPii column expression,
     // no state, so streaming output must equal the batch projection
