@@ -1884,6 +1884,15 @@ object TrinoFunctions {
   private val splitCallPattern = java.util.regex.Pattern.compile(
     "(?i)(?<![A-Za-z0-9_])(split|xxhash64|repeat)(\\s*\\()")
 
+  // Trino `TABLESAMPLE BERNOULLI(p)` / `SYSTEM(p)` → Spark
+  // `TABLESAMPLE (p PERCENT)`. Spark's PERCENT sampling is per-row
+  // Bernoulli — exact semantics for BERNOULLI; for SYSTEM (Trino:
+  // per-split coin flip, "approximate" by its own docs) it is the
+  // closest row-level approximation and both are nondeterministic
+  // samples, so the mapping is documented rather than oracle-checked.
+  private val tablesamplePattern = java.util.regex.Pattern.compile(
+    "(?i)\\bTABLESAMPLE\\s+(BERNOULLI|SYSTEM)\\s*\\(\\s*([0-9]+(?:\\.[0-9]+)?)\\s*\\)")
+
   def preprocess(sql: String): String = {
     val masked = maskedRegions(sql)
     // `time with time zone` has no Spark equivalent (DIALECT.md): fail
@@ -1940,8 +1949,23 @@ object TrinoFunctions {
         slast = sm.end
       }
     }
-    if (slast == 0) afterNormalize
-    else { ssb.append(afterNormalize.substring(slast)); ssb.toString }
+    val afterSplit =
+      if (slast == 0) afterNormalize
+      else { ssb.append(afterNormalize.substring(slast)); ssb.toString }
+
+    val tmasked = maskedRegions(afterSplit)
+    val tm = tablesamplePattern.matcher(afterSplit)
+    val tsb = new StringBuilder
+    var tlast = 0
+    while (tm.find()) {
+      if (!tmasked(tm.start)) {
+        tsb.append(afterSplit.substring(tlast, tm.start))
+        tsb.append("TABLESAMPLE (").append(tm.group(2)).append(" PERCENT)")
+        tlast = tm.end
+      }
+    }
+    if (tlast == 0) afterSplit
+    else { tsb.append(afterSplit.substring(tlast)); tsb.toString }
   }
 
   /** Bitmask of positions inside 'literals', "identifiers" or comments. */

@@ -229,6 +229,26 @@ class TrinoFunctionsSpec extends SparkSpec {
       "SELECT date_add(week, 1, ts)")
   }
 
+  test("TABLESAMPLE BERNOULLI/SYSTEM rewrite to Spark PERCENT sampling") {
+    assert(TrinoFunctions.preprocess(
+      "SELECT * FROM lineitem TABLESAMPLE BERNOULLI(10)") ==
+      "SELECT * FROM lineitem TABLESAMPLE (10 PERCENT)")
+    assert(TrinoFunctions.preprocess(
+      "SELECT * FROM t TABLESAMPLE system(2.5)") ==
+      "SELECT * FROM t TABLESAMPLE (2.5 PERCENT)")
+    // masked inside literals
+    val lit = "SELECT 'TABLESAMPLE BERNOULLI(10)' AS s"
+    assert(TrinoFunctions.preprocess(lit) == lit)
+    // end-to-end through the guarded route: a sample is a subset
+    val r = qs.execute(
+      "SELECT COUNT(*) AS n FROM (SELECT * FROM lineitem TABLESAMPLE BERNOULLI(50))")
+      .toOption.get
+    val total = qs.execute("SELECT COUNT(*) AS n FROM lineitem")
+      .toOption.get.rows.head.head.toString.toLong
+    val n = r.rows.head.head.toString.toLong
+    assert(n > 0 && n < total)
+  }
+
   test("native extension functions callable from SQL") {
     assert(one("SELECT size(minhash_sig(array(CAST(1 AS BIGINT), CAST(2 AS BIGINT)), 16))") == 16)
     // xxhash64 carries Trino semantics (8-byte VARBINARY) on this
