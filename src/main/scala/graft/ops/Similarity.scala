@@ -554,6 +554,92 @@ object Similarity {
     probeTopKMd5(vecs, cents1, idCol, anchorId, k, nProbe)
   }
 
+  /** Incremental IVF index maintenance — the ANN analog of
+    * `Retrieval.mergeBm25Index`: assign a NEW batch of vectors against
+    * the index's STANDING quantizer (no retrain — the production
+    * incremental pattern: the quantizer is a rarely-retrained model
+    * artifact, daily ingest only assigns and appends) and append the
+    * rows into the same partitioned-by-cell layout. Because cell
+    * assignment is a pure per-row function of (vector, quantizer),
+    * `build(A); merge(B)` yields cells IDENTICAL to assigning A ∪ B
+    * against A's centroids — the additivity contract that makes the
+    * incremental path verifiable (pinned in SimilaritySpec; the md5
+    * twin below carries the cross-engine hash proof). Doc ids must be
+    * new to the index, as with the BM25 merge. */
+  def mergeIvfIndex(newEmbeddings: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val spark = newEmbeddings.sparkSession
+    val centDf = spark.read.parquet(s"$path/centroids")
+    assignCells(newEmbeddings, centDf, idCol, vecCol)
+      .repartition(col("cell_id"))
+      .write.partitionBy("cell_id").mode("append").parquet(s"$path/cells")
+  }
+
+  /** The persisted md5-twin IVF index: same cells-partitioned layout
+    * as [[buildIvfIndex]], but md5-ordered seeds and the quantized-dot
+    * cosine ([[ivfTopKMd5]]'s geometry), so the ENTIRE persisted
+    * build → merge → probe path replays bit-identically in DuckDB.
+    * Cells carry (graft_id, graft_v, graft_dd); parquet float32
+    * round-trips bit-exactly, so the stored self-dot equals the
+    * recomputed one. */
+  def buildIvfIndexMd5(embeddings: DataFrame, idCol: String, vecCol: String,
+      path: String, nCells: Int): Unit = {
+    val vecs = quantVecs(embeddings, idCol, vecCol)
+    // model-sized; materialized so seed sort doesn't re-run per branch
+    val cents = md5SeedCents(vecs, nCells).localCheckpoint(true)
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    writeIvfCellsMd5(vecs, cents, path, "overwrite")
+  }
+
+  /** Fold a new batch into the persisted md5-twin index: assign against
+    * the standing centroid table, append into the cell layout. */
+  def mergeIvfIndexMd5(newEmbeddings: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val spark = newEmbeddings.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+    writeIvfCellsMd5(quantVecs(newEmbeddings, idCol, vecCol), cents, path,
+      "append")
+  }
+
+  private def writeIvfCellsMd5(vecs: DataFrame, cents: DataFrame,
+      path: String, mode: String): Unit =
+    nearestCell(centScored(vecs, cents))
+      .join(vecs, "graft_id")
+      .select(col("graft_id"), col("graft_v"), col("graft_dd"), col("cell_id"))
+      .repartition(col("cell_id")) // one writer, one file per cell
+      .write.partitionBy("cell_id").mode(mode).parquet(s"$path/cells")
+
+  /** Probe the persisted md5-twin index: nProbe best cells by the
+    * quantized-dot anchor×centroid cosine (same arithmetic as
+    * [[probeTopKMd5]]'s probe selection), then a partition-PRUNED scan
+    * of those cells' files, quantized cosine top-k. After a merge this
+    * equals the single-build probe bitwise (assignment is pure), which
+    * is exactly what the DuckDB oracle replays. */
+  def ivfIndexProbeMd5(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, anchorId: Long, k: Int, nProbe: Int): DataFrame = {
+    val cells = spark.read.parquet(s"$path/cells")
+      .select(col("graft_id"), col("graft_v"), col("graft_dd"),
+        col("cell_id").cast("long").as("cell_id"))
+    val cents = spark.read.parquet(s"$path/centroids")
+    val anchor = cells.filter(col("graft_id") === anchorId)
+      .select(col("graft_v").as("anchor_v"), col("graft_dd").as("anchor_dd"))
+    val probe = cents.crossJoin(broadcast(anchor))
+      .select(col("cent_id"),
+        (dotQuant(col("cent_v"), col("anchor_v")).cast("double") /
+          sqrt(col("cent_dd") * col("anchor_dd"))).as("graft_cos"))
+      .orderBy(col("graft_cos").desc, col("cent_id"))
+      .limit(nProbe)
+      .select(col("cent_id").as("cell_id"))
+    cells.join(broadcast(probe), "cell_id")
+      .crossJoin(broadcast(anchor))
+      .filter(col("graft_id") =!= anchorId)
+      .select(col("graft_id").as(idCol),
+        (dotQuant(col("graft_v"), col("anchor_v")).cast("double") /
+          sqrt(col("graft_dd") * col("anchor_dd"))).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Oracle-verification twin of the PQ/ADC path ([[pqTopK]] family):
     * md5-ordered seed vectors supply every subspace's initial
     * codebook, ONE Lloyd iteration with the integer-quantized mean

@@ -414,6 +414,31 @@ object PipelineOps {
       Similarity.ivfKmeansMd5(t(s, d, "embeddings"), "vec_id", "embedding",
         anchorId = 0L, k = 10, nCells = 40, nProbe = 2)),
 
+    // Incremental ANN index maintenance wired end to end (the
+    // embedding-side analog of bm25_index_merge): build the persisted
+    // IVF index over the even half (md5 seeds drawn from that half),
+    // FOLD the odd half in against the standing quantizer
+    // (Similarity.mergeIvfIndexMd5 — assign + append, no retrain),
+    // probe the merged index. Assignment is a pure per-row function of
+    // (vector, quantizer), so the merged cells equal assigning the
+    // whole corpus against the even-half centroids — which is exactly
+    // what the DuckDB oracle replays: the incremental path is
+    // hash-verified, not just unit-pinned.
+    "embed_ivf_merge" -> ((s, d) => {
+      // Bounded corpus (vec_id < 2000, the ANN-twin convention): the
+      // additivity being verified is per-row arithmetic, not corpus
+      // size, and the bench shouldn't pay a double index build on the
+      // full table every round.
+      val docs = t(s, d, "embeddings").filter(col("vec_id") < 2000)
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_merge_${d.hashCode}"
+      Similarity.buildIvfIndexMd5(docs.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", idx, nCells = 40)
+      Similarity.mergeIvfIndexMd5(docs.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", idx)
+      Similarity.ivfIndexProbeMd5(s, idx, "vec_id", anchorId = 0L,
+        k = 10, nProbe = 2)
+    }),
+
     // PQ/ADC twin: md5-seeded per-subspace codebooks, one quantized
     // Lloyd update, integer-quantized L2 for assignment/encode/ADC —
     // the whole product-quantization pipeline as exact BIGINT
@@ -1435,6 +1460,54 @@ object PipelineOps {
         |  SELECT e.vec_id,
         |    CAST(SUM(CAST(floor(CAST(e.embedding[s.i] AS DOUBLE)*CAST(an.av[s.i] AS DOUBLE)*1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS qdot
         |  FROM embeddings e, anch an, s GROUP BY e.vec_id)
+        |SELECT a.vec_id, ad.qdot / sqrt(vd.dd * an.a_dd) AS cos_sim
+        |FROM assign a
+        |  JOIN probe USING (cell_id)
+        |  JOIN adot ad ON ad.vec_id = a.vec_id
+        |  JOIN vd ON vd.vec_id = a.vec_id, anch an
+        |WHERE a.vec_id <> 0
+        |ORDER BY cos_sim DESC, a.vec_id LIMIT 10""".stripMargin,
+
+    // Merged-index replay: the embed_ivf_topk_md5 arithmetic with the
+    // seed pool restricted to the even half (the standing index's
+    // quantizer) — assignment over the WHOLE corpus against those
+    // centroids IS the post-merge cell state, so this one query
+    // hash-verifies build + incremental fold + probe.
+    "embed_ivf_merge" ->
+      """WITH emb AS (SELECT * FROM embeddings WHERE vec_id < 2000),
+        |s AS (SELECT unnest(generate_series(1, 64)) AS i),
+        |vd AS (
+        |  SELECT e.vec_id,
+        |    CAST(SUM(CAST(floor(CAST(e.embedding[s.i] AS DOUBLE)*CAST(e.embedding[s.i] AS DOUBLE)*1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS dd
+        |  FROM emb e, s GROUP BY e.vec_id),
+        |cents AS (
+        |  SELECT e.vec_id AS cent_id, e.embedding AS cv, vd.dd AS cdd
+        |  FROM emb e JOIN vd USING (vec_id)
+        |  WHERE e.vec_id % 2 = 0
+        |  ORDER BY md5(CAST(e.vec_id AS VARCHAR)), e.vec_id LIMIT 40),
+        |qd AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    CAST(SUM(CAST(floor(CAST(e.embedding[s.i] AS DOUBLE)*CAST(c.cv[s.i] AS DOUBLE)*1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS qdot
+        |  FROM emb e, cents c, s
+        |  GROUP BY e.vec_id, c.cent_id),
+        |scored AS (
+        |  SELECT qd.vec_id, qd.cent_id, qd.qdot / sqrt(vd.dd * c.cdd) AS cos
+        |  FROM qd JOIN vd USING (vec_id) JOIN cents c ON qd.cent_id = c.cent_id),
+        |assign AS (
+        |  SELECT vec_id, cent_id AS cell_id FROM (
+        |    SELECT vec_id, cent_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |probe AS (
+        |  SELECT cent_id AS cell_id FROM scored WHERE vec_id = 0
+        |  ORDER BY cos DESC, cent_id LIMIT 2),
+        |anch AS (
+        |  SELECT e.embedding AS av, vd.dd AS a_dd
+        |  FROM emb e JOIN vd USING (vec_id) WHERE e.vec_id = 0),
+        |adot AS (
+        |  SELECT e.vec_id,
+        |    CAST(SUM(CAST(floor(CAST(e.embedding[s.i] AS DOUBLE)*CAST(an.av[s.i] AS DOUBLE)*1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS qdot
+        |  FROM emb e, anch an, s GROUP BY e.vec_id)
         |SELECT a.vec_id, ad.qdot / sqrt(vd.dd * an.a_dd) AS cos_sim
         |FROM assign a
         |  JOIN probe USING (cell_id)

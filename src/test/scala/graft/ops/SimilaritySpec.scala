@@ -262,6 +262,45 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
 
+  test("IVF merge: build(even)+merge(odd) probes bitwise like the single build") {
+    // production path: the standing quantizer comes from the even half;
+    // the single-build comparison assigns the WHOLE corpus against the
+    // same centroids — additivity holds because assignment is a pure
+    // per-row function of (vector, quantizer)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-merge").toString
+    val even = emb.filter(col("vec_id") % 2 === 0)
+    val odd = emb.filter(col("vec_id") % 2 === 1)
+    val cents = Similarity.buildIvfIndex(even, "vec_id", "embedding",
+      s"$tmp/idx", nCells = 16)
+    Similarity.mergeIvfIndex(odd, "vec_id", "embedding", s"$tmp/idx")
+    val merged = spark.read.parquet(s"$tmp/idx/cells")
+      .select(col("vec_id"), col("cell_id").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val whole = Similarity.assignCells(emb, cents, "vec_id", "embedding")
+      .select(col("vec_id"), col("cell_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged.nonEmpty && merged == whole)
+    // the persisted md5-twin trio: merged probe equals the single-build
+    // probe bit for bit (same quantizer, pure assignment)
+    Similarity.buildIvfIndexMd5(even, "vec_id", "embedding",
+      s"$tmp/twin_m", nCells = 16)
+    Similarity.mergeIvfIndexMd5(odd, "vec_id", "embedding", s"$tmp/twin_m")
+    val probeMerged = Similarity.ivfIndexProbeMd5(spark, s"$tmp/twin_m",
+        "vec_id", 0L, 10, 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // single-build equivalent: same even-half seed pool, whole corpus.
+    // buildIvfIndexMd5 seeds from its input, so seed the comparison
+    // index manually: centroids copied from the merged index, cells
+    // re-derived from the whole corpus in one build.
+    val centsTwin = spark.read.parquet(s"$tmp/twin_m/centroids")
+    centsTwin.write.parquet(s"$tmp/twin_s/centroids")
+    Similarity.mergeIvfIndexMd5(emb, "vec_id", "embedding", s"$tmp/twin_s")
+    val probeSingle = Similarity.ivfIndexProbeMd5(spark, s"$tmp/twin_s",
+        "vec_id", 0L, 10, 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probeMerged.nonEmpty && probeMerged == probeSingle)
+  }
+
   test("SRP candidates carry correct exact cosines") {
     val pairs = Similarity.srpCandidatePairs(emb, "vec_id", "embedding",
         bits = 32, bands = 4)
