@@ -963,6 +963,24 @@ object Similarity {
     spark.read.parquet(s"$path/codebooks")
   }
 
+  /** Incremental PQ index maintenance — the third index family's merge
+    * (next to `Retrieval.mergeBm25Index` and [[mergeIvfIndex]]): encode
+    * a NEW batch with the index's STANDING codebooks (no retrain — the
+    * codebook is the rarely-retrained model artifact) and append the
+    * codes. Encoding is a pure per-row function of (vector, codebooks),
+    * so `build(A); merge(B)` yields a codes table identical to encoding
+    * A ∪ B with A's books, and the ADC probe of the merged index equals
+    * the single-build probe bit for bit (pinned in SimilaritySpec —
+    * the probe-side arithmetic is already oracle-green via
+    * embed_pq_topk_md5). Vector ids must be new to the index. */
+  def mergePqIndex(newEmbeddings: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val spark = newEmbeddings.sparkSession
+    pqEncode(newEmbeddings, spark.read.parquet(s"$path/codebooks"),
+        idCol, vecCol)
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
   /** Probe a persisted PQ index: codebooks load to the driver
     * (model-sized), the anchor's lookup tables ship as literals, and ONE
     * scan of the codes table scores every vector — no training, no

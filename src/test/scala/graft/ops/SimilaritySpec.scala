@@ -301,6 +301,32 @@ class SimilaritySpec extends SparkSpec {
     assert(probeMerged.nonEmpty && probeMerged == probeSingle)
   }
 
+  test("PQ merge: build(even)+merge(odd) probes bitwise like the single build") {
+    // encoding is a pure per-row function of (vector, codebooks):
+    // fold the odd half into an even-half index, then compare against
+    // encoding the whole corpus with the same standing books
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pq-merge").toString
+    val even = emb.filter(col("vec_id") % 2 === 0)
+    val odd = emb.filter(col("vec_id") % 2 === 1)
+    val books = Similarity.buildPqIndex(even, "vec_id", "embedding",
+      s"$tmp/idx", m = 8, ksub = 16, iters = 1)
+    Similarity.mergePqIndex(odd, "vec_id", "embedding", s"$tmp/idx")
+    val anchorVec = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val merged = Similarity.pqTopKIndexed(spark, s"$tmp/idx", "vec_id",
+        anchorVec, k = 10, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // single-build equivalent: whole corpus encoded with the SAME books
+    Similarity.pqEncode(emb, books, "vec_id", "embedding")
+      .write.parquet(s"$tmp/single/codes")
+    spark.read.parquet(s"$tmp/idx/codebooks")
+      .write.parquet(s"$tmp/single/codebooks")
+    val single = Similarity.pqTopKIndexed(spark, s"$tmp/single", "vec_id",
+        anchorVec, k = 10, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(merged.nonEmpty && merged == single)
+  }
+
   test("SRP candidates carry correct exact cosines") {
     val pairs = Similarity.srpCandidatePairs(emb, "vec_id", "embedding",
         bits = 32, bands = 4)
