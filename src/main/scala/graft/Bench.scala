@@ -77,8 +77,16 @@ object Bench {
     // Only a FULL default-profile run may refresh the committed
     // reference: a SPARK_GRAFT_ONLY subset or an off-sf run once
     // clobbered BENCH_LOCAL.json with a 1-query profile and the
-    // bench_check gate compared against garbage.
-    if (only.isEmpty && sfDir == "/root/testdata/sf0.1")
+    // bench_check gate compared against garbage — and an off-config
+    // run (cpus/reps/partitions overridden) would record a profile the
+    // gate's thresholds don't mean anything against.
+    // (the reference config is local[32], median-of-3, AQE partitions
+    // = cores — what bench_check.sh runs; CPUS defaults to 4 only for
+    // ad-hoc laptop runs, which must not refresh either)
+    val referenceConfig = only.isEmpty && sfDir == "/root/testdata/sf0.1" &&
+      cpus == "32" && reps == 3 &&
+      !sys.env.contains("SPARK_GRAFT_INITIAL_PARTITIONS")
+    if (referenceConfig)
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
         (full + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () } // bench result on stdout is the contract

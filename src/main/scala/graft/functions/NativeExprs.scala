@@ -894,10 +894,13 @@ object NativeExprs {
     override def prettyName: String = "bm25_counts"
 
     protected override def nullSafeEval(input: Any): Any = {
-      // Spark's lower() (UTF8_BINARY collation) lowercases the whole
-      // string; Locale.ROOT matches it on every corpus this serves and
-      // the kernel-vs-HOF parity pin guards the claim.
-      val s = input.toString.toLowerCase(java.util.Locale.ROOT)
+      // Lowercase through Spark's OWN kernel (UTF8String.toLowerCase —
+      // what the lower() builtin calls), so parity with the composed
+      // plan holds for every input and default locale, not just ASCII
+      // (Locale.ROOT diverged from Spark's non-ASCII path on e.g. a
+      // Turkish-locale JVM).
+      val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .toLowerCase.toString
       val n = s.length
       val tf = new Array[Int](terms.length)
       var dl = 0
@@ -961,7 +964,9 @@ object NativeExprs {
     }
 
     protected override def nullSafeEval(input: Any): Any = {
-      val s = input.toString.toLowerCase(java.util.Locale.ROOT)
+      // same rule as Bm25Counts: lowercase through Spark's own kernel
+      val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .toLowerCase.toString
       val n = s.length
       val counts = new java.util.HashMap[String, Array[Long]]()
       var total = 0L

@@ -184,18 +184,20 @@ object Retrieval {
     * exactly in DuckDB. */
   def hybridRrf(docs: DataFrame, embeddings: DataFrame,
       queryTerms: Seq[String], anchorId: Long,
-      poolK: Int, k: Int, rrfK: Int = 60): DataFrame = {
+      poolK: Int, k: Int, rrfK: Int = 60,
+      idCol: String = "doc_id", textCol: String = "text",
+      vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Each pool is poolK rows by construction — a single-partition
     // window over it is a deliberate constant-size step, not a skew.
-    val wB = Window.orderBy(col("bm25").desc, col("doc_id"))
-    val lexical = TextAnalysis.bm25TopK(docs, "doc_id", "text", queryTerms, poolK)
-      .select(col("doc_id"),
+    val wB = Window.orderBy(col("bm25").desc, col(idCol))
+    val lexical = TextAnalysis.bm25TopK(docs, idCol, textCol, queryTerms, poolK)
+      .select(col(idCol).as("doc_id"),
         row_number().over(wB).cast("long").as("r_bm25"))
-    val wC = Window.orderBy(col("cos_sim").desc, col("vec_id"))
-    val dense = Similarity.cosineTopK(embeddings, "vec_id", "embedding",
+    val wC = Window.orderBy(col("cos_sim").desc, col(vecIdCol))
+    val dense = Similarity.cosineTopK(embeddings, vecIdCol, vecCol,
         anchorId, poolK)
-      .select(col("vec_id").as("doc_id"),
+      .select(col(vecIdCol).as("doc_id"),
         row_number().over(wC).cast("long").as("r_cos"))
     val kd = lit(rrfK).cast("long")
     lexical.join(dense, Seq("doc_id"), "full_outer")

@@ -136,12 +136,7 @@ object Streams {
     * same kernel, same doubles (parity pinned in StreamsSpec). */
   def entropyGateStream(docs: DataFrame, minEntropy: Double = 0.5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs
-      .select(col(idCol),
-        graft.functions.NativeExprs.unigramEntropy(col(textCol)).as("graft_e"))
-      .filter(col("graft_e").isNotNull)
-      .select(col(idCol), col("graft_e.n_tokens").as("n_tokens"),
-        col("graft_e.entropy").as("entropy"))
+    graft.ops.TextAnalysis.unigramEntropy(docs, idCol, textCol)
       .filter(col("entropy") >= minEntropy)
 
   /** Stream query vectors against a PERSISTED IVF index
