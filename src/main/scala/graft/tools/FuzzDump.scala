@@ -399,7 +399,32 @@ object FuzzDump {
         (0 until n).map(i => s"${c.pick(aggs)()} AS c${keys.length + i}")
     }
 
-    rng.nextInt(16) match {
+    rng.nextInt(18) match {
+      case 16 => // nested set ops (v5): three predicate-split legs over
+        // the same projection, composed left-parenthesized — ANSI
+        // distinct semantics for UNION/INTERSECT/EXCEPT in both
+        // engines, NULL-equal grouping in both.
+        val its = items(2)
+        def leg() =
+          s"SELECT ${its.mkString(", ")} FROM ${rel.sql} WHERE ${boolExpr(c, 1)}"
+        val ops = Seq("UNION", "UNION ALL", "INTERSECT", "EXCEPT")
+        val q = s"(${leg()} ${c.pick(ops)} ${leg()}) ${c.pick(ops)} ${leg()}"
+        s"SELECT * FROM ($q) t ${orderBy(c, its.length)}"
+      case 17 => // derived-table join + GROUP BY ordinal (v5): two
+        // aliased filtered subqueries joined on a real FK edge, grouped
+        // by ordinal (both engines resolve ordinals in GROUP BY).
+        val (lt, rt, lk, rk) = joins(rng.nextInt(joins.length))
+        val lTbl = tables.find(_.name == lt).get
+        val rTbl = tables.find(_.name == rt).get
+        val lc = Ctx(rng, Map("int" -> lTbl.ints, "str" -> lTbl.strs,
+          "ts" -> lTbl.tss))
+        val rc = Ctx(rng, Map("int" -> rTbl.ints, "str" -> rTbl.strs,
+          "ts" -> rTbl.tss))
+        val gk = if (rTbl.strs.nonEmpty) s"b.${rc.pick(rTbl.strs)}" else s"b.$rk"
+        s"SELECT $gk AS c0, count(*) AS c1, CAST(sum(a.$lk) AS BIGINT) AS c2" +
+          s" FROM (SELECT * FROM $lt WHERE ${boolExpr(lc, 1)}) a" +
+          s" JOIN (SELECT * FROM $rt WHERE ${boolExpr(rc, 1)}) b ON a.$lk = b.$rk" +
+          s" GROUP BY 1 ${orderBy(c, 3)}"
       case 13 => // CTE (v4): WITH wraps a filtered projection, outer
         // re-filters and re-orders — exercises Spark's CTE inlining vs
         // DuckDB's materialization for identical results.

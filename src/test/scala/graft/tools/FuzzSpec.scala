@@ -50,5 +50,5 @@ object FuzzSpec {
     * DuckDB-side divergences now excluded by construction (date_trunc
     * nullability stats over outer joins, split_part NULL→'', rollup
     * join-equal key fill — DIALECT.md "oracle quirks"). */
-  val GoldenHash = "10f428e5b9b6580700755d61c30ad8a1"
+  val GoldenHash = "8525692f07dde936337918d95d4fb9e1"
 }
