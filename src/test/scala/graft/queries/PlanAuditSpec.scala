@@ -93,6 +93,10 @@ class PlanAuditSpec extends SparkSpec {
       // batch kNN scores every vector against the fixed nAnchors-row
       // broadcast anchor set — the cross product IS the semantics
       "embed_knn_batch", "embed_ivf_topk_md5", "embed_ivf_kmeans_md5", "embed_pq_topk_md5",
+      // the merged-index trio scores the corpus against the fixed
+      // 40-row standing centroid broadcast (build + fold) and crosses
+      // the 1-row anchor into the probe — same class as the twins
+      "embed_ivf_merge",
       // semdedup's cluster assignment scores every vector against the
       // fixed-nClusters broadcast centroid set (same shape as the IVF
       // twins); the pairing stage itself is an equi-join on cell_id
