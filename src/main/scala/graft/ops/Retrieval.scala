@@ -186,25 +186,57 @@ object Retrieval {
       queryTerms: Seq[String], anchorId: Long,
       poolK: Int, k: Int, rrfK: Int = 60,
       idCol: String = "doc_id", textCol: String = "text",
-      vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    rrfFuse(Seq(
+      ("r_bm25", TextAnalysis.bm25TopK(docs, idCol, textCol, queryTerms, poolK),
+        idCol, "bm25"),
+      ("r_cos", Similarity.cosineTopK(embeddings, vecIdCol, vecCol,
+        anchorId, poolK), vecIdCol, "cos_sim")), k, rrfK)
+
+  /** The same fusion served ENTIRELY from persisted indexes — the
+    * production RAG shape: one bucket-pruned BM25 probe
+    * ([[probeBm25Index]], bitwise-equal to the ad-hoc scan) + one
+    * brute/ANN probe, zero corpus scans, constant-size fusion. With
+    * the brute dense side this equals [[hybridRrf]] bit for bit
+    * (pinned in Bm25Spec); swap in `Similarity.ivfTopKIndexed` /
+    * `pqTopKIndexed` as the dense list for the approximate serving
+    * path — [[rrfFuse]] only needs (id, score) lists. */
+  def hybridRrfIndexed(spark: SparkSession, bm25IndexPath: String,
+      embeddings: DataFrame, queryTerms: Seq[String], anchorId: Long,
+      poolK: Int, k: Int, rrfK: Int = 60,
+      vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    rrfFuse(Seq(
+      ("r_bm25", probeBm25Index(spark, bm25IndexPath, queryTerms, poolK),
+        "doc_id", "bm25"),
+      ("r_cos", Similarity.cosineTopK(embeddings, vecIdCol, vecCol,
+        anchorId, poolK), vecIdCol, "cos_sim")), k, rrfK)
+
+  /** N-list reciprocal-rank fusion over (rankColName, list, idCol,
+    * scoreCol) tuples: each list is ranked over (score desc, id asc),
+    * lists full-outer-join on the id, fused score = Σ 1/(rrfK+rank)
+    * with absent-from-list contributing 0, top-k by (rrf desc, id).
+    * Every list is already bounded (top-poolK by construction), so the
+    * single-partition ranking windows and the fuse joins are
+    * constant-size at any corpus scale. */
+  def rrfFuse(lists: Seq[(String, DataFrame, String, String)],
+      k: Int, rrfK: Int = 60): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // Each pool is poolK rows by construction — a single-partition
-    // window over it is a deliberate constant-size step, not a skew.
-    val wB = Window.orderBy(col("bm25").desc, col(idCol))
-    val lexical = TextAnalysis.bm25TopK(docs, idCol, textCol, queryTerms, poolK)
-      .select(col(idCol).as("doc_id"),
-        row_number().over(wB).cast("long").as("r_bm25"))
-    val wC = Window.orderBy(col("cos_sim").desc, col(vecIdCol))
-    val dense = Similarity.cosineTopK(embeddings, vecIdCol, vecCol,
-        anchorId, poolK)
-      .select(col(vecIdCol).as("doc_id"),
-        row_number().over(wC).cast("long").as("r_cos"))
+    require(lists.nonEmpty, "rrfFuse: at least one ranked list")
+    val ranked = lists.map { case (rankName, df, idCol, scoreCol) =>
+      val w = Window.orderBy(col(scoreCol).desc, col(idCol))
+      (rankName,
+        df.select(col(idCol).as("doc_id"),
+          row_number().over(w).cast("long").as(rankName)))
+    }
+    val joined = ranked.map(_._2)
+      .reduce((a, b) => a.join(b, Seq("doc_id"), "full_outer"))
     val kd = lit(rrfK).cast("long")
-    lexical.join(dense, Seq("doc_id"), "full_outer")
-      .select(col("doc_id"),
-        (coalesce(lit(1.0) / (kd + col("r_bm25")), lit(0.0)) +
-          coalesce(lit(1.0) / (kd + col("r_cos")), lit(0.0))).as("rrf"),
-        col("r_bm25"), col("r_cos"))
+    val rrf = ranked.map { case (rankName, _) =>
+      coalesce(lit(1.0) / (kd + col(rankName)), lit(0.0))
+    }.reduce(_ + _)
+    joined
+      .select(col("doc_id") +: rrf.as("rrf") +:
+        ranked.map { case (rankName, _) => col(rankName) }: _*)
       .orderBy(col("rrf").desc, col("doc_id"))
       .limit(k)
   }

@@ -144,6 +144,21 @@ class Bm25Spec extends SparkSpec {
     assert(out.find(_._1 == 3L).get._3 == -1L) // no BM25 rank for doc 3
   }
 
+  test("hybridRrfIndexed (persisted-index serving) equals the ad-hoc fusion") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.engine.Tables.load(spark, dir, "documents")
+    val embeds = graft.engine.Tables.load(spark, dir, "embeddings")
+    val terms = Seq("hash", "join", "window", "stream")
+    val idx = java.nio.file.Files.createTempDirectory("graft-hrrf-idx").toString
+    Retrieval.buildBm25Index(docs, "doc_id", "text", idx)
+    val indexed = Retrieval.hybridRrfIndexed(spark, idx, embeds, terms,
+        anchorId = 0L, poolK = 50, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val adhoc = Retrieval.hybridRrf(docs, embeds, terms, 0L, poolK = 50, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(indexed.nonEmpty && indexed == adhoc) // bitwise: == on doubles
+  }
+
   test("hybridRrf on the real corpus replays from its two top-k lists") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.engine.Tables.load(spark, dir, "documents")
