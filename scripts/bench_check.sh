@@ -28,6 +28,16 @@ if ! SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
   exit 1
 fi
 
+# Bench only records a profile from the reference config (local[32],
+# median-of-3, default sf + partitions). If it refused to write, the
+# compare below would diff the committed file against itself and pass
+# vacuously — fail loudly instead.
+if cmp -s /tmp/bench_check_ref.json "$REF"; then
+  echo "FAIL: Bench did not record a new profile (off-reference config?" \
+       "check SPARK_GRAFT_CPUS/REPS/SF_DIR/INITIAL_PARTITIONS) — nothing was gated"
+  exit 1
+fi
+
 python3 - <<'EOF' || { cp /tmp/bench_check_ref.json BENCH_LOCAL.json; exit 1; }
 import json, sys
 ref = json.load(open('/tmp/bench_check_ref.json'))

@@ -21,13 +21,6 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", cpus))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.timeType.enabled", "true")
-      // v2 file commit: task outputs move straight to the destination
-      // at task commit instead of the v1 double-rename at job commit —
-      // halves the fixed cost of every index-materialization query
-      // (the bm25/ivf/pq build+merge trio writes 300+ partition dirs
-      // per bench pass). Standard choice where job-commit atomicity
-      // isn't needed; same setting in Engine sessions.
-      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Logs.silenceWindowWarn()

@@ -67,11 +67,6 @@ class Engine(
           sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", cpus))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        // v2 file commit: task outputs promote at task commit instead
-        // of the v1 job-commit double-rename — a fixed-cost cut for
-        // every index materialization (bm25/ivf/pq write partitioned
-        // layouts). Standard where job-commit atomicity isn't needed.
-        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .getOrCreate()
     }
     // Trino quotes identifiers with "double quotes" (the sanitizer pins

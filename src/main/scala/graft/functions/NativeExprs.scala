@@ -974,8 +974,9 @@ object NativeExprs {
       var start = 0
       def flush(end: Int): Unit = if (end > start) {
         total += 1
-        val c = counts.get(s.substring(start, end))
-        if (c == null) counts.put(s.substring(start, end), Array(1L))
+        val tok = s.substring(start, end)
+        val c = counts.get(tok)
+        if (c == null) counts.put(tok, Array(1L))
         else c(0) += 1
       }
       while (i < n) {

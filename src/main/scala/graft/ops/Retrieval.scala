@@ -34,8 +34,10 @@ object Retrieval {
     * replay bucket assignment exactly. Bucket width is an index LAYOUT
     * parameter: 256+ for a corpus-scale index (pruning wins), 16 for a
     * small verification corpus (256 near-empty partitioned-write files
-    * would be pure overhead). The index is self-describing — the width
-    * is recorded in `corpus/` and the probe reads it back. */
+    * would be pure overhead). The index is self-describing with ONE
+    * source of truth — the postings directory names themselves
+    * ([[bucketHexWidth]]); merge and probe both read the width from
+    * there, so the layouts can never disagree. */
   private def termBucket(tok: org.apache.spark.sql.Column, hexChars: Int) =
     concat(lit("b"), substring(md5(tok), 1, hexChars))
 
@@ -68,8 +70,7 @@ object Retrieval {
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
       tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
         .write.mode("overwrite").parquet(s"$path/terms")
-      dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"),
-          max(lit(hexChars)).as("bhex"))
+      dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
         .write.mode("overwrite").parquet(s"$path/corpus")
     } finally tf.unpersist()
   }
@@ -93,8 +94,10 @@ object Retrieval {
       path: String): Unit = {
     val spark = newDocs.sparkSession
     // The index is self-describing: new postings must land in the SAME
-    // bucket layout the standing index was built with.
-    val (oldN, oldT, bhex) = corpusStats(spark, path)
+    // bucket layout the standing index was built with (width read from
+    // the postings directory names — the one source of truth).
+    val bhex = bucketHexWidth(spark, path)
+    val (oldN, oldT) = corpusStats(spark, path)
     val toks = newDocs
       .select(col(idCol).as("doc_id"),
         explode(split(lower(col(textCol)), " ")).as("tok"))
@@ -116,8 +119,8 @@ object Retrieval {
       val add = dlNew.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
         .collect()(0)
       import spark.implicits._
-      Seq((oldN + add.getLong(0), oldT + add.getLong(1), bhex))
-        .toDF("n", "t", "bhex")
+      Seq((oldN + add.getLong(0), oldT + add.getLong(1)))
+        .toDF("n", "t")
         .write.mode("overwrite").parquet(s"$path/corpus")
     } finally tfNew.unpersist()
   }
@@ -135,16 +138,11 @@ object Retrieval {
       .getOrElse(2)
   }
 
-  /** The 1-row corpus stats (n docs, t tokens, bucket hex width).
-    * Indexes written before the width was recorded default to 2. */
-  private def corpusStats(spark: SparkSession, path: String): (Long, Long, Int) = {
+  /** The 1-row corpus stats (n docs, t total tokens). */
+  private def corpusStats(spark: SparkSession, path: String): (Long, Long) = {
     val df = spark.read.parquet(s"$path/corpus")
     val row = df.collect()(0)
-    val bhex =
-      if (df.columns.contains("bhex")) row.getInt(df.columns.indexOf("bhex"))
-      else 2
-    (row.getLong(df.columns.indexOf("n")), row.getLong(df.columns.indexOf("t")),
-      bhex)
+    (row.getLong(df.columns.indexOf("n")), row.getLong(df.columns.indexOf("t")))
   }
 
   private def replaceDir(spark: SparkSession, tmp: String, dst: String): Unit = {

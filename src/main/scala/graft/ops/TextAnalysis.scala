@@ -281,7 +281,12 @@ object TextAnalysis {
     * the DuckDB oracle replays; kept as the kernel's parity witness. */
   private[graft] def unigramEntropyComposed(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(18, 12)
+    // (38,12), not the (18,12) the score sums use: a c·ln(c) term
+    // overflows 6 integer digits at ~88k repeats of one token, and the
+    // three engines would then diverge three ways (Spark NULL-drops
+    // the term, DuckDB errors, the kernel's exact BigDecimal keeps
+    // it). 26 integer digits puts the bound beyond any real document.
+    val dec = org.apache.spark.sql.types.DecimalType(38, 12)
     val tf = docs
       .select(col(idCol), explode(split(lower(col(textCol)), " ")).as("graft_tok"))
       .filter(col("graft_tok") =!= "")

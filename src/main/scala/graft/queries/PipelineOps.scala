@@ -772,7 +772,9 @@ object PipelineOps {
     // so it shares that query's full DuckDB oracle.
     "bm25_index_probe" -> ((s, d) => {
       val idx = bm25IndexPath(d)
-      if (!new java.io.File(s"$idx/corpus").exists())
+      // corpus/ is the LAST output of the build; its _SUCCESS marker
+      // (not a bare directory check) certifies a complete index
+      if (!new java.io.File(s"$idx/corpus/_SUCCESS").exists())
         graft.ops.Retrieval.buildBm25Index(t(s, d, "documents"), "doc_id",
           "text", idx)
       graft.ops.Retrieval.probeBm25Index(s, idx, Bm25Terms, 20)
@@ -881,8 +883,11 @@ object PipelineOps {
       val idx = s"${System.getProperty("java.io.tmpdir")}/graft_mh_idx_${d.hashCode}"
       // build-once, probe-per-run (the bm25_index_probe convention):
       // the query measures the PROBE path; testdata is immutable, so a
-      // standing index keyed by the sf dir is the serving reality
-      if (!new java.io.File(s"$idx/bands").exists())
+      // standing index keyed by the sf dir is the serving reality.
+      // Guard on _SUCCESS of the LAST-written output (shingles) — a
+      // bare directory check would treat a killed half-finished build
+      // as a valid standing index forever.
+      if (!new java.io.File(s"$idx/shingles/_SUCCESS").exists())
         Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 2 === 0),
           "doc_id", "text", idx)
       Dedup.probeMinhashIndex(docs.filter(col("doc_id") % 2 === 1),
@@ -1300,7 +1305,7 @@ object PipelineOps {
          |  FROM t0),
          |e AS (
          |  SELECT doc_id, SUM(c) AS n_tokens,
-         |    SUM(CAST(CAST(c AS DOUBLE) * lnc AS DECIMAL(18,12))) AS s
+         |    SUM(CAST(CAST(c AS DOUBLE) * lnc AS DECIMAL(38,12))) AS s
          |  FROM t1 GROUP BY doc_id),
          |e2 AS (
          |  SELECT doc_id, n_tokens, s,
