@@ -249,13 +249,6 @@ class TrinoFunctionsSpec extends SparkSpec {
     assert(n > 0 && n < total)
   }
 
-  test("listagg WITHIN GROUP works in Trino's exact spelling") {
-    assert(one("SELECT listagg(r_name, ',') WITHIN GROUP (ORDER BY r_name) FROM region") ==
-      "AFRICA,AMERICA,ASIA,EUROPE,MIDDLE EAST")
-    assert(one("SELECT listagg(DISTINCT o_orderstatus, '|') WITHIN GROUP (ORDER BY o_orderstatus) FROM orders") ==
-      "F|O|P")
-  }
-
   test("native extension functions callable from SQL") {
     assert(one("SELECT size(minhash_sig(array(CAST(1 AS BIGINT), CAST(2 AS BIGINT)), 16))") == 16)
     // xxhash64 carries Trino semantics (8-byte VARBINARY) on this
