@@ -211,11 +211,18 @@ object Retrieval {
 
   /** N-list reciprocal-rank fusion over (rankColName, list, idCol,
     * scoreCol) tuples: each list is ranked over (score desc, id asc),
-    * lists full-outer-join on the id, fused score = Σ 1/(rrfK+rank)
-    * with absent-from-list contributing 0, top-k by (rrf desc, id).
-    * Every list is already bounded (top-poolK by construction), so the
-    * single-partition ranking windows and the fuse joins are
-    * constant-size at any corpus scale. */
+    * fused score = Σ 1/(rrfK+rank) with absent-from-list contributing
+    * 0, top-k by (rrf desc, id).
+    *
+    * Fusion is JOIN-FREE: the tagged rank lists union and pivot
+    * through one hash aggregate (`max(when(list = name, rank))` — each
+    * id appears at most once per list). An N-way full-outer join would
+    * plan N−1 sort-merge exchange pairs (Spark has no full-outer
+    * broadcast join); the union-pivot is one aggregate over ≤ N·poolK
+    * rows — constant-size at any corpus scale, like every other step
+    * here. The per-list rank columns come out in fixed order and the
+    * fused sum reduces left-to-right, so the double arithmetic is
+    * bit-stable across plans and engines. */
   def rrfFuse(lists: Seq[(String, DataFrame, String, String)],
       k: Int, rrfK: Int = 60): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -224,15 +231,20 @@ object Retrieval {
       val w = Window.orderBy(col(scoreCol).desc, col(idCol))
       (rankName,
         df.select(col(idCol).as("doc_id"),
-          row_number().over(w).cast("long").as(rankName)))
+          lit(rankName).as("graft_list"),
+          row_number().over(w).cast("long").as("graft_rank")))
     }
-    val joined = ranked.map(_._2)
-      .reduce((a, b) => a.join(b, Seq("doc_id"), "full_outer"))
+    val pivots = ranked.map { case (rankName, _) =>
+      max(when(col("graft_list") === rankName, col("graft_rank"))).as(rankName)
+    }
+    val pivoted = ranked.map(_._2).reduce(_ unionByName _)
+      .groupBy(col("doc_id"))
+      .agg(pivots.head, pivots.tail: _*)
     val kd = lit(rrfK).cast("long")
     val rrf = ranked.map { case (rankName, _) =>
       coalesce(lit(1.0) / (kd + col(rankName)), lit(0.0))
     }.reduce(_ + _)
-    joined
+    pivoted
       .select(col("doc_id") +: rrf.as("rrf") +:
         ranked.map { case (rankName, _) => col(rankName) }: _*)
       .orderBy(col("rrf").desc, col("doc_id"))

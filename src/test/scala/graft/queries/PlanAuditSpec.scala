@@ -234,4 +234,22 @@ class PlanAuditSpec extends SparkSpec {
     val limits = p.linesIterator.count(_.trim.matches("""\+?-? ?WindowGroupLimit.*|.*\bWindowGroupLimit \(\d+\)"""))
     assert(limits >= 2, s"expected two WindowGroupLimit phases:\n${p.take(800)}")
   }
+
+  test("retrieval_hybrid_rrf: generators end in top-k, fusion never sort-merges") {
+    val p = plan("retrieval_hybrid_rrf")
+    // the two candidate generators are bounded TakeOrderedAndProject
+    // top-poolK plans; everything downstream is constant-size, so a
+    // SortMergeJoin anywhere means a rank list stopped being bounded
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+    assert(!p.contains("SortMergeJoin"),
+      s"fusion must join bounded lists broadcast-side:\n${p.take(1200)}")
+  }
+
+  test("text_unigram_entropy: one corpus scan, zero shuffles before the output sort") {
+    val p = plan("text_unigram_entropy")
+    // the kernel makes entropy a pure projection: the ONLY Exchange
+    // allowed is the final ORDER BY's range partitioning
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 1, s"entropy regressed to a shuffle plan:\n$p")
+  }
 }
