@@ -73,4 +73,27 @@ class IvfPartitionSpec extends SparkSpec {
       .filterNot(_ == 0L).take(10).toSet
     assert(indexed == adhoc, s"indexed=$indexed adhoc=$adhoc")
   }
+
+  test("merged md5-twin index probe prunes cell partitions too") {
+    // the embed_ivf_merge serving claim: after build(even)+merge(odd),
+    // ivfIndexProbeMd5's cell filter must reach the scan as a
+    // PartitionFilter — unprobed cells' files are never opened
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.load(spark, dir, "embeddings")
+    val idx = Files.createTempDirectory("graft-ivf-merge-prune").toString
+    Similarity.buildIvfIndexMd5(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", idx, nCells = 16)
+    Similarity.mergeIvfIndexMd5(emb.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", idx)
+    val probe = Similarity.ivfIndexProbeMd5(spark, idx, "vec_id",
+      anchorId = 0L, k = 10, nProbe = 2)
+    assert(probe.count() > 0)
+    val plan = probe.queryExecution.executedPlan.toString
+    // the cells scan (not the anchor lookup) must carry the partition
+    // filter: find a FileScan line with a non-empty cell_id filter
+    val pruned = plan.linesIterator.exists(l =>
+      l.contains("FileScan") && l.contains("PartitionFilters") &&
+        l.contains("cell_id") && !l.contains("PartitionFilters: []"))
+    assert(pruned, s"merged-index probe lost partition pruning:\n$plan")
+  }
 }
