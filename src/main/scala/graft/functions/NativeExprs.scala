@@ -940,12 +940,15 @@ object NativeExprs {
     *
     * Bitwise parity with the composed plan (pinned in TextEntropySpec):
     * ln is the 20-sqrt detLn series on the SAME IEEE doubles, each
-    * c·ln(c) term is rounded to DECIMAL(18,12) exactly as Spark's
+    * c·ln(c) term is rounded to scale 12 exactly as Spark's
     * double→decimal cast does (Double.toString canonical BigDecimal,
-    * HALF_UP at scale 12), terms accumulate exactly (BigDecimal — the
-    * decimal sum is order-free), and the final divide/subtract are the
-    * same two double ops. Returns null for a tokenless document — the
-    * composed groupBy drops those rows; callers filter. */
+    * HALF_UP at scale 12 — the composed witness casts to
+    * DECIMAL(38,12), wide enough that the ~88k-repeat corpus that
+    * overflows DECIMAL(18,12) still fits), terms accumulate exactly
+    * (unbounded BigDecimal at scale 12 — the decimal sum is
+    * order-free), and the final divide/subtract are the same two
+    * double ops. Returns null for a tokenless document — the composed
+    * groupBy drops those rows; callers filter. */
   case class UnigramEntropy(child: Expression)
       extends UnaryExpression with CodegenFallback with DeclaredInputTypes {
     override def declaredInputTypes: Seq[DataType] = Seq(StringType)

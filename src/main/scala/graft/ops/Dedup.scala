@@ -78,7 +78,7 @@ object Dedup {
     // 2× the whole pipeline at 100× sf0.1). `preDistinct` runs on the
     // raw pair stream BEFORE the distinct, so a cheap verify filter
     // shrinks the dedup shuffle instead of following it.
-    val saved = banded.localCheckpoint(true)
+    val saved = Lineage.cut(banded)
     val kept = saved.join(
       saved.groupBy(keyCols: _*).agg(count(lit(1)).as("bucket_n"))
         .filter(col("bucket_n").between(2, maxBucket))
@@ -166,6 +166,26 @@ object Dedup {
     banded.repartition(col("band"))
       .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
     shingled.write.mode("overwrite").parquet(s"$path/shingles")
+  }
+
+  /** Fold an ingest batch into a persisted MinHash index — the
+    * incremental-maintenance half every other index family has
+    * ([[graft.ops.Retrieval.mergeBm25Index]],
+    * `Similarity.mergeIvfIndex`, `Similarity.mergePqIndex`). Doc ids
+    * must be new to the index (same disjointness contract as the BM25
+    * merge). The index holds NO cross-document aggregate — band rows
+    * and shingle sets are pure per-document projections — so merging is
+    * a pure APPEND into the standing layout (new files inside the
+    * existing band directories, new shingle files), and
+    * `build(A); merge(B)` is row-identical to `build(A ∪ B)`: probe
+    * results are bitwise equal, pinned in DedupSpec. */
+  def mergeMinhashIndex(newDocs: DataFrame, idCol: String, textCol: String,
+      path: String, k: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit = {
+    val (shingled, banded) =
+      shinglesAndBands(newDocs, idCol, textCol, k, numHashes, bands)
+    banded.repartition(col("band"))
+      .write.mode("append").partitionBy("band").parquet(s"$path/bands")
+    shingled.write.mode("append").parquet(s"$path/shingles")
   }
 
   /** Probe an ingest batch against a persisted index: ONLY cross pairs
@@ -305,6 +325,53 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** Oracle-verification twin of the persisted MinHash index
+    * ([[buildMinhashIndex]]/[[mergeMinhashIndex]]/[[probeMinhashIndex]]):
+    * the index stores the seed-wise [[minHashMd5]] signature rows
+    * (id, seed, minhash) partitioned by seed — every hash is md5 hex,
+    * so a DuckDB oracle replays build, merge, AND probe exactly,
+    * giving the persisted dedup path the cross-engine proof the IVF/PQ
+    * twins already have. Like the production index, there is no
+    * cross-document aggregate: merge is a pure append and
+    * `build(A); merge(B)` ≡ `build(A ∪ B)` row-for-row. */
+  def buildMinhashIndexMd5(docs: DataFrame, idCol: String, textCol: String,
+      path: String, numHashes: Int = 16): Unit =
+    writeMd5Sigs(docs, idCol, textCol, path, numHashes, "overwrite")
+
+  /** Fold a batch of NEW doc ids into the md5-twin index (append). */
+  def mergeMinhashIndexMd5(newDocs: DataFrame, idCol: String, textCol: String,
+      path: String, numHashes: Int = 16): Unit =
+    writeMd5Sigs(newDocs, idCol, textCol, path, numHashes, "append")
+
+  private def writeMd5Sigs(docs: DataFrame, idCol: String, textCol: String,
+      path: String, numHashes: Int, mode: String): Unit =
+    minHashMd5(docs, idCol, textCol, numHashes)
+      .select(col(idCol).as("id"), col("seed"), col("minhash"))
+      .repartition(col("seed")) // one writer, one file per seed dir
+      .write.mode(mode).partitionBy("seed").parquet(s"$path/sigs")
+
+  /** Probe an ingest batch against the md5-twin index: batch signatures
+    * join the standing (seed, minhash) table, cross pairs sharing
+    * ≥ `minShared` of `numHashes` seed-minima survive — the same
+    * seed-band semantics as [[minHashMd5Edges]], restricted to
+    * (new × indexed) pairs. One shuffle on (seed, minhash); cost
+    * scales with the batch's signature rows and bucket collisions,
+    * never the standing corpus (which streams from parquet,
+    * pre-partitioned by seed). */
+  def probeMinhashIndexMd5(newDocs: DataFrame, idCol: String, textCol: String,
+      path: String, numHashes: Int = 16, minShared: Int = 8): DataFrame = {
+    val spark = newDocs.sparkSession
+    val newSigs = minHashMd5(newDocs, idCol, textCol, numHashes)
+      .select(col(idCol).as("new_id"), col("seed"), col("minhash"))
+    val idx = spark.read.parquet(s"$path/sigs")
+      .select(col("id").as("index_id"), col("seed").cast("int").as("seed"),
+        col("minhash"))
+    newSigs.join(idx, Seq("seed", "minhash"))
+      .groupBy(col("new_id"), col("index_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Connected components over near-dup edges — the step that turns
     * pairwise matches into dedup CLUSTERS (keep one canonical doc per
     * component; pairs alone cannot resolve transitive chains A~B~C).
@@ -341,8 +408,11 @@ object Dedup {
       maxIters: Int = 20, checkpointDir: Option[String] = None): (DataFrame, Int) = {
     val sc = nodes.sparkSession.sparkContext
     checkpointDir.foreach(sc.setCheckpointDir)
-    def save(df: DataFrame, eager: Boolean): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(eager) else df.localCheckpoint(eager)
+    // reliable when a dir is configured — here or session-wide
+    // (sc.setCheckpointDir at engine build): Lineage.cut reads the
+    // context, so a cluster deployment flips every round's label table
+    // to the executor-loss-safe path without touching call sites
+    def save(df: DataFrame, eager: Boolean): DataFrame = Lineage.cut(df, eager)
     // materialize the (usually expensive) edge derivation ONCE — the
     // loop must not re-run LSH/self-join lineage every round
     val sym = save(edges.select(col("id_a").as("src"), col("id_b").as("dst"))

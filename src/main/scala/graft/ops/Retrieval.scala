@@ -15,7 +15,11 @@ import org.apache.spark.sql.types.DecimalType
   *    the query terms' buckets. Each posting row carries the document
   *    LENGTH (the classic "norms with the postings" layout): a probe
   *    never opens a corpus-sized side table.
-  *  - `terms/` — (tok, df): vocabulary-sized.
+  *  - `terms/` — (tok, df): vocabulary-sized, partitioned by the SAME
+  *    md5 term bucket as the postings, so incremental maintenance
+  *    rewrites only the buckets an ingest batch touches (a flat terms
+  *    table forced a vocabulary-wide rewrite per merge) and a probe
+  *    prunes its df lookups exactly like its postings scan.
   *  - `corpus/` — one row (n docs, t total tokens).
   *
   * Probe cost scales with the query terms' posting lists, never the
@@ -69,7 +73,9 @@ object Retrieval {
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
       tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-        .write.mode("overwrite").parquet(s"$path/terms")
+        .withColumn("bucket", termBucket(col("tok"), hexChars))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/terms")
       dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
         .write.mode("overwrite").parquet(s"$path/corpus")
     } finally tf.unpersist()
@@ -84,9 +90,12 @@ object Retrieval {
     *
     * Postings APPEND (new parquet files land inside the existing
     * bucket directories — ids are disjoint so no rewrite is needed);
-    * the terms table re-aggregates old ∪ new df into a fresh directory
-    * swapped in place (write-then-rename, never read-and-overwrite the
-    * same path); corpus stats add two longs. Because df/N/total-tokens
+    * the terms table is INCREMENTAL: only the buckets the batch's
+    * vocabulary touches are re-aggregated (old-bucket ∪ new df, a
+    * partition-PRUNED read) and swapped in per bucket
+    * (write-then-rename, never read-and-overwrite the same path) —
+    * merge cost scales with the BATCH vocabulary, never the standing
+    * vocabulary; corpus stats add two longs. Because df/N/total-tokens
     * are additive over disjoint doc sets, `build(A); merge(B)` yields
     * an index BITWISE-identical in probe results to `build(A ∪ B)` —
     * pinned in Bm25Spec. */
@@ -111,11 +120,29 @@ object Retrieval {
           termBucket(col("tok"), bhex).as("bucket"))
         .repartition(col("bucket"))
         .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
+      val dfNew = tfNew.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      // the buckets this batch touches — ≤ 16^bhex strings, driver-sized
+      // by construction (the bucket space is the layout constant, not
+      // the vocabulary)
+      val touched = dfNew
+        .select(termBucket(col("tok"), bhex).as("bucket"))
+        .distinct().collect().map(_.getString(0)).sorted
       spark.read.parquet(s"$path/terms")
-        .union(tfNew.groupBy(col("tok")).agg(count(lit(1)).as("df")))
+        .filter(col("bucket").isin(touched: _*)) // partition pruning
+        .select(col("tok"), col("df"))
+        .union(dfNew)
         .groupBy(col("tok")).agg(sum(col("df")).as("df"))
-        .write.mode("overwrite").parquet(s"$path/terms_merge_tmp")
-      replaceDir(spark, s"$path/terms_merge_tmp", s"$path/terms")
+        .withColumn("bucket", termBucket(col("tok"), bhex))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$path/terms_merge_tmp")
+      // swap in ONLY the touched buckets; untouched buckets are never
+      // read, rewritten, or moved
+      touched.foreach { b =>
+        replaceDir(spark, s"$path/terms_merge_tmp/bucket=$b",
+          s"$path/terms/bucket=$b")
+      }
+      deleteDir(spark, s"$path/terms_merge_tmp")
       val add = dlNew.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
         .collect()(0)
       import spark.implicits._
@@ -135,7 +162,12 @@ object Retrieval {
       .map(_.getPath.getName)
       .collectFirst { case n if n.startsWith("bucket=b") =>
         n.length - "bucket=b".length }
-      .getOrElse(2)
+      // a postings dir with no bucket=b* entries is corrupt or
+      // half-written — assuming a default width would silently return
+      // empty probes against a differently-laid-out index
+      .getOrElse(throw new java.io.IOException(
+        s"$path/postings contains no bucket=b* directories — " +
+          "corrupt or incomplete BM25 index"))
   }
 
   /** The 1-row corpus stats (n docs, t total tokens). */
@@ -143,6 +175,11 @@ object Retrieval {
     val df = spark.read.parquet(s"$path/corpus")
     val row = df.collect()(0)
     (row.getLong(df.columns.indexOf("n")), row.getLong(df.columns.indexOf("t")))
+  }
+
+  private def deleteDir(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
   }
 
   private def replaceDir(spark: SparkSession, tmp: String, dst: String): Unit = {
@@ -170,10 +207,11 @@ object Retrieval {
     * plans (one corpus scan each, TakeOrderedAndProject top-poolK —
     * no global sort, no token explode); everything downstream of them
     * operates on two ≤poolK-row lists, so the single-partition
-    * row_number windows and the full-outer fuse join are CONSTANT-size
-    * regardless of corpus scale. At 100 TB the cost is exactly the two
-    * scans (or two index probes, substituting the persisted-index
-    * halves) — fusion itself is free.
+    * row_number windows and the join-free union-pivot fusion (one hash
+    * aggregate in [[rrfFuse]]) are CONSTANT-size regardless of corpus
+    * scale. At 100 TB the cost is exactly the two scans (or two index
+    * probes, substituting the persisted-index halves) — fusion itself
+    * is free.
     *
     * Determinism: ranks are integers over (score desc, id asc) orders
     * whose scores are already bitwise cross-engine (detLn/decimal BM25,
@@ -262,6 +300,7 @@ object Retrieval {
       .filter(col("bucket").isin(buckets: _*)) // partition pruning
       .filter(col("tok").isin(queryTerms: _*))
     val terms = spark.read.parquet(s"$path/terms")
+      .filter(col("bucket").isin(buckets: _*)) // partition pruning
       .filter(col("tok").isin(queryTerms: _*))
     val corpus = spark.read.parquet(s"$path/corpus").select(col("n"), col("t"))
     val idf = terms.crossJoin(broadcast(corpus))

@@ -550,7 +550,7 @@ object Similarity {
       // for every downstream branch that broadcasts the centroids —
       // the DataFrame analog of the production path's driver-collected
       // centroid table.
-      .localCheckpoint(true)
+      .transform(Lineage.cut(_))
     probeTopKMd5(vecs, cents1, idCol, anchorId, k, nProbe)
   }
 
@@ -586,7 +586,7 @@ object Similarity {
       path: String, nCells: Int): Unit = {
     val vecs = quantVecs(embeddings, idCol, vecCol)
     // model-sized; materialized so seed sort doesn't re-run per branch
-    val cents = md5SeedCents(vecs, nCells).localCheckpoint(true)
+    val cents = Lineage.cut(md5SeedCents(vecs, nCells))
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     writeIvfCellsMd5(vecs, cents, path, "overwrite")
   }
@@ -621,8 +621,16 @@ object Similarity {
       .select(col("graft_id"), col("graft_v"), col("graft_dd"),
         col("cell_id").cast("long").as("cell_id"))
     val cents = spark.read.parquet(s"$path/centroids")
-    val anchor = cells.filter(col("graft_id") === anchorId)
+    // materialize the 1-row anchor eagerly (it was driver-broadcast
+    // anyway): an anchorId absent from the index must be an error, not
+    // an empty crossJoin that silently returns an empty top-k
+    val anchorDf = cells.filter(col("graft_id") === anchorId)
       .select(col("graft_v").as("anchor_v"), col("graft_dd").as("anchor_dd"))
+    val anchorRows = anchorDf.collect()
+    require(anchorRows.nonEmpty,
+      s"ivfIndexProbeMd5: anchor id $anchorId not found in index at $path")
+    val anchor = spark.createDataFrame(
+      java.util.Collections.singletonList(anchorRows.head), anchorDf.schema)
     val probe = cents.crossJoin(broadcast(anchor))
       .select(col("cent_id"),
         (dotQuant(col("cent_v"), col("anchor_v")).cast("double") /
@@ -823,7 +831,7 @@ object Similarity {
     val train = embeddings
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .repartition(spark.sparkContext.defaultParallelism)
-      .localCheckpoint(true)
+      .transform(Lineage.cut(_))
     val seedVecs = train
       .orderBy(xxhash64(col("id")), col("id"))
       .limit(ksub).collect().map(_.getSeq[Float](1))

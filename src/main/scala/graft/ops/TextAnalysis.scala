@@ -432,14 +432,29 @@ object TextAnalysis {
     * word — the BPE convention both engines' `replace` implement.
     *
     * Ties break (freq desc, pair asc) — deterministic and replayed
-    * exactly by the DuckDB oracle (ASCII byte order on both engines). */
-  def bpeTrain(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
+    * exactly by the DuckDB oracle (ASCII byte order on both engines).
+    *
+    * `maxVocab` bounds the DRIVER state: the collect takes only the
+    * top-maxVocab words by (freq desc, word asc) — one
+    * TakeOrderedAndProject, no global sort. A filtered `[a-z0-9]+`
+    * vocabulary is normally language-sized, but a 100 TB web crawl's
+    * long tail is not provably driver-sized; the guard makes the
+    * trainer safe by construction (and BPE statistics live in the
+    * high-frequency head — a bounded tail cut is the standard
+    * vocabulary truncation every production trainer applies). The
+    * default keeps every corpus in this repo's test range intact. */
+  def bpeTrain(docs: DataFrame, textCol: String, merges: Int,
+      maxVocab: Int = 1000000): DataFrame = {
     val spark = docs.sparkSession
-    // distributed: corpus → (word, freq); collected vocab is the model
+    // distributed: corpus → (word, freq); collected vocab is the model,
+    // bounded to the top-maxVocab frequency head (deterministic
+    // tie-break on the word itself)
     val vocabRows = docs
       .select(explode(split(lower(col(textCol)), " ")).as("w"))
       .filter(col("w").rlike("^[a-z0-9]+$"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w"))
+      .limit(maxVocab)
       .collect()
     val words: Array[Array[String]] =
       vocabRows.map(_.getString(0).map(_.toString).toArray)

@@ -430,7 +430,7 @@ object PipelineOps {
       // size, and the bench shouldn't pay a double index build on the
       // full table every round.
       val docs = t(s, d, "embeddings").filter(col("vec_id") < 2000)
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_merge_${d.hashCode}"
+      val idx = idxPath("ivf_merge", d)
       Similarity.buildIvfIndexMd5(docs.filter(col("vec_id") % 2 === 0),
         "vec_id", "embedding", idx, nCells = 40)
       Similarity.mergeIvfIndexMd5(docs.filter(col("vec_id") % 2 === 1),
@@ -792,7 +792,7 @@ object PipelineOps {
       // additivity being verified is per-row arithmetic, and the
       // bench shouldn't pay a triple full-table index build per round.
       val docs = t(s, d, "documents").filter(col("doc_id") < 300)
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_merge_${d.hashCode}"
+      val idx = idxPath("bm25_merge", d)
       // hexChars=1 (16 buckets): right-sized layout for the 300-doc
       // verification corpus — 256 near-empty partitioned-write files
       // were pure task overhead (the self-describing index records the
@@ -880,7 +880,7 @@ object PipelineOps {
     // pinned in StreamsSpec).
     "dedup_index_probe" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_mh_idx_${d.hashCode}"
+      val idx = idxPath("mh_idx", d)
       // build-once, probe-per-run (the bm25_index_probe convention):
       // the query measures the PROBE path; testdata is immutable, so a
       // standing index keyed by the sf dir is the serving reality.
@@ -892,6 +892,26 @@ object PipelineOps {
           "doc_id", "text", idx)
       Dedup.probeMinhashIndex(docs.filter(col("doc_id") % 2 === 1),
           "doc_id", "text", idx)
+        .orderBy(col("new_id"), col("index_id"))
+    }),
+
+    // The dedup analog of bm25_index_merge, on the md5-twin index so
+    // the WHOLE incremental path (build → merge → probe) is
+    // hash-verified cross-engine: index a third of a bounded corpus,
+    // FOLD the second third in (pure append — the index holds no
+    // cross-document aggregate, so build(A);merge(B) ≡ build(A∪B)
+    // row-for-row), probe the last third. Pairs share ≥8/16 md5
+    // seed-minima (the dedup_components edge rule restricted to
+    // new × indexed).
+    "dedup_index_merge" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 600)
+      val idx = idxPath("mh_md5_merge", d)
+      Dedup.buildMinhashIndexMd5(docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", idx)
+      Dedup.mergeMinhashIndexMd5(docs.filter(col("doc_id") % 3 === 1),
+        "doc_id", "text", idx)
+      Dedup.probeMinhashIndexMd5(docs.filter(col("doc_id") % 3 === 2),
+        "doc_id", "text", idx)
         .orderBy(col("new_id"), col("index_id"))
     }),
 
@@ -1078,16 +1098,25 @@ object PipelineOps {
         .orderBy(col("doc_id")))
   )
 
-  /** Session-stable location of the persisted PQ index for a data dir:
-    * pq_index_build writes it, embed_pq_topk probes it (building it
-    * first if this JVM hasn't yet — the data under `d` is immutable for
-    * the life of a test/bench session, so the cache key is the dir). */
-  private def pqIndexPath(d: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_pq_idx_${d.hashCode}"
+  /** Format version baked into every standing-index path. Bump it when
+    * the on-disk layout, shingle/signature hashing, or bucket scheme of
+    * ANY persisted index changes: a standing index in java.io.tmpdir
+    * outlives the JVM, and a layout change without a path change would
+    * make probes silently read a stale-format index (the v1 paths had
+    * exactly that hazard). v2: BM25 terms/ bucketed like postings/. */
+  private val IndexFormatVersion = "v2"
+
+  /** Session-stable location of a persisted index for a data dir: the
+    * build query writes it, the probe query reads it (building first if
+    * this JVM hasn't yet — the data under `d` is immutable for the life
+    * of a test/bench session, so the cache key is (format, dir)). */
+  private def idxPath(kind: String, d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_${IndexFormatVersion}_${d.hashCode}"
+
+  private def pqIndexPath(d: String): String = idxPath("pq_idx", d)
 
   /** Same build-once contract as pqIndexPath, for the BM25 index. */
-  private def bm25IndexPath(d: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_bm25_idx_${d.hashCode}"
+  private def bm25IndexPath(d: String): String = idxPath("bm25_idx", d)
 
   private val sqlToks =
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
@@ -1826,6 +1855,28 @@ object PipelineOps {
         |FROM tok, (SELECT unnest(generate_series(0, 15)) AS s) ss
         |GROUP BY doc_id, ss.s
         |ORDER BY doc_id, seed""".stripMargin,
+
+    // Merged-index replay: the dedup_minhash_md5 signature algebra over
+    // the bounded corpus, cross pairs (probe third × indexed two
+    // thirds) sharing >= 8 of 16 seed-minima — DuckDB replays build,
+    // merge, and probe because append-merge makes the standing index
+    // row-identical to a single build over A ∪ B.
+    "dedup_index_merge" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents WHERE doc_id < 600),
+        |sig AS (
+        |  SELECT doc_id, CAST(ss.s AS INT) AS seed,
+        |    MIN(substr(md5(CAST(ss.s AS VARCHAR) || ':' || tok), 1, 15)) AS minhash
+        |  FROM tok, (SELECT unnest(generate_series(0, 15)) AS s) ss
+        |  GROUP BY doc_id, ss.s)
+        |SELECT c.doc_id AS new_id, i.doc_id AS index_id,
+        |  COUNT(*) AS shared
+        |FROM sig c JOIN sig i ON c.seed = i.seed AND c.minhash = i.minhash
+        |WHERE c.doc_id % 3 = 2 AND i.doc_id % 3 IN (0, 1)
+        |GROUP BY 1, 2
+        |HAVING COUNT(*) >= 8
+        |ORDER BY new_id, index_id""".stripMargin,
 
     // Full SRP pipeline replay: 32-bit signatures, production 4×8-bit
     // banding, bucket-capped pair generation, decimal cosine, top-20.

@@ -1,0 +1,98 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Multi-executor smoke: the iterative operators (connected components,
+  * LSH bucket pairs, the persisted dedup index) run on a REAL
+  * multi-executor topology — `local-cluster[2,2,2048]`, two separate
+  * executor JVMs — with a RELIABLE checkpoint directory configured, and
+  * their results must hash-equal the single-JVM local run.
+  *
+  * What this proves that local[32] cannot: [[graft.ops.Lineage.cut]]
+  * actually takes the reliable-`checkpoint()` branch when a checkpoint
+  * dir is set (the label tables and banded bucket tables land on shared
+  * storage, not executor block managers), the custom native expressions
+  * serialize to executor JVMs that did NOT define them, and
+  * results are bit-identical when work is split across executors —
+  * the determinism claims (decimal sums, hash-ordered seeds) under a
+  * genuinely different task placement.
+  *
+  * Usage:
+  *   SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 \
+  *     sbt 'runMain graft.tools.ClusterSmoke'
+  * (local-cluster workers are launched from SPARK_HOME and need
+  * SPARK_SCALA_VERSION against a binary distribution; the graft
+  * classes reach executor JVMs via spark.executor.extraClassPath).
+  */
+object ClusterSmoke {
+  private val Queries =
+    Seq("dedup_components", "dedup_minhash", "dedup_index_merge")
+
+  private def md5(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def run(master: String, sfDir: String,
+      ckpt: Option[String]): Map[String, String] = {
+    val classesDir =
+      new java.io.File("target/scala-2.13/classes").getAbsolutePath
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName("graft-cluster-smoke")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // local-cluster executors are SEPARATE JVMs launched from
+      // SPARK_HOME — they must find the graft classes themselves
+      .config("spark.executor.extraClassPath", classesDir)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // reliable checkpointing: Lineage.cut switches every iterative
+    // operator to checkpoint() because this is set
+    ckpt.foreach(spark.sparkContext.setCheckpointDir)
+    try {
+      Queries.map { name =>
+        val rows = graft.SparkEntry.queries(name)(spark, sfDir)
+          .collect().map(_.toString).sorted
+        name -> s"${rows.length}:${md5(rows.mkString("\n"))}"
+      }.toMap
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val ckptDir =
+      java.nio.file.Files.createTempDirectory("graft-cluster-ckpt").toString
+    val localHashes = run("local[8]", sfDir, None)
+    val clusterHashes =
+      run("local-cluster[2,2,2048]", sfDir, Some(ckptDir))
+    // the reliable-checkpoint branch must have actually fired: RDD
+    // checkpoint data lands under <dir>/<uuid>/rdd-*; an empty dir
+    // would mean Lineage.cut silently stayed on localCheckpoint
+    val ckptFiles = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
+        else 1
+      walk(new java.io.File(ckptDir))
+    }
+    require(ckptFiles > 0,
+      s"no reliable checkpoint data written under $ckptDir")
+    val bad = Queries.filter(q => localHashes(q) != clusterHashes(q))
+    Queries.foreach { q =>
+      val ok = if (localHashes(q) == clusterHashes(q)) "OK " else "DIFF"
+      println(s"[cluster-smoke] $ok $q local=${localHashes(q)} " +
+        s"cluster=${clusterHashes(q)}")
+    }
+    if (bad.nonEmpty) {
+      println(s"CLUSTER SMOKE FAILED: ${bad.mkString(", ")}")
+      sys.exit(1)
+    }
+    println(s"CLUSTER SMOKE OK (${Queries.size} queries, " +
+      "2-executor local-cluster, reliable checkpoints)")
+  }
+}

@@ -28,9 +28,9 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented counts") {
-    assert(SparkEntry.queries.size == 169,
+    assert(SparkEntry.queries.size == 170,
       s"queries=${SparkEntry.queries.size} — update README/ContractSpec together")
-    assert(SparkEntry.oracleSql.size == 150,
+    assert(SparkEntry.oracleSql.size == 151,
       s"oracles=${SparkEntry.oracleSql.size} — update README/ContractSpec together")
   }
 }

@@ -96,6 +96,37 @@ class Bm25Spec extends SparkSpec {
     assert(pi.nonEmpty && pi == pf) // exact doubles: df/N/t are additive
   }
 
+  test("merge rewrites only the term buckets the batch's vocabulary touches") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def listFiles(dir: String): Set[String] = {
+      val d = new java.io.File(dir)
+      Option(d.listFiles()).map(_.map(_.getName).toSet).getOrElse(Set.empty)
+    }
+    val docs = spark.range(100)
+      .select(col("id").as("doc_id"),
+        lit("cat dog owl fish bird").as("text"))
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_spec_incbkt"
+    Retrieval.buildBm25Index(docs, "doc_id", "text", path)
+    // the batch's vocabulary is exactly {cat}: one touched bucket
+    val batch = spark.range(100, 120)
+      .select(col("id").as("doc_id"), lit("cat cat").as("text"))
+    val catB = "b" + md5hex("cat").substring(0, 2)
+    val dogB = "b" + md5hex("dog").substring(0, 2)
+    assert(catB != dogB) // distinct buckets, else the test is vacuous
+    val dogBefore = listFiles(s"$path/terms/bucket=$dogB")
+    val catBefore = listFiles(s"$path/terms/bucket=$catB")
+    Retrieval.mergeBm25Index(batch, "doc_id", "text", path)
+    // untouched bucket: physically identical files; touched: rewritten
+    assert(listFiles(s"$path/terms/bucket=$dogB") == dogBefore)
+    assert(listFiles(s"$path/terms/bucket=$catB") != catBefore)
+    // and the merged df is still right: cat now appears in 120 docs
+    val terms = spark.read.parquet(s"$path/terms")
+      .filter(col("tok").isin("cat", "dog"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(terms == Map("cat" -> 120L, "dog" -> 100L))
+  }
+
   test("probe prunes postings partitions to the query terms' buckets") {
     val docs = spark.range(50)
       .select(col("id").as("doc_id"), lit("cat dog owl").as("text"))

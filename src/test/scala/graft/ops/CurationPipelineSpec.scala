@@ -98,6 +98,30 @@ class CurationPipelineSpec extends SparkSpec {
     assert(m2.length == 1 && m2(0).getString(1) == "a" && m2(0).getString(2) == "b")
   }
 
+  test("bpeTrain maxVocab trains on the deterministic top-frequency slice") {
+    import spark.implicits._
+    // 5 distinct words; maxVocab=3 must keep {newest:6, low:5, widest:3}
+    // — (freq desc, word asc): 'aaa' and 'zzz' (freq 2, 1) fall out, so
+    // no merge can involve their pairs, and training over the bounded
+    // vocab equals training over an explicit top-3 corpus.
+    val text = (Seq.fill(5)("low") ++ Seq.fill(6)("newest") ++
+      Seq.fill(3)("widest") ++ Seq.fill(2)("aaa") ++ Seq("zzz")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val bounded = TextAnalysis.bpeTrain(docs, "text", merges = 4, maxVocab = 3)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val top3 = (Seq.fill(5)("low") ++ Seq.fill(6)("newest") ++
+      Seq.fill(3)("widest")).mkString(" ")
+    val expected = TextAnalysis.bpeTrain(Seq((1L, top3)).toDF("doc_id", "text"),
+        "text", merges = 4)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(bounded == expected && bounded.nonEmpty, bounded)
+    // and no merge references the dropped words' only letters (a, z)
+    assert(bounded.forall { case (_, l, r, _) => !l.contains("a") &&
+      !l.contains("z") && !r.contains("a") && !r.contains("z") })
+  }
+
   test("BpeEncodeWords replays the trainer's replace semantics exactly") {
     import spark.implicits._
     // Sennrich corpus again: encode must reproduce the hand-derived

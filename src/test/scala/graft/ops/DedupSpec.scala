@@ -151,6 +151,50 @@ class DedupSpec extends SparkSpec {
     assert(hits.toSeq == Seq((100L, 1L, 1.0)))
   }
 
+  test("minhash index: build(A) + merge(B) probes identically to build(A ∪ B)") {
+    val docs = graft.engine.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 400)
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    val probe = docs.filter(col("doc_id") >= 300) // overlaps both halves' dups
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    val inc = java.nio.file.Files.createTempDirectory("graft-mh-inc").toString
+    val full = java.nio.file.Files.createTempDirectory("graft-mh-full").toString
+    Dedup.buildMinhashIndex(a.filter(col("doc_id") < 300), "doc_id", "text", inc)
+    Dedup.mergeMinhashIndex(b.filter(col("doc_id") < 300), "doc_id", "text", inc)
+    Dedup.buildMinhashIndex(docs.filter(col("doc_id") < 300), "doc_id", "text", full)
+    def hits(dir: String) = Dedup.probeMinhashIndex(probe, "doc_id", "text", dir)
+      .orderBy("new_id", "index_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val hi = hits(inc)
+    assert(hi.nonEmpty && hi == hits(full)) // bitwise: the index is row-identical
+  }
+
+  test("md5-twin minhash index: merged probe equals the all-pairs edge rule") {
+    val docs = graft.engine.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 300)
+    val dir = java.nio.file.Files.createTempDirectory("graft-mh-md5").toString
+    Dedup.buildMinhashIndexMd5(docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", dir)
+    Dedup.mergeMinhashIndexMd5(docs.filter(col("doc_id") % 3 === 1),
+      "doc_id", "text", dir)
+    val probed = Dedup.probeMinhashIndexMd5(docs.filter(col("doc_id") % 3 === 2),
+        "doc_id", "text", dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // reference: the minHashMd5Edges rule (uncapped) over the full set,
+    // restricted to (probe × indexed) pairs
+    val sigs = Dedup.minHashMd5(docs, "doc_id", "text", 16)
+    val aSig = sigs.select(col("doc_id").as("new_id"), col("seed"), col("minhash"))
+      .filter(col("new_id") % 3 === 2)
+    val bSig = sigs.select(col("doc_id").as("index_id"), col("seed"), col("minhash"))
+      .filter(col("index_id") % 3 =!= 2)
+    val expected = aSig.join(bSig, Seq("seed", "minhash"))
+      .groupBy("new_id", "index_id").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(probed.nonEmpty && probed == expected)
+  }
+
   test("connected components: reliable-checkpoint mode gives identical labels") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString

@@ -107,8 +107,8 @@ class PlanAuditSpec extends SparkSpec {
       // 1-row stats table — constant-size at any corpus scale
       "text_bm25_topk", "bm25_index_probe", "bm25_index_merge",
       // hybrid RRF composes the bm25 (1-row stats cross) and cosine
-      // (1-row anchor cross) generators; its own fuse join is a
-      // full-outer equi-join of two <=poolK-row rank lists
+      // (1-row anchor cross) generators; fusion itself is join-free —
+      // a union-pivot hash aggregate over two <=poolK-row rank lists
       "retrieval_hybrid_rrf",
       // tfidf's N (one aggregated row) crossed into the vocab-sized
       // idf side — constant broadcast, same class as the bm25 stats
