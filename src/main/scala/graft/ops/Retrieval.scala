@@ -49,11 +49,12 @@ object Retrieval {
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
-  /** Build the index: ONE token shuffle for tf, dl derived from the
-    * already-aggregated tf stream (no second corpus pass), postings
-    * clustered by bucket before the partitioned write (one writer and
-    * one file per bucket — the same partitioned-write rule as the
-    * minhash band index). */
+  /** Build the index: ONE token shuffle for tf, dl attached as a window
+    * sum over the already-aggregated tf stream (same doc_id shuffle key,
+    * no join stage, no second corpus pass), postings clustered by
+    * bucket before the partitioned write (one writer and one file per
+    * bucket — the same partitioned-write rule as the minhash band
+    * index). */
   def buildBm25Index(docs: DataFrame, idCol: String, textCol: String,
       path: String, hexChars: Int = 2): Unit = {
     val toks = docs
@@ -66,9 +67,10 @@ object Retrieval {
     val tf = toks.groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
       .persist()
     try {
-      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      tf.join(dl, "doc_id")
-        .select(col("tok"), col("doc_id"), col("tf"), col("dl"),
+      val wDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+      tf.select(col("tok"), col("doc_id"), col("tf"),
+          sum(col("tf")).over(wDoc).as("dl"),
           termBucket(col("tok"), hexChars).as("bucket"))
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
@@ -76,7 +78,7 @@ object Retrieval {
         .withColumn("bucket", termBucket(col("tok"), hexChars))
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/terms")
-      dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
+      tf.agg(countDistinct(col("doc_id")).as("n"), sum(col("tf")).as("t"))
         .write.mode("overwrite").parquet(s"$path/corpus")
     } finally tf.unpersist()
   }
@@ -106,7 +108,6 @@ object Retrieval {
     // bucket layout the standing index was built with (width read from
     // the postings directory names — the one source of truth).
     val bhex = bucketHexWidth(spark, path)
-    val (oldN, oldT) = corpusStats(spark, path)
     val toks = newDocs
       .select(col(idCol).as("doc_id"),
         explode(split(lower(col(textCol)), " ")).as("tok"))
@@ -114,19 +115,25 @@ object Retrieval {
     val tfNew = toks.groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
       .persist()
     try {
-      val dlNew = tfNew.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      tfNew.join(dlNew, "doc_id")
-        .select(col("tok"), col("doc_id"), col("tf"), col("dl"),
+      val wDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+      tfNew.select(col("tok"), col("doc_id"), col("tf"),
+          sum(col("tf")).over(wDoc).as("dl"),
           termBucket(col("tok"), bhex).as("bucket"))
         .repartition(col("bucket"))
         .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
-      val dfNew = tfNew.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      // the buckets this batch touches — ≤ 16^bhex strings, driver-sized
-      // by construction (the bucket space is the layout constant, not
+      // ONE driver round-trip for all batch-level facts: doc count and
+      // token total (the corpus-stats delta — Σtf per batch equals the
+      // Σdl the per-doc grouping would give) plus the set of term
+      // buckets the batch touches (≤ 16^bhex strings, driver-sized by
+      // construction — the bucket space is the layout constant, not
       // the vocabulary)
-      val touched = dfNew
-        .select(termBucket(col("tok"), bhex).as("bucket"))
-        .distinct().collect().map(_.getString(0)).sorted
+      val facts = tfNew.agg(
+        countDistinct(col("doc_id")).as("n"),
+        sum(col("tf")).as("t"),
+        collect_set(termBucket(col("tok"), bhex)).as("buckets")).collect()(0)
+      val touched = facts.getSeq[String](2).sorted
+      val dfNew = tfNew.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       spark.read.parquet(s"$path/terms")
         .filter(col("bucket").isin(touched: _*)) // partition pruning
         .select(col("tok"), col("df"))
@@ -143,12 +150,15 @@ object Retrieval {
           s"$path/terms/bucket=$b")
       }
       deleteDir(spark, s"$path/terms_merge_tmp")
-      val add = dlNew.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
-        .collect()(0)
+      // corpus stats: old 1-row table + the batch delta (from the facts
+      // row already on the driver) — written through a tmp dir because
+      // the plan READS the standing corpus table it replaces
       import spark.implicits._
-      Seq((oldN + add.getLong(0), oldT + add.getLong(1)))
-        .toDF("n", "t")
-        .write.mode("overwrite").parquet(s"$path/corpus")
+      spark.read.parquet(s"$path/corpus")
+        .crossJoin(Seq((facts.getLong(0), facts.getLong(1))).toDF("dn", "dt"))
+        .select((col("n") + col("dn")).as("n"), (col("t") + col("dt")).as("t"))
+        .write.mode("overwrite").parquet(s"$path/corpus_merge_tmp")
+      replaceDir(spark, s"$path/corpus_merge_tmp", s"$path/corpus")
     } finally tfNew.unpersist()
   }
 
@@ -168,13 +178,6 @@ object Retrieval {
       .getOrElse(throw new java.io.IOException(
         s"$path/postings contains no bucket=b* directories — " +
           "corrupt or incomplete BM25 index"))
-  }
-
-  /** The 1-row corpus stats (n docs, t total tokens). */
-  private def corpusStats(spark: SparkSession, path: String): (Long, Long) = {
-    val df = spark.read.parquet(s"$path/corpus")
-    val row = df.collect()(0)
-    (row.getLong(df.columns.indexOf("n")), row.getLong(df.columns.indexOf("t")))
   }
 
   private def deleteDir(spark: SparkSession, dir: String): Unit = {

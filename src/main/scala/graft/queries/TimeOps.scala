@@ -59,6 +59,24 @@ object TimeOps {
     // integer microseconds (unix_micros / epoch_us) like the
     // sessionizer, so no float/truncation drift across engines. Each
     // stage is one aggregate + one broadcast-joinable user table.
+    // MATCH_RECOGNIZE (dialect/MatchRecognize): the SQL:2016 row-pattern
+    // funnel — every maximal click-run directly preceded by a view,
+    // PATTERN (A B+) with SKIP PAST LAST ROW over (user, time) order.
+    // A and B are disjoint predicates here, so the DuckDB oracle can
+    // replay the sequential matcher exactly with window functions
+    // (click-islands joined to their immediately-preceding view row).
+    "mr_funnel" -> ((s, d) => {
+      val clause =
+        """PARTITION BY user_id ORDER BY ts, event_id
+          |MEASURES FIRST(A.ts) AS start_ts, LAST(B.ts) AS end_ts,
+          |         COUNT(B.*) AS n_clicks
+          |PATTERN (A B+)
+          |DEFINE A AS event_type = 'view', B AS event_type = 'click'""".stripMargin
+      graft.dialect.MatchRecognize.run(t(s, d, "events"),
+          graft.dialect.MatchRecognize.parseClause(clause))
+        .orderBy(col("user_id"), col("start_ts"))
+    }),
+
     "time_funnel" -> ((s, d) => {
       val ev = t(s, d, "events")
       val us = unix_micros _
@@ -190,6 +208,28 @@ object TimeOps {
          |FROM sessions
          |GROUP BY user_id, session_id
          |ORDER BY user_id, session_id""".stripMargin,
+
+    // Sequential-matcher replay: with A/B disjoint, the (A B+) matches
+    // are exactly the maximal click-islands whose immediately-preceding
+    // row (in the full per-user event order) is a view.
+    "mr_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |clicks AS (
+        |  SELECT user_id, ts, rn,
+        |    rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+        |  FROM e WHERE event_type = 'click'),
+        |islands AS (
+        |  SELECT user_id, MIN(rn) AS first_rn, MAX(ts) AS end_ts,
+        |    COUNT(*) AS n_clicks
+        |  FROM clicks GROUP BY user_id, grp)
+        |SELECT i.user_id, v.ts AS start_ts, i.end_ts, i.n_clicks
+        |FROM islands i
+        |JOIN e v ON v.user_id = i.user_id AND v.rn = i.first_rn - 1
+        |WHERE v.event_type = 'view'
+        |ORDER BY i.user_id, start_ts""".stripMargin,
 
     "time_funnel" ->
       """WITH fv AS (

@@ -316,9 +316,42 @@ class QueryService(engine: Engine) {
             return explainToResult(q, "")
         }
     }
-    val dialectSql =
+    val dialectSql0 =
       try graft.dialect.TrinoFunctions.preprocess(stripped)
       catch { case e: IllegalArgumentException => return Left(e.getMessage) }
+    // MATCH_RECOGNIZE (SQL:2016 row patterns — Trino-only; Spark's
+    // parser has no surface for it): compute each
+    // `<relation> MATCH_RECOGNIZE (…)` span with the library's
+    // sequential matcher and splice a temp view of the result into the
+    // statement, which then continues through the normal pipeline.
+    // Runs BEFORE the allowlist parse (Spark cannot parse the clause);
+    // each source relation is allowlist-checked on its own.
+    val dialectSql =
+      if (graft.dialect.MatchRecognize.contains(dialectSql0)) {
+        val spliced =
+          try graft.dialect.MatchRecognize.spliceAll(dialectSql0,
+          relation => {
+            val sel = s"SELECT * FROM $relation"
+            if (engine.config.enforceSqlAllowlists) {
+              val parsed = engine.spark.sessionState.sqlParser.parsePlan(sel)
+              graft.security.SqlAllowlist.check(parsed, engine.allowlists,
+                  engine.sessionCatalog, engine.sessionSchema)
+                .foreach(err => throw new IllegalArgumentException(err))
+            }
+            runSql(sel)
+          },
+          result => {
+            val name = s"graft_mr_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+            result.createOrReplaceTempView(name)
+            name
+          })
+          catch { case e: Throwable => // relation resolution errors
+            return Left(s"query execution failed: ${clip(e)}") }
+        spliced match {
+          case Right(s2) => s2
+          case Left(err) => return Left(err)
+        }
+      } else dialectSql0
     // Opt-in hardening beyond the reference (GRAFT_ENFORCE_SQL_ALLOWLISTS):
     // judge every referenced relation against the allowlists BEFORE
     // analysis; runs on the pre-InfoSchema-rewrite text so

@@ -42,7 +42,7 @@ object UseStatement {
   /** Validate the target against the (allowlist-filtered) metadata
     * surface and update the engine session. Trino's error texts. */
   def apply(engine: Engine, catalogOpt: Option[String], schema: String):
-      Either[String, Unit] = {
+      Either[String, Unit] = try {
     val meta = new MetadataService(engine)
     val catalog = catalogOpt.getOrElse(engine.sessionCatalog)
     if (!meta.listCatalogs().exists(_.equalsIgnoreCase(catalog)))
@@ -54,6 +54,11 @@ object UseStatement {
       engine.sessionSchema = schema
       Right(())
     }
+  } catch {
+    // same try/catch-to-Left rule as the SHOW routes: a throwing
+    // catalog plugin must surface as a tool error, never a crash
+    case e: Throwable =>
+      Left(s"query execution failed: ${String.valueOf(e.getMessage).take(300)}")
   }
 
   /** Qualify unresolved 1/2-part relations to (catalog, schema) —

@@ -34,7 +34,8 @@ object ProfileQuery {
       override def onJobEnd(je: SparkListenerJobEnd): Unit =
         jobs.remove(je.jobId).foreach { case (t0, desc) =>
           lines.synchronized {
-            lines += ((t0, f"job ${je.jobId}%3d ${(je.time - t0) / 1e3}%7.3fs  $desc"))
+            lines += ((t0,
+              f"job ${je.jobId}%3d start=$t0%d end=${je.time}%d ${(je.time - t0) / 1e3}%7.3fs  $desc"))
           }
         }
     })

@@ -28,9 +28,9 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented counts") {
-    assert(SparkEntry.queries.size == 170,
+    assert(SparkEntry.queries.size == 171,
       s"queries=${SparkEntry.queries.size} — update README/ContractSpec together")
-    assert(SparkEntry.oracleSql.size == 151,
+    assert(SparkEntry.oracleSql.size == 152,
       s"oracles=${SparkEntry.oracleSql.size} — update README/ContractSpec together")
   }
 }

@@ -1,0 +1,179 @@
+package graft.dialect
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.config.EngineConfig
+import graft.engine.Engine
+import graft.service.QueryService
+
+/** MATCH_RECOGNIZE: clause parsing, the sequential matcher's Trino
+  * semantics (greedy quantifiers, leftmost alternation, SKIP PAST LAST
+  * ROW non-overlap, PREV navigation), and the service-level SQL splice. */
+class MatchRecognizeSpec extends SparkSpec {
+  import spark.implicits._
+  import MatchRecognize._
+
+  private def funnel(rows: Seq[(Long, Long, String)]) =
+    rows.toDF("uid", "seq", "ev")
+
+  private val funnelClause =
+    """PARTITION BY uid
+      |ORDER BY seq
+      |MEASURES FIRST(A.seq) AS start_seq, LAST(B.seq) AS end_seq,
+      |         COUNT(B.*) AS n_b, MATCH_NUMBER() AS mn
+      |ONE ROW PER MATCH
+      |AFTER MATCH SKIP PAST LAST ROW
+      |PATTERN (A B+)
+      |DEFINE A AS ev = 'view', B AS ev = 'click'""".stripMargin
+
+  test("funnel (A B+): greedy run, gap breaks the match, non-overlap") {
+    val df = funnel(Seq(
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "click"), // match: 1-3
+      (1L, 4L, "error"),                                      // breaks runs
+      (1L, 5L, "view"),                                       // no B follows
+      (1L, 6L, "view"), (1L, 7L, "click"),                    // match: 6-7
+      (2L, 1L, "click"),                                      // B with no A
+      (2L, 2L, "view"), (2L, 3L, "click")))                   // match: 2-3
+    val out = MatchRecognize.run(df, parseClause(funnelClause))
+      .orderBy("uid", "start_seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(out == Seq(
+      (1L, 1L, 3L, 2L, 1L),
+      (1L, 6L, 7L, 1L, 2L),
+      (2L, 2L, 3L, 1L, 1L)))
+  }
+
+  test("SKIP PAST LAST ROW: a consumed row cannot start the next match") {
+    // view view click: row 1's view has no adjacent click (row 2 is a
+    // view), so the match is rows 2-3; row 1 matches nothing.
+    val df = funnel(Seq((1L, 1L, "view"), (1L, 2L, "view"), (1L, 3L, "click")))
+    val out = MatchRecognize.run(df, parseClause(funnelClause))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((2L, 3L)))
+  }
+
+  test("PREV navigation: the classic V-shape (falling then rising) works") {
+    // Trino docs' stock pattern: STRT DOWN+ UP+ with DEFINE over PREV.
+    val px = Seq(
+      (1L, 1L, 10.0), (1L, 2L, 8.0), (1L, 3L, 6.0), // falling
+      (1L, 4L, 7.0), (1L, 5L, 9.0),                 // rising
+      (1L, 6L, 5.0))                                // falls again — no UP after
+      .toDF("uid", "seq", "price")
+    val clause =
+      """PARTITION BY uid ORDER BY seq
+        |MEASURES FIRST(STRT.seq) AS s, LAST(DOWN.price) AS bottom,
+        |         LAST(UP.price) AS top, COUNT(*) AS len
+        |PATTERN (STRT DOWN+ UP+)
+        |DEFINE DOWN AS price < PREV(price), UP AS price > PREV(price)""".stripMargin
+    val out = MatchRecognize.run(px, parseClause(clause))
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4))).toSeq
+    assert(out == Seq((1L, 6.0, 9.0, 5L)))
+  }
+
+  test("alternation is leftmost-preferred; optional var may be absent") {
+    val df = funnel(Seq((1L, 1L, "view"), (1L, 2L, "buy")))
+    val clause =
+      """PARTITION BY uid ORDER BY seq
+        |MEASURES COUNT(V.*) AS n_v, COUNT(C.*) AS n_c, LAST(P.seq) AS p_seq
+        |PATTERN (V C? P)
+        |DEFINE V AS ev = 'view', C AS ev = 'click', P AS ev = 'buy'""".stripMargin
+    val out = MatchRecognize.run(df, parseClause(clause))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.get(3))).toSeq
+    assert(out == Seq((1L, 0L, 2L))) // C absent: count 0, P matched row 2
+  }
+
+  test("undefined pattern variable matches any row") {
+    val df = funnel(Seq((1L, 1L, "view"), (1L, 2L, "anything")))
+    val clause =
+      """PARTITION BY uid ORDER BY seq
+        |MEASURES LAST(X.seq) AS x_seq
+        |PATTERN (A X)
+        |DEFINE A AS ev = 'view'""".stripMargin
+    val out = MatchRecognize.run(df, parseClause(clause)).collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L))
+  }
+
+  test("rejections carry clear messages; nullable patterns are refused") {
+    def err(clause: String): String =
+      intercept[IllegalArgumentException](parseClause(clause)).getMessage
+    assert(err("ORDER BY x ALL ROWS PER MATCH PATTERN (A) DEFINE A AS true")
+      .contains("ALL ROWS PER MATCH"))
+    assert(err("ORDER BY x MEASURES COUNT(*) AS n AFTER MATCH SKIP TO NEXT ROW PATTERN (A) DEFINE A AS true")
+      .contains("SKIP PAST LAST ROW"))
+    assert(err("ORDER BY x MEASURES COUNT(*) AS n PATTERN (A*) DEFINE A AS true")
+      .contains("empty sequence"))
+    assert(err("MEASURES COUNT(*) AS n PATTERN (A) DEFINE A AS true")
+      .contains("ORDER BY"))
+    assert(err("ORDER BY x MEASURES COUNT(*) AS n PATTERN (A) DEFINE B AS true")
+      .contains("not in PATTERN"))
+  }
+
+  test("service: MATCH_RECOGNIZE SQL executes end-to-end with outer clauses") {
+    val cfg = EngineConfig.fromEnv(Map.empty).toOption.get
+    val engine = new Engine(cfg, Some("/root/testdata/sf0.001"),
+      existing = Some(spark))
+    val qs = new QueryService(engine)
+    val r = qs.execute(
+      """SELECT user_id, n_clicks
+        |FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES FIRST(A.ts) AS start_ts, COUNT(B.*) AS n_clicks
+        |  PATTERN (A B+)
+        |  DEFINE A AS event_type = 'view', B AS event_type = 'click'
+        |) ORDER BY user_id, start_ts LIMIT 5""".stripMargin)
+    val res = r.toOption.getOrElse(fail(r.toString))
+    assert(res.columns == Seq("user_id", "n_clicks"))
+    assert(res.rows.nonEmpty && res.rows.forall(_.last.asInstanceOf[Long] >= 1L))
+  }
+
+  test("service: unsupported subset forms return the validation error") {
+    val cfg = EngineConfig.fromEnv(Map.empty).toOption.get
+    val engine = new Engine(cfg, Some("/root/testdata/sf0.001"),
+      existing = Some(spark))
+    val qs = new QueryService(engine)
+    val r = qs.execute(
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES COUNT(*) AS n
+        |  ALL ROWS PER MATCH
+        |  PATTERN (A B+)
+        |  DEFINE A AS event_type = 'view', B AS event_type = 'click')""".stripMargin)
+    assert(r.isLeft && r.swap.toOption.get.contains("ALL ROWS PER MATCH"))
+  }
+
+  test("matcher equals the window-SQL replay on the real events table") {
+    // Disjoint A/B predicates make (A B+) expressible with plain
+    // windows: every maximal click-island directly preceded by a view.
+    val events = graft.engine.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val clause =
+      """PARTITION BY user_id ORDER BY ts, event_id
+        |MEASURES FIRST(A.ts) AS start_ts, LAST(B.ts) AS end_ts,
+        |         COUNT(B.*) AS n_clicks
+        |PATTERN (A B+)
+        |DEFINE A AS event_type = 'view', B AS event_type = 'click'""".stripMargin
+    val mr = MatchRecognize.run(events, parseClause(clause))
+      .orderBy("user_id", "start_ts")
+      .collect().map(_.toString).toSeq
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val e = events.withColumn("rn", row_number().over(wAll))
+    val wClick = Window.partitionBy(col("user_id")).orderBy(col("rn"))
+    val islands = e.filter(col("event_type") === "click")
+      .withColumn("grp", col("rn") - row_number().over(wClick))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(min(col("rn")).as("first_rn"), max(col("ts")).as("end_ts"),
+        count(lit(1)).as("n_clicks"))
+    val expected = islands.join(
+        e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("rn"), col("ts").as("start_ts")),
+        islands("user_id") === e("user_id") && col("first_rn") === col("rn") + 1)
+      .select(islands("user_id"), col("start_ts"), col("end_ts"), col("n_clicks"))
+      .orderBy("user_id", "start_ts")
+      .collect().map(_.toString).toSeq
+    assert(mr.nonEmpty && mr == expected)
+  }
+}
