@@ -36,8 +36,20 @@ class ExplainService(engine: Engine) {
         "operations (at your own risk)")
 
     try {
-      val qe = engine.spark.sql(
-        graft.dialect.TrinoFunctions.preprocess(stripped)).queryExecution
+      val pre = graft.dialect.TrinoFunctions.preprocess(stripped)
+      // MATCH_RECOGNIZE splice (same rewrite as QueryService): EXPLAIN
+      // of a row-pattern query explains the spliced plan
+      val spliced = graft.dialect.MatchRecognize.spliceAll(pre,
+        rel => engine.spark.sql(s"SELECT * FROM $rel"),
+        df => {
+          val n = s"graft_mr_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+          df.createOrReplaceTempView(n)
+          n
+        }) match {
+        case Right(s) => s
+        case Left(err) => return Left(err)
+      }
+      val qe = engine.spark.sql(spliced).queryExecution
       val text = f match {
         case "VALIDATE" =>
           qe.assertAnalyzed()

@@ -193,9 +193,13 @@ class QueryService(engine: Engine) {
     // (The whole statement already passed the read-only guard above —
     // its write-keyword scan covers the inner text too.)
     ShowStats.matchStatsQuery(stripped).foreach { inner =>
-      val innerSql =
+      val innerSql0 =
         try graft.dialect.TrinoFunctions.preprocess(inner)
         catch { case e: IllegalArgumentException => return Left(e.getMessage) }
+      val innerSql = spliceMatchRecognize(innerSql0) match {
+        case Right(s2) => s2
+        case Left(err) => return Left(err)
+      }
       if (engine.config.enforceSqlAllowlists) {
         val parsed =
           try engine.spark.sessionState.sqlParser.parsePlan(innerSql)
@@ -319,39 +323,10 @@ class QueryService(engine: Engine) {
     val dialectSql0 =
       try graft.dialect.TrinoFunctions.preprocess(stripped)
       catch { case e: IllegalArgumentException => return Left(e.getMessage) }
-    // MATCH_RECOGNIZE (SQL:2016 row patterns — Trino-only; Spark's
-    // parser has no surface for it): compute each
-    // `<relation> MATCH_RECOGNIZE (…)` span with the library's
-    // sequential matcher and splice a temp view of the result into the
-    // statement, which then continues through the normal pipeline.
-    // Runs BEFORE the allowlist parse (Spark cannot parse the clause);
-    // each source relation is allowlist-checked on its own.
-    val dialectSql =
-      if (graft.dialect.MatchRecognize.contains(dialectSql0)) {
-        val spliced =
-          try graft.dialect.MatchRecognize.spliceAll(dialectSql0,
-          relation => {
-            val sel = s"SELECT * FROM $relation"
-            if (engine.config.enforceSqlAllowlists) {
-              val parsed = engine.spark.sessionState.sqlParser.parsePlan(sel)
-              graft.security.SqlAllowlist.check(parsed, engine.allowlists,
-                  engine.sessionCatalog, engine.sessionSchema)
-                .foreach(err => throw new IllegalArgumentException(err))
-            }
-            runSql(sel)
-          },
-          result => {
-            val name = s"graft_mr_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-            result.createOrReplaceTempView(name)
-            name
-          })
-          catch { case e: Throwable => // relation resolution errors
-            return Left(s"query execution failed: ${clip(e)}") }
-        spliced match {
-          case Right(s2) => s2
-          case Left(err) => return Left(err)
-        }
-      } else dialectSql0
+    val dialectSql = spliceMatchRecognize(dialectSql0) match {
+      case Right(s2) => s2
+      case Left(err) => return Left(err)
+    }
     // Opt-in hardening beyond the reference (GRAFT_ENFORCE_SQL_ALLOWLISTS):
     // judge every referenced relation against the allowlists BEFORE
     // analysis; runs on the pre-InfoSchema-rewrite text so
@@ -382,13 +357,48 @@ class QueryService(engine: Engine) {
     collectBounded(df)
   }
 
-  /** The standard statement pipeline (dialect preprocess → opt-in
-    * allowlist gate → info_schema rewrite → spark.sql) for an embedded
-    * query — EXPLAIN ANALYZE targets, subquery forms. */
+  /** MATCH_RECOGNIZE (SQL:2016 row patterns — Trino-only; Spark's
+    * parser has no surface for it): compute each
+    * `<relation> MATCH_RECOGNIZE (…)` span with the library's
+    * sequential matcher and splice a temp view of the result into the
+    * statement, which then continues through the normal pipeline. Runs
+    * BEFORE the allowlist parse (Spark cannot parse the clause); each
+    * source relation is allowlist-checked on its own. */
+  private def spliceMatchRecognize(sql: String): Either[String, String] =
+    if (!graft.dialect.MatchRecognize.contains(sql)) Right(sql)
+    else
+      try graft.dialect.MatchRecognize.spliceAll(sql,
+        relation => {
+          val sel = s"SELECT * FROM $relation"
+          if (engine.config.enforceSqlAllowlists) {
+            val parsed = engine.spark.sessionState.sqlParser.parsePlan(sel)
+            graft.security.SqlAllowlist.check(parsed, engine.allowlists,
+                engine.sessionCatalog, engine.sessionSchema)
+              .foreach(err => throw new IllegalArgumentException(err))
+          }
+          runSql(sel)
+        },
+        result => {
+          val name = s"graft_mr_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+          result.createOrReplaceTempView(name)
+          name
+        })
+      catch { case e: Throwable => // relation resolution errors
+        Left(s"query execution failed: ${clip(e)}") }
+
+  /** The standard statement pipeline (dialect preprocess →
+    * MATCH_RECOGNIZE splice → opt-in allowlist gate → info_schema
+    * rewrite → spark.sql) for an embedded query — EXPLAIN ANALYZE
+    * targets, subquery forms: EXPLAIN / SHOW STATS over a
+    * MATCH_RECOGNIZE query work like any other statement. */
   private def buildStatement(inner: String): Either[String, DataFrame] = {
-    val innerSql =
+    val innerSql0 =
       try graft.dialect.TrinoFunctions.preprocess(inner)
       catch { case e: IllegalArgumentException => return Left(e.getMessage) }
+    val innerSql = spliceMatchRecognize(innerSql0) match {
+      case Right(s2) => s2
+      case Left(err) => return Left(err)
+    }
     if (engine.config.enforceSqlAllowlists) {
       val parsed =
         try engine.spark.sessionState.sqlParser.parsePlan(innerSql)

@@ -96,12 +96,50 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).toSeq == Seq(2L))
   }
 
+  test("SKIP TO NEXT ROW yields overlapping matches; PAST LAST ROW does not") {
+    // view click click: PAST LAST ROW gives one match (rows 1-3);
+    // TO NEXT ROW re-tries from row 2 — a second match would need a
+    // view there, so still one match here — but with pattern (B B)
+    // over clicks c1 c2 c3: PAST LAST = {12}, TO NEXT = {12, 23}.
+    val df = funnel(Seq((1L, 1L, "click"), (1L, 2L, "click"), (1L, 3L, "click")))
+    def clause(skip: String) =
+      s"""PARTITION BY uid ORDER BY seq
+         |MEASURES FIRST(B.seq) AS s, LAST(B.seq) AS e
+         |AFTER MATCH $skip
+         |PATTERN (B B)
+         |DEFINE B AS ev = 'click'""".stripMargin
+    def runIt(skip: String) =
+      MatchRecognize.run(df, parseClause(clause(skip)))
+        .orderBy("s").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(runIt("SKIP PAST LAST ROW") == Seq((1L, 2L)))
+    assert(runIt("SKIP TO NEXT ROW") == Seq((1L, 2L), (2L, 3L)))
+  }
+
+  test("EXPLAIN and SHOW STATS accept MATCH_RECOGNIZE statements") {
+    val cfg = EngineConfig.fromEnv(Map.empty).toOption.get
+    val engine = new Engine(cfg, Some("/root/testdata/sf0.001"),
+      existing = Some(spark))
+    val qs = new QueryService(engine)
+    val mrSql =
+      """SELECT user_id, n_clicks FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  MEASURES COUNT(B.*) AS n_clicks
+        |  PATTERN (A B+)
+        |  DEFINE A AS event_type = 'view', B AS event_type = 'click')""".stripMargin
+    val ex = qs.execute(s"EXPLAIN $mrSql")
+    assert(ex.isRight && ex.toOption.get.rows.nonEmpty, ex.toString)
+    val st = qs.execute(s"SHOW STATS FOR ($mrSql)")
+    val res = st.toOption.getOrElse(fail(st.toString))
+    assert(res.columns.head == "column_name")
+    assert(res.rows.exists(_.head == "user_id"))
+  }
+
   test("rejections carry clear messages; nullable patterns are refused") {
     def err(clause: String): String =
       intercept[IllegalArgumentException](parseClause(clause)).getMessage
     assert(err("ORDER BY x ALL ROWS PER MATCH PATTERN (A) DEFINE A AS true")
       .contains("ALL ROWS PER MATCH"))
-    assert(err("ORDER BY x MEASURES COUNT(*) AS n AFTER MATCH SKIP TO NEXT ROW PATTERN (A) DEFINE A AS true")
+    assert(err("ORDER BY x MEASURES COUNT(*) AS n AFTER MATCH SKIP TO FIRST A PATTERN (A) DEFINE A AS true")
       .contains("SKIP PAST LAST ROW"))
     assert(err("ORDER BY x MEASURES COUNT(*) AS n PATTERN (A*) DEFINE A AS true")
       .contains("empty sequence"))
