@@ -77,6 +77,24 @@ object TimeOps {
         .orderBy(col("user_id"), col("start_ts"))
     }),
 
+    // The ALL ROWS PER MATCH face of the same matcher: one output row
+    // per MATCHED row with RUNNING measures and CLASSIFIER() — the
+    // per-row debugging/enrichment mode. Same disjoint-predicate trick
+    // lets DuckDB replay it exactly (island rows + their preceding
+    // view, running position arithmetic).
+    "mr_funnel_rows" -> ((s, d) => {
+      val clause =
+        """PARTITION BY user_id ORDER BY ts, event_id
+          |MEASURES CLASSIFIER() AS cls, COUNT(*) AS run_n,
+          |         MATCH_NUMBER() AS mn
+          |ALL ROWS PER MATCH
+          |PATTERN (A B+)
+          |DEFINE A AS event_type = 'view', B AS event_type = 'click'""".stripMargin
+      graft.dialect.MatchRecognize.run(t(s, d, "events"),
+          graft.dialect.MatchRecognize.parseClause(clause))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
+
     "time_funnel" -> ((s, d) => {
       val ev = t(s, d, "events")
       val us = unix_micros _
@@ -230,6 +248,34 @@ object TimeOps {
         |JOIN e v ON v.user_id = i.user_id AND v.rn = i.first_rn - 1
         |WHERE v.event_type = 'view'
         |ORDER BY i.user_id, start_ts""".stripMargin,
+
+    // ALL-mode replay: each matched island row (plus its preceding view
+    // row) with its classifier, running row position, and per-user
+    // match number (islands ordered by start position).
+    "mr_funnel_rows" ->
+      """WITH e AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |clicks AS (
+        |  SELECT user_id, rn,
+        |    rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+        |  FROM e WHERE event_type = 'click'),
+        |islands AS (
+        |  SELECT user_id, MIN(rn) AS first_rn, MAX(rn) AS last_rn
+        |  FROM clicks GROUP BY user_id, grp),
+        |matches AS (
+        |  SELECT i.user_id, i.first_rn, i.last_rn,
+        |    ROW_NUMBER() OVER (PARTITION BY i.user_id ORDER BY i.first_rn) AS mn
+        |  FROM islands i
+        |  JOIN e v ON v.user_id = i.user_id AND v.rn = i.first_rn - 1
+        |  WHERE v.event_type = 'view')
+        |SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value, e.props,
+        |  CASE WHEN e.rn = m.first_rn - 1 THEN 'A' ELSE 'B' END AS cls,
+        |  e.rn - m.first_rn + 2 AS run_n, m.mn
+        |FROM matches m
+        |JOIN e ON e.user_id = m.user_id
+        |  AND e.rn BETWEEN m.first_rn - 1 AND m.last_rn
+        |ORDER BY e.user_id, e.ts, e.event_id""".stripMargin,
 
     "time_funnel" ->
       """WITH fv AS (

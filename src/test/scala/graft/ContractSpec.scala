@@ -28,9 +28,9 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented counts") {
-    assert(SparkEntry.queries.size == 171,
+    assert(SparkEntry.queries.size == 172,
       s"queries=${SparkEntry.queries.size} — update README/ContractSpec together")
-    assert(SparkEntry.oracleSql.size == 152,
+    assert(SparkEntry.oracleSql.size == 153,
       s"oracles=${SparkEntry.oracleSql.size} — update README/ContractSpec together")
   }
 }

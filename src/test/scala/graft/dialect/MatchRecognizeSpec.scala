@@ -96,6 +96,41 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).toSeq == Seq(2L))
   }
 
+  test("ALL ROWS PER MATCH: per-row output, RUNNING measures, CLASSIFIER") {
+    val df = funnel(Seq(
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "click"),
+      (1L, 4L, "error"), // unmatched — excluded from ALL-mode output
+      (2L, 5L, "view"), (2L, 6L, "click")))
+    val clause =
+      """PARTITION BY uid ORDER BY seq
+        |MEASURES CLASSIFIER() AS var, COUNT(B.*) AS run_b, COUNT(*) AS run_n,
+        |         LAST(B.seq) AS last_b, MATCH_NUMBER() AS mn
+        |ALL ROWS PER MATCH
+        |PATTERN (A B+)
+        |DEFINE A AS ev = 'view', B AS ev = 'click'""".stripMargin
+    val out = MatchRecognize.run(df, parseClause(clause))
+      .orderBy("uid", "seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getLong(4), r.getLong(5), r.get(6), r.getLong(7)))
+      .toSeq
+    assert(out == Seq(
+      // uid, seq, ev, classifier, running count(B), running count(*), last_b, mn
+      (1L, 1L, "view", "A", 0L, 1L, null, 1L),
+      (1L, 2L, "click", "B", 1L, 2L, 2L, 1L),
+      (1L, 3L, "click", "B", 2L, 3L, 3L, 1L),
+      (2L, 5L, "view", "A", 0L, 1L, null, 1L),
+      (2L, 6L, "click", "B", 1L, 2L, 6L, 1L)), out)
+  }
+
+  test("ALL ROWS PER MATCH variants and FINAL measures are rejected") {
+    def err(clause: String): String =
+      intercept[IllegalArgumentException](parseClause(clause)).getMessage
+    assert(err("""ORDER BY x ALL ROWS PER MATCH OMIT EMPTY MATCHES PATTERN (A) DEFINE A AS true""")
+      .contains("variants"))
+    assert(err("""ORDER BY x MEASURES FINAL LAST(A.x) AS v PATTERN (A) DEFINE A AS true""")
+      .contains("FINAL"))
+  }
+
   test("SKIP TO NEXT ROW yields overlapping matches; PAST LAST ROW does not") {
     // view click click: PAST LAST ROW gives one match (rows 1-3);
     // TO NEXT ROW re-tries from row 2 — a second match would need a
@@ -137,8 +172,8 @@ class MatchRecognizeSpec extends SparkSpec {
   test("rejections carry clear messages; nullable patterns are refused") {
     def err(clause: String): String =
       intercept[IllegalArgumentException](parseClause(clause)).getMessage
-    assert(err("ORDER BY x ALL ROWS PER MATCH PATTERN (A) DEFINE A AS true")
-      .contains("ALL ROWS PER MATCH"))
+    assert(err("ORDER BY x MEASURES COUNT(*) AS n PATTERN (A) SUBSET U = (A) DEFINE A AS true")
+      .contains("SUBSET"))
     assert(err("ORDER BY x MEASURES COUNT(*) AS n AFTER MATCH SKIP TO FIRST A PATTERN (A) DEFINE A AS true")
       .contains("SKIP PAST LAST ROW"))
     assert(err("ORDER BY x MEASURES COUNT(*) AS n PATTERN (A*) DEFINE A AS true")
@@ -168,19 +203,31 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(res.rows.nonEmpty && res.rows.forall(_.last.asInstanceOf[Long] >= 1L))
   }
 
-  test("service: unsupported subset forms return the validation error") {
+  test("service: ALL ROWS PER MATCH works; unsupported forms return errors") {
     val cfg = EngineConfig.fromEnv(Map.empty).toOption.get
     val engine = new Engine(cfg, Some("/root/testdata/sf0.001"),
       existing = Some(spark))
     val qs = new QueryService(engine)
-    val r = qs.execute(
+    val ok = qs.execute(
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  MEASURES CLASSIFIER() AS var, COUNT(*) AS run_n
+        |  ALL ROWS PER MATCH
+        |  PATTERN (A B+)
+        |  DEFINE A AS event_type = 'view', B AS event_type = 'click')
+        |LIMIT 10""".stripMargin)
+    val res = ok.toOption.getOrElse(fail(ok.toString))
+    // every input column + the two measures
+    assert(res.columns.takeRight(2) == Seq("var", "run_n"))
+    assert(res.columns.contains("event_type") && res.rows.nonEmpty)
+    val bad = qs.execute(
       """SELECT * FROM events MATCH_RECOGNIZE (
         |  PARTITION BY user_id ORDER BY ts
         |  MEASURES COUNT(*) AS n
-        |  ALL ROWS PER MATCH
+        |  AFTER MATCH SKIP TO FIRST B
         |  PATTERN (A B+)
         |  DEFINE A AS event_type = 'view', B AS event_type = 'click')""".stripMargin)
-    assert(r.isLeft && r.swap.toOption.get.contains("ALL ROWS PER MATCH"))
+    assert(bad.isLeft && bad.swap.toOption.get.contains("SKIP PAST LAST ROW"))
   }
 
   test("matcher equals the window-SQL replay on the real events table") {

@@ -51,6 +51,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
   }
 
+  test("mr_funnel: the sequential matcher costs exactly one shuffle") {
+    // MATCH_RECOGNIZE = repartition(partition keys) + secondary sort +
+    // streaming mapPartitions: ONE Exchange in the whole plan (the
+    // outer orderBy is collect-side), DEFINE flags computed by Catalyst
+    // projections, no join, no extra shuffle from the lag window (it
+    // shares the same hashpartitioning).
+    val p = plan("mr_funnel")
+    // formatted mode prints each node twice (tree + details) — count
+    // the details headers "(n) Exchange" for the true node count
+    val exchanges = p.linesIterator.count(_.matches("^\\(\\d+\\) Exchange.*"))
+    assert(exchanges <= 2, s"expected <=2 Exchange (matcher + final sort), got $exchanges:\n${p.take(1200)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p.take(800))
+    assert(p.contains("MapPartitions") || p.contains("mapPartitions"), p.take(800))
+  }
+
   test("tpch_q1: shipdate predicate pushes down to the lineitem scan") {
     val p = plan("tpch_q1")
     assert(p.linesIterator.exists(l =>
