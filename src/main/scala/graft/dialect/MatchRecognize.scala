@@ -407,6 +407,46 @@ object MatchRecognize {
     }(enc)
   }
 
+  /** The backtracking engine itself, over an abstract flag relation —
+    * shared by the batch iterator and the streaming CEP face
+    * ([[graft.streaming.Streams]] matchRecognizeStream). Returns
+    * (endExclusive, assignments-in-reverse) of the PREFERRED match
+    * starting at `start`, or null: quantifiers greedy, alternation
+    * leftmost — Trino's preference order. */
+  private[graft] def matchFlags(pattern: Pat, n: Int,
+      flag: (Int, String) => Boolean, start: Int): (Int, List[(Int, String)]) = {
+    def go(p: Pat, i: Int, acc: List[(Int, String)],
+        k: (Int, List[(Int, String)]) => (Int, List[(Int, String)]))
+        : (Int, List[(Int, String)]) = p match {
+      case PVar(v) =>
+        if (i < n && flag(i, v)) k(i + 1, (i, v) :: acc) else null
+      case PCat(items) =>
+        def chain(rest: Seq[Pat], j: Int, a: List[(Int, String)])
+            : (Int, List[(Int, String)]) =
+          if (rest.isEmpty) k(j, a)
+          else go(rest.head, j, a, (j2, a2) => chain(rest.tail, j2, a2))
+        chain(items, i, acc)
+      case PAlt(alts) =>
+        alts.iterator.map(go(_, i, acc, k)).collectFirst {
+          case r if r != null => r
+        }.orNull
+      case PQuant(q, min, unbounded) =>
+        def rep(cnt: Int, j: Int, a: List[(Int, String)])
+            : (Int, List[(Int, String)]) = {
+          val more =
+            if (unbounded || cnt < 1)
+              go(q, j, a, (j2, a2) =>
+                if (j2 == j) null else rep(cnt + 1, j2, a2))
+            else null
+          if (more != null) more
+          else if (cnt >= min) k(j, a)
+          else null
+        }
+        rep(0, i, acc)
+    }
+    go(pattern, start, Nil, (j, a) => (j, a))
+  }
+
   private def requireCol(df: DataFrame, c: String): Unit =
     if (!df.columns.map(_.toLowerCase).contains(c.toLowerCase))
       fail(s"column $c not found in input (have: ${df.columns.mkString(", ")})")
@@ -436,40 +476,11 @@ object MatchRecognize {
       * PREFERRED match starting at `start`, or null. Preference:
       * quantifiers greedy, alternation leftmost — Trino's order. */
     private def matchAt(g: Array[Row], start: Int): (Int, List[(Int, String)]) = {
-      def flag(r: Row, v: String): Boolean = {
-        val i = flagIdx(v)
-        !r.isNullAt(i) && r.getBoolean(i)
+      def flag(i: Int, v: String): Boolean = {
+        val fi = flagIdx(v)
+        !g(i).isNullAt(fi) && g(i).getBoolean(fi)
       }
-      def go(p: Pat, i: Int, acc: List[(Int, String)],
-          k: (Int, List[(Int, String)]) => (Int, List[(Int, String)]))
-          : (Int, List[(Int, String)]) = p match {
-        case PVar(v) =>
-          if (i < g.length && flag(g(i), v)) k(i + 1, (i, v) :: acc) else null
-        case PCat(items) =>
-          def chain(rest: Seq[Pat], j: Int, a: List[(Int, String)])
-              : (Int, List[(Int, String)]) =
-            if (rest.isEmpty) k(j, a)
-            else go(rest.head, j, a, (j2, a2) => chain(rest.tail, j2, a2))
-          chain(items, i, acc)
-        case PAlt(alts) =>
-          alts.iterator.map(go(_, i, acc, k)).collectFirst {
-            case r if r != null => r
-          }.orNull
-        case PQuant(q, min, unbounded) =>
-          def rep(cnt: Int, j: Int, a: List[(Int, String)])
-              : (Int, List[(Int, String)]) = {
-            val more =
-              if (unbounded || cnt < 1)
-                go(q, j, a, (j2, a2) =>
-                  if (j2 == j) null else rep(cnt + 1, j2, a2))
-              else null
-            if (more != null) more
-            else if (cnt >= min) k(j, a)
-            else null
-          }
-          rep(0, i, acc)
-      }
-      go(pattern, start, Nil, (j, a) => (j, a))
+      matchFlags(pattern, g.length, flag, start)
     }
 
     /** ONE ROW PER MATCH: FINAL semantics over the whole match. */

@@ -455,4 +455,148 @@ object Streams {
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("new_id"), col("index_id"), col("jaccard"))
   }
+
+  /** A pattern match emitted by [[matchRecognizeStream]]. */
+  final case class MrMatch(user_id: Long, start_ts: Timestamp,
+      end_ts: Timestamp, n_rows: Long, match_number: Long)
+
+  /** One buffered row: event time, tiebreak id, DEFINE flags in
+    * pattern-variable order. */
+  final case class MrRow(tsMillis: Long, eventId: Long, flags: Seq[Boolean])
+
+  /** Per-user CEP state: the sorted row buffer + the match counter. */
+  final case class MrState(rows: Seq[MrRow], matchNo: Long)
+
+  /** Streaming MATCH_RECOGNIZE — the CEP face of
+    * [[graft.dialect.MatchRecognize]] (what Flink calls CEP / pattern
+    * streams; Trino and Spark have no streaming row-pattern surface at
+    * all). Same clause grammar, same backtracking engine
+    * (`MatchRecognize.matchFlags` — the batch and streaming faces
+    * share the matcher), restricted to the streaming-meaningful form:
+    * `PARTITION BY user_id ORDER BY ts[, event_id]`, ONE ROW PER
+    * MATCH, SKIP PAST LAST ROW, DEFINE without PREV (lag needs a
+    * window — carry a previous-value column upstream if needed).
+    *
+    * `horizonSeconds` is the CEP `within` contract (Flink's
+    * `Pattern.within`): a match must COMPLETE within the horizon of
+    * its first row's event time. That is what makes unbounded
+    * quantifiers decidable on an unbounded stream — a trailing `B+`
+    * can always be extended by one more future row, so without a
+    * horizon no greedy match could ever be emitted.
+    *
+    * Emission discipline (correctness under any micro-batch slicing,
+    * pinned by the batch-convergence test in StreamsSpec):
+    *  - rows are buffered per user and processed in (ts, event_id)
+    *    order; only rows at or below the WATERMARK are matched
+    *    (later-arriving rows above it would change positions);
+    *  - an attempt that PROBED the sealed boundary — succeeded or
+    *    failed — stays pending until the watermark passes its start's
+    *    horizon (a future row could extend or alter the preferred
+    *    match); an attempt decided strictly inside sealed rows emits
+    *    immediately;
+    *  - consumed and dead rows are dropped from state on every call;
+    *    an event-time timeout re-wakes the group when the oldest
+    *    pending window seals, so matches resolve without new traffic.
+    *
+    * State bound: rows within one horizon per user — the same bound
+    * Flink CEP keeps. */
+  def matchRecognizeStream(events: Dataset[Event], clause: String,
+      horizonSeconds: Long = 3600L, watermark: String = "2 hours"): Dataset[MrMatch] = {
+    import events.sparkSession.implicits._
+    import graft.dialect.MatchRecognize
+    val spec = MatchRecognize.parseClause(clause)
+    require(spec.partitionBy == Seq("user_id") &&
+      spec.orderBy.headOption.contains("ts"),
+      "matchRecognizeStream: PARTITION BY user_id ORDER BY ts[, event_id] required")
+    require(!spec.allRows && !spec.skipToNext,
+      "matchRecognizeStream: ONE ROW PER MATCH + SKIP PAST LAST ROW only")
+    require(!spec.defines.exists(_._2.toUpperCase.contains("PREV")),
+      "matchRecognizeStream: PREV is not available over a stream")
+    val vars = spec.vars
+    val pattern = spec.pattern
+    val horizonMs = horizonSeconds * 1000L
+    // DEFINE flags as Catalyst projections (stripped of var qualifiers),
+    // exactly like the batch planner — the matcher consumes booleans
+    val defMap = spec.defines.map { case (v, pred0) =>
+      var pred = pred0
+      vars.foreach(vn => pred = pred.replaceAll("(?i)\\b" + vn + "\\.", ""))
+      (v, pred)
+    }.toMap
+    val flagCols = vars.map(v =>
+      coalesce(defMap.get(v).map(p => expr(p).cast("boolean"))
+        .getOrElse(lit(true)), lit(false)))
+    val prepared = events.toDF()
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        array(flagCols: _*).as("flags"))
+      .as[(Long, Timestamp, Long, Seq[Boolean])]
+
+    // one user's buffer against the current watermark → emissions,
+    // surviving buffer, and the wake-up time of the oldest pending row
+    def advance(buf0: Vector[MrRow], matchNo0: Long, wm: Long)
+        : (Seq[MrMatch], Vector[MrRow], Long, Long) = {
+      val buf = buf0.sortBy(r => (r.tsMillis, r.eventId))
+      val flagAt = (i: Int, v: String) => buf(i).flags(vars.indexOf(v))
+      val out = Seq.newBuilder[MrMatch]
+      var matchNo = matchNo0
+      var i = 0
+      var pending = -1
+      while (i < buf.length && pending < 0) {
+        if (buf(i).tsMillis > wm) pending = i // unsealed start: wait
+        else {
+          val horizonEnd = buf(i).tsMillis + horizonMs
+          val limitTs = math.min(wm, horizonEnd)
+          val windowSealed = wm >= horizonEnd
+          var b = i
+          while (b < buf.length && buf(b).tsMillis <= limitTs) b += 1
+          var hitBoundary = false
+          val m = MatchRecognize.matchFlags(pattern, b + 1,
+            (j, v) => if (j >= b) { hitBoundary = true; false }
+                      else flagAt(j, v), i)
+          val decided = windowSealed || !hitBoundary
+          if (m != null && decided) {
+            out += MrMatch(0L, new Timestamp(buf(i).tsMillis),
+              new Timestamp(buf(m._1 - 1).tsMillis),
+              (m._1 - i).toLong, matchNo)
+            matchNo += 1
+            i = m._1
+          } else if (decided) i += 1 // final non-match: this start is dead
+          else pending = i           // boundary-dependent: defer
+        }
+      }
+      val keepFrom = if (pending >= 0) pending else i
+      val kept = buf.drop(keepFrom)
+      val wake = kept.headOption.map(_.tsMillis + horizonMs + 1L).getOrElse(-1L)
+      (out.result(), kept, matchNo, wake)
+    }
+
+    prepared
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[MrState, MrMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user, rows, state) =>
+          val st = state.getOption.getOrElse(MrState(Vector.empty, 1L))
+          val buf = st.rows.toVector ++
+            rows.map(r => MrRow(r._2.getTime, r._3, r._4))
+          val wm = state.getCurrentWatermarkMs()
+          val (matches, kept, matchNo, wake) = advance(buf, st.matchNo, wm)
+          if (sys.env.contains("GRAFT_MR_DEBUG"))
+            System.err.println(s"[mr] user=$user timedOut=${state.hasTimedOut} " +
+              s"wm=$wm buf=${buf.size} kept=${kept.size} " +
+              s"emit=${matches.size} wake=$wake")
+          if (kept.isEmpty) {
+            // buffer drained: drop the key's state entirely (bounded
+            // state over unbounded keys beats preserving the counter —
+            // match_number restarts when a user goes idle past all
+            // pending windows; documented)
+            if (state.exists) state.remove()
+          } else {
+            state.update(MrState(kept, matchNo))
+            // re-wake when the oldest pending window seals (timeout must
+            // sit strictly above the current watermark)
+            state.setTimeoutTimestamp(math.max(wake, wm + 1L))
+          }
+          matches.iterator.map(_.copy(user_id = user))
+      }
+  }
 }

@@ -609,4 +609,67 @@ class StreamsSpec extends SparkSpec {
       assert(streaming.length == 5)
     } finally q.stop()
   }
+
+  test("streaming MATCH_RECOGNIZE converges to the batch matcher") {
+    implicit val sqlCtx = spark.sqlContext
+    // funnels for two users + a dangling A that never completes; noop
+    // events on user 99 only push the watermark
+    val mr = Seq(
+      Event(1, ts(0), 1, "view", 0.0),
+      Event(2, ts(1), 1, "click", 0.0),
+      Event(3, ts(2), 1, "click", 0.0),
+      Event(4, ts(3), 1, "error", 0.0),
+      Event(5, ts(4), 1, "view", 0.0),  // no click follows: must NOT match
+      Event(6, ts(0), 2, "click", 0.0), // B with no A
+      Event(7, ts(1), 2, "view", 0.0),
+      Event(8, ts(2), 2, "click", 0.0))
+    val clause =
+      """PARTITION BY user_id ORDER BY ts, event_id
+        |MEASURES FIRST(A.ts) AS start_ts, LAST(B.ts) AS end_ts,
+        |         COUNT(*) AS n_rows
+        |PATTERN (A B+)
+        |DEFINE A AS event_type = 'view', B AS event_type = 'click'""".stripMargin
+    val mem = MemoryStream[Event]
+    val q = Streams.matchRecognizeStream(mem.toDS(), clause,
+        horizonSeconds = 1800L, watermark = "10 seconds")
+      .writeStream.format("memory").queryName("mr_stream")
+      .outputMode("append").start()
+    try {
+      // feed in event-time order across batches (rows behind the
+      // watermark are DROPPED by the engine, as in any stateful
+      // streaming op): batch 1 = both users' rows through 10:02,
+      // batch 2 = the rest
+      val batch1 = mr.filter(_.ts.getTime <= ts(2).getTime)
+      val batch2 = mr.filterNot(_.ts.getTime <= ts(2).getTime)
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      // push the watermark past every start's horizon so pending
+      // windows seal (watermark advances one batch behind the data)
+      mem.addData(Event(100, ts(90), 99, "noop", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(101, ts(95), 99, "noop", 0.0))
+      q.processAllAvailable()
+      val streaming = spark.table("mr_stream")
+        .orderBy("user_id", "start_ts")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+          r.getTimestamp(2), r.getLong(3), r.getLong(4))).toSeq
+      // batch reference: the SAME clause through the batch matcher,
+      // match_number = per-user rank by start (emission order)
+      val batchDf = graft.dialect.MatchRecognize.run(
+        (mr :+ Event(100, ts(90), 99, "noop", 0.0)
+            :+ Event(101, ts(95), 99, "noop", 0.0)).toDF(),
+        graft.dialect.MatchRecognize.parseClause(clause))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("start_ts"))
+      val batch = batchDf
+        .withColumn("mn", row_number().over(w).cast("long"))
+        .orderBy("user_id", "start_ts")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+          r.getTimestamp(2), r.getLong(3), r.getLong(4))).toSeq
+      assert(streaming.nonEmpty && streaming == batch, s"$streaming vs $batch")
+      assert(streaming.map(_._1).toSet == Set(1L, 2L)) // dangling A absent
+    } finally q.stop()
+  }
 }
