@@ -327,10 +327,20 @@ object MatchRecognize {
 
   /** Run the spec over `df`, returning the ONE-ROW-PER-MATCH relation
     * (partition columns + measures). */
-  def run(df: DataFrame, spec: Spec): DataFrame = {
+  def run(df: DataFrame, spec0: Spec): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    spec.partitionBy.foreach(c => requireCol(df, c))
-    spec.orderBy.foreach(c => requireCol(df, c))
+    // resolve every column reference case-INSENSITIVELY against the
+    // input (SQL identifier semantics; fieldIndex below is exact-case)
+    def resolve(c: String): String =
+      df.columns.find(_.equalsIgnoreCase(c)).getOrElse(
+        fail(s"column $c not found in input (have: ${df.columns.mkString(", ")})"))
+    val spec = spec0.copy(
+      partitionBy = spec0.partitionBy.map(resolve),
+      orderBy = spec0.orderBy.map(resolve),
+      measures = spec0.measures.map {
+        case m @ Measure(MFirst | MLast, _, c, _) => m.copy(colName = resolve(c))
+        case m => m
+      })
     // 1. rewrite DEFINE predicates: strip variable qualifiers (every
     //    qualifier denotes the current row in this subset), then map
     //    PREV(col) -> a lag column computed over (partition, order)
@@ -345,7 +355,7 @@ object MatchRecognize {
       pred = prevRe.replaceAllIn(pred, m => {
         val c = m.group(1)
         prevCols += c
-        PrevPrefix + c
+        PrevPrefix + resolve(c)
       })
       (v, pred)
     }
@@ -353,8 +363,8 @@ object MatchRecognize {
       .orderBy(spec.orderBy.map(col): _*)
     var prepared = df
     prevCols.foreach { c =>
-      requireCol(df, c)
-      prepared = prepared.withColumn(PrevPrefix + c, lag(col(c), 1).over(w))
+      prepared = prepared.withColumn(PrevPrefix + resolve(c),
+        lag(col(resolve(c)), 1).over(w))
     }
     val defMap = rewritten.toMap
     varNames.foreach { v =>
@@ -446,10 +456,6 @@ object MatchRecognize {
     }
     go(pattern, start, Nil, (j, a) => (j, a))
   }
-
-  private def requireCol(df: DataFrame, c: String): Unit =
-    if (!df.columns.map(_.toLowerCase).contains(c.toLowerCase))
-      fail(s"column $c not found in input (have: ${df.columns.mkString(", ")})")
 
   /** Streams one partition-key GROUP at a time out of the sorted
     * partition iterator, runs leftmost-greedy matching with SKIP PAST
@@ -568,15 +574,27 @@ object MatchRecognize {
     MrToken.findFirstMatchIn(stripLiterals(sql)).isDefined
 
   private def stripLiterals(sql: String): String = {
-    // blank out string literals so a quoted 'MATCH_RECOGNIZE' or a
-    // quoted relation name never confuses the scanner (positions are
-    // preserved — same length)
+    // blank out string literals AND comments so a quoted/commented
+    // 'MATCH_RECOGNIZE' or relation name never confuses the scanner
+    // (positions are preserved — same length)
     val b = sql.toCharArray
     var i = 0; var q = ' '
     while (i < b.length) {
       val c = b(i)
-      if (q != ' ') { if (c == q) q = ' ' else b(i) = ' ' }
+      if (q == '-') { if (c == '\n') q = ' ' else b(i) = ' ' } // -- line
+      else if (q == '*') {                                      // /* block
+        if (c == '*' && i + 1 < b.length && b(i + 1) == '/') {
+          b(i) = ' '; b(i + 1) = ' '; i += 1; q = ' '
+        } else b(i) = ' '
+      }
+      else if (q != ' ') { if (c == q) q = ' ' else b(i) = ' ' } // quotes
       else if (c == '\'' || c == '"') q = c
+      else if (c == '-' && i + 1 < b.length && b(i + 1) == '-') {
+        b(i) = ' '; q = '-'
+      }
+      else if (c == '/' && i + 1 < b.length && b(i + 1) == '*') {
+        b(i) = ' '; q = '*'
+      }
       i += 1
     }
     new String(b)

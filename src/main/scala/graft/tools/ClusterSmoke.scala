@@ -26,7 +26,11 @@ import org.apache.spark.sql.SparkSession
   */
 object ClusterSmoke {
   private val Queries =
-    Seq("dedup_components", "dedup_minhash", "dedup_index_merge")
+    Seq("dedup_components", "dedup_minhash", "dedup_index_merge",
+      // the MATCH_RECOGNIZE matcher: its Pat AST and MatchIterator
+      // closures must serialize to executor JVMs that did not define
+      // them — a local[32] run never proves that
+      "mr_funnel")
 
   private def md5(s: String): String =
     java.security.MessageDigest.getInstance("MD5")

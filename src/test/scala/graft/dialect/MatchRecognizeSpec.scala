@@ -85,6 +85,31 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(out == Seq((1L, 0L, 2L))) // C absent: count 0, P matched row 2
   }
 
+  test("commented or quoted MATCH_RECOGNIZE text does not trip the splice") {
+    val cfg = EngineConfig.fromEnv(Map.empty).toOption.get
+    val engine = new Engine(cfg, Some("/root/testdata/sf0.001"),
+      existing = Some(spark))
+    val qs = new QueryService(engine)
+    val r = qs.execute(
+      """-- not a real MATCH_RECOGNIZE clause
+        |SELECT /* MATCH_RECOGNIZE */ 'MATCH_RECOGNIZE (' AS s, COUNT(*) AS n
+        |FROM region""".stripMargin)
+    val res = r.toOption.getOrElse(fail(r.toString))
+    assert(res.rows == Seq(Seq("MATCH_RECOGNIZE (", 5L)))
+  }
+
+  test("column references resolve case-insensitively (SQL identifiers)") {
+    val df = funnel(Seq((1L, 1L, "view"), (1L, 2L, "click")))
+    val clause =
+      """PARTITION BY UID ORDER BY SEQ
+        |MEASURES FIRST(A.Seq) AS s, LAST(B.SEQ) AS e
+        |PATTERN (A B)
+        |DEFINE A AS EV = 'view', B AS ev = 'click'""".stripMargin
+    val out = MatchRecognize.run(df, parseClause(clause))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 1L, 2L)))
+  }
+
   test("undefined pattern variable matches any row") {
     val df = funnel(Seq((1L, 1L, "view"), (1L, 2L, "anything")))
     val clause =
