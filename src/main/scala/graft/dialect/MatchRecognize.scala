@@ -23,8 +23,9 @@ import org.apache.spark.sql.types._
   *    `SKIP TO NEXT ROW` (overlapping matches); SKIP TO <var> forms
   *    rejected
   *  - `PATTERN` over pattern variables with concatenation, alternation
-  *    `|`, grouping, and greedy `+` `*` `?` quantifiers (reluctant and
-  *    `{n,m}` forms rejected; patterns that can match empty rejected)
+  *    `|`, grouping, and greedy `+` `*` `?` `{n}` `{n,}` `{n,m}`
+  *    quantifiers (reluctant forms rejected; patterns that can match
+  *    empty rejected)
   *  - `DEFINE V AS <boolean sql>` where the predicate references the
   *    current row's columns (variable qualifiers like `B.price` are
   *    stripped — in this subset every qualifier denotes the current
@@ -56,8 +57,8 @@ object MatchRecognize {
   case class PVar(name: String) extends Pat
   case class PCat(items: Seq[Pat]) extends Pat
   case class PAlt(alts: Seq[Pat]) extends Pat
-  /** min 0|1, unbounded when max is None — covers ? * + */
-  case class PQuant(p: Pat, min: Int, unbounded: Boolean) extends Pat
+  /** max = None is unbounded — covers ? * + and {n[,m]} */
+  case class PQuant(p: Pat, min: Int, max: Option[Int]) extends Pat
 
   sealed trait MKind
   case object MFirst extends MKind
@@ -253,7 +254,24 @@ object MatchRecognize {
     val toks = tokenizePattern(txt)
     val (p, rest) = parseAlt(toks)
     if (rest.nonEmpty) fail(s"trailing pattern tokens: ${rest.mkString(" ")}")
-    p
+    normalize(p)
+  }
+
+  /** Quantifier normalization: `{n,…}` over a NULLABLE sub-pattern is
+    * language- and preference-equivalent to `{0,…}` (empty iterations
+    * can always pad out the minimum — java.util.regex does exactly
+    * that), and the matcher's rep() refuses empty iterations to
+    * guarantee termination, so the minimum must be normalized away for
+    * the two semantics to coincide. `{0,0}` matches nothing and is
+    * rejected. Pinned by the differential regex test. */
+  private[graft] def normalize(p: Pat): Pat = p match {
+    case PVar(_)  => p
+    case PCat(is) => PCat(is.map(normalize))
+    case PAlt(as) => PAlt(as.map(normalize))
+    case PQuant(q, min, max) =>
+      if (max.contains(0)) fail("quantifier {0,0} matches nothing")
+      val q2 = normalize(q)
+      PQuant(q2, if (nullable(q2)) 0 else min, max)
   }
 
   private def tokenizePattern(s: String): List[String] = {
@@ -263,6 +281,12 @@ object MatchRecognize {
       val c = s(i)
       if (c.isWhitespace) i += 1
       else if ("()|+*?".contains(c)) { out += c.toString; i += 1 }
+      else if (c == '{') {
+        val j = s.indexOf('}', i)
+        if (j < 0) fail(s"unclosed {{ in pattern at '${s.substring(i)}'")
+        out += s.substring(i, j + 1).filterNot(_.isWhitespace)
+        i = j + 1
+      }
       else if (Character.isLetter(c) || c == '_') {
         val j0 = i
         while (i < s.length && (Character.isLetterOrDigit(s(i)) || s(i) == '_')) i += 1
@@ -305,9 +329,23 @@ object MatchRecognize {
       case other => fail(s"unexpected pattern token: ${other.headOption.getOrElse("<end>")}")
     }
     rest match {
-      case "+" :: r2 => (PQuant(atom, 1, unbounded = true), r2)
-      case "*" :: r2 => (PQuant(atom, 0, unbounded = true), r2)
-      case "?" :: r2 => (PQuant(atom, 0, unbounded = false), r2)
+      case "+" :: r2 => (PQuant(atom, 1, None), r2)
+      case "*" :: r2 => (PQuant(atom, 0, None), r2)
+      case "?" :: r2 => (PQuant(atom, 0, Some(1)), r2)
+      case t :: r2 if t.startsWith("{") =>
+        val m = "\\{(\\d+)(,(\\d*))?\\}".r
+        t match {
+          case m(lo, comma, hi) =>
+            val min = lo.toInt
+            val max =
+              if (comma == null) Some(min)            // {n}
+              else if (hi == null || hi.isEmpty) None // {n,}
+              else Some(hi.toInt)                     // {n,m}
+            if (max.exists(_ < min))
+              fail(s"quantifier max below min: $t")
+            (PQuant(atom, min, max), r2)
+          case _ => fail(s"cannot parse quantifier: $t")
+        }
       case _         => (atom, rest)
     }
   }
@@ -440,11 +478,11 @@ object MatchRecognize {
         alts.iterator.map(go(_, i, acc, k)).collectFirst {
           case r if r != null => r
         }.orNull
-      case PQuant(q, min, unbounded) =>
+      case PQuant(q, min, max) =>
         def rep(cnt: Int, j: Int, a: List[(Int, String)])
             : (Int, List[(Int, String)]) = {
           val more =
-            if (unbounded || cnt < 1)
+            if (max.forall(cnt < _))
               go(q, j, a, (j2, a2) =>
                 if (j2 == j) null else rep(cnt + 1, j2, a2))
             else null

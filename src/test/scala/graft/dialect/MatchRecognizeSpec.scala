@@ -194,6 +194,95 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(res.rows.exists(_.head == "user_id"))
   }
 
+  test("{n} / {n,} / {n,m} quantifiers bound repetition") {
+    val df = funnel((1L to 6L).map(i => (1L, i, "click")))
+    def clause(q: String) =
+      s"""PARTITION BY uid ORDER BY seq
+         |MEASURES FIRST(B.seq) AS s, COUNT(B.*) AS n
+         |PATTERN (B$q)
+         |DEFINE B AS ev = 'click'""".stripMargin
+    def spans(q: String) = MatchRecognize.run(df, parseClause(clause(q)))
+      .orderBy("s").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(spans("{2}") == Seq((1L, 2L), (3L, 2L), (5L, 2L)))
+    assert(spans("{4,}") == Seq((1L, 6L)))   // greedy: takes all 6
+    assert(spans("{2,4}") == Seq((1L, 4L), (5L, 2L)))
+    val e = intercept[IllegalArgumentException](parseClause(clause("{4,2}")))
+    assert(e.getMessage.contains("max below min"))
+  }
+
+  test("differential: matcher equals java.util.regex on random patterns") {
+    // Same preference semantics (leftmost, greedy, backtracking) and
+    // the same non-overlapping resume-at-end scan as SKIP PAST LAST
+    // ROW — so the (start, end) span sequences must agree exactly.
+    // Rows become chars encoding the flag set of vars A/B ('a'+mask);
+    // a variable becomes the character class of masks with its bit.
+    import MatchRecognize._
+    val rnd = new scala.util.Random(20260815L)
+    def cls(bit: Int) =
+      "[" + (0 until 4).filter(m => (m & (1 << bit)) != 0)
+        .map(m => ('a' + m).toChar).mkString + "]"
+    def toRegex(p: Pat): String = p match {
+      case PVar("A") => cls(0)
+      case PVar(v)   => cls(1)
+      case PCat(is)  => is.map(toRegex).mkString
+      case PAlt(as)  => "(?:" + as.map(toRegex).mkString("|") + ")"
+      case PQuant(q, min, max) =>
+        val suffix = (min, max) match {
+          case (1, None)    => "+"
+          case (0, None)    => "*"
+          case (0, Some(1)) => "?"
+          case (n, None)    => s"{$n,}"
+          case (n, Some(m)) => s"{$n,$m}"
+        }
+        "(?:" + toRegex(q) + ")" + suffix
+    }
+    def randPat(depth: Int): Pat = rnd.nextInt(6) match {
+      case 0 | 1 => PVar(if (rnd.nextBoolean()) "A" else "B")
+      case 2 if depth < 3 => PCat(Seq.fill(1 + rnd.nextInt(2))(randPat(depth + 1)))
+      case 3 if depth < 3 => PAlt(Seq.fill(2)(randPat(depth + 1)))
+      case 4 if depth < 3 =>
+        val min = rnd.nextInt(3)
+        val max = if (rnd.nextBoolean()) None
+          else Some(math.max(1, min + rnd.nextInt(3)))
+        PQuant(randPat(depth + 1), min, max)
+      case _ => PVar("A")
+    }
+    var tested = 0
+    (1 to 800).foreach { _ =>
+      val pat = MatchRecognize.normalize(randPat(0))
+      if (!nullablePat(pat)) {
+        tested += 1
+        val n = 1 + rnd.nextInt(10)
+        val masks = Array.fill(n)(rnd.nextInt(4)) // bit0=A, bit1=B
+        val text = masks.map(m => ('a' + m).toChar).mkString
+        // our matcher, skip-past-last-row scan
+        val flag = (i: Int, v: String) =>
+          (masks(i) & (if (v == "A") 1 else 2)) != 0
+        val ours = Seq.newBuilder[(Int, Int)]
+        var i = 0
+        while (i < n) {
+          val m = MatchRecognize.matchFlags(pat, n, flag, i)
+          if (m != null) { ours += ((i, m._1)); i = m._1 } else i += 1
+        }
+        // java regex find() loop: leftmost, greedy, resumes at end
+        val jm = java.util.regex.Pattern.compile(toRegex(pat)).matcher(text)
+        val theirs = Seq.newBuilder[(Int, Int)]
+        while (jm.find()) theirs += ((jm.start(), jm.end()))
+        assert(ours.result() == theirs.result(),
+          s"pattern=$pat regex=${toRegex(pat)} text=$text")
+      }
+    }
+    assert(tested > 300) // the generator must exercise real cases
+  }
+
+  private def nullablePat(p: MatchRecognize.Pat): Boolean = p match {
+    case MatchRecognize.PVar(_)          => false
+    case MatchRecognize.PCat(is)         => is.forall(nullablePat)
+    case MatchRecognize.PAlt(as)         => as.exists(nullablePat)
+    case MatchRecognize.PQuant(_, 0, _)  => true
+    case MatchRecognize.PQuant(q, _, _)  => nullablePat(q)
+  }
+
   test("rejections carry clear messages; nullable patterns are refused") {
     def err(clause: String): String =
       intercept[IllegalArgumentException](parseClause(clause)).getMessage
