@@ -60,6 +60,13 @@ object MatchRecognize {
   /** max = None is unbounded — covers ? * + and {n[,m]} */
   case class PQuant(p: Pat, min: Int, max: Option[Int]) extends Pat
 
+  sealed trait SkipMode
+  case object SkipPastLast extends SkipMode
+  case object SkipToNext extends SkipMode
+  /** Resume AT the first/last row mapped to `v` (overlap allowed;
+    * Trino errors when the target is the match start or unmatched). */
+  case class SkipToVar(first: Boolean, v: String) extends SkipMode
+
   sealed trait MKind
   case object MFirst extends MKind
   case object MLast extends MKind
@@ -71,7 +78,7 @@ object MatchRecognize {
 
   case class Spec(partitionBy: Seq[String], orderBy: Seq[String],
       measures: Seq[Measure], pattern: Pat, defines: Seq[(String, String)],
-      skipToNext: Boolean = false, allRows: Boolean = false) {
+      skip: SkipMode = SkipPastLast, allRows: Boolean = false) {
     lazy val vars: Seq[String] = {
       def walk(p: Pat): Seq[String] = p match {
         case PVar(n)    => Seq(n)
@@ -126,12 +133,18 @@ object MatchRecognize {
         s"supported (OMIT EMPTY MATCHES / WITH UNMATCHED ROWS): $rest")
     }
     if (section("SUBSET").isDefined) fail("SUBSET is not supported")
-    val skipToNext = section("AFTER MATCH") match {
-      case None => false // SKIP PAST LAST ROW is the default
-      case Some(m) if m.toUpperCase.startsWith("SKIP PAST LAST ROW") => false
-      case Some(m) if m.toUpperCase.startsWith("SKIP TO NEXT ROW")   => true
+    val toVarRe =
+      "(?is)^SKIP\\s+TO\\s+(?:(FIRST|LAST)\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
+    val skip: SkipMode = section("AFTER MATCH") match {
+      case None => SkipPastLast // the default
+      case Some(m) if m.toUpperCase.startsWith("SKIP PAST LAST ROW") =>
+        SkipPastLast
+      case Some(m) if m.toUpperCase.startsWith("SKIP TO NEXT ROW") =>
+        SkipToNext
+      case Some(toVarRe(fl, v)) => // bare SKIP TO v = SKIP TO LAST v
+        SkipToVar(fl != null && fl.equalsIgnoreCase("FIRST"), v)
       case Some(m) => fail("only AFTER MATCH SKIP PAST LAST ROW / " +
-        s"SKIP TO NEXT ROW are supported (got: $m)")
+        s"SKIP TO NEXT ROW / SKIP TO [FIRST|LAST] <var> are supported (got: $m)")
     }
     val partCols = section("PARTITION BY")
       .map(splitTop(_, ',').map(parseIdent)).getOrElse(Seq.empty)
@@ -155,7 +168,12 @@ object MatchRecognize {
       fail("MEASURES is required in this subset " +
         "(ONE ROW PER MATCH output is partition columns + measures)")
     val spec =
-      Spec(partCols, orderCols, measures, pattern, defines, skipToNext, allRows)
+      Spec(partCols, orderCols, measures, pattern, defines, skip, allRows)
+    skip match {
+      case SkipToVar(_, v) if !spec.vars.contains(v) =>
+        fail(s"AFTER MATCH SKIP TO references unknown variable: $v")
+      case _ => ()
+    }
     val unknown = defines.map(_._1).filterNot(spec.vars.contains)
     if (unknown.nonEmpty)
       fail(s"DEFINE variables not in PATTERN: ${unknown.mkString(", ")}")
@@ -280,7 +298,7 @@ object MatchRecognize {
     while (i < s.length) {
       val c = s(i)
       if (c.isWhitespace) i += 1
-      else if ("()|+*?".contains(c)) { out += c.toString; i += 1 }
+      else if ("()|+*?,".contains(c)) { out += c.toString; i += 1 }
       else if (c == '{') {
         val j = s.indexOf('}', i)
         if (j < 0) fail(s"unclosed {{ in pattern at '${s.substring(i)}'")
@@ -325,6 +343,23 @@ object MatchRecognize {
           case ")" :: r2 => (p, r2)
           case _ => fail("unbalanced ( in pattern")
         }
+      // PERMUTE(A, B, …) expands to the alternation of all orderings,
+      // in lexicographical order of the argument positions — Trino's
+      // documented preference (earlier-listed variables preferred)
+      case kw :: "(" :: t if kw.equalsIgnoreCase("PERMUTE") =>
+        def args(r: List[String], acc: Seq[String]): (Seq[String], List[String]) =
+          r match {
+            case v :: ")" :: r2 if v.head.isLetter || v.head == '_' =>
+              (acc :+ v, r2)
+            case v :: "," :: r2 if v.head.isLetter || v.head == '_' =>
+              args(r2, acc :+ v)
+            case _ => fail("PERMUTE takes a comma-separated variable list")
+          }
+        val (vs, r2) = args(t, Seq.empty)
+        if (vs.size < 2 || vs.size > 5)
+          fail(s"PERMUTE supports 2..5 variables (got ${vs.size})")
+        val alts = vs.permutations.map(p => PCat(p.map(PVar))).toSeq
+        (PAlt(alts): Pat, r2)
       case v :: t if v.head.isLetter || v.head == '_' => (PVar(v): Pat, t)
       case other => fail(s"unexpected pattern token: ${other.headOption.getOrElse("<end>")}")
     }
@@ -446,12 +481,12 @@ object MatchRecognize {
       case Measure(k, v, _, _)                    => (k, v, -1)
     }
     val pattern = spec.pattern
-    val skipToNext = spec.skipToNext
+    val skip = spec.skip
     val allRows = spec.allRows
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     arranged.mapPartitions { it =>
       new MatchIterator(it, partIdx, keyIdx, flagIdx, pattern, measureIdx,
-        skipToNext, allRows)
+        skip, allRows)
     }(enc)
   }
 
@@ -500,7 +535,7 @@ object MatchRecognize {
     * LAST ROW, emits one output row per match. */
   private class MatchIterator(rows: Iterator[Row], partIdx: Seq[Int],
       outIdx: Seq[Int], flagIdx: Map[String, Int], pattern: Pat,
-      measures: Seq[(MKind, String, Int)], skipToNext: Boolean,
+      measures: Seq[(MKind, String, Int)], skip: SkipMode,
       allRows: Boolean) extends Iterator[Row] {
     private val buf = rows.buffered
     private val out = scala.collection.mutable.Queue.empty[Row]
@@ -592,9 +627,23 @@ object MatchRecognize {
             matchNo += 1
             // SKIP PAST LAST ROW consumes the match (non-overlapping;
             // the pattern is non-nullable so m._1 > i always advances);
-            // SKIP TO NEXT ROW resumes right after the match START
-            // (overlapping matches, Trino semantics)
-            i = if (skipToNext) i + 1 else m._1
+            // SKIP TO NEXT ROW resumes right after the match START;
+            // SKIP TO [FIRST|LAST] v resumes AT that row of the match
+            // (overlap allowed) — Trino errors when the target is the
+            // match start (infinite loop) or the variable unmatched
+            i = skip match {
+              case SkipPastLast => m._1
+              case SkipToNext   => i + 1
+              case SkipToVar(first, v) =>
+                val rowsOfV = m._2.reverse.collect { case (r, `v`) => r }
+                if (rowsOfV.isEmpty) throw new IllegalStateException(
+                  s"AFTER MATCH SKIP TO failed: variable $v not matched")
+                val target = if (first) rowsOfV.head else rowsOfV.last
+                if (target <= i) throw new IllegalStateException(
+                  "AFTER MATCH SKIP TO failed: cannot skip to the first " +
+                    "row of the match")
+                target
+            }
           } else i += 1
         }
       }

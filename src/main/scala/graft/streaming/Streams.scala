@@ -508,7 +508,8 @@ object Streams {
     require(spec.partitionBy == Seq("user_id") &&
       spec.orderBy.headOption.contains("ts"),
       "matchRecognizeStream: PARTITION BY user_id ORDER BY ts[, event_id] required")
-    require(!spec.allRows && !spec.skipToNext,
+    require(!spec.allRows &&
+      spec.skip == graft.dialect.MatchRecognize.SkipPastLast,
       "matchRecognizeStream: ONE ROW PER MATCH + SKIP PAST LAST ROW only")
     require(!spec.defines.exists(_._2.toUpperCase.contains("PREV")),
       "matchRecognizeStream: PREV is not available over a stream")

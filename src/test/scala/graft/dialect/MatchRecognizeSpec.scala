@@ -283,13 +283,86 @@ class MatchRecognizeSpec extends SparkSpec {
     case MatchRecognize.PQuant(q, _, _)  => nullablePat(q)
   }
 
+  test("PERMUTE matches any ordering, preferring earlier-listed variables") {
+    val df = funnel(Seq(
+      (1L, 1L, "click"), (1L, 2L, "view"),   // B then A — still one match
+      (2L, 1L, "view"), (2L, 2L, "click")))  // A then B
+    val clause =
+      """PARTITION BY uid ORDER BY seq
+        |MEASURES CLASSIFIER() AS last_var, COUNT(*) AS n
+        |PATTERN (PERMUTE(A, B))
+        |DEFINE A AS ev = 'view', B AS ev = 'click'""".stripMargin
+    val out = MatchRecognize.run(df, parseClause(clause))
+      .orderBy("uid").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // CLASSIFIER (FINAL = last row's var): u1 ends on A, u2 ends on B
+    assert(out == Seq((1L, "A", 2L), (2L, "B", 2L)))
+    // preference: when both orderings match, the earlier-listed wins —
+    // rows satisfying BOTH defines, PERMUTE(X, Y): X Y preferred
+    val both = funnel(Seq((1L, 1L, "view"), (1L, 2L, "view")))
+    val cl2 =
+      """PARTITION BY uid ORDER BY seq
+        |MEASURES CLASSIFIER() AS last_var
+        |PATTERN (PERMUTE(X, Y))
+        |DEFINE X AS ev = 'view', Y AS ev = 'view'""".stripMargin
+    val o2 = MatchRecognize.run(both, parseClause(cl2)).collect()
+    assert(o2.map(_.getString(1)).toSeq == Seq("Y")) // X first, Y last
+  }
+
+  test("AFTER MATCH SKIP TO FIRST/LAST var resumes at that row") {
+    // view click click view click: with SKIP TO LAST B the next scan
+    // resumes AT the last click, which can seed nothing (click is not
+    // A), so matches are the same as PAST LAST ROW here; with pattern
+    // (A B+) and SKIP TO FIRST B resume at the first click — the
+    // second click alone cannot start a match either. Use a pattern
+    // where overlap MATTERS: (A B) over alternating rows.
+    val df = funnel(Seq(
+      (1L, 1L, "view"), (1L, 2L, "viewclick"), (1L, 3L, "view"),
+      (1L, 4L, "viewclick")))
+    // B rows also satisfy A's predicate prefix: ev LIKE 'view%'
+    val clause =
+      """PARTITION BY uid ORDER BY seq
+        |MEASURES FIRST(A.seq) AS s, LAST(B.seq) AS e
+        |AFTER MATCH SKIP TO LAST B
+        |PATTERN (A B)
+        |DEFINE A AS ev LIKE 'view%', B AS ev = 'viewclick'""".stripMargin
+    val out = MatchRecognize.run(df, parseClause(clause))
+      .orderBy("s").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    // match 1 = rows 1-2; resume AT row 2 (last B) → row 2 can be A →
+    // match 2 = rows 2-? B must be viewclick: row 3 is plain view →
+    // no; try row 3: A=3, B=4 → match. So spans (1,2) and (3,4)…
+    // but ALSO the resume-at-2 attempt (2,?) fails and scanning moves
+    // on — overlap was possible but not realized on this data.
+    assert(out == Seq((1L, 2L), (3L, 4L)))
+    // overlap realized: every row satisfies both A and B
+    val all = funnel(Seq((1L, 1L, "viewclick"), (1L, 2L, "viewclick"),
+      (1L, 3L, "viewclick")))
+    val o2 = MatchRecognize.run(all, parseClause(clause))
+      .orderBy("s").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(o2 == Seq((1L, 2L), (2L, 3L))) // SKIP TO LAST B overlaps
+    // error cases: unmatched var / skipping to the match start
+    val bad =
+      """PARTITION BY uid ORDER BY seq
+        |MEASURES COUNT(*) AS n
+        |AFTER MATCH SKIP TO FIRST A
+        |PATTERN (A B?)
+        |DEFINE A AS ev LIKE 'view%', B AS ev = 'never'""".stripMargin
+    val e = intercept[org.apache.spark.SparkException] {
+      MatchRecognize.run(all, parseClause(bad)).collect()
+    }
+    assert(e.getMessage.contains("first row of the match") ||
+      Option(e.getCause).exists(_.getMessage.contains("first row of the match")))
+  }
+
   test("rejections carry clear messages; nullable patterns are refused") {
     def err(clause: String): String =
       intercept[IllegalArgumentException](parseClause(clause)).getMessage
     assert(err("ORDER BY x MEASURES COUNT(*) AS n PATTERN (A) SUBSET U = (A) DEFINE A AS true")
       .contains("SUBSET"))
-    assert(err("ORDER BY x MEASURES COUNT(*) AS n AFTER MATCH SKIP TO FIRST A PATTERN (A) DEFINE A AS true")
+    assert(err("ORDER BY x MEASURES COUNT(*) AS n AFTER MATCH SKIP HALFWAY PATTERN (A) DEFINE A AS true")
       .contains("SKIP PAST LAST ROW"))
+    assert(err("ORDER BY x MEASURES COUNT(*) AS n AFTER MATCH SKIP TO LAST Z PATTERN (A) DEFINE A AS true")
+      .contains("unknown variable"))
     assert(err("ORDER BY x MEASURES COUNT(*) AS n PATTERN (A*) DEFINE A AS true")
       .contains("empty sequence"))
     assert(err("MEASURES COUNT(*) AS n PATTERN (A) DEFINE A AS true")
@@ -338,10 +411,10 @@ class MatchRecognizeSpec extends SparkSpec {
       """SELECT * FROM events MATCH_RECOGNIZE (
         |  PARTITION BY user_id ORDER BY ts
         |  MEASURES COUNT(*) AS n
-        |  AFTER MATCH SKIP TO FIRST B
         |  PATTERN (A B+)
+        |  SUBSET U = (A, B)
         |  DEFINE A AS event_type = 'view', B AS event_type = 'click')""".stripMargin)
-    assert(bad.isLeft && bad.swap.toOption.get.contains("SKIP PAST LAST ROW"))
+    assert(bad.isLeft && bad.swap.toOption.get.contains("SUBSET"))
   }
 
   test("matcher equals the window-SQL replay on the real events table") {
