@@ -10,7 +10,8 @@ import org.apache.spark.sql.types._
   * shapes the feature is actually used for:
   *
   *  - `PARTITION BY c1[, …]`, `ORDER BY c1[, …]` (plain columns)
-  *  - `MEASURES` of `FIRST(V.c)`, `LAST(V.c)`, `V.c` (≡ FINAL LAST),
+  *  - `MEASURES` of `FIRST(V.c[, n])`, `LAST(V.c[, n])` (logical
+  *    offset navigation; out-of-range → NULL), `V.c` (≡ FINAL LAST),
   *    `COUNT(V.*)`, `COUNT(*)`, `MATCH_NUMBER()`, `CLASSIFIER()`, each
   *    with `AS name` (optional `RUNNING` prefix accepted; `FINAL`
   *    rejected)
@@ -74,7 +75,10 @@ object MatchRecognize {
   case object MCountStar extends MKind
   case object MMatchNumber extends MKind
   case object MClassifier extends MKind
-  case class Measure(kind: MKind, varName: String, colName: String, alias: String)
+  /** `offset` is the logical navigation offset of FIRST/LAST(V.c, n):
+    * n-th mapped row from the start / from the end (0 = the default). */
+  case class Measure(kind: MKind, varName: String, colName: String,
+      alias: String, offset: Int = 0)
 
   case class Spec(partitionBy: Seq[String], orderBy: Seq[String],
       measures: Seq[Measure], pattern: Pat, defines: Seq[(String, String)],
@@ -234,7 +238,7 @@ object MatchRecognize {
       case asM(e, a) => (e.trim, a)
       case _ => fail(s"measure needs AS <name>: $s")
     }
-    val firstLast = "(?is)^(FIRST|LAST)\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\.([A-Za-z_][A-Za-z0-9_]*)\\s*\\)$".r
+    val firstLast = "(?is)^(FIRST|LAST)\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\.([A-Za-z_][A-Za-z0-9_]*)\\s*(?:,\\s*(\\d+)\\s*)?\\)$".r
     val bare = "(?is)^([A-Za-z_][A-Za-z0-9_]*)\\.([A-Za-z_][A-Za-z0-9_]*)$".r
     val countVar = "(?is)^COUNT\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\.\\*\\s*\\)$".r
     val countStar = "(?is)^COUNT\\s*\\(\\s*\\*\\s*\\)$".r
@@ -250,8 +254,9 @@ object MatchRecognize {
         fail(s"FINAL measure semantics are not supported: $exprTxt")
       else exprTxt
     body match {
-      case firstLast(fl, v, c) =>
-        Measure(if (fl.equalsIgnoreCase("FIRST")) MFirst else MLast, v, c, alias)
+      case firstLast(fl, v, c, off) =>
+        Measure(if (fl.equalsIgnoreCase("FIRST")) MFirst else MLast, v, c,
+          alias, if (off == null) 0 else off.toInt)
       case bare(v, c)  => Measure(MLast, v, c, alias) // FINAL LAST semantics
       case countVar(v) => Measure(MCountVar, v, "", alias)
       case countStar() => Measure(MCountStar, "", "", alias)
@@ -411,7 +416,7 @@ object MatchRecognize {
       partitionBy = spec0.partitionBy.map(resolve),
       orderBy = spec0.orderBy.map(resolve),
       measures = spec0.measures.map {
-        case m @ Measure(MFirst | MLast, _, c, _) => m.copy(colName = resolve(c))
+        case m @ Measure(MFirst | MLast, _, c, _, _) => m.copy(colName = resolve(c))
         case m => m
       })
     // 1. rewrite DEFINE predicates: strip variable qualifiers (every
@@ -461,9 +466,9 @@ object MatchRecognize {
     def colType(c: String): DataType = inSchema(inSchema.fieldIndex(c)).dataType
     val inputCols = df.columns.toSeq // original columns, no __mr internals
     val measureFields = spec.measures.map {
-      case Measure(MFirst | MLast, _, c, a) => StructField(a, colType(c))
-      case Measure(MClassifier, _, _, a)    => StructField(a, StringType)
-      case Measure(_, _, _, a)              => StructField(a, LongType)
+      case Measure(MFirst | MLast, _, c, a, _) => StructField(a, colType(c))
+      case Measure(MClassifier, _, _, a, _)    => StructField(a, StringType)
+      case Measure(_, _, _, a, _)              => StructField(a, LongType)
     }
     val outSchema = StructType(
       (if (spec.allRows) inputCols.map(c => inSchema(inSchema.fieldIndex(c)))
@@ -477,8 +482,9 @@ object MatchRecognize {
     val flagIdx: Map[String, Int] =
       varNames.map(v => v -> inSchema.fieldIndex(DefPrefix + v)).toMap
     val measureIdx = spec.measures.map {
-      case Measure(k @ (MFirst | MLast), v, c, _) => (k, v, inSchema.fieldIndex(c))
-      case Measure(k, v, _, _)                    => (k, v, -1)
+      case Measure(k @ (MFirst | MLast), v, c, _, off) =>
+        (k, v, inSchema.fieldIndex(c), off)
+      case Measure(k, v, _, _, off) => (k, v, -1, off)
     }
     val pattern = spec.pattern
     val skip = spec.skip
@@ -535,7 +541,7 @@ object MatchRecognize {
     * LAST ROW, emits one output row per match. */
   private class MatchIterator(rows: Iterator[Row], partIdx: Seq[Int],
       outIdx: Seq[Int], flagIdx: Map[String, Int], pattern: Pat,
-      measures: Seq[(MKind, String, Int)], skip: SkipMode,
+      measures: Seq[(MKind, String, Int, Int)], skip: SkipMode,
       allRows: Boolean) extends Iterator[Row] {
     private val buf = rows.buffered
     private val out = scala.collection.mutable.Queue.empty[Row]
@@ -568,11 +574,13 @@ object MatchRecognize {
       val byVar = assigned.reverse.groupBy(_._2) // ascending row order
       val vals = new Array[Any](outIdx.length + measures.length)
       outIdx.indices.foreach(i => vals(i) = g(start).get(outIdx(i)))
-      measures.zipWithIndex.foreach { case ((kind, v, cIdx), mi) =>
+      measures.zipWithIndex.foreach { case ((kind, v, cIdx, off), mi) =>
         val slot = outIdx.length + mi
         vals(slot) = kind match {
-          case MFirst => byVar.get(v).map(l => g(l.head._1).get(cIdx)).orNull
-          case MLast  => byVar.get(v).map(l => g(l.last._1).get(cIdx)).orNull
+          case MFirst => byVar.get(v).flatMap(_.lift(off))
+            .map(a => g(a._1).get(cIdx)).orNull
+          case MLast  => byVar.get(v).flatMap(l => l.lift(l.length - 1 - off))
+            .map(a => g(a._1).get(cIdx)).orNull
           case MCountVar    => byVar.get(v).map(_.length.toLong).getOrElse(0L)
           case MCountStar   => (end - start).toLong
           case MMatchNumber => matchNo
@@ -588,23 +596,23 @@ object MatchRecognize {
     private def emitAll(g: Array[Row], assigned: List[(Int, String)],
         matchNo: Long): Seq[Row] = {
       val asc = assigned.reverse // ascending row order
-      val firstRow = scala.collection.mutable.HashMap.empty[String, Int]
-      val lastRow = scala.collection.mutable.HashMap.empty[String, Int]
-      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      val rowsOf = scala.collection.mutable
+        .HashMap.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
       var seen = 0L
       asc.map { case (rowI, varName) =>
-        if (!firstRow.contains(varName)) firstRow(varName) = rowI
-        lastRow(varName) = rowI
-        counts(varName) = counts.getOrElse(varName, 0L) + 1L
+        rowsOf.getOrElseUpdate(varName,
+          scala.collection.mutable.ArrayBuffer.empty[Int]) += rowI
         seen += 1L
         val vals = new Array[Any](outIdx.length + measures.length)
         outIdx.indices.foreach(i => vals(i) = g(rowI).get(outIdx(i)))
-        measures.zipWithIndex.foreach { case ((kind, v, cIdx), mi) =>
+        measures.zipWithIndex.foreach { case ((kind, v, cIdx, off), mi) =>
           val slot = outIdx.length + mi
           vals(slot) = kind match {
-            case MFirst => firstRow.get(v).map(r => g(r).get(cIdx)).orNull
-            case MLast  => lastRow.get(v).map(r => g(r).get(cIdx)).orNull
-            case MCountVar    => counts.getOrElse(v, 0L)
+            case MFirst => rowsOf.get(v).flatMap(_.lift(off))
+              .map(r => g(r).get(cIdx)).orNull
+            case MLast  => rowsOf.get(v).flatMap(l => l.lift(l.length - 1 - off))
+              .map(r => g(r).get(cIdx)).orNull
+            case MCountVar    => rowsOf.get(v).map(_.length.toLong).getOrElse(0L)
             case MCountStar   => seen
             case MMatchNumber => matchNo
             case MClassifier  => varName

@@ -283,6 +283,29 @@ class MatchRecognizeSpec extends SparkSpec {
     case MatchRecognize.PQuant(q, _, _)  => nullablePat(q)
   }
 
+  test("FIRST/LAST with a logical offset navigate within the match") {
+    val df = funnel((1L to 5L).map(i => (1L, i, "click")) :+ ((1L, 0L, "view")))
+    val clause =
+      """PARTITION BY uid ORDER BY seq
+        |MEASURES FIRST(B.seq) AS b0, FIRST(B.seq, 1) AS b1,
+        |         LAST(B.seq, 1) AS bl1, LAST(B.seq, 9) AS out_of_range
+        |PATTERN (A B+)
+        |DEFINE A AS ev = 'view', B AS ev = 'click'""".stripMargin
+    val out = MatchRecognize.run(df, parseClause(clause)).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.get(4)) ==
+      ((1L, 2L, 4L, null))) // B rows 1..5: first=1, first+1=2, last-1=4
+    // RUNNING semantics in ALL mode: offsets look back within the
+    // rows matched SO FAR
+    val all = parseClause(clause.replace("PATTERN", "ALL ROWS PER MATCH\nPATTERN"))
+    val rows = MatchRecognize.run(df, all).orderBy("seq")
+      .collect().map(r2 => (r2.getLong(1), r2.get(4))).toSeq
+    // (seq, first(B,1)): null until two B's seen, then 2 from seq>=2
+    assert(rows == Seq((0L, null), (1L, null), (2L, 2L), (3L, 2L),
+      (4L, 2L), (5L, 2L)))
+  }
+
   test("PERMUTE matches any ordering, preferring earlier-listed variables") {
     val df = funnel(Seq(
       (1L, 1L, "click"), (1L, 2L, "view"),   // B then A — still one match
