@@ -12,7 +12,12 @@ import org.apache.spark.sql.types._
   *  - `PARTITION BY c1[, …]`, `ORDER BY c1[, …]` (plain columns)
   *  - `MEASURES` of `FIRST(V.c[, n])`, `LAST(V.c[, n])` (logical
   *    offset navigation; out-of-range → NULL), `V.c` (≡ FINAL LAST),
-  *    `COUNT(V.*)`, `COUNT(*)`, `MATCH_NUMBER()`, `CLASSIFIER()`, each
+  *    `COUNT(V.*)`, `COUNT(*)`, `SUM/AVG/MIN/MAX(V.c)` (and the
+  *    unqualified `SUM(c)` form — the universal variable, i.e. every
+  *    matched row; FINAL in ONE-ROW mode, RUNNING in ALL-ROWS mode;
+  *    `AVG` always emits double — for decimal inputs the sum is exact
+  *    and divided once, a documented deviation from Trino's
+  *    decimal-typed avg), `MATCH_NUMBER()`, `CLASSIFIER()`, each
   *    with `AS name` (optional `RUNNING` prefix accepted; `FINAL`
   *    rejected)
   *  - `ONE ROW PER MATCH` (the default) — output is partition columns
@@ -28,9 +33,13 @@ import org.apache.spark.sql.types._
   *    quantifiers (reluctant forms rejected; patterns that can match
   *    empty rejected)
   *  - `DEFINE V AS <boolean sql>` where the predicate references the
-  *    current row's columns (variable qualifiers like `B.price` are
-  *    stripped — in this subset every qualifier denotes the current
-  *    row) and `PREV(col)` = the previous ROW in the partition
+  *    current row's columns (V's OWN qualifier, `V.price` inside
+  *    DEFINE V, denotes the current row and is stripped; a qualifier
+  *    naming a DIFFERENT pattern variable — `DEFINE B AS B.price >
+  *    A.price` — is REJECTED with a validation error, since this
+  *    subset cannot evaluate cross-variable references and silently
+  *    stripping them would compute a wrong answer)
+  *    and `PREV(col)` = the previous ROW in the partition
   *    (physical navigation, evaluated as a window `lag` before the
   *    scan). Variables without a DEFINE match any row (standard).
   *
@@ -75,6 +84,13 @@ object MatchRecognize {
   case object MCountStar extends MKind
   case object MMatchNumber extends MKind
   case object MClassifier extends MKind
+  /** SUM/AVG/MIN/MAX(V.c) — aggregate over the rows mapped to V
+    * (varName = "" ⇒ the universal row-pattern variable: every matched
+    * row). FINAL semantics in ONE ROW PER MATCH, RUNNING in ALL ROWS. */
+  case object MSum extends MKind
+  case object MAvg extends MKind
+  case object MMin extends MKind
+  case object MMax extends MKind
   /** `offset` is the logical navigation offset of FIRST/LAST(V.c, n):
     * n-th mapped row from the start / from the end (0 = the default). */
   case class Measure(kind: MKind, varName: String, colName: String,
@@ -110,15 +126,18 @@ object MatchRecognize {
       "ALL ROWS PER MATCH", "AFTER MATCH", "PATTERN", "SUBSET", "DEFINE")
     val found = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
     val upper = src.toUpperCase
+    val inQuote = quoteMask(src)
+    // identifier-boundary check: '_' is a word character in SQL
+    // identifiers (a column named pattern_id must not match PATTERN)
+    def wordChar(c: Char): Boolean = Character.isLetterOrDigit(c) || c == '_'
     keys.foreach { k =>
       var i = 0
       while (i >= 0) {
         i = upper.indexOf(k, i)
         if (i >= 0) {
-          if (depthAt(src, i) == 0 &&
-              (i == 0 || !Character.isLetterOrDigit(src(i - 1))) &&
-              (i + k.length >= src.length ||
-                !Character.isLetterOrDigit(src(i + k.length))))
+          if (depthAt(src, i) == 0 && !inQuote(i) &&
+              (i == 0 || !wordChar(src(i - 1))) &&
+              (i + k.length >= src.length || !wordChar(src(i + k.length))))
             found += ((i, k))
           i += 1
         }
@@ -182,10 +201,27 @@ object MatchRecognize {
     if (unknown.nonEmpty)
       fail(s"DEFINE variables not in PATTERN: ${unknown.mkString(", ")}")
     val badM = measures.filter(m => (m.kind == MFirst || m.kind == MLast ||
-      m.kind == MCountVar) && !spec.vars.contains(m.varName))
+      m.kind == MCountVar || ((m.kind == MSum || m.kind == MAvg ||
+        m.kind == MMin || m.kind == MMax) && m.varName.nonEmpty)) &&
+      !spec.vars.contains(m.varName))
     if (badM.nonEmpty)
       fail(s"measure references unknown variable: ${badM.map(_.varName).mkString(", ")}")
     spec
+  }
+
+  /** mask(i) = position i sits inside a '…' / "…" literal (the opening
+    * and closing quote chars included) — used to keep the section
+    * scanner away from keywords quoted in string literals. */
+  private def quoteMask(s: String): Array[Boolean] = {
+    val m = new Array[Boolean](s.length)
+    var q = ' '; var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (q != ' ') { m(i) = true; if (c == q) q = ' ' }
+      else if (c == '\'' || c == '"') { m(i) = true; q = c }
+      i += 1
+    }
+    m
   }
 
   private def depthAt(s: String, pos: Int): Int = {
@@ -242,6 +278,7 @@ object MatchRecognize {
     val bare = "(?is)^([A-Za-z_][A-Za-z0-9_]*)\\.([A-Za-z_][A-Za-z0-9_]*)$".r
     val countVar = "(?is)^COUNT\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\.\\*\\s*\\)$".r
     val countStar = "(?is)^COUNT\\s*\\(\\s*\\*\\s*\\)$".r
+    val aggFn = "(?is)^(SUM|AVG|MIN|MAX)\\s*\\(\\s*(?:([A-Za-z_][A-Za-z0-9_]*)\\.)?([A-Za-z_][A-Za-z0-9_]*)\\s*\\)$".r
     val matchNum = "(?is)^MATCH_NUMBER\\s*\\(\\s*\\)$".r
     val classifier = "(?is)^CLASSIFIER\\s*\\(\\s*\\)$".r
     // RUNNING is the default semantics in ALL ROWS PER MATCH and a
@@ -262,8 +299,19 @@ object MatchRecognize {
       case countStar() => Measure(MCountStar, "", "", alias)
       case matchNum()   => Measure(MMatchNumber, "", "", alias)
       case classifier() => Measure(MClassifier, "", "", alias)
+      case aggFn(fn, v, c) =>
+        val kind = fn.toUpperCase match {
+          case "SUM" => MSum
+          case "AVG" => MAvg
+          case "MIN" => MMin
+          case "MAX" => MMax
+        }
+        // unqualified SUM(c) aggregates over the universal variable
+        // (every matched row) — varName "" marks that, as in SQL:2016
+        Measure(kind, if (v == null) "" else v, c, alias)
       case other => fail("unsupported measure (supported: FIRST/LAST(V.c), " +
-        s"V.c, COUNT(V.*), COUNT(*), MATCH_NUMBER(), CLASSIFIER()): $other")
+        s"V.c, COUNT(V.*), COUNT(*), SUM/AVG/MIN/MAX([V.]c), " +
+        s"MATCH_NUMBER(), CLASSIFIER()): $other")
     }
   }
 
@@ -403,6 +451,38 @@ object MatchRecognize {
   private val DefPrefix = "__mr_def_"
   private val PrevPrefix = "__mr_prev_"
 
+  /** Rewrite variable V's DEFINE predicate for per-row evaluation:
+    * strip V's OWN qualifier (`V.c` denotes the current row), but
+    * REJECT a qualifier naming any other pattern variable —
+    * `DEFINE B AS B.price > A.price` cross-references A's mapped rows,
+    * which this subset cannot evaluate; silently stripping it (the
+    * pre-r13 behavior) computed `price > price`, a wrong answer. Scans
+    * and strips literal-aware, so a 'B.foo' inside a string constant is
+    * never touched. */
+  private[graft] def rewriteDefinePred(v: String, pred0: String,
+      vars: Seq[String]): String = {
+    val masked = quoteMask(pred0)
+    def qualMatches(name: String): Iterator[scala.util.matching.Regex.Match] = {
+      val re = ("(?i)(?<![A-Za-z0-9_])" +
+        java.util.regex.Pattern.quote(name) + "\\s*\\.").r
+      re.findAllMatchIn(pred0).filterNot(m => masked(m.start))
+    }
+    vars.filterNot(_.equalsIgnoreCase(v)).foreach { other =>
+      if (qualMatches(other).nonEmpty)
+        fail(s"DEFINE $v references pattern variable $other " +
+          s"(e.g. $other.col) — cross-variable references are not " +
+          "supported in this subset; only the current row's columns " +
+          "and PREV(col) are available")
+    }
+    val sb = new StringBuilder
+    var last = 0
+    qualMatches(v).foreach { m =>
+      sb.append(pred0.substring(last, m.start)); last = m.end
+    }
+    sb.append(pred0.substring(last))
+    sb.toString
+  }
+
   /** Run the spec over `df`, returning the ONE-ROW-PER-MATCH relation
     * (partition columns + measures). */
   def run(df: DataFrame, spec0: Spec): DataFrame = {
@@ -416,19 +496,31 @@ object MatchRecognize {
       partitionBy = spec0.partitionBy.map(resolve),
       orderBy = spec0.orderBy.map(resolve),
       measures = spec0.measures.map {
-        case m @ Measure(MFirst | MLast, _, c, _, _) => m.copy(colName = resolve(c))
+        case m if m.colName.nonEmpty => m.copy(colName = resolve(m.colName))
         case m => m
       })
-    // 1. rewrite DEFINE predicates: strip variable qualifiers (every
-    //    qualifier denotes the current row in this subset), then map
-    //    PREV(col) -> a lag column computed over (partition, order)
+    // partition-key groups are identified by Seq[Any] equality in the
+    // scan — value semantics for atomic types, but NOT for binary
+    // (Array[Byte] compares by reference → one logical group splits
+    // per-row) and not meaningful for array/map/struct keys; reject.
+    spec.partitionBy.foreach { c =>
+      df.schema(df.schema.fieldIndex(c)).dataType match {
+        case BinaryType | _: ArrayType | _: MapType | _: StructType =>
+          fail(s"PARTITION BY column $c has type " +
+            s"${df.schema(df.schema.fieldIndex(c)).dataType.simpleString}; " +
+            "binary/array/map/struct partition keys are not supported " +
+            "(group identity requires value-equality on atomic types)")
+        case _ => ()
+      }
+    }
+    // 1. rewrite DEFINE predicates: strip the variable's OWN qualifier
+    //    (the current row; any OTHER pattern variable's qualifier is
+    //    rejected — rewriteDefinePred), then map PREV(col) -> a lag
+    //    column computed over (partition, order)
     val varNames = spec.vars
     val prevCols = scala.collection.mutable.LinkedHashSet.empty[String]
     val rewritten: Seq[(String, String)] = spec.defines.map { case (v, pred0) =>
-      var pred = pred0
-      varNames.foreach { vn =>
-        pred = pred.replaceAll("(?i)\\b" + vn + "\\.", "")
-      }
+      var pred = rewriteDefinePred(v, pred0, varNames)
       val prevRe = "(?i)PREV\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\)".r
       pred = prevRe.replaceAllIn(pred, m => {
         val c = m.group(1)
@@ -468,6 +560,16 @@ object MatchRecognize {
     val measureFields = spec.measures.map {
       case Measure(MFirst | MLast, _, c, a, _) => StructField(a, colType(c))
       case Measure(MClassifier, _, _, a, _)    => StructField(a, StringType)
+      case Measure(MSum, _, c, a, _) => StructField(a, sumOutType(colType(c), c))
+      case Measure(MAvg, _, c, a, _) =>
+        sumOutType(colType(c), c) // numeric check only
+        StructField(a, DoubleType)
+      case Measure(MMin | MMax, _, c, a, _) => colType(c) match {
+        case BinaryType | _: ArrayType | _: MapType | _: StructType =>
+          fail(s"MIN/MAX measure requires an orderable atomic column " +
+            s"($c is ${colType(c).simpleString})")
+        case dt => StructField(a, dt)
+      }
       case Measure(_, _, _, a, _)              => StructField(a, LongType)
     }
     val outSchema = StructType(
@@ -481,11 +583,12 @@ object MatchRecognize {
     val orderIdx = spec.orderBy.map(inSchema.fieldIndex)
     val flagIdx: Map[String, Int] =
       varNames.map(v => v -> inSchema.fieldIndex(DefPrefix + v)).toMap
-    val measureIdx = spec.measures.map {
-      case Measure(k @ (MFirst | MLast), v, c, _, off) =>
-        (k, v, inSchema.fieldIndex(c), off)
-      case Measure(k, v, _, _, off) => (k, v, -1, off)
-    }
+    val measureIdx: Seq[(MKind, String, Int, Int, DataType)] =
+      spec.measures.zip(measureFields).map { case (m, f) =>
+        (m.kind, m.varName,
+          if (m.colName.nonEmpty) inSchema.fieldIndex(m.colName) else -1,
+          m.offset, f.dataType)
+      }
     val pattern = spec.pattern
     val skip = spec.skip
     val allRows = spec.allRows
@@ -494,6 +597,58 @@ object MatchRecognize {
       new MatchIterator(it, partIdx, keyIdx, flagIdx, pattern, measureIdx,
         skip, allRows)
     }(enc)
+  }
+
+  /** Output type of SUM(c): integral → bigint (Trino's widening),
+    * float/double → double, decimal → precision+10 (Spark's sum rule);
+    * non-numeric rejected. Also serves as the SUM/AVG numeric gate. */
+  private def sumOutType(dt: DataType, c: String): DataType = dt match {
+    case ByteType | ShortType | IntegerType | LongType => LongType
+    case FloatType | DoubleType => DoubleType
+    case d: DecimalType => DecimalType(math.min(38, d.precision + 10), d.scale)
+    case other => fail(s"SUM/AVG measures require a numeric column " +
+      s"($c is ${other.simpleString})")
+  }
+
+  private def toBigDec(a: Any): java.math.BigDecimal = a match {
+    case b: java.math.BigDecimal  => b
+    case b: scala.math.BigDecimal => b.bigDecimal
+    case n: Number => new java.math.BigDecimal(n.toString)
+  }
+
+  private def cmpAny(a: Any, b: Any): Int =
+    a.asInstanceOf[Comparable[Any]].compareTo(b)
+
+  /** Evaluate a SUM/AVG/MIN/MAX measure over the mapped rows' values.
+    * Nulls are skipped (SQL aggregate semantics); all-null/empty → NULL.
+    * Decimal sums are exact; AVG emits double — exact sum then ONE
+    * division, i.e. CAST(SUM(CAST(x AS DECIMAL)) AS DOUBLE)/COUNT(x) —
+    * so the result is order-independent for decimal inputs. */
+  private[graft] def aggOver(kind: MKind, outType: DataType,
+      vals: Seq[Any]): Any = {
+    val nn = vals.filter(_ != null)
+    if (nn.isEmpty) null
+    else kind match {
+      case MMin => nn.reduce((a, b) => if (cmpAny(a, b) <= 0) a else b)
+      case MMax => nn.reduce((a, b) => if (cmpAny(a, b) >= 0) a else b)
+      case MSum => outType match {
+        case LongType =>
+          java.lang.Long.valueOf(nn.map(_.asInstanceOf[Number].longValue).sum)
+        case DoubleType =>
+          java.lang.Double.valueOf(nn.map(_.asInstanceOf[Number].doubleValue).sum)
+        case d: DecimalType =>
+          nn.map(toBigDec).reduce(_ add _).setScale(d.scale)
+        case other => fail(s"unexpected SUM output type: $other")
+      }
+      case MAvg =>
+        val sumD = nn.head match {
+          case _: java.math.BigDecimal | _: scala.math.BigDecimal =>
+            nn.map(toBigDec).reduce(_ add _).doubleValue
+          case _ => nn.map(_.asInstanceOf[Number].doubleValue).sum
+        }
+        java.lang.Double.valueOf(sumD / nn.length)
+      case other => fail(s"aggOver does not handle $other")
+    }
   }
 
   /** The backtracking engine itself, over an abstract flag relation —
@@ -541,7 +696,7 @@ object MatchRecognize {
     * LAST ROW, emits one output row per match. */
   private class MatchIterator(rows: Iterator[Row], partIdx: Seq[Int],
       outIdx: Seq[Int], flagIdx: Map[String, Int], pattern: Pat,
-      measures: Seq[(MKind, String, Int, Int)], skip: SkipMode,
+      measures: Seq[(MKind, String, Int, Int, DataType)], skip: SkipMode,
       allRows: Boolean) extends Iterator[Row] {
     private val buf = rows.buffered
     private val out = scala.collection.mutable.Queue.empty[Row]
@@ -571,10 +726,11 @@ object MatchRecognize {
     /** ONE ROW PER MATCH: FINAL semantics over the whole match. */
     private def emitOne(g: Array[Row], start: Int, end: Int,
         assigned: List[(Int, String)], matchNo: Long): Row = {
-      val byVar = assigned.reverse.groupBy(_._2) // ascending row order
+      val asc = assigned.reverse // ascending row order
+      val byVar = asc.groupBy(_._2)
       val vals = new Array[Any](outIdx.length + measures.length)
       outIdx.indices.foreach(i => vals(i) = g(start).get(outIdx(i)))
-      measures.zipWithIndex.foreach { case ((kind, v, cIdx, off), mi) =>
+      measures.zipWithIndex.foreach { case ((kind, v, cIdx, off, dt), mi) =>
         val slot = outIdx.length + mi
         vals(slot) = kind match {
           case MFirst => byVar.get(v).flatMap(_.lift(off))
@@ -585,6 +741,11 @@ object MatchRecognize {
           case MCountStar   => (end - start).toLong
           case MMatchNumber => matchNo
           case MClassifier  => assigned.headOption.map(_._2).orNull // last row's var
+          case MSum | MAvg | MMin | MMax =>
+            val idxs =
+              if (v.isEmpty) asc.map(_._1) // universal: every matched row
+              else byVar.get(v).map(_.map(_._1)).getOrElse(Nil)
+            aggOver(kind, dt, idxs.map(r => g(r).get(cIdx)))
         }
       }
       Row.fromSeq(vals.toIndexedSeq)
@@ -598,14 +759,16 @@ object MatchRecognize {
       val asc = assigned.reverse // ascending row order
       val rowsOf = scala.collection.mutable
         .HashMap.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+      val allSoFar = scala.collection.mutable.ArrayBuffer.empty[Int]
       var seen = 0L
       asc.map { case (rowI, varName) =>
         rowsOf.getOrElseUpdate(varName,
           scala.collection.mutable.ArrayBuffer.empty[Int]) += rowI
+        allSoFar += rowI
         seen += 1L
         val vals = new Array[Any](outIdx.length + measures.length)
         outIdx.indices.foreach(i => vals(i) = g(rowI).get(outIdx(i)))
-        measures.zipWithIndex.foreach { case ((kind, v, cIdx, off), mi) =>
+        measures.zipWithIndex.foreach { case ((kind, v, cIdx, off, dt), mi) =>
           val slot = outIdx.length + mi
           vals(slot) = kind match {
             case MFirst => rowsOf.get(v).flatMap(_.lift(off))
@@ -616,6 +779,12 @@ object MatchRecognize {
             case MCountStar   => seen
             case MMatchNumber => matchNo
             case MClassifier  => varName
+            case MSum | MAvg | MMin | MMax =>
+              // RUNNING semantics: aggregate over the rows mapped so far
+              val idxs =
+                if (v.isEmpty) allSoFar.toSeq
+                else rowsOf.get(v).map(_.toSeq).getOrElse(Nil)
+              aggOver(kind, dt, idxs.map(r => g(r).get(cIdx)))
           }
         }
         Row.fromSeq(vals.toIndexedSeq)

@@ -150,15 +150,64 @@ object Dedup {
     (shingled, banded)
   }
 
+  /** The index's layout parameters, persisted at build time as a tiny
+    * `_graft_layout` properties file in the index directory and READ
+    * BACK by merge/probe — never taken from caller defaults. Merging
+    * or probing with a different (k, numHashes, bands) than the build
+    * silently mixes band geometries: exact-Jaccard verification removes
+    * the false positives, but the missed candidates become silent false
+    * negatives in dedup (r12 ADVICE; same failure class
+    * [[graft.ops.Retrieval]] guards with bucketHexWidth). */
+  private def writeLayout(df: DataFrame, file: String,
+      kv: Seq[(String, Int)]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    val fs = p.getFileSystem(
+      df.sparkSession.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(kv.map { case (k, v) => s"$k=$v" }.mkString("\n")
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readLayout(df: DataFrame, file: String,
+      keys: Seq[String]): Map[String, Int] = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    val fs = p.getFileSystem(
+      df.sparkSession.sessionState.newHadoopConf())
+    if (!fs.exists(p))
+      throw new java.io.IOException(s"$file is missing — corrupt, " +
+        "half-written, or pre-layout MinHash index; rebuild it with " +
+        "buildMinhashIndex (merge/probe refuse to guess band geometry: " +
+        "a wrong guess silently drops candidates)")
+    val in = fs.open(p)
+    val m =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.contains("=")).map { l =>
+          val Array(k, v) = l.split("=", 2); (k, v.trim.toInt)
+        }.toMap
+      finally in.close()
+    val missing = keys.filterNot(m.contains)
+    if (missing.nonEmpty)
+      throw new java.io.IOException(
+        s"$file lacks keys ${missing.mkString(", ")} — corrupt index layout")
+    m
+  }
+
   /** Build a PERSISTED MinHash LSH index: band-bucket keys (written
     * `partitionBy(band)`) plus the shingle sets needed for exact
-    * verification at probe time. Build once over the standing corpus;
-    * every later ingest batch probes it without touching corpus text —
-    * the daily operation of a production pipeline (the dedup analog of
-    * the persisted IVF index, `Similarity.buildIvfIndex`). */
+    * verification at probe time, plus the `_graft_layout` parameter
+    * file merge/probe read the band geometry from. Build once over the
+    * standing corpus; every later ingest batch probes it without
+    * touching corpus text — the daily operation of a production
+    * pipeline (the dedup analog of the persisted IVF index,
+    * `Similarity.buildIvfIndex`). */
   def buildMinhashIndex(docs: DataFrame, idCol: String, textCol: String,
       path: String, k: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit = {
     val (shingled, banded) = shinglesAndBands(docs, idCol, textCol, k, numHashes, bands)
+    // layout first: it is configuration, not a completeness marker —
+    // the data writes' _SUCCESS files remain the completeness signal
+    writeLayout(docs, s"$path/_graft_layout",
+      Seq("k" -> k, "numHashes" -> numHashes, "bands" -> bands))
     // cluster by the partition column before a partitionBy write: one
     // writer (and one file) per band instead of every input partition
     // opening every band directory — n_partitions × n_bands small files
@@ -178,11 +227,15 @@ object Dedup {
     * a pure APPEND into the standing layout (new files inside the
     * existing band directories, new shingle files), and
     * `build(A); merge(B)` is row-identical to `build(A ∪ B)`: probe
-    * results are bitwise equal, pinned in DedupSpec. */
+    * results are bitwise equal, pinned in DedupSpec. Band geometry
+    * (k, numHashes, bands) comes from the index's own `_graft_layout`,
+    * never a caller argument — mixing geometries cannot happen. */
   def mergeMinhashIndex(newDocs: DataFrame, idCol: String, textCol: String,
-      path: String, k: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit = {
-    val (shingled, banded) =
-      shinglesAndBands(newDocs, idCol, textCol, k, numHashes, bands)
+      path: String): Unit = {
+    val lay = readLayout(newDocs, s"$path/_graft_layout",
+      Seq("k", "numHashes", "bands"))
+    val (shingled, banded) = shinglesAndBands(newDocs, idCol, textCol,
+      lay("k"), lay("numHashes"), lay("bands"))
     banded.repartition(col("band"))
       .write.mode("append").partitionBy("band").parquet(s"$path/bands")
     shingled.write.mode("append").parquet(s"$path/shingles")
@@ -195,11 +248,12 @@ object Dedup {
     * collisions, never with the standing corpus (whose banded table
     * streams from parquet, pre-partitioned by band). */
   def probeMinhashIndex(newDocs: DataFrame, idCol: String, textCol: String,
-      path: String, k: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      jaccardThreshold: Double = 0.5): DataFrame = {
+      path: String, jaccardThreshold: Double = 0.5): DataFrame = {
     val spark = newDocs.sparkSession
-    val (newShingled, newBanded) =
-      shinglesAndBands(newDocs, idCol, textCol, k, numHashes, bands)
+    val lay = readLayout(newDocs, s"$path/_graft_layout",
+      Seq("k", "numHashes", "bands"))
+    val (newShingled, newBanded) = shinglesAndBands(newDocs, idCol, textCol,
+      lay("k"), lay("numHashes"), lay("bands"))
     val idxBanded = spark.read.parquet(s"$path/bands")
     val idxShingled = spark.read.parquet(s"$path/shingles")
     val candidates = newBanded
@@ -335,13 +389,19 @@ object Dedup {
     * cross-document aggregate: merge is a pure append and
     * `build(A); merge(B)` ≡ `build(A ∪ B)` row-for-row. */
   def buildMinhashIndexMd5(docs: DataFrame, idCol: String, textCol: String,
-      path: String, numHashes: Int = 16): Unit =
+      path: String, numHashes: Int = 16): Unit = {
+    writeLayout(docs, s"$path/_graft_layout", Seq("numHashes" -> numHashes))
     writeMd5Sigs(docs, idCol, textCol, path, numHashes, "overwrite")
+  }
 
-  /** Fold a batch of NEW doc ids into the md5-twin index (append). */
+  /** Fold a batch of NEW doc ids into the md5-twin index (append);
+    * numHashes comes from the index's `_graft_layout`, like the
+    * production twin. */
   def mergeMinhashIndexMd5(newDocs: DataFrame, idCol: String, textCol: String,
-      path: String, numHashes: Int = 16): Unit =
-    writeMd5Sigs(newDocs, idCol, textCol, path, numHashes, "append")
+      path: String): Unit =
+    writeMd5Sigs(newDocs, idCol, textCol, path,
+      readLayout(newDocs, s"$path/_graft_layout", Seq("numHashes"))("numHashes"),
+      "append")
 
   private def writeMd5Sigs(docs: DataFrame, idCol: String, textCol: String,
       path: String, numHashes: Int, mode: String): Unit =
@@ -359,8 +419,10 @@ object Dedup {
     * never the standing corpus (which streams from parquet,
     * pre-partitioned by seed). */
   def probeMinhashIndexMd5(newDocs: DataFrame, idCol: String, textCol: String,
-      path: String, numHashes: Int = 16, minShared: Int = 8): DataFrame = {
+      path: String, minShared: Int = 8): DataFrame = {
     val spark = newDocs.sparkSession
+    val numHashes =
+      readLayout(newDocs, s"$path/_graft_layout", Seq("numHashes"))("numHashes")
     val newSigs = minHashMd5(newDocs, idCol, textCol, numHashes)
       .select(col(idCol).as("new_id"), col("seed"), col("minhash"))
     val idx = spark.read.parquet(s"$path/sigs")

@@ -772,9 +772,9 @@ object PipelineOps {
     // so it shares that query's full DuckDB oracle.
     "bm25_index_probe" -> ((s, d) => {
       val idx = bm25IndexPath(d)
-      // corpus/ is the LAST output of the build; its _SUCCESS marker
-      // (not a bare directory check) certifies a complete index
-      if (!new java.io.File(s"$idx/corpus/_SUCCESS").exists())
+      // corpus_stats is the LAST output of the build (driver-written
+      // after both data writes) — its existence certifies a complete index
+      if (!new java.io.File(s"$idx/corpus_stats").exists())
         graft.ops.Retrieval.buildBm25Index(t(s, d, "documents"), "doc_id",
           "text", idx)
       graft.ops.Retrieval.probeBm25Index(s, idx, Bm25Terms, 20)
@@ -805,7 +805,7 @@ object PipelineOps {
       // the measured work is merge + probe: what one ingest batch
       // actually costs against a standing index.
       val base = idxPath("bm25_merge_base", d)
-      if (!new java.io.File(s"$base/corpus/_SUCCESS").exists())
+      if (!new java.io.File(s"$base/corpus_stats").exists())
         graft.ops.Retrieval.buildBm25Index(docs.filter(col("doc_id") % 2 === 0),
           "doc_id", "text", base, hexChars = 1)
       val idx = idxPath("bm25_merge", d)
@@ -1115,7 +1115,10 @@ object PipelineOps {
     * outlives the JVM, and a layout change without a path change would
     * make probes silently read a stale-format index (the v1 paths had
     * exactly that hazard). v2: BM25 terms/ bucketed like postings/. */
-  private val IndexFormatVersion = "v2"
+  // v3: MinHash indexes now carry a _graft_layout parameter file that
+  // merge/probe require (r13) — pre-layout standing indexes must not
+  // be reused
+  private val IndexFormatVersion = "v3"
 
   /** Session-stable location of a persisted index for a data dir: the
     * build query writes it, the probe query reads it (building first if

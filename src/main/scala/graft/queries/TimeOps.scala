@@ -77,6 +77,49 @@ object TimeOps {
         .orderBy(col("user_id"), col("start_ts"))
     }),
 
+    // Aggregate MEASURES (r12 verdict item 2): SUM/AVG/MIN/MAX over a
+    // pattern variable's mapped rows, FINAL semantics in ONE-ROW mode.
+    // Float determinism follows the repo rule (QHelpers): SUM/AVG run
+    // over a DECIMAL(18,4) cast of `value` (exact, order-independent),
+    // emitted as double on both engines; MIN/MAX are order-independent
+    // on the raw double.
+    "mr_funnel_agg" -> ((s, d) => {
+      val ev = t(s, d, "events").withColumn("dval",
+        col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+      val clause =
+        """PARTITION BY user_id ORDER BY ts, event_id
+          |MEASURES FIRST(A.ts) AS start_ts, COUNT(B.*) AS n_clicks,
+          |         SUM(B.dval) AS sum_val, AVG(B.dval) AS avg_val,
+          |         MIN(B.value) AS min_val, MAX(B.value) AS max_val
+          |PATTERN (A B+)
+          |DEFINE A AS event_type = 'view', B AS event_type = 'click'""".stripMargin
+      graft.dialect.MatchRecognize.run(ev,
+          graft.dialect.MatchRecognize.parseClause(clause))
+        .withColumn("sum_val", col("sum_val").cast("double"))
+        .orderBy(col("user_id"), col("start_ts"))
+    }),
+
+    // The RUNNING face of the same aggregates: ALL ROWS PER MATCH with
+    // SUM/MAX over the B rows mapped SO FAR at each output row (NULL on
+    // the A row — no B row seen yet), replayed in DuckDB as running
+    // window aggregates over each island.
+    "mr_funnel_runsum" -> ((s, d) => {
+      val ev = t(s, d, "events").withColumn("dval",
+        col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+      val clause =
+        """PARTITION BY user_id ORDER BY ts, event_id
+          |MEASURES CLASSIFIER() AS cls, SUM(B.dval) AS run_sum,
+          |         MAX(B.value) AS run_max, MATCH_NUMBER() AS mn
+          |ALL ROWS PER MATCH
+          |PATTERN (A B+)
+          |DEFINE A AS event_type = 'view', B AS event_type = 'click'""".stripMargin
+      graft.dialect.MatchRecognize.run(ev,
+          graft.dialect.MatchRecognize.parseClause(clause))
+        .drop("dval")
+        .withColumn("run_sum", col("run_sum").cast("double"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
+
     // The ALL ROWS PER MATCH face of the same matcher: one output row
     // per MATCHED row with RUNNING measures and CLASSIFIER() — the
     // per-row debugging/enrichment mode. Same disjoint-predicate trick
@@ -248,6 +291,62 @@ object TimeOps {
         |JOIN e v ON v.user_id = i.user_id AND v.rn = i.first_rn - 1
         |WHERE v.event_type = 'view'
         |ORDER BY i.user_id, start_ts""".stripMargin,
+
+    // Aggregate-measure replay: per-island FINAL aggregates, exact
+    // decimal sums emitted as double (QHelpers determinism rule).
+    "mr_funnel_agg" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |clicks AS (
+        |  SELECT user_id, ts, value, rn,
+        |    rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+        |  FROM e WHERE event_type = 'click'),
+        |islands AS (
+        |  SELECT user_id, MIN(rn) AS first_rn, COUNT(*) AS n_clicks,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(value) AS avg_val,
+        |    MIN(value) AS min_val, MAX(value) AS max_val
+        |  FROM clicks GROUP BY user_id, grp)
+        |SELECT i.user_id, v.ts AS start_ts, i.n_clicks, i.sum_val,
+        |  i.avg_val, i.min_val, i.max_val
+        |FROM islands i
+        |JOIN e v ON v.user_id = i.user_id AND v.rn = i.first_rn - 1
+        |WHERE v.event_type = 'view'
+        |ORDER BY i.user_id, start_ts""".stripMargin,
+
+    // RUNNING-aggregate replay: running window SUM/MAX over each
+    // island's click rows (the A row sees no B row yet → NULL).
+    "mr_funnel_runsum" ->
+      """WITH e AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |clicks AS (
+        |  SELECT user_id, rn,
+        |    rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+        |  FROM e WHERE event_type = 'click'),
+        |islands AS (
+        |  SELECT user_id, MIN(rn) AS first_rn, MAX(rn) AS last_rn
+        |  FROM clicks GROUP BY user_id, grp),
+        |matches AS (
+        |  SELECT i.user_id, i.first_rn, i.last_rn,
+        |    ROW_NUMBER() OVER (PARTITION BY i.user_id ORDER BY i.first_rn) AS mn
+        |  FROM islands i
+        |  JOIN e v ON v.user_id = i.user_id AND v.rn = i.first_rn - 1
+        |  WHERE v.event_type = 'view')
+        |SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value, e.props,
+        |  CASE WHEN e.rn = m.first_rn - 1 THEN 'A' ELSE 'B' END AS cls,
+        |  CAST(SUM(CASE WHEN e.rn >= m.first_rn
+        |        THEN CAST(e.value AS DECIMAL(18,4)) END)
+        |    OVER (PARTITION BY e.user_id, m.mn ORDER BY e.rn) AS DOUBLE) AS run_sum,
+        |  MAX(CASE WHEN e.rn >= m.first_rn THEN e.value END)
+        |    OVER (PARTITION BY e.user_id, m.mn ORDER BY e.rn) AS run_max,
+        |  m.mn
+        |FROM matches m
+        |JOIN e ON e.user_id = m.user_id
+        |  AND e.rn BETWEEN m.first_rn - 1 AND m.last_rn
+        |ORDER BY e.user_id, e.ts, e.event_id""".stripMargin,
 
     // ALL-mode replay: each matched island row (plus its preceding view
     // row) with its classifier, running row position, and per-user

@@ -35,6 +35,7 @@ class ExplainService(engine: Engine) {
         "queries are allowed. Set TRINO_ALLOW_WRITE_QUERIES=true to enable write " +
         "operations (at your own risk)")
 
+    val mrViews = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
       val pre = graft.dialect.TrinoFunctions.preprocess(stripped)
       // MATCH_RECOGNIZE splice (same rewrite as QueryService): EXPLAIN
@@ -44,6 +45,7 @@ class ExplainService(engine: Engine) {
         df => {
           val n = s"graft_mr_${java.util.UUID.randomUUID().toString.replace("-", "")}"
           df.createOrReplaceTempView(n)
+          mrViews += n
           n
         }) match {
         case Right(s) => s
@@ -81,6 +83,11 @@ class ExplainService(engine: Engine) {
     } catch {
       case e: Throwable =>
         Left(s"query explanation failed: ${Option(e.getMessage).getOrElse(e.toString).linesIterator.take(3).mkString(" ")}")
+    } finally mrViews.foreach { v =>
+      // drop the splice's temp views: the explain text is already
+      // rendered from the analyzed plan, the view is dead weight
+      try engine.spark.catalog.dropTempView(v)
+      catch { case _: Throwable => () }
     }
   }
 

@@ -196,29 +196,32 @@ class QueryService(engine: Engine) {
       val innerSql0 =
         try graft.dialect.TrinoFunctions.preprocess(inner)
         catch { case e: IllegalArgumentException => return Left(e.getMessage) }
-      val innerSql = spliceMatchRecognize(innerSql0) match {
-        case Right(s2) => s2
-        case Left(err) => return Left(err)
-      }
-      if (engine.config.enforceSqlAllowlists) {
-        val parsed =
-          try engine.spark.sessionState.sqlParser.parsePlan(innerSql)
+      val mrViews = scala.collection.mutable.ArrayBuffer.empty[String]
+      try {
+        val innerSql = spliceMatchRecognize(innerSql0, mrViews) match {
+          case Right(s2) => s2
+          case Left(err) => return Left(err)
+        }
+        if (engine.config.enforceSqlAllowlists) {
+          val parsed =
+            try engine.spark.sessionState.sqlParser.parsePlan(innerSql)
+            catch { case e: Throwable => return Left(s"query execution failed: ${clip(e)}") }
+          graft.security.SqlAllowlist.check(parsed, engine.allowlists,
+              engine.sessionCatalog, engine.sessionSchema)
+            .foreach(err => return Left(err))
+        }
+        val resolved =
+          if (InfoSchema.references(innerSql)) {
+            try InfoSchema.refresh(engine)
+            catch { case e: Throwable =>
+              return Left(s"query execution failed: ${clip(e)}") }
+            InfoSchema.rewrite(innerSql)
+          } else innerSql
+        val df =
+          try ShowStats.forDataFrame(engine, runSql(resolved))
           catch { case e: Throwable => return Left(s"query execution failed: ${clip(e)}") }
-        graft.security.SqlAllowlist.check(parsed, engine.allowlists,
-            engine.sessionCatalog, engine.sessionSchema)
-          .foreach(err => return Left(err))
-      }
-      val resolved =
-        if (InfoSchema.references(innerSql)) {
-          try InfoSchema.refresh(engine)
-          catch { case e: Throwable =>
-            return Left(s"query execution failed: ${clip(e)}") }
-          InfoSchema.rewrite(innerSql)
-        } else innerSql
-      val df =
-        try ShowStats.forDataFrame(engine, runSql(resolved))
-        catch { case e: Throwable => return Left(s"query execution failed: ${clip(e)}") }
-      return collectBounded(df)
+        return collectBounded(df)
+      } finally dropMrViews(mrViews)
     }
     // SHOW CREATE TABLE / SHOW SESSION — also reference pass-throughs
     // Spark can't serve on temp-view-backed relations (ShowMeta).
@@ -323,7 +326,9 @@ class QueryService(engine: Engine) {
     val dialectSql0 =
       try graft.dialect.TrinoFunctions.preprocess(stripped)
       catch { case e: IllegalArgumentException => return Left(e.getMessage) }
-    val dialectSql = spliceMatchRecognize(dialectSql0) match {
+    val mrViews = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+    val dialectSql = spliceMatchRecognize(dialectSql0, mrViews) match {
       case Right(s2) => s2
       case Left(err) => return Left(err)
     }
@@ -355,6 +360,7 @@ class QueryService(engine: Engine) {
       try runSql(finalSql)
       catch { case e: Throwable => return Left(s"query execution failed: ${clip(e)}") }
     collectBounded(df)
+    } finally dropMrViews(mrViews)
   }
 
   /** MATCH_RECOGNIZE (SQL:2016 row patterns — Trino-only; Spark's
@@ -364,7 +370,8 @@ class QueryService(engine: Engine) {
     * statement, which then continues through the normal pipeline. Runs
     * BEFORE the allowlist parse (Spark cannot parse the clause); each
     * source relation is allowlist-checked on its own. */
-  private def spliceMatchRecognize(sql: String): Either[String, String] =
+  private def spliceMatchRecognize(sql: String,
+      views: scala.collection.mutable.Buffer[String]): Either[String, String] =
     if (!graft.dialect.MatchRecognize.contains(sql)) Right(sql)
     else
       try graft.dialect.MatchRecognize.spliceAll(sql,
@@ -381,10 +388,25 @@ class QueryService(engine: Engine) {
         result => {
           val name = s"graft_mr_${java.util.UUID.randomUUID().toString.replace("-", "")}"
           result.createOrReplaceTempView(name)
+          views += name
           name
         })
       catch { case e: Throwable => // relation resolution errors
         Left(s"query execution failed: ${clip(e)}") }
+
+  /** Drop the temp views a MATCH_RECOGNIZE splice registered. Safe once
+    * the statement's DataFrame is ANALYZED (spark.sql / Dataset.ofRows
+    * analyze eagerly — the plan holds the resolved relation, not a
+    * catalog lookup), so callers drop in a finally right after building
+    * the statement; without this a long-lived session's catalog grows
+    * by one view per row-pattern query (r12 ADVICE). */
+  private def dropMrViews(views: scala.collection.mutable.Buffer[String]): Unit = {
+    views.foreach { v =>
+      try engine.spark.catalog.dropTempView(v)
+      catch { case _: Throwable => () }
+    }
+    views.clear()
+  }
 
   /** The standard statement pipeline (dialect preprocess →
     * MATCH_RECOGNIZE splice → opt-in allowlist gate → info_schema
@@ -395,7 +417,9 @@ class QueryService(engine: Engine) {
     val innerSql0 =
       try graft.dialect.TrinoFunctions.preprocess(inner)
       catch { case e: IllegalArgumentException => return Left(e.getMessage) }
-    val innerSql = spliceMatchRecognize(innerSql0) match {
+    val mrViews = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+    val innerSql = spliceMatchRecognize(innerSql0, mrViews) match {
       case Right(s2) => s2
       case Left(err) => return Left(err)
     }
@@ -415,6 +439,7 @@ class QueryService(engine: Engine) {
       } else innerSql
     try Right(runSql(resolved))
     catch { case e: Throwable => Left(s"query execution failed: ${clip(e)}") }
+    } finally dropMrViews(mrViews)
   }
 
   /** Execute SQL under the session namespace: when `USE` moved the

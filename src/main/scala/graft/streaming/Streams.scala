@@ -293,8 +293,7 @@ object Streams {
     require(queryTerms.nonEmpty, "bm25ScoreStream: query terms must be non-empty")
     val spark = docs.sparkSession
     import graft.ops.TextAnalysis
-    val corpus = spark.read.parquet(s"$indexPath/corpus").collect()(0)
-    val (n, t) = (corpus.getLong(0), corpus.getLong(1))
+    val (n, t) = graft.ops.Retrieval.readCorpusStats(spark, indexPath)
     val dfMap = spark.read.parquet(s"$indexPath/terms")
       .filter(col("tok").isin(queryTerms: _*))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -513,15 +512,32 @@ object Streams {
       "matchRecognizeStream: ONE ROW PER MATCH + SKIP PAST LAST ROW only")
     require(!spec.defines.exists(_._2.toUpperCase.contains("PREV")),
       "matchRecognizeStream: PREV is not available over a stream")
+    // the output shape is the FIXED MrMatch record (start/end ts, row
+    // count, match number) — validate that the clause's MEASURES stay
+    // inside that set instead of silently ignoring them: a caller
+    // writing MEASURES COUNT(B.*) AS n would otherwise get the total
+    // match row count as n_rows with no warning
+    spec.measures.foreach { m =>
+      import graft.dialect.MatchRecognize._
+      val ok = m.kind match {
+        case MFirst | MLast => m.colName.equalsIgnoreCase("ts") && m.offset == 0
+        case MCountStar | MMatchNumber => true
+        case _ => false
+      }
+      require(ok, "matchRecognizeStream emits the fixed MrMatch shape; " +
+        "MEASURES must be FIRST/LAST of the order column ts, COUNT(*), " +
+        s"or MATCH_NUMBER() (got: ${m.alias} = ${m.kind} " +
+        s"${if (m.varName.nonEmpty) m.varName + "." else ""}${m.colName})")
+    }
     val vars = spec.vars
     val pattern = spec.pattern
     val horizonMs = horizonSeconds * 1000L
-    // DEFINE flags as Catalyst projections (stripped of var qualifiers),
-    // exactly like the batch planner — the matcher consumes booleans
+    // DEFINE flags as Catalyst projections, exactly like the batch
+    // planner (own qualifier stripped, cross-variable references
+    // rejected — MatchRecognize.rewriteDefinePred) — the matcher
+    // consumes booleans
     val defMap = spec.defines.map { case (v, pred0) =>
-      var pred = pred0
-      vars.foreach(vn => pred = pred.replaceAll("(?i)\\b" + vn + "\\.", ""))
-      (v, pred)
+      (v, MatchRecognize.rewriteDefinePred(v, pred0, vars))
     }.toMap
     val flagCols = vars.map(v =>
       coalesce(defMap.get(v).map(p => expr(p).cast("boolean"))

@@ -30,7 +30,17 @@ object ClusterSmoke {
       // the MATCH_RECOGNIZE matcher: its Pat AST and MatchIterator
       // closures must serialize to executor JVMs that did not define
       // them — a local[32] run never proves that
-      "mr_funnel")
+      "mr_funnel",
+      // aggregate MEASURES: the aggOver fold (BigDecimal sums) runs
+      // inside the executor-side MatchIterator
+      "mr_funnel_agg",
+      // BM25 incremental merge: the touched-bucket terms swap is
+      // RENAME-based (write tmp buckets, fs.rename into terms/) and the
+      // corpus_stats file is driver-written — this run proves the swap
+      // on a topology where executors write the files and the DRIVER
+      // renames them, i.e. both sides must see the same FS view (the
+      // r12 verdict's remaining cluster-scale caveat)
+      "bm25_index_merge")
 
   private def md5(s: String): String =
     java.security.MessageDigest.getInstance("MD5")

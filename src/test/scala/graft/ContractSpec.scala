@@ -28,9 +28,9 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented counts") {
-    assert(SparkEntry.queries.size == 172,
+    assert(SparkEntry.queries.size == 174,
       s"queries=${SparkEntry.queries.size} — update README/ContractSpec together")
-    assert(SparkEntry.oracleSql.size == 153,
+    assert(SparkEntry.oracleSql.size == 155,
       s"oracles=${SparkEntry.oracleSql.size} — update README/ContractSpec together")
   }
 }

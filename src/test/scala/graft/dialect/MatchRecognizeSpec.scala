@@ -471,4 +471,157 @@ class MatchRecognizeSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(mr.nonEmpty && mr == expected)
   }
+
+  test("cross-variable DEFINE references are rejected, not misread") {
+    val df = funnel(Seq((1L, 1L, "view"), (1L, 2L, "click")))
+      .withColumn("price", col("seq").cast("double"))
+    def clause(defs: String) =
+      s"""PARTITION BY uid ORDER BY seq
+         |MEASURES COUNT(*) AS n
+         |PATTERN (A B)
+         |DEFINE $defs""".stripMargin
+    // B's predicate names A — pre-r13 this silently became
+    // `price > price` (always false), a WRONG ANSWER; now it errors
+    val e = intercept[IllegalArgumentException](MatchRecognize.run(df,
+      parseClause(clause("A AS ev = 'view', B AS B.price > A.price"))))
+    assert(e.getMessage.contains("cross-variable") &&
+      e.getMessage.contains("references pattern variable A"))
+    // the variable's OWN qualifier still denotes the current row
+    val own = MatchRecognize.run(df,
+      parseClause(clause("A AS A.ev = 'view', B AS B.ev = 'click'")))
+      .collect()
+    assert(own.map(_.getLong(1)).toSeq == Seq(2L))
+    // a quoted 'A.x' string literal must NOT trip the check
+    val lit = MatchRecognize.run(df,
+      parseClause(clause("A AS ev = 'view', B AS ev <> 'A.x'")))
+      .collect()
+    assert(lit.map(_.getLong(1)).toSeq == Seq(2L))
+    // the streaming face shares the rewrite → same rejection
+    val se = intercept[IllegalArgumentException](
+      MatchRecognize.rewriteDefinePred("B", "B.price > A.price", Seq("A", "B")))
+    assert(se.getMessage.contains("cross-variable"))
+  }
+
+  test("SUM/AVG/MIN/MAX measures: FINAL semantics in ONE ROW PER MATCH") {
+    val df = Seq(
+      (1L, 1L, "view", 10.0), (1L, 2L, "click", 2.0), (1L, 3L, "click", 4.0),
+      (1L, 4L, "view", 1.0), (1L, 5L, "click", 6.0))
+      .toDF("uid", "seq", "ev", "v")
+    val clause =
+      """PARTITION BY uid ORDER BY seq
+        |MEASURES FIRST(A.seq) AS s, SUM(B.v) AS sum_v, AVG(B.v) AS avg_v,
+        |         MIN(B.v) AS min_v, MAX(B.v) AS max_v,
+        |         SUM(v) AS sum_all, SUM(B.seq) AS sum_seq
+        |PATTERN (A B+)
+        |DEFINE A AS ev = 'view', B AS ev = 'click'""".stripMargin
+    val out = MatchRecognize.run(df, parseClause(clause)).orderBy("s")
+    // integral column sums widen to bigint; double stays double
+    assert(out.schema("sum_seq").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(out.schema("sum_v").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    val rows = out.collect().map(r => (r.getLong(1), r.getDouble(2),
+      r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+      r.getLong(7))).toSeq
+    assert(rows == Seq(
+      (1L, 6.0, 3.0, 2.0, 4.0, 16.0, 5L),  // B rows 2,3; universal 1-3
+      (4L, 6.0, 6.0, 6.0, 6.0, 7.0, 5L)))  // B row 5; universal 4-5
+  }
+
+  test("SUM/MIN measures: RUNNING semantics in ALL ROWS PER MATCH") {
+    val df = Seq(
+      (1L, 1L, "view", 10.0), (1L, 2L, "click", 2.0), (1L, 3L, "click", 4.0))
+      .toDF("uid", "seq", "ev", "v")
+    val clause =
+      """PARTITION BY uid ORDER BY seq
+        |MEASURES CLASSIFIER() AS cls, SUM(B.v) AS rs, MIN(v) AS rmin
+        |ALL ROWS PER MATCH
+        |PATTERN (A B+)
+        |DEFINE A AS ev = 'view', B AS ev = 'click'""".stripMargin
+    val out = MatchRecognize.run(df, parseClause(clause))
+      .orderBy("seq")
+      .collect().map(r => (r.getString(4),
+        if (r.isNullAt(5)) null else java.lang.Double.valueOf(r.getDouble(5)),
+        r.getDouble(6))).toSeq
+    assert(out == Seq(
+      ("A", null, 10.0),                            // no B row yet
+      ("B", java.lang.Double.valueOf(2.0), 2.0),    // B so far: {2}
+      ("B", java.lang.Double.valueOf(6.0), 2.0)))   // B so far: {2,4}
+  }
+
+  test("aggregate measures validate their column and variable") {
+    val df = funnel(Seq((1L, 1L, "view"), (1L, 2L, "click")))
+    def run(ms: String) = MatchRecognize.run(df, parseClause(
+      s"""PARTITION BY uid ORDER BY seq
+         |MEASURES $ms
+         |PATTERN (A B)
+         |DEFINE A AS ev = 'view', B AS ev = 'click'""".stripMargin))
+    assert(intercept[IllegalArgumentException](run("SUM(Z.seq) AS s"))
+      .getMessage.contains("unknown variable"))
+    assert(intercept[IllegalArgumentException](run("SUM(B.ev) AS s"))
+      .getMessage.contains("numeric"))
+    assert(intercept[IllegalArgumentException](run("AVG(B.ev) AS s"))
+      .getMessage.contains("numeric"))
+  }
+
+  test("binary/array/struct PARTITION BY keys are rejected") {
+    val df = funnel(Seq((1L, 1L, "view")))
+      .withColumn("bkey", col("ev").cast("binary"))
+      .withColumn("akey", array(col("seq")))
+    def clause(k: String) =
+      s"""PARTITION BY $k ORDER BY seq
+         |MEASURES COUNT(*) AS n
+         |PATTERN (A)
+         |DEFINE A AS ev = 'view'""".stripMargin
+    // Array[Byte] group keys compare by REFERENCE in the scan's
+    // Seq[Any] identity — one logical group would split per row
+    assert(intercept[IllegalArgumentException](
+      MatchRecognize.run(df, parseClause(clause("bkey"))))
+      .getMessage.contains("binary"))
+    assert(intercept[IllegalArgumentException](
+      MatchRecognize.run(df, parseClause(clause("akey"))))
+      .getMessage.contains("partition keys are not supported"))
+  }
+
+  test("section scanner: '_'-boundary and quoted keywords do not split") {
+    // a column named pattern_id must not match the PATTERN keyword, and
+    // keywords inside string literals must be ignored by the splitter
+    val df = funnel(Seq((1L, 1L, "view"), (1L, 2L, "click")))
+      .withColumn("pattern_id", col("seq"))
+    val clause =
+      """PARTITION BY uid ORDER BY seq
+        |MEASURES COUNT(*) AS n, MAX(A.pattern_id) AS max_pid
+        |PATTERN (A B)
+        |DEFINE A AS ev = 'view' AND pattern_id >= 0,
+        |       B AS ev <> 'measures pattern define order by'""".stripMargin
+    val out = MatchRecognize.run(df, parseClause(clause)).collect()
+    assert(out.length == 1 && out.head.getLong(1) == 2L &&
+      out.head.getLong(2) == 1L)
+  }
+
+  test("the splice drops its temp views: catalog stays stable") {
+    val cfg = EngineConfig.fromEnv(Map.empty).toOption.get
+    val engine = new Engine(cfg, Some("/root/testdata/sf0.001"),
+      existing = Some(spark))
+    val qs = new QueryService(engine)
+    val stmt =
+      """SELECT COUNT(*) AS n FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  MEASURES FIRST(A.ts) AS start_ts
+        |  PATTERN (A B+)
+        |  DEFINE A AS event_type = 'view', B AS event_type = 'click')""".stripMargin
+    val before = spark.catalog.listTables().count()
+    (1 to 3).foreach { _ =>
+      val r = qs.execute(stmt)
+      assert(r.isRight, r.toString)
+    }
+    // EXPLAIN and SHOW STATS splice paths too
+    val es = new graft.service.ExplainService(engine)
+    assert(es.explain(stmt, "").isRight)
+    assert(qs.execute(s"SHOW STATS FOR ($stmt)").isRight)
+    assert(qs.execute(s"EXPLAIN ANALYZE $stmt").isRight)
+    val after = spark.catalog.listTables().count()
+    assert(after == before,
+      s"MATCH_RECOGNIZE temp views leaked: $before -> $after")
+  }
 }

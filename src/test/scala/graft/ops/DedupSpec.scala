@@ -151,6 +151,43 @@ class DedupSpec extends SparkSpec {
     assert(hits.toSeq == Seq((100L, 1L, 1.0)))
   }
 
+  test("minhash index layout is persisted; merge/probe read it, never guess") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (2L, "completely different standing corpus document about engines and scans"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again tonight"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mh-layout").toString
+    // non-default geometry at build; probe/merge take NO geometry args —
+    // they read k/numHashes/bands from the index's _graft_layout
+    Dedup.buildMinhashIndex(corpus, "doc_id", "text", dir,
+      k = 2, numHashes = 32, bands = 8)
+    val hits = Dedup.probeMinhashIndex(batch, "doc_id", "text", dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hits.toSeq == Seq((100L, 1L)))
+    Dedup.mergeMinhashIndex(batch, "doc_id", "text", dir) // reads layout: no throw
+    // a missing layout file means corrupt/half-written/pre-layout index:
+    // merge and probe refuse loudly instead of silently mixing geometries
+    assert(new java.io.File(s"$dir/_graft_layout").delete())
+    assert(intercept[java.io.IOException](
+      Dedup.probeMinhashIndex(batch, "doc_id", "text", dir))
+      .getMessage.contains("_graft_layout"))
+    assert(intercept[java.io.IOException](
+      Dedup.mergeMinhashIndex(batch, "doc_id", "text", dir))
+      .getMessage.contains("_graft_layout"))
+    // md5 twin: same contract
+    val md5Dir = java.nio.file.Files.createTempDirectory("graft-mh-md5-layout").toString
+    Dedup.buildMinhashIndexMd5(corpus, "doc_id", "text", md5Dir, numHashes = 8)
+    Dedup.probeMinhashIndexMd5(batch, "doc_id", "text", md5Dir).collect()
+    assert(new java.io.File(s"$md5Dir/_graft_layout").delete())
+    assert(intercept[java.io.IOException](
+      Dedup.probeMinhashIndexMd5(batch, "doc_id", "text", md5Dir))
+      .getMessage.contains("_graft_layout"))
+  }
+
   test("minhash index: build(A) + merge(B) probes identically to build(A ∪ B)") {
     val docs = graft.engine.Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .filter(col("doc_id") < 400)

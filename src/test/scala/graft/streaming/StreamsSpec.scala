@@ -672,4 +672,30 @@ class StreamsSpec extends SparkSpec {
       assert(streaming.map(_._1).toSet == Set(1L, 2L)) // dangling A absent
     } finally q.stop()
   }
+
+  test("streaming MATCH_RECOGNIZE rejects measures outside the MrMatch shape") {
+    // the stream emits the FIXED MrMatch record; a clause asking for
+    // COUNT(B.*) or a non-order column would be silently misread, so
+    // it must be rejected up front (r12 ADVICE)
+    def mk(measures: String) =
+      Streams.matchRecognizeStream(spark.emptyDataset[Streams.Event],
+        s"""PARTITION BY user_id ORDER BY ts, event_id
+           |MEASURES $measures
+           |PATTERN (A B+)
+           |DEFINE A AS event_type = 'view', B AS event_type = 'click'""".stripMargin)
+    assert(intercept[IllegalArgumentException](mk("COUNT(B.*) AS n"))
+      .getMessage.contains("MrMatch"))
+    assert(intercept[IllegalArgumentException](mk("FIRST(A.value) AS v"))
+      .getMessage.contains("MrMatch"))
+    // the supported fixed set still parses
+    mk("FIRST(A.ts) AS s, LAST(B.ts) AS e, COUNT(*) AS n, MATCH_NUMBER() AS m")
+    // cross-variable DEFINE now rejected here too (shared rewrite)
+    assert(intercept[IllegalArgumentException](
+      Streams.matchRecognizeStream(spark.emptyDataset[Streams.Event],
+        """PARTITION BY user_id ORDER BY ts
+          |MEASURES COUNT(*) AS n
+          |PATTERN (A B+)
+          |DEFINE A AS event_type = 'view', B AS value > A.value""".stripMargin))
+      .getMessage.contains("cross-variable"))
+  }
 }
