@@ -18,8 +18,11 @@ import org.apache.spark.sql.types._
   *    `AVG` always emits double — for decimal inputs the sum is exact
   *    and divided once, a documented deviation from Trino's
   *    decimal-typed avg), `MATCH_NUMBER()`, `CLASSIFIER()`, each
-  *    with `AS name` (optional `RUNNING` prefix accepted; `FINAL`
-  *    rejected)
+  *    with `AS name`. `RUNNING`/`FINAL` prefixes: RUNNING is the
+  *    ALL-mode default (and a no-op in ONE-ROW mode); FINAL flips an
+  *    ALL-mode navigation/aggregate measure to whole-match evaluation
+  *    on every output row (Trino's semantics; invalid on
+  *    MATCH_NUMBER/CLASSIFIER)
   *  - `ONE ROW PER MATCH` (the default) — output is partition columns
   *    + measures with FINAL semantics — and plain `ALL ROWS PER MATCH`
   *    — one output row per MATCHED row carrying every input column +
@@ -39,9 +42,11 @@ import org.apache.spark.sql.types._
   *    A.price` — is REJECTED with a validation error, since this
   *    subset cannot evaluate cross-variable references and silently
   *    stripping them would compute a wrong answer)
-  *    and `PREV(col)` = the previous ROW in the partition
-  *    (physical navigation, evaluated as a window `lag` before the
-  *    scan). Variables without a DEFINE match any row (standard).
+  *    and `PREV(col[, n])` / `NEXT(col[, n])` = the n-th previous /
+  *    following ROW in the partition (physical navigation, SQL:2016;
+  *    evaluated as window `lag`/`lead` before the scan;
+  *    out-of-partition → NULL → no match). Variables without a
+  *    DEFINE match any row (standard).
   *
   * Execution is the Spark-idiomatic shape for sequential semantics:
   * ONE hash shuffle on the partition keys + a secondary sort on
@@ -92,9 +97,13 @@ object MatchRecognize {
   case object MMin extends MKind
   case object MMax extends MKind
   /** `offset` is the logical navigation offset of FIRST/LAST(V.c, n):
-    * n-th mapped row from the start / from the end (0 = the default). */
+    * n-th mapped row from the start / from the end (0 = the default).
+    * `finalSem`: the measure carried an explicit `FINAL` prefix —
+    * meaningful only in ALL ROWS PER MATCH (evaluate over the WHOLE
+    * match at every output row instead of the rows seen so far); in
+    * ONE ROW PER MATCH output is FINAL regardless, as in SQL:2016. */
   case class Measure(kind: MKind, varName: String, colName: String,
-      alias: String, offset: Int = 0)
+      alias: String, offset: Int = 0, finalSem: Boolean = false)
 
   case class Spec(partitionBy: Seq[String], orderBy: Seq[String],
       measures: Seq[Measure], pattern: Pat, defines: Seq[(String, String)],
@@ -282,15 +291,15 @@ object MatchRecognize {
     val matchNum = "(?is)^MATCH_NUMBER\\s*\\(\\s*\\)$".r
     val classifier = "(?is)^CLASSIFIER\\s*\\(\\s*\\)$".r
     // RUNNING is the default semantics in ALL ROWS PER MATCH and a
-    // no-op marker in ONE ROW PER MATCH's FINAL output; FINAL is only
-    // meaningful in ALL mode, which this subset evaluates RUNNING
-    val body =
+    // no-op marker in ONE ROW PER MATCH's FINAL output; FINAL flips an
+    // ALL-mode measure to whole-match evaluation on every output row
+    val (body, isFinal) =
       if (exprTxt.toUpperCase.startsWith("RUNNING "))
-        exprTxt.substring("RUNNING ".length).trim
+        (exprTxt.substring("RUNNING ".length).trim, false)
       else if (exprTxt.toUpperCase.startsWith("FINAL "))
-        fail(s"FINAL measure semantics are not supported: $exprTxt")
-      else exprTxt
-    body match {
+        (exprTxt.substring("FINAL ".length).trim, true)
+      else (exprTxt, false)
+    val m = body match {
       case firstLast(fl, v, c, off) =>
         Measure(if (fl.equalsIgnoreCase("FIRST")) MFirst else MLast, v, c,
           alias, if (off == null) 0 else off.toInt)
@@ -313,6 +322,11 @@ object MatchRecognize {
         s"V.c, COUNT(V.*), COUNT(*), SUM/AVG/MIN/MAX([V.]c), " +
         s"MATCH_NUMBER(), CLASSIFIER()): $other")
     }
+    // Trino: RUNNING/FINAL prefix only navigation and aggregates —
+    // MATCH_NUMBER()/CLASSIFIER() take neither
+    if (isFinal && (m.kind == MMatchNumber || m.kind == MClassifier))
+      fail(s"FINAL cannot prefix this measure: $exprTxt")
+    m.copy(finalSem = isFinal)
   }
 
   // pattern := alt ; alt := cat ('|' cat)* ; cat := quant+ ;
@@ -449,7 +463,9 @@ object MatchRecognize {
   // ---------- planner / runner ----------
 
   private val DefPrefix = "__mr_def_"
-  private val PrevPrefix = "__mr_prev_"
+
+  private def navColName(isPrev: Boolean, c: String, n: Int): String =
+    s"__mr_${if (isPrev) "prev" else "next"}${n}_$c"
 
   /** Rewrite variable V's DEFINE predicate for per-row evaluation:
     * strip V's OWN qualifier (`V.c` denotes the current row), but
@@ -518,23 +534,33 @@ object MatchRecognize {
     //    rejected — rewriteDefinePred), then map PREV(col) -> a lag
     //    column computed over (partition, order)
     val varNames = spec.vars
-    val prevCols = scala.collection.mutable.LinkedHashSet.empty[String]
+    // (isPrev, resolvedCol, offset) → the lag/lead column to prepare
+    val navCols =
+      scala.collection.mutable.LinkedHashSet.empty[(Boolean, String, Int)]
     val rewritten: Seq[(String, String)] = spec.defines.map { case (v, pred0) =>
       var pred = rewriteDefinePred(v, pred0, varNames)
-      val prevRe = "(?i)PREV\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\)".r
-      pred = prevRe.replaceAllIn(pred, m => {
-        val c = m.group(1)
-        prevCols += c
-        PrevPrefix + resolve(c)
+      // PREV/NEXT(col[, n]) — PHYSICAL navigation over the partition's
+      // row order (SQL:2016; Trino evaluates these against partition
+      // rows, not mapped rows), realized as window lag/lead computed
+      // by Catalyst BEFORE the scan; out-of-partition → NULL → the
+      // predicate's null is coalesced to no-match
+      val navRe = ("(?i)\\b(PREV|NEXT)\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)" +
+        "\\s*(?:,\\s*(\\d+)\\s*)?\\)").r
+      pred = navRe.replaceAllIn(pred, m => {
+        val isPrev = m.group(1).equalsIgnoreCase("PREV")
+        val c = resolve(m.group(2))
+        val n = Option(m.group(3)).map(_.toInt).getOrElse(1)
+        navCols += ((isPrev, c, n))
+        navColName(isPrev, c, n)
       })
       (v, pred)
     }
     val w = Window.partitionBy(spec.partitionBy.map(col): _*)
       .orderBy(spec.orderBy.map(col): _*)
     var prepared = df
-    prevCols.foreach { c =>
-      prepared = prepared.withColumn(PrevPrefix + resolve(c),
-        lag(col(resolve(c)), 1).over(w))
+    navCols.foreach { case (isPrev, c, n) =>
+      prepared = prepared.withColumn(navColName(isPrev, c, n),
+        (if (isPrev) lag(col(c), n) else lead(col(c), n)).over(w))
     }
     val defMap = rewritten.toMap
     varNames.foreach { v =>
@@ -557,20 +583,22 @@ object MatchRecognize {
     val inSchema = arranged.schema
     def colType(c: String): DataType = inSchema(inSchema.fieldIndex(c)).dataType
     val inputCols = df.columns.toSeq // original columns, no __mr internals
-    val measureFields = spec.measures.map {
-      case Measure(MFirst | MLast, _, c, a, _) => StructField(a, colType(c))
-      case Measure(MClassifier, _, _, a, _)    => StructField(a, StringType)
-      case Measure(MSum, _, c, a, _) => StructField(a, sumOutType(colType(c), c))
-      case Measure(MAvg, _, c, a, _) =>
-        sumOutType(colType(c), c) // numeric check only
-        StructField(a, DoubleType)
-      case Measure(MMin | MMax, _, c, a, _) => colType(c) match {
-        case BinaryType | _: ArrayType | _: MapType | _: StructType =>
-          fail(s"MIN/MAX measure requires an orderable atomic column " +
-            s"($c is ${colType(c).simpleString})")
-        case dt => StructField(a, dt)
+    val measureFields = spec.measures.map { m =>
+      (m.kind, m.colName, m.alias) match {
+        case (MFirst | MLast, c, a) => StructField(a, colType(c))
+        case (MClassifier, _, a)    => StructField(a, StringType)
+        case (MSum, c, a) => StructField(a, sumOutType(colType(c), c))
+        case (MAvg, c, a) =>
+          sumOutType(colType(c), c) // numeric check only
+          StructField(a, DoubleType)
+        case (MMin | MMax, c, a) => colType(c) match {
+          case BinaryType | _: ArrayType | _: MapType | _: StructType =>
+            fail(s"MIN/MAX measure requires an orderable atomic column " +
+              s"($c is ${colType(c).simpleString})")
+          case dt => StructField(a, dt)
+        }
+        case (_, _, a)              => StructField(a, LongType)
       }
-      case Measure(_, _, _, a, _)              => StructField(a, LongType)
     }
     val outSchema = StructType(
       (if (spec.allRows) inputCols.map(c => inSchema(inSchema.fieldIndex(c)))
@@ -583,11 +611,11 @@ object MatchRecognize {
     val orderIdx = spec.orderBy.map(inSchema.fieldIndex)
     val flagIdx: Map[String, Int] =
       varNames.map(v => v -> inSchema.fieldIndex(DefPrefix + v)).toMap
-    val measureIdx: Seq[(MKind, String, Int, Int, DataType)] =
+    val measureIdx: Seq[MeasureExec] =
       spec.measures.zip(measureFields).map { case (m, f) =>
-        (m.kind, m.varName,
+        MeasureExec(m.kind, m.varName,
           if (m.colName.nonEmpty) inSchema.fieldIndex(m.colName) else -1,
-          m.offset, f.dataType)
+          m.offset, f.dataType, m.finalSem)
       }
     val pattern = spec.pattern
     val skip = spec.skip
@@ -598,6 +626,11 @@ object MatchRecognize {
         skip, allRows)
     }(enc)
   }
+
+  /** Resolved execution form of one measure: field index instead of
+    * name, output type attached for the aggregate fold. */
+  private[graft] case class MeasureExec(kind: MKind, varName: String,
+      cIdx: Int, offset: Int, dt: DataType, finalSem: Boolean)
 
   /** Output type of SUM(c): integral → bigint (Trino's widening),
     * float/double → double, decimal → precision+10 (Spark's sum rule);
@@ -696,7 +729,7 @@ object MatchRecognize {
     * LAST ROW, emits one output row per match. */
   private class MatchIterator(rows: Iterator[Row], partIdx: Seq[Int],
       outIdx: Seq[Int], flagIdx: Map[String, Int], pattern: Pat,
-      measures: Seq[(MKind, String, Int, Int, DataType)], skip: SkipMode,
+      measures: Seq[MeasureExec], skip: SkipMode,
       allRows: Boolean) extends Iterator[Row] {
     private val buf = rows.buffered
     private val out = scala.collection.mutable.Queue.empty[Row]
@@ -730,7 +763,7 @@ object MatchRecognize {
       val byVar = asc.groupBy(_._2)
       val vals = new Array[Any](outIdx.length + measures.length)
       outIdx.indices.foreach(i => vals(i) = g(start).get(outIdx(i)))
-      measures.zipWithIndex.foreach { case ((kind, v, cIdx, off, dt), mi) =>
+      measures.zipWithIndex.foreach { case (MeasureExec(kind, v, cIdx, off, dt, _), mi) =>
         val slot = outIdx.length + mi
         vals(slot) = kind match {
           case MFirst => byVar.get(v).flatMap(_.lift(off))
@@ -757,6 +790,10 @@ object MatchRecognize {
     private def emitAll(g: Array[Row], assigned: List[(Int, String)],
         matchNo: Long): Seq[Row] = {
       val asc = assigned.reverse // ascending row order
+      // whole-match structures for FINAL-prefixed measures
+      val fullByVar = asc.groupBy(_._2).map { case (k, l) => k -> l.map(_._1) }
+      val fullAll = asc.map(_._1)
+      val total = asc.length.toLong
       val rowsOf = scala.collection.mutable
         .HashMap.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
       val allSoFar = scala.collection.mutable.ArrayBuffer.empty[Int]
@@ -768,22 +805,26 @@ object MatchRecognize {
         seen += 1L
         val vals = new Array[Any](outIdx.length + measures.length)
         outIdx.indices.foreach(i => vals(i) = g(rowI).get(outIdx(i)))
-        measures.zipWithIndex.foreach { case ((kind, v, cIdx, off, dt), mi) =>
+        measures.zipWithIndex.foreach { case (MeasureExec(kind, v, cIdx, off, dt, fin), mi) =>
           val slot = outIdx.length + mi
+          // RUNNING (the ALL-mode default): state as of this row;
+          // FINAL: the whole match on every row
+          def varRows: Seq[Int] =
+            if (fin) fullByVar.getOrElse(v, Nil)
+            else rowsOf.get(v).map(_.toSeq).getOrElse(Nil)
           vals(slot) = kind match {
-            case MFirst => rowsOf.get(v).flatMap(_.lift(off))
+            case MFirst => varRows.lift(off)
               .map(r => g(r).get(cIdx)).orNull
-            case MLast  => rowsOf.get(v).flatMap(l => l.lift(l.length - 1 - off))
+            case MLast  => varRows.lift(varRows.length - 1 - off)
               .map(r => g(r).get(cIdx)).orNull
-            case MCountVar    => rowsOf.get(v).map(_.length.toLong).getOrElse(0L)
-            case MCountStar   => seen
+            case MCountVar    => varRows.length.toLong
+            case MCountStar   => if (fin) total else seen
             case MMatchNumber => matchNo
             case MClassifier  => varName
             case MSum | MAvg | MMin | MMax =>
-              // RUNNING semantics: aggregate over the rows mapped so far
               val idxs =
-                if (v.isEmpty) allSoFar.toSeq
-                else rowsOf.get(v).map(_.toSeq).getOrElse(Nil)
+                if (v.isEmpty) { if (fin) fullAll else allSoFar.toSeq }
+                else varRows
               aggOver(kind, dt, idxs.map(r => g(r).get(cIdx)))
           }
         }

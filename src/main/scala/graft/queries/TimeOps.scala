@@ -120,6 +120,27 @@ object TimeOps {
         .orderBy(col("user_id"), col("ts"), col("event_id"))
     }),
 
+    // FINAL-prefixed measures in ALL-ROWS mode: whole-match aggregates
+    // repeated on every output row (vs mr_funnel_runsum's RUNNING
+    // state) — DuckDB replays them as per-island GROUP BY aggregates
+    // joined back to each island row.
+    "mr_funnel_rows_final" -> ((s, d) => {
+      val ev = t(s, d, "events").withColumn("dval",
+        col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+      val clause =
+        """PARTITION BY user_id ORDER BY ts, event_id
+          |MEASURES CLASSIFIER() AS cls, FINAL SUM(B.dval) AS tot_sum,
+          |         FINAL COUNT(B.*) AS tot_b, FINAL LAST(B.ts) AS end_ts
+          |ALL ROWS PER MATCH
+          |PATTERN (A B+)
+          |DEFINE A AS event_type = 'view', B AS event_type = 'click'""".stripMargin
+      graft.dialect.MatchRecognize.run(ev,
+          graft.dialect.MatchRecognize.parseClause(clause))
+        .drop("dval")
+        .withColumn("tot_sum", col("tot_sum").cast("double"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
+
     // The ALL ROWS PER MATCH face of the same matcher: one output row
     // per MATCHED row with RUNNING measures and CLASSIFIER() — the
     // per-row debugging/enrichment mode. Same disjoint-predicate trick
@@ -343,6 +364,34 @@ object TimeOps {
         |  MAX(CASE WHEN e.rn >= m.first_rn THEN e.value END)
         |    OVER (PARTITION BY e.user_id, m.mn ORDER BY e.rn) AS run_max,
         |  m.mn
+        |FROM matches m
+        |JOIN e ON e.user_id = m.user_id
+        |  AND e.rn BETWEEN m.first_rn - 1 AND m.last_rn
+        |ORDER BY e.user_id, e.ts, e.event_id""".stripMargin,
+
+    // FINAL-in-ALL replay: island-level aggregates joined to each
+    // matched row (constant per match).
+    "mr_funnel_rows_final" ->
+      """WITH e AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |clicks AS (
+        |  SELECT user_id, ts, value, rn,
+        |    rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+        |  FROM e WHERE event_type = 'click'),
+        |islands AS (
+        |  SELECT user_id, MIN(rn) AS first_rn, MAX(rn) AS last_rn,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS tot_sum,
+        |    COUNT(*) AS tot_b, MAX(ts) AS end_ts
+        |  FROM clicks GROUP BY user_id, grp),
+        |matches AS (
+        |  SELECT i.*
+        |  FROM islands i
+        |  JOIN e v ON v.user_id = i.user_id AND v.rn = i.first_rn - 1
+        |  WHERE v.event_type = 'view')
+        |SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value, e.props,
+        |  CASE WHEN e.rn = m.first_rn - 1 THEN 'A' ELSE 'B' END AS cls,
+        |  m.tot_sum, m.tot_b, m.end_ts
         |FROM matches m
         |JOIN e ON e.user_id = m.user_id
         |  AND e.rn BETWEEN m.first_rn - 1 AND m.last_rn

@@ -510,8 +510,9 @@ object Streams {
     require(!spec.allRows &&
       spec.skip == graft.dialect.MatchRecognize.SkipPastLast,
       "matchRecognizeStream: ONE ROW PER MATCH + SKIP PAST LAST ROW only")
-    require(!spec.defines.exists(_._2.toUpperCase.contains("PREV")),
-      "matchRecognizeStream: PREV is not available over a stream")
+    require(!spec.defines.exists(d => d._2.toUpperCase.contains("PREV") ||
+        d._2.toUpperCase.contains("NEXT")),
+      "matchRecognizeStream: PREV/NEXT are not available over a stream")
     // the output shape is the FIXED MrMatch record (start/end ts, row
     // count, match number) — validate that the clause's MEASURES stay
     // inside that set instead of silently ignoring them: a caller

@@ -28,9 +28,9 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented counts") {
-    assert(SparkEntry.queries.size == 174,
+    assert(SparkEntry.queries.size == 175,
       s"queries=${SparkEntry.queries.size} — update README/ContractSpec together")
-    assert(SparkEntry.oracleSql.size == 155,
+    assert(SparkEntry.oracleSql.size == 156,
       s"oracles=${SparkEntry.oracleSql.size} — update README/ContractSpec together")
   }
 }

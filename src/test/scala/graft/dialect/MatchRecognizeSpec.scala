@@ -147,12 +147,17 @@ class MatchRecognizeSpec extends SparkSpec {
       (2L, 6L, "click", "B", 1L, 2L, 6L, 1L)), out)
   }
 
-  test("ALL ROWS PER MATCH variants and FINAL measures are rejected") {
+  test("ALL ROWS PER MATCH variants and FINAL on non-aggregates are rejected") {
     def err(clause: String): String =
       intercept[IllegalArgumentException](parseClause(clause)).getMessage
     assert(err("""ORDER BY x ALL ROWS PER MATCH OMIT EMPTY MATCHES PATTERN (A) DEFINE A AS true""")
       .contains("variants"))
-    assert(err("""ORDER BY x MEASURES FINAL LAST(A.x) AS v PATTERN (A) DEFINE A AS true""")
+    // FINAL prefixes navigation/aggregates (parses into finalSem)…
+    val spec = parseClause(
+      """ORDER BY x MEASURES FINAL LAST(A.x) AS v PATTERN (A) DEFINE A AS true""")
+    assert(spec.measures.head.finalSem)
+    // …but MATCH_NUMBER()/CLASSIFIER() take no semantics prefix (Trino)
+    assert(err("""ORDER BY x MEASURES FINAL MATCH_NUMBER() AS m PATTERN (A) DEFINE A AS true""")
       .contains("FINAL"))
   }
 
@@ -470,6 +475,50 @@ class MatchRecognizeSpec extends SparkSpec {
       .orderBy("user_id", "start_ts")
       .collect().map(_.toString).toSeq
     assert(mr.nonEmpty && mr == expected)
+  }
+
+  test("FINAL measures in ALL ROWS PER MATCH evaluate over the whole match") {
+    val df = Seq(
+      (1L, 1L, "view", 10.0), (1L, 2L, "click", 2.0), (1L, 3L, "click", 4.0))
+      .toDF("uid", "seq", "ev", "v")
+    val clause =
+      """PARTITION BY uid ORDER BY seq
+        |MEASURES COUNT(*) AS rn, FINAL COUNT(*) AS tot,
+        |         SUM(B.v) AS rs, FINAL SUM(B.v) AS fs,
+        |         FINAL LAST(B.v) AS flv, FINAL COUNT(B.*) AS fb
+        |ALL ROWS PER MATCH
+        |PATTERN (A B+)
+        |DEFINE A AS ev = 'view', B AS ev = 'click'""".stripMargin
+    val out = MatchRecognize.run(df, parseClause(clause)).orderBy("seq")
+      .collect().map(r => (r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) -1.0 else r.getDouble(6), r.getDouble(7),
+        r.getDouble(8), r.getLong(9))).toSeq
+    assert(out == Seq(
+      (1L, 3L, -1.0, 6.0, 4.0, 2L), // RUNNING rn/rs move; FINAL constant
+      (2L, 3L, 2.0, 6.0, 4.0, 2L),
+      (3L, 3L, 6.0, 6.0, 4.0, 2L)))
+  }
+
+  test("PREV/NEXT with offsets navigate physical partition rows in DEFINE") {
+    val df = Seq((1L, 1L, 1.0), (1L, 2L, 2.0), (1L, 3L, 3.0),
+      (1L, 4L, 4.0), (1L, 5L, 5.0)).toDF("uid", "seq", "v")
+    // interior rising rows: both neighbors exist and bracket v —
+    // NEXT is null on the last partition row, so row 5 cannot match
+    val interior = MatchRecognize.run(df, parseClause(
+      """PARTITION BY uid ORDER BY seq
+        |MEASURES FIRST(A.seq) AS s, COUNT(A.*) AS n
+        |PATTERN (A+)
+        |DEFINE A AS v > PREV(v) AND v < NEXT(v)""".stripMargin))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(interior == Seq((2L, 3L))) // rows 2,3,4
+    // PREV with an explicit offset: v = PREV(v, 2) + 2 holds from row 3
+    val stride = MatchRecognize.run(df, parseClause(
+      """PARTITION BY uid ORDER BY seq
+        |MEASURES FIRST(B.seq) AS s, COUNT(B.*) AS n
+        |PATTERN (B+)
+        |DEFINE B AS v = PREV(v, 2) + 2""".stripMargin))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(stride == Seq((3L, 3L))) // rows 3,4,5
   }
 
   test("cross-variable DEFINE references are rejected, not misread") {
