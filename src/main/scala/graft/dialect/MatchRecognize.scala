@@ -24,13 +24,20 @@ import org.apache.spark.sql.types._
   *    on every output row (Trino's semantics; invalid on
   *    MATCH_NUMBER/CLASSIFIER)
   *  - `ONE ROW PER MATCH` (the default) — output is partition columns
-  *    + measures with FINAL semantics — and plain `ALL ROWS PER MATCH`
+  *    + measures with FINAL semantics — and `ALL ROWS PER MATCH`
   *    — one output row per MATCHED row carrying every input column +
-  *    RUNNING-semantics measures (`OMIT EMPTY`/`WITH UNMATCHED`
-  *    variants rejected)
-  *  - `AFTER MATCH SKIP PAST LAST ROW` (the default) and
-  *    `SKIP TO NEXT ROW` (overlapping matches); SKIP TO <var> forms
-  *    rejected
+  *    RUNNING-semantics measures. `SHOW`/`OMIT EMPTY MATCHES` are
+  *    accepted as the plain form (no pattern here can match empty);
+  *    `WITH UNMATCHED ROWS` additionally emits every unmatched row
+  *    with all measures (incl. MATCH_NUMBER/CLASSIFIER) NULL —
+  *    requires SKIP PAST LAST ROW, whose disjoint matches make
+  *    "unmatched" well-defined
+  *  - `SUBSET U = (A, B)` union variables, usable wherever a pattern
+  *    variable is (MEASURES navigation/aggregates, AFTER MATCH SKIP
+  *    TO): U's mapped rows are the union of its members' rows
+  *  - `AFTER MATCH SKIP PAST LAST ROW` (the default),
+  *    `SKIP TO NEXT ROW` (overlapping matches) and
+  *    `SKIP TO [FIRST|LAST] <var>`
   *  - `PATTERN` over pattern variables with concatenation, alternation
   *    `|`, grouping, and greedy `+` `*` `?` `{n}` `{n,}` `{n,m}`
   *    quantifiers (reluctant forms rejected; patterns that can match
@@ -107,7 +114,9 @@ object MatchRecognize {
 
   case class Spec(partitionBy: Seq[String], orderBy: Seq[String],
       measures: Seq[Measure], pattern: Pat, defines: Seq[(String, String)],
-      skip: SkipMode = SkipPastLast, allRows: Boolean = false) {
+      skip: SkipMode = SkipPastLast, allRows: Boolean = false,
+      withUnmatched: Boolean = false,
+      subsets: Seq[(String, Seq[String])] = Seq.empty) {
     lazy val vars: Seq[String] = {
       def walk(p: Pat): Seq[String] = p match {
         case PVar(n)    => Seq(n)
@@ -158,13 +167,30 @@ object MatchRecognize {
         val end = if (idx + 1 < ordered.length) ordered(idx + 1)._1 else src.length
         src.substring(pos + k.length, end).trim
       }
-    val allRows = section("ALL ROWS PER MATCH") match {
-      case None => false
-      case Some("") => true // the plain form
-      case Some(rest) => fail("ALL ROWS PER MATCH variants are not " +
-        s"supported (OMIT EMPTY MATCHES / WITH UNMATCHED ROWS): $rest")
+    // SHOW/OMIT EMPTY MATCHES are equivalent here: the subset rejects
+    // patterns that can match empty, so no empty match ever exists
+    val (allRows, withUnmatched) = section("ALL ROWS PER MATCH")
+        .map(_.toUpperCase.replaceAll("\\s+", " ").trim) match {
+      case None => (false, false)
+      case Some("") | Some("SHOW EMPTY MATCHES") |
+           Some("OMIT EMPTY MATCHES") => (true, false)
+      case Some("WITH UNMATCHED ROWS") => (true, true)
+      case Some(rest) =>
+        fail(s"unsupported ALL ROWS PER MATCH variant: $rest")
     }
-    if (section("SUBSET").isDefined) fail("SUBSET is not supported")
+    // SUBSET U = (A, B): union variables — usable wherever a pattern
+    // variable is (MEASURES navigation/aggregates, AFTER MATCH SKIP TO);
+    // a subset's mapped rows are the union of its members' rows
+    val subsets = section("SUBSET").map(splitTop(_, ',').map { s =>
+      val m = "(?is)^\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*\\(([^)]*)\\)\\s*$".r
+      s.trim match {
+        case m(u, members) =>
+          val ms = members.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          if (ms.isEmpty) fail(s"SUBSET $u has no members")
+          (u, ms)
+        case other => fail(s"cannot parse SUBSET entry (want U = (A, B)): $other")
+      }
+    }).getOrElse(Seq.empty)
     val toVarRe =
       "(?is)^SKIP\\s+TO\\s+(?:(FIRST|LAST)\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
     val skip: SkipMode = section("AFTER MATCH") match {
@@ -199,10 +225,28 @@ object MatchRecognize {
     if (measures.isEmpty && !allRows)
       fail("MEASURES is required in this subset " +
         "(ONE ROW PER MATCH output is partition columns + measures)")
-    val spec =
-      Spec(partCols, orderCols, measures, pattern, defines, skip, allRows)
+    val spec = Spec(partCols, orderCols, measures, pattern, defines, skip,
+      allRows, withUnmatched, subsets)
+    // unmatched-row accounting relies on SKIP PAST LAST ROW's disjoint
+    // matches (each row is mapped by at most one match); the
+    // overlapping skip modes would need a full mapped-row set
+    if (withUnmatched && skip != SkipPastLast)
+      fail("WITH UNMATCHED ROWS requires AFTER MATCH SKIP PAST LAST ROW " +
+        "in this subset (overlapping skip modes blur 'unmatched')")
+    // subset sanity: members are pattern variables, names don't shadow
+    subsets.foreach { case (u, ms) =>
+      if (spec.vars.contains(u))
+        fail(s"SUBSET $u collides with a pattern variable")
+      val badMembers = ms.filterNot(spec.vars.contains)
+      if (badMembers.nonEmpty)
+        fail(s"SUBSET $u members not in PATTERN: ${badMembers.mkString(", ")}")
+    }
+    if (subsets.map(_._1).distinct.size != subsets.size)
+      fail("duplicate SUBSET name")
+    // a measure/skip target may name a pattern variable OR a subset
+    val knownVar = (spec.vars ++ subsets.map(_._1)).toSet
     skip match {
-      case SkipToVar(_, v) if !spec.vars.contains(v) =>
+      case SkipToVar(_, v) if !knownVar(v) =>
         fail(s"AFTER MATCH SKIP TO references unknown variable: $v")
       case _ => ()
     }
@@ -212,7 +256,7 @@ object MatchRecognize {
     val badM = measures.filter(m => (m.kind == MFirst || m.kind == MLast ||
       m.kind == MCountVar || ((m.kind == MSum || m.kind == MAvg ||
         m.kind == MMin || m.kind == MMax) && m.varName.nonEmpty)) &&
-      !spec.vars.contains(m.varName))
+      !knownVar(m.varName))
     if (badM.nonEmpty)
       fail(s"measure references unknown variable: ${badM.map(_.varName).mkString(", ")}")
     spec
@@ -538,7 +582,9 @@ object MatchRecognize {
     val navCols =
       scala.collection.mutable.LinkedHashSet.empty[(Boolean, String, Int)]
     val rewritten: Seq[(String, String)] = spec.defines.map { case (v, pred0) =>
-      var pred = rewriteDefinePred(v, pred0, varNames)
+      // subset names count as foreign variables inside DEFINE too
+      var pred = rewriteDefinePred(v, pred0,
+        varNames ++ spec.subsets.map(_._1))
       // PREV/NEXT(col[, n]) — PHYSICAL navigation over the partition's
       // row order (SQL:2016; Trino evaluates these against partition
       // rows, not mapped rows), realized as window lag/lead computed
@@ -620,10 +666,12 @@ object MatchRecognize {
     val pattern = spec.pattern
     val skip = spec.skip
     val allRows = spec.allRows
+    val withUnmatched = spec.withUnmatched
+    val subsetMap = spec.subsets.toMap
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     arranged.mapPartitions { it =>
       new MatchIterator(it, partIdx, keyIdx, flagIdx, pattern, measureIdx,
-        skip, allRows)
+        skip, allRows, withUnmatched, subsetMap)
     }(enc)
   }
 
@@ -730,7 +778,14 @@ object MatchRecognize {
   private class MatchIterator(rows: Iterator[Row], partIdx: Seq[Int],
       outIdx: Seq[Int], flagIdx: Map[String, Int], pattern: Pat,
       measures: Seq[MeasureExec], skip: SkipMode,
-      allRows: Boolean) extends Iterator[Row] {
+      allRows: Boolean, withUnmatched: Boolean = false,
+      subsets: Map[String, Seq[String]] = Map.empty)
+      extends Iterator[Row] {
+
+    /** Real variables a measure/skip target stands for: a subset name
+      * expands to its members, anything else to itself. */
+    private def membersOf(v: String): Seq[String] =
+      subsets.getOrElse(v, Seq(v))
     private val buf = rows.buffered
     private val out = scala.collection.mutable.Queue.empty[Row]
 
@@ -760,25 +815,31 @@ object MatchRecognize {
     private def emitOne(g: Array[Row], start: Int, end: Int,
         assigned: List[(Int, String)], matchNo: Long): Row = {
       val asc = assigned.reverse // ascending row order
-      val byVar = asc.groupBy(_._2)
+      val byVar = asc.groupBy(_._2).map { case (k, l) => k -> l.map(_._1) }
+      // "" = the universal variable (every matched row); a subset name
+      // expands to the sorted union of its members' rows
+      def varRows(v: String): Seq[Int] =
+        if (v.isEmpty) asc.map(_._1)
+        else membersOf(v) match {
+          case Seq(one) => byVar.getOrElse(one, Nil)
+          case ms => ms.flatMap(m => byVar.getOrElse(m, Nil)).sorted
+        }
       val vals = new Array[Any](outIdx.length + measures.length)
       outIdx.indices.foreach(i => vals(i) = g(start).get(outIdx(i)))
       measures.zipWithIndex.foreach { case (MeasureExec(kind, v, cIdx, off, dt, _), mi) =>
         val slot = outIdx.length + mi
         vals(slot) = kind match {
-          case MFirst => byVar.get(v).flatMap(_.lift(off))
-            .map(a => g(a._1).get(cIdx)).orNull
-          case MLast  => byVar.get(v).flatMap(l => l.lift(l.length - 1 - off))
-            .map(a => g(a._1).get(cIdx)).orNull
-          case MCountVar    => byVar.get(v).map(_.length.toLong).getOrElse(0L)
+          case MFirst =>
+            varRows(v).lift(off).map(r => g(r).get(cIdx)).orNull
+          case MLast  =>
+            val l = varRows(v)
+            l.lift(l.length - 1 - off).map(r => g(r).get(cIdx)).orNull
+          case MCountVar    => varRows(v).length.toLong
           case MCountStar   => (end - start).toLong
           case MMatchNumber => matchNo
           case MClassifier  => assigned.headOption.map(_._2).orNull // last row's var
           case MSum | MAvg | MMin | MMax =>
-            val idxs =
-              if (v.isEmpty) asc.map(_._1) // universal: every matched row
-              else byVar.get(v).map(_.map(_._1)).getOrElse(Nil)
-            aggOver(kind, dt, idxs.map(r => g(r).get(cIdx)))
+            aggOver(kind, dt, varRows(v).map(r => g(r).get(cIdx)))
         }
       }
       Row.fromSeq(vals.toIndexedSeq)
@@ -808,28 +869,46 @@ object MatchRecognize {
         measures.zipWithIndex.foreach { case (MeasureExec(kind, v, cIdx, off, dt, fin), mi) =>
           val slot = outIdx.length + mi
           // RUNNING (the ALL-mode default): state as of this row;
-          // FINAL: the whole match on every row
+          // FINAL: the whole match on every row. "" = universal;
+          // subset names expand to the union of their members' rows.
           def varRows: Seq[Int] =
-            if (fin) fullByVar.getOrElse(v, Nil)
-            else rowsOf.get(v).map(_.toSeq).getOrElse(Nil)
+            if (v.isEmpty) { if (fin) fullAll else allSoFar.toSeq }
+            else membersOf(v) match {
+              case Seq(one) =>
+                if (fin) fullByVar.getOrElse(one, Nil)
+                else rowsOf.get(one).map(_.toSeq).getOrElse(Nil)
+              case ms =>
+                if (fin) ms.flatMap(m => fullByVar.getOrElse(m, Nil)).sorted
+                else ms.flatMap(m =>
+                  rowsOf.get(m).map(_.toSeq).getOrElse(Nil)).sorted
+            }
           vals(slot) = kind match {
             case MFirst => varRows.lift(off)
               .map(r => g(r).get(cIdx)).orNull
-            case MLast  => varRows.lift(varRows.length - 1 - off)
-              .map(r => g(r).get(cIdx)).orNull
+            case MLast  =>
+              val l = varRows
+              l.lift(l.length - 1 - off).map(r => g(r).get(cIdx)).orNull
             case MCountVar    => varRows.length.toLong
             case MCountStar   => if (fin) total else seen
             case MMatchNumber => matchNo
             case MClassifier  => varName
             case MSum | MAvg | MMin | MMax =>
-              val idxs =
-                if (v.isEmpty) { if (fin) fullAll else allSoFar.toSeq }
-                else varRows
-              aggOver(kind, dt, idxs.map(r => g(r).get(cIdx)))
+              aggOver(kind, dt, varRows.map(r => g(r).get(cIdx)))
           }
         }
         Row.fromSeq(vals.toIndexedSeq)
       }
+    }
+
+    /** WITH UNMATCHED ROWS: the row itself with every measure NULL
+      * (Trino: measures, MATCH_NUMBER() and CLASSIFIER() are all null
+      * on unmatched rows). Only reachable under SKIP PAST LAST ROW,
+      * where matches are disjoint and a non-matching scan position is
+      * exactly an unmatched row. */
+    private def emitUnmatched(g: Array[Row], rowI: Int): Row = {
+      val vals = new Array[Any](outIdx.length + measures.length)
+      outIdx.indices.foreach(i => vals(i) = g(rowI).get(outIdx(i)))
+      Row.fromSeq(vals.toIndexedSeq) // measure slots stay null
     }
 
     private def fill(): Unit = {
@@ -853,7 +932,8 @@ object MatchRecognize {
               case SkipPastLast => m._1
               case SkipToNext   => i + 1
               case SkipToVar(first, v) =>
-                val rowsOfV = m._2.reverse.collect { case (r, `v`) => r }
+                val ms = membersOf(v).toSet
+                val rowsOfV = m._2.reverse.collect { case (r, vn) if ms(vn) => r }
                 if (rowsOfV.isEmpty) throw new IllegalStateException(
                   s"AFTER MATCH SKIP TO failed: variable $v not matched")
                 val target = if (first) rowsOfV.head else rowsOfV.last
@@ -862,7 +942,10 @@ object MatchRecognize {
                     "row of the match")
                 target
             }
-          } else i += 1
+          } else {
+            if (withUnmatched) out += emitUnmatched(g, i)
+            i += 1
+          }
         }
       }
     }

@@ -120,6 +120,39 @@ object TimeOps {
         .orderBy(col("user_id"), col("ts"), col("event_id"))
     }),
 
+    // SUBSET union variable: U = (A, B) navigated/aggregated in
+    // MEASURES — U's rows are the whole match here, replayed in DuckDB
+    // as view-row ∪ island aggregates.
+    "mr_funnel_subset" -> ((s, d) => {
+      val clause =
+        """PARTITION BY user_id ORDER BY ts, event_id
+          |MEASURES FIRST(U.ts) AS u_start, LAST(U.ts) AS u_end,
+          |         COUNT(U.*) AS u_n, MIN(U.value) AS u_min
+          |PATTERN (A B+)
+          |SUBSET U = (A, B)
+          |DEFINE A AS event_type = 'view', B AS event_type = 'click'""".stripMargin
+      graft.dialect.MatchRecognize.run(t(s, d, "events"),
+          graft.dialect.MatchRecognize.parseClause(clause))
+        .orderBy(col("user_id"), col("u_start"))
+    }),
+
+    // WITH UNMATCHED ROWS: the audit face of the matcher — every input
+    // row comes back, matched ones with CLASSIFIER/MATCH_NUMBER,
+    // unmatched ones all-NULL. DuckDB replays it as a LEFT JOIN of the
+    // events to the island spans (disjoint under SKIP PAST LAST ROW,
+    // so each row matches at most one span).
+    "mr_funnel_unmatched" -> ((s, d) => {
+      val clause =
+        """PARTITION BY user_id ORDER BY ts, event_id
+          |MEASURES CLASSIFIER() AS cls, MATCH_NUMBER() AS mn
+          |ALL ROWS PER MATCH WITH UNMATCHED ROWS
+          |PATTERN (A B+)
+          |DEFINE A AS event_type = 'view', B AS event_type = 'click'""".stripMargin
+      graft.dialect.MatchRecognize.run(t(s, d, "events"),
+          graft.dialect.MatchRecognize.parseClause(clause))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
+
     // FINAL-prefixed measures in ALL-ROWS mode: whole-match aggregates
     // repeated on every output row (vs mr_funnel_runsum's RUNNING
     // state) — DuckDB replays them as per-island GROUP BY aggregates
@@ -366,6 +399,58 @@ object TimeOps {
         |  m.mn
         |FROM matches m
         |JOIN e ON e.user_id = m.user_id
+        |  AND e.rn BETWEEN m.first_rn - 1 AND m.last_rn
+        |ORDER BY e.user_id, e.ts, e.event_id""".stripMargin,
+
+    // SUBSET replay: U = view row ∪ click island, so FIRST(U.ts) is the
+    // view's ts, LAST(U.ts) the island's last ts, COUNT/MIN fold the
+    // view row into the island aggregate.
+    "mr_funnel_subset" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |clicks AS (
+        |  SELECT user_id, ts, value, rn,
+        |    rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+        |  FROM e WHERE event_type = 'click'),
+        |islands AS (
+        |  SELECT user_id, MIN(rn) AS first_rn, MAX(ts) AS u_end,
+        |    COUNT(*) AS n_clicks, MIN(value) AS min_click
+        |  FROM clicks GROUP BY user_id, grp)
+        |SELECT i.user_id, v.ts AS u_start, i.u_end,
+        |  i.n_clicks + 1 AS u_n, LEAST(i.min_click, v.value) AS u_min
+        |FROM islands i
+        |JOIN e v ON v.user_id = i.user_id AND v.rn = i.first_rn - 1
+        |WHERE v.event_type = 'view'
+        |ORDER BY i.user_id, u_start""".stripMargin,
+
+    // Unmatched-rows replay: LEFT JOIN of every event row to its
+    // (at most one) matched island span; non-joined rows keep NULLs.
+    "mr_funnel_unmatched" ->
+      """WITH e AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |clicks AS (
+        |  SELECT user_id, rn,
+        |    rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+        |  FROM e WHERE event_type = 'click'),
+        |islands AS (
+        |  SELECT user_id, MIN(rn) AS first_rn, MAX(rn) AS last_rn
+        |  FROM clicks GROUP BY user_id, grp),
+        |matches AS (
+        |  SELECT i.user_id, i.first_rn, i.last_rn,
+        |    ROW_NUMBER() OVER (PARTITION BY i.user_id ORDER BY i.first_rn) AS mn
+        |  FROM islands i
+        |  JOIN e v ON v.user_id = i.user_id AND v.rn = i.first_rn - 1
+        |  WHERE v.event_type = 'view')
+        |SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value, e.props,
+        |  CASE WHEN m.user_id IS NOT NULL
+        |       THEN (CASE WHEN e.rn = m.first_rn - 1 THEN 'A' ELSE 'B' END)
+        |       END AS cls,
+        |  m.mn
+        |FROM e
+        |LEFT JOIN matches m ON e.user_id = m.user_id
         |  AND e.rn BETWEEN m.first_rn - 1 AND m.last_rn
         |ORDER BY e.user_id, e.ts, e.event_id""".stripMargin,
 

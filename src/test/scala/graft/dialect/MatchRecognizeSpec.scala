@@ -150,8 +150,16 @@ class MatchRecognizeSpec extends SparkSpec {
   test("ALL ROWS PER MATCH variants and FINAL on non-aggregates are rejected") {
     def err(clause: String): String =
       intercept[IllegalArgumentException](parseClause(clause)).getMessage
-    assert(err("""ORDER BY x ALL ROWS PER MATCH OMIT EMPTY MATCHES PATTERN (A) DEFINE A AS true""")
-      .contains("variants"))
+    // SHOW/OMIT EMPTY MATCHES parse as the plain form (no empty
+    // matches exist in this subset); unknown variants still reject
+    assert(parseClause("""ORDER BY x ALL ROWS PER MATCH OMIT EMPTY MATCHES PATTERN (A) DEFINE A AS true""").allRows)
+    assert(parseClause("""ORDER BY x ALL ROWS PER MATCH SHOW EMPTY MATCHES PATTERN (A) DEFINE A AS true""").allRows)
+    assert(err("""ORDER BY x ALL ROWS PER MATCH WITH ODD ROWS PATTERN (A) DEFINE A AS true""")
+      .contains("variant"))
+    // WITH UNMATCHED ROWS needs disjoint matches
+    assert(err("""ORDER BY x MEASURES COUNT(*) AS n ALL ROWS PER MATCH WITH UNMATCHED ROWS
+                 |AFTER MATCH SKIP TO NEXT ROW PATTERN (A) DEFINE A AS true""".stripMargin)
+      .contains("SKIP PAST LAST ROW"))
     // FINAL prefixes navigation/aggregates (parses into finalSem)…
     val spec = parseClause(
       """ORDER BY x MEASURES FINAL LAST(A.x) AS v PATTERN (A) DEFINE A AS true""")
@@ -385,8 +393,10 @@ class MatchRecognizeSpec extends SparkSpec {
   test("rejections carry clear messages; nullable patterns are refused") {
     def err(clause: String): String =
       intercept[IllegalArgumentException](parseClause(clause)).getMessage
-    assert(err("ORDER BY x MEASURES COUNT(*) AS n PATTERN (A) SUBSET U = (A) DEFINE A AS true")
-      .contains("SUBSET"))
+    assert(err("ORDER BY x MEASURES COUNT(*) AS n PATTERN (A) SUBSET U = (A, Z) DEFINE A AS true")
+      .contains("SUBSET U members not in PATTERN"))
+    assert(err("ORDER BY x MEASURES COUNT(*) AS n PATTERN (A B) SUBSET A = (B) DEFINE B AS true")
+      .contains("collides"))
     assert(err("ORDER BY x MEASURES COUNT(*) AS n AFTER MATCH SKIP HALFWAY PATTERN (A) DEFINE A AS true")
       .contains("SKIP PAST LAST ROW"))
     assert(err("ORDER BY x MEASURES COUNT(*) AS n AFTER MATCH SKIP TO LAST Z PATTERN (A) DEFINE A AS true")
@@ -439,10 +449,43 @@ class MatchRecognizeSpec extends SparkSpec {
       """SELECT * FROM events MATCH_RECOGNIZE (
         |  PARTITION BY user_id ORDER BY ts
         |  MEASURES COUNT(*) AS n
+        |  ALL ROWS PER MATCH WITH ODD ROWS
         |  PATTERN (A B+)
-        |  SUBSET U = (A, B)
         |  DEFINE A AS event_type = 'view', B AS event_type = 'click')""".stripMargin)
-    assert(bad.isLeft && bad.swap.toOption.get.contains("SUBSET"))
+    assert(bad.isLeft && bad.swap.toOption.get.contains("variant"))
+  }
+
+  test("SUBSET union variables work in MEASURES and SKIP TO") {
+    val df = funnel(Seq(
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "click"),
+      (1L, 5L, "view"), (1L, 6L, "click")))
+      .withColumn("v", col("seq").cast("double"))
+    val clause =
+      """PARTITION BY uid ORDER BY seq
+        |MEASURES FIRST(U.seq) AS u_first, LAST(U.seq) AS u_last,
+        |         COUNT(U.*) AS u_n, SUM(U.v) AS u_sum
+        |PATTERN (A B+)
+        |SUBSET U = (A, B)
+        |DEFINE A AS ev = 'view', B AS ev = 'click'""".stripMargin
+    val out = MatchRecognize.run(df, parseClause(clause)).orderBy("u_first")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    // U = A ∪ B = every matched row here
+    assert(out == Seq((1L, 3L, 3L, 6.0), (5L, 6L, 2L, 11.0)))
+    // SKIP TO FIRST U = the match start → rejected at runtime like a var
+    val skipClause =
+      """PARTITION BY uid ORDER BY seq
+        |MEASURES COUNT(*) AS n
+        |AFTER MATCH SKIP TO LAST U
+        |PATTERN (A B+)
+        |SUBSET U = (A, B)
+        |DEFINE A AS ev = 'view', B AS ev = 'click'""".stripMargin
+    // LAST U = last row of the match: overlap resumes AT that row; the
+    // click there cannot start (A B+) so scanning proceeds — same
+    // matches, proving the subset resolved through the skip path
+    val out2 = MatchRecognize.run(df, parseClause(skipClause))
+      .collect().map(_.getLong(1)).toSeq.sorted
+    assert(out2 == Seq(2L, 3L))
   }
 
   test("matcher equals the window-SQL replay on the real events table") {
@@ -519,6 +562,30 @@ class MatchRecognizeSpec extends SparkSpec {
         |DEFINE B AS v = PREV(v, 2) + 2""".stripMargin))
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
     assert(stride == Seq((3L, 3L))) // rows 3,4,5
+  }
+
+  test("WITH UNMATCHED ROWS emits every row; unmatched ones all-NULL") {
+    val df = funnel(Seq(
+      (1L, 1L, "error"),                    // unmatched
+      (1L, 2L, "view"), (1L, 3L, "click"),  // match 1
+      (1L, 4L, "view"),                     // unmatched (no click follows)
+      (2L, 1L, "view"), (2L, 2L, "click"))) // match 1 of uid 2
+    val clause =
+      """PARTITION BY uid ORDER BY seq
+        |MEASURES CLASSIFIER() AS cls, MATCH_NUMBER() AS mn
+        |ALL ROWS PER MATCH WITH UNMATCHED ROWS
+        |PATTERN (A B+)
+        |DEFINE A AS ev = 'view', B AS ev = 'click'""".stripMargin
+    val out = MatchRecognize.run(df, parseClause(clause))
+      .orderBy("uid", "seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) null else r.getString(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSeq
+    assert(out == Seq(
+      (1L, 1L, null, -1L),
+      (1L, 2L, "A", 1L), (1L, 3L, "B", 1L),
+      (1L, 4L, null, -1L),
+      (2L, 1L, "A", 1L), (2L, 2L, "B", 1L)))
   }
 
   test("cross-variable DEFINE references are rejected, not misread") {
