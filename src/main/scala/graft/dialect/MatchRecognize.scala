@@ -39,9 +39,12 @@ import org.apache.spark.sql.types._
   *    `SKIP TO NEXT ROW` (overlapping matches) and
   *    `SKIP TO [FIRST|LAST] <var>`
   *  - `PATTERN` over pattern variables with concatenation, alternation
-  *    `|`, grouping, and greedy `+` `*` `?` `{n}` `{n,}` `{n,m}`
-  *    quantifiers (reluctant forms rejected; patterns that can match
-  *    empty rejected)
+  *    `|`, grouping, greedy `+` `*` `?` `{n}` `{n,}` `{n,m}` AND
+  *    reluctant `+?` `*?` `??` `{n,m}?` quantifiers (patterns that can
+  *    match empty rejected), `^`/`$` partition anchors, and `{- p -}`
+  *    exclusions (excluded rows stay part of the match — measures and
+  *    navigation see them — but are omitted from ALL-ROWS output;
+  *    incompatible with WITH UNMATCHED ROWS, as in Trino)
   *  - `DEFINE V AS <boolean sql>` where the predicate references the
   *    current row's columns (V's OWN qualifier, `V.price` inside
   *    DEFINE V, denotes the current row and is stripped; a qualifier
@@ -79,8 +82,17 @@ object MatchRecognize {
   case class PVar(name: String) extends Pat
   case class PCat(items: Seq[Pat]) extends Pat
   case class PAlt(alts: Seq[Pat]) extends Pat
-  /** max = None is unbounded — covers ? * + and {n[,m]} */
-  case class PQuant(p: Pat, min: Int, max: Option[Int]) extends Pat
+  /** max = None is unbounded — covers ? * + and {n[,m]}; greedy=false
+    * is the reluctant form (+? *? ?? {n,m}?) — same language, lazy
+    * preference: prefer the FEWEST iterations that let the rest match. */
+  case class PQuant(p: Pat, min: Int, max: Option[Int],
+      greedy: Boolean = true) extends Pat
+  /** `^` / `$` — partition start/end anchors (consume no row). */
+  case class PAnchor(start: Boolean) extends Pat
+  /** `{- p -}` — exclusion: rows mapped inside are part of the match
+    * (navigation/aggregates see them) but are NOT emitted in ALL ROWS
+    * PER MATCH output (SQL:2016 exclusion syntax). */
+  case class PExcl(p: Pat) extends Pat
 
   sealed trait SkipMode
   case object SkipPastLast extends SkipMode
@@ -122,9 +134,32 @@ object MatchRecognize {
         case PVar(n)    => Seq(n)
         case PCat(is)   => is.flatMap(walk)
         case PAlt(as)   => as.flatMap(walk)
-        case PQuant(q, _, _) => walk(q)
+        case PQuant(q, _, _, _) => walk(q)
+        case PExcl(q)   => walk(q)
+        case PAnchor(_) => Seq.empty
       }
       walk(pattern).distinct
+    }
+    lazy val hasExclusion: Boolean = {
+      def walk(p: Pat): Boolean = p match {
+        case PExcl(_) => true
+        case PCat(is) => is.exists(walk)
+        case PAlt(as) => as.exists(walk)
+        case PQuant(q, _, _, _) => walk(q)
+        case _ => false
+      }
+      walk(pattern)
+    }
+    lazy val hasAnchor: Boolean = {
+      def walk(p: Pat): Boolean = p match {
+        case PAnchor(_) => true
+        case PCat(is) => is.exists(walk)
+        case PAlt(as) => as.exists(walk)
+        case PQuant(q, _, _, _) => walk(q)
+        case PExcl(q) => walk(q)
+        case _ => false
+      }
+      walk(pattern)
     }
   }
 
@@ -233,6 +268,10 @@ object MatchRecognize {
     if (withUnmatched && skip != SkipPastLast)
       fail("WITH UNMATCHED ROWS requires AFTER MATCH SKIP PAST LAST ROW " +
         "in this subset (overlapping skip modes blur 'unmatched')")
+    // Trino: exclusion syntax is not allowed WITH UNMATCHED ROWS
+    if (spec.hasExclusion && withUnmatched)
+      fail("pattern exclusions {- ... -} cannot combine with " +
+        "WITH UNMATCHED ROWS")
     // subset sanity: members are pattern variables, names don't shadow
     subsets.foreach { case (u, ms) =>
       if (spec.vars.contains(u))
@@ -395,12 +434,14 @@ object MatchRecognize {
     * rejected. Pinned by the differential regex test. */
   private[graft] def normalize(p: Pat): Pat = p match {
     case PVar(_)  => p
+    case PAnchor(_) => p
+    case PExcl(q) => PExcl(normalize(q))
     case PCat(is) => PCat(is.map(normalize))
     case PAlt(as) => PAlt(as.map(normalize))
-    case PQuant(q, min, max) =>
+    case PQuant(q, min, max, greedy) =>
       if (max.contains(0)) fail("quantifier {0,0} matches nothing")
       val q2 = normalize(q)
-      PQuant(q2, if (nullable(q2)) 0 else min, max)
+      PQuant(q2, if (nullable(q2)) 0 else min, max, greedy)
   }
 
   private def tokenizePattern(s: String): List[String] = {
@@ -409,7 +450,13 @@ object MatchRecognize {
     while (i < s.length) {
       val c = s(i)
       if (c.isWhitespace) i += 1
-      else if ("()|+*?,".contains(c)) { out += c.toString; i += 1 }
+      else if ("()|+*?,^$".contains(c)) { out += c.toString; i += 1 }
+      else if (c == '{' && i + 1 < s.length && s(i + 1) == '-') {
+        out += "{-"; i += 2 // exclusion open — before quantifier scan
+      }
+      else if (c == '-' && i + 1 < s.length && s(i + 1) == '}') {
+        out += "-}"; i += 2
+      }
       else if (c == '{') {
         val j = s.indexOf('}', i)
         if (j < 0) fail(s"unclosed {{ in pattern at '${s.substring(i)}'")
@@ -438,7 +485,7 @@ object MatchRecognize {
 
   private def parseCat(toks: List[String]): (Pat, List[String]) = {
     var items = Seq.empty[Pat]; var r = toks
-    while (r.nonEmpty && r.head != "|" && r.head != ")") {
+    while (r.nonEmpty && r.head != "|" && r.head != ")" && r.head != "-}") {
       val (q, r2) = parseQuant(r)
       items :+= q; r = r2
     }
@@ -471,14 +518,41 @@ object MatchRecognize {
           fail(s"PERMUTE supports 2..5 variables (got ${vs.size})")
         val alts = vs.permutations.map(p => PCat(p.map(PVar))).toSeq
         (PAlt(alts): Pat, r2)
+      case "^" :: t => (PAnchor(true): Pat, t)
+      case "$" :: t => (PAnchor(false): Pat, t)
+      case "{-" :: t =>
+        val (p, r) = parseAlt(t)
+        r match {
+          case "-}" :: r2 => (PExcl(p): Pat, r2)
+          case _ => fail("unclosed {- exclusion in pattern")
+        }
       case v :: t if v.head.isLetter || v.head == '_' => (PVar(v): Pat, t)
       case other => fail(s"unexpected pattern token: ${other.headOption.getOrElse("<end>")}")
     }
+    // anchors and exclusions take no quantifier (SQL:2016); a
+    // following "{-" is the NEXT atom (an exclusion), not a quantifier
+    atom match {
+      case PAnchor(_) | PExcl(_) =>
+        rest.headOption.foreach { t =>
+          if (t == "+" || t == "*" || t == "?" ||
+              (t.startsWith("{") && t != "{-"))
+            fail(s"anchors/exclusions cannot be quantified: $t")
+        }
+        return (atom, rest)
+      case _ => ()
+    }
+    // a '?' directly after a quantifier flips it reluctant (+? *? ??
+    // {n,m}? — java.util.regex's lazy forms, which the differential
+    // test replays natively)
+    def lazyPeek(q: PQuant, r: List[String]): (Pat, List[String]) = r match {
+      case "?" :: r2 => (q.copy(greedy = false), r2)
+      case _         => (q, r)
+    }
     rest match {
-      case "+" :: r2 => (PQuant(atom, 1, None), r2)
-      case "*" :: r2 => (PQuant(atom, 0, None), r2)
-      case "?" :: r2 => (PQuant(atom, 0, Some(1)), r2)
-      case t :: r2 if t.startsWith("{") =>
+      case "+" :: r2 => lazyPeek(PQuant(atom, 1, None), r2)
+      case "*" :: r2 => lazyPeek(PQuant(atom, 0, None), r2)
+      case "?" :: r2 => lazyPeek(PQuant(atom, 0, Some(1)), r2)
+      case t :: r2 if t.startsWith("{") && t != "{-" =>
         val m = "\\{(\\d+)(,(\\d*))?\\}".r
         t match {
           case m(lo, comma, hi) =>
@@ -489,7 +563,7 @@ object MatchRecognize {
               else Some(hi.toInt)                     // {n,m}
             if (max.exists(_ < min))
               fail(s"quantifier max below min: $t")
-            (PQuant(atom, min, max), r2)
+            lazyPeek(PQuant(atom, min, max), r2)
           case _ => fail(s"cannot parse quantifier: $t")
         }
       case _         => (atom, rest)
@@ -498,10 +572,12 @@ object MatchRecognize {
 
   private def nullable(p: Pat): Boolean = p match {
     case PVar(_)         => false
+    case PAnchor(_)      => true // consumes no row
+    case PExcl(q)        => nullable(q)
     case PCat(is)        => is.forall(nullable)
     case PAlt(as)        => as.exists(nullable)
-    case PQuant(_, 0, _) => true
-    case PQuant(q, _, _) => nullable(q)
+    case PQuant(_, 0, _, _) => true
+    case PQuant(q, _, _, _) => nullable(q)
   }
 
   // ---------- planner / runner ----------
@@ -738,38 +814,53 @@ object MatchRecognize {
     * (endExclusive, assignments-in-reverse) of the PREFERRED match
     * starting at `start`, or null: quantifiers greedy, alternation
     * leftmost — Trino's preference order. */
+  /** Assignments inside a `{- … -}` exclusion carry this prefix on the
+    * variable name: the row is part of the match (measures/navigation
+    * see it after stripping) but ALL-ROWS output skips it. */
+  private[graft] val ExclMark: Char = '\u0001'
+  private[graft] def stripExcl(v: String): String =
+    if (v.nonEmpty && v.charAt(0) == ExclMark) v.substring(1) else v
+
   private[graft] def matchFlags(pattern: Pat, n: Int,
       flag: (Int, String) => Boolean, start: Int): (Int, List[(Int, String)]) = {
     def go(p: Pat, i: Int, acc: List[(Int, String)],
-        k: (Int, List[(Int, String)]) => (Int, List[(Int, String)]))
-        : (Int, List[(Int, String)]) = p match {
+        k: (Int, List[(Int, String)]) => (Int, List[(Int, String)]),
+        excl: Boolean): (Int, List[(Int, String)]) = p match {
       case PVar(v) =>
-        if (i < n && flag(i, v)) k(i + 1, (i, v) :: acc) else null
+        if (i < n && flag(i, v))
+          k(i + 1, (i, if (excl) s"$ExclMark$v" else v) :: acc)
+        else null
+      case PAnchor(st) => // consumes no row; ^ = group start, $ = end
+        if (if (st) i == 0 else i == n) k(i, acc) else null
+      case PExcl(q) => go(q, i, acc, k, excl = true)
       case PCat(items) =>
         def chain(rest: Seq[Pat], j: Int, a: List[(Int, String)])
             : (Int, List[(Int, String)]) =
           if (rest.isEmpty) k(j, a)
-          else go(rest.head, j, a, (j2, a2) => chain(rest.tail, j2, a2))
+          else go(rest.head, j, a, (j2, a2) => chain(rest.tail, j2, a2), excl)
         chain(items, i, acc)
       case PAlt(alts) =>
-        alts.iterator.map(go(_, i, acc, k)).collectFirst {
+        alts.iterator.map(go(_, i, acc, k, excl)).collectFirst {
           case r if r != null => r
         }.orNull
-      case PQuant(q, min, max) =>
+      case PQuant(q, min, max, greedy) =>
         def rep(cnt: Int, j: Int, a: List[(Int, String)])
             : (Int, List[(Int, String)]) = {
-          val more =
+          def more =
             if (max.forall(cnt < _))
               go(q, j, a, (j2, a2) =>
-                if (j2 == j) null else rep(cnt + 1, j2, a2))
+                if (j2 == j) null else rep(cnt + 1, j2, a2), excl)
             else null
-          if (more != null) more
-          else if (cnt >= min) k(j, a)
-          else null
+          def stop = if (cnt >= min) k(j, a) else null
+          if (greedy) { // prefer MORE iterations (Trino's default)
+            val m = more; if (m != null) m else stop
+          } else {      // reluctant: prefer the FEWEST that let the rest match
+            val s = stop; if (s != null) s else more
+          }
         }
         rep(0, i, acc)
     }
-    go(pattern, start, Nil, (j, a) => (j, a))
+    go(pattern, start, Nil, (j, a) => (j, a), excl = false)
   }
 
   /** Streams one partition-key GROUP at a time out of the sorted
@@ -814,7 +905,9 @@ object MatchRecognize {
     /** ONE ROW PER MATCH: FINAL semantics over the whole match. */
     private def emitOne(g: Array[Row], start: Int, end: Int,
         assigned: List[(Int, String)], matchNo: Long): Row = {
-      val asc = assigned.reverse // ascending row order
+      // ascending row order; exclusion marks stripped — excluded rows
+      // still feed navigation/aggregates (only ALL-mode OUTPUT skips)
+      val asc = assigned.reverse.map { case (r, v) => (r, stripExcl(v)) }
       val byVar = asc.groupBy(_._2).map { case (k, l) => k -> l.map(_._1) }
       // "" = the universal variable (every matched row); a subset name
       // expands to the sorted union of its members' rows
@@ -837,7 +930,8 @@ object MatchRecognize {
           case MCountVar    => varRows(v).length.toLong
           case MCountStar   => (end - start).toLong
           case MMatchNumber => matchNo
-          case MClassifier  => assigned.headOption.map(_._2).orNull // last row's var
+          case MClassifier  => // last row's var, mark-stripped
+            assigned.headOption.map(a => stripExcl(a._2)).orNull
           case MSum | MAvg | MMin | MMax =>
             aggOver(kind, dt, varRows(v).map(r => g(r).get(cIdx)))
         }
@@ -850,7 +944,8 @@ object MatchRecognize {
       * row's own variable — Trino's ALL-mode defaults. */
     private def emitAll(g: Array[Row], assigned: List[(Int, String)],
         matchNo: Long): Seq[Row] = {
-      val asc = assigned.reverse // ascending row order
+      val ascRaw = assigned.reverse // ascending row order, marks intact
+      val asc = ascRaw.map { case (r, v) => (r, stripExcl(v)) }
       // whole-match structures for FINAL-prefixed measures
       val fullByVar = asc.groupBy(_._2).map { case (k, l) => k -> l.map(_._1) }
       val fullAll = asc.map(_._1)
@@ -859,11 +954,16 @@ object MatchRecognize {
         .HashMap.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
       val allSoFar = scala.collection.mutable.ArrayBuffer.empty[Int]
       var seen = 0L
-      asc.map { case (rowI, varName) =>
+      ascRaw.flatMap { case (rowI, rawName) =>
+        // an excluded row updates the RUNNING state (it is part of the
+        // match) but produces no output row
+        val excluded = rawName.nonEmpty && rawName.charAt(0) == ExclMark
+        val varName = stripExcl(rawName)
         rowsOf.getOrElseUpdate(varName,
           scala.collection.mutable.ArrayBuffer.empty[Int]) += rowI
         allSoFar += rowI
         seen += 1L
+        if (excluded) None else {
         val vals = new Array[Any](outIdx.length + measures.length)
         outIdx.indices.foreach(i => vals(i) = g(rowI).get(outIdx(i)))
         measures.zipWithIndex.foreach { case (MeasureExec(kind, v, cIdx, off, dt, fin), mi) =>
@@ -896,7 +996,8 @@ object MatchRecognize {
               aggOver(kind, dt, varRows.map(r => g(r).get(cIdx)))
           }
         }
-        Row.fromSeq(vals.toIndexedSeq)
+        Some(Row.fromSeq(vals.toIndexedSeq))
+        }
       }
     }
 
@@ -933,7 +1034,9 @@ object MatchRecognize {
               case SkipToNext   => i + 1
               case SkipToVar(first, v) =>
                 val ms = membersOf(v).toSet
-                val rowsOfV = m._2.reverse.collect { case (r, vn) if ms(vn) => r }
+                val rowsOfV = m._2.reverse.collect {
+                  case (r, vn) if ms(stripExcl(vn)) => r
+                }
                 if (rowsOfV.isEmpty) throw new IllegalStateException(
                   s"AFTER MATCH SKIP TO failed: variable $v not matched")
                 val target = if (first) rowsOfV.head else rowsOfV.last

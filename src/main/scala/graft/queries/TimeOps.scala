@@ -136,6 +136,28 @@ object TimeOps {
         .orderBy(col("user_id"), col("u_start"))
     }),
 
+    // Pattern exclusion {- B+ -}: ALL-ROWS output keeps only the A
+    // (view) row of each match while the excluded click rows still
+    // drive the FINAL aggregates — the "emit the trigger row with its
+    // context stats" shape. DuckDB replay: the view row + island
+    // aggregates, one row per match.
+    "mr_funnel_excl" -> ((s, d) => {
+      val ev = t(s, d, "events").withColumn("dval",
+        col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+      val clause =
+        """PARTITION BY user_id ORDER BY ts, event_id
+          |MEASURES CLASSIFIER() AS cls, FINAL COUNT(B.*) AS n_clicks,
+          |         FINAL SUM(B.dval) AS sum_val
+          |ALL ROWS PER MATCH
+          |PATTERN (A {- B+ -})
+          |DEFINE A AS event_type = 'view', B AS event_type = 'click'""".stripMargin
+      graft.dialect.MatchRecognize.run(ev,
+          graft.dialect.MatchRecognize.parseClause(clause))
+        .drop("dval")
+        .withColumn("sum_val", col("sum_val").cast("double"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
+
     // WITH UNMATCHED ROWS: the audit face of the matcher — every input
     // row comes back, matched ones with CLASSIFIER/MATCH_NUMBER,
     // unmatched ones all-NULL. DuckDB replays it as a LEFT JOIN of the
@@ -401,6 +423,27 @@ object TimeOps {
         |JOIN e ON e.user_id = m.user_id
         |  AND e.rn BETWEEN m.first_rn - 1 AND m.last_rn
         |ORDER BY e.user_id, e.ts, e.event_id""".stripMargin,
+
+    // Exclusion replay: only the view row of each match is emitted,
+    // carrying the island's FINAL aggregates.
+    "mr_funnel_excl" ->
+      """WITH e AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |clicks AS (
+        |  SELECT user_id, value, rn,
+        |    rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+        |  FROM e WHERE event_type = 'click'),
+        |islands AS (
+        |  SELECT user_id, MIN(rn) AS first_rn, COUNT(*) AS n_clicks,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+        |  FROM clicks GROUP BY user_id, grp)
+        |SELECT v.event_id, v.ts, v.user_id, v.event_type, v.value, v.props,
+        |  'A' AS cls, i.n_clicks, i.sum_val
+        |FROM islands i
+        |JOIN e v ON v.user_id = i.user_id AND v.rn = i.first_rn - 1
+        |WHERE v.event_type = 'view'
+        |ORDER BY v.user_id, v.ts, v.event_id""".stripMargin,
 
     // SUBSET replay: U = view row ∪ click island, so FIRST(U.ts) is the
     // view's ts, LAST(U.ts) the island's last ts, COUNT/MIN fold the

@@ -513,6 +513,9 @@ object Streams {
     require(!spec.defines.exists(d => d._2.toUpperCase.contains("PREV") ||
         d._2.toUpperCase.contains("NEXT")),
       "matchRecognizeStream: PREV/NEXT are not available over a stream")
+    require(!spec.hasAnchor && !spec.hasExclusion,
+      "matchRecognizeStream: ^/$ anchors and {- -} exclusions are not " +
+        "available over a stream (no partition end exists)")
     // the output shape is the FIXED MrMatch record (start/end ts, row
     // count, match number) — validate that the clause's MEASURES stay
     // inside that set instead of silently ignoring them: a caller

@@ -239,7 +239,7 @@ class MatchRecognizeSpec extends SparkSpec {
       case PVar(v)   => cls(1)
       case PCat(is)  => is.map(toRegex).mkString
       case PAlt(as)  => "(?:" + as.map(toRegex).mkString("|") + ")"
-      case PQuant(q, min, max) =>
+      case PQuant(q, min, max, greedy) =>
         val suffix = (min, max) match {
           case (1, None)    => "+"
           case (0, None)    => "*"
@@ -247,7 +247,8 @@ class MatchRecognizeSpec extends SparkSpec {
           case (n, None)    => s"{$n,}"
           case (n, Some(m)) => s"{$n,$m}"
         }
-        "(?:" + toRegex(q) + ")" + suffix
+        // reluctant forms map to java.util.regex's native lazy suffix
+        "(?:" + toRegex(q) + ")" + suffix + (if (greedy) "" else "?")
     }
     def randPat(depth: Int): Pat = rnd.nextInt(6) match {
       case 0 | 1 => PVar(if (rnd.nextBoolean()) "A" else "B")
@@ -257,7 +258,7 @@ class MatchRecognizeSpec extends SparkSpec {
         val min = rnd.nextInt(3)
         val max = if (rnd.nextBoolean()) None
           else Some(math.max(1, min + rnd.nextInt(3)))
-        PQuant(randPat(depth + 1), min, max)
+        PQuant(randPat(depth + 1), min, max, greedy = rnd.nextBoolean())
       case _ => PVar("A")
     }
     var tested = 0
@@ -292,8 +293,8 @@ class MatchRecognizeSpec extends SparkSpec {
     case MatchRecognize.PVar(_)          => false
     case MatchRecognize.PCat(is)         => is.forall(nullablePat)
     case MatchRecognize.PAlt(as)         => as.exists(nullablePat)
-    case MatchRecognize.PQuant(_, 0, _)  => true
-    case MatchRecognize.PQuant(q, _, _)  => nullablePat(q)
+    case MatchRecognize.PQuant(_, 0, _, _)  => true
+    case MatchRecognize.PQuant(q, _, _, _)  => nullablePat(q)
   }
 
   test("FIRST/LAST with a logical offset navigate within the match") {
@@ -586,6 +587,79 @@ class MatchRecognizeSpec extends SparkSpec {
       (1L, 2L, "A", 1L), (1L, 3L, "B", 1L),
       (1L, 4L, null, -1L),
       (2L, 1L, "A", 1L), (2L, 2L, "B", 1L)))
+  }
+
+  test("reluctant quantifiers prefer the fewest iterations (Trino's lazy forms)") {
+    val df = funnel(Seq(
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "click"), (1L, 4L, "click")))
+    def nB(pat: String): Seq[Long] = MatchRecognize.run(df, parseClause(
+      s"""PARTITION BY uid ORDER BY seq
+         |MEASURES COUNT(B.*) AS n_b
+         |PATTERN ($pat)
+         |DEFINE A AS ev = 'view', B AS ev = 'click'""".stripMargin))
+      .collect().map(_.getLong(1)).toSeq.sorted
+    assert(nB("A B+") == Seq(3L))      // greedy swallows the run
+    assert(nB("A B+?") == Seq(1L))     // lazy stops at the first click
+    assert(nB("A B{2,3}?") == Seq(2L)) // lazy honors the minimum
+    // trailing lazy-optional: prefers ABSENT
+    assert(nB("A B??") == Seq(0L))
+  }
+
+  test("^ / $ anchors pin matches to the partition boundaries") {
+    val df = funnel(Seq(
+      (1L, 1L, "view"), (1L, 2L, "click"),   // starts at partition head
+      (1L, 3L, "view"), (1L, 4L, "click"),   // interior occurrence
+      (2L, 1L, "error"),
+      (2L, 2L, "view"), (2L, 3L, "click")))  // NOT at partition head
+    def run(pat: String) = MatchRecognize.run(df, parseClause(
+      s"""PARTITION BY uid ORDER BY seq
+         |MEASURES FIRST(A.seq) AS s, COUNT(*) AS n
+         |PATTERN ($pat)
+         |DEFINE A AS ev = 'view', B AS ev = 'click'""".stripMargin))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    // anchored at start: only uid 1's FIRST pair qualifies
+    assert(run("^ A B") == Seq((1L, 1L)))
+    // anchored at end: the LAST pair of each partition
+    assert(run("A B $") == Seq((1L, 3L), (2L, 2L)))
+    // both: the whole partition must BE the match — only uid 2 fails
+    assert(run("^ A B $").isEmpty) // uid1 has 4 rows, uid2 starts with error
+    // quantified anchor is rejected
+    assert(intercept[IllegalArgumentException](parseClause(
+      """ORDER BY seq MEASURES COUNT(*) AS n PATTERN (^+ A) DEFINE A AS true"""))
+      .getMessage.contains("quantified"))
+  }
+
+  test("{- -} exclusions: rows feed measures but are not emitted in ALL mode") {
+    val df = Seq(
+      (1L, 1L, "view", 10.0), (1L, 2L, "click", 2.0), (1L, 3L, "click", 4.0))
+      .toDF("uid", "seq", "ev", "v")
+    val clause =
+      """PARTITION BY uid ORDER BY seq
+        |MEASURES CLASSIFIER() AS cls, FINAL COUNT(B.*) AS nb,
+        |         FINAL SUM(B.v) AS sb
+        |ALL ROWS PER MATCH
+        |PATTERN (A {- B+ -})
+        |DEFINE A AS ev = 'view', B AS ev = 'click'""".stripMargin
+    val out = MatchRecognize.run(df, parseClause(clause))
+      .collect().map(r => (r.getLong(1), r.getString(4), r.getLong(5),
+        r.getDouble(6))).toSeq
+    // only the A row is OUTPUT; the excluded B rows still drive the
+    // whole-match aggregates
+    assert(out == Seq((1L, "A", 2L, 6.0)))
+    // ONE ROW PER MATCH is unaffected by exclusions
+    val one = MatchRecognize.run(df, parseClause(
+      """PARTITION BY uid ORDER BY seq
+        |MEASURES COUNT(B.*) AS nb, LAST(B.seq) AS lb
+        |PATTERN (A {- B+ -})
+        |DEFINE A AS ev = 'view', B AS ev = 'click'""".stripMargin))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(one == Seq((2L, 3L)))
+    // exclusions cannot combine with WITH UNMATCHED ROWS (Trino)
+    assert(intercept[IllegalArgumentException](parseClause(
+      """ORDER BY seq MEASURES COUNT(*) AS n
+        |ALL ROWS PER MATCH WITH UNMATCHED ROWS
+        |PATTERN (A {- B -}) DEFINE A AS true, B AS true""".stripMargin))
+      .getMessage.contains("UNMATCHED"))
   }
 
   test("cross-variable DEFINE references are rejected, not misread") {
