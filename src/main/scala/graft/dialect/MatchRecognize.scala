@@ -382,10 +382,14 @@ object MatchRecognize {
       else if (exprTxt.toUpperCase.startsWith("FINAL "))
         (exprTxt.substring("FINAL ".length).trim, true)
       else (exprTxt, false)
+    def num(s: String): Int =
+      try s.toInt
+      catch { case _: NumberFormatException =>
+        fail(s"navigation offset out of range: $s") }
     val m = body match {
       case firstLast(fl, v, c, off) =>
         Measure(if (fl.equalsIgnoreCase("FIRST")) MFirst else MLast, v, c,
-          alias, if (off == null) 0 else off.toInt)
+          alias, if (off == null) 0 else num(off))
       case bare(v, c)  => Measure(MLast, v, c, alias) // FINAL LAST semantics
       case countVar(v) => Measure(MCountVar, v, "", alias)
       case countStar() => Measure(MCountStar, "", "", alias)
@@ -554,13 +558,17 @@ object MatchRecognize {
       case "?" :: r2 => lazyPeek(PQuant(atom, 0, Some(1)), r2)
       case t :: r2 if t.startsWith("{") && t != "{-" =>
         val m = "\\{(\\d+)(,(\\d*))?\\}".r
+        def num(s: String): Int =
+          try s.toInt
+          catch { case _: NumberFormatException =>
+            fail(s"quantifier bound out of range: $t") }
         t match {
           case m(lo, comma, hi) =>
-            val min = lo.toInt
+            val min = num(lo)
             val max =
               if (comma == null) Some(min)            // {n}
               else if (hi == null || hi.isEmpty) None // {n,}
-              else Some(hi.toInt)                     // {n,m}
+              else Some(num(hi))                      // {n,m}
             if (max.exists(_ < min))
               fail(s"quantifier max below min: $t")
             lazyPeek(PQuant(atom, min, max), r2)

@@ -589,6 +589,64 @@ class MatchRecognizeSpec extends SparkSpec {
       (2L, 1L, "A", 1L), (2L, 2L, "B", 1L)))
   }
 
+  test("clause fuzz: parseClause returns a Spec or a MATCH_RECOGNIZE error") {
+    // random fragment soup — the parser must never escape with a
+    // NumberFormatException / MatchError / StringIndexOutOfBounds;
+    // every rejection carries the MATCH_RECOGNIZE: prefix
+    val rnd = new scala.util.Random(20260816L)
+    val frags = Seq(
+      "PARTITION BY uid", "ORDER BY seq", "ORDER BY", "MEASURES",
+      "MEASURES COUNT(*) AS n", "MEASURES SUM(B.v) AS s, FINAL LAST(A.x) AS l",
+      "MEASURES FIRST(A.x, 99999999999) AS o", "MEASURES RUNNING AVG(v) AS a",
+      "ALL ROWS PER MATCH", "ALL ROWS PER MATCH WITH UNMATCHED ROWS",
+      "AFTER MATCH SKIP TO NEXT ROW", "AFTER MATCH SKIP TO LAST B",
+      "PATTERN (A B+)", "PATTERN (^ A {- B+? -} $)", "PATTERN ((A|B){2,3})",
+      "PATTERN (", "PATTERN (A+?)", "PATTERN (A{99999999999})",
+      "PATTERN (A{3,1})", "PATTERN (A** )", "PATTERN ({- -})",
+      "SUBSET U = (A, B)", "SUBSET U =", "SUBSET = (A)",
+      "DEFINE A AS ev = 'view'", "DEFINE B AS PREV(x, 2) > NEXT(x)",
+      "DEFINE", "'order by measures'", "pattern_id >= 0", ", ,", "((", "))")
+    var specs = 0; var rejects = 0
+    (1 to 2000).foreach { i =>
+      val n = 1 + rnd.nextInt(6)
+      val clause = Seq.fill(n)(frags(rnd.nextInt(frags.length))).mkString(" ")
+      try { parseClause(clause); specs += 1 }
+      catch {
+        case e: IllegalArgumentException =>
+          rejects += 1
+          assert(e.getMessage != null &&
+            e.getMessage.startsWith("MATCH_RECOGNIZE:"),
+            s"case $i: bad message '${e.getMessage}' for clause: $clause")
+        case e: Throwable =>
+          fail(s"case $i: ${e.getClass.getName}: ${e.getMessage} " +
+            s"for clause: $clause")
+      }
+    }
+    assert(specs > 10 && rejects > 500) // both paths genuinely exercised
+  }
+
+  test("service splice handles the full pattern syntax end-to-end") {
+    val cfg = EngineConfig.fromEnv(Map.empty).toOption.get
+    val engine = new Engine(cfg, Some("/root/testdata/sf0.001"),
+      existing = Some(spark))
+    val qs = new QueryService(engine)
+    val r = qs.execute(
+      """SELECT user_id, cls, n_clicks
+        |FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  MEASURES CLASSIFIER() AS cls, FINAL COUNT(B.*) AS n_clicks
+        |  ALL ROWS PER MATCH
+        |  PATTERN (A {- B+? -})
+        |  SUBSET U = (A, B)
+        |  DEFINE A AS event_type = 'view', B AS event_type = 'click')
+        |ORDER BY user_id LIMIT 5""".stripMargin)
+    val res = r.toOption.getOrElse(fail(r.toString))
+    assert(res.columns == Seq("user_id", "cls", "n_clicks"))
+    // exclusion keeps only A rows; reluctant B+? maps exactly one click
+    assert(res.rows.nonEmpty && res.rows.forall(row =>
+      row(1) == "A" && row(2).asInstanceOf[Long] == 1L))
+  }
+
   test("reluctant quantifiers prefer the fewest iterations (Trino's lazy forms)") {
     val df = funnel(Seq(
       (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "click"), (1L, 4L, "click")))
