@@ -45,16 +45,23 @@ import org.apache.spark.sql.types._
   *    exclusions (excluded rows stay part of the match — measures and
   *    navigation see them — but are omitted from ALL-ROWS output;
   *    incompatible with WITH UNMATCHED ROWS, as in Trino)
-  *  - `DEFINE V AS <boolean sql>` where the predicate references the
-  *    current row's columns (V's OWN qualifier, `V.price` inside
-  *    DEFINE V, denotes the current row and is stripped; a qualifier
-  *    naming a DIFFERENT pattern variable — `DEFINE B AS B.price >
-  *    A.price` — is REJECTED with a validation error, since this
-  *    subset cannot evaluate cross-variable references and silently
-  *    stripping them would compute a wrong answer)
-  *    and `PREV(col[, n])` / `NEXT(col[, n])` = the n-th previous /
-  *    following ROW in the partition (physical navigation, SQL:2016;
-  *    evaluated as window `lag`/`lead` before the scan;
+  *  - `DEFINE V AS <boolean sql>` in two evaluation classes:
+  *    - current-row-only predicates (V's OWN qualifier, `V.price`
+  *      inside DEFINE V, denotes the current row and is stripped) get
+  *      the FULL Spark SQL expression surface, compiled by Catalyst to
+  *      boolean flag columns before the scan;
+  *    - predicates referencing ANOTHER pattern variable or SUBSET —
+  *      `DEFINE C AS price <= A.price` (≡ RUNNING `LAST(A.price)`, the
+  *      docs-funnel form) and explicit `FIRST/LAST(V.c[, n])`
+  *      navigation — evaluate INSIDE the matcher against the in-flight
+  *      assignment ([[MrPredicate]]): supported there are columns,
+  *      cross-variable navigation, literals, comparisons, `IS [NOT]
+  *      NULL`, `[NOT] BETWEEN`/`IN`, `AND`/`OR`/`NOT`, and `+ - * / %`
+  *      arithmetic (richer SQL is rejected with a clear message — keep
+  *      the predicate cross-free or precompute a column).
+  *    Both classes take `PREV(col[, n])` / `NEXT(col[, n])` = the n-th
+  *    previous / following ROW in the partition (physical navigation,
+  *    SQL:2016; evaluated as window `lag`/`lead` before the scan;
   *    out-of-partition → NULL → no match). Variables without a
   *    DEFINE match any row (standard).
   *
@@ -597,12 +604,12 @@ object MatchRecognize {
 
   /** Rewrite variable V's DEFINE predicate for per-row evaluation:
     * strip V's OWN qualifier (`V.c` denotes the current row), but
-    * REJECT a qualifier naming any other pattern variable —
-    * `DEFINE B AS B.price > A.price` cross-references A's mapped rows,
-    * which this subset cannot evaluate; silently stripping it (the
-    * pre-r13 behavior) computed `price > price`, a wrong answer. Scans
-    * and strips literal-aware, so a 'B.foo' inside a string constant is
-    * never touched. */
+    * REJECT a qualifier naming any other pattern variable — used by the
+    * STREAMING face, whose flag-array state cannot evaluate
+    * cross-variable references (the batch planner routes such defines
+    * to the interpreted [[MrPredicate]] path instead). Scans and strips
+    * literal-aware, so a 'B.foo' inside a string constant is never
+    * touched. */
   private[graft] def rewriteDefinePred(v: String, pred0: String,
       vars: Seq[String]): String = {
     val masked = quoteMask(pred0)
@@ -657,33 +664,57 @@ object MatchRecognize {
         case _ => ()
       }
     }
-    // 1. rewrite DEFINE predicates: strip the variable's OWN qualifier
-    //    (the current row; any OTHER pattern variable's qualifier is
-    //    rejected — rewriteDefinePred), then map PREV(col) -> a lag
-    //    column computed over (partition, order)
+    // 1. rewrite DEFINE predicates. Two evaluation classes:
+    //    - a predicate over the CURRENT row only → a Catalyst boolean
+    //      projection computed before the scan (full codegen);
+    //    - a predicate referencing ANOTHER pattern variable's mapped
+    //      rows (`DEFINE C AS price <= A.price`, Trino's docs-funnel
+    //      form) → an interpreted [[MrPredicate]] AST evaluated inside
+    //      the matcher against the in-flight assignment (RUNNING LAST
+    //      semantics, SQL:2016). PREV/NEXT(col[, n]) are PHYSICAL
+    //      navigation over the partition's row order in both classes,
+    //      realized as window lag/lead computed by Catalyst BEFORE the
+    //      scan; out-of-partition → NULL → no match.
     val varNames = spec.vars
+    val allVarNames = varNames ++ spec.subsets.map(_._1)
     // (isPrev, resolvedCol, offset) → the lag/lead column to prepare
     val navCols =
       scala.collection.mutable.LinkedHashSet.empty[(Boolean, String, Int)]
-    val rewritten: Seq[(String, String)] = spec.defines.map { case (v, pred0) =>
-      // subset names count as foreign variables inside DEFINE too
-      var pred = rewriteDefinePred(v, pred0,
-        varNames ++ spec.subsets.map(_._1))
-      // PREV/NEXT(col[, n]) — PHYSICAL navigation over the partition's
-      // row order (SQL:2016; Trino evaluates these against partition
-      // rows, not mapped rows), realized as window lag/lead computed
-      // by Catalyst BEFORE the scan; out-of-partition → NULL → the
-      // predicate's null is coalesced to no-match
-      val navRe = ("(?i)\\b(PREV|NEXT)\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)" +
-        "\\s*(?:,\\s*(\\d+)\\s*)?\\)").r
-      pred = navRe.replaceAllIn(pred, m => {
+    // PREV/NEXT accept an unqualified column or one qualified by the
+    // variable being defined (PREV(B.price) in DEFINE B = the previous
+    // ROW's price); a different variable's qualifier has no physical
+    // meaning here and is rejected.
+    val navRe = ("(?i)\\b(PREV|NEXT)\\s*\\(\\s*" +
+      "(?:([A-Za-z_][A-Za-z0-9_]*)\\s*\\.\\s*)?([A-Za-z_][A-Za-z0-9_]*)" +
+      "\\s*(?:,\\s*(\\d+)\\s*)?\\)").r
+    def rewriteNav(v: String, pred: String): String =
+      navRe.replaceAllIn(pred, m => {
         val isPrev = m.group(1).equalsIgnoreCase("PREV")
-        val c = resolve(m.group(2))
-        val n = Option(m.group(3)).map(_.toInt).getOrElse(1)
+        Option(m.group(2)).foreach { q =>
+          if (!q.equalsIgnoreCase(v))
+            fail(s"${m.group(1).toUpperCase} in DEFINE $v can only " +
+              s"navigate the current row's partition ($q is a different " +
+              "variable; physical navigation is hypothesis-independent)")
+        }
+        val c = resolve(m.group(3))
+        val n = Option(m.group(4)).map(_.toInt).getOrElse(1)
         navCols += ((isPrev, c, n))
         navColName(isPrev, c, n)
       })
-      (v, pred)
+    // Catalyst-evaluable defines → boolean flag text; cross-variable
+    // defines → unresolved AST (column indices bound after the plan)
+    val simpleDefs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val crossAsts = scala.collection.mutable.LinkedHashMap.empty[String, MrPredicate.Node]
+    spec.defines.foreach { case (v, pred0) =>
+      val others = allVarNames.filterNot(_.equalsIgnoreCase(v))
+      val navved = rewriteNav(v, pred0)
+      if (!MrPredicate.needsInterpreter(navved, others))
+        // own qualifier (V.c = the current row) stripped, full SQL
+        // surface via expr(); rewriteDefinePred's foreign-var rejection
+        // is unreachable here (the detection above routed those away)
+        simpleDefs(v) = rewriteDefinePred(v, navved, allVarNames)
+      else
+        crossAsts(v) = MrPredicate.parse(navved, v, allVarNames)
     }
     val w = Window.partitionBy(spec.partitionBy.map(col): _*)
       .orderBy(spec.orderBy.map(col): _*)
@@ -692,9 +723,10 @@ object MatchRecognize {
       prepared = prepared.withColumn(navColName(isPrev, c, n),
         (if (isPrev) lag(col(c), n) else lead(col(c), n)).over(w))
     }
-    val defMap = rewritten.toMap
     varNames.foreach { v =>
-      val flag = defMap.get(v)
+      // cross-variable defines evaluate in the matcher; their flag
+      // column is a constant TRUE so the scan shape stays uniform
+      val flag = simpleDefs.get(v)
         .map(p => expr(p).cast("boolean"))
         .getOrElse(lit(true)) // undefined variable matches any row
       prepared = prepared.withColumn(DefPrefix + v,
@@ -752,10 +784,17 @@ object MatchRecognize {
     val allRows = spec.allRows
     val withUnmatched = spec.withUnmatched
     val subsetMap = spec.subsets.toMap
+    // bind the cross-variable ASTs' column references to the scan
+    // schema (current-row columns AND the lag/lead nav columns exist
+    // there) — resolution errors surface at plan time, not mid-scan
+    val crossPreds: Map[String, MrPredicate.Node] =
+      crossAsts.map { case (v, ast) =>
+        v -> MrPredicate.resolve(ast, inSchema)
+      }.toMap
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     arranged.mapPartitions { it =>
       new MatchIterator(it, partIdx, keyIdx, flagIdx, pattern, measureIdx,
-        skip, allRows, withUnmatched, subsetMap)
+        skip, allRows, withUnmatched, subsetMap, crossPreds)
     }(enc)
   }
 
@@ -830,12 +869,22 @@ object MatchRecognize {
     if (v.nonEmpty && v.charAt(0) == ExclMark) v.substring(1) else v
 
   private[graft] def matchFlags(pattern: Pat, n: Int,
-      flag: (Int, String) => Boolean, start: Int): (Int, List[(Int, String)]) = {
+      flag: (Int, String) => Boolean, start: Int): (Int, List[(Int, String)]) =
+    matchFlagsCtx(pattern, n, (i, v, _) => flag(i, v), start)
+
+  /** Assignment-aware variant: `flag` additionally receives the
+    * in-flight assignment list (reverse order, exclusion marks intact)
+    * so cross-variable DEFINE predicates can navigate the rows mapped
+    * so far in THIS hypothesis — backtracking re-tests a row with the
+    * assignment state of each alternative, as SQL:2016 requires. */
+  private[graft] def matchFlagsCtx(pattern: Pat, n: Int,
+      flag: (Int, String, List[(Int, String)]) => Boolean,
+      start: Int): (Int, List[(Int, String)]) = {
     def go(p: Pat, i: Int, acc: List[(Int, String)],
         k: (Int, List[(Int, String)]) => (Int, List[(Int, String)]),
         excl: Boolean): (Int, List[(Int, String)]) = p match {
       case PVar(v) =>
-        if (i < n && flag(i, v))
+        if (i < n && flag(i, v, acc))
           k(i + 1, (i, if (excl) s"$ExclMark$v" else v) :: acc)
         else null
       case PAnchor(st) => // consumes no row; ^ = group start, $ = end
@@ -878,13 +927,18 @@ object MatchRecognize {
       outIdx: Seq[Int], flagIdx: Map[String, Int], pattern: Pat,
       measures: Seq[MeasureExec], skip: SkipMode,
       allRows: Boolean, withUnmatched: Boolean = false,
-      subsets: Map[String, Seq[String]] = Map.empty)
+      subsets: Map[String, Seq[String]] = Map.empty,
+      crossPreds: Map[String, MrPredicate.Node] = Map.empty)
       extends Iterator[Row] {
 
     /** Real variables a measure/skip target stands for: a subset name
-      * expands to its members, anything else to itself. */
+      * expands to its members, anything else to itself. Case-insensitive
+      * (SQL identifier semantics — a DEFINE may spell a SUBSET name in
+      * any case). */
     private def membersOf(v: String): Seq[String] =
-      subsets.getOrElse(v, Seq(v))
+      subsets.collectFirst {
+        case (k, ms) if k.equalsIgnoreCase(v) => ms
+      }.getOrElse(Seq(v))
     private val buf = rows.buffered
     private val out = scala.collection.mutable.Queue.empty[Row]
 
@@ -901,13 +955,20 @@ object MatchRecognize {
 
     /** Backtracking matcher: returns (endExclusive, assignments) of the
       * PREFERRED match starting at `start`, or null. Preference:
-      * quantifiers greedy, alternation leftmost — Trino's order. */
+      * quantifiers greedy, alternation leftmost — Trino's order. A
+      * variable with a cross-variable DEFINE additionally evaluates its
+      * interpreted predicate against the hypothesis' assignments. */
     private def matchAt(g: Array[Row], start: Int): (Int, List[(Int, String)]) = {
-      def flag(i: Int, v: String): Boolean = {
+      def flag(i: Int, v: String, acc: List[(Int, String)]): Boolean = {
         val fi = flagIdx(v)
-        !g(i).isNullAt(fi) && g(i).getBoolean(fi)
+        val base = !g(i).isNullAt(fi) && g(i).getBoolean(fi)
+        base && (crossPreds.get(v) match {
+          case Some(ast) => MrPredicate.evalBool(ast,
+            new MrPredicate.RowCtx(g, i, v, acc, membersOf))
+          case None => true
+        })
       }
-      matchFlags(pattern, g.length, flag, start)
+      matchFlagsCtx(pattern, g.length, flag, start)
     }
 
     /** ONE ROW PER MATCH: FINAL semantics over the whole match. */

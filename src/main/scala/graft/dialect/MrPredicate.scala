@@ -1,0 +1,580 @@
+package graft.dialect
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.StructType
+
+/** Interpreted DEFINE predicates for MATCH_RECOGNIZE cross-variable
+  * references.
+  *
+  * A DEFINE whose predicate references only the current row is compiled
+  * to a Catalyst boolean projection BEFORE the scan (full codegen — see
+  * [[MatchRecognize.run]]). But SQL:2016 also lets a DEFINE reference
+  * OTHER pattern variables' mapped rows — `DEFINE C AS totalprice <=
+  * A.totalprice` in Trino's own docs funnel — and those values depend on
+  * the match hypothesis being explored, so they cannot be precomputed.
+  * This module evaluates exactly that class: a small expression AST over
+  *
+  *  - current-row columns (unqualified, or qualified by the variable
+  *    being defined — both denote the row under test),
+  *  - cross-variable navigation `V.c` (≡ RUNNING `LAST(V.c)`: the last
+  *    row mapped to V so far in this match attempt, the current row
+  *    included when it is tentatively mapped to a member of V),
+  *    `FIRST(V.c[, n])` / `LAST(V.c[, n])` with logical offsets, V a
+  *    pattern variable or SUBSET union variable; no mapped row → NULL,
+  *  - literals (numbers, 'strings', TRUE/FALSE/NULL),
+  *  - comparisons `= <> != < <= > >=`, `IS [NOT] NULL`,
+  *    `[NOT] BETWEEN a AND b`, `[NOT] IN (literal, …)`,
+  *  - `AND` / `OR` / `NOT` with SQL three-valued logic (an unknown
+  *    top-level result is no-match, as for the Catalyst path),
+  *  - arithmetic `+ - * / %` and unary minus (`/` divides as double —
+  *    Spark's SQL semantics, matching the precomputed-flag path).
+  *
+  * `PREV`/`NEXT` never reach this parser: [[MatchRecognize.run]]
+  * rewrites them to window lag/lead columns first (physical navigation
+  * is hypothesis-independent), so they arrive here as plain current-row
+  * columns. Richer SQL (function calls, CASE, subqueries) is rejected
+  * with a clear message — use a non-cross DEFINE (full Catalyst surface)
+  * or precompute the column on the input relation.
+  *
+  * Numeric comparison/arithmetic widens exactly, not lossily: decimal if
+  * either side is decimal, double if either side floats, else long —
+  * the same lattice Spark applies to these operators.
+  */
+object MrPredicate {
+
+  // ---------- AST ----------
+
+  sealed trait Node extends Serializable
+  /** Literal: Long, java.math.BigDecimal, String, java.lang.Boolean, or
+    * null. */
+  case class Lit(v: Any) extends Node
+  /** Current-row column; `idx` resolved against the scan schema. */
+  case class Cur(name: String, idx: Int = -1) extends Node
+  /** `FIRST/LAST(V.c, off)` over the rows mapped to V so far. */
+  case class Nav(v: String, colName: String, first: Boolean, off: Int,
+      idx: Int = -1) extends Node
+  case class Cmp(op: String, l: Node, r: Node) extends Node
+  case class Arith(op: Char, l: Node, r: Node) extends Node
+  case class Neg(e: Node) extends Node
+  case class And(l: Node, r: Node) extends Node
+  case class Or(l: Node, r: Node) extends Node
+  case class Not(e: Node) extends Node
+  case class IsNull(e: Node, negated: Boolean) extends Node
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"MATCH_RECOGNIZE: $msg")
+
+  // ---------- tokenizer ----------
+
+  private sealed trait Tok
+  private case class TIdent(s: String) extends Tok
+  private case class TNum(s: String) extends Tok
+  private case class TStr(s: String) extends Tok
+  private case class TOp(s: String) extends Tok // ( ) , . + - * / % = <> != < <= > >=
+
+  /** `lenient = true` (the detection scan) skips characters the
+    * expression grammar doesn't know instead of failing — a predicate
+    * full of Catalyst-only syntax (`||`, lambdas, brackets) must still
+    * be SCANNED for cross-variable qualifiers, then routed to the
+    * Catalyst path when it has none. */
+  private def tokenize(src: String, lenient: Boolean = false): List[Tok] = {
+    val out = scala.collection.mutable.ListBuffer.empty[Tok]
+    var i = 0
+    val n = src.length
+    while (i < n) {
+      val c = src(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '\'') { // string literal, '' escapes a quote
+        val sb = new StringBuilder
+        i += 1
+        var closed = false
+        while (i < n && !closed) {
+          if (src(i) == '\'') {
+            if (i + 1 < n && src(i + 1) == '\'') { sb += '\''; i += 2 }
+            else { closed = true; i += 1 }
+          } else { sb += src(i); i += 1 }
+        }
+        if (!closed && !lenient)
+          fail(s"unterminated string literal in DEFINE: $src")
+        out += TStr(sb.toString)
+      }
+      else if (c.isDigit ||
+          (c == '.' && i + 1 < n && src(i + 1).isDigit)) {
+        val j0 = i
+        while (i < n && (src(i).isDigit || src(i) == '.')) i += 1
+        // exponent form 1e-3
+        if (i < n && (src(i) == 'e' || src(i) == 'E') && i + 1 < n &&
+            (src(i + 1).isDigit || ((src(i + 1) == '+' || src(i + 1) == '-') &&
+              i + 2 < n && src(i + 2).isDigit))) {
+          i += 2
+          while (i < n && src(i).isDigit) i += 1
+        }
+        out += TNum(src.substring(j0, i))
+      }
+      else if (Character.isLetter(c) || c == '_') {
+        val j0 = i
+        while (i < n && (Character.isLetterOrDigit(src(i)) || src(i) == '_')) i += 1
+        out += TIdent(src.substring(j0, i))
+      }
+      else if (c == '"') { // quoted identifier
+        val j = src.indexOf('"', i + 1)
+        if (j < 0) {
+          if (!lenient)
+            fail(s"unterminated quoted identifier in DEFINE: $src")
+          i = n
+        } else {
+          out += TIdent(src.substring(i + 1, j))
+          i = j + 1
+        }
+      }
+      else {
+        val two = if (i + 1 < n) src.substring(i, i + 2) else ""
+        if (two == "<>" || two == "!=" || two == "<=" || two == ">=") {
+          out += TOp(two); i += 2
+        } else if ("()+-*/%=<>,.".indexOf(c) >= 0) {
+          out += TOp(c.toString); i += 1
+        } else if (lenient) i += 1 // unknown char = separator in the scan
+        else fail(s"unsupported character '$c' in cross-variable DEFINE " +
+          s"(supported: columns, V.col, FIRST/LAST(V.col[, n]), literals, " +
+          s"comparisons, AND/OR/NOT, BETWEEN, IN, + - * / %): $src")
+      }
+    }
+    out.toList
+  }
+
+  // ---------- parser (precedence climbing over the token list) ----------
+
+  /** Parse a cross-variable DEFINE predicate for variable `ownVar`.
+    * `vars` = every pattern variable and SUBSET name (qualifier
+    * resolution); column names stay unresolved until [[resolve]]. */
+  def parse(pred: String, ownVar: String, vars: Seq[String]): Node = {
+    val varSet = vars.map(_.toLowerCase).toSet
+    var toks = tokenize(pred)
+
+    def peek: Option[Tok] = toks.headOption
+    def next(): Tok = toks match {
+      case h :: t => toks = t; h
+      case Nil    => fail(s"unexpected end of DEFINE predicate: $pred")
+    }
+    def expectOp(s: String): Unit = next() match {
+      case TOp(`s`) => ()
+      case other => fail(s"expected '$s' in DEFINE predicate, got $other: $pred")
+    }
+    def isKw(t: Tok, kw: String): Boolean = t match {
+      case TIdent(s) => s.equalsIgnoreCase(kw)
+      case _ => false
+    }
+
+    def parseOr(): Node = {
+      var l = parseAnd()
+      while (peek.exists(isKw(_, "OR"))) { next(); l = Or(l, parseAnd()) }
+      l
+    }
+    def parseAnd(): Node = {
+      var l = parseNot()
+      while (peek.exists(isKw(_, "AND"))) { next(); l = And(l, parseNot()) }
+      l
+    }
+    def parseNot(): Node =
+      if (peek.exists(isKw(_, "NOT"))) { next(); Not(parseNot()) }
+      else parseCmp()
+
+    def parseCmp(): Node = {
+      val l = parseAdd()
+      peek match {
+        case Some(TOp(op)) if Set("=", "<>", "!=", "<", "<=", ">", ">=")(op) =>
+          next(); Cmp(if (op == "!=") "<>" else op, l, parseAdd())
+        case Some(t) if isKw(t, "IS") =>
+          next()
+          val negated = peek.exists(isKw(_, "NOT"))
+          if (negated) next()
+          if (!peek.exists(isKw(_, "NULL")))
+            fail(s"expected NULL after IS [NOT]: $pred")
+          next()
+          IsNull(l, negated)
+        case Some(t) if isKw(t, "BETWEEN") =>
+          next()
+          val lo = parseAdd()
+          if (!peek.exists(isKw(_, "AND")))
+            fail(s"expected AND in BETWEEN: $pred")
+          next()
+          val hi = parseAdd()
+          And(Cmp(">=", l, lo), Cmp("<=", l, hi))
+        case Some(t) if isKw(t, "NOT") =>
+          // NOT BETWEEN / NOT IN (postfix forms)
+          next()
+          peek match {
+            case Some(t2) if isKw(t2, "BETWEEN") =>
+              next()
+              val lo = parseAdd()
+              if (!peek.exists(isKw(_, "AND")))
+                fail(s"expected AND in BETWEEN: $pred")
+              next()
+              val hi = parseAdd()
+              Not(And(Cmp(">=", l, lo), Cmp("<=", l, hi)))
+            case Some(t2) if isKw(t2, "IN") =>
+              next(); Not(parseInList(l))
+            case _ => fail(s"expected BETWEEN or IN after NOT: $pred")
+          }
+        case Some(t) if isKw(t, "IN") =>
+          next(); parseInList(l)
+        case _ => l
+      }
+    }
+    def parseInList(l: Node): Node = {
+      expectOp("(")
+      var alts = Seq.empty[Node]
+      var done = false
+      while (!done) {
+        alts :+= Cmp("=", l, parseAdd())
+        next() match {
+          case TOp(",") => ()
+          case TOp(")") => done = true
+          case other => fail(s"expected ',' or ')' in IN list, got $other: $pred")
+        }
+      }
+      alts.reduceLeft(Or)
+    }
+    def parseAdd(): Node = {
+      var l = parseMul()
+      var go = true
+      while (go) peek match {
+        case Some(TOp(op @ ("+" | "-"))) => next(); l = Arith(op.head, l, parseMul())
+        case _ => go = false
+      }
+      l
+    }
+    def parseMul(): Node = {
+      var l = parseUnary()
+      var go = true
+      while (go) peek match {
+        case Some(TOp(op @ ("*" | "/" | "%"))) => next(); l = Arith(op.head, l, parseUnary())
+        case _ => go = false
+      }
+      l
+    }
+    def parseUnary(): Node = peek match {
+      case Some(TOp("-")) => next(); Neg(parseUnary())
+      case Some(TOp("+")) => next(); parseUnary()
+      case _ => parsePrimary()
+    }
+    def navArgs(first: Boolean): Node = {
+      expectOp("(")
+      val (v, c) = next() match {
+        case TIdent(q) => peek match {
+          case Some(TOp(".")) =>
+            next()
+            next() match {
+              case TIdent(col) =>
+                if (!varSet(q.toLowerCase))
+                  fail(s"FIRST/LAST qualifier $q is not a pattern variable " +
+                    s"or SUBSET in DEFINE $ownVar")
+                (q, col)
+              case other => fail(s"expected column after '$q.': got $other")
+            }
+          // unqualified FIRST(c) — the universal variable (every row of
+          // the match so far), SQL:2016's default
+          case _ => ("", q)
+        }
+        case other => fail(s"expected a column reference in FIRST/LAST: $other")
+      }
+      val off = peek match {
+        case Some(TOp(",")) =>
+          next()
+          next() match {
+            case TNum(s) if !s.contains('.') => s.toInt
+            case other => fail(s"FIRST/LAST offset must be an integer: $other")
+          }
+        case _ => 0
+      }
+      expectOp(")")
+      Nav(v, c, first, off)
+    }
+    def parsePrimary(): Node = next() match {
+      case TNum(s) =>
+        if (s.contains('.') || s.toLowerCase.contains('e'))
+          Lit(new java.math.BigDecimal(s))
+        else Lit(java.lang.Long.valueOf(s.toLong))
+      case TStr(s) => Lit(s)
+      case TOp("(") =>
+        val e = parseOr(); expectOp(")"); e
+      case TIdent(s) if s.equalsIgnoreCase("TRUE")  => Lit(java.lang.Boolean.TRUE)
+      case TIdent(s) if s.equalsIgnoreCase("FALSE") => Lit(java.lang.Boolean.FALSE)
+      case TIdent(s) if s.equalsIgnoreCase("NULL")  => Lit(null)
+      case TIdent(s) if s.equalsIgnoreCase("FIRST") &&
+          peek.contains(TOp("(")) => navArgs(first = true)
+      case TIdent(s) if s.equalsIgnoreCase("LAST") &&
+          peek.contains(TOp("(")) => navArgs(first = false)
+      case TIdent(s) if peek.contains(TOp(".")) =>
+        next() // consume '.'
+        next() match {
+          case TIdent(col) =>
+            if (s.equalsIgnoreCase(ownVar)) Cur(col) // own var = current row
+            else if (varSet(s.toLowerCase)) Nav(s, col, first = false, off = 0)
+            else fail(s"qualifier $s in DEFINE $ownVar is not a pattern " +
+              "variable or SUBSET (table aliases are not visible inside " +
+              "MATCH_RECOGNIZE DEFINE)")
+          case other => fail(s"expected column after '$s.': got $other")
+        }
+      case TIdent(s) if peek.contains(TOp("(")) =>
+        fail(s"function $s(...) is not supported in a cross-variable " +
+          "DEFINE (supported: FIRST/LAST navigation, comparisons, " +
+          "AND/OR/NOT, BETWEEN, IN, arithmetic). Precompute the value " +
+          "as a column on the input relation, or keep the predicate " +
+          "free of cross-variable references to get the full SQL surface")
+      case TIdent(s) => Cur(s)
+      case other => fail(s"unexpected token in DEFINE predicate: $other")
+    }
+
+    val root = parseOr()
+    if (toks.nonEmpty)
+      fail(s"trailing tokens in DEFINE predicate: ${toks.mkString(" ")}")
+    root
+  }
+
+  /** Does the (tokenized) predicate reference any variable in `others`
+    * as a qualifier or inside FIRST/LAST? Quote-aware by construction —
+    * string literals are single tokens. */
+  def referencesVars(pred: String, others: Seq[String]): Seq[String] = {
+    val names = others.map(_.toLowerCase).toSet
+    val hit = scala.collection.mutable.LinkedHashSet.empty[String]
+    var ts = tokenize(pred, lenient = true)
+    while (ts.nonEmpty) {
+      ts match {
+        case TIdent(q) :: TOp(".") :: _ if names(q.toLowerCase) =>
+          hit += q
+        case _ => ()
+      }
+      ts = ts.tail
+    }
+    hit.toSeq
+  }
+
+  /** Must this DEFINE evaluate in the matcher? True when it references
+    * another variable (`others`) OR uses FIRST/LAST logical navigation
+    * at all — `LAST(B.v, 1)` on the variable's OWN rows is still
+    * hypothesis-dependent, and Catalyst would misparse bare
+    * `LAST(v, 1)` as its last() AGGREGATE (SQL:2016 makes FIRST/LAST
+    * inside DEFINE navigation, never aggregation). */
+  def needsInterpreter(pred: String, others: Seq[String]): Boolean = {
+    if (referencesVars(pred, others).nonEmpty) return true
+    var ts = tokenize(pred, lenient = true)
+    while (ts.nonEmpty) {
+      ts match {
+        case TIdent(f) :: TOp("(") :: _
+            if f.equalsIgnoreCase("FIRST") || f.equalsIgnoreCase("LAST") =>
+          return true
+        case _ => ()
+      }
+      ts = ts.tail
+    }
+    false
+  }
+
+  // ---------- resolution ----------
+
+  /** Resolve column names to field indices against the scan schema
+    * (case-insensitive, SQL identifier semantics). */
+  def resolve(n: Node, schema: StructType): Node = {
+    def idxOf(c: String): Int = {
+      val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(c))
+      if (i < 0) fail(s"column $c not found in input " +
+        s"(have: ${schema.fieldNames.filterNot(_.startsWith("__mr_")).mkString(", ")})")
+      i
+    }
+    n match {
+      case c: Cur => c.copy(idx = idxOf(c.name))
+      case v: Nav => v.copy(idx = idxOf(v.colName))
+      case Cmp(op, l, r) => Cmp(op, resolve(l, schema), resolve(r, schema))
+      case Arith(op, l, r) => Arith(op, resolve(l, schema), resolve(r, schema))
+      case Neg(e) => Neg(resolve(e, schema))
+      case And(l, r) => And(resolve(l, schema), resolve(r, schema))
+      case Or(l, r) => Or(resolve(l, schema), resolve(r, schema))
+      case Not(e) => Not(resolve(e, schema))
+      case IsNull(e, neg) => IsNull(resolve(e, schema), neg)
+      case lit: Lit => lit
+    }
+  }
+
+  // ---------- evaluation ----------
+
+  /** Value sources for one evaluation: the row under test and the
+    * navigation lookup over the rows mapped so far in this attempt. */
+  trait Ctx {
+    def cur(idx: Int): Any
+    /** Value of FIRST/LAST(v.col, off) — null when out of range. */
+    def nav(v: String, colIdx: Int, first: Boolean, off: Int): Any
+  }
+
+  private def toBig(a: Any): java.math.BigDecimal = a match {
+    case b: java.math.BigDecimal  => b
+    case b: scala.math.BigDecimal => b.bigDecimal
+    case d: java.lang.Double      => java.math.BigDecimal.valueOf(d)
+    case f: java.lang.Float       => new java.math.BigDecimal(f.toString)
+    case x: Number                => java.math.BigDecimal.valueOf(x.longValue)
+    case other => fail(s"not a number: $other")
+  }
+  private def isDecimal(a: Any): Boolean =
+    a.isInstanceOf[java.math.BigDecimal] || a.isInstanceOf[scala.math.BigDecimal]
+  private def isFloating(a: Any): Boolean =
+    a.isInstanceOf[java.lang.Double] || a.isInstanceOf[java.lang.Float]
+
+  /** SQL comparison of two non-null values: exact numeric widening
+    * (decimal > double > long), Comparable fallback for
+    * string/timestamp/date/boolean. */
+  private[dialect] def cmpVals(a: Any, b: Any): Int = (a, b) match {
+    case (x: Number, y: Number) =>
+      if (isDecimal(x) || isDecimal(y)) toBig(x).compareTo(toBig(y))
+      else if (isFloating(x) || isFloating(y))
+        java.lang.Double.compare(x.doubleValue, y.doubleValue)
+      else java.lang.Long.compare(x.longValue, y.longValue)
+    case (x: Comparable[_], y) if x.getClass == y.getClass =>
+      x.asInstanceOf[Comparable[Any]].compareTo(y)
+    case _ => fail(s"cannot compare ${a.getClass.getSimpleName} with " +
+      s"${b.getClass.getSimpleName} in DEFINE predicate")
+  }
+
+  private def arith(op: Char, a: Any, b: Any): Any = (a, b) match {
+    case (x: Number, y: Number) =>
+      if (op == '/')
+        // Spark SQL: `/` is double division regardless of input types
+        java.lang.Double.valueOf(x.doubleValue / y.doubleValue)
+      else if (isDecimal(x) || isDecimal(y)) {
+        val (bx, by) = (toBig(x), toBig(y))
+        op match {
+          case '+' => bx.add(by)
+          case '-' => bx.subtract(by)
+          case '*' => bx.multiply(by)
+          case '%' => bx.remainder(by)
+        }
+      } else if (isFloating(x) || isFloating(y)) {
+        val (dx, dy) = (x.doubleValue, y.doubleValue)
+        java.lang.Double.valueOf(op match {
+          case '+' => dx + dy
+          case '-' => dx - dy
+          case '*' => dx * dy
+          case '%' => dx % dy
+        })
+      } else {
+        val (lx, ly) = (x.longValue, y.longValue)
+        java.lang.Long.valueOf(op match {
+          case '+' => lx + ly
+          case '-' => lx - ly
+          case '*' => lx * ly
+          case '%' => lx % ly
+        })
+      }
+    case _ => fail(s"arithmetic over non-numeric operands in DEFINE: " +
+      s"${a.getClass.getSimpleName} $op ${b.getClass.getSimpleName}")
+  }
+
+  /** Three-valued evaluation; a null result means UNKNOWN (the caller
+    * coalesces to no-match, SQL's WHERE semantics). */
+  def eval(n: Node, ctx: Ctx): Any = n match {
+    case Lit(v)  => v
+    case Cur(_, idx) => ctx.cur(idx)
+    case Nav(v, _, first, off, idx) => ctx.nav(v, idx, first, off)
+    case Cmp(op, l, r) =>
+      val a = eval(l, ctx); val b = eval(r, ctx)
+      if (a == null || b == null) null
+      else {
+        val c = cmpVals(a, b)
+        java.lang.Boolean.valueOf(op match {
+          case "="  => c == 0
+          case "<>" => c != 0
+          case "<"  => c < 0
+          case "<=" => c <= 0
+          case ">"  => c > 0
+          case ">=" => c >= 0
+        })
+      }
+    case Arith(op, l, r) =>
+      val a = eval(l, ctx); val b = eval(r, ctx)
+      if (a == null || b == null) null else arith(op, a, b)
+    case Neg(e) => eval(e, ctx) match {
+      case null => null
+      case b: java.math.BigDecimal => b.negate
+      case d: java.lang.Double => java.lang.Double.valueOf(-d.doubleValue)
+      case f: java.lang.Float  => java.lang.Double.valueOf(-f.doubleValue)
+      case x: Number => java.lang.Long.valueOf(-x.longValue)
+      case other => fail(s"cannot negate ${other.getClass.getSimpleName}")
+    }
+    case And(l, r) =>
+      val a = eval(l, ctx)
+      if (a == java.lang.Boolean.FALSE) java.lang.Boolean.FALSE
+      else {
+        val b = eval(r, ctx)
+        if (b == java.lang.Boolean.FALSE) java.lang.Boolean.FALSE
+        else if (a == null || b == null) null
+        else java.lang.Boolean.TRUE
+      }
+    case Or(l, r) =>
+      val a = eval(l, ctx)
+      if (a == java.lang.Boolean.TRUE) java.lang.Boolean.TRUE
+      else {
+        val b = eval(r, ctx)
+        if (b == java.lang.Boolean.TRUE) java.lang.Boolean.TRUE
+        else if (a == null || b == null) null
+        else java.lang.Boolean.FALSE
+      }
+    case Not(e) => eval(e, ctx) match {
+      case null => null
+      case b: java.lang.Boolean => java.lang.Boolean.valueOf(!b.booleanValue)
+      case other => fail(s"NOT over a non-boolean in DEFINE: $other")
+    }
+    case IsNull(e, negated) =>
+      java.lang.Boolean.valueOf((eval(e, ctx) == null) != negated)
+  }
+
+  /** Evaluate to the match decision: UNKNOWN → false. */
+  def evalBool(n: Node, ctx: Ctx): Boolean = eval(n, ctx) match {
+    case b: java.lang.Boolean => b.booleanValue
+    case null => false
+    case other => fail(s"DEFINE predicate is not boolean-valued " +
+      s"(got ${other.getClass.getSimpleName})")
+  }
+
+  /** Convenience Ctx over a group of rows + the in-flight assignment
+    * list (reverse order, exclusion marks included), as the batch
+    * matcher holds them. `curRow` is tentatively mapped to `ownVar`. */
+  final class RowCtx(g: Array[Row], curIdx: Int, ownVar: String,
+      acc: List[(Int, String)], members: String => Seq[String])
+      extends Ctx {
+    def cur(idx: Int): Any =
+      if (g(curIdx).isNullAt(idx)) null else g(curIdx).get(idx)
+    def nav(v: String, colIdx: Int, first: Boolean, off: Int): Any = {
+      val ms = if (v.isEmpty) null else members(v).map(_.toLowerCase).toSet
+      def inVar(name: String): Boolean = {
+        val s = MatchRecognize.stripExcl(name).toLowerCase
+        ms == null || ms(s)
+      }
+      val rowI: Int =
+        if (!first) {
+          // LAST(v.c, off): off-th from the most recent; the current
+          // tentative row is the most recent when ownVar ∈ members(v)
+          var remaining = off
+          var found = -1
+          if (inVar(ownVar)) {
+            if (remaining == 0) found = curIdx else remaining -= 1
+          }
+          var rest = acc
+          while (found < 0 && rest.nonEmpty) {
+            val (ri, vn) = rest.head
+            if (inVar(vn)) {
+              if (remaining == 0) found = ri else remaining -= 1
+            }
+            rest = rest.tail
+          }
+          found
+        } else {
+          // FIRST(v.c, off): off-th from the earliest mapped row
+          val rows = scala.collection.mutable.ArrayBuffer.empty[Int]
+          acc.foreach { case (ri, vn) => if (inVar(vn)) rows += ri }
+          if (inVar(ownVar)) rows.insert(0, curIdx) // acc is reverse order
+          val asc = rows.sorted
+          if (off < asc.length) asc(off) else -1
+        }
+      if (rowI < 0 || g(rowI).isNullAt(colIdx)) null else g(rowI).get(colIdx)
+    }
+  }
+}

@@ -214,6 +214,50 @@ object TimeOps {
         .orderBy(col("user_id"), col("ts"), col("event_id"))
     }),
 
+    // Cross-variable DEFINE (new in r13): B's predicate references A's
+    // mapped row — `B.value > A.value` is RUNNING LAST(A.value), the
+    // form Trino's own docs funnel uses. A/B predicates stay disjoint
+    // on event_type, so SKIP PAST LAST ROW consumes nothing an oracle
+    // can't see: matches are exactly the adjacent (view, click) pairs
+    // where the click out-values the view — a lead() window in DuckDB.
+    "mr_cross_pair" -> ((s, d) => {
+      val clause =
+        """PARTITION BY user_id ORDER BY ts, event_id
+          |MEASURES FIRST(A.event_id) AS a_eid, FIRST(A.ts) AS a_ts,
+          |         FIRST(A.value) AS a_val, LAST(B.value) AS b_val
+          |PATTERN (A B)
+          |DEFINE A AS event_type = 'view',
+          |       B AS event_type = 'click' AND B.value > A.value""".stripMargin
+      graft.dialect.MatchRecognize.run(t(s, d, "events"),
+          graft.dialect.MatchRecognize.parseClause(clause))
+        .orderBy(col("user_id"), col("a_eid"))
+    }),
+
+    // The canonical Trino-docs V-shape with the cross-variable cap:
+    // fall (B+), then recover (C+) while staying at or below the
+    // starting price A.value. AFTER MATCH SKIP TO NEXT ROW makes every
+    // start position independent, so the DuckDB replay is pure window
+    // algebra over down/up run segments (no sequential consumption to
+    // simulate): B+ is the maximal down-run after the start, C+ the
+    // up-run prefix capped by the start value — backtracking cannot
+    // rescue a failed C (any shorter B ends on a falling row, where C's
+    // `value > PREV(value)` is false), so maximal-B-then-prefix-C is
+    // exactly the preferred match.
+    "mr_vshape" -> ((s, d) => {
+      val clause =
+        """PARTITION BY user_id ORDER BY ts, event_id
+          |MEASURES FIRST(A.event_id) AS a_eid, FIRST(A.ts) AS a_ts,
+          |         A.value AS start_val, LAST(B.value) AS bottom_val,
+          |         LAST(C.value) AS top_val, COUNT(*) AS len
+          |AFTER MATCH SKIP TO NEXT ROW
+          |PATTERN (A B+ C+)
+          |DEFINE B AS value < PREV(value),
+          |       C AS value > PREV(value) AND value <= A.value""".stripMargin
+      graft.dialect.MatchRecognize.run(t(s, d, "events"),
+          graft.dialect.MatchRecognize.parseClause(clause))
+        .orderBy(col("user_id"), col("a_eid"))
+    }),
+
     "time_funnel" -> ((s, d) => {
       val ev = t(s, d, "events")
       val us = unix_micros _
@@ -367,6 +411,70 @@ object TimeOps {
         |JOIN e v ON v.user_id = i.user_id AND v.rn = i.first_rn - 1
         |WHERE v.event_type = 'view'
         |ORDER BY i.user_id, start_ts""".stripMargin,
+
+    // Cross-variable pair replay: adjacent (view, click) with the click
+    // out-valuing the view — a lead() window; SKIP PAST LAST ROW
+    // consumption never hides a pair because A/B are type-disjoint (a
+    // consumed click can never start the next match as A).
+    "mr_cross_pair" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    LEAD(event_type) OVER w AS nxt_type,
+        |    LEAD(value) OVER w AS nxt_value
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id AS a_eid, ts AS a_ts, value AS a_val,
+        |       nxt_value AS b_val
+        |FROM e
+        |WHERE event_type = 'view' AND nxt_type = 'click'
+        |  AND nxt_value > value
+        |ORDER BY user_id, a_eid""".stripMargin,
+
+    // V-shape replay (SKIP TO NEXT ROW ⇒ every start independent):
+    // down/up run segments via gaps-and-islands; for each start row
+    // whose successor falls, B+ is that maximal down-run and C+ is the
+    // following up-run's prefix capped at the start value (an up-run
+    // ascends, so `value <= start` is a prefix property). Greedy-B
+    // backtracking never rescues a failed C: a shorter B ends on a
+    // falling row, where C's `value > PREV(value)` is false.
+    "mr_vshape" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    ROW_NUMBER() OVER w AS rn,
+        |    CASE WHEN value < LAG(value) OVER w THEN 1 ELSE 0 END AS is_down,
+        |    CASE WHEN value > LAG(value) OVER w THEN 1 ELSE 0 END AS is_up
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |segs AS (
+        |  SELECT *,
+        |    SUM(1 - is_down) OVER (PARTITION BY user_id ORDER BY rn) AS dseg,
+        |    SUM(1 - is_up) OVER (PARTITION BY user_id ORDER BY rn) AS useg
+        |  FROM e),
+        |druns AS (
+        |  SELECT user_id, dseg, MAX(rn) AS dend
+        |  FROM segs WHERE is_down = 1 GROUP BY user_id, dseg),
+        |cand AS (
+        |  SELECT a.user_id, a.rn AS a_rn, a.event_id AS a_eid,
+        |         a.ts AS a_ts, a.value AS a_val, d.dend
+        |  FROM segs a
+        |  JOIN segs b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+        |             AND b.is_down = 1
+        |  JOIN druns d ON d.user_id = a.user_id AND d.dseg = b.dseg),
+        |matches AS (
+        |  SELECT c.*, bm.value AS bottom_val,
+        |    (SELECT MAX(s.rn) FROM segs s
+        |     WHERE s.user_id = c.user_id AND s.useg = u.useg
+        |       AND s.is_up = 1 AND s.value <= c.a_val) AS cend
+        |  FROM cand c
+        |  JOIN segs bm ON bm.user_id = c.user_id AND bm.rn = c.dend
+        |  JOIN segs u ON u.user_id = c.user_id AND u.rn = c.dend + 1
+        |  WHERE u.is_up = 1 AND u.value <= c.a_val)
+        |SELECT m.user_id, m.a_eid, m.a_ts, m.a_val AS start_val,
+        |       m.bottom_val, t.value AS top_val,
+        |       m.cend - m.a_rn + 1 AS len
+        |FROM matches m
+        |JOIN segs t ON t.user_id = m.user_id AND t.rn = m.cend
+        |ORDER BY m.user_id, m.a_eid""".stripMargin,
 
     // Aggregate-measure replay: per-island FINAL aggregates, exact
     // decimal sums emitted as double (QHelpers determinism rule).

@@ -720,34 +720,172 @@ class MatchRecognizeSpec extends SparkSpec {
       .getMessage.contains("UNMATCHED"))
   }
 
-  test("cross-variable DEFINE references are rejected, not misread") {
-    val df = funnel(Seq((1L, 1L, "view"), (1L, 2L, "click")))
-      .withColumn("price", col("seq").cast("double"))
-    def clause(defs: String) =
-      s"""PARTITION BY uid ORDER BY seq
-         |MEASURES COUNT(*) AS n
-         |PATTERN (A B)
-         |DEFINE $defs""".stripMargin
-    // B's predicate names A — pre-r13 this silently became
-    // `price > price` (always false), a WRONG ANSWER; now it errors
-    val e = intercept[IllegalArgumentException](MatchRecognize.run(df,
-      parseClause(clause("A AS ev = 'view', B AS B.price > A.price"))))
-    assert(e.getMessage.contains("cross-variable") &&
-      e.getMessage.contains("references pattern variable A"))
+  test("cross-variable DEFINE: B.price > A.price evaluates (RUNNING LAST)") {
+    // the form the pre-r13 code silently misread and r13-early rejected:
+    // now it EVALUATES — A.price inside DEFINE B is the last row mapped
+    // to A in this hypothesis (SQL:2016 RUNNING LAST semantics)
+    val df = Seq(
+      (1L, 1L, "view", 5.0), (1L, 2L, "click", 7.0),  // 7 > 5: match
+      (1L, 3L, "view", 9.0), (1L, 4L, "click", 2.0),  // 2 < 9: no match
+      (2L, 1L, "view", 1.0), (2L, 2L, "click", 1.0))  // equal: no match
+      .toDF("uid", "seq", "ev", "price")
+    val clause =
+      """PARTITION BY uid ORDER BY seq
+        |MEASURES FIRST(A.seq) AS a_seq, LAST(B.price) AS b_price
+        |PATTERN (A B)
+        |DEFINE A AS ev = 'view', B AS B.price > A.price""".stripMargin
+    val out = MatchRecognize.run(df, parseClause(clause))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq((1L, 1L, 7.0)))
     // the variable's OWN qualifier still denotes the current row
-    val own = MatchRecognize.run(df,
-      parseClause(clause("A AS A.ev = 'view', B AS B.ev = 'click'")))
+    val own = MatchRecognize.run(df, parseClause(
+      """PARTITION BY uid ORDER BY seq MEASURES COUNT(*) AS n
+        |PATTERN (A B)
+        |DEFINE A AS A.ev = 'view', B AS B.ev = 'click'""".stripMargin))
       .collect()
-    assert(own.map(_.getLong(1)).toSeq == Seq(2L))
-    // a quoted 'A.x' string literal must NOT trip the check
-    val lit = MatchRecognize.run(df,
-      parseClause(clause("A AS ev = 'view', B AS ev <> 'A.x'")))
+    assert(own.length == 3)
+    // a quoted 'A.x' string literal must NOT trip cross detection (it
+    // would lose the full Catalyst surface for no reason)
+    val lit = MatchRecognize.run(df, parseClause(
+      """PARTITION BY uid ORDER BY seq MEASURES COUNT(*) AS n
+        |PATTERN (A B) DEFINE A AS ev = 'view', B AS ev <> 'A.x'""".stripMargin))
       .collect()
-    assert(lit.map(_.getLong(1)).toSeq == Seq(2L))
-    // the streaming face shares the rewrite → same rejection
+    assert(lit.length == 3) // every view+any pair: (1,2) (3,4) (2:1,2)
+    // the STREAMING face has no row values in state → still rejects
     val se = intercept[IllegalArgumentException](
       MatchRecognize.rewriteDefinePred("B", "B.price > A.price", Seq("A", "B")))
     assert(se.getMessage.contains("cross-variable"))
+  }
+
+  test("cross-variable DEFINE: the Trino docs V-shape with A.price cap") {
+    // PATTERN (A B+ C+), C AS price > PREV(price) AND price <= A.price —
+    // the canonical docs funnel: the recovery leg must not exceed the
+    // starting price. Hand-computed preferred match.
+    val df = Seq(
+      (1L, 1L, 10.0), (1L, 2L, 8.0), (1L, 3L, 6.0), // A=1, B=[2,3]
+      (1L, 4L, 7.0), (1L, 5L, 9.0),                 // C=[4,5] (9 <= 10)
+      (1L, 6L, 12.0),                               // 12 > A.price: C stops
+      (2L, 1L, 5.0), (2L, 2L, 4.0), (2L, 3L, 6.0))  // 6 > 5: C never matches
+      .toDF("uid", "seq", "price")
+    val clause =
+      """PARTITION BY uid ORDER BY seq
+        |MEASURES FIRST(A.seq) AS s, LAST(B.price) AS bottom,
+        |         LAST(C.price) AS top, COUNT(*) AS len
+        |PATTERN (A B+ C+)
+        |DEFINE B AS price < PREV(price),
+        |       C AS price > PREV(price) AND price <= A.price""".stripMargin
+    val out = MatchRecognize.run(df, parseClause(clause))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    assert(out == Seq((1L, 1L, 6.0, 9.0, 5L)))
+  }
+
+  test("cross-variable DEFINE: backtracking re-evaluates with each hypothesis") {
+    // A B* C with C AS v > LAST(B.v): greedy B* first swallows
+    // everything, then gives rows back until C's cross predicate holds
+    // against the SHRUNKEN B — v=[1,5,7,6]: B=[5,7] fails C at 6 (6<7),
+    // B=[5] lets C=7 match (7>5). The matcher must re-test row 2 as C
+    // with the hypothesis' own assignment state.
+    val df = Seq((1L, 1L, 1.0), (1L, 2L, 5.0), (1L, 3L, 7.0), (1L, 4L, 6.0))
+      .toDF("uid", "seq", "v")
+    val clause =
+      """PARTITION BY uid ORDER BY seq
+        |MEASURES FIRST(A.seq) AS s, COUNT(B.*) AS nb, LAST(C.v) AS cv
+        |PATTERN (A B* C)
+        |DEFINE B AS v < 10, C AS v > LAST(B.v)""".stripMargin
+    val out = MatchRecognize.run(df, parseClause(clause))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out == Seq((1L, 1L, 7.0)))
+  }
+
+  test("cross-variable DEFINE: FIRST/LAST offsets, self-LAST, IS NULL guard") {
+    // strictly-increasing run via LOGICAL self-navigation: LAST(B.v, 1)
+    // is the PREVIOUS B row (the current row is the 0th); the first B
+    // row has none → IS NULL guard admits it (the standard idiom)
+    val df = Seq(
+      (1L, 1L, 3.0), (1L, 2L, 4.0), (1L, 3L, 9.0),
+      (1L, 4L, 2.0), (1L, 5L, 8.0))
+      .toDF("uid", "seq", "v")
+    val clause =
+      """PARTITION BY uid ORDER BY seq
+        |MEASURES FIRST(B.seq) AS s, COUNT(B.*) AS n, LAST(B.v) AS last_v
+        |PATTERN (B+)
+        |DEFINE B AS LAST(B.v, 1) IS NULL OR B.v > LAST(B.v, 1)""".stripMargin
+    val out = MatchRecognize.run(df, parseClause(clause))
+      .orderBy("s")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // runs: [3,4,9] then [2,8] (each maximal under SKIP PAST LAST ROW)
+    assert(out == Seq((1L, 3L, 9.0), (4L, 2L, 8.0)))
+    // FIRST with cross reference: stop when the value doubles the first
+    val clause2 =
+      """PARTITION BY uid ORDER BY seq
+        |MEASURES FIRST(B.seq) AS s, COUNT(B.*) AS n
+        |PATTERN (B+)
+        |DEFINE B AS FIRST(B.v) IS NULL OR v <= FIRST(B.v) * 2""".stripMargin
+    val out2 = MatchRecognize.run(df, parseClause(clause2))
+      .orderBy("s")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    // FIRST(B.v) INCLUDES the tentative current row (run 1: first=3 —
+    // 3<=6 ✓, 4<=6 ✓, 9>6 ✗ → seqs [1,2]); run 2 restarts at seq 3 with
+    // first=9, and 2<=18, 8<=18 both pass → seqs [3,4,5]
+    assert(out2 == Seq((1L, 2L), (3L, 3L)))
+  }
+
+  test("cross-variable DEFINE: SUBSET references, BETWEEN/IN/arith forms") {
+    val df = Seq(
+      (1L, 1L, "view", 4.0), (1L, 2L, "click", 5.0), (1L, 3L, "buy", 6.0),
+      (1L, 4L, "view", 4.0), (1L, 5L, "click", 5.0), (1L, 6L, "buy", 90.0))
+      .toDF("uid", "seq", "ev", "v")
+    // C must land within [LAST(U.v) - 2, LAST(U.v) + 2] where U=(A,B):
+    // match 1: LAST(U.v)=5, C.v=6 ∈ [3,7] ✓; match 2: C.v=90 ✗
+    val clause =
+      """PARTITION BY uid ORDER BY seq
+        |MEASURES FIRST(A.seq) AS s, LAST(C.v) AS cv
+        |PATTERN (A B C)
+        |SUBSET U = (A, B)
+        |DEFINE A AS ev = 'view', B AS ev = 'click',
+        |       C AS ev IN ('buy', 'refund')
+        |         AND C.v BETWEEN LAST(U.v) - 2 AND LAST(U.v) + 2""".stripMargin
+    val out = MatchRecognize.run(df, parseClause(clause))
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq((1L, 6.0)))
+  }
+
+  test("cross-variable DEFINE: null semantics and error surfaces") {
+    val df = Seq(
+      (1L, 1L, "view", Some(5.0)), (1L, 2L, "click", None),      // null B.v
+      (1L, 3L, "view", None), (1L, 4L, "click", Some(7.0)))      // null A.v
+      .toDF("uid", "seq", "ev", "v")
+    val clause =
+      """PARTITION BY uid ORDER BY seq
+        |MEASURES FIRST(A.seq) AS s
+        |PATTERN (A B)
+        |DEFINE A AS ev = 'view', B AS B.v > A.v""".stripMargin
+    // both candidate pairs have a NULL side → UNKNOWN → no match (SQL)
+    assert(MatchRecognize.run(df, parseClause(clause)).collect().isEmpty)
+    // unknown qualifier in a cross predicate → clear message
+    val e1 = intercept[IllegalArgumentException](MatchRecognize.run(df,
+      parseClause("""PARTITION BY uid ORDER BY seq MEASURES COUNT(*) AS n
+        |PATTERN (A B) DEFINE A AS ev = 'view',
+        |B AS B.v > A.v AND B.v > Z.v""".stripMargin)))
+    assert(e1.getMessage.contains("Z") &&
+      e1.getMessage.contains("not a pattern variable"))
+    // a function call inside a CROSS predicate → rejected with guidance
+    val e2 = intercept[IllegalArgumentException](MatchRecognize.run(df,
+      parseClause("""PARTITION BY uid ORDER BY seq MEASURES COUNT(*) AS n
+        |PATTERN (A B) DEFINE B AS abs(B.v) > A.v""".stripMargin)))
+    assert(e2.getMessage.contains("abs") &&
+      e2.getMessage.contains("not supported"))
+    // PREV over a DIFFERENT variable's rows has no physical meaning
+    val e3 = intercept[IllegalArgumentException](MatchRecognize.run(df,
+      parseClause("""PARTITION BY uid ORDER BY seq MEASURES COUNT(*) AS n
+        |PATTERN (A B) DEFINE B AS PREV(A.v) > 1""".stripMargin)))
+    assert(e3.getMessage.contains("different"))
+    // unknown column inside a cross predicate resolves at PLAN time
+    val e4 = intercept[IllegalArgumentException](MatchRecognize.run(df,
+      parseClause("""PARTITION BY uid ORDER BY seq MEASURES COUNT(*) AS n
+        |PATTERN (A B) DEFINE B AS B.nope > A.v""".stripMargin)))
+    assert(e4.getMessage.contains("nope"))
   }
 
   test("SUM/AVG/MIN/MAX measures: FINAL semantics in ONE ROW PER MATCH") {
