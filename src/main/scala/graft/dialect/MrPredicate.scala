@@ -21,6 +21,10 @@ import org.apache.spark.sql.types.StructType
   *    included when it is tentatively mapped to a member of V),
   *    `FIRST(V.c[, n])` / `LAST(V.c[, n])` with logical offsets, V a
   *    pattern variable or SUBSET union variable; no mapped row → NULL,
+  *  - RUNNING aggregates over mapped rows — `SUM/AVG/MIN/MAX([V.]c)`,
+  *    `COUNT(*)`/`COUNT(V.*)`/`COUNT([V.]c)` — e.g. `DEFINE A AS
+  *    SUM(A.v) <= 100`, the greedy sequence-packing idiom (decimal
+  *    sums exact; AVG emits double, one division),
   *  - literals (numbers, 'strings', TRUE/FALSE/NULL),
   *  - comparisons `= <> != < <= > >=`, `IS [NOT] NULL`,
   *    `[NOT] BETWEEN a AND b`, `[NOT] IN (literal, …)`,
@@ -53,6 +57,13 @@ object MrPredicate {
   /** `FIRST/LAST(V.c, off)` over the rows mapped to V so far. */
   case class Nav(v: String, colName: String, first: Boolean, off: Int,
       idx: Int = -1) extends Node
+  /** RUNNING aggregate over the rows mapped so far (SQL:2016 lets a
+    * DEFINE hold aggregates — `SUM(A.v) <= 100` is the greedy
+    * sequence-packing idiom): fn ∈ sum/avg/min/max/count; v = "" is the
+    * universal variable; count with colName "" counts rows
+    * (`COUNT(*)` / `COUNT(V.*)`), otherwise non-null values. */
+  case class Agg(fn: String, v: String, colName: String,
+      idx: Int = -1) extends Node
   case class Cmp(op: String, l: Node, r: Node) extends Node
   case class Arith(op: Char, l: Node, r: Node) extends Node
   case class Neg(e: Node) extends Node
@@ -63,6 +74,8 @@ object MrPredicate {
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"MATCH_RECOGNIZE: $msg")
+
+  private val AggFns = Set("sum", "avg", "min", "max", "count")
 
   // ---------- tokenizer ----------
 
@@ -290,6 +303,35 @@ object MrPredicate {
       expectOp(")")
       Nav(v, c, first, off)
     }
+    def aggArgs(fn: String): Node = {
+      expectOp("(")
+      val node = next() match {
+        case TOp("*") =>
+          if (fn != "count") fail(s"${fn.toUpperCase}(*) is not valid " +
+            "in DEFINE (only COUNT takes *)")
+          Agg("count", "", "")
+        case TIdent(q) => peek match {
+          case Some(TOp(".")) =>
+            next()
+            if (!varSet(q.toLowerCase))
+              fail(s"${fn.toUpperCase} qualifier $q is not a pattern " +
+                s"variable or SUBSET in DEFINE $ownVar")
+            next() match {
+              case TOp("*") =>
+                if (fn != "count")
+                  fail(s"${fn.toUpperCase}($q.*) is not valid in DEFINE")
+                Agg("count", q, "")
+              case TIdent(c) => Agg(fn, q, c)
+              case other => fail(s"expected column or * after '$q.': $other")
+            }
+          case _ => Agg(fn, "", q) // unqualified = the universal variable
+        }
+        case other =>
+          fail(s"expected a column reference in ${fn.toUpperCase}: $other")
+      }
+      expectOp(")")
+      node
+    }
     def parsePrimary(): Node = next() match {
       case TNum(s) =>
         if (s.contains('.') || s.toLowerCase.contains('e'))
@@ -305,6 +347,8 @@ object MrPredicate {
           peek.contains(TOp("(")) => navArgs(first = true)
       case TIdent(s) if s.equalsIgnoreCase("LAST") &&
           peek.contains(TOp("(")) => navArgs(first = false)
+      case TIdent(s) if AggFns(s.toLowerCase) && peek.contains(TOp("(")) =>
+        aggArgs(s.toLowerCase)
       case TIdent(s) if peek.contains(TOp(".")) =>
         next() // consume '.'
         next() match {
@@ -361,8 +405,13 @@ object MrPredicate {
     var ts = tokenize(pred, lenient = true)
     while (ts.nonEmpty) {
       ts match {
+        // FIRST/LAST navigation and RUNNING aggregates are
+        // hypothesis-dependent even over the variable's OWN rows (and
+        // Catalyst would misparse them as its aggregate functions — no
+        // row-level Spark expression shares these names)
         case TIdent(f) :: TOp("(") :: _
-            if f.equalsIgnoreCase("FIRST") || f.equalsIgnoreCase("LAST") =>
+            if f.equalsIgnoreCase("FIRST") || f.equalsIgnoreCase("LAST") ||
+               AggFns(f.toLowerCase) =>
           return true
         case _ => ()
       }
@@ -385,6 +434,8 @@ object MrPredicate {
     n match {
       case c: Cur => c.copy(idx = idxOf(c.name))
       case v: Nav => v.copy(idx = idxOf(v.colName))
+      case a: Agg =>
+        if (a.colName.isEmpty) a else a.copy(idx = idxOf(a.colName))
       case Cmp(op, l, r) => Cmp(op, resolve(l, schema), resolve(r, schema))
       case Arith(op, l, r) => Arith(op, resolve(l, schema), resolve(r, schema))
       case Neg(e) => Neg(resolve(e, schema))
@@ -404,6 +455,9 @@ object MrPredicate {
     def cur(idx: Int): Any
     /** Value of FIRST/LAST(v.col, off) — null when out of range. */
     def nav(v: String, colIdx: Int, first: Boolean, off: Int): Any
+    /** The values of `colIdx` over the rows mapped to `v` so far, in
+      * row order (colIdx -1 = a placeholder per row for COUNT). */
+    def aggVals(v: String, colIdx: Int): Seq[Any]
   }
 
   private def toBig(a: Any): java.math.BigDecimal = a match {
@@ -470,10 +524,37 @@ object MrPredicate {
 
   /** Three-valued evaluation; a null result means UNKNOWN (the caller
     * coalesces to no-match, SQL's WHERE semantics). */
+  /** SQL aggregate fold over mapped-row values (row order): nulls
+    * skipped; empty/all-null → NULL (COUNT → 0). Sums dispatch on the
+    * runtime class — decimal exactly, floating as double, else long —
+    * mirroring [[MatchRecognize.aggOver]]'s MEASURES rules (AVG = sum
+    * then ONE division, emitted as double). */
+  private def aggFold(fn: String, vals: Seq[Any]): Any = fn match {
+    case "count" => java.lang.Long.valueOf(vals.count(_ != null).toLong)
+    case _ =>
+      val nn = vals.filter(_ != null)
+      if (nn.isEmpty) null
+      else fn match {
+        case "min" => nn.reduce((a, b) => if (cmpVals(a, b) <= 0) a else b)
+        case "max" => nn.reduce((a, b) => if (cmpVals(a, b) >= 0) a else b)
+        case "sum" =>
+          if (nn.exists(isDecimal)) nn.map(toBig).reduce(_ add _)
+          else if (nn.exists(isFloating))
+            java.lang.Double.valueOf(nn.map(_.asInstanceOf[Number].doubleValue).sum)
+          else java.lang.Long.valueOf(nn.map(_.asInstanceOf[Number].longValue).sum)
+        case "avg" =>
+          val sumD =
+            if (nn.exists(isDecimal)) nn.map(toBig).reduce(_ add _).doubleValue
+            else nn.map(_.asInstanceOf[Number].doubleValue).sum
+          java.lang.Double.valueOf(sumD / nn.length)
+      }
+  }
+
   def eval(n: Node, ctx: Ctx): Any = n match {
     case Lit(v)  => v
     case Cur(_, idx) => ctx.cur(idx)
     case Nav(v, _, first, off, idx) => ctx.nav(v, idx, first, off)
+    case Agg(fn, v, _, idx) => aggFold(fn, ctx.aggVals(v, idx))
     case Cmp(op, l, r) =>
       val a = eval(l, ctx); val b = eval(r, ctx)
       if (a == null || b == null) null
@@ -575,6 +656,21 @@ object MrPredicate {
           if (off < asc.length) asc(off) else -1
         }
       if (rowI < 0 || g(rowI).isNullAt(colIdx)) null else g(rowI).get(colIdx)
+    }
+    def aggVals(v: String, colIdx: Int): Seq[Any] = {
+      val ms = if (v.isEmpty) null else members(v).map(_.toLowerCase).toSet
+      def inVar(name: String): Boolean = {
+        val s = MatchRecognize.stripExcl(name).toLowerCase
+        ms == null || ms(s)
+      }
+      val rows = scala.collection.mutable.ArrayBuffer.empty[Int]
+      acc.foreach { case (ri, vn) => if (inVar(vn)) rows += ri }
+      if (inVar(ownVar)) rows += curIdx // the tentative current mapping
+      rows.sorted.map { ri =>
+        if (colIdx < 0) java.lang.Boolean.TRUE // COUNT(*) placeholder
+        else if (g(ri).isNullAt(colIdx)) null
+        else g(ri).get(colIdx)
+      }.toSeq
     }
   }
 }

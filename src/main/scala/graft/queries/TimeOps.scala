@@ -258,6 +258,29 @@ object TimeOps {
         .orderBy(col("user_id"), col("a_eid"))
     }),
 
+    // RUNNING aggregates in DEFINE (SQL:2016): `SUM(A.dval) <= cap` is
+    // the greedy sequence-packing idiom — pack consecutive events while
+    // the running total stays under the budget. Decimal cast keeps the
+    // running sum exact on both engines; SKIP TO NEXT ROW makes every
+    // start independent, and greedy A+ stops at the FIRST failing row,
+    // so the DuckDB replay is "first prefix-sum overshoot" per start —
+    // correct even if values were negative.
+    "mr_pack_runs" -> ((s, d) => {
+      val ev = t(s, d, "events").withColumn("dval",
+        col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+      val clause =
+        """PARTITION BY user_id ORDER BY ts, event_id
+          |MEASURES FIRST(A.event_id) AS a_eid, FIRST(A.ts) AS a_ts,
+          |         COUNT(*) AS n, SUM(A.dval) AS total
+          |AFTER MATCH SKIP TO NEXT ROW
+          |PATTERN (A+)
+          |DEFINE A AS SUM(A.dval) <= 25""".stripMargin
+      graft.dialect.MatchRecognize.run(ev,
+          graft.dialect.MatchRecognize.parseClause(clause))
+        .withColumn("total", col("total").cast("double"))
+        .orderBy(col("user_id"), col("a_eid"))
+    }),
+
     "time_funnel" -> ((s, d) => {
       val ev = t(s, d, "events")
       val us = unix_micros _
@@ -475,6 +498,36 @@ object TimeOps {
         |FROM matches m
         |JOIN segs t ON t.user_id = m.user_id AND t.rn = m.cend
         |ORDER BY m.user_id, m.a_eid""".stripMargin,
+
+    // Sequence-packing replay: per start row, the run ends just before
+    // the first row whose running (exact decimal) sum overshoots the
+    // budget — COALESCE to the partition end when nothing overshoots.
+    "mr_pack_runs" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(value AS DECIMAL(18,4)) AS dval,
+        |    ROW_NUMBER() OVER w AS rn,
+        |    SUM(CAST(value AS DECIMAL(18,4))) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS csum
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |runs AS (
+        |  SELECT s.user_id, s.rn AS s_rn, s.event_id AS a_eid,
+        |    s.ts AS a_ts, s.csum - s.dval AS base,
+        |    COALESCE(
+        |      (SELECT MIN(j.rn) FROM e j WHERE j.user_id = s.user_id
+        |         AND j.rn >= s.rn
+        |         AND j.csum - (s.csum - s.dval) > 25) - 1,
+        |      (SELECT MAX(j.rn) FROM e j WHERE j.user_id = s.user_id)
+        |    ) AS endr
+        |  FROM e s)
+        |SELECT r.user_id, r.a_eid, r.a_ts, r.endr - r.s_rn + 1 AS n,
+        |  CAST(t.csum - r.base AS DOUBLE) AS total
+        |FROM runs r
+        |JOIN e t ON t.user_id = r.user_id AND t.rn = r.endr
+        |WHERE r.endr >= r.s_rn
+        |ORDER BY r.user_id, r.a_eid""".stripMargin,
 
     // Aggregate-measure replay: per-island FINAL aggregates, exact
     // decimal sums emitted as double (QHelpers determinism rule).

@@ -851,6 +851,64 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(out == Seq((1L, 6.0)))
   }
 
+  test("aggregate DEFINE: running SUM packs greedy runs under a budget") {
+    // SUM(A.v) <= 10 over v=[4,3,5,2,9,1]: start 1 packs [4,3] (12>10
+    // at seq 3), start 2 packs [3,5,2], start 3 packs [5,2], start 4
+    // packs [2], start 5 no match (9... wait 9<=10 → packs [9,1]),
+    // start 6 packs [1]. SKIP TO NEXT ROW = every start independent.
+    val df = Seq((1L, 1L, 4L), (1L, 2L, 3L), (1L, 3L, 5L),
+      (1L, 4L, 2L), (1L, 5L, 9L), (1L, 6L, 1L)).toDF("uid", "seq", "v")
+    val clause =
+      """PARTITION BY uid ORDER BY seq
+        |MEASURES FIRST(A.seq) AS s, COUNT(*) AS n, SUM(A.v) AS total
+        |AFTER MATCH SKIP TO NEXT ROW
+        |PATTERN (A+)
+        |DEFINE A AS SUM(A.v) <= 10""".stripMargin
+    val out = MatchRecognize.run(df, parseClause(clause))
+      .orderBy("s")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq((1L, 2L, 7L), (2L, 3L, 10L), (3L, 2L, 7L),
+      (4L, 1L, 2L), (5L, 2L, 10L), (6L, 1L, 1L)))
+  }
+
+  test("aggregate DEFINE: COUNT/AVG/MIN/MAX forms and null skipping") {
+    // COUNT(*) caps the run length regardless of values
+    val df = Seq((1L, 1L, 5.0), (1L, 2L, 5.0), (1L, 3L, 5.0), (1L, 4L, 5.0))
+      .toDF("uid", "seq", "v")
+    val capped = MatchRecognize.run(df, parseClause(
+      """PARTITION BY uid ORDER BY seq
+        |MEASURES FIRST(A.seq) AS s, COUNT(*) AS n
+        |PATTERN (A+) DEFINE A AS COUNT(*) <= 3""".stripMargin))
+      .orderBy("s").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(capped == Seq((1L, 3L), (4L, 1L))) // SKIP PAST LAST ROW
+    // AVG with a cross variable: B continues while the B-average stays
+    // at or under double the A row's value
+    val df2 = Seq((1L, 1L, 4.0), (1L, 2L, 6.0), (1L, 3L, 8.0), (1L, 4L, 20.0))
+      .toDF("uid", "seq", "v")
+    val avg = MatchRecognize.run(df2, parseClause(
+      """PARTITION BY uid ORDER BY seq
+        |MEASURES FIRST(A.seq) AS s, COUNT(B.*) AS nb
+        |PATTERN (A B+) DEFINE B AS AVG(B.v) <= A.v * 2""".stripMargin))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    // B run: avg(6)=6<=8 ✓, avg(6,8)=7<=8 ✓, avg(6,8,20)=11.33>8 ✗
+    assert(avg == Seq((1L, 2L)))
+    // COUNT(V.c) skips nulls; MIN/MAX compare within mapped rows
+    val df3 = Seq((1L, 1L, Some(3.0)), (1L, 2L, None), (1L, 3L, Some(5.0)))
+      .toDF("uid", "seq", "v")
+    val cnt = MatchRecognize.run(df3, parseClause(
+      """PARTITION BY uid ORDER BY seq
+        |MEASURES COUNT(*) AS n
+        |PATTERN (A+) DEFINE A AS COUNT(A.v) <= 1 AND MAX(A.v) <= 99""".stripMargin))
+      .orderBy(desc("n")).collect().map(_.getLong(1)).toSeq
+    // rows 1+2 pack (one non-null v), row 3 alone
+    assert(cnt == Seq(2L, 1L))
+    // SUM(*) is invalid; AVG over a string column errors clearly
+    val e = intercept[IllegalArgumentException](MatchRecognize.run(df,
+      parseClause("""PARTITION BY uid ORDER BY seq MEASURES COUNT(*) AS n
+        |PATTERN (A+) DEFINE A AS SUM(*) <= 3""".stripMargin)))
+    assert(e.getMessage.contains("only COUNT takes *"))
+  }
+
   test("cross-variable DEFINE: null semantics and error surfaces") {
     val df = Seq(
       (1L, 1L, "view", Some(5.0)), (1L, 2L, "click", None),      // null B.v
