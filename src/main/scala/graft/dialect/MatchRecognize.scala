@@ -122,6 +122,12 @@ object MatchRecognize {
   case object MAvg extends MKind
   case object MMin extends MKind
   case object MMax extends MKind
+  /** A general MEASURES expression over navigation/aggregates
+    * (`LAST(B.v) - FIRST(A.v)`, `SUM(B.v) / COUNT(B.*)`), carried as a
+    * [[MrPredicate]] AST in [[Measure.ast]]. Unqualified columns mean
+    * the universal variable's LAST row (FINAL = the match's last row in
+    * ONE-ROW mode, the current row under RUNNING in ALL-ROWS mode). */
+  case object MExpr extends MKind
   /** `offset` is the logical navigation offset of FIRST/LAST(V.c, n):
     * n-th mapped row from the start / from the end (0 = the default).
     * `finalSem`: the measure carried an explicit `FINAL` prefix —
@@ -129,7 +135,8 @@ object MatchRecognize {
     * match at every output row instead of the rows seen so far); in
     * ONE ROW PER MATCH output is FINAL regardless, as in SQL:2016. */
   case class Measure(kind: MKind, varName: String, colName: String,
-      alias: String, offset: Int = 0, finalSem: Boolean = false)
+      alias: String, offset: Int = 0, finalSem: Boolean = false,
+      ast: Option[MrPredicate.Node] = None)
 
   case class Spec(partitionBy: Seq[String], orderBy: Seq[String],
       measures: Seq[Measure], pattern: Pat, defines: Seq[(String, String)],
@@ -262,8 +269,22 @@ object MatchRecognize {
         case other      => fail(s"cannot parse DEFINE entry: $other")
       }
     }).getOrElse(Seq.empty)
+    // expression measures resolve variable qualifiers at parse time, so
+    // they need the full variable universe (pattern vars + subsets)
+    val allVarsForMeasures = {
+      def walk(p: Pat): Seq[String] = p match {
+        case PVar(n)    => Seq(n)
+        case PCat(is)   => is.flatMap(walk)
+        case PAlt(as)   => as.flatMap(walk)
+        case PQuant(q, _, _, _) => walk(q)
+        case PExcl(q)   => walk(q)
+        case PAnchor(_) => Seq.empty
+      }
+      walk(pattern).distinct ++ subsets.map(_._1)
+    }
     val measures = section("MEASURES")
-      .map(splitTop(_, ',').map(parseMeasure)).getOrElse(Seq.empty)
+      .map(splitTop(_, ',').map(parseMeasure(_, allVarsForMeasures)))
+      .getOrElse(Seq.empty)
     if (measures.isEmpty && !allRows)
       fail("MEASURES is required in this subset " +
         "(ONE ROW PER MATCH output is partition columns + measures)")
@@ -367,7 +388,7 @@ object MatchRecognize {
     }
   }
 
-  private def parseMeasure(s: String): Measure = {
+  private def parseMeasure(s: String, vars: Seq[String] = Seq.empty): Measure = {
     val asM = "(?is)^(.*\\S)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
     val (exprTxt, alias) = s.trim match {
       case asM(e, a) => (e.trim, a)
@@ -412,9 +433,13 @@ object MatchRecognize {
         // unqualified SUM(c) aggregates over the universal variable
         // (every matched row) — varName "" marks that, as in SQL:2016
         Measure(kind, if (v == null) "" else v, c, alias)
-      case other => fail("unsupported measure (supported: FIRST/LAST(V.c), " +
-        s"V.c, COUNT(V.*), COUNT(*), SUM/AVG/MIN/MAX([V.]c), " +
-        s"MATCH_NUMBER(), CLASSIFIER()): $other")
+      case other =>
+        // the general form: an expression over navigation/aggregates —
+        // `LAST(B.v) - FIRST(A.v)`, `SUM(B.v) / COUNT(B.*)`, a boolean
+        // comparison — parsed into the MrPredicate AST (which raises
+        // its own specific error on anything outside that grammar)
+        Measure(MExpr, "", "", alias,
+          ast = Some(MrPredicate.parse(other, "", vars)))
     }
     // Trino: RUNNING/FINAL prefix only navigation and aggregates —
     // MATCH_NUMBER()/CLASSIFIER() take neither
@@ -745,8 +770,18 @@ object MatchRecognize {
     val inSchema = arranged.schema
     def colType(c: String): DataType = inSchema(inSchema.fieldIndex(c)).dataType
     val inputCols = df.columns.toSeq // original columns, no __mr internals
-    val measureFields = spec.measures.map { m =>
+    // expression measures: bind column references and infer the output
+    // type now (plan time), not mid-scan
+    val resolvedMeasures = spec.measures.map { m =>
+      m.ast match {
+        case Some(a) => m.copy(ast = Some(MrPredicate.resolve(a, inSchema)))
+        case None    => m
+      }
+    }
+    val measureFields = resolvedMeasures.map { m =>
       (m.kind, m.colName, m.alias) match {
+        case (MExpr, _, a) =>
+          StructField(a, MrPredicate.exprType(m.ast.get, inSchema))
         case (MFirst | MLast, c, a) => StructField(a, colType(c))
         case (MClassifier, _, a)    => StructField(a, StringType)
         case (MSum, c, a) => StructField(a, sumOutType(colType(c), c))
@@ -774,10 +809,10 @@ object MatchRecognize {
     val flagIdx: Map[String, Int] =
       varNames.map(v => v -> inSchema.fieldIndex(DefPrefix + v)).toMap
     val measureIdx: Seq[MeasureExec] =
-      spec.measures.zip(measureFields).map { case (m, f) =>
+      resolvedMeasures.zip(measureFields).map { case (m, f) =>
         MeasureExec(m.kind, m.varName,
           if (m.colName.nonEmpty) inSchema.fieldIndex(m.colName) else -1,
-          m.offset, f.dataType, m.finalSem)
+          m.offset, f.dataType, m.finalSem, m.ast)
       }
     val pattern = spec.pattern
     val skip = spec.skip
@@ -799,9 +834,11 @@ object MatchRecognize {
   }
 
   /** Resolved execution form of one measure: field index instead of
-    * name, output type attached for the aggregate fold. */
+    * name, output type attached for the aggregate fold, the resolved
+    * expression AST for MExpr measures. */
   private[graft] case class MeasureExec(kind: MKind, varName: String,
-      cIdx: Int, offset: Int, dt: DataType, finalSem: Boolean)
+      cIdx: Int, offset: Int, dt: DataType, finalSem: Boolean,
+      ast: Option[MrPredicate.Node] = None)
 
   /** Output type of SUM(c): integral → bigint (Trino's widening),
     * float/double → double, decimal → precision+10 (Spark's sum rule);
@@ -988,7 +1025,7 @@ object MatchRecognize {
         }
       val vals = new Array[Any](outIdx.length + measures.length)
       outIdx.indices.foreach(i => vals(i) = g(start).get(outIdx(i)))
-      measures.zipWithIndex.foreach { case (MeasureExec(kind, v, cIdx, off, dt, _), mi) =>
+      measures.zipWithIndex.foreach { case (MeasureExec(kind, v, cIdx, off, dt, _, ast), mi) =>
         val slot = outIdx.length + mi
         vals(slot) = kind match {
           case MFirst =>
@@ -1003,6 +1040,9 @@ object MatchRecognize {
             assigned.headOption.map(a => stripExcl(a._2)).orNull
           case MSum | MAvg | MMin | MMax =>
             aggOver(kind, dt, varRows(v).map(r => g(r).get(cIdx)))
+          case MExpr => // FINAL: the whole match; unqualified cols = last row
+            MrPredicate.coerce(MrPredicate.eval(ast.get,
+              new MrPredicate.MatchCtx(g, asc, asc.last._1, membersOf)), dt)
         }
       }
       Row.fromSeq(vals.toIndexedSeq)
@@ -1022,6 +1062,9 @@ object MatchRecognize {
       val rowsOf = scala.collection.mutable
         .HashMap.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
       val allSoFar = scala.collection.mutable.ArrayBuffer.empty[Int]
+      // ascending (row, strippedVar) prefix for RUNNING expression
+      // measures (grows with the scan; FINAL ones see the whole `asc`)
+      val soFarPairs = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
       var seen = 0L
       ascRaw.flatMap { case (rowI, rawName) =>
         // an excluded row updates the RUNNING state (it is part of the
@@ -1031,11 +1074,12 @@ object MatchRecognize {
         rowsOf.getOrElseUpdate(varName,
           scala.collection.mutable.ArrayBuffer.empty[Int]) += rowI
         allSoFar += rowI
+        soFarPairs += ((rowI, varName))
         seen += 1L
         if (excluded) None else {
         val vals = new Array[Any](outIdx.length + measures.length)
         outIdx.indices.foreach(i => vals(i) = g(rowI).get(outIdx(i)))
-        measures.zipWithIndex.foreach { case (MeasureExec(kind, v, cIdx, off, dt, fin), mi) =>
+        measures.zipWithIndex.foreach { case (MeasureExec(kind, v, cIdx, off, dt, fin, ast), mi) =>
           val slot = outIdx.length + mi
           // RUNNING (the ALL-mode default): state as of this row;
           // FINAL: the whole match on every row. "" = universal;
@@ -1063,6 +1107,13 @@ object MatchRecognize {
             case MClassifier  => varName
             case MSum | MAvg | MMin | MMax =>
               aggOver(kind, dt, varRows.map(r => g(r).get(cIdx)))
+            case MExpr =>
+              // RUNNING (default): rows so far, unqualified cols = this
+              // row; FINAL: the whole match, cols = its last row
+              val ctx =
+                if (fin) new MrPredicate.MatchCtx(g, asc, asc.last._1, membersOf)
+                else new MrPredicate.MatchCtx(g, soFarPairs.toSeq, rowI, membersOf)
+              MrPredicate.coerce(MrPredicate.eval(ast.get, ctx), dt)
           }
         }
         Some(Row.fromSeq(vals.toIndexedSeq))

@@ -447,6 +447,78 @@ object MrPredicate {
     }
   }
 
+  // ---------- output typing (expression MEASURES) ----------
+
+  /** Output DataType of an expression measure. Rules: navigation and
+    * MIN/MAX keep the column type; COUNT is bigint; AVG is double; SUM
+    * widens (integral → bigint, floating → double, decimal → +10
+    * precision); comparisons/boolean ops are boolean; arithmetic over
+    * two integrals is bigint, anything involving a floating-point or
+    * decimal operand (or any `/`) is double — decimal arithmetic is
+    * computed EXACTLY (BigDecimal) and rounded once at emission, so the
+    * double output is deterministic and order-independent. */
+  def exprType(n: Node, schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    def colT(idx: Int): DataType = schema(idx).dataType
+    def numeric(dt: DataType, what: String): DataType = dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | _: DecimalType => dt
+      case other => fail(s"$what requires a numeric operand " +
+        s"(got ${other.simpleString})")
+    }
+    n match {
+      case Lit(null) => fail("a bare NULL literal needs context to type; " +
+        "use it inside a comparison or IS NULL")
+      case Lit(_: java.lang.Long)         => LongType
+      case Lit(_: java.math.BigDecimal)   => DoubleType
+      case Lit(_: String)                 => StringType
+      case Lit(_: java.lang.Boolean)      => BooleanType
+      case Lit(other) => fail(s"unsupported literal type: $other")
+      case Cur(_, idx) => colT(idx)
+      case Nav(_, _, _, _, idx) => colT(idx)
+      case Agg("count", _, _, _) => LongType
+      case Agg("avg", _, c, idx) =>
+        numeric(colT(idx), s"AVG($c)"); DoubleType
+      case Agg("sum", _, c, idx) => numeric(colT(idx), s"SUM($c)") match {
+        case ByteType | ShortType | IntegerType | LongType => LongType
+        case FloatType | DoubleType => DoubleType
+        case d: DecimalType =>
+          DecimalType(math.min(38, d.precision + 10), d.scale)
+        case other => other // unreachable
+      }
+      case Agg(_, _, _, idx) => colT(idx) // min/max keep the column type
+      case Cmp(_, _, _) | And(_, _) | Or(_, _) | Not(_) | IsNull(_, _) =>
+        BooleanType
+      case Neg(e) => exprType(e, schema) match {
+        case FloatType => DoubleType
+        case dt => numeric(dt, "unary minus")
+      }
+      case Arith(op, l, r) =>
+        val (lt, rt) = (numeric(exprType(l, schema), s"'$op'"),
+          numeric(exprType(r, schema), s"'$op'"))
+        if (op == '/') DoubleType
+        else (lt, rt) match {
+          case (ByteType | ShortType | IntegerType | LongType,
+                ByteType | ShortType | IntegerType | LongType) => LongType
+          case _ => DoubleType
+        }
+    }
+  }
+
+  /** Align an evaluated value with the declared output type (decimal
+    * scale, exact-BigDecimal → double, integral width). */
+  def coerce(v: Any, dt: org.apache.spark.sql.types.DataType): Any = {
+    import org.apache.spark.sql.types._
+    (v, dt) match {
+      case (null, _) => null
+      case (n: Number, DoubleType)   => java.lang.Double.valueOf(n.doubleValue)
+      case (n: Number, LongType)     => java.lang.Long.valueOf(n.longValue)
+      case (b: java.math.BigDecimal, d: DecimalType) => b.setScale(d.scale)
+      case (other, _) => other
+    }
+  }
+
   // ---------- evaluation ----------
 
   /** Value sources for one evaluation: the row under test and the
@@ -613,6 +685,36 @@ object MrPredicate {
     case null => false
     case other => fail(s"DEFINE predicate is not boolean-valued " +
       s"(got ${other.getClass.getSimpleName})")
+  }
+
+  /** Ctx over a COMPLETED (or prefix of a) match, for expression
+    * MEASURES: `asc` is the ascending (rowIdx, strippedVar) assignment
+    * list, `curRow` the row unqualified column references denote (the
+    * match's last row under FINAL, the current output row under
+    * RUNNING). No tentative row — navigation/aggregates see exactly
+    * `asc`. */
+  final class MatchCtx(g: Array[Row], asc: Seq[(Int, String)], curRow: Int,
+      members: String => Seq[String]) extends Ctx {
+    def cur(idx: Int): Any =
+      if (curRow < 0 || g(curRow).isNullAt(idx)) null else g(curRow).get(idx)
+    private def rowsOf(v: String): Seq[Int] =
+      if (v.isEmpty) asc.map(_._1)
+      else {
+        val ms = members(v).map(_.toLowerCase).toSet
+        asc.collect { case (ri, vn) if ms(vn.toLowerCase) => ri }
+      }
+    def nav(v: String, colIdx: Int, first: Boolean, off: Int): Any = {
+      val rows = rowsOf(v)
+      val i = if (first) off else rows.length - 1 - off
+      if (i < 0 || i >= rows.length || g(rows(i)).isNullAt(colIdx)) null
+      else g(rows(i)).get(colIdx)
+    }
+    def aggVals(v: String, colIdx: Int): Seq[Any] =
+      rowsOf(v).map { ri =>
+        if (colIdx < 0) java.lang.Boolean.TRUE
+        else if (g(ri).isNullAt(colIdx)) null
+        else g(ri).get(colIdx)
+      }
   }
 
   /** Convenience Ctx over a group of rows + the in-flight assignment

@@ -281,6 +281,28 @@ object TimeOps {
         .orderBy(col("user_id"), col("a_eid"))
     }),
 
+    // Expression MEASURES (new in r13): arithmetic/comparison over
+    // navigation and aggregates — `LAST(B.value) - FIRST(A.value)`,
+    // `SUM(B.dval) / COUNT(B.*)` (exact decimal sum, one double
+    // division), a LONG expression, and a boolean comparison. Replayed
+    // in DuckDB as per-island aggregates joined to the preceding view.
+    "mr_funnel_delta" -> ((s, d) => {
+      val ev = t(s, d, "events").withColumn("dval",
+        col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+      val clause =
+        """PARTITION BY user_id ORDER BY ts, event_id
+          |MEASURES FIRST(A.ts) AS start_ts,
+          |         LAST(B.value) - FIRST(A.value) AS delta,
+          |         SUM(B.dval) / COUNT(B.*) AS per_click,
+          |         COUNT(B.*) * 2 + 1 AS odd_clicks,
+          |         LAST(B.value) > FIRST(A.value) AS improved
+          |PATTERN (A B+)
+          |DEFINE A AS event_type = 'view', B AS event_type = 'click'""".stripMargin
+      graft.dialect.MatchRecognize.run(ev,
+          graft.dialect.MatchRecognize.parseClause(clause))
+        .orderBy(col("user_id"), col("start_ts"))
+    }),
+
     "time_funnel" -> ((s, d) => {
       val ev = t(s, d, "events")
       val us = unix_micros _
@@ -528,6 +550,34 @@ object TimeOps {
         |JOIN e t ON t.user_id = r.user_id AND t.rn = r.endr
         |WHERE r.endr >= r.s_rn
         |ORDER BY r.user_id, r.a_eid""".stripMargin,
+
+    // Expression-measure replay: per-island aggregates (last click
+    // value via arg_max on the row number) joined to the preceding
+    // view; double arithmetic is IEEE-identical across engines, the
+    // decimal sum exact before its one double division.
+    "mr_funnel_delta" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |clicks AS (
+        |  SELECT user_id, value, rn,
+        |    rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+        |  FROM e WHERE event_type = 'click'),
+        |islands AS (
+        |  SELECT user_id, MIN(rn) AS first_rn, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+        |      AS per_click,
+        |    ARG_MAX(value, rn) AS last_val
+        |  FROM clicks GROUP BY user_id, grp)
+        |SELECT i.user_id, v.ts AS start_ts,
+        |  i.last_val - v.value AS delta, i.per_click,
+        |  i.n * 2 + 1 AS odd_clicks,
+        |  i.last_val > v.value AS improved
+        |FROM islands i
+        |JOIN e v ON v.user_id = i.user_id AND v.rn = i.first_rn - 1
+        |WHERE v.event_type = 'view'
+        |ORDER BY i.user_id, start_ts""".stripMargin,
 
     // Aggregate-measure replay: per-island FINAL aggregates, exact
     // decimal sums emitted as double (QHelpers determinism rule).

@@ -28,9 +28,9 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented counts") {
-    assert(SparkEntry.queries.size == 181,
+    assert(SparkEntry.queries.size == 182,
       s"queries=${SparkEntry.queries.size} — update README/ContractSpec together")
-    assert(SparkEntry.oracleSql.size == 162,
+    assert(SparkEntry.oracleSql.size == 163,
       s"oracles=${SparkEntry.oracleSql.size} — update README/ContractSpec together")
   }
 }

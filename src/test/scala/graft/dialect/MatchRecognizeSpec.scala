@@ -909,6 +909,63 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(e.getMessage.contains("only COUNT takes *"))
   }
 
+  test("expression MEASURES: arithmetic/boolean over navigation, typing") {
+    val df = Seq(
+      (1L, 1L, "view", 10.0), (1L, 2L, "click", 4.0), (1L, 3L, "click", 16.0),
+      (1L, 4L, "view", 8.0), (1L, 5L, "click", 2.0))
+      .toDF("uid", "seq", "ev", "v")
+    val clause =
+      """PARTITION BY uid ORDER BY seq
+        |MEASURES FIRST(A.seq) AS s,
+        |         LAST(B.v) - FIRST(A.v) AS delta,
+        |         SUM(B.v) / COUNT(B.*) AS per_b,
+        |         COUNT(B.*) * 2 + 1 AS odd,
+        |         LAST(B.v) > FIRST(A.v) AS up
+        |PATTERN (A B+)
+        |DEFINE A AS ev = 'view', B AS ev = 'click'""".stripMargin
+    val out = MatchRecognize.run(df, parseClause(clause)).orderBy("s")
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getBoolean(5))).toSeq
+    assert(out == Seq(
+      (1L, 6.0, 10.0, 5L, true),    // 16-10, (4+16)/2, 2*2+1
+      (4L, -6.0, 2.0, 3L, false)))  // 2-8, 2/1, 1*2+1
+  }
+
+  test("expression MEASURES: RUNNING vs FINAL in ALL ROWS mode; errors") {
+    val df = Seq((1L, 1L, "view", 10.0), (1L, 2L, "click", 4.0),
+      (1L, 3L, "click", 16.0)).toDF("uid", "seq", "ev", "v")
+    val clause =
+      """PARTITION BY uid ORDER BY seq
+        |MEASURES SUM(B.v) + 0 AS run_sum, FINAL (SUM(B.v) + 0) AS tot_sum,
+        |         v - FIRST(A.v) AS rel
+        |ALL ROWS PER MATCH
+        |PATTERN (A B+)
+        |DEFINE A AS ev = 'view', B AS ev = 'click'""".stripMargin
+    val out = MatchRecognize.run(df, parseClause(clause)).orderBy("seq")
+      .collect().map { r =>
+        (r.getLong(1), // seq
+          if (r.isNullAt(4)) null else r.getDouble(4),   // run_sum
+          r.getDouble(5), r.getDouble(6))                // tot_sum, rel
+      }.toSeq
+    // RUNNING sum is NULL on the A row (no B yet), grows along B rows;
+    // FINAL repeats the whole-match sum; unqualified v = the CURRENT
+    // row under RUNNING
+    assert(out == Seq((1L, null, 20.0, 0.0), (2L, 4.0, 20.0, -6.0),
+      (3L, 20.0, 20.0, 6.0)))
+    // arithmetic over a string column errors at plan time with the type
+    val e = intercept[IllegalArgumentException](MatchRecognize.run(df,
+      parseClause("""PARTITION BY uid ORDER BY seq
+        |MEASURES LAST(B.ev) + 1 AS bad
+        |PATTERN (A B+) DEFINE B AS ev = 'click'""".stripMargin)))
+    assert(e.getMessage.contains("numeric"))
+    // an unknown function in a measure expression errors with guidance
+    val e2 = intercept[IllegalArgumentException](parseClause(
+      """PARTITION BY uid ORDER BY seq
+        |MEASURES upper(ev) AS bad
+        |PATTERN (A B+) DEFINE B AS ev = 'click'""".stripMargin))
+    assert(e2.getMessage.contains("not supported"))
+  }
+
   test("cross-variable DEFINE: null semantics and error surfaces") {
     val df = Seq(
       (1L, 1L, "view", Some(5.0)), (1L, 2L, "click", None),      // null B.v
