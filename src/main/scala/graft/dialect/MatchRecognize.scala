@@ -741,6 +741,22 @@ object MatchRecognize {
       else
         crossAsts(v) = MrPredicate.parse(navved, v, allVarNames)
     }
+    // PREV/NEXT inside expression MEASURES (and any PNav the textual
+    // DEFINE rewrite missed) ride the same lag/lead columns: lower each
+    // PNav carrier onto the nav column it needs (registered here,
+    // computed by Catalyst below)
+    val registerNav: (Boolean, String, Int) => String = (isPrev, c, n) => {
+      val rc = resolve(c)
+      navCols += ((isPrev, rc, n))
+      navColName(isPrev, rc, n)
+    }
+    crossAsts.mapValuesInPlace((_, a) => MrPredicate.lowerPNav(a, registerNav))
+    val measuresLowered = spec.measures.map { m =>
+      m.ast match {
+        case Some(a) => m.copy(ast = Some(MrPredicate.lowerPNav(a, registerNav)))
+        case None => m
+      }
+    }
     val w = Window.partitionBy(spec.partitionBy.map(col): _*)
       .orderBy(spec.orderBy.map(col): _*)
     var prepared = df
@@ -772,7 +788,7 @@ object MatchRecognize {
     val inputCols = df.columns.toSeq // original columns, no __mr internals
     // expression measures: bind column references and infer the output
     // type now (plan time), not mid-scan
-    val resolvedMeasures = spec.measures.map { m =>
+    val resolvedMeasures = measuresLowered.map { m =>
       m.ast match {
         case Some(a) => m.copy(ast = Some(MrPredicate.resolve(a, inSchema)))
         case None    => m

@@ -64,6 +64,13 @@ object MrPredicate {
     * (`COUNT(*)` / `COUNT(V.*)`), otherwise non-null values. */
   case class Agg(fn: String, v: String, colName: String,
       idx: Int = -1) extends Node
+  /** `PREV/NEXT(col[, n])` — PHYSICAL navigation (the n-th
+    * previous/following partition ROW). Only a parse-time carrier: the
+    * planner lowers it onto the window lag/lead column it prepares
+    * before the scan (a plain [[Cur]] by then), so it never reaches
+    * typing or evaluation. DEFINE texts rewrite PREV/NEXT before this
+    * parser runs; MEASURES expressions carry them through this node. */
+  case class PNav(isPrev: Boolean, colName: String, n: Int) extends Node
   case class Cmp(op: String, l: Node, r: Node) extends Node
   case class Arith(op: Char, l: Node, r: Node) extends Node
   case class Neg(e: Node) extends Node
@@ -349,6 +356,26 @@ object MrPredicate {
           peek.contains(TOp("(")) => navArgs(first = false)
       case TIdent(s) if AggFns(s.toLowerCase) && peek.contains(TOp("(")) =>
         aggArgs(s.toLowerCase)
+      case TIdent(s) if (s.equalsIgnoreCase("PREV") ||
+          s.equalsIgnoreCase("NEXT")) && peek.contains(TOp("(")) =>
+        expectOp("(")
+        val c = next() match {
+          case TIdent(col) => col
+          case other => fail(s"${s.toUpperCase} takes an unqualified " +
+            s"column (physical navigation): got $other")
+        }
+        val n = peek match {
+          case Some(TOp(",")) =>
+            next()
+            next() match {
+              case TNum(ns) if !ns.contains('.') => ns.toInt
+              case other => fail(s"${s.toUpperCase} offset must be an " +
+                s"integer: $other")
+            }
+          case _ => 1
+        }
+        expectOp(")")
+        PNav(s.equalsIgnoreCase("PREV"), c, n)
       case TIdent(s) if peek.contains(TOp(".")) =>
         next() // consume '.'
         next() match {
@@ -422,6 +449,24 @@ object MrPredicate {
 
   // ---------- resolution ----------
 
+  /** Lower every [[PNav]] (PREV/NEXT physical navigation) onto the
+    * current-row column named by `rename` — the planner registers the
+    * matching window lag/lead column at the same time. Must run before
+    * [[resolve]]/[[exprType]]/[[eval]], which treat PNav as internal. */
+  def lowerPNav(n: Node, rename: (Boolean, String, Int) => String): Node =
+    n match {
+      case PNav(p, c, k) => Cur(rename(p, c, k))
+      case Cmp(op, l, r) => Cmp(op, lowerPNav(l, rename), lowerPNav(r, rename))
+      case Arith(op, l, r) =>
+        Arith(op, lowerPNav(l, rename), lowerPNav(r, rename))
+      case Neg(e) => Neg(lowerPNav(e, rename))
+      case And(l, r) => And(lowerPNav(l, rename), lowerPNav(r, rename))
+      case Or(l, r) => Or(lowerPNav(l, rename), lowerPNav(r, rename))
+      case Not(e) => Not(lowerPNav(e, rename))
+      case IsNull(e, neg) => IsNull(lowerPNav(e, rename), neg)
+      case other => other
+    }
+
   /** Resolve column names to field indices against the scan schema
     * (case-insensitive, SQL identifier semantics). */
   def resolve(n: Node, schema: StructType): Node = {
@@ -444,6 +489,10 @@ object MrPredicate {
       case Not(e) => Not(resolve(e, schema))
       case IsNull(e, neg) => IsNull(resolve(e, schema), neg)
       case lit: Lit => lit
+      case PNav(p, c, _) => fail(s"internal: un-lowered " +
+        s"${if (p) "PREV" else "NEXT"}($c) reached resolution — " +
+        "PREV/NEXT are only available in DEFINE and MEASURES of a " +
+        "planned MATCH_RECOGNIZE (not the streaming face)")
     }
   }
 
@@ -503,6 +552,9 @@ object MrPredicate {
                 ByteType | ShortType | IntegerType | LongType) => LongType
           case _ => DoubleType
         }
+      case PNav(p, c, _) =>
+        fail(s"internal: un-lowered ${if (p) "PREV" else "NEXT"}($c) " +
+          "reached typing")
     }
   }
 
@@ -677,6 +729,9 @@ object MrPredicate {
     }
     case IsNull(e, negated) =>
       java.lang.Boolean.valueOf((eval(e, ctx) == null) != negated)
+    case PNav(p, c, _) =>
+      fail(s"internal: un-lowered ${if (p) "PREV" else "NEXT"}($c) " +
+        "reached evaluation")
   }
 
   /** Evaluate to the match decision: UNKNOWN → false. */

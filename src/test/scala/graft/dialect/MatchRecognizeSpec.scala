@@ -966,6 +966,25 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(e2.getMessage.contains("not supported"))
   }
 
+  test("expression MEASURES: PREV/NEXT physical navigation") {
+    // delta vs the row BEFORE the match start (PREV anchors at the
+    // measure's row: the match's last row in ONE-ROW/FINAL mode)
+    val df = Seq((1L, 1L, 5.0), (1L, 2L, 7.0), (1L, 3L, 9.0))
+      .toDF("uid", "seq", "v")
+    val clause =
+      """PARTITION BY uid ORDER BY seq
+        |MEASURES LAST(B.seq) AS s, v - PREV(v) AS step,
+        |         NEXT(v) IS NULL AS at_end
+        |PATTERN (B)
+        |DEFINE B AS v > 0
+        |AFTER MATCH SKIP TO NEXT ROW""".stripMargin
+    val out = MatchRecognize.run(df, parseClause(clause)).orderBy("s")
+      .collect().map(r => (r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2), r.getBoolean(3))).toSeq
+    // row 1: no PREV → null step; rows 2,3: +2 each; NEXT null only at 3
+    assert(out == Seq((1L, null, false), (2L, 2.0, false), (3L, 2.0, true)))
+  }
+
   test("cross-variable DEFINE: null semantics and error surfaces") {
     val df = Seq(
       (1L, 1L, "view", Some(5.0)), (1L, 2L, "click", None),      // null B.v
