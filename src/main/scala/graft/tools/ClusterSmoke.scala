@@ -34,6 +34,10 @@ object ClusterSmoke {
       // aggregate MEASURES: the aggOver fold (BigDecimal sums) runs
       // inside the executor-side MatchIterator
       "mr_funnel_agg",
+      // interpreted DEFINE/MEASURES paths (r13): the MrPredicate AST
+      // (cross-variable refs, running aggregates, expression measures)
+      // must serialize into executor-side MatchIterators too
+      "mr_vshape", "mr_pack_runs", "mr_funnel_delta",
       // BM25 incremental merge: the touched-bucket terms swap is
       // RENAME-based (write tmp buckets, fs.rename into terms/) and the
       // corpus_stats file is driver-written — this run proves the swap
