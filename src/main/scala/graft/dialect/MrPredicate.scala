@@ -604,7 +604,10 @@ object MrPredicate {
     case (x: Number, y: Number) =>
       if (isDecimal(x) || isDecimal(y)) toBig(x).compareTo(toBig(y))
       else if (isFloating(x) || isFloating(y))
-        java.lang.Double.compare(x.doubleValue, y.doubleValue)
+        // + 0.0 normalizes -0.0 to +0.0 (Spark/SQL equality; plain
+        // Double.compare would order them); NaN keeps Spark's
+        // NaN = NaN / NaN-greatest semantics via Double.compare
+        java.lang.Double.compare(x.doubleValue + 0.0d, y.doubleValue + 0.0d)
       else java.lang.Long.compare(x.longValue, y.longValue)
     case (x: Comparable[_], y) if x.getClass == y.getClass =>
       x.asInstanceOf[Comparable[Any]].compareTo(y)

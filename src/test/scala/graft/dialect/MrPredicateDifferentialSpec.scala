@@ -1,0 +1,135 @@
+package graft.dialect
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Differential check of the MrPredicate interpreter against Catalyst
+  * on their SHARED surface: random boolean expressions over current-row
+  * columns (no pattern navigation) must evaluate to the same
+  * true/false/UNKNOWN as Spark's `expr(...)` on the same single-row
+  * relation — comparisons, arithmetic, AND/OR/NOT three-valued logic,
+  * IS NULL, BETWEEN, IN, literals, nulls.
+  *
+  * The generator keeps arithmetic within one numeric family (long /
+  * double / decimal) and never compares decimal against double: Spark
+  * resolves those mixes by casting decimal THROUGH double while the
+  * interpreter compares exactly — a deliberate, documented difference
+  * (exactness) that would otherwise flag boundary artifacts instead of
+  * bugs.
+  */
+class MrPredicateDifferentialSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("la", LongType), StructField("lb", LongType),
+    StructField("da", DoubleType), StructField("db", DoubleType),
+    StructField("ca", DecimalType(18, 4)), StructField("cb", DecimalType(18, 4)),
+    StructField("sa", StringType), StructField("sb", StringType)))
+
+  /** One expression + row pair per case. Families: 0=long 1=double
+    * 2=decimal 3=string. */
+  private final class Gen(rnd: scala.util.Random) {
+    def longLit(): String = rnd.nextInt(21) - 10 + ""
+    def dblLit(): String = {
+      val v = (rnd.nextInt(4001) - 2000) / 100.0
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    }
+    def strLit(): String = "'" + ("abc".charAt(rnd.nextInt(3)).toString * (1 + rnd.nextInt(2))) + "'"
+    def atom(fam: Int): String = fam match {
+      case 0 => if (rnd.nextBoolean()) (if (rnd.nextBoolean()) "la" else "lb") else longLit()
+      case 1 => if (rnd.nextBoolean()) (if (rnd.nextBoolean()) "da" else "db") else dblLit()
+      case 2 => if (rnd.nextBoolean()) (if (rnd.nextBoolean()) "ca" else "cb") else dblLit()
+      case _ => if (rnd.nextBoolean()) (if (rnd.nextBoolean()) "sa" else "sb") else strLit()
+    }
+    /** numeric expression within one family */
+    def num(fam: Int, depth: Int): String =
+      if (depth <= 0 || rnd.nextInt(3) == 0) atom(fam)
+      else rnd.nextInt(5) match {
+        case 0 => s"(${num(fam, depth - 1)} + ${num(fam, depth - 1)})"
+        case 1 => s"(${num(fam, depth - 1)} - ${num(fam, depth - 1)})"
+        case 2 => s"(${num(fam, depth - 1)} * ${num(fam, depth - 1)})"
+        case 3 if fam == 1 => s"(${num(fam, depth - 1)} / ${num(fam, depth - 1)})"
+        case _ => s"(- ${num(fam, depth - 1)})"
+      }
+    def cmp(): String = {
+      val fam = rnd.nextInt(4)
+      if (fam == 3) {
+        val op = Seq("=", "<>", "<", "<=", ">", ">=")(rnd.nextInt(6))
+        s"${atom(3)} $op ${atom(3)}"
+      } else rnd.nextInt(6) match {
+        case 0 => s"${num(fam, 1)} IS NULL"
+        case 1 => s"${num(fam, 1)} IS NOT NULL"
+        case 2 => s"${num(fam, 2)} BETWEEN ${num(fam, 1)} AND ${num(fam, 1)}"
+        case 3 if fam == 0 =>
+          s"${atom(0)} IN (${longLit()}, ${longLit()}, ${longLit()})"
+        case _ =>
+          val op = Seq("=", "<>", "<", "<=", ">", ">=", "!=")(rnd.nextInt(7))
+          // long vs double / long vs decimal mixes are fine; decimal vs
+          // double is not (Spark widens through double, we stay exact)
+          val rfam = fam match {
+            case 0 => Seq(0, 1, 2)(rnd.nextInt(3))
+            case f => f
+          }
+          s"${num(fam, 2)} $op ${num(rfam, 2)}"
+      }
+    }
+    def pred(depth: Int): String =
+      if (depth <= 0 || rnd.nextInt(3) == 0) cmp()
+      else rnd.nextInt(3) match {
+        case 0 => s"(${pred(depth - 1)}) AND (${pred(depth - 1)})"
+        case 1 => s"(${pred(depth - 1)}) OR (${pred(depth - 1)})"
+        case _ => s"NOT (${pred(depth - 1)})"
+      }
+    def rowVals(): Seq[Any] = {
+      def mayNull[T](v: T): Any = if (rnd.nextInt(5) == 0) null else v
+      Seq(mayNull(rnd.nextInt(21).toLong - 10),
+        mayNull(rnd.nextInt(21).toLong - 10),
+        mayNull((rnd.nextInt(4001) - 2000) / 100.0),
+        mayNull((rnd.nextInt(4001) - 2000) / 100.0),
+        mayNull(new java.math.BigDecimal((rnd.nextInt(4001) - 2000) / 100.0)
+          .setScale(4, java.math.RoundingMode.HALF_UP)),
+        mayNull(new java.math.BigDecimal((rnd.nextInt(4001) - 2000) / 100.0)
+          .setScale(4, java.math.RoundingMode.HALF_UP)),
+        mayNull("abc".charAt(rnd.nextInt(3)).toString),
+        mayNull("abc".charAt(rnd.nextInt(3)).toString * 2))
+    }
+  }
+
+  test("interpreter agrees with Catalyst on 400 random boolean expressions") {
+    val rnd = new scala.util.Random(20260815L)
+    val gen = new Gen(rnd)
+    val ctxOf: Row => MrPredicate.Ctx = row => new MrPredicate.Ctx {
+      def cur(idx: Int): Any = if (row.isNullAt(idx)) null else row.get(idx)
+      def nav(v: String, colIdx: Int, first: Boolean, off: Int): Any =
+        fail("no navigation in this differential")
+      def aggVals(v: String, colIdx: Int): Seq[Any] =
+        fail("no aggregates in this differential")
+    }
+    var checked = 0
+    (1 to 400).foreach { i =>
+      val text = gen.pred(3)
+      val vals = gen.rowVals()
+      val row = Row.fromSeq(vals)
+      val df = spark.createDataFrame(
+        java.util.Collections.singletonList(row), schema)
+      val sparkOut: Option[Boolean] = {
+        val r = df.select(expr(text).cast("boolean").as("b")).collect()(0)
+        if (r.isNullAt(0)) None else Some(r.getBoolean(0))
+      }
+      val mine: Option[Boolean] =
+        MrPredicate.eval(
+          MrPredicate.resolve(MrPredicate.parse(text, "X", Nil), schema),
+          ctxOf(row)) match {
+          case null => None
+          case b: java.lang.Boolean => Some(b.booleanValue)
+          case other => fail(s"non-boolean from interpreter: $other ($text)")
+        }
+      assert(mine == sparkOut,
+        s"case $i diverged: $text over $vals — interpreter=$mine catalyst=$sparkOut")
+      checked += 1
+    }
+    assert(checked == 400)
+  }
+}
