@@ -605,9 +605,18 @@ class MatchRecognizeSpec extends SparkSpec {
       "PATTERN (A{3,1})", "PATTERN (A** )", "PATTERN ({- -})",
       "SUBSET U = (A, B)", "SUBSET U =", "SUBSET = (A)",
       "DEFINE A AS ev = 'view'", "DEFINE B AS PREV(x, 2) > NEXT(x)",
-      "DEFINE", "'order by measures'", "pattern_id >= 0", ", ,", "((", "))")
+      "DEFINE", "'order by measures'", "pattern_id >= 0", ", ,", "((", "))",
+      // the r13 interpreted surface: cross refs, aggregates, expression
+      // measures — the PARSER layer must stay total over fragment soup
+      "DEFINE B AS B.v > A.v", "DEFINE B AS SUM(B.v) <= 25 AND Z.q = 1",
+      "DEFINE C AS v BETWEEN LAST(U.v) - 2 AND", "DEFINE A AS COUNT(",
+      "DEFINE A AS AVG(A.v) < FIRST(B.v, 999999999999)",
+      "MEASURES LAST(B.v) - FIRST(A.v) AS d", "MEASURES SUM(B.v) / COUNT(B.*) AS r",
+      "MEASURES v - PREV(v) AS step, NEXT(v) IS NULL AS e",
+      "MEASURES 1 + AS broken", "MEASURES (A.v AS x",
+      "MEASURES upper(x) AS u", "MEASURES A.v IN (1, 2,")
     var specs = 0; var rejects = 0
-    (1 to 2000).foreach { i =>
+    (1 to 4000).foreach { i =>
       val n = 1 + rnd.nextInt(6)
       val clause = Seq.fill(n)(frags(rnd.nextInt(frags.length))).mkString(" ")
       try { parseClause(clause); specs += 1 }
