@@ -26,12 +26,17 @@ import org.apache.spark.sql.types._
   *  - `ONE ROW PER MATCH` (the default) — output is partition columns
   *    + measures with FINAL semantics — and `ALL ROWS PER MATCH`
   *    — one output row per MATCHED row carrying every input column +
-  *    RUNNING-semantics measures. `SHOW`/`OMIT EMPTY MATCHES` are
-  *    accepted as the plain form (no pattern here can match empty);
-  *    `WITH UNMATCHED ROWS` additionally emits every unmatched row
-  *    with all measures (incl. MATCH_NUMBER/CLASSIFIER) NULL —
-  *    requires SKIP PAST LAST ROW, whose disjoint matches make
-  *    "unmatched" well-defined
+  *    RUNNING-semantics measures. EMPTY matches (nullable patterns,
+  *    `PATTERN (B*)`) are real: one output row at the site (null
+  *    navigation/CLASSIFIER, COUNT 0, MATCH_NUMBER assigned), the scan
+  *    resuming at the next row; ONE-ROW mode always includes them,
+  *    ALL-ROWS `SHOW EMPTY MATCHES` (the default) includes and
+  *    `OMIT EMPTY MATCHES` suppresses them. `WITH UNMATCHED ROWS`
+  *    additionally emits every unmatched row with all measures (incl.
+  *    MATCH_NUMBER/CLASSIFIER) NULL — requires SKIP PAST LAST ROW,
+  *    whose disjoint matches make "unmatched" well-defined, and
+  *    rejects nullable patterns (an empty-match site row would be
+  *    both matched and unmatched)
   *  - `SUBSET U = (A, B)` union variables, usable wherever a pattern
   *    variable is (MEASURES navigation/aggregates, AFTER MATCH SKIP
   *    TO): U's mapped rows are the union of its members' rows
@@ -142,7 +147,8 @@ object MatchRecognize {
       measures: Seq[Measure], pattern: Pat, defines: Seq[(String, String)],
       skip: SkipMode = SkipPastLast, allRows: Boolean = false,
       withUnmatched: Boolean = false,
-      subsets: Seq[(String, Seq[String])] = Seq.empty) {
+      subsets: Seq[(String, Seq[String])] = Seq.empty,
+      omitEmpty: Boolean = false) {
     lazy val vars: Seq[String] = {
       def walk(p: Pat): Seq[String] = p match {
         case PVar(n)    => Seq(n)
@@ -216,14 +222,17 @@ object MatchRecognize {
         val end = if (idx + 1 < ordered.length) ordered(idx + 1)._1 else src.length
         src.substring(pos + k.length, end).trim
       }
-    // SHOW/OMIT EMPTY MATCHES are equivalent here: the subset rejects
-    // patterns that can match empty, so no empty match ever exists
-    val (allRows, withUnmatched) = section("ALL ROWS PER MATCH")
+    // SHOW EMPTY MATCHES is the ALL-mode default (SQL:2016): an empty
+    // match emits one row (the site row's columns, measures over the
+    // empty set, MATCH_NUMBER assigned); OMIT suppresses those rows.
+    // ONE ROW PER MATCH always includes empty matches (no SHOW/OMIT
+    // syntax exists for it, as in Trino).
+    val (allRows, withUnmatched, omitEmpty) = section("ALL ROWS PER MATCH")
         .map(_.toUpperCase.replaceAll("\\s+", " ").trim) match {
-      case None => (false, false)
-      case Some("") | Some("SHOW EMPTY MATCHES") |
-           Some("OMIT EMPTY MATCHES") => (true, false)
-      case Some("WITH UNMATCHED ROWS") => (true, true)
+      case None => (false, false, false)
+      case Some("") | Some("SHOW EMPTY MATCHES") => (true, false, false)
+      case Some("OMIT EMPTY MATCHES") => (true, false, true)
+      case Some("WITH UNMATCHED ROWS") => (true, true, false)
       case Some(rest) =>
         fail(s"unsupported ALL ROWS PER MATCH variant: $rest")
     }
@@ -261,7 +270,14 @@ object MatchRecognize {
     val patternTxt = section("PATTERN")
       .getOrElse(fail("PATTERN is required"))
     val pattern = parsePattern(patternTxt)
-    if (nullable(pattern)) fail("pattern must not match an empty sequence")
+    // a nullable pattern produces EMPTY matches (SQL:2016) — supported
+    // in ONE-ROW and ALL-ROWS SHOW/OMIT modes; rejected only combined
+    // with WITH UNMATCHED ROWS, where a row that is the site of an
+    // empty match would be simultaneously "in a match" and "unmatched"
+    if (nullable(pattern) && withUnmatched)
+      fail("a pattern that can match empty cannot combine with " +
+        "WITH UNMATCHED ROWS (an empty-match site row would be both " +
+        "matched and unmatched)")
     val defines = section("DEFINE").map(splitTop(_, ',').map { d =>
       val m = "(?is)^\\s*([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s+(.+)$".r
       d.trim match {
@@ -289,7 +305,7 @@ object MatchRecognize {
       fail("MEASURES is required in this subset " +
         "(ONE ROW PER MATCH output is partition columns + measures)")
     val spec = Spec(partCols, orderCols, measures, pattern, defines, skip,
-      allRows, withUnmatched, subsets)
+      allRows, withUnmatched, subsets, omitEmpty)
     // unmatched-row accounting relies on SKIP PAST LAST ROW's disjoint
     // matches (each row is mapped by at most one match); the
     // overlapping skip modes would need a full mapped-row set
@@ -610,7 +626,7 @@ object MatchRecognize {
     }
   }
 
-  private def nullable(p: Pat): Boolean = p match {
+  private[graft] def nullable(p: Pat): Boolean = p match {
     case PVar(_)         => false
     case PAnchor(_)      => true // consumes no row
     case PExcl(q)        => nullable(q)
@@ -842,10 +858,11 @@ object MatchRecognize {
       crossAsts.map { case (v, ast) =>
         v -> MrPredicate.resolve(ast, inSchema)
       }.toMap
+    val omitEmpty = spec.omitEmpty
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     arranged.mapPartitions { it =>
       new MatchIterator(it, partIdx, keyIdx, flagIdx, pattern, measureIdx,
-        skip, allRows, withUnmatched, subsetMap, crossPreds)
+        skip, allRows, withUnmatched, subsetMap, crossPreds, omitEmpty)
     }(enc)
   }
 
@@ -981,7 +998,8 @@ object MatchRecognize {
       measures: Seq[MeasureExec], skip: SkipMode,
       allRows: Boolean, withUnmatched: Boolean = false,
       subsets: Map[String, Seq[String]] = Map.empty,
-      crossPreds: Map[String, MrPredicate.Node] = Map.empty)
+      crossPreds: Map[String, MrPredicate.Node] = Map.empty,
+      omitEmpty: Boolean = false)
       extends Iterator[Row] {
 
     /** Real variables a measure/skip target stands for: a subset name
@@ -1058,7 +1076,8 @@ object MatchRecognize {
             aggOver(kind, dt, varRows(v).map(r => g(r).get(cIdx)))
           case MExpr => // FINAL: the whole match; unqualified cols = last row
             MrPredicate.coerce(MrPredicate.eval(ast.get,
-              new MrPredicate.MatchCtx(g, asc, asc.last._1, membersOf)), dt)
+              new MrPredicate.MatchCtx(g, asc,
+                if (asc.isEmpty) -1 else asc.last._1, membersOf)), dt)
         }
       }
       Row.fromSeq(vals.toIndexedSeq)
@@ -1137,6 +1156,26 @@ object MatchRecognize {
       }
     }
 
+    /** An EMPTY match in ALL ROWS PER MATCH (SHOW EMPTY MATCHES): one
+      * output row carrying the site row's input columns; navigation,
+      * CLASSIFIER() and aggregates are NULL over the empty set, COUNT
+      * is 0, MATCH_NUMBER() is assigned (SQL:2016 / Trino). */
+    private def emitEmptyMatch(g: Array[Row], rowI: Int, matchNo: Long): Row = {
+      val vals = new Array[Any](outIdx.length + measures.length)
+      outIdx.indices.foreach(i => vals(i) = g(rowI).get(outIdx(i)))
+      measures.zipWithIndex.foreach { case (MeasureExec(kind, _, _, _, dt, _, ast), mi) =>
+        val slot = outIdx.length + mi
+        vals(slot) = kind match {
+          case MCountVar | MCountStar => 0L
+          case MMatchNumber => matchNo
+          case MExpr => MrPredicate.coerce(MrPredicate.eval(ast.get,
+            new MrPredicate.MatchCtx(g, Nil, -1, membersOf)), dt)
+          case _ => null
+        }
+      }
+      Row.fromSeq(vals.toIndexedSeq)
+    }
+
     /** WITH UNMATCHED ROWS: the row itself with every measure NULL
       * (Trino: measures, MATCH_NUMBER() and CLASSIFIER() are all null
       * on unmatched rows). Only reachable under SKIP PAST LAST ROW,
@@ -1155,7 +1194,17 @@ object MatchRecognize {
         var matchNo = 1L
         while (i < g.length) {
           val m = matchAt(g, i)
-          if (m != null) {
+          if (m != null && m._2.isEmpty) {
+            // EMPTY match (nullable pattern; greedy preference already
+            // tried every non-empty alternative first): one output row
+            // in ONE-ROW mode and in ALL-ROWS SHOW (suppressed by
+            // OMIT EMPTY MATCHES); consumes nothing, so the scan always
+            // resumes at the NEXT row (SQL:2016's empty-match rule,
+            // regardless of AFTER MATCH SKIP mode)
+            if (!allRows || !omitEmpty) out += emitEmptyMatch(g, i, matchNo)
+            matchNo += 1
+            i += 1
+          } else if (m != null) {
             if (allRows) out ++= emitAll(g, m._2, matchNo)
             else out += emitOne(g, i, m._1, m._2, matchNo)
             matchNo += 1

@@ -303,6 +303,23 @@ object TimeOps {
         .orderBy(col("user_id"), col("start_ts"))
     }),
 
+    // Empty matches (new in r13): PATTERN (B*) is nullable — every
+    // non-click row hosts an EMPTY match (null navigation, COUNT 0)
+    // while click runs match greedily; MATCH_NUMBER() numbers both
+    // kinds in scan order. DuckDB replay: click islands UNION the
+    // non-click rows, renumbered by start position.
+    "mr_empty_show" -> ((s, d) => {
+      val clause =
+        """PARTITION BY user_id ORDER BY ts, event_id
+          |MEASURES FIRST(B.ts) AS b_start, COUNT(B.*) AS n_b,
+          |         MATCH_NUMBER() AS mn
+          |PATTERN (B*)
+          |DEFINE B AS event_type = 'click'""".stripMargin
+      graft.dialect.MatchRecognize.run(t(s, d, "events"),
+          graft.dialect.MatchRecognize.parseClause(clause))
+        .orderBy(col("user_id"), col("mn"))
+    }),
+
     "time_funnel" -> ((s, d) => {
       val ev = t(s, d, "events")
       val us = unix_micros _
@@ -578,6 +595,33 @@ object TimeOps {
         |JOIN e v ON v.user_id = i.user_id AND v.rn = i.first_rn - 1
         |WHERE v.event_type = 'view'
         |ORDER BY i.user_id, start_ts""".stripMargin,
+
+    // Empty-match replay: click islands (non-empty matches) UNION every
+    // non-click row (an empty match at its position), MATCH_NUMBER
+    // renumbered over both by start row.
+    "mr_empty_show" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |clicks AS (
+        |  SELECT user_id, ts, rn,
+        |    rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+        |  FROM e WHERE event_type = 'click'),
+        |islands AS (
+        |  SELECT user_id, MIN(rn) AS start_rn, MIN(ts) AS b_start,
+        |    COUNT(*) AS n_b
+        |  FROM clicks GROUP BY user_id, grp),
+        |m AS (
+        |  SELECT user_id, start_rn, b_start, n_b FROM islands
+        |  UNION ALL
+        |  SELECT user_id, rn AS start_rn, CAST(NULL AS TIMESTAMP) AS b_start,
+        |    CAST(0 AS BIGINT) AS n_b
+        |  FROM e WHERE event_type <> 'click')
+        |SELECT user_id, b_start, n_b,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY start_rn) AS mn
+        |FROM m
+        |ORDER BY user_id, mn""".stripMargin,
 
     // Aggregate-measure replay: per-island FINAL aggregates, exact
     // decimal sums emitted as double (QHelpers determinism rule).

@@ -516,6 +516,10 @@ object Streams {
     require(!spec.hasAnchor && !spec.hasExclusion,
       "matchRecognizeStream: ^/$ anchors and {- -} exclusions are not " +
         "available over a stream (no partition end exists)")
+    require(!MatchRecognize.nullable(spec.pattern),
+      "matchRecognizeStream: patterns that can match empty are not " +
+        "available over a stream (every row would host an empty match, " +
+        "and the buffer-advance logic assumes progress)")
     // the output shape is the FIXED MrMatch record (start/end ts, row
     // count, match number) — validate that the clause's MEASURES stay
     // inside that set instead of silently ignoring them: a caller

@@ -402,8 +402,11 @@ class MatchRecognizeSpec extends SparkSpec {
       .contains("SKIP PAST LAST ROW"))
     assert(err("ORDER BY x MEASURES COUNT(*) AS n AFTER MATCH SKIP TO LAST Z PATTERN (A) DEFINE A AS true")
       .contains("unknown variable"))
-    assert(err("ORDER BY x MEASURES COUNT(*) AS n PATTERN (A*) DEFINE A AS true")
-      .contains("empty sequence"))
+    // nullable patterns are legal (empty matches) EXCEPT combined with
+    // WITH UNMATCHED ROWS, whose "unmatched" accounting they'd blur
+    assert(err("ORDER BY x MEASURES COUNT(*) AS n " +
+      "ALL ROWS PER MATCH WITH UNMATCHED ROWS PATTERN (A*) DEFINE A AS true")
+      .contains("match empty"))
     assert(err("MEASURES COUNT(*) AS n PATTERN (A) DEFINE A AS true")
       .contains("ORDER BY"))
     assert(err("ORDER BY x MEASURES COUNT(*) AS n PATTERN (A) DEFINE B AS true")
@@ -973,6 +976,48 @@ class MatchRecognizeSpec extends SparkSpec {
         |MEASURES upper(ev) AS bad
         |PATTERN (A B+) DEFINE B AS ev = 'click'""".stripMargin))
     assert(e2.getMessage.contains("not supported"))
+  }
+
+  test("empty matches: ONE ROW PER MATCH emits them with null navigation") {
+    // B* over [click, view, click, click, view]: greedy prefers the
+    // non-empty run; every non-click row hosts an EMPTY match (COUNT 0,
+    // null navigation/CLASSIFIER, MATCH_NUMBER assigned), and the scan
+    // advances one row after each empty match
+    val df = funnel(Seq((1L, 1L, "click"), (1L, 2L, "view"),
+      (1L, 3L, "click"), (1L, 4L, "click"), (1L, 5L, "view")))
+    val clause =
+      """PARTITION BY uid ORDER BY seq
+        |MEASURES FIRST(B.seq) AS s, COUNT(B.*) AS n, MATCH_NUMBER() AS mn,
+        |         CLASSIFIER() AS cls
+        |PATTERN (B*)
+        |DEFINE B AS ev = 'click'""".stripMargin
+    val out = MatchRecognize.run(df, parseClause(clause)).orderBy("mn")
+      .collect().map(r => (if (r.isNullAt(1)) null else r.getLong(1),
+        r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) null else r.getString(4))).toSeq
+    assert(out == Seq(
+      (1L, 1L, 1L, "B"),      // run [1]
+      (null, 0L, 2L, null),   // empty at the view (seq 2)
+      (3L, 2L, 3L, "B"),      // run [3,4]
+      (null, 0L, 4L, null)))  // empty at seq 5
+  }
+
+  test("empty matches: ALL ROWS SHOW vs OMIT EMPTY MATCHES") {
+    val df = funnel(Seq((1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "view")))
+    def run(mode: String) = MatchRecognize.run(df, parseClause(
+      s"""PARTITION BY uid ORDER BY seq
+         |MEASURES MATCH_NUMBER() AS mn, COUNT(*) AS n
+         |ALL ROWS PER MATCH $mode
+         |PATTERN (B*)
+         |DEFINE B AS ev = 'click'""".stripMargin)).orderBy("seq")
+      .collect().map(r => (r.getLong(1), r.getLong(3), r.getLong(4))).toSeq
+    // SHOW (default): empty matches at seqs 1 and 3 emit the site row
+    // with COUNT 0; the click run emits its row with COUNT 1
+    assert(run("SHOW EMPTY MATCHES") ==
+      Seq((1L, 1L, 0L), (2L, 2L, 1L), (3L, 3L, 0L)))
+    assert(run("") == run("SHOW EMPTY MATCHES")) // SHOW is the default
+    // OMIT: only the non-empty match's rows survive, numbering unchanged
+    assert(run("OMIT EMPTY MATCHES") == Seq((2L, 2L, 1L)))
   }
 
   test("expression MEASURES: PREV/NEXT physical navigation") {
