@@ -149,17 +149,7 @@ object MatchRecognize {
       withUnmatched: Boolean = false,
       subsets: Seq[(String, Seq[String])] = Seq.empty,
       omitEmpty: Boolean = false) {
-    lazy val vars: Seq[String] = {
-      def walk(p: Pat): Seq[String] = p match {
-        case PVar(n)    => Seq(n)
-        case PCat(is)   => is.flatMap(walk)
-        case PAlt(as)   => as.flatMap(walk)
-        case PQuant(q, _, _, _) => walk(q)
-        case PExcl(q)   => walk(q)
-        case PAnchor(_) => Seq.empty
-      }
-      walk(pattern).distinct
-    }
+    lazy val vars: Seq[String] = patternVars(pattern)
     lazy val hasExclusion: Boolean = {
       def walk(p: Pat): Boolean = p match {
         case PExcl(_) => true
@@ -185,6 +175,20 @@ object MatchRecognize {
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"MATCH_RECOGNIZE: $msg")
+
+  /** Distinct pattern variables in appearance order — the one Pat walk
+    * shared by Spec.vars and the measure parser's variable universe. */
+  private def patternVars(p0: Pat): Seq[String] = {
+    def walk(p: Pat): Seq[String] = p match {
+      case PVar(n)    => Seq(n)
+      case PCat(is)   => is.flatMap(walk)
+      case PAlt(as)   => as.flatMap(walk)
+      case PQuant(q, _, _, _) => walk(q)
+      case PExcl(q)   => walk(q)
+      case PAnchor(_) => Seq.empty
+    }
+    walk(p0).distinct
+  }
 
   // ---------- clause parser ----------
 
@@ -287,17 +291,7 @@ object MatchRecognize {
     }).getOrElse(Seq.empty)
     // expression measures resolve variable qualifiers at parse time, so
     // they need the full variable universe (pattern vars + subsets)
-    val allVarsForMeasures = {
-      def walk(p: Pat): Seq[String] = p match {
-        case PVar(n)    => Seq(n)
-        case PCat(is)   => is.flatMap(walk)
-        case PAlt(as)   => as.flatMap(walk)
-        case PQuant(q, _, _, _) => walk(q)
-        case PExcl(q)   => walk(q)
-        case PAnchor(_) => Seq.empty
-      }
-      walk(pattern).distinct ++ subsets.map(_._1)
-    }
+    val allVarsForMeasures = patternVars(pattern) ++ subsets.map(_._1)
     val measures = section("MEASURES")
       .map(splitTop(_, ',').map(parseMeasure(_, allVarsForMeasures)))
       .getOrElse(Seq.empty)
@@ -728,8 +722,14 @@ object MatchRecognize {
     val navRe = ("(?i)\\b(PREV|NEXT)\\s*\\(\\s*" +
       "(?:([A-Za-z_][A-Za-z0-9_]*)\\s*\\.\\s*)?([A-Za-z_][A-Za-z0-9_]*)" +
       "\\s*(?:,\\s*(\\d+)\\s*)?\\)").r
-    def rewriteNav(v: String, pred: String): String =
-      navRe.replaceAllIn(pred, m => {
+    def rewriteNav(v: String, pred: String): String = {
+      // quote-masked: a 'PREV(x)' inside a string literal is data, not
+      // navigation — rewriting (or rejecting the qualified form) there
+      // would corrupt a working predicate
+      val masked = quoteMask(pred)
+      val sb = new StringBuilder
+      var last = 0
+      navRe.findAllMatchIn(pred).filterNot(m => masked(m.start)).foreach { m =>
         val isPrev = m.group(1).equalsIgnoreCase("PREV")
         Option(m.group(2)).foreach { q =>
           if (!q.equalsIgnoreCase(v))
@@ -740,8 +740,13 @@ object MatchRecognize {
         val c = resolve(m.group(3))
         val n = Option(m.group(4)).map(_.toInt).getOrElse(1)
         navCols += ((isPrev, c, n))
-        navColName(isPrev, c, n)
-      })
+        sb.append(pred.substring(last, m.start))
+          .append(navColName(isPrev, c, n))
+        last = m.end
+      }
+      sb.append(pred.substring(last))
+      sb.toString
+    }
     // Catalyst-evaluable defines → boolean flag text; cross-variable
     // defines → unresolved AST (column indices bound after the plan)
     val simpleDefs = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -856,7 +861,14 @@ object MatchRecognize {
     // there) — resolution errors surface at plan time, not mid-scan
     val crossPreds: Map[String, MrPredicate.Node] =
       crossAsts.map { case (v, ast) =>
-        v -> MrPredicate.resolve(ast, inSchema)
+        val resolved = MrPredicate.resolve(ast, inSchema)
+        // boolean-ness checked at PLAN time — a DEFINE like `B.v + A.v`
+        // must error here, not as a task failure mid-scan
+        val dt = MrPredicate.exprType(resolved, inSchema)
+        if (dt != BooleanType)
+          fail(s"DEFINE $v must be a boolean predicate " +
+            s"(got ${dt.simpleString}); add a comparison")
+        v -> resolved
       }.toMap
     val omitEmpty = spec.omitEmpty
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
@@ -1098,8 +1110,9 @@ object MatchRecognize {
         .HashMap.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
       val allSoFar = scala.collection.mutable.ArrayBuffer.empty[Int]
       // ascending (row, strippedVar) prefix for RUNNING expression
-      // measures (grows with the scan; FINAL ones see the whole `asc`)
-      val soFarPairs = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+      // measures — an immutable Vector so each row's snapshot is O(1)
+      // structural sharing, not an O(n) copy per output row
+      var soFarPairs = Vector.empty[(Int, String)]
       var seen = 0L
       ascRaw.flatMap { case (rowI, rawName) =>
         // an excluded row updates the RUNNING state (it is part of the
@@ -1109,7 +1122,7 @@ object MatchRecognize {
         rowsOf.getOrElseUpdate(varName,
           scala.collection.mutable.ArrayBuffer.empty[Int]) += rowI
         allSoFar += rowI
-        soFarPairs += ((rowI, varName))
+        soFarPairs :+= ((rowI, varName))
         seen += 1L
         if (excluded) None else {
         val vals = new Array[Any](outIdx.length + measures.length)
@@ -1147,7 +1160,7 @@ object MatchRecognize {
               // row; FINAL: the whole match, cols = its last row
               val ctx =
                 if (fin) new MrPredicate.MatchCtx(g, asc, asc.last._1, membersOf)
-                else new MrPredicate.MatchCtx(g, soFarPairs.toSeq, rowI, membersOf)
+                else new MrPredicate.MatchCtx(g, soFarPairs, rowI, membersOf)
               MrPredicate.coerce(MrPredicate.eval(ast.get, ctx), dt)
           }
         }

@@ -468,7 +468,11 @@ object MrPredicate {
     }
 
   /** Resolve column names to field indices against the scan schema
-    * (case-insensitive, SQL identifier semantics). */
+    * (case-insensitive, SQL identifier semantics), folding literal-only
+    * arithmetic as it goes — Catalyst's ConstantFolding evaluates a
+    * `7 % 0` subexpression at PLAN time even on a branch the runtime
+    * AND would short-circuit past, and the two evaluation classes must
+    * surface the same errors. */
   def resolve(n: Node, schema: StructType): Node = {
     def idxOf(c: String): Int = {
       val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(c))
@@ -476,14 +480,28 @@ object MrPredicate {
         s"(have: ${schema.fieldNames.filterNot(_.startsWith("__mr_")).mkString(", ")})")
       i
     }
+    // a context that must never be consulted: folding only touches
+    // literal-only subtrees
+    object NoCtx extends Ctx {
+      def cur(idx: Int): Any = fail("internal: fold touched a column")
+      def nav(v: String, colIdx: Int, first: Boolean, off: Int): Any =
+        fail("internal: fold touched navigation")
+      def aggVals(v: String, colIdx: Int): Seq[Any] =
+        fail("internal: fold touched an aggregate")
+    }
+    def fold(m: Node): Node = m match {
+      case Arith(_, _: Lit, _: Lit) | Neg(_: Lit) => Lit(eval(m, NoCtx))
+      case other => other
+    }
     n match {
       case c: Cur => c.copy(idx = idxOf(c.name))
       case v: Nav => v.copy(idx = idxOf(v.colName))
       case a: Agg =>
         if (a.colName.isEmpty) a else a.copy(idx = idxOf(a.colName))
       case Cmp(op, l, r) => Cmp(op, resolve(l, schema), resolve(r, schema))
-      case Arith(op, l, r) => Arith(op, resolve(l, schema), resolve(r, schema))
-      case Neg(e) => Neg(resolve(e, schema))
+      case Arith(op, l, r) =>
+        fold(Arith(op, resolve(l, schema), resolve(r, schema)))
+      case Neg(e) => fold(Neg(resolve(e, schema)))
       case And(l, r) => And(resolve(l, schema), resolve(r, schema))
       case Or(l, r) => Or(resolve(l, schema), resolve(r, schema))
       case Not(e) => Not(resolve(e, schema))
@@ -617,7 +635,23 @@ object MrPredicate {
 
   private def arith(op: Char, a: Any, b: Any): Any = (a, b) match {
     case (x: Number, y: Number) =>
-      if (op == '/')
+      // Spark 4 runs ANSI by default (this repo sets no override), so
+      // the Catalyst-evaluated DEFINE class THROWS on a zero divisor
+      // for EVERY numeric type, doubles included — and so does Trino.
+      // Matching that here keeps the two evaluation classes identical
+      // (verified empirically: DIVIDE_BY_ZERO / REMAINDER_BY_ZERO on
+      // double, decimal, and integral operands alike).
+      if ((op == '/' || op == '%') &&
+          (y match {
+            case d: java.math.BigDecimal  => d.signum == 0
+            case d: scala.math.BigDecimal => d.signum == 0
+            case n => n.doubleValue == 0.0
+          }))
+        throw new ArithmeticException(
+          s"MATCH_RECOGNIZE: ${if (op == '/') "division" else "remainder"} " +
+            "by zero in a DEFINE/MEASURES expression (ANSI semantics, " +
+            "matching the Catalyst-evaluated class)")
+      else if (op == '/')
         // Spark SQL: `/` is double division regardless of input types
         java.lang.Double.valueOf(x.doubleValue / y.doubleValue)
       else if (isDecimal(x) || isDecimal(y)) {
@@ -637,11 +671,12 @@ object MrPredicate {
           case '%' => dx % dy
         })
       } else {
+        // overflow-checked, as ANSI Spark's long arithmetic is
         val (lx, ly) = (x.longValue, y.longValue)
         java.lang.Long.valueOf(op match {
-          case '+' => lx + ly
-          case '-' => lx - ly
-          case '*' => lx * ly
+          case '+' => Math.addExact(lx, ly)
+          case '-' => Math.subtractExact(lx, ly)
+          case '*' => Math.multiplyExact(lx, ly)
           case '%' => lx % ly
         })
       }
@@ -683,8 +718,13 @@ object MrPredicate {
     case Nav(v, _, first, off, idx) => ctx.nav(v, idx, first, off)
     case Agg(fn, v, _, idx) => aggFold(fn, ctx.aggVals(v, idx))
     case Cmp(op, l, r) =>
-      val a = eval(l, ctx); val b = eval(r, ctx)
-      if (a == null || b == null) null
+      // left-first lazy null propagation, as Spark's BinaryComparison
+      // evaluates: a null LEFT operand never evaluates the right (so a
+      // zero-divisor there stays unobserved, exactly like Catalyst)
+      val a = eval(l, ctx)
+      if (a == null) return null
+      val b = eval(r, ctx)
+      if (b == null) null
       else {
         val c = cmpVals(a, b)
         java.lang.Boolean.valueOf(op match {
@@ -697,14 +737,16 @@ object MrPredicate {
         })
       }
     case Arith(op, l, r) =>
-      val a = eval(l, ctx); val b = eval(r, ctx)
-      if (a == null || b == null) null else arith(op, a, b)
+      val a = eval(l, ctx)
+      if (a == null) return null // lazy, mirroring Spark's BinaryArithmetic
+      val b = eval(r, ctx)
+      if (b == null) null else arith(op, a, b)
     case Neg(e) => eval(e, ctx) match {
       case null => null
       case b: java.math.BigDecimal => b.negate
       case d: java.lang.Double => java.lang.Double.valueOf(-d.doubleValue)
       case f: java.lang.Float  => java.lang.Double.valueOf(-f.doubleValue)
-      case x: Number => java.lang.Long.valueOf(-x.longValue)
+      case x: Number => java.lang.Long.valueOf(Math.negateExact(x.longValue))
       case other => fail(s"cannot negate ${other.getClass.getSimpleName}")
     }
     case And(l, r) =>

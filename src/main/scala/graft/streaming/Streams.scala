@@ -513,6 +513,18 @@ object Streams {
     require(!spec.defines.exists(d => d._2.toUpperCase.contains("PREV") ||
         d._2.toUpperCase.contains("NEXT")),
       "matchRecognizeStream: PREV/NEXT are not available over a stream")
+    // the batch planner routes these to the interpreted matcher, which
+    // needs row VALUES — the stream's state keeps only boolean flags,
+    // so reject with the same clear message style as the other limits
+    // (otherwise expr() would die later on an opaque AnalysisException
+    // about aggregates in a row-level projection)
+    spec.defines.foreach { case (v, pred) =>
+      require(!graft.dialect.MrPredicate.needsInterpreter(pred,
+          spec.vars.filterNot(_.equalsIgnoreCase(v)) ++ spec.subsets.map(_._1)),
+        s"matchRecognizeStream: DEFINE $v uses cross-variable references, " +
+          "FIRST/LAST navigation, or aggregates — not available over a " +
+          "stream (state keeps flags, not row values)")
+    }
     require(!spec.hasAnchor && !spec.hasExclusion,
       "matchRecognizeStream: ^/$ anchors and {- -} exclusions are not " +
         "available over a stream (no partition end exists)")

@@ -1074,6 +1074,33 @@ class MatchRecognizeSpec extends SparkSpec {
       parseClause("""PARTITION BY uid ORDER BY seq MEASURES COUNT(*) AS n
         |PATTERN (A B) DEFINE B AS B.nope > A.v""".stripMargin)))
     assert(e4.getMessage.contains("nope"))
+    // a non-boolean cross predicate errors at PLAN time, not mid-scan
+    val e5 = intercept[IllegalArgumentException](MatchRecognize.run(df,
+      parseClause("""PARTITION BY uid ORDER BY seq MEASURES COUNT(*) AS n
+        |PATTERN (A B) DEFINE B AS B.v + A.v""".stripMargin)))
+    assert(e5.getMessage.contains("boolean"))
+    // a 'PREV(x)' inside a string literal is data — never rewritten,
+    // never rejected (quote-masked nav rewrite)
+    val lit2 = MatchRecognize.run(df, parseClause(
+      """PARTITION BY uid ORDER BY seq MEASURES COUNT(*) AS n
+        |PATTERN (A B)
+        |DEFINE A AS ev = 'view', B AS ev <> 'NEXT(A.ts)'""".stripMargin))
+      .collect()
+    assert(lit2.length == 2)
+    // zero divisors THROW (Spark 4 ANSI + Trino semantics — never a
+    // silent Infinity): the interpreted class matches the Catalyst one
+    val zf = Seq((1L, 1L, "view", 0.0), (1L, 2L, "click", 7.0))
+      .toDF("uid", "seq", "ev", "v")
+    val ze = intercept[Exception] {
+      MatchRecognize.run(zf, parseClause(
+        """PARTITION BY uid ORDER BY seq MEASURES COUNT(*) AS n
+          |PATTERN (A B)
+          |DEFINE A AS ev = 'view', B AS B.v / A.v > 1""".stripMargin))
+        .collect()
+    }
+    def arithChain(t: Throwable): Boolean = t != null &&
+      (t.isInstanceOf[ArithmeticException] || arithChain(t.getCause))
+    assert(arithChain(ze), s"expected an ArithmeticException chain: $ze")
   }
 
   test("SUM/AVG/MIN/MAX measures: FINAL semantics in ONE ROW PER MATCH") {

@@ -31,9 +31,12 @@ class MrPredicateDifferentialSpec extends SparkSpec {
   /** One expression + row pair per case. Families: 0=long 1=double
     * 2=decimal 3=string. */
   private final class Gen(rnd: scala.util.Random) {
-    def longLit(): String = rnd.nextInt(21) - 10 + ""
+    // zero appears 1-in-6 so zero-divisor NULL semantics (Spark
+    // non-ANSI: x/0 and x%0 are NULL for every numeric type) get hit
+    def longLit(): String =
+      if (rnd.nextInt(6) == 0) "0" else rnd.nextInt(21) - 10 + ""
     def dblLit(): String = {
-      val v = (rnd.nextInt(4001) - 2000) / 100.0
+      val v = if (rnd.nextInt(6) == 0) 0.0 else (rnd.nextInt(4001) - 2000) / 100.0
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     }
     def strLit(): String = "'" + ("abc".charAt(rnd.nextInt(3)).toString * (1 + rnd.nextInt(2))) + "'"
@@ -43,14 +46,27 @@ class MrPredicateDifferentialSpec extends SparkSpec {
       case 2 => if (rnd.nextBoolean()) (if (rnd.nextBoolean()) "ca" else "cb") else dblLit()
       case _ => if (rnd.nextBoolean()) (if (rnd.nextBoolean()) "sa" else "sb") else strLit()
     }
-    /** numeric expression within one family */
+    /** numeric expression within one family. Divisors are a COLUMN or a
+      * nonzero literal: a constant zero divisor sits in the gray zone
+      * between Catalyst's selective ANSI constant folding and runtime
+      * short-circuiting (Spark itself surfaces it or not depending on
+      * optimizer internals), while a column divisor that is zero at
+      * runtime must throw identically in both evaluators. */
+    def divisor(fam: Int): String =
+      if (rnd.nextBoolean())
+        (if (fam == 0) (if (rnd.nextBoolean()) "la" else "lb")
+         else if (rnd.nextBoolean()) "da" else "db")
+      else if (fam == 0) (1 + rnd.nextInt(9)).toString
+      else String.format(java.util.Locale.ROOT, "%.2f",
+        Double.box((1 + rnd.nextInt(400)) / 100.0))
     def num(fam: Int, depth: Int): String =
       if (depth <= 0 || rnd.nextInt(3) == 0) atom(fam)
       else rnd.nextInt(5) match {
         case 0 => s"(${num(fam, depth - 1)} + ${num(fam, depth - 1)})"
         case 1 => s"(${num(fam, depth - 1)} - ${num(fam, depth - 1)})"
         case 2 => s"(${num(fam, depth - 1)} * ${num(fam, depth - 1)})"
-        case 3 if fam == 1 => s"(${num(fam, depth - 1)} / ${num(fam, depth - 1)})"
+        case 3 if fam == 1 => s"(${num(fam, depth - 1)} / ${divisor(fam)})"
+        case 3 if fam == 0 => s"(${num(fam, depth - 1)} % ${divisor(fam)})"
         case _ => s"(- ${num(fam, depth - 1)})"
       }
     def cmp(): String = {
@@ -114,17 +130,30 @@ class MrPredicateDifferentialSpec extends SparkSpec {
       val row = Row.fromSeq(vals)
       val df = spark.createDataFrame(
         java.util.Collections.singletonList(row), schema)
-      val sparkOut: Option[Boolean] = {
-        val r = df.select(expr(text).cast("boolean").as("b")).collect()(0)
-        if (r.isNullAt(0)) None else Some(r.getBoolean(0))
-      }
-      val mine: Option[Boolean] =
-        MrPredicate.eval(
+      // outcomes: Right(true/false/UNKNOWN) or Left("arith") — Spark 4
+      // runs ANSI, so zero divisors THROW in both evaluators
+      def isArith(e: Throwable): Boolean =
+        e != null && (e.isInstanceOf[ArithmeticException] ||
+          (e.getMessage != null && (e.getMessage.contains("DIVIDE_BY_ZERO") ||
+            e.getMessage.contains("REMAINDER_BY_ZERO") ||
+            e.getMessage.contains("ARITHMETIC_OVERFLOW"))) ||
+          isArith(e.getCause))
+      val sparkOut: Either[String, Option[Boolean]] =
+        try {
+          val r = df.select(expr(text).cast("boolean").as("b")).collect()(0)
+          Right(if (r.isNullAt(0)) None else Some(r.getBoolean(0)))
+        } catch {
+          case e: Throwable if isArith(e) => Left("arith")
+        }
+      val mine: Either[String, Option[Boolean]] =
+        try MrPredicate.eval(
           MrPredicate.resolve(MrPredicate.parse(text, "X", Nil), schema),
           ctxOf(row)) match {
-          case null => None
-          case b: java.lang.Boolean => Some(b.booleanValue)
+          case null => Right(None)
+          case b: java.lang.Boolean => Right(Some(b.booleanValue))
           case other => fail(s"non-boolean from interpreter: $other ($text)")
+        } catch {
+          case e: ArithmeticException => Left("arith")
         }
       assert(mine == sparkOut,
         s"case $i diverged: $text over $vals — interpreter=$mine catalyst=$sparkOut")
