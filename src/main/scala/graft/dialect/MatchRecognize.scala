@@ -731,18 +731,27 @@ object MatchRecognize {
       var last = 0
       navRe.findAllMatchIn(pred).filterNot(m => masked(m.start)).foreach { m =>
         val isPrev = m.group(1).equalsIgnoreCase("PREV")
-        Option(m.group(2)).foreach { q =>
-          if (!q.equalsIgnoreCase(v))
-            fail(s"${m.group(1).toUpperCase} in DEFINE $v can only " +
-              s"navigate the current row's partition ($q is a different " +
-              "variable; physical navigation is hypothesis-independent)")
+        // a DIFFERENT variable's qualifier is Trino's nested-navigation
+        // sugar — PREV(A.c) ≡ PREV(LAST(A.c), 1) — which is
+        // hypothesis-dependent: leave the text alone and let the
+        // interpreted parser carry it as a NestNav (the `A.` qualifier
+        // routes the predicate there). Unknown qualifiers still fail
+        // loudly here, before Catalyst can misread them.
+        val foreign = Option(m.group(2)).exists(q => !q.equalsIgnoreCase(v))
+        if (foreign) {
+          val q = m.group(2)
+          if (!allVarNames.exists(_.equalsIgnoreCase(q)))
+            fail(s"${m.group(1).toUpperCase} qualifier $q in DEFINE $v " +
+              "is not a pattern variable or SUBSET")
+          // no rewrite: the un-advanced `last` keeps the original text
+        } else {
+          val c = resolve(m.group(3))
+          val n = Option(m.group(4)).map(_.toInt).getOrElse(1)
+          navCols += ((isPrev, c, n))
+          sb.append(pred.substring(last, m.start))
+            .append(navColName(isPrev, c, n))
+          last = m.end
         }
-        val c = resolve(m.group(3))
-        val n = Option(m.group(4)).map(_.toInt).getOrElse(1)
-        navCols += ((isPrev, c, n))
-        sb.append(pred.substring(last, m.start))
-          .append(navColName(isPrev, c, n))
-        last = m.end
       }
       sb.append(pred.substring(last))
       sb.toString

@@ -71,6 +71,39 @@ object MrPredicate {
     * typing or evaluation. DEFINE texts rewrite PREV/NEXT before this
     * parser runs; MEASURES expressions carry them through this node. */
   case class PNav(isPrev: Boolean, colName: String, n: Int) extends Node
+  /** NESTED navigation — SQL:2016's `PREV(LAST(V.c[, m])[, n])` /
+    * `NEXT(FIRST(V.c[, m])[, n])` (a qualified `PREV(V.c[, n])` is
+    * sugar for `PREV(LAST(V.c), n)`, as in Trino): resolve the LOGICAL
+    * navigation to a mapped row, then step `n` PHYSICAL partition rows
+    * from it. Physical navigation is hypothesis-independent, so this is
+    * exactly logical navigation over the lag/lead column the planner
+    * prepares — `PREV(LAST(V.c), n)` ≡ `LAST(V.__mr_lag_n_c)` — and the
+    * node is a parse-time carrier lowered by [[lowerPNav]] onto a
+    * [[Nav]] over that column; it never reaches typing or evaluation. */
+  case class NestNav(isPrev: Boolean, v: String, colName: String,
+      first: Boolean, off: Int, n: Int) extends Node
+  /** Navigation over an EXPRESSION — SQL:2016's `LAST(B.price + B.tax)`
+    * (all column references inside the argument must share one
+    * qualifier, or all be unqualified = the universal variable): find
+    * the mapped row exactly as [[Nav]] does, then evaluate `expr`
+    * (column refs are [[Cur]] nodes, read AT that row). A non-zero
+    * `step` adds an outer PHYSICAL move — `PREV(LAST(B.price + B.tax),
+    * n)` carries step = −n, NEXT +n — applied to the resolved row index
+    * within the partition (out of partition → NULL). */
+  case class NavX(v: String, first: Boolean, off: Int, expr: Node,
+      step: Int = 0) extends Node
+  /** Aggregate over an EXPRESSION — `SUM(A.price * (1 - A.disc))`:
+    * evaluate `expr` at each row mapped to `v` (row order), then fold
+    * with the same SQL rules as [[Agg]] (nulls skipped, exact decimal
+    * sums, AVG → double). */
+  case class AggX(fn: String, v: String, expr: Node) extends Node
+  /** `PREV/NEXT(expr[, n])` over an EXPRESSION (not a bare column):
+    * evaluate `expr` at the row `step` (signed) physical rows from the
+    * anchor — the row under test in DEFINE, the measure's row in
+    * MEASURES; off the partition → NULL. The bare-column form keeps the
+    * codegen'd lag/lead path ([[PNav]]); this interpreted node exists
+    * for composite arguments like `PREV(price + tax)`. */
+  case class PNavX(step: Int, expr: Node) extends Node
   case class Cmp(op: String, l: Node, r: Node) extends Node
   case class Arith(op: Char, l: Node, r: Node) extends Node
   case class Neg(e: Node) extends Node
@@ -359,10 +392,29 @@ object MrPredicate {
       case TIdent(s) if (s.equalsIgnoreCase("PREV") ||
           s.equalsIgnoreCase("NEXT")) && peek.contains(TOp("(")) =>
         expectOp("(")
-        val c = next() match {
-          case TIdent(col) => col
-          case other => fail(s"${s.toUpperCase} takes an unqualified " +
-            s"column (physical navigation): got $other")
+        // three inner forms (SQL:2016 / Trino): a bare column (physical
+        // navigation from the current/measure row), FIRST/LAST(...)
+        // (nested: physical steps from the logically-navigated row), or
+        // a qualified V.c — sugar for LAST(V.c)
+        val inner: Either[String, Nav] = next() match {
+          case TIdent(f) if (f.equalsIgnoreCase("FIRST") ||
+              f.equalsIgnoreCase("LAST")) && peek.contains(TOp("(")) =>
+            Right(navArgs(first = f.equalsIgnoreCase("FIRST"))
+              .asInstanceOf[Nav])
+          case TIdent(q) if peek.contains(TOp(".")) =>
+            next() // consume '.'
+            next() match {
+              case TIdent(col) =>
+                if (q.equalsIgnoreCase(ownVar)) Left(col) // own var = current row
+                else if (varSet(q.toLowerCase))
+                  Right(Nav(q, col, first = false, off = 0))
+                else fail(s"${s.toUpperCase} qualifier $q is not a " +
+                  s"pattern variable or SUBSET")
+              case other => fail(s"expected column after '$q.': got $other")
+            }
+          case TIdent(col) => Left(col)
+          case other => fail(s"${s.toUpperCase} takes a column or " +
+            s"FIRST/LAST navigation: got $other")
         }
         val n = peek match {
           case Some(TOp(",")) =>
@@ -375,7 +427,11 @@ object MrPredicate {
           case _ => 1
         }
         expectOp(")")
-        PNav(s.equalsIgnoreCase("PREV"), c, n)
+        inner match {
+          case Left(c) => PNav(s.equalsIgnoreCase("PREV"), c, n)
+          case Right(Nav(v, c, f, off, _)) =>
+            NestNav(s.equalsIgnoreCase("PREV"), v, c, f, off, n)
+        }
       case TIdent(s) if peek.contains(TOp(".")) =>
         next() // consume '.'
         next() match {
@@ -456,6 +512,10 @@ object MrPredicate {
   def lowerPNav(n: Node, rename: (Boolean, String, Int) => String): Node =
     n match {
       case PNav(p, c, k) => Cur(rename(p, c, k))
+      // nested navigation: physical steps commute with the logical
+      // lookup (lag/lead are per-row, hypothesis-independent), so
+      // PREV(LAST(V.c), n) is exactly LAST over the lag-n column
+      case NestNav(p, v, c, f, off, k) => Nav(v, rename(p, c, k), f, off)
       case Cmp(op, l, r) => Cmp(op, lowerPNav(l, rename), lowerPNav(r, rename))
       case Arith(op, l, r) =>
         Arith(op, lowerPNav(l, rename), lowerPNav(r, rename))
@@ -488,6 +548,14 @@ object MrPredicate {
         fail("internal: fold touched navigation")
       def aggVals(v: String, colIdx: Int): Seq[Any] =
         fail("internal: fold touched an aggregate")
+      def navRowIdx(v: String, first: Boolean, off: Int): Int =
+        fail("internal: fold touched navigation")
+      def aggRowIdxs(v: String): Seq[Int] =
+        fail("internal: fold touched an aggregate")
+      def valueAt(row: Int, colIdx: Int): Any =
+        fail("internal: fold touched a row")
+      def curRowIdx: Int = fail("internal: fold touched the current row")
+      def groupSize: Int = fail("internal: fold touched the group")
     }
     def fold(m: Node): Node = m match {
       case Arith(_, _: Lit, _: Lit) | Neg(_: Lit) => Lit(eval(m, NoCtx))
@@ -511,6 +579,10 @@ object MrPredicate {
         s"${if (p) "PREV" else "NEXT"}($c) reached resolution — " +
         "PREV/NEXT are only available in DEFINE and MEASURES of a " +
         "planned MATCH_RECOGNIZE (not the streaming face)")
+      case NestNav(p, v, c, _, _, _) => fail(s"internal: un-lowered " +
+        s"${if (p) "PREV" else "NEXT"}(…($v.$c)…) reached resolution — " +
+        "nested navigation is only available in DEFINE and MEASURES of " +
+        "a planned MATCH_RECOGNIZE (not the streaming face)")
     }
   }
 
@@ -573,6 +645,9 @@ object MrPredicate {
       case PNav(p, c, _) =>
         fail(s"internal: un-lowered ${if (p) "PREV" else "NEXT"}($c) " +
           "reached typing")
+      case NestNav(p, _, c, _, _, _) =>
+        fail(s"internal: un-lowered nested " +
+          s"${if (p) "PREV" else "NEXT"}(…$c…) reached typing")
     }
   }
 
@@ -600,6 +675,38 @@ object MrPredicate {
     /** The values of `colIdx` over the rows mapped to `v` so far, in
       * row order (colIdx -1 = a placeholder per row for COUNT). */
     def aggVals(v: String, colIdx: Int): Seq[Any]
+    // --- row-level primitives (expression navigation/aggregates) ---
+    /** Absolute group index of FIRST/LAST(v, off)'s row, -1 if none. */
+    def navRowIdx(v: String, first: Boolean, off: Int): Int
+    /** Absolute group indices of the rows mapped to `v`, row order. */
+    def aggRowIdxs(v: String): Seq[Int]
+    /** Column value at an absolute group row; null when the row index
+      * is outside the group (physical navigation off the partition). */
+    def valueAt(row: Int, colIdx: Int): Any
+    /** Absolute group index of the row `cur` reads, -1 when none (an
+      * empty match's context). */
+    def curRowIdx: Int
+    /** Number of rows in the group (physical-navigation bounds). */
+    def groupSize: Int
+  }
+
+  /** A Ctx whose current row is pinned to an absolute group row —
+    * evaluates a navigation/aggregate ARGUMENT expression at the
+    * navigated row. Navigation inside an argument is rejected at parse
+    * time, so only `cur` is reachable. */
+  private final class PinnedCtx(base: Ctx, row: Int) extends Ctx {
+    def cur(idx: Int): Any = base.valueAt(row, idx)
+    def curRowIdx: Int = row
+    def nav(v: String, colIdx: Int, first: Boolean, off: Int): Any =
+      fail("internal: navigation inside a navigation argument")
+    def aggVals(v: String, colIdx: Int): Seq[Any] =
+      fail("internal: aggregate inside a navigation argument")
+    def navRowIdx(v: String, first: Boolean, off: Int): Int =
+      fail("internal: navigation inside a navigation argument")
+    def aggRowIdxs(v: String): Seq[Int] =
+      fail("internal: aggregate inside a navigation argument")
+    def valueAt(row: Int, colIdx: Int): Any = base.valueAt(row, colIdx)
+    def groupSize: Int = base.groupSize
   }
 
   private def toBig(a: Any): java.math.BigDecimal = a match {
@@ -777,6 +884,9 @@ object MrPredicate {
     case PNav(p, c, _) =>
       fail(s"internal: un-lowered ${if (p) "PREV" else "NEXT"}($c) " +
         "reached evaluation")
+    case NestNav(p, _, c, _, _, _) =>
+      fail(s"internal: un-lowered nested " +
+        s"${if (p) "PREV" else "NEXT"}(…$c…) reached evaluation")
   }
 
   /** Evaluate to the match decision: UNKNOWN → false. */
@@ -797,18 +907,25 @@ object MrPredicate {
       members: String => Seq[String]) extends Ctx {
     def cur(idx: Int): Any =
       if (curRow < 0 || g(curRow).isNullAt(idx)) null else g(curRow).get(idx)
+    def curRowIdx: Int = curRow
+    def groupSize: Int = g.length
     private def rowsOf(v: String): Seq[Int] =
       if (v.isEmpty) asc.map(_._1)
       else {
         val ms = members(v).map(_.toLowerCase).toSet
         asc.collect { case (ri, vn) if ms(vn.toLowerCase) => ri }
       }
-    def nav(v: String, colIdx: Int, first: Boolean, off: Int): Any = {
+    def navRowIdx(v: String, first: Boolean, off: Int): Int = {
       val rows = rowsOf(v)
       val i = if (first) off else rows.length - 1 - off
-      if (i < 0 || i >= rows.length || g(rows(i)).isNullAt(colIdx)) null
-      else g(rows(i)).get(colIdx)
+      if (i < 0 || i >= rows.length) -1 else rows(i)
     }
+    def aggRowIdxs(v: String): Seq[Int] = rowsOf(v)
+    def valueAt(row: Int, colIdx: Int): Any =
+      if (row < 0 || row >= g.length || g(row).isNullAt(colIdx)) null
+      else g(row).get(colIdx)
+    def nav(v: String, colIdx: Int, first: Boolean, off: Int): Any =
+      valueAt(navRowIdx(v, first, off), colIdx)
     def aggVals(v: String, colIdx: Int): Seq[Any] =
       rowsOf(v).map { ri =>
         if (colIdx < 0) java.lang.Boolean.TRUE
@@ -825,14 +942,18 @@ object MrPredicate {
       extends Ctx {
     def cur(idx: Int): Any =
       if (g(curIdx).isNullAt(idx)) null else g(curIdx).get(idx)
-    def nav(v: String, colIdx: Int, first: Boolean, off: Int): Any = {
+    def curRowIdx: Int = curIdx
+    def groupSize: Int = g.length
+    def valueAt(row: Int, colIdx: Int): Any =
+      if (row < 0 || row >= g.length || g(row).isNullAt(colIdx)) null
+      else g(row).get(colIdx)
+    def navRowIdx(v: String, first: Boolean, off: Int): Int = {
       val ms = if (v.isEmpty) null else members(v).map(_.toLowerCase).toSet
       def inVar(name: String): Boolean = {
         val s = MatchRecognize.stripExcl(name).toLowerCase
         ms == null || ms(s)
       }
-      val rowI: Int =
-        if (!first) {
+      if (!first) {
           // LAST(v.c, off): off-th from the most recent; the current
           // tentative row is the most recent when ownVar ∈ members(v)
           var remaining = off
@@ -857,9 +978,10 @@ object MrPredicate {
           val asc = rows.sorted
           if (off < asc.length) asc(off) else -1
         }
-      if (rowI < 0 || g(rowI).isNullAt(colIdx)) null else g(rowI).get(colIdx)
     }
-    def aggVals(v: String, colIdx: Int): Seq[Any] = {
+    def nav(v: String, colIdx: Int, first: Boolean, off: Int): Any =
+      valueAt(navRowIdx(v, first, off), colIdx)
+    def aggRowIdxs(v: String): Seq[Int] = {
       val ms = if (v.isEmpty) null else members(v).map(_.toLowerCase).toSet
       def inVar(name: String): Boolean = {
         val s = MatchRecognize.stripExcl(name).toLowerCase
@@ -868,11 +990,13 @@ object MrPredicate {
       val rows = scala.collection.mutable.ArrayBuffer.empty[Int]
       acc.foreach { case (ri, vn) => if (inVar(vn)) rows += ri }
       if (inVar(ownVar)) rows += curIdx // the tentative current mapping
-      rows.sorted.map { ri =>
+      rows.sorted.toSeq
+    }
+    def aggVals(v: String, colIdx: Int): Seq[Any] =
+      aggRowIdxs(v).map { ri =>
         if (colIdx < 0) java.lang.Boolean.TRUE // COUNT(*) placeholder
         else if (g(ri).isNullAt(colIdx)) null
         else g(ri).get(colIdx)
-      }.toSeq
-    }
+      }
   }
 }

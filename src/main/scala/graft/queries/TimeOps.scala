@@ -308,6 +308,28 @@ object TimeOps {
     // while click runs match greedily; MATCH_NUMBER() numbers both
     // kinds in scan order. DuckDB replay: click islands UNION the
     // non-click rows, renumbered by start position.
+    // NESTED navigation (SQL:2016 / Trino `PREV(FIRST(...))`): for each
+    // maximal ascending run, read the PARTITION context around the
+    // match — the row before the run's head and the row after its top —
+    // values no plain FIRST/LAST measure can reach. With A undefined
+    // and greedy B+, SKIP PAST LAST ROW matches exactly the maximal
+    // riser-islands (head = A): a failed start advances one row, and a
+    // match resumes on a non-riser, so every island is found once.
+    "mr_run_context" -> ((s, d) => {
+      val clause =
+        """PARTITION BY user_id ORDER BY ts, event_id
+          |MEASURES FIRST(A.event_id) AS a_eid, FIRST(A.ts) AS a_ts,
+          |         PREV(FIRST(A.value)) AS before_val,
+          |         LAST(B.value) AS top_val,
+          |         NEXT(LAST(B.value)) AS after_val,
+          |         COUNT(B.*) AS n_up
+          |PATTERN (A B+)
+          |DEFINE B AS value > PREV(value)""".stripMargin
+      graft.dialect.MatchRecognize.run(t(s, d, "events"),
+          graft.dialect.MatchRecognize.parseClause(clause))
+        .orderBy(col("user_id"), col("a_eid"))
+    }),
+
     "mr_empty_show" -> ((s, d) => {
       val clause =
         """PARTITION BY user_id ORDER BY ts, event_id
@@ -622,6 +644,36 @@ object TimeOps {
         |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY start_rn) AS mn
         |FROM m
         |ORDER BY user_id, mn""".stripMargin,
+
+    // Nested-navigation replay: maximal riser-islands via
+    // gaps-and-islands (a riser = value > its LAG; heads reset the
+    // segment id), then the PARTITION-context rows — before the head,
+    // after the top — joined back by absolute row number. LEFT joins
+    // keep the NULL-at-partition-edge semantics of PREV/NEXT.
+    "mr_run_context" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    ROW_NUMBER() OVER w AS rn,
+        |    CASE WHEN value > LAG(value) OVER w THEN 1 ELSE 0 END AS is_up
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |segs AS (
+        |  SELECT *,
+        |    SUM(1 - is_up) OVER (PARTITION BY user_id ORDER BY rn) AS useg
+        |  FROM e),
+        |runs AS (
+        |  SELECT user_id, useg, MIN(rn) AS rstart, MAX(rn) AS rend,
+        |    COUNT(*) AS n_up
+        |  FROM segs WHERE is_up = 1 GROUP BY user_id, useg)
+        |SELECT a.user_id, a.event_id AS a_eid, a.ts AS a_ts,
+        |       p.value AS before_val, t.value AS top_val,
+        |       x.value AS after_val, r.n_up
+        |FROM runs r
+        |JOIN segs a ON a.user_id = r.user_id AND a.rn = r.rstart - 1
+        |JOIN segs t ON t.user_id = r.user_id AND t.rn = r.rend
+        |LEFT JOIN segs p ON p.user_id = r.user_id AND p.rn = a.rn - 1
+        |LEFT JOIN segs x ON x.user_id = r.user_id AND x.rn = r.rend + 1
+        |ORDER BY a.user_id, a_eid""".stripMargin,
 
     // Aggregate-measure replay: per-island FINAL aggregates, exact
     // decimal sums emitted as double (QHelpers determinism rule).

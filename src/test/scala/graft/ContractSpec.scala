@@ -28,9 +28,9 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented counts") {
-    assert(SparkEntry.queries.size == 183,
+    assert(SparkEntry.queries.size == 184,
       s"queries=${SparkEntry.queries.size} — update README/ContractSpec together")
-    assert(SparkEntry.oracleSql.size == 164,
+    assert(SparkEntry.oracleSql.size == 165,
       s"oracles=${SparkEntry.oracleSql.size} — update README/ContractSpec together")
   }
 }

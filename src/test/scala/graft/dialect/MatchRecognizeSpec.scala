@@ -1064,11 +1064,14 @@ class MatchRecognizeSpec extends SparkSpec {
         |PATTERN (A B) DEFINE B AS abs(B.v) > A.v""".stripMargin)))
     assert(e2.getMessage.contains("abs") &&
       e2.getMessage.contains("not supported"))
-    // PREV over a DIFFERENT variable's rows has no physical meaning
-    val e3 = intercept[IllegalArgumentException](MatchRecognize.run(df,
+    // PREV over a DIFFERENT variable is nested-navigation sugar —
+    // PREV(A.v) ≡ PREV(LAST(A.v), 1): starts at row 1 see NULL (before
+    // the partition) → UNKNOWN → no match; the start at row 2 compares
+    // row 1's v = 5 > 1 → the one match
+    val nested = MatchRecognize.run(df,
       parseClause("""PARTITION BY uid ORDER BY seq MEASURES COUNT(*) AS n
-        |PATTERN (A B) DEFINE B AS PREV(A.v) > 1""".stripMargin)))
-    assert(e3.getMessage.contains("different"))
+        |PATTERN (A B) DEFINE B AS PREV(A.v) > 1""".stripMargin)).collect()
+    assert(nested.length == 1 && nested(0).getLong(1) == 2L)
     // unknown column inside a cross predicate resolves at PLAN time
     val e4 = intercept[IllegalArgumentException](MatchRecognize.run(df,
       parseClause("""PARTITION BY uid ORDER BY seq MEASURES COUNT(*) AS n
@@ -1224,5 +1227,113 @@ class MatchRecognizeSpec extends SparkSpec {
     val after = spark.catalog.listTables().count()
     assert(after == before,
       s"MATCH_RECOGNIZE temp views leaked: $before -> $after")
+  }
+
+  test("nested navigation: PREV(FIRST/LAST) reads the partition context") {
+    // the row BEFORE the match start / AFTER the match end — SQL:2016's
+    // PREV(FIRST(A.c)) / NEXT(LAST(B.c)); out of partition → NULL
+    val df = Seq(
+      (1L, 1L, "x", 5.0), (1L, 2L, "view", 10.0),
+      (1L, 3L, "click", 11.0), (1L, 4L, "y", 3.0),
+      (2L, 1L, "view", 7.0), (2L, 2L, "click", 8.0)) // match at both edges
+      .toDF("uid", "seq", "ev", "price")
+    val clause =
+      """PARTITION BY uid ORDER BY seq
+        |MEASURES FIRST(A.seq) AS s, PREV(FIRST(A.price)) AS before,
+        |         NEXT(LAST(B.price)) AS after
+        |PATTERN (A B+)
+        |DEFINE A AS ev = 'view', B AS ev = 'click'""".stripMargin
+    val out = MatchRecognize.run(df, parseClause(clause)).orderBy("uid")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toSeq
+    assert(out == Seq((1L, 2L, 5.0, 3.0), (2L, 1L, null, null)))
+  }
+
+  test("nested navigation: qualified PREV(A.c) in DEFINE is PREV(LAST(A.c))") {
+    // DEFINE B AS price > PREV(A.price): compare against the row
+    // physically BEFORE the one mapped to A (Trino's nested-nav sugar).
+    val df = Seq((1L, 1L, 10.0), (1L, 2L, 4.0), (1L, 3L, 6.0),
+      (1L, 4L, 3.0), (1L, 5L, 8.0)).toDF("uid", "seq", "price")
+    val clause =
+      """PARTITION BY uid ORDER BY seq
+        |MEASURES FIRST(A.seq) AS s, LAST(B.price) AS bp
+        |PATTERN (A B)
+        |DEFINE B AS price > PREV(A.price)""".stripMargin
+    val out = MatchRecognize.run(df, parseClause(clause))
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    // start 1: PREV(A) null → no; start 2: 6 > 10 no; start 3: 3 > 4 no;
+    // start 4: 8 > 6 yes → the only match
+    assert(out == Seq((4L, 8.0)))
+  }
+
+  test("nested navigation: PREV(LAST(c)) over the universal var ≡ PREV(c)") {
+    val px = Seq((1L, 1L, 10.0), (1L, 2L, 8.0), (1L, 3L, 6.0),
+      (1L, 4L, 7.0), (1L, 5L, 9.0), (1L, 6L, 5.0))
+      .toDF("uid", "seq", "price")
+    def vshape(defs: String) = MatchRecognize.run(px, parseClause(
+      s"""PARTITION BY uid ORDER BY seq
+         |MEASURES FIRST(STRT.seq) AS s, LAST(DOWN.price) AS bottom,
+         |         LAST(UP.price) AS top, COUNT(*) AS len
+         |PATTERN (STRT DOWN+ UP+)
+         |DEFINE $defs""".stripMargin))
+      .collect().map(_.toSeq).toSeq
+    val plain = vshape(
+      "DOWN AS price < PREV(price), UP AS price > PREV(price)")
+    val nested = vshape(
+      "DOWN AS price < PREV(LAST(price)), UP AS price > PREV(LAST(price))")
+    assert(plain.nonEmpty && plain == nested)
+  }
+
+  test("nested navigation: inner logical and outer physical offsets") {
+    val df = Seq.tabulate(6)(i => (1L, (i + 1).toLong, (i + 1).toDouble))
+      .toDF("uid", "seq", "price")
+    val clause =
+      """PARTITION BY uid ORDER BY seq
+        |MEASURES PREV(LAST(B.price, 1), 2) AS x, NEXT(FIRST(B.price), 3) AS y
+        |PATTERN (A B+)
+        |DEFINE B AS price > PREV(price)""".stripMargin
+    val out = MatchRecognize.run(df, parseClause(clause)).collect()
+    // match = rows 1..6 (A=1, B=2..6): LAST(B,1)=row5 → PREV 2 → row3;
+    // FIRST(B)=row2 → NEXT 3 → row5
+    assert(out.length == 1 &&
+      out(0).getDouble(1) == 3.0 && out(0).getDouble(2) == 5.0)
+  }
+
+  test("nested navigation: RUNNING semantics per row in ALL ROWS mode") {
+    val df = Seq((1L, 1L, 1.0), (1L, 2L, 2.0), (1L, 3L, 3.0))
+      .toDF("uid", "seq", "price")
+    val clause =
+      """PARTITION BY uid ORDER BY seq
+        |MEASURES PREV(LAST(B.price)) AS pb
+        |ALL ROWS PER MATCH
+        |PATTERN (A B+)
+        |DEFINE B AS price > PREV(price)""".stripMargin
+    val out = MatchRecognize.run(df, parseClause(clause)).orderBy("seq")
+      .collect().map(r =>
+        if (r.isNullAt(3)) null else r.getDouble(3)).toSeq
+    // at the A row no B is mapped yet → NULL; then PREV of each running
+    // LAST(B) is the immediately preceding row's price
+    assert(out == Seq(null, 1.0, 2.0))
+  }
+
+  test("nested navigation: unknown qualifiers are rejected loudly") {
+    val df = Seq((1L, 1L, 1.0)).toDF("uid", "seq", "price")
+    def bad(clause: String) =
+      intercept[IllegalArgumentException] {
+        MatchRecognize.run(df, parseClause(clause)).collect()
+      }.getMessage
+    assert(bad(
+      """PARTITION BY uid ORDER BY seq
+        |MEASURES FIRST(A.seq) AS s
+        |PATTERN (A B)
+        |DEFINE B AS price > PREV(Z.price)""".stripMargin)
+      .contains("not a pattern variable"))
+    assert(bad(
+      """PARTITION BY uid ORDER BY seq
+        |MEASURES PREV(Z.price) AS x
+        |PATTERN (A B)
+        |DEFINE B AS price > 0""".stripMargin)
+      .contains("not a pattern variable"))
   }
 }

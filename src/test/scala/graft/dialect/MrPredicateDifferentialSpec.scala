@@ -122,6 +122,14 @@ class MrPredicateDifferentialSpec extends SparkSpec {
         fail("no navigation in this differential")
       def aggVals(v: String, colIdx: Int): Seq[Any] =
         fail("no aggregates in this differential")
+      def navRowIdx(v: String, first: Boolean, off: Int): Int =
+        fail("no navigation in this differential")
+      def aggRowIdxs(v: String): Seq[Int] =
+        fail("no aggregates in this differential")
+      def valueAt(r: Int, colIdx: Int): Any =
+        fail("no row navigation in this differential")
+      def curRowIdx: Int = 0
+      def groupSize: Int = 1
     }
     var checked = 0
     (1 to 400).foreach { i =>
