@@ -410,7 +410,11 @@ object MatchRecognize {
     val countStar = "(?is)^COUNT\\s*\\(\\s*\\*\\s*\\)$".r
     val aggFn = "(?is)^(SUM|AVG|MIN|MAX)\\s*\\(\\s*(?:([A-Za-z_][A-Za-z0-9_]*)\\.)?([A-Za-z_][A-Za-z0-9_]*)\\s*\\)$".r
     val matchNum = "(?is)^MATCH_NUMBER\\s*\\(\\s*\\)$".r
-    val classifier = "(?is)^CLASSIFIER\\s*\\(\\s*\\)$".r
+    // CLASSIFIER() or CLASSIFIER(U) — the optional argument (a pattern
+    // variable or SUBSET union) scopes the lookup to the last row
+    // mapped to U (SQL:2016 / Trino)
+    val classifier =
+      "(?is)^CLASSIFIER\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)?\\s*\\)$".r
     // RUNNING is the default semantics in ALL ROWS PER MATCH and a
     // no-op marker in ONE ROW PER MATCH's FINAL output; FINAL flips an
     // ALL-mode measure to whole-match evaluation on every output row
@@ -432,7 +436,10 @@ object MatchRecognize {
       case countVar(v) => Measure(MCountVar, v, "", alias)
       case countStar() => Measure(MCountStar, "", "", alias)
       case matchNum()   => Measure(MMatchNumber, "", "", alias)
-      case classifier() => Measure(MClassifier, "", "", alias)
+      case classifier(v) =>
+        if (v != null && !vars.exists(_.equalsIgnoreCase(v)))
+          fail(s"CLASSIFIER argument $v is not a pattern variable or SUBSET")
+        Measure(MClassifier, if (v == null) "" else v, "", alias)
       case aggFn(fn, v, c) =>
         val kind = fn.toUpperCase match {
           case "SUM" => MSum
@@ -1091,8 +1098,14 @@ object MatchRecognize {
           case MCountVar    => varRows(v).length.toLong
           case MCountStar   => (end - start).toLong
           case MMatchNumber => matchNo
-          case MClassifier  => // last row's var, mark-stripped
-            assigned.headOption.map(a => stripExcl(a._2)).orNull
+          case MClassifier  => // last row's var, mark-stripped; with an
+            // argument, the last row mapped to that variable/SUBSET
+            if (v.isEmpty) assigned.headOption.map(a => stripExcl(a._2)).orNull
+            else {
+              val ms = membersOf(v).map(_.toLowerCase).toSet
+              asc.reverseIterator.find(p => ms(p._2.toLowerCase))
+                .map(_._2).orNull
+            }
           case MSum | MAvg | MMin | MMax =>
             aggOver(kind, dt, varRows(v).map(r => g(r).get(cIdx)))
           case MExpr => // FINAL: the whole match; unqualified cols = last row
@@ -1161,7 +1174,16 @@ object MatchRecognize {
             case MCountVar    => varRows.length.toLong
             case MCountStar   => if (fin) total else seen
             case MMatchNumber => matchNo
-            case MClassifier  => varName
+            case MClassifier  =>
+              // RUNNING (CLASSIFIER takes no FINAL prefix — rejected at
+              // parse, as in Trino): this row's own variable; with an
+              // argument, the last row mapped to it so far
+              if (v.isEmpty) varName
+              else {
+                val ms = membersOf(v).map(_.toLowerCase).toSet
+                soFarPairs.reverseIterator.find(p => ms(p._2.toLowerCase))
+                  .map(_._2).orNull
+              }
             case MSum | MAvg | MMin | MMax =>
               aggOver(kind, dt, varRows.map(r => g(r).get(cIdx)))
             case MExpr =>

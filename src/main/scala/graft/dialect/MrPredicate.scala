@@ -104,6 +104,12 @@ object MrPredicate {
     * codegen'd lag/lead path ([[PNav]]); this interpreted node exists
     * for composite arguments like `PREV(price + tax)`. */
   case class PNavX(step: Int, expr: Node) extends Node
+  /** A variable-qualified column reference INSIDE a navigation or
+    * aggregate argument (`B.price` in `LAST(B.price + B.tax)`; v = ""
+    * when unqualified). Parse-time only: the argument's sole qualifier
+    * becomes the [[NavX]]/[[AggX]] variable and every QCol collapses to
+    * a [[Cur]] read at the navigated row. */
+  private case class QCol(v: String, name: String) extends Node
   case class Cmp(op: String, l: Node, r: Node) extends Node
   case class Arith(op: Char, l: Node, r: Node) extends Node
   case class Neg(e: Node) extends Node
@@ -114,6 +120,46 @@ object MrPredicate {
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"MATCH_RECOGNIZE: $msg")
+
+  /** The single variable a navigation/aggregate ARGUMENT may reference
+    * (SQL:2016/Trino: mixed qualifiers inside one argument are an
+    * error); "" when every reference is unqualified (the universal
+    * variable) or the argument has no column references at all. */
+  private def soleQualifier(e: Node, what: String): String = {
+    val qs = scala.collection.mutable.LinkedHashSet.empty[String]
+    def walk(n: Node): Unit = n match {
+      case QCol(v, _)    => qs += v
+      case Cmp(_, l, r)  => walk(l); walk(r)
+      case Arith(_, l, r) => walk(l); walk(r)
+      case And(l, r)     => walk(l); walk(r)
+      case Or(l, r)      => walk(l); walk(r)
+      case Neg(x)        => walk(x)
+      case Not(x)        => walk(x)
+      case IsNull(x, _)  => walk(x)
+      case _             => ()
+    }
+    walk(e)
+    val distinct = qs.map(_.toLowerCase)
+    if (distinct.size > 1)
+      fail(s"$what must reference a single pattern variable " +
+        s"(got ${qs.mkString(", ")}); mixed or partly-unqualified " +
+        "references are ambiguous")
+    qs.headOption.getOrElse("")
+  }
+
+  /** Collapse every [[QCol]] to a plain [[Cur]] — evaluation pins the
+    * row, so inside the argument a column read is just a column read. */
+  private def stripQCols(e: Node): Node = e match {
+    case QCol(_, c)     => Cur(c)
+    case Cmp(op, l, r)  => Cmp(op, stripQCols(l), stripQCols(r))
+    case Arith(op, l, r) => Arith(op, stripQCols(l), stripQCols(r))
+    case And(l, r)      => And(stripQCols(l), stripQCols(r))
+    case Or(l, r)       => Or(stripQCols(l), stripQCols(r))
+    case Neg(x)         => Neg(stripQCols(x))
+    case Not(x)         => Not(stripQCols(x))
+    case IsNull(x, n)   => IsNull(stripQCols(x), n)
+    case other          => other
+  }
 
   private val AggFns = Set("sum", "avg", "min", "max", "count")
 
@@ -203,6 +249,10 @@ object MrPredicate {
   def parse(pred: String, ownVar: String, vars: Seq[String]): Node = {
     val varSet = vars.map(_.toLowerCase).toSet
     var toks = tokenize(pred)
+    // > 0 while parsing a navigation/aggregate ARGUMENT: column refs
+    // become QCol (scoped to the enclosing navigation), and nested
+    // navigation/aggregates are rejected
+    var navDepth = 0
 
     def peek: Option[Tok] = toks.headOption
     def next(): Tok = toks match {
@@ -313,24 +363,12 @@ object MrPredicate {
     }
     def navArgs(first: Boolean): Node = {
       expectOp("(")
-      val (v, c) = next() match {
-        case TIdent(q) => peek match {
-          case Some(TOp(".")) =>
-            next()
-            next() match {
-              case TIdent(col) =>
-                if (!varSet(q.toLowerCase))
-                  fail(s"FIRST/LAST qualifier $q is not a pattern variable " +
-                    s"or SUBSET in DEFINE $ownVar")
-                (q, col)
-              case other => fail(s"expected column after '$q.': got $other")
-            }
-          // unqualified FIRST(c) — the universal variable (every row of
-          // the match so far), SQL:2016's default
-          case _ => ("", q)
-        }
-        case other => fail(s"expected a column reference in FIRST/LAST: $other")
-      }
+      // the argument is a full value EXPRESSION (SQL:2016 lets
+      // navigation wrap arithmetic — `LAST(B.price + B.tax)`); a single
+      // column keeps the classic Nav node and its codegen'd lowerings
+      navDepth += 1
+      val arg = parseAdd()
+      navDepth -= 1
       val off = peek match {
         case Some(TOp(",")) =>
           next()
@@ -341,36 +379,46 @@ object MrPredicate {
         case _ => 0
       }
       expectOp(")")
-      Nav(v, c, first, off)
+      arg match {
+        case QCol(v, c) => Nav(v, c, first, off)
+        case e =>
+          NavX(soleQualifier(e, "a FIRST/LAST argument"), first, off,
+            stripQCols(e))
+      }
     }
     def aggArgs(fn: String): Node = {
       expectOp("(")
-      val node = next() match {
-        case TOp("*") =>
+      // the star forms first (COUNT(*) / COUNT(V.*)) — a general
+      // expression parse would reject the '*'
+      toks match {
+        case TOp("*") :: _ =>
           if (fn != "count") fail(s"${fn.toUpperCase}(*) is not valid " +
             "in DEFINE (only COUNT takes *)")
+          next(); expectOp(")")
           Agg("count", "", "")
-        case TIdent(q) => peek match {
-          case Some(TOp(".")) =>
-            next()
-            if (!varSet(q.toLowerCase))
-              fail(s"${fn.toUpperCase} qualifier $q is not a pattern " +
-                s"variable or SUBSET in DEFINE $ownVar")
-            next() match {
-              case TOp("*") =>
-                if (fn != "count")
-                  fail(s"${fn.toUpperCase}($q.*) is not valid in DEFINE")
-                Agg("count", q, "")
-              case TIdent(c) => Agg(fn, q, c)
-              case other => fail(s"expected column or * after '$q.': $other")
-            }
-          case _ => Agg(fn, "", q) // unqualified = the universal variable
-        }
-        case other =>
-          fail(s"expected a column reference in ${fn.toUpperCase}: $other")
+        case TIdent(q) :: TOp(".") :: TOp("*") :: _ =>
+          if (fn != "count")
+            fail(s"${fn.toUpperCase}($q.*) is not valid in DEFINE")
+          if (!varSet(q.toLowerCase))
+            fail(s"${fn.toUpperCase} qualifier $q is not a pattern " +
+              s"variable or SUBSET in DEFINE $ownVar")
+          next(); next(); next(); expectOp(")")
+          Agg("count", q, "")
+        case _ =>
+          // a full value EXPRESSION (SQL:2016: `SUM(A.price * (1 -
+          // A.disc))`); a single column keeps the classic Agg node
+          navDepth += 1
+          val arg = parseAdd()
+          navDepth -= 1
+          expectOp(")")
+          arg match {
+            case QCol(v, c) => Agg(fn, v, c)
+            case e =>
+              AggX(fn,
+                soleQualifier(e, s"a ${fn.toUpperCase} argument"),
+                stripQCols(e))
+          }
       }
-      expectOp(")")
-      node
     }
     def parsePrimary(): Node = next() match {
       case TNum(s) =>
@@ -384,37 +432,42 @@ object MrPredicate {
       case TIdent(s) if s.equalsIgnoreCase("FALSE") => Lit(java.lang.Boolean.FALSE)
       case TIdent(s) if s.equalsIgnoreCase("NULL")  => Lit(null)
       case TIdent(s) if s.equalsIgnoreCase("FIRST") &&
-          peek.contains(TOp("(")) => navArgs(first = true)
+          peek.contains(TOp("(")) =>
+        if (navDepth > 0) fail("navigation inside a navigation/aggregate " +
+          "argument is not supported (only the outer PREV/NEXT may wrap " +
+          "FIRST/LAST)")
+        navArgs(first = true)
       case TIdent(s) if s.equalsIgnoreCase("LAST") &&
-          peek.contains(TOp("(")) => navArgs(first = false)
+          peek.contains(TOp("(")) =>
+        if (navDepth > 0) fail("navigation inside a navigation/aggregate " +
+          "argument is not supported (only the outer PREV/NEXT may wrap " +
+          "FIRST/LAST)")
+        navArgs(first = false)
       case TIdent(s) if AggFns(s.toLowerCase) && peek.contains(TOp("(")) =>
+        if (navDepth > 0) fail("an aggregate inside a navigation/" +
+          "aggregate argument is not supported; aggregate the expression " +
+          "directly instead")
         aggArgs(s.toLowerCase)
       case TIdent(s) if (s.equalsIgnoreCase("PREV") ||
           s.equalsIgnoreCase("NEXT")) && peek.contains(TOp("(")) =>
+        if (navDepth > 0) fail("PREV/NEXT inside a navigation/aggregate " +
+          "argument is not supported")
+        val isPrev = s.equalsIgnoreCase("PREV")
         expectOp("(")
-        // three inner forms (SQL:2016 / Trino): a bare column (physical
-        // navigation from the current/measure row), FIRST/LAST(...)
-        // (nested: physical steps from the logically-navigated row), or
-        // a qualified V.c — sugar for LAST(V.c)
-        val inner: Either[String, Nav] = next() match {
-          case TIdent(f) if (f.equalsIgnoreCase("FIRST") ||
-              f.equalsIgnoreCase("LAST")) && peek.contains(TOp("(")) =>
-            Right(navArgs(first = f.equalsIgnoreCase("FIRST"))
-              .asInstanceOf[Nav])
-          case TIdent(q) if peek.contains(TOp(".")) =>
-            next() // consume '.'
-            next() match {
-              case TIdent(col) =>
-                if (q.equalsIgnoreCase(ownVar)) Left(col) // own var = current row
-                else if (varSet(q.toLowerCase))
-                  Right(Nav(q, col, first = false, off = 0))
-                else fail(s"${s.toUpperCase} qualifier $q is not a " +
-                  s"pattern variable or SUBSET")
-              case other => fail(s"expected column after '$q.': got $other")
-            }
-          case TIdent(col) => Left(col)
-          case other => fail(s"${s.toUpperCase} takes a column or " +
-            s"FIRST/LAST navigation: got $other")
+        // inner forms (SQL:2016 / Trino): FIRST/LAST(...) — nested
+        // navigation, physical steps from the logically-navigated
+        // row — or a value expression over the current/measure row's
+        // variable (a qualified V.c is sugar for LAST(V.c))
+        val arg: Node = toks match {
+          case TIdent(f) :: TOp("(") :: _
+              if f.equalsIgnoreCase("FIRST") || f.equalsIgnoreCase("LAST") =>
+            next() // consume FIRST/LAST; navArgs eats the '('
+            navArgs(first = f.equalsIgnoreCase("FIRST"))
+          case _ =>
+            navDepth += 1
+            val e = parseAdd()
+            navDepth -= 1
+            e
         }
         val n = peek match {
           case Some(TOp(",")) =>
@@ -427,20 +480,32 @@ object MrPredicate {
           case _ => 1
         }
         expectOp(")")
-        inner match {
-          case Left(c) => PNav(s.equalsIgnoreCase("PREV"), c, n)
-          case Right(Nav(v, c, f, off, _)) =>
-            NestNav(s.equalsIgnoreCase("PREV"), v, c, f, off, n)
+        val step = if (isPrev) -n else n
+        arg match {
+          case nav: Nav =>
+            NestNav(isPrev, nav.v, nav.colName, nav.first, nav.off, n)
+          case nx: NavX => nx.copy(step = nx.step + step)
+          case QCol(q, c) if q.isEmpty || q.equalsIgnoreCase(ownVar) =>
+            PNav(isPrev, c, n) // physical from the current/measure row
+          case QCol(q, c) => // PREV(V.c, n) ≡ PREV(LAST(V.c), n)
+            NestNav(isPrev, q, c, first = false, off = 0, n)
+          case e =>
+            val q = soleQualifier(e, s"a ${s.toUpperCase} argument")
+            if (q.isEmpty || q.equalsIgnoreCase(ownVar))
+              PNavX(step, stripQCols(e))
+            else NavX(q, first = false, off = 0, stripQCols(e), step)
         }
       case TIdent(s) if peek.contains(TOp(".")) =>
         next() // consume '.'
         next() match {
           case TIdent(col) =>
-            if (s.equalsIgnoreCase(ownVar)) Cur(col) // own var = current row
-            else if (varSet(s.toLowerCase)) Nav(s, col, first = false, off = 0)
-            else fail(s"qualifier $s in DEFINE $ownVar is not a pattern " +
-              "variable or SUBSET (table aliases are not visible inside " +
-              "MATCH_RECOGNIZE DEFINE)")
+            if (!varSet(s.toLowerCase) && !s.equalsIgnoreCase(ownVar))
+              fail(s"qualifier $s in DEFINE $ownVar is not a pattern " +
+                "variable or SUBSET (table aliases are not visible inside " +
+                "MATCH_RECOGNIZE DEFINE)")
+            if (navDepth > 0) QCol(s, col) // scoped by the argument
+            else if (s.equalsIgnoreCase(ownVar)) Cur(col) // own = current row
+            else Nav(s, col, first = false, off = 0)
           case other => fail(s"expected column after '$s.': got $other")
         }
       case TIdent(s) if peek.contains(TOp("(")) =>
@@ -449,7 +514,7 @@ object MrPredicate {
           "AND/OR/NOT, BETWEEN, IN, arithmetic). Precompute the value " +
           "as a column on the input relation, or keep the predicate " +
           "free of cross-variable references to get the full SQL surface")
-      case TIdent(s) => Cur(s)
+      case TIdent(s) => if (navDepth > 0) QCol("", s) else Cur(s)
       case other => fail(s"unexpected token in DEFINE predicate: $other")
     }
 
@@ -496,6 +561,19 @@ object MrPredicate {
             if f.equalsIgnoreCase("FIRST") || f.equalsIgnoreCase("LAST") ||
                AggFns(f.toLowerCase) =>
           return true
+        // PREV/NEXT over anything richer than `[V.]col[, n]` (a
+        // composite argument like PREV(price + tax)) has no textual
+        // lag/lead rewrite — the interpreter evaluates it row-pinned
+        case TIdent(f) :: TOp("(") :: rest
+            if f.equalsIgnoreCase("PREV") || f.equalsIgnoreCase("NEXT") =>
+          val simple = rest match {
+            case TIdent(_) :: TOp(".") :: TIdent(_) :: TOp(",") :: TNum(_) :: TOp(")") :: _ => true
+            case TIdent(_) :: TOp(".") :: TIdent(_) :: TOp(")") :: _ => true
+            case TIdent(_) :: TOp(",") :: TNum(_) :: TOp(")") :: _ => true
+            case TIdent(_) :: TOp(")") :: _ => true
+            case _ => false
+          }
+          if (!simple) return true
         case _ => ()
       }
       ts = ts.tail
@@ -583,6 +661,11 @@ object MrPredicate {
         s"${if (p) "PREV" else "NEXT"}(…($v.$c)…) reached resolution — " +
         "nested navigation is only available in DEFINE and MEASURES of " +
         "a planned MATCH_RECOGNIZE (not the streaming face)")
+      case nx: NavX  => nx.copy(expr = resolve(nx.expr, schema))
+      case ax: AggX  => ax.copy(expr = resolve(ax.expr, schema))
+      case px: PNavX => px.copy(expr = resolve(px.expr, schema))
+      case QCol(v, c) =>
+        fail(s"internal: argument-scoped column $v.$c escaped the parser")
     }
   }
 
@@ -616,6 +699,21 @@ object MrPredicate {
       case Lit(other) => fail(s"unsupported literal type: $other")
       case Cur(_, idx) => colT(idx)
       case Nav(_, _, _, _, idx) => colT(idx)
+      // expression navigation/aggregates: the ARGUMENT's type, with the
+      // same aggregate widening rules as the column forms
+      case NavX(_, _, _, e, _) => exprType(e, schema)
+      case PNavX(_, e)         => exprType(e, schema)
+      case AggX("count", _, _) => LongType
+      case AggX("avg", _, e) =>
+        numeric(exprType(e, schema), "AVG(…)"); DoubleType
+      case AggX("sum", _, e) => numeric(exprType(e, schema), "SUM(…)") match {
+        case ByteType | ShortType | IntegerType | LongType => LongType
+        case FloatType | DoubleType => DoubleType
+        case d: DecimalType =>
+          DecimalType(math.min(38, d.precision + 10), d.scale)
+        case other => other // unreachable
+      }
+      case AggX(_, _, e) => exprType(e, schema) // min/max keep the type
       case Agg("count", _, _, _) => LongType
       case Agg("avg", _, c, idx) =>
         numeric(colT(idx), s"AVG($c)"); DoubleType
@@ -648,6 +746,8 @@ object MrPredicate {
       case NestNav(p, _, c, _, _, _) =>
         fail(s"internal: un-lowered nested " +
           s"${if (p) "PREV" else "NEXT"}(…$c…) reached typing")
+      case QCol(v, c) =>
+        fail(s"internal: argument-scoped column $v.$c reached typing")
     }
   }
 
@@ -824,6 +924,29 @@ object MrPredicate {
     case Cur(_, idx) => ctx.cur(idx)
     case Nav(v, _, first, off, idx) => ctx.nav(v, idx, first, off)
     case Agg(fn, v, _, idx) => aggFold(fn, ctx.aggVals(v, idx))
+    case NavX(v, first, off, e, step) =>
+      // resolve the logical row, apply the outer physical step inside
+      // the group, then evaluate the argument AT that row
+      val r0 = ctx.navRowIdx(v, first, off)
+      if (r0 < 0) null
+      else {
+        val r = r0 + step
+        if (r < 0 || r >= ctx.groupSize) null
+        else eval(e, new PinnedCtx(ctx, r))
+      }
+    case AggX(fn, v, e) =>
+      aggFold(fn,
+        ctx.aggRowIdxs(v).map(r => eval(e, new PinnedCtx(ctx, r))))
+    case PNavX(step, e) =>
+      val a = ctx.curRowIdx
+      if (a < 0) null
+      else {
+        val r = a + step
+        if (r < 0 || r >= ctx.groupSize) null
+        else eval(e, new PinnedCtx(ctx, r))
+      }
+    case QCol(v, c) =>
+      fail(s"internal: argument-scoped column $v.$c reached evaluation")
     case Cmp(op, l, r) =>
       // left-first lazy null propagation, as Spark's BinaryComparison
       // evaluates: a null LEFT operand never evaluates the right (so a

@@ -330,6 +330,33 @@ object TimeOps {
         .orderBy(col("user_id"), col("a_eid"))
     }),
 
+    // EXPRESSION arguments in navigation/aggregates (SQL:2016): the
+    // TPC-H revenue formula as an aggregate ARGUMENT —
+    // SUM(A.eprice * (1 - A.disc)) — plus LAST over the same product
+    // and a composite PREV, all evaluated per mapped row with exact
+    // decimal arithmetic and emitted as double. PATTERN (A+) with an
+    // always-true DEFINE matches each order once, so the DuckDB replay
+    // is a plain GROUP BY joined to the per-order last/previous lines.
+    "mr_order_revenue" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      val li = t(s, d, "lineitem")
+        .withColumn("eprice", col("l_extendedprice").cast(dec))
+        .withColumn("disc", col("l_discount").cast(dec))
+      val clause = // (l_orderkey, l_linenumber) is NOT unique in this
+        // synthetic lineitem — the full key breaks LAST/PREV ties
+        """PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey
+          |MEASURES COUNT(*) AS n_lines,
+          |         SUM(A.eprice * (1 - A.disc)) AS revenue,
+          |         LAST(A.eprice * (1 - A.disc)) AS last_net,
+          |         PREV(eprice + disc) AS prev_mix
+          |PATTERN (A+)
+          |DEFINE A AS l_quantity > 0""".stripMargin
+      graft.dialect.MatchRecognize.run(li,
+          graft.dialect.MatchRecognize.parseClause(clause))
+        .withColumn("revenue", col("revenue").cast("double"))
+        .orderBy(col("l_orderkey"))
+    }),
+
     "mr_empty_show" -> ((s, d) => {
       val clause =
         """PARTITION BY user_id ORDER BY ts, event_id
@@ -674,6 +701,32 @@ object TimeOps {
         |LEFT JOIN segs p ON p.user_id = r.user_id AND p.rn = a.rn - 1
         |LEFT JOIN segs x ON x.user_id = r.user_id AND x.rn = r.rend + 1
         |ORDER BY a.user_id, a_eid""".stripMargin,
+
+    // Expression-argument replay: PATTERN (A+) over an always-true
+    // DEFINE matches each order exactly once, so the aggregate measures
+    // are a GROUP BY; last_net reads the product at the order's last
+    // line, prev_mix the sum at the line before it (NULL on one-line
+    // orders). Decimal casts keep both engines' sums exact.
+    "mr_order_revenue" ->
+      """WITH e AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(l_extendedprice AS DECIMAL(18,4)) AS ep,
+        |    CAST(l_discount AS DECIMAL(18,4)) AS dc,
+        |    ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |                       ORDER BY l_linenumber, l_partkey,
+        |                                l_suppkey) AS rn
+        |  FROM lineitem),
+        |agg AS (
+        |  SELECT l_orderkey, COUNT(*) AS n_lines,
+        |    CAST(SUM(ep * (1 - dc)) AS DOUBLE) AS revenue
+        |  FROM e GROUP BY l_orderkey)
+        |SELECT a.l_orderkey, a.n_lines, a.revenue,
+        |  CAST(l.ep * (1 - l.dc) AS DOUBLE) AS last_net,
+        |  CAST(p.ep + p.dc AS DOUBLE) AS prev_mix
+        |FROM agg a
+        |JOIN e l ON l.l_orderkey = a.l_orderkey AND l.rn = a.n_lines
+        |LEFT JOIN e p ON p.l_orderkey = a.l_orderkey AND p.rn = a.n_lines - 1
+        |ORDER BY a.l_orderkey""".stripMargin,
 
     // Aggregate-measure replay: per-island FINAL aggregates, exact
     // decimal sums emitted as double (QHelpers determinism rule).

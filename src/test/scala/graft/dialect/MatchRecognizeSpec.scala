@@ -1317,6 +1317,133 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(out == Seq(null, 1.0, 2.0))
   }
 
+  test("expression arguments: SUM/AVG/MIN/COUNT over arithmetic") {
+    // SUM(A.price * (1 - A.disc)) — the per-row product aggregated
+    // exactly (decimal), emitted per the widening rules
+    val df = Seq(
+      (1L, 1L, BigDecimal("10.00"), BigDecimal("0.10")),
+      (1L, 2L, BigDecimal("20.00"), BigDecimal("0.25")),
+      (2L, 1L, BigDecimal("5.00"), BigDecimal("0.00")))
+      .toDF("uid", "seq", "price", "disc")
+    val clause =
+      """PARTITION BY uid ORDER BY seq
+        |MEASURES SUM(A.price * (1 - A.disc)) AS net,
+        |         AVG(A.price * 2) AS avg2,
+        |         MIN(A.price - A.disc) AS mn,
+        |         COUNT(A.price * A.disc) AS n
+        |PATTERN (A+)
+        |DEFINE A AS price > 0""".stripMargin
+    val out = MatchRecognize.run(df, parseClause(clause)).orderBy("uid")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    // uid 1: 10*0.9 + 20*0.75 = 24; avg(20,40)=30; min(9.9,19.75)=9.9
+    assert(out == Seq((1L, 24.0, 30.0, 9.9, 2L), (2L, 5.0, 10.0, 5.0, 1L)))
+  }
+
+  test("expression arguments: LAST(expr), null skipping, DEFINE budget") {
+    val df = Seq(
+      (1L, 1L, Some(3.0), 1.0), (1L, 2L, None, 2.0), (1L, 3L, Some(5.0), 3.0))
+      .toDF("uid", "seq", "v", "w")
+    // LAST(A.v + A.w) evaluates at the LAST MAPPED ROW (null v there →
+    // null result, no fallback); SUM skips null products
+    val clause =
+      """PARTITION BY uid ORDER BY seq
+        |MEASURES LAST(A.v + A.w) AS last_vw, SUM(A.v * A.w) AS s
+        |PATTERN (A+)
+        |DEFINE A AS w > 0""".stripMargin
+    val out = MatchRecognize.run(df, parseClause(clause)).collect()
+    assert(out(0).getDouble(1) == 8.0)       // 5 + 3 at the last row
+    assert(out(0).getDouble(2) == 18.0)      // 3*1 + skip + 5*3
+    // an aggregate ARGUMENT in DEFINE: pack while SUM(A.v * A.w) stays
+    // small — the greedy budget idiom over a product
+    val clause2 =
+      """PARTITION BY uid ORDER BY seq
+        |MEASURES COUNT(*) AS n
+        |PATTERN (A+)
+        |DEFINE A AS SUM(A.w * A.w) <= 5""".stripMargin
+    val out2 = MatchRecognize.run(df, parseClause(clause2)).collect()
+    // 1 + 4 = 5 ≤ 5, adding 9 overshoots → one 2-row match; row 3
+    // alone starts at 9 > 5, so it matches nothing
+    assert(out2.map(_.getLong(1)).toSeq == Seq(2L))
+  }
+
+  test("expression arguments: PREV over a composite; nested with expr") {
+    val df = Seq((1L, 1L, 1.0, 10.0), (1L, 2L, 2.0, 20.0),
+      (1L, 3L, 4.0, 30.0)).toDF("uid", "seq", "v", "w")
+    // PREV(v + w): anchored at the measure's row (the match's last row
+    // in ONE-ROW mode) → row 2's v+w; PREV(LAST(B.v * 2)): the row
+    // before the last B, argument evaluated THERE
+    val clause =
+      """PARTITION BY uid ORDER BY seq
+        |MEASURES PREV(v + w) AS pvw, PREV(LAST(B.v * 2)) AS pl2
+        |PATTERN (A B+)
+        |DEFINE B AS v > PREV(v)""".stripMargin
+    val out = MatchRecognize.run(df, parseClause(clause)).collect()
+    assert(out.length == 1)
+    assert(out(0).getDouble(1) == 22.0) // row 2: 2 + 20
+    assert(out(0).getDouble(2) == 4.0)  // LAST(B)=row3 → PREV=row2 → 2*2
+    // a composite PREV in DEFINE routes to the interpreter even with no
+    // cross-variable reference
+    val clause2 =
+      """PARTITION BY uid ORDER BY seq
+        |MEASURES COUNT(*) AS n
+        |PATTERN (A B)
+        |DEFINE B AS v + w > PREV(v + w) + 10""".stripMargin
+    val out2 = MatchRecognize.run(df, parseClause(clause2)).collect()
+    // starts: row1→row2: 22 > 11+10 ✓ — one match (rows 1-2); resume at
+    // row 3: no pair left
+    assert(out2.length == 1 && out2(0).getLong(1) == 2L)
+  }
+
+  test("expression arguments: mixed qualifiers and nesting are rejected") {
+    val df = Seq((1L, 1L, 1.0, 1.0)).toDF("uid", "seq", "v", "w")
+    def bad(m: String) = intercept[IllegalArgumentException] {
+      MatchRecognize.run(df, parseClause(
+        s"""PARTITION BY uid ORDER BY seq
+           |MEASURES $m AS x
+           |PATTERN (A B)
+           |DEFINE B AS v > 0""".stripMargin)).collect()
+    }.getMessage
+    assert(bad("SUM(A.v + B.w)").contains("single pattern variable"))
+    assert(bad("LAST(A.v + w)").contains("single pattern variable"))
+    assert(bad("LAST(FIRST(A.v) + 1)").contains("navigation inside"))
+    assert(bad("SUM(COUNT(A.v))").contains("aggregate inside"))
+  }
+
+  test("CLASSIFIER(V): the last row mapped to a variable or SUBSET") {
+    val df = Seq((1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "buy"))
+      .toDF("uid", "seq", "ev")
+    val clause =
+      """PARTITION BY uid ORDER BY seq
+        |MEASURES CLASSIFIER() AS last_any, CLASSIFIER(A) AS last_a,
+        |         CLASSIFIER(U) AS last_u
+        |SUBSET U = (A, B)
+        |PATTERN (A B C)
+        |DEFINE A AS ev = 'view', B AS ev = 'click', C AS ev = 'buy'""".stripMargin
+    val out = MatchRecognize.run(df, parseClause(clause)).collect()
+    assert(out.length == 1)
+    assert(out(0).getString(1) == "C" && out(0).getString(2) == "A" &&
+      out(0).getString(3) == "B")
+    // ALL ROWS mode: RUNNING per row — CLASSIFIER(B) is NULL before any
+    // B row is mapped
+    val clause2 =
+      """PARTITION BY uid ORDER BY seq
+        |MEASURES CLASSIFIER(B) AS cb
+        |ALL ROWS PER MATCH
+        |PATTERN (A B C)
+        |DEFINE A AS ev = 'view', B AS ev = 'click', C AS ev = 'buy'""".stripMargin
+    val rows = MatchRecognize.run(df, parseClause(clause2)).orderBy("seq")
+      .collect().map(r => if (r.isNullAt(3)) null else r.getString(3)).toSeq
+    assert(rows == Seq(null, "B", "B"))
+    // unknown argument → loud
+    val e = intercept[IllegalArgumentException](MatchRecognize.run(df,
+      parseClause("""PARTITION BY uid ORDER BY seq
+        |MEASURES CLASSIFIER(Z) AS z
+        |PATTERN (A)
+        |DEFINE A AS ev = 'view'""".stripMargin)))
+    assert(e.getMessage.contains("CLASSIFIER argument Z"))
+  }
+
   test("nested navigation: unknown qualifiers are rejected loudly") {
     val df = Seq((1L, 1L, 1.0)).toDF("uid", "seq", "price")
     def bad(clause: String) =
