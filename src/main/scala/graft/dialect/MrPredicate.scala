@@ -267,6 +267,13 @@ object MrPredicate {
       case TIdent(s) => s.equalsIgnoreCase(kw)
       case _ => false
     }
+    // toInt/toLong raise a bare NumberFormatException on over-long
+    // digit runs — wrap so every parser rejection carries the
+    // MATCH_RECOGNIZE: prefix (pinned by the clause fuzz)
+    def intOf(s: String, what: String): Int =
+      try s.toInt
+      catch { case _: NumberFormatException =>
+        fail(s"$what out of range: $s") }
 
     def parseOr(): Node = {
       var l = parseAnd()
@@ -373,7 +380,8 @@ object MrPredicate {
         case Some(TOp(",")) =>
           next()
           next() match {
-            case TNum(s) if !s.contains('.') => s.toInt
+            case TNum(s) if !s.contains('.') =>
+              intOf(s, "FIRST/LAST offset")
             case other => fail(s"FIRST/LAST offset must be an integer: $other")
           }
         case _ => 0
@@ -424,7 +432,10 @@ object MrPredicate {
       case TNum(s) =>
         if (s.contains('.') || s.toLowerCase.contains('e'))
           Lit(new java.math.BigDecimal(s))
-        else Lit(java.lang.Long.valueOf(s.toLong))
+        else
+          try Lit(java.lang.Long.valueOf(s.toLong))
+          catch { case _: NumberFormatException =>
+            fail(s"integer literal out of range: $s") }
       case TStr(s) => Lit(s)
       case TOp("(") =>
         val e = parseOr(); expectOp(")"); e
@@ -473,7 +484,8 @@ object MrPredicate {
           case Some(TOp(",")) =>
             next()
             next() match {
-              case TNum(ns) if !ns.contains('.') => ns.toInt
+              case TNum(ns) if !ns.contains('.') =>
+                intOf(ns, s"${s.toUpperCase} offset")
               case other => fail(s"${s.toUpperCase} offset must be an " +
                 s"integer: $other")
             }

@@ -721,13 +721,22 @@ object TrinoFunctions {
     },
     // regexp_position: 1-based char position of the first match, -1
     // when absent (Spark's regexp_instr says 0; rewrap). The optional
-    // start/occurrence args are not supported.
+    // start/occurrence forms search from a 1-based position for the
+    // occurrence-th match — no Spark expression takes those, so they
+    // StaticInvoke the BinFuncs helper (still codegen'd call sites).
     "regexp_position" -> {
       case Seq(s, p) =>
         val pos = RegExpInStr(s, p, Literal(0))
         If(EqualTo(pos, Literal(0)), Literal(-1), pos)
+      case Seq(s, p, rest @ _*) if rest.size <= 2 =>
+        val occ = if (rest.size == 2) rest(1) else Literal(1)
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          BinFuncs.getClass, IntegerType, "regexpPosition",
+          Seq(Cast(s, StringType), Cast(p, StringType),
+            Cast(rest.head, IntegerType), Cast(occ, IntegerType)),
+          Seq(StringType, StringType, IntegerType, IntegerType))
       case args => throw new IllegalArgumentException(
-        s"regexp_position expects 2 args (start/occurrence unsupported), got ${args.length}")
+        s"regexp_position expects 2-4 args, got ${args.length}")
     },
     // split_to_map(s, entryDelim, kvDelim) → str_to_map (same arg order;
     // Trino errors on duplicate keys, Spark keeps the last — documented)
@@ -2329,6 +2338,39 @@ object BinFuncs {
       i -= 1
     }
     sum % 10 == 0
+  }
+
+  /** `regexp_position(s, p, start[, occurrence])` — 1-based char
+    * position of the occurrence-th match at or after `start`, -1 when
+    * absent (Trino's 3/4-arg forms; the 2-arg form rides Spark's
+    * codegen'd regexp_instr). Non-positive start/occurrence raise, as
+    * Trino's INVALID_FUNCTION_ARGUMENT does. Patterns are compiled once
+    * per distinct regex (bounded cache) — in practice the pattern is a
+    * literal, so this is one compile per executor. */
+  private val rePosCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+  def regexpPosition(s: UTF8String, p: UTF8String, start: Int,
+      occurrence: Int): Int = {
+    if (start < 1) throw new IllegalArgumentException(
+      "regexp_position: start position must be positive")
+    if (occurrence < 1) throw new IllegalArgumentException(
+      "regexp_position: occurrence must be positive")
+    val str = s.toString
+    if (start - 1 > str.length) return -1
+    val key = p.toString
+    var pat = rePosCache.get(key)
+    if (pat == null) {
+      pat = java.util.regex.Pattern.compile(key)
+      if (rePosCache.size < 1024) rePosCache.put(key, pat)
+    }
+    val m = pat.matcher(str)
+    if (!m.find(start - 1)) return -1
+    var found = 1
+    while (found < occurrence) {
+      if (!m.find()) return -1 // find() self-advances past empty matches
+      found += 1
+    }
+    m.start + 1
   }
 
   def hmac(data: Array[Byte], key: Array[Byte], algo: UTF8String): Array[Byte] = {

@@ -38,6 +38,10 @@ object ClusterSmoke {
       // (cross-variable refs, running aggregates, expression measures)
       // must serialize into executor-side MatchIterators too
       "mr_vshape", "mr_pack_runs", "mr_funnel_delta",
+      // r13 second wave: nested navigation (NestNav lowered onto lag
+      // columns) and expression arguments (NavX/AggX/PNavX with the
+      // row-pinned Ctx) — serialized closures with BigDecimal folds
+      "mr_run_context", "mr_order_revenue",
       // BM25 incremental merge: the touched-bucket terms swap is
       // RENAME-based (write tmp buckets, fs.rename into terms/) and the
       // corpus_stats file is driver-written — this run proves the swap

@@ -617,7 +617,19 @@ class MatchRecognizeSpec extends SparkSpec {
       "MEASURES LAST(B.v) - FIRST(A.v) AS d", "MEASURES SUM(B.v) / COUNT(B.*) AS r",
       "MEASURES v - PREV(v) AS step, NEXT(v) IS NULL AS e",
       "MEASURES 1 + AS broken", "MEASURES (A.v AS x",
-      "MEASURES upper(x) AS u", "MEASURES A.v IN (1, 2,")
+      "MEASURES upper(x) AS u", "MEASURES A.v IN (1, 2,",
+      // the r13 second-wave surface: nested navigation, expression
+      // arguments, CLASSIFIER(U) — valid, invalid, and truncated forms
+      "MEASURES PREV(LAST(B.v, 1), 2) AS p", "MEASURES PREV(FIRST(A.v)) AS q",
+      "MEASURES SUM(A.v * (1 - A.w)) AS net", "MEASURES PREV(v + w) AS c",
+      "MEASURES NEXT(FIRST(B.v), 999999999999) AS o",
+      "MEASURES SUM(A.v + B.w) AS mixed", "MEASURES LAST(A.v + w) AS mixed2",
+      "MEASURES LAST(FIRST(A.v) + 1) AS nest", "MEASURES SUM(COUNT(A.v)) AS agg2",
+      "MEASURES PREV(LAST(", "MEASURES SUM(A.v * ) AS t",
+      "MEASURES CLASSIFIER(U) AS cu", "MEASURES CLASSIFIER(Z) AS cz",
+      "MEASURES AVG(A.v * 99999999999999999999) AS big",
+      "DEFINE B AS v > PREV(A.v)", "DEFINE B AS SUM(A.v * A.w) <= 5",
+      "DEFINE B AS v + w > PREV(v + w) + 10")
     var specs = 0; var rejects = 0
     (1 to 4000).foreach { i =>
       val n = 1 + rnd.nextInt(6)

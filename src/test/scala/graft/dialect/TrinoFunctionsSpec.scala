@@ -590,6 +590,17 @@ class TrinoFunctionsSpec extends SparkSpec {
   test("regexp_position returns 1-based char position or -1") {
     assert(one("SELECT regexp_position('I have 23 apples', '\\\\d+')") == 8)
     assert(one("SELECT regexp_position('no digits', '\\\\d+')") == -1)
+    // 3/4-arg forms: search from a 1-based start, select the n-th match
+    assert(one("SELECT regexp_position('a1b2c3', '\\\\d', 3)") == 4)
+    assert(one("SELECT regexp_position('a1b2c3', '\\\\d', 1, 3)") == 6)
+    assert(one("SELECT regexp_position('a1b2c3', '\\\\d', 3, 2)") == 6)
+    assert(one("SELECT regexp_position('a1b2c3', '\\\\d', 1, 4)") == -1)
+    assert(one("SELECT regexp_position('a1b2c3', '\\\\d', 99)") == -1)
+    // non-positive start surfaces as a query error (the service maps
+    // executor-side INVALID_FUNCTION_ARGUMENTs to Left)
+    assert(intercept[AssertionError](
+      one("SELECT regexp_position('abc', 'b', 0)"))
+      .getMessage.contains("positive"))
   }
 
   test("day_of_month aliases day") {
