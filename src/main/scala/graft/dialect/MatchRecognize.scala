@@ -831,25 +831,7 @@ object MatchRecognize {
         case None    => m
       }
     }
-    val measureFields = resolvedMeasures.map { m =>
-      (m.kind, m.colName, m.alias) match {
-        case (MExpr, _, a) =>
-          StructField(a, MrPredicate.exprType(m.ast.get, inSchema))
-        case (MFirst | MLast, c, a) => StructField(a, colType(c))
-        case (MClassifier, _, a)    => StructField(a, StringType)
-        case (MSum, c, a) => StructField(a, sumOutType(colType(c), c))
-        case (MAvg, c, a) =>
-          sumOutType(colType(c), c) // numeric check only
-          StructField(a, DoubleType)
-        case (MMin | MMax, c, a) => colType(c) match {
-          case BinaryType | _: ArrayType | _: MapType | _: StructType =>
-            fail(s"MIN/MAX measure requires an orderable atomic column " +
-              s"($c is ${colType(c).simpleString})")
-          case dt => StructField(a, dt)
-        }
-        case (_, _, a)              => StructField(a, LongType)
-      }
-    }
+    val (measureExecs, measureFields) = planMeasures(resolvedMeasures, inSchema)
     val outSchema = StructType(
       (if (spec.allRows) inputCols.map(c => inSchema(inSchema.fieldIndex(c)))
        else spec.partitionBy.map(c => StructField(c, colType(c)))) ++
@@ -861,12 +843,7 @@ object MatchRecognize {
     val orderIdx = spec.orderBy.map(inSchema.fieldIndex)
     val flagIdx: Map[String, Int] =
       varNames.map(v => v -> inSchema.fieldIndex(DefPrefix + v)).toMap
-    val measureIdx: Seq[MeasureExec] =
-      resolvedMeasures.zip(measureFields).map { case (m, f) =>
-        MeasureExec(m.kind, m.varName,
-          if (m.colName.nonEmpty) inSchema.fieldIndex(m.colName) else -1,
-          m.offset, f.dataType, m.finalSem, m.ast)
-      }
+    val measureIdx: Seq[MeasureExec] = measureExecs
     val pattern = spec.pattern
     val skip = spec.skip
     val allRows = spec.allRows
@@ -901,10 +878,94 @@ object MatchRecognize {
       cIdx: Int, offset: Int, dt: DataType, finalSem: Boolean,
       ast: Option[MrPredicate.Node] = None)
 
+  /** Resolve PARSED measures (ASTs already bound via MrPredicate
+    * .resolve) against a scan schema: the execution form (field
+    * indexes, output type) and the output fields, with the aggregate
+    * widening and atomic-orderability gates applied. Shared by the
+    * batch planner and the streaming measures face. */
+  private[graft] def planMeasures(resolved: Seq[Measure],
+      inSchema: StructType): (Seq[MeasureExec], Seq[StructField]) = {
+    def colType(c: String): DataType = inSchema(inSchema.fieldIndex(c)).dataType
+    val fields = resolved.map { m =>
+      (m.kind, m.colName, m.alias) match {
+        case (MExpr, _, a) =>
+          StructField(a, MrPredicate.exprType(m.ast.get, inSchema))
+        case (MFirst | MLast, c, a) => StructField(a, colType(c))
+        case (MClassifier, _, a)    => StructField(a, StringType)
+        case (MSum, c, a) => StructField(a, sumOutType(colType(c), c))
+        case (MAvg, c, a) =>
+          sumOutType(colType(c), c) // numeric check only
+          StructField(a, DoubleType)
+        case (MMin | MMax, c, a) => colType(c) match {
+          case BinaryType | _: ArrayType | _: MapType | _: StructType =>
+            fail(s"MIN/MAX measure requires an orderable atomic column " +
+              s"($c is ${colType(c).simpleString})")
+          case dt => StructField(a, dt)
+        }
+        case (_, _, a)              => StructField(a, LongType)
+      }
+    }
+    val execs = resolved.zip(fields).map { case (m, f) =>
+      MeasureExec(m.kind, m.varName,
+        if (m.colName.nonEmpty) inSchema.fieldIndex(m.colName) else -1,
+        m.offset, f.dataType, m.finalSem, m.ast)
+    }
+    (execs, fields)
+  }
+
+  /** ONE-ROW-PER-MATCH measure evaluation over a COMPLETED match —
+    * shared by the batch iterator's emitOne and the streaming measures
+    * face ([[graft.streaming.Streams]] matchRecognizeRows). `assigned`
+    * is the matcher's reverse-order assignment list (exclusion marks
+    * intact — excluded rows still feed navigation/aggregates);
+    * `membersOf` expands a SUBSET name to its member variables. */
+  private[graft] def oneRowMeasureValues(g: Array[Row],
+      assigned: List[(Int, String)], start: Int, end: Int, matchNo: Long,
+      measures: Seq[MeasureExec],
+      membersOf: String => Seq[String]): Array[Any] = {
+    // ascending row order; exclusion marks stripped
+    val asc = assigned.reverse.map { case (r, v) => (r, stripExcl(v)) }
+    val byVar = asc.groupBy(_._2).map { case (k, l) => k -> l.map(_._1) }
+    // "" = the universal variable (every matched row); a subset name
+    // expands to the sorted union of its members' rows
+    def varRows(v: String): Seq[Int] =
+      if (v.isEmpty) asc.map(_._1)
+      else membersOf(v) match {
+        case Seq(one) => byVar.getOrElse(one, Nil)
+        case ms => ms.flatMap(m => byVar.getOrElse(m, Nil)).sorted
+      }
+    measures.map { case MeasureExec(kind, v, cIdx, off, dt, _, ast) =>
+      kind match {
+        case MFirst =>
+          varRows(v).lift(off).map(r => g(r).get(cIdx)).orNull
+        case MLast  =>
+          val l = varRows(v)
+          l.lift(l.length - 1 - off).map(r => g(r).get(cIdx)).orNull
+        case MCountVar    => varRows(v).length.toLong
+        case MCountStar   => (end - start).toLong
+        case MMatchNumber => matchNo
+        case MClassifier  => // last row's var, mark-stripped; with an
+          // argument, the last row mapped to that variable/SUBSET
+          if (v.isEmpty) assigned.headOption.map(a => stripExcl(a._2)).orNull
+          else {
+            val ms = membersOf(v).map(_.toLowerCase).toSet
+            asc.reverseIterator.find(p => ms(p._2.toLowerCase))
+              .map(_._2).orNull
+          }
+        case MSum | MAvg | MMin | MMax =>
+          aggOver(kind, dt, varRows(v).map(r => g(r).get(cIdx)))
+        case MExpr => // FINAL: the whole match; unqualified cols = last row
+          MrPredicate.coerce(MrPredicate.eval(ast.get,
+            new MrPredicate.MatchCtx(g, asc,
+              if (asc.isEmpty) -1 else asc.last._1, membersOf)), dt)
+      }
+    }.toArray
+  }
+
   /** Output type of SUM(c): integral → bigint (Trino's widening),
     * float/double → double, decimal → precision+10 (Spark's sum rule);
     * non-numeric rejected. Also serves as the SUM/AVG numeric gate. */
-  private def sumOutType(dt: DataType, c: String): DataType = dt match {
+  private[graft] def sumOutType(dt: DataType, c: String): DataType = dt match {
     case ByteType | ShortType | IntegerType | LongType => LongType
     case FloatType | DoubleType => DoubleType
     case d: DecimalType => DecimalType(math.min(38, d.precision + 10), d.scale)
@@ -1073,47 +1134,11 @@ object MatchRecognize {
     /** ONE ROW PER MATCH: FINAL semantics over the whole match. */
     private def emitOne(g: Array[Row], start: Int, end: Int,
         assigned: List[(Int, String)], matchNo: Long): Row = {
-      // ascending row order; exclusion marks stripped — excluded rows
-      // still feed navigation/aggregates (only ALL-mode OUTPUT skips)
-      val asc = assigned.reverse.map { case (r, v) => (r, stripExcl(v)) }
-      val byVar = asc.groupBy(_._2).map { case (k, l) => k -> l.map(_._1) }
-      // "" = the universal variable (every matched row); a subset name
-      // expands to the sorted union of its members' rows
-      def varRows(v: String): Seq[Int] =
-        if (v.isEmpty) asc.map(_._1)
-        else membersOf(v) match {
-          case Seq(one) => byVar.getOrElse(one, Nil)
-          case ms => ms.flatMap(m => byVar.getOrElse(m, Nil)).sorted
-        }
       val vals = new Array[Any](outIdx.length + measures.length)
       outIdx.indices.foreach(i => vals(i) = g(start).get(outIdx(i)))
-      measures.zipWithIndex.foreach { case (MeasureExec(kind, v, cIdx, off, dt, _, ast), mi) =>
-        val slot = outIdx.length + mi
-        vals(slot) = kind match {
-          case MFirst =>
-            varRows(v).lift(off).map(r => g(r).get(cIdx)).orNull
-          case MLast  =>
-            val l = varRows(v)
-            l.lift(l.length - 1 - off).map(r => g(r).get(cIdx)).orNull
-          case MCountVar    => varRows(v).length.toLong
-          case MCountStar   => (end - start).toLong
-          case MMatchNumber => matchNo
-          case MClassifier  => // last row's var, mark-stripped; with an
-            // argument, the last row mapped to that variable/SUBSET
-            if (v.isEmpty) assigned.headOption.map(a => stripExcl(a._2)).orNull
-            else {
-              val ms = membersOf(v).map(_.toLowerCase).toSet
-              asc.reverseIterator.find(p => ms(p._2.toLowerCase))
-                .map(_._2).orNull
-            }
-          case MSum | MAvg | MMin | MMax =>
-            aggOver(kind, dt, varRows(v).map(r => g(r).get(cIdx)))
-          case MExpr => // FINAL: the whole match; unqualified cols = last row
-            MrPredicate.coerce(MrPredicate.eval(ast.get,
-              new MrPredicate.MatchCtx(g, asc,
-                if (asc.isEmpty) -1 else asc.last._1, membersOf)), dt)
-        }
-      }
+      val mvals = oneRowMeasureValues(g, assigned, start, end, matchNo,
+        measures, membersOf)
+      mvals.indices.foreach(mi => vals(outIdx.length + mi) = mvals(mi))
       Row.fromSeq(vals.toIndexedSeq)
     }
 

@@ -147,6 +147,24 @@ object MrPredicate {
     qs.headOption.getOrElse("")
   }
 
+  /** Does the AST use PHYSICAL navigation in any form (PREV/NEXT over a
+    * column, an expression, or wrapping FIRST/LAST)? The streaming face
+    * rejects those — physical navigation needs a bounded partition
+    * window that an unbounded stream does not have. */
+  def usesPhysicalNav(n: Node): Boolean = n match {
+    case _: PNav | _: NestNav | _: PNavX => true
+    case NavX(_, _, _, e, s) => s != 0 || usesPhysicalNav(e)
+    case AggX(_, _, e)  => usesPhysicalNav(e)
+    case Cmp(_, l, r)   => usesPhysicalNav(l) || usesPhysicalNav(r)
+    case Arith(_, l, r) => usesPhysicalNav(l) || usesPhysicalNav(r)
+    case And(l, r)      => usesPhysicalNav(l) || usesPhysicalNav(r)
+    case Or(l, r)       => usesPhysicalNav(l) || usesPhysicalNav(r)
+    case Neg(e)         => usesPhysicalNav(e)
+    case Not(e)         => usesPhysicalNav(e)
+    case IsNull(e, _)   => usesPhysicalNav(e)
+    case _              => false
+  }
+
   /** Collapse every [[QCol]] to a plain [[Cur]] — evaluation pins the
     * row, so inside the argument a column read is just a column read. */
   private def stripQCols(e: Node): Node = e match {

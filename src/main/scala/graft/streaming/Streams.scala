@@ -636,4 +636,196 @@ object Streams {
           matches.iterator.map(_.copy(user_id = user))
       }
   }
+
+  /** One buffered row for [[matchRecognizeRows]]: event time, tiebreak
+    * id, DEFINE flags, and the row's COLUMN VALUES (Spark external
+    * types — all Serializable) so measures and interpreted DEFINEs can
+    * read them at emission. */
+  final case class MrRowV(tsMillis: Long, eventId: Long,
+      flags: Seq[Boolean], vals: Seq[Any])
+
+  /** Per-user state for [[matchRecognizeRows]]. */
+  final case class MrStateV(rows: Seq[MrRowV], matchNo: Long)
+
+  /** Streaming MATCH_RECOGNIZE with the clause's REAL measures — the
+    * full-output sibling of [[matchRecognizeStream]] (which emits the
+    * fixed [[MrMatch]] shape from boolean flags alone). This face
+    * buffers the ROW VALUES inside the horizon too, which unlocks, per
+    * match, everything the batch ONE-ROW emitter supports:
+    * FIRST/LAST(V.c[, n]), bare V.c, COUNT(*)/COUNT(V.*),
+    * SUM/AVG/MIN/MAX over columns or expressions
+    * (`SUM(A.price * (1 - A.disc))`), expression measures,
+    * MATCH_NUMBER(), CLASSIFIER([U]) — evaluated by the SAME code as
+    * the batch path ([[graft.dialect.MatchRecognize.oneRowMeasureValues]]),
+    * so the two faces cannot drift. Interpreted DEFINEs (cross-variable
+    * references `DEFINE C AS price <= A.price`, running aggregates,
+    * FIRST/LAST navigation) work too — the matcher re-tests rows under
+    * each hypothesis' own assignment exactly as the batch matcher does.
+    * PHYSICAL navigation (PREV/NEXT in any form) stays rejected: it
+    * needs a bounded partition window that an unbounded stream does
+    * not have. Emission, watermark, and `within`-horizon discipline are
+    * identical to [[matchRecognizeStream]]; output = user_id + the
+    * measure columns, schema derived from the clause at plan time.
+    *
+    * State bound: rows within one horizon per user (values included) —
+    * still Flink CEP's bound, just wider rows. */
+  def matchRecognizeRows(events: Dataset[Event], clause: String,
+      horizonSeconds: Long = 3600L, watermark: String = "2 hours"): DataFrame = {
+    import graft.dialect.{MatchRecognize, MrPredicate}
+    val spec = MatchRecognize.parseClause(clause)
+    require(spec.partitionBy == Seq("user_id") &&
+      spec.orderBy.headOption.contains("ts"),
+      "matchRecognizeRows: PARTITION BY user_id ORDER BY ts[, event_id] required")
+    require(!spec.allRows &&
+      spec.skip == MatchRecognize.SkipPastLast,
+      "matchRecognizeRows: ONE ROW PER MATCH + SKIP PAST LAST ROW only")
+    require(!spec.hasAnchor && !spec.hasExclusion,
+      "matchRecognizeRows: ^/$ anchors and {- -} exclusions are not " +
+        "available over a stream (no partition end exists)")
+    require(!MatchRecognize.nullable(spec.pattern),
+      "matchRecognizeRows: patterns that can match empty are not " +
+        "available over a stream")
+    val df = events.toDF()
+    val inSchema = df.schema
+    val vars = spec.vars
+    val allVarNames = vars ++ spec.subsets.map(_._1)
+    val subsetMap = spec.subsets.toMap
+    def membersOf(v: String): Seq[String] =
+      subsetMap.collectFirst {
+        case (k, ms) if k.equalsIgnoreCase(v) => ms
+      }.getOrElse(Seq(v))
+    // DEFINE classes, as in the batch planner: current-row-only →
+    // Catalyst flag projections; hypothesis-dependent → interpreted
+    // ASTs over the buffered values. Physical navigation → reject.
+    val simpleDefs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val crossPreds = scala.collection.mutable.LinkedHashMap.empty[String, MrPredicate.Node]
+    spec.defines.foreach { case (v, pred) =>
+      val others = allVarNames.filterNot(_.equalsIgnoreCase(v))
+      if (!MrPredicate.needsInterpreter(pred, others)) {
+        require(!"(?i)\\b(PREV|NEXT)\\s*\\(".r.findFirstIn(pred).isDefined,
+          s"matchRecognizeRows: DEFINE $v uses PREV/NEXT — physical " +
+            "navigation is not available over a stream (carry a " +
+            "previous-value column upstream if needed)")
+        simpleDefs(v) = MatchRecognize.rewriteDefinePred(v, pred, allVarNames)
+      } else {
+        val ast = MrPredicate.parse(pred, v, allVarNames)
+        require(!MrPredicate.usesPhysicalNav(ast),
+          s"matchRecognizeRows: DEFINE $v uses PREV/NEXT — physical " +
+            "navigation is not available over a stream")
+        val resolved = MrPredicate.resolve(ast, inSchema)
+        require(MrPredicate.exprType(resolved, inSchema) ==
+          org.apache.spark.sql.types.BooleanType,
+          s"matchRecognizeRows: DEFINE $v must be a boolean predicate")
+        crossPreds(v.toLowerCase) = resolved
+      }
+    }
+    // measures: resolve ASTs, reject physical navigation, derive the
+    // execution plan + output schema with the batch rules
+    val resolvedMeasures = spec.measures.map { m =>
+      m.ast match {
+        case Some(a) =>
+          require(!MrPredicate.usesPhysicalNav(a),
+            s"matchRecognizeRows: measure ${m.alias} uses PREV/NEXT — " +
+              "physical navigation is not available over a stream")
+          m.copy(ast = Some(MrPredicate.resolve(a, inSchema)))
+        case None => m
+      }
+    }
+    val (measureExecs, measureFields) =
+      MatchRecognize.planMeasures(resolvedMeasures, inSchema)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType, nullable = false) +: measureFields)
+    val pattern = spec.pattern
+    val horizonMs = horizonSeconds * 1000L
+    val flagCols = vars.map(v =>
+      coalesce(simpleDefs.get(v).map(p => expr(p).cast("boolean"))
+        // interpreted defines evaluate in the matcher; TRUE placeholder
+        // keeps the flag array aligned with the variable order
+        .getOrElse(lit(true)), lit(false)))
+    val uidIdx = inSchema.fieldIndex("user_id")
+    val tsIdx = inSchema.fieldIndex("ts")
+    val eidIdx = inSchema.fieldIndex("event_id")
+    val nCols = inSchema.length
+    val prepared = df
+      .withWatermark("ts", watermark)
+      .withColumn("__mr_flags", array(flagCols: _*))
+    val crossMap = crossPreds.toMap
+    implicit val stateEnc: org.apache.spark.sql.Encoder[MrStateV] =
+      org.apache.spark.sql.Encoders.javaSerialization[MrStateV]
+    implicit val outEnc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+
+    // one user's buffer vs the watermark → emitted measure rows; same
+    // discipline as matchRecognizeStream (sealed rows only, boundary
+    // probes defer until the start's horizon seals)
+    def advance(user: Long, buf0: Vector[MrRowV], matchNo0: Long, wm: Long)
+        : (Seq[org.apache.spark.sql.Row], Vector[MrRowV], Long, Long) = {
+      val buf = buf0.sortBy(r => (r.tsMillis, r.eventId))
+      val g: Array[org.apache.spark.sql.Row] =
+        buf.iterator.map(r =>
+          org.apache.spark.sql.Row.fromSeq(r.vals.toIndexedSeq)).toArray
+      val varPos = vars.zipWithIndex.map { case (v, i) => v.toLowerCase -> i }.toMap
+      def flagOf(j: Int, v: String, acc: List[(Int, String)]): Boolean =
+        crossMap.get(v.toLowerCase) match {
+          case Some(ast) => MrPredicate.evalBool(ast,
+            new MrPredicate.RowCtx(g, j, v, acc, membersOf))
+          case None => buf(j).flags(varPos(v.toLowerCase))
+        }
+      val out = Seq.newBuilder[org.apache.spark.sql.Row]
+      var matchNo = matchNo0
+      var i = 0
+      var pending = -1
+      while (i < buf.length && pending < 0) {
+        if (buf(i).tsMillis > wm) pending = i
+        else {
+          val horizonEnd = buf(i).tsMillis + horizonMs
+          val limitTs = math.min(wm, horizonEnd)
+          val windowSealed = wm >= horizonEnd
+          var b = i
+          while (b < buf.length && buf(b).tsMillis <= limitTs) b += 1
+          var hitBoundary = false
+          val m = MatchRecognize.matchFlagsCtx(pattern, b + 1,
+            (j, v, acc) => if (j >= b) { hitBoundary = true; false }
+                           else flagOf(j, v, acc), i)
+          val decided = windowSealed || !hitBoundary
+          if (m != null && decided) {
+            val mvals = MatchRecognize.oneRowMeasureValues(
+              g, m._2, i, m._1, matchNo, measureExecs, membersOf)
+            out += org.apache.spark.sql.Row.fromSeq(
+              java.lang.Long.valueOf(user) +: mvals.toIndexedSeq)
+            matchNo += 1
+            i = m._1
+          } else if (decided) i += 1
+          else pending = i
+        }
+      }
+      val keepFrom = if (pending >= 0) pending else i
+      val kept = buf.drop(keepFrom)
+      val wake = kept.headOption.map(_.tsMillis + horizonMs + 1L).getOrElse(-1L)
+      (out.result(), kept, matchNo, wake)
+    }
+
+    prepared
+      .groupByKey(_.getLong(uidIdx))(org.apache.spark.sql.Encoders.scalaLong)
+      .flatMapGroupsWithState[MrStateV, org.apache.spark.sql.Row](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[org.apache.spark.sql.Row],
+         state: GroupState[MrStateV]) =>
+          val st = state.getOption.getOrElse(MrStateV(Vector.empty, 1L))
+          val buf = st.rows.toVector ++ rows.map { r =>
+            MrRowV(r.getTimestamp(tsIdx).getTime, r.getLong(eidIdx),
+              r.getSeq[Boolean](nCols), // __mr_flags rides after the input cols
+              (0 until nCols).map(r.get))
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val (matches, kept, matchNo, wake) = advance(user, buf, st.matchNo, wm)
+          if (kept.isEmpty) { if (state.exists) state.remove() }
+          else {
+            state.update(MrStateV(kept, matchNo))
+            state.setTimeoutTimestamp(math.max(wake, wm + 1L))
+          }
+          matches.iterator
+      }
+  }
 }

@@ -698,4 +698,116 @@ class StreamsSpec extends SparkSpec {
           |DEFINE A AS event_type = 'view', B AS value > A.value""".stripMargin))
       .getMessage.contains("cross-variable"))
   }
+
+  test("matchRecognizeRows: real measures + cross DEFINE converge to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // clicks must OUT-VALUE the view (cross-variable DEFINE, interpreted
+    // in the matcher) — measures exercise navigation, aggregates over
+    // an expression, CLASSIFIER and MATCH_NUMBER on a stream
+    val mr = Seq(
+      Event(1, ts(0), 1, "view", 5.0),
+      Event(2, ts(1), 1, "click", 7.0),
+      Event(3, ts(2), 1, "click", 9.0),
+      Event(4, ts(3), 1, "click", 2.0),   // below A.value: run ends
+      Event(5, ts(4), 1, "view", 4.0),
+      Event(6, ts(5), 1, "click", 6.0),
+      Event(7, ts(0), 2, "view", 3.0),
+      Event(8, ts(1), 2, "click", 1.0))   // never out-values: no match
+    val clause =
+      """PARTITION BY user_id ORDER BY ts, event_id
+        |MEASURES FIRST(A.ts) AS start_ts, LAST(B.value) AS top,
+        |         SUM(B.value * 2) AS s2, COUNT(B.*) AS nb,
+        |         CLASSIFIER() AS cls, MATCH_NUMBER() AS mn
+        |PATTERN (A B+)
+        |DEFINE A AS event_type = 'view',
+        |       B AS event_type = 'click' AND B.value > A.value""".stripMargin
+    val flush = Seq(Event(100, ts(90), 99, "noop", 0.0),
+      Event(101, ts(95), 99, "noop", 0.0))
+    val mem = MemoryStream[Event]
+    val q = Streams.matchRecognizeRows(mem.toDS(), clause,
+        horizonSeconds = 1800L, watermark = "10 seconds")
+      .writeStream.format("memory").queryName("mr_rows")
+      .outputMode("append").start()
+    try {
+      mem.addData(mr.filter(_.ts.getTime <= ts(2).getTime): _*)
+      q.processAllAvailable()
+      mem.addData(mr.filterNot(_.ts.getTime <= ts(2).getTime): _*)
+      q.processAllAvailable()
+      flush.foreach { e => mem.addData(e); q.processAllAvailable() }
+      val streaming = spark.table("mr_rows")
+        .orderBy("user_id", "start_ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2),
+          r.getDouble(3), r.getLong(4), r.getString(5), r.getLong(6))).toSeq
+      val batch = graft.dialect.MatchRecognize.run((mr ++ flush).toDF(),
+          graft.dialect.MatchRecognize.parseClause(clause))
+        .orderBy("user_id", "start_ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2),
+          r.getDouble(3), r.getLong(4), r.getString(5), r.getLong(6))).toSeq
+      assert(streaming.nonEmpty && streaming == batch,
+        s"$streaming vs $batch")
+      // user 1: two matches (B runs 7,9 and 6); user 2: none
+      assert(streaming.map(_._1) == Seq(1L, 1L))
+      assert(streaming.map(_._3) == Seq(9.0, 6.0))
+      assert(streaming.map(_._4) == Seq(32.0, 12.0)) // SUM(B.value * 2)
+    } finally q.stop()
+  }
+
+  test("matchRecognizeRows: aggregate DEFINE budget packs over a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mr = Seq(
+      Event(1, ts(0), 1, "e", 10.0), Event(2, ts(1), 1, "e", 12.0),
+      Event(3, ts(2), 1, "e", 5.0), Event(4, ts(3), 1, "e", 20.0),
+      Event(5, ts(4), 1, "e", 4.0))
+    val clause =
+      """PARTITION BY user_id ORDER BY ts, event_id
+        |MEASURES FIRST(A.ts) AS start_ts, COUNT(*) AS n, SUM(A.value) AS total
+        |PATTERN (A+)
+        |DEFINE A AS SUM(A.value) <= 25""".stripMargin
+    val flush = Seq(Event(100, ts(90), 99, "noop", 0.0),
+      Event(101, ts(95), 99, "noop", 0.0))
+    val mem = MemoryStream[Event]
+    val q = Streams.matchRecognizeRows(mem.toDS(), clause,
+        horizonSeconds = 1800L, watermark = "10 seconds")
+      .writeStream.format("memory").queryName("mr_rows_pack")
+      .outputMode("append").start()
+    try {
+      mem.addData(mr: _*); q.processAllAvailable()
+      flush.foreach { e => mem.addData(e); q.processAllAvailable() }
+      val streaming = spark.table("mr_rows_pack")
+        .filter(col("user_id") === 1L)
+        .orderBy("start_ts").collect()
+        .map(r => (r.getLong(2), r.getDouble(3))).toSeq
+      // greedy packing: [10,12] = 22; [5,20] = 25; [4]
+      assert(streaming == Seq((2L, 22.0), (2L, 25.0), (1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("matchRecognizeRows rejects physical navigation and empty patterns") {
+    def mk(clause: String) =
+      Streams.matchRecognizeRows(spark.emptyDataset[Streams.Event], clause)
+    assert(intercept[IllegalArgumentException](mk(
+      """PARTITION BY user_id ORDER BY ts
+        |MEASURES PREV(value) AS p
+        |PATTERN (A B+)
+        |DEFINE A AS event_type = 'view', B AS event_type = 'click'""".stripMargin))
+      .getMessage.contains("PREV/NEXT"))
+    assert(intercept[IllegalArgumentException](mk(
+      """PARTITION BY user_id ORDER BY ts
+        |MEASURES COUNT(*) AS n
+        |PATTERN (A B+)
+        |DEFINE A AS event_type = 'view', B AS value > PREV(value)""".stripMargin))
+      .getMessage.contains("PREV/NEXT"))
+    assert(intercept[IllegalArgumentException](mk(
+      """PARTITION BY user_id ORDER BY ts
+        |MEASURES COUNT(*) AS n
+        |PATTERN (A B+)
+        |DEFINE A AS event_type = 'view', B AS B.value > PREV(A.value)""".stripMargin))
+      .getMessage.contains("PREV/NEXT"))
+    assert(intercept[IllegalArgumentException](mk(
+      """PARTITION BY user_id ORDER BY ts
+        |MEASURES COUNT(*) AS n
+        |PATTERN (B*)
+        |DEFINE B AS event_type = 'click'""".stripMargin))
+      .getMessage.contains("empty"))
+  }
 }
