@@ -148,7 +148,15 @@ object MatchRecognize {
       skip: SkipMode = SkipPastLast, allRows: Boolean = false,
       withUnmatched: Boolean = false,
       subsets: Seq[(String, Seq[String])] = Seq.empty,
-      omitEmpty: Boolean = false) {
+      omitEmpty: Boolean = false,
+      /** per ORDER BY column: (ascending, nullsFirst). Empty = all
+        * ascending with Trino's default null ordering (ASC → NULLS
+        * LAST, DESC → NULLS FIRST — note Spark's bare asc/desc default
+        * the OTHER way; the planner always passes explicit variants). */
+      orderDirs: Seq[(Boolean, Boolean)] = Seq.empty) {
+    /** (asc, nullsFirst) for order column i, Trino defaults. */
+    def orderDir(i: Int): (Boolean, Boolean) =
+      orderDirs.lift(i).getOrElse((true, false))
     lazy val vars: Seq[String] = patternVars(pattern)
     lazy val hasExclusion: Boolean = {
       def walk(p: Pat): Boolean = p match {
@@ -268,9 +276,26 @@ object MatchRecognize {
     }
     val partCols = section("PARTITION BY")
       .map(splitTop(_, ',').map(parseIdent)).getOrElse(Seq.empty)
-    val orderCols = section("ORDER BY")
-      .map(splitTop(_, ',').map(parseIdent))
+    // ORDER BY entries take an optional direction and null ordering:
+    // `c [ASC|DESC] [NULLS FIRST|LAST]` — Trino defaults (ASC → NULLS
+    // LAST, DESC → NULLS FIRST; DuckDB's defaults too)
+    val orderEntryRe =
+      "(?is)^(.*?)(?:\\s+(ASC|DESC))?(?:\\s+NULLS\\s+(FIRST|LAST))?\\s*$".r
+    val orderParsed = section("ORDER BY")
+      .map(splitTop(_, ',').map { e =>
+        e.trim match {
+          case orderEntryRe(c, dir, nulls) =>
+            val asc = dir == null || dir.equalsIgnoreCase("ASC")
+            val nf =
+              if (nulls != null) nulls.equalsIgnoreCase("FIRST")
+              else !asc
+            (parseIdent(c), asc, nf)
+          case other => fail(s"cannot parse ORDER BY entry: $other")
+        }
+      })
       .getOrElse(fail("ORDER BY is required"))
+    val orderCols = orderParsed.map(_._1)
+    val orderDirs = orderParsed.map(k => (k._2, k._3))
     val patternTxt = section("PATTERN")
       .getOrElse(fail("PATTERN is required"))
     val pattern = parsePattern(patternTxt)
@@ -299,7 +324,7 @@ object MatchRecognize {
       fail("MEASURES is required in this subset " +
         "(ONE ROW PER MATCH output is partition columns + measures)")
     val spec = Spec(partCols, orderCols, measures, pattern, defines, skip,
-      allRows, withUnmatched, subsets, omitEmpty)
+      allRows, withUnmatched, subsets, omitEmpty, orderDirs)
     // unmatched-row accounting relies on SKIP PAST LAST ROW's disjoint
     // matches (each row is mapped by at most one match); the
     // overlapping skip modes would need a full mapped-row set
@@ -794,8 +819,19 @@ object MatchRecognize {
         case None => m
       }
     }
+    // ORDER BY direction + null ordering (Trino defaults; PREV/NEXT's
+    // lag/lead windows must see the SAME order the matcher scans in)
+    val orderColumns: Seq[org.apache.spark.sql.Column] =
+      spec.orderBy.zipWithIndex.map { case (c, i) =>
+        spec.orderDir(i) match {
+          case (true, false)  => col(c).asc_nulls_last
+          case (true, true)   => col(c).asc_nulls_first
+          case (false, true)  => col(c).desc_nulls_first
+          case (false, false) => col(c).desc_nulls_last
+        }
+      }
     val w = Window.partitionBy(spec.partitionBy.map(col): _*)
-      .orderBy(spec.orderBy.map(col): _*)
+      .orderBy(orderColumns: _*)
     var prepared = df
     navCols.foreach { case (isPrev, c, n) =>
       prepared = prepared.withColumn(navColName(isPrev, c, n),
@@ -812,7 +848,7 @@ object MatchRecognize {
     }
     // 2. ONE shuffle on the partition keys + secondary sort — rows of a
     //    key group arrive contiguous and ordered inside each partition
-    val sortCols = (spec.partitionBy ++ spec.orderBy).map(col)
+    val sortCols = spec.partitionBy.map(col) ++ orderColumns
     val arranged =
       if (spec.partitionBy.nonEmpty)
         prepared.repartition(spec.partitionBy.map(col): _*)

@@ -357,6 +357,25 @@ object TimeOps {
         .orderBy(col("l_orderkey"))
     }),
 
+    // ORDER BY direction (r13): the same riser-island scan run in
+    // REVERSE time — `ORDER BY ts DESC, event_id DESC` — so a "riser"
+    // is a value increase toward the PAST. PREV/NEXT follow the scan
+    // order (PREV = later in time here), pinning that the lag/lead
+    // windows ride the clause's declared order, not bare column order.
+    "mr_run_context_desc" -> ((s, d) => {
+      val clause =
+        """PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+          |MEASURES FIRST(A.event_id) AS a_eid,
+          |         PREV(FIRST(A.value)) AS before_val,
+          |         LAST(B.value) AS top_val,
+          |         COUNT(B.*) AS n_up
+          |PATTERN (A B+)
+          |DEFINE B AS value > PREV(value)""".stripMargin
+      graft.dialect.MatchRecognize.run(t(s, d, "events"),
+          graft.dialect.MatchRecognize.parseClause(clause))
+        .orderBy(col("user_id"), col("a_eid"))
+    }),
+
     "mr_empty_show" -> ((s, d) => {
       val clause =
         """PARTITION BY user_id ORDER BY ts, event_id
@@ -727,6 +746,33 @@ object TimeOps {
         |JOIN e l ON l.l_orderkey = a.l_orderkey AND l.rn = a.n_lines
         |LEFT JOIN e p ON p.l_orderkey = a.l_orderkey AND p.rn = a.n_lines - 1
         |ORDER BY a.l_orderkey""".stripMargin,
+
+    // Reverse-scan replay: identical gaps-and-islands algebra with the
+    // window ordered ts DESC, event_id DESC — rn counts from the
+    // partition's END, and the "row before" in scan order is the row
+    // AFTER in time.
+    "mr_run_context_desc" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    ROW_NUMBER() OVER w AS rn,
+        |    CASE WHEN value > LAG(value) OVER w THEN 1 ELSE 0 END AS is_up
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)),
+        |segs AS (
+        |  SELECT *,
+        |    SUM(1 - is_up) OVER (PARTITION BY user_id ORDER BY rn) AS useg
+        |  FROM e),
+        |runs AS (
+        |  SELECT user_id, useg, MIN(rn) AS rstart, MAX(rn) AS rend,
+        |    COUNT(*) AS n_up
+        |  FROM segs WHERE is_up = 1 GROUP BY user_id, useg)
+        |SELECT a.user_id, a.event_id AS a_eid,
+        |       p.value AS before_val, t.value AS top_val, r.n_up
+        |FROM runs r
+        |JOIN segs a ON a.user_id = r.user_id AND a.rn = r.rstart - 1
+        |JOIN segs t ON t.user_id = r.user_id AND t.rn = r.rend
+        |LEFT JOIN segs p ON p.user_id = r.user_id AND p.rn = a.rn - 1
+        |ORDER BY a.user_id, a_eid""".stripMargin,
 
     // Aggregate-measure replay: per-island FINAL aggregates, exact
     // decimal sums emitted as double (QHelpers determinism rule).

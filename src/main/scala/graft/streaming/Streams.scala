@@ -507,6 +507,9 @@ object Streams {
     require(spec.partitionBy == Seq("user_id") &&
       spec.orderBy.headOption.contains("ts"),
       "matchRecognizeStream: PARTITION BY user_id ORDER BY ts[, event_id] required")
+    require(spec.orderDirs.forall(_._1),
+      "matchRecognizeStream: descending ORDER BY is not available over " +
+        "a stream (event time only moves forward)")
     require(!spec.allRows &&
       spec.skip == graft.dialect.MatchRecognize.SkipPastLast,
       "matchRecognizeStream: ONE ROW PER MATCH + SKIP PAST LAST ROW only")
@@ -676,6 +679,9 @@ object Streams {
     require(spec.partitionBy == Seq("user_id") &&
       spec.orderBy.headOption.contains("ts"),
       "matchRecognizeRows: PARTITION BY user_id ORDER BY ts[, event_id] required")
+    require(spec.orderDirs.forall(_._1),
+      "matchRecognizeRows: descending ORDER BY is not available over " +
+        "a stream (event time only moves forward)")
     require(!spec.allRows &&
       spec.skip == MatchRecognize.SkipPastLast,
       "matchRecognizeRows: ONE ROW PER MATCH + SKIP PAST LAST ROW only")

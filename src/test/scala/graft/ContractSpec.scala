@@ -28,9 +28,9 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented counts") {
-    assert(SparkEntry.queries.size == 185,
+    assert(SparkEntry.queries.size == 186,
       s"queries=${SparkEntry.queries.size} — update README/ContractSpec together")
-    assert(SparkEntry.oracleSql.size == 166,
+    assert(SparkEntry.oracleSql.size == 167,
       s"oracles=${SparkEntry.oracleSql.size} — update README/ContractSpec together")
   }
 }

@@ -629,7 +629,11 @@ class MatchRecognizeSpec extends SparkSpec {
       "MEASURES CLASSIFIER(U) AS cu", "MEASURES CLASSIFIER(Z) AS cz",
       "MEASURES AVG(A.v * 99999999999999999999) AS big",
       "DEFINE B AS v > PREV(A.v)", "DEFINE B AS SUM(A.v * A.w) <= 5",
-      "DEFINE B AS v + w > PREV(v + w) + 10")
+      "DEFINE B AS v + w > PREV(v + w) + 10",
+      // ORDER BY direction/null-ordering forms (r13), plus broken ones
+      "ORDER BY seq DESC", "ORDER BY seq ASC NULLS FIRST",
+      "ORDER BY seq DESC NULLS LAST, ts", "ORDER BY seq NULLS",
+      "ORDER BY DESC", "ORDER BY seq BANANA")
     var specs = 0; var rejects = 0
     (1 to 4000).foreach { i =>
       val n = 1 + rnd.nextInt(6)
@@ -1454,6 +1458,40 @@ class MatchRecognizeSpec extends SparkSpec {
         |PATTERN (A)
         |DEFINE A AS ev = 'view'""".stripMargin)))
     assert(e.getMessage.contains("CLASSIFIER argument Z"))
+  }
+
+  test("ORDER BY direction: DESC scans the partition in reverse") {
+    val df = Seq((1L, 1L, 5.0), (1L, 2L, 3.0), (1L, 3L, 4.0),
+      (1L, 4L, 1.0), (1L, 5L, 2.0)).toDF("uid", "seq", "price")
+    val clause =
+      """PARTITION BY uid ORDER BY seq DESC
+        |MEASURES FIRST(A.seq) AS s, LAST(B.price) AS p
+        |PATTERN (A B+)
+        |DEFINE B AS price > PREV(price)""".stripMargin
+    val out = MatchRecognize.run(df, parseClause(clause)).orderBy("s")
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    // scan order seq 5..1 → prices 2,1,4,3,5: riser islands start after
+    // seq 4 (1→4) and seq 2 (3→5); PREV follows the SCAN order
+    assert(out == Seq((2L, 5.0), (4L, 4.0)))
+  }
+
+  test("ORDER BY null ordering: Trino defaults (ASC → NULLS LAST), overrides") {
+    val df = Seq((1L, Some(1L), 10.0), (1L, None, 2.0), (1L, Some(2L), 3.0))
+      .toDF("uid", "k", "price")
+    def run(order: String) = MatchRecognize.run(df, parseClause(
+      s"""PARTITION BY uid ORDER BY $order
+         |MEASURES FIRST(A.price) AS a, LAST(B.price) AS b
+         |PATTERN (A B+)
+         |DEFINE B AS price > PREV(price)""".stripMargin))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2))).toSeq
+    // default ASC = NULLS LAST (Trino/DuckDB): scan 10, 3, 2 — no riser
+    assert(run("k").isEmpty)
+    // NULLS FIRST: scan 2, 10, 3 — one riser after the null-k row
+    assert(run("k NULLS FIRST") == Seq((2.0, 10.0)))
+    // DESC default = NULLS FIRST: scan 2, 3, 10 — one greedy run
+    assert(run("k DESC") == Seq((2.0, 10.0)))
+    // DESC NULLS LAST: scan 3, 10, 2 — riser 3→10 only
+    assert(run("k DESC NULLS LAST") == Seq((3.0, 10.0)))
   }
 
   test("nested navigation: unknown qualifiers are rejected loudly") {

@@ -169,4 +169,76 @@ class MrPredicateDifferentialSpec extends SparkSpec {
     }
     assert(checked == 400)
   }
+
+  test("expression arguments ≡ the same expression precomputed as a column") {
+    // Property: FN(B.e) inside MEASURES (and SUM(A.e) inside DEFINE)
+    // must equal FN(B.pc) where pc = e precomputed by Catalyst on the
+    // input relation — the argument's row-pinned interpretation and
+    // Spark's projection are two evaluators of the same expression.
+    // Random arithmetic over two nullable double columns, null rows
+    // included; division excluded (zero divisors would throw at
+    // DIFFERENT times — plan vs match — by design).
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(20260816L)
+    def randExpr(q: String): String = {
+      // depth-2 arithmetic over v/w/literals, all refs qualified by q
+      def leaf(): String = rnd.nextInt(3) match {
+        case 0 => s"$q.v"
+        case 1 => s"$q.w"
+        case _ => (rnd.nextInt(9) + 1).toString
+      }
+      def node(d: Int): String =
+        if (d == 0) leaf()
+        else {
+          val op = "+-*".charAt(rnd.nextInt(3))
+          s"(${node(d - 1)} $op ${node(d - 1)})"
+        }
+      node(2)
+    }
+    val fns = Seq("SUM", "AVG", "MIN", "MAX", "COUNT", "FIRST", "LAST")
+    (1 to 30).foreach { case_ =>
+      val rows = (1 to 30).map { i =>
+        val uid = 1L + rnd.nextInt(3)
+        def mv() = if (rnd.nextInt(6) == 0) None
+                   else Some((rnd.nextInt(2001) - 1000) / 100.0)
+        (uid, i.toLong, mv(), mv(), rnd.nextInt(3) < 2)
+      }
+      val df = rows.toDF("uid", "seq", "v", "w", "is_b")
+      val e = randExpr("B")
+      val fn = fns(rnd.nextInt(fns.length))
+      def clause(arg: String) =
+        s"""PARTITION BY uid ORDER BY seq
+           |MEASURES $fn($arg) AS m, COUNT(*) AS n
+           |PATTERN (A B+)
+           |DEFINE A AS is_b = false, B AS is_b = true""".stripMargin
+      val viaArg = MatchRecognize.run(df, MatchRecognize.parseClause(
+          clause(e))).collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+      val pre = df.withColumn("pc",
+        expr(e.replace("B.", ""))) // same expression, Catalyst-computed
+      val viaCol = MatchRecognize.run(pre, MatchRecognize.parseClause(
+          clause("B.pc"))).collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+      assert(viaArg == viaCol,
+        s"case $case_: $fn($e): $viaArg vs $viaCol")
+      // the DEFINE face of the same property: a running budget over the
+      // expression ≡ over the precomputed column
+      val dc1 =
+        s"""PARTITION BY uid ORDER BY seq
+           |MEASURES COUNT(*) AS n, FIRST(A.seq) AS s
+           |AFTER MATCH SKIP TO NEXT ROW
+           |PATTERN (A+)
+           |DEFINE A AS SUM(${e.replace("B.", "A.")}) <= 10""".stripMargin
+      val dc2 =
+        s"""PARTITION BY uid ORDER BY seq
+           |MEASURES COUNT(*) AS n, FIRST(A.seq) AS s
+           |AFTER MATCH SKIP TO NEXT ROW
+           |PATTERN (A+)
+           |DEFINE A AS SUM(A.pc) <= 10""".stripMargin
+      val d1 = MatchRecognize.run(df, MatchRecognize.parseClause(dc1))
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+      val d2 = MatchRecognize.run(pre, MatchRecognize.parseClause(dc2))
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+      assert(d1 == d2, s"case $case_ DEFINE: SUM($e): $d1 vs $d2")
+    }
+  }
 }
