@@ -689,8 +689,10 @@ object MatchRecognize {
       if (qualMatches(other).nonEmpty)
         fail(s"DEFINE $v references pattern variable $other " +
           s"(e.g. $other.col) — cross-variable references are not " +
-          "supported in this subset; only the current row's columns " +
-          "and PREV(col) are available")
+          "available on the flag-only streaming face; batch queries " +
+          "evaluate them in the matcher, and the streaming " +
+          "matchRecognizeRows face (buffered row values) supports " +
+          "them over a stream")
     }
     val sb = new StringBuilder
     var last = 0
