@@ -776,15 +776,20 @@ object TrinoFunctions {
       case args => throw new IllegalArgumentException(
         s"with_timezone expects (timestamp, zone), got ${args.length} args")
     },
-    // Trino's 2-arg regexp_replace deletes matches; the 3-arg form is
-    // Spark-identical. The 3-arg lambda form (per-match function) has
-    // no Catalyst equivalent — it lands in the args mismatch error.
+    // Trino's 2-arg regexp_replace deletes matches; the 3-arg string
+    // form is Spark-identical; the 3-arg LAMBDA form (per-match
+    // function over the capture-groups array) is served by a native
+    // HigherOrderFunction (graft.functions.RegExpReplaceLambda) — the
+    // analyzer's standard lambda-resolution rule binds it like any
+    // built-in transform/filter.
     "regexp_replace" -> {
       case Seq(s, p) => RegExpReplace(s, p, Literal(""))
-      case Seq(s, p, r) if !r.isInstanceOf[LambdaFunction] => RegExpReplace(s, p, r)
+      case Seq(s, p, f: LambdaFunction) =>
+        org.apache.spark.sql.graft.RegExpReplaceLambda(s, p, f)
+      case Seq(s, p, r) => RegExpReplace(s, p, r)
       case args => throw new IllegalArgumentException(
-        s"regexp_replace expects (string, pattern[, replacement]); the " +
-          s"lambda replacement form is unsupported (got ${args.length} args)")
+        s"regexp_replace expects (string, pattern[, replacement | " +
+          s"lambda]); got ${args.length} args")
     },
     // random() → uniform double in [0,1); random(n) / random(m, n) →
     // uniform BIGINT in [0,n) / [m,n), Trino's integer forms.
@@ -1973,8 +1978,166 @@ object TrinoFunctions {
         tlast = tm.end
       }
     }
-    if (tlast == 0) afterSplit
-    else { tsb.append(afterSplit.substring(tlast)); tsb.toString }
+    val afterSample =
+      if (tlast == 0) afterSplit
+      else { tsb.append(afterSplit.substring(tlast)); tsb.toString }
+
+    rewriteUnnest(afterSample)
+  }
+
+  // Trino's relational UNNEST — `CROSS JOIN UNNEST(e1[, e2…]) [WITH
+  // ORDINALITY] AS t(c1[, c2…])`, the comma-join form, and `LEFT JOIN
+  // UNNEST(…) AS t(…) ON TRUE` — has no Spark keyword at all. Rewrite
+  // onto LATERAL VIEW generators, which attach to the PRECEDING
+  // relation exactly where the join text sat:
+  //   one argument            → explode(e)        (array → 1 col, map → 2)
+  //   one argument, ≥3 cols   → inline(e)         (array of row, splatted)
+  //   K arguments, K cols     → inline(arrays_zip(e1…)) (Trino's zip —
+  //                             both pad the shorter arrays with NULL)
+  //   WITH ORDINALITY (1 arg) → inline(transform(e, (x, i) →
+  //                             struct(x, i+1)))  (1-based, last column)
+  //   LEFT JOIN … ON TRUE     → LATERAL VIEW OUTER (empty/null arrays
+  //                             keep the left row with NULL cols)
+  // Unsupported combinations (multi-argument or map WITH ORDINALITY)
+  // fail with a workaround message, never a silent misread.
+  // alternatives ordered so a scan hits CROSS/LEFT at their own start
+  // position before the bare JOIN inside them could match; FROM-position
+  // UNNEST (a standalone table function) becomes a one-row subquery
+  private val unnestHeadPattern = java.util.regex.Pattern.compile(
+    "(?i)(\\bCROSS\\s+JOIN|\\bLEFT\\s+(?:OUTER\\s+)?JOIN|" +
+    "\\b(?:INNER\\s+)?JOIN|\\bFROM|,)\\s*UNNEST\\s*\\(")
+  private val unnestTailPattern = java.util.regex.Pattern.compile(
+    "(?i)^\\s*(WITH\\s+ORDINALITY\\s+)?(?:AS\\s+)?([A-Za-z_][A-Za-z0-9_]*)" +
+    "\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*(?:\\s*,\\s*[A-Za-z_][A-Za-z0-9_]*)*)\\s*\\)" +
+    "(\\s*ON\\s+TRUE)?")
+
+  private def rewriteUnnest(sql0: String): String = {
+    var sql = sql0
+    var guard = 0
+    while (guard < 64) { // one splice per pass; offsets shift each time
+      guard += 1
+      val masked = maskedRegions(sql)
+      val m = unnestHeadPattern.matcher(sql)
+      var spliced = false
+      while (!spliced && m.find()) {
+        if (!masked(m.start)) {
+          val open = m.end - 1
+          var depth = 0
+          var i = open
+          var close = -1
+          while (close < 0 && i < sql.length) {
+            if (!masked(i)) {
+              if (sql(i) == '(') depth += 1
+              else if (sql(i) == ')') { depth -= 1; if (depth == 0) close = i }
+            }
+            i += 1
+          }
+          if (close < 0)
+            throw new IllegalArgumentException(
+              "UNNEST: unbalanced parentheses in the argument list")
+          val argsTxt = sql.substring(open + 1, close)
+          // top-level comma split, paren- and mask-aware
+          val args = {
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var d = 0; var last = 0; var j = 0
+            while (j < argsTxt.length) {
+              if (!masked(open + 1 + j)) {
+                argsTxt(j) match {
+                  case '(' => d += 1
+                  case ')' => d -= 1
+                  case ',' if d == 0 =>
+                    out += argsTxt.substring(last, j); last = j + 1
+                  case _ => ()
+                }
+              }
+              j += 1
+            }
+            out += argsTxt.substring(last)
+            out.map(_.trim).toSeq
+          }
+          val tail = unnestTailPattern.matcher(sql.substring(close + 1))
+          if (!tail.lookingAt())
+            throw new IllegalArgumentException(
+              "UNNEST requires a column alias list — write `… JOIN " +
+                "UNNEST(expr) AS t(col1[, col2…])` (Trino's own required " +
+                "form here)")
+          val ordinality = tail.group(1) != null
+          val alias = tail.group(2)
+          val cols = tail.group(3).split(",").map(_.trim).toSeq
+          val onTrue = tail.group(4) != null
+          val joinTxt = m.group(1).toUpperCase
+          val isLeft = joinTxt.contains("LEFT")
+          val isFrom = joinTxt == "FROM"
+          // LEFT/INNER joins against UNNEST take (only) ON TRUE in
+          // Trino; CROSS JOIN, the comma form, and FROM position take
+          // no condition at all
+          val needsOnTrue = isLeft || joinTxt.endsWith("JOIN") &&
+            !joinTxt.contains("CROSS")
+          if (needsOnTrue && !onTrue)
+            throw new IllegalArgumentException(
+              s"${joinTxt.trim} UNNEST requires ON TRUE (Trino's only " +
+                "supported join condition for UNNEST)")
+          if (!needsOnTrue && onTrue)
+            throw new IllegalArgumentException(
+              "ON TRUE is only valid with LEFT/INNER JOIN UNNEST")
+          val outer = if (isLeft) " OUTER" else ""
+          val gen =
+            if (!ordinality) {
+              if (args.size == 1 && cols.size <= 2) s"explode(${args.head})"
+              else if (args.size == 1) s"inline(${args.head})"
+              else if (cols.size == args.size)
+                s"inline(arrays_zip(${args.mkString(", ")}))"
+              else throw new IllegalArgumentException(
+                s"UNNEST of ${args.size} arrays must alias exactly " +
+                  s"${args.size} columns (got ${cols.size})")
+            } else {
+              if (args.size == 1 && cols.size == 2)
+                s"inline(transform(${args.head}, (__unnest_e, __unnest_i) -> " +
+                  "struct(__unnest_e, CAST(__unnest_i + 1 AS BIGINT))))"
+              else if (args.size == 1 && cols.size == 3)
+                // map WITH ORDINALITY → (key, value, ordinal); Trino
+                // iterates map entries in map order, Spark's map_entries
+                // preserves insertion order — same contract
+                s"inline(transform(map_entries(${args.head}), " +
+                  "(__unnest_e, __unnest_i) -> struct(__unnest_e.key, " +
+                  "__unnest_e.value, CAST(__unnest_i + 1 AS BIGINT))))"
+              else if (args.size >= 2 && cols.size == args.size + 1) {
+                // K arrays zipped WITH ORDINALITY: append an ordinal
+                // array sized to the LONGEST input (arrays_zip NULL-pads
+                // the shorter ones, and the ordinal column itself is
+                // never NULL — Trino's exact shape). size() is guarded
+                // against both its null-input conventions (-1 legacy,
+                // NULL ansi) so a NULL array behaves as empty.
+                val sizes = args.map(a =>
+                  s"coalesce(nullif(size($a), -1), 0)").mkString(", ")
+                val g = if (args.size == 1) sizes else s"greatest($sizes)"
+                val ord = s"CASE WHEN $g > 0 THEN sequence(CAST(1 AS " +
+                  s"BIGINT), CAST($g AS BIGINT)) ELSE CAST(array() AS " +
+                  "ARRAY<BIGINT>) END"
+                s"inline(arrays_zip(${args.mkString(", ")}, $ord))"
+              } else throw new IllegalArgumentException(
+                s"UNNEST … WITH ORDINALITY column count must be " +
+                  s"#arrays + 1 (or 2 for one array / 3 for a map); got " +
+                  s"${args.size} argument(s) with ${cols.size} columns")
+            }
+          val replacement =
+            if (isFrom) {
+              // standalone table function → a one-select subquery (the
+              // generator sits in the select list, aliased positionally)
+              val aliased =
+                if (cols.size == 1) s"AS ${cols.head}"
+                else s"AS (${cols.mkString(", ")})"
+              s"FROM (SELECT $gen $aliased) AS $alias"
+            } else
+              s" LATERAL VIEW$outer $gen $alias AS ${cols.mkString(", ")}"
+          val end = close + 1 + tail.end
+          sql = sql.substring(0, m.start) + replacement + sql.substring(end)
+          spliced = true
+        }
+      }
+      if (!spliced) return sql
+    }
+    sql
   }
 
   /** Bitmask of positions inside 'literals', "identifiers" or comments. */

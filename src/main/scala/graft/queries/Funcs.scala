@@ -159,6 +159,18 @@ object Funcs {
         .groupBy(col("tok")).agg(count(lit(1)).as("n"))
         .orderBy(col("tok"))),
 
+    // Trino's relational UNNEST syntax through the dialect rewrite
+    // (TrinoFunctions.rewriteUnnest → LATERAL VIEW): per-row array
+    // expansion with 1-based WITH ORDINALITY. DuckDB replays it with
+    // its own generate_series unnest.
+    "unnest_lateral" -> ((s, d) =>
+      graft.engine.Tables.sql(s, d, graft.dialect.TrinoFunctions.preprocess(
+        """SELECT n_nationkey, x, ord
+          |FROM nation
+          |CROSS JOIN UNNEST(sequence(0, n_nationkey % 3))
+          |  WITH ORDINALITY AS t(x, ord)
+          |ORDER BY n_nationkey, x""".stripMargin))),
+
     // 52. map functions.
     "fn_map" -> ((s, d) => {
       val m = map_from_arrays(
@@ -289,6 +301,15 @@ object Funcs {
       """SELECT tok, COUNT(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
         |GROUP BY tok ORDER BY tok""".stripMargin,
+
+    // DuckDB: generate_series is inclusive like Spark's sequence;
+    // ordinality via generate_subscripts-equivalent arithmetic (x - 0 + 1)
+    "unnest_lateral" ->
+      """SELECT n_nationkey,
+        |  unnest(generate_series(0, n_nationkey % 3)) AS x,
+        |  unnest(generate_series(0, n_nationkey % 3)) + 1 AS ord
+        |FROM nation
+        |ORDER BY n_nationkey, x""".stripMargin,
 
     "fn_map" ->
       """SELECT c_custkey,

@@ -1186,6 +1186,31 @@ class TrinoFunctionsSpec extends SparkSpec {
     assert(one("SELECT regexp_replace(CAST(NULL AS STRING), 'x')") == null)
   }
 
+  test("regexp_replace lambda form: per-match function over capture groups") {
+    // Trino's own docs example (initcap); element_at is the engine's
+    // portable 1-based subscript (DIALECT.md: `[]` stays Spark-0-based),
+    // so element_at(x, n) = capture group n exactly as in Trino
+    assert(one("""SELECT regexp_replace('new york', '(\\w)(\\w*)',
+                 |  x -> upper(element_at(x, 1)) || element_at(x, 2))""".stripMargin)
+      == "New York")
+    // non-matching segments copy through verbatim
+    assert(one("""SELECT regexp_replace('a-12-b-3', '(\\d+)',
+                 |  x -> cast(cast(element_at(x, 1) AS INT) * 2 AS STRING))""".stripMargin)
+      == "a-24-b-6")
+    // a group that did not participate is NULL (coalesce sees it)
+    assert(one("""SELECT regexp_replace('ab', '(a)|(b)',
+                 |  x -> coalesce(element_at(x, 2), 'A'))""".stripMargin) == "Ab")
+    // zero capture groups → empty array; NULL inputs → NULL
+    assert(one("SELECT regexp_replace('xyx', 'y', x -> cast(size(x) AS STRING))") == "x0x")
+    assert(one("SELECT regexp_replace(CAST(NULL AS STRING), 'y', x -> 'z')") == null)
+    // a NULL lambda result is an ERROR (Trino's non-null contract),
+    // never a silent empty replacement
+    val err = qs.execute(
+      "SELECT regexp_replace('ab', '(a)', x -> CAST(NULL AS STRING))")
+    assert(err.isLeft || err.exists(_.rows.isEmpty),
+      s"NULL lambda result must fail, got $err")
+  }
+
   test("random forms: [0,1) double, [0,n) and [m,n) bigint") {
     val d = one("SELECT random()").asInstanceOf[Double]
     assert(d >= 0.0 && d < 1.0)
