@@ -209,6 +209,16 @@ object MrPredicate {
           if (src(i) == '\'') {
             if (i + 1 < n && src(i + 1) == '\'') { sb += '\''; i += 2 }
             else { closed = true; i += 1 }
+          } else if (src(i) == '\\' && i + 1 < n && src(i + 1) == '\\') {
+            // collapse doubled backslashes so the interpreted value
+            // always equals what Catalyst's expr() yields for the SAME
+            // fragment text: through the service splice the dialect
+            // pre-pass has doubled every literal backslash (Trino
+            // semantics — see TrinoFunctions.escapeLiteralBackslashes),
+            // and on raw library/streaming clause text expr() would
+            // collapse '\\' the same way. A LONE backslash stays as-is
+            // (Trino treats it as an ordinary character).
+            sb += '\\'; i += 2
           } else { sb += src(i); i += 1 }
         }
         if (!closed && !lenient)

@@ -1907,7 +1907,16 @@ object TrinoFunctions {
   private val tablesamplePattern = java.util.regex.Pattern.compile(
     "(?i)\\bTABLESAMPLE\\s+(BERNOULLI|SYSTEM)\\s*\\(\\s*([0-9]+(?:\\.[0-9]+)?)\\s*\\)")
 
-  def preprocess(sql: String): String = {
+  def preprocess(sql0: String): String = {
+    // FIRST: restore Trino literal semantics. Trino treats backslash as
+    // an ORDINARY character inside string literals ('' is the only
+    // escape); Spark's parser processes C-style escapes, silently
+    // turning a user's regexp '\d+' into 'd+'. Doubling every backslash
+    // inside single-quoted literals makes Spark's unescape an exact
+    // inverse on them while '' still collapses — both Trino-correct.
+    // (spark.sql.parser.escapedStringLiterals is NOT the fix: it also
+    // stops '' from collapsing, which Trino requires.)
+    val sql = escapeLiteralBackslashes(sql0)
     val masked = maskedRegions(sql)
     // `time with time zone` has no Spark equivalent (DIALECT.md): fail
     // with a clear, actionable error instead of Spark's opaque parse
@@ -1982,7 +1991,78 @@ object TrinoFunctions {
       if (tlast == 0) afterSplit
       else { tsb.append(afterSplit.substring(tlast)); tsb.toString }
 
-    rewriteUnnest(afterSample)
+    rewriteFetchFirst(rewriteUnnest(afterSample))
+  }
+
+  // ANSI row-limiting syntax, which Trino serves and Spark's grammar
+  // lacks: `OFFSET n [ROW|ROWS]` and `FETCH {FIRST|NEXT} [n] {ROW|ROWS}
+  // ONLY` → Spark's `LIMIT n [OFFSET m]`. Trino puts OFFSET before
+  // FETCH; Spark wants LIMIT before OFFSET, so the combined form swaps.
+  // `WITH TIES` is rejected with guidance (it needs a rank() window —
+  // Spark has no native spelling). Counts must be literal integers
+  // (Trino's grammar allows only literals/parameters there too).
+  private val fetchTiesPattern = java.util.regex.Pattern.compile(
+    "(?i)\\bFETCH\\s+(?:FIRST|NEXT)\\s+(?:\\d+\\s+)?ROWS?\\s+WITH\\s+TIES")
+  private val offsetFetchPattern = java.util.regex.Pattern.compile(
+    "(?i)\\bOFFSET\\s+(\\d+)\\s*(?:ROWS?\\b)?" +
+    "(\\s+FETCH\\s+(?:FIRST|NEXT)\\s+(\\d+\\s+)?ROWS?\\s+ONLY)?")
+  private val fetchOnlyPattern = java.util.regex.Pattern.compile(
+    "(?i)\\bFETCH\\s+(?:FIRST|NEXT)\\s+(\\d+\\s+)?ROWS?\\s+ONLY")
+  // Trino also orders `OFFSET n LIMIT m`; Spark wants LIMIT first
+  private val offsetLimitPattern = java.util.regex.Pattern.compile(
+    "(?i)\\bOFFSET\\s+(\\d+)\\s*(?:ROWS?\\b)?\\s+LIMIT\\s+(\\d+)")
+
+  private def rewriteFetchFirst(sql: String): String = {
+    if (!sql.toUpperCase.contains("FETCH") && !sql.toUpperCase.contains("OFFSET"))
+      return sql
+    val masked = maskedRegions(sql)
+    val ties = fetchTiesPattern.matcher(sql)
+    while (ties.find()) {
+      if (!masked(ties.start))
+        throw new IllegalArgumentException(
+          "FETCH ... WITH TIES is not supported: Spark has no native " +
+            "tie-preserving limit. Rewrite with a window — " +
+            "WHERE rank() OVER (ORDER BY ...) <= n")
+    }
+    // pass 0: OFFSET n LIMIT m (Trino's order) → LIMIT m OFFSET n
+    val sql1 = replaceUnmasked(sql, offsetLimitPattern) { m =>
+      s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}"
+    }
+    // pass 1: OFFSET n [ROWS] [FETCH ... ONLY] — the combined form must
+    // swap to Spark's LIMIT-then-OFFSET order; a bare OFFSET keeps its
+    // position and just drops the ROW/ROWS noise word
+    var out = replaceUnmasked(sql1, offsetFetchPattern) { m =>
+      val off = m.group(1)
+      Option(m.group(2)) match {
+        case Some(_) =>
+          val cnt = Option(m.group(3)).map(_.trim).getOrElse("1")
+          s"LIMIT $cnt OFFSET $off"
+        case None => s"OFFSET $off"
+      }
+    }
+    // pass 2: bare FETCH FIRST n ROWS ONLY (no OFFSET) → LIMIT n
+    out = replaceUnmasked(out, fetchOnlyPattern) { m =>
+      s"LIMIT ${Option(m.group(1)).map(_.trim).getOrElse("1")}"
+    }
+    out
+  }
+
+  /** Regex-replace every match whose start is OUTSIDE literals/comments
+    * (mask recomputed once per call; replacements must not create new
+    * literals). */
+  private def replaceUnmasked(sql: String,
+      p: java.util.regex.Pattern)(f: java.util.regex.Matcher => String): String = {
+    val masked = maskedRegions(sql)
+    val m = p.matcher(sql)
+    val sb = new StringBuilder
+    var last = 0
+    while (m.find()) {
+      if (!masked(m.start)) {
+        sb.append(sql.substring(last, m.start)).append(f(m))
+        last = m.end
+      }
+    }
+    if (last == 0) sql else { sb.append(sql.substring(last)); sb.toString }
   }
 
   // Trino's relational UNNEST — `CROSS JOIN UNNEST(e1[, e2…]) [WITH
@@ -2141,6 +2221,49 @@ object TrinoFunctions {
   }
 
   /** Bitmask of positions inside 'literals', "identifiers" or comments. */
+  /** Double every backslash inside SINGLE-quoted literals (see the
+    * preprocess header note): the same Trino-rules scan as
+    * maskedRegions ('' doubling, no backslash escapes), but comments
+    * and double-quoted identifiers copy through untouched — only
+    * string-literal content is rewritten. A literal that ENDS in a
+    * backslash ('C:\') terminates at its closing quote under Trino
+    * rules and round-trips correctly ('C:\\' → Spark → C:\). */
+  private def escapeLiteralBackslashes(q: String): String = {
+    if (q.indexOf('\\') < 0) return q
+    val n = q.length
+    val sb = new StringBuilder(n + 8)
+    var i = 0
+    while (i < n) {
+      val c = q(i)
+      if (c == '-' && i + 1 < n && q(i + 1) == '-') {
+        while (i < n && q(i) != '\n' && q(i) != '\r') { sb.append(q(i)); i += 1 }
+      } else if (c == '/' && i + 1 < n && q(i + 1) == '*') {
+        sb.append("/*"); i += 2
+        while (i + 1 < n && !(q(i) == '*' && q(i + 1) == '/')) {
+          sb.append(q(i)); i += 1
+        }
+        if (i + 1 < n) { sb.append("*/"); i += 2 }
+        else while (i < n) { sb.append(q(i)); i += 1 } // unterminated: copy tail
+      } else if (c == '\'' || c == '"') {
+        val quote = c
+        sb.append(c); i += 1
+        var done = false
+        while (i < n && !done) {
+          val d = q(i)
+          if (d == quote) {
+            sb.append(d); i += 1
+            if (i < n && q(i) == quote) { sb.append(quote); i += 1 }
+            else done = true
+          } else {
+            if (d == '\\' && quote == '\'') sb.append("\\\\") else sb.append(d)
+            i += 1
+          }
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   private def maskedRegions(q: String): Array[Boolean] = {
     val mask = new Array[Boolean](q.length)
     var i = 0

@@ -77,6 +77,13 @@ class Engine(
     // TimeType behind a flag — enable it so TIME literals, make_time,
     // EXTRACT, comparisons and parquet round-trips all work.
     s.conf.set("spark.sql.timeType.enabled", "true")
+    // NOTE on string literals: Trino treats backslash as an ORDINARY
+    // character ('' is the only escape); Spark's parser processes
+    // C-style escapes. The dialect pre-pass doubles backslashes inside
+    // single-quoted literals (TrinoFunctions.preprocess) so the served
+    // SQL surface gets Trino semantics — '\d+' stays '\d+'. Spark's
+    // escapedStringLiterals flag is NOT the fix: it also stops ''
+    // from collapsing, which Trino requires.
     graft.dialect.TrinoFunctions.register(s)
     dataDir.foreach(Tables.registerAll(s, _))
     // second catalog: the reference's flagship tpch.tiny example served

@@ -171,6 +171,29 @@ object Funcs {
           |  WITH ORDINALITY AS t(x, ord)
           |ORDER BY n_nationkey, x""".stripMargin))),
 
+    // Trino's lambda regexp_replace through the dialect path
+    // (RegExpReplaceLambda HigherOrderFunction): per-match lambdas whose
+    // effect DuckDB can replay with backreference templates — proving
+    // the match iteration, group capture, and non-match segment
+    // interleaving against an independent engine (the upper()/arith
+    // lambda bodies DuckDB cannot express are unit-pinned instead).
+    "fn_regexp_lambda" -> ((s, d) => {
+      // the lambda form lives in the dialect FUNCTION registry (unlike
+      // unnest_lateral's pure text rewrite) — install it on this session
+      // the same way Engine does (idempotent re-registration)
+      graft.dialect.TrinoFunctions.register(s)
+      graft.engine.Tables.sql(s, d, graft.dialect.TrinoFunctions.preprocess(
+        """SELECT c_custkey,
+          |  regexp_replace(c_name, '(\d+)',
+          |    x -> '<' || element_at(x, 1) || '>') AS tagged,
+          |  regexp_replace(c_name, '[aeiou]', x -> '*') AS starred,
+          |  regexp_replace(c_name, '(Customer)#(\d+)',
+          |    x -> element_at(x, 2) || '-' || element_at(x, 1)) AS swapped
+          |FROM customer
+          |WHERE c_custkey <= 200
+          |ORDER BY c_custkey""".stripMargin))
+    }),
+
     // 52. map functions.
     "fn_map" -> ((s, d) => {
       val m = map_from_arrays(
@@ -310,6 +333,15 @@ object Funcs {
         |  unnest(generate_series(0, n_nationkey % 3)) + 1 AS ord
         |FROM nation
         |ORDER BY n_nationkey, x""".stripMargin,
+
+    "fn_regexp_lambda" ->
+      """SELECT c_custkey,
+        |  regexp_replace(c_name, '(\d+)', '<\1>', 'g') AS tagged,
+        |  regexp_replace(c_name, '[aeiou]', '*', 'g') AS starred,
+        |  regexp_replace(c_name, '(Customer)#(\d+)', '\2-\1', 'g') AS swapped
+        |FROM customer
+        |WHERE c_custkey <= 200
+        |ORDER BY c_custkey""".stripMargin,
 
     "fn_map" ->
       """SELECT c_custkey,

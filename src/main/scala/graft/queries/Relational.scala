@@ -53,6 +53,17 @@ object Relational {
         .orderBy(col("o_orderkey"))
         .limit(100)),
 
+    // ANSI row-limiting through the dialect rewrite
+    // (TrinoFunctions.rewriteFetchFirst → LIMIT/OFFSET): DuckDB parses
+    // the IDENTICAL OFFSET…FETCH text natively, so the oracle is the
+    // same statement verbatim — a pure syntax-equivalence check.
+    "limit_offset_fetch" -> ((s, d) =>
+      graft.engine.Tables.sql(s, d, graft.dialect.TrinoFunctions.preprocess(
+        """SELECT o_orderkey, o_custkey, o_totalprice
+          |FROM orders
+          |ORDER BY o_orderkey
+          |OFFSET 20 ROWS FETCH NEXT 50 ROWS ONLY""".stripMargin))),
+
     // 5. top-k — Catalyst plans TakeOrderedAndProject (no full sort).
     "topk_orderby_limit" -> ((s, d) =>
       t(s, d, "customer")
@@ -454,6 +465,12 @@ object Relational {
     "limit_plain" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin,
+
+    "limit_offset_fetch" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_orderkey
+        |OFFSET 20 ROWS FETCH NEXT 50 ROWS ONLY""".stripMargin,
 
     "topk_orderby_limit" ->
       """SELECT c_custkey, c_name, c_acctbal

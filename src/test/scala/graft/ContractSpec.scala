@@ -28,9 +28,9 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented counts") {
-    assert(SparkEntry.queries.size == 187,
+    assert(SparkEntry.queries.size == 189,
       s"queries=${SparkEntry.queries.size} — update README/ContractSpec together")
-    assert(SparkEntry.oracleSql.size == 168,
+    assert(SparkEntry.oracleSql.size == 170,
       s"oracles=${SparkEntry.oracleSql.size} — update README/ContractSpec together")
   }
 }

@@ -212,7 +212,7 @@ class TrinoFunctionsSpec extends SparkSpec {
 
   test("split_part / regexp_count / arrays_overlap are name-compatible natives") {
     assert(one("SELECT split_part('a,b,c', ',', 2)") == "b")
-    assert(one("SELECT regexp_count('1a 2b 14m', '\\\\d+')") == 3)
+    assert(one("SELECT regexp_count('1a 2b 14m', '\\d+')") == 3)
     assert(one("SELECT arrays_overlap(array(1,2), array(2,3))") == true)
   }
 
@@ -416,7 +416,7 @@ class TrinoFunctionsSpec extends SparkSpec {
   }
 
   test("regexp_split and split_to_map") {
-    assert(one("SELECT cardinality(regexp_split('one11two22three', '\\\\d+'))") == 3)
+    assert(one("SELECT cardinality(regexp_split('one11two22three', '\\d+'))") == 3)
     assert(one("SELECT regexp_split('a.b:c', '[.:]')[1]") == "b")
     assert(one("SELECT split_to_map('a=1,b=2', ',', '=')['b']") == "2")
   }
@@ -578,24 +578,24 @@ class TrinoFunctionsSpec extends SparkSpec {
 
   test("regexp_extract/_all default to the whole match (group 0), like Trino") {
     // Spark's own 2-arg default is group 1 — the shim must return group 0
-    assert(one("SELECT regexp_extract('1a 2b 3c', '(\\\\d)([a-z])')") == "1a")
-    assert(one("SELECT regexp_extract('1a 2b 3c', '(\\\\d)([a-z])', 2)") == "a")
-    val all = one("SELECT regexp_extract_all('1a 2b', '(\\\\d)([a-z])')")
+    assert(one("SELECT regexp_extract('1a 2b 3c', '(\\d)([a-z])')") == "1a")
+    assert(one("SELECT regexp_extract('1a 2b 3c', '(\\d)([a-z])', 2)") == "a")
+    val all = one("SELECT regexp_extract_all('1a 2b', '(\\d)([a-z])')")
       .asInstanceOf[scala.collection.Seq[_]]
     assert(all == Seq("1a", "2b"))
-    assert(one("SELECT regexp_extract_all('1a 2b', '(\\\\d)([a-z])', 1)")
+    assert(one("SELECT regexp_extract_all('1a 2b', '(\\d)([a-z])', 1)")
       .asInstanceOf[scala.collection.Seq[_]] == Seq("1", "2"))
   }
 
   test("regexp_position returns 1-based char position or -1") {
-    assert(one("SELECT regexp_position('I have 23 apples', '\\\\d+')") == 8)
-    assert(one("SELECT regexp_position('no digits', '\\\\d+')") == -1)
+    assert(one("SELECT regexp_position('I have 23 apples', '\\d+')") == 8)
+    assert(one("SELECT regexp_position('no digits', '\\d+')") == -1)
     // 3/4-arg forms: search from a 1-based start, select the n-th match
-    assert(one("SELECT regexp_position('a1b2c3', '\\\\d', 3)") == 4)
-    assert(one("SELECT regexp_position('a1b2c3', '\\\\d', 1, 3)") == 6)
-    assert(one("SELECT regexp_position('a1b2c3', '\\\\d', 3, 2)") == 6)
-    assert(one("SELECT regexp_position('a1b2c3', '\\\\d', 1, 4)") == -1)
-    assert(one("SELECT regexp_position('a1b2c3', '\\\\d', 99)") == -1)
+    assert(one("SELECT regexp_position('a1b2c3', '\\d', 3)") == 4)
+    assert(one("SELECT regexp_position('a1b2c3', '\\d', 1, 3)") == 6)
+    assert(one("SELECT regexp_position('a1b2c3', '\\d', 3, 2)") == 6)
+    assert(one("SELECT regexp_position('a1b2c3', '\\d', 1, 4)") == -1)
+    assert(one("SELECT regexp_position('a1b2c3', '\\d', 99)") == -1)
     // non-positive start surfaces as a query error (the service maps
     // executor-side INVALID_FUNCTION_ARGUMENTs to Left)
     assert(intercept[AssertionError](
@@ -1186,15 +1186,56 @@ class TrinoFunctionsSpec extends SparkSpec {
     assert(one("SELECT regexp_replace(CAST(NULL AS STRING), 'x')") == null)
   }
 
+  test("ANSI row-limiting: FETCH FIRST / OFFSET ... ROWS / OFFSET-LIMIT order") {
+    def keys(sql: String): Seq[Any] =
+      qs.execute(sql).fold(e => fail(s"$sql -> $e"), _.rows.map(_.head))
+    assert(keys("SELECT n_nationkey FROM nation ORDER BY n_nationkey FETCH FIRST 3 ROWS ONLY")
+      == Seq(0L, 1L, 2L))
+    assert(keys("SELECT n_nationkey FROM nation ORDER BY n_nationkey FETCH NEXT ROW ONLY")
+      == Seq(0L))
+    assert(keys("SELECT n_nationkey FROM nation ORDER BY n_nationkey OFFSET 2 ROWS FETCH FIRST 3 ROWS ONLY")
+      == Seq(2L, 3L, 4L))
+    // Trino's OFFSET-before-LIMIT order is swapped for Spark
+    assert(keys("SELECT n_nationkey FROM nation ORDER BY n_nationkey OFFSET 23 LIMIT 5")
+      == Seq(23L, 24L))
+    assert(keys("SELECT n_nationkey FROM nation ORDER BY n_nationkey OFFSET 23 ROWS")
+      == Seq(23L, 24L))
+    // WITH TIES is rejected with the window workaround, never misread
+    val e = qs.execute(
+      "SELECT n_nationkey FROM nation ORDER BY n_regionkey FETCH FIRST 5 ROWS WITH TIES")
+    assert(e.isLeft && e.left.exists(_.contains("rank()")))
+    // the keywords inside a literal are data
+    assert(one("SELECT 'OFFSET 2 ROWS FETCH FIRST 3 ROWS ONLY'")
+      == "OFFSET 2 ROWS FETCH FIRST 3 ROWS ONLY")
+  }
+
+  test("string literals have Trino semantics: backslash is ordinary, '' escapes") {
+    // a Trino user's regexp keeps its backslashes (Spark's default
+    // parser would eat them: '\d+' -> 'd+'); the dialect pre-pass
+    // doubles them inside literals before Spark parses
+    assert(one("SELECT '\\d+'") == "\\d+")
+    assert(one("SELECT length('a\\b')") == 3)
+    // '' still collapses (the reason escapedStringLiterals is NOT used)
+    assert(one("SELECT 'it''s'") == "it's")
+    // a literal ENDING in a backslash terminates at its closing quote
+    // (Spark alone would read \' as an escaped quote and mis-parse)
+    assert(one("SELECT 'C:\\'") == "C:\\")
+    // comments and double-quoted identifiers are untouched
+    assert(one("SELECT 1 AS n -- a \\d comment\n") == 1)
+    // doubled backslash in the source = one escaped backslash in Trino?
+    // no — Trino has no backslash escapes: two chars in, two chars out
+    assert(one("SELECT length('\\\\')") == 2)
+  }
+
   test("regexp_replace lambda form: per-match function over capture groups") {
     // Trino's own docs example (initcap); element_at is the engine's
     // portable 1-based subscript (DIALECT.md: `[]` stays Spark-0-based),
     // so element_at(x, n) = capture group n exactly as in Trino
-    assert(one("""SELECT regexp_replace('new york', '(\\w)(\\w*)',
+    assert(one("""SELECT regexp_replace('new york', '(\w)(\w*)',
                  |  x -> upper(element_at(x, 1)) || element_at(x, 2))""".stripMargin)
       == "New York")
     // non-matching segments copy through verbatim
-    assert(one("""SELECT regexp_replace('a-12-b-3', '(\\d+)',
+    assert(one("""SELECT regexp_replace('a-12-b-3', '(\d+)',
                  |  x -> cast(cast(element_at(x, 1) AS INT) * 2 AS STRING))""".stripMargin)
       == "a-24-b-6")
     // a group that did not participate is NULL (coalesce sees it)
