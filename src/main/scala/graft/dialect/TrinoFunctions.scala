@@ -1991,7 +1991,141 @@ object TrinoFunctions {
       if (tlast == 0) afterSplit
       else { tsb.append(afterSplit.substring(tlast)); tsb.toString }
 
-    rewriteFetchFirst(rewriteUnnest(afterSample))
+    rewriteAtTimeZone(rewriteFetchFirst(rewriteUnnest(afterSample)))
+  }
+
+  // Trino's `value AT TIME ZONE zone` operator (SqlBase.g4's tightest
+  // valueExpression suffix — binds before arithmetic) has no Spark
+  // spelling. Rewrite onto the dialect's at_timezone() shim: the LEFT
+  // operand is one primary expression walked BACKWARD (string/typed
+  // literal, balanced paren group with its function-name chain, or an
+  // identifier chain — exactly the tightest binding, matching Trino's
+  // precedence), the RIGHT operand one primary walked FORWARD. INTERVAL
+  // zones are rejected with the string-offset workaround (the shim
+  // rides from_utc_timestamp, which takes zone STRINGS — '+08:00'
+  // included).
+  private val atTimeZonePattern = java.util.regex.Pattern.compile(
+    "(?i)\\bAT\\s+TIME\\s+ZONE\\b")
+
+  private def rewriteAtTimeZone(sql0: String): String = {
+    var sql = sql0
+    var guard = 0
+    while (guard < 64) {
+      guard += 1
+      val masked = maskedRegions(sql)
+      val m = atTimeZonePattern.matcher(sql)
+      var spliced = false
+      while (!spliced && m.find()) {
+        if (!masked(m.start)) {
+          val n = sql.length
+          // index AFTER the ')' matching the '(' at `from` (mask-aware)
+          def parenEnd(from: Int): Int = {
+            var depth = 0
+            var i = from
+            while (i < n) {
+              if (!masked(i)) {
+                if (sql(i) == '(') depth += 1
+                else if (sql(i) == ')') {
+                  depth -= 1
+                  if (depth == 0) return i + 1
+                }
+              }
+              i += 1
+            }
+            throw new IllegalArgumentException(
+              "unbalanced parentheses near AT TIME ZONE")
+          }
+          // ---- right operand (forward): literal | paren | ident chain
+          var r = m.end
+          while (r < n && sql(r).isWhitespace) r += 1
+          if (r >= n) throw new IllegalArgumentException(
+            "AT TIME ZONE requires a zone expression")
+          val rStart = r
+          if (sql.regionMatches(true, r, "INTERVAL", 0, 8))
+            throw new IllegalArgumentException(
+              "AT TIME ZONE INTERVAL '...' is not supported: write the " +
+                "offset as a zone string instead — AT TIME ZONE '+08:00'")
+          if (sql(r) == '\'') {
+            r += 1
+            var closed = false
+            while (r < n && !closed) {
+              if (sql(r) == '\'') {
+                if (r + 1 < n && sql(r + 1) == '\'') r += 2
+                else { closed = true; r += 1 }
+              } else r += 1
+            }
+            if (!closed) throw new IllegalArgumentException(
+              "unterminated zone literal after AT TIME ZONE")
+          } else if (sql(r) == '(') {
+            r = parenEnd(r)
+          } else {
+            while (r < n && (sql(r).isLetterOrDigit || sql(r) == '_' ||
+              sql(r) == '.' || sql(r) == '$')) r += 1
+            // a function call: absorb its argument list
+            var k = r
+            while (k < n && sql(k).isWhitespace) k += 1
+            if (k < n && sql(k) == '(') r = parenEnd(k)
+            if (r == rStart) throw new IllegalArgumentException(
+              "AT TIME ZONE requires a zone expression")
+          }
+          val zone = sql.substring(rStart, r)
+          // ---- left operand (backward): literal | paren+name | chain
+          var l = m.start
+          while (l > 0 && sql(l - 1).isWhitespace) l -= 1
+          if (l == 0) throw new IllegalArgumentException(
+            "AT TIME ZONE requires a timestamp operand on its left")
+          val lEnd = l
+          if (sql(l - 1) == '\'') {
+            // literal: its interior is masked — walk to the start of
+            // the masked run, then absorb a typed-literal keyword
+            // (TIMESTAMP '...' / TIME '...' / DATE '...')
+            l -= 1
+            while (l > 0 && masked(l - 1)) l -= 1
+            var k = l
+            while (k > 0 && sql(k - 1).isWhitespace) k -= 1
+            val kw = k
+            while (k > 0 && (sql(k - 1).isLetterOrDigit || sql(k - 1) == '_')) k -= 1
+            val word = sql.substring(k, kw).toUpperCase
+            if (word == "TIMESTAMP" || word == "DATE" || word == "TIME") l = k
+          } else if (sql(l - 1) == ')') {
+            var depth = 0
+            l -= 1
+            var open = -1
+            while (l >= 0 && open < 0) {
+              if (!masked(l)) {
+                if (sql(l) == ')') depth += 1
+                else if (sql(l) == '(') { depth -= 1; if (depth == 0) open = l }
+              }
+              if (open < 0) l -= 1
+            }
+            if (open < 0) throw new IllegalArgumentException(
+              "unbalanced parentheses before AT TIME ZONE")
+            // function-name chain directly before the open paren
+            var k = open
+            while (k > 0 && sql(k - 1).isWhitespace) k -= 1
+            val ke = k
+            while (k > 0 && (sql(k - 1).isLetterOrDigit || sql(k - 1) == '_' ||
+              sql(k - 1) == '.' || sql(k - 1) == '$')) k -= 1
+            // keywords that are NOT callables (e.g. `WHERE (...) AT …`)
+            val name = sql.substring(k, ke).toUpperCase
+            l = if (k < ke && !Set("WHERE", "AND", "OR", "ON", "WHEN", "THEN",
+              "ELSE", "SELECT", "BY", "HAVING", "IN", "NOT").contains(name)) k
+              else open
+          } else {
+            while (l > 0 && (sql(l - 1).isLetterOrDigit || sql(l - 1) == '_' ||
+              sql(l - 1) == '.' || sql(l - 1) == '$' || sql(l - 1) == '"')) l -= 1
+            if (l == lEnd) throw new IllegalArgumentException(
+              "AT TIME ZONE requires a timestamp operand on its left")
+          }
+          val operand = sql.substring(l, lEnd)
+          sql = sql.substring(0, l) + s"at_timezone($operand, $zone)" +
+            sql.substring(r)
+          spliced = true
+        }
+      }
+      if (!spliced) return sql
+    }
+    sql
   }
 
   // ANSI row-limiting syntax, which Trino serves and Spark's grammar

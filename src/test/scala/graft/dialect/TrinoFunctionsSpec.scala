@@ -1186,6 +1186,28 @@ class TrinoFunctionsSpec extends SparkSpec {
     assert(one("SELECT regexp_replace(CAST(NULL AS STRING), 'x')") == null)
   }
 
+  test("AT TIME ZONE operator rewrites onto at_timezone()") {
+    // same instant rendered in another zone (sessions are pinned UTC)
+    assert(one("SELECT TIMESTAMP '2001-08-22 03:04:05' AT TIME ZONE 'America/Los_Angeles'")
+      .toString.startsWith("2001-08-21 20:04:05"))
+    // offset-string zones; paren and function-call operands
+    assert(one("SELECT (TIMESTAMP '2001-08-22 03:04:05') AT TIME ZONE '+08:00'")
+      .toString.startsWith("2001-08-22 11:04:05"))
+    assert(one("""SELECT CAST('2001-08-22 03:04:05' AS TIMESTAMP)
+                 |  AT TIME ZONE 'UTC'""".stripMargin)
+      .toString.startsWith("2001-08-22 03:04:05"))
+    // column operand + expression zone; binds tighter than comparison
+    assert(one("""SELECT count(*) FROM orders
+                 |WHERE o_orderdate AT TIME ZONE 'UTC' = o_orderdate""".stripMargin)
+      .asInstanceOf[Long] > 0)
+    // INTERVAL zones are rejected with the string-offset workaround
+    val e = qs.execute(
+      "SELECT TIMESTAMP '2001-08-22 03:04:05' AT TIME ZONE INTERVAL '8' HOUR")
+    assert(e.isLeft && e.left.exists(_.contains("+08:00")))
+    // inside a literal it is data
+    assert(one("SELECT 'x AT TIME ZONE y'") == "x AT TIME ZONE y")
+  }
+
   test("ANSI row-limiting: FETCH FIRST / OFFSET ... ROWS / OFFSET-LIMIT order") {
     def keys(sql: String): Seq[Any] =
       qs.execute(sql).fold(e => fail(s"$sql -> $e"), _.rows.map(_.head))

@@ -51,6 +51,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
   }
 
+  test("fn_regexp_lambda: per-match lambda is a pure projection (no shuffle, no UDF)") {
+    // the HigherOrderFunction evaluates per-row like builtin
+    // regexp_replace: the only Exchange is the final presentation sort,
+    // nothing python/ScalaUDF-shaped appears
+    val p = plan("fn_regexp_lambda")
+    val exchanges = p.linesIterator.count(_.matches("^\\(\\d+\\) Exchange.*"))
+    assert(exchanges <= 1, p.take(800))
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p.take(800))
+    assert(p.contains("PushedFilters"), p.take(400)) // custkey filter reaches the scan
+  }
+
   test("mr_funnel: the sequential matcher costs exactly one shuffle") {
     // MATCH_RECOGNIZE = repartition(partition keys) + secondary sort +
     // streaming mapPartitions: ONE Exchange in the whole plan (the
