@@ -1991,8 +1991,56 @@ object TrinoFunctions {
       if (tlast == 0) afterSplit
       else { tsb.append(afterSplit.substring(tlast)); tsb.toString }
 
-    rewriteAtTimeZone(rewriteFetchFirst(rewriteUnnest(afterSample)))
+    rewriteAtTimeZone(rewriteFetchFirst(rewriteTypedLiterals(
+      rewriteUnnest(afterSample))))
   }
+
+  // Trino's generic typed literals `TYPE 'text'` (equivalent to a CAST)
+  // for the types Spark's grammar does NOT accept in that position
+  // (Spark natively parses DATE/TIMESTAMP/TIME/INTERVAL/X'..' — those
+  // pass through untouched). DECIMAL gets Trino's EXACT literal typing
+  // rules: precision counts significant integer digits plus ALL
+  // fraction digits (DECIMAL '0.2' is DECIMAL(1,1), '20.3' is
+  // DECIMAL(3,1)), so downstream arithmetic carries the same
+  // precision/scale as Trino. UUID canonicalizes to lowercase (Trino's
+  // UUID type renders lowercase; the engine maps it to varchar), JSON
+  // routes through json_parse (validation + the engine's canonical
+  // JSON-as-string runtime type).
+  private val typedLiteralPattern = java.util.regex.Pattern.compile(
+    "(?i)\\b(DECIMAL|DOUBLE|REAL|BIGINT|INTEGER|INT|SMALLINT|TINYINT|" +
+    "VARCHAR|CHAR|BOOLEAN|UUID|JSON)\\s+('(?:[^']|'')*')")
+
+  private def rewriteTypedLiterals(sql: String): String =
+    replaceUnmasked(sql, typedLiteralPattern) { m =>
+      val lit = m.group(2)
+      m.group(1).toUpperCase match {
+        case "DECIMAL" =>
+          val body = lit.substring(1, lit.length - 1).trim
+            .stripPrefix("+").stripPrefix("-")
+          val (ip, fp) = body.indexOf('.') match {
+            case -1 => (body, "")
+            case d  => (body.substring(0, d), body.substring(d + 1))
+          }
+          if (!(ip + fp).forall(_.isDigit) || (ip + fp).isEmpty)
+            throw new IllegalArgumentException(
+              s"invalid DECIMAL literal: $lit")
+          val sigInt = ip.dropWhile(_ == '0')
+          val s = fp.length
+          val p = math.max(sigInt.length + s, math.max(s, 1))
+          s"CAST($lit AS DECIMAL($p, $s))"
+        case "DOUBLE"  => s"CAST($lit AS DOUBLE)"
+        case "REAL"    => s"CAST($lit AS FLOAT)"
+        case "BIGINT"  => s"CAST($lit AS BIGINT)"
+        case "INTEGER" | "INT" => s"CAST($lit AS INT)"
+        case "SMALLINT" => s"CAST($lit AS SMALLINT)"
+        case "TINYINT" => s"CAST($lit AS TINYINT)"
+        case "BOOLEAN" => s"CAST($lit AS BOOLEAN)"
+        case "VARCHAR" | "CHAR" => lit
+        case "UUID"    => s"lower($lit)"
+        case "JSON"    => s"json_parse($lit)"
+        case other     => s"$other $lit" // unreachable by the pattern
+      }
+    }
 
   // Trino's `value AT TIME ZONE zone` operator (SqlBase.g4's tightest
   // valueExpression suffix — binds before arithmetic) has no Spark

@@ -1186,6 +1186,48 @@ class TrinoFunctionsSpec extends SparkSpec {
     assert(one("SELECT regexp_replace(CAST(NULL AS STRING), 'x')") == null)
   }
 
+  test("typed literals: DECIMAL/DOUBLE/REAL/BIGINT/... 'text' forms") {
+    // DECIMAL gets Trino's exact literal typing (precision/scale from
+    // the text), visible through typeof
+    assert(one("SELECT typeof(DECIMAL '1.23')") == "decimal(3,2)")
+    assert(one("SELECT typeof(DECIMAL '0.2')") == "decimal(1,1)")
+    assert(one("SELECT typeof(DECIMAL '-20.3')") == "decimal(3,1)")
+    assert(one("SELECT DECIMAL '1.23' + DECIMAL '0.07'").toString == "1.30")
+    assert(one("SELECT DOUBLE '1.5' * 2") == 3.0)
+    assert(one("SELECT typeof(REAL '1.5')") == "real")
+    assert(one("SELECT BIGINT '7' + 1") == 8L)
+    assert(one("SELECT typeof(SMALLINT '7')") == "smallint")
+    assert(one("SELECT TINYINT '7'").toString == "7")
+    assert(one("SELECT BOOLEAN 'true'") == true)
+    assert(one("SELECT VARCHAR 'hi' || CHAR 'x'") == "hix")
+    assert(one("SELECT UUID '12345678-1234-1234-1234-123456789ABC'")
+      == "12345678-1234-1234-1234-123456789abc")
+    assert(one("""SELECT json_array_length(JSON '[1, 2, 3]')""") == 3)
+    // native Spark typed literals pass through untouched
+    assert(one("SELECT typeof(DATE '2001-01-01')") == "date")
+    // inside a string literal it is data
+    assert(one("SELECT 'DECIMAL ''1.2'''") == "DECIMAL '1.2'")
+    // malformed DECIMAL text fails loudly
+    val e = qs.execute("SELECT DECIMAL '1.2.3'")
+    assert(e.isLeft && e.left.exists(_.contains("DECIMAL")))
+  }
+
+  test("literal round-trip fuzz: any Trino-quoted string survives the pipeline") {
+    // Trino quoting = double the quotes, nothing else. 300 random
+    // strings over a hostile alphabet (backslashes, quotes, regex
+    // metacharacters, '' runs) must come back byte-exact through the
+    // full served pipeline (guard -> preprocess doubling -> Spark parse).
+    val rnd = new scala.util.Random(20260816)
+    val alphabet = """\'"abz019 .*+?()[]{}|^$-_/""" + "\\"
+    (1 to 300).foreach { _ =>
+      val len = 1 + rnd.nextInt(12)
+      val s = Seq.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString
+      val quoted = "'" + s.replace("'", "''") + "'"
+      val got = one(s"SELECT $quoted AS v")
+      assert(got == s, s"round-trip broke: sent <$s> via $quoted got <$got>")
+    }
+  }
+
   test("AT TIME ZONE operator rewrites onto at_timezone()") {
     // same instant rendered in another zone (sessions are pinned UTC)
     assert(one("SELECT TIMESTAMP '2001-08-22 03:04:05' AT TIME ZONE 'America/Los_Angeles'")
