@@ -122,6 +122,14 @@ object TrinoFunctions {
       case args => throw new IllegalArgumentException(
         s"try expects 1 arg, got ${args.length}")
     },
+    // Trino's ROW(a, b, …) constructor → struct (fields become col1…
+    // colN until a CAST to a named ROW type assigns names, the same
+    // flow Trino users follow: CAST(ROW(…) AS ROW(x bigint, …)).x)
+    "row" -> {
+      case args if args.nonEmpty => CreateStruct(args)
+      case _ => throw new IllegalArgumentException(
+        "ROW constructor needs at least one field")
+    },
     "codepoint" -> {
       case Seq(s) => Ascii(s)
       case args => throw new IllegalArgumentException(
@@ -1407,6 +1415,23 @@ object TrinoFunctions {
       case args => throw new IllegalArgumentException(
         s"map_top_n expects (map, n), got ${args.length} args")
     },
+    // the KEYS of the n largest values (value desc, key desc tiebreak —
+    // the same swap-sort-slice as map_top_n, projected to keys)
+    "map_keys_by_top_n_values" -> {
+      case Seq(m, n) =>
+        import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+        val e = UnresolvedNamedLambdaVariable(Seq("e"))
+        val swapped = ArrayTransform(MapEntries(m), LambdaFunction(
+          CreateNamedStruct(Seq(
+            Literal("v"), UnresolvedExtractValue(e, Literal("value")),
+            Literal("k"), UnresolvedExtractValue(e, Literal("key")))), Seq(e)))
+        val top = Slice(new SortArray(swapped, Literal(false)), Literal(1), n)
+        val t = UnresolvedNamedLambdaVariable(Seq("t"))
+        ArrayTransform(top, LambdaFunction(
+          UnresolvedExtractValue(t, Literal("k")), Seq(t)))
+      case args => throw new IllegalArgumentException(
+        s"map_keys_by_top_n_values expects (map, n), got ${args.length} args")
+    },
     // map_top_n_keys / map_top_n_values: n largest keys / values
     "map_top_n_keys" -> {
       case Seq(m, n) =>
@@ -1992,7 +2017,134 @@ object TrinoFunctions {
       else { tsb.append(afterSplit.substring(tlast)); tsb.toString }
 
     rewriteAtTimeZone(rewriteFetchFirst(rewriteTypedLiterals(
-      rewriteUnnest(afterSample))))
+      rewriteCastTypes(rewriteUnnest(afterSample)))))
+  }
+
+  // Trino's type grammar inside CAST/TRY_CAST targets, where it differs
+  // from Spark's: bare `varchar` (Spark requires STRING or a length),
+  // `array(T)` / `map(K, V)` (Spark spells ARRAY<T> / MAP<K, V>),
+  // `row(name T, …)` (STRUCT<name: T, …>), `real` (FLOAT), `varbinary`
+  // (BINARY), `json`/`uuid` (the engine's varchar carriers),
+  // `timestamp(p)` / `time(p)` precision parameters (dropped — Spark
+  // has single micro-precision types), and `timestamp [with time zone]`
+  // (Spark's TIMESTAMP is the LTZ instant type and sessions are pinned
+  // UTC). Everything already Spark-legal passes through byte-identical.
+  private val castPattern = java.util.regex.Pattern.compile(
+    "(?i)\\b(?:TRY_)?CAST\\s*\\(")
+
+  private def rewriteCastTypes(sql: String): String = {
+    val masked = maskedRegions(sql)
+    val n = sql.length
+    val m = castPattern.matcher(sql)
+    while (m.find()) {
+      if (!masked(m.start)) {
+        val open = m.end - 1
+        var depth = 0
+        var i = open
+        var close = -1
+        while (close < 0 && i < n) {
+          if (!masked(i)) {
+            if (sql(i) == '(') depth += 1
+            else if (sql(i) == ')') { depth -= 1; if (depth == 0) close = i }
+          }
+          i += 1
+        }
+        if (close < 0) return sql // unbalanced: let Spark produce the error
+        val content = rewriteCastTypes(sql.substring(open + 1, close))
+        // the LAST unmasked top-level AS splits expression from type
+        val cmask = maskedRegions(content)
+        var asPos = -1
+        var d = 0
+        var j = 0
+        while (j < content.length) {
+          if (!cmask(j)) {
+            content(j) match {
+              case '(' => d += 1
+              case ')' => d -= 1
+              case 'A' | 'a' if d == 0 && j + 2 <= content.length - 1 &&
+                  (content(j + 1) == 'S' || content(j + 1) == 's') &&
+                  (j == 0 || !content(j - 1).isLetterOrDigit && content(j - 1) != '_') &&
+                  (j + 2 >= content.length ||
+                    !content(j + 2).isLetterOrDigit && content(j + 2) != '_') =>
+                asPos = j
+              case _ => ()
+            }
+          }
+          j += 1
+        }
+        val newContent =
+          if (asPos < 0) content
+          else content.substring(0, asPos) + "AS " +
+            trinoTypeToSpark(content.substring(asPos + 2).trim)
+        return sql.substring(0, open + 1) + newContent + ")" +
+          rewriteCastTypes(sql.substring(close + 1))
+      }
+    }
+    sql
+  }
+
+  /** Recursive Trino→Spark type-text translation (see rewriteCastTypes).
+    * Unknown or already-Spark-legal spellings return unchanged. */
+  private def trinoTypeToSpark(t0: String): String = {
+    val t = t0.trim
+    val nameEnd = t.indexWhere(c => !c.isLetterOrDigit && c != '_')
+    val name = (if (nameEnd < 0) t else t.substring(0, nameEnd)).toLowerCase
+    val rest = if (nameEnd < 0) "" else t.substring(nameEnd).trim
+    // top-level split of a parenthesized argument list
+    def args(s: String): Seq[String] = {
+      val inner = s.stripPrefix("(").stripSuffix(")")
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var d = 0; var last = 0; var q = false
+      var i = 0
+      while (i < inner.length) {
+        inner(i) match {
+          case '"' => q = !q
+          case '(' | '<' if !q => d += 1
+          case ')' | '>' if !q => d -= 1
+          case ',' if d == 0 && !q =>
+            out += inner.substring(last, i); last = i + 1
+          case _ => ()
+        }
+        i += 1
+      }
+      out += inner.substring(last)
+      out.map(_.trim).toSeq
+    }
+    name match {
+      case "varchar" if rest.isEmpty => "STRING"
+      case "char" if rest.isEmpty => "CHAR(1)" // Trino's bare char
+      case "real" => "FLOAT"
+      case "varbinary" => "BINARY"
+      case "json" | "uuid" | "ipaddress" => "STRING" // varchar carriers
+      case "double" => "DOUBLE" // absorbs `double precision`
+      case "array" if rest.startsWith("(") =>
+        s"ARRAY<${trinoTypeToSpark(args(rest).head)}>"
+      case "map" if rest.startsWith("(") =>
+        val Seq(k, v) = args(rest)
+        s"MAP<${trinoTypeToSpark(k)}, ${trinoTypeToSpark(v)}>"
+      case "row" if rest.startsWith("(") =>
+        val fields = args(rest).map { f =>
+          // `name type` — the name may be a "quoted identifier"
+          val (fn, ft) =
+            if (f.startsWith("\"")) {
+              val e = f.indexOf('"', 1)
+              (f.substring(0, e + 1), f.substring(e + 1).trim)
+            } else {
+              val sp = f.indexWhere(_.isWhitespace)
+              if (sp < 0) throw new IllegalArgumentException(
+                s"ROW type fields need `name type` (got '$f')")
+              (f.substring(0, sp), f.substring(sp + 1).trim)
+            }
+          s"$fn: ${trinoTypeToSpark(ft)}"
+        }
+        s"STRUCT<${fields.mkString(", ")}>"
+      case "timestamp" | "time" =>
+        // drop the precision parameter; absorb `with time zone`
+        // (Spark's TIMESTAMP is the LTZ instant; sessions pinned UTC).
+        // `time with time zone` was already rejected by preprocess.
+        name.toUpperCase
+      case _ => t0
+    }
   }
 
   // Trino's generic typed literals `TYPE 'text'` (equivalent to a CAST)

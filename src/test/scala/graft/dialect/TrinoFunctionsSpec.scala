@@ -1186,6 +1186,41 @@ class TrinoFunctionsSpec extends SparkSpec {
     assert(one("SELECT regexp_replace(CAST(NULL AS STRING), 'x')") == null)
   }
 
+  test("map_keys_by_top_n_values: keys of the n largest values") {
+    assert(one("""SELECT map_keys_by_top_n_values(
+                 |  map('a', 1, 'b', 3, 'c', 2), 2)""".stripMargin)
+      .asInstanceOf[scala.collection.Seq[_]].toSeq == Seq("b", "c"))
+  }
+
+  test("CAST targets accept Trino's type grammar") {
+    assert(one("SELECT CAST(1 AS varchar)") == "1")
+    assert(one("SELECT CAST('x' AS char)") == "x")
+    assert(one("SELECT typeof(CAST(1 AS real))") == "real")
+    assert(one("SELECT CAST(X'41' AS varbinary)").asInstanceOf[Array[Byte]].head == 0x41)
+    assert(one("SELECT CAST(array(1, 2) AS array(varchar))")
+      .asInstanceOf[scala.collection.Seq[_]].toSeq == Seq("1", "2"))
+    assert(one("SELECT element_at(CAST(map('a', 1) AS map(varchar, double)), 'a')")
+      == 1.0)
+    // ROW types translate to STRUCT with field access working after
+    assert(one("SELECT CAST(struct(1, 2) AS ROW(x BIGINT, y DOUBLE)).y") == 2.0)
+    assert(one("SELECT CAST(struct(1, struct(2)) AS ROW(a INT, b ROW(c BIGINT))).b.c") == 2L)
+    // precision parameters drop; with time zone maps to the UTC instant
+    assert(one("SELECT typeof(CAST('2001-01-01 01:02:03' AS timestamp(3)))")
+      .toString.startsWith("timestamp"))
+    assert(one("SELECT CAST(TIMESTAMP '2001-01-01 01:02:03' AS timestamp with time zone)")
+      .toString.startsWith("2001-01-01 01:02:03"))
+    // nested CASTs: each target translated independently
+    assert(one("SELECT CAST(CAST(1 AS varchar) AS integer)") == 1)
+    // Spark-legal spellings are untouched; literals are data
+    assert(one("SELECT CAST(1.5 AS decimal(10, 2))").toString == "1.50")
+    assert(one("SELECT 'CAST(1 AS varchar)'") == "CAST(1 AS varchar)")
+    // try_cast gets the same grammar
+    assert(one("SELECT TRY_CAST('zz' AS integer)") == null)
+    assert(one("SELECT TRY_CAST(1 AS varchar)") == "1")
+    // the ROW constructor + named-ROW cast, Trino's whole row workflow
+    assert(one("SELECT CAST(ROW(1, 'a') AS ROW(id BIGINT, tag VARCHAR)).tag") == "a")
+  }
+
   test("typed literals: DECIMAL/DOUBLE/REAL/BIGINT/... 'text' forms") {
     // DECIMAL gets Trino's exact literal typing (precision/scale from
     // the text), visible through typeof
