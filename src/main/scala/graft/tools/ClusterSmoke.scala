@@ -48,7 +48,13 @@ object ClusterSmoke {
       // on a topology where executors write the files and the DRIVER
       // renames them, i.e. both sides must see the same FS view (the
       // r12 verdict's remaining cluster-scale caveat)
-      "bm25_index_merge")
+      "bm25_index_merge",
+      // r13 dialect wave: RegExpReplaceLambda is a custom
+      // HigherOrderFunction evaluated on executors — prove it (and its
+      // NamedLambdaVariable binding) serializes into executor JVMs;
+      // unnest_lateral rides only built-in generators but pins the
+      // rewrite output end-to-end on a real topology
+      "fn_regexp_lambda", "unnest_lateral")
 
   private def md5(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
