@@ -122,6 +122,23 @@ object TrinoFunctions {
       case args => throw new IllegalArgumentException(
         s"try expects 1 arg, got ${args.length}")
     },
+    // Trino's array_agg KEEPS null elements; Spark's native alias
+    // (collect_list) silently drops them. Wrap each value in a non-null
+    // struct, collect, unwrap — null-exact (element order is
+    // unspecified in both engines without ORDER BY; the ORDER BY form
+    // is served by the rewriteArrayAggOrderBy pre-pass).
+    "array_agg" -> {
+      case Seq(x) =>
+        import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+        val lst = new org.apache.spark.sql.catalyst.expressions.aggregate
+          .CollectList(
+            CreateNamedStruct(Seq(Literal("v"), x))).toAggregateExpression()
+        val s = UnresolvedNamedLambdaVariable(Seq("__aa"))
+        ArrayTransform(lst,
+          LambdaFunction(UnresolvedExtractValue(s, Literal("v")), Seq(s)))
+      case args => throw new IllegalArgumentException(
+        s"array_agg expects 1 arg, got ${args.length}")
+    },
     // Trino's ROW(a, b, …) constructor → struct (fields become col1…
     // colN until a CAST to a named ROW type assigns names, the same
     // flow Trino users follow: CAST(ROW(…) AS ROW(x bigint, …)).x)
@@ -2017,8 +2034,164 @@ object TrinoFunctions {
       else { tsb.append(afterSplit.substring(tlast)); tsb.toString }
 
     rewriteAtTimeZone(rewriteFetchFirst(rewriteTypedLiterals(
-      rewriteCastTypes(rewriteUnnest(afterSample)))))
+      rewriteCastTypes(rewriteQuantified(rewriteArrayAggOrderBy(
+        rewriteUnnest(afterSample)))))))
   }
+
+  // Trino's `array_agg(expr ORDER BY k1 [ASC|DESC] [NULLS FIRST|LAST],
+  // …)` — Spark's grammar has no ORDER BY inside an aggregate call.
+  // Rewrite onto a sort-after-collect that is NULL-EXACT on both axes:
+  //   transform([reverse(]array_sort(collect_list(named_struct(
+  //     'r0', <null-rank k0>, 'k0', k0, …, 'v', expr)))[)], s -> s.v)
+  // The struct wrap keeps NULL elements (Trino's array_agg does; bare
+  // collect_list drops them), and the per-key null-rank field places
+  // NULL keys exactly where Trino's defaults (ASC→last, DESC→first) or
+  // an explicit NULLS FIRST/LAST puts them — array_sort's own
+  // null-field ordering never decides. DESC is reverse(ASC), so all
+  // keys must share one direction; mixed directions and DISTINCT are
+  // rejected with workarounds (sort_array(collect_set(…)) covers the
+  // DISTINCT-by-value case).
+  private val arrayAggPattern = java.util.regex.Pattern.compile(
+    "(?i)\\barray_agg\\s*\\(")
+
+  private def rewriteArrayAggOrderBy(sql0: String): String = {
+    var sql = sql0
+    var guard = 0
+    while (guard < 64) {
+      guard += 1
+      val masked = maskedRegions(sql)
+      val n = sql.length
+      val m = arrayAggPattern.matcher(sql)
+      var spliced = false
+      while (!spliced && m.find()) {
+        if (!masked(m.start)) {
+          val open = m.end - 1
+          var depth = 0
+          var i = open
+          var close = -1
+          while (close < 0 && i < n) {
+            if (!masked(i)) {
+              if (sql(i) == '(') depth += 1
+              else if (sql(i) == ')') { depth -= 1; if (depth == 0) close = i }
+            }
+            i += 1
+          }
+          if (close < 0) return sql // unbalanced — let Spark error
+          val content = sql.substring(open + 1, close)
+          val cmask = maskedRegions(content)
+          // top-level ORDER BY position
+          var d = 0
+          var ob = -1
+          var j = 0
+          while (ob < 0 && j < content.length) {
+            if (!cmask(j)) {
+              content(j) match {
+                case '(' => d += 1
+                case ')' => d -= 1
+                case 'O' | 'o' if d == 0 &&
+                    content.regionMatches(true, j, "ORDER", 0, 5) &&
+                    (j == 0 || !content(j - 1).isLetterOrDigit && content(j - 1) != '_') =>
+                  var k = j + 5
+                  while (k < content.length && content(k).isWhitespace) k += 1
+                  if (content.regionMatches(true, k, "BY", 0, 2) &&
+                      (k + 2 >= content.length ||
+                        (!content(k + 2).isLetterOrDigit && content(k + 2) != '_')))
+                    ob = j
+                case _ => ()
+              }
+            }
+            if (ob < 0) j += 1
+          }
+          if (ob >= 0) {
+            val exprPart = content.substring(0, ob).trim
+            if (exprPart.toUpperCase.startsWith("DISTINCT"))
+              throw new IllegalArgumentException(
+                "array_agg(DISTINCT … ORDER BY …) is not supported; for " +
+                  "DISTINCT-by-value use sort_array(collect_set(expr))")
+            val byIdx = content.toUpperCase.indexOf("BY", ob) + 2
+            val spec = content.substring(byIdx).trim
+            // split keys at top-level commas
+            val keys = {
+              val out = scala.collection.mutable.ArrayBuffer.empty[String]
+              var dd = 0; var last = 0; var jj = 0
+              while (jj < spec.length) {
+                if (!maskedRegions(spec)(jj)) {
+                  spec(jj) match {
+                    case '(' => dd += 1
+                    case ')' => dd -= 1
+                    case ',' if dd == 0 =>
+                      out += spec.substring(last, jj); last = jj + 1
+                    case _ => ()
+                  }
+                }
+                jj += 1
+              }
+              out += spec.substring(last)
+              out.map(_.trim).toSeq
+            }
+            val dirRe = "(?is)^(.*?)\\s*(ASC|DESC)?\\s*(?:NULLS\\s+(FIRST|LAST))?$".r
+            val parsed = keys.map {
+              case dirRe(k, dir, nulls) =>
+                val desc = dir != null && dir.equalsIgnoreCase("DESC")
+                // Trino defaults: ASC → NULLS LAST, DESC → NULLS FIRST
+                val nullsFirst =
+                  if (nulls == null) desc else nulls.equalsIgnoreCase("FIRST")
+                (k.trim, desc, nullsFirst)
+            }
+            if (parsed.map(_._2).distinct.size > 1)
+              throw new IllegalArgumentException(
+                "array_agg(… ORDER BY …) with MIXED sort directions is " +
+                  "not supported; sort by a single direction or compose " +
+                  "a comparable key expression")
+            val desc = parsed.head._2
+            val fields = parsed.zipWithIndex.flatMap { case ((k, _, nf), ix) =>
+              // pre-reverse ASC rank: nulls must land FIRST when the
+              // final position is first-under-ASC or last-under-DESC
+              val rank = if (nf != desc) -1 else 1
+              Seq(s"'r$ix', CASE WHEN ($k) IS NULL THEN $rank ELSE 0 END",
+                s"'k$ix', $k")
+            } :+ s"'v', $exprPart"
+            val sorted =
+              s"array_sort(collect_list(named_struct(${fields.mkString(", ")})))"
+            val body = if (desc) s"reverse($sorted)" else sorted
+            val replacement = s"transform($body, __oa -> __oa.v)"
+            sql = sql.substring(0, m.start) + replacement + sql.substring(close + 1)
+            spliced = true
+          }
+        }
+      }
+      if (!spliced) return sql
+    }
+    sql
+  }
+
+  // Trino's quantified subquery comparisons. `= ANY`/`= SOME` and
+  // `<> ALL` are DEFINED as synonyms of IN / NOT IN (same NULL
+  // semantics), so those rewrite exactly onto Spark's forms. The other
+  // combinations (`= ALL`, `<> ANY`, and every ordered op) have no
+  // NULL-faithful Spark spelling — a min/max rewrite diverges when the
+  // subquery holds NULLs or is empty in a projected (non-WHERE)
+  // position — so they are REJECTED with the aggregation workaround,
+  // never silently approximated. The `(?=SELECT)` guard keeps Spark's
+  // any()/some() boolean aggregates (same spellings, expression
+  // argument) out of reach.
+  private val quantifiedPattern = java.util.regex.Pattern.compile(
+    "(?i)(=|<>|!=|<=|>=|<|>)\\s*(ANY|SOME|ALL)\\s*\\(\\s*(?=SELECT\\b)")
+
+  private def rewriteQuantified(sql: String): String =
+    replaceUnmasked(sql, quantifiedPattern) { m =>
+      val op = m.group(1)
+      val q = m.group(2).toUpperCase
+      (op, q) match {
+        case ("=", "ANY") | ("=", "SOME") => " IN ("
+        case ("<>", "ALL") | ("!=", "ALL") => " NOT IN ("
+        case _ => throw new IllegalArgumentException(
+          s"$op $q (subquery) has no NULL-faithful Spark form; rewrite " +
+            "with an aggregate — e.g. x > ANY(q) AS x > (SELECT min(...) " +
+            "FROM ...), x = ALL(q) via count(distinct ...) — or use " +
+            "IN / NOT IN for the equality forms")
+      }
+    }
 
   // Trino's type grammar inside CAST/TRY_CAST targets, where it differs
   // from Spark's: bare `varchar` (Spark requires STRING or a length),

@@ -53,6 +53,20 @@ object Relational {
         .orderBy(col("o_orderkey"))
         .limit(100)),
 
+    // Trino's array_agg(expr ORDER BY key DESC) through the dialect
+    // rewrite (rewriteArrayAggOrderBy → null-ranked struct sort):
+    // DuckDB evaluates the same ORDER BY-in-aggregate form natively,
+    // so the oracle is a direct replay of the ordering semantics.
+    "agg_array_ordered" -> ((s, d) =>
+      graft.engine.Tables.sql(s, d, graft.dialect.TrinoFunctions.preprocess(
+        """SELECT c_mktsegment,
+          |  array_join(array_agg(c_name ORDER BY c_acctbal DESC, c_custkey DESC),
+          |             ',') AS names
+          |FROM customer
+          |WHERE c_custkey <= 300
+          |GROUP BY c_mktsegment
+          |ORDER BY c_mktsegment""".stripMargin))),
+
     // ANSI row-limiting through the dialect rewrite
     // (TrinoFunctions.rewriteFetchFirst → LIMIT/OFFSET): DuckDB parses
     // the IDENTICAL OFFSET…FETCH text natively, so the oracle is the
@@ -471,6 +485,15 @@ object Relational {
         |FROM orders
         |ORDER BY o_orderkey
         |OFFSET 20 ROWS FETCH NEXT 50 ROWS ONLY""".stripMargin,
+
+    "agg_array_ordered" ->
+      """SELECT c_mktsegment,
+        |  array_to_string(array_agg(c_name ORDER BY c_acctbal DESC, c_custkey DESC),
+        |                  ',') AS names
+        |FROM customer
+        |WHERE c_custkey <= 300
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
 
     "topk_orderby_limit" ->
       """SELECT c_custkey, c_name, c_acctbal

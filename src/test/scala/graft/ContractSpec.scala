@@ -28,9 +28,9 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented counts") {
-    assert(SparkEntry.queries.size == 189,
+    assert(SparkEntry.queries.size == 190,
       s"queries=${SparkEntry.queries.size} — update README/ContractSpec together")
-    assert(SparkEntry.oracleSql.size == 170,
+    assert(SparkEntry.oracleSql.size == 171,
       s"oracles=${SparkEntry.oracleSql.size} — update README/ContractSpec together")
   }
 }

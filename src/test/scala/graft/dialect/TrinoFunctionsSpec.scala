@@ -1186,6 +1186,64 @@ class TrinoFunctionsSpec extends SparkSpec {
     assert(one("SELECT regexp_replace(CAST(NULL AS STRING), 'x')") == null)
   }
 
+  test("array_agg keeps NULL elements and takes ORDER BY") {
+    def arr(sql: String): Seq[Any] =
+      one(sql).asInstanceOf[scala.collection.Seq[Any]].toSeq
+    // bare array_agg keeps nulls (Spark's native alias drops them)
+    assert(arr("""SELECT array_agg(v) FROM (SELECT CASE WHEN x = 2
+                 |  THEN NULL ELSE x END AS v FROM (VALUES 1, 2, 3) t(x))""".stripMargin)
+      .count(_ == null) == 1)
+    // ORDER BY: single key, both directions
+    assert(arr("""SELECT array_agg(n_name ORDER BY n_nationkey)
+                 |FROM nation WHERE n_regionkey = 1""".stripMargin).head == "NATION_1")
+    assert(arr("""SELECT array_agg(n_nationkey ORDER BY n_name DESC)
+                 |FROM nation WHERE n_regionkey = 1""".stripMargin)
+      == Seq(6L, 21L, 16L, 11L, 1L))
+    // multi-key, shared direction
+    assert(arr("""SELECT array_agg(n_nationkey ORDER BY n_regionkey DESC,
+                 |  n_name DESC) FROM nation WHERE n_nationkey < 3""".stripMargin)
+      == Seq(2L, 1L, 0L))
+    // Trino's null-key defaults: ASC puts null keys LAST, DESC FIRST
+    assert(arr("""SELECT array_agg(x ORDER BY k) FROM (VALUES (1, 10),
+                 |  (2, CAST(NULL AS INT)), (3, 5)) t(x, k)""".stripMargin)
+      == Seq(3, 1, 2))
+    assert(arr("""SELECT array_agg(x ORDER BY k DESC) FROM (VALUES (1, 10),
+                 |  (2, CAST(NULL AS INT)), (3, 5)) t(x, k)""".stripMargin)
+      == Seq(2, 1, 3))
+    assert(arr("""SELECT array_agg(x ORDER BY k NULLS FIRST) FROM (VALUES
+                 |  (1, 10), (2, CAST(NULL AS INT)), (3, 5)) t(x, k)""".stripMargin)
+      == Seq(2, 3, 1))
+    // DISTINCT + ORDER BY and mixed directions reject with workarounds
+    val e1 = qs.execute(
+      "SELECT array_agg(DISTINCT n_name ORDER BY n_name) FROM nation")
+    assert(e1.isLeft && e1.left.exists(_.contains("collect_set")))
+    val e2 = qs.execute(
+      "SELECT array_agg(n_name ORDER BY n_regionkey ASC, n_name DESC) FROM nation")
+    assert(e2.isLeft && e2.left.exists(_.contains("MIXED")))
+  }
+
+  test("quantified comparisons: = ANY -> IN, <> ALL -> NOT IN, rest rejected") {
+    assert(one("""SELECT count(*) FROM nation
+                 |WHERE n_regionkey = ANY (SELECT r_regionkey FROM region
+                 |                         WHERE r_name = 'ASIA')""".stripMargin)
+      == 5L)
+    assert(one("""SELECT count(*) FROM nation
+                 |WHERE n_regionkey <> ALL (SELECT r_regionkey FROM region
+                 |                          WHERE r_name = 'ASIA')""".stripMargin)
+      == 20L)
+    assert(one("""SELECT count(*) FROM nation
+                 |WHERE n_regionkey = SOME (SELECT r_regionkey FROM region)""".stripMargin)
+      == 25L)
+    // ordered / other combinations reject with the aggregate workaround
+    val e = qs.execute(
+      "SELECT n_nationkey > ANY (SELECT r_regionkey FROM region) FROM nation")
+    assert(e.isLeft && e.left.exists(_.contains("min")))
+    // Spark's any() boolean aggregate keeps working (expression arg)
+    assert(one("SELECT any(n_regionkey = 2) FROM nation") == true)
+    // literals are data
+    assert(one("SELECT 'x = ANY (SELECT 1)'") == "x = ANY (SELECT 1)")
+  }
+
   test("map_keys_by_top_n_values: keys of the n largest values") {
     assert(one("""SELECT map_keys_by_top_n_values(
                  |  map('a', 1, 'b', 3, 'c', 2), 2)""".stripMargin)
