@@ -2035,7 +2035,76 @@ object TrinoFunctions {
 
     rewriteAtTimeZone(rewriteFetchFirst(rewriteTypedLiterals(
       rewriteCastTypes(rewriteQuantified(rewriteArrayAggOrderBy(
-        rewriteUnnest(afterSample)))))))
+        rewriteJsonReturning(rewriteUnnest(afterSample))))))))
+  }
+
+  // SQL/JSON `RETURNING type` clause (json_value's typed result, the
+  // 2-arg default form is served by the JsonFuncs shim): strip the
+  // clause and CAST the result — `json_value(j, p RETURNING bigint)` →
+  // `CAST(json_value(j, p) AS BIGINT)`, with the type run through the
+  // same Trino→Spark translation CAST targets get. Trino's ON
+  // EMPTY/ON ERROR clauses stay unsupported (the shim's documented
+  // defaults apply).
+  private val jsonValuePattern = java.util.regex.Pattern.compile(
+    "(?i)\\bjson_value\\s*\\(")
+
+  private def rewriteJsonReturning(sql0: String): String = {
+    var sql = sql0
+    var guard = 0
+    while (guard < 64) {
+      guard += 1
+      val masked = maskedRegions(sql)
+      val n = sql.length
+      val m = jsonValuePattern.matcher(sql)
+      var spliced = false
+      while (!spliced && m.find()) {
+        if (!masked(m.start)) {
+          val open = m.end - 1
+          var depth = 0
+          var i = open
+          var close = -1
+          while (close < 0 && i < n) {
+            if (!masked(i)) {
+              if (sql(i) == '(') depth += 1
+              else if (sql(i) == ')') { depth -= 1; if (depth == 0) close = i }
+            }
+            i += 1
+          }
+          if (close < 0) return sql
+          val content = sql.substring(open + 1, close)
+          val cmask = maskedRegions(content)
+          var d = 0
+          var rp = -1
+          var j = 0
+          while (rp < 0 && j < content.length) {
+            if (!cmask(j)) {
+              content(j) match {
+                case '(' => d += 1
+                case ')' => d -= 1
+                case 'R' | 'r' if d == 0 &&
+                    content.regionMatches(true, j, "RETURNING", 0, 9) &&
+                    (j == 0 || (!content(j - 1).isLetterOrDigit &&
+                      content(j - 1) != '_')) &&
+                    (j + 9 >= content.length ||
+                      (!content(j + 9).isLetterOrDigit && content(j + 9) != '_')) =>
+                  rp = j
+                case _ => ()
+              }
+            }
+            if (rp < 0) j += 1
+          }
+          if (rp >= 0) {
+            val args = content.substring(0, rp).trim.stripSuffix(",").trim
+            val tpe = trinoTypeToSpark(content.substring(rp + 9).trim)
+            sql = sql.substring(0, m.start) +
+              s"CAST(json_value($args) AS $tpe)" + sql.substring(close + 1)
+            spliced = true
+          }
+        }
+      }
+      if (!spliced) return sql
+    }
+    sql
   }
 
   // Trino's `array_agg(expr ORDER BY k1 [ASC|DESC] [NULLS FIRST|LAST],

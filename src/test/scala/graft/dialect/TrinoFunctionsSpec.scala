@@ -1186,6 +1186,20 @@ class TrinoFunctionsSpec extends SparkSpec {
     assert(one("SELECT regexp_replace(CAST(NULL AS STRING), 'x')") == null)
   }
 
+  test("WITH RECURSIVE and json_value RETURNING") {
+    // recursive CTEs are NATIVE in Spark 4.1 — pinned so a regression
+    // (or a future dialect rewrite touching WITH) is caught
+    assert(one("""WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL
+                 |  SELECT n + 1 FROM t WHERE n < 5)
+                 |SELECT sum(n) FROM t""".stripMargin) == 15L)
+    // SQL/JSON RETURNING clause → CAST through the Trino type grammar
+    assert(one("""SELECT json_value('{"a": 7}', 'lax $.a' RETURNING BIGINT) + 1""")
+      == 8L)
+    assert(one("""SELECT json_value('{"a": 7}', 'lax $.a' RETURNING varchar)""")
+      == "7")
+    assert(one("SELECT 'x RETURNING y'") == "x RETURNING y")
+  }
+
   test("array_agg keeps NULL elements and takes ORDER BY") {
     def arr(sql: String): Seq[Any] =
       one(sql).asInstanceOf[scala.collection.Seq[Any]].toSeq
