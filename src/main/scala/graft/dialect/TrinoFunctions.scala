@@ -631,6 +631,13 @@ object TrinoFunctions {
       LongType, org.apache.spark.sql.types.BinaryType),
     "from_big_endian_64" -> binFn1("fromBigEndian64", "from_big_endian_64",
       org.apache.spark.sql.types.BinaryType, LongType),
+    // RFC 4648 base32 codec (Trino binary functions; Spark has only
+    // base64/hex) — StaticInvoke into BinFuncs, strings cast to UTF-8
+    // bytes like Trino varbinary args
+    "to_base32" -> binFn1("toBase32", "to_base32",
+      org.apache.spark.sql.types.BinaryType, StringType),
+    "from_base32" -> binFn1("fromBase32", "from_base32",
+      StringType, org.apache.spark.sql.types.BinaryType),
     "to_ieee754_32" -> binFn1("toIeee754_32", "to_ieee754_32",
       org.apache.spark.sql.types.FloatType, org.apache.spark.sql.types.BinaryType),
     "from_ieee754_32" -> binFn1("fromIeee754_32", "from_ieee754_32",
@@ -3181,6 +3188,55 @@ object StatFuncs {
 object BinFuncs {
   import java.nio.ByteBuffer
   import org.apache.spark.unsafe.types.UTF8String
+
+  /** RFC 4648 base32 (Trino's to_base32 / from_base32): the uppercase
+    * A–Z 2–7 alphabet with '=' padding to 8-char groups. Decode accepts
+    * lowercase too and raises on any other character (NULL under
+    * try()), like Trino's INVALID_FUNCTION_ARGUMENT. */
+  private val B32 = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+  def toBase32(b: Array[Byte]): UTF8String = {
+    val sb = new java.lang.StringBuilder((b.length + 4) / 5 * 8)
+    var i = 0
+    var buf = 0L
+    var bits = 0
+    while (i < b.length) {
+      buf = (buf << 8) | (b(i) & 0xffL); bits += 8
+      while (bits >= 5) {
+        bits -= 5
+        sb.append(B32(((buf >> bits) & 31).toInt))
+      }
+      i += 1
+    }
+    if (bits > 0) sb.append(B32(((buf << (5 - bits)) & 31).toInt))
+    while (sb.length % 8 != 0) sb.append('=')
+    UTF8String.fromString(sb.toString)
+  }
+  def fromBase32(s: UTF8String): Array[Byte] = {
+    val str = s.toString
+    val out = new java.io.ByteArrayOutputStream(str.length * 5 / 8 + 1)
+    var buf = 0L
+    var bits = 0
+    var i = 0
+    var done = false
+    while (i < str.length) {
+      val c = str.charAt(i)
+      if (c == '=') done = true // padding: only '=' may follow
+      else if (done) throw new IllegalArgumentException(
+        s"invalid base32 input: data after padding in '$str'")
+      else {
+        val v = B32.indexOf(Character.toUpperCase(c).toInt)
+        if (v < 0) throw new IllegalArgumentException(
+          s"invalid base32 character: $c")
+        buf = (buf << 5) | v; bits += 5
+        if (bits >= 8) {
+          bits -= 8
+          out.write(((buf >> bits) & 0xff).toInt)
+        }
+      }
+      i += 1
+    }
+    out.toByteArray
+  }
 
   /** Luhn mod-10 checksum over a digit string (payment-card check).
     * Empty or non-digit input → false (Trino raises INVALID_FUNCTION_

@@ -1186,6 +1186,20 @@ class TrinoFunctionsSpec extends SparkSpec {
     assert(one("SELECT regexp_replace(CAST(NULL AS STRING), 'x')") == null)
   }
 
+  test("to_base32 / from_base32: RFC 4648 round-trip") {
+    // RFC 4648 test vector: 'hello' (5 bytes, no padding)
+    assert(one("SELECT to_base32(to_utf8('hello'))") == "NBSWY3DP")
+    assert(one("SELECT from_utf8(from_base32('NBSWY3DP'))") == "hello")
+    // padded lengths round-trip; lowercase accepted on decode
+    assert(one("SELECT from_utf8(from_base32(to_base32(to_utf8('hello world!!'))))")
+      == "hello world!!")
+    assert(one("SELECT to_base32(to_utf8('f'))") == "MY======")
+    assert(one("SELECT from_utf8(from_base32('my======'))") == "f")
+    assert(one("SELECT to_base32(to_utf8(''))") == "")
+    // invalid characters raise (NULL under try())
+    assert(one("SELECT try(from_base32('1@#'))") == null)
+  }
+
   test("WITH RECURSIVE and json_value RETURNING") {
     // recursive CTEs are NATIVE in Spark 4.1 — pinned so a regression
     // (or a future dialect rewrite touching WITH) is caught
