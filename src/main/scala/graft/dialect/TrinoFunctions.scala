@@ -1439,6 +1439,14 @@ object TrinoFunctions {
       case args => throw new IllegalArgumentException(
         s"map_top_n expects (map, n), got ${args.length} args")
     },
+    // Trino's running-sum array function — a linear native expression
+    // (Spark has no scan primitive; see NativeExprs.ArrayCumSum for the
+    // exact null/overflow/decimal semantics)
+    "array_cum_sum" -> {
+      case Seq(a) => graft.functions.NativeExprs.ArrayCumSum(a)
+      case args => throw new IllegalArgumentException(
+        s"array_cum_sum expects 1 array arg, got ${args.length}")
+    },
     // the KEYS of the n largest values (value desc, key desc tiebreak —
     // the same swap-sort-slice as map_top_n, projected to keys)
     "map_keys_by_top_n_values" -> {

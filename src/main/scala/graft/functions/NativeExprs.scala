@@ -1292,4 +1292,104 @@ object NativeExprs {
     override protected def withNewChildInternal(newChild: Expression): ArrayHistogram =
       copy(child = newChild)
   }
+
+  /** Trino's `array_cum_sum(array(T)) → array(T)`: per-position running
+    * sum with Trino's null rule — the positions AT and AFTER the first
+    * NULL element are NULL (not skipped). Result element type follows
+    * Trino: integral stays integral with overflow RAISING
+    * (Math.addExact), real/double accumulate in their own width,
+    * decimal(p, s) widens to decimal(38, s). One linear pass over
+    * ArrayData; Spark has no running-sum primitive (an
+    * aggregate()-with-array-accumulator composition is O(n²) and
+    * type-lossy). */
+  case class ArrayCumSum(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
+    private def elemType: DataType = child.dataType match {
+      case ArrayType(et, _) => et
+      case _ => NullType
+    }
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(_: NumericType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"array_cum_sum expects array(numeric), got ${other.simpleString}")
+    }
+
+    override def dataType: DataType = elemType match {
+      case dt: DecimalType =>
+        ArrayType(DecimalType(DecimalType.MAX_PRECISION, dt.scale), containsNull = true)
+      case et => ArrayType(et, containsNull = true)
+    }
+    override def prettyName: String = "array_cum_sum"
+
+    protected override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val out = new Array[Any](n)
+      var nulled = false
+      var i = 0
+      elemType match {
+        case LongType | IntegerType | ShortType | ByteType =>
+          var s = 0L
+          while (i < n) {
+            if (nulled || arr.isNullAt(i)) { nulled = true; out(i) = null }
+            else {
+              val v = elemType match {
+                case LongType => arr.getLong(i)
+                case IntegerType => arr.getInt(i).toLong
+                case ShortType => arr.getShort(i).toLong
+                case _ => arr.getByte(i).toLong
+              }
+              s = Math.addExact(s, v)
+              out(i) = elemType match {
+                case LongType => s
+                case IntegerType => Math.toIntExact(s)
+                case ShortType =>
+                  if (s < Short.MinValue || s > Short.MaxValue)
+                    throw new ArithmeticException("smallint overflow in array_cum_sum")
+                  s.toShort
+                case _ =>
+                  if (s < Byte.MinValue || s > Byte.MaxValue)
+                    throw new ArithmeticException("tinyint overflow in array_cum_sum")
+                  s.toByte
+              }
+            }
+            i += 1
+          }
+        case DoubleType =>
+          var s = 0.0
+          while (i < n) {
+            if (nulled || arr.isNullAt(i)) { nulled = true; out(i) = null }
+            else { s += arr.getDouble(i); out(i) = s }
+            i += 1
+          }
+        case FloatType =>
+          var s = 0.0f
+          while (i < n) {
+            if (nulled || arr.isNullAt(i)) { nulled = true; out(i) = null }
+            else { s += arr.getFloat(i); out(i) = s }
+            i += 1
+          }
+        case dt: DecimalType =>
+          val (p, sc) = (dt.precision, dt.scale)
+          var s = java.math.BigDecimal.ZERO
+          while (i < n) {
+            if (nulled || arr.isNullAt(i)) { nulled = true; out(i) = null }
+            else {
+              s = s.add(arr.getDecimal(i, p, sc).toJavaBigDecimal)
+              out(i) = Decimal(s, DecimalType.MAX_PRECISION, sc)
+            }
+            i += 1
+          }
+        case other => throw new IllegalStateException(
+          s"array_cum_sum: unreachable element type $other")
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): ArrayCumSum =
+      copy(child = newChild)
+  }
 }

@@ -1186,6 +1186,23 @@ class TrinoFunctionsSpec extends SparkSpec {
     assert(one("SELECT regexp_replace(CAST(NULL AS STRING), 'x')") == null)
   }
 
+  test("array_cum_sum: running sums with Trino's null and type rules") {
+    def arr(sql: String): Seq[Any] =
+      one(sql).asInstanceOf[scala.collection.Seq[Any]].toSeq
+    assert(arr("SELECT array_cum_sum(array(1, 2, 3))") == Seq(1, 3, 6))
+    assert(arr("SELECT array_cum_sum(array(CAST(1 AS BIGINT), 2, 3))")
+      == Seq(1L, 3L, 6L))
+    assert(arr("SELECT array_cum_sum(array(1.5D, 2.5D))") == Seq(1.5, 4.0))
+    // decimal keeps its scale, widened precision
+    assert(arr("SELECT array_cum_sum(array(DECIMAL '1.10', DECIMAL '2.20'))")
+      .map(_.toString) == Seq("1.10", "3.30"))
+    // positions at and after a NULL are NULL (not skipped)
+    assert(arr("SELECT array_cum_sum(array(1, CAST(NULL AS INT), 3))")
+      == Seq(1, null, null))
+    // integral overflow raises (NULL under try())
+    assert(one("SELECT try(array_cum_sum(array(2147483647, 1)))") == null)
+  }
+
   test("to_base32 / from_base32: RFC 4648 round-trip") {
     // RFC 4648 test vector: 'hello' (5 bytes, no padding)
     assert(one("SELECT to_base32(to_utf8('hello'))") == "NBSWY3DP")
