@@ -2197,9 +2197,10 @@ object TrinoFunctions {
             // split keys at top-level commas
             val keys = {
               val out = scala.collection.mutable.ArrayBuffer.empty[String]
+              val smask = maskedRegions(spec)
               var dd = 0; var last = 0; var jj = 0
               while (jj < spec.length) {
-                if (!maskedRegions(spec)(jj)) {
+                if (!smask(jj)) {
                   spec(jj) match {
                     case '(' => dd += 1
                     case ')' => dd -= 1

@@ -1186,6 +1186,21 @@ class TrinoFunctionsSpec extends SparkSpec {
     assert(one("SELECT regexp_replace(CAST(NULL AS STRING), 'x')") == null)
   }
 
+  test("row-limiting fuzz: OFFSET/FETCH equals LIMIT OFFSET on random bounds") {
+    val rnd = new scala.util.Random(13)
+    (1 to 25).foreach { _ =>
+      val off = rnd.nextInt(30)
+      val cnt = 1 + rnd.nextInt(10)
+      def keys(sql: String): Seq[Any] =
+        qs.execute(sql).fold(e => fail(s"$sql -> $e"), _.rows.map(_.head))
+      val ansi = keys(s"SELECT n_nationkey FROM nation ORDER BY n_nationkey " +
+        s"OFFSET $off ROWS FETCH NEXT $cnt ROWS ONLY")
+      val spark = keys(s"SELECT n_nationkey FROM nation ORDER BY n_nationkey " +
+        s"LIMIT $cnt OFFSET $off")
+      assert(ansi == spark, s"off=$off cnt=$cnt")
+    }
+  }
+
   test("array_cum_sum: running sums with Trino's null and type rules") {
     def arr(sql: String): Seq[Any] =
       one(sql).asInstanceOf[scala.collection.Seq[Any]].toSeq
