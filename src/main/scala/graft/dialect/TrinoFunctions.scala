@@ -2131,10 +2131,11 @@ object TrinoFunctions {
   // collect_list drops them), and the per-key null-rank field places
   // NULL keys exactly where Trino's defaults (ASC→last, DESC→first) or
   // an explicit NULLS FIRST/LAST puts them — array_sort's own
-  // null-field ordering never decides. DESC is reverse(ASC), so all
-  // keys must share one direction; mixed directions and DISTINCT are
-  // rejected with workarounds (sort_array(collect_set(…)) covers the
-  // DISTINCT-by-value case).
+  // null-field ordering never decides. DESC is reverse(ASC) when all
+  // keys share one direction; MIXED directions switch to array_sort's
+  // 3-way comparator lambda (per-key direction + null placement in a
+  // lexicographic CASE chain). DISTINCT is rejected with a workaround
+  // (sort_array(collect_set(…)) covers the DISTINCT-by-value case).
   private val arrayAggPattern = java.util.regex.Pattern.compile(
     "(?i)\\barray_agg\\s*\\(")
 
@@ -2214,7 +2215,10 @@ object TrinoFunctions {
               out += spec.substring(last)
               out.map(_.trim).toSeq
             }
-            val dirRe = "(?is)^(.*?)\\s*(ASC|DESC)?\\s*(?:NULLS\\s+(FIRST|LAST))?$".r
+            // direction must be whitespace-separated from the key — a
+            // bare `total_desc` is a column name, not `total_` + DESC
+            val dirRe =
+              "(?is)^(.*?)(?:\\s+(ASC|DESC))?(?:\\s+NULLS\\s+(FIRST|LAST))?\\s*$".r
             val parsed = keys.map {
               case dirRe(k, dir, nulls) =>
                 val desc = dir != null && dir.equalsIgnoreCase("DESC")
@@ -2223,22 +2227,45 @@ object TrinoFunctions {
                   if (nulls == null) desc else nulls.equalsIgnoreCase("FIRST")
                 (k.trim, desc, nullsFirst)
             }
-            if (parsed.map(_._2).distinct.size > 1)
-              throw new IllegalArgumentException(
-                "array_agg(… ORDER BY …) with MIXED sort directions is " +
-                  "not supported; sort by a single direction or compose " +
-                  "a comparable key expression")
-            val desc = parsed.head._2
-            val fields = parsed.zipWithIndex.flatMap { case ((k, _, nf), ix) =>
-              // pre-reverse ASC rank: nulls must land FIRST when the
-              // final position is first-under-ASC or last-under-DESC
-              val rank = if (nf != desc) -1 else 1
-              Seq(s"'r$ix', CASE WHEN ($k) IS NULL THEN $rank ELSE 0 END",
-                s"'k$ix', $k")
-            } :+ s"'v', $exprPart"
-            val sorted =
-              s"array_sort(collect_list(named_struct(${fields.mkString(", ")})))"
-            val body = if (desc) s"reverse($sorted)" else sorted
+            val body = if (parsed.map(_._2).distinct.size > 1) {
+              // MIXED directions: array_sort's 3-way comparator lambda
+              // expresses per-key direction and null placement exactly
+              // (the default struct ordering + reverse trick can only
+              // flip the whole array). Lexicographic CASE chain, one
+              // level per key.
+              val fields = parsed.zipWithIndex.map { case ((k, _, _), ix) =>
+                s"'k$ix', $k"
+              } :+ s"'v', $exprPart"
+              def cmp(ix: Int): String =
+                if (ix == parsed.length) "0"
+                else {
+                  val (_, desc, nf) = parsed(ix)
+                  val a = s"__sa.k$ix"
+                  val b = s"__sb.k$ix"
+                  val lt = if (desc) "1" else "-1"
+                  val gt = if (desc) "-1" else "1"
+                  val na = if (nf) "-1" else "1"
+                  val nb = if (nf) "1" else "-1"
+                  s"CASE WHEN $a IS NULL AND $b IS NULL THEN ${cmp(ix + 1)} " +
+                    s"WHEN $a IS NULL THEN $na WHEN $b IS NULL THEN $nb " +
+                    s"WHEN $a < $b THEN $lt WHEN $a > $b THEN $gt " +
+                    s"ELSE ${cmp(ix + 1)} END"
+                }
+              s"array_sort(collect_list(named_struct(" +
+                s"${fields.mkString(", ")})), (__sa, __sb) -> ${cmp(0)})"
+            } else {
+              val desc = parsed.head._2
+              val fields = parsed.zipWithIndex.flatMap { case ((k, _, nf), ix) =>
+                // pre-reverse ASC rank: nulls must land FIRST when the
+                // final position is first-under-ASC or last-under-DESC
+                val rank = if (nf != desc) -1 else 1
+                Seq(s"'r$ix', CASE WHEN ($k) IS NULL THEN $rank ELSE 0 END",
+                  s"'k$ix', $k")
+              } :+ s"'v', $exprPart"
+              val sorted =
+                s"array_sort(collect_list(named_struct(${fields.mkString(", ")})))"
+              if (desc) s"reverse($sorted)" else sorted
+            }
             val replacement = s"transform($body, __oa -> __oa.v)"
             sql = sql.substring(0, m.start) + replacement + sql.substring(close + 1)
             spliced = true
@@ -2250,33 +2277,210 @@ object TrinoFunctions {
     sql
   }
 
-  // Trino's quantified subquery comparisons. `= ANY`/`= SOME` and
-  // `<> ALL` are DEFINED as synonyms of IN / NOT IN (same NULL
-  // semantics), so those rewrite exactly onto Spark's forms. The other
-  // combinations (`= ALL`, `<> ANY`, and every ordered op) have no
-  // NULL-faithful Spark spelling — a min/max rewrite diverges when the
-  // subquery holds NULLs or is empty in a projected (non-WHERE)
-  // position — so they are REJECTED with the aggregation workaround,
-  // never silently approximated. The `(?=SELECT)` guard keeps Spark's
+  // Trino's quantified subquery comparisons, all NULL-faithfully.
+  // `= ANY`/`= SOME` and `<> ALL` are DEFINED as synonyms of IN /
+  // NOT IN (same NULL semantics) and rewrite exactly onto Spark's
+  // forms — no operand capture needed. Every OTHER combination
+  // (`= ALL`, `<> ANY`, and the four ordered ops with either
+  // quantifier) is rewritten to an exact three-valued-logic
+  // composition of aggregate scalar subqueries:
+  //
+  //   X op ALL (Q)  ≡  ( (X) op (SELECT extreme(v) FROM (Q))   -- t
+  //                      AND (SELECT cnt = cnt(v) OR NULL …)   -- nulls?
+  //                      OR  (SELECT cnt = 0 …) )              -- empty
+  //
+  // with extreme = max for >/>= and min for </<= (and min=X AND max=X
+  // for = ALL). Derivation: with no NULLs in Q the comparison against
+  // the extreme IS the ∀ (t = TRUE ⟺ all rows pass, FALSE ⟺ a
+  // counterexample exists, NULL ⟺ X is NULL); a NULL in Q can never
+  // make ∀ TRUE, only UNKNOWN — `AND (… OR NULL)` (TRUE when Q is
+  // NULL-free, else NULL) preserves FALSE and demotes TRUE/NULL to
+  // NULL exactly; the empty set makes ∀ vacuously TRUE — `OR cnt=0`
+  // (TRUE/FALSE, never NULL) restores it even when X is NULL. The ANY
+  // forms ride De Morgan, which is exact in Kleene logic:
+  //   X op ANY (Q) ≡ NOT (X inv(op) ALL (Q)),  inv(>) = <=, inv(=) = <>.
+  // Spark's physical ReuseSubquery collapses the three identical
+  // aggregate subqueries into one execution. The left operand is a
+  // Trino valueExpression, captured by walking primaries and binary
+  // arithmetic (+ - * / % ||) backward from the operator; anything the
+  // walker cannot bound (e.g. a bare CASE … END) is rejected with a
+  // "parenthesize it" hint. The `(?=SELECT|WITH)` guard keeps Spark's
   // any()/some() boolean aggregates (same spellings, expression
   // argument) out of reach.
   private val quantifiedPattern = java.util.regex.Pattern.compile(
-    "(?i)(=|<>|!=|<=|>=|<|>)\\s*(ANY|SOME|ALL)\\s*\\(\\s*(?=SELECT\\b)")
+    "(?i)(=|<>|!=|<=|>=|<|>)\\s*(ANY|SOME|ALL)\\s*\\(\\s*(?=SELECT\\b|WITH\\b)")
 
-  private def rewriteQuantified(sql: String): String =
-    replaceUnmasked(sql, quantifiedPattern) { m =>
-      val op = m.group(1)
-      val q = m.group(2).toUpperCase
-      (op, q) match {
-        case ("=", "ANY") | ("=", "SOME") => " IN ("
-        case ("<>", "ALL") | ("!=", "ALL") => " NOT IN ("
-        case _ => throw new IllegalArgumentException(
-          s"$op $q (subquery) has no NULL-faithful Spark form; rewrite " +
-            "with an aggregate — e.g. x > ANY(q) AS x > (SELECT min(...) " +
-            "FROM ...), x = ALL(q) via count(distinct ...) — or use " +
-            "IN / NOT IN for the equality forms")
+  /** Walk ONE primary expression backward from `endExcl` (exclusive):
+    * a string/typed literal, a balanced paren group with its optional
+    * function-name chain, or an identifier/number chain. Returns the
+    * start index, or -1 when what precedes is not an operand (a
+    * clause keyword, an operator, a comma, …). */
+  private def primaryBackward(sql: String, masked: Array[Boolean],
+      endExcl: Int): Int = {
+    var l = endExcl
+    while (l > 0 && sql(l - 1).isWhitespace) l -= 1
+    if (l == 0) return -1
+    val lEnd = l
+    if (sql(l - 1) == '\'') {
+      // literal: interior masked — walk to the start of the masked
+      // run, then absorb a typed-literal keyword (DATE '…' etc.)
+      l -= 1
+      while (l > 0 && masked(l - 1)) l -= 1
+      var k = l
+      while (k > 0 && sql(k - 1).isWhitespace) k -= 1
+      val kw = k
+      while (k > 0 && (sql(k - 1).isLetterOrDigit || sql(k - 1) == '_')) k -= 1
+      val word = sql.substring(k, kw).toUpperCase
+      if (Set("TIMESTAMP", "DATE", "TIME", "DECIMAL", "INTERVAL")(word)) k
+      else l
+    } else if (sql(l - 1) == ')') {
+      var depth = 0
+      l -= 1
+      var open = -1
+      while (l >= 0 && open < 0) {
+        if (!masked(l)) {
+          if (sql(l) == ')') depth += 1
+          else if (sql(l) == '(') { depth -= 1; if (depth == 0) open = l }
+        }
+        if (open < 0) l -= 1
+      }
+      if (open < 0) return -1
+      // function-name chain directly before the open paren (but not a
+      // clause keyword — `WHERE (a + b) > ALL …`)
+      var k = open
+      while (k > 0 && sql(k - 1).isWhitespace) k -= 1
+      val ke = k
+      while (k > 0 && (sql(k - 1).isLetterOrDigit || sql(k - 1) == '_' ||
+        sql(k - 1) == '.' || sql(k - 1) == '$')) k -= 1
+      val name = sql.substring(k, ke).toUpperCase
+      if (k < ke && !NonCallableKeywords.contains(name)) k else open
+    } else {
+      while (l > 0 && (sql(l - 1).isLetterOrDigit || sql(l - 1) == '_' ||
+        sql(l - 1) == '.' || sql(l - 1) == '$' || sql(l - 1) == '"')) l -= 1
+      if (l == lEnd) return -1
+      val word = sql.substring(l, lEnd).toUpperCase
+      if (word.indexOf('.') < 0 && NonCallableKeywords.contains(word)) -1
+      else l
+    }
+  }
+
+  private val NonCallableKeywords = Set(
+    "WHERE", "AND", "OR", "NOT", "ON", "WHEN", "THEN", "ELSE", "END",
+    "CASE", "SELECT", "HAVING", "BY", "IN", "LIKE", "BETWEEN", "IS",
+    "FROM", "JOIN", "AS", "ALL", "ANY", "SOME", "DISTINCT", "SET",
+    "RETURNING", "OVER", "UNION", "INTERSECT", "EXCEPT", "VALUES",
+    "ESCAPE", "LIMIT", "OFFSET", "FETCH", "ASC", "DESC", "NULLS")
+
+  /** Walk a Trino valueExpression backward from `endExcl`: primaries
+    * chained by binary arithmetic/concat, with unary-sign absorption.
+    * Returns the start index, or -1 when no operand is found. */
+  private def valueExprBackward(sql: String, masked: Array[Boolean],
+      endExcl: Int): Int = {
+    var start = primaryBackward(sql, masked, endExcl)
+    if (start < 0) return -1
+    var continueScan = true
+    while (continueScan && start > 0) {
+      var j = start
+      while (j > 0 && sql(j - 1).isWhitespace) j -= 1
+      val opLen =
+        if (j >= 2 && sql(j - 1) == '|' && sql(j - 2) == '|' &&
+          !masked(j - 1)) 2
+        else if (j >= 1 && "+-*/%".indexOf(sql(j - 1)) >= 0 &&
+          !masked(j - 1)) 1
+        else 0
+      if (opLen == 0) continueScan = false
+      else {
+        val p2 = primaryBackward(sql, masked, j - opLen)
+        if (p2 >= 0) start = p2
+        else if (opLen == 1 && (sql(j - 1) == '+' || sql(j - 1) == '-'))
+          start = j - opLen // unary sign; keep scanning for `a * -b`
+        else continueScan = false
       }
     }
+    start
+  }
+
+  private def rewriteQuantified(sql0: String): String = {
+    var sql = sql0
+    var guard = 0
+    while (guard < 64) {
+      guard += 1
+      val masked = maskedRegions(sql)
+      val m = quantifiedPattern.matcher(sql)
+      var spliced = false
+      while (!spliced && m.find()) {
+        if (!masked(m.start)) {
+          val op0 = m.group(1)
+          val op = if (op0 == "!=") "<>" else op0
+          val quant = m.group(2).toUpperCase match {
+            case "SOME" => "ANY"
+            case q => q
+          }
+          (op, quant) match {
+            case ("=", "ANY") =>
+              sql = sql.substring(0, m.start) + " IN (" + sql.substring(m.end)
+              spliced = true
+            case ("<>", "ANY") | ("=", "ALL") | ("<", _) | ("<=", _) |
+                 (">", _) | (">=", _) =>
+              // balanced close of the subquery (the '(' is the last
+              // unmasked '(' before m.end)
+              var open = m.end - 1
+              while (open >= 0 && (masked(open) || sql(open) != '(')) open -= 1
+              var depth = 0
+              var i = open
+              var close = -1
+              val n = sql.length
+              while (close < 0 && i < n) {
+                if (!masked(i)) {
+                  if (sql(i) == '(') depth += 1
+                  else if (sql(i) == ')') { depth -= 1; if (depth == 0) close = i }
+                }
+                i += 1
+              }
+              if (close < 0) throw new IllegalArgumentException(
+                s"unbalanced parentheses in $op0 $quant (subquery)")
+              val q = sql.substring(open + 1, close)
+              val lStart = valueExprBackward(sql, masked, m.start)
+              if (lStart < 0) throw new IllegalArgumentException(
+                s"could not determine the left operand of $op0 " +
+                  s"${m.group(2)} (subquery); parenthesize it — " +
+                  s"(expr) $op0 ${m.group(2)} (…)")
+              val x = sql.substring(lStart, m.start).trim
+              // ANY ≡ NOT (inverse-op ALL), exact under Kleene logic
+              val (allOp, negate) =
+                if (quant == "ANY") (op match {
+                  case "<>" => "="
+                  case "<" => ">="
+                  case "<=" => ">"
+                  case ">" => "<="
+                  case ">=" => "<"
+                }, true)
+                else (op, false)
+              val cntEmpty = s"(SELECT count(*) = 0 FROM ($q) __qt(__qv))"
+              val noNulls =
+                s"(SELECT count(*) = count(__qv) OR NULL FROM ($q) __qt(__qv))"
+              def agg(f: String) = s"(SELECT $f(__qv) FROM ($q) __qt(__qv))"
+              val test = allOp match {
+                case "=" => s"($x) = ${agg("min")} AND ($x) = ${agg("max")}"
+                case ">" | ">=" => s"($x) $allOp ${agg("max")}"
+                case "<" | "<=" => s"($x) $allOp ${agg("min")}"
+              }
+              val allForm = s"($test AND $noNulls OR $cntEmpty)"
+              val repl = if (negate) s"(NOT $allForm)" else allForm
+              sql = sql.substring(0, lStart) + repl + sql.substring(close + 1)
+              spliced = true
+            case ("<>", "ALL") =>
+              sql = sql.substring(0, m.start) + " NOT IN (" + sql.substring(m.end)
+              spliced = true
+            case other => throw new IllegalArgumentException(
+              s"unsupported quantified comparison: $other")
+          }
+        }
+      }
+      if (!spliced) return sql
+    }
+    sql
+  }
 
   // Trino's type grammar inside CAST/TRY_CAST targets, where it differs
   // from Spark's: bare `varchar` (Spark requires STRING or a length),
@@ -2459,8 +2663,9 @@ object TrinoFunctions {
   // literal, balanced paren group with its function-name chain, or an
   // identifier chain — exactly the tightest binding, matching Trino's
   // precedence), the RIGHT operand one primary walked FORWARD. INTERVAL
-  // zones are rejected with the string-offset workaround (the shim
-  // rides from_utc_timestamp, which takes zone STRINGS — '+08:00'
+  // zones (HOUR / MINUTE / HOUR TO MINUTE literals) are folded into the
+  // same '+hh:mm' offset-string path the string form rides (the shim
+  // uses from_utc_timestamp, which takes zone STRINGS — fixed offsets
   // included).
   private val atTimeZonePattern = java.util.regex.Pattern.compile(
     "(?i)\\bAT\\s+TIME\\s+ZONE\\b")
@@ -2499,10 +2704,69 @@ object TrinoFunctions {
           if (r >= n) throw new IllegalArgumentException(
             "AT TIME ZONE requires a zone expression")
           val rStart = r
-          if (sql.regionMatches(true, r, "INTERVAL", 0, 8))
-            throw new IllegalArgumentException(
-              "AT TIME ZONE INTERVAL '...' is not supported: write the " +
-                "offset as a zone string instead — AT TIME ZONE '+08:00'")
+          var zoneOverride: Option[String] = None
+          if (sql.regionMatches(true, r, "INTERVAL", 0, 8)) {
+            // INTERVAL '±h[:mm]' HOUR [TO MINUTE] | MINUTE → the same
+            // '+hh:mm' offset-string path the string-zone form rides
+            // (from_utc_timestamp takes zone strings; a fixed offset
+            // IS a zone string). Trino caps zone offsets at ±14:00.
+            var k = r + 8
+            while (k < n && sql(k).isWhitespace) k += 1
+            if (k >= n || sql(k) != '\'') throw new IllegalArgumentException(
+              "AT TIME ZONE INTERVAL requires a quoted interval literal")
+            val litStart = k + 1
+            k += 1
+            var closed = false
+            while (k < n && !closed) {
+              if (sql(k) == '\'' && !(k + 1 < n && sql(k + 1) == '\'')) closed = true
+              else k += 1
+            }
+            if (!closed) throw new IllegalArgumentException(
+              "unterminated interval literal after AT TIME ZONE")
+            val lit = sql.substring(litStart, k)
+            k += 1
+            // unit words: HOUR | MINUTE, optionally TO MINUTE
+            def word(from: Int): (String, Int) = {
+              var w = from
+              while (w < n && sql(w).isWhitespace) w += 1
+              val ws = w
+              while (w < n && (sql(w).isLetter)) w += 1
+              (sql.substring(ws, w).toUpperCase, w)
+            }
+            val (u1, k1) = word(k)
+            var unitEnd = k1
+            var toMinute = false
+            if (u1 != "HOUR" && u1 != "MINUTE")
+              throw new IllegalArgumentException(
+                s"AT TIME ZONE INTERVAL unit must be HOUR or MINUTE, got '$u1'")
+            if (u1 == "HOUR") {
+              val (u2, k2) = word(k1)
+              if (u2 == "TO") {
+                val (u3, k3) = word(k2)
+                if (u3 != "MINUTE") throw new IllegalArgumentException(
+                  "AT TIME ZONE INTERVAL: only HOUR TO MINUTE is supported")
+                toMinute = true
+                unitEnd = k3
+              }
+            }
+            val neg = lit.trim.startsWith("-")
+            val bare = lit.trim.stripPrefix("-").stripPrefix("+").trim
+            val minutes = try {
+              if (toMinute || bare.contains(":")) {
+                val Array(h, mn) = bare.split(":", 2)
+                h.trim.toInt * 60 + mn.trim.toInt
+              } else if (u1 == "HOUR") bare.toInt * 60
+              else bare.toInt
+            } catch { case _: Exception =>
+              throw new IllegalArgumentException(
+                s"AT TIME ZONE INTERVAL: cannot parse offset '$lit'")
+            }
+            if (minutes > 14 * 60) throw new IllegalArgumentException(
+              s"AT TIME ZONE INTERVAL: zone offset exceeds ±14:00 ('$lit')")
+            zoneOverride = Some("'%s%02d:%02d'".format(
+              if (neg) "-" else "+", minutes / 60, minutes % 60))
+            r = unitEnd
+          } else
           if (sql(r) == '\'') {
             r += 1
             var closed = false
@@ -2526,7 +2790,7 @@ object TrinoFunctions {
             if (r == rStart) throw new IllegalArgumentException(
               "AT TIME ZONE requires a zone expression")
           }
-          val zone = sql.substring(rStart, r)
+          val zone = zoneOverride.getOrElse(sql.substring(rStart, r))
           // ---- left operand (backward): literal | paren+name | chain
           var l = m.start
           while (l > 0 && sql(l - 1).isWhitespace) l -= 1
@@ -2590,11 +2854,12 @@ object TrinoFunctions {
   // lacks: `OFFSET n [ROW|ROWS]` and `FETCH {FIRST|NEXT} [n] {ROW|ROWS}
   // ONLY` → Spark's `LIMIT n [OFFSET m]`. Trino puts OFFSET before
   // FETCH; Spark wants LIMIT before OFFSET, so the combined form swaps.
-  // `WITH TIES` is rejected with guidance (it needs a rank() window —
-  // Spark has no native spelling). Counts must be literal integers
-  // (Trino's grammar allows only literals/parameters there too).
+  // `WITH TIES` (no native Spark spelling) rewrites to the ANSI-exact
+  // rank() form: rows whose rank under the query's ORDER BY is <= n.
+  // Counts must be literal integers (Trino's grammar allows only
+  // literals/parameters there too).
   private val fetchTiesPattern = java.util.regex.Pattern.compile(
-    "(?i)\\bFETCH\\s+(?:FIRST|NEXT)\\s+(?:\\d+\\s+)?ROWS?\\s+WITH\\s+TIES")
+    "(?i)\\bFETCH\\s+(?:FIRST|NEXT)\\s+(?:(\\d+)\\s+)?ROWS?\\s+WITH\\s+TIES")
   private val offsetFetchPattern = java.util.regex.Pattern.compile(
     "(?i)\\bOFFSET\\s+(\\d+)\\s*(?:ROWS?\\b)?" +
     "(\\s+FETCH\\s+(?:FIRST|NEXT)\\s+(\\d+\\s+)?ROWS?\\s+ONLY)?")
@@ -2604,18 +2869,105 @@ object TrinoFunctions {
   private val offsetLimitPattern = java.util.regex.Pattern.compile(
     "(?i)\\bOFFSET\\s+(\\d+)\\s*(?:ROWS?\\b)?\\s+LIMIT\\s+(\\d+)")
 
-  private def rewriteFetchFirst(sql: String): String = {
-    if (!sql.toUpperCase.contains("FETCH") && !sql.toUpperCase.contains("OFFSET"))
-      return sql
-    val masked = maskedRegions(sql)
-    val ties = fetchTiesPattern.matcher(sql)
-    while (ties.find()) {
-      if (!masked(ties.start))
-        throw new IllegalArgumentException(
-          "FETCH ... WITH TIES is not supported: Spark has no native " +
-            "tie-preserving limit. Rewrite with a window — " +
-            "WHERE rank() OVER (ORDER BY ...) <= n")
+  /** `… ORDER BY keys FETCH FIRST n ROWS WITH TIES` → the ANSI-exact
+    * rank() form over the SAME keys, one query block at a time:
+    *
+    *   SELECT * EXCEPT (__ties_rnk) FROM (
+    *     SELECT *, rank() OVER (ORDER BY keys) AS __ties_rnk
+    *     FROM (block-without-ORDER-BY/FETCH) __ties_in
+    *   ) __ties_w WHERE __ties_rnk <= n ORDER BY keys
+    *
+    * The block is bounded by the nearest enclosing unmatched '(' (or
+    * the statement start); its governing ORDER BY is the LAST depth-0
+    * one before FETCH. Ordinal keys and a preceding OFFSET are rejected
+    * loudly (the ordinal would silently become the constant n inside
+    * OVER; OFFSET-then-TIES needs the offset applied before the tie
+    * cut). Scale note (DIALECT.md): rank() without PARTITION BY is a
+    * single-partition window — same order-everything semantics the
+    * query's global ORDER BY already demands, but the tie filter can't
+    * early-stop like TakeOrderedAndProject; keep n-with-ties shaped
+    * queries off the 100 TB hot path or pre-filter the scan.
+    */
+  private def rewriteFetchTies(sql0: String): String = {
+    var sql = sql0
+    var guard = 0
+    while (guard < 64) {
+      guard += 1
+      val masked = maskedRegions(sql)
+      val m = fetchTiesPattern.matcher(sql)
+      var spliced = false
+      while (!spliced && m.find()) {
+        if (!masked(m.start)) {
+          val n = Option(m.group(1)).getOrElse("1")
+          val fs = m.start
+          // block start: nearest enclosing unmatched '(' going backward
+          var depth = 0
+          var i = fs - 1
+          var blockStart = 0
+          while (i >= 0 && blockStart == 0) {
+            if (!masked(i)) {
+              if (sql(i) == ')') depth += 1
+              else if (sql(i) == '(') {
+                if (depth == 0) blockStart = i + 1 else depth -= 1
+              }
+            }
+            i -= 1
+          }
+          // the governing ORDER BY: last depth-0 match inside the block
+          val obRe = java.util.regex.Pattern
+            .compile("(?i)\\bORDER\\s+BY\\b").matcher(sql)
+          obRe.region(blockStart, fs)
+          var obStart = -1
+          var obEnd = -1
+          var d2 = 0
+          var j = blockStart
+          // single forward walk tracking depth; check matches as we go
+          val obHits = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+          while (obRe.find()) if (!masked(obRe.start()))
+            obHits += ((obRe.start(), obRe.end()))
+          for ((hs, he) <- obHits) {
+            while (j < hs) {
+              if (!masked(j)) {
+                if (sql(j) == '(') d2 += 1
+                else if (sql(j) == ')') d2 -= 1
+              }
+              j += 1
+            }
+            if (d2 == 0) { obStart = hs; obEnd = he }
+          }
+          if (obStart < 0) throw new IllegalArgumentException(
+            "FETCH ... WITH TIES requires an ORDER BY in the same " +
+              "query block (ties are defined by the sort key)")
+          val keys = sql.substring(obEnd, fs).trim
+          if (keys.isEmpty) throw new IllegalArgumentException(
+            "FETCH ... WITH TIES: empty ORDER BY key list")
+          val kw = java.util.regex.Pattern
+            .compile("(?i)\\b(OFFSET|LIMIT)\\b").matcher(keys)
+          if (kw.find()) throw new IllegalArgumentException(
+            s"FETCH ... WITH TIES cannot be combined with ${kw.group(1)} " +
+              "here; apply the offset in an outer query")
+          if (keys.split(",").exists(_.trim.matches("(?i)\\d+(\\s+(ASC|DESC))?(\\s+NULLS\\s+(FIRST|LAST))?")))
+            throw new IllegalArgumentException(
+              "FETCH ... WITH TIES with ordinal ORDER BY keys is not " +
+                "supported; name the sort columns")
+          val inner = sql.substring(blockStart, obStart).trim
+          val repl =
+            s"SELECT * EXCEPT (__ties_rnk) FROM (SELECT *, rank() OVER " +
+              s"(ORDER BY $keys) AS __ties_rnk FROM ($inner) __ties_in) " +
+              s"__ties_w WHERE __ties_rnk <= $n ORDER BY $keys"
+          sql = sql.substring(0, blockStart) + repl + sql.substring(m.end)
+          spliced = true
+        }
+      }
+      if (!spliced) return sql
     }
+    sql
+  }
+
+  private def rewriteFetchFirst(sql0: String): String = {
+    if (!sql0.toUpperCase.contains("FETCH") && !sql0.toUpperCase.contains("OFFSET"))
+      return sql0
+    val sql = rewriteFetchTies(sql0)
     // pass 0: OFFSET n LIMIT m (Trino's order) → LIMIT m OFFSET n
     val sql1 = replaceUnmasked(sql, offsetLimitPattern) { m =>
       s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}"
@@ -3244,6 +3596,20 @@ object BinFuncs {
       }
       i += 1
     }
+    // Canonical-form checks (Trino rides Guava BaseEncoding, which is
+    // strict): total length must be a whole 8-char group, the padding
+    // count must be one Guava emits (0, 1, 3, 4 or 6 '='s), and any
+    // leftover bits below a byte boundary must be zero — 'AB======'
+    // with nonzero trailing bits is a distinct, non-canonical encoding.
+    if (str.length % 8 != 0) throw new IllegalArgumentException(
+      s"invalid base32 input length ${str.length} (must be a multiple of 8)")
+    val padCount = str.count(_ == '=')
+    if (!Set(0, 1, 3, 4, 6).contains(padCount))
+      throw new IllegalArgumentException(
+        s"invalid base32 padding: $padCount '=' characters")
+    if (bits > 0 && (buf & ((1L << bits) - 1)) != 0)
+      throw new IllegalArgumentException(
+        "invalid base32 input: non-zero trailing bits")
     out.toByteArray
   }
 
@@ -3283,7 +3649,13 @@ object BinFuncs {
     if (occurrence < 1) throw new IllegalArgumentException(
       "regexp_position: occurrence must be positive")
     val str = s.toString
-    if (start - 1 > str.length) return -1
+    // Trino counts positions in CODE POINTS; java.util.regex works in
+    // UTF-16 units. Map `start` in, and the match offset back out — a
+    // supplementary character before the match costs 2 UTF-16 units
+    // but only 1 Trino position.
+    val cpLen = str.codePointCount(0, str.length)
+    if (start - 1 > cpLen) return -1
+    val startUtf16 = str.offsetByCodePoints(0, start - 1)
     val key = p.toString
     var pat = rePosCache.get(key)
     if (pat == null) {
@@ -3291,13 +3663,13 @@ object BinFuncs {
       if (rePosCache.size < 1024) rePosCache.put(key, pat)
     }
     val m = pat.matcher(str)
-    if (!m.find(start - 1)) return -1
+    if (!m.find(startUtf16)) return -1
     var found = 1
     while (found < occurrence) {
       if (!m.find()) return -1 // find() self-advances past empty matches
       found += 1
     }
-    m.start + 1
+    str.codePointCount(0, m.start) + 1
   }
 
   def hmac(data: Array[Byte], key: Array[Byte], algo: UTF8String): Array[Byte] = {

@@ -67,6 +67,21 @@ object Relational {
           |GROUP BY c_mktsegment
           |ORDER BY c_mktsegment""".stripMargin))),
 
+    // MIXED-direction array_agg ORDER BY through the comparator-lambda
+    // face of the rewrite (ASC key, then DESC keys; c_custkey makes the
+    // order total so the joined string is deterministic).
+    "agg_array_mixed_order" -> ((s, d) =>
+      graft.engine.Tables.sql(s, d, graft.dialect.TrinoFunctions.preprocess(
+        """SELECT c_mktsegment,
+          |  array_join(array_agg(c_name ORDER BY c_nationkey ASC,
+          |                                       c_acctbal DESC,
+          |                                       c_custkey DESC),
+          |             ',') AS names
+          |FROM customer
+          |WHERE c_custkey <= 300
+          |GROUP BY c_mktsegment
+          |ORDER BY c_mktsegment""".stripMargin))),
+
     // ANSI row-limiting through the dialect rewrite
     // (TrinoFunctions.rewriteFetchFirst → LIMIT/OFFSET): DuckDB parses
     // the IDENTICAL OFFSET…FETCH text natively, so the oracle is the
@@ -77,6 +92,18 @@ object Relational {
           |FROM orders
           |ORDER BY o_orderkey
           |OFFSET 20 ROWS FETCH NEXT 50 ROWS ONLY""".stripMargin))),
+
+    // FETCH ... WITH TIES through the dialect rewrite (rank() over the
+    // same keys). The projected columns ARE the sort keys, so the
+    // result is deterministic even within the tie group at the cutoff
+    // (rows there are identical). DuckDB parses WITH TIES natively —
+    // the oracle is the same statement verbatim.
+    "limit_fetch_ties" -> ((s, d) =>
+      graft.engine.Tables.sql(s, d, graft.dialect.TrinoFunctions.preprocess(
+        """SELECT l_quantity, l_linenumber
+          |FROM lineitem
+          |ORDER BY l_quantity, l_linenumber
+          |FETCH FIRST 100 ROWS WITH TIES""".stripMargin))),
 
     // 5. top-k — Catalyst plans TakeOrderedAndProject (no full sort).
     "topk_orderby_limit" -> ((s, d) =>
@@ -486,9 +513,28 @@ object Relational {
         |ORDER BY o_orderkey
         |OFFSET 20 ROWS FETCH NEXT 50 ROWS ONLY""".stripMargin,
 
+    "limit_fetch_ties" ->
+      """SELECT l_quantity, l_linenumber FROM (
+        |  SELECT l_quantity, l_linenumber,
+        |         rank() OVER (ORDER BY l_quantity, l_linenumber) AS r
+        |  FROM lineitem
+        |) t WHERE r <= 100
+        |ORDER BY l_quantity, l_linenumber""".stripMargin,
+
     "agg_array_ordered" ->
       """SELECT c_mktsegment,
         |  array_to_string(array_agg(c_name ORDER BY c_acctbal DESC, c_custkey DESC),
+        |                  ',') AS names
+        |FROM customer
+        |WHERE c_custkey <= 300
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "agg_array_mixed_order" ->
+      """SELECT c_mktsegment,
+        |  array_to_string(array_agg(c_name ORDER BY c_nationkey ASC,
+        |                                            c_acctbal DESC,
+        |                                            c_custkey DESC),
         |                  ',') AS names
         |FROM customer
         |WHERE c_custkey <= 300

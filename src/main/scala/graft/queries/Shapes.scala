@@ -79,7 +79,38 @@ object Shapes {
       """SELECT t.id, t.name, n.n_name
         |FROM (VALUES (0, 'zero'), (1, 'one'), (2, 'two')) AS t(id, name)
         |JOIN nation n ON n.n_nationkey = t.id
-        |ORDER BY t.id""".stripMargin))
+        |ORDER BY t.id""".stripMargin)),
+
+    // 44b. quantified subquery comparisons through the dialect rewrite
+    // (TrinoFunctions.rewriteQuantified → exact 3VL min/max scalar
+    // composition). Columns cover: ordered ALL/ANY over a nonempty set,
+    // the vacuous empty set (ALL → TRUE, ANY → FALSE, even with a NULL
+    // left operand), a NULL inside the subquery (TRUE demoted to
+    // UNKNOWN, FALSE preserved), an arithmetic left operand, = ALL
+    // with correlation, and <> ANY. DuckDB parses the quantifiers
+    // natively with ANSI semantics — a direct oracle.
+    "quantified_cmp" -> ((s, d) =>
+      Tables.sql(s, d, graft.dialect.TrinoFunctions.preprocess(
+        """SELECT n_nationkey,
+          |  n_nationkey > ALL (SELECT r_regionkey FROM region) AS gt_all,
+          |  n_nationkey >= ALL (SELECT r_regionkey FROM region) AS ge_all,
+          |  n_nationkey < ALL (SELECT r_regionkey FROM region
+          |                     WHERE r_regionkey > 99) AS lt_all_empty,
+          |  n_nationkey < ANY (SELECT r_regionkey FROM region
+          |                     WHERE r_regionkey > 99) AS lt_any_empty,
+          |  n_nationkey < ANY (SELECT r_regionkey FROM region) AS lt_any,
+          |  n_nationkey + 1 > ANY (SELECT r_regionkey FROM region) AS arith_gt_any,
+          |  n_nationkey <= ALL (SELECT CASE WHEN r_regionkey = 4 THEN NULL
+          |                                  ELSE r_regionkey END
+          |                      FROM region) AS le_all_nulls,
+          |  n_nationkey = ALL (SELECT r_regionkey FROM region
+          |                     WHERE r_regionkey <= n_nationkey) AS eq_all_corr,
+          |  n_nationkey <> ANY (SELECT r_regionkey FROM region) AS ne_any,
+          |  (CASE WHEN n_nationkey >= 20 THEN NULL
+          |        ELSE n_nationkey END) >= ALL
+          |    (SELECT r_regionkey FROM region) AS null_x_ge_all
+          |FROM nation
+          |ORDER BY n_nationkey""".stripMargin)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -141,6 +172,28 @@ object Shapes {
       """SELECT t.id, t.name, n.n_name
         |FROM (VALUES (0, 'zero'), (1, 'one'), (2, 'two')) AS t(id, name)
         |JOIN nation n ON n.n_nationkey = t.id
-        |ORDER BY t.id""".stripMargin
+        |ORDER BY t.id""".stripMargin,
+
+    "quantified_cmp" ->
+      """SELECT n_nationkey,
+        |  n_nationkey > ALL (SELECT r_regionkey FROM region) AS gt_all,
+        |  n_nationkey >= ALL (SELECT r_regionkey FROM region) AS ge_all,
+        |  n_nationkey < ALL (SELECT r_regionkey FROM region
+        |                     WHERE r_regionkey > 99) AS lt_all_empty,
+        |  n_nationkey < ANY (SELECT r_regionkey FROM region
+        |                     WHERE r_regionkey > 99) AS lt_any_empty,
+        |  n_nationkey < ANY (SELECT r_regionkey FROM region) AS lt_any,
+        |  n_nationkey + 1 > ANY (SELECT r_regionkey FROM region) AS arith_gt_any,
+        |  n_nationkey <= ALL (SELECT CASE WHEN r_regionkey = 4 THEN NULL
+        |                                  ELSE r_regionkey END
+        |                      FROM region) AS le_all_nulls,
+        |  n_nationkey = ALL (SELECT r_regionkey FROM region
+        |                     WHERE r_regionkey <= n_nationkey) AS eq_all_corr,
+        |  n_nationkey <> ANY (SELECT r_regionkey FROM region) AS ne_any,
+        |  (CASE WHEN n_nationkey >= 20 THEN NULL
+        |        ELSE n_nationkey END) >= ALL
+        |    (SELECT r_regionkey FROM region) AS null_x_ge_all
+        |FROM nation
+        |ORDER BY n_nationkey""".stripMargin
   )
 }

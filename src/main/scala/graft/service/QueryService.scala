@@ -513,7 +513,19 @@ class QueryService(engine: Engine) {
   private val actingUser = new ThreadLocal[String] { override def initialValue = "" }
 
   private def clip(e: Throwable): String = {
-    val m = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+    val m0 = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+    // UNNEST(array_of_2_field_rows) AS t(a, b) is textually ambiguous
+    // with UNNEST(map) — the dialect routes 2 aliases to explode(),
+    // which then fails analysis on a row array. Name the workaround
+    // (the rewrite itself cannot see types; DIALECT.md documents this).
+    val m =
+      if (m0.contains("NUM_COLUMNS_MISMATCH") ||
+          (m0.contains("number of aliases") && m0.contains("explode")))
+        m0 + " — if this is UNNEST of an ARRAY(ROW(a, b)) with two " +
+          "aliases, the dialect assumed a map (same textual shape); " +
+          "select the row fields instead: CROSS JOIN UNNEST(x) AS t(r) " +
+          "then r.a, r.b, or add a third dummy field to the row"
+      else m0
     if (m.length > 800) m.take(800) + "…" else m
   }
 }

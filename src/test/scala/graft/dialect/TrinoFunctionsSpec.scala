@@ -1273,16 +1273,39 @@ class TrinoFunctionsSpec extends SparkSpec {
     assert(arr("""SELECT array_agg(x ORDER BY k NULLS FIRST) FROM (VALUES
                  |  (1, 10), (2, CAST(NULL AS INT)), (3, 5)) t(x, k)""".stripMargin)
       == Seq(2, 3, 1))
-    // DISTINCT + ORDER BY and mixed directions reject with workarounds
+    // DISTINCT + ORDER BY rejects with a workaround
     val e1 = qs.execute(
       "SELECT array_agg(DISTINCT n_name ORDER BY n_name) FROM nation")
     assert(e1.isLeft && e1.left.exists(_.contains("collect_set")))
-    val e2 = qs.execute(
-      "SELECT array_agg(n_name ORDER BY n_regionkey ASC, n_name DESC) FROM nation")
-    assert(e2.isLeft && e2.left.exists(_.contains("MIXED")))
+    // MIXED directions ride array_sort's comparator lambda; the
+    // expectation is derived from plain ordered queries, not pinned
+    def col(sql: String): Seq[Any] =
+      qs.execute(sql).fold(e => fail(s"$sql -> $e"), _.rows.map(_.head))
+    def regionKeysDesc(r: Int): Seq[Any] = col(
+      s"SELECT n_nationkey FROM nation WHERE n_regionkey = $r ORDER BY n_nationkey DESC")
+    val mixed = one(
+      """SELECT array_agg(n_nationkey ORDER BY n_regionkey ASC, n_nationkey DESC)
+        |FROM nation WHERE n_regionkey <= 1""".stripMargin)
+      .asInstanceOf[scala.collection.Seq[_]].toSeq
+    assert(mixed == regionKeysDesc(0) ++ regionKeysDesc(1))
+    // a sort key whose NAME ends in desc is a key, not key+direction
+    val aliased = one(
+      """SELECT array_agg(k ORDER BY total_desc)
+        |FROM (SELECT n_nationkey AS k, -n_nationkey AS total_desc
+        |      FROM nation WHERE n_nationkey < 3) t""".stripMargin)
+      .asInstanceOf[scala.collection.Seq[_]].toSeq
+    assert(aliased == Seq(2L, 1L, 0L))
+    // mixed directions with NULL keys: explicit NULLS placement honored
+    // (NULL region — was 0 — first, keys desc within, then region 1 desc)
+    val mixedNulls = one(
+      """SELECT array_agg(n_nationkey ORDER BY nullif(n_regionkey, 0) ASC NULLS FIRST,
+        |                 n_nationkey DESC)
+        |FROM nation WHERE n_regionkey <= 1""".stripMargin)
+      .asInstanceOf[scala.collection.Seq[_]].toSeq
+    assert(mixedNulls == regionKeysDesc(0) ++ regionKeysDesc(1))
   }
 
-  test("quantified comparisons: = ANY -> IN, <> ALL -> NOT IN, rest rejected") {
+  test("quantified comparisons: = ANY -> IN, <> ALL -> NOT IN") {
     assert(one("""SELECT count(*) FROM nation
                  |WHERE n_regionkey = ANY (SELECT r_regionkey FROM region
                  |                         WHERE r_name = 'ASIA')""".stripMargin)
@@ -1294,14 +1317,60 @@ class TrinoFunctionsSpec extends SparkSpec {
     assert(one("""SELECT count(*) FROM nation
                  |WHERE n_regionkey = SOME (SELECT r_regionkey FROM region)""".stripMargin)
       == 25L)
-    // ordered / other combinations reject with the aggregate workaround
-    val e = qs.execute(
-      "SELECT n_nationkey > ANY (SELECT r_regionkey FROM region) FROM nation")
-    assert(e.isLeft && e.left.exists(_.contains("min")))
     // Spark's any() boolean aggregate keeps working (expression arg)
     assert(one("SELECT any(n_regionkey = 2) FROM nation") == true)
     // literals are data
     assert(one("SELECT 'x = ANY (SELECT 1)'") == "x = ANY (SELECT 1)")
+  }
+
+  test("quantified comparisons: ordered and ALL forms are exact 3VL") {
+    // region keys are {0,1,2,3,4}
+    // ordered ALL over a nonempty set
+    assert(one("SELECT 24 > ALL (SELECT r_regionkey FROM region)") == true)
+    assert(one("SELECT 4 > ALL (SELECT r_regionkey FROM region)") == false)
+    assert(one("SELECT 4 >= ALL (SELECT r_regionkey FROM region)") == true)
+    assert(one("SELECT 0 <= ALL (SELECT r_regionkey FROM region)") == true)
+    assert(one("SELECT 1 <= ALL (SELECT r_regionkey FROM region)") == false)
+    // ordered ANY
+    assert(one("SELECT 1 > ANY (SELECT r_regionkey FROM region)") == true)
+    assert(one("SELECT 0 > ANY (SELECT r_regionkey FROM region)") == false)
+    assert(one("SELECT 3 < ANY (SELECT r_regionkey FROM region)") == true)
+    // the empty set: ALL vacuously TRUE, ANY FALSE — even for NULL X
+    assert(one("SELECT NULL > ALL (SELECT r_regionkey FROM region WHERE r_regionkey > 99)") == true)
+    assert(one("SELECT NULL < ANY (SELECT r_regionkey FROM region WHERE r_regionkey > 99)") == false)
+    assert(one("SELECT 2 = ALL (SELECT r_regionkey FROM region WHERE r_regionkey > 99)") == true)
+    assert(one("SELECT 2 <> ANY (SELECT r_regionkey FROM region WHERE r_regionkey > 99)") == false)
+    // a NULL inside the subquery demotes TRUE to UNKNOWN, preserves FALSE
+    val nullsQ = "(SELECT CASE WHEN r_regionkey = 4 THEN NULL ELSE r_regionkey END FROM region)"
+    assert(one(s"SELECT 24 > ALL $nullsQ") == null)
+    assert(one(s"SELECT 2 > ALL $nullsQ") == false)
+    assert(one(s"SELECT 0 > ANY $nullsQ") == null)
+    assert(one(s"SELECT 1 > ANY $nullsQ") == true)
+    // NULL left operand over a nonempty set is UNKNOWN
+    assert(one("SELECT NULL > ALL (SELECT r_regionkey FROM region)") == null)
+    // = ALL and <> ANY
+    assert(one("SELECT 3 = ALL (SELECT r_regionkey FROM region WHERE r_regionkey = 3)") == true)
+    assert(one("SELECT 3 = ALL (SELECT r_regionkey FROM region)") == false)
+    assert(one("SELECT 3 <> ANY (SELECT r_regionkey FROM region)") == true)
+    assert(one("SELECT 3 <> ANY (SELECT r_regionkey FROM region WHERE r_regionkey = 3)") == false)
+    // arithmetic and parenthesized left operands (the backward walker)
+    assert(one("SELECT 20 + 4 >= ALL (SELECT r_regionkey FROM region)") == true)
+    assert(one("SELECT 2 * 3 > ALL (SELECT r_regionkey FROM region)") == true)
+    assert(one("SELECT (CASE WHEN 1 = 1 THEN 5 END) > ALL (SELECT r_regionkey FROM region)") == true)
+    assert(one("SELECT abs(-24) > ALL (SELECT r_regionkey FROM region)") == true)
+    // in WHERE position
+    assert(one("""SELECT count(*) FROM nation
+                 |WHERE n_nationkey >= ALL (SELECT n_nationkey FROM nation)""".stripMargin) == 1L)
+    assert(one("""SELECT count(*) FROM nation
+                 |WHERE n_nationkey < ALL (SELECT r_regionkey FROM region)""".stripMargin) == 0L)
+    // correlated subquery
+    assert(one("""SELECT count(*) FROM nation
+                 |WHERE n_nationkey = ALL (SELECT r_regionkey FROM region
+                 |                         WHERE r_regionkey <= n_nationkey)""".stripMargin) == 1L)
+    // an unboundable left operand (bare CASE … END) rejects with a hint
+    val e = qs.execute(
+      "SELECT CASE WHEN 1 = 1 THEN 5 END > ALL (SELECT r_regionkey FROM region)")
+    assert(e.isLeft && e.left.exists(_.contains("parenthesize")))
   }
 
   test("map_keys_by_top_n_values: keys of the n largest values") {
@@ -1395,10 +1464,26 @@ class TrinoFunctionsSpec extends SparkSpec {
     assert(one("""SELECT count(*) FROM orders
                  |WHERE o_orderdate AT TIME ZONE 'UTC' = o_orderdate""".stripMargin)
       .asInstanceOf[Long] > 0)
-    // INTERVAL zones are rejected with the string-offset workaround
+    // INTERVAL zones fold into the same fixed-offset path
+    assert(one("""SELECT CAST(TIMESTAMP '2001-08-22 03:04:05'
+                 |  AT TIME ZONE INTERVAL '8' HOUR AS STRING)""".stripMargin)
+      == one("""SELECT CAST(TIMESTAMP '2001-08-22 03:04:05'
+               |  AT TIME ZONE '+08:00' AS STRING)""".stripMargin))
+    assert(one("""SELECT CAST(TIMESTAMP '2001-08-22 03:04:05'
+                 |  AT TIME ZONE INTERVAL '-30' MINUTE AS STRING)""".stripMargin)
+      == one("""SELECT CAST(TIMESTAMP '2001-08-22 03:04:05'
+               |  AT TIME ZONE '-00:30' AS STRING)""".stripMargin))
+    assert(one("""SELECT CAST(TIMESTAMP '2001-08-22 03:04:05'
+                 |  AT TIME ZONE INTERVAL '05:45' HOUR TO MINUTE AS STRING)""".stripMargin)
+      == one("""SELECT CAST(TIMESTAMP '2001-08-22 03:04:05'
+               |  AT TIME ZONE '+05:45' AS STRING)""".stripMargin))
+    // out-of-range and unparseable offsets reject loudly
     val e = qs.execute(
-      "SELECT TIMESTAMP '2001-08-22 03:04:05' AT TIME ZONE INTERVAL '8' HOUR")
-    assert(e.isLeft && e.left.exists(_.contains("+08:00")))
+      "SELECT TIMESTAMP '2001-08-22 03:04:05' AT TIME ZONE INTERVAL '15' HOUR")
+    assert(e.isLeft && e.left.exists(_.contains("14:00")))
+    val e2 = qs.execute(
+      "SELECT TIMESTAMP '2001-08-22 03:04:05' AT TIME ZONE INTERVAL '8' DAY")
+    assert(e2.isLeft && e2.left.exists(_.contains("HOUR or MINUTE")))
     // inside a literal it is data
     assert(one("SELECT 'x AT TIME ZONE y'") == "x AT TIME ZONE y")
   }
@@ -1417,13 +1502,40 @@ class TrinoFunctionsSpec extends SparkSpec {
       == Seq(23L, 24L))
     assert(keys("SELECT n_nationkey FROM nation ORDER BY n_nationkey OFFSET 23 ROWS")
       == Seq(23L, 24L))
-    // WITH TIES is rejected with the window workaround, never misread
-    val e = qs.execute(
-      "SELECT n_nationkey FROM nation ORDER BY n_regionkey FETCH FIRST 5 ROWS WITH TIES")
-    assert(e.isLeft && e.left.exists(_.contains("rank()")))
     // the keywords inside a literal are data
     assert(one("SELECT 'OFFSET 2 ROWS FETCH FIRST 3 ROWS ONLY'")
       == "OFFSET 2 ROWS FETCH FIRST 3 ROWS ONLY")
+  }
+
+  test("FETCH FIRST n ROWS WITH TIES keeps the whole tie group") {
+    def rows(sql: String): Seq[Seq[Any]] =
+      qs.execute(sql).fold(e => fail(s"$sql -> $e"), _.rows.map(_.toSeq))
+    // 5 nations per region: FETCH FIRST 1 WITH TIES on region key 0
+    // returns all 5 of them
+    val r = rows("SELECT n_regionkey FROM nation ORDER BY n_regionkey FETCH FIRST 1 ROWS WITH TIES")
+    assert(r.size == 5 && r.forall(_ == Seq(0L)))
+    // cutoff inside a group: first 7 by region key → regions 0 and all
+    // of 1 (10 rows)
+    val r2 = rows("SELECT n_regionkey FROM nation ORDER BY n_regionkey FETCH FIRST 7 ROWS WITH TIES")
+    assert(r2.size == 10 && r2.map(_.head).toSet == Set(0L, 1L))
+    // no ties at the cutoff → plain limit; DESC keys honored
+    val r3 = rows("SELECT n_nationkey FROM nation ORDER BY n_nationkey DESC FETCH FIRST 2 ROWS WITH TIES")
+    assert(r3.map(_.head) == Seq(24L, 23L))
+    // count defaults to 1; works in a subquery block
+    val r4 = rows("""SELECT count(*) FROM (
+                    |  SELECT n_regionkey FROM nation ORDER BY n_regionkey FETCH FIRST ROW WITH TIES
+                    |) t""".stripMargin)
+    assert(r4 == Seq(Seq(5L)))
+    // rejects: no ORDER BY, ordinal keys, OFFSET combo
+    val e1 = qs.execute("SELECT n_nationkey FROM nation FETCH FIRST 5 ROWS WITH TIES")
+    assert(e1.isLeft && e1.left.exists(_.contains("ORDER BY")))
+    val e2 = qs.execute("SELECT n_nationkey FROM nation ORDER BY 1 FETCH FIRST 5 ROWS WITH TIES")
+    assert(e2.isLeft && e2.left.exists(_.contains("ordinal")))
+    val e3 = qs.execute(
+      "SELECT n_nationkey FROM nation ORDER BY n_nationkey OFFSET 2 ROWS FETCH FIRST 5 ROWS WITH TIES")
+    assert(e3.isLeft && e3.left.exists(_.contains("OFFSET")))
+    // inside a literal it is data
+    assert(one("SELECT 'FETCH FIRST 5 ROWS WITH TIES'") == "FETCH FIRST 5 ROWS WITH TIES")
   }
 
   test("string literals have Trino semantics: backslash is ordinary, '' escapes") {

@@ -142,7 +142,14 @@ class PlanAuditSpec extends SparkSpec {
       // grouping-sets queries carry EmptyGroupingSetsRule's guard
       // branch: a BNLJ of two SINGLE-ROW aggregates (the synthetic ()
       // row × the emptiness count) — constant-size at any corpus scale
-      "agg_rollup", "agg_cube", "agg_grouping_sets")
+      "agg_rollup", "agg_cube", "agg_grouping_sets",
+      // quantified_cmp's eq_all_corr column correlates the subquery on
+      // a NON-EQUI predicate (r_regionkey <= n_nationkey) — Catalyst
+      // decorrelates it as a BNLJ against the 5-row region aggregate.
+      // The nested loop IS the semantics of a non-equi correlated
+      // quantifier (Trino plans the same shape); uncorrelated
+      // quantifiers stay scalar subqueries (no join at all)
+      "quantified_cmp")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p =
         try plan(name)
