@@ -34,7 +34,10 @@ fi
 # vacuously — fail loudly instead.
 if cmp -s /tmp/bench_check_ref.json "$REF"; then
   echo "FAIL: Bench did not record a new profile (off-reference config?" \
-       "check SPARK_GRAFT_CPUS/REPS/SF_DIR/INITIAL_PARTITIONS) — nothing was gated"
+       "check SPARK_GRAFT_CPUS/REPS/SF_DIR/INITIAL_PARTITIONS — or the" \
+       "host was loaded at start: Bench refuses to refresh above" \
+       "SPARK_GRAFT_MAX_LOAD, see its stderr note) — nothing was gated"
+  grep -h "NOT refreshing" /tmp/bench_check.log || true
   exit 1
 fi
 

@@ -80,7 +80,9 @@ import org.apache.spark.sql.types._
   * evaluated by Catalyst as boolean projections BEFORE the scan (full
   * codegen; the scan consumes pre-computed flags) — the matcher itself
   * never evaluates SQL. Memory bound: one partition-key GROUP is
-  * buffered at a time (the same bound Trino's operator has).
+  * buffered at a time (the same bound Trino's operator has), capped by
+  * `spark.graft.matchRecognize.maxGroupRows` (default 10M; a skewed
+  * hot key fails with a message naming the key instead of an OOM).
   *
   * Output (ONE ROW PER MATCH): partition columns + measures, ordered
   * within the engine by nothing (compose ORDER BY outside, as in
@@ -902,10 +904,18 @@ object MatchRecognize {
         v -> resolved
       }.toMap
     val omitEmpty = spec.omitEmpty
+    // Skew insurance at 100 TB: the operator buffers ONE partition-key
+    // group in memory (Trino's operator has the identical bound), so a
+    // pathologically hot key (one user with 10^8 events) would pressure
+    // a single executor. Cap it with a clear, key-naming error instead
+    // of an opaque OOM; the knob is read at PLAN time.
+    val maxGroupRows = arranged.sparkSession.conf
+      .get("spark.graft.matchRecognize.maxGroupRows", "10000000").toInt
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     arranged.mapPartitions { it =>
       new MatchIterator(it, partIdx, keyIdx, flagIdx, pattern, measureIdx,
-        skip, allRows, withUnmatched, subsetMap, crossPreds, omitEmpty)
+        skip, allRows, withUnmatched, subsetMap, crossPreds, omitEmpty,
+        maxGroupRows)
     }(enc)
   }
 
@@ -1126,7 +1136,7 @@ object MatchRecognize {
       allRows: Boolean, withUnmatched: Boolean = false,
       subsets: Map[String, Seq[String]] = Map.empty,
       crossPreds: Map[String, MrPredicate.Node] = Map.empty,
-      omitEmpty: Boolean = false)
+      omitEmpty: Boolean = false, maxGroupRows: Int = Int.MaxValue)
       extends Iterator[Row] {
 
     /** Real variables a measure/skip target stands for: a subset name
@@ -1146,8 +1156,18 @@ object MatchRecognize {
       val g = scala.collection.mutable.ArrayBuffer.empty[Row]
       if (!buf.hasNext) return Array.empty
       val key = groupKey(buf.head)
-      while (buf.hasNext && groupKey(buf.head) == key)
+      while (buf.hasNext && groupKey(buf.head) == key) {
         g += buf.next()
+        if (g.length > maxGroupRows)
+          throw new IllegalStateException(
+            "MATCH_RECOGNIZE partition-key group " +
+              key.mkString("(", ", ", ")") +
+              s" exceeds spark.graft.matchRecognize.maxGroupRows " +
+              s"($maxGroupRows): the operator buffers one group per " +
+              "executor (Trino's bound is identical) — raise the knob, " +
+              "reduce the hot key's rows with a pre-filter, or add a " +
+              "coarser time bucket to PARTITION BY")
+      }
       g.toArray
     }
 

@@ -473,7 +473,9 @@ object Streams {
     * (`MatchRecognize.matchFlags` — the batch and streaming faces
     * share the matcher), restricted to the streaming-meaningful form:
     * `PARTITION BY user_id ORDER BY ts[, event_id]`, ONE ROW PER
-    * MATCH, SKIP PAST LAST ROW, DEFINE without PREV (lag needs a
+    * MATCH, SKIP PAST LAST ROW or SKIP TO NEXT ROW (the packing idiom;
+    * resumes at start+1 — an emitted start is final either way, so the
+    * retention rule is unchanged), DEFINE without PREV (lag needs a
     * window — carry a previous-value column upstream if needed).
     *
     * `horizonSeconds` is the CEP `within` contract (Flink's
@@ -511,8 +513,15 @@ object Streams {
       "matchRecognizeStream: descending ORDER BY is not available over " +
         "a stream (event time only moves forward)")
     require(!spec.allRows &&
-      spec.skip == graft.dialect.MatchRecognize.SkipPastLast,
-      "matchRecognizeStream: ONE ROW PER MATCH + SKIP PAST LAST ROW only")
+      (spec.skip == graft.dialect.MatchRecognize.SkipPastLast ||
+        spec.skip == graft.dialect.MatchRecognize.SkipToNext),
+      "matchRecognizeStream: ONE ROW PER MATCH with SKIP PAST LAST ROW " +
+        "or SKIP TO NEXT ROW only")
+    // SKIP TO NEXT ROW resumes at start+1 (overlap allowed): an emitted
+    // start is final either way, so the buffer-retention rule (drop
+    // rows before the first undecided start) is unchanged — later
+    // matches only extend FORWARD from their own start row.
+    val skipToNext = spec.skip == graft.dialect.MatchRecognize.SkipToNext
     require(!spec.defines.exists(d => d._2.toUpperCase.contains("PREV") ||
         d._2.toUpperCase.contains("NEXT")),
       "matchRecognizeStream: PREV/NEXT are not available over a stream")
@@ -599,7 +608,7 @@ object Streams {
               new Timestamp(buf(m._1 - 1).tsMillis),
               (m._1 - i).toLong, matchNo)
             matchNo += 1
-            i = m._1
+            i = if (skipToNext) i + 1 else m._1
           } else if (decided) i += 1 // final non-match: this start is dead
           else pending = i           // boundary-dependent: defer
         }
@@ -683,8 +692,12 @@ object Streams {
       "matchRecognizeRows: descending ORDER BY is not available over " +
         "a stream (event time only moves forward)")
     require(!spec.allRows &&
-      spec.skip == MatchRecognize.SkipPastLast,
-      "matchRecognizeRows: ONE ROW PER MATCH + SKIP PAST LAST ROW only")
+      (spec.skip == MatchRecognize.SkipPastLast ||
+        spec.skip == MatchRecognize.SkipToNext),
+      "matchRecognizeRows: ONE ROW PER MATCH with SKIP PAST LAST ROW " +
+        "or SKIP TO NEXT ROW only")
+    // see matchRecognizeStream: resume at start+1, retention unchanged
+    val skipToNext = spec.skip == MatchRecognize.SkipToNext
     require(!spec.hasAnchor && !spec.hasExclusion,
       "matchRecognizeRows: ^/$ anchors and {- -} exclusions are not " +
         "available over a stream (no partition end exists)")
@@ -801,7 +814,7 @@ object Streams {
             out += org.apache.spark.sql.Row.fromSeq(
               java.lang.Long.valueOf(user) +: mvals.toIndexedSeq)
             matchNo += 1
-            i = m._1
+            i = if (skipToNext) i + 1 else m._1
           } else if (decided) i += 1
           else pending = i
         }

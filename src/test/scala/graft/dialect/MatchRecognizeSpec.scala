@@ -1513,4 +1513,24 @@ class MatchRecognizeSpec extends SparkSpec {
         |DEFINE B AS price > 0""".stripMargin)
       .contains("not a pattern variable"))
   }
+
+  test("skewed hot key trips the per-group row cap with a named key") {
+    // uid=7 holds 50 rows; cap at 10 — the error must name the key and
+    // the knob instead of buffering toward an OOM
+    val df = funnel((1L to 50L).map(i => (7L, i, "view")) :+ ((8L, 1L, "view")))
+    spark.conf.set("spark.graft.matchRecognize.maxGroupRows", "10")
+    try {
+      val e = intercept[org.apache.spark.SparkException] {
+        MatchRecognize.run(df, parseClause(funnelClause)).collect()
+      }
+      val msg = e.getCause match {
+        case null => e.getMessage
+        case c => c.getMessage
+      }
+      assert(msg.contains("maxGroupRows"), msg)
+      assert(msg.contains("(7)"), msg)
+    } finally spark.conf.unset("spark.graft.matchRecognize.maxGroupRows")
+    // under the default cap the same input runs fine (no matches: no B)
+    assert(MatchRecognize.run(df, parseClause(funnelClause)).count() == 0)
+  }
 }

@@ -782,6 +782,48 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("matchRecognizeRows: SKIP TO NEXT ROW packs overlapping windows, equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // the packing idiom with overlap: a budgeted run STARTS AT EVERY
+    // ROW (SKIP TO NEXT ROW resumes at start+1, not past the match)
+    val mr = Seq(
+      Event(1, ts(0), 1, "e", 10.0), Event(2, ts(1), 1, "e", 12.0),
+      Event(3, ts(2), 1, "e", 5.0), Event(4, ts(3), 1, "e", 20.0),
+      Event(5, ts(4), 1, "e", 4.0))
+    val clause =
+      """PARTITION BY user_id ORDER BY ts, event_id
+        |MEASURES FIRST(A.ts) AS start_ts, COUNT(*) AS n, SUM(A.value) AS total
+        |AFTER MATCH SKIP TO NEXT ROW
+        |PATTERN (A+)
+        |DEFINE A AS SUM(A.value) <= 25""".stripMargin
+    val flush = Seq(Event(100, ts(90), 99, "noop", 0.0),
+      Event(101, ts(95), 99, "noop", 0.0))
+    val mem = MemoryStream[Event]
+    val q = Streams.matchRecognizeRows(mem.toDS(), clause,
+        horizonSeconds = 1800L, watermark = "10 seconds")
+      .writeStream.format("memory").queryName("mr_rows_skipnext")
+      .outputMode("append").start()
+    try {
+      // split across micro-batches so overlap survives state handoff
+      mem.addData(mr.take(2): _*); q.processAllAvailable()
+      mem.addData(mr.drop(2): _*); q.processAllAvailable()
+      flush.foreach { e => mem.addData(e); q.processAllAvailable() }
+      val streaming = spark.table("mr_rows_skipnext")
+        .filter(col("user_id") === 1L)
+        .orderBy("start_ts").collect()
+        .map(r => (r.getLong(2), r.getDouble(3))).toSeq
+      // greedy from every start: [10,12] [12,5] [5,20] [20,4] [4]
+      assert(streaming ==
+        Seq((2L, 22.0), (2L, 17.0), (2L, 25.0), (2L, 24.0), (1L, 4.0)))
+      val batch = graft.dialect.MatchRecognize.run((mr ++ flush).toDF(),
+          graft.dialect.MatchRecognize.parseClause(clause))
+        .filter(col("user_id") === 1L)
+        .orderBy("start_ts").collect()
+        .map(r => (r.getLong(2), r.getDouble(3))).toSeq
+      assert(streaming == batch, s"$streaming vs $batch")
+    } finally q.stop()
+  }
+
   test("matchRecognizeRows rejects physical navigation and empty patterns") {
     def mk(clause: String) =
       Streams.matchRecognizeRows(spark.emptyDataset[Streams.Event], clause)
