@@ -2277,36 +2277,42 @@ object TrinoFunctions {
     sql
   }
 
-  // Trino's quantified subquery comparisons, all NULL-faithfully.
-  // `= ANY`/`= SOME` and `<> ALL` are DEFINED as synonyms of IN /
-  // NOT IN (same NULL semantics) and rewrite exactly onto Spark's
-  // forms — no operand capture needed. Every OTHER combination
-  // (`= ALL`, `<> ANY`, and the four ordered ops with either
-  // quantifier) is rewritten to an exact three-valued-logic
-  // composition of aggregate scalar subqueries:
+  // Trino's quantified subquery comparisons — ALL of them, NULL-
+  // faithfully, via an exact three-valued-logic composition:
   //
-  //   X op ALL (Q)  ≡  ( (X) op (SELECT extreme(v) FROM (Q))   -- t
-  //                      AND (SELECT cnt = cnt(v) OR NULL …)   -- nulls?
-  //                      OR  (SELECT cnt = 0 …) )              -- empty
+  //   X op ALL (Q)  ≡  ( test(op)           -- the ∀ decided on extremes
+  //                      AND S.nn            -- NULL in Q demotes TRUE
+  //                      OR  S.e )           -- empty set: vacuous TRUE
   //
-  // with extreme = max for >/>= and min for </<= (and min=X AND max=X
-  // for = ALL). Derivation: with no NULLs in Q the comparison against
-  // the extreme IS the ∀ (t = TRUE ⟺ all rows pass, FALSE ⟺ a
-  // counterexample exists, NULL ⟺ X is NULL); a NULL in Q can never
-  // make ∀ TRUE, only UNKNOWN — `AND (… OR NULL)` (TRUE when Q is
-  // NULL-free, else NULL) preserves FALSE and demotes TRUE/NULL to
-  // NULL exactly; the empty set makes ∀ vacuously TRUE — `OR cnt=0`
-  // (TRUE/FALSE, never NULL) restores it even when X is NULL. The ANY
-  // forms ride De Morgan, which is exact in Kleene logic:
+  // where S is ONE struct-valued scalar subquery per comparison —
+  // `(SELECT named_struct('mx', max(v), 'e', count(*) = 0, 'nn',
+  // count(*) = count(v) OR NULL) FROM (Q))` — spliced textually for
+  // each field access; Spark's physical ReuseSubquery collapses the
+  // identical copies into ONE execution (one scan of Q, not three).
+  // test(op): ordered ops compare (X) against the extreme (max for
+  // >/>=, min for </<=; with no NULLs that comparison IS the ∀ — TRUE
+  // ⟺ all rows pass, FALSE ⟺ a counterexample exists, NULL ⟺ X is
+  // NULL); `= ALL` is X = min AND X = max; `<> ALL` needs MEMBERSHIP,
+  // not extremes — `CASE WHEN (X) IS NULL THEN NULL ELSE (SELECT
+  // count(*) = 0 FROM (Q) WHERE v = (X)) END` (correlated when X
+  // references outer columns; Catalyst decorrelates it to an
+  // aggregate + join, the same shape a semi join would take). The
+  // `AND (… OR NULL)` term preserves FALSE and demotes TRUE/NULL to
+  // NULL exactly (a NULL in Q can never make ∀ TRUE, only UNKNOWN);
+  // `OR count(*) = 0` restores the vacuous TRUE even when X is NULL.
+  // ANY/SOME forms ride De Morgan, exact in Kleene logic:
   //   X op ANY (Q) ≡ NOT (X inv(op) ALL (Q)),  inv(>) = <=, inv(=) = <>.
-  // Spark's physical ReuseSubquery collapses the three identical
-  // aggregate subqueries into one execution. The left operand is a
-  // Trino valueExpression, captured by walking primaries and binary
-  // arithmetic (+ - * / % ||) backward from the operator; anything the
-  // walker cannot bound (e.g. a bare CASE … END) is rejected with a
-  // "parenthesize it" hint. The `(?=SELECT|WITH)` guard keeps Spark's
-  // any()/some() boolean aggregates (same spellings, expression
-  // argument) out of reach.
+  // NOTE deliberately NOT used: Spark's own `IN (subquery)` — in a
+  // projected position it is not null-aware (`SELECT 3 IN (SELECT
+  // NULL, 4)` returns FALSE where ANSI/Trino say UNKNOWN; verified,
+  // and caught by the 200-case differential fuzz), so even Trino's
+  // "= ANY ≡ IN" synonym must route through the exact composition.
+  // The left operand is a Trino valueExpression, captured by walking
+  // primaries and binary arithmetic (+ - * / % ||) backward from the
+  // operator; anything the walker cannot bound (e.g. a bare CASE …
+  // END) is rejected with a "parenthesize it" hint. The
+  // `(?=SELECT|WITH)` guard keeps Spark's any()/some() boolean
+  // aggregates (same spellings, expression argument) out of reach.
   private val quantifiedPattern = java.util.regex.Pattern.compile(
     "(?i)(=|<>|!=|<=|>=|<|>)\\s*(ANY|SOME|ALL)\\s*\\(\\s*(?=SELECT\\b|WITH\\b)")
 
@@ -2416,64 +2422,66 @@ object TrinoFunctions {
             case "SOME" => "ANY"
             case q => q
           }
-          (op, quant) match {
-            case ("=", "ANY") =>
-              sql = sql.substring(0, m.start) + " IN (" + sql.substring(m.end)
-              spliced = true
-            case ("<>", "ANY") | ("=", "ALL") | ("<", _) | ("<=", _) |
-                 (">", _) | (">=", _) =>
-              // balanced close of the subquery (the '(' is the last
-              // unmasked '(' before m.end)
-              var open = m.end - 1
-              while (open >= 0 && (masked(open) || sql(open) != '(')) open -= 1
-              var depth = 0
-              var i = open
-              var close = -1
-              val n = sql.length
-              while (close < 0 && i < n) {
-                if (!masked(i)) {
-                  if (sql(i) == '(') depth += 1
-                  else if (sql(i) == ')') { depth -= 1; if (depth == 0) close = i }
-                }
-                i += 1
+          {
+            // balanced close of the subquery (the '(' is the last
+            // unmasked '(' before m.end)
+            var open = m.end - 1
+            while (open >= 0 && (masked(open) || sql(open) != '(')) open -= 1
+            var depth = 0
+            var i = open
+            var close = -1
+            val n = sql.length
+            while (close < 0 && i < n) {
+              if (!masked(i)) {
+                if (sql(i) == '(') depth += 1
+                else if (sql(i) == ')') { depth -= 1; if (depth == 0) close = i }
               }
-              if (close < 0) throw new IllegalArgumentException(
-                s"unbalanced parentheses in $op0 $quant (subquery)")
-              val q = sql.substring(open + 1, close)
-              val lStart = valueExprBackward(sql, masked, m.start)
-              if (lStart < 0) throw new IllegalArgumentException(
-                s"could not determine the left operand of $op0 " +
-                  s"${m.group(2)} (subquery); parenthesize it — " +
-                  s"(expr) $op0 ${m.group(2)} (…)")
-              val x = sql.substring(lStart, m.start).trim
-              // ANY ≡ NOT (inverse-op ALL), exact under Kleene logic
-              val (allOp, negate) =
-                if (quant == "ANY") (op match {
-                  case "<>" => "="
-                  case "<" => ">="
-                  case "<=" => ">"
-                  case ">" => "<="
-                  case ">=" => "<"
-                }, true)
-                else (op, false)
-              val cntEmpty = s"(SELECT count(*) = 0 FROM ($q) __qt(__qv))"
-              val noNulls =
-                s"(SELECT count(*) = count(__qv) OR NULL FROM ($q) __qt(__qv))"
-              def agg(f: String) = s"(SELECT $f(__qv) FROM ($q) __qt(__qv))"
-              val test = allOp match {
-                case "=" => s"($x) = ${agg("min")} AND ($x) = ${agg("max")}"
-                case ">" | ">=" => s"($x) $allOp ${agg("max")}"
-                case "<" | "<=" => s"($x) $allOp ${agg("min")}"
-              }
-              val allForm = s"($test AND $noNulls OR $cntEmpty)"
-              val repl = if (negate) s"(NOT $allForm)" else allForm
-              sql = sql.substring(0, lStart) + repl + sql.substring(close + 1)
-              spliced = true
-            case ("<>", "ALL") =>
-              sql = sql.substring(0, m.start) + " NOT IN (" + sql.substring(m.end)
-              spliced = true
-            case other => throw new IllegalArgumentException(
-              s"unsupported quantified comparison: $other")
+              i += 1
+            }
+            if (close < 0) throw new IllegalArgumentException(
+              s"unbalanced parentheses in $op0 $quant (subquery)")
+            val q = sql.substring(open + 1, close)
+            val lStart = valueExprBackward(sql, masked, m.start)
+            if (lStart < 0) throw new IllegalArgumentException(
+              s"could not determine the left operand of $op0 " +
+                s"${m.group(2)} (subquery); parenthesize it — " +
+                s"(expr) $op0 ${m.group(2)} (…)")
+            val x = sql.substring(lStart, m.start).trim
+            // ANY ≡ NOT (inverse-op ALL), exact under Kleene logic
+            val (allOp, negate) =
+              if (quant == "ANY") (op match {
+                case "=" => "<>"
+                case "<>" => "="
+                case "<" => ">="
+                case "<=" => ">"
+                case ">" => "<="
+                case ">=" => "<"
+              }, true)
+              else (op, false)
+            val common = "'e', count(*) = 0, " +
+              "'nn', count(*) = count(__qv) OR NULL"
+            def structSub(fields: String) =
+              s"(SELECT named_struct($fields) FROM ($q) __qt(__qv))"
+            val (test, s) = allOp match {
+              case "=" =>
+                val sub = structSub(s"'mn', min(__qv), 'mx', max(__qv), $common")
+                (s"($x) = $sub.mn AND ($x) = $sub.mx", sub)
+              case ">" | ">=" =>
+                val sub = structSub(s"'mx', max(__qv), $common")
+                (s"($x) $allOp $sub.mx", sub)
+              case "<" | "<=" =>
+                val sub = structSub(s"'mn', min(__qv), $common")
+                (s"($x) $allOp $sub.mn", sub)
+              case "<>" =>
+                val sub = structSub(common)
+                (s"CASE WHEN ($x) IS NULL THEN CAST(NULL AS BOOLEAN) " +
+                  s"ELSE (SELECT count(*) = 0 FROM ($q) __qt(__qv) " +
+                  s"WHERE __qv = ($x)) END", sub)
+            }
+            val allForm = s"($test AND $s.nn OR $s.e)"
+            val repl = if (negate) s"(NOT $allForm)" else allForm
+            sql = sql.substring(0, lStart) + repl + sql.substring(close + 1)
+            spliced = true
           }
         }
       }

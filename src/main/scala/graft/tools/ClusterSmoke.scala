@@ -54,7 +54,12 @@ object ClusterSmoke {
       // NamedLambdaVariable binding) serializes into executor JVMs;
       // unnest_lateral rides only built-in generators but pins the
       // rewrite output end-to-end on a real topology
-      "fn_regexp_lambda", "unnest_lateral")
+      "fn_regexp_lambda", "unnest_lateral",
+      // r14 dialect wave: quantified_cmp's struct-valued scalar
+      // subqueries must broadcast their one-row results to executors
+      // and ReuseSubquery must hold on a real exchange topology;
+      // limit_fetch_ties pins the rank()-window WITH TIES rewrite
+      "quantified_cmp", "limit_fetch_ties")
 
   private def md5(s: String): String =
     java.security.MessageDigest.getInstance("MD5")

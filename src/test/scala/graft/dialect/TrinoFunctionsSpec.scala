@@ -1373,6 +1373,62 @@ class TrinoFunctionsSpec extends SparkSpec {
     assert(e.isLeft && e.left.exists(_.contains("parenthesize")))
   }
 
+  test("quantified comparisons: 200-case differential fuzz vs direct 3VL") {
+    // every (op, quantifier) against random small sets with NULLs and
+    // the empty set, expected value computed by a direct Kleene-logic
+    // fold — the adversarial check that the min/max rewrite composition
+    // cannot drift from ∀/∃ semantics on any corner
+    val rnd = new scala.util.Random(20260816L)
+    val ops = Seq("<", "<=", ">", ">=", "=", "<>")
+    val quants = Seq("ANY", "ALL", "SOME")
+    def cmp(op: String, a: Int, b: Int): Boolean = op match {
+      case "<" => a < b
+      case "<=" => a <= b
+      case ">" => a > b
+      case ">=" => a >= b
+      case "=" => a == b
+      case "<>" => a != b
+    }
+    for (i <- 1 to 200) {
+      val n = rnd.nextInt(5)
+      val vals: Seq[Option[Int]] =
+        Seq.fill(n)(if (rnd.nextInt(4) == 0) None else Some(rnd.nextInt(5)))
+      val x: Option[Int] = if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(5))
+      val op = ops(rnd.nextInt(ops.size))
+      val q = quants(rnd.nextInt(quants.size))
+      val perRow: Seq[Option[Boolean]] = vals.map {
+        case None => None
+        case Some(v) => x.map(xx => cmp(op, xx, v))
+      }
+      val isAll = q == "ALL"
+      val expected: Any =
+        if (isAll) {
+          if (perRow.contains(Some(false))) false
+          else if (perRow.forall(_ == Some(true))) true // empty → TRUE
+          else null
+        } else {
+          if (perRow.contains(Some(true))) true
+          else if (perRow.forall(_ == Some(false))) false // empty → FALSE
+          else null
+        }
+      val xSql = x.map(_.toString).getOrElse("CAST(NULL AS INT)")
+      val subq =
+        if (n == 0) "SELECT CAST(NULL AS INT) AS v WHERE 1 = 0"
+        else {
+          val rows = vals.map {
+            case None => "(CAST(NULL AS INT))"
+            case Some(v) => s"($v)"
+          }.mkString(", ")
+          s"SELECT v FROM (VALUES $rows) t(v)"
+        }
+      val sql = s"SELECT $xSql $op $q ($subq) AS r"
+      val got = qs.execute(sql).fold(
+        err => fail(s"case $i: $sql -> $err"), _.rows.head.head)
+      assert(got == expected,
+        s"case $i: $sql — vals=$vals x=$x expected=$expected got=$got")
+    }
+  }
+
   test("map_keys_by_top_n_values: keys of the n largest values") {
     assert(one("""SELECT map_keys_by_top_n_values(
                  |  map('a', 1, 'b', 3, 'c', 2), 2)""".stripMargin)
