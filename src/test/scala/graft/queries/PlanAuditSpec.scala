@@ -93,6 +93,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("tpch_q18").contains("TakeOrderedAndProject"))
   }
 
+  test("limit_fetch_ties: map-side WindowGroupLimit before the global window") {
+    // the WITH TIES rank rewrite must NOT funnel the whole table into
+    // the single-partition window: Catalyst's Partial+Final
+    // WindowGroupLimit pre-limits every map partition to the first
+    // n-with-ties rows before the exchange (the distributed analog of
+    // TakeOrderedAndProject with tie preservation)
+    val p = plan("limit_fetch_ties")
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
+
+  test("quantified_cmp: identical scalar-subquery copies execute once (ReuseSubquery)") {
+    // the rewrite splices the same struct-valued aggregate subquery
+    // once per field access; physical ReuseSubquery must collapse the
+    // copies so each comparison scans its subquery ONCE (reuse is
+    // finalized at runtime — execute, then read the final plan)
+    val df = SparkEntry.queries("quantified_cmp")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedSubquery"), p.take(800))
+  }
+
   test("xcat_nation_acctbal: tiny-catalog dimensions broadcast, scan pruned") {
     val p = plan("xcat_nation_acctbal")
     // both tpch.tiny sides are dimension-shaped → broadcast, never SMJ
