@@ -2188,11 +2188,19 @@ object TrinoFunctions {
             if (ob < 0) j += 1
           }
           if (ob >= 0) {
-            val exprPart = content.substring(0, ob).trim
-            if (exprPart.toUpperCase.startsWith("DISTINCT"))
-              throw new IllegalArgumentException(
-                "array_agg(DISTINCT … ORDER BY …) is not supported; for " +
-                  "DISTINCT-by-value use sort_array(collect_set(expr))")
+            val exprPart0 = content.substring(0, ob).trim
+            // DISTINCT: legal in Trino only when every ORDER BY key IS
+            // the aggregated expression (free expressions cannot be
+            // paired with a deduplicated value) — which makes
+            // collect_set a drop-in for collect_list in the same
+            // sorted-struct machinery (struct equality = value
+            // equality; a NULL element survives as struct('v', NULL))
+            val isDistinct =
+              exprPart0.length >= 9 &&
+                exprPart0.substring(0, 8).equalsIgnoreCase("DISTINCT") &&
+                exprPart0(8).isWhitespace
+            val exprPart =
+              if (isDistinct) exprPart0.substring(9).trim else exprPart0
             val byIdx = content.toUpperCase.indexOf("BY", ob) + 2
             val spec = content.substring(byIdx).trim
             // split keys at top-level commas
@@ -2227,6 +2235,18 @@ object TrinoFunctions {
                   if (nulls == null) desc else nulls.equalsIgnoreCase("FIRST")
                 (k.trim, desc, nullsFirst)
             }
+            if (isDistinct) {
+              val norm = exprPart.replaceAll("\\s+", " ").toLowerCase
+              parsed.foreach { case (k, _, _) =>
+                if (k.replaceAll("\\s+", " ").toLowerCase != norm)
+                  throw new IllegalArgumentException(
+                    "array_agg(DISTINCT expr ORDER BY key): the key must " +
+                      "be the DISTINCT expression itself (Trino's rule — " +
+                      s"a free key cannot pair with deduplicated values); " +
+                      s"got ORDER BY $k")
+              }
+            }
+            val collectFn = if (isDistinct) "collect_set" else "collect_list"
             val body = if (parsed.map(_._2).distinct.size > 1) {
               // MIXED directions: array_sort's 3-way comparator lambda
               // expresses per-key direction and null placement exactly
@@ -2251,7 +2271,7 @@ object TrinoFunctions {
                     s"WHEN $a < $b THEN $lt WHEN $a > $b THEN $gt " +
                     s"ELSE ${cmp(ix + 1)} END"
                 }
-              s"array_sort(collect_list(named_struct(" +
+              s"array_sort($collectFn(named_struct(" +
                 s"${fields.mkString(", ")})), (__sa, __sb) -> ${cmp(0)})"
             } else {
               val desc = parsed.head._2
@@ -2263,7 +2283,7 @@ object TrinoFunctions {
                   s"'k$ix', $k")
               } :+ s"'v', $exprPart"
               val sorted =
-                s"array_sort(collect_list(named_struct(${fields.mkString(", ")})))"
+                s"array_sort($collectFn(named_struct(${fields.mkString(", ")})))"
               if (desc) s"reverse($sorted)" else sorted
             }
             val replacement = s"transform($body, __oa -> __oa.v)"

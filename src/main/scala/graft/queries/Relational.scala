@@ -67,6 +67,18 @@ object Relational {
           |GROUP BY c_mktsegment
           |ORDER BY c_mktsegment""".stripMargin))),
 
+    // DISTINCT + ORDER BY through the collect_set face of the rewrite
+    // (the key must BE the distinct expression — Trino's rule), with a
+    // NULL element to pin the null-exact placement after dedup.
+    "agg_array_distinct_order" -> ((s, d) =>
+      graft.engine.Tables.sql(s, d, graft.dialect.TrinoFunctions.preprocess(
+        """SELECT array_join(
+          |  array_agg(DISTINCT CAST(nullif(c_nationkey, 3) AS VARCHAR)
+          |            ORDER BY CAST(nullif(c_nationkey, 3) AS VARCHAR)
+          |                     DESC NULLS FIRST),
+          |  ',', 'NULL') AS keys
+          |FROM customer""".stripMargin))),
+
     // MIXED-direction array_agg ORDER BY through the comparator-lambda
     // face of the rewrite (ASC key, then DESC keys; c_custkey makes the
     // order total so the joined string is deterministic).
@@ -529,6 +541,16 @@ object Relational {
         |WHERE c_custkey <= 300
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+
+    "agg_array_distinct_order" ->
+      """SELECT array_to_string(
+        |  list_transform(
+        |    array_agg(DISTINCT CAST(nullif(c_nationkey, 3) AS VARCHAR)
+        |              ORDER BY CAST(nullif(c_nationkey, 3) AS VARCHAR)
+        |                       DESC NULLS FIRST),
+        |    x -> coalesce(x, 'NULL')),
+        |  ',') AS keys
+        |FROM customer""".stripMargin,
 
     "agg_array_mixed_order" ->
       """SELECT c_mktsegment,

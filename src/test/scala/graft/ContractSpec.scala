@@ -28,9 +28,9 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented counts") {
-    assert(SparkEntry.queries.size == 193,
+    assert(SparkEntry.queries.size == 194,
       s"queries=${SparkEntry.queries.size} — update README/ContractSpec together")
-    assert(SparkEntry.oracleSql.size == 174,
+    assert(SparkEntry.oracleSql.size == 175,
       s"oracles=${SparkEntry.oracleSql.size} — update README/ContractSpec together")
   }
 }

@@ -1273,10 +1273,22 @@ class TrinoFunctionsSpec extends SparkSpec {
     assert(arr("""SELECT array_agg(x ORDER BY k NULLS FIRST) FROM (VALUES
                  |  (1, 10), (2, CAST(NULL AS INT)), (3, 5)) t(x, k)""".stripMargin)
       == Seq(2, 3, 1))
-    // DISTINCT + ORDER BY rejects with a workaround
+    // DISTINCT + ORDER BY: dedup (collect_set face), then the same
+    // null-exact sort; Trino only allows the key to BE the expression
+    val dist = one(
+      "SELECT array_agg(DISTINCT n_regionkey ORDER BY n_regionkey DESC) FROM nation")
+      .asInstanceOf[scala.collection.Seq[_]].toSeq
+    assert(dist == Seq(4L, 3L, 2L, 1L, 0L))
+    val distNulls = one(
+      """SELECT array_agg(DISTINCT nullif(n_regionkey, 0)
+        |                 ORDER BY nullif(n_regionkey, 0) ASC)
+        |FROM nation""".stripMargin)
+      .asInstanceOf[scala.collection.Seq[_]].toSeq
+    assert(distNulls == Seq(1L, 2L, 3L, 4L, null)) // ASC → NULLS LAST
+    // a free ORDER BY key with DISTINCT rejects (Trino's own rule)
     val e1 = qs.execute(
-      "SELECT array_agg(DISTINCT n_name ORDER BY n_name) FROM nation")
-    assert(e1.isLeft && e1.left.exists(_.contains("collect_set")))
+      "SELECT array_agg(DISTINCT n_name ORDER BY n_regionkey) FROM nation")
+    assert(e1.isLeft && e1.left.exists(_.contains("DISTINCT")))
     // MIXED directions ride array_sort's comparator lambda; the
     // expectation is derived from plain ordered queries, not pinned
     def col(sql: String): Seq[Any] =
