@@ -1385,6 +1385,54 @@ class TrinoFunctionsSpec extends SparkSpec {
     assert(e.isLeft && e.left.exists(_.contains("parenthesize")))
   }
 
+  test("quantified comparisons: left-operand walker fuzz (100 composed shapes)") {
+    // the backward valueExpression walker must bound exactly the
+    // operand Trino's grammar would: literals, unary signs, paren
+    // groups, function calls, and +-*-chains — each case's value is
+    // computed alongside its text, and the splice must also respect
+    // the surrounding WHERE precedence (AND binds around the rewrite)
+    val rnd = new scala.util.Random(20260817L)
+    def genAtom(depth: Int): (String, Long) = {
+      val pick = rnd.nextInt(if (depth > 2) 3 else 6)
+      pick match {
+        case 0 | 3 =>
+          val v = rnd.nextInt(9) + 1L; (v.toString, v)
+        case 1 =>
+          val v = rnd.nextInt(9) + 1L; (s"abs(-$v)", v)
+        case 2 =>
+          val v = rnd.nextInt(9) + 1L; (s"($v)", v)
+        case 4 =>
+          val (e, v) = genExpr(depth + 1); (s"($e)", v)
+        case 5 =>
+          val (e, v) = genAtom(depth + 1); (s"greatest($e, -99)", v)
+      }
+    }
+    def genExpr(depth: Int): (String, Long) = {
+      var (s, v) = genAtom(depth)
+      if (rnd.nextInt(3) == 0) { s = s"-$s"; v = -v } // unary sign
+      (0 until rnd.nextInt(3)).foreach { _ =>
+        val (s2, v2) = genAtom(depth)
+        rnd.nextInt(3) match {
+          case 0 => s = s"$s + $s2"; v += v2
+          case 1 => s = s"$s - $s2"; v -= v2
+          case 2 => s = s"($s) * $s2"; v *= v2 // parens keep seq = SQL
+        }
+      }
+      (s, v)
+    }
+    for (i <- 1 to 100) {
+      val (e, v) = genExpr(0)
+      val t = rnd.nextInt(21) - 10
+      val expected = v > t
+      val projected = one(s"SELECT $e > ALL (SELECT $t) AS r")
+      assert(projected == expected, s"case $i: SELECT $e > ALL (SELECT $t) — v=$v")
+      val whereCnt = one(
+        s"SELECT count(*) FROM region WHERE r_regionkey = 0 AND $e > ALL (SELECT $t)")
+      assert(whereCnt == (if (expected) 1L else 0L),
+        s"case $i WHERE: $e > ALL (SELECT $t) — v=$v")
+    }
+  }
+
   test("quantified comparisons: 200-case differential fuzz vs direct 3VL") {
     // every (op, quantifier) against random small sets with NULLs and
     // the empty set, expected value computed by a direct Kleene-logic
