@@ -399,7 +399,31 @@ object FuzzDump {
         (0 until n).map(i => s"${c.pick(aggs)()} AS c${keys.length + i}")
     }
 
-    rng.nextInt(18) match {
+    rng.nextInt(19) match {
+      case 18 => // quantified subquery comparisons (v6): every op ×
+        // ANY/SOME/ALL against a tiny-dim subquery with CASE-injected
+        // NULLs and a sometimes-empty filter. DuckDB runs the
+        // quantifiers natively; the engine runs the exact-3VL rewrite
+        // (TrinoFunctions.rewriteQuantified) — any divergence on
+        // NULL/empty corners is signal. The left operand is
+        // pre-parenthesized so the backward walker's contract (no bare
+        // CASE … END) is honored by construction.
+        val its = items(2)
+        val dim = tables(rng.nextInt(2)) // nation / region
+        val dc = Ctx(rng, Map("int" -> dim.ints, "str" -> dim.strs,
+          "ts" -> Seq.empty))
+        val sub0 = s"SELECT ${nullableInt(dc, 1)} FROM ${dim.name}"
+        val sub = rng.nextInt(4) match {
+          case 0 => s"$sub0 WHERE ${dc.pick(dim.ints)} > 999" // empty set
+          case 1 => s"$sub0 WHERE ${boolExpr(dc, 1)}"
+          case _ => sub0
+        }
+        val qop = c.pick(Seq("<", "<=", ">", ">=", "=", "<>"))
+        val quant = c.pick(Seq("ANY", "SOME", "ALL"))
+        val x = intExpr(c, 1)
+        s"SELECT ${its.mkString(", ")}, (($x) $qop $quant ($sub)) AS cq" +
+          s" FROM ${rel.sql} WHERE ${boolExpr(c, 1)} " +
+          orderBy(c, its.length + 1)
       case 16 => // nested set ops (v5): three predicate-split legs over
         // the same projection, composed left-parenthesized — ANSI
         // distinct semantics for UNION/INTERSECT/EXCEPT in both
@@ -453,7 +477,15 @@ object FuzzDump {
         // relation's total order are deterministic even with partition
         // ties; lag/lead defaults; ntile/row_number need the total order.
         val part = if (rel.strs.nonEmpty) c.pick(rel.strs) else intExpr(c, 1)
-        val ord = rel.pk.map(k => s"$k ASC").mkString(", ")
+        // the order must be VALUE-total: lineitem's 4-int pk tuple has
+        // one duplicate in the synth data whose rows differ in
+        // l_linestatus, so a pk-only order let lead() assign neighbors
+        // to the tied rows in engine-dependent order (v6 run,
+        // fuzz_0022). Order by every referenceable column — rows still
+        // tied are then identical in every projectable value, and any
+        // projection is tie-insensitive.
+        val ord = (rel.pk ++ rel.ints ++ rel.strs ++ rel.tss).distinct
+          .map(k => s"$k ASC NULLS FIRST").mkString(", ")
         val k1 = 1 + rng.nextInt(3)
         val framed = Seq(
           s"CAST(sum(${if (rel.ints.nonEmpty) c.pick(rel.ints) else "1"}) OVER (PARTITION BY $part ORDER BY $ord ROWS BETWEEN $k1 PRECEDING AND CURRENT ROW) AS BIGINT)",

@@ -50,5 +50,5 @@ object FuzzSpec {
     * DuckDB-side divergences now excluded by construction (date_trunc
     * nullability stats over outer joins, split_part NULL→'', rollup
     * join-equal key fill — DIALECT.md "oracle quirks"). */
-  val GoldenHash = "8525692f07dde936337918d95d4fb9e1"
+  val GoldenHash = "63237b030ae9976e6ad417c273f3d65e"
 }
