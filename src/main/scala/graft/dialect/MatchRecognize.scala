@@ -1075,6 +1075,34 @@ object MatchRecognize {
   private[graft] def stripExcl(v: String): String =
     if (v.nonEmpty && v.charAt(0) == ExclMark) v.substring(1) else v
 
+  /** AFTER MATCH resume index — shared by the batch iterator and both
+    * streaming faces so the skip semantics can never drift: PAST LAST
+    * consumes the match; TO NEXT ROW resumes right after the match
+    * START (overlap allowed); TO [FIRST|LAST] v resumes AT that row of
+    * the match (Trino raises when the target is the match start —
+    * infinite loop — or the variable unmatched). Every mode returns an
+    * index strictly greater than `start`, which is what lets the
+    * streaming faces keep their retention rule (rows before the next
+    * attempt index are droppable — matches only extend forward). */
+  private[graft] def resumeIndex(skip: SkipMode, start: Int, end: Int,
+      assigned: List[(Int, String)],
+      membersOf: String => Seq[String]): Int = skip match {
+    case SkipPastLast => end
+    case SkipToNext => start + 1
+    case SkipToVar(first, v) =>
+      val ms = membersOf(v).toSet
+      val rowsOfV = assigned.reverse.collect {
+        case (r, vn) if ms(stripExcl(vn)) => r
+      }
+      if (rowsOfV.isEmpty) throw new IllegalStateException(
+        s"AFTER MATCH SKIP TO failed: variable $v not matched")
+      val target = if (first) rowsOfV.head else rowsOfV.last
+      if (target <= start) throw new IllegalStateException(
+        "AFTER MATCH SKIP TO failed: cannot skip to the first " +
+          "row of the match")
+      target
+  }
+
   private[graft] def matchFlags(pattern: Pat, n: Int,
       flag: (Int, String) => Boolean, start: Int): (Int, List[(Int, String)]) =
     matchFlagsCtx(pattern, n, (i, v, _) => flag(i, v), start)
@@ -1335,28 +1363,9 @@ object MatchRecognize {
             if (allRows) out ++= emitAll(g, m._2, matchNo)
             else out += emitOne(g, i, m._1, m._2, matchNo)
             matchNo += 1
-            // SKIP PAST LAST ROW consumes the match (non-overlapping;
-            // the pattern is non-nullable so m._1 > i always advances);
-            // SKIP TO NEXT ROW resumes right after the match START;
-            // SKIP TO [FIRST|LAST] v resumes AT that row of the match
-            // (overlap allowed) — Trino errors when the target is the
-            // match start (infinite loop) or the variable unmatched
-            i = skip match {
-              case SkipPastLast => m._1
-              case SkipToNext   => i + 1
-              case SkipToVar(first, v) =>
-                val ms = membersOf(v).toSet
-                val rowsOfV = m._2.reverse.collect {
-                  case (r, vn) if ms(stripExcl(vn)) => r
-                }
-                if (rowsOfV.isEmpty) throw new IllegalStateException(
-                  s"AFTER MATCH SKIP TO failed: variable $v not matched")
-                val target = if (first) rowsOfV.head else rowsOfV.last
-                if (target <= i) throw new IllegalStateException(
-                  "AFTER MATCH SKIP TO failed: cannot skip to the first " +
-                    "row of the match")
-                target
-            }
+            // resume per AFTER MATCH SKIP mode (resumeIndex — shared
+            // with the streaming faces; always advances past `i`)
+            i = resumeIndex(skip, i, m._1, m._2, membersOf)
           } else {
             if (withUnmatched) out += emitUnmatched(g, i)
             i += 1

@@ -473,10 +473,12 @@ object Streams {
     * (`MatchRecognize.matchFlags` — the batch and streaming faces
     * share the matcher), restricted to the streaming-meaningful form:
     * `PARTITION BY user_id ORDER BY ts[, event_id]`, ONE ROW PER
-    * MATCH, SKIP PAST LAST ROW or SKIP TO NEXT ROW (the packing idiom;
-    * resumes at start+1 — an emitted start is final either way, so the
-    * retention rule is unchanged), DEFINE without PREV (lag needs a
-    * window — carry a previous-value column upstream if needed).
+    * MATCH, every AFTER MATCH SKIP mode (PAST LAST ROW / TO NEXT ROW /
+    * TO [FIRST|LAST] var — all resume strictly after the match START
+    * via the shared MatchRecognize.resumeIndex, so an emitted start is
+    * final and the retention rule is unchanged under overlap), DEFINE
+    * without PREV (lag needs a window — carry a previous-value column
+    * upstream if needed).
     *
     * `horizonSeconds` is the CEP `within` contract (Flink's
     * `Pattern.within`): a match must COMPLETE within the horizon of
@@ -512,16 +514,19 @@ object Streams {
     require(spec.orderDirs.forall(_._1),
       "matchRecognizeStream: descending ORDER BY is not available over " +
         "a stream (event time only moves forward)")
-    require(!spec.allRows &&
-      (spec.skip == graft.dialect.MatchRecognize.SkipPastLast ||
-        spec.skip == graft.dialect.MatchRecognize.SkipToNext),
-      "matchRecognizeStream: ONE ROW PER MATCH with SKIP PAST LAST ROW " +
-        "or SKIP TO NEXT ROW only")
-    // SKIP TO NEXT ROW resumes at start+1 (overlap allowed): an emitted
-    // start is final either way, so the buffer-retention rule (drop
-    // rows before the first undecided start) is unchanged — later
-    // matches only extend FORWARD from their own start row.
-    val skipToNext = spec.skip == graft.dialect.MatchRecognize.SkipToNext
+    require(!spec.allRows,
+      "matchRecognizeStream: ONE ROW PER MATCH only")
+    // every AFTER MATCH SKIP mode is available: resumeIndex (shared
+    // with the batch iterator) always advances past the match START,
+    // so the buffer-retention rule (drop rows before the first
+    // undecided attempt index) holds for the overlapping modes too —
+    // later matches only extend FORWARD from their own start row.
+    val skipMode = spec.skip
+    val streamSubsets = spec.subsets.toMap
+    def streamMembersOf(v: String): Seq[String] =
+      streamSubsets.collectFirst {
+        case (k, ms) if k.equalsIgnoreCase(v) => ms
+      }.getOrElse(Seq(v))
     require(!spec.defines.exists(d => d._2.toUpperCase.contains("PREV") ||
         d._2.toUpperCase.contains("NEXT")),
       "matchRecognizeStream: PREV/NEXT are not available over a stream")
@@ -608,7 +613,8 @@ object Streams {
               new Timestamp(buf(m._1 - 1).tsMillis),
               (m._1 - i).toLong, matchNo)
             matchNo += 1
-            i = if (skipToNext) i + 1 else m._1
+            i = MatchRecognize.resumeIndex(skipMode, i, m._1, m._2,
+              streamMembersOf)
           } else if (decided) i += 1 // final non-match: this start is dead
           else pending = i           // boundary-dependent: defer
         }
@@ -691,13 +697,12 @@ object Streams {
     require(spec.orderDirs.forall(_._1),
       "matchRecognizeRows: descending ORDER BY is not available over " +
         "a stream (event time only moves forward)")
-    require(!spec.allRows &&
-      (spec.skip == MatchRecognize.SkipPastLast ||
-        spec.skip == MatchRecognize.SkipToNext),
-      "matchRecognizeRows: ONE ROW PER MATCH with SKIP PAST LAST ROW " +
-        "or SKIP TO NEXT ROW only")
-    // see matchRecognizeStream: resume at start+1, retention unchanged
-    val skipToNext = spec.skip == MatchRecognize.SkipToNext
+    require(!spec.allRows,
+      "matchRecognizeRows: ONE ROW PER MATCH only")
+    // every AFTER MATCH SKIP mode — see matchRecognizeStream: the
+    // resume index always advances past the match start, so retention
+    // is unchanged under the overlapping modes
+    val skipMode = spec.skip
     require(!spec.hasAnchor && !spec.hasExclusion,
       "matchRecognizeRows: ^/$ anchors and {- -} exclusions are not " +
         "available over a stream (no partition end exists)")
@@ -814,7 +819,7 @@ object Streams {
             out += org.apache.spark.sql.Row.fromSeq(
               java.lang.Long.valueOf(user) +: mvals.toIndexedSeq)
             matchNo += 1
-            i = if (skipToNext) i + 1 else m._1
+            i = MatchRecognize.resumeIndex(skipMode, i, m._1, m._2, membersOf)
           } else if (decided) i += 1
           else pending = i
         }

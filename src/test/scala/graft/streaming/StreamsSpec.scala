@@ -824,6 +824,46 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("matchRecognizeRows: SKIP TO LAST var overlaps on the pivot row, equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // the Trino-docs V-shape resume: the U row that ends one match is
+    // the S row that starts the next (SKIP TO LAST U — true overlap)
+    val mr = Seq(
+      Event(1, ts(0), 1, "t", 10.0), Event(2, ts(1), 1, "t", 5.0),
+      Event(3, ts(2), 1, "t", 20.0), Event(4, ts(3), 1, "t", 8.0),
+      Event(5, ts(4), 1, "t", 25.0))
+    val clause =
+      """PARTITION BY user_id ORDER BY ts, event_id
+        |MEASURES FIRST(S.value) AS sv, LAST(U.value) AS uv, MATCH_NUMBER() AS mn
+        |AFTER MATCH SKIP TO LAST U
+        |PATTERN (S D U)
+        |DEFINE D AS value < S.value, U AS value > S.value""".stripMargin
+    val flush = Seq(Event(100, ts(90), 99, "noop", 0.0),
+      Event(101, ts(95), 99, "noop", 0.0))
+    val mem = MemoryStream[Event]
+    val q = Streams.matchRecognizeRows(mem.toDS(), clause,
+        horizonSeconds = 1800L, watermark = "10 seconds")
+      .writeStream.format("memory").queryName("mr_rows_skipvar")
+      .outputMode("append").start()
+    try {
+      mem.addData(mr.take(3): _*); q.processAllAvailable()
+      mem.addData(mr.drop(3): _*); q.processAllAvailable()
+      flush.foreach { e => mem.addData(e); q.processAllAvailable() }
+      val streaming = spark.table("mr_rows_skipvar")
+        .filter(col("user_id") === 1L)
+        .orderBy("mn").collect()
+        .map(r => (r.getDouble(1), r.getDouble(2), r.getLong(3))).toSeq
+      // match 1: 10 ↓5 ↑20; match 2 starts ON the 20: 20 ↓8 ↑25
+      assert(streaming == Seq((10.0, 20.0, 1L), (20.0, 25.0, 2L)))
+      val batch = graft.dialect.MatchRecognize.run((mr ++ flush).toDF(),
+          graft.dialect.MatchRecognize.parseClause(clause))
+        .filter(col("user_id") === 1L)
+        .orderBy("mn").collect()
+        .map(r => (r.getDouble(1), r.getDouble(2), r.getLong(3))).toSeq
+      assert(streaming == batch, s"$streaming vs $batch")
+    } finally q.stop()
+  }
+
   test("matchRecognizeRows rejects physical navigation and empty patterns") {
     def mk(clause: String) =
       Streams.matchRecognizeRows(spark.emptyDataset[Streams.Event], clause)
