@@ -40,6 +40,20 @@ class FuzzSpec extends SparkSpec {
       graft.engine.Tables.sql(spark, SfDir, pre).count()
     }
   }
+
+  test("preprocess is idempotent over the (backslash-free) fuzz corpus") {
+    // a structural rewrite whose OUTPUT re-triggers itself (a spliced
+    // quantifier, a regenerated FETCH, …) would corrupt text on any
+    // path that preprocesses twice; literals with backslashes are the
+    // one DESIGNED non-idempotence (Trino escape doubling) and the
+    // grammar emits none
+    (0 until 120).foreach { i =>
+      val sql = FuzzDump.genQuery(777000L + i)
+      val once = graft.dialect.TrinoFunctions.preprocess(sql)
+      val twice = graft.dialect.TrinoFunctions.preprocess(once)
+      assert(once == twice, s"seed ${777000 + i}:\n$sql\n-- once:\n$once\n-- twice:\n$twice")
+    }
+  }
 }
 
 object FuzzSpec {
