@@ -752,20 +752,22 @@ object TrinoFunctions {
         s"regexp_extract_all expects 2-3 args, got ${args.length}")
     },
     // regexp_position: 1-based char position of the first match, -1
-    // when absent (Spark's regexp_instr says 0; rewrap). The optional
-    // start/occurrence forms search from a 1-based position for the
-    // occurrence-th match — no Spark expression takes those, so they
-    // StaticInvoke the BinFuncs helper (still codegen'd call sites).
+    // when absent. Every arity StaticInvokes the BinFuncs helper
+    // (codegen'd call sites): Spark's own regexp_instr reports
+    // UTF-16-unit positions where Trino counts CODE POINTS, and the
+    // optional start/occurrence forms have no Spark expression at all.
     "regexp_position" -> {
-      case Seq(s, p) =>
-        val pos = RegExpInStr(s, p, Literal(0))
-        If(EqualTo(pos, Literal(0)), Literal(-1), pos)
+      // the 2-arg form ALSO routes through the helper: Spark's
+      // regexp_instr reports UTF-16-unit positions (a supplementary
+      // character before the match costs 2), Trino counts code points
       case Seq(s, p, rest @ _*) if rest.size <= 2 =>
-        val occ = if (rest.size == 2) rest(1) else Literal(1)
+        val start: Expression =
+          if (rest.nonEmpty) Cast(rest.head, IntegerType) else Literal(1)
+        val occ: Expression =
+          if (rest.size == 2) Cast(rest(1), IntegerType) else Literal(1)
         org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
           BinFuncs.getClass, IntegerType, "regexpPosition",
-          Seq(Cast(s, StringType), Cast(p, StringType),
-            Cast(rest.head, IntegerType), Cast(occ, IntegerType)),
+          Seq(Cast(s, StringType), Cast(p, StringType), start, occ),
           Seq(StringType, StringType, IntegerType, IntegerType))
       case args => throw new IllegalArgumentException(
         s"regexp_position expects 2-4 args, got ${args.length}")

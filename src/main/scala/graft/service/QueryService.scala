@@ -519,7 +519,7 @@ class QueryService(engine: Engine) {
     // which then fails analysis on a row array. Name the workaround
     // (the rewrite itself cannot see types; DIALECT.md documents this).
     val m =
-      if (m0.contains("NUM_COLUMNS_MISMATCH") ||
+      if (m0.contains("UDTF_ALIAS_NUMBER_MISMATCH") ||
           (m0.contains("number of aliases") && m0.contains("explode")))
         m0 + " — if this is UNNEST of an ARRAY(ROW(a, b)) with two " +
           "aliases, the dialect assumed a map (same textual shape); " +

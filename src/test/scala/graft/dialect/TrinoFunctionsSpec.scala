@@ -1230,6 +1230,38 @@ class TrinoFunctionsSpec extends SparkSpec {
     assert(one("SELECT to_base32(to_utf8(''))") == "")
     // invalid characters raise (NULL under try())
     assert(one("SELECT try(from_base32('1@#'))") == null)
+    // strict canonical form like Trino's Guava codec (r13 ADVICE):
+    // non-multiple-of-8 length, a padding count Guava never emits,
+    // and nonzero trailing bits all raise (NULL under try())
+    assert(one("SELECT try(from_base32('A'))") == null)         // length 1
+    assert(one("SELECT try(from_base32('NBSWY3D'))") == null)   // length 7
+    assert(one("SELECT try(from_base32('MY====='))") == null)   // 5 pads
+    assert(one("SELECT try(from_base32('M======='))") == null)  // 7 pads
+    assert(one("SELECT try(from_base32('MZ======'))") == null)  // trailing bits
+    assert(one("SELECT from_utf8(from_base32('MY======'))") == "f")
+  }
+
+  test("UNNEST of a 2-field row array fails with the map-ambiguity hint") {
+    // one argument + two aliases is textually a MAP unnest; an
+    // ARRAY(ROW(a, b)) lands on explode() and fails analysis — the
+    // error must carry the documented workarounds (DIALECT.md)
+    val e = qs.execute(
+      """SELECT u.x, u.y
+        |FROM (SELECT array(CAST(ROW(1, 2) AS ROW(a int, b int))) AS arr) t
+        |CROSS JOIN UNNEST(t.arr) AS u(x, y)""".stripMargin)
+    assert(e.isLeft, e)
+    assert(e.left.exists(_.contains("ARRAY(ROW(a, b))")), e)
+  }
+
+  test("regexp_position counts code points, not UTF-16 units") {
+    // '𝒳' (U+1D4B3) is a supplementary character: 2 UTF-16 units but
+    // ONE Trino position — the match after it sits at position 2
+    assert(one("SELECT regexp_position('𝒳b', 'b')") == 2)
+    // start offsets are code-point positions too
+    assert(one("SELECT regexp_position('𝒳bb', 'b', 2)") == 2)
+    assert(one("SELECT regexp_position('𝒳bb', 'b', 3)") == 3)
+    // start just past the end returns -1 (code-point length = 3)
+    assert(one("SELECT regexp_position('𝒳bb', 'b', 4)") == -1)
   }
 
   test("WITH RECURSIVE and json_value RETURNING") {
