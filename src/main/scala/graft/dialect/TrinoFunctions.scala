@@ -102,13 +102,20 @@ object TrinoFunctions {
         s"json_extract expects (json, path), got ${args.length} args")
     },
     // luhn_check(s): mod-10 checksum validation of a digit string;
-    // NULL input → NULL, non-digit content → false (Trino raises —
-    // documented divergence kept total for the guarded surface)
+    // NULL input → NULL, non-digit content → false by default (kept
+    // total for the guarded surface). Trino RAISES on non-digit input
+    // — opt into that error parity with spark.graft.strictErrors=true
+    // (read at resolution time, baked into the plan).
     "luhn_check" -> {
       case Seq(s) =>
+        val strict =
+          try org.apache.spark.sql.internal.SQLConf.get
+            .getConfString("spark.graft.strictErrors", "false").toBoolean
+          catch { case _: Exception => false }
         org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
           BinFuncs.getClass, org.apache.spark.sql.types.BooleanType,
-          "luhnCheck", Seq(Cast(s, StringType)), Seq(StringType))
+          if (strict) "luhnCheckStrict" else "luhnCheck",
+          Seq(Cast(s, StringType)), Seq(StringType))
       case args => throw new IllegalArgumentException(
         s"luhn_check expects 1 arg, got ${args.length}")
     },
@@ -938,6 +945,25 @@ object TrinoFunctions {
     // murmur3(varbinary) → 16-byte MurmurHash3 x64 128 (seed 0)
     "murmur3" -> binFn1("murmur3", "murmur3",
       org.apache.spark.sql.types.BinaryType, org.apache.spark.sql.types.BinaryType),
+    // SpookyHash V2 with seeds 0 (public-domain algorithm; Trino emits
+    // the 64-bit result / its low 32 bits as big-endian varbinary)
+    "spooky_hash_v2_32" -> binFn1("spookyHashV232", "spooky_hash_v2_32",
+      org.apache.spark.sql.types.BinaryType, org.apache.spark.sql.types.BinaryType),
+    "spooky_hash_v2_64" -> binFn1("spookyHashV264", "spooky_hash_v2_64",
+      org.apache.spark.sql.types.BinaryType, org.apache.spark.sql.types.BinaryType),
+    // bar(x, width): ANSI red→green bar renderer (Trino's 2-arg form;
+    // the 4-arg form takes COLOR values, a type this engine does not
+    // carry — DIALECT.md)
+    "bar" -> {
+      case Seq(p, w) =>
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          BinFuncs.getClass, StringType, "bar",
+          Seq(Cast(p, DoubleType), Cast(w, LongType)),
+          Seq(DoubleType, LongType))
+      case args => throw new IllegalArgumentException(
+        s"bar expects (fraction, width), got ${args.length} args — the " +
+          "4-arg COLOR form is not supported (no COLOR type here)")
+    },
     "inverse_binomial_cdf" ->
       statFnN("inverseBinomialCdf", "inverse_binomial_cdf", 3, IntegerType),
     // combinations(arr, n): n-element subsequences, n ≤ 5 like Trino
@@ -1276,6 +1302,13 @@ object TrinoFunctions {
           JsonFuncs.getClass, StringType, "jsonQuery",
           Seq(Cast(j, StringType), Cast(p, StringType)),
           Seq(StringType, StringType))
+      // 3rd arg: the rewriteJsonQueryClauses mode literal
+      // ('<N|C|U><K|O>' — wrapper × quotes)
+      case Seq(j, p, mode) =>
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          JsonFuncs.getClass, StringType, "jsonQueryMode",
+          Seq(Cast(j, StringType), Cast(p, StringType), Cast(mode, StringType)),
+          Seq(StringType, StringType, StringType))
       case args => throw new IllegalArgumentException(
         s"json_query expects (json, path), got ${args.length} args")
     },
@@ -1966,7 +1999,23 @@ object TrinoFunctions {
   private val tablesamplePattern = java.util.regex.Pattern.compile(
     "(?i)\\bTABLESAMPLE\\s+(BERNOULLI|SYSTEM)\\s*\\(\\s*([0-9]+(?:\\.[0-9]+)?)\\s*\\)")
 
-  def preprocess(sql0: String): String = {
+  /** Alternate textual readings for forms that are AMBIGUOUS without
+    * types. The default reading runs first; when it fails analysis with
+    * the matching signature, QueryService retries with the flag set
+    * (type-aware retry — the analyzer is the type oracle the textual
+    * rewriter lacks).
+    *  - unnestRowSplat: UNNEST(e) AS t(a, b) → inline(e) (array of
+    *    2-field rows, splatted) instead of explode(e) (map).
+    *  - tiesInBlock: FETCH … WITH TIES ranks INSIDE the query block
+    *    (key resolvable from the block's inputs, e.g. an unprojected
+    *    column) instead of over its output (key an output alias). */
+  case class PreprocessOpts(
+    unnestRowSplat: Boolean = false,
+    tiesInBlock: Boolean = false)
+
+  def preprocess(sql0: String): String = preprocess(sql0, PreprocessOpts())
+
+  def preprocess(sql0: String, opts: PreprocessOpts): String = {
     // FIRST: restore Trino literal semantics. Trino treats backslash as
     // an ORDINARY character inside string literals ('' is the only
     // escape); Spark's parser processes C-style escapes, silently
@@ -2052,7 +2101,114 @@ object TrinoFunctions {
 
     rewriteAtTimeZone(rewriteFetchFirst(rewriteTypedLiterals(
       rewriteCastTypes(rewriteQuantified(rewriteArrayAggOrderBy(
-        rewriteJsonReturning(rewriteUnnest(afterSample))))))))
+        rewriteJsonReturning(rewriteJsonQueryClauses(
+          rewriteUnnest(afterSample, opts))))))), opts))
+  }
+
+  // SQL/JSON json_query wrapper/quote clauses — `WITHOUT [ARRAY]
+  // WRAPPER` (default) | `WITH [CONDITIONAL|UNCONDITIONAL] [ARRAY]
+  // WRAPPER`, and `KEEP QUOTES` (default) | `OMIT QUOTES [ON SCALAR
+  // STRING]` — have no Spark spelling. Strip them and pass a 2-char
+  // mode literal ('<N|C|U><K|O>') as a third argument to the JsonFuncs
+  // shim. The SQL standard (and Trino) forbid OMIT QUOTES under a
+  // wrapper — rejected here too.
+  private val jsonQueryCallPattern = java.util.regex.Pattern.compile(
+    "(?i)\\bjson_query\\s*\\(")
+  private val jsonWrapperPattern = java.util.regex.Pattern.compile(
+    "(?i)\\s+(WITHOUT|WITH)(\\s+CONDITIONAL|\\s+UNCONDITIONAL)?" +
+    "(\\s+ARRAY)?\\s+WRAPPER")
+  private val jsonQuotesPattern = java.util.regex.Pattern.compile(
+    "(?i)\\s+(KEEP|OMIT)\\s+QUOTES(\\s+ON\\s+SCALAR\\s+STRING)?")
+
+  private def rewriteJsonQueryClauses(sql0: String): String = {
+    if (!jsonQueryCallPattern.matcher(sql0).find()) return sql0
+    var sql = sql0
+    var guard = 0
+    while (guard < 64) {
+      guard += 1
+      val masked = maskedRegions(sql)
+      val n = sql.length
+      val m = jsonQueryCallPattern.matcher(sql)
+      var spliced = false
+      while (!spliced && m.find()) {
+        if (!masked(m.start)) {
+          val open = m.end - 1
+          var depth = 0
+          var i = open
+          var close = -1
+          while (close < 0 && i < n) {
+            if (!masked(i)) {
+              if (sql(i) == '(') depth += 1
+              else if (sql(i) == ')') { depth -= 1; if (depth == 0) close = i }
+            }
+            i += 1
+          }
+          if (close < 0) return sql
+          val content = sql.substring(open + 1, close)
+          val cmask = maskedRegions(content)
+          // depth-0, unmasked clause matches only (a clause keyword
+          // inside a nested call or literal is not ours)
+          def depth0(at: Int): Boolean = {
+            if (cmask(at)) return false
+            var d = 0; var k = 0
+            while (k < at) {
+              if (!cmask(k)) {
+                if (content(k) == '(') d += 1
+                else if (content(k) == ')') d -= 1
+              }
+              k += 1
+            }
+            d == 0
+          }
+          var wrapMode = ' '
+          var quoteMode = ' '
+          var clauseStart = content.length
+          val wm = jsonWrapperPattern.matcher(content)
+          while (wm.find()) if (depth0(wm.start)) {
+            val variant = Option(wm.group(2)).map(_.trim.toUpperCase)
+            wrapMode =
+              if (wm.group(1).equalsIgnoreCase("WITHOUT")) {
+                if (variant.nonEmpty) throw new IllegalArgumentException(
+                  "json_query: WITHOUT WRAPPER takes no " +
+                    "CONDITIONAL/UNCONDITIONAL variant")
+                'N'
+              } else if (variant.contains("CONDITIONAL")) 'C'
+              else 'U' // WITH [UNCONDITIONAL] [ARRAY] WRAPPER
+            clauseStart = math.min(clauseStart, wm.start)
+          }
+          val qm = jsonQuotesPattern.matcher(content)
+          while (qm.find()) if (depth0(qm.start)) {
+            quoteMode = if (qm.group(1).equalsIgnoreCase("OMIT")) 'O' else 'K'
+            clauseStart = math.min(clauseStart, qm.start)
+          }
+          if (wrapMode == ' ' && quoteMode == ' ') {
+            // no clauses on this call — leave it for the plain 2-arg shim
+          } else {
+            if (quoteMode == 'O' && (wrapMode == 'C' || wrapMode == 'U'))
+              throw new IllegalArgumentException(
+                "json_query: OMIT QUOTES cannot be combined with WITH " +
+                  "ARRAY WRAPPER (SQL/JSON rule; Trino rejects it too)")
+            val mode = s"${if (wrapMode == ' ') 'N' else wrapMode}" +
+              s"${if (quoteMode == ' ') 'K' else quoteMode}"
+            val args = content.substring(0, clauseStart).trim
+            val tail = content.substring(clauseStart)
+            // everything in the tail must be clause text we consumed
+            val residue = jsonQuotesPattern.matcher(
+              jsonWrapperPattern.matcher(tail).replaceAll(""))
+              .replaceAll("").trim
+            if (residue.nonEmpty) throw new IllegalArgumentException(
+              s"json_query: unsupported trailing clause '$residue' — " +
+                "wrapper and quote clauses are supported; ON EMPTY / ON " +
+                "ERROR are not (the shim's NULL defaults apply)")
+            sql = sql.substring(0, m.start) +
+              s"json_query($args, '$mode')" + sql.substring(close + 1)
+            spliced = true
+          }
+        }
+      }
+      if (!spliced) return sql
+    }
+    sql
   }
 
   // SQL/JSON `RETURNING type` clause (json_value's typed result, the
@@ -2205,26 +2361,7 @@ object TrinoFunctions {
               if (isDistinct) exprPart0.substring(9).trim else exprPart0
             val byIdx = content.toUpperCase.indexOf("BY", ob) + 2
             val spec = content.substring(byIdx).trim
-            // split keys at top-level commas
-            val keys = {
-              val out = scala.collection.mutable.ArrayBuffer.empty[String]
-              val smask = maskedRegions(spec)
-              var dd = 0; var last = 0; var jj = 0
-              while (jj < spec.length) {
-                if (!smask(jj)) {
-                  spec(jj) match {
-                    case '(' => dd += 1
-                    case ')' => dd -= 1
-                    case ',' if dd == 0 =>
-                      out += spec.substring(last, jj); last = jj + 1
-                    case _ => ()
-                  }
-                }
-                jj += 1
-              }
-              out += spec.substring(last)
-              out.map(_.trim).toSeq
-            }
+            val keys = topLevelCommaSplit(spec)
             // direction must be whitespace-separated from the key — a
             // bare `total_desc` is a column name, not `total_` + DESC
             val dirRe =
@@ -2338,6 +2475,11 @@ object TrinoFunctions {
   private val quantifiedPattern = java.util.regex.Pattern.compile(
     "(?i)(=|<>|!=|<=|>=|<|>)\\s*(ANY|SOME|ALL)\\s*\\(\\s*(?=SELECT\\b|WITH\\b)")
 
+  // Per-row nondeterministic functions (NOT the per-query clock
+  // constants, which ComputeCurrentTime folds to one literal).
+  private val nondetFnPattern = java.util.regex.Pattern.compile(
+    "(?i)\\b(rand|randn|random|uuid|shuffle|monotonically_increasing_id)\\s*\\(")
+
   /** Walk ONE primary expression backward from `endExcl` (exclusive):
     * a string/typed literal, a balanced paren group with its optional
     * function-name chain, or an identifier/number chain. Returns the
@@ -2399,6 +2541,28 @@ object TrinoFunctions {
     "RETURNING", "OVER", "UNION", "INTERSECT", "EXCEPT", "VALUES",
     "ESCAPE", "LIMIT", "OFFSET", "FETCH", "ASC", "DESC", "NULLS")
 
+  /** Split at top-level commas only — unmasked, paren-depth 0 — so a
+    * function-call list element (`substr(c, 1, 3)`) stays one piece.
+    * Shared by the array_agg ORDER BY and FETCH WITH TIES key parsers. */
+  private def topLevelCommaSplit(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val smask = maskedRegions(s)
+    var d = 0; var last = 0; var j = 0
+    while (j < s.length) {
+      if (!smask(j)) {
+        s(j) match {
+          case '(' => d += 1
+          case ')' => d -= 1
+          case ',' if d == 0 => out += s.substring(last, j); last = j + 1
+          case _ => ()
+        }
+      }
+      j += 1
+    }
+    out += s.substring(last)
+    out.map(_.trim).toSeq
+  }
+
   /** Walk a Trino valueExpression backward from `endExcl`: primaries
     * chained by binary arithmetic/concat, with unary-sign absorption.
     * Returns the start index, or -1 when no operand is found. */
@@ -2420,13 +2584,41 @@ object TrinoFunctions {
       else {
         val p2 = primaryBackward(sql, masked, j - opLen)
         if (p2 >= 0) start = p2
-        else if (opLen == 1 && (sql(j - 1) == '+' || sql(j - 1) == '-'))
+        else if (opLen == 1 && (sql(j - 1) == '+' || sql(j - 1) == '-') &&
+          unarySignContext(sql, masked, j - opLen))
           start = j - opLen // unary sign; keep scanning for `a * -b`
-        else continueScan = false
+        else return -1 // binary op with an unparseable left operand
+          // (`CASE … END - 1`): fail so the caller's parenthesize
+          // hint fires instead of splicing a truncated operand
       }
     }
     start
   }
+
+  /** Could a sign at this position be UNARY? Only when what precedes it
+    * is an operator, an opening paren/comma, the statement start, or a
+    * clause keyword — never an operand terminator like `END`, `)`, a
+    * literal or an identifier (those make the sign a binary minus whose
+    * left side the backward walk must parse, not skip). */
+  private def unarySignContext(sql: String, masked: Array[Boolean],
+      signPos: Int): Boolean = {
+    var p = signPos
+    while (p > 0 && sql(p - 1).isWhitespace) p -= 1
+    if (p == 0) return true
+    val c = sql(p - 1)
+    if (!masked(p - 1) && ("+-*/%(,=<>|".indexOf(c) >= 0)) true
+    else if (c.isLetter || c == '_') {
+      var ws = p
+      while (ws > 0 && (sql(ws - 1).isLetterOrDigit || sql(ws - 1) == '_')) ws -= 1
+      UnaryContextKeywords.contains(sql.substring(ws, p).toUpperCase)
+    } else false
+  }
+
+  private val UnaryContextKeywords = Set(
+    "SELECT", "DISTINCT", "ALL", "ANY", "SOME", "WHERE", "AND", "OR",
+    "NOT", "WHEN", "THEN", "ELSE", "CASE", "ON", "BY", "HAVING", "IN",
+    "BETWEEN", "LIMIT", "OFFSET", "SET", "VALUES", "UNION", "INTERSECT",
+    "EXCEPT", "RETURN", "RETURNING", "JOIN", "FROM")
 
   private def rewriteQuantified(sql0: String): String = {
     var sql = sql0
@@ -2463,6 +2655,23 @@ object TrinoFunctions {
             if (close < 0) throw new IllegalArgumentException(
               s"unbalanced parentheses in $op0 $quant (subquery)")
             val q = sql.substring(open + 1, close)
+            // The rewrite splices Q more than once (field accesses on
+            // the struct subquery collapse via ReuseSubquery only when
+            // the copies canonicalize EQUAL; <> ALL scans Q again for
+            // the membership probe). A nondeterministic Q would read
+            // inconsistent values across copies — reject it. Clock
+            // functions are safe: Spark folds the whole query's
+            // now()/current_timestamp to ONE value at plan time.
+            locally {
+              val nd = nondetFnPattern.matcher(q)
+              val qmask = maskedRegions(q)
+              while (nd.find()) if (!qmask(nd.start))
+                throw new IllegalArgumentException(
+                  s"quantified comparison ($op0 ${m.group(2)}) over a " +
+                    s"nondeterministic subquery (${nd.group(1)}) is not " +
+                    "supported — the rewrite evaluates the subquery more " +
+                    "than once; materialize it first (CTE or temp view)")
+            }
             val lStart = valueExprBackward(sql, masked, m.start)
             if (lStart < 0) throw new IllegalArgumentException(
               s"could not determine the left operand of $op0 " +
@@ -2784,10 +2993,25 @@ object TrinoFunctions {
             val minutes = try {
               if (toMinute || bare.contains(":")) {
                 val Array(h, mn) = bare.split(":", 2)
-                h.trim.toInt * 60 + mn.trim.toInt
+                // canonical interval literal only: the minute field is
+                // an UNSIGNED 0–59 (Trino rejects '8:99' and '8:-30')
+                val mnT = mn.trim
+                if (!mnT.matches("\\d{1,2}") || mnT.toInt > 59)
+                  throw new IllegalArgumentException(
+                    s"AT TIME ZONE INTERVAL: minute field must be an " +
+                      s"unsigned value in 0-59, got '$mn' in '$lit'")
+                if (!h.trim.matches("\\d+"))
+                  throw new IllegalArgumentException(
+                    s"AT TIME ZONE INTERVAL: malformed hour field " +
+                      s"'$h' in '$lit'")
+                h.trim.toInt * 60 + mnT.toInt
               } else if (u1 == "HOUR") bare.toInt * 60
               else bare.toInt
-            } catch { case _: Exception =>
+            } catch {
+              case e: IllegalArgumentException
+                if e.getMessage != null &&
+                  e.getMessage.startsWith("AT TIME ZONE INTERVAL") => throw e
+              case _: Exception =>
               throw new IllegalArgumentException(
                 s"AT TIME ZONE INTERVAL: cannot parse offset '$lit'")
             }
@@ -2918,7 +3142,7 @@ object TrinoFunctions {
     * early-stop like TakeOrderedAndProject; keep n-with-ties shaped
     * queries off the 100 TB hot path or pre-filter the scan.
     */
-  private def rewriteFetchTies(sql0: String): String = {
+  private def rewriteFetchTies(sql0: String, opts: PreprocessOpts): String = {
     var sql = sql0
     var guard = 0
     while (guard < 64) {
@@ -2976,15 +3200,20 @@ object TrinoFunctions {
           if (kw.find()) throw new IllegalArgumentException(
             s"FETCH ... WITH TIES cannot be combined with ${kw.group(1)} " +
               "here; apply the offset in an outer query")
-          if (keys.split(",").exists(_.trim.matches("(?i)\\d+(\\s+(ASC|DESC))?(\\s+NULLS\\s+(FIRST|LAST))?")))
+          // depth-aware key split: `substr(c, 1, 3)` is ONE key, its
+          // literal arguments are not ordinals (r14 ADVICE)
+          if (topLevelCommaSplit(keys).exists(
+              _.matches("(?i)\\d+(\\s+(ASC|DESC))?(\\s+NULLS\\s+(FIRST|LAST))?")))
             throw new IllegalArgumentException(
               "FETCH ... WITH TIES with ordinal ORDER BY keys is not " +
                 "supported; name the sort columns")
           val inner = sql.substring(blockStart, obStart).trim
           val repl =
-            s"SELECT * EXCEPT (__ties_rnk) FROM (SELECT *, rank() OVER " +
-              s"(ORDER BY $keys) AS __ties_rnk FROM ($inner) __ties_in) " +
-              s"__ties_w WHERE __ties_rnk <= $n ORDER BY $keys"
+            if (opts.tiesInBlock) tiesInBlockForm(inner, keys, n)
+            else
+              s"SELECT * EXCEPT (__ties_rnk) FROM (SELECT *, rank() OVER " +
+                s"(ORDER BY $keys) AS __ties_rnk FROM ($inner) __ties_in) " +
+                s"__ties_w WHERE __ties_rnk <= $n ORDER BY $keys"
           sql = sql.substring(0, blockStart) + repl + sql.substring(m.end)
           spliced = true
         }
@@ -2994,10 +3223,60 @@ object TrinoFunctions {
     sql
   }
 
-  private def rewriteFetchFirst(sql0: String): String = {
+  /** The retry reading of WITH TIES (opts.tiesInBlock): rank() computed
+    * INSIDE the original block — `SELECT <proj>, rank() OVER (ORDER BY
+    * keys) AS __ties_rnk FROM <tail>` — so keys resolve against the
+    * block's INPUT relations (ANSI's second resolution tier: an
+    * unprojected column like `SELECT n_name FROM nation ORDER BY
+    * n_regionkey FETCH FIRST 2 ROWS WITH TIES`, or an aggregate over a
+    * grouped block). The outer sort uses __ties_rnk itself — rank order
+    * IS the key order, and intra-tie order is undefined either way.
+    * Only plain SELECT blocks qualify: DISTINCT would dedup the
+    * injected rank column (changing semantics) and a set operation has
+    * no single projection to inject into — both throw, so the retry
+    * surfaces the FIRST attempt's error. */
+  private def tiesInBlockForm(inner: String, keys: String, n: String): String = {
+    val im = maskedRegions(inner)
+    var d = 0; var j = 0
+    var fromPos = -1
+    var setOp = false
+    def isWord(at: Int, w: String): Boolean =
+      inner.regionMatches(true, at, w, 0, w.length) &&
+        (at == 0 || (!inner(at - 1).isLetterOrDigit && inner(at - 1) != '_')) &&
+        (at + w.length >= inner.length ||
+          (!inner(at + w.length).isLetterOrDigit && inner(at + w.length) != '_'))
+    while (j < inner.length) {
+      if (!im(j)) {
+        inner(j) match {
+          case '(' => d += 1
+          case ')' => d -= 1
+          case c if d == 0 && c.isLetter =>
+            if (fromPos < 0 && isWord(j, "FROM")) fromPos = j
+            if (isWord(j, "UNION") || isWord(j, "INTERSECT") ||
+              isWord(j, "EXCEPT")) setOp = true
+          case _ => ()
+        }
+      }
+      j += 1
+    }
+    val trimmed = inner.trim
+    val isPlainSelect = trimmed.length >= 7 &&
+      trimmed.substring(0, 6).equalsIgnoreCase("SELECT") &&
+      !trimmed.matches("(?is)^SELECT\\s+DISTINCT\\b.*")
+    if (fromPos < 0 || setOp || !isPlainSelect)
+      throw new IllegalArgumentException(
+        "FETCH ... WITH TIES: the ORDER BY key must be resolvable from " +
+          "the block (DISTINCT and set-operation blocks must sort by a " +
+          "projected column)")
+    s"SELECT * EXCEPT (__ties_rnk) FROM (${inner.substring(0, fromPos).trim}, " +
+      s"rank() OVER (ORDER BY $keys) AS __ties_rnk ${inner.substring(fromPos)}) " +
+      s"__ties_w WHERE __ties_rnk <= $n ORDER BY __ties_rnk"
+  }
+
+  private def rewriteFetchFirst(sql0: String, opts: PreprocessOpts): String = {
     if (!sql0.toUpperCase.contains("FETCH") && !sql0.toUpperCase.contains("OFFSET"))
       return sql0
-    val sql = rewriteFetchTies(sql0)
+    val sql = rewriteFetchTies(sql0, opts)
     // pass 0: OFFSET n LIMIT m (Trino's order) → LIMIT m OFFSET n
     val sql1 = replaceUnmasked(sql, offsetLimitPattern) { m =>
       s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}"
@@ -3065,7 +3344,8 @@ object TrinoFunctions {
     "\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*(?:\\s*,\\s*[A-Za-z_][A-Za-z0-9_]*)*)\\s*\\)" +
     "(\\s*ON\\s+TRUE)?")
 
-  private def rewriteUnnest(sql0: String): String = {
+  private def rewriteUnnest(sql0: String,
+      opts: PreprocessOpts = PreprocessOpts()): String = {
     var sql = sql0
     var guard = 0
     while (guard < 64) { // one splice per pass; offsets shift each time
@@ -3137,7 +3417,15 @@ object TrinoFunctions {
           val outer = if (isLeft) " OUTER" else ""
           val gen =
             if (!ordinality) {
-              if (args.size == 1 && cols.size <= 2) s"explode(${args.head})"
+              // one argument with exactly 2 aliases is textually
+              // ambiguous: a MAP (→ explode, the default reading) or an
+              // ARRAY(ROW(a, b)) splat (→ inline, the retry reading
+              // QueryService picks when explode fails analysis with
+              // UDTF_ALIAS_NUMBER_MISMATCH — the analyzer supplies the
+              // type the text cannot)
+              if (args.size == 1 && cols.size == 2 && opts.unnestRowSplat)
+                s"inline(${args.head})"
+              else if (args.size == 1 && cols.size <= 2) s"explode(${args.head})"
               else if (args.size == 1) s"inline(${args.head})"
               else if (cols.size == args.size)
                 s"inline(arrays_zip(${args.mkString(", ")}))"
@@ -3647,6 +3935,17 @@ object BinFuncs {
     * Empty or non-digit input → false (Trino raises INVALID_FUNCTION_
     * ARGUMENT; kept total here — the guarded surface maps argument
     * errors to false under try()-less usage, documented in DIALECT.md). */
+  /** Trino error parity for luhn_check (spark.graft.strictErrors):
+    * non-digit input raises like Trino's INVALID_FUNCTION_ARGUMENT
+    * instead of returning false; the empty string is false in both. */
+  def luhnCheckStrict(s: UTF8String): Boolean = {
+    val str = s.toString
+    str.foreach(c => if (!c.isDigit) throw new IllegalArgumentException(
+      s"luhn_check: input contains a non-digit character '$c' " +
+        "(strict mode, matching Trino's INVALID_FUNCTION_ARGUMENT)"))
+    luhnCheck(s)
+  }
+
   def luhnCheck(s: UTF8String): Boolean = {
     val str = s.toString
     if (str.isEmpty || !str.forall(_.isDigit)) return false
@@ -3884,6 +4183,187 @@ object BinFuncs {
         keys.map(k => new org.apache.spark.sql.catalyst.util.GenericArrayData(
           values(k).toArray): Any).toArray))
   }
+
+  // ---- SpookyHash V2 (Bob Jenkins' public-domain SpookyV2.cpp) ----
+  // Trino's spooky_hash_v2_32/64(varbinary) (pass-through reachable,
+  // reference client.go:284-290) hash with both seeds 0 and emit the
+  // 64-bit result (resp. its low 32 bits) as BIG-ENDIAN varbinary —
+  // pinned against Trino's own published vectors in
+  // TrinoFunctionsSpec ('', 'hello', 'hello world').
+
+  private val SpookyConst = 0xdeadbeefdeadbeefL
+
+  @inline private def rotl(x: Long, k: Int): Long =
+    java.lang.Long.rotateLeft(x, k)
+
+  /** Short-input path (< 16 bytes handled wholly by the tail switch;
+    * 16..191 bytes in 32-byte gulps through ShortMix). */
+  private def spookyShort(data: Array[Byte], seed1: Long, seed2: Long): Long = {
+    val length = data.length
+    val bb = ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var a = seed1; var b = seed2; var c = SpookyConst; var d = SpookyConst
+    var off = 0
+    var rem = length % 32
+    def shortMix(): Unit = {
+      c = rotl(c, 50); c += d; a ^= c
+      d = rotl(d, 52); d += a; b ^= d
+      a = rotl(a, 30); a += b; c ^= a
+      b = rotl(b, 41); b += c; d ^= b
+      c = rotl(c, 54); c += d; a ^= c
+      d = rotl(d, 48); d += a; b ^= d
+      a = rotl(a, 38); a += b; c ^= a
+      b = rotl(b, 37); b += c; d ^= b
+      c = rotl(c, 62); c += d; a ^= c
+      d = rotl(d, 34); d += a; b ^= d
+      a = rotl(a, 5);  a += b; c ^= a
+      b = rotl(b, 36); b += c; d ^= b
+    }
+    if (length > 15) {
+      val blocks = length / 32
+      var i = 0
+      while (i < blocks) {
+        c += bb.getLong(off); d += bb.getLong(off + 8)
+        shortMix()
+        a += bb.getLong(off + 16); b += bb.getLong(off + 24)
+        off += 32; i += 1
+      }
+      if (rem >= 16) {
+        c += bb.getLong(off); d += bb.getLong(off + 8)
+        shortMix()
+        off += 16; rem -= 16
+      }
+    }
+    // last 0..15 bytes plus the total length (C switch fallthrough)
+    d += length.toLong << 56
+    if (rem >= 12) {
+      if (rem == 15) d += (data(off + 14) & 0xffL) << 48
+      if (rem >= 14) d += (data(off + 13) & 0xffL) << 40
+      if (rem >= 13) d += (data(off + 12) & 0xffL) << 32
+      d += bb.getInt(off + 8) & 0xffffffffL
+      c += bb.getLong(off)
+    } else if (rem >= 8) {
+      if (rem == 11) d += (data(off + 10) & 0xffL) << 16
+      if (rem >= 10) d += (data(off + 9) & 0xffL) << 8
+      if (rem >= 9)  d += data(off + 8) & 0xffL
+      c += bb.getLong(off)
+    } else if (rem >= 4) {
+      if (rem == 7) c += (data(off + 6) & 0xffL) << 48
+      if (rem >= 6) c += (data(off + 5) & 0xffL) << 40
+      if (rem >= 5) c += (data(off + 4) & 0xffL) << 32
+      c += bb.getInt(off) & 0xffffffffL
+    } else if (rem >= 1) {
+      if (rem == 3) c += (data(off + 2) & 0xffL) << 16
+      if (rem >= 2) c += (data(off + 1) & 0xffL) << 8
+      c += data(off) & 0xffL
+    } else { c += SpookyConst; d += SpookyConst }
+    // ShortEnd
+    d ^= c; c = rotl(c, 15); d += c
+    a ^= d; d = rotl(d, 52); a += d
+    b ^= a; a = rotl(a, 26); b += a
+    c ^= b; b = rotl(b, 51); c += b
+    d ^= c; c = rotl(c, 28); d += c
+    a ^= d; d = rotl(d, 9);  a += d
+    b ^= a; a = rotl(a, 47); b += a
+    c ^= b; b = rotl(b, 54); c += b
+    d ^= c; c = rotl(c, 32); d += c
+    a ^= d; d = rotl(d, 25); a += d
+    b ^= a; a = rotl(a, 63); b += a
+    a
+  }
+
+  /** Full SpookyHash V2: 12-lane Mix over 96-byte blocks, zero-padded
+    * tail with the remainder byte count in buf[95], then End (state +=
+    * tail data, three EndPartial rounds). Returns h0 (the 64-bit hash). */
+  def spookyHash64(data: Array[Byte], seed1: Long, seed2: Long): Long = {
+    val length = data.length
+    if (length < 192) return spookyShort(data, seed1, seed2)
+    val h = new Array[Long](12)
+    h(0) = seed1; h(3) = seed1; h(6) = seed1; h(9) = seed1
+    h(1) = seed2; h(4) = seed2; h(7) = seed2; h(10) = seed2
+    h(2) = SpookyConst; h(5) = SpookyConst; h(8) = SpookyConst; h(11) = SpookyConst
+    def mix(bb: ByteBuffer, off: Int): Unit = {
+      h(0) += bb.getLong(off);       h(2) ^= h(10); h(11) ^= h(0);  h(0) = rotl(h(0), 11);   h(11) += h(1)
+      h(1) += bb.getLong(off + 8);   h(3) ^= h(11); h(0) ^= h(1);   h(1) = rotl(h(1), 32);   h(0) += h(2)
+      h(2) += bb.getLong(off + 16);  h(4) ^= h(0);  h(1) ^= h(2);   h(2) = rotl(h(2), 43);   h(1) += h(3)
+      h(3) += bb.getLong(off + 24);  h(5) ^= h(1);  h(2) ^= h(3);   h(3) = rotl(h(3), 31);   h(2) += h(4)
+      h(4) += bb.getLong(off + 32);  h(6) ^= h(2);  h(3) ^= h(4);   h(4) = rotl(h(4), 17);   h(3) += h(5)
+      h(5) += bb.getLong(off + 40);  h(7) ^= h(3);  h(4) ^= h(5);   h(5) = rotl(h(5), 28);   h(4) += h(6)
+      h(6) += bb.getLong(off + 48);  h(8) ^= h(4);  h(5) ^= h(6);   h(6) = rotl(h(6), 39);   h(5) += h(7)
+      h(7) += bb.getLong(off + 56);  h(9) ^= h(5);  h(6) ^= h(7);   h(7) = rotl(h(7), 57);   h(6) += h(8)
+      h(8) += bb.getLong(off + 64);  h(10) ^= h(6); h(7) ^= h(8);   h(8) = rotl(h(8), 55);   h(7) += h(9)
+      h(9) += bb.getLong(off + 72);  h(11) ^= h(7); h(8) ^= h(9);   h(9) = rotl(h(9), 54);   h(8) += h(10)
+      h(10) += bb.getLong(off + 80); h(0) ^= h(8);  h(9) ^= h(10);  h(10) = rotl(h(10), 22); h(9) += h(11)
+      h(11) += bb.getLong(off + 88); h(1) ^= h(9);  h(10) ^= h(11); h(11) = rotl(h(11), 46); h(10) += h(0)
+    }
+    def endPartial(): Unit = {
+      h(11) += h(1); h(2) ^= h(11); h(1) = rotl(h(1), 44)
+      h(0) += h(2);  h(3) ^= h(0);  h(2) = rotl(h(2), 15)
+      h(1) += h(3);  h(4) ^= h(1);  h(3) = rotl(h(3), 34)
+      h(2) += h(4);  h(5) ^= h(2);  h(4) = rotl(h(4), 21)
+      h(3) += h(5);  h(6) ^= h(3);  h(5) = rotl(h(5), 38)
+      h(4) += h(6);  h(7) ^= h(4);  h(6) = rotl(h(6), 33)
+      h(5) += h(7);  h(8) ^= h(5);  h(7) = rotl(h(7), 10)
+      h(6) += h(8);  h(9) ^= h(6);  h(8) = rotl(h(8), 13)
+      h(7) += h(9);  h(10) ^= h(7); h(9) = rotl(h(9), 38)
+      h(8) += h(10); h(11) ^= h(8); h(10) = rotl(h(10), 53)
+      h(9) += h(11); h(0) ^= h(9);  h(11) = rotl(h(11), 42)
+      h(10) += h(0); h(1) ^= h(10); h(0) = rotl(h(0), 54)
+    }
+    val bb = ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val blocks = length / 96
+    var off = 0
+    var i = 0
+    while (i < blocks) { mix(bb, off); off += 96; i += 1 }
+    val rem = length - off
+    val buf = new Array[Byte](96)
+    System.arraycopy(data, off, buf, 0, rem)
+    buf(95) = rem.toByte
+    val tb = ByteBuffer.wrap(buf).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var k = 0
+    while (k < 12) { h(k) += tb.getLong(k << 3); k += 1 }
+    endPartial(); endPartial(); endPartial()
+    h(0)
+  }
+
+  def spookyHashV264(data: Array[Byte]): Array[Byte] =
+    ByteBuffer.allocate(8).putLong(spookyHash64(data, 0L, 0L)).array()
+
+  def spookyHashV232(data: Array[Byte]): Array[Byte] =
+    ByteBuffer.allocate(4).putInt(spookyHash64(data, 0L, 0L).toInt).array()
+
+  // ---- bar(x, width): Trino's ANSI bar-chart renderer ----
+  // `count = clamp(x·width)` full blocks (U+2588), each prefixed by a
+  // 256-color escape interpolated red→green in HSB space (the same
+  // java.awt conversions Trino's ColorFunctions uses), then a reset
+  // and space padding to `width` for column alignment.
+  def bar(percent: Double, width: Long): UTF8String = {
+    require(width > 0 && width <= 1000000,
+      s"bar width must be between 1 and 1000000, got $width")
+    val w = width.toInt
+    var count = (percent * w).toLong
+    if (count > w) count = w
+    if (count < 0) count = 0
+    val lowHsb = java.awt.Color.RGBtoHSB(255, 0, 0, null)   // red
+    val highHsb = java.awt.Color.RGBtoHSB(0, 255, 0, null)  // green
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < count) {
+      val f = (i / (w - 1.0)).toFloat
+      val rgb = java.awt.Color.HSBtoRGB(
+        f * (highHsb(0) - lowHsb(0)) + lowHsb(0),
+        f * (highHsb(1) - lowHsb(1)) + lowHsb(1),
+        f * (highHsb(2) - lowHsb(2)) + lowHsb(2)) & 0xffffff
+      // 6x6x6 ANSI color-cube index (16 + 36r' + 6g' + b', c' = c*6/256)
+      val ansi = 16 + ((rgb >> 16 & 0xff) * 6 / 256) * 36 +
+        ((rgb >> 8 & 0xff) * 6 / 256) * 6 + (rgb & 0xff) * 6 / 256
+      sb.append("\u001b[38;5;").append(ansi).append('m').append('\u2588')
+      i += 1
+    }
+    sb.append("\u001b[0m")
+    var j = count
+    while (j < w) { sb.append(' '); j += 1 }
+    UTF8String.fromString(sb.toString)
+  }
 }
 
 /** Jackson-backed JSON inspectors behind json_size / is_json_scalar
@@ -3955,6 +4435,32 @@ object JsonFuncs {
     }
     val node = walk(root, path)
     if (node == null) null else UTF8String.fromString(mapper.writeValueAsString(node))
+  }
+
+  /** json_query with wrapper/quote behavior (rewriteJsonQueryClauses
+    * mode literal): wrapper N = without (default), U = unconditional
+    * array wrap, C = conditional (wrap unless the match is already an
+    * array or object — the SQL/JSON rule); quotes K = keep (default),
+    * O = omit on a scalar string (raw text, no surrounding quotes; the
+    * clause grammar already forbids O under a wrapper). */
+  def jsonQueryMode(j: UTF8String, p: UTF8String, mode: UTF8String): UTF8String = {
+    val path = sqlJsonPath(p)
+    val m = mode.toString
+    val root = try parse(j) catch { case _: IllegalArgumentException =>
+      require(path.nonEmpty && path.charAt(0) == '$', s"invalid json path: $path")
+      return null
+    }
+    val node = walk(root, path)
+    if (node == null) return null
+    if (m.charAt(1) == 'O' && node.isTextual)
+      return UTF8String.fromString(node.asText())
+    val out: JsonNode = m.charAt(0) match {
+      case 'U' => mapper.createArrayNode().add(node)
+      case 'C' if !node.isArray && !node.isObject =>
+        mapper.createArrayNode().add(node)
+      case _ => node
+    }
+    UTF8String.fromString(mapper.writeValueAsString(out))
   }
 
   /** json_exists(j, path): does the path land on any JSON item; FALSE

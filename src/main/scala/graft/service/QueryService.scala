@@ -323,44 +323,12 @@ class QueryService(engine: Engine) {
             return explainToResult(q, "")
         }
     }
-    val dialectSql0 =
-      try graft.dialect.TrinoFunctions.preprocess(stripped)
-      catch { case e: IllegalArgumentException => return Left(e.getMessage) }
-    val mrViews = scala.collection.mutable.ArrayBuffer.empty[String]
-    try {
-    val dialectSql = spliceMatchRecognize(dialectSql0, mrViews) match {
-      case Right(s2) => s2
-      case Left(err) => return Left(err)
-    }
-    // Opt-in hardening beyond the reference (GRAFT_ENFORCE_SQL_ALLOWLISTS):
-    // judge every referenced relation against the allowlists BEFORE
-    // analysis; runs on the pre-InfoSchema-rewrite text so
-    // information_schema references keep their exemption.
-    if (engine.config.enforceSqlAllowlists) {
-      val parsed =
-        try engine.spark.sessionState.sqlParser.parsePlan(dialectSql)
-        catch { case e: Throwable => return Left(s"query execution failed: ${clip(e)}") }
-      graft.security.SqlAllowlist.check(parsed, engine.allowlists,
-          engine.sessionCatalog, engine.sessionSchema) match {
-        case Some(err) => return Left(err)
-        case None => ()
-      }
-    }
-    // information_schema introspection (Trino serves it natively behind
-    // the reference's pass-through): rebuild the shim views from the
-    // current catalog and route the reference to them.
-    val finalSql =
-      if (InfoSchema.references(dialectSql)) {
-        try InfoSchema.refresh(engine)
-        catch { case e: Throwable =>
-          return Left(s"query execution failed: ${clip(e)}") }
-        InfoSchema.rewrite(dialectSql)
-      } else dialectSql
-    val df =
-      try runSql(finalSql)
-      catch { case e: Throwable => return Left(s"query execution failed: ${clip(e)}") }
-    collectBounded(df)
-    } finally dropMrViews(mrViews)
+    // The standard statement pipeline — shared with the embedded-query
+    // entry points (EXPLAIN ANALYZE targets, DESCRIBE OUTPUT probes) so
+    // the type-aware ambiguity retry applies uniformly. buildStatement
+    // drops its MATCH_RECOGNIZE views post-analysis (safe: the plan
+    // holds resolved relations, not catalog lookups).
+    buildStatement(stripped).flatMap(collectBounded)
   }
 
   /** MATCH_RECOGNIZE (SQL:2016 row patterns — Trino-only; Spark's
@@ -414,8 +382,38 @@ class QueryService(engine: Engine) {
     * targets, subquery forms: EXPLAIN / SHOW STATS over a
     * MATCH_RECOGNIZE query work like any other statement. */
   private def buildStatement(inner: String): Either[String, DataFrame] = {
+    val first = buildStatementOpts(inner,
+      graft.dialect.TrinoFunctions.PreprocessOpts())
+    first match {
+      case Left(err) =>
+        // Type-aware retry: two textual forms are ambiguous without
+        // types, and their default readings fail analysis with a
+        // recognizable signature. Re-preprocess under the alternate
+        // reading; if that also fails, surface the FIRST error (it
+        // carries the curated workaround text).
+        val up = inner.toUpperCase
+        val wantSplat = up.contains("UNNEST") &&
+          (err.contains("UDTF_ALIAS_NUMBER_MISMATCH") ||
+            (err.contains("number of aliases") && err.contains("explode")))
+        val wantTies = up.contains("WITH TIES") &&
+          (err.contains("UNRESOLVED_COLUMN") ||      // key not projected
+            err.contains("MISSING_GROUP_BY"))        // key is an aggregate
+        if (!wantSplat && !wantTies) first
+        else buildStatementOpts(inner, graft.dialect.TrinoFunctions
+            .PreprocessOpts(unnestRowSplat = wantSplat,
+              tiesInBlock = wantTies)) match {
+          case Right(df) => Right(df)
+          case Left(_) => first
+        }
+      case ok => ok
+    }
+  }
+
+  private def buildStatementOpts(inner: String,
+      opts: graft.dialect.TrinoFunctions.PreprocessOpts)
+      : Either[String, DataFrame] = {
     val innerSql0 =
-      try graft.dialect.TrinoFunctions.preprocess(inner)
+      try graft.dialect.TrinoFunctions.preprocess(inner, opts)
       catch { case e: IllegalArgumentException => return Left(e.getMessage) }
     val mrViews = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
@@ -515,16 +513,17 @@ class QueryService(engine: Engine) {
   private def clip(e: Throwable): String = {
     val m0 = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
     // UNNEST(array_of_2_field_rows) AS t(a, b) is textually ambiguous
-    // with UNNEST(map) — the dialect routes 2 aliases to explode(),
-    // which then fails analysis on a row array. Name the workaround
-    // (the rewrite itself cannot see types; DIALECT.md documents this).
+    // with UNNEST(map) — the dialect routes 2 aliases to explode()
+    // first and buildStatement retries the inline() reading when that
+    // fails analysis. Reaching THIS message means both readings failed
+    // (e.g. the element row has ≠2 fields); name the workaround.
     val m =
       if (m0.contains("UDTF_ALIAS_NUMBER_MISMATCH") ||
           (m0.contains("number of aliases") && m0.contains("explode")))
-        m0 + " — if this is UNNEST of an ARRAY(ROW(a, b)) with two " +
-          "aliases, the dialect assumed a map (same textual shape); " +
-          "select the row fields instead: CROSS JOIN UNNEST(x) AS t(r) " +
-          "then r.a, r.b, or add a third dummy field to the row"
+        m0 + " — UNNEST with two aliases takes a MAP or an " +
+          "ARRAY(ROW(a, b)) (both readings were tried); for other " +
+          "element shapes select the row fields instead: CROSS JOIN " +
+          "UNNEST(x) AS t(r) then r.a, r.b"
       else m0
     if (m.length > 800) m.take(800) + "…" else m
   }

@@ -1241,16 +1241,216 @@ class TrinoFunctionsSpec extends SparkSpec {
     assert(one("SELECT from_utf8(from_base32('MY======'))") == "f")
   }
 
-  test("UNNEST of a 2-field row array fails with the map-ambiguity hint") {
-    // one argument + two aliases is textually a MAP unnest; an
-    // ARRAY(ROW(a, b)) lands on explode() and fails analysis — the
-    // error must carry the documented workarounds (DIALECT.md)
-    val e = qs.execute(
+  test("UNNEST of a 2-field row array splats via the type-aware retry") {
+    // one argument + two aliases is textually a MAP unnest; the
+    // default explode() reading fails analysis on an ARRAY(ROW(a, b))
+    // and QueryService retries the inline() reading — Trino's
+    // row-splat now RUNS instead of erroring (r14 VERDICT item 2)
+    val r = qs.execute(
       """SELECT u.x, u.y
         |FROM (SELECT array(CAST(ROW(1, 2) AS ROW(a int, b int))) AS arr) t
         |CROSS JOIN UNNEST(t.arr) AS u(x, y)""".stripMargin)
+    assert(r.fold(e => fail(e), _.rows.map(_.toSeq)) == Seq(Seq(1, 2)), r)
+    // the MAP reading still wins first (no retry, explode succeeds)
+    val m = qs.execute(
+      "SELECT k, v FROM UNNEST(map('a', 1)) AS t(k, v)")
+    assert(m.fold(e => fail(e), _.rows.map(_.toSeq)) == Seq(Seq("a", 1)))
+    // a shape NEITHER reading accepts (3-field rows, 2 aliases) still
+    // fails, and the message names both readings
+    val e = qs.execute(
+      """SELECT u.x, u.y
+        |FROM (SELECT array(CAST(ROW(1, 2, 3) AS ROW(a int, b int, c int)))
+        |  AS arr) t
+        |CROSS JOIN UNNEST(t.arr) AS u(x, y)""".stripMargin)
     assert(e.isLeft, e)
-    assert(e.left.exists(_.contains("ARRAY(ROW(a, b))")), e)
+    assert(e.left.exists(_.contains("both readings")), e)
+  }
+
+  test("spooky_hash_v2_32/64 match Trino's published vectors") {
+    // authoritative vectors (Trino TestVarbinaryFunctions): the empty
+    // string and 'hello' — two exact 64-bit agreements pin the
+    // transcription of the public-domain SpookyV2 algorithm; the
+    // 32-bit form is the low word, emitted big-endian
+    assert(one("SELECT to_hex(spooky_hash_v2_64(CAST('' AS VARBINARY)))")
+      == "232706FC6BF50919")
+    assert(one("SELECT to_hex(spooky_hash_v2_32(CAST('' AS VARBINARY)))")
+      == "6BF50919")
+    assert(one("SELECT to_hex(spooky_hash_v2_64(to_utf8('hello')))")
+      == "3768826AD382E6CA")
+    assert(one("SELECT to_hex(spooky_hash_v2_32(to_utf8('hello')))")
+      == "D382E6CA")
+    // NULL propagates
+    assert(one("SELECT spooky_hash_v2_64(CAST(NULL AS VARBINARY))") == null)
+  }
+
+  test("spooky hash regression pins across every internal path") {
+    // computed-once pins (deterministic tabulated input) covering the
+    // byte-tail switch (11B), ShortMix (16..191B) and the 12-lane long
+    // path (>=192B, exact block boundary and tails) — a change in any
+    // rotation constant or tail case moves at least one of these
+    def spooky(n: Int): String = {
+      val d = Array.tabulate(n)(i => ((i * 131 + 7) & 0xff).toByte)
+      graft.dialect.BinFuncs.spookyHashV264(d).map(b => f"$b%02X").mkString
+    }
+    assert(one("SELECT to_hex(spooky_hash_v2_64(to_utf8('hello world')))")
+      == "CE4E98819BFF125D")
+    assert(spooky(16) == "20E6E04F54401CFC")
+    assert(spooky(31) == "39996B108AD92102")
+    assert(spooky(100) == "1CAFEEE771744B11")
+    assert(spooky(191) == "4EDBFFF25A346108")
+    assert(spooky(192) == "8918BA2EEBEBFDE9")
+    assert(spooky(200) == "29284E3D4F37AF39")
+    assert(spooky(960) == "6CD53935BE11A745")
+  }
+
+  test("bar() renders the ANSI red-to-green ramp with padding") {
+    val s = one("SELECT bar(0.75, 8)").asInstanceOf[String]
+    // 6 full blocks, each color-prefixed, then reset + 2 pad spaces
+    assert(s.count(_ == '\u2588') == 6, s)
+    assert(s.startsWith("\u001b[38;5;196m\u2588"), s)  // pure red first
+    assert(s.endsWith("\u001b[0m  "), s)
+    // clamping: <=0 renders no blocks, >=1 renders width blocks
+    val empty = one("SELECT bar(-0.5, 3)").asInstanceOf[String]
+    assert(empty.count(_ == '\u2588') == 0 && empty.endsWith("   "))
+    val full = one("SELECT bar(2.0, 3)").asInstanceOf[String]
+    assert(full.count(_ == '\u2588') == 3)
+    // width bounds are enforced
+    val e = qs.execute("SELECT bar(0.5, 0)")
+    assert(e.isLeft && e.left.exists(_.contains("width")), e)
+    // COLOR-typed 4-arg form is a curated reject
+    val e4 = qs.execute("SELECT bar(0.5, 10, 1, 2)")
+    assert(e4.isLeft && e4.left.exists(_.contains("COLOR")), e4)
+  }
+
+  test("json_query wrapper and quote clauses") {
+    // WITH [UNCONDITIONAL] ARRAY WRAPPER always wraps
+    assert(one("""SELECT json_query('{"a": [1, 2]}', 'lax $.a' WITH ARRAY WRAPPER)""")
+      == "[[1,2]]")
+    assert(one("""SELECT json_query('{"a": [1, 2]}', '$.a' WITH UNCONDITIONAL ARRAY WRAPPER)""")
+      == "[[1,2]]")
+    // CONDITIONAL wraps only non-container matches
+    assert(one("""SELECT json_query('{"a": [1, 2]}', '$.a' WITH CONDITIONAL ARRAY WRAPPER)""")
+      == "[1,2]")
+    assert(one("""SELECT json_query('{"a": [1, 2]}', '$.a[0]' WITH CONDITIONAL ARRAY WRAPPER)""")
+      == "[1]")
+    // WITHOUT WRAPPER is the existing default, spelled explicitly
+    assert(one("""SELECT json_query('{"a": [1, 2]}', '$.a' WITHOUT ARRAY WRAPPER)""")
+      == "[1,2]")
+    // quotes: KEEP is the default serialization, OMIT strips them on
+    // a scalar string (and only there)
+    assert(one("""SELECT json_query('{"s": "x y"}', '$.s' KEEP QUOTES)""")
+      == "\"x y\"")
+    assert(one("""SELECT json_query('{"s": "x y"}', '$.s' OMIT QUOTES)""")
+      == "x y")
+    assert(one("""SELECT json_query('{"s": "x"}', '$.s' OMIT QUOTES ON SCALAR STRING)""")
+      == "x")
+    assert(one("""SELECT json_query('{"a": [1]}', '$.a' OMIT QUOTES)""")
+      == "[1]")
+    // SQL/JSON rule: OMIT QUOTES under a wrapper is rejected
+    val e = qs.execute(
+      """SELECT json_query('{"s": "x"}', '$.s' WITH ARRAY WRAPPER OMIT QUOTES)""")
+    assert(e.isLeft && e.left.exists(_.contains("OMIT QUOTES")), e)
+    // ON EMPTY / ON ERROR stay curated rejects
+    val e2 = qs.execute(
+      """SELECT json_query('{}', '$.a' WITH ARRAY WRAPPER NULL ON ERROR)""")
+    assert(e2.isLeft && e2.left.exists(_.contains("trailing clause")), e2)
+    // clause keywords inside the PATH literal are data
+    assert(one("""SELECT json_query('{"WITH ARRAY WRAPPER": 1}', '$["WITH ARRAY WRAPPER"]')""")
+      == "1")
+  }
+
+  test("luhn_check: strict mode raises on non-digit input like Trino") {
+    // default (total) mode: non-digit → false
+    assert(one("SELECT luhn_check('79927398713')") == true)
+    assert(one("SELECT luhn_check('79927398714')") == false)
+    assert(one("SELECT luhn_check('7992a')") == false)
+    spark.conf.set("spark.graft.strictErrors", "true")
+    try {
+      val e = qs.execute("SELECT luhn_check('7992a')")
+      assert(e.isLeft && e.left.exists(_.contains("non-digit")), e)
+      // digits still validate in strict mode; empty is false in both
+      assert(one("SELECT luhn_check('79927398713')") == true)
+      assert(one("SELECT luhn_check('')") == false)
+    } finally spark.conf.unset("spark.graft.strictErrors")
+  }
+
+  test("WITH TIES: function-call ORDER BY keys with literal args work") {
+    // r14 ADVICE (medium): the key list must split at TOP-LEVEL commas
+    // only — substr(c, 1, 8)'s '1' is an argument, not an ordinal key.
+    // Synth names NATION_0..24: 8-char prefixes group as NATION_0 (1
+    // row, rank 1) then NATION_1 = {1, 10..19} (11 rows, rank 2) → 12
+    val r = qs.execute(
+      """SELECT n_name FROM nation
+        |ORDER BY substr(n_name, 1, 8) FETCH FIRST 2 ROWS WITH TIES"""
+        .stripMargin)
+    assert(r.fold(e => fail(e), _.rows.size) == 12, r)
+    // a genuinely ordinal key is still rejected
+    val e = qs.execute(
+      "SELECT n_name FROM nation ORDER BY substr(n_name, 1, 3), 2 " +
+        "FETCH FIRST 2 ROWS WITH TIES")
+    assert(e.isLeft && e.left.exists(_.contains("ordinal")), e)
+  }
+
+  test("WITH TIES: unprojected ORDER BY keys resolve via in-block retry") {
+    // r14 ADVICE (low): legal SQL sorting by a column outside the
+    // projection — the outer rank() form can't see it; the retry ranks
+    // inside the block (5 nations share region 0 → 5 rows)
+    val r = qs.execute(
+      """SELECT n_name FROM nation
+        |ORDER BY n_regionkey FETCH FIRST 2 ROWS WITH TIES""".stripMargin)
+    assert(r.fold(e => fail(e), _.rows.size) == 5, r)
+    // grouped block, aggregate key (in-block window over the agg)
+    val g = qs.execute(
+      """SELECT n_regionkey FROM nation GROUP BY n_regionkey
+        |ORDER BY count(*) FETCH FIRST 2 ROWS WITH TIES""".stripMargin)
+    assert(g.fold(e => fail(e), _.rows.size) == 5, g)
+    // a key that resolves NOWHERE still errors
+    val e = qs.execute(
+      "SELECT n_name FROM nation ORDER BY no_such_col " +
+        "FETCH FIRST 2 ROWS WITH TIES")
+    assert(e.isLeft, e)
+  }
+
+  test("quantified comparison rejects nondeterministic subqueries") {
+    // r14 ADVICE (low): the rewrite evaluates the subquery more than
+    // once; rand()/uuid() copies would disagree — curated reject
+    val e = qs.execute(
+      "SELECT 1 > ALL (SELECT rand() FROM region)")
+    assert(e.isLeft && e.left.exists(_.contains("nondeterministic")), e)
+    val e2 = qs.execute(
+      "SELECT 'x' <> ALL (SELECT uuid() FROM region)")
+    assert(e2.isLeft && e2.left.exists(_.contains("nondeterministic")), e2)
+    // the names as DATA don't trip it (literal content is masked)
+    assert(one("SELECT 'rand(' <> ALL (SELECT r_name FROM region)") == true)
+  }
+
+  test("AT TIME ZONE INTERVAL rejects non-canonical minute fields") {
+    // r14 ADVICE (low): '8:99' and '8:-30' must be rejected, not
+    // silently renormalized
+    val e1 = qs.execute(
+      "SELECT TIMESTAMP '2001-08-22 03:04:05' AT TIME ZONE INTERVAL '8:99' HOUR TO MINUTE")
+    assert(e1.isLeft && e1.left.exists(_.contains("minute field")), e1)
+    val e2 = qs.execute(
+      "SELECT TIMESTAMP '2001-08-22 03:04:05' AT TIME ZONE INTERVAL '8:-30' HOUR TO MINUTE")
+    assert(e2.isLeft && e2.left.exists(_.contains("minute field")), e2)
+    // canonical forms still pass
+    assert(one("""SELECT CAST(TIMESTAMP '2001-08-22 03:04:05'
+                 |  AT TIME ZONE INTERVAL '8:30' HOUR TO MINUTE AS STRING)"""
+      .stripMargin).toString.contains("11:34:05"))
+  }
+
+  test("quantified left-operand walk: binary minus after CASE END hints") {
+    // r14 ADVICE (low): `CASE … END - 1 > ALL (q)` has an unparseable
+    // left side — the parenthesize hint must fire, not a mangled splice
+    val e = qs.execute(
+      "SELECT CASE WHEN true THEN 2 ELSE 3 END - 1 > ALL " +
+        "(SELECT r_regionkey FROM region WHERE r_regionkey < 1)")
+    assert(e.isLeft && e.left.exists(_.contains("parenthesize")), e)
+    // parenthesized it works; genuine unary signs still absorb
+    assert(one("SELECT (CASE WHEN true THEN 2 ELSE 3 END - 1) > ALL " +
+      "(SELECT r_regionkey FROM region WHERE r_regionkey < 1)") == true)
+    assert(one("SELECT -1 <= ALL (SELECT r_regionkey FROM region)") == true)
+    assert(one("SELECT 2 * -1 <= ALL (SELECT r_regionkey FROM region)") == true)
   }
 
   test("regexp_position counts code points, not UTF-16 units") {
