@@ -207,6 +207,37 @@ object Funcs {
         .orderBy(col("c_custkey"))
     }),
 
+    // SQL/JSON json_query wrapper/quote clauses through the dialect
+    // rewrite (rewriteJsonQueryClauses → JsonFuncs.jsonQueryMode):
+    // DuckDB replays the wrapper shapes with string assembly over
+    // json_extract and the quote behaviors with/without the raw text.
+    "fn_json_clauses" -> ((s, d) => {
+      graft.dialect.TrinoFunctions.register(s)
+      graft.engine.Tables.sql(s, d, graft.dialect.TrinoFunctions.preprocess(
+        """SELECT event_id,
+          |  json_query(props, '$.k' WITH ARRAY WRAPPER) AS k_wrapped,
+          |  json_query(props, '$.k' WITH CONDITIONAL ARRAY WRAPPER) AS k_cond,
+          |  json_query(props, '$' WITH CONDITIONAL ARRAY WRAPPER) AS obj_cond,
+          |  json_query('{"s": "' || event_type || '"}', '$.s' KEEP QUOTES) AS s_keep,
+          |  json_query('{"s": "' || event_type || '"}', '$.s' OMIT QUOTES) AS s_omit
+          |FROM events
+          |ORDER BY event_id""".stripMargin))
+    }),
+
+    // spooky_hash_v2 + bar(): no DuckDB twin exists, so the oracle pins
+    // the published Trino vectors ('', 'hello') and bar's deterministic
+    // rendered lengths as constants — still an end-to-end gate through
+    // preprocess → registry → codegen → parquet.
+    "fn_spooky_bar" -> ((s, d) => {
+      graft.dialect.TrinoFunctions.register(s)
+      graft.engine.Tables.sql(s, d, graft.dialect.TrinoFunctions.preprocess(
+        """SELECT to_hex(spooky_hash_v2_64(to_utf8('hello'))) AS h64,
+          |  to_hex(spooky_hash_v2_32(to_utf8('hello'))) AS h32,
+          |  to_hex(spooky_hash_v2_64(to_utf8(''))) AS h64_empty,
+          |  CAST(length(bar(0.5, 2)) AS INT) AS bar_half_len,
+          |  CAST(length(bar(0.0, 3)) AS INT) AS bar_zero_len""".stripMargin))
+    }),
+
     // 53. json functions on events.props.
     "fn_json" -> ((s, d) =>
       t(s, d, "events").select(
@@ -349,6 +380,23 @@ object Funcs {
         |  MAP(['seg','name'], [c_mktsegment, c_name])['seg'][1] AS seg_val,
         |  CAST(cardinality(MAP(['seg','name'], [c_mktsegment, c_name])) AS INT) AS m_size
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "fn_json_clauses" ->
+      """SELECT event_id,
+        |  '[' || CAST(json_extract(props, '$.k') AS VARCHAR) || ']' AS k_wrapped,
+        |  '[' || CAST(json_extract(props, '$.k') AS VARCHAR) || ']' AS k_cond,
+        |  CAST(json_extract(props, '$') AS VARCHAR) AS obj_cond,
+        |  '"' || event_type || '"' AS s_keep,
+        |  event_type AS s_omit
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    "fn_spooky_bar" ->
+      """SELECT '3768826AD382E6CA' AS h64,
+        |  'D382E6CA' AS h32,
+        |  '232706FC6BF50919' AS h64_empty,
+        |  CAST(17 AS INT) AS bar_half_len,
+        |  CAST(7 AS INT) AS bar_zero_len""".stripMargin,
 
     "fn_json" ->
       """SELECT event_id,

@@ -117,6 +117,19 @@ object Relational {
           |ORDER BY l_quantity, l_linenumber
           |FETCH FIRST 100 ROWS WITH TIES""".stripMargin))),
 
+    // WITH TIES sorting by a column OUTSIDE the projection — the
+    // in-block reading (rank() computed inside the query block; the
+    // served path reaches it via the type-aware retry, exercised here
+    // directly through PreprocessOpts). Outer ORDER BY restores total
+    // order for the positional oracle compare.
+    "limit_ties_unprojected" -> ((s, d) =>
+      graft.engine.Tables.sql(s, d, graft.dialect.TrinoFunctions.preprocess(
+        """SELECT o_orderkey FROM (
+          |  SELECT o_orderkey FROM orders
+          |  ORDER BY o_custkey FETCH FIRST 50 ROWS WITH TIES
+          |) t ORDER BY o_orderkey""".stripMargin,
+        graft.dialect.TrinoFunctions.PreprocessOpts(tiesInBlock = true)))),
+
     // 5. top-k — Catalyst plans TakeOrderedAndProject (no full sort).
     "topk_orderby_limit" -> ((s, d) =>
       t(s, d, "customer")
@@ -532,6 +545,13 @@ object Relational {
         |  FROM lineitem
         |) t WHERE r <= 100
         |ORDER BY l_quantity, l_linenumber""".stripMargin,
+
+    "limit_ties_unprojected" ->
+      """SELECT o_orderkey FROM (
+        |  SELECT o_orderkey, rank() OVER (ORDER BY o_custkey) AS r
+        |  FROM orders
+        |) t WHERE r <= 50
+        |ORDER BY o_orderkey""".stripMargin,
 
     "agg_array_ordered" ->
       """SELECT c_mktsegment,
