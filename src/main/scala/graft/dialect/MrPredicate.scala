@@ -165,6 +165,68 @@ object MrPredicate {
     case _              => false
   }
 
+  /** Streaming lowering of backward PHYSICAL navigation: the per-user
+    * state buffer IS the ordered partition prefix, so PREV(col, n) at
+    * buffer row j is exactly an expression-navigation read at j-n —
+    * [[PNavX]]/[[NavX]] already implement that (null off the buffer
+    * start, which is the partition start for a user's first rows and
+    * the retained-context boundary after eviction; the caller keeps
+    * [[maxPrevDepth]] context rows so in-horizon reads never truncate).
+    * NEXT stays with the caller's reject — its target row may not have
+    * arrived. */
+  def lowerPrevForBuffer(n: Node): Node = n match {
+    case PNav(true, c, k) => PNavX(-k, Cur(c))
+    case NestNav(true, v, c, f, off, k) => NavX(v, f, off, Cur(c), -k)
+    case NavX(v, f, o, e, s) => NavX(v, f, o, lowerPrevForBuffer(e), s)
+    case AggX(fn, v, e)  => AggX(fn, v, lowerPrevForBuffer(e))
+    case PNavX(s, e)     => PNavX(s, lowerPrevForBuffer(e))
+    case Cmp(op, l, r)   => Cmp(op, lowerPrevForBuffer(l), lowerPrevForBuffer(r))
+    case Arith(op, l, r) => Arith(op, lowerPrevForBuffer(l), lowerPrevForBuffer(r))
+    case And(l, r)       => And(lowerPrevForBuffer(l), lowerPrevForBuffer(r))
+    case Or(l, r)        => Or(lowerPrevForBuffer(l), lowerPrevForBuffer(r))
+    case Neg(e)          => Neg(lowerPrevForBuffer(e))
+    case Not(e)          => Not(lowerPrevForBuffer(e))
+    case IsNull(e, neg)  => IsNull(lowerPrevForBuffer(e), neg)
+    case other           => other
+  }
+
+  /** Any FORWARD physical step (NEXT in any spelling)? Those cannot run
+    * over a stream — the target row may not exist yet. */
+  def usesNextNav(n: Node): Boolean = n match {
+    case PNav(p, _, _)             => !p
+    case NestNav(p, _, _, _, _, _) => !p
+    case PNavX(s, e)      => s > 0 || usesNextNav(e)
+    case NavX(_, _, _, e, s) => s > 0 || usesNextNav(e)
+    case AggX(_, _, e)    => usesNextNav(e)
+    case Cmp(_, l, r)     => usesNextNav(l) || usesNextNav(r)
+    case Arith(_, l, r)   => usesNextNav(l) || usesNextNav(r)
+    case And(l, r)        => usesNextNav(l) || usesNextNav(r)
+    case Or(l, r)         => usesNextNav(l) || usesNextNav(r)
+    case Neg(e)           => usesNextNav(e)
+    case Not(e)           => usesNextNav(e)
+    case IsNull(e, _)     => usesNextNav(e)
+    case _                => false
+  }
+
+  /** Deepest backward physical step — how many rows BEFORE an attempt's
+    * start a PREV can read (logical navigation targets sit at or after
+    * the start, so a nested step back of k reaches at most start - k). */
+  def maxPrevDepth(n: Node): Int = n match {
+    case PNav(true, _, k)             => k
+    case NestNav(true, _, _, _, _, k) => k
+    case PNavX(s, e)      => math.max(math.max(-s, 0), maxPrevDepth(e))
+    case NavX(_, _, _, e, s) => math.max(math.max(-s, 0), maxPrevDepth(e))
+    case AggX(_, _, e)    => maxPrevDepth(e)
+    case Cmp(_, l, r)     => math.max(maxPrevDepth(l), maxPrevDepth(r))
+    case Arith(_, l, r)   => math.max(maxPrevDepth(l), maxPrevDepth(r))
+    case And(l, r)        => math.max(maxPrevDepth(l), maxPrevDepth(r))
+    case Or(l, r)         => math.max(maxPrevDepth(l), maxPrevDepth(r))
+    case Neg(e)           => maxPrevDepth(e)
+    case Not(e)           => maxPrevDepth(e)
+    case IsNull(e, _)     => maxPrevDepth(e)
+    case _                => 0
+  }
+
   /** Collapse every [[QCol]] to a plain [[Cur]] — evaluation pins the
     * row, so inside the argument a column read is just a column read. */
   private def stripQCols(e: Node): Node = e match {

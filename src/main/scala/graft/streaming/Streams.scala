@@ -529,7 +529,9 @@ object Streams {
       }.getOrElse(Seq(v))
     require(!spec.defines.exists(d => d._2.toUpperCase.contains("PREV") ||
         d._2.toUpperCase.contains("NEXT")),
-      "matchRecognizeStream: PREV/NEXT are not available over a stream")
+      "matchRecognizeStream: PREV/NEXT are not available on the " +
+        "flags-only face (state keeps booleans, not values) — use " +
+        "matchRecognizeRows, whose buffered values serve PREV directly")
     // the batch planner routes these to the interpreted matcher, which
     // needs row VALUES — the stream's state keeps only boolean flags,
     // so reject with the same clear message style as the other limits
@@ -662,8 +664,12 @@ object Streams {
   final case class MrRowV(tsMillis: Long, eventId: Long,
       flags: Seq[Boolean], vals: Seq[Any])
 
-  /** Per-user state for [[matchRecognizeRows]]. */
-  final case class MrStateV(rows: Seq[MrRowV], matchNo: Long)
+  /** Per-user state for [[matchRecognizeRows]]. The first `ctxRows`
+    * buffered rows are CONTEXT — already matched or dead, retained only
+    * so PREV at a live attempt's start can read its true predecessors;
+    * attempts never start inside them. */
+  final case class MrStateV(rows: Seq[MrRowV], matchNo: Long,
+      ctxRows: Int = 0)
 
   /** Streaming MATCH_RECOGNIZE with the clause's REAL measures — the
     * full-output sibling of [[matchRecognizeStream]] (which emits the
@@ -679,9 +685,15 @@ object Streams {
     * references `DEFINE C AS price <= A.price`, running aggregates,
     * FIRST/LAST navigation) work too — the matcher re-tests rows under
     * each hypothesis' own assignment exactly as the batch matcher does.
-    * PHYSICAL navigation (PREV/NEXT in any form) stays rejected: it
-    * needs a bounded partition window that an unbounded stream does
-    * not have. Emission, watermark, and `within`-horizon discipline are
+    * PREV (any depth, simple or composite argument, nested under
+    * FIRST/LAST) works in DEFINE: the state buffer IS the ordered
+    * partition prefix, so PREV(col, n) at buffer row j reads row j-n —
+    * the same value the batch lag() column carries; eviction keeps
+    * maxPrevDepth CONTEXT rows behind the first live attempt so those
+    * reads never truncate (a PREV-using clause therefore pins at most
+    * maxPrevDepth rows per idle user instead of dropping drained
+    * state). NEXT stays rejected: its target row may not have arrived.
+    * Emission, watermark, and `within`-horizon discipline are
     * identical to [[matchRecognizeStream]]; output = user_id + the
     * measure columns, schema derived from the clause at plan time.
     *
@@ -723,20 +735,28 @@ object Streams {
     // ASTs over the buffered values. Physical navigation → reject.
     val simpleDefs = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val crossPreds = scala.collection.mutable.LinkedHashMap.empty[String, MrPredicate.Node]
+    // Deepest PREV step across the DEFINEs: the state keeps this many
+    // CONTEXT rows behind the first live attempt so a PREV at an
+    // attempt's start still reads its true predecessors after eviction.
+    var maxPrevDepth = 0
     spec.defines.foreach { case (v, pred) =>
       val others = allVarNames.filterNot(_.equalsIgnoreCase(v))
-      if (!MrPredicate.needsInterpreter(pred, others)) {
-        require(!"(?i)\\b(PREV|NEXT)\\s*\\(".r.findFirstIn(pred).isDefined,
-          s"matchRecognizeRows: DEFINE $v uses PREV/NEXT — physical " +
-            "navigation is not available over a stream (carry a " +
-            "previous-value column upstream if needed)")
+      val hasPhysical =
+        "(?i)\\b(PREV|NEXT)\\s*\\(".r.findFirstIn(pred).isDefined
+      if (!MrPredicate.needsInterpreter(pred, others) && !hasPhysical)
         simpleDefs(v) = MatchRecognize.rewriteDefinePred(v, pred, allVarNames)
-      } else {
+      else {
         val ast = MrPredicate.parse(pred, v, allVarNames)
-        require(!MrPredicate.usesPhysicalNav(ast),
-          s"matchRecognizeRows: DEFINE $v uses PREV/NEXT — physical " +
-            "navigation is not available over a stream")
-        val resolved = MrPredicate.resolve(ast, inSchema)
+        // PREV evaluates against the buffered partition prefix (the
+        // state buffer is the ordered stream history within retention);
+        // NEXT stays rejected — its target row may not have arrived
+        require(!MrPredicate.usesNextNav(ast),
+          s"matchRecognizeRows: DEFINE $v uses NEXT — forward physical " +
+            "navigation is not available over a stream (the target row " +
+            "may not have arrived); PREV is supported")
+        maxPrevDepth = math.max(maxPrevDepth, MrPredicate.maxPrevDepth(ast))
+        val resolved = MrPredicate.resolve(
+          MrPredicate.lowerPrevForBuffer(ast), inSchema)
         require(MrPredicate.exprType(resolved, inSchema) ==
           org.apache.spark.sql.types.BooleanType,
           s"matchRecognizeRows: DEFINE $v must be a boolean predicate")
@@ -783,8 +803,11 @@ object Streams {
     // one user's buffer vs the watermark → emitted measure rows; same
     // discipline as matchRecognizeStream (sealed rows only, boundary
     // probes defer until the start's horizon seals)
-    def advance(user: Long, buf0: Vector[MrRowV], matchNo0: Long, wm: Long)
-        : (Seq[org.apache.spark.sql.Row], Vector[MrRowV], Long, Long) = {
+    def advance(user: Long, buf0: Vector[MrRowV], matchNo0: Long,
+        ctxRows0: Int, wm: Long)
+        : (Seq[org.apache.spark.sql.Row], Vector[MrRowV], Long, Long, Int) = {
+      // context rows are the oldest (sealed below any prior watermark),
+      // so they stay a sorted prefix when new rows append
       val buf = buf0.sortBy(r => (r.tsMillis, r.eventId))
       val g: Array[org.apache.spark.sql.Row] =
         buf.iterator.map(r =>
@@ -798,7 +821,7 @@ object Streams {
         }
       val out = Seq.newBuilder[org.apache.spark.sql.Row]
       var matchNo = matchNo0
-      var i = 0
+      var i = ctxRows0 // attempts never start inside retained context
       var pending = -1
       while (i < buf.length && pending < 0) {
         if (buf(i).tsMillis > wm) pending = i
@@ -825,9 +848,14 @@ object Streams {
         }
       }
       val keepFrom = if (pending >= 0) pending else i
-      val kept = buf.drop(keepFrom)
-      val wake = kept.headOption.map(_.tsMillis + horizonMs + 1L).getOrElse(-1L)
-      (out.result(), kept, matchNo, wake)
+      // retain maxPrevDepth context rows behind the first live attempt
+      // so PREV still reads true predecessors after eviction
+      val retainFrom = math.max(0, keepFrom - maxPrevDepth)
+      val kept = buf.drop(retainFrom)
+      val newCtx = keepFrom - retainFrom
+      val wake = kept.drop(newCtx).headOption
+        .map(_.tsMillis + horizonMs + 1L).getOrElse(-1L)
+      (out.result(), kept, matchNo, wake, newCtx)
     }
 
     prepared
@@ -843,11 +871,17 @@ object Streams {
               (0 until nCols).map(r.get))
           }
           val wm = state.getCurrentWatermarkMs()
-          val (matches, kept, matchNo, wake) = advance(user, buf, st.matchNo, wm)
+          val (matches, kept, matchNo, wake, newCtx) =
+            advance(user, buf, st.matchNo, st.ctxRows, wm)
           if (kept.isEmpty) { if (state.exists) state.remove() }
           else {
-            state.update(MrStateV(kept, matchNo))
-            state.setTimeoutTimestamp(math.max(wake, wm + 1L))
+            state.update(MrStateV(kept, matchNo, newCtx))
+            // context-only state (wake < 0) has no pending work: keep it
+            // (bounded at maxPrevDepth rows — the PREV history a future
+            // attempt may read) without an event-time wake-up; the
+            // match counter then survives the idle gap too (documented
+            // deviation from the flags face, which drops drained state)
+            if (wake >= 0) state.setTimeoutTimestamp(math.max(wake, wm + 1L))
           }
           matches.iterator
       }

@@ -864,32 +864,102 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("matchRecognizeRows rejects physical navigation and empty patterns") {
+  test("matchRecognizeRows rejects forward navigation and empty patterns") {
     def mk(clause: String) =
       Streams.matchRecognizeRows(spark.emptyDataset[Streams.Event], clause)
+    // PREV in MEASURES stays rejected (only DEFINE rides the buffer)
     assert(intercept[IllegalArgumentException](mk(
       """PARTITION BY user_id ORDER BY ts
         |MEASURES PREV(value) AS p
         |PATTERN (A B+)
         |DEFINE A AS event_type = 'view', B AS event_type = 'click'""".stripMargin))
       .getMessage.contains("PREV/NEXT"))
+    // NEXT in DEFINE: forward step, target row may not have arrived
     assert(intercept[IllegalArgumentException](mk(
       """PARTITION BY user_id ORDER BY ts
         |MEASURES COUNT(*) AS n
         |PATTERN (A B+)
-        |DEFINE A AS event_type = 'view', B AS value > PREV(value)""".stripMargin))
-      .getMessage.contains("PREV/NEXT"))
-    assert(intercept[IllegalArgumentException](mk(
-      """PARTITION BY user_id ORDER BY ts
-        |MEASURES COUNT(*) AS n
-        |PATTERN (A B+)
-        |DEFINE A AS event_type = 'view', B AS B.value > PREV(A.value)""".stripMargin))
-      .getMessage.contains("PREV/NEXT"))
+        |DEFINE A AS event_type = 'view', B AS value > NEXT(value)""".stripMargin))
+      .getMessage.contains("NEXT"))
+    // PREV in DEFINE now CONSTRUCTS (r15): simple, cross-var and
+    // composite forms all classify to the interpreted path
+    mk("""PARTITION BY user_id ORDER BY ts
+         |MEASURES COUNT(*) AS n
+         |PATTERN (A B+)
+         |DEFINE A AS event_type = 'view', B AS value > PREV(value)""".stripMargin)
+    mk("""PARTITION BY user_id ORDER BY ts
+         |MEASURES COUNT(*) AS n
+         |PATTERN (A B+)
+         |DEFINE A AS event_type = 'view', B AS B.value > PREV(A.value)""".stripMargin)
+    mk("""PARTITION BY user_id ORDER BY ts
+         |MEASURES COUNT(*) AS n
+         |PATTERN (A B+)
+         |DEFINE A AS event_type = 'view', B AS value > PREV(value * 2, 2)""".stripMargin)
     assert(intercept[IllegalArgumentException](mk(
       """PARTITION BY user_id ORDER BY ts
         |MEASURES COUNT(*) AS n
         |PATTERN (B*)
         |DEFINE B AS event_type = 'click'""".stripMargin))
       .getMessage.contains("empty"))
+  }
+
+  test("matchRecognizeRows: PREV in DEFINE equals batch lag semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    // rising-run funnel — every row must strictly exceed the PREVIOUS
+    // partition row's value (the canonical PREV clause). The second
+    // match's start reads a PREV value from a row the FIRST match
+    // consumed and eviction dropped to CONTEXT, and the micro-batch
+    // split forces that retention path to actually serve the read.
+    val mr = Seq(
+      Event(1, ts(0), 1, "e", 1.0),
+      Event(2, ts(1), 1, "e", 2.0),
+      Event(3, ts(2), 1, "e", 3.0),
+      Event(4, ts(3), 1, "e", 0.5),   // breaks the run; goes dead
+      Event(5, ts(4), 1, "e", 2.0),   // PREV = 0.5 (evicted-to-context)
+      Event(6, ts(5), 1, "e", 5.0),
+      Event(7, ts(0), 2, "e", 3.0),
+      Event(8, ts(1), 2, "e", 2.0))   // never rises: no match
+    val clause =
+      """PARTITION BY user_id ORDER BY ts, event_id
+        |MEASURES FIRST(A.ts) AS start_ts, COUNT(*) AS n,
+        |         LAST(B.value) AS last_v
+        |PATTERN (A B+)
+        |DEFINE A AS value > PREV(value),
+        |       B AS value > PREV(value)""".stripMargin
+    // pushes the watermark just past the sealed prefix (t4 - 10s)
+    // WITHOUT making the still-to-come t4/t5 rows late
+    val flush1 = Event(100, ts(4), 99, "noop", 0.0)
+    val flush2 = Seq(Event(101, ts(90), 99, "noop", 0.0),
+      Event(102, ts(95), 99, "noop", 0.0))
+    val mem = MemoryStream[Event]
+    val q = Streams.matchRecognizeRows(mem.toDS(), clause,
+        horizonSeconds = 1800L, watermark = "10 seconds")
+      .writeStream.format("memory").queryName("mr_prev")
+      .outputMode("append").start()
+    try {
+      // batch 1: rows through the run break + a watermark push — the
+      // first match emits and the buffer evicts down to context
+      mem.addData((mr.filter(_.ts.getTime <= ts(3).getTime) :+ flush1): _*)
+      q.processAllAvailable()
+      mem.addData(mr.filterNot(_.ts.getTime <= ts(3).getTime): _*)
+      q.processAllAvailable()
+      flush2.foreach { e => mem.addData(e); q.processAllAvailable() }
+      val streaming = spark.table("mr_prev")
+        .orderBy("user_id", "start_ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      val batch = graft.dialect.MatchRecognize.run(
+          ((mr :+ flush1) ++ flush2).toDF(),
+          graft.dialect.MatchRecognize.parseClause(clause))
+        .orderBy("user_id", "start_ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      assert(streaming.nonEmpty && streaming == batch,
+        s"$streaming vs $batch")
+      // user 1: the 1<2<3 run, then the 0.5<2<5 run; user 2: none
+      assert(streaming.map(_._1) == Seq(1L, 1L))
+      assert(streaming.map(_._3) == Seq(2L, 2L)) // A + one-or-more B
+      assert(streaming.map(_._4) == Seq(3.0, 5.0))
+    } finally q.stop()
   }
 }
