@@ -141,8 +141,14 @@ object TrinoFunctions {
           .CollectList(
             CreateNamedStruct(Seq(Literal("v"), x))).toAggregateExpression()
         val s = UnresolvedNamedLambdaVariable(Seq("__aa"))
-        ArrayTransform(lst,
+        val transformed = ArrayTransform(lst,
           LambdaFunction(UnresolvedExtractValue(s, Literal("v")), Seq(s)))
+        // SQL aggregates over an EMPTY group return NULL (Trino does);
+        // collect_list returns [] — gate it (the two identical
+        // CollectList expressions dedup at physical aggregation)
+        If(EqualTo(Size(lst), Literal(0)),
+          Literal.create(null, org.apache.spark.sql.types.NullType),
+          transformed)
       case args => throw new IllegalArgumentException(
         s"array_agg expects 1 arg, got ${args.length}")
     },
@@ -2386,6 +2392,7 @@ object TrinoFunctions {
               }
             }
             val collectFn = if (isDistinct) "collect_set" else "collect_list"
+            var collectTxt = "" // the bare aggregate, for the empty-group gate
             val body = if (parsed.map(_._2).distinct.size > 1) {
               // MIXED directions: array_sort's 3-way comparator lambda
               // expresses per-key direction and null placement exactly
@@ -2410,8 +2417,8 @@ object TrinoFunctions {
                     s"WHEN $a < $b THEN $lt WHEN $a > $b THEN $gt " +
                     s"ELSE ${cmp(ix + 1)} END"
                 }
-              s"array_sort($collectFn(named_struct(" +
-                s"${fields.mkString(", ")})), (__sa, __sb) -> ${cmp(0)})"
+              collectTxt = s"$collectFn(named_struct(${fields.mkString(", ")}))"
+              s"array_sort($collectTxt, (__sa, __sb) -> ${cmp(0)})"
             } else {
               val desc = parsed.head._2
               val fields = parsed.zipWithIndex.flatMap { case ((k, _, nf), ix) =>
@@ -2421,11 +2428,17 @@ object TrinoFunctions {
                 Seq(s"'r$ix', CASE WHEN ($k) IS NULL THEN $rank ELSE 0 END",
                   s"'k$ix', $k")
               } :+ s"'v', $exprPart"
-              val sorted =
-                s"array_sort($collectFn(named_struct(${fields.mkString(", ")})))"
+              collectTxt = s"$collectFn(named_struct(${fields.mkString(", ")}))"
+              val sorted = s"array_sort($collectTxt)"
               if (desc) s"reverse($sorted)" else sorted
             }
-            val replacement = s"transform($body, __oa -> __oa.v)"
+            // empty-group gate: SQL aggregates over an empty group are
+            // NULL (Trino's array_agg is) where collect_list gives [] —
+            // found by the v7 differential fuzz on grouping-sets ()
+            // rows over filtered-empty input. The two identical
+            // aggregate texts dedup at physical aggregation.
+            val replacement = s"CASE WHEN size($collectTxt) = 0 THEN " +
+              s"NULL ELSE transform($body, __oa -> __oa.v) END"
             sql = sql.substring(0, m.start) + replacement + sql.substring(close + 1)
             spliced = true
           }

@@ -366,7 +366,14 @@ object FuzzDump {
   }
 
   /** One full statement; every item aliased c0..cN. */
-  def genQuery(seed: Long): String = {
+  def genQuery(seed: Long): String = genQueryPair(seed)._1
+
+  /** (sparkSql, duckSql). Identical for every production DuckDB can
+    * parse; the v7 WITH TIES production pairs Trino's FETCH … WITH
+    * TIES spelling with an INDEPENDENTLY-constructed rank() oracle
+    * (DuckDB has no WITH TIES grammar), derived from the generator's
+    * structural knowledge — not from the dialect rewrite under test. */
+  def genQueryPair(seed: Long): (String, String) = {
     val rng = new Random(seed)
     val rel = genRel(rng)
     val c = Ctx(rng, Map("int" -> rel.ints, "str" -> rel.strs, "ts" -> rel.tss),
@@ -399,7 +406,127 @@ object FuzzDump {
         (0 until n).map(i => s"${c.pick(aggs)()} AS c${keys.length + i}")
     }
 
-    rng.nextInt(19) match {
+    def same(s: String): (String, String) = (s, s)
+    val kind = rng.nextInt(22)
+    if (kind == 19) {
+      // v7: quantified comparison as a FILTER — WHERE on a plain
+      // select or HAVING over a grouped query (UNKNOWN must drop rows
+      // in both engines; composes the rewrite with block structures
+      // the v6 projected form never touches)
+      val dim = tables(rng.nextInt(2))
+      val dc = Ctx(rng, Map("int" -> dim.ints, "str" -> dim.strs,
+        "ts" -> Seq.empty))
+      val sub0 = s"SELECT ${nullableInt(dc, 1)} FROM ${dim.name}"
+      val sub = rng.nextInt(3) match {
+        case 0 => s"$sub0 WHERE ${dc.pick(dim.ints)} > 999" // empty set
+        case _ => sub0
+      }
+      if (rng.nextBoolean()) {
+        val qop = c.pick(Seq("<", "<=", ">", ">=", "=", "<>"))
+        val quant = c.pick(Seq("ANY", "SOME", "ALL"))
+        val its = items(2)
+        val x = intExpr(c, 1)
+        same(s"SELECT ${its.mkString(", ")} FROM ${rel.sql} " +
+          s"WHERE (($x) $qop $quant ($sub)) ${orderBy(c, its.length)}")
+      } else {
+        // HAVING with an AGGREGATE left operand: only the
+        // extremes-lowered combos are legal — the membership-probe
+        // forms (= ANY, <> ALL) would splice the aggregate into the
+        // subquery's WHERE (documented dialect limit)
+        val (qop, quant) = c.pick(Seq(
+          ("<", "ALL"), ("<=", "ANY"), (">", "SOME"), (">=", "ALL"),
+          ("<", "ANY"), (">", "ALL"), ("=", "ALL"), ("<>", "ANY"),
+          ("<>", "SOME")))
+        val key = superAggKeys(c, rel, rng).head
+        same(s"SELECT $key AS c0, count(*) AS c1 FROM ${rel.sql} " +
+          s"GROUP BY 1 HAVING ((CAST(count(*) AS INT)) $qop $quant ($sub)) " +
+          orderBy(c, 2))
+      }
+    } else if (kind == 20) {
+      // v7: ordered array_agg — [DISTINCT] / mixed directions /
+      // explicit NULLS — under plain GROUP BY, ROLLUP, or GROUPING
+      // SETS (composes the r14 in-aggregate ORDER BY rewrite with the
+      // super-aggregate machinery; both engines parse this verbatim).
+      // The aggregated expression is always the LAST sort key so the
+      // list is value-total — ties can only be identical elements.
+      // Excluded by construction (oracle quirks, not engine bugs):
+      //  - NULL elements: Trino's array_agg keeps them, DuckDB's drops
+      //    them (and returns NULL over an all-null group) — elements
+      //    ride a typed coalesce; the Trino-semantics null face is
+      //    pinned by the curated agg_array_* oracles instead;
+      //  - DuckDB 1.0 constant-folds in-aggregate ORDER BY keys that
+      //    equal a grouping key, which un-sorts the shared aggregate
+      //    on ROLLUP/GROUPING SETS super-rows — agg columns are drawn
+      //    disjoint from the grouping keys.
+      val keys = superAggKeys(c, rel, rng)
+      def coalesced(col: String): String =
+        if (rel.ints.contains(col)) s"coalesce($col, -1)"
+        else s"coalesce($col, '~')"
+      val pool = Seq.concat(rel.ints, rel.strs).filterNot(keys.contains)
+      val eCol = if (pool.nonEmpty) c.pick(pool)
+        else c.pick(Seq.concat(rel.ints, rel.strs))
+      val e = coalesced(eCol)
+      val nf = c.pick(Seq("NULLS FIRST", "NULLS LAST"))
+      val agg = rng.nextInt(3) match {
+        case 0 =>
+          s"array_agg(DISTINCT $e ORDER BY $e ${c.pick(Seq("ASC", "DESC"))} $nf)"
+        case 1 => // mixed directions over a leading key + the value
+          val k1 = coalesced(if (pool.nonEmpty) c.pick(pool) else eCol)
+          s"array_agg($e ORDER BY $k1 ASC $nf, $e DESC ${c.pick(Seq("NULLS FIRST", "NULLS LAST"))})"
+        case _ =>
+          s"array_agg($e ORDER BY $e ${c.pick(Seq("ASC", "DESC"))} $nf)"
+      }
+      val grouping = rng.nextInt(3) match {
+        case 0 if pool.nonEmpty => s"ROLLUP(${keys.mkString(", ")})"
+        case 1 if pool.nonEmpty =>
+          val sets = Seq(s"(${keys.mkString(", ")})", "()")
+          s"GROUPING SETS (${sets.mkString(", ")})"
+        case _ => keys.mkString(", ")
+      }
+      // Trino/Spark spell the serializer array_join; DuckDB spells it
+      // array_to_string — same null-skipping semantics, paired texts
+      val keyIts = keys.zipWithIndex.map { case (k, i) => s"$k AS c$i" }
+      val where = if (rng.nextBoolean()) s" WHERE ${boolExpr(c, 1)}" else ""
+      val ord = orderBy(c, keyIts.length + 1) // draw ONCE: rng-backed
+      def full(ser: String) =
+        s"SELECT ${(keyIts :+ s"$ser($agg, ',') AS c${keys.length}").mkString(", ")} " +
+          s"FROM ${rel.sql}$where GROUP BY $grouping $ord"
+      (full("array_join"), full("array_to_string"))
+    } else if (kind == 21) {
+      // v7: FETCH … WITH TIES (sometimes with a quantified comparison
+      // in the same block — two r14 splices in one statement). The
+      // ORDER BY keys cover every projected column (explicit NULLS),
+      // so the tie groups are value-identical and the compare is
+      // positional-safe; DuckDB gets the independently-constructed
+      // rank() spelling (its grammar has no WITH TIES).
+      val e0 = intExpr(c, 1)
+      val e1 = strExpr(c, 1)
+      val n = 5 + rng.nextInt(60)
+      val withQuant = rng.nextBoolean()
+      val quantCol =
+        if (!withQuant) ""
+        else {
+          val dim = tables(rng.nextInt(2))
+          val dc = Ctx(rng, Map("int" -> dim.ints, "str" -> dim.strs,
+            "ts" -> Seq.empty))
+          val sub = s"SELECT ${nullableInt(dc, 1)} FROM ${dim.name}"
+          val qop = c.pick(Seq("<", "<=", ">", ">=", "=", "<>"))
+          val quant = c.pick(Seq("ANY", "SOME", "ALL"))
+          // depends only on e0 = c0, so tie groups stay value-identical
+          s", (($e0) $qop $quant ($sub)) AS cq"
+        }
+      val where = if (rng.nextBoolean()) s" WHERE ${boolExpr(c, 1)}" else ""
+      val inner = s"SELECT $e0 AS c0, $e1 AS c1$quantCol FROM ${rel.sql}$where"
+      val keys = "c0 ASC NULLS FIRST, c1 DESC NULLS LAST" +
+        (if (withQuant) ", cq ASC NULLS FIRST" else "")
+      val cols = "c0, c1" + (if (withQuant) ", cq" else "")
+      val spark = s"SELECT * FROM ($inner ORDER BY $keys " +
+        s"FETCH FIRST $n ROWS WITH TIES) t ORDER BY $keys"
+      val duck = s"SELECT $cols FROM (SELECT $cols, rank() OVER " +
+        s"(ORDER BY $keys) AS r FROM ($inner) q) w WHERE r <= $n " +
+        s"ORDER BY $keys"
+      (spark, duck)
+    } else same(kind match {
       case 18 => // quantified subquery comparisons (v6): every op ×
         // ANY/SOME/ALL against a tiny-dim subquery with CASE-injected
         // NULLs and a sometimes-empty filter. DuckDB runs the
@@ -578,7 +705,7 @@ object FuzzDump {
         val its = aggItems(Nil)
         val where = if (rng.nextBoolean()) s" WHERE ${wherePred(c, rel)}" else ""
         s"SELECT ${its.mkString(", ")} FROM ${rel.sql}$where"
-    }
+    })
   }
 
   // ---- main ---------------------------------------------------------
@@ -607,12 +734,12 @@ object FuzzDump {
     var sparkErr = 0
     (0 until n).foreach { i =>
       val name = f"fuzz_$i%04d"
-      val sql = genQuery(seed + i)
+      val (sql, duckSql) = genQueryPair(seed + i)
       try {
         val pre = graft.dialect.TrinoFunctions.preprocess(sql)
         graft.engine.Tables.sql(spark, sfDir, pre)
           .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-        sqls += (name -> sql)
+        sqls += (name -> duckSql)
       } catch {
         case e: Throwable =>
           sparkErr += 1

@@ -19,13 +19,17 @@ class FuzzSpec extends SparkSpec {
 
   test("genQuery is deterministic per seed") {
     (0 until 50).foreach { i =>
-      assert(FuzzDump.genQuery(1000 + i) == FuzzDump.genQuery(1000 + i))
+      assert(FuzzDump.genQueryPair(1000 + i) == FuzzDump.genQueryPair(1000 + i))
     }
   }
 
   test("golden corpus hash: grammar changes require a fresh differential run") {
     val md = java.security.MessageDigest.getInstance("MD5")
-    (0 until 200).foreach(i => md.update(FuzzDump.genQuery(20260814L + i).getBytes("UTF-8")))
+    (0 until 200).foreach { i =>
+      val (s, d) = FuzzDump.genQueryPair(20260814L + i)
+      md.update(s.getBytes("UTF-8"))
+      md.update(d.getBytes("UTF-8"))
+    }
     val hash = md.digest().map("%02x".format(_)).mkString
     assert(hash == FuzzSpec.GoldenHash,
       s"fuzz grammar changed (corpus hash $hash): re-run FuzzDump + scripts/check.py " +
@@ -57,12 +61,18 @@ class FuzzSpec extends SparkSpec {
 }
 
 object FuzzSpec {
-  /** MD5 over genQuery(20260814 + i), i < 200 — the canonical-seed
-    * prefix of the corpus certified against DuckDB on the v4 grammar
-    * (800/800 canonical + 800/800 seed 77002 at sf0.001; v1–v3
-    * history: 2,400 + 3,600 + 1,400 green). The v4 run surfaced three
-    * DuckDB-side divergences now excluded by construction (date_trunc
-    * nullability stats over outer joins, split_part NULL→'', rollup
-    * join-equal key fill — DIALECT.md "oracle quirks"). */
-  val GoldenHash = "63237b030ae9976e6ad417c273f3d65e"
+  /** MD5 over both genQueryPair(20260814 + i) texts, i < 200 — the
+    * canonical-seed prefix of the corpus certified against DuckDB on
+    * the v7 grammar (1,200/1,200 across seeds 20260814/77015/424242 at
+    * sf0.001; v1–v6 history: 2,400 + 3,600 + 1,400 + 1,600 + 1,200 +
+    * 2,600 green). v7 adds quantified-comparison FILTERS (WHERE +
+    * HAVING-over-aggregate), ordered/DISTINCT/mixed-direction
+    * array_agg under ROLLUP / GROUPING SETS, and FETCH … WITH TIES
+    * paired with an independently-built rank() oracle (DuckDB has no
+    * WITH TIES grammar) — the run caught a REAL dialect corner now
+    * fixed (array_agg over an EMPTY group returned [] where SQL says
+    * NULL) and excluded two DuckDB-side quirks by construction (its
+    * array_agg drops NULL elements; 1.0 constant-folds in-aggregate
+    * ORDER BY keys equal to a grouping key, un-sorting super-rows). */
+  val GoldenHash = "cbfd18652983691e0e524bf9d4b98e5b"
 }
