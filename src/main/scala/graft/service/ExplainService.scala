@@ -35,9 +35,36 @@ class ExplainService(engine: Engine) {
         "queries are allowed. Set TRINO_ALLOW_WRITE_QUERIES=true to enable write " +
         "operations (at your own risk)")
 
+    // same type-aware ambiguity retry as QueryService.buildStatement:
+    // EXPLAIN of a row-splat UNNEST or an unprojected-key WITH TIES
+    // must explain the plan the execute path would run
+    val first = explainOpts(stripped, f,
+      graft.dialect.TrinoFunctions.PreprocessOpts())
+    first match {
+      case Left(err) =>
+        val up = stripped.toUpperCase
+        val wantSplat = up.contains("UNNEST") &&
+          (err.contains("UDTF_ALIAS_NUMBER_MISMATCH") ||
+            (err.contains("number of aliases") && err.contains("explode")))
+        val wantTies = up.contains("WITH TIES") &&
+          (err.contains("UNRESOLVED_COLUMN") || err.contains("MISSING_GROUP_BY"))
+        if (!wantSplat && !wantTies) first
+        else explainOpts(stripped, f, graft.dialect.TrinoFunctions
+            .PreprocessOpts(unnestRowSplat = wantSplat,
+              tiesInBlock = wantTies)) match {
+          case r @ Right(_) => r
+          case Left(_) => first
+        }
+      case ok => ok
+    }
+  }
+
+  private def explainOpts(stripped: String, f: String,
+      opts: graft.dialect.TrinoFunctions.PreprocessOpts)
+      : Either[String, Seq[Map[String, Any]]] = {
     val mrViews = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
-      val pre = graft.dialect.TrinoFunctions.preprocess(stripped)
+      val pre = graft.dialect.TrinoFunctions.preprocess(stripped, opts)
       // MATCH_RECOGNIZE splice (same rewrite as QueryService): EXPLAIN
       // of a row-pattern query explains the spliced plan
       val spliced = graft.dialect.MatchRecognize.spliceAll(pre,

@@ -72,6 +72,22 @@ class ExplainStatementsSpec extends SparkSpec {
     assert(qs.execute("EXPLAIN (WIBBLE 2) SELECT 1").left.exists(_.contains("invalid EXPLAIN option")))
   }
 
+  test("EXPLAIN rides the type-aware ambiguity retries too") {
+    // row-splat UNNEST: the explode reading fails analysis; the retry
+    // explains the inline plan instead of surfacing the error
+    val t1 = run(
+      """EXPLAIN SELECT u.x, u.y
+        |FROM (SELECT array(CAST(ROW(1, 2) AS ROW(a int, b int))) AS arr) t
+        |CROSS JOIN UNNEST(t.arr) AS u(x, y)""".stripMargin)
+      .rows.head.head.asInstanceOf[String]
+    assert(t1.toLowerCase.contains("generate"), t1)
+    // unprojected WITH TIES key: the in-block rank plan explains
+    val t2 = run(
+      "EXPLAIN SELECT n_name FROM nation ORDER BY n_regionkey " +
+        "FETCH FIRST 2 ROWS WITH TIES").rows.head.head.asInstanceOf[String]
+    assert(t2.contains("Window"), t2)
+  }
+
   test("statement wrappers survive the whole fuzz grammar") {
     // 25 seeded fuzz statements (the same generator the differential
     // corpus certifies) pushed through every statement wrapper — the
