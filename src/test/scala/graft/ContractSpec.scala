@@ -28,9 +28,9 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented counts") {
-    assert(SparkEntry.queries.size == 194,
+    assert(SparkEntry.queries.size == 197,
       s"queries=${SparkEntry.queries.size} — update README/ContractSpec together")
-    assert(SparkEntry.oracleSql.size == 175,
+    assert(SparkEntry.oracleSql.size == 178,
       s"oracles=${SparkEntry.oracleSql.size} — update README/ContractSpec together")
   }
 }
