@@ -3681,17 +3681,24 @@ object TrinoFunctions {
         case args => throw new IllegalArgumentException(
           s"value_at_quantile expects (qdigest, quantile), got ${args.length} args")
       },
-      // Trino setdigest surface over theta sketches
-      // (functions/ThetaExprs.scala): distinct counts with set algebra.
+      // Trino setdigest surface (functions/ThetaExprs.scala): a
+      // composite carrier — theta sketch (estimates + set algebra) plus
+      // the bounded hash→count map that serves hash_counts (r15; the
+      // theta part alone tracks no counts).
       "make_set_digest" -> {
-        case Seq(x) => graft.functions.ThetaExprs.ThetaSketchAgg(x)
+        case Seq(x) => graft.functions.ThetaExprs.SetDigestAgg(x)
         case args => throw new IllegalArgumentException(
           s"make_set_digest expects 1 arg, got ${args.length}")
       },
       "merge_set_digest" -> {
-        case Seq(sk) => graft.functions.ThetaExprs.ThetaUnionAgg(sk)
+        case Seq(sk) => graft.functions.ThetaExprs.SetDigestMergeAgg(sk)
         case args => throw new IllegalArgumentException(
           s"merge_set_digest expects 1 arg, got ${args.length}")
+      },
+      "hash_counts" -> {
+        case Seq(sk) => graft.functions.ThetaExprs.HashCounts(sk)
+        case args => throw new IllegalArgumentException(
+          s"hash_counts expects 1 arg, got ${args.length}")
       },
       "intersection_cardinality" -> {
         case Seq(a, b) => Cast(Round(

@@ -351,6 +351,40 @@ class TrinoFunctionsSpec extends SparkSpec {
     assert(math.abs(both - exact).toDouble / exact <= 0.05, s"$both vs $exact")
   }
 
+  test("hash_counts returns the set_digest's per-hash counts") {
+    // 3 distinct values, one seen twice: 3 entries whose counts
+    // multiset is {2, 1, 1} (keys are 64-bit element hashes)
+    assert(one("SELECT cardinality(hash_counts(make_set_digest(x))) " +
+      "FROM (VALUES 1, 1, 2, 3) AS t(x)") == 3)
+    val counts = one(
+      "SELECT array_sort(map_values(hash_counts(make_set_digest(x)))) " +
+        "FROM (VALUES 1, 1, 2, 3) AS t(x)")
+      .asInstanceOf[scala.collection.Seq[Any]]
+    assert(counts.map(_.toString) == Seq("1", "1", "2"), counts)
+    // merge accumulates counts across digests (1 appears in both)
+    val merged = one(
+      """SELECT array_sort(map_values(hash_counts(merge_set_digest(sk))))
+        |FROM (
+        |  SELECT make_set_digest(x) AS sk FROM (VALUES 1, 2) AS t(x)
+        |  UNION ALL
+        |  SELECT make_set_digest(x) FROM (VALUES 1, 3) AS t(x)
+        |) u""".stripMargin).asInstanceOf[scala.collection.Seq[Any]]
+    assert(merged.map(_.toString) == Seq("1", "1", "2"), merged)
+    // identical inputs -> identical key sets in identical (unsigned
+    // ascending) order — determinism across plans (maps don't take `=`
+    // in Spark; keys as arrays do)
+    assert(one(
+      "SELECT map_keys(hash_counts(make_set_digest(n_nationkey))) = " +
+        "map_keys(hash_counts(make_set_digest(n_nationkey + 0))) " +
+        "FROM nation") == true)
+    // the retained-hash budget bounds the map (2048 smallest of 5000)
+    assert(one(
+      "SELECT cardinality(hash_counts(make_set_digest(x))) " +
+        "FROM range(5000) AS t(x)") == graft.functions.ThetaExprs.SdMaxHashes)
+    // NULL digest propagates
+    assert(one("SELECT hash_counts(CAST(NULL AS VARBINARY))") == null)
+  }
+
   // ---- round-9 bridge batch ----
 
   test("zip pairs arrays positionally") {
