@@ -1010,6 +1010,92 @@ object MatchRecognize {
     }.toArray
   }
 
+  /** ALL-ROWS-PER-MATCH measure evaluation over a COMPLETED match —
+    * the per-row (RUNNING-default) twin of [[oneRowMeasureValues]],
+    * extracted from the batch iterator's emitAll so the streaming
+    * values face emits IDENTICAL rows. Returns (rowIndex,
+    * measureValues) for each non-excluded matched row, ascending; an
+    * excluded row updates the RUNNING state but yields nothing. */
+  private[graft] def allRowsMeasureValues(g: Array[Row],
+      assigned: List[(Int, String)], matchNo: Long,
+      measures: Seq[MeasureExec],
+      membersOf: String => Seq[String]): Seq[(Int, Array[Any])] = {
+    val ascRaw = assigned.reverse // ascending row order, marks intact
+    val asc = ascRaw.map { case (r, v) => (r, stripExcl(v)) }
+    // whole-match structures for FINAL-prefixed measures
+    val fullByVar = asc.groupBy(_._2).map { case (k, l) => k -> l.map(_._1) }
+    val fullAll = asc.map(_._1)
+    val total = asc.length.toLong
+    val rowsOf = scala.collection.mutable
+      .HashMap.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+    val allSoFar = scala.collection.mutable.ArrayBuffer.empty[Int]
+    // ascending (row, strippedVar) prefix for RUNNING expression
+    // measures — an immutable Vector so each row's snapshot is O(1)
+    // structural sharing, not an O(n) copy per output row
+    var soFarPairs = Vector.empty[(Int, String)]
+    var seen = 0L
+    ascRaw.flatMap { case (rowI, rawName) =>
+      // an excluded row updates the RUNNING state (it is part of the
+      // match) but produces no output row
+      val excluded = rawName.nonEmpty && rawName.charAt(0) == ExclMark
+      val varName = stripExcl(rawName)
+      rowsOf.getOrElseUpdate(varName,
+        scala.collection.mutable.ArrayBuffer.empty[Int]) += rowI
+      allSoFar += rowI
+      soFarPairs :+= ((rowI, varName))
+      seen += 1L
+      if (excluded) None else {
+      val vals = new Array[Any](measures.length)
+      measures.zipWithIndex.foreach { case (MeasureExec(kind, v, cIdx, off, dt, fin, ast), mi) =>
+        // RUNNING (the ALL-mode default): state as of this row;
+        // FINAL: the whole match on every row. "" = universal;
+        // subset names expand to the union of their members' rows.
+        def varRows: Seq[Int] =
+          if (v.isEmpty) { if (fin) fullAll else allSoFar.toSeq }
+          else membersOf(v) match {
+            case Seq(one) =>
+              if (fin) fullByVar.getOrElse(one, Nil)
+              else rowsOf.get(one).map(_.toSeq).getOrElse(Nil)
+            case ms =>
+              if (fin) ms.flatMap(m => fullByVar.getOrElse(m, Nil)).sorted
+              else ms.flatMap(m =>
+                rowsOf.get(m).map(_.toSeq).getOrElse(Nil)).sorted
+          }
+        vals(mi) = kind match {
+          case MFirst => varRows.lift(off)
+            .map(r => g(r).get(cIdx)).orNull
+          case MLast  =>
+            val l = varRows
+            l.lift(l.length - 1 - off).map(r => g(r).get(cIdx)).orNull
+          case MCountVar    => varRows.length.toLong
+          case MCountStar   => if (fin) total else seen
+          case MMatchNumber => matchNo
+          case MClassifier  =>
+            // RUNNING (CLASSIFIER takes no FINAL prefix — rejected at
+            // parse, as in Trino): this row's own variable; with an
+            // argument, the last row mapped to it so far
+            if (v.isEmpty) varName
+            else {
+              val ms = membersOf(v).map(_.toLowerCase).toSet
+              soFarPairs.reverseIterator.find(p => ms(p._2.toLowerCase))
+                .map(_._2).orNull
+            }
+          case MSum | MAvg | MMin | MMax =>
+            aggOver(kind, dt, varRows.map(r => g(r).get(cIdx)))
+          case MExpr =>
+            // RUNNING (default): rows so far, unqualified cols = this
+            // row; FINAL: the whole match, cols = its last row
+            val ctx =
+              if (fin) new MrPredicate.MatchCtx(g, asc, asc.last._1, membersOf)
+              else new MrPredicate.MatchCtx(g, soFarPairs, rowI, membersOf)
+            MrPredicate.coerce(MrPredicate.eval(ast.get, ctx), dt)
+        }
+      }
+      Some((rowI, vals))
+      }
+    }
+  }
+
   /** Output type of SUM(c): integral → bigint (Trino's widening),
     * float/double → double, decimal → precision+10 (Spark's sum rule);
     * non-numeric rejected. Also serves as the SUM/AVG numeric gate. */
@@ -1232,84 +1318,14 @@ object MatchRecognize {
       * RUNNING semantics (state as of that row), CLASSIFIER() = the
       * row's own variable — Trino's ALL-mode defaults. */
     private def emitAll(g: Array[Row], assigned: List[(Int, String)],
-        matchNo: Long): Seq[Row] = {
-      val ascRaw = assigned.reverse // ascending row order, marks intact
-      val asc = ascRaw.map { case (r, v) => (r, stripExcl(v)) }
-      // whole-match structures for FINAL-prefixed measures
-      val fullByVar = asc.groupBy(_._2).map { case (k, l) => k -> l.map(_._1) }
-      val fullAll = asc.map(_._1)
-      val total = asc.length.toLong
-      val rowsOf = scala.collection.mutable
-        .HashMap.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
-      val allSoFar = scala.collection.mutable.ArrayBuffer.empty[Int]
-      // ascending (row, strippedVar) prefix for RUNNING expression
-      // measures — an immutable Vector so each row's snapshot is O(1)
-      // structural sharing, not an O(n) copy per output row
-      var soFarPairs = Vector.empty[(Int, String)]
-      var seen = 0L
-      ascRaw.flatMap { case (rowI, rawName) =>
-        // an excluded row updates the RUNNING state (it is part of the
-        // match) but produces no output row
-        val excluded = rawName.nonEmpty && rawName.charAt(0) == ExclMark
-        val varName = stripExcl(rawName)
-        rowsOf.getOrElseUpdate(varName,
-          scala.collection.mutable.ArrayBuffer.empty[Int]) += rowI
-        allSoFar += rowI
-        soFarPairs :+= ((rowI, varName))
-        seen += 1L
-        if (excluded) None else {
-        val vals = new Array[Any](outIdx.length + measures.length)
+        matchNo: Long): Seq[Row] =
+      MatchRecognize.allRowsMeasureValues(g, assigned, matchNo, measures,
+        membersOf).map { case (rowI, mvals) =>
+        val vals = new Array[Any](outIdx.length + mvals.length)
         outIdx.indices.foreach(i => vals(i) = g(rowI).get(outIdx(i)))
-        measures.zipWithIndex.foreach { case (MeasureExec(kind, v, cIdx, off, dt, fin, ast), mi) =>
-          val slot = outIdx.length + mi
-          // RUNNING (the ALL-mode default): state as of this row;
-          // FINAL: the whole match on every row. "" = universal;
-          // subset names expand to the union of their members' rows.
-          def varRows: Seq[Int] =
-            if (v.isEmpty) { if (fin) fullAll else allSoFar.toSeq }
-            else membersOf(v) match {
-              case Seq(one) =>
-                if (fin) fullByVar.getOrElse(one, Nil)
-                else rowsOf.get(one).map(_.toSeq).getOrElse(Nil)
-              case ms =>
-                if (fin) ms.flatMap(m => fullByVar.getOrElse(m, Nil)).sorted
-                else ms.flatMap(m =>
-                  rowsOf.get(m).map(_.toSeq).getOrElse(Nil)).sorted
-            }
-          vals(slot) = kind match {
-            case MFirst => varRows.lift(off)
-              .map(r => g(r).get(cIdx)).orNull
-            case MLast  =>
-              val l = varRows
-              l.lift(l.length - 1 - off).map(r => g(r).get(cIdx)).orNull
-            case MCountVar    => varRows.length.toLong
-            case MCountStar   => if (fin) total else seen
-            case MMatchNumber => matchNo
-            case MClassifier  =>
-              // RUNNING (CLASSIFIER takes no FINAL prefix — rejected at
-              // parse, as in Trino): this row's own variable; with an
-              // argument, the last row mapped to it so far
-              if (v.isEmpty) varName
-              else {
-                val ms = membersOf(v).map(_.toLowerCase).toSet
-                soFarPairs.reverseIterator.find(p => ms(p._2.toLowerCase))
-                  .map(_._2).orNull
-              }
-            case MSum | MAvg | MMin | MMax =>
-              aggOver(kind, dt, varRows.map(r => g(r).get(cIdx)))
-            case MExpr =>
-              // RUNNING (default): rows so far, unqualified cols = this
-              // row; FINAL: the whole match, cols = its last row
-              val ctx =
-                if (fin) new MrPredicate.MatchCtx(g, asc, asc.last._1, membersOf)
-                else new MrPredicate.MatchCtx(g, soFarPairs, rowI, membersOf)
-              MrPredicate.coerce(MrPredicate.eval(ast.get, ctx), dt)
-          }
-        }
-        Some(Row.fromSeq(vals.toIndexedSeq))
-        }
+        System.arraycopy(mvals, 0, vals, outIdx.length, mvals.length)
+        Row.fromSeq(vals.toIndexedSeq)
       }
-    }
 
     /** An EMPTY match in ALL ROWS PER MATCH (SHOW EMPTY MATCHES): one
       * output row carrying the site row's input columns; navigation,

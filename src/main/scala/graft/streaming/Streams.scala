@@ -709,8 +709,17 @@ object Streams {
     require(spec.orderDirs.forall(_._1),
       "matchRecognizeRows: descending ORDER BY is not available over " +
         "a stream (event time only moves forward)")
-    require(!spec.allRows,
-      "matchRecognizeRows: ONE ROW PER MATCH only")
+    // ALL ROWS PER MATCH (r15): a decided match emits one output row
+    // per matched row — input columns + RUNNING-default measures,
+    // evaluated by the SAME extracted code as the batch emitter
+    // (MatchRecognize.allRowsMeasureValues), so the faces cannot
+    // drift. Emission/watermark discipline is unchanged: rows of a
+    // match surface only when the match is decided, exactly like the
+    // one-row face. WITH UNMATCHED stays batch-only.
+    val allRows = spec.allRows
+    require(!spec.withUnmatched,
+      "matchRecognizeRows: WITH UNMATCHED ROWS is not available over " +
+        "a stream (use the batch face)")
     // every AFTER MATCH SKIP mode — see matchRecognizeStream: the
     // resume index always advances past the match start, so retention
     // is unchanged under the overlapping modes
@@ -777,9 +786,14 @@ object Streams {
     }
     val (measureExecs, measureFields) =
       MatchRecognize.planMeasures(resolvedMeasures, inSchema)
-    val outSchema = org.apache.spark.sql.types.StructType(
-      org.apache.spark.sql.types.StructField("user_id",
-        org.apache.spark.sql.types.LongType, nullable = false) +: measureFields)
+    // ONE ROW = partition key + measures; ALL ROWS = every input
+    // column + measures (the batch output contract)
+    val outSchema =
+      if (allRows)
+        org.apache.spark.sql.types.StructType(inSchema.fields ++ measureFields)
+      else org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType, nullable = false) +: measureFields)
     val pattern = spec.pattern
     val horizonMs = horizonSeconds * 1000L
     val flagCols = vars.map(v =>
@@ -837,10 +851,19 @@ object Streams {
                            else flagOf(j, v, acc), i)
           val decided = windowSealed || !hitBoundary
           if (m != null && decided) {
-            val mvals = MatchRecognize.oneRowMeasureValues(
-              g, m._2, i, m._1, matchNo, measureExecs, membersOf)
-            out += org.apache.spark.sql.Row.fromSeq(
-              java.lang.Long.valueOf(user) +: mvals.toIndexedSeq)
+            if (allRows)
+              MatchRecognize.allRowsMeasureValues(
+                  g, m._2, matchNo, measureExecs, membersOf)
+                .foreach { case (rowI, mvals) =>
+                  out += org.apache.spark.sql.Row.fromSeq(
+                    g(rowI).toSeq ++ mvals)
+                }
+            else {
+              val mvals = MatchRecognize.oneRowMeasureValues(
+                g, m._2, i, m._1, matchNo, measureExecs, membersOf)
+              out += org.apache.spark.sql.Row.fromSeq(
+                java.lang.Long.valueOf(user) +: mvals.toIndexedSeq)
+            }
             matchNo += 1
             i = MatchRecognize.resumeIndex(skipMode, i, m._1, m._2, membersOf)
           } else if (decided) i += 1

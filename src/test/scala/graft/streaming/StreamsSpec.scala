@@ -903,6 +903,58 @@ class StreamsSpec extends SparkSpec {
       .getMessage.contains("empty"))
   }
 
+  test("matchRecognizeRows: ALL ROWS PER MATCH equals the batch emitter") {
+    implicit val sqlCtx = spark.sqlContext
+    val mr = Seq(
+      Event(1, ts(0), 1, "view", 5.0),
+      Event(2, ts(1), 1, "click", 7.0),
+      Event(3, ts(2), 1, "click", 9.0),
+      Event(4, ts(3), 1, "error", 0.0),  // ends the run, never emitted
+      Event(5, ts(4), 2, "view", 4.0),
+      Event(6, ts(5), 2, "click", 6.0))
+    // RUNNING (the ALL-mode default) + explicit FINAL on the same
+    // aggregate + per-row CLASSIFIER — the shapes that distinguish the
+    // per-row emitter from the one-row face
+    val clause =
+      """PARTITION BY user_id ORDER BY ts, event_id
+        |MEASURES COUNT(*) AS n_sofar, FINAL COUNT(*) AS n_total,
+        |         SUM(B.value) AS runsum, CLASSIFIER() AS cls,
+        |         MATCH_NUMBER() AS mn
+        |ALL ROWS PER MATCH
+        |PATTERN (A B+)
+        |DEFINE A AS event_type = 'view', B AS event_type = 'click'""".stripMargin
+    val flush = Seq(Event(100, ts(90), 99, "noop", 0.0),
+      Event(101, ts(95), 99, "noop", 0.0))
+    val mem = MemoryStream[Event]
+    val q = Streams.matchRecognizeRows(mem.toDS(), clause,
+        horizonSeconds = 1800L, watermark = "10 seconds")
+      .writeStream.format("memory").queryName("mr_allrows")
+      .outputMode("append").start()
+    try {
+      mem.addData(mr.filter(_.ts.getTime <= ts(2).getTime): _*)
+      q.processAllAvailable()
+      mem.addData(mr.filterNot(_.ts.getTime <= ts(2).getTime): _*)
+      q.processAllAvailable()
+      flush.foreach { e => mem.addData(e); q.processAllAvailable() }
+      def canon(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+        df.orderBy("event_id").collect().map(_.toSeq.toList: Seq[Any]).toSeq
+      val streaming = canon(spark.table("mr_allrows"))
+      val batch = canon(graft.dialect.MatchRecognize.run(
+        (mr ++ flush).toDF(),
+        graft.dialect.MatchRecognize.parseClause(clause)))
+      assert(streaming.nonEmpty && streaming == batch,
+        s"$streaming vs $batch")
+      // 3 rows for user 1's A B B, 2 for user 2's A B; RUNNING count
+      // climbs 1,2,3 while FINAL count is the match total on every row
+      assert(streaming.length == 5)
+      val u1 = streaming.filter(_(2) == 1L)
+      assert(u1.map(_(5)) == Seq(1L, 2L, 3L))   // n_sofar
+      assert(u1.map(_(6)) == Seq(3L, 3L, 3L))   // n_total
+      assert(u1.map(_(7)) == Seq(null, 7.0, 16.0)) // RUNNING SUM(B.value)
+      assert(u1.map(_(8)) == Seq("A", "B", "B"))   // CLASSIFIER per row
+    } finally q.stop()
+  }
+
   test("matchRecognizeRows: PREV in DEFINE equals batch lag semantics") {
     implicit val sqlCtx = spark.sqlContext
     // rising-run funnel — every row must strictly exceed the PREVIOUS
