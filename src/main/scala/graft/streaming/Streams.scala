@@ -715,11 +715,14 @@ object Streams {
     // (MatchRecognize.allRowsMeasureValues), so the faces cannot
     // drift. Emission/watermark discipline is unchanged: rows of a
     // match surface only when the match is decided, exactly like the
-    // one-row face. WITH UNMATCHED stays batch-only.
+    // one-row face. WITH UNMATCHED ROWS rides the same discipline: the
+    // parser already restricts it to SKIP PAST LAST ROW, where matches
+    // are disjoint and a DEAD scan position is exactly an unmatched
+    // row — final the moment it is decided, because later matches only
+    // start at or after the scan frontier (the batch emitter's own
+    // argument, MatchRecognize.emitUnmatched).
     val allRows = spec.allRows
-    require(!spec.withUnmatched,
-      "matchRecognizeRows: WITH UNMATCHED ROWS is not available over " +
-        "a stream (use the batch face)")
+    val withUnmatched = spec.withUnmatched
     // every AFTER MATCH SKIP mode — see matchRecognizeStream: the
     // resume index always advances past the match start, so retention
     // is unchanged under the overlapping modes
@@ -866,8 +869,14 @@ object Streams {
             }
             matchNo += 1
             i = MatchRecognize.resumeIndex(skipMode, i, m._1, m._2, membersOf)
-          } else if (decided) i += 1
-          else pending = i
+          } else if (decided) {
+            // a decided non-match under SKIP PAST LAST ROW is final:
+            // no later match can reach back to this row
+            if (allRows && withUnmatched)
+              out += org.apache.spark.sql.Row.fromSeq(
+                g(i).toSeq ++ Seq.fill[Any](measureExecs.length)(null))
+            i += 1
+          } else pending = i
         }
       }
       val keepFrom = if (pending >= 0) pending else i

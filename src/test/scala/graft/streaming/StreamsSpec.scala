@@ -955,6 +955,50 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("matchRecognizeRows: WITH UNMATCHED ROWS equals batch (nulls on non-members)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mr = Seq(
+      Event(1, ts(0), 1, "view", 5.0),
+      Event(2, ts(1), 1, "click", 7.0),
+      Event(3, ts(2), 1, "error", 0.0),  // unmatched
+      Event(4, ts(3), 1, "view", 4.0))   // dangling A: unmatched too
+    val clause =
+      """PARTITION BY user_id ORDER BY ts, event_id
+        |MEASURES MATCH_NUMBER() AS mn, CLASSIFIER() AS cls
+        |ALL ROWS PER MATCH WITH UNMATCHED ROWS
+        |PATTERN (A B+)
+        |DEFINE A AS event_type = 'view', B AS event_type = 'click'""".stripMargin
+    val flush = Seq(Event(100, ts(90), 99, "noop", 0.0),
+      Event(101, ts(95), 99, "noop", 0.0))
+    val mem = MemoryStream[Event]
+    val q = Streams.matchRecognizeRows(mem.toDS(), clause,
+        horizonSeconds = 1800L, watermark = "10 seconds")
+      .writeStream.format("memory").queryName("mr_unmatched")
+      .outputMode("append").start()
+    try {
+      mem.addData(mr.filter(_.ts.getTime <= ts(1).getTime): _*)
+      q.processAllAvailable()
+      mem.addData(mr.filterNot(_.ts.getTime <= ts(1).getTime): _*)
+      q.processAllAvailable()
+      flush.foreach { e => mem.addData(e); q.processAllAvailable() }
+      // the last flush row stays above the final watermark on the
+      // stream (undecided) where batch decides it — compare users 1-2
+      def canon(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+        df.filter("user_id < 90").orderBy("event_id")
+          .collect().map(_.toSeq.toList: Seq[Any]).toSeq
+      val streaming = canon(spark.table("mr_unmatched"))
+      val batch = canon(graft.dialect.MatchRecognize.run(
+        (mr ++ flush).toDF(),
+        graft.dialect.MatchRecognize.parseClause(clause)))
+      assert(streaming.nonEmpty && streaming == batch,
+        s"$streaming vs $batch")
+      assert(streaming.length == 4)
+      // match rows carry MATCH_NUMBER/CLASSIFIER; unmatched carry nulls
+      assert(streaming.map(_(6)) == Seq("A", "B", null, null))
+      assert(streaming.map(_(5)) == Seq(1L, 1L, null, null))
+    } finally q.stop()
+  }
+
   test("matchRecognizeRows: PREV in DEFINE equals batch lag semantics") {
     implicit val sqlCtx = spark.sqlContext
     // rising-run funnel — every row must strictly exceed the PREVIOUS
