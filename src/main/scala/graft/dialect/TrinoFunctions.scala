@@ -1299,6 +1299,21 @@ object TrinoFunctions {
           JsonFuncs.getClass, StringType, "jsonValue",
           Seq(Cast(j, StringType), Cast(p, StringType)),
           Seq(StringType, StringType))
+      // 3 extra args from rewriteJsonValueOnClauses: the behavior mode
+      // literal ('<N|D|E><N|D|E>' — ON EMPTY then ON ERROR) and the two
+      // DEFAULT expressions (NULL placeholders when the clause isn't
+      // DEFAULT)
+      case Seq(j, p, mode, emptyDef, errorDef) =>
+        // propagateNull must be OFF: the default placeholders are NULL
+        // literals in the common case, and a null json input must still
+        // reach the method (NULL in → NULL out, no behavior triggered)
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          JsonFuncs.getClass, StringType, "jsonValueMode",
+          Seq(Cast(j, StringType), Cast(p, StringType),
+            Cast(mode, StringType), Cast(emptyDef, StringType),
+            Cast(errorDef, StringType)),
+          Seq(StringType, StringType, StringType, StringType, StringType),
+          propagateNull = false)
       case args => throw new IllegalArgumentException(
         s"json_value expects (json, path), got ${args.length} args")
     },
@@ -2107,8 +2122,8 @@ object TrinoFunctions {
 
     rewriteAtTimeZone(rewriteFetchFirst(rewriteTypedLiterals(
       rewriteCastTypes(rewriteQuantified(rewriteArrayAggOrderBy(
-        rewriteJsonReturning(rewriteJsonQueryClauses(
-          rewriteUnnest(afterSample, opts))))))), opts))
+        rewriteJsonReturning(rewriteJsonValueOnClauses(rewriteJsonQueryClauses(
+          rewriteUnnest(afterSample, opts)))))))), opts))
   }
 
   // SQL/JSON json_query wrapper/quote clauses — `WITHOUT [ARRAY]
@@ -2208,6 +2223,147 @@ object TrinoFunctions {
                 "ERROR are not (the shim's NULL defaults apply)")
             sql = sql.substring(0, m.start) +
               s"json_query($args, '$mode')" + sql.substring(close + 1)
+            spliced = true
+          }
+        }
+      }
+      if (!spliced) return sql
+    }
+    sql
+  }
+
+  // SQL/JSON json_value ON EMPTY / ON ERROR clauses — `{NULL | ERROR |
+  // DEFAULT expr} ON EMPTY` and the same ON ERROR — have no Spark
+  // spelling. Strip them and pass a 2-char behavior literal
+  // ('<N|D|E><N|D|E>', empty then error) plus the two default
+  // expressions (NULL placeholders when unused) to the JsonFuncs shim;
+  // an optional RETURNING segment is left in place for the
+  // rewriteJsonReturning pass that runs after this one. EMPTY = the
+  // path matched nothing; ERROR = malformed input or a non-scalar
+  // match (the SQL/JSON classes the shim's NULL defaults collapse).
+  private val jsonValueOnPattern = java.util.regex.Pattern.compile(
+    "(?i)\\bON\\s+(EMPTY|ERROR)\\b")
+  private val jsonValueBehaviorPattern = java.util.regex.Pattern.compile(
+    "(?i)\\b(NULL|ERROR|DEFAULT)\\b")
+
+  private def rewriteJsonValueOnClauses(sql0: String): String = {
+    if (!jsonValuePattern.matcher(sql0).find()) return sql0
+    var sql = sql0
+    var guard = 0
+    while (guard < 64) {
+      guard += 1
+      val masked = maskedRegions(sql)
+      val n = sql.length
+      val m = jsonValuePattern.matcher(sql)
+      var spliced = false
+      while (!spliced && m.find()) {
+        if (!masked(m.start)) {
+          val open = m.end - 1
+          var depth = 0
+          var i = open
+          var close = -1
+          while (close < 0 && i < n) {
+            if (!masked(i)) {
+              if (sql(i) == '(') depth += 1
+              else if (sql(i) == ')') { depth -= 1; if (depth == 0) close = i }
+            }
+            i += 1
+          }
+          if (close < 0) return sql
+          val content = sql.substring(open + 1, close)
+          val cmask = maskedRegions(content)
+          def depth0(at: Int): Boolean = {
+            if (cmask(at)) return false
+            var d = 0; var k = 0
+            while (k < at) {
+              if (!cmask(k)) {
+                if (content(k) == '(') d += 1
+                else if (content(k) == ')') d -= 1
+              }
+              k += 1
+            }
+            d == 0
+          }
+          // depth-0 ON EMPTY / ON ERROR hits, in order
+          val ons = {
+            val b = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+            val om = jsonValueOnPattern.matcher(content)
+            while (om.find()) if (depth0(om.start))
+              b += ((om.start, om.end, om.group(1).toUpperCase))
+            b.toSeq
+          }
+          if (ons.isEmpty) {
+            // no clauses on this call; scan the next one
+          } else {
+            if (ons.map(_._3).distinct.size != ons.size)
+              throw new IllegalArgumentException(
+                "json_value: duplicate ON " + ons.map(_._3).head + " clause")
+            // each clause's behavior: scan back from its ON keyword to
+            // the previous clause end (or the args start) for the LAST
+            // depth-0 NULL/ERROR adjacent to ON, else the DEFAULT whose
+            // expression is the text in between
+            var argsEnd = -1
+            var emptyB = ('N', "NULL")
+            var errorB = ('N', "NULL")
+            var prevEnd = 0
+            ons.foreach { case (os, oe, target) =>
+              val bm = jsonValueBehaviorPattern.matcher(content)
+              bm.region(prevEnd, os)
+              var best: Option[(Int, Int, String)] = None
+              while (bm.find()) if (depth0(bm.start)) {
+                val kw = bm.group(1).toUpperCase
+                val between = content.substring(bm.end, os).trim
+                // `DEFAULT NULL ON EMPTY` is a DEFAULT whose expression
+                // happens to be the NULL literal — don't let the bare
+                // keyword scan steal it (it would leave a dangling
+                // DEFAULT token inside the argument list)
+                val beforeTok = content.substring(prevEnd, bm.start)
+                  .trim.toUpperCase
+                val afterDefault = beforeTok.endsWith("DEFAULT") &&
+                  (beforeTok.length == 7 ||
+                    { val c = beforeTok.charAt(beforeTok.length - 8)
+                      !Character.isLetterOrDigit(c) && c != '_' })
+                if ((kw == "DEFAULT" && between.nonEmpty) ||
+                    ((kw == "NULL" || kw == "ERROR") && between.isEmpty &&
+                      !afterDefault))
+                  best = Some((bm.start, bm.end, kw))
+              }
+              val (bs, be, kw) = best.getOrElse(throw new IllegalArgumentException(
+                s"json_value: ON $target must be preceded by NULL, ERROR " +
+                  "or DEFAULT <expr>"))
+              if (argsEnd < 0) argsEnd = bs
+              val beh = kw match {
+                case "NULL" => ('N', "NULL")
+                case "ERROR" => ('E', "NULL")
+                case _ => ('D', content.substring(be, os).trim)
+              }
+              if (target == "EMPTY") emptyB = beh else errorB = beh
+              prevEnd = oe
+            }
+            val tailResidue = content.substring(ons.last._2).trim
+            if (tailResidue.nonEmpty) throw new IllegalArgumentException(
+              s"json_value: unexpected trailing text '$tailResidue' after " +
+                "the ON clauses")
+            // args may end with `RETURNING type` — keep it trailing so
+            // the RETURNING pass (which runs after) still sees it.
+            // (unpadded prefix: positions must stay content-relative
+            // for the depth check)
+            val args0 = content.substring(0, argsEnd)
+            val retIdx = {
+              val rm = java.util.regex.Pattern
+                .compile("(?i)\\bRETURNING\\b").matcher(args0)
+              var at = -1
+              while (rm.find()) if (depth0(rm.start)) at = rm.start
+              at
+            }
+            val (pre, retSeg) =
+              if (retIdx < 0) (args0, "")
+              else (args0.substring(0, retIdx).trim.stripSuffix(","),
+                " " + args0.substring(retIdx).trim)
+            val mode = s"${emptyB._1}${errorB._1}"
+            sql = sql.substring(0, m.start) +
+              s"json_value($pre, '$mode', ${emptyB._2}, ${errorB._2}$retSeg)" +
+              sql.substring(close + 1)
             spliced = true
           }
         }
@@ -4441,6 +4597,42 @@ object JsonFuncs {
     }
     val node = walk(root, path)
     if (node == null || !node.isValueNode || node.isNull) null
+    else UTF8String.fromString(node.asText())
+  }
+
+  /** json_value with explicit ON EMPTY / ON ERROR behaviors (mode
+    * literal from rewriteJsonValueOnClauses, '<N|D|E><N|D|E>'). The
+    * SQL/JSON classes: EMPTY = the path matched nothing (a lax-mode
+    * structural miss); ERROR = malformed JSON input or a non-scalar
+    * match. A matched JSON null is a present scalar — it returns SQL
+    * NULL directly and triggers neither clause (Trino semantics). A
+    * malformed PATH still raises regardless of ON ERROR — path syntax
+    * errors are compile-time in Trino. */
+  def jsonValueMode(j: UTF8String, p: UTF8String, mode: UTF8String,
+      emptyDef: UTF8String, errorDef: UTF8String): UTF8String = {
+    if (j == null || p == null) return null
+    val path = sqlJsonPath(p)
+    val m = mode.toString
+    def onEmpty: UTF8String = m.charAt(0) match {
+      case 'E' => throw new IllegalArgumentException(
+        s"json_value: path '$path' returned no items (ERROR ON EMPTY)")
+      case 'D' => emptyDef
+      case _ => null
+    }
+    def onError(msg: String): UTF8String = m.charAt(1) match {
+      case 'E' => throw new IllegalArgumentException(s"json_value: $msg")
+      case 'D' => errorDef
+      case _ => null
+    }
+    val root = try parse(j) catch { case _: IllegalArgumentException =>
+      require(path.nonEmpty && path.charAt(0) == '$', s"invalid json path: $path")
+      return onError("malformed JSON input (ERROR ON ERROR)")
+    }
+    val node = walk(root, path)
+    if (node == null) onEmpty
+    else if (!node.isValueNode)
+      onError(s"path '$path' matched a non-scalar item (ERROR ON ERROR)")
+    else if (node.isNull) null
     else UTF8String.fromString(node.asText())
   }
 

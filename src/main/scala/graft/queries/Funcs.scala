@@ -207,10 +207,14 @@ object Funcs {
         .orderBy(col("c_custkey"))
     }),
 
-    // SQL/JSON json_query wrapper/quote clauses through the dialect
-    // rewrite (rewriteJsonQueryClauses → JsonFuncs.jsonQueryMode):
-    // DuckDB replays the wrapper shapes with string assembly over
-    // json_extract and the quote behaviors with/without the raw text.
+    // SQL/JSON json_query wrapper/quote clauses and json_value ON
+    // EMPTY / ON ERROR behaviors through the dialect rewrites
+    // (rewriteJsonQueryClauses → JsonFuncs.jsonQueryMode,
+    // rewriteJsonValueOnClauses → JsonFuncs.jsonValueMode): DuckDB
+    // replays the wrapper shapes with string assembly over
+    // json_extract, the quote behaviors with/without the raw text, and
+    // the ON-clause outcomes as the constants they deterministically
+    // produce on this data (props is always {"k": int}).
     "fn_json_clauses" -> ((s, d) => {
       graft.dialect.TrinoFunctions.register(s)
       graft.engine.Tables.sql(s, d, graft.dialect.TrinoFunctions.preprocess(
@@ -219,7 +223,12 @@ object Funcs {
           |  json_query(props, '$.k' WITH CONDITIONAL ARRAY WRAPPER) AS k_cond,
           |  json_query(props, '$' WITH CONDITIONAL ARRAY WRAPPER) AS obj_cond,
           |  json_query('{"s": "' || event_type || '"}', '$.s' KEEP QUOTES) AS s_keep,
-          |  json_query('{"s": "' || event_type || '"}', '$.s' OMIT QUOTES) AS s_omit
+          |  json_query('{"s": "' || event_type || '"}', '$.s' OMIT QUOTES) AS s_omit,
+          |  json_value(props, '$.k' DEFAULT 'dflt' ON EMPTY) AS v_present,
+          |  json_value(props, '$.missing' DEFAULT 'absent' ON EMPTY) AS v_empty_def,
+          |  json_value('{oops', '$.k' DEFAULT 'bad' ON ERROR) AS v_err_def,
+          |  json_value(props, '$' DEFAULT 'scalar-only' ON ERROR) AS v_nonscalar,
+          |  json_value(props, '$.k' RETURNING bigint DEFAULT 0 ON EMPTY) + 1 AS v_typed
           |FROM events
           |ORDER BY event_id""".stripMargin))
     }),
@@ -387,7 +396,12 @@ object Funcs {
         |  '[' || CAST(json_extract(props, '$.k') AS VARCHAR) || ']' AS k_cond,
         |  CAST(json_extract(props, '$') AS VARCHAR) AS obj_cond,
         |  '"' || event_type || '"' AS s_keep,
-        |  event_type AS s_omit
+        |  event_type AS s_omit,
+        |  json_extract_string(props, '$.k') AS v_present,
+        |  'absent' AS v_empty_def,
+        |  'bad' AS v_err_def,
+        |  'scalar-only' AS v_nonscalar,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) + 1 AS v_typed
         |FROM events
         |ORDER BY event_id""".stripMargin,
 

@@ -1393,6 +1393,47 @@ class TrinoFunctionsSpec extends SparkSpec {
       == "1")
   }
 
+  test("json_value ON EMPTY / ON ERROR behaviors") {
+    // NULL spelled explicitly is the default
+    assert(one("""SELECT json_value('{"b": 1}', 'lax $.a' NULL ON EMPTY)""") == null)
+    // DEFAULT expr on a structural miss (EMPTY class)
+    assert(one("""SELECT json_value('{"b": 1}', 'lax $.a' DEFAULT 'missing' ON EMPTY)""")
+      == "missing")
+    // ...but a present match ignores the clause
+    assert(one("""SELECT json_value('{"a": 7}', 'lax $.a' DEFAULT 'missing' ON EMPTY)""")
+      == "7")
+    // ERROR ON EMPTY raises with the behavior named
+    val e1 = qs.execute("""SELECT json_value('{"b": 1}', 'lax $.a' ERROR ON EMPTY)""")
+    assert(e1.isLeft && e1.left.exists(_.contains("ERROR ON EMPTY")), e1)
+    // ERROR class: malformed JSON input and a non-scalar match
+    assert(one("""SELECT json_value('{oops', '$.a' DEFAULT 'bad' ON ERROR)""") == "bad")
+    assert(one("""SELECT json_value('{"a": [1, 2]}', '$.a' DEFAULT 'ns' ON ERROR)""") == "ns")
+    val e2 = qs.execute("""SELECT json_value('{"a": [1]}', '$.a' ERROR ON ERROR)""")
+    assert(e2.isLeft && e2.left.exists(_.contains("non-scalar")), e2)
+    // both clauses: each triggers only on its own class
+    assert(one("""SELECT json_value('{"b": 1}', '$.a' DEFAULT 'e1' ON EMPTY DEFAULT 'e2' ON ERROR)""")
+      == "e1")
+    assert(one("""SELECT json_value('{"a": [1]}', '$.a' DEFAULT 'e1' ON EMPTY DEFAULT 'e2' ON ERROR)""")
+      == "e2")
+    // a matched JSON null is a present scalar: SQL NULL, no clause fires
+    assert(one("""SELECT json_value('{"a": null}', '$.a' DEFAULT 'e' ON EMPTY ERROR ON ERROR)""")
+      == null)
+    // DEFAULT NULL is a DEFAULT whose expression is the NULL literal
+    assert(one("""SELECT json_value('{"b": 1}', '$.a' DEFAULT NULL ON EMPTY)""") == null)
+    // composes with RETURNING (clause order: RETURNING first, per Trino)
+    assert(one("""SELECT json_value('{"b": 1}', '$.a' RETURNING bigint DEFAULT 0 ON EMPTY) + 1""")
+      == 1L)
+    // NULL input → NULL out; behaviors don't fire on SQL NULL json
+    assert(one("""SELECT json_value(CAST(NULL AS VARCHAR), '$.a' DEFAULT 'd' ON ERROR)""")
+      == null)
+    // duplicate clause rejected
+    val e3 = qs.execute("""SELECT json_value('{}', '$.a' NULL ON EMPTY NULL ON EMPTY)""")
+    assert(e3.isLeft && e3.left.exists(_.contains("duplicate")), e3)
+    // clause keywords inside a string literal are data, not clauses
+    assert(one("""SELECT json_value('{"a": "x"}', '$.a' DEFAULT 'NULL ON EMPTY' ON EMPTY)""")
+      == "x")
+  }
+
   test("luhn_check: strict mode raises on non-digit input like Trino") {
     // default (total) mode: non-digit → false
     assert(one("SELECT luhn_check('79927398713')") == true)
