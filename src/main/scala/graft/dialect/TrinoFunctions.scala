@@ -1339,6 +1339,14 @@ object TrinoFunctions {
           JsonFuncs.getClass, org.apache.spark.sql.types.BooleanType, "jsonExists",
           Seq(Cast(j, StringType), Cast(p, StringType)),
           Seq(StringType, StringType))
+      // 3rd arg from rewriteJsonExistsClauses: the ON ERROR behavior
+      // ('T'|'F'|'U'|'E'); boxed Boolean so UNKNOWN can yield NULL
+      case Seq(j, p, mode) =>
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          JsonFuncs.getClass, org.apache.spark.sql.types.BooleanType,
+          "jsonExistsMode",
+          Seq(Cast(j, StringType), Cast(p, StringType), Cast(mode, StringType)),
+          Seq(StringType, StringType, StringType))
       case args => throw new IllegalArgumentException(
         s"json_exists expects (json, path), got ${args.length} args")
     },
@@ -2122,8 +2130,8 @@ object TrinoFunctions {
 
     rewriteAtTimeZone(rewriteFetchFirst(rewriteTypedLiterals(
       rewriteCastTypes(rewriteQuantified(rewriteArrayAggOrderBy(
-        rewriteJsonReturning(rewriteJsonValueOnClauses(rewriteJsonQueryClauses(
-          rewriteUnnest(afterSample, opts)))))))), opts))
+        rewriteJsonReturning(rewriteJsonExistsClauses(rewriteJsonValueOnClauses(
+          rewriteJsonQueryClauses(rewriteUnnest(afterSample, opts))))))))), opts))
   }
 
   // SQL/JSON json_query wrapper/quote clauses — `WITHOUT [ARRAY]
@@ -2140,6 +2148,12 @@ object TrinoFunctions {
     "(\\s+ARRAY)?\\s+WRAPPER")
   private val jsonQuotesPattern = java.util.regex.Pattern.compile(
     "(?i)\\s+(KEEP|OMIT)\\s+QUOTES(\\s+ON\\s+SCALAR\\s+STRING)?")
+  // json_query's SQL/JSON behavior clauses: {ERROR | NULL | EMPTY
+  // ARRAY | EMPTY OBJECT} ON {EMPTY | ERROR} (no DEFAULT expr form —
+  // that's json_value's grammar, not json_query's)
+  private val jsonQueryBehaviorPattern = java.util.regex.Pattern.compile(
+    "(?i)\\s+(ERROR|NULL|EMPTY\\s+ARRAY|EMPTY\\s+OBJECT)" +
+    "\\s+ON\\s+(EMPTY|ERROR)\\b")
 
   private def rewriteJsonQueryClauses(sql0: String): String = {
     if (!jsonQueryCallPattern.matcher(sql0).find()) return sql0
@@ -2202,7 +2216,29 @@ object TrinoFunctions {
             quoteMode = if (qm.group(1).equalsIgnoreCase("OMIT")) 'O' else 'K'
             clauseStart = math.min(clauseStart, qm.start)
           }
-          if (wrapMode == ' ' && quoteMode == ' ') {
+          var emptyMode = ' '
+          var errorMode = ' '
+          val bm = jsonQueryBehaviorPattern.matcher(content)
+          while (bm.find()) if (depth0(bm.start)) {
+            val b = bm.group(1).toUpperCase.replaceAll("\\s+", " ") match {
+              case "ERROR" => 'E'
+              case "NULL" => 'N'
+              case "EMPTY ARRAY" => 'A'
+              case _ => 'B' // EMPTY OBJECT ('O' is taken by OMIT quotes)
+            }
+            if (bm.group(2).equalsIgnoreCase("EMPTY")) {
+              if (emptyMode != ' ') throw new IllegalArgumentException(
+                "json_query: duplicate ON EMPTY clause")
+              emptyMode = b
+            } else {
+              if (errorMode != ' ') throw new IllegalArgumentException(
+                "json_query: duplicate ON ERROR clause")
+              errorMode = b
+            }
+            clauseStart = math.min(clauseStart, bm.start)
+          }
+          if (wrapMode == ' ' && quoteMode == ' ' &&
+              emptyMode == ' ' && errorMode == ' ') {
             // no clauses on this call — leave it for the plain 2-arg shim
           } else {
             if (quoteMode == 'O' && (wrapMode == 'C' || wrapMode == 'U'))
@@ -2210,17 +2246,20 @@ object TrinoFunctions {
                 "json_query: OMIT QUOTES cannot be combined with WITH " +
                   "ARRAY WRAPPER (SQL/JSON rule; Trino rejects it too)")
             val mode = s"${if (wrapMode == ' ') 'N' else wrapMode}" +
-              s"${if (quoteMode == ' ') 'K' else quoteMode}"
+              s"${if (quoteMode == ' ') 'K' else quoteMode}" +
+              s"${if (emptyMode == ' ') 'N' else emptyMode}" +
+              s"${if (errorMode == ' ') 'N' else errorMode}"
             val args = content.substring(0, clauseStart).trim
             val tail = content.substring(clauseStart)
             // everything in the tail must be clause text we consumed
-            val residue = jsonQuotesPattern.matcher(
-              jsonWrapperPattern.matcher(tail).replaceAll(""))
-              .replaceAll("").trim
+            val residue = jsonQueryBehaviorPattern.matcher(
+              jsonQuotesPattern.matcher(
+                jsonWrapperPattern.matcher(tail).replaceAll(""))
+                .replaceAll("")).replaceAll("").trim
             if (residue.nonEmpty) throw new IllegalArgumentException(
               s"json_query: unsupported trailing clause '$residue' — " +
-                "wrapper and quote clauses are supported; ON EMPTY / ON " +
-                "ERROR are not (the shim's NULL defaults apply)")
+                "supported: wrapper/quote clauses and {ERROR | NULL | " +
+                "EMPTY ARRAY | EMPTY OBJECT} ON {EMPTY | ERROR}")
             sql = sql.substring(0, m.start) +
               s"json_query($args, '$mode')" + sql.substring(close + 1)
             spliced = true
@@ -2364,6 +2403,86 @@ object TrinoFunctions {
             sql = sql.substring(0, m.start) +
               s"json_value($pre, '$mode', ${emptyB._2}, ${errorB._2}$retSeg)" +
               sql.substring(close + 1)
+            spliced = true
+          }
+        }
+      }
+      if (!spliced) return sql
+    }
+    sql
+  }
+
+  // json_exists {TRUE | FALSE | UNKNOWN | ERROR} ON ERROR — the only
+  // behavior clause json_exists takes (an empty match is simply FALSE,
+  // there is no ON EMPTY in its grammar). Strip to a 1-char mode arg.
+  private val jsonExistsCallPattern = java.util.regex.Pattern.compile(
+    "(?i)\\bjson_exists\\s*\\(")
+  private val jsonExistsBehaviorPattern = java.util.regex.Pattern.compile(
+    "(?i)\\s+(TRUE|FALSE|UNKNOWN|ERROR)\\s+ON\\s+(EMPTY|ERROR)\\b")
+
+  private def rewriteJsonExistsClauses(sql0: String): String = {
+    if (!jsonExistsCallPattern.matcher(sql0).find()) return sql0
+    var sql = sql0
+    var guard = 0
+    while (guard < 64) {
+      guard += 1
+      val masked = maskedRegions(sql)
+      val n = sql.length
+      val m = jsonExistsCallPattern.matcher(sql)
+      var spliced = false
+      while (!spliced && m.find()) {
+        if (!masked(m.start)) {
+          val open = m.end - 1
+          var depth = 0
+          var i = open
+          var close = -1
+          while (close < 0 && i < n) {
+            if (!masked(i)) {
+              if (sql(i) == '(') depth += 1
+              else if (sql(i) == ')') { depth -= 1; if (depth == 0) close = i }
+            }
+            i += 1
+          }
+          if (close < 0) return sql
+          val content = sql.substring(open + 1, close)
+          val cmask = maskedRegions(content)
+          def depth0(at: Int): Boolean = {
+            if (cmask(at)) return false
+            var d = 0; var k = 0
+            while (k < at) {
+              if (!cmask(k)) {
+                if (content(k) == '(') d += 1
+                else if (content(k) == ')') d -= 1
+              }
+              k += 1
+            }
+            d == 0
+          }
+          var behavior = ' '
+          var clauseStart = content.length
+          val bm = jsonExistsBehaviorPattern.matcher(content)
+          while (bm.find()) if (depth0(bm.start)) {
+            if (bm.group(2).equalsIgnoreCase("EMPTY"))
+              throw new IllegalArgumentException(
+                "json_exists: ON EMPTY is not part of its grammar — an " +
+                  "empty match is FALSE; only {TRUE | FALSE | UNKNOWN | " +
+                  "ERROR} ON ERROR is accepted")
+            if (behavior != ' ') throw new IllegalArgumentException(
+              "json_exists: duplicate ON ERROR clause")
+            behavior = bm.group(1).toUpperCase.charAt(0) // T|F|U|E
+            clauseStart = math.min(clauseStart, bm.start)
+          }
+          if (behavior == ' ') {
+            // no clause on this call — leave it for the plain 2-arg shim
+          } else {
+            val args = content.substring(0, clauseStart).trim
+            val residue = jsonExistsBehaviorPattern
+              .matcher(content.substring(clauseStart)).replaceAll("").trim
+            if (residue.nonEmpty) throw new IllegalArgumentException(
+              s"json_exists: unexpected trailing text '$residue' after " +
+                "the ON ERROR clause")
+            sql = sql.substring(0, m.start) +
+              s"json_exists($args, '$behavior')" + sql.substring(close + 1)
             spliced = true
           }
         }
@@ -4658,12 +4777,23 @@ object JsonFuncs {
   def jsonQueryMode(j: UTF8String, p: UTF8String, mode: UTF8String): UTF8String = {
     val path = sqlJsonPath(p)
     val m = mode.toString
+    // chars 3-4 (when present): ON EMPTY / ON ERROR behaviors — N =
+    // null (default), E = error, A = empty array, B = empty object
+    def behave(c: Char, cls: String): UTF8String = c match {
+      case 'E' => throw new IllegalArgumentException(s"json_query: $cls")
+      case 'A' => UTF8String.fromString("[]")
+      case 'B' => UTF8String.fromString("{}")
+      case _ => null
+    }
+    val emptyB = if (m.length >= 4) m.charAt(2) else 'N'
+    val errorB = if (m.length >= 4) m.charAt(3) else 'N'
     val root = try parse(j) catch { case _: IllegalArgumentException =>
       require(path.nonEmpty && path.charAt(0) == '$', s"invalid json path: $path")
-      return null
+      return behave(errorB, "malformed JSON input (ERROR ON ERROR)")
     }
     val node = walk(root, path)
-    if (node == null) return null
+    if (node == null)
+      return behave(emptyB, s"path '$path' returned no items (ERROR ON EMPTY)")
     if (m.charAt(1) == 'O' && node.isTextual)
       return UTF8String.fromString(node.asText())
     val out: JsonNode = m.charAt(0) match {
@@ -4684,6 +4814,26 @@ object JsonFuncs {
       return false
     }
     walk(root, path) != null
+  }
+
+  /** json_exists with an explicit ON ERROR behavior ('T'|'F'|'U'|'E'
+    * from rewriteJsonExistsClauses; UNKNOWN = SQL NULL boolean). The
+    * ERROR class is malformed JSON input — a structural miss is an
+    * ordinary FALSE, never an error. */
+  def jsonExistsMode(j: UTF8String, p: UTF8String,
+      mode: UTF8String): java.lang.Boolean = {
+    val path = sqlJsonPath(p)
+    val root = try parse(j) catch { case _: IllegalArgumentException =>
+      require(path.nonEmpty && path.charAt(0) == '$', s"invalid json path: $path")
+      return mode.toString.charAt(0) match {
+        case 'T' => java.lang.Boolean.TRUE
+        case 'E' => throw new IllegalArgumentException(
+          "json_exists: malformed JSON input (ERROR ON ERROR)")
+        case 'U' => null
+        case _ => java.lang.Boolean.FALSE
+      }
+    }
+    java.lang.Boolean.valueOf(walk(root, path) != null)
   }
 
   private def walk(root: JsonNode, path: String): JsonNode = {

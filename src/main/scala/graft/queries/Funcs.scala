@@ -228,7 +228,10 @@ object Funcs {
           |  json_value(props, '$.missing' DEFAULT 'absent' ON EMPTY) AS v_empty_def,
           |  json_value('{oops', '$.k' DEFAULT 'bad' ON ERROR) AS v_err_def,
           |  json_value(props, '$' DEFAULT 'scalar-only' ON ERROR) AS v_nonscalar,
-          |  json_value(props, '$.k' RETURNING bigint DEFAULT 0 ON EMPTY) + 1 AS v_typed
+          |  json_value(props, '$.k' RETURNING bigint DEFAULT 0 ON EMPTY) + 1 AS v_typed,
+          |  json_query(props, '$.missing' EMPTY ARRAY ON EMPTY) AS q_empty_arr,
+          |  json_query(props, '$.missing' WITH ARRAY WRAPPER EMPTY OBJECT ON EMPTY) AS q_empty_obj,
+          |  json_exists('{oops', '$.k' TRUE ON ERROR) AS e_err_true
           |FROM events
           |ORDER BY event_id""".stripMargin))
     }),
@@ -401,7 +404,10 @@ object Funcs {
         |  'absent' AS v_empty_def,
         |  'bad' AS v_err_def,
         |  'scalar-only' AS v_nonscalar,
-        |  CAST(json_extract_string(props, '$.k') AS BIGINT) + 1 AS v_typed
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) + 1 AS v_typed,
+        |  '[]' AS q_empty_arr,
+        |  '{}' AS q_empty_obj,
+        |  TRUE AS e_err_true
         |FROM events
         |ORDER BY event_id""".stripMargin,
 

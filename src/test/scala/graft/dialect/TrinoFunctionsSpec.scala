@@ -1384,9 +1384,9 @@ class TrinoFunctionsSpec extends SparkSpec {
     val e = qs.execute(
       """SELECT json_query('{"s": "x"}', '$.s' WITH ARRAY WRAPPER OMIT QUOTES)""")
     assert(e.isLeft && e.left.exists(_.contains("OMIT QUOTES")), e)
-    // ON EMPTY / ON ERROR stay curated rejects
+    // a genuinely unknown trailing clause is still a curated reject
     val e2 = qs.execute(
-      """SELECT json_query('{}', '$.a' WITH ARRAY WRAPPER NULL ON ERROR)""")
+      """SELECT json_query('{}', '$.a' WITH ARRAY WRAPPER FROBNICATE)""")
     assert(e2.isLeft && e2.left.exists(_.contains("trailing clause")), e2)
     // clause keywords inside the PATH literal are data
     assert(one("""SELECT json_query('{"WITH ARRAY WRAPPER": 1}', '$["WITH ARRAY WRAPPER"]')""")
@@ -1432,6 +1432,44 @@ class TrinoFunctionsSpec extends SparkSpec {
     // clause keywords inside a string literal are data, not clauses
     assert(one("""SELECT json_value('{"a": "x"}', '$.a' DEFAULT 'NULL ON EMPTY' ON EMPTY)""")
       == "x")
+  }
+
+  test("json_query ON EMPTY / ON ERROR behaviors") {
+    // EMPTY class: the path matched nothing
+    assert(one("""SELECT json_query('{"b": 1}', '$.a' EMPTY ARRAY ON EMPTY)""") == "[]")
+    assert(one("""SELECT json_query('{"b": 1}', '$.a' EMPTY OBJECT ON EMPTY)""") == "{}")
+    assert(one("""SELECT json_query('{"b": 1}', '$.a' NULL ON EMPTY)""") == null)
+    val e1 = qs.execute("""SELECT json_query('{"b": 1}', '$.a' ERROR ON EMPTY)""")
+    assert(e1.isLeft && e1.left.exists(_.contains("ERROR ON EMPTY")), e1)
+    // ERROR class: malformed JSON input
+    assert(one("""SELECT json_query('{oops', '$.a' EMPTY ARRAY ON ERROR)""") == "[]")
+    val e2 = qs.execute("""SELECT json_query('{oops', '$.a' ERROR ON ERROR)""")
+    assert(e2.isLeft && e2.left.exists(_.contains("malformed")), e2)
+    // composes with the wrapper clauses; a present match ignores both
+    assert(one(
+      """SELECT json_query('{"a": 1}', '$.a' WITH ARRAY WRAPPER EMPTY OBJECT ON EMPTY)""")
+      == "[1]")
+    assert(one("""SELECT json_query('{}', '$.a' WITH ARRAY WRAPPER NULL ON ERROR)""")
+      == null)
+    // duplicates rejected
+    val e3 = qs.execute(
+      """SELECT json_query('{}', '$.a' EMPTY ARRAY ON EMPTY NULL ON EMPTY)""")
+    assert(e3.isLeft && e3.left.exists(_.contains("duplicate")), e3)
+  }
+
+  test("json_exists ON ERROR behaviors") {
+    // present / absent paths are plain TRUE / FALSE regardless of clause
+    assert(one("""SELECT json_exists('{"a": 1}', '$.a' TRUE ON ERROR)""") == true)
+    assert(one("""SELECT json_exists('{"b": 1}', '$.a' TRUE ON ERROR)""") == false)
+    // ERROR class: malformed input, behavior applies
+    assert(one("""SELECT json_exists('{oops', '$.a' TRUE ON ERROR)""") == true)
+    assert(one("""SELECT json_exists('{oops', '$.a' FALSE ON ERROR)""") == false)
+    assert(one("""SELECT json_exists('{oops', '$.a' UNKNOWN ON ERROR)""") == null)
+    val e1 = qs.execute("""SELECT json_exists('{oops', '$.a' ERROR ON ERROR)""")
+    assert(e1.isLeft && e1.left.exists(_.contains("malformed")), e1)
+    // ON EMPTY is not in json_exists's grammar
+    val e2 = qs.execute("""SELECT json_exists('{}', '$.a' TRUE ON EMPTY)""")
+    assert(e2.isLeft && e2.left.exists(_.contains("not part of its grammar")), e2)
   }
 
   test("luhn_check: strict mode raises on non-digit input like Trino") {
