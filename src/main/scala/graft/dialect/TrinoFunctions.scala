@@ -3421,10 +3421,13 @@ object TrinoFunctions {
     *
     * The block is bounded by the nearest enclosing unmatched '(' (or
     * the statement start); its governing ORDER BY is the LAST depth-0
-    * one before FETCH. Ordinal keys and a preceding OFFSET are rejected
-    * loudly (the ordinal would silently become the constant n inside
-    * OVER; OFFSET-then-TIES needs the offset applied before the tie
-    * cut). Scale note (DIALECT.md): rank() without PARTITION BY is a
+    * one before FETCH. Ordinal keys resolve against the block's select
+    * list (they would silently become constants inside OVER); a
+    * preceding `OFFSET k [ROWS]` folds into the rank rewrite — keep
+    * rows k+1..k+n plus the tie group of row k+n (row_number for the
+    * skip, a window max for the boundary rank; NULL boundary = fewer
+    * than k+n rows = keep the whole remainder, ANSI's rule).
+    * Scale note (DIALECT.md): rank() without PARTITION BY is a
     * single-partition window — same order-everything semantics the
     * query's global ORDER BY already demands, but the tie filter can't
     * early-stop like TakeOrderedAndProject; keep n-with-ties shaped
@@ -3480,28 +3483,86 @@ object TrinoFunctions {
           if (obStart < 0) throw new IllegalArgumentException(
             "FETCH ... WITH TIES requires an ORDER BY in the same " +
               "query block (ties are defined by the sort key)")
-          val keys = sql.substring(obEnd, fs).trim
-          if (keys.isEmpty) throw new IllegalArgumentException(
+          val keys0 = sql.substring(obEnd, fs).trim
+          if (keys0.isEmpty) throw new IllegalArgumentException(
             "FETCH ... WITH TIES: empty ORDER BY key list")
+          // `ORDER BY keys OFFSET k [ROWS] FETCH ... WITH TIES` (ANSI
+          // order): strip a trailing depth-0 OFFSET and apply it inside
+          // the rank rewrite — skip k rows, take n, extend through the
+          // tie group of row k+n
+          var offsetK: Option[String] = None
+          var keys = keys0
+          val om0 = java.util.regex.Pattern
+            .compile("(?i)\\bOFFSET\\s+(\\d+)\\s*(?:ROWS?)?\\s*$")
+            .matcher(keys0)
+          if (om0.find()) {
+            val kmask = maskedRegions(keys0)
+            var kd = 0; var q = 0
+            while (q < om0.start) {
+              if (!kmask(q)) {
+                if (keys0(q) == '(') kd += 1
+                else if (keys0(q) == ')') kd -= 1
+              }
+              q += 1
+            }
+            if (kd == 0 && !kmask(om0.start)) {
+              offsetK = Some(om0.group(1))
+              keys = keys0.substring(0, om0.start).trim
+            }
+          }
           val kw = java.util.regex.Pattern
             .compile("(?i)\\b(OFFSET|LIMIT)\\b").matcher(keys)
           if (kw.find()) throw new IllegalArgumentException(
             s"FETCH ... WITH TIES cannot be combined with ${kw.group(1)} " +
               "here; apply the offset in an outer query")
-          // depth-aware key split: `substr(c, 1, 3)` is ONE key, its
-          // literal arguments are not ordinals (r14 ADVICE)
-          if (topLevelCommaSplit(keys).exists(
-              _.matches("(?i)\\d+(\\s+(ASC|DESC))?(\\s+NULLS\\s+(FIRST|LAST))?")))
-            throw new IllegalArgumentException(
-              "FETCH ... WITH TIES with ordinal ORDER BY keys is not " +
-                "supported; name the sort columns")
           val inner = sql.substring(blockStart, obStart).trim
-          val repl =
-            if (opts.tiesInBlock) tiesInBlockForm(inner, keys, n)
-            else
+          // depth-aware key split: `substr(c, 1, 3)` is ONE key, its
+          // literal arguments are not ordinals (r14 ADVICE). Ordinal
+          // keys resolve against the block's select list (alias or bare
+          // column) — inside OVER they would silently become constants.
+          val ordRe = "(?is)^(\\d+)((?:\\s+(?:ASC|DESC))?(?:\\s+NULLS\\s+(?:FIRST|LAST))?)$".r
+          val splitKeys = topLevelCommaSplit(keys)
+          if (splitKeys.exists(k => ordRe.findFirstIn(k.trim).isDefined)) {
+            lazy val items = selectListItems(inner)
+            keys = splitKeys.map { frag =>
+              frag.trim match {
+                case ordRe(digits, suffix) =>
+                  val idx = digits.toInt
+                  val list = items.getOrElse(throw new IllegalArgumentException(
+                    "FETCH ... WITH TIES with ordinal ORDER BY keys needs " +
+                      "a plain SELECT block to resolve them against; name " +
+                      "the sort columns"))
+                  if (idx < 1 || idx > list.length)
+                    throw new IllegalArgumentException(
+                      s"FETCH ... WITH TIES: ORDER BY ordinal $idx is out " +
+                        s"of range (select list has ${list.length} items)")
+                  val col = ordinalKeyName(list(idx - 1)).getOrElse(
+                    throw new IllegalArgumentException(
+                      s"FETCH ... WITH TIES: ORDER BY ordinal $idx names an " +
+                        "unaliased expression — alias it or name the column"))
+                  col + suffix
+                case other => other
+              }
+            }.mkString(", ")
+          }
+          val repl = (offsetK, opts.tiesInBlock) match {
+            case (None, true) => tiesInBlockForm(inner, keys, n, None)
+            case (None, false) =>
               s"SELECT * EXCEPT (__ties_rnk) FROM (SELECT *, rank() OVER " +
                 s"(ORDER BY $keys) AS __ties_rnk FROM ($inner) __ties_in) " +
                 s"__ties_w WHERE __ties_rnk <= $n ORDER BY $keys"
+            case (Some(k), true) => tiesInBlockForm(inner, keys, n, Some(k))
+            case (Some(k), false) =>
+              val kn = k.toLong + n.toLong
+              s"SELECT * EXCEPT (__ties_rnk, __ties_rn, __ties_brk) FROM (" +
+                s"SELECT *, max(CASE WHEN __ties_rn = $kn THEN __ties_rnk " +
+                s"END) OVER () AS __ties_brk FROM (SELECT *, rank() OVER " +
+                s"(ORDER BY $keys) AS __ties_rnk, row_number() OVER " +
+                s"(ORDER BY $keys) AS __ties_rn FROM ($inner) __ties_in) " +
+                s"__ties_r) __ties_w WHERE __ties_rn > $k AND " +
+                s"(__ties_brk IS NULL OR __ties_rnk <= __ties_brk) " +
+                s"ORDER BY $keys"
+          }
           sql = sql.substring(0, blockStart) + repl + sql.substring(m.end)
           spliced = true
         }
@@ -3509,6 +3570,48 @@ object TrinoFunctions {
       if (!spliced) return sql
     }
     sql
+  }
+
+  /** The block's top-level select-list items when the block is a plain
+    * `SELECT [DISTINCT] ... FROM ...` — None otherwise (set ops and
+    * VALUES blocks have no single list to index ordinals against). */
+  private def selectListItems(inner: String): Option[Seq[String]] = {
+    val t = inner.trim
+    if (t.length < 7 || !t.substring(0, 6).equalsIgnoreCase("SELECT")) return None
+    var consumed = 6
+    val dm = java.util.regex.Pattern.compile("(?is)^\\s*DISTINCT\\b")
+      .matcher(t.substring(consumed))
+    if (dm.find()) consumed += dm.end
+    val im = maskedRegions(t)
+    var d = 0; var j = consumed; var fromPos = -1
+    while (j < t.length && fromPos < 0) {
+      if (!im(j)) {
+        if (t(j) == '(') d += 1
+        else if (t(j) == ')') d -= 1
+        else if (d == 0 && t.regionMatches(true, j, "FROM", 0, 4) &&
+          (j + 4 >= t.length || (!t(j + 4).isLetterOrDigit && t(j + 4) != '_')) &&
+          (!t(j - 1).isLetterOrDigit && t(j - 1) != '_'))
+          fromPos = j
+      }
+      j += 1
+    }
+    if (fromPos < 0) None
+    else Some(topLevelCommaSplit(t.substring(consumed, fromPos).trim))
+  }
+
+  /** The name an ORDER BY ordinal resolves to for a select-list item:
+    * its `AS` alias, or the item itself when it is a bare (possibly
+    * qualified) column reference. An unaliased expression (or `*`) has
+    * no stable output name to sort by textually — None. */
+  private def ordinalKeyName(item: String): Option[String] = {
+    val it = item.trim
+    val am = java.util.regex.Pattern.compile(
+      "(?is)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*|`[^`]+`|\"[^\"]+\")\\s*$")
+      .matcher(it)
+    if (am.find()) Some(am.group(1))
+    else if (it.matches("(?s)[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)*"))
+      Some(it)
+    else None
   }
 
   /** The retry reading of WITH TIES (opts.tiesInBlock): rank() computed
@@ -3523,7 +3626,8 @@ object TrinoFunctions {
     * injected rank column (changing semantics) and a set operation has
     * no single projection to inject into — both throw, so the retry
     * surfaces the FIRST attempt's error. */
-  private def tiesInBlockForm(inner: String, keys: String, n: String): String = {
+  private def tiesInBlockForm(inner: String, keys: String, n: String,
+      offset: Option[String]): String = {
     val im = maskedRegions(inner)
     var d = 0; var j = 0
     var fromPos = -1
@@ -3556,9 +3660,24 @@ object TrinoFunctions {
         "FETCH ... WITH TIES: the ORDER BY key must be resolvable from " +
           "the block (DISTINCT and set-operation blocks must sort by a " +
           "projected column)")
-    s"SELECT * EXCEPT (__ties_rnk) FROM (${inner.substring(0, fromPos).trim}, " +
-      s"rank() OVER (ORDER BY $keys) AS __ties_rnk ${inner.substring(fromPos)}) " +
-      s"__ties_w WHERE __ties_rnk <= $n ORDER BY __ties_rnk"
+    val head = inner.substring(0, fromPos).trim
+    val tail = inner.substring(fromPos)
+    offset match {
+      case None =>
+        s"SELECT * EXCEPT (__ties_rnk) FROM ($head, " +
+          s"rank() OVER (ORDER BY $keys) AS __ties_rnk $tail) " +
+          s"__ties_w WHERE __ties_rnk <= $n ORDER BY __ties_rnk"
+      case Some(k) =>
+        val kn = k.toLong + n.toLong
+        s"SELECT * EXCEPT (__ties_rnk, __ties_rn, __ties_brk) FROM (" +
+          s"SELECT *, max(CASE WHEN __ties_rn = $kn THEN __ties_rnk END) " +
+          s"OVER () AS __ties_brk FROM ($head, " +
+          s"rank() OVER (ORDER BY $keys) AS __ties_rnk, " +
+          s"row_number() OVER (ORDER BY $keys) AS __ties_rn $tail) " +
+          s"__ties_r) __ties_w WHERE __ties_rn > $k AND " +
+          s"(__ties_brk IS NULL OR __ties_rnk <= __ties_brk) " +
+          s"ORDER BY __ties_rnk"
+    }
   }
 
   private def rewriteFetchFirst(sql0: String, opts: PreprocessOpts): String = {

@@ -130,6 +130,19 @@ object Relational {
           |) t ORDER BY o_orderkey""".stripMargin,
         graft.dialect.TrinoFunctions.PreprocessOpts(tiesInBlock = true)))),
 
+    // WITH TIES behind an ANSI OFFSET with an ordinal sort key (both
+    // r15): skip 37, take 50, extend through the tie group of row 87.
+    // The projection IS the sort key, so the value multiset is
+    // deterministic even though the offset cuts inside a tie group
+    // (which specific duplicate rows are skipped is arbitrary, but
+    // they are indistinguishable by value). DuckDB has no OFFSET+TIES
+    // grammar — the oracle replays the ANSI rule with rank/row_number.
+    "limit_ties_offset" -> ((s, d) =>
+      graft.engine.Tables.sql(s, d, graft.dialect.TrinoFunctions.preprocess(
+        """SELECT l_quantity FROM lineitem
+          |ORDER BY 1
+          |OFFSET 37 ROWS FETCH FIRST 50 ROWS WITH TIES""".stripMargin))),
+
     // 5. top-k — Catalyst plans TakeOrderedAndProject (no full sort).
     "topk_orderby_limit" -> ((s, d) =>
       t(s, d, "customer")
@@ -552,6 +565,18 @@ object Relational {
         |  FROM orders
         |) t WHERE r <= 50
         |ORDER BY o_orderkey""".stripMargin,
+
+    "limit_ties_offset" ->
+      """SELECT l_quantity FROM (
+        |  SELECT l_quantity, rank() OVER (ORDER BY l_quantity) AS r,
+        |         row_number() OVER (ORDER BY l_quantity) AS rn
+        |  FROM lineitem
+        |) t WHERE rn > 37 AND r <= (
+        |  SELECT max(CASE WHEN rn2 = 87 THEN r2 END) FROM (
+        |    SELECT rank() OVER (ORDER BY l_quantity) AS r2,
+        |           row_number() OVER (ORDER BY l_quantity) AS rn2
+        |    FROM lineitem) u)
+        |ORDER BY l_quantity""".stripMargin,
 
     "agg_array_ordered" ->
       """SELECT c_mktsegment,

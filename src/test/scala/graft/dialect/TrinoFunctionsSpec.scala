@@ -1497,11 +1497,68 @@ class TrinoFunctionsSpec extends SparkSpec {
         |ORDER BY substr(n_name, 1, 8) FETCH FIRST 2 ROWS WITH TIES"""
         .stripMargin)
     assert(r.fold(e => fail(e), _.rows.size) == 12, r)
-    // a genuinely ordinal key is still rejected
+    // an out-of-range ordinal key is rejected loudly
     val e = qs.execute(
       "SELECT n_name FROM nation ORDER BY substr(n_name, 1, 3), 2 " +
         "FETCH FIRST 2 ROWS WITH TIES")
     assert(e.isLeft && e.left.exists(_.contains("ordinal")), e)
+  }
+
+  test("WITH TIES: ordinal ORDER BY keys resolve against the select list") {
+    // ordinal → bare column (5 nations share region 0)
+    val r1 = qs.execute(
+      "SELECT n_regionkey, n_name FROM nation ORDER BY 1 " +
+        "FETCH FIRST 2 ROWS WITH TIES")
+    assert(r1.fold(e => fail(e), _.rows.size) == 5, r1)
+    // ordinal → AS alias of an expression
+    val r2 = qs.execute(
+      "SELECT n_regionkey % 2 AS par, n_name FROM nation ORDER BY 1 " +
+        "FETCH FIRST 2 ROWS WITH TIES")
+    assert(r2.fold(e => fail(e), _.rows.size) == 15, r2) // regions 0,2,4
+    // mixed ordinal + named key; ordinal carries its direction
+    val r3 = qs.execute(
+      "SELECT n_regionkey, n_name FROM nation ORDER BY 1 DESC, n_name " +
+        "FETCH FIRST 2 ROWS WITH TIES")
+    assert(r3.fold(e => fail(e), _.rows.size) == 2, r3)
+    // unaliased-expression ordinal still rejects with a named fix
+    val e1 = qs.execute(
+      "SELECT n_regionkey % 2, n_name FROM nation ORDER BY 1 " +
+        "FETCH FIRST 2 ROWS WITH TIES")
+    assert(e1.isLeft && e1.left.exists(_.contains("alias")), e1)
+  }
+
+  test("WITH TIES: OFFSET folds into the rank rewrite (ANSI order)") {
+    // region 0 has 5 nations; skip 2, fetch 2 → positions 3,4 are still
+    // region 0, ties extend through the remaining region-0 rows = 3
+    val r1 = qs.execute(
+      "SELECT n_regionkey FROM nation ORDER BY n_regionkey " +
+        "OFFSET 2 ROWS FETCH FIRST 2 ROWS WITH TIES")
+    assert(r1.fold(e => fail(e), _.rows.size) == 3, r1)
+    // skip 4: position 5 closes region 0 (1 row), positions 6.. are
+    // region 1 — boundary row 6 is region 1, ties = all 5 of region 1
+    val r2 = qs.execute(
+      "SELECT n_regionkey FROM nation ORDER BY n_regionkey " +
+        "OFFSET 4 ROWS FETCH FIRST 2 ROWS WITH TIES")
+    assert(r2.fold(e => fail(e), _.rows.size) == 6, r2)
+    // offset beyond the data → empty, fetch beyond → whole remainder
+    val r3 = qs.execute(
+      "SELECT n_regionkey FROM nation ORDER BY n_regionkey " +
+        "OFFSET 30 ROWS FETCH FIRST 2 ROWS WITH TIES")
+    assert(r3.fold(e => fail(e), _.rows.size) == 0, r3)
+    val r4 = qs.execute(
+      "SELECT n_regionkey FROM nation ORDER BY n_regionkey " +
+        "OFFSET 20 ROWS FETCH FIRST 99 ROWS WITH TIES")
+    assert(r4.fold(e => fail(e), _.rows.size) == 5, r4)
+    // unprojected key + OFFSET rides the in-block retry
+    val r5 = qs.execute(
+      "SELECT n_name FROM nation ORDER BY n_regionkey " +
+        "OFFSET 2 ROWS FETCH FIRST 2 ROWS WITH TIES")
+    assert(r5.fold(e => fail(e), _.rows.size) == 3, r5)
+    // ordinal + OFFSET compose
+    val r6 = qs.execute(
+      "SELECT n_regionkey, n_name FROM nation ORDER BY 1 " +
+        "OFFSET 4 ROWS FETCH FIRST 2 ROWS WITH TIES")
+    assert(r6.fold(e => fail(e), _.rows.size) == 6, r6)
   }
 
   test("WITH TIES: unprojected ORDER BY keys resolve via in-block retry") {
@@ -1987,14 +2044,15 @@ class TrinoFunctionsSpec extends SparkSpec {
                     |  SELECT n_regionkey FROM nation ORDER BY n_regionkey FETCH FIRST ROW WITH TIES
                     |) t""".stripMargin)
     assert(r4 == Seq(Seq(5L)))
-    // rejects: no ORDER BY, ordinal keys, OFFSET combo
+    // reject: no ORDER BY (ties are defined by the sort key)
     val e1 = qs.execute("SELECT n_nationkey FROM nation FETCH FIRST 5 ROWS WITH TIES")
     assert(e1.isLeft && e1.left.exists(_.contains("ORDER BY")))
-    val e2 = qs.execute("SELECT n_nationkey FROM nation ORDER BY 1 FETCH FIRST 5 ROWS WITH TIES")
-    assert(e2.isLeft && e2.left.exists(_.contains("ordinal")))
-    val e3 = qs.execute(
+    // ordinal keys and the OFFSET combo are supported (r15)
+    val r5 = rows("SELECT n_nationkey FROM nation ORDER BY 1 FETCH FIRST 5 ROWS WITH TIES")
+    assert(r5.map(_.head) == Seq(0L, 1L, 2L, 3L, 4L))
+    val r6 = rows(
       "SELECT n_nationkey FROM nation ORDER BY n_nationkey OFFSET 2 ROWS FETCH FIRST 5 ROWS WITH TIES")
-    assert(e3.isLeft && e3.left.exists(_.contains("OFFSET")))
+    assert(r6.map(_.head) == Seq(2L, 3L, 4L, 5L, 6L))
     // inside a literal it is data
     assert(one("SELECT 'FETCH FIRST 5 ROWS WITH TIES'") == "FETCH FIRST 5 ROWS WITH TIES")
   }
