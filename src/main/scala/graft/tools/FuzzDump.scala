@@ -407,8 +407,51 @@ object FuzzDump {
     }
 
     def same(s: String): (String, String) = (s, s)
-    val kind = rng.nextInt(22)
-    if (kind == 19) {
+    val kind = rng.nextInt(23)
+    if (kind == 22) {
+      // v8: SQL/JSON behavior clauses over events.props (always
+      // {"k": int} in the testdata) — json_value ON EMPTY / ON ERROR,
+      // json_query wrappers + behaviors, json_exists ON ERROR — vs
+      // DuckDB's json_extract algebra. Default literals are drawn from
+      // a pool that INCLUDES clause-keyword-looking text ('NULL ON
+      // EMPTY', 'ERROR', 'DEFAULT') — masked-literal splice bugs in
+      // the clause parsers would surface as a mismatch or a parse
+      // error here.
+      val lits = Seq("d0", "NULL ON EMPTY", "ERROR", "DEFAULT",
+        "WITH ARRAY WRAPPER", "absent", "ON ERROR")
+      def lit(): String = c.pick(lits)
+      val l1 = lit(); val l2 = lit(); val l3 = lit()
+      val missing = c.pick(Seq("$.missing", "$.nope", "$.z"))
+      val pieces = Seq(
+        (s"json_value(props, '$$.k' DEFAULT '$l1' ON EMPTY)",
+          "json_extract_string(props, '$.k')"),
+        (s"json_value(props, '$missing' DEFAULT '$l2' ON EMPTY)",
+          s"'$l2'"),
+        (s"json_value('{bad', '$$.k' DEFAULT '$l3' ON ERROR)",
+          s"'$l3'"),
+        (s"json_value(props, '$missing' NULL ON EMPTY NULL ON ERROR)",
+          "CAST(NULL AS VARCHAR)"),
+        ("json_query(props, '$.k' WITH ARRAY WRAPPER)",
+          "'[' || CAST(json_extract(props, '$.k') AS VARCHAR) || ']'"),
+        (s"json_query(props, '$missing' EMPTY ARRAY ON EMPTY)", "'[]'"),
+        (s"json_query(props, '$missing' EMPTY OBJECT ON EMPTY)", "'{}'"),
+        ("json_exists('{bad', '$.k' TRUE ON ERROR)", "TRUE"),
+        (s"json_exists(props, '$missing' FALSE ON ERROR)", "FALSE"),
+        ("json_value(props, '$.k' RETURNING bigint DEFAULT 0 ON EMPTY)",
+          "CAST(json_extract_string(props, '$.k') AS BIGINT)"))
+      val chosen = (0 until (2 + rng.nextInt(3)))
+        .map(_ => pieces(rng.nextInt(pieces.length)))
+      val where = rng.nextInt(3) match {
+        case 0 => s" WHERE event_id < ${100 + rng.nextInt(800)}"
+        case 1 => s" WHERE user_id % ${2 + rng.nextInt(5)} = 0"
+        case _ => ""
+      }
+      def full(sel: Seq[String]) =
+        s"SELECT ${(s"event_id AS c0" +: sel.zipWithIndex.map {
+          case (e, i) => s"$e AS c${i + 1}"
+        }).mkString(", ")} FROM events$where ORDER BY c0 ASC NULLS FIRST"
+      (full(chosen.map(_._1)), full(chosen.map(_._2)))
+    } else if (kind == 19) {
       // v7: quantified comparison as a FILTER — WHERE on a plain
       // select or HAVING over a grouped query (UNKNOWN must drop rows
       // in both engines; composes the rewrite with block structures
@@ -499,6 +542,12 @@ object FuzzDump {
       // so the tie groups are value-identical and the compare is
       // positional-safe; DuckDB gets the independently-constructed
       // rank() spelling (its grammar has no WITH TIES).
+      // v8 adds: a random ANSI `OFFSET k ROWS` before FETCH (the r15
+      // fold — skip k, take n, extend through the tie group of row
+      // k+n; which duplicate rows the skip lands on is arbitrary but
+      // value-identical, so the multiset compare is exact), and
+      // sometimes ordinal spellings of the inner ORDER BY keys (the
+      // r15 select-list resolution; DuckDB keeps named keys).
       val e0 = intExpr(c, 1)
       val e1 = strExpr(c, 1)
       val n = 5 + rng.nextInt(60)
@@ -517,14 +566,29 @@ object FuzzDump {
         }
       val where = if (rng.nextBoolean()) s" WHERE ${boolExpr(c, 1)}" else ""
       val inner = s"SELECT $e0 AS c0, $e1 AS c1$quantCol FROM ${rel.sql}$where"
-      val keys = "c0 ASC NULLS FIRST, c1 DESC NULLS LAST" +
-        (if (withQuant) ", cq ASC NULLS FIRST" else "")
-      val cols = "c0, c1" + (if (withQuant) ", cq" else "")
-      val spark = s"SELECT * FROM ($inner ORDER BY $keys " +
+      val dirs = Seq("ASC NULLS FIRST", "DESC NULLS LAST", "ASC NULLS FIRST")
+      val names = Seq("c0", "c1") ++ (if (withQuant) Seq("cq") else Nil)
+      val keys = names.zip(dirs).map { case (nm, d) => s"$nm $d" }.mkString(", ")
+      val useOrdinals = rng.nextBoolean()
+      val innerKeys =
+        if (!useOrdinals) keys
+        else names.indices.map(i => s"${i + 1} ${dirs(i)}").mkString(", ")
+      val offK = if (rng.nextBoolean()) 1 + rng.nextInt(40) else 0
+      val offSeg = if (offK > 0) s" OFFSET $offK ROWS" else ""
+      val cols = names.mkString(", ")
+      val spark = s"SELECT * FROM ($inner ORDER BY $innerKeys$offSeg " +
         s"FETCH FIRST $n ROWS WITH TIES) t ORDER BY $keys"
-      val duck = s"SELECT $cols FROM (SELECT $cols, rank() OVER " +
-        s"(ORDER BY $keys) AS r FROM ($inner) q) w WHERE r <= $n " +
-        s"ORDER BY $keys"
+      val duck =
+        if (offK == 0)
+          s"SELECT $cols FROM (SELECT $cols, rank() OVER " +
+            s"(ORDER BY $keys) AS r FROM ($inner) q) w WHERE r <= $n " +
+            s"ORDER BY $keys"
+        else
+          s"SELECT $cols FROM (SELECT *, max(CASE WHEN rn = ${offK + n} " +
+            s"THEN r END) OVER () AS brk FROM (SELECT $cols, rank() OVER " +
+            s"(ORDER BY $keys) AS r, row_number() OVER (ORDER BY $keys) " +
+            s"AS rn FROM ($inner) q) w) x WHERE rn > $offK AND " +
+            s"(brk IS NULL OR r <= brk) ORDER BY $keys"
       (spark, duck)
     } else same(kind match {
       case 18 => // quantified subquery comparisons (v6): every op ×
@@ -728,6 +792,7 @@ object FuzzDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.Logs.silenceWindowWarn()
+    graft.dialect.TrinoFunctions.register(spark) // v8 json productions
     new java.io.File(outDir).mkdirs()
 
     var sqls = Map.empty[String, String]

@@ -37,6 +37,7 @@ class FuzzSpec extends SparkSpec {
   }
 
   test("every generated query executes through the dialect path") {
+    graft.dialect.TrinoFunctions.register(spark) // v8 json productions
     (0 until 60).foreach { i =>
       val sql = FuzzDump.genQuery(555000L + i)
       val pre = graft.dialect.TrinoFunctions.preprocess(sql)
@@ -63,16 +64,20 @@ class FuzzSpec extends SparkSpec {
 object FuzzSpec {
   /** MD5 over both genQueryPair(20260814 + i) texts, i < 200 — the
     * canonical-seed prefix of the corpus certified against DuckDB on
-    * the v7 grammar (1,200/1,200 across seeds 20260814/77015/424242 at
-    * sf0.001; v1–v6 history: 2,400 + 3,600 + 1,400 + 1,600 + 1,200 +
-    * 2,600 green). v7 adds quantified-comparison FILTERS (WHERE +
-    * HAVING-over-aggregate), ordered/DISTINCT/mixed-direction
+    * the v8 grammar (1,200/1,200 across seeds 20260814/77015/424242 at
+    * sf0.001; v1–v7 history: 2,400 + 3,600 + 1,400 + 1,600 + 1,200 +
+    * 2,600 + 1,200 green). v7 added quantified-comparison FILTERS
+    * (WHERE + HAVING-over-aggregate), ordered/DISTINCT/mixed-direction
     * array_agg under ROLLUP / GROUPING SETS, and FETCH … WITH TIES
     * paired with an independently-built rank() oracle (DuckDB has no
-    * WITH TIES grammar) — the run caught a REAL dialect corner now
+    * WITH TIES grammar) — that run caught a REAL dialect corner now
     * fixed (array_agg over an EMPTY group returned [] where SQL says
     * NULL) and excluded two DuckDB-side quirks by construction (its
     * array_agg drops NULL elements; 1.0 constant-folds in-aggregate
-    * ORDER BY keys equal to a grouping key, un-sorting super-rows). */
-  val GoldenHash = "cbfd18652983691e0e524bf9d4b98e5b"
+    * ORDER BY keys equal to a grouping key, un-sorting super-rows).
+    * v8 adds the r15 constructs: ANSI OFFSET folded into WITH TIES,
+    * ordinal ORDER BY keys under TIES (select-list resolution), and
+    * SQL/JSON behavior clauses whose DEFAULT literals include
+    * clause-keyword-looking text (masked-literal splice hunting). */
+  val GoldenHash = "0e73139bcaa5b4930d5e10b8331c062d"
 }
