@@ -64,6 +64,17 @@ object TrinoFunctions {
       s"$name expects 1 arg, got ${args.length}")
   }
 
+  /** Registry names that exist only as carriers for preprocess
+    * rewrites — not user-callable Trino spellings; SHOW FUNCTIONS
+    * (FunctionCatalog) deliberately omits them. */
+  val internalNames: Set[String] = Set("graft_json_obj", "graft_json_arr")
+
+  /** User-facing functions served ENTIRELY by a preprocess rewrite —
+    * their grammar (KEY … VALUE members, trailing behavior clauses)
+    * never reaches the expression registry, but SHOW FUNCTIONS must
+    * still list them. */
+  val rewriteOnlyNames: Set[String] = Set("json_object", "json_array")
+
   val shims: Map[String, Seq[Expression] => Expression] = Map(
     "approx_distinct" -> {
       // Trino's documented default max standard error is 2.3% — Spark's
@@ -1350,6 +1361,28 @@ object TrinoFunctions {
       case args => throw new IllegalArgumentException(
         s"json_exists expects (json, path), got ${args.length} args")
     },
+    // internal finishers for the SQL/JSON constructors
+    // (rewriteJsonConstructors): args are the to_json(named_struct(…))
+    // text, the null mode ('N' keep | 'A' absent), and the per-field
+    // embed modes ('V' value | 'J' re-parse as JSON)
+    "graft_json_obj" -> {
+      case Seq(o, nm, fm) =>
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          JsonFuncs.getClass, StringType, "jsonObjFinish",
+          Seq(Cast(o, StringType), Cast(nm, StringType), Cast(fm, StringType)),
+          Seq(StringType, StringType, StringType))
+      case args => throw new IllegalArgumentException(
+        s"graft_json_obj expects 3 args, got ${args.length}")
+    },
+    "graft_json_arr" -> {
+      case Seq(o, nm, fm) =>
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          JsonFuncs.getClass, StringType, "jsonArrFinish",
+          Seq(Cast(o, StringType), Cast(nm, StringType), Cast(fm, StringType)),
+          Seq(StringType, StringType, StringType))
+      case args => throw new IllegalArgumentException(
+        s"graft_json_arr expects 3 args, got ${args.length}")
+    },
     // array_histogram(arr) → map(element → count), nulls ignored
     "array_histogram" -> {
       case Seq(a) => graft.functions.NativeExprs.ArrayHistogram(a)
@@ -2130,8 +2163,9 @@ object TrinoFunctions {
 
     rewriteAtTimeZone(rewriteFetchFirst(rewriteTypedLiterals(
       rewriteCastTypes(rewriteQuantified(rewriteArrayAggOrderBy(
-        rewriteJsonReturning(rewriteJsonExistsClauses(rewriteJsonValueOnClauses(
-          rewriteJsonQueryClauses(rewriteUnnest(afterSample, opts))))))))), opts))
+        rewriteJsonReturning(rewriteJsonConstructors(rewriteJsonExistsClauses(
+          rewriteJsonValueOnClauses(rewriteJsonQueryClauses(
+            rewriteUnnest(afterSample, opts)))))))))), opts))
   }
 
   // SQL/JSON json_query wrapper/quote clauses — `WITHOUT [ARRAY]
@@ -2405,6 +2439,148 @@ object TrinoFunctions {
               sql.substring(close + 1)
             spliced = true
           }
+        }
+      }
+      if (!spliced) return sql
+    }
+    sql
+  }
+
+  // SQL/JSON constructors — `json_object([KEY] k VALUE v | k : v, …
+  // [NULL|ABSENT ON NULL] [{WITH|WITHOUT} UNIQUE [KEYS]] [RETURNING t])`
+  // and `json_array(e, … [NULL|ABSENT ON NULL] [RETURNING t])` — have
+  // no Spark spelling. Rewrite onto `to_json(named_struct(…))` (typed,
+  // mixed-element serialization for free) finished by a Jackson shim
+  // that applies the null mode and embeds nested-JSON members
+  // (syntactically-detected json_object/json_array/json_parse/
+  // json_query members are re-parsed, not quoted — the engine's JSON
+  // runtime type is a string, so embedding must be decided at rewrite
+  // time). Defaults per the standard and Trino: json_object = NULL ON
+  // NULL, json_array = ABSENT ON NULL. Keys must be string literals
+  // (named_struct field names are foldable); WITH UNIQUE KEYS checks
+  // literal duplicates at rewrite time.
+  private val jsonCtorPattern = java.util.regex.Pattern.compile(
+    "(?i)\\bjson_(object|array)\\s*\\(")
+  private val jsonCtorNullPattern = java.util.regex.Pattern.compile(
+    "(?i)\\s*\\b(NULL|ABSENT)\\s+ON\\s+NULL\\s*$")
+  private val jsonCtorUniquePattern = java.util.regex.Pattern.compile(
+    "(?i)\\s*\\b(WITH|WITHOUT)\\s+UNIQUE(\\s+KEYS)?\\s*$")
+  private val jsonNestedPattern = java.util.regex.Pattern.compile(
+    "(?is)^json_(object|array|parse|query)\\s*\\(.*\\)$")
+
+  private def rewriteJsonConstructors(sql0: String): String = {
+    if (!jsonCtorPattern.matcher(sql0).find()) return sql0
+    var sql = sql0
+    var guard = 0
+    while (guard < 64) {
+      guard += 1
+      val masked = maskedRegions(sql)
+      val n = sql.length
+      val m = jsonCtorPattern.matcher(sql)
+      var spliced = false
+      while (!spliced && m.find()) {
+        if (!masked(m.start)) {
+          val isObject = m.group(1).equalsIgnoreCase("object")
+          val open = m.end - 1
+          var depth = 0
+          var i = open
+          var close = -1
+          while (close < 0 && i < n) {
+            if (!masked(i)) {
+              if (sql(i) == '(') depth += 1
+              else if (sql(i) == ')') { depth -= 1; if (depth == 0) close = i }
+            }
+            i += 1
+          }
+          if (close < 0) return sql
+          var content = sql.substring(open + 1, close)
+          // trailing clauses, outermost first: RETURNING, UNIQUE, ON
+          // NULL. RETURNING needs a depth-0 scan (type text may hold
+          // parens — decimal(10,2) — so a $-anchored regex could
+          // swallow a nested json_value(… RETURNING t) member instead)
+          var retType: Option[String] = None
+          locally {
+            val cm0 = maskedRegions(content)
+            val rre = java.util.regex.Pattern
+              .compile("(?i)\\bRETURNING\\b").matcher(content)
+            var at = -1
+            while (rre.find()) if (!cm0(rre.start)) {
+              var d = 0; var q = 0
+              while (q < rre.start) {
+                if (!cm0(q)) {
+                  if (content(q) == '(') d += 1
+                  else if (content(q) == ')') d -= 1
+                }
+                q += 1
+              }
+              if (d == 0) at = rre.start
+            }
+            if (at >= 0) {
+              retType = Some(content.substring(at + 9).trim)
+              content = content.substring(0, at)
+            }
+          }
+          var uniqueKeys = false
+          if (isObject) {
+            val um = jsonCtorUniquePattern.matcher(content)
+            if (um.find() && !maskedRegions(content)(um.start)) {
+              uniqueKeys = um.group(1).equalsIgnoreCase("WITH")
+              content = content.substring(0, um.start)
+            }
+          }
+          var keepNull = isObject // the per-constructor defaults
+          val nm = jsonCtorNullPattern.matcher(content)
+          if (nm.find() && !maskedRegions(content)(nm.start)) {
+            keepNull = nm.group(1).equalsIgnoreCase("NULL")
+            content = content.substring(0, nm.start)
+          }
+          val members =
+            if (content.trim.isEmpty) Seq.empty
+            else topLevelCommaSplit(content).map(_.trim)
+          val fields: Seq[(String, String)] =
+            if (isObject) {
+              val kv = java.util.regex.Pattern.compile(
+                "(?is)^(?:KEY\\s+)?('(?:[^']|'')*')\\s+VALUE\\s+(.+)$")
+              val colon = java.util.regex.Pattern.compile(
+                "(?is)^('(?:[^']|'')*')\\s*:\\s*(.+)$")
+              members.map { mem =>
+                val km = kv.matcher(mem)
+                val cm = colon.matcher(mem)
+                if (km.matches()) (km.group(1), km.group(2).trim)
+                else if (cm.matches()) (cm.group(1), cm.group(2).trim)
+                else throw new IllegalArgumentException(
+                  "json_object: each member must be [KEY] 'name' VALUE " +
+                    s"expr or 'name' : expr with a string-literal key " +
+                    s"(got: $mem)")
+              }
+            } else members.zipWithIndex.map { case (mem, idx) =>
+              (s"'c$idx'", mem)
+            }
+          if (uniqueKeys) {
+            val dups = fields.groupBy(_._1).collect {
+              case (k, vs) if vs.size > 1 => k }
+            if (dups.nonEmpty) throw new IllegalArgumentException(
+              s"json_object: duplicate key ${dups.head} with WITH UNIQUE KEYS")
+          }
+          val core =
+            if (fields.isEmpty) {
+              if (isObject) "'{}'" else "'[]'"
+            } else {
+              val modes = fields.map { case (_, v) =>
+                if (jsonNestedPattern.matcher(v).matches()) 'J' else 'V'
+              }.mkString
+              val ns = fields.map { case (k, v) => s"$k, $v" }
+                .mkString("named_struct(", ", ", ")")
+              val fn = if (isObject) "graft_json_obj" else "graft_json_arr"
+              s"$fn(to_json($ns, map('ignoreNullFields', 'false')), " +
+                s"'${if (keepNull) "N" else "A"}', '$modes')"
+            }
+          val wrapped = retType match {
+            case Some(t) => s"CAST($core AS ${trinoTypeToSpark(t)})"
+            case None => core
+          }
+          sql = sql.substring(0, m.start) + wrapped + sql.substring(close + 1)
+          spliced = true
         }
       }
       if (!spliced) return sql
@@ -4920,6 +5096,60 @@ object JsonFuncs {
       case 'C' if !node.isArray && !node.isObject =>
         mapper.createArrayNode().add(node)
       case _ => node
+    }
+    UTF8String.fromString(mapper.writeValueAsString(out))
+  }
+
+  /** json_object constructor finisher: `obj` is Spark's
+    * to_json(named_struct(…), ignoreNullFields=false) text — field
+    * ORDER is the declaration order and nulls are present, so the
+    * i-th field lines up with the i-th embed-mode char. 'J' fields
+    * (syntactically-detected nested JSON members) are re-parsed from
+    * their text instead of staying quoted strings; nullMode 'A' drops
+    * null-valued members (ABSENT ON NULL). Duplicate keys collapse
+    * last-wins at the Jackson parse (documented divergence — Trino
+    * keeps the standard's implementation-defined latitude here). */
+  def jsonObjFinish(obj: UTF8String, nullMode: UTF8String,
+      modes: UTF8String): UTF8String = {
+    val root = parse(obj)
+    val keep = nullMode.toString.charAt(0) == 'N'
+    val ms = modes.toString
+    val out = mapper.createObjectNode()
+    val it = root.fields()
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      val mode = if (i < ms.length) ms.charAt(i) else 'V'
+      val v = e.getValue
+      if (v.isNull) { if (keep) out.set[JsonNode](e.getKey, v) }
+      else if (mode == 'J' && v.isTextual)
+        out.set[JsonNode](e.getKey, parse(UTF8String.fromString(v.asText())))
+      else out.set[JsonNode](e.getKey, v)
+      i += 1
+    }
+    UTF8String.fromString(mapper.writeValueAsString(out))
+  }
+
+  /** json_array constructor finisher: same carrier as jsonObjFinish
+    * (elements ride synthetic c0..cN fields); nullMode 'A' (the
+    * json_array default) skips null elements, 'N' keeps them. */
+  def jsonArrFinish(obj: UTF8String, nullMode: UTF8String,
+      modes: UTF8String): UTF8String = {
+    val root = parse(obj)
+    val keep = nullMode.toString.charAt(0) == 'N'
+    val ms = modes.toString
+    val out = mapper.createArrayNode()
+    val it = root.fields()
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      val mode = if (i < ms.length) ms.charAt(i) else 'V'
+      val v = e.getValue
+      if (v.isNull) { if (keep) out.add(v) }
+      else if (mode == 'J' && v.isTextual)
+        out.add(parse(UTF8String.fromString(v.asText())))
+      else out.add(v)
+      i += 1
     }
     UTF8String.fromString(mapper.writeValueAsString(out))
   }

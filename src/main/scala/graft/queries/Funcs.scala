@@ -231,7 +231,9 @@ object Funcs {
           |  json_value(props, '$.k' RETURNING bigint DEFAULT 0 ON EMPTY) + 1 AS v_typed,
           |  json_query(props, '$.missing' EMPTY ARRAY ON EMPTY) AS q_empty_arr,
           |  json_query(props, '$.missing' WITH ARRAY WRAPPER EMPTY OBJECT ON EMPTY) AS q_empty_obj,
-          |  json_exists('{oops', '$.k' TRUE ON ERROR) AS e_err_true
+          |  json_exists('{oops', '$.k' TRUE ON ERROR) AS e_err_true,
+          |  json_object(KEY 'a' VALUE event_id, 'b' VALUE event_type) AS ctor_obj,
+          |  json_array(event_id, event_type, json_object('t' : 1)) AS ctor_arr
           |FROM events
           |ORDER BY event_id""".stripMargin))
     }),
@@ -407,7 +409,9 @@ object Funcs {
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) + 1 AS v_typed,
         |  '[]' AS q_empty_arr,
         |  '{}' AS q_empty_obj,
-        |  TRUE AS e_err_true
+        |  TRUE AS e_err_true,
+        |  CAST(json_object('a', event_id, 'b', event_type) AS VARCHAR) AS ctor_obj,
+        |  CAST(json_array(event_id, event_type, json_object('t', 1)) AS VARCHAR) AS ctor_arr
         |FROM events
         |ORDER BY event_id""".stripMargin,
 

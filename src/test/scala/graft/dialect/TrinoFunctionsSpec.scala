@@ -1457,6 +1457,43 @@ class TrinoFunctionsSpec extends SparkSpec {
     assert(e3.isLeft && e3.left.exists(_.contains("duplicate")), e3)
   }
 
+  test("json_object / json_array constructors") {
+    // KEY … VALUE and colon forms; NULL ON NULL is json_object's default
+    assert(one("""SELECT json_object(KEY 'a' VALUE 1, KEY 'b' VALUE 'x')""")
+      == """{"a":1,"b":"x"}""")
+    assert(one("""SELECT json_object('a' VALUE 1, 'b' VALUE NULL)""")
+      == """{"a":1,"b":null}""")
+    assert(one("""SELECT json_object('a' VALUE 1, 'b' VALUE NULL ABSENT ON NULL)""")
+      == """{"a":1}""")
+    assert(one("""SELECT json_object('a' : 5)""") == """{"a":5}""")
+    assert(one("SELECT json_object()") == "{}")
+    // json_array: mixed element types; ABSENT ON NULL is its default
+    assert(one("""SELECT json_array(1, 'two', 3.5)""") == """[1,"two",3.5]""")
+    assert(one("SELECT json_array(1, NULL, 2)") == "[1,2]")
+    assert(one("SELECT json_array(1, NULL, 2 NULL ON NULL)") == "[1,null,2]")
+    assert(one("SELECT json_array()") == "[]")
+    // nested constructors and json_parse members EMBED (not quote)
+    assert(one("""SELECT json_array(1, json_object('k' VALUE 2))""")
+      == """[1,{"k":2}]""")
+    assert(one(
+      """SELECT json_object('o' VALUE json_array(1, 2), 'p' VALUE json_parse('{"z": true}'))""")
+      == """{"o":[1,2],"p":{"z":true}}""")
+    // RETURNING; a nested json_value RETURNING member is not stolen
+    assert(one("""SELECT json_object('a' VALUE 1 RETURNING varchar)""")
+      == """{"a":1}""")
+    assert(one("""SELECT json_array(json_value('{"k": 7}', 'lax $.k' RETURNING bigint))""")
+      == "[7]")
+    // WITH UNIQUE KEYS rejects literal duplicates; without it, last wins
+    val e1 = qs.execute("""SELECT json_object('a' VALUE 1, 'a' VALUE 2 WITH UNIQUE KEYS)""")
+    assert(e1.isLeft && e1.left.exists(_.contains("duplicate key")), e1)
+    assert(one("""SELECT json_object('a' VALUE 1, 'a' VALUE 2)""") == """{"a":2}""")
+    // clause keywords inside string members are data
+    assert(one("""SELECT json_array('NULL ON NULL')""") == """["NULL ON NULL"]""")
+    // non-literal keys reject with the named limit
+    val e2 = qs.execute("SELECT json_object(n_name VALUE 1) FROM nation")
+    assert(e2.isLeft && e2.left.exists(_.contains("string-literal key")), e2)
+  }
+
   test("json_exists ON ERROR behaviors") {
     // present / absent paths are plain TRUE / FALSE regardless of clause
     assert(one("""SELECT json_exists('{"a": 1}', '$.a' TRUE ON ERROR)""") == true)

@@ -67,10 +67,11 @@ class ShowFunctionsSpec extends SparkSpec {
 
   test("catalog names are in lockstep with the live registry") {
     val registry = (TrinoFunctions.shims.keySet ++
-      TrinoFunctions.graftNatives.keySet)
+      TrinoFunctions.graftNatives.keySet) -- TrinoFunctions.internalNames
     val catalog = FunctionCatalog.entries.map(_.name).toSet
     val missing = (registry -- catalog).toSeq.sorted
-    val phantom = (catalog -- registry).toSeq.sorted
+    val phantom =
+      (catalog -- registry -- TrinoFunctions.rewriteOnlyNames).toSeq.sorted
     assert(missing.isEmpty && phantom.isEmpty,
       s"\ncatalog missing registered names: ${missing.mkString(", ")}\n" +
         s"catalog lists unregistered names: ${phantom.mkString(", ")}")
