@@ -2283,7 +2283,21 @@ object TrinoFunctions {
               s"${if (quoteMode == ' ') 'K' else quoteMode}" +
               s"${if (emptyMode == ' ') 'N' else emptyMode}" +
               s"${if (errorMode == ' ') 'N' else errorMode}"
-            val args = content.substring(0, clauseStart).trim
+            val args0 = content.substring(0, clauseStart)
+            // grammar puts `RETURNING type` BEFORE the clauses — keep
+            // it trailing in the splice so the RETURNING pass (which
+            // runs after this one) still sees it
+            val retIdx = {
+              val rre = java.util.regex.Pattern
+                .compile("(?i)\\bRETURNING\\b").matcher(args0)
+              var at = -1
+              while (rre.find()) if (depth0(rre.start)) at = rre.start
+              at
+            }
+            val (args, retSeg) =
+              if (retIdx < 0) (args0.trim, "")
+              else (args0.substring(0, retIdx).trim.stripSuffix(","),
+                " " + args0.substring(retIdx).trim)
             val tail = content.substring(clauseStart)
             // everything in the tail must be clause text we consumed
             val residue = jsonQueryBehaviorPattern.matcher(
@@ -2295,7 +2309,7 @@ object TrinoFunctions {
                 "supported: wrapper/quote clauses and {ERROR | NULL | " +
                 "EMPTY ARRAY | EMPTY OBJECT} ON {EMPTY | ERROR}")
             sql = sql.substring(0, m.start) +
-              s"json_query($args, '$mode')" + sql.substring(close + 1)
+              s"json_query($args, '$mode'$retSeg)" + sql.substring(close + 1)
             spliced = true
           }
         }
@@ -2668,15 +2682,17 @@ object TrinoFunctions {
     sql
   }
 
-  // SQL/JSON `RETURNING type` clause (json_value's typed result, the
-  // 2-arg default form is served by the JsonFuncs shim): strip the
-  // clause and CAST the result — `json_value(j, p RETURNING bigint)` →
-  // `CAST(json_value(j, p) AS BIGINT)`, with the type run through the
-  // same Trino→Spark translation CAST targets get. Trino's ON
-  // EMPTY/ON ERROR clauses stay unsupported (the shim's documented
-  // defaults apply).
+  // SQL/JSON `RETURNING type` clause on json_value and json_query
+  // (the 2-arg default forms are served by the JsonFuncs shims): strip
+  // the clause and CAST the result — `json_value(j, p RETURNING
+  // bigint)` → `CAST(json_value(j, p) AS BIGINT)`, with the type run
+  // through the same Trino→Spark translation CAST targets get. The
+  // behavior/wrapper clause passes run FIRST and keep any RETURNING
+  // segment trailing in their splices, so this pass sees it last.
   private val jsonValuePattern = java.util.regex.Pattern.compile(
     "(?i)\\bjson_value\\s*\\(")
+  private val jsonRetFnPattern = java.util.regex.Pattern.compile(
+    "(?i)\\bjson_(value|query)\\s*\\(")
 
   private def rewriteJsonReturning(sql0: String): String = {
     var sql = sql0
@@ -2685,7 +2701,7 @@ object TrinoFunctions {
       guard += 1
       val masked = maskedRegions(sql)
       val n = sql.length
-      val m = jsonValuePattern.matcher(sql)
+      val m = jsonRetFnPattern.matcher(sql)
       var spliced = false
       while (!spliced && m.find()) {
         if (!masked(m.start)) {
@@ -2724,10 +2740,11 @@ object TrinoFunctions {
             if (rp < 0) j += 1
           }
           if (rp >= 0) {
+            val fn = s"json_${m.group(1).toLowerCase}"
             val args = content.substring(0, rp).trim.stripSuffix(",").trim
             val tpe = trinoTypeToSpark(content.substring(rp + 9).trim)
             sql = sql.substring(0, m.start) +
-              s"CAST(json_value($args) AS $tpe)" + sql.substring(close + 1)
+              s"CAST($fn($args) AS $tpe)" + sql.substring(close + 1)
             spliced = true
           }
         }

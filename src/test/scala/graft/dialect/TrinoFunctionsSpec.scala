@@ -1455,6 +1455,15 @@ class TrinoFunctionsSpec extends SparkSpec {
     val e3 = qs.execute(
       """SELECT json_query('{}', '$.a' EMPTY ARRAY ON EMPTY NULL ON EMPTY)""")
     assert(e3.isLeft && e3.left.exists(_.contains("duplicate")), e3)
+    // RETURNING composes: alone, and through the clause splice
+    assert(one("""SELECT json_query('{"a": [1]}', '$.a' RETURNING varchar)""")
+      == "[1]")
+    assert(one(
+      """SELECT json_query('{"a": 1}', '$.a' RETURNING varchar WITH ARRAY WRAPPER)""")
+      == "[1]")
+    assert(one(
+      """SELECT json_query('{"b": 1}', '$.a' RETURNING varchar EMPTY ARRAY ON EMPTY)""")
+      == "[]")
   }
 
   test("json_object / json_array constructors") {
