@@ -67,7 +67,8 @@ object TrinoFunctions {
   /** Registry names that exist only as carriers for preprocess
     * rewrites — not user-callable Trino spellings; SHOW FUNCTIONS
     * (FunctionCatalog) deliberately omits them. */
-  val internalNames: Set[String] = Set("graft_json_obj", "graft_json_arr")
+  val internalNames: Set[String] =
+    Set("graft_json_obj", "graft_json_arr", "graft_json_items")
 
   /** User-facing functions served ENTIRELY by a preprocess rewrite —
     * their grammar (KEY … VALUE members, trailing behavior clauses)
@@ -1361,6 +1362,18 @@ object TrinoFunctions {
       case args => throw new IllegalArgumentException(
         s"json_exists expects (json, path), got ${args.length} args")
     },
+    // internal row source for JSON_TABLE (rewriteJsonTable): array of
+    // matched items as JSON text, exploded by the spliced lateral
+    "graft_json_items" -> {
+      case Seq(j, p) =>
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          JsonFuncs.getClass,
+          org.apache.spark.sql.types.ArrayType(StringType), "jsonItems",
+          Seq(Cast(j, StringType), Cast(p, StringType)),
+          Seq(StringType, StringType))
+      case args => throw new IllegalArgumentException(
+        s"graft_json_items expects 2 args, got ${args.length}")
+    },
     // internal finishers for the SQL/JSON constructors
     // (rewriteJsonConstructors): args are the to_json(named_struct(…))
     // text, the null mode ('N' keep | 'A' absent), and the per-field
@@ -2164,8 +2177,8 @@ object TrinoFunctions {
     rewriteAtTimeZone(rewriteFetchFirst(rewriteTypedLiterals(
       rewriteCastTypes(rewriteQuantified(rewriteArrayAggOrderBy(
         rewriteJsonReturning(rewriteJsonConstructors(rewriteJsonExistsClauses(
-          rewriteJsonValueOnClauses(rewriteJsonQueryClauses(
-            rewriteUnnest(afterSample, opts)))))))))), opts))
+          rewriteJsonValueOnClauses(rewriteJsonQueryClauses(rewriteJsonTable(
+            rewriteUnnest(afterSample, opts))))))))))), opts))
   }
 
   // SQL/JSON json_query wrapper/quote clauses — `WITHOUT [ARRAY]
@@ -2453,6 +2466,190 @@ object TrinoFunctions {
               sql.substring(close + 1)
             spliced = true
           }
+        }
+      }
+      if (!spliced) return sql
+    }
+    sql
+  }
+
+  // SQL/JSON `JSON_TABLE(j, 'path' COLUMNS(…) [{ERROR|EMPTY} ON
+  // ERROR])` — the SQL:2016 table function, rewritten onto two chained
+  // Spark LATERALs (probed: a lateral subquery may hold a correlated
+  // generator, and a later lateral may reference an earlier one):
+  //
+  //   LATERAL (SELECT posexplode(graft_json_items(j, 'path'))) __jtK,
+  //   LATERAL (SELECT <column exprs over __jtK.col/pos>) <user alias>
+  //
+  // COLUMNS supported: `name FOR ORDINALITY` (1-based), `name type
+  // [FORMAT JSON] [PATH 'p'] [behaviors]` (json_value, or json_query
+  // under FORMAT JSON — behavior/wrapper clause text rides verbatim
+  // into the spliced call for the later passes, which is why this pass
+  // runs FIRST among the json rewrites), and `name type EXISTS [PATH
+  // 'p'] [behaviors]`. A column without PATH defaults to `$.name` per
+  // the standard. NESTED PATH and PLAN are rejected loudly. The
+  // table-level default is ERROR ON ERROR (the row source raises on
+  // malformed JSON); EMPTY ON ERROR wraps the row source in try() —
+  // NULL items explode to zero rows, the empty table.
+  private val jsonTablePattern = java.util.regex.Pattern.compile(
+    "(?i)\\bJSON_TABLE\\s*\\(")
+  private val jsonTableColName = java.util.regex.Pattern.compile(
+    "(?s)^([A-Za-z_][A-Za-z0-9_]*|\"[^\"]+\")\\s+(.*)$")
+
+  private def rewriteJsonTable(sql0: String): String = {
+    if (!jsonTablePattern.matcher(sql0).find()) return sql0
+    var sql = sql0
+    var ctr = 0
+    var guard = 0
+    while (guard < 64) {
+      guard += 1
+      val masked = maskedRegions(sql)
+      val n = sql.length
+      val m = jsonTablePattern.matcher(sql)
+      var spliced = false
+      while (!spliced && m.find()) {
+        if (!masked(m.start)) {
+          val open = m.end - 1
+          var depth = 0
+          var i = open
+          var close = -1
+          while (close < 0 && i < n) {
+            if (!masked(i)) {
+              if (sql(i) == '(') depth += 1
+              else if (sql(i) == ')') { depth -= 1; if (depth == 0) close = i }
+            }
+            i += 1
+          }
+          if (close < 0) return sql
+          val content = sql.substring(open + 1, close)
+          if (java.util.regex.Pattern.compile("(?i)\\bPLAN\\b")
+              .matcher(content).find() && {
+                val cm = maskedRegions(content)
+                val pm = java.util.regex.Pattern.compile("(?i)\\bPLAN\\b")
+                  .matcher(content)
+                var hit = false
+                while (pm.find()) if (!cm(pm.start)) hit = true
+                hit
+              })
+            throw new IllegalArgumentException(
+              "JSON_TABLE: PLAN clauses are not supported (single-path " +
+                "row sets only); restructure as separate JSON_TABLE calls")
+          val frags = topLevelCommaSplit(content).map(_.trim)
+          if (frags.length < 2) throw new IllegalArgumentException(
+            "JSON_TABLE expects (json_expr, 'path' COLUMNS(…))")
+          val head = frags.last
+          val jsonExpr = frags.init.mkString(", ")
+          val hm = java.util.regex.Pattern.compile(
+            "(?is)^('(?:[^']|'')*')\\s+COLUMNS\\s*\\((.*)$").matcher(head)
+          if (!hm.matches()) throw new IllegalArgumentException(
+            "JSON_TABLE: expected a string-literal row path followed by " +
+              s"COLUMNS(…), got: ${head.take(80)}")
+          val rowPath = hm.group(1)
+          // COLUMNS(…) runs to ITS matching paren; the rest is the
+          // optional table-level ON ERROR clause
+          val colsPlus = hm.group(2)
+          val cpm = maskedRegions(colsPlus)
+          var d2 = 0; var j2 = 0; var colsEnd = -1
+          while (colsEnd < 0 && j2 < colsPlus.length) {
+            if (!cpm(j2)) {
+              if (colsPlus(j2) == '(') d2 += 1
+              else if (colsPlus(j2) == ')') {
+                if (d2 == 0) colsEnd = j2 else d2 -= 1
+              }
+            }
+            j2 += 1
+          }
+          if (colsEnd < 0) throw new IllegalArgumentException(
+            "JSON_TABLE: unterminated COLUMNS(…)")
+          val colsText = colsPlus.substring(0, colsEnd)
+          val afterCols = colsPlus.substring(colsEnd + 1).trim
+          val emptyOnError =
+            if (afterCols.isEmpty) false
+            else if (afterCols.matches("(?is)^EMPTY\\s+ON\\s+ERROR$")) true
+            else if (afterCols.matches("(?is)^ERROR\\s+ON\\s+ERROR$")) false
+            else throw new IllegalArgumentException(
+              s"JSON_TABLE: unexpected trailing text '$afterCols' — only " +
+                "{ERROR | EMPTY} ON ERROR may follow COLUMNS(…)")
+          val it = s"__jt$ctr"
+          ctr += 1
+          val colExprs = topLevelCommaSplit(colsText).map(_.trim).map { mem =>
+            if (mem.matches("(?is)^NESTED\\b.*")) throw new
+              IllegalArgumentException(
+                "JSON_TABLE: NESTED PATH columns are not supported; use " +
+                  "a separate JSON_TABLE over the nested path")
+            val nm = jsonTableColName.matcher(mem)
+            if (!nm.matches()) throw new IllegalArgumentException(
+              s"JSON_TABLE: cannot parse COLUMNS entry: $mem")
+            val rawName = nm.group(1)
+            val alias =
+              if (rawName.startsWith("\""))
+                "`" + rawName.substring(1, rawName.length - 1) + "`"
+              else rawName
+            val implicitPath =
+              if (rawName.startsWith("\""))
+                s"'$$[\"${rawName.substring(1, rawName.length - 1)}\"]'"
+              else s"'$$.$rawName'"
+            val rest = nm.group(2).trim
+            if (rest.matches("(?is)^FOR\\s+ORDINALITY$"))
+              s"($it.pos + 1) AS $alias"
+            else {
+              // type = text before the first structural keyword
+              val kw = java.util.regex.Pattern.compile(
+                "(?i)\\b(FORMAT\\s+JSON|PATH\\b|EXISTS\\b|DEFAULT\\b|" +
+                "(?:NULL|ERROR|EMPTY\\s+ARRAY|EMPTY\\s+OBJECT|TRUE|FALSE|" +
+                "UNKNOWN)\\s+ON\\b)").matcher(rest)
+            val rmask = maskedRegions(rest)
+              var cut = rest.length
+              var isExists = false
+              var isJson = false
+              var pathAt = -1
+              while (kw.find()) if (!rmask(kw.start)) {
+                if (kw.start < cut) cut = kw.start
+                val k = kw.group(1).toUpperCase.replaceAll("\\s+", " ")
+                if (k == "EXISTS") isExists = true
+                if (k == "FORMAT JSON") isJson = true
+                if (k.startsWith("PATH") && pathAt < 0) pathAt = kw.start
+              }
+              val tpe = rest.substring(0, cut).trim
+              if (tpe.isEmpty) throw new IllegalArgumentException(
+                s"JSON_TABLE: COLUMNS entry $rawName needs a type")
+              // the path literal + everything after it (behaviors) ride
+              // verbatim; without PATH, behaviors may still follow
+              val (pathLit, tail) =
+                if (pathAt >= 0) {
+                  val afterPath = rest.substring(pathAt + 4).trim
+                  val pl = java.util.regex.Pattern.compile(
+                    "(?s)^('(?:[^']|'')*')(.*)$").matcher(afterPath)
+                  if (!pl.matches()) throw new IllegalArgumentException(
+                    s"JSON_TABLE: PATH needs a string literal in: $mem")
+                  (pl.group(1), pl.group(2))
+                } else {
+                  // behaviors text = rest minus type and the EXISTS /
+                  // FORMAT JSON markers before them
+                  val behaviors = {
+                    var t = rest.substring(cut)
+                    t = t.replaceFirst("(?is)^\\s*EXISTS\\b", "")
+                    t = t.replaceFirst("(?is)^\\s*FORMAT\\s+JSON\\b", "")
+                    t
+                  }
+                  (implicitPath, behaviors)
+                }
+              val fn =
+                if (isExists) "json_exists"
+                else if (isJson) "json_query"
+                else "json_value"
+              s"CAST($fn($it.col, $pathLit$tail) AS " +
+                s"${trinoTypeToSpark(tpe)}) AS $alias"
+            }
+          }
+          val itemsCall = {
+            val raw = s"graft_json_items($jsonExpr, $rowPath)"
+            if (emptyOnError) s"try($raw)" else raw
+          }
+          val repl = s"LATERAL (SELECT posexplode($itemsCall)) $it, " +
+            s"LATERAL (SELECT ${colExprs.mkString(", ")})"
+          sql = sql.substring(0, m.start) + repl + sql.substring(close + 1)
+          spliced = true
         }
       }
       if (!spliced) return sql
@@ -5169,6 +5366,59 @@ object JsonFuncs {
       i += 1
     }
     UTF8String.fromString(mapper.writeValueAsString(out))
+  }
+
+  /** JSON_TABLE row source (rewriteJsonTable): every item the path
+    * yields, each re-serialized as JSON text. Path subset: `$`,
+    * `.name`, `[idx]`, `["name"]`, plus the row-generating `[*]`
+    * wildcard; lax-mode leniency per SQL/JSON — member access
+    * auto-unwraps arrays, `[*]` over a non-array wraps it as a
+    * singleton. Malformed JSON raises (json_table's default is ERROR
+    * ON ERROR, unlike the scalar functions); the EMPTY ON ERROR table
+    * clause is applied by the rewrite via a try() wrapper. */
+  def jsonItems(j: UTF8String,
+      p: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (j == null) return null
+    val path = sqlJsonPath(p)
+    require(path.nonEmpty && path.charAt(0) == '$',
+      s"json path must start with '$$': $path")
+    val root = parse(j)
+    var cur: Seq[JsonNode] = Seq(root)
+    var i = 1
+    while (i < path.length) {
+      path.charAt(i) match {
+        case '.' =>
+          val start = i + 1
+          var e = start
+          while (e < path.length && path(e) != '.' && path(e) != '[') e += 1
+          val name = path.substring(start, e)
+          require(name.nonEmpty, s"empty member name in json path: $path")
+          cur = cur.flatMap { n =>
+            val bases =
+              if (n.isArray)
+                (0 until n.size()).map(n.get) // lax auto-unwrap
+              else Seq(n)
+            bases.flatMap(b => Option(b.get(name)))
+          }
+          i = e
+        case '[' =>
+          val end = path.indexOf(']', i)
+          require(end > i, s"unterminated [ in json path: $path")
+          val idx = path.substring(i + 1, end).trim
+          cur =
+            if (idx == "*")
+              cur.flatMap(n =>
+                if (n.isArray) (0 until n.size()).map(n.get) else Seq(n))
+            else if (idx.length >= 2 && idx.charAt(0) == '"')
+              cur.flatMap(n => Option(n.get(idx.substring(1, idx.length - 1))))
+            else cur.flatMap(n => Option(n.get(idx.toInt)))
+          i = end + 1
+        case c => throw new IllegalArgumentException(
+          s"unsupported json path element '$c' in: $path")
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      cur.map(n => UTF8String.fromString(mapper.writeValueAsString(n))).toArray)
   }
 
   /** json_exists(j, path): does the path land on any JSON item; FALSE

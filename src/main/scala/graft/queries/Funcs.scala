@@ -238,6 +238,21 @@ object Funcs {
           |ORDER BY event_id""".stripMargin))
     }),
 
+    // JSON_TABLE (SQL:2016) through the dialect rewrite onto chained
+    // laterals: a correlated row source built from event columns, with
+    // ordinality + a typed value column. DuckDB has no JSON_TABLE —
+    // the twin replays the two-items-per-row expansion as a UNION ALL.
+    "fn_json_table" -> ((s, d) => {
+      graft.dialect.TrinoFunctions.register(s)
+      graft.engine.Tables.sql(s, d, graft.dialect.TrinoFunctions.preprocess(
+        """SELECT event_id, jt.ord, jt.v
+          |FROM events, JSON_TABLE(
+          |  '[' || CAST(user_id AS VARCHAR) || ',' || CAST(event_id AS VARCHAR) || ']',
+          |  'lax $[*]'
+          |  COLUMNS(ord FOR ORDINALITY, v bigint PATH '$')) jt
+          |ORDER BY event_id, ord""".stripMargin))
+    }),
+
     // spooky_hash_v2 + bar(): no DuckDB twin exists, so the oracle pins
     // the published Trino vectors ('', 'hello') and bar's deterministic
     // rendered lengths as constants — still an end-to-end gate through
@@ -414,6 +429,13 @@ object Funcs {
         |  CAST(json_array(event_id, event_type, json_object('t', 1)) AS VARCHAR) AS ctor_arr
         |FROM events
         |ORDER BY event_id""".stripMargin,
+
+    "fn_json_table" ->
+      """SELECT event_id, ord, v FROM (
+        |  SELECT event_id, CAST(1 AS INT) AS ord, user_id AS v FROM events
+        |  UNION ALL
+        |  SELECT event_id, CAST(2 AS INT) AS ord, event_id AS v FROM events
+        |) t ORDER BY event_id, ord""".stripMargin,
 
     "fn_spooky_bar" ->
       """SELECT '3768826AD382E6CA' AS h64,

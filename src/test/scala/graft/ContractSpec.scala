@@ -28,9 +28,9 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented counts") {
-    assert(SparkEntry.queries.size == 198,
+    assert(SparkEntry.queries.size == 199,
       s"queries=${SparkEntry.queries.size} — update README/ContractSpec together")
-    assert(SparkEntry.oracleSql.size == 179,
+    assert(SparkEntry.oracleSql.size == 180,
       s"oracles=${SparkEntry.oracleSql.size} — update README/ContractSpec together")
   }
 }

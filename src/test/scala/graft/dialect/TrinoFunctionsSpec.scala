@@ -1503,6 +1503,57 @@ class TrinoFunctionsSpec extends SparkSpec {
     assert(e2.isLeft && e2.left.exists(_.contains("string-literal key")), e2)
   }
 
+  test("JSON_TABLE: SQL:2016 table function over chained laterals") {
+    def rows(sql: String): Seq[Seq[Any]] =
+      qs.execute(sql).fold(e => throw new AssertionError(s"$sql -> $e"), _.rows)
+    // constant row source, value column with explicit PATH
+    assert(rows(
+      """SELECT jt.v FROM JSON_TABLE('[1,2,3]', '$[*]' COLUMNS(v bigint PATH '$')) jt ORDER BY v""")
+      .map(_.head) == Seq(1L, 2L, 3L))
+    // correlated source + ordinality + implicit path + missing member
+    val r = rows(
+      """SELECT s.id, jt.ord, jt.a, jt.b FROM (
+        |  SELECT 1 AS id, '{"items": [{"a": 10, "b": "x"}, {"a": 20}]}' AS j
+        |) s, JSON_TABLE(j, 'lax $.items[*]' COLUMNS(
+        |  ord FOR ORDINALITY, a bigint, b varchar PATH '$.b')) jt
+        |ORDER BY ord""".stripMargin)
+    assert(r == Seq(Seq(1, 1, 10L, "x"), Seq(1, 2, 20L, null)), r)
+    // column behaviors ride through; FORMAT JSON takes the item
+    assert(rows(
+      """SELECT jt.b, jt.whole FROM JSON_TABLE('[{"a": 1}]', '$[*]' COLUMNS(
+        |  b varchar PATH '$.b' DEFAULT 'none' ON EMPTY,
+        |  whole varchar FORMAT JSON PATH '$')) jt""".stripMargin)
+      == Seq(Seq("none", """{"a":1}""")))
+    // EXISTS column
+    assert(rows(
+      """SELECT jt.has_a FROM JSON_TABLE('[{"a": 1}, {}]', '$[*]' COLUMNS(
+        |  has_a boolean EXISTS PATH '$.a')) jt ORDER BY has_a""".stripMargin)
+      .map(_.head) == Seq(false, true))
+    // empty row set = no rows; EMPTY ON ERROR = empty table on bad input
+    assert(rows(
+      """SELECT jt.v FROM JSON_TABLE('[]', '$[*]' COLUMNS(v bigint PATH '$')) jt""")
+      .isEmpty)
+    assert(rows(
+      """SELECT jt.v FROM JSON_TABLE('{oops', '$[*]' COLUMNS(v bigint PATH '$') EMPTY ON ERROR) jt""")
+      .isEmpty)
+    // default is ERROR ON ERROR — malformed input raises
+    val e1 = qs.execute(
+      """SELECT jt.v FROM JSON_TABLE('{oops', '$[*]' COLUMNS(v bigint PATH '$')) jt""")
+    assert(e1.isLeft, e1)
+    // NESTED PATH and PLAN reject loudly
+    val e2 = qs.execute(
+      """SELECT 1 FROM JSON_TABLE('[]', '$[*]' COLUMNS(NESTED PATH '$.x' COLUMNS(y bigint))) jt""")
+    assert(e2.isLeft && e2.left.exists(_.contains("NESTED")), e2)
+    val e3 = qs.execute(
+      """SELECT 1 FROM JSON_TABLE('[]', '$[*]' COLUMNS(v bigint PATH '$') PLAN (x OUTER)) jt""")
+    assert(e3.isLeft && e3.left.exists(_.contains("PLAN")), e3)
+    // two JSON_TABLEs compose in one FROM
+    assert(rows(
+      """SELECT x.v, y.v FROM JSON_TABLE('[1]', '$[*]' COLUMNS(v bigint PATH '$')) x,
+        |JSON_TABLE('[7,8]', '$[*]' COLUMNS(v bigint PATH '$')) y ORDER BY y.v""".stripMargin)
+      == Seq(Seq(1L, 7L), Seq(1L, 8L)))
+  }
+
   test("json_exists ON ERROR behaviors") {
     // present / absent paths are plain TRUE / FALSE regardless of clause
     assert(one("""SELECT json_exists('{"a": 1}', '$.a' TRUE ON ERROR)""") == true)
