@@ -59,7 +59,14 @@ object ClusterSmoke {
       // subqueries must broadcast their one-row results to executors
       // and ReuseSubquery must hold on a real exchange topology;
       // limit_fetch_ties pins the rank()-window WITH TIES rewrite
-      "quantified_cmp", "limit_fetch_ties")
+      "quantified_cmp", "limit_fetch_ties",
+      // r15 dialect wave: JSON_TABLE's chained correlated LATERALs
+      // (posexplode over the StaticInvoke row source) must plan and
+      // execute on a real exchange topology; fn_json_clauses pins the
+      // SQL/JSON behavior shims + constructors executor-side; the
+      // OFFSET+TIES rank/row_number/window-max triple must agree
+      // across a SinglePartition exchange
+      "fn_json_table", "fn_json_clauses", "limit_ties_offset")
 
   private def md5(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
