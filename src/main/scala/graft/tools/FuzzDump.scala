@@ -407,8 +407,43 @@ object FuzzDump {
     }
 
     def same(s: String): (String, String) = (s, s)
-    val kind = rng.nextInt(23)
-    if (kind == 22) {
+    val kind = rng.nextInt(24)
+    if (kind == 23) {
+      // v9: JSON_TABLE over a row source BUILT FROM COLUMNS (the
+      // correlated-lateral splice must keep per-row values straight
+      // across the posexplode). Array items or object items (implicit
+      // $.name paths), with ordinality; DuckDB has no JSON_TABLE — the
+      // twin replays the k-items-per-row expansion as a UNION ALL.
+      val k = 2 + rng.nextInt(2)
+      val elems = (0 until k).map(_ =>
+        c.pick(Seq("user_id", "event_id", s"user_id % ${2 + rng.nextInt(7)}")))
+      val asObjects = rng.nextBoolean()
+      val where = rng.nextInt(3) match {
+        case 0 => s" WHERE event_id < ${150 + rng.nextInt(700)}"
+        case 1 => s" WHERE user_id % ${2 + rng.nextInt(4)} = 1"
+        case _ => ""
+      }
+      val jsonExpr =
+        if (asObjects)
+          elems.map(e => s"'{\"a\": ' || CAST($e AS VARCHAR) || '}'")
+            .mkString("'[' || ", " || ',' || ", " || ']'")
+        else
+          elems.map(e => s"CAST($e AS VARCHAR)")
+            .mkString("'[' || ", " || ',' || ", " || ']'")
+      val colDef =
+        if (asObjects) "o FOR ORDINALITY, v bigint PATH '$.a'"
+        else "o FOR ORDINALITY, v bigint PATH '$'"
+      val spark =
+        s"SELECT event_id AS c0, jt.o AS c1, jt.v AS c2 FROM events, " +
+          s"JSON_TABLE($jsonExpr, 'lax $$[*]' COLUMNS($colDef)) jt" +
+          s"$where ORDER BY c0 ASC NULLS FIRST, c1 ASC NULLS FIRST"
+      val duck = elems.zipWithIndex.map { case (e, i) =>
+        s"SELECT event_id AS c0, CAST(${i + 1} AS INT) AS c1, " +
+          s"CAST($e AS BIGINT) AS c2 FROM events$where"
+      }.mkString("SELECT c0, c1, c2 FROM (", " UNION ALL ",
+        ") u ORDER BY c0 ASC NULLS FIRST, c1 ASC NULLS FIRST")
+      (spark, duck)
+    } else if (kind == 22) {
       // v8: SQL/JSON behavior clauses over events.props (always
       // {"k": int} in the testdata) — json_value ON EMPTY / ON ERROR,
       // json_query wrappers + behaviors, json_exists ON ERROR — vs

@@ -1554,6 +1554,25 @@ class TrinoFunctionsSpec extends SparkSpec {
       == Seq(Seq(1L, 7L), Seq(1L, 8L)))
   }
 
+  test("preprocess is idempotent over the r15 SQL/JSON constructs") {
+    // a rewrite whose OUTPUT re-triggers itself would corrupt text on
+    // any path that preprocesses twice (EXPLAIN, the ambiguity retries)
+    Seq(
+      """SELECT json_value(j, '$.a' DEFAULT 'd' ON EMPTY ERROR ON ERROR) FROM t""",
+      """SELECT json_query(j, '$.a' WITH ARRAY WRAPPER EMPTY OBJECT ON EMPTY) FROM t""",
+      """SELECT json_exists(j, '$.a' UNKNOWN ON ERROR) FROM t""",
+      """SELECT json_object(KEY 'a' VALUE x, 'b' : json_array(1, NULL ON NULL) ABSENT ON NULL RETURNING varchar) FROM t""",
+      """SELECT jt.o, jt.v FROM t, JSON_TABLE(j, 'lax $.items[*]' COLUMNS(
+        |  o FOR ORDINALITY, v bigint PATH '$.v' DEFAULT 0 ON EMPTY,
+        |  w varchar FORMAT JSON, e boolean EXISTS PATH '$.e') EMPTY ON ERROR) jt""".stripMargin,
+      """SELECT a FROM t ORDER BY 1 OFFSET 3 ROWS FETCH FIRST 5 ROWS WITH TIES"""
+    ).foreach { s =>
+      val once = graft.dialect.TrinoFunctions.preprocess(s)
+      val twice = graft.dialect.TrinoFunctions.preprocess(once)
+      assert(once == twice, s"\n$s\n-- once:\n$once\n-- twice:\n$twice")
+    }
+  }
+
   test("json_exists ON ERROR behaviors") {
     // present / absent paths are plain TRUE / FALSE regardless of clause
     assert(one("""SELECT json_exists('{"a": 1}', '$.a' TRUE ON ERROR)""") == true)

@@ -75,9 +75,13 @@ object FuzzSpec {
     * NULL) and excluded two DuckDB-side quirks by construction (its
     * array_agg drops NULL elements; 1.0 constant-folds in-aggregate
     * ORDER BY keys equal to a grouping key, un-sorting super-rows).
-    * v8 adds the r15 constructs: ANSI OFFSET folded into WITH TIES,
+    * v8 added the r15 constructs: ANSI OFFSET folded into WITH TIES,
     * ordinal ORDER BY keys under TIES (select-list resolution), and
     * SQL/JSON behavior clauses whose DEFAULT literals include
-    * clause-keyword-looking text (masked-literal splice hunting). */
-  val GoldenHash = "0e73139bcaa5b4930d5e10b8331c062d"
+    * clause-keyword-looking text (masked-literal splice hunting).
+    * v9 adds JSON_TABLE over column-built row sources (array and
+    * object items, ordinality, implicit paths) vs a UNION ALL
+    * expansion twin — the correlated-lateral splice must keep per-row
+    * values straight across the posexplode. */
+  val GoldenHash = "aa63725490628d816d1079568bb9b8f7"
 }
