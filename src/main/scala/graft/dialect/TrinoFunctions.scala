@@ -2487,10 +2487,25 @@ object TrinoFunctions {
   // into the spliced call for the later passes, which is why this pass
   // runs FIRST among the json rewrites), and `name type EXISTS [PATH
   // 'p'] [behaviors]`. A column without PATH defaults to `$.name` per
-  // the standard. NESTED PATH and PLAN are rejected loudly. The
-  // table-level default is ERROR ON ERROR (the row source raises on
-  // malformed JSON); EMPTY ON ERROR wraps the row source in try() —
-  // NULL items explode to zero rows, the empty table.
+  // the standard.
+  //
+  // `NESTED [PATH] 'p' [AS name] COLUMNS(…)` implements the SQL:2016
+  // default plan — OUTER between parent and child, UNION between
+  // siblings — at any depth, with one extra lateral per nesting
+  // LEVEL: every nested node at depth d contributes a branch-tagged
+  // item array `transform(graft_json_items(<parent item>, 'p'),
+  // (x, i) -> named_struct('b', id, 'p', i, 'v', x))` (guarded by the
+  // parent's branch tag for d >= 2), the level's arrays concat into
+  // one `explode_outer` — empty concat = the OUTER all-NULL row,
+  // sibling arrays back-to-back = UNION — and each nested column is
+  // CASE-guarded on its node's tag so rows of other branches read
+  // NULL. Path names (AS) are accepted and ignored: they only matter
+  // under explicit PLAN clauses, which are rejected loudly (the
+  // default plan is the only supported shape). The table-level
+  // default is ERROR ON ERROR (the row source raises on malformed
+  // JSON); EMPTY ON ERROR wraps every row source, nested ones
+  // included, in try() — NULL items explode to zero rows, the empty
+  // table.
   private val jsonTablePattern = java.util.regex.Pattern.compile(
     "(?i)\\bJSON_TABLE\\s*\\(")
   private val jsonTableColName = java.util.regex.Pattern.compile(
@@ -2572,11 +2587,25 @@ object TrinoFunctions {
                 "{ERROR | EMPTY} ON ERROR may follow COLUMNS(…)")
           val it = s"__jt$ctr"
           ctr += 1
-          val colExprs = topLevelCommaSplit(colsText).map(_.trim).map { mem =>
-            if (mem.matches("(?is)^NESTED\\b.*")) throw new
-              IllegalArgumentException(
-                "JSON_TABLE: NESTED PATH columns are not supported; use " +
-                  "a separate JSON_TABLE over the nested path")
+          // nested machinery: one iterator per nesting LEVEL; branch
+          // tag disambiguates sibling nodes sharing a level
+          val emptyArr =
+            "cast(array() as array<struct<b:int,p:int,v:string>>)"
+          def lvlIt(d: Int) = s"${it}_n$d"
+          def itemsOf(src: String, path: String): String = {
+            val raw = s"graft_json_items($src, $path)"
+            if (emptyOnError) s"try($raw)" else raw
+          }
+          // (id, depth, parentId, pathLit) per NESTED node, DFS order
+          val nodes =
+            scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, String)]
+          val outCols = scala.collection.mutable.ArrayBuffer.empty[String]
+          var nextId = 0
+          def columnExpr(mem: String, nodeId: Int, depth: Int): String = {
+            val (src, ord, guard) =
+              if (depth == 0) (s"$it.col", s"($it.pos + 1)", None)
+              else (s"${lvlIt(depth)}.nx.v", s"(${lvlIt(depth)}.nx.p + 1)",
+                Some(s"${lvlIt(depth)}.nx.b = $nodeId"))
             val nm = jsonTableColName.matcher(mem)
             if (!nm.matches()) throw new IllegalArgumentException(
               s"JSON_TABLE: cannot parse COLUMNS entry: $mem")
@@ -2590,8 +2619,7 @@ object TrinoFunctions {
                 s"'$$[\"${rawName.substring(1, rawName.length - 1)}\"]'"
               else s"'$$.$rawName'"
             val rest = nm.group(2).trim
-            if (rest.matches("(?is)^FOR\\s+ORDINALITY$"))
-              s"($it.pos + 1) AS $alias"
+            val bare = if (rest.matches("(?is)^FOR\\s+ORDINALITY$")) ord
             else {
               // type = text before the first structural keyword
               val kw = java.util.regex.Pattern.compile(
@@ -2638,16 +2666,56 @@ object TrinoFunctions {
                 if (isExists) "json_exists"
                 else if (isJson) "json_query"
                 else "json_value"
-              s"CAST($fn($it.col, $pathLit$tail) AS " +
-                s"${trinoTypeToSpark(tpe)}) AS $alias"
+              s"CAST($fn($src, $pathLit$tail) AS " +
+                s"${trinoTypeToSpark(tpe)})"
+            }
+            guard match {
+              case Some(g) => s"CASE WHEN $g THEN $bare END AS $alias"
+              case None    => s"$bare AS $alias"
             }
           }
-          val itemsCall = {
-            val raw = s"graft_json_items($jsonExpr, $rowPath)"
-            if (emptyOnError) s"try($raw)" else raw
+          val nestedHead = java.util.regex.Pattern.compile(
+            "(?is)^NESTED\\s+(?:PATH\\s+)?('(?:[^']|'')*')\\s*" +
+              "(?:AS\\s+(?:[A-Za-z_][A-Za-z0-9_]*|\"[^\"]+\")\\s*)?" +
+              "COLUMNS\\s*\\((.*)\\)\\s*$")
+          def parseCols(text: String, nodeId: Int, depth: Int): Unit =
+            topLevelCommaSplit(text).map(_.trim).foreach { mem =>
+              if (mem.matches("(?is)^NESTED\\b.*")) {
+                val nh = nestedHead.matcher(mem)
+                if (!nh.matches()) throw new IllegalArgumentException(
+                  "JSON_TABLE: cannot parse NESTED entry (expected " +
+                    s"NESTED [PATH] 'path' [AS name] COLUMNS(…)): " +
+                    mem.take(80))
+                nextId += 1
+                val id = nextId
+                nodes += ((id, depth + 1, nodeId, nh.group(1)))
+                parseCols(nh.group(2), id, depth + 1)
+              } else outCols += columnExpr(mem, nodeId, depth)
+            }
+          parseCols(colsText, 0, 0)
+          val maxDepth = if (nodes.isEmpty) 0 else nodes.map(_._2).max
+          val levelLaterals = (1 to maxDepth).map { d =>
+            val gens = nodes.filter(_._2 == d).map {
+              case (id, _, pid, pathLit) =>
+                def tagged(src: String) =
+                  s"coalesce(transform(${itemsOf(src, pathLit)}, " +
+                    s"(x, i) -> named_struct('b', $id, 'p', i, 'v', x)), " +
+                    s"$emptyArr)"
+                if (d == 1) tagged(s"$it.col")
+                else {
+                  val p = lvlIt(d - 1)
+                  s"CASE WHEN $p.nx.b = $pid AND $p.nx.v IS NOT NULL " +
+                    s"THEN ${tagged(s"$p.nx.v")} ELSE $emptyArr END"
+                }
+            }
+            val arr = if (gens.length == 1) gens.head
+              else s"concat(${gens.mkString(", ")})"
+            s"LATERAL (SELECT explode_outer($arr) AS nx) ${lvlIt(d)}"
           }
-          val repl = s"LATERAL (SELECT posexplode($itemsCall)) $it, " +
-            s"LATERAL (SELECT ${colExprs.mkString(", ")})"
+          val itemsCall = itemsOf(jsonExpr, rowPath)
+          val repl = (s"LATERAL (SELECT posexplode($itemsCall)) $it" +:
+            levelLaterals :+
+            s"LATERAL (SELECT ${outCols.mkString(", ")})").mkString(", ")
           sql = sql.substring(0, m.start) + repl + sql.substring(close + 1)
           spliced = true
         }

@@ -253,6 +253,31 @@ object Funcs {
           |ORDER BY event_id, ord""".stripMargin))
     }),
 
+    // JSON_TABLE NESTED PATH under the SQL:2016 default plan (OUTER
+    // between parent and child, UNION between siblings): branch xs is
+    // conditionally empty, branch ts conditionally present, so the
+    // result exercises sibling UNION, the OUTER all-NULL row, and the
+    // per-branch NULL masking. The DuckDB twin replays each branch as
+    // a guarded UNION ALL arm plus the both-empty outer arm.
+    "fn_json_table_nested" -> ((s, d) => {
+      graft.dialect.TrinoFunctions.register(s)
+      graft.engine.Tables.sql(s, d, graft.dialect.TrinoFunctions.preprocess(
+        """SELECT event_id, jt.o, jt.v, jt.t
+          |FROM events, JSON_TABLE(
+          |  '{"xs": ' ||
+          |    CASE WHEN event_id % 5 = 0 THEN '[]'
+          |         ELSE '[' || CAST(user_id AS VARCHAR) || ',' ||
+          |              CAST(event_id % 7 AS VARCHAR) || ']' END ||
+          |  ', "ts": ' ||
+          |    CASE WHEN event_id % 3 = 0 THEN '["a"]' ELSE '[]' END || '}',
+          |  'lax $' COLUMNS(
+          |    NESTED PATH '$.xs[*]' COLUMNS(
+          |      o FOR ORDINALITY, v bigint PATH '$'),
+          |    NESTED PATH '$.ts[*]' COLUMNS(t varchar PATH '$'))) jt
+          |ORDER BY event_id, o NULLS FIRST, v NULLS FIRST, t NULLS FIRST"""
+          .stripMargin))
+    }),
+
     // spooky_hash_v2 + bar(): no DuckDB twin exists, so the oracle pins
     // the published Trino vectors ('', 'hello') and bar's deterministic
     // rendered lengths as constants — still an end-to-end gate through
@@ -436,6 +461,25 @@ object Funcs {
         |  UNION ALL
         |  SELECT event_id, CAST(2 AS INT) AS ord, event_id AS v FROM events
         |) t ORDER BY event_id, ord""".stripMargin,
+
+    "fn_json_table_nested" ->
+      """SELECT event_id, o, v, t FROM (
+        |  SELECT event_id, CAST(1 AS INT) AS o, CAST(user_id AS BIGINT) AS v,
+        |         CAST(NULL AS VARCHAR) AS t
+        |  FROM events WHERE event_id % 5 <> 0
+        |  UNION ALL
+        |  SELECT event_id, CAST(2 AS INT), CAST(event_id % 7 AS BIGINT),
+        |         CAST(NULL AS VARCHAR)
+        |  FROM events WHERE event_id % 5 <> 0
+        |  UNION ALL
+        |  SELECT event_id, CAST(NULL AS INT), CAST(NULL AS BIGINT), 'a'
+        |  FROM events WHERE event_id % 3 = 0
+        |  UNION ALL
+        |  SELECT event_id, CAST(NULL AS INT), CAST(NULL AS BIGINT),
+        |         CAST(NULL AS VARCHAR)
+        |  FROM events WHERE event_id % 5 = 0 AND event_id % 3 <> 0
+        |) u ORDER BY event_id, o NULLS FIRST, v NULLS FIRST, t NULLS FIRST"""
+        .stripMargin,
 
     "fn_spooky_bar" ->
       """SELECT '3768826AD382E6CA' AS h64,

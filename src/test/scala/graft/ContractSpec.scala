@@ -28,9 +28,9 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented counts") {
-    assert(SparkEntry.queries.size == 199,
+    assert(SparkEntry.queries.size == 200,
       s"queries=${SparkEntry.queries.size} — update README/ContractSpec together")
-    assert(SparkEntry.oracleSql.size == 180,
+    assert(SparkEntry.oracleSql.size == 181,
       s"oracles=${SparkEntry.oracleSql.size} — update README/ContractSpec together")
   }
 }

@@ -1540,18 +1540,72 @@ class TrinoFunctionsSpec extends SparkSpec {
     val e1 = qs.execute(
       """SELECT jt.v FROM JSON_TABLE('{oops', '$[*]' COLUMNS(v bigint PATH '$')) jt""")
     assert(e1.isLeft, e1)
-    // NESTED PATH and PLAN reject loudly
-    val e2 = qs.execute(
-      """SELECT 1 FROM JSON_TABLE('[]', '$[*]' COLUMNS(NESTED PATH '$.x' COLUMNS(y bigint))) jt""")
-    assert(e2.isLeft && e2.left.exists(_.contains("NESTED")), e2)
+    // PLAN rejects loudly; malformed NESTED rejects with the grammar
     val e3 = qs.execute(
       """SELECT 1 FROM JSON_TABLE('[]', '$[*]' COLUMNS(v bigint PATH '$') PLAN (x OUTER)) jt""")
     assert(e3.isLeft && e3.left.exists(_.contains("PLAN")), e3)
+    val e4 = qs.execute(
+      """SELECT 1 FROM JSON_TABLE('[]', '$[*]' COLUMNS(NESTED COLUMNS(y bigint))) jt""")
+    assert(e4.isLeft && e4.left.exists(_.contains("NESTED")), e4)
     // two JSON_TABLEs compose in one FROM
     assert(rows(
       """SELECT x.v, y.v FROM JSON_TABLE('[1]', '$[*]' COLUMNS(v bigint PATH '$')) x,
         |JSON_TABLE('[7,8]', '$[*]' COLUMNS(v bigint PATH '$')) y ORDER BY y.v""".stripMargin)
       == Seq(Seq(1L, 7L), Seq(1L, 8L)))
+  }
+
+  test("JSON_TABLE NESTED PATH: SQL:2016 default plan (OUTER, UNION)") {
+    def rows(sql: String): Seq[Seq[Any]] =
+      qs.execute(sql).fold(e => throw new AssertionError(s"$sql -> $e"), _.rows)
+    // one nested branch: parent OUTER child — empty/missing child set
+    // keeps the parent row with NULL nested columns
+    assert(rows(
+      """SELECT jt.id, jt.v FROM JSON_TABLE(
+        |  '[{"id": 1, "xs": [10, 11]}, {"id": 2, "xs": []}, {"id": 3}]',
+        |  '$[*]' COLUMNS(
+        |    id bigint PATH '$.id',
+        |    NESTED PATH '$.xs[*]' COLUMNS(v bigint PATH '$'))) jt
+        |ORDER BY id, v NULLS LAST""".stripMargin)
+      == Seq(Seq(1L, 10L), Seq(1L, 11L), Seq(2L, null), Seq(3L, null)))
+    // sibling branches UNION: each side's rows carry NULL for the
+    // other's columns; both-empty still yields ONE outer row; a
+    // non-empty sibling suppresses the outer all-NULL row
+    assert(rows(
+      """SELECT jt.id, jt.x, jt.y FROM JSON_TABLE(
+        |  '[{"id": 1, "xs": [10], "ys": ["a", "b"]}, {"id": 2, "ys": ["c"]}, {"id": 3}]',
+        |  '$[*]' COLUMNS(
+        |    id bigint PATH '$.id',
+        |    NESTED PATH '$.xs[*]' COLUMNS(x bigint PATH '$'),
+        |    NESTED PATH '$.ys[*]' AS ys COLUMNS(y varchar PATH '$'))) jt
+        |ORDER BY id, x NULLS LAST, y NULLS LAST""".stripMargin)
+      == Seq(Seq(1L, 10L, null), Seq(1L, null, "a"), Seq(1L, null, "b"),
+        Seq(2L, null, "c"), Seq(3L, null, null)))
+    // depth-2 nesting: grandchildren join OUTER under their own branch
+    // only; the sibling branch's rows are untouched; nested ordinality
+    // counts within the current parent item
+    assert(rows(
+      """SELECT jt.id, jt.v, jt.o, jt.g FROM JSON_TABLE(
+        |  '[{"id": 1, "items": [{"v": 10, "gs": [100, 101]}, {"v": 11}]}]',
+        |  '$[*]' COLUMNS(
+        |    id bigint PATH '$.id',
+        |    NESTED PATH '$.items[*]' COLUMNS(
+        |      v bigint PATH '$.v',
+        |      o FOR ORDINALITY,
+        |      NESTED PATH '$.gs[*]' COLUMNS(g bigint PATH '$')))) jt
+        |ORDER BY v, g NULLS LAST""".stripMargin)
+      == Seq(Seq(1L, 10L, 1, 100L), Seq(1L, 10L, 1, 101L),
+        Seq(1L, 11L, 2, null)))
+    // behavior clauses + EXISTS ride into nested columns; table-level
+    // EMPTY ON ERROR wraps nested row sources too
+    assert(rows(
+      """SELECT jt.a, jt.v, jt.e FROM JSON_TABLE(
+        |  '[{"a": 5}, {"b": 2}]', '$[*]' COLUMNS(
+        |    a bigint DEFAULT -1 ON EMPTY,
+        |    NESTED PATH '$.b' COLUMNS(
+        |      v bigint PATH '$',
+        |      e boolean EXISTS PATH '$')) EMPTY ON ERROR) jt
+        |ORDER BY a""".stripMargin)
+      == Seq(Seq(-1L, 2L, true), Seq(5L, null, null)))
   }
 
   test("preprocess is idempotent over the r15 SQL/JSON constructs") {
@@ -1565,6 +1619,12 @@ class TrinoFunctionsSpec extends SparkSpec {
       """SELECT jt.o, jt.v FROM t, JSON_TABLE(j, 'lax $.items[*]' COLUMNS(
         |  o FOR ORDINALITY, v bigint PATH '$.v' DEFAULT 0 ON EMPTY,
         |  w varchar FORMAT JSON, e boolean EXISTS PATH '$.e') EMPTY ON ERROR) jt""".stripMargin,
+      """SELECT jt.id, jt.v, jt.g, jt.y FROM t, JSON_TABLE(j, '$[*]' COLUMNS(
+        |  id bigint PATH '$.id',
+        |  NESTED PATH '$.items[*]' COLUMNS(
+        |    v bigint PATH '$.v' DEFAULT 0 ON EMPTY,
+        |    NESTED PATH '$.gs[*]' COLUMNS(g bigint PATH '$')),
+        |  NESTED PATH '$.ys[*]' COLUMNS(y varchar PATH '$'))) jt""".stripMargin,
       """SELECT a FROM t ORDER BY 1 OFFSET 3 ROWS FETCH FIRST 5 ROWS WITH TIES"""
     ).foreach { s =>
       val once = graft.dialect.TrinoFunctions.preprocess(s)
