@@ -407,8 +407,67 @@ object FuzzDump {
     }
 
     def same(s: String): (String, String) = (s, s)
-    val kind = rng.nextInt(24)
-    if (kind == 23) {
+    val kind = rng.nextInt(25)
+    if (kind == 24) {
+      // v10: JSON_TABLE NESTED PATH under the SQL:2016 default plan
+      // (OUTER parent-child, UNION siblings). Two sibling branches
+      // built from columns, each conditionally empty on a modulus, so
+      // the corpus hits all four arms: xs-only, ys-only, both (UNION
+      // back-to-back), and both-empty (the OUTER all-NULL row). The
+      // DuckDB twin replays each branch as a guarded UNION ALL arm
+      // plus the both-empty outer arm.
+      val xsElems = (0 until 1 + rng.nextInt(2)).map(_ =>
+        c.pick(Seq("user_id", "event_id", s"user_id % ${2 + rng.nextInt(7)}")))
+      val ysElems = (0 until 1 + rng.nextInt(2)).map(_ =>
+        c.pick(Seq("user_id", "event_id", s"event_id % ${2 + rng.nextInt(5)}")))
+      val xsMod = 2 + rng.nextInt(4) // xs empty when user_id % xsMod = 0
+      val ysMod = 2 + rng.nextInt(3) // ys present when event_id % ysMod = 0
+      val withOrd = rng.nextBoolean()
+      val where = rng.nextInt(3) match {
+        case 0 => s" WHERE event_id < ${150 + rng.nextInt(700)}"
+        case 1 => s" WHERE user_id % ${2 + rng.nextInt(4)} = 1"
+        case _ => ""
+      }
+      def arr(es: Seq[String]) =
+        es.map(e => s"CAST($e AS VARCHAR)")
+          .mkString("'[' || ", " || ',' || ", " || ']'")
+      val jsonExpr =
+        s"'{\"xs\": ' || CASE WHEN user_id % $xsMod = 0 THEN '[]' " +
+          s"ELSE ${arr(xsElems)} END || " +
+          s"', \"ys\": ' || CASE WHEN event_id % $ysMod = 0 " +
+          s"THEN ${arr(ysElems)} ELSE '[]' END || '}'"
+      val xsCols = (if (withOrd) "o FOR ORDINALITY, " else "") +
+        "x bigint PATH '$'"
+      val spark =
+        s"SELECT event_id AS c0, " +
+          (if (withOrd) "jt.o AS c1, " else "") +
+          s"jt.x AS c2, jt.y AS c3 FROM events, " +
+          s"JSON_TABLE($jsonExpr, 'lax $$' COLUMNS(" +
+          s"NESTED PATH '$$.xs[*]' COLUMNS($xsCols), " +
+          s"NESTED PATH '$$.ys[*]' COLUMNS(y bigint PATH '$$'))) jt" +
+          s"$where ORDER BY c0 ASC NULLS FIRST, " +
+          (if (withOrd) "c1 ASC NULLS FIRST, " else "") +
+          "c2 ASC NULLS FIRST, c3 ASC NULLS FIRST"
+      val cols = if (withOrd) "c0, c1, c2, c3" else "c0, c2, c3"
+      def duckArm(o: String, x: String, y: String, cond: String) =
+        s"SELECT event_id AS c0, " +
+          (if (withOrd) s"CAST($o AS INT) AS c1, " else "") +
+          s"CAST($x AS BIGINT) AS c2, CAST($y AS BIGINT) AS c3 " +
+          s"FROM events WHERE $cond" +
+          (if (where.isEmpty) "" else s" AND (${where.drop(7)})")
+      val xsArms = xsElems.zipWithIndex.map { case (e, i) =>
+        duckArm(s"${i + 1}", e, "NULL", s"user_id % $xsMod <> 0") }
+      val ysArms = ysElems.map(e =>
+        duckArm("NULL", "NULL", e, s"event_id % $ysMod = 0"))
+      val outerArm = duckArm("NULL", "NULL", "NULL",
+        s"user_id % $xsMod = 0 AND event_id % $ysMod <> 0")
+      val duck = (xsArms ++ ysArms :+ outerArm)
+        .mkString(s"SELECT $cols FROM (", " UNION ALL ",
+          s") u ORDER BY c0 ASC NULLS FIRST, " +
+            (if (withOrd) "c1 ASC NULLS FIRST, " else "") +
+            "c2 ASC NULLS FIRST, c3 ASC NULLS FIRST")
+      (spark, duck)
+    } else if (kind == 23) {
       // v9: JSON_TABLE over a row source BUILT FROM COLUMNS (the
       // correlated-lateral splice must keep per-row values straight
       // across the posexplode). Array items or object items (implicit

@@ -82,6 +82,9 @@ object FuzzSpec {
     * v9 adds JSON_TABLE over column-built row sources (array and
     * object items, ordinality, implicit paths) vs a UNION ALL
     * expansion twin — the correlated-lateral splice must keep per-row
-    * values straight across the posexplode. */
-  val GoldenHash = "aa63725490628d816d1079568bb9b8f7"
+    * values straight across the posexplode. v10 adds NESTED PATH
+    * siblings with conditionally-empty branches, hitting all four
+    * default-plan arms (xs-only, ys-only, UNION back-to-back, OUTER
+    * all-NULL) vs guarded UNION ALL arm twins. */
+  val GoldenHash = "2da9ff49e276808d148ff58cee50c15c"
 }
