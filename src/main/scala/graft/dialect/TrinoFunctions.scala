@@ -68,7 +68,8 @@ object TrinoFunctions {
     * rewrites — not user-callable Trino spellings; SHOW FUNCTIONS
     * (FunctionCatalog) deliberately omits them. */
   val internalNames: Set[String] =
-    Set("graft_json_obj", "graft_json_arr", "graft_json_items")
+    Set("graft_json_obj", "graft_json_arr", "graft_json_obj_dyn",
+      "graft_json_items")
 
   /** User-facing functions served ENTIRELY by a preprocess rewrite —
     * their grammar (KEY … VALUE members, trailing behavior clauses)
@@ -1395,6 +1396,19 @@ object TrinoFunctions {
           Seq(StringType, StringType, StringType))
       case args => throw new IllegalArgumentException(
         s"graft_json_arr expects 3 args, got ${args.length}")
+    },
+    // dynamic-key json_object: values ride c0..cN fields, keys ride a
+    // parallel JSON string array, plus null mode / embed modes / the
+    // runtime WITH UNIQUE KEYS flag
+    "graft_json_obj_dyn" -> {
+      case Seq(o, ks, nm, fm, uq) =>
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          JsonFuncs.getClass, StringType, "jsonObjDynFinish",
+          Seq(Cast(o, StringType), Cast(ks, StringType), Cast(nm, StringType),
+            Cast(fm, StringType), Cast(uq, StringType)),
+          Seq(StringType, StringType, StringType, StringType, StringType))
+      case args => throw new IllegalArgumentException(
+        s"graft_json_obj_dyn expects 5 args, got ${args.length}")
     },
     // array_histogram(arr) → map(element → count), nulls ignored
     "array_histogram" -> {
@@ -2735,9 +2749,12 @@ object TrinoFunctions {
   // json_query members are re-parsed, not quoted — the engine's JSON
   // runtime type is a string, so embedding must be decided at rewrite
   // time). Defaults per the standard and Trino: json_object = NULL ON
-  // NULL, json_array = ABSENT ON NULL. Keys must be string literals
-  // (named_struct field names are foldable); WITH UNIQUE KEYS checks
-  // literal duplicates at rewrite time.
+  // NULL, json_array = ABSENT ON NULL. String-literal keys take the
+  // named_struct fast path (field names are foldable; WITH UNIQUE
+  // KEYS checks duplicates at rewrite time); any non-literal key
+  // switches the constructor onto graft_json_obj_dyn — values still
+  // ride c0…cN named_struct fields, keys ride a parallel JSON string
+  // array, NULL-key / duplicate errors raise at runtime like Trino.
   private val jsonCtorPattern = java.util.regex.Pattern.compile(
     "(?i)\\bjson_(object|array)\\s*\\(")
   private val jsonCtorNullPattern = java.util.regex.Pattern.compile(
@@ -2812,30 +2829,79 @@ object TrinoFunctions {
           if (nm.find() && !maskedRegions(content)(nm.start)) {
             keepNull = nm.group(1).equalsIgnoreCase("NULL")
             content = content.substring(0, nm.start)
+            // `json_array(1, NULL ON NULL)` is a Trino syntax error
+            // too — the clause attaches to the last member WITHOUT a
+            // comma — but the bare-comma residue would otherwise reach
+            // Spark as a confusing empty named_struct member
+            if (content.trim.endsWith(",")) throw new
+              IllegalArgumentException(
+                s"json_${if (isObject) "object" else "array"}: the " +
+                  "NULL/ABSENT ON NULL clause attaches to the last " +
+                  "member without a comma (drop the comma before it)")
           }
           val members =
             if (content.trim.isEmpty) Seq.empty
             else topLevelCommaSplit(content).map(_.trim)
+          // member = [KEY] key_expr VALUE value_expr | key_expr :
+          // value_expr — split at the FIRST depth-0 unmasked VALUE
+          // keyword, else the first depth-0 unmasked colon. Keys may
+          // be arbitrary expressions (Trino); string-literal keys take
+          // the named_struct fast path, anything else rides the
+          // dynamic-key carrier with keys as a JSON string array.
           val fields: Seq[(String, String)] =
             if (isObject) {
-              val kv = java.util.regex.Pattern.compile(
-                "(?is)^(?:KEY\\s+)?('(?:[^']|'')*')\\s+VALUE\\s+(.+)$")
-              val colon = java.util.regex.Pattern.compile(
-                "(?is)^('(?:[^']|'')*')\\s*:\\s*(.+)$")
               members.map { mem =>
-                val km = kv.matcher(mem)
-                val cm = colon.matcher(mem)
-                if (km.matches()) (km.group(1), km.group(2).trim)
-                else if (cm.matches()) (cm.group(1), cm.group(2).trim)
-                else throw new IllegalArgumentException(
-                  "json_object: each member must be [KEY] 'name' VALUE " +
-                    s"expr or 'name' : expr with a string-literal key " +
-                    s"(got: $mem)")
+                val mm = maskedRegions(mem)
+                def depth0At(p: Int): Boolean = {
+                  var d = 0; var q = 0
+                  while (q < p) {
+                    if (!mm(q)) {
+                      if (mem(q) == '(') d += 1
+                      else if (mem(q) == ')') d -= 1
+                    }
+                    q += 1
+                  }
+                  d == 0
+                }
+                val vm = java.util.regex.Pattern.compile("(?i)\\bVALUE\\b")
+                  .matcher(mem)
+                var vAt = -1
+                while (vAt < 0 && vm.find())
+                  if (!mm(vm.start) && depth0At(vm.start)) vAt = vm.start
+                val (kRaw, vRaw) =
+                  if (vAt >= 0)
+                    (mem.substring(0, vAt).trim,
+                      mem.substring(vAt + 5).trim)
+                  else {
+                    var cAt = -1; var q = 0; var d = 0
+                    while (cAt < 0 && q < mem.length) {
+                      if (!mm(q)) {
+                        if (mem(q) == '(') d += 1
+                        else if (mem(q) == ')') d -= 1
+                        else if (mem(q) == ':' && d == 0) cAt = q
+                      }
+                      q += 1
+                    }
+                    if (cAt < 0) throw new IllegalArgumentException(
+                      "json_object: each member must be [KEY] key VALUE " +
+                        s"expr or key : expr (got: $mem)")
+                    (mem.substring(0, cAt).trim,
+                      mem.substring(cAt + 1).trim)
+                  }
+                val k = kRaw.replaceFirst("(?is)^KEY\\s+", "")
+                if (k.isEmpty || vRaw.isEmpty)
+                  throw new IllegalArgumentException(
+                    s"json_object: empty key or value in member: $mem")
+                (k, vRaw)
               }
             } else members.zipWithIndex.map { case (mem, idx) =>
               (s"'c$idx'", mem)
             }
-          if (uniqueKeys) {
+          val litKeyPattern = java.util.regex.Pattern.compile(
+            "(?s)^'(?:[^']|'')*'$")
+          val allLiteralKeys =
+            fields.forall(f => litKeyPattern.matcher(f._1).matches())
+          if (uniqueKeys && allLiteralKeys) {
             val dups = fields.groupBy(_._1).collect {
               case (k, vs) if vs.size > 1 => k }
             if (dups.nonEmpty) throw new IllegalArgumentException(
@@ -2844,6 +2910,22 @@ object TrinoFunctions {
           val core =
             if (fields.isEmpty) {
               if (isObject) "'{}'" else "'[]'"
+            } else if (isObject && !allLiteralKeys) {
+              // dynamic keys: values ride synthetic c0..cN fields so
+              // typing/serialization matches the literal path; keys
+              // ride a parallel JSON string array (a NULL key raises
+              // at runtime like Trino; WITH UNIQUE KEYS checks there)
+              val modes = fields.map { case (_, v) =>
+                if (jsonNestedPattern.matcher(v).matches()) 'J' else 'V'
+              }.mkString
+              val ns = fields.zipWithIndex.map { case ((_, v), i) =>
+                s"'c$i', $v" }.mkString("named_struct(", ", ", ")")
+              val ks = fields.map { case (k, _) => s"CAST($k AS STRING)" }
+                .mkString("array(", ", ", ")")
+              s"graft_json_obj_dyn(to_json($ns, " +
+                s"map('ignoreNullFields', 'false')), to_json($ks), " +
+                s"'${if (keepNull) "N" else "A"}', '$modes', " +
+                s"'${if (uniqueKeys) "U" else "D"}')"
             } else {
               val modes = fields.map { case (_, v) =>
                 if (jsonNestedPattern.matcher(v).matches()) 'J' else 'V'
@@ -5431,6 +5513,44 @@ object JsonFuncs {
       else if (mode == 'J' && v.isTextual)
         out.add(parse(UTF8String.fromString(v.asText())))
       else out.add(v)
+      i += 1
+    }
+    UTF8String.fromString(mapper.writeValueAsString(out))
+  }
+
+  /** Dynamic-key json_object finisher: values ride synthetic c0..cN
+    * fields of `obj` (declaration order, same serialization as the
+    * literal-key path), keys ride `keysJson` — a JSON array of
+    * strings built by to_json(array(CAST(k AS STRING), …)). A NULL
+    * key raises like Trino; uniq 'U' (WITH UNIQUE KEYS) raises on a
+    * runtime duplicate; otherwise duplicates collapse last-wins at
+    * the Jackson set, the same documented latitude as the literal
+    * path. */
+  def jsonObjDynFinish(obj: UTF8String, keysJson: UTF8String,
+      nullMode: UTF8String, modes: UTF8String,
+      uniq: UTF8String): UTF8String = {
+    val root = parse(obj)
+    val keys = parse(keysJson)
+    val keep = nullMode.toString.charAt(0) == 'N'
+    val unique = uniq.toString.charAt(0) == 'U'
+    val ms = modes.toString
+    val out = mapper.createObjectNode()
+    val it = root.fields()
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      val kn = keys.get(i)
+      if (kn == null || kn.isNull) throw new IllegalArgumentException(
+        "json_object: NULL key (JSON object keys must be non-null)")
+      val key = kn.asText()
+      if (unique && out.has(key)) throw new IllegalArgumentException(
+        s"json_object: duplicate key '$key' with WITH UNIQUE KEYS")
+      val mode = if (i < ms.length) ms.charAt(i) else 'V'
+      val v = e.getValue
+      if (v.isNull) { if (keep) out.set[JsonNode](key, v) }
+      else if (mode == 'J' && v.isTextual)
+        out.set[JsonNode](key, parse(UTF8String.fromString(v.asText())))
+      else out.set[JsonNode](key, v)
       i += 1
     }
     UTF8String.fromString(mapper.writeValueAsString(out))

@@ -233,7 +233,8 @@ object Funcs {
           |  json_query(props, '$.missing' WITH ARRAY WRAPPER EMPTY OBJECT ON EMPTY) AS q_empty_obj,
           |  json_exists('{oops', '$.k' TRUE ON ERROR) AS e_err_true,
           |  json_object(KEY 'a' VALUE event_id, 'b' VALUE event_type) AS ctor_obj,
-          |  json_array(event_id, event_type, json_object('t' : 1)) AS ctor_arr
+          |  json_array(event_id, event_type, json_object('t' : 1)) AS ctor_arr,
+          |  json_object(event_type VALUE event_id, upper(event_type) : event_id + 1) AS ctor_dyn
           |FROM events
           |ORDER BY event_id""".stripMargin))
     }),
@@ -451,7 +452,9 @@ object Funcs {
         |  '{}' AS q_empty_obj,
         |  TRUE AS e_err_true,
         |  CAST(json_object('a', event_id, 'b', event_type) AS VARCHAR) AS ctor_obj,
-        |  CAST(json_array(event_id, event_type, json_object('t', 1)) AS VARCHAR) AS ctor_arr
+        |  CAST(json_array(event_id, event_type, json_object('t', 1)) AS VARCHAR) AS ctor_arr,
+        |  CAST(json_object(event_type, event_id, upper(event_type), event_id + 1) AS VARCHAR)
+        |    AS ctor_dyn
         |FROM events
         |ORDER BY event_id""".stripMargin,
 

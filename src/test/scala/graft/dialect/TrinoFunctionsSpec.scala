@@ -1498,9 +1498,42 @@ class TrinoFunctionsSpec extends SparkSpec {
     assert(one("""SELECT json_object('a' VALUE 1, 'a' VALUE 2)""") == """{"a":2}""")
     // clause keywords inside string members are data
     assert(one("""SELECT json_array('NULL ON NULL')""") == """["NULL ON NULL"]""")
-    // non-literal keys reject with the named limit
-    val e2 = qs.execute("SELECT json_object(n_name VALUE 1) FROM nation")
-    assert(e2.isLeft && e2.left.exists(_.contains("string-literal key")), e2)
+  }
+
+  test("json_object: dynamic (non-literal) keys") {
+    // column / expression keys, KEY prefix and colon forms, mixed
+    // with literal keys in one constructor
+    assert(one(
+      """SELECT json_object(r_name VALUE r_regionkey) FROM region
+        |WHERE r_regionkey = 0""".stripMargin) == """{"AFRICA":0}""")
+    assert(one("""SELECT json_object(lower('AB') VALUE 1)""") == """{"ab":1}""")
+    assert(one("""SELECT json_object(upper('k') : 2, 'fixed' VALUE 9)""")
+      == """{"K":2,"fixed":9}""")
+    // nested-constructor members embed; ABSENT ON NULL drops; the
+    // default NULL ON NULL keeps
+    assert(one(
+      """SELECT json_object(KEY 'a' || 'b' VALUE json_array(1, 2),
+        |  concat('c', 'd') : CAST(NULL AS INT) ABSENT ON NULL)""".stripMargin)
+      == """{"ab":[1,2]}""")
+    assert(one("""SELECT json_object(lower('A') VALUE CAST(NULL AS INT))""")
+      == """{"a":null}""")
+    // RETURNING rides through the dynamic carrier
+    assert(one("""SELECT json_object(lower('A') VALUE 1 RETURNING varchar)""")
+      == """{"a":1}""")
+    // a NULL key raises like Trino; WITH UNIQUE KEYS checks at
+    // runtime; duplicates without it collapse last-wins (the same
+    // documented latitude as the literal path)
+    val e1 = qs.execute("SELECT json_object(CAST(NULL AS VARCHAR) VALUE 1)")
+    assert(e1.isLeft && e1.left.exists(_.contains("NULL key")), e1)
+    val e2 = qs.execute(
+      "SELECT json_object(lower('A') VALUE 1, 'a' VALUE 2 WITH UNIQUE KEYS)")
+    assert(e2.isLeft && e2.left.exists(_.contains("duplicate key")), e2)
+    assert(one("""SELECT json_object(lower('A') VALUE 1, 'a' VALUE 2)""")
+      == """{"a":2}""")
+    // a comma before the null clause is a Trino syntax error too —
+    // curated reject with the drop-the-comma hint
+    val e3 = qs.execute("SELECT json_array(1, NULL ON NULL)")
+    assert(e3.isLeft && e3.left.exists(_.contains("without a comma")), e3)
   }
 
   test("JSON_TABLE: SQL:2016 table function over chained laterals") {
@@ -1615,7 +1648,8 @@ class TrinoFunctionsSpec extends SparkSpec {
       """SELECT json_value(j, '$.a' DEFAULT 'd' ON EMPTY ERROR ON ERROR) FROM t""",
       """SELECT json_query(j, '$.a' WITH ARRAY WRAPPER EMPTY OBJECT ON EMPTY) FROM t""",
       """SELECT json_exists(j, '$.a' UNKNOWN ON ERROR) FROM t""",
-      """SELECT json_object(KEY 'a' VALUE x, 'b' : json_array(1, NULL ON NULL) ABSENT ON NULL RETURNING varchar) FROM t""",
+      """SELECT json_object(KEY 'a' VALUE x, 'b' : json_array(1, NULL NULL ON NULL) ABSENT ON NULL RETURNING varchar) FROM t""",
+      """SELECT json_object(upper(k) : v, KEY k || '_x' VALUE json_array(v) WITH UNIQUE KEYS RETURNING varchar) FROM t""",
       """SELECT jt.o, jt.v FROM t, JSON_TABLE(j, 'lax $.items[*]' COLUMNS(
         |  o FOR ORDINALITY, v bigint PATH '$.v' DEFAULT 0 ON EMPTY,
         |  w varchar FORMAT JSON, e boolean EXISTS PATH '$.e') EMPTY ON ERROR) jt""".stripMargin,
