@@ -2513,13 +2513,16 @@ object TrinoFunctions {
   // one `explode_outer` — empty concat = the OUTER all-NULL row,
   // sibling arrays back-to-back = UNION — and each nested column is
   // CASE-guarded on its node's tag so rows of other branches read
-  // NULL. Path names (AS) are accepted and ignored: they only matter
-  // under explicit PLAN clauses, which are rejected loudly (the
-  // default plan is the only supported shape). The table-level
-  // default is ERROR ON ERROR (the row source raises on malformed
-  // JSON); EMPTY ON ERROR wraps every row source, nested ones
-  // included, in try() — NULL items explode to zero rows, the empty
-  // table.
+  // NULL. PLAN DEFAULT({OUTER|INNER}[, UNION]) is supported: INNER
+  // switches to plain explode (empty level-concat drops the parent)
+  // with a passthrough marker row (tag -1) below level 1 so
+  // sibling-branch rows survive their siblings' inner grandchild
+  // joins; CROSS and the per-node PLAN form reject loudly. Path
+  // names (AS) are accepted and ignored (they only matter in the
+  // per-node form). The table-level default is ERROR ON ERROR (the
+  // row source raises on malformed JSON); EMPTY ON ERROR wraps every
+  // row source, nested ones included, in try() — NULL items explode
+  // to zero rows, the empty table.
   private val jsonTablePattern = java.util.regex.Pattern.compile(
     "(?i)\\bJSON_TABLE\\s*\\(")
   private val jsonTableColName = java.util.regex.Pattern.compile(
@@ -2551,18 +2554,6 @@ object TrinoFunctions {
           }
           if (close < 0) return sql
           val content = sql.substring(open + 1, close)
-          if (java.util.regex.Pattern.compile("(?i)\\bPLAN\\b")
-              .matcher(content).find() && {
-                val cm = maskedRegions(content)
-                val pm = java.util.regex.Pattern.compile("(?i)\\bPLAN\\b")
-                  .matcher(content)
-                var hit = false
-                while (pm.find()) if (!cm(pm.start)) hit = true
-                hit
-              })
-            throw new IllegalArgumentException(
-              "JSON_TABLE: PLAN clauses are not supported (single-path " +
-                "row sets only); restructure as separate JSON_TABLE calls")
           val frags = topLevelCommaSplit(content).map(_.trim)
           if (frags.length < 2) throw new IllegalArgumentException(
             "JSON_TABLE expects (json_expr, 'path' COLUMNS(…))")
@@ -2591,14 +2582,48 @@ object TrinoFunctions {
           if (colsEnd < 0) throw new IllegalArgumentException(
             "JSON_TABLE: unterminated COLUMNS(…)")
           val colsText = colsPlus.substring(0, colsEnd)
-          val afterCols = colsPlus.substring(colsEnd + 1).trim
+          var afterCols = colsPlus.substring(colsEnd + 1).trim
+          // optional PLAN DEFAULT(…) between COLUMNS() and ON ERROR.
+          // Supported: OUTER | INNER (parent-child join) and UNION
+          // (sibling combination) in either order; CROSS and the full
+          // per-node PLAN form reject loudly.
+          var innerJoin = false
+          if (afterCols.matches("(?is)^PLAN\\b.*")) {
+            val pd = java.util.regex.Pattern.compile(
+              "(?is)^PLAN\\s+DEFAULT\\s*\\(([^)]*)\\)\\s*(.*)$")
+              .matcher(afterCols)
+            if (!pd.matches()) throw new IllegalArgumentException(
+              "JSON_TABLE: only PLAN DEFAULT({OUTER|INNER}[, UNION]) is " +
+                "supported (per-node PLAN clauses are not); restructure " +
+                "as separate JSON_TABLE calls")
+            val flags = pd.group(1).split(",").map(_.trim.toUpperCase)
+              .filter(_.nonEmpty)
+            flags.foreach {
+              case "OUTER" => innerJoin = false
+              case "INNER" => innerJoin = true
+              case "UNION" => // the supported (and default) combination
+              case "CROSS" => throw new IllegalArgumentException(
+                "JSON_TABLE: the CROSS sibling combination is not " +
+                  "supported (UNION only); restructure as separate " +
+                  "JSON_TABLE calls")
+              case f => throw new IllegalArgumentException(
+                s"JSON_TABLE: unknown PLAN DEFAULT option '$f' — " +
+                  "expected OUTER, INNER, or UNION")
+            }
+            if (flags.count(f => f == "OUTER" || f == "INNER") > 1)
+              throw new IllegalArgumentException(
+                "JSON_TABLE: PLAN DEFAULT takes at most one of " +
+                  "OUTER | INNER")
+            afterCols = pd.group(2).trim
+          }
           val emptyOnError =
             if (afterCols.isEmpty) false
             else if (afterCols.matches("(?is)^EMPTY\\s+ON\\s+ERROR$")) true
             else if (afterCols.matches("(?is)^ERROR\\s+ON\\s+ERROR$")) false
             else throw new IllegalArgumentException(
               s"JSON_TABLE: unexpected trailing text '$afterCols' — only " +
-                "{ERROR | EMPTY} ON ERROR may follow COLUMNS(…)")
+                "[PLAN DEFAULT(…)] {ERROR | EMPTY} ON ERROR may follow " +
+                "COLUMNS(…)")
           val it = s"__jt$ctr"
           ctr += 1
           // nested machinery: one iterator per nesting LEVEL; branch
@@ -2708,8 +2733,16 @@ object TrinoFunctions {
             }
           parseCols(colsText, 0, 0)
           val maxDepth = if (nodes.isEmpty) 0 else nodes.map(_._2).max
+          // OUTER: explode_outer — empty concat yields the all-NULL
+          // row (parent kept). INNER: plain explode — empty concat
+          // drops the parent — plus, below level 1, a passthrough
+          // MARKER row (b = -1, never a column's tag) for rows whose
+          // branch has no nodes at this level, so sibling-branch rows
+          // survive their siblings' inner grandchild joins.
+          val explodeFn = if (innerJoin) "explode" else "explode_outer"
           val levelLaterals = (1 to maxDepth).map { d =>
-            val gens = nodes.filter(_._2 == d).map {
+            val lvlNodes = nodes.filter(_._2 == d)
+            val gens = lvlNodes.map {
               case (id, _, pid, pathLit) =>
                 def tagged(src: String) =
                   s"coalesce(transform(${itemsOf(src, pathLit)}, " +
@@ -2722,9 +2755,18 @@ object TrinoFunctions {
                     s"THEN ${tagged(s"$p.nx.v")} ELSE $emptyArr END"
                 }
             }
-            val arr = if (gens.length == 1) gens.head
-              else s"concat(${gens.mkString(", ")})"
-            s"LATERAL (SELECT explode_outer($arr) AS nx) ${lvlIt(d)}"
+            val marker =
+              if (innerJoin && d > 1) {
+                val p = lvlIt(d - 1)
+                val pids = lvlNodes.map(_._3).distinct.mkString(", ")
+                Seq(s"CASE WHEN $p.nx.b IN ($pids) THEN $emptyArr ELSE " +
+                  "array(named_struct('b', -1, 'p', -1, " +
+                  "'v', CAST(NULL AS STRING))) END")
+              } else Seq.empty
+            val all = gens ++ marker
+            val arr = if (all.length == 1) all.head
+              else s"concat(${all.mkString(", ")})"
+            s"LATERAL (SELECT $explodeFn($arr) AS nx) ${lvlIt(d)}"
           }
           val itemsCall = itemsOf(jsonExpr, rowPath)
           val repl = (s"LATERAL (SELECT posexplode($itemsCall)) $it" +:

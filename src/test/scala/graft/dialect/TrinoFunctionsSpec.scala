@@ -1641,6 +1641,59 @@ class TrinoFunctionsSpec extends SparkSpec {
       == Seq(Seq(-1L, 2L, true), Seq(5L, null, null)))
   }
 
+  test("JSON_TABLE PLAN DEFAULT: INNER joins and the curated rejects") {
+    def rows(sql: String): Seq[Seq[Any]] =
+      qs.execute(sql).fold(e => throw new AssertionError(s"$sql -> $e"), _.rows)
+    // INNER drops parents without child rows (empty or missing set)
+    assert(rows(
+      """SELECT jt.id, jt.v FROM JSON_TABLE(
+        |  '[{"id": 1, "xs": [10, 11]}, {"id": 2, "xs": []}, {"id": 3}]',
+        |  '$[*]' COLUMNS(id bigint PATH '$.id',
+        |    NESTED PATH '$.xs[*]' COLUMNS(v bigint PATH '$'))
+        |  PLAN DEFAULT (INNER)) jt ORDER BY id, v""".stripMargin)
+      == Seq(Seq(1L, 10L), Seq(1L, 11L)))
+    // INNER + sibling UNION: dropped only when the union is empty
+    assert(rows(
+      """SELECT jt.id, jt.x, jt.y FROM JSON_TABLE(
+        |  '[{"id": 1, "xs": [10], "ys": ["a"]}, {"id": 2, "ys": ["c"]}, {"id": 3}]',
+        |  '$[*]' COLUMNS(id bigint PATH '$.id',
+        |    NESTED PATH '$.xs[*]' COLUMNS(x bigint PATH '$'),
+        |    NESTED PATH '$.ys[*]' COLUMNS(y varchar PATH '$'))
+        |  PLAN DEFAULT (INNER, UNION)) jt
+        |ORDER BY id, x NULLS LAST, y NULLS LAST""".stripMargin)
+      == Seq(Seq(1L, 10L, null), Seq(1L, null, "a"), Seq(2L, null, "c")))
+    // depth-2 INNER: a child row without grandchildren is dropped,
+    // but the sibling branch's rows survive (the passthrough marker)
+    assert(rows(
+      """SELECT jt.v, jt.g, jt.t FROM JSON_TABLE(
+        |  '[{"items": [{"v": 10, "gs": [100]}, {"v": 11}], "tags": ["a"]}]',
+        |  '$[*]' COLUMNS(
+        |    NESTED PATH '$.items[*]' COLUMNS(v bigint PATH '$.v',
+        |      NESTED PATH '$.gs[*]' COLUMNS(g bigint PATH '$')),
+        |    NESTED PATH '$.tags[*]' COLUMNS(t varchar PATH '$'))
+        |  PLAN DEFAULT (INNER)) jt
+        |ORDER BY v NULLS LAST, g NULLS LAST, t NULLS LAST""".stripMargin)
+      == Seq(Seq(10L, 100L, null), Seq(null, null, "a")))
+    // explicit OUTER/UNION spelling = the default behavior
+    assert(rows(
+      """SELECT jt.id, jt.v FROM JSON_TABLE(
+        |  '[{"id": 2, "xs": []}]', '$[*]' COLUMNS(id bigint PATH '$.id',
+        |    NESTED PATH '$.xs[*]' COLUMNS(v bigint PATH '$'))
+        |  PLAN DEFAULT (OUTER, UNION)) jt""".stripMargin)
+      == Seq(Seq(2L, null)))
+    // PLAN DEFAULT composes with the table-level ON ERROR clause
+    assert(rows(
+      """SELECT jt.v FROM JSON_TABLE('{oops', '$[*]' COLUMNS(v bigint PATH '$')
+        |  PLAN DEFAULT (INNER) EMPTY ON ERROR) jt""".stripMargin).isEmpty)
+    // CROSS and per-node PLAN reject loudly
+    val e1 = qs.execute(
+      "SELECT 1 FROM JSON_TABLE('[]', '$' COLUMNS(x int) PLAN DEFAULT (INNER, CROSS)) jt")
+    assert(e1.isLeft && e1.left.exists(_.contains("CROSS")), e1)
+    val e2 = qs.execute(
+      "SELECT 1 FROM JSON_TABLE('[]', '$' COLUMNS(x int) PLAN (a OUTER b)) jt")
+    assert(e2.isLeft && e2.left.exists(_.contains("PLAN DEFAULT")), e2)
+  }
+
   test("preprocess is idempotent over the r15 SQL/JSON constructs") {
     // a rewrite whose OUTPUT re-triggers itself would corrupt text on
     // any path that preprocesses twice (EXPLAIN, the ambiguity retries)
@@ -1659,6 +1712,10 @@ class TrinoFunctionsSpec extends SparkSpec {
         |    v bigint PATH '$.v' DEFAULT 0 ON EMPTY,
         |    NESTED PATH '$.gs[*]' COLUMNS(g bigint PATH '$')),
         |  NESTED PATH '$.ys[*]' COLUMNS(y varchar PATH '$'))) jt""".stripMargin,
+      """SELECT jt.v, jt.g FROM t, JSON_TABLE(j, '$[*]' COLUMNS(
+        |  NESTED PATH '$.xs[*]' COLUMNS(v bigint PATH '$',
+        |    NESTED PATH '$.g' COLUMNS(g bigint PATH '$')))
+        |  PLAN DEFAULT (INNER) EMPTY ON ERROR) jt""".stripMargin,
       """SELECT a FROM t ORDER BY 1 OFFSET 3 ROWS FETCH FIRST 5 ROWS WITH TIES"""
     ).foreach { s =>
       val once = graft.dialect.TrinoFunctions.preprocess(s)
