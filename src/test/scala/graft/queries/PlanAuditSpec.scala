@@ -37,6 +37,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("topk_orderby_limit").contains("TakeOrderedAndProject"))
   }
 
+  test("fn_json_table_nested: a pure Generate chain, no joins, no shuffle") {
+    // the NESTED PATH laterals must stay per-row generators — at 100 TB
+    // a join- or shuffle-based plan here would be a disaster; the only
+    // Exchange allowed is the final presentation ORDER BY's range part
+    val p = plan("fn_json_table_nested")
+    assert(p.contains("Generate"), p.take(600))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 1, p)
+  }
+
   test("join_broadcast_hint: broadcast honored") {
     assert(plan("join_broadcast_hint").contains("BroadcastHashJoin"))
   }
