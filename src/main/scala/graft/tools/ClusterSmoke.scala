@@ -66,7 +66,12 @@ object ClusterSmoke {
       // SQL/JSON behavior shims + constructors executor-side; the
       // OFFSET+TIES rank/row_number/window-max triple must agree
       // across a SinglePartition exchange
-      "fn_json_table", "fn_json_clauses", "limit_ties_offset")
+      "fn_json_table", "fn_json_clauses", "limit_ties_offset",
+      // r15 session 3: NESTED PATH's tagged-union explode_outer levels
+      // (branch structs built by transform lambdas) and the dynamic-key
+      // json_object carrier (ctor_dyn rides in fn_json_clauses) on a
+      // real topology
+      "fn_json_table_nested")
 
   private def md5(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
