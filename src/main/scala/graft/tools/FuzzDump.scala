@@ -407,8 +407,52 @@ object FuzzDump {
     }
 
     def same(s: String): (String, String) = (s, s)
-    val kind = rng.nextInt(25)
-    if (kind == 24) {
+    val kind = rng.nextInt(26)
+    if (kind == 25) {
+      // v11: JSON_TABLE PLAN DEFAULT — INNER drops the parent when the
+      // sibling union is empty (the DuckDB twin just omits the outer
+      // arm), OUTER spelled explicitly must equal the default. Shares
+      // the v10 two-branch conditionally-empty shape.
+      val inner = rng.nextBoolean()
+      val xsElem = c.pick(Seq("user_id", "event_id",
+        s"user_id % ${2 + rng.nextInt(7)}"))
+      val ysElem = c.pick(Seq("user_id", s"event_id % ${2 + rng.nextInt(5)}"))
+      val xsMod = 2 + rng.nextInt(4) // xs empty when user_id % xsMod = 0
+      val ysMod = 2 + rng.nextInt(3) // ys present when event_id % ysMod = 0
+      val where = rng.nextInt(3) match {
+        case 0 => s" WHERE event_id < ${150 + rng.nextInt(700)}"
+        case 1 => s" WHERE user_id % ${2 + rng.nextInt(4)} = 1"
+        case _ => ""
+      }
+      val planText = (if (inner) "INNER" else "OUTER") +
+        (if (rng.nextBoolean()) ", UNION" else "")
+      val jsonExpr =
+        s"'{\"xs\": ' || CASE WHEN user_id % $xsMod = 0 THEN '[]' " +
+          s"ELSE '[' || CAST($xsElem AS VARCHAR) || ']' END || " +
+          s"', \"ys\": ' || CASE WHEN event_id % $ysMod = 0 " +
+          s"THEN '[' || CAST($ysElem AS VARCHAR) || ']' ELSE '[]' END || '}'"
+      val spark =
+        s"SELECT event_id AS c0, jt.x AS c2, jt.y AS c3 FROM events, " +
+          s"JSON_TABLE($jsonExpr, 'lax $$' COLUMNS(" +
+          s"NESTED PATH '$$.xs[*]' COLUMNS(x bigint PATH '$$'), " +
+          s"NESTED PATH '$$.ys[*]' COLUMNS(y bigint PATH '$$')) " +
+          s"PLAN DEFAULT ($planText)) jt" +
+          s"$where ORDER BY c0 ASC NULLS FIRST, " +
+          "c2 ASC NULLS FIRST, c3 ASC NULLS FIRST"
+      def duckArm(x: String, y: String, cond: String) =
+        s"SELECT event_id AS c0, CAST($x AS BIGINT) AS c2, " +
+          s"CAST($y AS BIGINT) AS c3 FROM events WHERE $cond" +
+          (if (where.isEmpty) "" else s" AND (${where.drop(7)})")
+      val arms = Seq(
+        duckArm(xsElem, "NULL", s"user_id % $xsMod <> 0"),
+        duckArm("NULL", ysElem, s"event_id % $ysMod = 0")) ++
+        (if (inner) Seq.empty else Seq(duckArm("NULL", "NULL",
+          s"user_id % $xsMod = 0 AND event_id % $ysMod <> 0")))
+      val duck = arms.mkString("SELECT c0, c2, c3 FROM (", " UNION ALL ",
+        ") u ORDER BY c0 ASC NULLS FIRST, " +
+          "c2 ASC NULLS FIRST, c3 ASC NULLS FIRST")
+      (spark, duck)
+    } else if (kind == 24) {
       // v10: JSON_TABLE NESTED PATH under the SQL:2016 default plan
       // (OUTER parent-child, UNION siblings). Two sibling branches
       // built from columns, each conditionally empty on a modulus, so

@@ -85,6 +85,9 @@ object FuzzSpec {
     * values straight across the posexplode. v10 adds NESTED PATH
     * siblings with conditionally-empty branches, hitting all four
     * default-plan arms (xs-only, ys-only, UNION back-to-back, OUTER
-    * all-NULL) vs guarded UNION ALL arm twins. */
-  val GoldenHash = "2da9ff49e276808d148ff58cee50c15c"
+    * all-NULL) vs guarded UNION ALL arm twins. v11 adds PLAN
+    * DEFAULT — INNER's twin omits the outer arm (parents with an
+    * empty sibling union disappear), explicit OUTER must equal the
+    * default. */
+  val GoldenHash = "0082660613262db6db98c2b1bfb6e212"
 }
