@@ -1058,4 +1058,44 @@ class StreamsSpec extends SparkSpec {
       assert(streaming.map(_._4) == Seq(3.0, 5.0))
     } finally q.stop()
   }
+
+  test("streaming JSON_TABLE (NESTED PATH) equals the batch rewrite") {
+    // the rewrite output is a pure Generate chain (stateless, no
+    // aggregation), so it runs unchanged on a streaming source in
+    // append mode — JSON shredding is exactly the kind of per-row
+    // transform an ingest stream does at scale
+    implicit val sqlCtx = spark.sqlContext
+    graft.dialect.TrinoFunctions.register(spark)
+    def shred(view: String) = graft.dialect.TrinoFunctions.preprocess(
+      s"""SELECT jt.id, jt.v, jt.t FROM $view, JSON_TABLE(j, '$$' COLUMNS(
+         |  id bigint PATH '$$.id',
+         |  NESTED PATH '$$.xs[*]' COLUMNS(v bigint PATH '$$'),
+         |  NESTED PATH '$$.ts[*]' COLUMNS(t varchar PATH '$$'))) jt"""
+        .stripMargin)
+    val data = Seq(
+      """{"id": 1, "xs": [10, 11], "ts": ["a"]}""",
+      """{"id": 2, "xs": []}""",
+      """{"id": 3}""")
+    val mem = MemoryStream[String]
+    mem.toDF().withColumnRenamed("value", "j")
+      .createOrReplaceTempView("jt_stream_src")
+    val q = spark.sql(shred("jt_stream_src")).writeStream
+      .format("memory").queryName("jt_stream").outputMode("append").start()
+    try {
+      mem.addData(data.head)
+      q.processAllAvailable()
+      mem.addData(data.tail: _*)
+      q.processAllAvailable()
+      def norm(r: org.apache.spark.sql.Row) =
+        (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)))
+      val streaming = spark.table("jt_stream").collect().map(norm)
+        .sortBy(_.toString).toSeq
+      data.toDF("j").createOrReplaceTempView("jt_batch_src")
+      val batch = spark.sql(shred("jt_batch_src")).collect().map(norm)
+        .sortBy(_.toString).toSeq
+      assert(streaming == batch, s"$streaming vs $batch")
+      // id 1: two xs rows UNION one ts row; ids 2, 3: the OUTER row
+      assert(streaming.length == 5)
+    } finally q.stop()
+  }
 }
