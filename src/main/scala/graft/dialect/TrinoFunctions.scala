@@ -2584,36 +2584,38 @@ object TrinoFunctions {
           val colsText = colsPlus.substring(0, colsEnd)
           var afterCols = colsPlus.substring(colsEnd + 1).trim
           // optional PLAN DEFAULT(…) between COLUMNS() and ON ERROR.
-          // Supported: OUTER | INNER (parent-child join) and UNION
-          // (sibling combination) in either order; CROSS and the full
-          // per-node PLAN form reject loudly.
+          // Supported: OUTER | INNER (parent-child join) and UNION |
+          // CROSS (sibling combination) in either order; the full
+          // per-node PLAN form rejects loudly.
           var innerJoin = false
+          var crossSiblings = false
           if (afterCols.matches("(?is)^PLAN\\b.*")) {
             val pd = java.util.regex.Pattern.compile(
               "(?is)^PLAN\\s+DEFAULT\\s*\\(([^)]*)\\)\\s*(.*)$")
               .matcher(afterCols)
             if (!pd.matches()) throw new IllegalArgumentException(
-              "JSON_TABLE: only PLAN DEFAULT({OUTER|INNER}[, UNION]) is " +
-                "supported (per-node PLAN clauses are not); restructure " +
-                "as separate JSON_TABLE calls")
+              "JSON_TABLE: only PLAN DEFAULT({OUTER|INNER}[, " +
+                "{UNION|CROSS}]) is supported (per-node PLAN clauses " +
+                "are not); restructure as separate JSON_TABLE calls")
             val flags = pd.group(1).split(",").map(_.trim.toUpperCase)
               .filter(_.nonEmpty)
             flags.foreach {
               case "OUTER" => innerJoin = false
               case "INNER" => innerJoin = true
-              case "UNION" => // the supported (and default) combination
-              case "CROSS" => throw new IllegalArgumentException(
-                "JSON_TABLE: the CROSS sibling combination is not " +
-                  "supported (UNION only); restructure as separate " +
-                  "JSON_TABLE calls")
+              case "UNION" => crossSiblings = false
+              case "CROSS" => crossSiblings = true
               case f => throw new IllegalArgumentException(
                 s"JSON_TABLE: unknown PLAN DEFAULT option '$f' — " +
-                  "expected OUTER, INNER, or UNION")
+                  "expected OUTER, INNER, UNION, or CROSS")
             }
             if (flags.count(f => f == "OUTER" || f == "INNER") > 1)
               throw new IllegalArgumentException(
                 "JSON_TABLE: PLAN DEFAULT takes at most one of " +
                   "OUTER | INNER")
+            if (flags.count(f => f == "UNION" || f == "CROSS") > 1)
+              throw new IllegalArgumentException(
+                "JSON_TABLE: PLAN DEFAULT takes at most one of " +
+                  "UNION | CROSS")
             afterCols = pd.group(2).trim
           }
           val emptyOnError =
@@ -2643,6 +2645,12 @@ object TrinoFunctions {
           def columnExpr(mem: String, nodeId: Int, depth: Int): String = {
             val (src, ord, guard) =
               if (depth == 0) (s"$it.col", s"($it.pos + 1)", None)
+              else if (crossSiblings)
+                // CROSS rows carry one (p, v) SLOT per node; a node's
+                // slot is NULL only on the OUTER all-NULL row
+                (s"${lvlIt(1)}.nx.v$nodeId",
+                  s"(${lvlIt(1)}.nx.p$nodeId + 1)",
+                  Some(s"${lvlIt(1)}.nx.v$nodeId IS NOT NULL"))
               else (s"${lvlIt(depth)}.nx.v", s"(${lvlIt(depth)}.nx.p + 1)",
                 Some(s"${lvlIt(depth)}.nx.b = $nodeId"))
             val nm = jsonTableColName.matcher(mem)
@@ -2733,6 +2741,11 @@ object TrinoFunctions {
             }
           parseCols(colsText, 0, 0)
           val maxDepth = if (nodes.isEmpty) 0 else nodes.map(_._2).max
+          if (crossSiblings && maxDepth > 1)
+            throw new IllegalArgumentException(
+              "JSON_TABLE: the CROSS sibling combination supports one " +
+                "nesting level only; restructure deeper NESTED levels " +
+                "as separate JSON_TABLE calls")
           // OUTER: explode_outer — empty concat yields the all-NULL
           // row (parent kept). INNER: plain explode — empty concat
           // drops the parent — plus, below level 1, a passthrough
@@ -2740,7 +2753,39 @@ object TrinoFunctions {
           // branch has no nodes at this level, so sibling-branch rows
           // survive their siblings' inner grandchild joins.
           val explodeFn = if (innerJoin) "explode" else "explode_outer"
-          val levelLaterals = (1 to maxDepth).map { d =>
+          // CROSS: one level, one slot-struct per row — the sibling
+          // arrays fold into a product via nested transforms (any
+          // empty factor empties the product: P ⋈ (C1 CROSS C2) drops
+          // the parent under INNER, keeps the all-NULL row under
+          // OUTER via explode_outer)
+          val crossLaterals = if (!crossSiblings || nodes.isEmpty) Seq.empty
+          else {
+            val ns = nodes.sortBy(_._1)
+            val ids = ns.map(_._1)
+            def slots(curId: Int, pExpr: String, vExpr: String,
+                accVar: Option[String]): String =
+              ids.map { id =>
+                if (id == curId) s"'p$id', $pExpr, 'v$id', $vExpr"
+                else accVar match {
+                  case Some(a) => s"'p$id', $a.p$id, 'v$id', $a.v$id"
+                  case None =>
+                    s"'p$id', CAST(NULL AS INT), 'v$id', CAST(NULL AS STRING)"
+                }
+              }.mkString("named_struct(", ", ", ")")
+            val h = ns.head
+            var acc = s"transform(${itemsOf(s"$it.col", h._4)}, " +
+              s"(x${h._1}, i${h._1}) -> " +
+              s"${slots(h._1, s"i${h._1}", s"x${h._1}", None)})"
+            ns.tail.foreach { case (id, _, _, pathLit) =>
+              acc = s"flatten(transform($acc, a$id -> " +
+                s"transform(${itemsOf(s"$it.col", pathLit)}, " +
+                s"(x$id, i$id) -> " +
+                s"${slots(id, s"i$id", s"x$id", Some(s"a$id"))})))"
+            }
+            Seq(s"LATERAL (SELECT $explodeFn($acc) AS nx) ${lvlIt(1)}")
+          }
+          val levelLaterals = if (crossSiblings) crossLaterals
+          else (1 to maxDepth).map { d =>
             val lvlNodes = nodes.filter(_._2 == d)
             val gens = lvlNodes.map {
               case (id, _, pid, pathLit) =>

@@ -407,8 +407,55 @@ object FuzzDump {
     }
 
     def same(s: String): (String, String) = (s, s)
-    val kind = rng.nextInt(26)
-    if (kind == 25) {
+    val kind = rng.nextInt(27)
+    if (kind == 26) {
+      // v12: PLAN DEFAULT (…, CROSS) — the sibling PRODUCT. The twin
+      // enumerates the k×m element-pair arms guarded by both branches
+      // being non-empty; OUTER adds the any-empty all-NULL arm, INNER
+      // omits it.
+      val inner = rng.nextBoolean()
+      val xsElems = (0 until 1 + rng.nextInt(2)).map(_ =>
+        c.pick(Seq("user_id", "event_id", s"user_id % ${2 + rng.nextInt(7)}")))
+      val ysElems = (0 until 1 + rng.nextInt(2)).map(_ =>
+        c.pick(Seq("user_id", s"event_id % ${2 + rng.nextInt(5)}")))
+      val xsMod = 2 + rng.nextInt(4) // xs empty when user_id % xsMod = 0
+      val ysMod = 2 + rng.nextInt(3) // ys present when event_id % ysMod = 0
+      val where = rng.nextInt(3) match {
+        case 0 => s" WHERE event_id < ${150 + rng.nextInt(700)}"
+        case 1 => s" WHERE user_id % ${2 + rng.nextInt(4)} = 1"
+        case _ => ""
+      }
+      def arr(es: Seq[String]) =
+        es.map(e => s"CAST($e AS VARCHAR)")
+          .mkString("'[' || ", " || ',' || ", " || ']'")
+      val jsonExpr =
+        s"'{\"xs\": ' || CASE WHEN user_id % $xsMod = 0 THEN '[]' " +
+          s"ELSE ${arr(xsElems)} END || " +
+          s"', \"ys\": ' || CASE WHEN event_id % $ysMod = 0 " +
+          s"THEN ${arr(ysElems)} ELSE '[]' END || '}'"
+      val spark =
+        s"SELECT event_id AS c0, jt.x AS c2, jt.y AS c3 FROM events, " +
+          s"JSON_TABLE($jsonExpr, 'lax $$' COLUMNS(" +
+          s"NESTED PATH '$$.xs[*]' COLUMNS(x bigint PATH '$$'), " +
+          s"NESTED PATH '$$.ys[*]' COLUMNS(y bigint PATH '$$')) " +
+          s"PLAN DEFAULT (${if (inner) "INNER" else "OUTER"}, CROSS)) jt" +
+          s"$where ORDER BY c0 ASC NULLS FIRST, " +
+          "c2 ASC NULLS FIRST, c3 ASC NULLS FIRST"
+      def duckArm(x: String, y: String, cond: String) =
+        s"SELECT event_id AS c0, CAST($x AS BIGINT) AS c2, " +
+          s"CAST($y AS BIGINT) AS c3 FROM events WHERE $cond" +
+          (if (where.isEmpty) "" else s" AND (${where.drop(7)})")
+      val both = s"user_id % $xsMod <> 0 AND event_id % $ysMod = 0"
+      val pairArms = for (x <- xsElems; y <- ysElems)
+        yield duckArm(x, y, both)
+      val arms = pairArms ++
+        (if (inner) Seq.empty
+         else Seq(duckArm("NULL", "NULL", s"NOT ($both)")))
+      val duck = arms.mkString("SELECT c0, c2, c3 FROM (", " UNION ALL ",
+        ") u ORDER BY c0 ASC NULLS FIRST, " +
+          "c2 ASC NULLS FIRST, c3 ASC NULLS FIRST")
+      (spark, duck)
+    } else if (kind == 25) {
       // v11: JSON_TABLE PLAN DEFAULT — INNER drops the parent when the
       // sibling union is empty (the DuckDB twin just omits the outer
       // arm), OUTER spelled explicitly must equal the default. Shares

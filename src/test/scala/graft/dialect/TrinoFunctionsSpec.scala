@@ -1685,13 +1685,55 @@ class TrinoFunctionsSpec extends SparkSpec {
     assert(rows(
       """SELECT jt.v FROM JSON_TABLE('{oops', '$[*]' COLUMNS(v bigint PATH '$')
         |  PLAN DEFAULT (INNER) EMPTY ON ERROR) jt""".stripMargin).isEmpty)
-    // CROSS and per-node PLAN reject loudly
-    val e1 = qs.execute(
-      "SELECT 1 FROM JSON_TABLE('[]', '$' COLUMNS(x int) PLAN DEFAULT (INNER, CROSS)) jt")
-    assert(e1.isLeft && e1.left.exists(_.contains("CROSS")), e1)
+    // per-node PLAN rejects loudly
     val e2 = qs.execute(
       "SELECT 1 FROM JSON_TABLE('[]', '$' COLUMNS(x int) PLAN (a OUTER b)) jt")
     assert(e2.isLeft && e2.left.exists(_.contains("PLAN DEFAULT")), e2)
+  }
+
+  test("JSON_TABLE PLAN DEFAULT (CROSS): sibling products") {
+    def rows(sql: String): Seq[Seq[Any]] =
+      qs.execute(sql).fold(e => throw new AssertionError(s"$sql -> $e"), _.rows)
+    // OUTER CROSS: the sibling product per parent; ANY empty factor
+    // empties the product — P OUTER {} keeps one all-NULL row
+    assert(rows(
+      """SELECT jt.id, jt.x, jt.o, jt.y FROM JSON_TABLE(
+        |  '[{"id": 1, "xs": [10, 11], "ys": ["a", "b"]}, {"id": 2, "ys": ["c"]}, {"id": 3}]',
+        |  '$[*]' COLUMNS(id bigint PATH '$.id',
+        |    NESTED PATH '$.xs[*]' COLUMNS(x bigint PATH '$'),
+        |    NESTED PATH '$.ys[*]' COLUMNS(o FOR ORDINALITY, y varchar PATH '$'))
+        |  PLAN DEFAULT (OUTER, CROSS)) jt
+        |ORDER BY id, x NULLS LAST, y NULLS LAST""".stripMargin)
+      == Seq(Seq(1L, 10L, 1, "a"), Seq(1L, 10L, 2, "b"),
+        Seq(1L, 11L, 1, "a"), Seq(1L, 11L, 2, "b"),
+        Seq(2L, null, null, null), Seq(3L, null, null, null)))
+    // INNER CROSS: any empty factor drops the parent
+    assert(rows(
+      """SELECT jt.id, jt.x, jt.y FROM JSON_TABLE(
+        |  '[{"id": 1, "xs": [10], "ys": ["a", "b"]}, {"id": 2, "ys": ["c"]}, {"id": 3}]',
+        |  '$[*]' COLUMNS(id bigint PATH '$.id',
+        |    NESTED PATH '$.xs[*]' COLUMNS(x bigint PATH '$'),
+        |    NESTED PATH '$.ys[*]' COLUMNS(y varchar PATH '$'))
+        |  PLAN DEFAULT (INNER, CROSS)) jt
+        |ORDER BY id, x NULLS LAST, y NULLS LAST""".stripMargin)
+      == Seq(Seq(1L, 10L, "a"), Seq(1L, 10L, "b")))
+    // three-way product in declaration order
+    assert(rows(
+      """SELECT jt.a, jt.b, jt.c FROM JSON_TABLE(
+        |  '[{"as": [1, 2], "bs": [3], "cs": [4, 5]}]',
+        |  '$[*]' COLUMNS(
+        |    NESTED PATH '$.as[*]' COLUMNS(a bigint PATH '$'),
+        |    NESTED PATH '$.bs[*]' COLUMNS(b bigint PATH '$'),
+        |    NESTED PATH '$.cs[*]' COLUMNS(c bigint PATH '$'))
+        |  PLAN DEFAULT (CROSS)) jt ORDER BY a, b, c""".stripMargin)
+      == Seq(Seq(1L, 3L, 4L), Seq(1L, 3L, 5L), Seq(2L, 3L, 4L),
+        Seq(2L, 3L, 5L)))
+    // CROSS supports one nesting level only — deeper rejects loudly
+    val e1 = qs.execute(
+      """SELECT 1 FROM JSON_TABLE('[]', '$' COLUMNS(NESTED PATH '$.a[*]'
+        |COLUMNS(v int PATH '$', NESTED PATH '$.g[*]' COLUMNS(g int PATH '$')))
+        |PLAN DEFAULT (CROSS)) jt""".stripMargin)
+    assert(e1.isLeft && e1.left.exists(_.contains("one nesting level")), e1)
   }
 
   test("preprocess is idempotent over the r15 SQL/JSON constructs") {
@@ -1716,6 +1758,10 @@ class TrinoFunctionsSpec extends SparkSpec {
         |  NESTED PATH '$.xs[*]' COLUMNS(v bigint PATH '$',
         |    NESTED PATH '$.g' COLUMNS(g bigint PATH '$')))
         |  PLAN DEFAULT (INNER) EMPTY ON ERROR) jt""".stripMargin,
+      """SELECT jt.x, jt.y FROM t, JSON_TABLE(j, '$[*]' COLUMNS(
+        |  NESTED PATH '$.xs[*]' COLUMNS(x bigint PATH '$'),
+        |  NESTED PATH '$.ys[*]' COLUMNS(y bigint PATH '$'))
+        |  PLAN DEFAULT (OUTER, CROSS)) jt""".stripMargin,
       """SELECT a FROM t ORDER BY 1 OFFSET 3 ROWS FETCH FIRST 5 ROWS WITH TIES"""
     ).foreach { s =>
       val once = graft.dialect.TrinoFunctions.preprocess(s)

@@ -88,6 +88,8 @@ object FuzzSpec {
     * all-NULL) vs guarded UNION ALL arm twins. v11 adds PLAN
     * DEFAULT — INNER's twin omits the outer arm (parents with an
     * empty sibling union disappear), explicit OUTER must equal the
-    * default. */
-  val GoldenHash = "0082660613262db6db98c2b1bfb6e212"
+    * default. v12 adds PLAN DEFAULT (…, CROSS): the sibling-product
+    * twin enumerates element-pair arms guarded by both branches
+    * non-empty; OUTER adds the any-empty all-NULL arm. */
+  val GoldenHash = "fbd6ef868e490c346d9b674e80c5c2f3"
 }
