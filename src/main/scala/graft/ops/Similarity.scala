@@ -472,46 +472,141 @@ object Similarity {
       .select(col("graft_id").as("cent_id"), col("graft_v").as("cent_v"),
         col("graft_dd").as("cent_dd"))
 
-  /** Every vector scored against every centroid with the quantized-dot
-    * cosine (the twin relation both assignment and probe read). */
-  private def centScored(vecs: DataFrame, cents: DataFrame): DataFrame =
-    vecs.crossJoin(broadcast(cents))
-      .withColumn("graft_cos",
-        dotQuant(col("graft_v"), col("cent_v")).cast("double") /
-          sqrt(col("graft_dd") * col("cent_dd")))
+  /** Driver-side replica of [[graft.functions.NativeExprs.DotQuantD]]
+    * — the SAME IEEE sequence per element (double multiply, ·1e12,
+    * +0.5, floor, long cast, exact long sum), applied to model-sized
+    * rows already on the driver. Keeping the twins bit-identical
+    * under the plan change is exactly this kernel equality. */
+  private def dotQuantJ(a: Seq[Float], b: Seq[Float]): Long = {
+    val n = math.min(a.length, b.length)
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val p = a(i).toDouble * b(i).toDouble
+      acc += math.floor(p * 1e12 + 0.5).toLong
+      i += 1
+    }
+    acc
+  }
 
-  /** (graft_id, cell_id): nearest cell per vector. max (cos, -cent_id)
-    * is lexicographic — highest cosine, then lowest centroid id
-    * (= ORDER BY cos DESC, cent_id in the SQL replay). */
-  private def nearestCell(scored: DataFrame): DataFrame =
-    scored
-      .groupBy(col("graft_id"))
-      .agg(max(struct(col("graft_cos"), (-col("cent_id")).as("neg"))).as("m"))
-      .select(col("graft_id"), (-col("m.neg")).as("cell_id"))
+  /** Driver replica of [[graft.functions.NativeExprs.L2QuantD]]. */
+  private def l2QuantJ(a: Seq[Float], b: Seq[Float]): Long = {
+    val n = math.min(a.length, b.length)
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = a(i).toDouble - b(i).toDouble
+      acc += math.floor(d * d * 1e12 + 0.5).toLong
+      i += 1
+    }
+    acc
+  }
+
+  /** Collect a (cent_id, cent_v, cent_dd) centroid relation to the
+    * driver — the quantizer is model-sized by construction (≤ nCells
+    * rows), the same fixed-k collect the production path has always
+    * done. cent_id-sorted for a deterministic literal layout. */
+  private def collectQCents(cents: DataFrame): Array[Cent] =
+    cents.select(col("cent_id").cast("long"), col("cent_v"), col("cent_dd"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+      .sortBy(_._1)
+
+  /** struct() with LITERAL field names (CreateNamedStruct directly):
+    * `.as(...)` aliases inside a lambda are stripped by alias cleanup
+    * when the enclosing projection also carries a generator
+    * (posexplode), leaving colN names that break getField — literal
+    * names survive every resolution path. */
+  private def namedStruct2(n1: String, c1: Column, n2: String,
+      c2: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{CreateNamedStruct, Literal}
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(CreateNamedStruct(Seq(
+      Literal(n1), ColumnBridge.expression(c1),
+      Literal(n2), ColumnBridge.expression(c2))))
+  }
+
+  /** Nearest cell by quantized-dot cosine as a PURE PROJECTION over a
+    * driver-held centroid literal — the md5-twin analog of [[cellExpr]].
+    * argmax via array_max on struct(cos, -cent_id) is lexicographic:
+    * highest cosine, then lowest centroid id — exactly the
+    * max(struct(graft_cos, -cent_id)) aggregate this replaces (Spark's
+    * struct ordering and array_max share one TypeUtils ordering, NaN
+    * greatest, so tie and NaN behavior are identical). Replaces a
+    * corpus × nCells crossJoin + shuffle aggregate + corpus self-join:
+    * zero shuffles, the corpus never moves (guide §2.3/§2.4). */
+  private def cellExprQuant(cents: Array[Cent], vec: Column,
+      dd: Column): Column = {
+    val centLit = typedLit(cents.toSeq)      // array<struct<id,vec,dd>>
+    val scored = transform(centLit, c => namedStruct2(
+      "c", dotQuant(vec, c.getField("_2")).cast("double") /
+        sqrt(dd * c.getField("_3")),
+      "neg_id", -c.getField("_1")))
+    -array_max(scored).getField("neg_id")
+  }
+
+  /** Driver-side probe-cell selection: the anchor row scored against
+    * the driver-held centroids with [[dotQuantJ]] — bit-identical to
+    * the scored-relation filter + ORDER BY cos DESC, cent_id LIMIT
+    * nProbe it replaces (java.lang.Double.compare orders NaN greatest,
+    * matching Spark's DESC NaN-first; +0.0 normalization matches
+    * Spark's -0.0 == 0.0). */
+  private def probeCellsJ(cents: Array[Cent], anchorV: Seq[Float],
+      anchorDd: Double, nProbe: Int): Seq[Long] =
+    cents.map { case (cid, cv, cdd) =>
+        (dotQuantJ(cv, anchorV).toDouble / math.sqrt(cdd * anchorDd) + 0.0, cid)
+      }
+      .sorted(new Ordering[(Double, Long)] {
+        def compare(a: (Double, Long), b: (Double, Long)): Int = {
+          val c = java.lang.Double.compare(b._1, a._1) // cos DESC, NaN first
+          if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+        }
+      })
+      .take(nProbe).map(_._2).toSeq
 
   /** The shared probe/top-k tail of both twins: assign cells, pick the
-    * anchor's nProbe best cells from the SAME scored relation, score
-    * the probed cells' vectors against the anchor, top-k. */
+    * anchor's nProbe best cells, score the probed cells' vectors
+    * against the anchor, top-k.
+    *
+    * Optimization-round shape (r15): the centroid relation is
+    * model-sized by construction, so it collects to the driver
+    * (exactly like the production path's [[seedCents]]/[[lloyd]]
+    * results always have) and assignment becomes the ZERO-SHUFFLE
+    * projection [[cellExprQuant]]; probe cells are picked on the
+    * driver by the bit-identical [[probeCellsJ]]; the anchor attaches
+    * as a literal. The whole tail is ONE corpus scan ending in
+    * TakeOrderedAndProject — it replaces a corpus × nCells crossJoin,
+    * a shuffled argmax aggregate, a corpus self-join on graft_id and a
+    * broadcast anchor cross (plan evidence: plans/r15/
+    * embed_ivf_topk_md5_{before,after}.txt). Every arithmetic step is
+    * the same IEEE/BIGINT sequence, so results — and the DuckDB
+    * oracle hashes — are unchanged. */
   private def probeTopKMd5(vecs: DataFrame, cents: DataFrame, idCol: String,
       anchorId: Long, k: Int, nProbe: Int): DataFrame = {
-    val scored = centScored(vecs, cents)
-    val assign = nearestCell(scored)
-    val probe = scored.filter(col("graft_id") === anchorId)
-      .orderBy(col("graft_cos").desc, col("cent_id"))
-      .limit(nProbe)
-      .select(col("cent_id").as("cell_id"))
-    val anchor = vecs.filter(col("graft_id") === anchorId)
-      .select(col("graft_v").as("anchor_v"), col("graft_dd").as("anchor_dd"))
-    assign
-      .join(broadcast(probe), "cell_id")
-      .join(vecs, "graft_id")
-      .crossJoin(broadcast(anchor))
-      .filter(col("graft_id") =!= anchorId)
-      .select(col("graft_id").as(idCol),
-        (dotQuant(col("graft_v"), col("anchor_v")).cast("double") /
-          sqrt(col("graft_dd") * col("anchor_dd"))).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col(idCol).asc)
-      .limit(k)
+    val centArr = collectQCents(cents)
+    val anchorRow = vecs.filter(col("graft_id") === anchorId)
+      .select(col("graft_v"), col("graft_dd")).collect().headOption
+    anchorRow match {
+      case None =>
+        // anchor absent from the corpus: the scored-relation probe
+        // this replaces selected zero cells — preserve the empty result
+        vecs.filter(lit(false))
+          .select(col("graft_id").as(idCol), lit(0.0).as("cos_sim"))
+      case Some(r) =>
+        val anchorV = r.getSeq[Float](0)
+        val anchorDd = r.getDouble(1)
+        val probeCells = probeCellsJ(centArr, anchorV, anchorDd, nProbe)
+        vecs
+          .withColumn("cell_id",
+            cellExprQuant(centArr, col("graft_v"), col("graft_dd")))
+          .filter(col("cell_id").isInCollection(probeCells))
+          .filter(col("graft_id") =!= anchorId)
+          .select(col("graft_id").as(idCol),
+            (dotQuant(col("graft_v"), typedLit(anchorV)).cast("double") /
+              sqrt(col("graft_dd") * lit(anchorDd))).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col(idCol).asc)
+          .limit(k)
+    }
   }
 
   /** Oracle-verification twin of the k-means IVF path
@@ -528,12 +623,24 @@ object Similarity {
   def ivfKmeansMd5(embeddings: DataFrame, idCol: String, vecCol: String,
       anchorId: Long, k: Int, nCells: Int, nProbe: Int): DataFrame = {
     val vecs = quantVecs(embeddings, idCol, vecCol)
-    val assign0 = nearestCell(centScored(vecs, md5SeedCents(vecs, nCells)))
+    // seed assignment as the zero-shuffle projection (r15): the seeds
+    // collect (TakeOrderedAndProject, nCells rows) and every vector
+    // picks its cell inside one projection — the crossJoin + shuffled
+    // argmax + corpus self-join this replaces carried the whole corpus
+    // through nCells× row inflation and two exchanges per iteration
+    val seedArr = collectQCents(md5SeedCents(vecs, nCells))
     // Lloyd update: quantized mean per (cell, dim); empty cells drop
     // out exactly like the production update. Division order is
     // (sum_q / n) / 1e7, matching the SQL text.
-    val means = assign0
-      .join(vecs, "graft_id")
+    // cell_id materializes in its OWN projection BELOW the generator:
+    // a generator-bearing select puts the remaining expressions in a
+    // Project ABOVE Generate, which would re-evaluate the assignment
+    // once per exploded element (the ChunkSplit lesson — measured 64×
+    // here); as a pass-through attribute it computes once per vector
+    val means = vecs
+      .select(cellExprQuant(seedArr, col("graft_v"), col("graft_dd"))
+          .as("cell_id"),
+        col("graft_v"))
       .select(col("cell_id"), posexplode(col("graft_v")))
       .groupBy(col("cell_id"), col("pos"))
       .agg(((sum(floor(col("col").cast("double") * lit(1e7) + lit(0.5))
@@ -545,12 +652,9 @@ object Similarity {
         s => s.getField("m")).as("cent_v"))
       .select(col("cell_id").as("cent_id"), col("cent_v"),
         dotQuant(col("cent_v"), col("cent_v")).cast("double").as("cent_dd"))
-      // model-sized (≤ nCells rows): materialize once so the Lloyd
-      // sub-DAG (seed sort + assignment + mean update) doesn't re-run
-      // for every downstream branch that broadcasts the centroids —
-      // the DataFrame analog of the production path's driver-collected
-      // centroid table.
-      .transform(Lineage.cut(_))
+    // probeTopKMd5 collects the (≤ nCells-row) updated centroids to
+    // the driver — that collect IS the materialization the former
+    // Lineage.cut provided, one job instead of two
     probeTopKMd5(vecs, cents1, idCol, anchorId, k, nProbe)
   }
 
@@ -585,10 +689,17 @@ object Similarity {
   def buildIvfIndexMd5(embeddings: DataFrame, idCol: String, vecCol: String,
       path: String, nCells: Int): Unit = {
     val vecs = quantVecs(embeddings, idCol, vecCol)
-    // model-sized; materialized so seed sort doesn't re-run per branch
-    val cents = Lineage.cut(md5SeedCents(vecs, nCells))
-    cents.write.mode("overwrite").parquet(s"$path/centroids")
-    writeIvfCellsMd5(vecs, cents, path, "overwrite")
+    // seeds collect to the driver (model-sized, one TakeOrdered job);
+    // the centroid table writes back from the driver-local copy — one
+    // file, the model-artifact convention of buildPqIndex — and the
+    // SAME copy drives the zero-shuffle cell assignment below (the
+    // former Lineage.cut + per-branch broadcast is gone)
+    val centArr = collectQCents(md5SeedCents(vecs, nCells))
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    centArr.toSeq.toDF("cent_id", "cent_v", "cent_dd")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    writeIvfCellsMd5(vecs, centArr, path, "overwrite")
   }
 
   /** Fold a new batch into the persisted md5-twin index: assign against
@@ -596,16 +707,20 @@ object Similarity {
   def mergeIvfIndexMd5(newEmbeddings: DataFrame, idCol: String, vecCol: String,
       path: String): Unit = {
     val spark = newEmbeddings.sparkSession
-    val cents = spark.read.parquet(s"$path/centroids")
-    writeIvfCellsMd5(quantVecs(newEmbeddings, idCol, vecCol), cents, path,
+    val centArr = collectQCents(spark.read.parquet(s"$path/centroids"))
+    writeIvfCellsMd5(quantVecs(newEmbeddings, idCol, vecCol), centArr, path,
       "append")
   }
 
-  private def writeIvfCellsMd5(vecs: DataFrame, cents: DataFrame,
+  /** Cell assignment as the [[cellExprQuant]] projection: the batch is
+    * scanned ONCE, never shuffled except by the layout repartition —
+    * replaces crossJoin × nCells + shuffled argmax + a batch self-join
+    * on graft_id (plans/r15/embed_ivf_merge_{before,after}.txt). */
+  private def writeIvfCellsMd5(vecs: DataFrame, cents: Array[Cent],
       path: String, mode: String): Unit =
-    nearestCell(centScored(vecs, cents))
-      .join(vecs, "graft_id")
-      .select(col("graft_id"), col("graft_v"), col("graft_dd"), col("cell_id"))
+    vecs
+      .select(col("graft_id"), col("graft_v"), col("graft_dd"),
+        cellExprQuant(cents, col("graft_v"), col("graft_dd")).as("cell_id"))
       .repartition(col("cell_id")) // one writer, one file per cell
       .write.partitionBy("cell_id").mode(mode).parquet(s"$path/cells")
 
@@ -618,32 +733,28 @@ object Similarity {
   def ivfIndexProbeMd5(spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String, anchorId: Long, k: Int, nProbe: Int): DataFrame = {
     val cells = spark.read.parquet(s"$path/cells")
-      .select(col("graft_id"), col("graft_v"), col("graft_dd"),
-        col("cell_id").cast("long").as("cell_id"))
-    val cents = spark.read.parquet(s"$path/centroids")
     // materialize the 1-row anchor eagerly (it was driver-broadcast
     // anyway): an anchorId absent from the index must be an error, not
-    // an empty crossJoin that silently returns an empty top-k
-    val anchorDf = cells.filter(col("graft_id") === anchorId)
-      .select(col("graft_v").as("anchor_v"), col("graft_dd").as("anchor_dd"))
-    val anchorRows = anchorDf.collect()
+    // an empty filter that silently returns an empty top-k
+    val anchorRows = cells.filter(col("graft_id") === anchorId)
+      .select(col("graft_v"), col("graft_dd")).collect()
     require(anchorRows.nonEmpty,
       s"ivfIndexProbeMd5: anchor id $anchorId not found in index at $path")
-    val anchor = spark.createDataFrame(
-      java.util.Collections.singletonList(anchorRows.head), anchorDf.schema)
-    val probe = cents.crossJoin(broadcast(anchor))
-      .select(col("cent_id"),
-        (dotQuant(col("cent_v"), col("anchor_v")).cast("double") /
-          sqrt(col("cent_dd") * col("anchor_dd"))).as("graft_cos"))
-      .orderBy(col("graft_cos").desc, col("cent_id"))
-      .limit(nProbe)
-      .select(col("cent_id").as("cell_id"))
-    cells.join(broadcast(probe), "cell_id")
-      .crossJoin(broadcast(anchor))
+    val anchorV = anchorRows.head.getSeq[Float](0)
+    val anchorDd = anchorRows.head.getDouble(1)
+    // probe-cell selection on the driver against the model-sized
+    // centroid table (bit-identical arithmetic, see probeCellsJ) — the
+    // cell filter is now a LITERAL predicate on the partition column,
+    // so the scan statically prunes to the nProbe cells' files (the
+    // broadcast-join form relied on reading all partitions)
+    val centArr = collectQCents(spark.read.parquet(s"$path/centroids"))
+    val probeCells = probeCellsJ(centArr, anchorV, anchorDd, nProbe)
+    cells
+      .filter(col("cell_id").cast("long").isInCollection(probeCells))
       .filter(col("graft_id") =!= anchorId)
       .select(col("graft_id").as(idCol),
-        (dotQuant(col("graft_v"), col("anchor_v")).cast("double") /
-          sqrt(col("graft_dd") * col("anchor_dd"))).as("cos_sim"))
+        (dotQuant(col("graft_v"), typedLit(anchorV)).cast("double") /
+          sqrt(col("graft_dd") * lit(anchorDd))).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol).asc)
       .limit(k)
   }
@@ -667,53 +778,98 @@ object Similarity {
     // sequence, codegen'd loop instead of interpreted lambda dispatch.
     def qdist(a: Column, b: Column): Column =
       graft.functions.NativeExprs.l2QuantD(a, b)
-    def subSlices(df: DataFrame, vec: String, out: String): DataFrame =
-      df.select(col("*"), explode(sequence(lit(0), lit(m - 1))).as("graft_sub"))
-        .withColumn(out, slice(col(vec), col("graft_sub") * dsub + 1, lit(dsub)))
-        .drop(vec)
     val vecs = embeddings.select(col(idCol).cast("long").as("graft_id"),
       col(vecCol).as("graft_v"))
-    val subs = subSlices(vecs, "graft_v", "graft_sv")
-    val seeds = vecs
+    // md5-ordered seed vectors: model-sized (ksub rows) — collected,
+    // and the per-subspace codebooks slice out on the driver. Code ids
+    // stay the seed row ids, exactly as the DataFrame-shaped seeds
+    // carried them (argmin ties still break on lowest id).
+    val seedRows = vecs
       .orderBy(md5(col("graft_id").cast("string")), col("graft_id"))
       .limit(ksub)
-      .select(col("graft_id").as("cent_id"), col("graft_v").as("graft_cv"))
-    val subcents0 = subSlices(seeds, "graft_cv", "graft_cs")
-    // argmin (quantized L2, code id) per (vector, subspace) — exact
-    // integer compare, so min(struct(d, cent_id)) has no float ties
-    def assign(cents: DataFrame): DataFrame =
-      subs.join(broadcast(cents), "graft_sub")
-        .withColumn("graft_d", qdist(col("graft_sv"), col("graft_cs")))
-        .groupBy(col("graft_id"), col("graft_sub"))
-        .agg(min(struct(col("graft_d"), col("cent_id"))).as("m"))
-        .select(col("graft_id"), col("graft_sub"), col("m.cent_id").as("cent_id"))
-    // one quantized-mean Lloyd update per (subspace, code, dim)
-    val means = assign(subcents0)
-      .join(subs, Seq("graft_id", "graft_sub"))
-      .select(col("graft_sub"), col("cent_id"), posexplode(col("graft_sv")))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val books0: Array[Array[(Long, Seq[Float])]] =
+      Array.tabulate(m)(s => seedRows.map { case (id, v) =>
+        (id, v.slice(s * dsub, (s + 1) * dsub)) })
+    // argmin (quantized L2, code id) per (vector, subspace) as ONE
+    // projection over the driver-held codebook literals — the exact
+    // integer compare means array_min(struct(d, cent_id)) has no float
+    // ties, same lexicographic rule as the min(struct(...)) aggregate
+    // it replaces. The former shape carried the corpus through a ksub×
+    // broadcast-join row inflation plus a shuffled argmin TWICE
+    // (assign0 and the final encode) and re-joined the corpus to
+    // itself for the Lloyd update; all of that is gone
+    // (plans/r15/embed_pq_topk_md5_{before,after}.txt).
+    def codesCol(books: Array[Array[(Long, Seq[Float])]]): Column =
+      array((0 until m).map { s =>
+        val bookLit = typedLit(books(s).toSeq)
+        array_min(transform(bookLit, c => namedStruct2(
+          "d", qdist(slice(col("graft_v"), s * dsub + 1, dsub),
+            c.getField("_2")),
+          "cent_id", c.getField("_1")))).getField("cent_id")
+      }: _*)
+    // one quantized-mean Lloyd update per (subspace, code, dim): ONE
+    // aggregation to model-sized rows, collected flat; the driver
+    // assembles the per-code mean vectors pos-ascending — the same
+    // driver-assembly pattern pqTrainCodebooks already uses. The
+    // (sub, pos-in-slice, value) triples equal the former
+    // subSlices + posexplode stream: element pos of slice s is element
+    // s·dsub + pos of the full vector.
+    // graft_codes materializes BELOW the generator (the ChunkSplit
+    // lesson, see ivfKmeansMd5): in the same select as posexplode it
+    // would re-evaluate all m·ksub argmin distances per exploded element
+    val updated = vecs
+      .select(codesCol(books0).as("graft_codes"), col("graft_v"))
+      .select(col("graft_codes"), posexplode(col("graft_v")))
+      .select((col("pos") / lit(dsub)).cast("int").as("graft_sub"),
+        element_at(col("graft_codes"),
+          (col("pos") / lit(dsub)).cast("int") + 1).as("cent_id"),
+        (col("pos") % lit(dsub)).as("pos"), col("col"))
       .groupBy(col("graft_sub"), col("cent_id"), col("pos"))
       .agg(((sum(floor(col("col").cast("double") * lit(1e7) + lit(0.5))
           .cast("long")).cast("double") / count(lit(1)).cast("double")) /
         lit(1e7)).cast("float").as("mval"))
-    val subcents1 = means
-      .groupBy(col("graft_sub"), col("cent_id"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mval")))),
-        s => s.getField("mval")).as("graft_cs"))
-    val codes = assign(subcents1)
-    // ADC: the anchor's quantized distance to every (subspace, code)
-    val anchorSubs = subs.filter(col("graft_id") === anchorId)
-      .select(col("graft_sub"), col("graft_sv").as("graft_asv"))
-    val adc = subcents1.join(broadcast(anchorSubs), "graft_sub")
-      .select(col("graft_sub"), col("cent_id"),
-        qdist(col("graft_asv"), col("graft_cs")).as("graft_ad"))
-    codes
-      .join(broadcast(adc), Seq("graft_sub", "cent_id"))
-      .groupBy(col("graft_id"))
-      .agg(sum(col("graft_ad")).as("adc_q"))
-      .filter(col("graft_id") =!= anchorId)
-      .select(col("graft_id").as(idCol), col("adc_q"))
-      .orderBy(col("adc_q").asc, col(idCol).asc)
-      .limit(k)
+      .collect()
+    val books1: Array[Array[(Long, Seq[Float])]] = {
+      val bySub = updated.groupBy(_.getInt(0))
+      Array.tabulate(m)(s =>
+        bySub.getOrElse(s, Array.empty[org.apache.spark.sql.Row])
+          .groupBy(_.getLong(1)).toArray
+          .map { case (cid, rows) =>
+            (cid, rows.sortBy(_.getInt(2)).map(_.getFloat(3)).toSeq) }
+          .sortBy(_._1))
+    }
+    // the anchor: a 1-row point lookup; an absent anchor produced an
+    // empty ADC side (and so an empty top-k) in the join form —
+    // preserve that
+    val anchorRows = vecs.filter(col("graft_id") === anchorId)
+      .select(col("graft_v")).collect()
+    if (anchorRows.isEmpty) {
+      vecs.filter(lit(false))
+        .select(col("graft_id").as(idCol), lit(0L).as("adc_q"))
+    } else {
+      val anchorV = anchorRows.head.getSeq[Float](0)
+      // ADC table on the driver: quantized L2 of the anchor's slice to
+      // every (sub, code) — l2QuantJ is the driver replica of the
+      // L2QuantD kernel, so the table is bit-identical to the former
+      // broadcast-join ADC side
+      val adcMaps: Array[Map[Long, Long]] = Array.tabulate(m) { s =>
+        val as = anchorV.slice(s * dsub, (s + 1) * dsub)
+        books1(s).map { case (cid, cv) => cid -> l2QuantJ(as, cv) }.toMap
+      }
+      // adc_q = Σ_s adc(s, code_s): m literal-map lookups per row,
+      // summed as BIGINT — replaces codes ⋈ adc + a corpus-wide
+      // groupBy(graft_id) sum
+      val adcSum = (0 until m).map(s =>
+        element_at(typedLit(adcMaps(s)), element_at(col("graft_codes"), s + 1)))
+        .reduce(_ + _)
+      vecs.filter(col("graft_id") =!= anchorId)
+        .select(col("graft_id"), codesCol(books1).as("graft_codes"))
+        .select(col("graft_id").as(idCol), adcSum.as("adc_q"))
+        .orderBy(col("adc_q").asc, col(idCol).asc)
+        .limit(k)
+    }
   }
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
@@ -743,12 +899,19 @@ object Similarity {
       nClusters: Int, simThreshold: Double,
       maxCluster: Int = 1000): DataFrame = {
     val vecs = quantVecs(embeddings, idCol, vecCol)
-    val assign = nearestCell(centScored(vecs, md5SeedCents(vecs, nClusters)))
-    val m = assign.join(vecs, "graft_id")
+    // cluster assignment as the zero-shuffle projection (r15): seeds
+    // collect (model-sized), every vector picks its cell inside one
+    // projection — replaces crossJoin × nClusters + shuffled argmax +
+    // a corpus self-join on graft_id. The cluster-size filter side is
+    // ≤ nClusters rows by construction: broadcast it explicitly so the
+    // corpus is never shuffled for it at any scale.
+    val seedArr = collectQCents(md5SeedCents(vecs, nClusters))
+    val m = vecs.withColumn("cell_id",
+      cellExprQuant(seedArr, col("graft_v"), col("graft_dd")))
     val sized = m.join(
-      m.groupBy(col("cell_id")).agg(count(lit(1)).as("graft_n"))
+      broadcast(m.groupBy(col("cell_id")).agg(count(lit(1)).as("graft_n"))
         .filter(col("graft_n").between(2, maxCluster))
-        .select(col("cell_id")),
+        .select(col("cell_id"))),
       Seq("cell_id"))
     val a = sized.select(col("cell_id"), col("graft_id").as("id_a"),
       col("graft_v").as("v_a"), col("graft_dd").as("dd_a"))
@@ -761,7 +924,7 @@ object Similarity {
           sqrt(col("dd_a") * col("dd_b")))
       .filter(col("graft_cos") >= simThreshold)
       .select(col("id_b").as("graft_id")).distinct()
-    assign
+    m.select(col("graft_id"), col("cell_id"))
       .join(dups.withColumn("is_dup", lit(true)), Seq("graft_id"), "left")
       .select(col("graft_id").as(idCol), col("cell_id"),
         coalesce(col("is_dup"), lit(false)).as("is_dup"))

@@ -214,6 +214,26 @@ class SimilaritySpec extends SparkSpec {
     assert(diverged.count() == 0, "native and HOF quantized L2 diverge")
   }
 
+  test("md5 twins: assignment/probe is one scan — no exchange, no join (r15)") {
+    // The optimization-round contract for the twin family: centroid
+    // models collect to the driver and assignment is a pure projection
+    // (cellExprQuant), so the query tail plans as scan → filter →
+    // project → TakeOrderedAndProject with NO Exchange and NO join of
+    // any kind (the former shape carried a corpus × nCells crossJoin,
+    // a shuffled argmax and a corpus self-join).
+    Seq(
+      Similarity.ivfTopKMd5(emb, "vec_id", "embedding",
+        anchorId = 0L, k = 5, nCells = 8, nProbe = 2),
+      Similarity.pqTopKMd5(emb, "vec_id", "embedding",
+        anchorId = 0L, k = 5, ksub = 8)
+    ).foreach { df =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), p.take(1500))
+      assert(!p.contains("Join"), p.take(1500))
+      assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    }
+  }
+
   test("semDeDupMd5 marks planted near-duplicates, keeps the lowest id") {
     import spark.implicits._
     // base corpus + two planted copies of vector 3 (tiny perturbation —
