@@ -55,39 +55,74 @@ object Retrieval {
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
-  /** Build the index: ONE token shuffle for tf, dl attached as a window
-    * sum over the already-aggregated tf stream (same doc_id shuffle key,
-    * no join stage, no second corpus pass), postings clustered by
-    * bucket before the partitioned write (one writer and one file per
-    * bucket — the same partitioned-write rule as the minhash band
-    * index). */
+  /** Tokenize with the corpus repartitioned by DOC ID first: one
+    * exchange of the raw document text, after which hash(doc_id)
+    * satisfies both the (tok, doc_id) tf aggregation (a hash partition
+    * on a subset of the grouping keys is a valid clustering) and the
+    * per-doc dl window — the token stream itself never shuffles
+    * (guide §2.4: operations keyed the same way share one exchange).
+    * The former shape shuffled partially-aggregated tf pairs twice:
+    * once for the tf groupBy, once more for the dl window. */
+  private def tfWithDl(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("graft_text"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(split(lower(col("graft_text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .withColumn("dl", sum(col("tf")).over(wDoc))
+  }
+
+  /** Run independent index-output actions concurrently from a small
+    * thread pool (guide §2.6): the writes are independent consumers of
+    * one cached stream, so the second job's tasks back-fill executors
+    * freed by the first job's tail instead of waiting for it. */
+  private def awaitAll[A](fs: Seq[() => A]): Seq[A] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    Await.result(Future.sequence(fs.map(f => Future(f()))), Duration.Inf)
+  }
+
+  /** Build the index: ONE corpus exchange for the whole tf+dl stream
+    * ([[tfWithDl]]), postings clustered by bucket before the
+    * partitioned write (one writer and one file per bucket — the same
+    * partitioned-write rule as the minhash band index). The postings
+    * write, the terms write and the corpus-stats aggregate are
+    * independent consumers of the cached stream and run CONCURRENTLY
+    * (guide §2.6); the stats file still lands strictly LAST — it is
+    * the completeness marker. */
   def buildBm25Index(docs: DataFrame, idCol: String, textCol: String,
       path: String, hexChars: Int = 2): Unit = {
-    val toks = docs
-      .select(col(idCol).as("doc_id"),
-        explode(split(lower(col(textCol)), " ")).as("tok"))
-      .filter(col("tok") =!= "")
-    // tf feeds all three outputs (postings, terms, corpus): persist the
-    // AGGREGATED stream once (MEMORY_AND_DISK — spills, never OOMs) so
-    // the corpus text is tokenized exactly once, not once per output
-    val tf = toks.groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
-      .persist()
+    // tf+dl feeds all three outputs (postings, terms, corpus): persist
+    // the AGGREGATED stream once (MEMORY_AND_DISK — spills, never
+    // OOMs) so the corpus text is tokenized exactly once
+    val tf = tfWithDl(docs, idCol, textCol).persist()
     try {
-      val wDoc = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id"))
-      tf.select(col("tok"), col("doc_id"), col("tf"),
-          sum(col("tf")).over(wDoc).as("dl"),
-          termBucket(col("tok"), hexChars).as("bucket"))
-        .repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
-      tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-        .withColumn("bucket", termBucket(col("tok"), hexChars))
-        .repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/terms")
-      // corpus stats to the driver (one small agg over the cached tf
-      // stream), then the stats file — written LAST: completeness marker
-      val facts = tf.agg(countDistinct(col("doc_id")).as("n"),
-        sum(col("tf")).as("t")).collect()(0)
+      val out = awaitAll(Seq(
+        () => {
+          tf.select(col("tok"), col("doc_id"), col("tf"), col("dl"),
+              termBucket(col("tok"), hexChars).as("bucket"))
+            .repartition(col("bucket"))
+            .write.mode("overwrite").partitionBy("bucket")
+            .parquet(s"$path/postings")
+          None
+        },
+        () => {
+          tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+            .withColumn("bucket", termBucket(col("tok"), hexChars))
+            .repartition(col("bucket"))
+            .write.mode("overwrite").partitionBy("bucket")
+            .parquet(s"$path/terms")
+          None
+        },
+        () => Some(tf.agg(countDistinct(col("doc_id")).as("n"),
+          sum(col("tf")).as("t")).collect()(0))))
+      val facts = out.flatten.head
       writeCorpusStats(docs.sparkSession, path,
         facts.getLong(0), facts.getLong(1))
     } finally tf.unpersist()
@@ -118,48 +153,54 @@ object Retrieval {
     // bucket layout the standing index was built with (width read from
     // the postings directory names — the one source of truth).
     val bhex = bucketHexWidth(spark, path)
-    val toks = newDocs
-      .select(col(idCol).as("doc_id"),
-        explode(split(lower(col(textCol)), " ")).as("tok"))
-      .filter(col("tok") =!= "")
-    val tfNew = toks.groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
-      .persist()
+    // same one-exchange tf+dl stream as the build ([[tfWithDl]])
+    val tfNew = tfWithDl(newDocs, idCol, textCol).persist()
     try {
-      val wDoc = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id"))
-      tfNew.select(col("tok"), col("doc_id"), col("tf"),
-          sum(col("tf")).over(wDoc).as("dl"),
-          termBucket(col("tok"), bhex).as("bucket"))
-        .repartition(col("bucket"))
-        .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
-      // ONE driver round-trip for all batch-level facts: doc count and
-      // token total (the corpus-stats delta — Σtf per batch equals the
-      // Σdl the per-doc grouping would give) plus the set of term
-      // buckets the batch touches (≤ 16^bhex strings, driver-sized by
-      // construction — the bucket space is the layout constant, not
-      // the vocabulary)
-      val facts = tfNew.agg(
-        countDistinct(col("doc_id")).as("n"),
-        sum(col("tf")).as("t"),
-        collect_set(termBucket(col("tok"), bhex)).as("buckets")).collect()(0)
-      val touched = facts.getSeq[String](2).sorted
-      val dfNew = tfNew.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      spark.read.parquet(s"$path/terms")
-        .filter(col("bucket").isin(touched: _*)) // partition pruning
-        .select(col("tok"), col("df"))
-        .union(dfNew)
-        .groupBy(col("tok")).agg(sum(col("df")).as("df"))
-        .withColumn("bucket", termBucket(col("tok"), bhex))
-        .repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket")
-        .parquet(s"$path/terms_merge_tmp")
-      // swap in ONLY the touched buckets; untouched buckets are never
-      // read, rewritten, or moved
-      touched.foreach { b =>
-        replaceDir(spark, s"$path/terms_merge_tmp/bucket=$b",
-          s"$path/terms/bucket=$b")
-      }
-      deleteDir(spark, s"$path/terms_merge_tmp")
+      // Two independent lanes over the cached stream, overlapped
+      // (guide §2.6): (a) the postings append; (b) the batch-facts
+      // collect feeding the touched-bucket terms re-aggregation and
+      // swap. Corpus stats still land LAST, after both lanes.
+      val out = awaitAll(Seq(
+        () => {
+          tfNew.select(col("tok"), col("doc_id"), col("tf"), col("dl"),
+              termBucket(col("tok"), bhex).as("bucket"))
+            .repartition(col("bucket"))
+            .write.mode("append").partitionBy("bucket")
+            .parquet(s"$path/postings")
+          None
+        },
+        () => {
+          // ONE driver round-trip for all batch-level facts: doc count
+          // and token total (the corpus-stats delta — Σtf per batch
+          // equals the Σdl the per-doc grouping would give) plus the
+          // set of term buckets the batch touches (≤ 16^bhex strings,
+          // driver-sized by construction — the bucket space is the
+          // layout constant, not the vocabulary)
+          val facts = tfNew.agg(
+            countDistinct(col("doc_id")).as("n"),
+            sum(col("tf")).as("t"),
+            collect_set(termBucket(col("tok"), bhex)).as("buckets")).collect()(0)
+          val touched = facts.getSeq[String](2).sorted
+          val dfNew = tfNew.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+          spark.read.parquet(s"$path/terms")
+            .filter(col("bucket").isin(touched: _*)) // partition pruning
+            .select(col("tok"), col("df"))
+            .union(dfNew)
+            .groupBy(col("tok")).agg(sum(col("df")).as("df"))
+            .withColumn("bucket", termBucket(col("tok"), bhex))
+            .repartition(col("bucket"))
+            .write.mode("overwrite").partitionBy("bucket")
+            .parquet(s"$path/terms_merge_tmp")
+          // swap in ONLY the touched buckets; untouched buckets are
+          // never read, rewritten, or moved
+          touched.foreach { b =>
+            replaceDir(spark, s"$path/terms_merge_tmp/bucket=$b",
+              s"$path/terms/bucket=$b")
+          }
+          deleteDir(spark, s"$path/terms_merge_tmp")
+          Some(facts)
+        }))
+      val facts = out.flatten.head
       // corpus stats: standing values + the batch delta (already on the
       // driver from the facts row) — pure driver-side addition, no
       // Spark job, no tmp-dir swap
@@ -169,11 +210,15 @@ object Retrieval {
     } finally tfNew.unpersist()
   }
 
-  /** Write the corpus stats file ("n=…\nt=…"). Driver-side, no job. */
+  /** Write the corpus stats file ("n=…\nt=…"). Driver-side, no job.
+    * delete-then-create, never truncate-in-place: an index cloned by
+    * hardlink (the merge queries' fresh-copy step) must not have the
+    * SOURCE index's stats rewritten through a shared inode. */
   private def writeCorpusStats(spark: SparkSession, path: String,
       n: Long, t: Long): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$path/corpus_stats")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, false)
     val out = fs.create(p, true)
     try out.write(s"n=$n\nt=$t".getBytes("UTF-8"))
     finally out.close()

@@ -324,16 +324,24 @@ object Similarity {
       seeds: Array[Cent], iters: Int): Array[Cent] = {
     var cur = seeds
     (1 to iters).foreach { _ =>
-      cur = assignedDf(embeddings, cur, idCol, vecCol)
+      // ONE aggregation to (cell, pos, mean) — k·dims rows, model-sized
+      // — collected flat; the driver assembles the mean vectors
+      // pos-ascending (same order the former
+      // array_sort(collect_list(struct(pos, m))) stage produced, so
+      // centroids are bit-identical). The second groupBy bought nothing
+      // but wire format — dropping it removes one exchange per Lloyd
+      // iteration (the pqTrainCodebooks pattern, r15).
+      val rows = assignedDf(embeddings, cur, idCol, vecCol)
         .select(col("cell_id"), posexplode(col(vecCol)))
         .groupBy(col("cell_id"), col("pos"))
         .agg((sum(col("col").cast(org.apache.spark.sql.types.DecimalType(28, 14)))
           .cast("double") / count(lit(1)).cast("double")).cast("float").as("m"))
-        .groupBy(col("cell_id"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("cent_vec"))
         .collect()
-        .map(r => { val v = r.getSeq[Float](1); (r.getLong(0), v, l2(v)) })
+      cur = rows.groupBy(_.getLong(0)).toArray
+        .map { case (cid, rs) =>
+          val v = rs.sortBy(_.getInt(1)).map(_.getFloat(2)).toSeq
+          (cid, v, l2(v))
+        }
         .sortBy(_._1)
     }
     cur

@@ -195,11 +195,22 @@ object TextAnalysis {
     * positions then substring (copies the whole document into every
     * generated row), and transform+lambda (interpreted closure per
     * character). */
-  private def bigramPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs
-      .filter(length(col(textCol)) >= 2)
-      .select(col(idCol),
-        explode(graft.functions.NativeExprs.charBigrams(col(textCol))).as("graft_ab"))
+  private def bigramPairs(docs: DataFrame, idCol: String, textCol: String,
+      carryCols: Seq[String] = Nil): DataFrame =
+    // Narrow-input spread (Dedup.toCores): the bigram explode is the
+    // most expensive per-row stage in the charlm family, and a
+    // verification corpus arrives as ONE parquet split — without the
+    // spread the whole explode+join+partial-agg pipeline runs in a
+    // single task while every other core idles. At real scale the scan
+    // has >= defaultParallelism splits and this is a no-op; all
+    // downstream consumers aggregate order-independently, so results
+    // are bit-identical either way.
+    Dedup.toCores(docs
+        .filter(length(col(textCol)) >= 2)
+        .select(col(idCol) +: carryCols.map(col) :+ col(textCol).as("graft_t"): _*))
+      .select(col(idCol) +: carryCols.map(col) :+
+        explode(graft.functions.NativeExprs.charBigrams(col("graft_t")))
+          .as("graft_ab"): _*)
 
   /** Train the character-bigram LM: ONE aggregation pass over the
     * bigram stream (map-side combine shrinks it to ≤ alphabet² rows).
@@ -220,11 +231,19 @@ object TextAnalysis {
       .select(col("graft_ab"), col("graft_p"))
   }
 
-  def charLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def charLmScore(docs: DataFrame, idCol: String, textCol: String,
+      carryCols: Seq[String] = Nil): DataFrame =
     // Score: second pass, broadcast-join the model, per-doc partial agg.
-    bigramPairs(docs, idCol, textCol)
+    // `carryCols` (doc-level attributes, functionally dependent on the
+    // id — e.g. lang) ride the bigram stream and extend the GROUP KEY:
+    // a consumer that needs them (ccnet's per-language terciles) skips
+    // a whole corpus-sized join back to the doc table — the exploded
+    // stream never shuffles (partial aggregation runs first), so the
+    // carry is near-free where the join cost a full exchange pair
+    // (guide §2.4).
+    bigramPairs(docs, idCol, textCol, carryCols)
       .join(broadcast(charLmModel(docs, textCol, idCol)), "graft_ab")
-      .groupBy(col(idCol))
+      .groupBy((idCol +: carryCols).map(col): _*)
       .agg(count(lit(1)).as("n_pairs"),
         (sum(col("graft_p").cast(org.apache.spark.sql.types.DecimalType(18, 12)))
           .cast("double") / count(lit(1))).as("avg_p"))
@@ -576,7 +595,8 @@ object TextAnalysis {
     conv(substring(md5(feature), 1, 4), 16, 10).cast("long") % buckets
 
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
-      targetPred: Column, buckets: Int = 1024): DataFrame = {
+      targetPred: Column, buckets: Int = 1024,
+      carryCols: Seq[String] = Nil): DataFrame = {
     // Train-then-score, the charlm split: ONE corpus pass aggregates
     // the ≤`buckets`-row model (collected — model-sized, like the BPE
     // merge table and k-means centroids), then scoring is a pure
@@ -589,12 +609,17 @@ object TextAnalysis {
     // The JVM-side table arithmetic replays the same IEEE sequence as
     // the expression form, so results are bit-identical (pinned by
     // the streaming-parity spec, which scores with this same table).
+    // carryCols (doc-level attributes — r15): consumers that need more
+    // than (id, weight) — curation_mix's survivorship pipeline — carry
+    // them through the scoring projection instead of joining the
+    // corpus back to itself on the id (guide §2.4; scoring is a pure
+    // per-row function, so carried rows score identically)
     val modelQ = dsirModelQ(docs, textCol, targetPred, buckets)
     docs
-      .select(col(idCol),
+      .select(col(idCol) +: carryCols.map(col) :+
         graft.functions.NativeExprs.dsirSumQ(col(textCol), modelQ.toSeq)
-          .as("graft_s"))
-      .select(col(idCol),
+          .as("graft_s"): _*)
+      .select((col(idCol) +: carryCols.map(col)) ++ Seq(
         // NULL text makes the whole struct NULL (DsirSumQ is null-safe);
         // a featureless document reads n_features = 0 either way, the
         // same shape the oracle's COALESCE(n_features, 0) produces
@@ -605,7 +630,7 @@ object TextAnalysis {
         when(col("graft_s.n_features") > 0, col("graft_s.sum_q")).as("sum_q"),
         when(col("graft_s.n_features") > 0,
           col("graft_s.sum_q").cast("double") /
-            col("graft_s.n_features").cast("double") / lit(1e12)).as("weight"))
+            col("graft_s.n_features").cast("double") / lit(1e12)).as("weight")): _*)
   }
 
   /** The HOF composition [[graft.functions.NativeExprs.DsirSumQ]]

@@ -25,9 +25,18 @@ object PipelineOps {
     * documents). The oracle computes the same ratios from the strings;
     * the kept set is identical. */
   private def curationKept(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
-    val docs = t(s, d, "documents")
-    val canon = Dedup.exact(docs).select(col("doc_id"))
+      d: String): org.apache.spark.sql.DataFrame =
+    curationKeptFrom(t(s, d, "documents"), Seq("doc_id", "lang", "source"))
+      .orderBy(col("doc_id"))
+
+  /** The shared curation survivorship pipeline over any doc-shaped
+    * input (must carry doc_id + text + whatever `outCols` selects):
+    * exact-dedup keeper window ∧ decontamination ∧ repetition. r15:
+    * callers that need extra per-doc columns (curation_mix's DSIR
+    * weight) CARRY them through instead of joining the corpus back to
+    * itself on doc_id afterwards (guide §2.4). */
+  private def curationKeptFrom(docs: org.apache.spark.sql.DataFrame,
+      outCols: Seq[String]): org.apache.spark.sql.DataFrame = {
     val eval = docs.filter(col("doc_id") < 10)
       .select(explode(TextAnalysis.shingleHashes(col("text"), 3)).as("h"))
       .agg(sort_array(collect_set(col("h"))).as("ev"))
@@ -39,14 +48,21 @@ object PipelineOps {
         .cast("double") / size(col("sh")).cast("double") < 0.08
     val repOk =
       lit(1.0) - size(col("sh")).cast("double") / col("total").cast("double") < 0.05
-    docs.filter(col("doc_id") >= 10)
-      .join(canon, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("lang"), col("source"),
-        sh.as("sh"), total.as("total"))
+    // exact-dedup survivorship INLINE: a doc survives iff it is the
+    // min-id row of its normalized-text group (Dedup.exact's rule), so
+    // the keep flag is the same row_number window evaluated directly
+    // on the corpus — the former derive-canon-then-left-semi-join shape
+    // paid the window's shuffle PLUS a corpus-sized semi-join exchange
+    // pair for the identical row set (r15; guide §2.4)
+    val wKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(lower(trim(col("text")))).orderBy(col("doc_id").asc)
+    docs
+      .withColumn("graft_rn", row_number().over(wKey))
+      .filter(col("graft_rn") === 1 && col("doc_id") >= 10)
+      .select(outCols.map(col) ++ Seq(sh.as("sh"), total.as("total")): _*)
       .join(broadcast(eval))
       .filter(contamOk && repOk)
-      .select(col("doc_id"), col("lang"), col("source"))
-      .orderBy(col("doc_id"))
+      .select(outCols.map(col): _*)
   }
 
   /** The fixed BM25 keyword query (text_bm25_topk) — corpus-present
@@ -485,17 +501,27 @@ object PipelineOps {
     // corpus scale the windows group on xxhash64(chunk) (8-byte
     // shuffle keys); here they group on the chunk text itself so DuckDB
     // replays the exact computation — same algebra, oracle-checkable.
+    // ONE window exchange (r15; guide §2.4): repartition by chunk, so
+    // hash(chunk) satisfies both the (chunk, doc_id) occurrence
+    // aggregation and the distinct-doc count window (one row per
+    // (chunk, doc) ⇒ count(*) over the chunk partition IS
+    // countDistinct(doc_id)) — the former derive-nd-then-join shape
+    // shuffled the window stream twice more (the nd aggregation and
+    // the join's probe side) for the identical per-doc counts.
     "dedup_substring" -> ((s, d) => {
-      val w = TextAnalysis.chunkFixed(
+      val wChunk = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("chunk"))
+      TextAnalysis.chunkFixed(
           t(s, d, "documents").select(col("doc_id"), col("text")),
           "doc_id", "text", step = 10, win = 50)
         .filter(length(col("chunk")) === 50)
-      val nd = w.groupBy(col("chunk"))
-        .agg(countDistinct(col("doc_id")).as("nd"))
-      w.join(nd, "chunk")
+        .repartition(col("chunk"))
+        .groupBy(col("chunk"), col("doc_id"))
+        .agg(count(lit(1)).as("graft_cnt"))
+        .withColumn("nd", count(lit(1)).over(wChunk))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_windows"),
-          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .agg(sum(col("graft_cnt")).as("n_windows"),
+          sum(when(col("nd") >= 2, col("graft_cnt")).otherwise(0L)).as("n_dup"))
         .orderBy(col("doc_id"))
     }),
 
@@ -637,8 +663,11 @@ object PipelineOps {
     // identically; the score itself is the exact decimal-summed avg_p.
     "text_ccnet_buckets" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val scored = TextAnalysis.charLmScore(docs, "doc_id", "text")
-        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      // lang rides the scoring aggregation as a carried group column
+      // (functionally dependent on doc_id) — no corpus join back to
+      // the doc table (r15; guide §2.4)
+      val scored = TextAnalysis.charLmScore(docs, "doc_id", "text",
+        carryCols = Seq("lang"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("lang"))
         .orderBy(col("avg_p").desc, col("doc_id"))
@@ -722,28 +751,37 @@ object PipelineOps {
 
     // TF-IDF keyword extraction: the top-3 terms per document by
     // tf * ln(N/df) — the document-summarization / clustering-feature
-    // primitive next to BM25's corpus ranking. One token shuffle for
-    // tf; df and N derive from the aggregated tf stream (no second
-    // corpus pass); idf through detLn (bitwise-replayable); per-doc
-    // ranking is a window over posting-sized rows, never raw text.
+    // primitive next to BM25's corpus ranking. ONE token exchange
+    // (repartition by tok BEFORE the aggregation): hash(tok) satisfies
+    // the (tok, doc_id) grouping AND the per-term df window, so tf and
+    // df come out of the same exchange with no tok-side join at all —
+    // the former tf ⋈ (tf→df ⋈ N) shape recomputed the token
+    // aggregation three times and re-shuffled the postings per branch
+    // (r15; guide §2.4). N comes from one cheap projection pass over
+    // the corpus (docs with ≥1 token — exactly countDistinct(doc_id)
+    // of the tf stream, replaying the tokenizer's emptiness rule).
+    // idf through detLn (bitwise-replayable); per-doc ranking is a
+    // window over posting-sized rows, never raw text.
     "text_tfidf_keywords" -> ((s, d) => {
-      val toks = t(s, d, "documents")
-        .select(col("doc_id"),
-          explode(split(lower(col("text")), " ")).as("tok"))
-        .filter(col("tok") =!= "")
-      val tf = toks.groupBy(col("doc_id"), col("tok"))
-        .agg(count(lit(1)).as("tf"))
-      val dft = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      val nn = tf.select(countDistinct(col("doc_id")).as("n"))
-      val idf = dft.crossJoin(broadcast(nn))
-        .select(col("tok"),
-          TextAnalysis.detLn(col("n").cast("double") / col("df").cast("double"))
-            .as("idf"))
+      val docs = t(s, d, "documents")
+      val nn = docs.agg(sum(when(exists(split(lower(col("text")), " "),
+        tk => tk =!= ""), 1L).otherwise(0L)).as("n"))
+      val wTok = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("tok"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("tok"))
-      tf.join(idf, "tok")
-        .withColumn("score", col("tf").cast("double") * col("idf"))
+      docs
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .repartition(col("tok"))
+        .groupBy(col("tok"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("df", count(lit(1)).over(wTok))
+        .crossJoin(broadcast(nn))
+        .withColumn("score", col("tf").cast("double") *
+          TextAnalysis.detLn(col("n").cast("double") / col("df").cast("double")))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .select(col("doc_id"), col("rnk"), col("tok"), col("score"))
@@ -1038,11 +1076,15 @@ object PipelineOps {
     // hash rank + source-interleaved output). Fully oracle-checked by
     // chaining the three replay fragments.
     "curation_mix" -> ((s, d) => {
-      val w = TextAnalysis.dsirWeights(t(s, d, "documents"),
-          "doc_id", "text", col("lang") === "en")
-        .select(col("doc_id"), col("weight"))
-      val sel = curationKept(s, d)
-        .join(w, "doc_id")
+      // DSIR weight scored in place (a pure per-row projection over
+      // the driver-held model) and CARRIED through the survivorship
+      // pipeline — the former curationKept ⋈ dsirWeights corpus
+      // self-join on doc_id is gone (r15; guide §2.4); the model still
+      // trains on the full corpus, so every weight is unchanged
+      val scored = TextAnalysis.dsirWeights(t(s, d, "documents"),
+        "doc_id", "text", col("lang") === "en",
+        carryCols = Seq("lang", "source", "text"))
+      val sel = curationKeptFrom(scored, Seq("doc_id", "source", "weight"))
         .orderBy(col("weight").desc, col("doc_id"))
         .limit(200)
         .select(col("doc_id"), col("source"), col("weight"))
@@ -1128,9 +1170,17 @@ object PipelineOps {
     s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_${IndexFormatVersion}_${d.hashCode}"
 
   /** Replace `dst` with a fresh copy of the (small, verification-sized)
-    * index at `src` — driver-side file copy, no Spark job. Used by the
-    * merge queries so each run folds its batch into a pristine standing
-    * index instead of double-counting into last run's merged one. */
+    * index at `src` — driver-side, no Spark job. Used by the merge
+    * queries so each run folds its batch into a pristine standing
+    * index instead of double-counting into last run's merged one.
+    *
+    * Files HARDLINK instead of copying bytes (both trees live on the
+    * same local filesystem): the merge only ever appends new files,
+    * swaps whole bucket directories, or delete-then-recreates the
+    * stats file — never writes into an existing file — so shared
+    * inodes are safe, and the per-run clone cost drops from a full
+    * byte copy to directory metadata. Falls back to a plain copy per
+    * file (non-local FS, cross-device). */
   private def copyIndexDir(s: org.apache.spark.sql.SparkSession,
       src: String, dst: String): Unit = {
     val conf = s.sessionState.newHadoopConf()
@@ -1138,8 +1188,29 @@ object PipelineOps {
     val dp = new org.apache.hadoop.fs.Path(dst)
     val fs = dp.getFileSystem(conf)
     fs.delete(dp, true)
-    if (!org.apache.hadoop.fs.FileUtil.copy(fs, sp, fs, dp, false, conf))
-      throw new java.io.IOException(s"copy $src -> $dst failed")
+    val srcDir = java.nio.file.Paths.get(src)
+    val dstDir = java.nio.file.Paths.get(dst)
+    try {
+      val it = java.nio.file.Files.walk(srcDir).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val q = dstDir.resolve(srcDir.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(q)
+        else
+          try java.nio.file.Files.createLink(q, p)
+          catch { case _: UnsupportedOperationException |
+                       _: java.nio.file.FileSystemException =>
+            java.nio.file.Files.copy(p, q)
+          }
+      }
+    } catch {
+      case _: java.io.IOException =>
+        // non-NIO-reachable FS: the original byte copy
+        fs.delete(dp, true)
+        if (!org.apache.hadoop.fs.FileUtil.copy(fs, sp, fs, dp, false, conf))
+          throw new java.io.IOException(s"copy $src -> $dst failed")
+    }
   }
 
   private def pqIndexPath(d: String): String = idxPath("pq_idx", d)
