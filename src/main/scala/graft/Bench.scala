@@ -198,7 +198,31 @@ object Bench {
       System.err.println(s"[bench] NOT refreshing BENCH_LOCAL.json: " +
         s"host degraded — $reason (re-run when the probe is clean, or " +
         "override SPARK_GRAFT_PROBE_REFS on other hardware)"))
-    if (referenceConfig && quietHost && probeFailure.isEmpty)
+    // Ratchet gate (r15): loadavg AND all three fixed-work probes
+    // passed on a session where the full bench still ran ~1.3× the
+    // committed profile UNIFORMLY across untouched query families —
+    // the degradation was multi-core throughput (SMT contention /
+    // steal), invisible to single-threaded probes sampled before Spark
+    // loads the box. The committed profile may therefore only be
+    // replaced by a run within DRIFT of it (default 10%, i.e. normally
+    // only by an equal-or-better run): a uniformly contended run can
+    // never silently loosen the regression gate. Override for a
+    // legitimate slow-down trade-off or new hardware with
+    // SPARK_GRAFT_REFRESH_DRIFT (e.g. 10.0 to force).
+    val drift = sys.env.getOrElse("SPARK_GRAFT_REFRESH_DRIFT", "0.10").toDouble
+    val committedTotal =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_LOCAL.json")), "UTF-8")
+        """"value":([0-9.]+)""".r.findFirstMatchIn(txt).map(_.group(1).toDouble)
+      } catch { case _: Throwable => None }
+    val ratchetOk = committedTotal.forall(total <= _ * (1.0 + drift))
+    if (referenceConfig && quietHost && probeFailure.isEmpty && !ratchetOk)
+      System.err.println(f"[bench] NOT refreshing BENCH_LOCAL.json: total " +
+        f"$total%.1fs > ${1.0 + drift}%.2fx committed ${committedTotal.get}%.1fs " +
+        "(uniform multi-core contention the probes cannot see; re-run " +
+        "quiet, or raise SPARK_GRAFT_REFRESH_DRIFT for a real trade-off)")
+    if (referenceConfig && quietHost && probeFailure.isEmpty && ratchetOk)
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
         (full + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () } // bench result on stdout is the contract

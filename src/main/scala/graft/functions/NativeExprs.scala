@@ -841,6 +841,152 @@ object NativeExprs {
   def pqCodes(vec: Column, books: Seq[Seq[(Long, Seq[Float])]]): Column =
     ColumnBridge.column(PqCodes(ColumnBridge.expression(vec), books))
 
+  /** Nearest centroid by the QUANTIZED-dot cosine (the md5-twin
+    * geometry) as one native kernel per row — the tight-loop form of
+    * `-array_max(transform(centLit, c => struct(cos, -id))).neg_id`
+    * (Similarity.cellExprQuant keeps that HOF composition as the
+    * executable spec). Semantics replicated exactly:
+    *  - per centroid: qd = Σ floor(v_i·c_i·1e12 + 0.5) over the SHORTER
+    *    of the two arrays (DotQuantD), cos = qd / sqrt(dd·cdd);
+    *  - argmax ordering is Spark's SQL double ordering (NaN greatest,
+    *    -0.0 == 0.0), ties take the LOWEST centroid id (centroids
+    *    arrive id-ascending; strict > keeps the first);
+    *  - a NULL vector/self-dot nulls every cosine, and the all-null
+    *    tie resolves to the lowest id — same as the struct argmax. */
+  case class NearestCellQuant(left: Expression, right: Expression,
+      cents: Seq[(Long, Seq[Float], Double)])
+      extends BinaryExpression with CodegenFallback with DeclaredInputTypes {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = false
+    override def declaredInputTypes: Seq[DataType] =
+      Seq(ArrayType(FloatType), DoubleType)
+    override def prettyName: String = "nearest_cell_quant"
+
+    @transient private lazy val centIds: Array[Long] = cents.map(_._1).toArray
+    @transient private lazy val centVecs: Array[Array[Float]] =
+      cents.map(_._2.toArray).toArray
+    @transient private lazy val centDds: Array[Double] = cents.map(_._3).toArray
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val v = left.eval(input)
+      val d = right.eval(input)
+      if (v == null || d == null) return centIds(0) // all-null-cos tie
+      val vec = v.asInstanceOf[ArrayData].toFloatArray()
+      val dd = d.asInstanceOf[Double]
+      var bestId = centIds(0)
+      var bestCos = cosQ(vec, dd, 0)
+      var c = 1
+      while (c < centIds.length) {
+        val cos = cosQ(vec, dd, c)
+        // SQL double ordering: -0.0 == 0.0 short-circuits to equal
+        // (keep the earlier, lower id); otherwise Double.compare
+        // (NaN greatest, NaN == NaN)
+        val cmp = if (cos == bestCos) 0 else java.lang.Double.compare(cos, bestCos)
+        if (cmp > 0) { bestCos = cos; bestId = centIds(c) }
+        c += 1
+      }
+      bestId
+    }
+
+    private def cosQ(vec: Array[Float], dd: Double, c: Int): Double = {
+      val cv = centVecs(c)
+      val n = math.min(vec.length, cv.length)
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        val p = vec(i).toDouble * cv(i).toDouble
+        acc += math.floor(p * 1e12 + 0.5).toLong
+        i += 1
+      }
+      acc.toDouble / math.sqrt(dd * centDds(c))
+    }
+
+    override protected def withNewChildrenInternal(newLeft: Expression,
+        newRight: Expression): NearestCellQuant =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def nearestCellQuant(vec: Column, dd: Column,
+      cents: Seq[(Long, Seq[Float], Double)]): Column =
+    ColumnBridge.column(NearestCellQuant(
+      ColumnBridge.expression(vec), ColumnBridge.expression(dd), cents))
+
+  /** PQ code assignment under the QUANTIZED L2 (the md5-twin geometry):
+    * per subspace, argmin over the book of
+    * Σ floor((a_i−c_i)²·1e12 + 0.5) with ties to the lowest code id —
+    * the native form of the per-sub
+    * `array_min(transform(bookLit, c => struct(l2QuantD(slice, c), id)))`
+    * chain (kept in Similarity.pqTopKMd5's codesCol as the executable
+    * spec). Distances are exact BIGINTs, so argmin has no float ties;
+    * a NULL vector nulls every distance and each sub's all-null tie
+    * resolves to its lowest code id, exactly like the struct argmin. */
+  case class PqCodesQuant(child: Expression,
+      books: Seq[Seq[(Long, Seq[Float])]], dsub: Int)
+      extends UnaryExpression with CodegenFallback with DeclaredInputTypes {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def declaredInputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+    override def prettyName: String = "pq_codes_quant"
+
+    @transient private lazy val ids: Array[Array[Long]] =
+      books.map(_.map(_._1).toArray).toArray
+    @transient private lazy val vecs: Array[Array[Array[Float]]] =
+      books.map(_.map(_._2.toArray).toArray).toArray
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val v = child.eval(input)
+      val m = ids.length
+      val out = new Array[Any](m)
+      if (v == null) {
+        var s = 0
+        while (s < m) { out(s) = ids(s)(0); s += 1 } // all-null-d ties
+        return new GenericArrayData(out)
+      }
+      val vec = v.asInstanceOf[ArrayData].toFloatArray()
+      var s = 0
+      while (s < m) {
+        val off = s * dsub
+        // slice(vec, off+1, dsub) semantics: empty past the end,
+        // truncated at the boundary; the distance loop then runs over
+        // the shorter of (slice, code) like L2QuantD
+        val sliceLen = math.max(0, math.min(dsub, vec.length - off))
+        val bids = ids(s)
+        val bvecs = vecs(s)
+        var bestId = bids(0)
+        var bestD = distQ(vec, off, sliceLen, bvecs(0))
+        var c = 1
+        while (c < bids.length) {
+          val d = distQ(vec, off, sliceLen, bvecs(c))
+          if (d < bestD) { bestD = d; bestId = bids(c) } // ties keep lowest id
+          c += 1
+        }
+        out(s) = bestId
+        s += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    private def distQ(vec: Array[Float], off: Int, sliceLen: Int,
+        cv: Array[Float]): Long = {
+      val n = math.min(sliceLen, cv.length)
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        val d = vec(off + i).toDouble - cv(i).toDouble
+        acc += math.floor(d * d * 1e12 + 0.5).toLong
+        i += 1
+      }
+      acc
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): PqCodesQuant =
+      copy(child = newChild)
+  }
+
+  def pqCodesQuant(vec: Column, books: Seq[Seq[(Long, Seq[Float])]],
+      dsub: Int): Column =
+    ColumnBridge.column(PqCodesQuant(ColumnBridge.expression(vec), books, dsub))
+
   def minhashSig(shingleHashes: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingleHashes), numHashes))
 

@@ -544,6 +544,15 @@ object Similarity {
     * corpus × nCells crossJoin + shuffle aggregate + corpus self-join:
     * zero shuffles, the corpus never moves (guide §2.3/§2.4). */
   private def cellExprQuant(cents: Array[Cent], vec: Column,
+      dd: Column): Column =
+    graft.functions.NativeExprs.nearestCellQuant(vec, dd, cents.toSeq)
+
+  /** The HOF composition [[graft.functions.NativeExprs.NearestCellQuant]]
+    * replicates — kept as the executable specification for the
+    * SimilaritySpec equality test (the interpreted transform/array_max
+    * chain allocates a struct per centroid per row; the kernel is one
+    * primitive loop). */
+  private[ops] def cellExprQuantHof(cents: Array[Cent], vec: Column,
       dd: Column): Column = {
     val centLit = typedLit(cents.toSeq)      // array<struct<id,vec,dd>>
     val scored = transform(centLit, c => namedStruct2(
@@ -551,6 +560,29 @@ object Similarity {
         sqrt(dd * c.getField("_3")),
       "neg_id", -c.getField("_1")))
     -array_max(scored).getField("neg_id")
+  }
+
+  /** The HOF composition [[graft.functions.NativeExprs.PqCodesQuant]]
+    * replicates — the executable spec for the parity test. */
+  private[ops] def pqCodesQuantHof(vec: Column,
+      books: Seq[Seq[(Long, Seq[Float])]], dsub: Int): Column =
+    array(books.indices.map { s =>
+      val bookLit = typedLit(books(s))
+      array_min(transform(bookLit, c => namedStruct2(
+        "d", graft.functions.NativeExprs.l2QuantD(
+          slice(vec, s * dsub + 1, dsub), c.getField("_2")),
+        "cent_id", c.getField("_1")))).getField("cent_id")
+    }: _*)
+
+  /** Spec-visible handles for the parity test. */
+  private[ops] def cellAssignPair(embeddings: DataFrame, idCol: String,
+      vecCol: String, nCells: Int): (DataFrame, DataFrame) = {
+    val vecs = quantVecs(embeddings, idCol, vecCol)
+    val cents = collectQCents(md5SeedCents(vecs, nCells))
+    (vecs.select(col("graft_id"),
+        cellExprQuant(cents, col("graft_v"), col("graft_dd")).as("cell_id")),
+      vecs.select(col("graft_id"),
+        cellExprQuantHof(cents, col("graft_v"), col("graft_dd")).as("cell_id")))
   }
 
   /** Driver-side probe-cell selection: the anchor row scored against
@@ -801,22 +833,16 @@ object Similarity {
       Array.tabulate(m)(s => seedRows.map { case (id, v) =>
         (id, v.slice(s * dsub, (s + 1) * dsub)) })
     // argmin (quantized L2, code id) per (vector, subspace) as ONE
-    // projection over the driver-held codebook literals — the exact
-    // integer compare means array_min(struct(d, cent_id)) has no float
-    // ties, same lexicographic rule as the min(struct(...)) aggregate
-    // it replaces. The former shape carried the corpus through a ksub×
-    // broadcast-join row inflation plus a shuffled argmin TWICE
+    // native kernel per row (NativeExprs.PqCodesQuant — exact BIGINT
+    // distances, ties to the lowest code id; pqCodesQuantHof is the
+    // executable spec). The former shape carried the corpus through a
+    // ksub× broadcast-join row inflation plus a shuffled argmin TWICE
     // (assign0 and the final encode) and re-joined the corpus to
     // itself for the Lloyd update; all of that is gone
     // (plans/r15/embed_pq_topk_md5_{before,after}.txt).
     def codesCol(books: Array[Array[(Long, Seq[Float])]]): Column =
-      array((0 until m).map { s =>
-        val bookLit = typedLit(books(s).toSeq)
-        array_min(transform(bookLit, c => namedStruct2(
-          "d", qdist(slice(col("graft_v"), s * dsub + 1, dsub),
-            c.getField("_2")),
-          "cent_id", c.getField("_1")))).getField("cent_id")
-      }: _*)
+      graft.functions.NativeExprs.pqCodesQuant(col("graft_v"),
+        books.toSeq.map(_.toSeq), dsub)
     // one quantized-mean Lloyd update per (subspace, code, dim): ONE
     // aggregation to model-sized rows, collected flat; the driver
     // assembles the per-code mean vectors pos-ascending — the same

@@ -71,7 +71,14 @@ object ClusterSmoke {
       // (branch structs built by transform lambdas) and the dynamic-key
       // json_object carrier (ctor_dyn rides in fn_json_clauses) on a
       // real topology
-      "fn_json_table_nested")
+      "fn_json_table_nested",
+      // r15 optimization round: the ANN twins' driver-collected
+      // quantizer + zero-shuffle projection assignment (cellExprQuant
+      // literals must serialize to executor JVMs), the persisted IVF
+      // index's build→merge→pruned-probe chain with executor-written
+      // partitioned cells, and the PQ twin's literal-map ADC — all on
+      // a real exchange topology
+      "embed_ivf_merge", "embed_pq_topk_md5")
 
   private def md5(s: String): String =
     java.security.MessageDigest.getInstance("MD5")

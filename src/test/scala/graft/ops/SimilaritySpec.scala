@@ -214,6 +214,25 @@ class SimilaritySpec extends SparkSpec {
     assert(diverged.count() == 0, "native and HOF quantized L2 diverge")
   }
 
+  test("native quant assignment kernels equal their HOF compositions") {
+    // NearestCellQuant vs the transform/array_max struct argmax
+    val (nat, hof) = Similarity.cellAssignPair(emb, "vec_id", "embedding", 8)
+    val n = nat.orderBy("graft_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val h = hof.orderBy("graft_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(n.nonEmpty && n.toSeq == h.toSeq)
+    // PqCodesQuant vs the per-sub array_min struct argmin
+    val seedVs = emb.orderBy("vec_id").limit(4).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").toSeq)
+    val books = (0 until 8).map(s => seedVs.zipWithIndex.map {
+      case (v, i) => (i.toLong, v.slice(s * 8, (s + 1) * 8)) }.toSeq)
+    val diff = emb.select(
+        graft.functions.NativeExprs.pqCodesQuant(col("embedding"), books, 8)
+          .as("n"),
+        Similarity.pqCodesQuantHof(col("embedding"), books, 8).as("h"))
+      .filter(col("n") =!= col("h")).count()
+    assert(diff == 0)
+  }
+
   test("md5 twins: assignment/probe is one scan — no exchange, no join (r15)") {
     // The optimization-round contract for the twin family: centroid
     // models collect to the driver and assignment is a pure projection
