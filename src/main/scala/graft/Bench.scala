@@ -214,7 +214,11 @@ object Bench {
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("BENCH_LOCAL.json")), "UTF-8")
-        """"value":([0-9.]+)""".r.findFirstMatchIn(txt).map(_.group(1).toDouble)
+        // anchored to the total metric: a bare "value": grab would
+        // silently ratchet against the wrong number if the JSON layout
+        // ever serialized per-query values first
+        """"metric":"total","value":([0-9.]+)""".r
+          .findFirstMatchIn(txt).map(_.group(1).toDouble)
       } catch { case _: Throwable => None }
     val ratchetOk = committedTotal.forall(total <= _ * (1.0 + drift))
     if (referenceConfig && quietHost && probeFailure.isEmpty && !ratchetOk)

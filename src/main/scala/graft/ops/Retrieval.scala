@@ -77,25 +77,55 @@ object Retrieval {
       .withColumn("dl", sum(col("tf")).over(wDoc))
   }
 
-  /** Run independent index-output actions concurrently from a small
-    * thread pool (guide §2.6): the writes are independent consumers of
-    * one cached stream, so the second job's tasks back-fill executors
-    * freed by the first job's tail instead of waiting for it. */
+  /** Run independent index-output actions concurrently (guide §2.6):
+    * the writes are independent consumers of one ALREADY-MATERIALIZED
+    * cached stream, so the second job's tasks back-fill executors freed
+    * by the first job's tail instead of waiting for it.
+    *
+    * Bounded and owned: a DEDICATED fixed pool sized to the lane count
+    * (named daemon threads), created per call and shut down after — not
+    * `ExecutionContext.Implicits.global`, whose process-wide fork-join
+    * pool (r15) let lanes outlive session shutdown
+    * (RejectedExecutionException in the test tail) and, under host
+    * load, scheduled three unthrottled Spark jobs racing to materialize
+    * one unpopulated persist (the r15 bm25_index_build 4.7× regression
+    * at local[32]). Callers MUST materialize any shared persist with
+    * one job before forking lanes.
+    *
+    * Crash consistency does NOT depend on lane order: both index paths
+    * write the corpus_stats completeness marker strictly AFTER awaitAll
+    * returns, so a failed lane aborts the whole operation before the
+    * index is certified complete. */
   private def awaitAll[A](fs: Seq[() => A]): Seq[A] = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    Await.result(Future.sequence(fs.map(f => Future(f()))), Duration.Inf)
+    if (fs.size <= 1) return fs.map(_())
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(fs.size,
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-index-lane-${n.getAndIncrement()}")
+          t.setDaemon(true); t
+        }
+      })
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try Await.result(Future.sequence(fs.map(f => Future(f()))), Duration.Inf)
+    finally pool.shutdown()
   }
 
   /** Build the index: ONE corpus exchange for the whole tf+dl stream
     * ([[tfWithDl]]), postings clustered by bucket before the
     * partitioned write (one writer and one file per bucket — the same
-    * partitioned-write rule as the minhash band index). The postings
-    * write, the terms write and the corpus-stats aggregate are
-    * independent consumers of the cached stream and run CONCURRENTLY
-    * (guide §2.6); the stats file still lands strictly LAST — it is
-    * the completeness marker. */
+    * partitioned-write rule as the minhash band index).
+    *
+    * Execution order (r16, fixing the r15 regression): the corpus-stats
+    * aggregate runs FIRST as the single job that materializes the
+    * persisted stream; only then do the two partitioned writes overlap
+    * on the bounded lane pool (guide §2.6 back-fill over a warm cache).
+    * r15 forked all three actions unmaterialized on the global EC and
+    * the racing cache-population jobs regressed 2.48 s → 11.68 s at
+    * local[32] under host load. The stats file still lands strictly
+    * LAST — it is the completeness marker. */
   def buildBm25Index(docs: DataFrame, idCol: String, textCol: String,
       path: String, hexChars: Int = 2): Unit = {
     // tf+dl feeds all three outputs (postings, terms, corpus): persist
@@ -103,26 +133,20 @@ object Retrieval {
     // OOMs) so the corpus text is tokenized exactly once
     val tf = tfWithDl(docs, idCol, textCol).persist()
     try {
-      val out = awaitAll(Seq(
-        () => {
-          tf.select(col("tok"), col("doc_id"), col("tf"), col("dl"),
+      // one job: computes the corpus facts AND populates the cache
+      val facts = tf.agg(countDistinct(col("doc_id")).as("n"),
+        sum(col("tf")).as("t")).collect()(0)
+      awaitAll(Seq(
+        () => tf.select(col("tok"), col("doc_id"), col("tf"), col("dl"),
               termBucket(col("tok"), hexChars).as("bucket"))
             .repartition(col("bucket"))
             .write.mode("overwrite").partitionBy("bucket")
-            .parquet(s"$path/postings")
-          None
-        },
-        () => {
-          tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+            .parquet(s"$path/postings"),
+        () => tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
             .withColumn("bucket", termBucket(col("tok"), hexChars))
             .repartition(col("bucket"))
             .write.mode("overwrite").partitionBy("bucket")
-            .parquet(s"$path/terms")
-          None
-        },
-        () => Some(tf.agg(countDistinct(col("doc_id")).as("n"),
-          sum(col("tf")).as("t")).collect()(0))))
-      val facts = out.flatten.head
+            .parquet(s"$path/terms")))
       writeCorpusStats(docs.sparkSession, path,
         facts.getLong(0), facts.getLong(1))
     } finally tf.unpersist()
@@ -156,31 +180,30 @@ object Retrieval {
     // same one-exchange tf+dl stream as the build ([[tfWithDl]])
     val tfNew = tfWithDl(newDocs, idCol, textCol).persist()
     try {
-      // Two independent lanes over the cached stream, overlapped
-      // (guide §2.6): (a) the postings append; (b) the batch-facts
-      // collect feeding the touched-bucket terms re-aggregation and
-      // swap. Corpus stats still land LAST, after both lanes.
-      val out = awaitAll(Seq(
-        () => {
-          tfNew.select(col("tok"), col("doc_id"), col("tf"), col("dl"),
+      // ONE driver round-trip — run FIRST, so it is the single job that
+      // materializes the cache (forked lanes must never race to
+      // populate it; see awaitAll) — for all batch-level facts: doc
+      // count and token total (the corpus-stats delta — Σtf per batch
+      // equals the Σdl the per-doc grouping would give) plus the set of
+      // term buckets the batch touches (≤ 16^bhex strings, driver-sized
+      // by construction — the bucket space is the layout constant, not
+      // the vocabulary)
+      val facts = tfNew.agg(
+        countDistinct(col("doc_id")).as("n"),
+        sum(col("tf")).as("t"),
+        collect_set(termBucket(col("tok"), bhex)).as("buckets")).collect()(0)
+      val touched = facts.getSeq[String](2).sorted
+      // Two independent lanes over the WARM cached stream, overlapped
+      // (guide §2.6): (a) the postings append; (b) the touched-bucket
+      // terms re-aggregation and swap. Corpus stats still land LAST,
+      // after both lanes.
+      awaitAll(Seq(
+        () => tfNew.select(col("tok"), col("doc_id"), col("tf"), col("dl"),
               termBucket(col("tok"), bhex).as("bucket"))
             .repartition(col("bucket"))
             .write.mode("append").partitionBy("bucket")
-            .parquet(s"$path/postings")
-          None
-        },
+            .parquet(s"$path/postings"),
         () => {
-          // ONE driver round-trip for all batch-level facts: doc count
-          // and token total (the corpus-stats delta — Σtf per batch
-          // equals the Σdl the per-doc grouping would give) plus the
-          // set of term buckets the batch touches (≤ 16^bhex strings,
-          // driver-sized by construction — the bucket space is the
-          // layout constant, not the vocabulary)
-          val facts = tfNew.agg(
-            countDistinct(col("doc_id")).as("n"),
-            sum(col("tf")).as("t"),
-            collect_set(termBucket(col("tok"), bhex)).as("buckets")).collect()(0)
-          val touched = facts.getSeq[String](2).sorted
           val dfNew = tfNew.groupBy(col("tok")).agg(count(lit(1)).as("df"))
           spark.read.parquet(s"$path/terms")
             .filter(col("bucket").isin(touched: _*)) // partition pruning
@@ -198,9 +221,7 @@ object Retrieval {
               s"$path/terms/bucket=$b")
           }
           deleteDir(spark, s"$path/terms_merge_tmp")
-          Some(facts)
         }))
-      val facts = out.flatten.head
       // corpus stats: standing values + the batch delta (already on the
       // driver from the facts row) — pure driver-side addition, no
       // Spark job, no tmp-dir swap

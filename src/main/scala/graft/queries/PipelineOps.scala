@@ -1191,19 +1191,22 @@ object PipelineOps {
     val srcDir = java.nio.file.Paths.get(src)
     val dstDir = java.nio.file.Paths.get(dst)
     try {
-      val it = java.nio.file.Files.walk(srcDir).iterator()
-      while (it.hasNext) {
-        val p = it.next()
-        val q = dstDir.resolve(srcDir.relativize(p))
-        if (java.nio.file.Files.isDirectory(p))
-          java.nio.file.Files.createDirectories(q)
-        else
-          try java.nio.file.Files.createLink(q, p)
-          catch { case _: UnsupportedOperationException |
-                       _: java.nio.file.FileSystemException =>
-            java.nio.file.Files.copy(p, q)
-          }
-      }
+      val walk = java.nio.file.Files.walk(srcDir)
+      try {
+        val it = walk.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          val q = dstDir.resolve(srcDir.relativize(p))
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.createDirectories(q)
+          else
+            try java.nio.file.Files.createLink(q, p)
+            catch { case _: UnsupportedOperationException |
+                         _: java.nio.file.FileSystemException =>
+              java.nio.file.Files.copy(p, q)
+            }
+        }
+      } finally walk.close()
     } catch {
       case _: java.io.IOException =>
         // non-NIO-reachable FS: the original byte copy
