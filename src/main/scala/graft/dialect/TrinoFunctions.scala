@@ -5420,13 +5420,53 @@ object JsonFuncs {
   private val mapper = new ObjectMapper()
     .enable(DeserializationFeature.FAIL_ON_TRAILING_TOKENS)
 
+  /** Shared parsed-tree carrier (guide §4): a JSON_TABLE evaluates one
+    * json_value/json_query/json_exists per output COLUMN plus one
+    * graft_json_items per NESTED branch over the SAME document/item
+    * text, and the multi-branch rewrite re-serializes each level's item
+    * only for the next level to re-parse it — without a cache every
+    * call re-runs Jackson over identical bytes. A small per-thread memo
+    * keyed on the exact text returns the tree instead: the equality
+    * probe is O(len) byte compare vs the ~10-50× costlier parse, and
+    * 4 slots cover the document plus the items in flight at each
+    * nesting level of the deepest declared table. Keys are DEFENSIVE
+    * COPIES (UTF8String may view a reused scan buffer); trees are safe
+    * to share because every caller only READS parsed nodes — the
+    * constructor finishers build fresh Object/ArrayNodes and only
+    * re-reference parsed subtrees. Only successful parses are cached,
+    * so error behavior is unchanged. */
+  private val parseMemo = new ThreadLocal[Array[AnyRef]] {
+    override def initialValue(): Array[AnyRef] = new Array[AnyRef](8)
+  }
+
   private def parse(j: UTF8String): JsonNode = {
+    val memo = parseMemo.get()
+    var s = 0
+    while (s < 8) {
+      val k = memo(s)
+      if (k != null && k.asInstanceOf[UTF8String].equals(j)) {
+        // promote to slot 0 (the next call is most likely the same text)
+        if (s != 0) {
+          val v = memo(s + 1)
+          var t = s
+          while (t > 0) { memo(t + 1) = memo(t - 1); memo(t) = memo(t - 2); t -= 2 }
+          memo(0) = k; memo(1) = v
+        }
+        return memo(1).asInstanceOf[JsonNode]
+      }
+      s += 2
+    }
     val node = try mapper.readTree(j.toString) catch {
       case e: Exception =>
         throw new IllegalArgumentException(s"invalid JSON: ${e.getMessage}")
     }
     if (node == null || node.isMissingNode)
       throw new IllegalArgumentException("invalid JSON: empty input")
+    // insert at slot 0, shifting the rest down (LRU-of-4)
+    var t = 6
+    while (t > 0) { memo(t + 1) = memo(t - 1); memo(t) = memo(t - 2); t -= 2 }
+    memo(0) = j.clone()
+    memo(1) = node
     node
   }
 

@@ -852,27 +852,40 @@ object NativeExprs {
     *    -0.0 == 0.0), ties take the LOWEST centroid id (centroids
     *    arrive id-ascending; strict > keeps the first);
     *  - a NULL vector/self-dot nulls every cosine, and the all-null
-    *    tie resolves to the lowest id — same as the struct argmax. */
+    *    tie resolves to the lowest id — same as the struct argmax.
+    *
+    * The centroid model rides a BROADCAST variable (ids, vecs,
+    * self-dots as parallel arrays), not an expression-tree literal
+    * (guide §5): the plan/task binary stays model-size-independent
+    * (one torrent fetch per executor instead of nCells×dims floats
+    * serialized into every stage), and doGenCode references it via the
+    * codegen references array, so the assignment fuses into
+    * whole-stage codegen instead of breaking the span as a fallback. */
   case class NearestCellQuant(left: Expression, right: Expression,
-      cents: Seq[(Long, Seq[Float], Double)])
-      extends BinaryExpression with CodegenFallback with DeclaredInputTypes {
+      bc: org.apache.spark.broadcast.Broadcast[
+        (Array[Long], Array[Array[Float]], Array[Double])])
+      extends BinaryExpression with DeclaredInputTypes {
     override def dataType: DataType = LongType
     override def nullable: Boolean = false
     override def declaredInputTypes: Seq[DataType] =
       Seq(ArrayType(FloatType), DoubleType)
     override def prettyName: String = "nearest_cell_quant"
 
-    @transient private lazy val centIds: Array[Long] = cents.map(_._1).toArray
-    @transient private lazy val centVecs: Array[Array[Float]] =
-      cents.map(_._2.toArray).toArray
-    @transient private lazy val centDds: Array[Double] = cents.map(_._3).toArray
+    @transient private lazy val centIds: Array[Long] = bc.value._1
+    @transient private lazy val centVecs: Array[Array[Float]] = bc.value._2
+    @transient private lazy val centDds: Array[Double] = bc.value._3
 
     override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
       val v = left.eval(input)
       val d = right.eval(input)
-      if (v == null || d == null) return centIds(0) // all-null-cos tie
-      val vec = v.asInstanceOf[ArrayData].toFloatArray()
-      val dd = d.asInstanceOf[Double]
+      kernel(if (v == null) null else v.asInstanceOf[ArrayData],
+        if (d == null) 0.0 else d.asInstanceOf[Double], d == null)
+    }
+
+    /** The per-row loop, shared by eval and the generated code. */
+    def kernel(v: ArrayData, dd: Double, ddNull: Boolean): Long = {
+      if (v == null || ddNull) return centIds(0) // all-null-cos tie
+      val vec = v.toFloatArray()
       var bestId = centIds(0)
       var bestCos = cosQ(vec, dd, 0)
       var c = 1
@@ -886,6 +899,27 @@ object NativeExprs {
         c += 1
       }
       bestId
+    }
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+      val ref = ctx.addReferenceObj("nearestCellQuant", this,
+        classOf[NearestCellQuant].getName)
+      val lg = left.genCode(ctx)
+      val rg = right.genCode(ctx)
+      val result = ctx.freshName("nearestCell")
+      ev.copy(code = code"""
+        ${lg.code}
+        ${rg.code}
+        final long $result = $ref.kernel(
+          ${lg.isNull} ? null : ${lg.value}, ${rg.value}, ${rg.isNull});
+      """, isNull = FalseLiteral,
+        value = org.apache.spark.sql.catalyst.expressions.codegen
+          .JavaCode.variable(result, LongType))
     }
 
     private def cosQ(vec: Array[Float], dd: Double, c: Int): Double = {
@@ -907,9 +941,15 @@ object NativeExprs {
   }
 
   def nearestCellQuant(vec: Column, dd: Column,
-      cents: Seq[(Long, Seq[Float], Double)]): Column =
+      cents: Seq[(Long, Seq[Float], Double)]): Column = {
+    require(cents.nonEmpty,
+      "nearest_cell_quant: empty centroid set (no cells to assign to)")
+    val bc = org.apache.spark.sql.SparkSession.active.sparkContext
+      .broadcast((cents.map(_._1).toArray,
+        cents.map(_._2.toArray).toArray, cents.map(_._3).toArray))
     ColumnBridge.column(NearestCellQuant(
-      ColumnBridge.expression(vec), ColumnBridge.expression(dd), cents))
+      ColumnBridge.expression(vec), ColumnBridge.expression(dd), bc))
+  }
 
   /** PQ code assignment under the QUANTIZED L2 (the md5-twin geometry):
     * per subspace, argmin over the book of
@@ -919,22 +959,31 @@ object NativeExprs {
     * chain (kept in Similarity.pqTopKMd5's codesCol as the executable
     * spec). Distances are exact BIGINTs, so argmin has no float ties;
     * a NULL vector nulls every distance and each sub's all-null tie
-    * resolves to its lowest code id, exactly like the struct argmin. */
+    * resolves to its lowest code id, exactly like the struct argmin.
+    *
+    * Codebooks ride a BROADCAST variable (per-sub id and vector arrays)
+    * instead of an expression-tree literal, and doGenCode references it
+    * via the codegen references array — same scaling rationale as
+    * [[NearestCellQuant]] (guide §5). */
   case class PqCodesQuant(child: Expression,
-      books: Seq[Seq[(Long, Seq[Float])]], dsub: Int)
-      extends UnaryExpression with CodegenFallback with DeclaredInputTypes {
+      bc: org.apache.spark.broadcast.Broadcast[
+        (Array[Array[Long]], Array[Array[Array[Float]]])], dsub: Int)
+      extends UnaryExpression with DeclaredInputTypes {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = false
     override def declaredInputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
     override def prettyName: String = "pq_codes_quant"
 
-    @transient private lazy val ids: Array[Array[Long]] =
-      books.map(_.map(_._1).toArray).toArray
-    @transient private lazy val vecs: Array[Array[Array[Float]]] =
-      books.map(_.map(_._2.toArray).toArray).toArray
+    @transient private lazy val ids: Array[Array[Long]] = bc.value._1
+    @transient private lazy val vecs: Array[Array[Array[Float]]] = bc.value._2
 
     override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
       val v = child.eval(input)
+      kernel(if (v == null) null else v.asInstanceOf[ArrayData])
+    }
+
+    /** The per-row loop, shared by eval and the generated code. */
+    def kernel(v: ArrayData): ArrayData = {
       val m = ids.length
       val out = new Array[Any](m)
       if (v == null) {
@@ -942,7 +991,7 @@ object NativeExprs {
         while (s < m) { out(s) = ids(s)(0); s += 1 } // all-null-d ties
         return new GenericArrayData(out)
       }
-      val vec = v.asInstanceOf[ArrayData].toFloatArray()
+      val vec = v.toFloatArray()
       var s = 0
       while (s < m) {
         val off = s * dsub
@@ -979,13 +1028,41 @@ object NativeExprs {
       acc
     }
 
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+      val ref = ctx.addReferenceObj("pqCodesQuant", this,
+        classOf[PqCodesQuant].getName)
+      val cg = child.genCode(ctx)
+      val result = ctx.freshName("pqCodes")
+      ev.copy(code = code"""
+        ${cg.code}
+        final org.apache.spark.sql.catalyst.util.ArrayData $result =
+          $ref.kernel(${cg.isNull} ? null : ${cg.value});
+      """, isNull = FalseLiteral,
+        value = org.apache.spark.sql.catalyst.expressions.codegen
+          .JavaCode.variable(result, dataType))
+    }
+
     override protected def withNewChildInternal(newChild: Expression): PqCodesQuant =
       copy(child = newChild)
   }
 
   def pqCodesQuant(vec: Column, books: Seq[Seq[(Long, Seq[Float])]],
-      dsub: Int): Column =
-    ColumnBridge.column(PqCodesQuant(ColumnBridge.expression(vec), books, dsub))
+      dsub: Int): Column = {
+    require(books.nonEmpty && books.forall(_.nonEmpty),
+      "pq_codes_quant: every subspace codebook must be non-empty " +
+        s"(got ${books.count(_.isEmpty)} empty of ${books.length}) — " +
+        "the vectors are shorter than m*dsub, so trailing subspaces " +
+        "trained no codes")
+    val bc = org.apache.spark.sql.SparkSession.active.sparkContext
+      .broadcast((books.map(_.map(_._1).toArray).toArray,
+        books.map(_.map(_._2.toArray).toArray).toArray))
+    ColumnBridge.column(PqCodesQuant(ColumnBridge.expression(vec), bc, dsub))
+  }
 
   def minhashSig(shingleHashes: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingleHashes), numHashes))
