@@ -23,18 +23,51 @@ import org.apache.spark.sql.types._
   */
 object NativeExprs {
 
+  /** Whole-stage-codegen bridge for the unary native kernels (guide
+    * §4): the generated code calls the expression's public `kernel`
+    * method through the codegen references array, so the projection
+    * FUSES into the enclosing WholeStageCodegen span instead of forcing
+    * the whole stage back to interpreted row-at-a-time eval (what
+    * `CodegenFallback` did — one fallback expression de-optimizes every
+    * co-resident expression in the projection), and kernel
+    * parameters/models ride the references array, never the generated
+    * source text. `kernel` takes the child's unboxed catalyst value
+    * (ArrayData / UTF8String / long) and returns the catalyst result
+    * type; `nullSafeEval` delegates to the same method, so interpreted
+    * and generated paths share one body. */
+  trait UnaryKernelCodegen extends UnaryExpression {
+    /** True when the kernel may return null for a NON-null input (the
+      * expression must declare nullable; object return types only). */
+    protected def kernelNullable: Boolean = false
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val ref = ctx.addReferenceObj("kernelExpr", this)
+        if (kernelNullable)
+          s"""
+             |${ev.value} = $ref.kernel($c);
+             |${ev.isNull} = ${ev.value} == null;
+           """.stripMargin
+        else s"${ev.value} = $ref.kernel($c);"
+      })
+  }
+
   /** MinHash signature: out(s) = min over elements e of
     * xxh64(xxh64(e, 42), seed=s), for s in [0, numHashes). */
   case class MinHashSig(child: Expression, numHashes: Int)
-      extends UnaryExpression with CodegenFallback with DeclaredInputTypes {
+      extends UnaryExpression with UnaryKernelCodegen with DeclaredInputTypes {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     // declared types matter: these are SQL-reachable via execute_query, and
     // an undeclared array<double> would be misread via getLong on unsafe rows
     override def declaredInputTypes: Seq[DataType] = Seq(ArrayType(LongType))
     override def prettyName: String = "minhash_sig"
 
-    protected override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
+    protected override def nullSafeEval(input: Any): Any =
+      kernel(input.asInstanceOf[ArrayData])
+
+    def kernel(arr: ArrayData): ArrayData = {
       val n = arr.numElements()
       val out = new Array[Long](numHashes)
       var s = 0
@@ -59,13 +92,15 @@ object NativeExprs {
   /** 64-bit SimHash over an array of 64-bit token hashes: per bit, sum
     * +1/-1 by the token's bit value; emit the sign bits packed. */
   case class SimHash64(child: Expression)
-      extends UnaryExpression with CodegenFallback with DeclaredInputTypes {
+      extends UnaryExpression with UnaryKernelCodegen with DeclaredInputTypes {
     override def dataType: DataType = LongType
     override def declaredInputTypes: Seq[DataType] = Seq(ArrayType(LongType))
     override def prettyName: String = "simhash64"
 
-    protected override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
+    protected override def nullSafeEval(input: Any): Any =
+      kernel(input.asInstanceOf[ArrayData])
+
+    def kernel(arr: ArrayData): Long = {
       val n = arr.numElements()
       val counts = new Array[Int](64)
       var i = 0
@@ -95,7 +130,7 @@ object NativeExprs {
     * packed into a BIGINT, where plane component p_b[i] is a
     * deterministic hash of (b, i) mapped to [-1, 1). */
   case class SRPSig(child: Expression, bits: Int)
-      extends UnaryExpression with CodegenFallback with DeclaredInputTypes {
+      extends UnaryExpression with UnaryKernelCodegen with DeclaredInputTypes {
     override def dataType: DataType = LongType
     override def declaredInputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
     override def prettyName: String = "srp_sig"
@@ -117,8 +152,10 @@ object NativeExprs {
       p
     }
 
-    protected override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
+    protected override def nullSafeEval(input: Any): Any =
+      kernel(input.asInstanceOf[ArrayData])
+
+    def kernel(arr: ArrayData): Long = {
       val n = arr.numElements()
       val p = planesFor(n)
       var sig = 0L
@@ -157,7 +194,7 @@ object NativeExprs {
     *  - exact BIGINT summation (associative, order-free);
     *  - sign bit b set iff the integer sum > 0. */
   case class SrpSigMd5D(child: Expression, bits: Int, dims: Int)
-      extends UnaryExpression with CodegenFallback with DeclaredInputTypes {
+      extends UnaryExpression with UnaryKernelCodegen with DeclaredInputTypes {
     override def dataType: DataType = LongType
     override def declaredInputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
     override def prettyName: String = "srp_sig_md5d"
@@ -165,8 +202,10 @@ object NativeExprs {
     @transient private lazy val planes: Array[Array[Double]] =
       SrpSigMd5D.planesFor(bits, dims)
 
-    protected override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
+    protected override def nullSafeEval(input: Any): Any =
+      kernel(input.asInstanceOf[ArrayData])
+
+    def kernel(arr: ArrayData): Long = {
       val n = math.min(arr.numElements(), dims)
       var sig = 0L
       var b = 0
@@ -220,13 +259,15 @@ object NativeExprs {
     * and the lambda then re-evaluates the full signature expression per
     * band (measured: banding at 4 bands cost ~10× the signatures). */
   case class ChunkSplit(child: Expression, bands: Int, chunkBits: Int)
-      extends UnaryExpression with CodegenFallback with DeclaredInputTypes {
+      extends UnaryExpression with UnaryKernelCodegen with DeclaredInputTypes {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def declaredInputTypes: Seq[DataType] = Seq(LongType)
     override def prettyName: String = "chunk_split"
 
-    protected override def nullSafeEval(input: Any): Any = {
-      val sig = input.asInstanceOf[Long]
+    protected override def nullSafeEval(input: Any): Any =
+      kernel(input.asInstanceOf[Long])
+
+    def kernel(sig: Long): ArrayData = {
       val mask = (1L << chunkBits) - 1
       val out = new Array[Any](bands)
       var b = 0
@@ -405,13 +446,15 @@ object NativeExprs {
     * for i in [1, max(n-k+1, 1)]. One native pass replaces the
     * interpreted transform+slice+concat_ws window walk. */
   case class ShingleHash(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback with DeclaredInputTypes {
+      extends UnaryExpression with UnaryKernelCodegen with DeclaredInputTypes {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def declaredInputTypes: Seq[DataType] = Seq(ArrayType(StringType))
     override def prettyName: String = "shingle_hash"
 
-    protected override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
+    protected override def nullSafeEval(input: Any): Any =
+      kernel(input.asInstanceOf[ArrayData])
+
+    def kernel(arr: ArrayData): ArrayData = {
       val n = arr.numElements()
       val windows = math.max(n - (k - 1), 1)
       val seen = new java.util.LinkedHashSet[java.lang.Long](windows * 2)
@@ -509,7 +552,7 @@ object NativeExprs {
     * compare lowercased tokens against a fixed list — the same values
     * the regex/split/filter composition computes in five passes. */
   case class TextStats(child: Expression, stopwords: Seq[String])
-      extends UnaryExpression with CodegenFallback with DeclaredInputTypes {
+      extends UnaryExpression with UnaryKernelCodegen with DeclaredInputTypes {
     override def declaredInputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = StructType(Seq(
       StructField("n_chars", IntegerType, nullable = false),
@@ -521,7 +564,11 @@ object NativeExprs {
 
     private val stopSet = stopwords.toSet
 
-    protected override def nullSafeEval(input: Any): Any = {
+    protected override def nullSafeEval(input: Any): Any =
+      kernel(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    def kernel(input: org.apache.spark.unsafe.types.UTF8String)
+        : org.apache.spark.sql.catalyst.InternalRow = {
       val s = input.toString
       val n = s.length
       var alpha = 0
@@ -561,15 +608,17 @@ object NativeExprs {
     * UTF-8 aware: bigrams are pairs of code points, sliced at byte
     * offsets without re-walking the string per position. */
   case class CharBigrams(child: Expression)
-      extends UnaryExpression with CodegenFallback with DeclaredInputTypes {
+      extends UnaryExpression with UnaryKernelCodegen with DeclaredInputTypes {
     override def declaredInputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def prettyName: String = "char_bigrams"
 
     protected override def nullSafeEval(input: Any): Any =
-      new GenericArrayData(NativeExprs.bigramSlices(
-        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
-        .asInstanceOf[Array[Any]])
+      kernel(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    def kernel(input: org.apache.spark.unsafe.types.UTF8String): ArrayData =
+      new GenericArrayData(
+        NativeExprs.bigramSlices(input).asInstanceOf[Array[Any]])
 
     override protected def withNewChildInternal(newChild: Expression): CharBigrams =
       copy(child = newChild)
@@ -586,7 +635,7 @@ object NativeExprs {
     * expression/task closure — the train-offline / score-online
     * split of a production quality filter. */
   case class BigramAvgScore(child: Expression, model: Map[String, Double])
-      extends UnaryExpression with CodegenFallback with DeclaredInputTypes {
+      extends UnaryExpression with UnaryKernelCodegen with DeclaredInputTypes {
     override def declaredInputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = StructType(Seq(
       StructField("n_pairs", LongType, nullable = false),
@@ -599,9 +648,12 @@ object NativeExprs {
       m
     }
 
-    protected override def nullSafeEval(input: Any): Any = {
-      val bigrams = NativeExprs.bigramSlices(
-        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    protected override def nullSafeEval(input: Any): Any =
+      kernel(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    def kernel(input: org.apache.spark.unsafe.types.UTF8String)
+        : org.apache.spark.sql.catalyst.InternalRow = {
+      val bigrams = NativeExprs.bigramSlices(input)
       var sum = java.math.BigDecimal.ZERO
       var n = 0L
       var i = 0
@@ -665,13 +717,14 @@ object NativeExprs {
     * string pass; replays the split/filter/transform/md5/conv HOF
     * pipeline's multiset exactly (NativeExprsSpec pins it). */
   case class DsirBuckets(child: Expression, buckets: Int)
-      extends UnaryExpression with CodegenFallback with DeclaredInputTypes {
+      extends UnaryExpression with UnaryKernelCodegen with DeclaredInputTypes {
     override def declaredInputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def prettyName: String = "dsir_buckets"
     protected override def nullSafeEval(input: Any): Any =
-      new GenericArrayData(NativeExprs.dsirBucketsOf(
-        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], buckets)
+      kernel(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    def kernel(input: org.apache.spark.unsafe.types.UTF8String): ArrayData =
+      new GenericArrayData(NativeExprs.dsirBucketsOf(input, buckets)
         .asInstanceOf[Array[Int]].map(_.asInstanceOf[Any]))
     override protected def withNewChildInternal(newChild: Expression): DsirBuckets =
       copy(child = newChild)
@@ -685,16 +738,18 @@ object NativeExprs {
     * value equals the HOF transform/element_at/fold composition
     * bit for bit regardless of feature order. */
   case class DsirSumQ(child: Expression, table: Seq[Long])
-      extends UnaryExpression with CodegenFallback with DeclaredInputTypes {
+      extends UnaryExpression with UnaryKernelCodegen with DeclaredInputTypes {
     override def declaredInputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = StructType(Seq(
       StructField("n_features", LongType, nullable = false),
       StructField("sum_q", LongType, nullable = false)))
     override def prettyName: String = "dsir_sum_q"
     @transient private lazy val tab: Array[Long] = table.toArray
-    protected override def nullSafeEval(input: Any): Any = {
-      val bs = NativeExprs.dsirBucketsOf(
-        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], tab.length)
+    protected override def nullSafeEval(input: Any): Any =
+      kernel(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    def kernel(input: org.apache.spark.unsafe.types.UTF8String)
+        : org.apache.spark.sql.catalyst.InternalRow = {
+      val bs = NativeExprs.dsirBucketsOf(input, tab.length)
       var sum = 0L
       var i = 0
       while (i < bs.length) { sum += tab(bs(i)); i += 1 }
@@ -763,44 +818,34 @@ object NativeExprs {
     * config (m=8, ksub=256) that's 2048 closures per row and the
     * difference between a 19 s and a sub-second index build at sf0.1.
     * Books arrive sorted by (sub, cent_id); ids may be sparse after
-    * empty-cell drop, hence the explicit id table. */
-  case class PqCodes(child: Expression, books: Seq[Seq[(Long, Seq[Float])]])
-      extends UnaryExpression with CodegenFallback with DeclaredInputTypes {
+    * empty-cell drop, hence the explicit id table.
+    *
+    * Codebooks ride a BROADCAST variable of the precomputed kernel
+    * tables (ids, flat centroid floats, counts, −‖c‖²/2) instead of an
+    * expression-tree literal, and the expression fuses into whole-stage
+    * codegen via [[UnaryKernelCodegen]] — same scaling rationale as
+    * [[PqCodesQuant]] (guide §4/§5). */
+  case class PqCodes(child: Expression,
+      bc: org.apache.spark.broadcast.Broadcast[(Array[Array[Long]],
+        Array[Array[Float]], Array[Int], Array[Array[Double]])])
+      extends UnaryExpression with UnaryKernelCodegen with DeclaredInputTypes {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def declaredInputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
     override def prettyName: String = "pq_codes"
 
-    @transient private lazy val ids: Array[Array[Long]] =
-      books.map(_.map(_._1).toArray).toArray
+    @transient private lazy val ids: Array[Array[Long]] = bc.value._1
     // per subspace, all centroids FLAT in one contiguous float[] —
     // the argmin loop walks it linearly (no per-centroid array deref)
-    @transient private lazy val flatCents: Array[Array[Float]] =
-      books.map { b =>
-        val dsub = b.head._2.length
-        val out = new Array[Float](b.length * dsub)
-        var c = 0
-        while (c < b.length) {
-          var i = 0
-          val v = b(c)._2
-          while (i < dsub) { out(c * dsub + i) = v(i); i += 1 }
-          c += 1
-        }
-        out
-      }.toArray
-    @transient private lazy val nCents: Array[Int] =
-      books.map(_.length).toArray
+    @transient private lazy val flatCents: Array[Array[Float]] = bc.value._2
+    @transient private lazy val nCents: Array[Int] = bc.value._3
     // -(l2(c))²/2, sqrt-then-square exactly like the Cent tuple's norm
     // field so scores stay bit-identical to the HOF path
-    @transient private lazy val negHalfN2: Array[Array[Double]] =
-      books.map(_.map { case (_, v) =>
-        var s = 0.0; var i = 0
-        while (i < v.length) { val d = v(i).toDouble; s += d * d; i += 1 }
-        val n = math.sqrt(s)
-        -(n * n) / 2.0
-      }.toArray).toArray
+    @transient private lazy val negHalfN2: Array[Array[Double]] = bc.value._4
 
-    protected override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
+    protected override def nullSafeEval(input: Any): Any =
+      kernel(input.asInstanceOf[ArrayData])
+
+    def kernel(arr: ArrayData): ArrayData = {
       val m = flatCents.length
       val dsub = flatCents(0).length / nCents(0)
       // one bulk copy instead of m·ksub·dsub ArrayData.getFloat calls
@@ -838,8 +883,34 @@ object NativeExprs {
       copy(child = newChild)
   }
 
-  def pqCodes(vec: Column, books: Seq[Seq[(Long, Seq[Float])]]): Column =
-    ColumnBridge.column(PqCodes(ColumnBridge.expression(vec), books))
+  def pqCodes(vec: Column, books: Seq[Seq[(Long, Seq[Float])]]): Column = {
+    require(books.nonEmpty && books.forall(_.nonEmpty),
+      "pq_codes: every subspace codebook must be non-empty " +
+        s"(got ${books.count(_.isEmpty)} empty of ${books.length})")
+    val ids = books.map(_.map(_._1).toArray).toArray
+    val flatCents = books.map { b =>
+      val dsub = b.head._2.length
+      val out = new Array[Float](b.length * dsub)
+      var c = 0
+      while (c < b.length) {
+        var i = 0
+        val v = b(c)._2
+        while (i < dsub) { out(c * dsub + i) = v(i); i += 1 }
+        c += 1
+      }
+      out
+    }.toArray
+    val nCents = books.map(_.length).toArray
+    val negHalfN2 = books.map(_.map { case (_, v) =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { val d = v(i).toDouble; s += d * d; i += 1 }
+      val n = math.sqrt(s)
+      -(n * n) / 2.0
+    }.toArray).toArray
+    val bc = org.apache.spark.sql.SparkSession.active.sparkContext
+      .broadcast((ids, flatCents, nCents, negHalfN2))
+    ColumnBridge.column(PqCodes(ColumnBridge.expression(vec), bc))
+  }
 
   /** Nearest centroid by the QUANTIZED-dot cosine (the md5-twin
     * geometry) as one native kernel per row — the tight-loop form of
@@ -1108,7 +1179,7 @@ object NativeExprs {
     * closure per TOKEN per term — the same hot-path rule as
     * TextStats/CharBigrams. */
   case class Bm25Counts(child: Expression, terms: Seq[String])
-      extends UnaryExpression with CodegenFallback with DeclaredInputTypes {
+      extends UnaryExpression with UnaryKernelCodegen with DeclaredInputTypes {
     override def declaredInputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = StructType(Seq(
       StructField("dl", IntegerType, nullable = false),
@@ -1116,14 +1187,17 @@ object NativeExprs {
         nullable = false)))
     override def prettyName: String = "bm25_counts"
 
-    protected override def nullSafeEval(input: Any): Any = {
+    protected override def nullSafeEval(input: Any): Any =
+      kernel(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    def kernel(input: org.apache.spark.unsafe.types.UTF8String)
+        : org.apache.spark.sql.catalyst.InternalRow = {
       // Lowercase through Spark's OWN kernel (UTF8String.toLowerCase —
       // what the lower() builtin calls), so parity with the composed
       // plan holds for every input and default locale, not just ASCII
       // (Locale.ROOT diverged from Spark's non-ASCII path on e.g. a
       // Turkish-locale JVM).
-      val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-        .toLowerCase.toString
+      val s = input.toLowerCase.toString
       val n = s.length
       val tf = new Array[Int](terms.length)
       var dl = 0
@@ -1173,9 +1247,10 @@ object NativeExprs {
     * double ops. Returns null for a tokenless document — the composed
     * groupBy drops those rows; callers filter. */
   case class UnigramEntropy(child: Expression)
-      extends UnaryExpression with CodegenFallback with DeclaredInputTypes {
+      extends UnaryExpression with UnaryKernelCodegen with DeclaredInputTypes {
     override def declaredInputTypes: Seq[DataType] = Seq(StringType)
     override def nullable: Boolean = true
+    override protected def kernelNullable: Boolean = true // tokenless doc
     override def dataType: DataType = StructType(Seq(
       StructField("n_tokens", LongType, nullable = false),
       StructField("entropy", DoubleType, nullable = false)))
@@ -1189,10 +1264,13 @@ object NativeExprs {
       (t - t * t / 2.0 + t * t * t / 3.0) * 1048576.0
     }
 
-    protected override def nullSafeEval(input: Any): Any = {
+    protected override def nullSafeEval(input: Any): Any =
+      kernel(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    def kernel(input: org.apache.spark.unsafe.types.UTF8String)
+        : org.apache.spark.sql.catalyst.InternalRow = {
       // same rule as Bm25Counts: lowercase through Spark's own kernel
-      val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-        .toLowerCase.toString
+      val s = input.toLowerCase.toString
       val n = s.length
       val counts = new java.util.HashMap[String, Array[Long]]()
       var total = 0L
@@ -1233,12 +1311,28 @@ object NativeExprs {
   /** Trino `hamming_distance(a, b)`: differing code-point positions of
     * two equal-length strings (errors on length mismatch, like Trino). */
   case class HammingDist(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback with DeclaredInputTypes {
+      extends BinaryExpression with DeclaredInputTypes {
     override def dataType: DataType = LongType
     override def declaredInputTypes: Seq[DataType] = Seq(StringType, StringType)
     override def prettyName: String = "hamming_distance"
 
-    protected override def nullSafeEval(a: Any, b: Any): Any = {
+    protected override def nullSafeEval(a: Any, b: Any): Any =
+      kernel(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    // fuses into whole-stage codegen — this expression sits in JOIN
+    // conditions (embed_srp_topdups), where a fallback forces the whole
+    // predicate to interpreted eval per candidate pair (guide §4)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("hammingDist", this)
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.kernel($a, $b);")
+    }
+
+    def kernel(a: org.apache.spark.unsafe.types.UTF8String,
+        b: org.apache.spark.unsafe.types.UTF8String): Long = {
       val sa = a.toString
       val sb = b.toString
       val na = sa.codePointCount(0, sa.length)
@@ -1279,7 +1373,7 @@ object NativeExprs {
     * a per-task memo (word → encoding) makes the common path a hash
     * lookup; a benign race between task threads just recomputes. */
   case class BpeEncodeWords(child: Expression, merges: Seq[(String, String)])
-      extends UnaryExpression with CodegenFallback with DeclaredInputTypes {
+      extends UnaryExpression with UnaryKernelCodegen with DeclaredInputTypes {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def declaredInputTypes: Seq[DataType] = Seq(StringType)
     override def prettyName: String = "bpe_encode_words"
@@ -1321,7 +1415,10 @@ object NativeExprs {
       enc
     }
 
-    protected override def nullSafeEval(input: Any): Any = {
+    protected override def nullSafeEval(input: Any): Any =
+      kernel(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    def kernel(input: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
       val words = input.toString.split(' ')
       val out = new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String](words.length)
       var i = 0
@@ -1425,13 +1522,16 @@ object NativeExprs {
     * per row. Level 6 (zlib default) pinned for determinism within a
     * JVM; tests pin ordering invariants, not exact byte counts. */
   case class DeflateRatio(child: Expression)
-      extends UnaryExpression with CodegenFallback with DeclaredInputTypes {
+      extends UnaryExpression with UnaryKernelCodegen with DeclaredInputTypes {
     override def dataType: DataType = DoubleType
     override def declaredInputTypes: Seq[DataType] = Seq(StringType)
     override def prettyName: String = "deflate_ratio"
 
-    protected override def nullSafeEval(input: Any): Any = {
-      val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    protected override def nullSafeEval(input: Any): Any =
+      kernel(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    def kernel(input: org.apache.spark.unsafe.types.UTF8String): Double = {
+      val bytes = input.getBytes
       if (bytes.isEmpty) 0.0
       else {
         val d = DeflateRatio.local.get()
