@@ -970,7 +970,12 @@ object MatchRecognize {
   private[graft] def oneRowMeasureValues(g: Array[Row],
       assigned: List[(Int, String)], start: Int, end: Int, matchNo: Long,
       measures: Seq[MeasureExec],
-      membersOf: String => Seq[String]): Array[Any] = {
+      membersOf: String => Seq[String],
+      // expression measures compiled once per task by the batch
+      // iterator (index-aligned with `measures`, null slots for
+      // non-MExpr); null = compile-free callers (streaming) fall back
+      // to the interpreted eval — identical semantics
+      compiled: Array[MrPredicate.Ctx => Any] = null): Array[Any] = {
     // ascending row order; exclusion marks stripped
     val asc = assigned.reverse.map { case (r, v) => (r, stripExcl(v)) }
     val byVar = asc.groupBy(_._2).map { case (k, l) => k -> l.map(_._1) }
@@ -982,7 +987,7 @@ object MatchRecognize {
         case Seq(one) => byVar.getOrElse(one, Nil)
         case ms => ms.flatMap(m => byVar.getOrElse(m, Nil)).sorted
       }
-    measures.map { case MeasureExec(kind, v, cIdx, off, dt, _, ast) =>
+    measures.zipWithIndex.map { case (MeasureExec(kind, v, cIdx, off, dt, _, ast), mi) =>
       kind match {
         case MFirst =>
           varRows(v).lift(off).map(r => g(r).get(cIdx)).orNull
@@ -1003,9 +1008,11 @@ object MatchRecognize {
         case MSum | MAvg | MMin | MMax =>
           aggOver(kind, dt, varRows(v).map(r => g(r).get(cIdx)))
         case MExpr => // FINAL: the whole match; unqualified cols = last row
-          MrPredicate.coerce(MrPredicate.eval(ast.get,
-            new MrPredicate.MatchCtx(g, asc,
-              if (asc.isEmpty) -1 else asc.last._1, membersOf)), dt)
+          val ctx = new MrPredicate.MatchCtx(g, asc,
+            if (asc.isEmpty) -1 else asc.last._1, membersOf)
+          MrPredicate.coerce(
+            if (compiled != null && compiled(mi) != null) compiled(mi)(ctx)
+            else MrPredicate.eval(ast.get, ctx), dt)
       }
     }.toArray
   }
@@ -1019,7 +1026,9 @@ object MatchRecognize {
   private[graft] def allRowsMeasureValues(g: Array[Row],
       assigned: List[(Int, String)], matchNo: Long,
       measures: Seq[MeasureExec],
-      membersOf: String => Seq[String]): Seq[(Int, Array[Any])] = {
+      membersOf: String => Seq[String],
+      // see oneRowMeasureValues — null = interpreted-eval fallback
+      compiled: Array[MrPredicate.Ctx => Any] = null): Seq[(Int, Array[Any])] = {
     val ascRaw = assigned.reverse // ascending row order, marks intact
     val asc = ascRaw.map { case (r, v) => (r, stripExcl(v)) }
     // whole-match structures for FINAL-prefixed measures
@@ -1088,7 +1097,9 @@ object MatchRecognize {
             val ctx =
               if (fin) new MrPredicate.MatchCtx(g, asc, asc.last._1, membersOf)
               else new MrPredicate.MatchCtx(g, soFarPairs, rowI, membersOf)
-            MrPredicate.coerce(MrPredicate.eval(ast.get, ctx), dt)
+            MrPredicate.coerce(
+              if (compiled != null && compiled(mi) != null) compiled(mi)(ctx)
+              else MrPredicate.eval(ast.get, ctx), dt)
         }
       }
       Some((rowI, vals))
@@ -1264,18 +1275,44 @@ object MatchRecognize {
     private val buf = rows.buffered
     private val out = scala.collection.mutable.Queue.empty[Row]
 
+    // Cross-variable DEFINEs and expression measures compiled ONCE per
+    // iterator (= per task) to closure trees — the matcher evaluates a
+    // DEFINE once per row hypothesis and a measure once per mapped row,
+    // and the interpreted eval()'s per-node pattern-match dispatch was
+    // pure per-row overhead. The Node ASTs are what serialize; the
+    // closures are built executor-side here.
+    private val compiledPreds: Map[String, MrPredicate.Ctx => Boolean] =
+      crossPreds.map { case (v, ast) => v -> MrPredicate.compileBool(ast) }
+    private val compiledMeasures: Array[MrPredicate.Ctx => Any] =
+      measures.map(m => m.ast.map(MrPredicate.compile).orNull).toArray
+
     private def groupKey(r: Row): Seq[Any] = partIdx.map(r.get)
+
+    /** Field-by-field partition-key equality — the per-row Seq
+      * allocation of groupKey(r) == key measured as real overhead on
+      * 600k-row scans (one Seq + Seq.equals per input row). */
+    private def sameKey(a: Row, b: Row): Boolean = {
+      var i = 0
+      while (i < partIdx.length) {
+        val x = a.get(partIdx(i))
+        val y = b.get(partIdx(i))
+        if (x == null) { if (y != null) return false }
+        else if (!x.equals(y)) return false
+        i += 1
+      }
+      true
+    }
 
     private def nextGroup(): Array[Row] = {
       val g = scala.collection.mutable.ArrayBuffer.empty[Row]
       if (!buf.hasNext) return Array.empty
-      val key = groupKey(buf.head)
-      while (buf.hasNext && groupKey(buf.head) == key) {
+      val key = buf.head
+      while (buf.hasNext && sameKey(buf.head, key)) {
         g += buf.next()
         if (g.length > maxGroupRows)
           throw new IllegalStateException(
             "MATCH_RECOGNIZE partition-key group " +
-              key.mkString("(", ", ", ")") +
+              groupKey(key).mkString("(", ", ", ")") +
               s" exceeds spark.graft.matchRecognize.maxGroupRows " +
               s"($maxGroupRows): the operator buffers one group per " +
               "executor (Trino's bound is identical) — raise the knob, " +
@@ -1294,9 +1331,9 @@ object MatchRecognize {
       def flag(i: Int, v: String, acc: List[(Int, String)]): Boolean = {
         val fi = flagIdx(v)
         val base = !g(i).isNullAt(fi) && g(i).getBoolean(fi)
-        base && (crossPreds.get(v) match {
-          case Some(ast) => MrPredicate.evalBool(ast,
-            new MrPredicate.RowCtx(g, i, v, acc, membersOf))
+        base && (compiledPreds.get(v) match {
+          case Some(pred) =>
+            pred(new MrPredicate.RowCtx(g, i, v, acc, membersOf))
           case None => true
         })
       }
@@ -1309,7 +1346,7 @@ object MatchRecognize {
       val vals = new Array[Any](outIdx.length + measures.length)
       outIdx.indices.foreach(i => vals(i) = g(start).get(outIdx(i)))
       val mvals = oneRowMeasureValues(g, assigned, start, end, matchNo,
-        measures, membersOf)
+        measures, membersOf, compiledMeasures)
       mvals.indices.foreach(mi => vals(outIdx.length + mi) = mvals(mi))
       Row.fromSeq(vals.toIndexedSeq)
     }
@@ -1320,7 +1357,7 @@ object MatchRecognize {
     private def emitAll(g: Array[Row], assigned: List[(Int, String)],
         matchNo: Long): Seq[Row] =
       MatchRecognize.allRowsMeasureValues(g, assigned, matchNo, measures,
-        membersOf).map { case (rowI, mvals) =>
+        membersOf, compiledMeasures).map { case (rowI, mvals) =>
         val vals = new Array[Any](outIdx.length + mvals.length)
         outIdx.indices.foreach(i => vals(i) = g(rowI).get(outIdx(i)))
         System.arraycopy(mvals, 0, vals, outIdx.length, mvals.length)
@@ -1339,7 +1376,7 @@ object MatchRecognize {
         vals(slot) = kind match {
           case MCountVar | MCountStar => 0L
           case MMatchNumber => matchNo
-          case MExpr => MrPredicate.coerce(MrPredicate.eval(ast.get,
+          case MExpr => MrPredicate.coerce(compiledMeasures(mi)(
             new MrPredicate.MatchCtx(g, Nil, -1, membersOf)), dt)
           case _ => null
         }

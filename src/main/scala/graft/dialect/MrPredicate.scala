@@ -1021,6 +1021,146 @@ object MrPredicate {
       }
   }
 
+  /** Compile a RESOLVED AST to a closure tree — the same evaluation,
+    * with node dispatch and operator selection hoisted out of the
+    * per-row path (guide §4: the matcher evaluates a DEFINE predicate
+    * once per row HYPOTHESIS and an expression measure once per mapped
+    * row; [[eval]]'s pattern match re-dispatches every node on every
+    * evaluation). Each case body is copied from [[eval]] verbatim, so
+    * the two forms are structurally identical; MrPredicateDifferentialSpec
+    * additionally pins compile ≡ eval on the fuzz corpus. Compile on
+    * the EXECUTOR (once per MatchIterator) — the Node is what
+    * serializes, never the closures. */
+  def compile(n: Node): Ctx => Any = n match {
+    case Lit(v)  => _ => v
+    case Cur(_, idx) => ctx => ctx.cur(idx)
+    case Nav(v, _, first, off, idx) => ctx => ctx.nav(v, idx, first, off)
+    case Agg(fn, v, _, idx) => ctx => aggFold(fn, ctx.aggVals(v, idx))
+    case NavX(v, first, off, e, step) =>
+      val ce = compile(e)
+      ctx => {
+        val r0 = ctx.navRowIdx(v, first, off)
+        if (r0 < 0) null
+        else {
+          val r = r0 + step
+          if (r < 0 || r >= ctx.groupSize) null
+          else ce(new PinnedCtx(ctx, r))
+        }
+      }
+    case AggX(fn, v, e) =>
+      val ce = compile(e)
+      ctx => aggFold(fn, ctx.aggRowIdxs(v).map(r => ce(new PinnedCtx(ctx, r))))
+    case PNavX(step, e) =>
+      val ce = compile(e)
+      ctx => {
+        val a = ctx.curRowIdx
+        if (a < 0) null
+        else {
+          val r = a + step
+          if (r < 0 || r >= ctx.groupSize) null
+          else ce(new PinnedCtx(ctx, r))
+        }
+      }
+    case Cmp(op, l, r) =>
+      val cl = compile(l)
+      val cr = compile(r)
+      // operator selected ONCE; cmpVals and the lazy left-first null
+      // propagation are identical to eval's Cmp case
+      val test: Int => Boolean = op match {
+        case "="  => _ == 0
+        case "<>" => _ != 0
+        case "<"  => _ < 0
+        case "<=" => _ <= 0
+        case ">"  => _ > 0
+        case ">=" => _ >= 0
+      }
+      ctx => {
+        val a = cl(ctx)
+        if (a == null) null
+        else {
+          val b = cr(ctx)
+          if (b == null) null
+          else java.lang.Boolean.valueOf(test(cmpVals(a, b)))
+        }
+      }
+    case Arith(op, l, r) =>
+      val cl = compile(l)
+      val cr = compile(r)
+      ctx => {
+        val a = cl(ctx)
+        if (a == null) null
+        else {
+          val b = cr(ctx)
+          if (b == null) null else arith(op, a, b)
+        }
+      }
+    case Neg(e) =>
+      val ce = compile(e)
+      ctx => ce(ctx) match {
+        case null => null
+        case b: java.math.BigDecimal => b.negate
+        case d: java.lang.Double => java.lang.Double.valueOf(-d.doubleValue)
+        case f: java.lang.Float  => java.lang.Double.valueOf(-f.doubleValue)
+        case x: Number => java.lang.Long.valueOf(Math.negateExact(x.longValue))
+        case other => fail(s"cannot negate ${other.getClass.getSimpleName}")
+      }
+    case And(l, r) =>
+      val cl = compile(l)
+      val cr = compile(r)
+      ctx => {
+        val a = cl(ctx)
+        if (a == java.lang.Boolean.FALSE) java.lang.Boolean.FALSE
+        else {
+          val b = cr(ctx)
+          if (b == java.lang.Boolean.FALSE) java.lang.Boolean.FALSE
+          else if (a == null || b == null) null
+          else java.lang.Boolean.TRUE
+        }
+      }
+    case Or(l, r) =>
+      val cl = compile(l)
+      val cr = compile(r)
+      ctx => {
+        val a = cl(ctx)
+        if (a == java.lang.Boolean.TRUE) java.lang.Boolean.TRUE
+        else {
+          val b = cr(ctx)
+          if (b == java.lang.Boolean.TRUE) java.lang.Boolean.TRUE
+          else if (a == null || b == null) null
+          else java.lang.Boolean.FALSE
+        }
+      }
+    case Not(e) =>
+      val ce = compile(e)
+      ctx => ce(ctx) match {
+        case null => null
+        case b: java.lang.Boolean => java.lang.Boolean.valueOf(!b.booleanValue)
+        case other => fail(s"NOT over a non-boolean in DEFINE: $other")
+      }
+    case IsNull(e, negated) =>
+      val ce = compile(e)
+      ctx => java.lang.Boolean.valueOf((ce(ctx) == null) != negated)
+    case QCol(v, c) =>
+      fail(s"internal: argument-scoped column $v.$c reached compilation")
+    case PNav(p, c, _) =>
+      fail(s"internal: un-lowered ${if (p) "PREV" else "NEXT"}($c) " +
+        "reached compilation")
+    case NestNav(p, _, c, _, _, _) =>
+      fail(s"internal: un-lowered nested " +
+        s"${if (p) "PREV" else "NEXT"}(…$c…) reached compilation")
+  }
+
+  /** Compiled twin of [[evalBool]]. */
+  def compileBool(n: Node): Ctx => Boolean = {
+    val ce = compile(n)
+    ctx => ce(ctx) match {
+      case b: java.lang.Boolean => b.booleanValue
+      case null => false
+      case other => fail(s"DEFINE predicate is not boolean-valued " +
+        s"(got ${other.getClass.getSimpleName})")
+    }
+  }
+
   def eval(n: Node, ctx: Ctx): Any = n match {
     case Lit(v)  => v
     case Cur(_, idx) => ctx.cur(idx)

@@ -1438,6 +1438,119 @@ object NativeExprs {
   def bpeEncodeWords(text: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.column(BpeEncodeWords(ColumnBridge.expression(text), merges))
 
+  /** URL canonicalization as ONE native pass — the fused form of the
+    * UrlOps.canonicalize composition (5 regexes + splits + an
+    * interpreted HOF filter per row on the crawl-dedup hot path).
+    * Byte-for-byte replication of the composition's string algebra,
+    * pinned by UrlOpsSpec's kernel≡composition property over generated
+    * URL soup and by the dedup_url oracle:
+    *  - `split_part(url,'#',1)`: cut at the FIRST '#';
+    *  - scheme `^[^:/?#]+://`: the first {:,/,?,#} char in the string
+    *    must be the ':' of "://" with ≥1 char before it, else the
+    *    fragment-stripped string returns unchanged;
+    *  - host/port = up to the first '/' or '?'; lowercased via
+    *    UTF8String.toLowerCase (the lower() builtin's own kernel);
+    *    leading "www." stripped AFTER lowering; scheme-default port
+    *    (":443" https / ":80" http) stripped after that;
+    *  - query = after the FIRST '?' (later '?' are content); params
+    *    split on '&', empties and tracking params dropped — the
+    *    tracking test replicates `^(utm_[a-z_]+|ref|fbclid|gclid)=`
+    *    (maximal [a-z_] run then '=' is exact for this regex — '=' is
+    *    outside the class, so greedy backtracking never helps);
+    *  - trailing '/'-run of the path collapsed. */
+  case class CanonicalizeUrl(child: Expression)
+      extends UnaryExpression with UnaryKernelCodegen with DeclaredInputTypes {
+    override def dataType: DataType = StringType
+    override def declaredInputTypes: Seq[DataType] = Seq(StringType)
+    override def prettyName: String = "canonicalize_url"
+
+    protected override def nullSafeEval(input: Any): Any =
+      kernel(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    // lower() builtin parity: route through UTF8String.toLowerCase
+    private def lower(s: String): String =
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        .toLowerCase.toString
+
+    def kernel(input: org.apache.spark.unsafe.types.UTF8String)
+        : org.apache.spark.unsafe.types.UTF8String = {
+      val url = input.toString
+      val hashAt = url.indexOf('#')
+      val noFrag = if (hashAt < 0) url else url.substring(0, hashAt)
+      val n = noFrag.length
+      var i = 0
+      while (i < n && {
+        val c = noFrag.charAt(i)
+        c != ':' && c != '/' && c != '?' && c != '#'
+      }) i += 1
+      val hasScheme = i > 0 && i + 2 < n && noFrag.charAt(i) == ':' &&
+        noFrag.charAt(i + 1) == '/' && noFrag.charAt(i + 2) == '/'
+      if (!hasScheme)
+        return org.apache.spark.unsafe.types.UTF8String.fromString(noFrag)
+      val scheme = lower(noFrag.substring(0, i))
+      val rest = noFrag.substring(i + 3)
+      val rn = rest.length
+      var j = 0
+      while (j < rn && rest.charAt(j) != '/' && rest.charAt(j) != '?') j += 1
+      val hostPort = rest.substring(0, j)
+      val pathq = rest.substring(j)
+      val qAt = pathq.indexOf('?')
+      val path = if (qAt < 0) pathq else pathq.substring(0, qAt)
+      val query = if (qAt < 0) "" else pathq.substring(qAt + 1)
+      var host = lower(hostPort)
+      if (host.startsWith("www.")) host = host.substring(4)
+      if (scheme == "https" && host.endsWith(":443"))
+        host = host.substring(0, host.length - 4)
+      else if (scheme == "http" && host.endsWith(":80"))
+        host = host.substring(0, host.length - 3)
+      val sb = new java.lang.StringBuilder(url.length)
+      sb.append(scheme).append("://").append(host)
+      var pe = path.length
+      while (pe > 0 && path.charAt(pe - 1) == '/') pe -= 1
+      sb.append(path, 0, pe)
+      if (qAt >= 0) {
+        var first = true
+        var s = 0
+        var k = 0
+        val qn = query.length
+        while (k <= qn) {
+          if (k == qn || query.charAt(k) == '&') {
+            if (k > s && !isTracking(query, s, k)) {
+              if (first) { sb.append('?'); first = false }
+              else sb.append('&')
+              sb.append(query, s, k)
+            }
+            s = k + 1
+          }
+          k += 1
+        }
+      }
+      org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+    }
+
+    /** `^(utm_[a-z_]+|ref|fbclid|gclid)=` over the param q[s, e). */
+    private def isTracking(q: String, s: Int, e: Int): Boolean = {
+      def lit(w: String): Boolean =
+        e - s > w.length && q.regionMatches(s, w, 0, w.length) &&
+          q.charAt(s + w.length) == '='
+      if (lit("ref") || lit("fbclid") || lit("gclid")) return true
+      if (e - s > 4 && q.regionMatches(s, "utm_", 0, 4)) {
+        var m = s + 4
+        while (m < e && {
+          val c = q.charAt(m)
+          (c >= 'a' && c <= 'z') || c == '_'
+        }) m += 1
+        m > s + 4 && m < e && q.charAt(m) == '='
+      } else false
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): CanonicalizeUrl =
+      copy(child = newChild)
+  }
+
+  def canonicalizeUrl(url: Column): Column =
+    ColumnBridge.column(CanonicalizeUrl(ColumnBridge.expression(url)))
+
   /** Trino `normalize(s[, form])`: Unicode normalization (NFC default). */
   case class NormalizeStr(child: Expression, form: String)
       extends UnaryExpression with CodegenFallback with DeclaredInputTypes {

@@ -41,8 +41,20 @@ object UrlOps {
     * garbage entries, and silently rewriting them would merge distinct
     * keys. Idempotent: canonicalize ∘ canonicalize = canonicalize
     * (property-pinned in UrlOpsSpec).
+    *
+    * Executes as ONE native whole-stage-codegen kernel
+    * ([[graft.functions.NativeExprs.CanonicalizeUrl]]) — the 5-regex +
+    * split + HOF-filter composition it replaces is kept below as
+    * [[canonicalizeSpec]], the executable specification the UrlOpsSpec
+    * property test pins the kernel against (byte-for-byte over
+    * generated URL soup); the dedup_url oracle replays the same string
+    * algebra in DuckDB.
     */
-  def canonicalize(url: Column): Column = {
+  def canonicalize(url: Column): Column =
+    graft.functions.NativeExprs.canonicalizeUrl(url)
+
+  /** The original Catalyst composition — the kernel's executable spec. */
+  private[ops] def canonicalizeSpec(url: Column): Column = {
     val noFrag = split_part(url, lit("#"), lit(1))
     // Anchored regex, not split_part('://'): an embedded '://' deeper in
     // the URL (a redirect target in a query param) must not truncate the

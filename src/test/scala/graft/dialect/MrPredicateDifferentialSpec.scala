@@ -153,18 +153,31 @@ class MrPredicateDifferentialSpec extends SparkSpec {
         } catch {
           case e: Throwable if isArith(e) => Left("arith")
         }
+      val resolved =
+        MrPredicate.resolve(MrPredicate.parse(text, "X", Nil), schema)
       val mine: Either[String, Option[Boolean]] =
-        try MrPredicate.eval(
-          MrPredicate.resolve(MrPredicate.parse(text, "X", Nil), schema),
-          ctxOf(row)) match {
+        try MrPredicate.eval(resolved, ctxOf(row)) match {
           case null => Right(None)
           case b: java.lang.Boolean => Right(Some(b.booleanValue))
           case other => fail(s"non-boolean from interpreter: $other ($text)")
         } catch {
           case e: ArithmeticException => Left("arith")
         }
+      // the compiled closure tree is a third evaluator of the same AST
+      // (the batch matcher's per-task form) — must match eval exactly,
+      // error outcomes included
+      val compiledOut: Either[String, Option[Boolean]] =
+        try MrPredicate.compile(resolved)(ctxOf(row)) match {
+          case null => Right(None)
+          case b: java.lang.Boolean => Right(Some(b.booleanValue))
+          case other => fail(s"non-boolean from compiled form: $other ($text)")
+        } catch {
+          case e: ArithmeticException => Left("arith")
+        }
       assert(mine == sparkOut,
         s"case $i diverged: $text over $vals — interpreter=$mine catalyst=$sparkOut")
+      assert(compiledOut == mine,
+        s"case $i diverged: $text over $vals — compiled=$compiledOut interpreter=$mine")
       checked += 1
     }
     assert(checked == 400)

@@ -83,13 +83,19 @@ class UrlOpsSpec extends SparkSpec {
     val urls = gen.apply(Gen.Parameters.default, Seed(42L)).get
     import spark.implicits._
     val rows = urls.toDF("url")
-      .select(col("url"), UrlOps.canonicalize(col("url")).as("c1"))
-      .select(col("url"), col("c1"), UrlOps.canonicalize(col("c1")).as("c2"))
+      .select(col("url"), UrlOps.canonicalize(col("url")).as("c1"),
+        UrlOps.canonicalizeSpec(col("url")).as("cs"))
+      .select(col("url"), col("c1"), col("cs"),
+        UrlOps.canonicalize(col("c1")).as("c2"))
       .collect()
     assert(rows.length == 300)
     rows.foreach { r =>
-      val (url, c1, c2) = (r.getString(0), r.getString(1), r.getString(2))
+      val (url, c1, cs, c2) =
+        (r.getString(0), r.getString(1), r.getString(2), r.getString(3))
       assert(c1 != null, s"canonicalize returned null for <$url>")
+      // the native kernel IS the regex/split/HOF composition, byte for
+      // byte — the composition stays in the tree as the executable spec
+      assert(c1 == cs, s"kernel != composition: <$url> -> <$c1> vs <$cs>")
       assert(c1 == c2, s"not idempotent: <$url> -> <$c1> -> <$c2>")
       if (url.matches("(?i)^https?://.*"))
         assert(c1.matches("^https?://.*"), s"scheme not lowered: <$url> -> <$c1>")
