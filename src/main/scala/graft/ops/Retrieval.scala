@@ -120,12 +120,20 @@ object Retrieval {
     *
     * Execution order (r16, fixing the r15 regression): the corpus-stats
     * aggregate runs FIRST as the single job that materializes the
-    * persisted stream; only then do the two partitioned writes overlap
-    * on the bounded lane pool (guide §2.6 back-fill over a warm cache).
-    * r15 forked all three actions unmaterialized on the global EC and
-    * the racing cache-population jobs regressed 2.48 s → 11.68 s at
-    * local[32] under host load. The stats file still lands strictly
-    * LAST — it is the completeness marker. */
+    * persisted stream, then the two partitioned writes run
+    * SEQUENTIALLY. r15 forked all three actions unmaterialized on the
+    * global EC and the racing cache-population jobs regressed
+    * 2.48 s → 11.68 s at local[32] under host load (driver ground
+    * truth); even with the cache pre-materialized and a bounded pool,
+    * two CONCURRENT 256-bucket partitioned writes still contend on the
+    * task-commit coordinator and the fsync path whenever the host is
+    * loaded (measured this round: 2.05 s quiet vs 6.3 s in a dirty
+    * window at local[32]) — and overlapping them buys nothing
+    * measurable when the host is quiet (sequential 2.37 s ≈ r14's
+    * 2.48 s). The build takes the robust shape; the MERGE keeps its
+    * measured-win overlap (one append + one driver-heavy re-agg —
+    * not two bulk writes). The stats file still lands strictly LAST —
+    * it is the completeness marker. */
   def buildBm25Index(docs: DataFrame, idCol: String, textCol: String,
       path: String, hexChars: Int = 2): Unit = {
     // tf+dl feeds all three outputs (postings, terms, corpus): persist
@@ -136,17 +144,16 @@ object Retrieval {
       // one job: computes the corpus facts AND populates the cache
       val facts = tf.agg(countDistinct(col("doc_id")).as("n"),
         sum(col("tf")).as("t")).collect()(0)
-      awaitAll(Seq(
-        () => tf.select(col("tok"), col("doc_id"), col("tf"), col("dl"),
-              termBucket(col("tok"), hexChars).as("bucket"))
-            .repartition(col("bucket"))
-            .write.mode("overwrite").partitionBy("bucket")
-            .parquet(s"$path/postings"),
-        () => tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-            .withColumn("bucket", termBucket(col("tok"), hexChars))
-            .repartition(col("bucket"))
-            .write.mode("overwrite").partitionBy("bucket")
-            .parquet(s"$path/terms")))
+      tf.select(col("tok"), col("doc_id"), col("tf"), col("dl"),
+          termBucket(col("tok"), hexChars).as("bucket"))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$path/postings")
+      tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .withColumn("bucket", termBucket(col("tok"), hexChars))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$path/terms")
       writeCorpusStats(docs.sparkSession, path,
         facts.getLong(0), facts.getLong(1))
     } finally tf.unpersist()
